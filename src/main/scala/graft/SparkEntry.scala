@@ -1,13 +1,811 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+import graft.functions.GraftFunctions
+import graft.ml.IdsPipeline
+import graft.ops._
+import graft.streaming.StreamOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible operator from SURVEY.md §2 (plus the
+  * LLM-pipeline extensions) has a named query here and matching DuckDB
+  * oracle SQL in [[oracleSql]]. Determinism conventions:
+  *  - every query ends in a canonical ORDER BY over a full unique key;
+  *  - double aggregates are rounded (2 dp for large sums, 6 dp for
+  *    ratios/similarities) identically on both sides;
+  *  - temporal outputs are formatted to strings (parquet timestamp
+  *    UTC-annotation vs DuckDB naive timestamps would otherwise
+  *    hash-mismatch);
+  *  - counts/ranks are cast to long to match DuckDB BIGINT.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- //
+  // Relational core (SURVEY §2.2-2.7)
+  // ---------------------------------------------------------------- //
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-31 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    // star join: dims are tiny → broadcast-hash all the way (no shuffle
+    // of the fact side except the final groupBy exchange)
+    val region = broadcast(t(s, dir, "region"))
+    val nation = broadcast(t(s, dir, "nation"))
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+        .select(col("l_suppkey")),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    RelOps.topKPerGroup(t(s, dir, "orders"),
+        Seq(col("o_orderstatus")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("o_orderstatus"), col("rn"))
+
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), lit("building").as("src"))
+    val b = c.filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), lit("rich").as("src"))
+    a.unionByName(b).orderBy(col("src"), col("c_custkey"))
+  }
+
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val both = open.intersect(fin)
+      .select(lit("both").as("tag"), col("o_custkey"))
+    val onlyOpen = open.except(fin)
+      .select(lit("only_open").as("tag"), col("o_custkey"))
+    both.unionByName(onlyOpen).orderBy(col("tag"), col("o_custkey"))
+  }
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("bucket", col("user_id") % 3)
+      .groupBy(col("bucket"))
+      .pivot("event_type", eventTypes)
+      .count().na.fill(0L)
+      .orderBy(col("bucket"))
+
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    // NaN/±∞ wide profile (reference cells 21/23/24) on synthesized
+    // pathologies — fixtures are clean, the reference's data is not
+    val li = t(s, dir, "lineitem")
+      .withColumn("qty_nan",
+        when(col("l_quantity") === 1, lit(Double.NaN))
+          .otherwise(col("l_quantity")))
+      .withColumn("price_inf",
+        when(col("l_discount") === 0, lit(Double.PositiveInfinity))
+          .otherwise(col("l_extendedprice")))
+    li.select(
+      count(when(isnan(col("qty_nan")), lit(1))).as("nan_qty"),
+      count(when(col("price_inf") === Double.PositiveInfinity, lit(1)))
+        .as("inf_price"),
+      round(min(col("l_extendedprice")), 4).as("min_price"),
+      round(max(col("l_extendedprice")), 4).as("max_price"),
+      round(min(col("l_quantity")), 4).as("min_qty"),
+      round(max(col("l_quantity")), 4).as("max_qty"))
+  }
+
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val withNulls = t(s, dir, "lineitem")
+      .withColumn("value_n",
+        when(col("l_quantity") === 5, lit(null).cast("double"))
+          .otherwise(col("l_extendedprice")))
+    val nNullBefore = lit(withNulls.filter(col("value_n").isNull).count())
+    val imputed = CleanOps.medianFill(withNulls, Seq("value_n"))
+    imputed.agg(
+      nNullBefore.as("n_null_before"),
+      count(when(col("value_n").isNull, lit(1))).as("n_null_after"),
+      round(avg(col("value_n")), 4).as("avg_after"))
+  }
+
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+      .orderBy(col("o_orderstatus"))
+
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    RelOps.topK(t(s, dir, "orders"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 10)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    // U1 semantics with the custom ReplaceInf Catalyst expression:
+    // sentinel −100 masks +∞ so max() reveals the true finite max
+    // (the reference's probe, ISAA_Review_3.ipynb cell 27)
+    val li = t(s, dir, "lineitem")
+      .withColumn("flow",
+        when(col("l_quantity") === 3, lit(null).cast("double"))
+          .when(col("l_discount") === 0, lit(Double.PositiveInfinity))
+          .otherwise(col("l_extendedprice")))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(max(GraftFunctions.replace_inf(col("flow"), lit(-100.0))), 4)
+          .as("max_masked"),
+        count(when(col("flow") === Double.PositiveInfinity, lit(1)))
+          .as("n_inf"),
+        count(when(col("flow").isNull, lit(1))).as("n_null"),
+        count(when(GraftFunctions.replace_inf(col("flow"), lit(-100.0))
+          .isNull, lit(1))).as("n_null_after"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    SplitOps.rowNumberId(
+        t(s, dir, "events").filter(col("user_id") < 5), col("event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("row_num").cast("long").as("row_num"))
+      .orderBy(col("row_num"))
+
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    RelOps.sessionize(t(s, dir, "events"), "user_id", "ts", 1800L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_end"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("covar_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("std_price"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- //
+  // Sampling / splits (SURVEY §2.8) — seeded; rows-only checks
+  // ---------------------------------------------------------------- //
+
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    SplitOps.stratifiedSampleUniform(t(s, dir, "documents"), "lang", 0.5, 7L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val (train, valid) = SplitOps.antiJoinSplit(
+      t(s, dir, "documents"), "doc_id", "lang", 0.3, 7L)
+    train.select(lit("train").as("part"), col("doc_id"))
+      .unionByName(valid.select(lit("valid").as("part"), col("doc_id")))
+      .groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .orderBy(col("part"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Scalar-function surface (SURVEY §2.9)
+  // ---------------------------------------------------------------- //
+
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        datediff(col("o_orderdate"),
+          to_date(lit("1995-01-01"))).cast("long").as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view", "error"))
+      .withColumn("bucket",
+        when(col("value") < 50, "low")
+          .when(col("value") < 150, "mid")
+          .otherwise("high"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  // ---------------------------------------------------------------- //
+  // LLM-pipeline: dedup (BASELINE.json north star)
+  // ---------------------------------------------------------------- //
+
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    DedupOps.dupGroups(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("content_hash"))
+
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashSignature(t(s, dir, "documents"), "doc_id", "text", 8)
+      .orderBy(col("doc_id"))
+
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    DedupOps.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, bands = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    DedupOps.simhash64(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val candidates = docs.filter(col("doc_id") < 30)
+      .select(col("doc_id").as("id_a"))
+      .crossJoin(docs.filter(col("doc_id") < 30)
+        .select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    DedupOps.jaccardVerify(docs, "doc_id", "text", candidates)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // LLM-pipeline: similarity search
+  // ---------------------------------------------------------------- //
+
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.lshTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3,
+        planes = 6, seed = 42L)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    // exact cosine near-dup pairs over a bounded probe set — oracle-able;
+    // the LSH-bucketed variant (SimilarityOps.cosineNearDupPairs) is the
+    // scale path
+    val emb = t(s, dir, "embeddings")
+    val a = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("id_a"),
+        col("embedding").cast("array<double>").as("_va"))
+    val b = emb.select(col("vec_id").as("id_b"),
+      col("embedding").cast("array<double>").as("_vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(SimilarityOps.cosine(col("_va"), col("_vb")), 6))
+      .filter(col("sim") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // LLM-pipeline: text analysis
+  // ---------------------------------------------------------------- //
+
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityFeatures(t(s, dir, "documents"), "text")
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("mean_tok_len"), 6).as("mean_tok_len"),
+        round(col("distinct_ratio"), 6).as("distinct_ratio"),
+        round(col("alpha_ratio"), 6).as("alpha_ratio"))
+      .orderBy(col("doc_id"))
+
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextOps.setFingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- //
+  // Streaming (SURVEY §2.11) + batch window parity
+  // ---------------------------------------------------------------- //
+
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val stream = StreamOps.fileStream(s, schema, s"$dir/events.parquet")
+    val agg = StreamOps.tumblingCounts(stream, "ts", "event_type",
+      "1 hour", "1 hour")
+    StreamOps.runToCompletion(agg, s"q42_sink_${System.nanoTime()}")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
+  // ---------------------------------------------------------------- //
+
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.payloadStats(
+        MultimodalOps.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+      .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("payload_md5"))
+      .orderBy(col("media_id"))
+
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.extractFeatures(
+        MultimodalOps.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+      .select(col("media_id"), col("features"))
+      .orderBy(col("media_id"))
+
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("label_s", col("label").cast("string"))
+    val Array(train, test) = SplitOps.seededSplit(emb, Array(0.8, 0.2), 42L)
+    val model = IdsPipeline.fitOnArray(train, "embedding", "label_s",
+      IdsPipeline.DT)
+    IdsPipeline.evaluate(model, test, Some("embedding"))
+  }
+
+  // ---------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_pricing_summary" -> q01 _,
+    "q02_filter_project" -> q02 _,
+    "q03_star_join" -> q03 _,
+    "q04_anti_join" -> q04 _,
+    "q05_semi_join" -> q05 _,
+    "q06_topk_per_group" -> q06 _,
+    "q07_distinct_agg" -> q07 _,
+    "q08_union_all" -> q08 _,
+    "q09_set_ops" -> q09 _,
+    "q10_pivot_matrix" -> q10 _,
+    "q11_profile_stats" -> q11 _,
+    "q12_median_impute" -> q12 _,
+    "q13_percentiles" -> q13 _,
+    "q14_top_orders" -> q14 _,
+    "q15_replace_inf" -> q15 _,
+    "q16_rollup" -> q16 _,
+    "q17_row_number_id" -> q17 _,
+    "q18_sessionize" -> q18 _,
+    "q19_corr_stats" -> q19 _,
+    "q20_stratified_sample" -> q20 _,
+    "q21_split_sizes" -> q21 _,
+    "q22_string_funcs" -> q22 _,
+    "q23_date_funcs" -> q23 _,
+    "q24_case_buckets" -> q24 _,
+    "q30_dedup_exact" -> q30 _,
+    "q31_minhash_sig" -> q31 _,
+    "q32_lsh_pairs" -> q32 _,
+    "q33_simhash" -> q33 _,
+    "q34_ngram_jaccard" -> q34 _,
+    "q35_ann_bruteforce" -> q35 _,
+    "q36_ann_lsh" -> q36 _,
+    "q37_cosine_neardup" -> q37 _,
+    "q38_text_quality" -> q38 _,
+    "q39_lang_id" -> q39 _,
+    "q40_token_stats" -> q40 _,
+    "q41_window_tumbling" -> q41 _,
+    "q42_stream_tumbling" -> q42 _,
+    "q43_multimodal_stats" -> q43 _,
+    "q44_multimodal_features" -> q44 _,
+    "q45_ml_metrics" -> q45 _,
+  )
+
+  /** DuckDB oracle SQL (dialect: DuckDB 1.0). Omitted for queries whose
+    * semantics aren't SQL-reproducible (seeded RNG sampling, Scala-seeded
+    * LSH hyperplanes, xxhash64 simhash, mapPartitions feature stubs, ML
+    * training) — the driver records rows-only checks for those. */
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_star_join" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey
+        |    AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |ORDER BY s_suppkey""".stripMargin,
+    "q06_topk_per_group" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice, rn
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin,
+    "q07_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q08_union_all" ->
+      """SELECT c_custkey, 'building' AS src FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, 'rich' AS src FROM customer WHERE c_acctbal > 9000
+        |ORDER BY src, c_custkey""".stripMargin,
+    "q09_set_ops" ->
+      """WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |  fin AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT 'both' AS tag, o_custkey FROM
+        |  (SELECT o_custkey FROM open INTERSECT SELECT o_custkey FROM fin)
+        |UNION ALL
+        |SELECT 'only_open' AS tag, o_custkey FROM
+        |  (SELECT o_custkey FROM open EXCEPT SELECT o_custkey FROM fin)
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q10_pivot_matrix" ->
+      """SELECT user_id % 3 AS bucket,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q11_profile_stats" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN l_quantity = 1 THEN 'NaN'::DOUBLE ELSE l_quantity END AS qty_nan,
+        |    CASE WHEN l_discount = 0 THEN 'Infinity'::DOUBLE ELSE l_extendedprice END AS price_inf,
+        |    l_extendedprice, l_quantity
+        |  FROM lineitem)
+        |SELECT count(*) FILTER (WHERE isnan(qty_nan)) AS nan_qty,
+        |  count(*) FILTER (WHERE price_inf = 'Infinity'::DOUBLE) AS inf_price,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price,
+        |  round(min(l_quantity), 4) AS min_qty,
+        |  round(max(l_quantity), 4) AS max_qty
+        |FROM d""".stripMargin,
+    "q12_median_impute" ->
+      """WITH d AS (SELECT CASE WHEN l_quantity = 5 THEN NULL
+        |    ELSE l_extendedprice END AS value_n FROM lineitem),
+        |  m AS (SELECT quantile_cont(value_n, 0.5) AS med FROM d)
+        |SELECT (SELECT count(*) FROM d WHERE value_n IS NULL) AS n_null_before,
+        |  count(*) FILTER (WHERE coalesce(value_n, med) IS NULL) AS n_null_after,
+        |  round(avg(coalesce(value_n, med)), 4) AS avg_after
+        |FROM d, m""".stripMargin,
+    "q13_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q14_top_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q15_replace_inf" ->
+      """WITH d AS (SELECT l_returnflag,
+        |    CASE WHEN l_quantity = 3 THEN NULL
+        |      WHEN l_discount = 0 THEN 'Infinity'::DOUBLE
+        |      ELSE l_extendedprice END AS flow
+        |  FROM lineitem),
+        |  r AS (SELECT l_returnflag, flow,
+        |    CASE WHEN isinf(flow) THEN -100.0 ELSE flow END AS masked
+        |  FROM d)
+        |SELECT l_returnflag, round(max(masked), 4) AS max_masked,
+        |  count(*) FILTER (WHERE flow = 'Infinity'::DOUBLE) AS n_inf,
+        |  count(*) FILTER (WHERE flow IS NULL) AS n_null,
+        |  count(*) FILTER (WHERE masked IS NULL) AS n_null_after
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |  coalesce(l_linestatus, '(all)') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q17_row_number_id" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (ORDER BY event_id) AS row_num
+        |FROM events WHERE user_id < 5 ORDER BY row_num""".stripMargin,
+    "q18_sessionize" ->
+      """WITH g AS (SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+        |      OR lag(epoch(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q19_corr_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        |  round(stddev_samp(l_extendedprice), 4) AS std_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q22_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+        |  substring(p_name, 1, 8) AS name8,
+        |  length(p_name)::BIGINT AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q23_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate)::BIGINT AS y,
+        |  month(o_orderdate)::BIGINT AS m, day(o_orderdate)::BIGINT AS d,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  datediff('day', DATE '1995-01-01',
+        |    o_orderdate::DATE)::BIGINT AS days_since
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "q24_case_buckets" ->
+      """SELECT CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+        |    ELSE 'high' END AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE event_type IN ('click', 'view', 'error')
+        |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q31_minhash_sig" ->
+      """SELECT doc_id,
+        |  min(md5('0_' || tok)) AS h0, min(md5('1_' || tok)) AS h1,
+        |  min(md5('2_' || tok)) AS h2, min(md5('3_' || tok)) AS h3,
+        |  min(md5('4_' || tok)) AS h4, min(md5('5_' || tok)) AS h5,
+        |  min(md5('6_' || tok)) AS h6, min(md5('7_' || tok)) AS h7
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q32_lsh_pairs" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |  sig AS (SELECT doc_id,
+        |    min(md5('0_' || tok)) AS h0, min(md5('1_' || tok)) AS h1,
+        |    min(md5('2_' || tok)) AS h2, min(md5('3_' || tok)) AS h3,
+        |    min(md5('4_' || tok)) AS h4, min(md5('5_' || tok)) AS h5,
+        |    min(md5('6_' || tok)) AS h6, min(md5('7_' || tok)) AS h7
+        |  FROM toks GROUP BY doc_id),
+        |  bands AS (
+        |    SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS bh FROM sig
+        |    UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
+        |    UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig
+        |    UNION ALL SELECT doc_id, 3, md5(h6 || ':' || h7) FROM sig)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q34_ngram_jaccard" ->
+      """WITH sets AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |  toks AS (SELECT doc_id, len(s) AS sz, unnest(s) AS tok FROM sets),
+        |  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      a.sz AS size_a, b.sz AS size_b, count(*) AS inter
+        |    FROM toks a JOIN toks b
+        |      ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    WHERE a.doc_id < 30 AND b.doc_id < 30
+        |    GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |  round(inter::DOUBLE / (size_a + size_b - inter), 6) AS jaccard
+        |FROM pairs
+        |WHERE round(inter::DOUBLE / (size_a + size_b - inter), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q35_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |    FROM embeddings),
+        |  s AS (SELECT query_id, neighbor_id,
+        |      list_inner_product(qv, cv) /
+        |        (sqrt(list_inner_product(qv, qv)) *
+        |         sqrt(list_inner_product(cv, cv))) AS sim0
+        |    FROM q, c WHERE query_id <> neighbor_id),
+        |  r AS (SELECT query_id, neighbor_id, round(sim0, 6) AS sim,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(sim0, 6) DESC, neighbor_id) AS rn
+        |    FROM s)
+        |SELECT query_id, neighbor_id, sim, rn FROM r WHERE rn <= 3
+        |ORDER BY query_id, rn""".stripMargin,
+    "q37_cosine_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |  s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      round(list_inner_product(a.e, b.e) /
+        |        (sqrt(list_inner_product(a.e, a.e)) *
+        |         sqrt(list_inner_product(b.e, b.e))), 6) AS sim
+        |    FROM v a, v b WHERE a.vec_id < 100 AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q38_text_quality" ->
+      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |    / len(string_split(text, ' ')), 6) AS mean_tok_len,
+        |  round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |    / len(string_split(text, ' ')), 6) AS distinct_ratio,
+        |  round((length(text) -
+        |      length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+        |    / length(text), 6) AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q39_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |  sc AS (SELECT doc_id,
+        |    (CASE WHEN list_contains(toks, 'der') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'die') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'und') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'das') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'ist') THEN 1 ELSE 0 END) AS s_de,
+        |    (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END) AS s_en,
+        |    (CASE WHEN list_contains(toks, 'el') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'la') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'de') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'que') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'es') THEN 1 ELSE 0 END) AS s_es,
+        |    (CASE WHEN list_contains(toks, 'le') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'la') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'et') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'que') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'est') THEN 1 ELSE 0 END) AS s_fr
+        |  FROM t),
+        |  mx AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+        |    greatest(s_de, s_en, s_es, s_fr) AS best FROM sc)
+        |SELECT doc_id, CASE
+        |    WHEN best = 0 THEN 'und'
+        |    WHEN s_de = best THEN 'de'
+        |    WHEN s_en = best THEN 'en'
+        |    WHEN s_es = best THEN 'es'
+        |    WHEN s_fr = best THEN 'fr'
+        |    ELSE 'und' END AS lang_pred
+        |FROM mx ORDER BY doc_id""".stripMargin,
+    "q40_token_stats" ->
+      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  length(text)::BIGINT AS n_chars,
+        |  md5(array_to_string(
+        |    list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q42_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q43_multimodal_stats" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
 }

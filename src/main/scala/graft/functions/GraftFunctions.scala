@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{Bridge, CosineSim, ReplaceInf}
+
+/** Column-API entry points for the custom Catalyst expressions
+  * (implementations in org.apache.spark.sql.graft — they need
+  * package-private Catalyst types like AbstractDataType).
+  */
+object GraftFunctions {
+  def replace_inf(c: Column, replacement: Column): Column =
+    Bridge.column(ReplaceInf(Bridge.expression(c), Bridge.expression(replacement)))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -1,0 +1,93 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.feature.{MinMaxScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's ML pipeline re-expressed as a single `ml.Pipeline`
+  * (SURVEY.md §2.10 U2/U3): VectorAssembler → MinMaxScaler →
+  * StringIndexer → classifier, with the four estimator families the
+  * reference trains (`/root/reference/src/modelling.py:113-150`):
+  * DecisionTree, RandomForest, NaiveBayes(multinomial, smoothing=1.0),
+  * MultilayerPerceptron(maxIter=100, blockSize=128, seed=1234).
+  *
+  * fit() is batch (aggregate passes over the data); the fitted
+  * `PipelineModel.transform` is a pure projection — streaming-safe, used
+  * by [[graft.streaming.StreamOps]] for scoring.
+  */
+object IdsPipeline {
+
+  sealed trait Algo
+  case object DT extends Algo
+  case object RF extends Algo
+  case object NB extends Algo
+  case object MLP extends Algo
+
+  /** Assemble numeric feature columns + scale + index label + train. */
+  def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
+          algo: Algo, mlpHidden: Seq[Int] = Seq(16)): PipelineModel = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features_raw")
+      .setHandleInvalid("skip")
+    val scaler = new MinMaxScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+    val indexer = new StringIndexer()
+      .setInputCol(labelCol).setOutputCol("encoded_label")
+      .setStringOrderType("frequencyDesc").setHandleInvalid("skip")
+    val stages = Seq(assembler, scaler, indexer) :+ classifier(
+      algo, train, labelCol, featureCols.size, mlpHidden)
+    new Pipeline().setStages(stages.toArray).fit(train)
+  }
+
+  private def classifier(algo: Algo, train: DataFrame, labelCol: String,
+                         nFeatures: Int, mlpHidden: Seq[Int]) = algo match {
+    case DT => new DecisionTreeClassifier()
+      .setLabelCol("encoded_label").setFeaturesCol("features").setSeed(42L)
+    case RF => new RandomForestClassifier()
+      .setLabelCol("encoded_label").setFeaturesCol("features").setSeed(42L)
+    case NB => new NaiveBayes()
+      .setLabelCol("encoded_label").setFeaturesCol("features")
+      .setModelType("multinomial").setSmoothing(1.0)
+    case MLP =>
+      val k = train.select(labelCol).distinct().count().toInt
+      new MultilayerPerceptronClassifier()
+        .setLabelCol("encoded_label").setFeaturesCol("features")
+        .setLayers((nFeatures +: mlpHidden :+ k).toArray)
+        .setMaxIter(100).setBlockSize(128).setSeed(1234L)
+  }
+
+  /** Expand an array<float|double> embedding column into a features
+    * DataFrame suitable for [[fit]] via a single vector column —
+    * avoids exploding to N scalar columns. */
+  def withArrayFeatures(df: DataFrame, arrayCol: String): DataFrame =
+    df.withColumn("features_raw",
+      array_to_vector(col(arrayCol).cast("array<double>")))
+
+  /** Fit directly on an array-embedding column (skips the assembler). */
+  def fitOnArray(train: DataFrame, arrayCol: String, labelCol: String,
+                 algo: Algo, mlpHidden: Seq[Int] = Seq(16)): PipelineModel = {
+    val prepared = withArrayFeatures(train, arrayCol)
+    val scaler = new MinMaxScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+    val indexer = new StringIndexer()
+      .setInputCol(labelCol).setOutputCol("encoded_label")
+      .setStringOrderType("frequencyDesc").setHandleInvalid("skip")
+    val dim = prepared.select(col(arrayCol)).head
+      .getAs[scala.collection.Seq[_]](0).size
+    val stages = Seq(scaler, indexer) :+ classifier(
+      algo, prepared, labelCol, dim, mlpHidden)
+    new Pipeline().setStages(stages.toArray).fit(prepared)
+  }
+
+  /** Score + evaluate: returns the per-class metric table from
+    * [[graft.ops.AggOps.multiclassMetrics]]. */
+  def evaluate(model: PipelineModel, test: DataFrame,
+               arrayCol: Option[String] = None): DataFrame = {
+    val prepared = arrayCol.map(withArrayFeatures(test, _)).getOrElse(test)
+    val scored = model.transform(prepared)
+    graft.ops.AggOps.multiclassMetrics(scored, "encoded_label", "prediction")
+  }
+}

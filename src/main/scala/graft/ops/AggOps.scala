@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.4).
+  *
+  * All hash aggregates: partial (map-side combine) + final after a
+  * key-hash shuffle — the shape Catalyst plans for every groupBy below.
+  * At 100 TB the map-side partial is what keeps shuffle volume at
+  * O(groups × partitions), not O(rows).
+  */
+object AggOps {
+
+  /** Spark-native confusion matrix (reference collects to the driver and
+    * calls sklearn, `/root/reference/src/modelling.py:183-191`; we keep it
+    * distributed): groupBy(label).pivot(prediction).count — one shuffle,
+    * K×K result. */
+  def confusionMatrix(df: DataFrame, labelCol: String,
+                      predCol: String): DataFrame =
+    df.groupBy(col(labelCol)).pivot(predCol).count()
+      .na.fill(0L)
+      .orderBy(col(labelCol))
+
+  /** Long-form confusion counts: (label, prediction, n). Pivot-free —
+    * preferred when K is large or unknown. */
+  def confusionCounts(df: DataFrame, labelCol: String,
+                      predCol: String): DataFrame =
+    df.groupBy(col(labelCol), col(predCol)).count()
+
+  /** Multiclass metrics derived from the confusion counts — accuracy,
+    * per-class precision/recall/F1, macro/weighted F1 (reference A12 via
+    * `MulticlassClassificationEvaluator`, `src/modelling.py:162-178`).
+    * One aggregate pass; everything else is arithmetic on K×K counts.
+    */
+  def multiclassMetrics(df: DataFrame, labelCol: String,
+                        predCol: String): DataFrame = {
+    val cm = confusionCounts(df, labelCol, predCol).cache()
+    val total = cm.agg(sum("count")).head.getLong(0).toDouble
+    val correct = cm.filter(col(labelCol) === col(predCol))
+      .agg(coalesce(sum("count"), lit(0L))).head.getLong(0).toDouble
+    val byLabel = cm.groupBy(labelCol).agg(sum("count").as("support"))
+    val byPred = cm.groupBy(predCol).agg(sum("count").as("predicted"))
+    val tp = cm.filter(col(labelCol) === col(predCol))
+      .select(col(labelCol).as("cls"), col("count").as("tp"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perClass = byLabel
+      .join(byPred, col(labelCol) === col(predCol), "full_outer")
+      .select(coalesce(col(labelCol), col(predCol)).as("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"))
+      .join(tp, Seq("cls"), "left_outer").na.fill(0L, Seq("tp"))
+      .select(col("cls"),
+        (col("tp") / col("predicted")).as("precision"),
+        (col("tp") / col("support")).as("recall"),
+        col("support"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+    perClass.withColumn("accuracy", lit(correct / total))
+      .orderBy("cls")
+  }
+
+  /** Frequency-ordered dense codes 0..K-1 — the relational core of
+    * `StringIndexer.fit` (`src/modelling.py:108-111`): groupBy count,
+    * order desc, row_number-1. K is small; the window over K rows is
+    * driver-scale even when the input is 100 TB. Ties broken by value
+    * for determinism (Spark's StringIndexer breaks ties arbitrarily). */
+  def frequencyIndex(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(col(c)).count()
+      .withColumn("code", row_number().over(
+        Window.orderBy(col("count").desc, col(c))) - 1)
+  }
+
+  /** Global distinct values of a column (A6). */
+  def distinctValues(df: DataFrame, c: String): DataFrame =
+    df.select(col(c)).distinct()
+
+  /** Exact interpolated percentiles of `valueCol` per group. At scale,
+    * swap `percentile` → `percentile_approx` (single-pass sketch). */
+  def percentilesByGroup(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, ps: Seq[Double]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(
+        s"percentile($valueCol, array(${ps.mkString(",")}))").as("pct"))
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-cleaning operators (SURVEY.md §2.2, §2.4, §2.10).
+  *
+  * Re-expresses the reference's clean-up pass — NaN profiling, ±Infinity
+  * replacement, null drop/median impute
+  * (`/root/reference/src/modelling.py:55-76`,
+  * `/root/reference/ISAA_Review_3.ipynb:531,577,611` cells 21/23/24) — as
+  * native Catalyst column expressions instead of Python UDFs. The
+  * reference's `replace_infs_udf` (`src/modelling.py:61-68`) forces a
+  * `BatchEvalPython` node that breaks whole-stage codegen and blocks
+  * predicate pushdown; the `when`-based forms below stay inside codegen,
+  * so the whole clean+featurize chain compiles to one stage.
+  */
+object CleanOps {
+
+  /** Replace ±Infinity with `replacement`, pass everything else through —
+    * including null and 0.0 (mirrors the reference UDF's `if x and
+    * np.isinf(x)` falsiness semantics, `src/modelling.py:61-63`: a null
+    * predicate falls to `otherwise`, so null → null; 0.0 is finite so it
+    * passes through arithmetically rather than by falsiness accident).
+    */
+  def replaceInf(c: Column, replacement: Column): Column =
+    when(c === lit(Double.PositiveInfinity) ||
+         c === lit(Double.NegativeInfinity), replacement).otherwise(c)
+
+  def replaceInf(df: DataFrame, cols: Seq[String], v: Double): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, replaceInf(col(c), lit(v))))
+
+  /** One-pass per-column NaN counts (reference cell 21,
+    * `ISAA_Review_3.ipynb:531`): 1 wide hash-aggregate, single stage —
+    * at 100 TB this is one scan + a 1-row reduce, not N scans.
+    */
+  def nanCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(c =>
+      count(when(isnan(col(c)), lit(1))).as(c)): _*)
+
+  /** One-pass per-column null-or-NaN counts. */
+  def nullOrNanCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(c =>
+      count(when(isnan(col(c)) || col(c).isNull, lit(1))).as(c)): _*)
+
+  /** One-pass wide min/max profile (reference cells 23-24: the ±∞
+    * detectors). Returns 1 row with `<col>_min` / `<col>_max` columns.
+    */
+  def minMaxProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+
+  /** Drop rows with any null in `cols` (reference `df.na.drop()`,
+    * `src/modelling.py:97-98`). Plain filter — pushes to the scan. */
+  def dropNulls(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop(cols)
+
+  /** Median-impute nulls in each column (the reference's
+    * `Imputer(strategy="median")`, `src/modelling.py:74-76`). Exact
+    * interpolated median via `median()` for oracle parity; the Imputer's
+    * `approxQuantile` path is what you'd run at 100 TB (single pass,
+    * bounded-error sketch, no full sort).
+    */
+  def medianFill(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val medians = df.select(cols.map(c => median(col(c)).as(c)): _*).head()
+    val fills = cols.zipWithIndex.collect {
+      case (c, i) if !medians.isNullAt(i) => c -> medians.getDouble(i)
+    }.toMap
+    df.na.fill(fills)
+  }
+
+  /** Approximate variant: one-pass approxQuantile sketch (what Imputer
+    * actually runs). Use at scale; `medianFill` for exactness. */
+  def medianFillApprox(df: DataFrame, cols: Seq[String],
+                       relativeError: Double = 0.001): DataFrame = {
+    val med = df.stat.approxQuantile(cols.toArray, Array(0.5), relativeError)
+    val fills = cols.zip(med.map(_.headOption.getOrElse(Double.NaN)))
+      .filterNot(_._2.isNaN).toMap
+    df.na.fill(fills)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for the LLM-data-pipeline surface: treat
+  * image/audio/video payloads as opaque `binary` columns with typed
+  * metadata, and run decode/feature-extract as partition-local batch
+  * functions.
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * container): [[stubDecode]] is a deterministic fake keyed on the bytes.
+  * Everything Spark-side — schema, batching, partition-local execution,
+  * metadata columns — is real and tested. Swap [[stubDecode]] for a real
+  * codec and nothing else changes.
+  *
+  * Scale notes: payloads never shuffle (all ops are narrow maps); at
+  * 100 TB keep media in its own column family / parquet files and prune
+  * it out of every query that doesn't decode (columnar projection does
+  * this for free — verified by ReadSchema in the plan).
+  */
+object MultimodalOps {
+
+  /** Canonical multimodal schema fragment: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Wrap a text table into the media schema (fixtures have no binary
+    * column; utf-8 bytes stand in as the opaque payload). */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("text").as("modality"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("text/plain").as("mime"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      lit(null).cast("long").as("duration_ms"))
+
+  /** Cheap payload stats computed natively (no decode): size, content
+    * hash — the metadata pass you run before deciding what to decode. */
+  def payloadStats(df: DataFrame): DataFrame =
+    df.withColumn("n_bytes", octet_length(col("payload")))
+      .withColumn("payload_md5", md5(col("payload")))
+
+  /** Deterministic fake "decode + feature extract": a real impl would
+    * decode the payload (image→pixels, audio→samples) and emit features.
+    * The stub derives an 8-dim feature vector from byte statistics —
+    * deterministic, so tests can pin outputs. REPLACE the body for real
+    * media; the signature (bytes → features) is the contract. */
+  def stubDecode(payload: Array[Byte]): Array[Double] = {
+    if (payload == null || payload.isEmpty) return Array.fill(8)(0.0)
+    val feats = new Array[Double](8)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      feats(b % 8) += b.toDouble
+      i += 1
+    }
+    feats.map(_ / payload.length)
+  }
+
+  /** Partition-local batch feature extraction — the Scala analogue of a
+    * Pandas-UDF-over-mapInPandas: each partition is processed as a local
+    * iterator batch, payload bytes never cross a shuffle. */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(DoubleType), nullable = false))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        Row.fromSeq(r.toSeq :+ stubDecode(payload).toSeq)
+      }
+    }(encoder)
+  }
+
+  /** Frame-sampling stub for video-shaped payloads: emit every `stride`th
+    * chunk of `frameBytes` as a "frame" row (1→N explode, narrow). */
+  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload == null) Iterator.empty
+        else payload.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (chunk, i) => Row(id, i, chunk) }
+      }
+    }(encoder)
+  }
+}

