@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
@@ -158,20 +159,29 @@ object SparkEntry {
       round(min(col("l_extendedprice")), 4).as("min_price"),
       round(max(col("l_extendedprice")), 4).as("max_price"),
       round(min(col("l_quantity")), 4).as("min_qty"),
-      round(max(col("l_quantity")), 4).as("max_qty"))
+      round(max(col("l_quantity")), 4).as("max_qty"),
+      // A5 first(ignoreNulls): masked so exactly one row is non-null —
+      // exercises the skip-nulls semantics while staying deterministic
+      // for the hash compare (plain `first` over an unordered agg isn't)
+      first(when(col("l_orderkey") === 1 && col("l_linenumber") === 1,
+        col("l_returnflag")), ignoreNulls = true).as("first_rf"))
   }
 
   private def q12(s: SparkSession, dir: String): DataFrame = {
+    // Median impute (A8). Two scans total: one `median()` aggregate job
+    // (the fill value — imputation is inherently two-pass) and one final
+    // aggregate computing before/after stats side by side on the raw and
+    // filled columns. No eager driver counts folded in as literals.
     val withNulls = t(s, dir, "lineitem")
       .withColumn("value_n",
         when(col("l_quantity") === 5, lit(null).cast("double"))
           .otherwise(col("l_extendedprice")))
-    val nNullBefore = lit(withNulls.filter(col("value_n").isNull).count())
-    val imputed = CleanOps.medianFill(withNulls, Seq("value_n"))
-    imputed.agg(
-      nNullBefore.as("n_null_before"),
-      count(when(col("value_n").isNull, lit(1))).as("n_null_after"),
-      round(avg(col("value_n")), 4).as("avg_after"))
+    val med = withNulls.agg(median(col("value_n"))).head.getDouble(0)
+    val filled = coalesce(col("value_n"), lit(med))
+    withNulls.agg(
+      count(when(col("value_n").isNull, lit(1))).as("n_null_before"),
+      count(when(filled.isNull, lit(1))).as("n_null_after"),
+      round(avg(filled), 4).as("avg_after"))
   }
 
   private def q13(s: SparkSession, dir: String): DataFrame =
@@ -300,6 +310,44 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .orderBy(col("bucket"), col("event_type"))
 
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    // S1/S2 batch CSV scan with pinned schema (the reference's only
+    // ingest path, /root/reference/src/modelling.py:50): round-trip the
+    // customer table through CSV and aggregate; oracle checks against
+    // the parquet twin. No schema inference — the pinned StructType is
+    // the whole point (inference = an extra full pass at 100 TB).
+    val src = t(s, dir, "customer")
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/csv_cache/customer_$sfTag"
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    Tables.loadCsv(s, src.schema, Seq(path))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"),
+        round(avg(col("c_acctbal")), 6).as("avg_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    // Ranking/offset/frame window family (SURVEY §2.5 — the engine
+    // exposes the full family beyond the reference's lone row_number):
+    // rank, dense_rank, lag, lead, and a 3-row moving sum, all over one
+    // per-customer window → a single hash-partition exchange + sort.
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1)), 2)
+          .as("prev_price"),
+        round(coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1)), 2)
+          .as("next_price"),
+        round(sum(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2)
+          .as("moving_sum"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------------- //
   // LLM-pipeline: dedup (BASELINE.json north star)
   // ---------------------------------------------------------------- //
@@ -312,9 +360,15 @@ object SparkEntry {
     DedupOps.minhashSignature(t(s, dir, "documents"), "doc_id", "text", 8)
       .orderBy(col("doc_id"))
 
+  /** LSH parameters for q32/q47: k=128 hashes, 16 bands of r=8 →
+    * S-curve threshold (1/16)^(1/8) ≈ 0.71 Jaccard. (Round 1 shipped a
+    * degenerate r=2 that emitted 72% of all-pairs as "candidates".) */
+  private val LshK = 128
+  private val LshBands = 16
+
   private def q32(s: SparkSession, dir: String): DataFrame =
     DedupOps.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
-        k = 8, bands = 4)
+        k = LshK, bands = LshBands)
       .orderBy(col("id_a"), col("id_b"))
 
   private def q33(s: SparkSession, dir: String): DataFrame =
@@ -356,9 +410,10 @@ object SparkEntry {
   }
 
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    // exact cosine near-dup pairs over a bounded probe set — oracle-able;
-    // the LSH-bucketed variant (SimilarityOps.cosineNearDupPairs) is the
-    // scale path
+    // exact cosine near-dup pairs over a bounded probe set — oracle-able.
+    // Uses the fused codegen CosineSim expression (one loop, no
+    // intermediate arrays) instead of the aggregate(zip_with(...))
+    // lambda chain; the LSH-bucketed scale path is q46.
     val emb = t(s, dir, "embeddings")
     val a = emb.filter(col("vec_id") < 100)
       .select(col("vec_id").as("id_a"),
@@ -367,10 +422,34 @@ object SparkEntry {
       col("embedding").cast("array<double>").as("_vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("sim",
-        round(SimilarityOps.cosine(col("_va"), col("_vb")), 6))
+        round(GraftFunctions.cosine_sim(col("_va"), col("_vb")), 6))
       .filter(col("sim") >= 0.8)
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    // LSH-bucketed cosine near-dup — the 100 TB shape (bucket equi-join,
+    // no crossJoin). Seeded hyperplanes aren't DuckDB-reproducible →
+    // no_oracle here; SimilarityOpsSpec pins the subset-of-exact and
+    // determinism properties.
+    SimilarityOps.cosineNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.8, planes = 8, seed = 42L)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    // End-to-end near-dup dedup at realistic LSH parameters: MinHash
+    // signatures → banded candidates → exact Jaccard verify (≥ 0.7) →
+    // greedy keep-lowest-id survivor set. Every stage is a bucketed
+    // equi-join or hash aggregate — nothing is all-pairs.
+    val docs = t(s, dir, "documents")
+    val cands = DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+      k = LshK, bands = LshBands)
+    val drops = DedupOps.jaccardVerify(docs, "doc_id", "text", cands)
+      .filter(col("jaccard") >= 0.7)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- //
@@ -413,8 +492,22 @@ object SparkEntry {
       .orderBy(col("win_start"), col("event_type"))
 
   private def q42(s: SparkSession, dir: String): DataFrame = {
-    val schema = t(s, dir, "events").schema
-    val stream = StreamOps.fileStream(s, schema, s"$dir/events.parquet")
+    // Pinned-schema stream read: the raw parquet schema carries ts as a
+    // nanos-long (Spark 4 can't scan TIMESTAMP(NANOS) natively); the
+    // timestamp column is rebuilt before windowing. A file stream source
+    // monitors a DIRECTORY, but the fixture is a single parquet file —
+    // stage it into one (a real deployment points at the landing dir).
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val streamDir = java.nio.file.Paths.get(
+      s"/root/repo/target/stream_src/events_$sfTag")
+    java.nio.file.Files.createDirectories(streamDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raw = StreamOps.fileStream(s, Tables.rawSchema(s, dir, "events"),
+      streamDir.toString)
+    val stream = Tables.withTimestamps(raw, "events")
     val agg = StreamOps.tumblingCounts(stream, "ts", "event_type",
       "1 hour", "1 hour")
     StreamOps.runToCompletion(agg, s"q42_sink_${System.nanoTime()}")
@@ -436,9 +529,12 @@ object SparkEntry {
       .orderBy(col("media_id"))
 
   private def q44(s: SparkSession, dir: String): DataFrame =
+    // features projected as 8 rounded scalar columns — an array column
+    // can't be sorted/hashed by the oracle compare
     MultimodalOps.extractFeatures(
         MultimodalOps.asMedia(t(s, dir, "documents"), "doc_id", "text"))
-      .select(col("media_id"), col("features"))
+      .select(col("media_id") +:
+        (0 until 8).map(i => round(col("features")(i), 6).as(s"f$i")): _*)
       .orderBy(col("media_id"))
 
   private def q45(s: SparkSession, dir: String): DataFrame = {
@@ -448,6 +544,12 @@ object SparkEntry {
     val model = IdsPipeline.fitOnArray(train, "embedding", "label_s",
       IdsPipeline.DT)
     IdsPipeline.evaluate(model, test, Some("embedding"))
+      .select(col("cls"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"),
+        col("support"), round(col("accuracy"), 6).as("accuracy"))
+      .orderBy(col("cls"))
   }
 
   // ---------------------------------------------------------------- //
@@ -477,6 +579,8 @@ object SparkEntry {
     "q22_string_funcs" -> q22 _,
     "q23_date_funcs" -> q23 _,
     "q24_case_buckets" -> q24 _,
+    "q25_csv_roundtrip" -> q25 _,
+    "q26_window_family" -> q26 _,
     "q30_dedup_exact" -> q30 _,
     "q31_minhash_sig" -> q31 _,
     "q32_lsh_pairs" -> q32 _,
@@ -493,12 +597,43 @@ object SparkEntry {
     "q43_multimodal_stats" -> q43 _,
     "q44_multimodal_features" -> q44 _,
     "q45_ml_metrics" -> q45 _,
+    "q46_cosine_neardup_lsh" -> q46 _,
+    "q47_neardup_dedup" -> q47 _,
   )
+
+  /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
+    * + [[DedupOps.lshBands]] + candidate pairs in DuckDB SQL, generated
+    * from the same coefficient seed as the Spark side so both engines
+    * evaluate identical literals. Ends with a `cand(id_a, id_b)` CTE. */
+  private def lshCandSqlPrefix(k: Int, bands: Int): String = {
+    val coeffs = DedupOps.minhashCoeffs(k)
+    val r = k / bands
+    val p = DedupOps.MinhashPrime
+    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $p) AS h$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { bi =>
+      val members = (bi * r until (bi + 1) * r).map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, $bi AS band, md5(concat_ws(':', $members)) AS bh FROM sig"
+    }.mkString("\n    UNION ALL ")
+    s"""toks AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |  xs AS (SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x FROM toks),
+       |  sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM xs GROUP BY doc_id),
+       |  bands AS ($bandSelects),
+       |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM bands a JOIN bands b
+       |      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** DuckDB oracle SQL (dialect: DuckDB 1.0). Omitted for queries whose
     * semantics aren't SQL-reproducible (seeded RNG sampling, Scala-seeded
-    * LSH hyperplanes, xxhash64 simhash, mapPartitions feature stubs, ML
-    * training) — the driver records rows-only checks for those. */
+    * LSH hyperplanes, xxhash64 simhash, ML training) — the driver records
+    * rows-only checks for those. */
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -580,14 +715,16 @@ object SparkEntry {
       """WITH d AS (SELECT
         |    CASE WHEN l_quantity = 1 THEN 'NaN'::DOUBLE ELSE l_quantity END AS qty_nan,
         |    CASE WHEN l_discount = 0 THEN 'Infinity'::DOUBLE ELSE l_extendedprice END AS price_inf,
-        |    l_extendedprice, l_quantity
+        |    l_extendedprice, l_quantity, l_orderkey, l_linenumber, l_returnflag
         |  FROM lineitem)
         |SELECT count(*) FILTER (WHERE isnan(qty_nan)) AS nan_qty,
         |  count(*) FILTER (WHERE price_inf = 'Infinity'::DOUBLE) AS inf_price,
         |  round(min(l_extendedprice), 4) AS min_price,
         |  round(max(l_extendedprice), 4) AS max_price,
         |  round(min(l_quantity), 4) AS min_qty,
-        |  round(max(l_quantity), 4) AS max_qty
+        |  round(max(l_quantity), 4) AS max_qty,
+        |  max(CASE WHEN l_orderkey = 1 AND l_linenumber = 1
+        |    THEN l_returnflag END) AS first_rf
         |FROM d""".stripMargin,
     "q12_median_impute" ->
       """WITH d AS (SELECT CASE WHEN l_quantity = 5 THEN NULL
@@ -636,8 +773,8 @@ object SparkEntry {
         |      OR lag(epoch(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |  s AS (SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
@@ -669,6 +806,22 @@ object SparkEntry {
         |  event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events WHERE event_type IN ('click', 'view', 'error')
         |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q25_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS total_bal,
+        |  round(avg(c_acctbal), 6) AS avg_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q26_window_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  round(coalesce(lag(o_totalprice) OVER w, -1), 2) AS prev_price,
+        |  round(coalesce(lead(o_totalprice) OVER w, -1), 2) AS next_price,
+        |  round(sum(o_totalprice)
+        |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+        |    AS moving_sum
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
         |  count(*) AS n_copies
@@ -683,23 +836,8 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q32_lsh_pairs" ->
-      """WITH toks AS (SELECT doc_id,
-        |    unnest(string_split(text, ' ')) AS tok FROM documents),
-        |  sig AS (SELECT doc_id,
-        |    min(md5('0_' || tok)) AS h0, min(md5('1_' || tok)) AS h1,
-        |    min(md5('2_' || tok)) AS h2, min(md5('3_' || tok)) AS h3,
-        |    min(md5('4_' || tok)) AS h4, min(md5('5_' || tok)) AS h5,
-        |    min(md5('6_' || tok)) AS h6, min(md5('7_' || tok)) AS h7
-        |  FROM toks GROUP BY doc_id),
-        |  bands AS (
-        |    SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS bh FROM sig
-        |    UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
-        |    UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig
-        |    UNION ALL SELECT doc_id, 3, md5(h6 || ':' || h7) FROM sig)
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${lshCandSqlPrefix(LshK, LshBands)}
+        |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
     "q34_ngram_jaccard" ->
       """WITH sets AS (SELECT doc_id,
         |    list_distinct(string_split(text, ' ')) AS s FROM documents),
@@ -807,5 +945,35 @@ object SparkEntry {
         |  octet_length(encode(text))::BIGINT AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q44_multimodal_features" -> {
+      // reproduces MultimodalOps.stubDecode byte math in SQL: per-byte
+      // bucket sums (b % 8) divided by payload length; the fixture text
+      // is pure ASCII so unicode(char) == utf-8 byte value
+      val fCols = (0 until 8).map(i =>
+        s"round(coalesce(sum(CASE WHEN b % 8 = $i THEN b END), 0)::DOUBLE" +
+          s" / n, 6) AS f$i").mkString(",\n  ")
+      s"""WITH chars AS (
+        |  SELECT doc_id, length(text) AS n, unicode(substr(text, i.i, 1)) AS b
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) i
+        |)
+        |SELECT doc_id AS media_id,
+        |  $fCols
+        |FROM chars GROUP BY doc_id, n ORDER BY media_id""".stripMargin
+    },
+    "q47_neardup_dedup" ->
+      s"""WITH ${lshCandSqlPrefix(LshK, LshBands)},
+        |  sets AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |  tk AS (SELECT doc_id, len(s) AS sz, unnest(s) AS tok FROM sets),
+        |  pairs AS (SELECT c.id_a, c.id_b, ta.sz AS size_a, tb.sz AS size_b,
+        |      count(*) AS inter
+        |    FROM cand c JOIN tk ta ON ta.doc_id = c.id_a
+        |    JOIN tk tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+        |    GROUP BY 1, 2, 3, 4),
+        |  dup AS (SELECT DISTINCT id_b FROM pairs
+        |    WHERE inter::DOUBLE / (size_a + size_b - inter) >= 0.7)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM dup) ORDER BY doc_id""".stripMargin,
   )
 }

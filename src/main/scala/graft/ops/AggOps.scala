@@ -51,9 +51,16 @@ object AggOps {
         coalesce(col("support"), lit(0L)).as("support"),
         coalesce(col("predicted"), lit(0L)).as("predicted"))
       .join(tp, Seq("cls"), "left_outer").na.fill(0L, Seq("tp"))
+      // double division + explicit zero guards: a class that is never
+      // predicted (predicted = 0) defines precision := 0, and ANSI mode
+      // (Spark 4 default) would error on the integral 0-division
       .select(col("cls"),
-        (col("tp") / col("predicted")).as("precision"),
-        (col("tp") / col("support")).as("recall"),
+        when(col("predicted") > 0,
+          col("tp").cast("double") / col("predicted")).otherwise(lit(0.0))
+          .as("precision"),
+        when(col("support") > 0,
+          col("tp").cast("double") / col("support")).otherwise(lit(0.0))
+          .as("recall"),
         col("support"))
       .withColumn("f1",
         when(col("precision") + col("recall") > 0,

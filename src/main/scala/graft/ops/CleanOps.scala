@@ -45,10 +45,18 @@ object CleanOps {
 
   /** One-pass wide min/max profile (reference cells 23-24: the ±∞
     * detectors). Returns 1 row with `<col>_min` / `<col>_max` columns.
+    * `firstCols` adds `first(c, ignoreNulls = true)` representatives for
+    * (typically string) columns alongside the numeric bounds — the
+    * reference's A5 (`ISAA_Review_3.ipynb:577,611`). NOTE: `first` over
+    * an unordered aggregate is nondeterministic across partitionings —
+    * fine for profiling, not for hash-compared results.
     */
-  def minMaxProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+  def minMaxProfile(df: DataFrame, cols: Seq[String],
+                    firstCols: Seq[String] = Nil): DataFrame =
     df.select(cols.flatMap(c => Seq(
-      min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+      min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))) ++
+      firstCols.map(c =>
+        first(col(c), ignoreNulls = true).as(s"${c}_first")): _*)
 
   /** Drop rows with any null in `cols` (reference `df.na.drop()`,
     * `src/modelling.py:97-98`). Plain filter — pushes to the scan. */

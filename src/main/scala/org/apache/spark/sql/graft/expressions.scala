@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -36,8 +37,12 @@ case class ReplaceInf(child: Expression, replacement: Expression)
         s"(${child.dataType}, ${replacement.dataType})")
 
   // null → null (the reference UDF's `if x` falsiness keeps nulls); the
-  // replacement value is only consulted when the input is ±∞.
-  override def nullable: Boolean = child.nullable
+  // replacement value is only consulted when the input is ±∞ — so a null
+  // replacement yields null only for infinite inputs, and finite inputs
+  // pass through regardless. Interpreted eval and codegen below implement
+  // exactly that contract (the replacement child is NOT null-checked
+  // up-front, which a naive nullSafeCodeGen would do).
+  override def nullable: Boolean = child.nullable || replacement.nullable
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
@@ -47,9 +52,27 @@ case class ReplaceInf(child: Expression, replacement: Expression)
     }
   }
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, r) =>
-      s"${ev.value} = Double.isInfinite($x) ? $r : $x;")
+                                   ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val replGen = replacement.genCode(ctx)
+    val code =
+      code"""
+        |${childGen.code}
+        |boolean ${ev.isNull} = true;
+        |double ${ev.value} = 0.0;
+        |if (!${childGen.isNull}) {
+        |  if (Double.isInfinite(${childGen.value})) {
+        |    ${replGen.code}
+        |    ${ev.isNull} = ${replGen.isNull};
+        |    ${ev.value} = ${ev.isNull} ? 0.0 : ${replGen.value};
+        |  } else {
+        |    ${ev.isNull} = false;
+        |    ${ev.value} = ${childGen.value};
+        |  }
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ReplaceInf =
     copy(child = newLeft, replacement = newRight)
