@@ -164,15 +164,22 @@ object DedupOps {
     val sets = df.select(col(idCol),
       TextOps.tokenSet(col(textCol)).as("_set"))
       .withColumn("_size", size(col("_set")))
-    val toks = sets.select(col(idCol), col("_size"),
-      explode(col("_set")).as("_tok"))
-    val aT = toks.select(col(idCol).as("id_a"), col("_size").as("size_a"),
-      col("_tok"))
-    val bT = toks.select(col(idCol).as("id_b"), col("_size").as("size_b"),
-      col("_tok"))
-    candidates.join(aT, "id_a").join(bT, Seq("id_b", "_tok"))
-      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+    val sizes = sets.select(col(idCol), col("_size"))
+    val toks = sets.select(col(idCol), explode(col("_set")).as("_tok"))
+    val inter = candidates
+      .join(toks.select(col(idCol).as("id_a"), col("_tok")), "id_a")
+      .join(toks.select(col(idCol).as("id_b"), col("_tok")),
+        Seq("id_b", "_tok"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // left join back onto the candidate list: a pair with NO shared
+    // tokens must surface as jaccard 0.0, not silently vanish
+    candidates
+      .join(sizes.select(col(idCol).as("id_a"), col("_size").as("size_a")),
+        "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("_size").as("size_b")),
+        "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter"))).as("jaccard"))

@@ -78,9 +78,13 @@ object TextOps {
     md5(concat_ws(" ", array_sort(tokenSet(c))))
 
   /** Order-sensitive rolling fingerprint: polynomial hash over token
-    * xxhash64s (base 31, wraparound Long arithmetic). Detects exact
-    * sequence duplicates; cheap single pass. */
-  def rollingFingerprint(c: Column): Column =
+    * xxhash64s, base 31 mod the Mersenne prime 2^31−1. Modular (not
+    * wraparound) arithmetic: Spark 4's default ANSI mode turns Long
+    * overflow into a runtime error, so operands are kept < 2^36.
+    * Detects exact sequence duplicates; cheap single pass. */
+  def rollingFingerprint(c: Column): Column = {
+    val m = lit(2147483647L)
     aggregate(tokens(c), lit(0L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+      (acc, t) => (acc * lit(31L) + pmod(xxhash64(t), m)) % m)
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CleanOps, SplitOps}
+
+/** Cleaning + split/sampling operators (SURVEY §2.2, §2.4, §2.8):
+  * NaN/∞ profiling, median impute, stratified sampling fractions,
+  * split disjointness/completeness, row-id properties. */
+class CleanSplitSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("nanCounts / nullOrNanCounts count exactly the pathological rows") {
+    val df = Seq(1.0, Double.NaN, 2.0, Double.NaN).toDF("x")
+      .withColumn("y", when(col("x") === 2.0, lit(null).cast("double"))
+        .otherwise(lit(0.0)))
+    val nan = CleanOps.nanCounts(df, Seq("x")).head.getLong(0)
+    assert(nan === 2)
+    val nn = CleanOps.nullOrNanCounts(df, Seq("y")).head.getLong(0)
+    assert(nn === 1)
+  }
+
+  test("minMaxProfile emits min/max plus first(ignoreNulls) representatives") {
+    val df = Seq((1.0, None: Option[String]), (5.0, Some("a")),
+      (3.0, Some("b"))).toDF("v", "s")
+    val row = CleanOps.minMaxProfile(df, Seq("v"), Seq("s")).head()
+    assert(row.getDouble(row.fieldIndex("v_min")) === 1.0)
+    assert(row.getDouble(row.fieldIndex("v_max")) === 5.0)
+    // first over a 1-partition local frame is positional: skips the null
+    assert(row.getString(row.fieldIndex("s_first")) === "a")
+  }
+
+  test("medianFill fills nulls with the interpolated median") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None)
+      .toDF("v")
+    val filled = CleanOps.medianFill(df, Seq("v"))
+    assert(filled.filter(col("v").isNull).count() === 0)
+    // median of {1,2,3,4} = 2.5 (interpolated)
+    assert(filled.agg(sum("v")).head.getDouble(0) === 1.0 + 2 + 3 + 4 + 2.5)
+  }
+
+  test("replaceInf masks both infinities, passes null and zero") {
+    val df = Seq(Double.PositiveInfinity, Double.NegativeInfinity, 0.0, 7.0)
+      .toDF("v")
+    val out = CleanOps.replaceInf(df, Seq("v"), -1.0)
+      .orderBy("v").as[Double].collect()
+    assert(out === Array(-1.0, -1.0, 0.0, 7.0))
+  }
+
+  test("stratifiedSample draws ~fraction per stratum (seeded)") {
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val sampled = SplitOps.stratifiedSample(df, "s",
+      Map("a" -> 0.3, "b" -> 0.3), seed = 11L)
+    val counts = sampled.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Bernoulli at p=0.3 over 1000 per stratum: 4σ ≈ 58
+    assert(math.abs(counts("a") - 300L) < 80)
+    assert(math.abs(counts("b") - 300L) < 80)
+  }
+
+  test("antiJoinSplit: train ∪ valid = all, train ∩ valid = ∅") {
+    val df = (0 until 500).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "s")
+    val (train, valid) = SplitOps.antiJoinSplit(df, "id", "s", 0.4, 7L)
+    assert(train.count() + valid.count() === 500)
+    assert(train.select("id").intersect(valid.select("id")).count() === 0)
+    assert(train.select("id").union(valid.select("id")).distinct()
+      .count() === 500)
+  }
+
+  test("row-id assignment: rowNumberId contiguous, uniqueId unique, " +
+       "contiguousId 0..N-1") {
+    val df = (0 until 100).map(_.toLong).toDF("v").repartition(4)
+    val rn = SplitOps.rowNumberId(df, col("v")).select("row_num")
+      .as[Int].collect().sorted
+    assert(rn === (1 to 100).toArray)
+    val uid = SplitOps.uniqueId(df).select("row_num").as[Long].collect()
+    assert(uid.distinct.length === 100)
+    val cid = SplitOps.contiguousId(df).select("row_num")
+      .as[Long].collect().sorted
+    assert(cid === (0L until 100L).toArray)
+  }
+
+  test("seededSplit is reproducible with the same seed") {
+    val df = (0 until 300).map(_.toLong).toDF("v")
+    val a = SplitOps.seededSplit(df, Array(0.8, 0.2), 42L)
+    val b = SplitOps.seededSplit(df, Array(0.8, 0.2), 42L)
+    assert(a(0).as[Long].collect().sorted === b(0).as[Long].collect().sorted)
+    assert(a(0).count() + a(1).count() === 300)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, TextOps}
+
+/** Dedup + text-analysis operators (LLM-pipeline surface): exact dedup,
+  * MinHash/LSH recall on known duplicates, SimHash locality, Jaccard
+  * verify exactness, tokenization/fingerprint/lang-id semantics. */
+class DedupTextSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),      // near dup of 0
+    (3L, "completely different text about spark engines"),
+    (4L, "unrelated words nothing shared here at all")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest key per content group") {
+    val kept = DedupOps.exactDedup(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(0L, 2L, 3L, 4L))
+  }
+
+  test("dupGroups reports keeper and copy count") {
+    val g = DedupOps.dupGroups(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1).head()
+    assert(g.getLong(g.fieldIndex("keeper")) === 0L)
+    assert(g.getLong(g.fieldIndex("n_copies")) === 2L)
+  }
+
+  test("identical docs have identical MinHash signatures (fast + md5)") {
+    for (sig <- Seq(
+        DedupOps.minhashSignatureFast(docs, "doc_id", "text", k = 32),
+        DedupOps.minhashSignature(docs, "doc_id", "text", k = 8))) {
+      val rows = sig.filter(col("doc_id") < 2).drop("doc_id")
+        .collect().map(_.toSeq)
+      assert(rows(0) === rows(1))
+    }
+  }
+
+  test("LSH candidates recall exact duplicates and respect id ordering") {
+    val pairs = DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+        k = 32, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))       // identical docs always collide
+    assert(pairs.forall { case (a, b) => a < b })
+    // the unrelated docs must NOT be candidates at r=8
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("jaccardVerify computes exact token-set Jaccard") {
+    val cands = Seq((0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val j = DedupOps.jaccardVerify(docs, "doc_id", "text", cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // doc0 vs doc2: tokens {the,quick,brown,fox,jumps,over,lazy,dog} vs
+    // same minus dog plus cat → inter 7, union 9
+    assert(math.abs(j((0L, 2L)) - 7.0 / 9.0) < 1e-12)
+    assert(j((0L, 3L)) < 0.1)
+  }
+
+  test("simhash: identical docs equal, near-dups closer than unrelated") {
+    val fp = DedupOps.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) === fp(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(4L)))
+  }
+
+  test("hamming64 column matches bitCount") {
+    val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
+      .select(DedupOps.hamming64(col("a"), col("b")).as("h"))
+    assert(df.head.getInt(0) === 8)
+  }
+
+  test("tokenCount/subwordCount/tokenSet semantics") {
+    val df = Seq("  hello   world hello ").toDF("t").select(
+      TextOps.tokenCount(col("t")).as("n"),
+      size(TextOps.tokenSet(col("t"))).as("d"),
+      TextOps.subwordCount(lit("abc123-def")).as("sw"))
+    val r = df.head()
+    assert(r.getInt(0) === 3)   // leading/trailing/multi whitespace ignored
+    assert(r.getInt(1) === 2)   // distinct
+    assert(r.getInt(2) === 4)   // abc | 123 | - | def
+  }
+
+  test("setFingerprint is word-order-insensitive, rollingFingerprint is not") {
+    val df = Seq(("a b c", "c b a")).toDF("x", "y").select(
+      TextOps.setFingerprint(col("x")).as("sx"),
+      TextOps.setFingerprint(col("y")).as("sy"),
+      TextOps.rollingFingerprint(col("x")).as("rx"),
+      TextOps.rollingFingerprint(col("y")).as("ry"))
+    val r = df.head()
+    assert(r.getString(0) === r.getString(1))
+    assert(r.getLong(2) !== r.getLong(3))
+  }
+
+  test("langId picks the language with most stopword hits, und on none") {
+    val df = Seq(
+      "the cat is one of the animals and it sleeps",
+      "el gato es uno de los animales que duerme",
+      "zzz qqq xxx").toDF("t")
+      .select(TextOps.langId(col("t")).as("lang"))
+    assert(df.as[String].collect() === Array("en", "es", "und"))
+  }
+}

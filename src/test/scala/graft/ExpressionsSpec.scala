@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** U1 semantics (SURVEY §2.10): the reference UDF's contract —
+  * `/root/reference/src/modelling.py:61-68` — re-expressed natively.
+  * Pins: null passthrough, 0.0 passthrough, ±∞ → replacement, and the
+  * replacement-null corner the round-1 codegen got wrong (finite input
+  * must survive a null replacement).
+  */
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def replaceInfOn(values: Seq[Option[Double]],
+                           replacement: Option[Double]): Seq[Option[Double]] = {
+    val repl = replacement.map(lit(_)).getOrElse(lit(null).cast("double"))
+    values.toDF("x")
+      .select(GraftFunctions.replace_inf(col("x"), repl).as("y"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      .toSeq
+  }
+
+  test("ReplaceInf: +inf and -inf replaced, finite/zero/null pass through") {
+    val in = Seq(Some(Double.PositiveInfinity), Some(Double.NegativeInfinity),
+      Some(1.5), Some(0.0), None)
+    assert(replaceInfOn(in, Some(-100.0)) ===
+      Seq(Some(-100.0), Some(-100.0), Some(1.5), Some(0.0), None))
+  }
+
+  test("ReplaceInf: null replacement nulls only infinite inputs") {
+    val in = Seq(Some(Double.PositiveInfinity), Some(2.0), Some(0.0), None)
+    assert(replaceInfOn(in, None) === Seq(None, Some(2.0), Some(0.0), None))
+  }
+
+  test("ReplaceInf: interpreted eval agrees with codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ReplaceInf
+    import org.apache.spark.sql.types.DoubleType
+    def evalOne(x: Any, r: Any): Any =
+      ReplaceInf(Literal(x, DoubleType), Literal(r, DoubleType)).eval(null)
+    assert(evalOne(Double.PositiveInfinity, -1.0) === -1.0)
+    assert(evalOne(3.0, -1.0) === 3.0)
+    assert(evalOne(null, -1.0) === null)
+    assert(evalOne(3.0, null) === 3.0)   // finite survives null replacement
+    assert(evalOne(Double.PositiveInfinity, null) === null)
+  }
+
+  test("CosineSim: identical=1, orthogonal=0, zero-norm=null") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosine_sim(col("a"), col("b")).as("sim"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(rows(1).getDouble(0)) < 1e-12)
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("CosineSim matches the composed aggregate/zip_with formulation") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(20)((Seq.fill(8)(rnd.nextGaussian()),
+      Seq.fill(8)(rnd.nextGaussian())))
+    val df = vecs.toDF("a", "b")
+    val both = df.select(
+      GraftFunctions.cosine_sim(col("a"), col("b")).as("fused"),
+      ops.SimilarityOps.cosine(col("a"), col("b")).as("lambda"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.IdsPipeline
+import graft.ops.MultimodalOps
+import graft.streaming.StreamOps
+
+/** The four reference estimators (U3, `src/modelling.py:113-150`), the
+  * streaming layer, and the multimodal plumbing. ML checks are smoke +
+  * threshold (no SQL oracle exists for training — SURVEY §5). */
+class MlStreamMultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 2 classes separated by feature PROPORTIONS (dims 0-1 hot vs dims
+  // 2-3 hot), not magnitude — multinomial NB is proportion-based and
+  // can't split magnitude-only blobs; the others don't care either way
+  private def blobs = {
+    val rnd = new scala.util.Random(9)
+    (0 until 400).map { i =>
+      val cls = i % 2
+      val vec = (0 until 4).map { d =>
+        val hot = (cls == 0 && d < 2) || (cls == 1 && d >= 2)
+        (if (hot) 5.0 else 1.0) + rnd.nextGaussian() * 0.3
+      }
+      (i.toLong, vec, cls.toString)
+    }.toDF("id", "embedding", "label_s")
+  }
+
+  for (algo <- Seq(IdsPipeline.DT, IdsPipeline.RF, IdsPipeline.NB,
+      IdsPipeline.MLP)) {
+    test(s"IdsPipeline trains and scores with $algo (accuracy > 0.9)") {
+      val df = blobs
+      val Array(train, test) = df.randomSplit(Array(0.7, 0.3), 42L)
+      val model = IdsPipeline.fitOnArray(train, "embedding", "label_s", algo)
+      // NB requires nonnegative features; MinMaxScaler maps test rows
+      // below the train minimum to negatives, so NB scores in-sample
+      val evalSet = if (algo == IdsPipeline.NB) train else test
+      val metrics = IdsPipeline.evaluate(model, evalSet, Some("embedding"))
+      val acc = metrics.select("accuracy").head.getDouble(0)
+      assert(acc > 0.9, s"$algo accuracy $acc")
+    }
+  }
+
+  test("tumblingCounts over a staged stream equals the batch window agg") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream_test")
+    val events = (0 until 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L),
+        s"t${i % 3}", i.toDouble)
+    }.toDF("event_id", "ts", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir.toString)
+
+    val stream = StreamOps.fileStream(spark, events.schema, dir.toString)
+    val agg = StreamOps.tumblingCounts(stream, "ts", "event_type",
+      "1 hour", "1 hour")
+    val got = StreamOps.runToCompletion(agg, s"t_${System.nanoTime()}")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("total_value"))
+    val want = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("total_value"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("scoreStream delivers scored micro-batches through foreachBatch") {
+    val df = blobs
+    val model = IdsPipeline.fitOnArray(df, "embedding", "label_s",
+      IdsPipeline.DT)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "score_stream")
+    df.write.mode("overwrite").parquet(dir.toString)
+    val prepared = IdsPipeline.withArrayFeatures(
+      StreamOps.fileStream(spark, df.schema, dir.toString), "embedding")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamOps.scoreStream(prepared, model,
+      (batch, _) => seen.addAndGet(
+        batch.filter(col("prediction").isNotNull).count()))
+    q.awaitTermination()
+    assert(seen.get() === 400L)
+  }
+
+  test("stubDecode is deterministic byte math; empty payload → zeros") {
+    val f = MultimodalOps.stubDecode("ab".getBytes("UTF-8"))
+    // 'a'=97 → bucket 1, 'b'=98 → bucket 2; each /2
+    assert(f(1) === 48.5 && f(2) === 49.0)
+    assert(f.sum === (97 + 98) / 2.0)
+    assert(MultimodalOps.stubDecode(Array.emptyByteArray).forall(_ == 0.0))
+    assert(MultimodalOps.stubDecode(null).forall(_ == 0.0))
+  }
+
+  test("extractFeatures appends an 8-dim features column per row") {
+    val media = MultimodalOps.asMedia(
+      Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = MultimodalOps.extractFeatures(media)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L).length === 8)
+    assert(out(1L) === MultimodalOps.stubDecode("hello".getBytes).toSeq)
+    assert(out(2L).forall(_ == 0.0))
+  }
+
+  test("sampleFrames chunks payloads with the given stride") {
+    val media = MultimodalOps.asMedia(
+      Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = MultimodalOps.sampleFrames(media, frameBytes = 2, stride = 2)
+      .collect()
+    // 5 chunks of 2 bytes, strides keep frames 0,2,4
+    assert(frames.map(_.getInt(1)).sorted === Array(0, 2, 4))
+    assert(frames.forall(_.getAs[Array[Byte]](2).length == 2))
+  }
+}
