@@ -439,11 +439,13 @@ object SparkEntry {
 
   private def q47(s: SparkSession, dir: String): DataFrame = {
     // End-to-end near-dup dedup at realistic LSH parameters: MinHash
-    // signatures → banded candidates → exact Jaccard verify (≥ 0.7) →
-    // greedy keep-lowest-id survivor set. Every stage is a bucketed
-    // equi-join or hash aggregate — nothing is all-pairs.
+    // signatures → bucket-REPRESENTATIVE candidates (O(bands·n), not the
+    // all-pairs O(Σ bucket²) — the fixture has a 1737-doc near-dup
+    // cluster whose full pair list alone is 1.5M rows) → exact Jaccard
+    // verify (≥ 0.7) → drop members similar to their bucket minimum.
+    // Every stage is a bucketed equi-join or hash aggregate.
     val docs = t(s, dir, "documents")
-    val cands = DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+    val cands = DedupOps.lshRepresentativePairs(docs, "doc_id", "text",
       k = LshK, bands = LshBands)
     val drops = DedupOps.jaccardVerify(docs, "doc_id", "text", cands)
       .filter(col("jaccard") >= 0.7)
@@ -963,12 +965,16 @@ object SparkEntry {
     },
     "q47_neardup_dedup" ->
       s"""WITH ${lshCandSqlPrefix(LshK, LshBands)},
+        |  repcand AS (SELECT DISTINCT r.id_a, b.doc_id AS id_b
+        |    FROM bands b JOIN (SELECT band, bh, min(doc_id) AS id_a
+        |      FROM bands GROUP BY 1, 2) r
+        |      ON b.band = r.band AND b.bh = r.bh AND b.doc_id > r.id_a),
         |  sets AS (SELECT doc_id,
         |    list_distinct(string_split(text, ' ')) AS s FROM documents),
         |  tk AS (SELECT doc_id, len(s) AS sz, unnest(s) AS tok FROM sets),
         |  pairs AS (SELECT c.id_a, c.id_b, ta.sz AS size_a, tb.sz AS size_b,
         |      count(*) AS inter
-        |    FROM cand c JOIN tk ta ON ta.doc_id = c.id_a
+        |    FROM repcand c JOIN tk ta ON ta.doc_id = c.id_a
         |    JOIN tk tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
         |    GROUP BY 1, 2, 3, 4),
         |  dup AS (SELECT DISTINCT id_b FROM pairs

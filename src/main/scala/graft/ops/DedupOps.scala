@@ -126,13 +126,45 @@ object DedupOps {
                         k: Int = 128, bands: Int = 16): DataFrame = {
     val bandsDf = lshBands(minhashSignatureFast(df, idCol, textCol, k),
       idCol, k, bands)
-    val a = bandsDf.select(col("band"), col("band_hash"),
-      col(idCol).as("id_a"))
-    val b = bandsDf.select(col("band"), col("band_hash"),
-      col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Materialize each bucket's membership once (same shuffle a
+    // self-join would pay), then dedupe identical member SETS before
+    // pair expansion: near-identical docs collide in every band, so a
+    // cluster of m docs would otherwise emit its C(m,2) pairs `bands`
+    // times over — on the fixture's 1737-doc cluster that is 16 × 1.5M
+    // rows into the final distinct instead of 1.5M.
+    val buckets = bandsDf.groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(col("_ids")).distinct()
+    buckets
+      .select(explode(col("_ids")).as("id_a"), col("_ids"))
+      // spread the second-level expansion: without this, one task owns a
+      // whole giant bucket and generates its C(m,2) pairs serially
+      .repartition(col("id_a"))
+      .select(col("id_a"),
+        explode(filter(col("_ids"), x => x > col("id_a"))).as("id_b"))
+      .distinct()
+  }
+
+  /** Representative-anchored candidate pairs: (bucket-min id, member id)
+    * per band bucket instead of all within-bucket pairs. O(bands × n)
+    * candidates versus [[lshCandidatePairs]]'s O(Σ bucket²) — on a
+    * corpus with a near-dup cluster of m docs the all-pairs form emits
+    * C(m,2) pairs (the fixture has m ≈ n/3!), this form emits m−1.
+    * Semantics trade-off: a doc is only tested against the minimum id of
+    * each bucket it lands in, not every lower id — for greedy
+    * keep-lowest dedup of tight clusters (where the bucket min IS the
+    * cluster representative) the result is near-identical, and the
+    * pipeline stays linear at 100 TB. */
+  def lshRepresentativePairs(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 128, bands: Int = 16): DataFrame = {
+    val bandsDf = lshBands(minhashSignatureFast(df, idCol, textCol, k),
+      idCol, k, bands)
+    val reps = bandsDf.groupBy(col("band"), col("band_hash"))
+      .agg(min(col(idCol)).as("id_a"))
+    bandsDf.join(reps, Seq("band", "band_hash"))
+      .filter(col(idCol) > col("id_a"))
+      .select(col("id_a"), col(idCol).as("id_b")).distinct()
   }
 
   /** 64-bit SimHash over the distinct token set: per-token xxhash64,

@@ -53,6 +53,19 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("lshRepresentativePairs anchors members to the bucket minimum") {
+    val pairs = DedupOps.lshRepresentativePairs(docs, "doc_id", "text",
+        k = 32, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))      // exact dup anchored to min id
+    assert(pairs.forall { case (a, b) => a < b })
+    // representative pairs are a subset of the full candidate set
+    val full = DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+        k = 32, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(full))
+  }
+
   test("jaccardVerify computes exact token-set Jaccard") {
     val cands = Seq((0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
     val j = DedupOps.jaccardVerify(docs, "doc_id", "text", cands)
