@@ -348,6 +348,31 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    // as-of (point-in-time) join: each purchase event picks up the
+    // user's most recent click at-or-before it — DuckDB verifies with
+    // its native ASOF LEFT JOIN
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    RelOps.asofJoin(purchases, clicks, "user_id", "ts", Seq("ts", "value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        round(col("asof_value"), 2).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    // JSON column surface (engine extension beyond the reference's
+    // scalar functions — SURVEY §2.9 lists json as absent there)
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") >= 50)
+      .orderBy(col("event_id"))
+
   // ---------------------------------------------------------------- //
   // LLM-pipeline: dedup (BASELINE.json north star)
   // ---------------------------------------------------------------- //
@@ -428,6 +453,39 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    // IVF ANN — the second scale path (coarse quantizer + inverted
+    // lists) next to the hyperplane LSH of q36. Seeded k-means isn't
+    // DuckDB-reproducible → no_oracle; SimilarityAggSpec pins recall
+    // against the exact q35 path.
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3,
+        nlist = 8, nprobe = 3, seed = 42L)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    // Stateful streaming sessionization (flatMapGroupsWithState):
+    // emits CLOSED sessions; each user's final session stays open in
+    // state, so the oracle is the batch sessionization minus each
+    // user's last session. Bounded to user_id < 50 to keep the
+    // correctness dump small.
+    val raw = StreamOps.fileStream(s, Tables.rawSchema(s, dir, "events"),
+      stageStreamDir(dir, "events"))
+    val stream = Tables.withTimestamps(raw, "events")
+      .filter(col("user_id") < 50)
+    val sessions = StreamOps.sessionizeStream(stream, "user_id", "ts", 1800L)
+    StreamOps.runToCompletion(sessions.toDF(), s"q49_${System.nanoTime()}",
+        outputMode = "append")
+      .select(col("user_id"),
+        date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
   private def q46(s: SparkSession, dir: String): DataFrame =
     // LSH-bucketed cosine near-dup — the 100 TB shape (bucket equi-join,
     // no crossJoin). Seeded hyperplanes aren't DuckDB-reproducible →
@@ -493,22 +551,27 @@ object SparkEntry {
         .as("win_start"), col("event_type"), col("n"), col("total_value"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** A file stream source monitors a DIRECTORY, but the fixtures are
+    * single parquet files — stage one into a directory (a real
+    * deployment points at the landing dir). */
+  private def stageStreamDir(dir: String, table: String): String = {
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val streamDir = java.nio.file.Paths.get(
+      s"/root/repo/target/stream_src/${table}_$sfTag")
+    java.nio.file.Files.createDirectories(streamDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/$table.parquet"),
+      streamDir.resolve(s"$table.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    streamDir.toString
+  }
+
   private def q42(s: SparkSession, dir: String): DataFrame = {
     // Pinned-schema stream read: the raw parquet schema carries ts as a
     // nanos-long (Spark 4 can't scan TIMESTAMP(NANOS) natively); the
-    // timestamp column is rebuilt before windowing. A file stream source
-    // monitors a DIRECTORY, but the fixture is a single parquet file —
-    // stage it into one (a real deployment points at the landing dir).
-    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val streamDir = java.nio.file.Paths.get(
-      s"/root/repo/target/stream_src/events_$sfTag")
-    java.nio.file.Files.createDirectories(streamDir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // timestamp column is rebuilt before windowing.
     val raw = StreamOps.fileStream(s, Tables.rawSchema(s, dir, "events"),
-      streamDir.toString)
+      stageStreamDir(dir, "events"))
     val stream = Tables.withTimestamps(raw, "events")
     val agg = StreamOps.tumblingCounts(stream, "ts", "event_type",
       "1 hour", "1 hour")
@@ -583,6 +646,8 @@ object SparkEntry {
     "q24_case_buckets" -> q24 _,
     "q25_csv_roundtrip" -> q25 _,
     "q26_window_family" -> q26 _,
+    "q27_asof_join" -> q27 _,
+    "q28_json_funcs" -> q28 _,
     "q30_dedup_exact" -> q30 _,
     "q31_minhash_sig" -> q31 _,
     "q32_lsh_pairs" -> q32 _,
@@ -601,6 +666,8 @@ object SparkEntry {
     "q45_ml_metrics" -> q45 _,
     "q46_cosine_neardup_lsh" -> q46 _,
     "q47_neardup_dedup" -> q47 _,
+    "q48_ann_ivf" -> q48 _,
+    "q49_stream_sessions" -> q49 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -824,6 +891,19 @@ object SparkEntry {
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q27_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  round(c.value, 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q28_json_funcs" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k')::BIGINT >= 50
+        |ORDER BY event_id""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
         |  count(*) AS n_copies
@@ -981,5 +1061,26 @@ object SparkEntry {
         |    WHERE inter::DOUBLE / (size_a + size_b - inter) >= 0.7)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id_b FROM dup) ORDER BY doc_id""".stripMargin,
+    "q49_stream_sessions" ->
+      // the stream emits CLOSED sessions only: batch sessionization
+      // minus each user's final (still-open) session
+      """WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 50),
+        |  g AS (SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+        |      OR lag(epoch(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  s AS (SELECT user_id, ts,
+        |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        |  FROM g),
+        |  sess AS (SELECT user_id, session_id, count(*) AS n_events,
+        |    min(ts) AS t0, max(ts) AS t1
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, strftime(t0, '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(t1, '%Y-%m-%d %H:%M:%S') AS sess_end, n_events
+        |FROM sess
+        |WHERE session_id < (SELECT max(session_id) FROM sess s2
+        |  WHERE s2.user_id = sess.user_id)
+        |ORDER BY user_id, sess_start""".stripMargin,
   )
 }

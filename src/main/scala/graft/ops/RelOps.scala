@@ -28,6 +28,42 @@ object RelOps {
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** As-of join: attach to each left row the most recent right row with
+    * `right.ts <= left.ts` per key (the classic point-in-time join Spark
+    * lacks as a built-in). Merge-sort formulation per the composition
+    * preference order: UNION both sides tagged, ONE window per key
+    * ordered by (ts, side) carrying `last(payload, ignoreNulls)` forward
+    * — a single hash-partition exchange + sort, no range cross-join and
+    * no per-row probe. At 100 TB this is one shuffle of |L|+|R| rows.
+    *
+    * Right rows sort before left rows on timestamp ties, so an exact-ts
+    * right row IS visible to the left row (matches `ON l.ts >= r.ts`).
+    * `payloadCols` surface as `asof_<name>` (null when no right row
+    * precedes the left row).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val lU = left
+      .withColumn("_side", lit(1))
+      .select(left.columns.map(col) ++ Seq(col("_side")) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(s"asof_$c")): _*)
+    val rU0 = right
+      .select(Seq(col(keyCol), col(tsCol), lit(0).as("_side")) ++
+        payloadCols.map(c => col(c).as(s"asof_$c")): _*)
+    val missing = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val rU = missing.foldLeft(rU0)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val all = lU.unionByName(rU.select(lU.columns.map(col): _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payloadCols.foldLeft(all)((d, c) =>
+      d.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col("_side") === 1).drop("_side")
+  }
+
   /** Gap-based sessionization over an event stream (batch form): a new
     * session starts when the gap to the previous event of the same key
     * exceeds `gapSeconds`. One exchange on `keyCol` + one sort — the
@@ -35,7 +71,11 @@ object RelOps {
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
                  gapSeconds: Long): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
-    val tsSec = unix_timestamp(col(tsCol))
+    // fractional epoch seconds: unix_timestamp() truncates to whole
+    // seconds, silently shifting any gap that straddles the boundary by
+    // up to 1 s (a real divergence — the fixture's timestamps all carry
+    // sub-second parts)
+    val tsSec = col(tsCol).cast("double")
     df.withColumn("_prev", lag(tsSec, 1).over(byKey))
       .withColumn("_new_session",
         when(col("_prev").isNull ||

@@ -94,6 +94,61 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"), col("rn"))
   }
 
+  /** k-means coarse quantizer for [[ivfTopK]]: fit on (a sample of) the
+    * corpus, centroids return to the driver (nlist × dim doubles — tiny)
+    * and travel to executors as literals. */
+  def ivfCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+                   seed: Long): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(vecs).clusterCenters.map(_.toArray)
+  }
+
+  /** The `nprobe` nearest centroids (by squared L2) as an array of list
+    * ids — pure column expressions over centroid literals, codegen'd. */
+  private def nearestLists(vec: Column, centroids: Array[Array[Double]],
+                           nprobe: Int): Column = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val d = aggregate(
+        zip_with(vec, typedLit(c.toSeq), (x, w) => (x - w) * (x - w)),
+        lit(0.0), (a, v) => a + v)
+      struct(d.as("d"), lit(i).as("i"))
+    }
+    transform(slice(array_sort(array(dists: _*)), 1, nprobe),
+      s => s.getField("i"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: k-means coarse quantizer →
+    * each corpus vector lives in exactly ONE inverted list; each query
+    * probes its `nprobe` nearest lists and ranks exactly (fused cosine)
+    * within them. The second classic ANN scale path next to [[lshTopK]]:
+    * one narrow pass to assign lists, one equi-join shuffle on the list
+    * id — candidate volume ≈ nprobe/nlist of the corpus per query. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val cents = ivfCentroids(corpus, vecCol, nlist, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .withColumn("_b", element_at(nearestLists(col("_cv"), cents, 1), 1))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
+      .withColumn("_b", explode(nearestLists(col("_qv"), cents, nprobe)))
+    val scored = q.join(c, Seq("_b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("_qv"), col("_cv")))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, via LSH
     * buckets (approximate; exact within buckets). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

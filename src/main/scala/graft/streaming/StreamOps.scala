@@ -1,10 +1,17 @@
 package graft.streaming
 
 import org.apache.spark.ml.PipelineModel
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
+
+/** Open-session state carried across micro-batches per key. */
+case class OpenSession(start: Long, end: Long, n: Long)
+
+/** A completed gap-delimited session emitted downstream. */
+case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
+                      sess_end: java.sql.Timestamp, n_events: Long)
 
 /** Structured Streaming layer (SURVEY.md §2.11): the reference is pure
   * batch, but the problem is stream-shaped (flows arrive continuously;
@@ -46,6 +53,52 @@ object StreamOps {
       .groupBy(window(col(tsCol), windowDur, slideDur), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Stateful gap sessionization over a stream — the custom-state
+    * surface (`flatMapGroupsWithState`) the engine exposes beyond
+    * windowed aggregation. State per key = the open session; each batch
+    * sorts its events, closes sessions whose gap to the next event
+    * exceeds `gapSeconds`, emits the CLOSED sessions, and keeps the
+    * still-open one in state (each user's final session stays open until
+    * later data closes it — standard for gap sessions on an unbounded
+    * stream). Out-of-order events are repaired within a batch (sort);
+    * cross-batch stragglers belong to the watermark contract the caller
+    * sets upstream. State size: one OpenSession per active key.
+    */
+  def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
+                       gapSeconds: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    val typed = events
+      .select(col(keyCol).cast("long"),
+        unix_micros(col(tsCol)).as("_us"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[OpenSession]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          ts.foreach { t =>
+            open match {
+              case Some(o) if t - o.end <= gapMicros =>
+                open = Some(o.copy(end = t, n = o.n + 1))
+              case Some(o) =>
+                closed += SessionOut(key,
+                  new java.sql.Timestamp(o.start / 1000L),
+                  new java.sql.Timestamp(o.end / 1000L), o.n)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Score a stream with a batch-fitted model and deliver each
     * micro-batch to `sink` (the foreachBatch stand-in for Cassandra). */
   def scoreStream(stream: DataFrame, model: PipelineModel,
@@ -61,10 +114,11 @@ object StreamOps {
     * (AvailableNow + memory sink) and return the final result as a
     * batch DataFrame — lets the DuckDB oracle check streaming results.
     * `complete` output mode so open windows are included. */
-  def runToCompletion(agg: DataFrame, queryName: String): DataFrame = {
+  def runToCompletion(agg: DataFrame, queryName: String,
+                      outputMode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())

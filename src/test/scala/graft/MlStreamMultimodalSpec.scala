@@ -68,6 +68,48 @@ class MlStreamMultimodalSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("asofJoin attaches the most recent right row at-or-before each " +
+       "left row") {
+    import graft.ops.RelOps
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, ts(100), "p1"), (1L, ts(250), "p2"),
+      (2L, ts(100), "p3")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(90), 10.0), (1L, ts(100), 11.0),
+      (1L, ts(200), 12.0), (3L, ts(50), 99.0)).toDF("k", "ts", "v")
+    val got = RelOps.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select("tag", "asof_v").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got("p1") === Some(11.0))   // exact-ts right row wins
+    assert(got("p2") === Some(12.0))   // latest preceding
+    assert(got("p3") === None)         // no right rows for key 2
+  }
+
+  test("sessionizeStream emits the batch sessions minus each key's " +
+       "open tail session") {
+    import graft.ops.RelOps
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "sess_stream")
+    // user 1: events at 0s,10s,  gap  5000s,5040s,  gap  12000s (open)
+    // user 2: single event (open tail only → nothing emitted)
+    val raw = Seq(
+      (1L, 0L), (1L, 10L), (1L, 5000L), (1L, 5040L), (1L, 12000L),
+      (2L, 0L))
+      .map { case (u, sec) =>
+        (u, new java.sql.Timestamp(1700000000000L + sec * 1000L)) }
+      .toDF("user_id", "ts")
+    raw.write.mode("overwrite").parquet(dir.toString)
+    val stream = StreamOps.fileStream(spark, raw.schema, dir.toString)
+    val sessions = StreamOps.sessionizeStream(stream, "user_id", "ts", 1800L)
+    val got = StreamOps.runToCompletion(sessions.toDF(),
+        s"sess_${System.nanoTime()}", outputMode = "append")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // closed sessions: user1 [0,10] (n=2) and [5000,5040] (n=2);
+    // user1's 12000 session and user2's only session stay open
+    assert(got.sorted === Array((1L, 2L), (1L, 2L)))
+  }
+
   test("scoreStream delivers scored micro-batches through foreachBatch") {
     val df = blobs
     val model = IdsPipeline.fitOnArray(df, "embedding", "label_s",

@@ -70,6 +70,21 @@ class SimilarityAggSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("ivfTopK: high recall vs brute force on clustered data") {
+    val df = clustered
+    val q = df.filter(col("vec_id") < 6)
+    val exact = SimilarityOps.bruteForceTopK(q, df, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(q, df, "vec_id", "embedding", 3,
+        nlist = 4, nprobe = 2, seed = 42L)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // clusters are tight → the probed lists contain the true neighbors
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
   test("confusionMatrix pivots grouped counts") {
     val preds = Seq((0.0, 0.0), (0.0, 0.0), (0.0, 1.0), (1.0, 1.0),
       (1.0, 0.0), (1.0, 1.0)).toDF("label", "prediction")
