@@ -24,17 +24,14 @@ import org.apache.spark.sql.types._
   * memory-bandwidth-bound and allocation-bound.
   */
 case class ReplaceInf(child: Expression, replacement: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // ImplicitCastInputTypes (not just ExpectsInputTypes) so SQL-surface
+  // literals — e.g. DECIMAL(2,1) from `replace_inf(x, -9.0)` — coerce
+  // to double instead of failing analysis
   override def left: Expression = child
   override def right: Expression = replacement
   override def dataType: DataType = DoubleType
   override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == DoubleType && replacement.dataType == DoubleType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"ReplaceInf needs (double, double), got " +
-        s"(${child.dataType}, ${replacement.dataType})")
 
   // null → null (the reference UDF's `if x` falsiness keeps nulls); the
   // replacement value is only consulted when the input is ±∞ — so a null
@@ -80,7 +77,7 @@ case class ReplaceInf(child: Expression, replacement: Expression)
 
 /** Fused cosine similarity over two ArrayType(DoubleType) columns. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))

@@ -62,6 +62,44 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(0))
   }
 
+  test("FuseReplaceInf rewrites the when-chain into the fused expression") {
+    import org.apache.spark.sql.graft.{FuseReplaceInf, ReplaceInf}
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(FuseReplaceInf)
+    import s2.implicits._
+    // must come from a real source: ConvertToLocalRelation folds
+    // projections over Seq-backed frames before any optimizer rule runs
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "fuse_test")
+    Seq(Some(1.0), Some(Double.PositiveInfinity),
+      Some(Double.NegativeInfinity), None).toDF("x")
+      .write.mode("overwrite").parquet(dir.toString)
+    val df = s2.read.parquet(dir.toString)
+      .select(ops.CleanOps.replaceInf(col("x"), lit(-1.0)).as("y"))
+    assert(df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[ReplaceInf])),
+      "optimized plan should contain the fused ReplaceInf")
+    val got = df.collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // parquet scan order isn't write order — compare as multiset
+    assert(got.toSeq.sortBy(_.getOrElse(Double.MinValue)) ===
+      Seq(None, Some(-1.0), Some(-1.0), Some(1.0)))
+  }
+
+  test("SQL surface: replace_inf and cosine_sim registered as functions") {
+    import org.apache.spark.sql.graft.GraftExtensions
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    import s2.implicits._
+    Seq((Double.PositiveInfinity, Seq(1.0, 0.0), Seq(1.0, 0.0)))
+      .toDF("x", "a", "b").createOrReplaceTempView("t")
+    val row = s2.sql(
+      "SELECT replace_inf(x, -9.0) AS rx, cosine_sim(a, b) AS cs FROM t")
+      .head()
+    assert(row.getDouble(0) === -9.0)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("CosineSim matches the composed aggregate/zip_with formulation") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.fill(20)((Seq.fill(8)(rnd.nextGaussian()),
