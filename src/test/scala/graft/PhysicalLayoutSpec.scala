@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-layout levers for the 100 TB design point: partition
+  * pruning (a filtered scan must touch only matching directories) and
+  * bucketed co-located joins (pre-shuffled layout ⇒ no Exchange at
+  * join time). These are plan-shape assertions — the behaviors that
+  * make or break a 1000-executor deployment but are invisible to
+  * row-level correctness checks.
+  */
+class PhysicalLayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hive-style partitioned write + filter → partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "part_prune").toString
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+
+    val one = spark.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+    val scan = one.queryExecution.executedPlan.collectLeaves().head
+    val scanStr = scan.toString
+    assert(scanStr.contains("PartitionFilters") &&
+      scanStr.contains("event_type"),
+      s"expected partition filter on event_type in:\n$scanStr")
+    // pruned scan reads exactly the one directory's rows
+    val want = events.filter(col("event_type") === "purchase").count()
+    assert(one.count() === want)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val customer = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    orders.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    customer.write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+
+    // disable broadcast so the join would otherwise need an exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).count()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must not re-shuffle bucketed inputs: no
+      // Exchange below the SortMergeJoin (the groupBy above it may)
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected SortMergeJoin in:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      // and the result matches the unbucketed join
+      val want = orders.join(customer,
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = joined.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+}
