@@ -35,6 +35,16 @@ class PhysicalLayoutSpec extends AnyFunSuite {
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist → LOCATION_ALREADY_EXISTS
+    for (t <- Seq("b_orders", "b_customer")) {
+      val p = java.nio.file.Paths.get(s"/root/repo/target/warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val customer = Tables.load(spark, "/root/testdata/sf0.001", "customer")
     orders.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
