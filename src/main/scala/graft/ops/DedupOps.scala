@@ -158,8 +158,11 @@ object DedupOps {
     * pipeline stays linear at 100 TB. */
   def lshRepresentativePairs(df: DataFrame, idCol: String, textCol: String,
                              k: Int = 128, bands: Int = 16): DataFrame = {
+    // band rows are referenced twice (bucket minima + the join back);
+    // without cutting lineage the whole MinHash signature subtree runs
+    // twice — checkpoint materializes it once (lazy: first action pays)
     val bandsDf = lshBands(minhashSignatureFast(df, idCol, textCol, k),
-      idCol, k, bands)
+      idCol, k, bands).localCheckpoint(false)
     val reps = bandsDf.groupBy(col("band"), col("band_hash"))
       .agg(min(col(idCol)).as("id_a"))
     bandsDf.join(reps, Seq("band", "band_hash"))
@@ -192,7 +195,11 @@ object DedupOps {
     * token + count — the verify step after LSH candidate generation.
     * `candidates` must have (id_a, id_b). */
   def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
-                    candidates: DataFrame): DataFrame = {
+                    candidates0: DataFrame): DataFrame = {
+    // the candidate list is referenced twice (intersection counts + the
+    // join-back that surfaces zero-overlap pairs); materialize it once
+    // rather than recompute its (possibly LSH-sized) lineage
+    val candidates = candidates0.localCheckpoint(false)
     val sets = df.select(col(idCol),
       TextOps.tokenSet(col(textCol)).as("_set"))
       .withColumn("_size", size(col("_set")))
