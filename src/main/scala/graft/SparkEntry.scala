@@ -511,6 +511,14 @@ object SparkEntry {
       .orderBy(col("user_id"), col("sess_start"))
   }
 
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    // A10's relational core (StringIndexer.fit): frequency-ordered dense
+    // codes, ties broken by value for cross-engine determinism
+    AggOps.frequencyIndex(t(s, dir, "documents"), "lang")
+      .select(col("lang"), col("count").as("n"),
+        col("code").cast("long").as("code"))
+      .orderBy(col("code"))
+
   private def q46(s: SparkSession, dir: String): DataFrame =
     // LSH-bucketed cosine near-dup — the 100 TB shape (bucket equi-join,
     // no crossJoin). Seeded hyperplanes aren't DuckDB-reproducible →
@@ -694,6 +702,7 @@ object SparkEntry {
     "q47_neardup_dedup" -> q47 _,
     "q48_ann_ivf" -> q48 _,
     "q49_stream_sessions" -> q49 _,
+    "q50_frequency_index" -> q50 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1112,5 +1121,10 @@ object SparkEntry {
         |WHERE session_id < (SELECT max(session_id) FROM sess s2
         |  WHERE s2.user_id = sess.user_id)
         |ORDER BY user_id, sess_start""".stripMargin,
+    "q50_frequency_index" ->
+      """SELECT lang, count(*) AS n,
+        |  (row_number() OVER (ORDER BY count(*) DESC, lang) - 1)::BIGINT
+        |    AS code
+        |FROM documents GROUP BY lang ORDER BY code""".stripMargin,
   )
 }

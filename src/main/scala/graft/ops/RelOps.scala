@@ -64,6 +64,23 @@ object RelOps {
     filled.filter(col("_side") === 1).drop("_side")
   }
 
+  /** Skew-salted inner equi-join: each left row gets a deterministic
+    * salt in [0, factor), the right side is replicated `factor` ways,
+    * and the join keys on (key, salt) — a hot key's rows spread across
+    * `factor` reducers instead of serializing through one. AQE's skew
+    * join splits sort-merge partitions at runtime; this is the explicit
+    * form for when the layout must be pre-committed (bucketed inputs,
+    * broadcast-ineligible dimension joins, AQE disabled). Cost: the
+    * right side shuffles `factor`× — size it to taste. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 factor: Int): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(array((0 until factor).map(lit): _*)))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Gap-based sessionization over an event stream (batch form): a new
     * session starts when the gap to the previous event of the same key
     * exceeds `gapSeconds`. One exchange on `keyCol` + one sort — the

@@ -84,6 +84,39 @@ class CleanSplitSpec extends AnyFunSuite {
     assert(cid === (0L until 100L).toArray)
   }
 
+  test("medianFillApprox fills with a value near the exact median") {
+    val df = (1 to 1001).map(i => if (i % 10 == 0) None else Some(i.toDouble))
+      .toDF("v")
+    val filled = CleanOps.medianFillApprox(df, Seq("v"), relativeError = 0.01)
+    assert(filled.filter(col("v").isNull).count() === 0)
+    // the sketch's fill value must be within 1% rank error of the median
+    val exact = df.agg(median(col("v"))).head.getDouble(0)
+    val fillVal = filled.exceptAll(df.na.drop()).head.getDouble(0)
+    assert(math.abs(fillVal - exact) / exact < 0.05)
+  }
+
+  test("approx_count_distinct HLL stays within its rsd bound") {
+    val df = (0 until 20000).map(i => i % 10000).toDF("v")
+    val approx = df.agg(approx_count_distinct(col("v"), 0.05))
+      .head.getLong(0)
+    assert(math.abs(approx - 10000.0) / 10000.0 < 0.05, s"approx=$approx")
+  }
+
+  test("saltedJoin equals the plain join on skewed keys") {
+    import graft.ops.RelOps
+    // 90% of left rows share one hot key
+    val left = (0 until 2000).map(i =>
+      (if (i % 10 == 0) i.toLong else 7L, i.toLong)).toDF("k", "lv")
+    val right = (0 until 50).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val salted = RelOps.saltedJoin(left, right, "k", factor = 8)
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted === plain)
+  }
+
   test("seededSplit is reproducible with the same seed") {
     val df = (0 until 300).map(_.toLong).toDF("v")
     val a = SplitOps.seededSplit(df, Array(0.8, 0.2), 42L)

@@ -110,6 +110,28 @@ class MlStreamMultimodalSpec extends AnyFunSuite {
     assert(got.sorted === Array((1L, 2L), (1L, 2L)))
   }
 
+  test("slidingCounts over a staged stream equals the batch sliding agg") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "slide_test")
+    val events = (0 until 120).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L),
+        s"t${i % 2}", i.toDouble)
+    }.toDF("event_id", "ts", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir.toString)
+    val stream = StreamOps.fileStream(spark, events.schema, dir.toString)
+    val agg = StreamOps.slidingCounts(stream, "ts", "event_type",
+      "30 minutes", "10 minutes", "1 hour")
+    val got = StreamOps.runToCompletion(agg, s"sl_${System.nanoTime()}")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val want = events
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("scoreStream delivers scored micro-batches through foreachBatch") {
     val df = blobs
     val model = IdsPipeline.fitOnArray(df, "embedding", "label_s",
