@@ -90,4 +90,46 @@ object IdsPipeline {
     val scored = model.transform(prepared)
     graft.ops.AggOps.multiclassMetrics(scored, "encoded_label", "prediction")
   }
+
+  /** The reference's END-TO-END flow (`/root/reference/src/modelling.py`
+    * entry points 1-3) as one composite over a dirty flow table:
+    *
+    *  1. sentinel-probe +∞ columns — mask ∞ with −100, take the max to
+    *     discover the true finite ceiling (`modelling.py:61-68`, A1/U1);
+    *  2. replace ±∞ with that ceiling; median-impute remaining nulls
+    *     (`Imputer`, `modelling.py:74-76`, A8);
+    *  3. stratified 'fraction' sample per label = validation, train =
+    *     anti-join remainder (`modelling.py:85-98`, R1/R3/J1);
+    *  4. assemble → MinMax-scale → frequency-index label → train
+    *     `algo` → per-class metrics (U2/U3/A11/A12).
+    *
+    * Returns (metricsTable, fittedModel). Every step is the library
+    * operator, so this is also the parity demonstration: a reference
+    * user switches by calling this with their flow DataFrame.
+    */
+  def runEndToEnd(flows: DataFrame, featureCols: Seq[String],
+                  labelCol: String, idCol: String,
+                  validFraction: Double = 0.1, seed: Long = 42L,
+                  algo: Algo = DT): (DataFrame, PipelineModel) = {
+    import graft.ops.{CleanOps, SplitOps}
+    import org.apache.spark.sql.functions._
+    // 1: which columns carry +∞, and what is the finite max of each?
+    val masked = featureCols.map(c =>
+      max(CleanOps.replaceInf(col(c), lit(-100.0))).as(c))
+    val ceilings = flows.select(masked: _*).head()
+    // 2: replace ±∞ per column with its finite ceiling, then impute
+    val definite = featureCols.zipWithIndex.foldLeft(flows) {
+      case (df, (c, i)) =>
+        if (ceilings.isNullAt(i)) df
+        else df.withColumn(c,
+          CleanOps.replaceInf(col(c), lit(ceilings.getDouble(i))))
+    }
+    val imputed = CleanOps.medianFillApprox(definite, featureCols)
+    // 3: stratified validation + anti-join train
+    val (train, valid) = SplitOps.antiJoinSplit(
+      imputed, idCol, labelCol, validFraction, seed)
+    // 4: featurize + fit + evaluate
+    val model = fit(train, featureCols, labelCol, algo)
+    (evaluate(model, valid), model)
+  }
 }

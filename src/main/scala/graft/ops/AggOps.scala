@@ -36,9 +36,14 @@ object AggOps {
   def multiclassMetrics(df: DataFrame, labelCol: String,
                         predCol: String): DataFrame = {
     val cm = confusionCounts(df, labelCol, predCol).cache()
-    val total = cm.agg(sum("count")).head.getLong(0).toDouble
-    val correct = cm.filter(col(labelCol) === col(predCol))
-      .agg(coalesce(sum("count"), lit(0L))).head.getLong(0).toDouble
+    // one driver action for both scalars (the K×K frame is tiny, but no
+    // reason to run two jobs where one aggregate carries both)
+    val totals = cm.agg(
+      coalesce(sum("count"), lit(0L)).as("total"),
+      coalesce(sum(when(col(labelCol) === col(predCol), col("count"))),
+        lit(0L)).as("correct")).head()
+    val total = totals.getLong(0).toDouble
+    val correct = totals.getLong(1).toDouble
     val byLabel = cm.groupBy(labelCol).agg(sum("count").as("support"))
     val byPred = cm.groupBy(predCol).agg(sum("count").as("predicted"))
     val tp = cm.filter(col(labelCol) === col(predCol))
