@@ -555,7 +555,9 @@ object SparkEntry {
         col("n_tokens").cast("long").as("n_tokens"),
         round(col("mean_tok_len"), 6).as("mean_tok_len"),
         round(col("distinct_ratio"), 6).as("distinct_ratio"),
-        round(col("alpha_ratio"), 6).as("alpha_ratio"))
+        round(col("alpha_ratio"), 6).as("alpha_ratio"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"))
       .orderBy(col("doc_id"))
 
   private def q39(s: SparkSession, dir: String): DataFrame =
@@ -568,6 +570,7 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.subwordCount(col("text")).cast("long").as("n_subwords"),
         length(col("text")).cast("long").as("n_chars"),
         TextOps.setFingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
@@ -1007,7 +1010,14 @@ object SparkEntry {
         |    / len(string_split(text, ' ')), 6) AS distinct_ratio,
         |  round((length(text) -
         |      length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
-        |    / length(text), 6) AS alpha_ratio
+        |    / length(text), 6) AS alpha_ratio,
+        |  round((length(text) -
+        |      length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+        |    / length(text), 6) AS punct_ratio,
+        |  round(len(list_filter(string_split(text, ' '), t ->
+        |      list_contains(['the','a','an','of','and','is','to','in',
+        |        'that','it'], t)))::DOUBLE
+        |    / len(string_split(text, ' ')), 6) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q39_lang_id" ->
       """WITH t AS (SELECT doc_id,
@@ -1045,7 +1055,14 @@ object SparkEntry {
         |    ELSE 'und' END AS lang_pred
         |FROM mx ORDER BY doc_id""".stripMargin,
     "q40_token_stats" ->
+      // n_subwords: letter-runs + digit-runs + single other non-space
+      // chars — the lookaround-free decomposition of the BPE-ish regex
+      // (DuckDB's RE2 has no lookarounds)
       """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  (len(regexp_extract_all(text, '[a-zA-Z]+'))
+        |   + len(regexp_extract_all(text, '[0-9]+'))
+        |   + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')))::BIGINT
+        |    AS n_subwords,
         |  length(text)::BIGINT AS n_chars,
         |  md5(array_to_string(
         |    list_sort(list_distinct(string_split(text, ' '))), ' '))

@@ -51,13 +51,18 @@ object TextOps {
     }
   }
 
-  /** Heuristic quality score in [0,1]: blend of length band, mean word
-    * length band, alpha ratio, and type-token ratio. Deterministic,
-    * SQL-expressible, single pass. */
+  /** English stopword sample for the stopword-ratio quality signal. */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "is",
+    "to", "in", "that", "it")
+
+  /** Heuristic quality features: length, mean word length, type-token
+    * ratio, alpha/punctuation character ratios, stopword ratio.
+    * Deterministic, SQL-expressible, single pass, no shuffle. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     val nTok = tokenCount(c)
     val nChr = length(c)
+    val sw = typedLit(stopwords)
     df.withColumn("n_tokens", nTok)
       .withColumn("n_chars_m", nChr)
       .withColumn("mean_tok_len",
@@ -70,6 +75,14 @@ object TextOps {
         when(nChr > 0,
           (nChr - length(regexp_replace(c, "[a-zA-Z]", ""))).cast("double")
             / nChr).otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(nChr > 0,
+          (nChr - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", "")))
+            .cast("double") / nChr).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(nTok > 0,
+          size(filter(tokens(c), t => array_contains(sw, t)))
+            .cast("double") / nTok).otherwise(lit(0.0)))
   }
 
   /** Order-insensitive content fingerprint: md5 over the sorted distinct

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regressions for the registered queries: the shapes
+  * that decide 100 TB viability — pushed filters, pruned scans,
+  * broadcast dimension joins, heap-based top-k — must not silently
+  * degrade as queries evolve. (Correctness hashing can't see these.)
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: every filter reaches the parquet scan; schema pruned") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filters not pushed:\n${p.take(2000)}")
+    // 11-column table, 6-column read (the 4 filter cols + 2 projected)
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).get
+    assert(!read.contains("l_returnflag") && !read.contains("l_tax"),
+      s"scan reads unused columns: $read")
+  }
+
+  test("q03: all three dimensions broadcast (no fact-side shuffle join)") {
+    val p = planOf("q03_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 3, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "star join degraded to SMJ")
+  }
+
+  test("q14: global top-k plans as TakeOrderedAndProject, no full sort") {
+    val p = planOf("q14_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-k is doing a global sort")
+  }
+
+  test("q04: anti join present; orders side projects only the key") {
+    val p = planOf("q04_anti_join")
+    assert(p.contains("LeftAnti"), p.take(1000))
+    val orderScan = p.split("\n").filter(l =>
+      l.contains("orders.parquet") && l.contains("ReadSchema"))
+    assert(orderScan.nonEmpty &&
+      orderScan.head.contains("struct<o_custkey:bigint>"),
+      s"anti-join probe should read only o_custkey: ${orderScan.mkString}")
+  }
+
+  test("q31: minhash aggregates in a single exchange on doc_id") {
+    val p = planOf("q31_minhash_sig")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1,
+      "minhash should shuffle once on the doc key")
+  }
+}
