@@ -511,6 +511,32 @@ object SparkEntry {
       .orderBy(col("user_id"), col("sess_start"))
   }
 
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    // exact dedup keep-lowest (the operator itself, not just the group
+    // profile of q30)
+    DedupOps.exactDedup(t(s, dir, "documents"), Seq("text"), "doc_id")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    // P7 null-drop + A9 min-max scaling as a relational query: inject
+    // nulls, drop them, scale within each returnflag group via window
+    // min/max (the relational core of MinMaxScaler.fit+transform)
+    val li = t(s, dir, "lineitem")
+      .withColumn("price_n",
+        when(col("l_quantity") === 7, lit(null).cast("double"))
+          .otherwise(col("l_extendedprice")))
+    val kept = CleanOps.dropNulls(li, Seq("price_n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+    kept.select(col("l_orderkey"), col("l_linenumber").cast("long")
+        .as("l_linenumber"), col("l_returnflag"),
+        round((col("price_n") - min(col("price_n")).over(w)) /
+          (max(col("price_n")).over(w) - min(col("price_n")).over(w)), 6)
+          .as("scaled"))
+      .filter(col("l_orderkey") < 300)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   private def q50(s: SparkSession, dir: String): DataFrame =
     // A10's relational core (StringIndexer.fit): frequency-ordered dense
     // codes, ties broken by value for cross-engine determinism
@@ -706,6 +732,8 @@ object SparkEntry {
     "q48_ann_ivf" -> q48 _,
     "q49_stream_sessions" -> q49 _,
     "q50_frequency_index" -> q50 _,
+    "q51_exact_dedup_keep" -> q51 _,
+    "q52_dropnull_scale" -> q52 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1143,5 +1171,25 @@ object SparkEntry {
         |  (row_number() OVER (ORDER BY count(*) DESC, lang) - 1)::BIGINT
         |    AS code
         |FROM documents GROUP BY lang ORDER BY code""".stripMargin,
+    "q51_exact_dedup_keep" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q52_dropnull_scale" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CASE WHEN l_quantity = 7 THEN NULL
+        |      ELSE l_extendedprice END AS price_n
+        |  FROM lineitem),
+        |  k AS (SELECT * FROM d WHERE price_n IS NOT NULL)
+        |SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |  l_returnflag,
+        |  round((price_n - min(price_n) OVER w) /
+        |    (max(price_n) OVER w - min(price_n) OVER w), 6) AS scaled
+        |FROM k
+        |WINDOW w AS (PARTITION BY l_returnflag)
+        |QUALIFY l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.ops.{DedupOps, SplitOps, TextOps}
+
+/** Generator-driven invariants (SURVEY §5 item 3): the properties that
+  * must hold for ALL inputs, not just the examples the unit specs pin.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // seeded ScalaCheck sampling (the scalatest bridge isn't on the
+  // offline classpath; generators + a fixed seed give the same
+  // deterministic coverage)
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAllSeeded[A](g: Gen[A], n: Int = 12)(f: A => Unit): Unit =
+    samples(g, n).foreach(f)
+
+  private val anyDouble: Gen[Double] = Gen.oneOf(
+    Gen.choose(-1e12, 1e12),
+    Gen.oneOf(Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.NaN, 0.0, -0.0))
+
+  test("replace_inf: output is never infinite, and is idempotent") {
+    forAllSeeded(Gen.listOfN(40, anyDouble)) { xs: List[Double] =>
+      {
+        val df = xs.toDF("x")
+        val once = df.select(
+          GraftFunctions.replace_inf(col("x"), lit(-1.0)).as("y"))
+        val onceVals = once.collect().map(_.getDouble(0))
+        assert(onceVals.forall(v => !v.isInfinite))
+        val twiceVals = once.select(
+          GraftFunctions.replace_inf(col("y"), lit(-1.0)).as("z"))
+          .collect().map(_.getDouble(0))
+        // NaN != NaN, so compare bitwise
+        assert(onceVals.map(java.lang.Double.doubleToLongBits).toSeq ===
+          twiceVals.map(java.lang.Double.doubleToLongBits).toSeq)
+      }
+    }
+  }
+
+  test("antiJoinSplit: partition invariants hold for arbitrary fractions") {
+    forAllSeeded(Gen.zip(Gen.choose(0.05, 0.95), Gen.choose(0L, 1000L)),
+        n = 6) { case (frac: Double, seed: Long) =>
+        val df = (0 until 300).map(i => (i.toLong, s"s${i % 4}"))
+          .toDF("id", "s")
+        val (train, valid) = SplitOps.antiJoinSplit(df, "id", "s", frac, seed)
+        assert(train.count() + valid.count() === 300)
+        assert(train.select("id").intersect(valid.select("id"))
+          .count() === 0)
+    }
+  }
+
+  test("jaccardVerify: values always in [0,1]; 1 iff identical token sets") {
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e", "fff")
+    val doc = Gen.listOfN(6, word).map(_.mkString(" "))
+    forAllSeeded(Gen.zip(doc, doc), n = 10) { case (t1: String, t2: String) =>
+      val docs = Seq((0L, t1), (1L, t2)).toDF("doc_id", "text")
+      val cands = Seq((0L, 1L)).toDF("id_a", "id_b")
+      val j = DedupOps.jaccardVerify(docs, "doc_id", "text", cands)
+        .head.getDouble(2)
+      assert(j >= 0.0 && j <= 1.0)
+      val set1 = t1.split("\\s+").filter(_.nonEmpty).toSet
+      val set2 = t2.split("\\s+").filter(_.nonEmpty).toSet
+      if (set1 == set2) assert(j === 1.0)
+      if ((set1 & set2).isEmpty) assert(j === 0.0)
+    }
+  }
+
+  test("setFingerprint: permutation-invariant for any token multiset") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    forAllSeeded(Gen.zip(Gen.listOfN(8, word), Gen.choose(0L, 99L)),
+        n = 10) { case (ws: List[String], seed: Long) =>
+        val shuffled = new scala.util.Random(seed).shuffle(ws)
+        val df = Seq((ws.mkString(" "), shuffled.mkString(" ")))
+          .toDF("x", "y")
+          .select(TextOps.setFingerprint(col("x")).as("fx"),
+            TextOps.setFingerprint(col("y")).as("fy"))
+        val r = df.head()
+        assert(r.getString(0) === r.getString(1))
+    }
+  }
+
+  test("simhash: permuting tokens never changes the fingerprint") {
+    val word = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    forAllSeeded(Gen.zip(Gen.listOfN(10, word), Gen.choose(0L, 99L)),
+        n = 8) { case (ws: List[String], seed: Long) =>
+        val shuffled = new scala.util.Random(seed).shuffle(ws)
+        val docs = Seq((0L, ws.mkString(" ")), (1L, shuffled.mkString(" ")))
+          .toDF("doc_id", "text")
+        val fp = DedupOps.simhash64(docs, "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(fp(0L) === fp(1L))
+    }
+  }
+}
