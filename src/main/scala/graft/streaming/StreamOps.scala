@@ -53,6 +53,16 @@ object StreamOps {
       .groupBy(window(col(tsCol), windowDur, slideDur), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup: keep the first arrival per `keyCols` within
+    * the watermark horizon (the streaming analogue of
+    * [[graft.ops.DedupOps.exactDedup]]). State = one entry per distinct
+    * key newer than the watermark — without the watermark a 100 TB
+    * stream's dedup state grows forever. */
+  def dedupStream(events: DataFrame, tsCol: String,
+                  watermarkDelay: String, keyCols: String*): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keyCols :+ tsCol)
+
   /** Stateful gap sessionization over a stream — the custom-state
     * surface (`flatMapGroupsWithState`) the engine exposes beyond
     * windowed aggregation. State per key = the open session; each batch

@@ -132,6 +132,25 @@ class MlStreamMultimodalSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("dedupStream drops duplicate keys within the watermark horizon") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dedup_stream")
+    // 50 logical events, each duplicated 3×
+    val events = (0 until 150).map { i =>
+      val id = i % 50
+      (id.toLong, new java.sql.Timestamp(1700000000000L + id * 1000L),
+        s"payload$id")
+    }.toDF("event_id", "ts", "payload")
+    events.write.mode("overwrite").parquet(dir.toString)
+    val stream = StreamOps.fileStream(spark, events.schema, dir.toString)
+    val deduped = StreamOps.dedupStream(stream, "ts", "10 minutes",
+      "event_id")
+    val got = StreamOps.runToCompletion(deduped,
+      s"dd_${System.nanoTime()}", outputMode = "append")
+    assert(got.count() === 50)
+    assert(got.select("event_id").distinct().count() === 50)
+  }
+
   test("scoreStream delivers scored micro-batches through foreachBatch") {
     val df = blobs
     val model = IdsPipeline.fitOnArray(df, "embedding", "label_s",
