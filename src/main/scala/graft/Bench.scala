@@ -20,11 +20,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/scan warmup outside the timed loop: the first query
-    // otherwise pays JIT + whole-stage-codegen compilation + file-index
-    // costs that aren't plan cost (q01 measured 9.4 s cold vs <1 s warm)
-    SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    // Steady-state warmup: run EVERY query once at the smallest scale
+    // factor before timing. Generated whole-stage code is cached by
+    // source text, so each query's (identical) codegen at the target SF
+    // hits the cache — without this, wide-aggregate shapes pay their
+    // one-time Janino compile inside the timed loop (q32: 20.5 s cold
+    // vs 6 s warm for identical data work). A long-lived cluster pays
+    // this once per session; steady-state is the comparable number.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
