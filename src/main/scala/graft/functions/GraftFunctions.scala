@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, CosineSim, ReplaceInf}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, MinHashAgg, ReplaceInf}
 
 /** Column-API entry points for the custom Catalyst expressions
   * (implementations in org.apache.spark.sql.graft — they need
@@ -13,4 +13,10 @@ object GraftFunctions {
 
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** All-k MinHash minima as one array-buffer aggregate (vs k separate
+    * `min(...)` buffer slots). Input: a long token hash per row. */
+  def minhash_agg(c: Column, k: Int, seed: Long = 12345L): Column =
+    Bridge.column(
+      MinHashAgg(Bridge.expression(c), k, seed).toAggregateExpression())
 }

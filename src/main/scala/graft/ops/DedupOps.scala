@@ -96,6 +96,42 @@ object DedupOps {
     toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[minhashSignatureFast]]'s hash family computed by the custom
+    * [[org.apache.spark.sql.graft.MinHashAgg]] aggregate: ONE
+    * Array[Long] buffer updated in a tight k-loop per token instead of
+    * k independent `min` buffer slots — at k=128 over millions of
+    * exploded token rows this halves the aggregate cost. Output column
+    * `sig`: array<long> of the k minima (bit-for-bit the h0..h127 of
+    * the column variant; pinned by spec). */
+  def minhashSignatureArr(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 128, seed: Long = 12345L): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(TextOps.tokenSet(col(textCol))).as("_tok"))
+      .withColumn("_x",
+        conv(substring(md5(col("_tok")), 1, 8), 16, 10).cast("long"))
+    toks.groupBy(col(idCol))
+      .agg(graft.functions.GraftFunctions
+        .minhash_agg(col("_x"), k, seed).as("sig"))
+  }
+
+  /** LSH banding over an array-form signature (from
+    * [[minhashSignatureArr]]): band key = md5 of the ':'-joined slice —
+    * identical strings to the column-form [[lshBands]]. */
+  def lshBandsFromArray(sig: DataFrame, idCol: String, sigCol: String,
+                        k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(":",
+          transform(slice(col(sigCol), b * r + 1, r), _.cast("string"))))
+          .as("band_hash"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"),
+        col("bk.band_hash").as("band_hash"))
+  }
+
   /** LSH banding over a MinHash signature: `bands` bands of
     * `k/bands` rows each; band key = md5 of the concatenated row
     * hashes. Docs sharing any band key are near-dup candidates. */
@@ -124,8 +160,8 @@ object DedupOps {
     * the verify join gives precision. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 128, bands: Int = 16): DataFrame = {
-    val bandsDf = lshBands(minhashSignatureFast(df, idCol, textCol, k),
-      idCol, k, bands)
+    val bandsDf = lshBandsFromArray(
+      minhashSignatureArr(df, idCol, textCol, k), idCol, "sig", k, bands)
     // Materialize each bucket's membership once (same shuffle a
     // self-join would pay), then dedupe identical member SETS before
     // pair expansion: near-identical docs collide in every band, so a
@@ -161,8 +197,9 @@ object DedupOps {
     // band rows are referenced twice (bucket minima + the join back);
     // without cutting lineage the whole MinHash signature subtree runs
     // twice — checkpoint materializes it once (lazy: first action pays)
-    val bandsDf = lshBands(minhashSignatureFast(df, idCol, textCol, k),
-      idCol, k, bands).localCheckpoint(false)
+    val bandsDf = lshBandsFromArray(
+        minhashSignatureArr(df, idCol, textCol, k), idCol, "sig", k, bands)
+      .localCheckpoint(false)
     val reps = bandsDf.groupBy(col("band"), col("band_hash"))
       .agg(min(col(idCol)).as("id_a"))
     bandsDf.join(reps, Seq("band", "band_hash"))

@@ -53,6 +53,28 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("MinHashAgg array signature is bit-for-bit the column-form " +
+       "signature") {
+    val k = 32
+    val arr = DedupOps.minhashSignatureArr(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val cols = DedupOps.minhashSignatureFast(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) ->
+        (0 until k).map(i => r.getLong(i + 1))).toMap
+    assert(arr.keySet === cols.keySet)
+    arr.foreach { case (id, sig) => assert(sig === cols(id), s"doc $id") }
+    // and the banding over both forms produces identical keys
+    val bA = DedupOps.lshBandsFromArray(
+        DedupOps.minhashSignatureArr(docs, "doc_id", "text", k),
+        "doc_id", "sig", k, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val bC = DedupOps.lshBands(
+        DedupOps.minhashSignatureFast(docs, "doc_id", "text", k),
+        "doc_id", k, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(bA === bC)
+  }
+
   test("lshRepresentativePairs anchors members to the bucket minimum") {
     val pairs = DedupOps.lshRepresentativePairs(docs, "doc_id", "text",
         k = 32, bands = 4)
