@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, CosineSim, MinHashAgg, ReplaceInf}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, MinHashAgg, ReplaceInf, SimHashAgg}
 
 /** Column-API entry points for the custom Catalyst expressions
   * (implementations in org.apache.spark.sql.graft — they need
@@ -19,4 +19,9 @@ object GraftFunctions {
   def minhash_agg(c: Column, k: Int, seed: Long = 12345L): Column =
     Bridge.column(
       MinHashAgg(Bridge.expression(c), k, seed).toAggregateExpression())
+
+  /** 64-bit SimHash fingerprint as one array-buffer aggregate. Input:
+    * a long token hash (xxhash64) per row. */
+  def simhash_agg(c: Column): Column =
+    Bridge.column(SimHashAgg(Bridge.expression(c)).toAggregateExpression())
 }

@@ -208,9 +208,22 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over the distinct token set: per-token xxhash64,
-    * per-bit ±1 votes, sign → bit. One explode + one 64-column
-    * aggregate, all codegen'd bit arithmetic. */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * per-bit ±1 votes, sign → bit. One explode + ONE single-buffer
+    * aggregate ([[org.apache.spark.sql.graft.SimHashAgg]] — the 64
+    * `sum(when(...))` column form it replaces is kept as
+    * [[simhash64Columns]] and parity-pinned by spec). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(TextOps.tokenSet(col(textCol))).as("_tok"))
+      .withColumn("_h", xxhash64(col("_tok")))
+      .groupBy(col(idCol))
+      .agg(graft.functions.GraftFunctions
+        .simhash_agg(col("_h")).as("simhash"))
+
+  /** Composable-surface form of [[simhash64]]: 64 ±1-vote sum
+    * aggregates + a bit-fold projection. */
+  def simhash64Columns(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextOps.tokenSet(col(textCol))).as("_tok"))
       .withColumn("_h", xxhash64(col("_tok")))

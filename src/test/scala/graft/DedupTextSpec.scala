@@ -107,6 +107,14 @@ class DedupTextSpec extends AnyFunSuite {
     assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(4L)))
   }
 
+  test("SimHashAgg matches the 64-column vote formulation bit-for-bit") {
+    val a = DedupOps.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = DedupOps.simhash64Columns(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("hamming64 column matches bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .select(DedupOps.hamming64(col("a"), col("b")).as("h"))
