@@ -438,6 +438,20 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    // shingle (word 3-gram) Jaccard — the proper n-gram dedup unit
+    // (q34 is the unigram token-set form); same bounded probe set
+    val docs = t(s, dir, "documents")
+    val ids = docs.filter(col("doc_id") < 30).select(col("doc_id"))
+    val candidates = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    DedupOps.jaccardVerify(docs, "doc_id", "text", candidates, ngram = 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.01)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------------- //
   // LLM-pipeline: similarity search
   // ---------------------------------------------------------------- //
@@ -734,6 +748,7 @@ object SparkEntry {
     "q50_frequency_index" -> q50 _,
     "q51_exact_dedup_keep" -> q51 _,
     "q52_dropnull_scale" -> q52 _,
+    "q53_shingle_jaccard" -> q53 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1177,6 +1192,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q53_shingle_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |  sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks),
+        |  tk AS (SELECT doc_id, len(s) AS sz, unnest(s) AS u FROM sh
+        |    WHERE doc_id < 30),
+        |  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      a.sz AS size_a, b.sz AS size_b, count(*) AS inter
+        |    FROM tk a JOIN tk b ON a.u = b.u AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |  round(inter::DOUBLE / (size_a + size_b - inter), 6) AS jaccard
+        |FROM pairs
+        |WHERE round(inter::DOUBLE / (size_a + size_b - inter), 6) >= 0.01
+        |ORDER BY id_a, id_b""".stripMargin,
     "q52_dropnull_scale" ->
       """WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag,
         |    CASE WHEN l_quantity = 7 THEN NULL

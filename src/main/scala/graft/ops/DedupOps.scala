@@ -245,13 +245,15 @@ object DedupOps {
     * token + count — the verify step after LSH candidate generation.
     * `candidates` must have (id_a, id_b). */
   def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
-                    candidates0: DataFrame): DataFrame = {
+                    candidates0: DataFrame, ngram: Int = 1): DataFrame = {
     // the candidate list is referenced twice (intersection counts + the
     // join-back that surfaces zero-overlap pairs); materialize it once
     // rather than recompute its (possibly LSH-sized) lineage
     val candidates = candidates0.localCheckpoint(false)
-    val sets = df.select(col(idCol),
-      TextOps.tokenSet(col(textCol)).as("_set"))
+    val unit =
+      if (ngram <= 1) TextOps.tokenSet(col(textCol))
+      else TextOps.shingleSet(col(textCol), ngram)
+    val sets = df.select(col(idCol), unit.as("_set"))
       .withColumn("_size", size(col("_set")))
     val sizes = sets.select(col(idCol), col("_size"))
     val toks = sets.select(col(idCol), explode(col("_set")).as("_tok"))

@@ -84,6 +84,18 @@ object MultimodalOps {
     }(encoder)
   }
 
+  /** Deterministic "resize" stub: keep every `factor`-th payload byte —
+    * the stand-in for an image downscale (real impl: decode → scale →
+    * re-encode; the Spark-side contract, a narrow binary→binary map,
+    * is identical). */
+  def resizePayload(df: DataFrame, factor: Int): DataFrame = {
+    val resize = udf((payload: Array[Byte]) =>
+      if (payload == null) null
+      else payload.grouped(factor).map(_.head).toArray)
+    df.withColumn("payload_resized", resize(col("payload")))
+      .withColumn("n_bytes_resized", octet_length(col("payload_resized")))
+  }
+
   /** Frame-sampling stub for video-shaped payloads: emit every `stride`th
     * chunk of `frameBytes` as a "frame" row (1→N explode, narrow). */
   def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {

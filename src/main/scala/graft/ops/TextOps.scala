@@ -28,6 +28,20 @@ object TextOps {
   /** Distinct-token set. */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
+  /** Word n-gram shingles: the space-joined sliding windows of n
+    * consecutive tokens (the classic dedup shingling unit; n = 1
+    * degenerates to [[tokens]]). Pure column expressions — a transform
+    * over an index sequence, no explode until the caller wants rows. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Distinct shingle set (for shingle-level Jaccard / MinHash). */
+  def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
+
   /** Stopword-hit-based language scores: count of hits from each
     * language's marker list; argmax wins, 'und' if no hits. Pure
     * column expressions — one pass, no shuffle. */

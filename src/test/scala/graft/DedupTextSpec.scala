@@ -143,6 +143,28 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r.getLong(2) !== r.getLong(3))
   }
 
+  test("shingles: sliding n-gram windows; short docs yield empty sets") {
+    val df = Seq("a b c d", "a b", "x").toDF("t")
+      .select(TextOps.shingles(col("t"), 3).as("s"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq.empty)
+  }
+
+  test("shingle-level jaccardVerify distinguishes word order") {
+    // same token SET, different order → unigram jaccard 1.0 but
+    // bigram jaccard < 1 (the reason shingles exist)
+    val docs = Seq((0L, "a b c d e"), (1L, "e d c b a")).toDF("doc_id", "text")
+    val cands = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val uni = DedupOps.jaccardVerify(docs, "doc_id", "text", cands)
+      .head.getDouble(2)
+    val bi = DedupOps.jaccardVerify(docs, "doc_id", "text", cands, ngram = 2)
+      .head.getDouble(2)
+    assert(uni === 1.0)
+    assert(bi === 0.0)
+  }
+
   test("langId picks the language with most stopword hits, und on none") {
     val df = Seq(
       "the cat is one of the animals and it sleeps",

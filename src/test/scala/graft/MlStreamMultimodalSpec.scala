@@ -188,6 +188,15 @@ class MlStreamMultimodalSpec extends AnyFunSuite {
     assert(out(2L).forall(_ == 0.0))
   }
 
+  test("resizePayload keeps every factor-th byte") {
+    val media = MultimodalOps.asMedia(
+      Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text")
+    val r = MultimodalOps.resizePayload(media, factor = 3)
+      .select("payload_resized", "n_bytes_resized").head()
+    assert(new String(r.getAs[Array[Byte]](0)) === "adg")
+    assert(r.getInt(1) === 3)
+  }
+
   test("sampleFrames chunks payloads with the given stride") {
     val media = MultimodalOps.asMedia(
       Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text")
