@@ -104,9 +104,12 @@ object DedupOps {
     * `sig`: array<long> of the k minima (bit-for-bit the h0..h127 of
     * the column variant; pinned by spec). */
   def minhashSignatureArr(df: DataFrame, idCol: String, textCol: String,
-                          k: Int = 128, seed: Long = 12345L): DataFrame = {
-    val toks = df.select(col(idCol),
-        explode(TextOps.tokenSet(col(textCol))).as("_tok"))
+                          k: Int = 128, seed: Long = 12345L,
+                          ngram: Int = 1): DataFrame = {
+    val unit =
+      if (ngram <= 1) TextOps.tokenSet(col(textCol))
+      else TextOps.shingleSet(col(textCol), ngram)
+    val toks = df.select(col(idCol), explode(unit).as("_tok"))
       .withColumn("_x",
         conv(substring(md5(col("_tok")), 1, 8), 16, 10).cast("long"))
     toks.groupBy(col(idCol))
@@ -159,9 +162,11 @@ object DedupOps {
     * corpus. Always follow with [[jaccardVerify]]: banding gives recall,
     * the verify join gives precision. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 128, bands: Int = 16): DataFrame = {
+                        k: Int = 128, bands: Int = 16,
+                        ngram: Int = 1): DataFrame = {
     val bandsDf = lshBandsFromArray(
-      minhashSignatureArr(df, idCol, textCol, k), idCol, "sig", k, bands)
+      minhashSignatureArr(df, idCol, textCol, k, ngram = ngram),
+      idCol, "sig", k, bands)
     // Materialize each bucket's membership once (same shuffle a
     // self-join would pay), then dedupe identical member SETS before
     // pair expansion: near-identical docs collide in every band, so a
@@ -193,12 +198,14 @@ object DedupOps {
     * cluster representative) the result is near-identical, and the
     * pipeline stays linear at 100 TB. */
   def lshRepresentativePairs(df: DataFrame, idCol: String, textCol: String,
-                             k: Int = 128, bands: Int = 16): DataFrame = {
+                             k: Int = 128, bands: Int = 16,
+                             ngram: Int = 1): DataFrame = {
     // band rows are referenced twice (bucket minima + the join back);
     // without cutting lineage the whole MinHash signature subtree runs
     // twice — checkpoint materializes it once (lazy: first action pays)
     val bandsDf = lshBandsFromArray(
-        minhashSignatureArr(df, idCol, textCol, k), idCol, "sig", k, bands)
+        minhashSignatureArr(df, idCol, textCol, k, ngram = ngram),
+        idCol, "sig", k, bands)
       .localCheckpoint(false)
     val reps = bandsDf.groupBy(col("band"), col("band_hash"))
       .agg(min(col(idCol)).as("id_a"))

@@ -88,6 +88,14 @@ class DedupTextSpec extends AnyFunSuite {
     assert(pairs.subsetOf(full))
   }
 
+  test("shingle→minhash→band→bucket pipeline recalls exact duplicates") {
+    val pairs = DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+        k = 32, bands = 4, ngram = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))   // identical docs, shingle-level
+    assert(!pairs.contains((3L, 4L)))
+  }
+
   test("jaccardVerify computes exact token-set Jaccard") {
     val cands = Seq((0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
     val j = DedupOps.jaccardVerify(docs, "doc_id", "text", cands)
