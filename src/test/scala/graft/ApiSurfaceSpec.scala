@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+// top-level: Catalyst encoders can't capture a test-class inner scope
+case class Order(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+                 o_totalprice: Double)
+
+/** The two API surfaces beyond the Column DSL that a reference user
+  * gets: `spark.sql` over registered views (must agree with the
+  * DataFrame formulation of the same query) and typed `Dataset[T]`
+  * with case-class encoders. */
+class ApiSurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("spark.sql over registered views matches the DataFrame plan") {
+    Tables.names.foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(n)
+    }
+    val sql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getLong(3)))
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getLong(3)))
+    assert(sql.toSeq === df.toSeq)
+  }
+
+  test("typed Dataset[Order] groupByKey agrees with the untyped groupBy") {
+    import spark.implicits._
+    val ds: Dataset[Order] = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .as[Order]
+    val typed = ds.groupByKey(_.o_orderstatus)
+      .mapValues(_.o_totalprice)
+      .reduceGroups(_ + _)
+      .collect().toMap.map { case (k, v) => k -> BigDecimal(v)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) }
+    val untyped = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus")).agg(sum(col("o_totalprice")))
+      .collect().map(r => r.getString(0) -> BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).toMap
+    assert(typed === untyped)
+  }
+
+  test("the driver smoke entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
