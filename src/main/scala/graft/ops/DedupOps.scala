@@ -260,7 +260,13 @@ object DedupOps {
     val unit =
       if (ngram <= 1) TextOps.tokenSet(col(textCol))
       else TextOps.shingleSet(col(textCol), ngram)
-    val sets = df.select(col(idCol), unit.as("_set"))
+    // only docs referenced by a candidate pair need their sets built —
+    // without this semi-join, verifying 435 pairs still tokenizes the
+    // whole corpus
+    val referenced = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    val needed = df.join(referenced, Seq(idCol), "left_semi")
+    val sets = needed.select(col(idCol), unit.as("_set"))
       .withColumn("_size", size(col("_set")))
     val sizes = sets.select(col(idCol), col("_size"))
     val toks = sets.select(col(idCol), explode(col("_set")).as("_tok"))
