@@ -353,7 +353,10 @@ object SparkEntry {
         round(coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1)), 2)
           .as("next_price"),
         round(sum(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2)
-          .as("moving_sum"))
+          .as("moving_sum"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -968,7 +971,10 @@ object SparkEntry {
         |  round(coalesce(lead(o_totalprice) OVER w, -1), 2) AS next_price,
         |  round(sum(o_totalprice)
         |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
-        |    AS moving_sum
+        |    AS moving_sum,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,

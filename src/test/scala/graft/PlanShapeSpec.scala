@@ -47,6 +47,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anti-join probe should read only o_custkey: ${orderScan.mkString}")
   }
 
+  test("q27: as-of join costs ONE hash exchange on the key (merge-sort " +
+       "formulation, no range cross-join)") {
+    val p = planOf("q27_asof_join")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
+      s"asof should shuffle both sides once via the union:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "asof must not degrade to a cross-join strategy")
+  }
+
   test("q31: minhash aggregates in a single exchange on doc_id") {
     val p = planOf("q31_minhash_sig")
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1,
