@@ -696,6 +696,31 @@ object SparkEntry {
       .orderBy(col("cls"))
   }
 
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    // The north-star architecture end-to-end (BASELINE.json:
+    // "Structured Streaming + MLlib classification"): fit on batch,
+    // score a STREAM with the fitted transformer (pure projection —
+    // streaming-safe), aggregate predictions per class. Rows-only check
+    // (model training isn't SQL-expressible), but fully deterministic:
+    // seeded DT over a fixed split.
+    val emb = t(s, dir, "embeddings")
+      .withColumn("label_s", col("label").cast("string"))
+    val model = IdsPipeline.fitOnArray(emb, "embedding", "label_s",
+      IdsPipeline.DT)
+    val raw = StreamOps.fileStream(s,
+      Tables.rawSchema(s, dir, "embeddings"),
+      stageStreamDir(dir, "embeddings"))
+    val scored = IdsPipeline.scoreUnlabeled(model, raw, Some("embedding"))
+      .select(col("vec_id"), col("prediction"))
+    StreamOps.runToCompletion(scored, s"q54_${System.nanoTime()}",
+        outputMode = "append")
+      .groupBy(col("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("prediction").cast("long").as("predicted_class"),
+        col("n"))
+      .orderBy(col("predicted_class"))
+  }
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -752,6 +777,7 @@ object SparkEntry {
     "q51_exact_dedup_keep" -> q51 _,
     "q52_dropnull_scale" -> q52 _,
     "q53_shingle_jaccard" -> q53 _,
+    "q54_stream_scoring" -> q54 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]

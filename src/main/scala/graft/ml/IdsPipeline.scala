@@ -91,6 +91,19 @@ object IdsPipeline {
     graft.ops.AggOps.multiclassMetrics(scored, "encoded_label", "prediction")
   }
 
+  /** Score UNLABELED data (the production-stream case): apply every
+    * fitted stage except the label indexer, which would demand the
+    * label column the stream doesn't have. The classifier only needs
+    * `features`; `encoded_label` exists purely for training/eval. */
+  def scoreUnlabeled(model: PipelineModel, df: DataFrame,
+                     arrayCol: Option[String] = None): DataFrame = {
+    val prepared = arrayCol.map(withArrayFeatures(df, _)).getOrElse(df)
+    model.stages
+      .filterNot(_.isInstanceOf[
+        org.apache.spark.ml.feature.StringIndexerModel])
+      .foldLeft(prepared)((d, stage) => stage.transform(d))
+  }
+
   /** The reference's END-TO-END flow (`/root/reference/src/modelling.py`
     * entry points 1-3) as one composite over a dirty flow table:
     *
