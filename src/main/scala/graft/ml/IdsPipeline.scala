@@ -126,12 +126,20 @@ object IdsPipeline {
                   algo: Algo = DT): (DataFrame, PipelineModel) = {
     import graft.ops.{CleanOps, SplitOps}
     import org.apache.spark.sql.functions._
+    // NaN → null up front: Spark's `max` orders NaN ABOVE every double,
+    // so a column holding both NaN and +∞ would otherwise report NaN as
+    // its "finite ceiling"; null-ing NaN also lets the median impute
+    // treat it as missing (the reference's Imputer default)
+    val flowsNn = featureCols.foldLeft(flows)((df, c) =>
+      df.withColumn(c,
+        when(isnan(col(c)), lit(null).cast("double"))
+          .otherwise(col(c))))
     // 1: which columns carry +∞, and what is the finite max of each?
     val masked = featureCols.map(c =>
       max(CleanOps.replaceInf(col(c), lit(-100.0))).as(c))
-    val ceilings = flows.select(masked: _*).head()
+    val ceilings = flowsNn.select(masked: _*).head()
     // 2: replace ±∞ per column with its finite ceiling, then impute
-    val definite = featureCols.zipWithIndex.foldLeft(flows) {
+    val definite = featureCols.zipWithIndex.foldLeft(flowsNn) {
       case (df, (c, i)) =>
         if (ceilings.isNullAt(i)) df
         else df.withColumn(c,

@@ -277,7 +277,9 @@ object DedupOps {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     // left join back onto the candidate list: a pair with NO shared
-    // tokens must surface as jaccard 0.0, not silently vanish
+    // tokens must surface as jaccard 0.0, not silently vanish. (Pairs
+    // referencing ids absent from `df` are unverifiable and ARE
+    // dropped — the size joins below are inner on purpose.)
     candidates
       .join(sizes.select(col(idCol).as("id_a"), col("_size").as("size_a")),
         "id_a")

@@ -43,14 +43,21 @@ object RelOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    // the payload travels as ONE struct so `last(ignoreNulls)` picks the
+    // most recent right ROW atomically — filling each column separately
+    // would stitch fields from different right rows whenever a payload
+    // value is null (null value ≠ no row)
+    val payloadStructR = struct(payloadCols.map(col): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
     val lU = left
       .withColumn("_side", lit(1))
-      .select(left.columns.map(col) ++ Seq(col("_side")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"asof_$c")): _*)
+      .withColumn("_payload", lit(null).cast(payloadType))
+      .select(left.columns.map(col) ++
+        Seq(col("_side"), col("_payload")): _*)
     val rU0 = right
-      .select(Seq(col(keyCol), col(tsCol), lit(0).as("_side")) ++
-        payloadCols.map(c => col(c).as(s"asof_$c")): _*)
+      .select(col(keyCol), col(tsCol), lit(0).as("_side"),
+        payloadStructR.as("_payload"))
     val missing = left.columns.filterNot(c => c == keyCol || c == tsCol)
     val rU = missing.foldLeft(rU0)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -58,10 +65,13 @@ object RelOps {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = payloadCols.foldLeft(all)((d, c) =>
-      d.withColumn(s"asof_$c",
-        last(col(s"asof_$c"), ignoreNulls = true).over(w)))
-    filled.filter(col("_side") === 1).drop("_side")
+    val filled = all.withColumn("_match",
+      last(col("_payload"), ignoreNulls = true).over(w))
+    payloadCols.foldLeft(
+        filled.filter(col("_side") === 1)) { (d, c) =>
+        d.withColumn(s"asof_$c", col("_match").getField(c))
+      }
+      .drop("_side", "_payload", "_match")
   }
 
   /** Skew-salted inner equi-join: each left row gets a deterministic

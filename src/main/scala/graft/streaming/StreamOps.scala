@@ -55,13 +55,15 @@ object StreamOps {
 
   /** Streaming exact dedup: keep the first arrival per `keyCols` within
     * the watermark horizon (the streaming analogue of
-    * [[graft.ops.DedupOps.exactDedup]]). State = one entry per distinct
-    * key newer than the watermark — without the watermark a 100 TB
-    * stream's dedup state grows forever. */
+    * [[graft.ops.DedupOps.exactDedup]]) — a re-stamped retransmission
+    * (same key, different ts) is still a duplicate, so the timestamp is
+    * NOT part of the key; `dropDuplicatesWithinWatermark` evicts state
+    * older than the watermark, bounding it to keys seen within the
+    * horizon. */
   def dedupStream(events: DataFrame, tsCol: String,
                   watermarkDelay: String, keyCols: String*): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
 
   /** Stateful gap sessionization over a stream — the custom-state
     * surface (`flatMapGroupsWithState`) the engine exposes beyond
@@ -94,7 +96,10 @@ object StreamOps {
           ts.foreach { t =>
             open match {
               case Some(o) if t - o.end <= gapMicros =>
-                open = Some(o.copy(end = t, n = o.n + 1))
+                // min/max, not assignment: a late cross-batch event must
+                // never move the session window backwards (end < start)
+                open = Some(OpenSession(math.min(o.start, t),
+                  math.max(o.end, t), o.n + 1))
               case Some(o) =>
                 closed += SessionOut(key,
                   new java.sql.Timestamp(o.start / 1000L),

@@ -35,7 +35,8 @@ case class MinHashAgg(child: Expression, k: Int, seed: Long,
   private val p: Long = 2147483647L
   // same generator as DedupOps.minhashCoeffs (duplicated here to keep
   // the sql-package expression free of a graft-package dependency;
-  // equality is pinned by MinHashAggSpec)
+  // bit-for-bit equality is pinned by DedupTextSpec's
+  // "MinHashAgg array signature is bit-for-bit the column-form" test)
   private lazy val coeffs: (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(seed)
     val a = new Array[Long](k)

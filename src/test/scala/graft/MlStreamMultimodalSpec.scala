@@ -85,6 +85,20 @@ class MlStreamMultimodalSpec extends AnyFunSuite {
     assert(got("p3") === None)         // no right rows for key 2
   }
 
+  test("asofJoin: a null payload VALUE in the matched row stays null " +
+       "(no stale fill from older rows)") {
+    import graft.ops.RelOps
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, ts(300), "p")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(100), Some(5.0)), (1L, ts(200), None))
+      .toDF("k", "ts", "v")
+    val r = RelOps.asofJoin(left, right, "k", "ts", Seq("ts", "v")).head()
+    // most recent right ROW is ts=200 with v=null — per-column filling
+    // would wrongly stitch v=5.0 from the older row
+    assert(r.getAs[java.sql.Timestamp]("asof_ts") === ts(200))
+    assert(r.isNullAt(r.fieldIndex("asof_v")))
+  }
+
   test("sessionizeStream emits the batch sessions minus each key's " +
        "open tail session") {
     import graft.ops.RelOps
@@ -135,10 +149,12 @@ class MlStreamMultimodalSpec extends AnyFunSuite {
   test("dedupStream drops duplicate keys within the watermark horizon") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "dedup_stream")
-    // 50 logical events, each duplicated 3×
+    // 50 logical events, each duplicated 3× — with RE-STAMPED
+    // timestamps (i/50 varies), as a retransmission would arrive
     val events = (0 until 150).map { i =>
       val id = i % 50
-      (id.toLong, new java.sql.Timestamp(1700000000000L + id * 1000L),
+      (id.toLong,
+        new java.sql.Timestamp(1700000000000L + id * 1000L + (i / 50) * 7L),
         s"payload$id")
     }.toDF("event_id", "ts", "payload")
     events.write.mode("overwrite").parquet(dir.toString)
