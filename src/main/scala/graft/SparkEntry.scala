@@ -696,6 +696,21 @@ object SparkEntry {
       .orderBy(col("cls"))
   }
 
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    // Catalyst's built-in session_window (the declarative sibling of
+    // RelOps.sessionize / StreamOps.sessionizeStream; streaming-capable
+    // with a watermark). Boundary semantics: an event exactly `gap`
+    // after its predecessor starts a NEW session (windows [t, t+gap)
+    // merge only when they overlap) — the oracle uses >= accordingly.
+    t(s, dir, "events").filter(col("user_id") < 50)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("sess_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+
   private def q54(s: SparkSession, dir: String): DataFrame = {
     // The north-star architecture end-to-end (BASELINE.json:
     // "Structured Streaming + MLlib classification"): fit on batch,
@@ -778,6 +793,7 @@ object SparkEntry {
     "q52_dropnull_scale" -> q52 _,
     "q53_shingle_jaccard" -> q53 _,
     "q54_stream_scoring" -> q54 _,
+    "q55_session_window" -> q55 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1212,6 +1228,21 @@ object SparkEntry {
         |FROM sess
         |WHERE session_id < (SELECT max(session_id) FROM sess s2
         |  WHERE s2.user_id = sess.user_id)
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "q55_session_window" ->
+      """WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 50),
+        |  g AS (SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w >= 1800
+        |      OR lag(epoch(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  s AS (SELECT user_id, ts,
+        |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, sess_start""".stripMargin,
     "q50_frequency_index" ->
       """SELECT lang, count(*) AS n,
