@@ -71,20 +71,30 @@ object SimilarityOps {
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
     * the same hyperplanes; candidates = same-bucket pairs, then exact
     * cosine rank within candidates. One narrow scan to bucket each side,
-    * one equi-join shuffle on the bucket key. */
+    * one equi-join shuffle on the bucket key.
+    *
+    * `tables` > 1 runs that many independent hyperplane sets (seeds
+    * seed, seed+1, …) and unions their buckets — the classic recall
+    * lever: P(candidate) = 1 − (1 − p^planes)^tables. Candidates are
+    * deduped before ranking, so extra tables only add recall, never
+    * duplicate neighbors. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 8,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, tables: Int = 1): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
-    val hp = hyperplanes(planes, dim, seed)
     val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("_qv"))
-      .withColumn("_b", lshBucket(col("_qv"), hp))
+      col(vecCol).cast("array<double>").as("_qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("_cv"))
-      .withColumn("_b", lshBucket(col("_cv"), hp))
-    val scored = q.join(c, Seq("_b"))
+      col(vecCol).cast("array<double>").as("_cv"))
+    val candidates = (0 until tables).map { t =>
+      val hp = hyperplanes(planes, dim, seed + t)
+      q.withColumn("_b", lshBucket(col("_qv"), hp))
+        .join(c.withColumn("_b", lshBucket(col("_cv"), hp)), Seq("_b"))
+        .drop("_b")
+    }.reduce(_ unionByName _)
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
       .withColumn("sim", cosine(col("_qv"), col("_cv")))
     scored.withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))

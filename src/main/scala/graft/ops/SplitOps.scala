@@ -59,6 +59,21 @@ object SplitOps {
     df.stat.sampleBy(stratumCol, strata.map(_ -> fraction).toMap, seed)
   }
 
+  /** EXACT-size stratified sample: precisely `n` rows per stratum
+    * (ties to [[stratifiedSample]]'s Bernoulli draw, whose per-stratum
+    * counts vary binomially — training pipelines often need fixed
+    * counts). Seeded rand order + per-stratum rank; one exchange on the
+    * stratum key. Strata smaller than `n` return whole. */
+  def exactStratifiedSample(df: DataFrame, stratumCol: String, n: Int,
+                            seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_r", rand(seed))
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("_r"))))
+      .filter(col("_rank") <= n)
+      .drop("_r", "_rank")
+  }
+
   /** Train/valid split by exclusion (reference R3,
     * `src/modelling.py:89-98`): valid = stratified sample, train = rest.
     * The reference collects sampled ids to the driver and filters with

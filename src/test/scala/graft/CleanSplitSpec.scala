@@ -62,6 +62,22 @@ class CleanSplitSpec extends AnyFunSuite {
     assert(math.abs(counts("b") - 300L) < 80)
   }
 
+  test("exactStratifiedSample returns exactly n per stratum, seeded") {
+    val df = (0 until 900).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "s")
+    val a = SplitOps.exactStratifiedSample(df, "s", 50, 7L)
+    val counts = a.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("s0" -> 50L, "s1" -> 50L, "s2" -> 50L))
+    // reproducible with the same seed
+    val b = SplitOps.exactStratifiedSample(df, "s", 50, 7L)
+    assert(a.select("id").as[Long].collect().sorted ===
+      b.select("id").as[Long].collect().sorted)
+    // undersized stratum returned whole
+    val tiny = SplitOps.exactStratifiedSample(
+      df.filter(col("id") < 10), "s", 50, 7L)
+    assert(tiny.count() === 10)
+  }
+
   test("antiJoinSplit: train ∪ valid = all, train ∩ valid = ∅") {
     val df = (0 until 500).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "s")
     val (train, valid) = SplitOps.antiJoinSplit(df, "id", "s", 0.4, 7L)

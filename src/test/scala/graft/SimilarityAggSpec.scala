@@ -70,6 +70,26 @@ class SimilarityAggSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("multi-table lshTopK: more tables never lose candidates and lift " +
+       "recall toward exact") {
+    val df = clustered
+    val q = df.filter(col("vec_id") < 6)
+    val exact = SimilarityOps.bruteForceTopK(q, df, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(tables: Int): Double = {
+      val got = SimilarityOps.lshTopK(q, df, "vec_id", "embedding", 3,
+          planes = 10, seed = 42L, tables = tables)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    assert(r4 >= r1, s"recall must not drop with more tables: $r1 -> $r4")
+    assert(r4 > 0.8, s"4-table recall $r4")
+  }
+
   test("ivfTopK: high recall vs brute force on clustered data") {
     val df = clustered
     val q = df.filter(col("vec_id") < 6)
