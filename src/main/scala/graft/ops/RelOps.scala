@@ -49,7 +49,7 @@ object RelOps {
     // value is null (null value ≠ no row)
     val payloadStructR = struct(payloadCols.map(col): _*)
     val payloadType = org.apache.spark.sql.types.StructType(
-      payloadCols.map(c => right.schema(c).copy(name = c)))
+      payloadCols.map(c => right.schema(c)))
     val lU = left
       .withColumn("_side", lit(1))
       .withColumn("_payload", lit(null).cast(payloadType))

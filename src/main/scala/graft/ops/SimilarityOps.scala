@@ -81,19 +81,24 @@ object SimilarityOps {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 8,
               seed: Long = 42L, tables: Int = 1): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"))
-    val candidates = (0 until tables).map { t =>
+    val unioned = (0 until tables).map { t =>
       val hp = hyperplanes(planes, dim, seed + t)
       q.withColumn("_b", lshBucket(col("_qv"), hp))
         .join(c.withColumn("_b", lshBucket(col("_cv"), hp)), Seq("_b"))
         .drop("_b")
     }.reduce(_ unionByName _)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
+    // a single table can't produce duplicate pairs — don't pay the
+    // dedup exchange (candidate rows carry both embedding arrays)
+    val candidates =
+      if (tables > 1) unioned.dropDuplicates("query_id", "neighbor_id")
+      else unioned
     val scored = candidates
       .withColumn("sim", cosine(col("_qv"), col("_cv")))
     scored.withColumn("rn", row_number().over(

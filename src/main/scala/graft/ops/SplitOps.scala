@@ -65,14 +65,10 @@ object SplitOps {
     * counts). Seeded rand order + per-stratum rank; one exchange on the
     * stratum key. Strata smaller than `n` return whole. */
   def exactStratifiedSample(df: DataFrame, stratumCol: String, n: Int,
-                            seed: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("_r", rand(seed))
-      .withColumn("_rank", row_number().over(
-        Window.partitionBy(col(stratumCol)).orderBy(col("_r"))))
-      .filter(col("_rank") <= n)
+                            seed: Long): DataFrame =
+    RelOps.topKPerGroup(df.withColumn("_r", rand(seed)),
+        Seq(col(stratumCol)), Seq(col("_r")), n, rankCol = "_rank")
       .drop("_r", "_rank")
-  }
 
   /** Train/valid split by exclusion (reference R3,
     * `src/modelling.py:89-98`): valid = stratified sample, train = rest.

@@ -95,9 +95,18 @@ object StreamOps {
           val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
           ts.foreach { t =>
             open match {
+              case Some(o) if t < o.start - gapMicros =>
+                // cross-batch straggler far BEFORE the open session:
+                // merging it would span a silence wider than the gap.
+                // Emit it as its own closed singleton (best possible
+                // with one open session of state; stragglers within the
+                // same batch were already ordered by the sort above)
+                closed += SessionOut(key,
+                  new java.sql.Timestamp(t / 1000L),
+                  new java.sql.Timestamp(t / 1000L), 1)
               case Some(o) if t - o.end <= gapMicros =>
-                // min/max, not assignment: a late cross-batch event must
-                // never move the session window backwards (end < start)
+                // min/max, not assignment: a late event inside the gap
+                // horizon must never move the window backwards
                 open = Some(OpenSession(math.min(o.start, t),
                   math.max(o.end, t), o.n + 1))
               case Some(o) =>
