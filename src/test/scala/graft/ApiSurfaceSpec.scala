@@ -56,4 +56,20 @@ class ApiSurfaceSpec extends AnyFunSuite {
   test("the driver smoke entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("multi-path CSV scan is an implicit UNION ALL of per-file scans " +
+       "(S1, the reference's daily-file ingest)") {
+    val nation = Tables.load(spark, dir, "nation")
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "csv_multi")
+    val (d1, d2) = (s"$base/day1", s"$base/day2")
+    nation.filter(col("n_nationkey") < 12)
+      .write.option("header", "true").csv(d1)
+    nation.filter(col("n_nationkey") >= 12)
+      .write.option("header", "true").csv(d2)
+    val unioned = Tables.loadCsv(spark, nation.schema, Seq(d1, d2))
+    assert(unioned.count() === nation.count())
+    assert(unioned.select("n_nationkey").exceptAll(
+      nation.select("n_nationkey")).count() === 0)
+  }
 }
