@@ -40,7 +40,8 @@ object SimilarityOps {
       col(vecCol).cast("array<double>").as("_cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("_qv"), col("_cv")))
     scored.withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
@@ -100,7 +101,8 @@ object SimilarityOps {
       if (tables > 1) unioned.dropDuplicates("query_id", "neighbor_id")
       else unioned
     val scored = candidates
-      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("_qv"), col("_cv")))
     scored.withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
@@ -177,7 +179,8 @@ object SimilarityOps {
     val a = v.select(col("_b"), col(idCol).as("id_a"), col("_v").as("_va"))
     val b = v.select(col("_b"), col(idCol).as("id_b"), col("_v").as("_vb"))
     a.join(b, Seq("_b")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("_va"), col("_vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .distinct()
