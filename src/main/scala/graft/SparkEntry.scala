@@ -468,10 +468,12 @@ object SparkEntry {
   }
 
   private def q36(s: SparkSession, dir: String): DataFrame = {
+    // 3 independent hyperplane tables: P(candidate) = 1−(1−p^6)^3 —
+    // the recall lever the single-table form lacks
     val emb = t(s, dir, "embeddings")
     SimilarityOps.lshTopK(
         emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3,
-        planes = 6, seed = 42L)
+        planes = 6, seed = 42L, tables = 3)
       .withColumn("rn", col("rn").cast("long"))
       .orderBy(col("query_id"), col("rn"))
   }
