@@ -238,6 +238,20 @@ object SparkEntry {
         col("n"), col("qty"))
       .orderBy(col("rf"), col("ls"))
 
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    // CUBE + grouping() markers — completes the grouping-sets family
+    // next to q16's ROLLUP
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("prio"),
+        col("n"), col("total"), col("g_status"), col("g_prio"))
+      .orderBy(col("status"), col("prio"), col("g_status"), col("g_prio"))
+
   private def q17(s: SparkSession, dir: String): DataFrame =
     SplitOps.rowNumberId(
         t(s, dir, "events").filter(col("user_id") < 5), col("event_id"))
@@ -796,6 +810,7 @@ object SparkEntry {
     "q53_shingle_jaccard" -> q53 _,
     "q54_stream_scoring" -> q54 _,
     "q55_session_window" -> q55 _,
+    "q56_cube" -> q56 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1231,6 +1246,14 @@ object SparkEntry {
         |WHERE session_id < (SELECT max(session_id) FROM sess s2
         |  WHERE s2.user_id = sess.user_id)
         |ORDER BY user_id, sess_start""".stripMargin,
+    "q56_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS prio,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  grouping(o_orderstatus)::BIGINT AS g_status,
+        |  grouping(o_orderpriority)::BIGINT AS g_prio
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, prio, g_status, g_prio""".stripMargin,
     "q55_session_window" ->
       """WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 50),
         |  g AS (SELECT user_id, ts,
