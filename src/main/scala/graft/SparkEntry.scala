@@ -168,29 +168,23 @@ object SparkEntry {
   }
 
   private def q12(s: SparkSession, dir: String): DataFrame = {
-    // Median impute (A8) in ONE scan: a single wide aggregate collects
-    // (median, null count, non-null sum, total), and the post-impute
-    // mean follows from the exact identity
-    //   avg(coalesce(v, med)) = (sum(v) + n_null·med) / n
-    // so the second full pass the naive formulation pays (fill, then
-    // re-aggregate) disappears. The fill-the-column operator itself is
-    // CleanOps.medianFill; this query verifies the imputation STATS.
+    // Median impute (A8): flag the null rows, run the actual
+    // CleanOps.medianFill operator, then aggregate the FILLED column —
+    // n_null_after and avg_after are measured from the operator's
+    // output, not derived arithmetically on the driver. Two scans total
+    // (the exact-median aggregate inside medianFill + the stats pass);
+    // at 100 TB medianFillApprox swaps the full-sort median for a
+    // single-pass sketch with the same query shape.
     val withNulls = t(s, dir, "lineitem")
       .withColumn("value_n",
         when(col("l_quantity") === 5, lit(null).cast("double"))
           .otherwise(col("l_extendedprice")))
-    val st = withNulls.agg(
-      median(col("value_n")).as("med"),
-      count(when(col("value_n").isNull, lit(1))).as("n_null"),
-      sum(col("value_n")).as("sum_nn"),
-      count(lit(1)).as("n")).head()
-    val med = st.getDouble(0)
-    val nNull = st.getLong(1)
-    val avgAfter = BigDecimal((st.getDouble(2) + nNull * med) / st.getLong(3))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    import s.implicits._
-    Seq((nNull, 0L, avgAfter))
-      .toDF("n_null_before", "n_null_after", "avg_after")
+      .withColumn("_was_null", col("value_n").isNull)
+    val filled = CleanOps.medianFill(withNulls, Seq("value_n"))
+    filled.agg(
+      count(when(col("_was_null"), lit(1))).as("n_null_before"),
+      count(when(col("value_n").isNull, lit(1))).as("n_null_after"),
+      round(avg(col("value_n")), 4).as("avg_after"))
   }
 
   private def q13(s: SparkSession, dir: String): DataFrame =
@@ -1194,18 +1188,27 @@ object SparkEntry {
     "q44_multimodal_features" -> {
       // reproduces MultimodalOps.stubDecode byte math in SQL: per-byte
       // bucket sums (b % 8) divided by payload length; the fixture text
-      // is pure ASCII so unicode(char) == utf-8 byte value
-      val fCols = (0 until 8).map(i =>
+      // is pure ASCII so unicode(char) == utf-8 byte value. The chars
+      // CTE LEFT-JOINs back onto documents so a zero-length payload
+      // (LATERAL over generate_series(1,0) yields no rows) still
+      // surfaces as the all-zero feature row stubDecode emits for it.
+      val fColsAgg = (0 until 8).map(i =>
         s"round(coalesce(sum(CASE WHEN b % 8 = $i THEN b END), 0)::DOUBLE" +
           s" / n, 6) AS f$i").mkString(",\n  ")
+      val fColsSel = (0 until 8).map(i =>
+        s"coalesce(a.f$i, 0.0) AS f$i").mkString(",\n  ")
       s"""WITH chars AS (
         |  SELECT doc_id, length(text) AS n, unicode(substr(text, i.i, 1)) AS b
         |  FROM documents,
         |    LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) i
-        |)
-        |SELECT doc_id AS media_id,
-        |  $fCols
-        |FROM chars GROUP BY doc_id, n ORDER BY media_id""".stripMargin
+        |),
+        |  agg AS (SELECT doc_id,
+        |  $fColsAgg
+        |  FROM chars GROUP BY doc_id, n)
+        |SELECT d.doc_id AS media_id,
+        |  $fColsSel
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin
     },
     "q47_neardup_dedup" ->
       s"""WITH ${lshCandSqlPrefix(LshK, LshBands)},

@@ -81,11 +81,19 @@ object RelOps {
     * join splits sort-merge partitions at runtime; this is the explicit
     * form for when the layout must be pre-committed (bucketed inputs,
     * broadcast-ineligible dimension joins, AQE disabled). Cost: the
-    * right side shuffles `factor`× — size it to taste. */
+    * right side shuffles `factor`× — size it to taste.
+    *
+    * The left salt hashes the full row CONTENT, not
+    * `monotonically_increasing_id()`: an id-derived salt re-executes
+    * differently across stage retries / lineage recomputation, making the
+    * operator nondeterministic and skewing AQE statistics. Content
+    * hashing is stable under recomputation; rows identical in every
+    * column share a salt, which only matters if the hot key's rows are
+    * also full-row duplicates. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  factor: Int): DataFrame = {
     val l = left.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
+      pmod(hash(left.columns.map(col): _*), lit(factor)).cast("int"))
     val r = right.withColumn("_salt",
       explode(array((0 until factor).map(lit): _*)))
     l.join(r, Seq(key, "_salt")).drop("_salt")

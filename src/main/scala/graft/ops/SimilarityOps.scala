@@ -111,17 +111,36 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"), col("rn"))
   }
 
-  /** k-means coarse quantizer for [[ivfTopK]]: fit on (a sample of) the
-    * corpus, centroids return to the driver (nlist × dim doubles — tiny)
-    * and travel to executors as literals. */
+  /** k-means coarse quantizer for [[ivfTopK]]: fit on a capped sample of
+    * the corpus, centroids return to the driver (nlist × dim doubles —
+    * tiny) and travel to executors as literals.
+    *
+    * The fit input is CACHED for the duration of the fit: k-means runs
+    * init + `maxIter` supersteps, and without the cache every superstep
+    * re-reads the source (at 100 TB that is 10+ full scans; even at
+    * sf0.1 an uncached fit was ~20× the cached one on a cold page
+    * cache). A coarse quantizer also does not need the full corpus —
+    * `sampleCap` rows (seeded, deterministic) bound the fit cost
+    * independently of corpus size, the standard IVF recipe. */
   def ivfCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
-                   seed: Long): Array[Array[Double]] = {
+                   seed: Long, maxIter: Int = 10,
+                   sampleCap: Long = 100000L): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val vecs = corpus.select(
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .fit(vecs).clusterCenters.map(_.toArray)
+    val n = corpus.count()
+    val sampled =
+      if (n > sampleCap)
+        corpus.sample(withReplacement = false, sampleCap.toDouble / n, seed)
+      else corpus
+    val vecs = sampled.select(
+        array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .cache()
+    try {
+      vecs.count() // materialize before the iterative fit
+      new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("features")
+        .fit(vecs).clusterCenters.map(_.toArray)
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** The `nprobe` nearest centroids (by squared L2) as an array of list

@@ -93,17 +93,35 @@ object StreamOps {
           val ts = rows.map(_._2).toArray.sorted
           var open = state.getOption
           val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          ts.foreach { t =>
-            open match {
-              case Some(o) if t < o.start - gapMicros =>
-                // cross-batch straggler far BEFORE the open session:
-                // merging it would span a silence wider than the gap.
-                // Emit it as its own closed singleton (best possible
-                // with one open session of state; stragglers within the
-                // same batch were already ordered by the sort above)
+          // Cross-batch stragglers far BEFORE the open session (merging
+          // them would span a silence wider than the gap) form a sorted
+          // PREFIX of the batch. Fold consecutive stragglers into gap
+          // sessions of their own before emitting — two stragglers within
+          // `gap` of each other become ONE closed session, not two
+          // singletons. Every straggler session closes: its last event is
+          // > gap before the open session's start by construction.
+          val (stragglers, mainTs) = open match {
+            case Some(o) => ts.span(_ < o.start - gapMicros)
+            case None => (Array.empty[Long], ts)
+          }
+          var run: Option[OpenSession] = None
+          stragglers.foreach { t =>
+            run match {
+              case Some(r) if t - r.end <= gapMicros =>
+                run = Some(OpenSession(r.start, t, r.n + 1))
+              case Some(r) =>
                 closed += SessionOut(key,
-                  new java.sql.Timestamp(t / 1000L),
-                  new java.sql.Timestamp(t / 1000L), 1)
+                  new java.sql.Timestamp(r.start / 1000L),
+                  new java.sql.Timestamp(r.end / 1000L), r.n)
+                run = Some(OpenSession(t, t, 1))
+              case None => run = Some(OpenSession(t, t, 1))
+            }
+          }
+          run.foreach(r => closed += SessionOut(key,
+            new java.sql.Timestamp(r.start / 1000L),
+            new java.sql.Timestamp(r.end / 1000L), r.n))
+          mainTs.foreach { t =>
+            open match {
               case Some(o) if t - o.end <= gapMicros =>
                 // min/max, not assignment: a late event inside the gap
                 // horizon must never move the window backwards

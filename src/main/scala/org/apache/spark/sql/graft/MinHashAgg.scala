@@ -59,7 +59,11 @@ case class MinHashAgg(child: Expression, k: Int, seed: Long,
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long]
+      // mask to the documented [0, 2^32) domain: a negative input (e.g.
+      // xxhash64 fed directly instead of the md5-derived 32-bit x) would
+      // otherwise make (a·x+b)%p negative or overflow Long silently,
+      // corrupting the signature with no error
+      val x = v.asInstanceOf[Long] & 0xFFFFFFFFL
       val (a, b) = coeffs
       var i = 0
       while (i < k) {

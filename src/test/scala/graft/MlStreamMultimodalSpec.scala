@@ -124,6 +124,36 @@ class MlStreamMultimodalSpec extends AnyFunSuite {
     assert(got.sorted === Array((1L, 2L), (1L, 2L)))
   }
 
+  test("sessionizeStream folds consecutive cross-batch stragglers into " +
+       "ONE closed session, not singletons") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "sess_strag")
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // batch 1 opens a session at t=10000; batch 2 delivers two
+    // stragglers at t=0 and t=100 — both far before open.start − gap,
+    // and within gap of EACH OTHER: they must close as one 2-event
+    // session, not two singletons
+    val f1 = new java.io.File(dir.toFile, "b1.parquet")
+    val f2 = new java.io.File(dir.toFile, "b2.parquet")
+    Seq((1L, ts(10000L))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(f1.getPath)
+    Seq((1L, ts(0L)), (1L, ts(100L))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(f2.getPath)
+    // file source processes oldest-modTime first; pin the order
+    f1.setLastModified(1000000000000L)
+    f2.setLastModified(1000000060000L)
+    val schema = spark.read.parquet(f1.getPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val sessions = StreamOps.sessionizeStream(stream, "user_id", "ts", 1800L)
+    val got = StreamOps.runToCompletion(sessions.toDF(),
+        s"strag_${System.nanoTime()}", outputMode = "append")
+      .select("user_id", "sess_start", "sess_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq((1L, ts(0L), ts(100L), 2L)))
+  }
+
   test("slidingCounts over a staged stream equals the batch sliding agg") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "slide_test")
