@@ -598,6 +598,59 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    // Near-dup CLUSTERS as connected components — the canonical step
+    // after pair generation: verified Jaccard pairs (bounded probe set)
+    // are the edge list, min-label propagation assigns each doc the
+    // minimum reachable doc_id. Oracle: DuckDB recursive CTE computing
+    // the same min-reachable label.
+    val docs = t(s, dir, "documents")
+    val ids = docs.filter(col("doc_id") < 60).select(col("doc_id"))
+    val candidates = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val edges = DedupOps.jaccardVerify(docs, "doc_id", "text", candidates)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"))
+    DedupOps.connectedComponents(ids, edges, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    // BM25 keyword retrieval — the sparse-retrieval sibling of the
+    // embedding ANN queries (q35/q36/q48). Same tokenization as the
+    // dedup surface; ties at the k boundary break on doc_id against
+    // the rounded score on both engines.
+    SearchOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "query", "join"), 10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    // Bloom-filter pruned join: probe (lineitem) rows are pre-filtered
+    // by an approximate membership filter on the build side's keys —
+    // false positives are removed by the join itself, so the result is
+    // exactly the plain join, which is what the oracle asserts.
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val pruned = RelOps.bloomPrunedJoin(t(s, dir, "lineitem"), urgent,
+      "l_orderkey", expectedItems = 100000L)
+    pruned.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    // equi-width histogram binning (the equi-depth sibling is q26's
+    // ntile); bucket arithmetic is identical floor((v-lo)/step) double
+    // math on both engines
+    AggOps.histogram(t(s, dir, "orders"), "o_totalprice", 0.0, 50000.0)
+      .select(col("bucket"), col("n"),
+        round(col("min_v"), 2).as("min_v"),
+        round(col("max_v"), 2).as("max_v"))
+      .orderBy(col("bucket"))
+
   // ---------------------------------------------------------------- //
   // LLM-pipeline: text analysis
   // ---------------------------------------------------------------- //
@@ -805,6 +858,10 @@ object SparkEntry {
     "q54_stream_scoring" -> q54 _,
     "q55_session_window" -> q55 _,
     "q56_cube" -> q56 _,
+    "q57_connected_components" -> q57 _,
+    "q58_bm25_search" -> q58 _,
+    "q59_bloom_join" -> q59 _,
+    "q60_histogram" -> q60 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1249,6 +1306,64 @@ object SparkEntry {
         |WHERE session_id < (SELECT max(session_id) FROM sess s2
         |  WHERE s2.user_id = sess.user_id)
         |ORDER BY user_id, sess_start""".stripMargin,
+    "q57_connected_components" ->
+      // min-reachable-label connected components via recursive CTE; the
+      // UNION (not UNION ALL) dedups (id, comp) states so the recursion
+      // terminates
+      """WITH RECURSIVE
+        |  sets AS (SELECT doc_id, list_distinct(string_split(text, ' '))
+        |    AS s FROM documents WHERE doc_id < 60),
+        |  tk AS (SELECT doc_id, len(s) AS sz, unnest(s) AS tok FROM sets),
+        |  jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      a.sz AS size_a, b.sz AS size_b, count(*) AS inter
+        |    FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2, 3, 4),
+        |  ed AS (SELECT id_a, id_b FROM jp
+        |    WHERE inter::DOUBLE / (size_a + size_b - inter) >= 0.6),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM ed
+        |    UNION ALL SELECT id_b, id_a FROM ed),
+        |  reach AS (
+        |    SELECT doc_id AS id, doc_id AS comp FROM sets
+        |    UNION
+        |    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, min(comp) AS comp FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q58_bm25_search" ->
+      // BM25 with the same double arithmetic as the Spark side: the
+      // k1+1 / (1-b+...) subexpressions are written as the SAME
+      // operations (not pre-evaluated constants) so both engines
+      // produce bit-identical doubles before the round
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |  dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM d),
+        |  st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        |  tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+        |    FROM (SELECT doc_id, unnest(t) AS tok FROM d)
+        |    WHERE tok IN ('spark', 'query', 'join') GROUP BY 1, 2),
+        |  dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |  sc AS (SELECT tf.doc_id,
+        |      sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |        * tf.tf * (1.2 + 1.0)
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+        |        AS score
+        |    FROM tf JOIN dfq ON dfq.tok = tf.tok
+        |    JOIN dl ON dl.doc_id = tf.doc_id, st
+        |    GROUP BY 1)
+        |SELECT doc_id, round(score, 6) AS score FROM sc
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin,
+    "q59_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q60_histogram" ->
+      """SELECT floor((o_totalprice - 0.0) / 50000.0)::BIGINT AS bucket,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_v,
+        |  round(max(o_totalprice), 2) AS max_v
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_cube" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |  coalesce(o_orderpriority, '(all)') AS prio,

@@ -98,4 +98,15 @@ object AggOps {
     df.groupBy(groupCols.map(col): _*)
       .agg(expr(
         s"percentile($valueCol, array(${ps.mkString(",")}))").as("pct"))
+
+  /** Fixed-width histogram: bucket = floor((v − lo)/step) with count
+    * and observed min/max per bucket. One hash aggregate — the bucket
+    * expression keys the shuffle, so at 100 TB this is one scan + one
+    * exchange of (buckets × partials). Equi-DEPTH binning is the ntile
+    * window (q26); this is the equi-WIDTH sibling. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double,
+                step: Double): DataFrame =
+    df.groupBy(floor((col(valueCol) - lo) / step).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
 }

@@ -248,6 +248,48 @@ object DedupOps {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over near-dup candidate pairs: the canonical
+    * step AFTER pair generation — verified pairs form a graph whose
+    * components are the duplicate clusters (keep one doc per component).
+    * Min-label propagation: every node starts labeled with its own id;
+    * each iteration joins labels onto the (symmetrized) edge list and
+    * takes `min` over neighbors — ONE shuffle per iteration, keyed on
+    * node id, no driver-side graph. Iterations needed = cluster
+    * diameter, which for near-dup graphs (LSH buckets emit cliques and
+    * representative stars) is 1-2; `maxIter` bounds pathological chains
+    * (the published O(log n) alternative is large-star/small-star,
+    * overkill at clique diameter). Each iteration is materialized with
+    * `localCheckpoint` so the plan does not double per round.
+    *
+    * `nodes`: one column `idCol` (isolated docs surface as their own
+    * singleton component); `pairs`: (id_a, id_b). Returns
+    * (idCol, comp) with comp = minimum id reachable. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          idCol: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("_src"), col("id_b").as("_dst"))
+      .union(pairs.select(col("id_b").as("_src"), col("id_a").as("_dst")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col(idCol).as("_id")).distinct()
+      .withColumn("_comp", col("_id")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("_src") === col("_id"))
+        .groupBy(col("_dst")).agg(min(col("_comp")).as("_nbr"))
+      val next = labels.join(nbrMin, col("_id") === col("_dst"), "left")
+        .select(col("_id"),
+          least(col("_comp"), coalesce(col("_nbr"), col("_comp")))
+            .as("_comp"),
+          (coalesce(col("_nbr"), col("_comp")) < col("_comp")).as("_chg"))
+        .localCheckpoint()
+      done = next.filter(col("_chg")).isEmpty
+      labels = next.drop("_chg")
+      iter += 1
+    }
+    labels.select(col("_id").as(idCol), col("_comp").as("comp"))
+  }
+
   /** Exact token-set Jaccard for candidate pairs: explode + equi-join on
     * token + count — the verify step after LSH candidate generation.
     * `candidates` must have (id_a, id_b). */

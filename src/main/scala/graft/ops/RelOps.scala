@@ -99,6 +99,25 @@ object RelOps {
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Bloom-filter pruned equi-join (long keys): one pass over the
+    * build side constructs an approximate membership filter (a few
+    * hundred KB to the driver, broadcast inside the UDF closure), and
+    * the PROBE side is filtered before its shuffle — at 100 TB the
+    * probe rows that can't match never leave their scan tasks, the
+    * classic runtime-filter / semi-join-reduction pattern (Spark's own
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter` applies it to
+    * subquery filters; this is the explicit operator form). False
+    * positives (rate `fpp`) pass the filter and are eliminated by the
+    * actual join, so the result is IDENTICAL to the plain join — which
+    * is exactly what the oracle checks. */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame, key: String,
+                      expectedItems: Long,
+                      fpp: Double = 0.03): DataFrame = {
+    val bf = build.stat.bloomFilter(key, expectedItems, fpp)
+    val mightContain = udf((v: Long) => bf.mightContain(v))
+    probe.filter(mightContain(col(key))).join(build, Seq(key))
+  }
+
   /** Gap-based sessionization over an event stream (batch form): a new
     * session starts when the gap to the previous event of the same key
     * exceeds `gapSeconds`. One exchange on `keyCol` + one sort — the

@@ -133,6 +133,56 @@ class CleanSplitSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("bloomPrunedJoin equals the plain join (false positives " +
+       "eliminated by the join)") {
+    import graft.ops.RelOps
+    val probe = (0 until 5000).map(i => (i.toLong, i * 2L)).toDF("k", "pv")
+    val build = (0 until 100).map(i => (i * 37L, s"b$i")).toDF("k", "bv")
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "pv", "bv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val pruned = RelOps.bloomPrunedJoin(probe, build, "k", 1000L)
+      .select("k", "pv", "bv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(pruned === plain)
+  }
+
+  test("histogram buckets partition the domain; counts sum to n") {
+    import graft.ops.AggOps
+    val df = (0 until 1000).map(i => i.toDouble).toDF("v")
+    val h = AggOps.histogram(df, "v", 0.0, 100.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(h.length === 10)
+    assert(h.map(_._2).sum === 1000L)
+    h.foreach { case (b, _, lo, hi) =>
+      assert(lo >= b * 100.0 && hi < (b + 1) * 100.0)
+    }
+  }
+
+  test("bm25TopK ranks the doc with more query-term hits first and " +
+       "ignores non-matching docs") {
+    import graft.ops.SearchOps
+    val docs = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark is one word here"),
+      (3L, "nothing relevant at all")).toDF("doc_id", "text")
+    val got = SearchOps.bm25TopK(docs, "doc_id", "text",
+      Seq("spark"), 10).collect().map(_.getLong(0))
+    assert(got === Array(1L, 2L))  // doc 3 has no postings → absent
+  }
+
+  test("bm25TopK: a rarer term outscores a common one at equal tf") {
+    import graft.ops.SearchOps
+    val docs = Seq(
+      (1L, "rare word"), (2L, "common word"), (3L, "common word"),
+      (4L, "common filler")).toDF("doc_id", "text")
+    val scores = SearchOps.bm25TopK(docs, "doc_id", "text",
+      Seq("rare", "common"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L))  // df(rare)=1 < df(common)=3
+  }
+
   test("seededSplit is reproducible with the same seed") {
     val df = (0 until 300).map(_.toLong).toDF("v")
     val a = SplitOps.seededSplit(df, Array(0.8, 0.2), 42L)

@@ -173,6 +173,29 @@ class DedupTextSpec extends AnyFunSuite {
     assert(bi === 0.0)
   }
 
+  test("connectedComponents: chain merges to one cluster, singleton " +
+       "stays its own, disjoint pair separate") {
+    // graph: 1-2-3-4 (a chain — needs multiple propagation rounds),
+    // 6-7, and isolated node 5
+    val nodes = (1L to 7L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(nodes, pairs, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L))
+  }
+
+  test("connectedComponents labels are invariant to edge direction and " +
+       "duplicate pairs") {
+    val nodes = (1L to 4L).toDF("id")
+    val pairs = Seq((2L, 1L), (1L, 2L), (3L, 2L), (4L, 3L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(nodes, pairs, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(1L))
+  }
+
   test("langId picks the language with most stopword hits, und on none") {
     val df = Seq(
       "the cat is one of the animals and it sleeps",
