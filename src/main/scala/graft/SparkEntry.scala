@@ -724,6 +724,31 @@ object SparkEntry {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    // Stream-stream interval join (§2.11): view → purchase attribution
+    // per user within 4 hours, both sides watermarked so join state
+    // is evictable. Inner join over a fully-staged source is
+    // deterministic → plain batch interval join as the oracle.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    def side(tpe: String, tsName: String, idName: String) =
+      Tables.withTimestamps(StreamOps.fileStream(s, schema, staged),
+          "events")
+        .filter(col("user_id") < 100 && col("event_type") === tpe)
+        .select(col("user_id"), col("ts").as(tsName),
+          col("event_id").as(idName))
+    val joined = StreamOps.intervalJoinStream(
+      side("view", "view_ts", "view_id"),
+      side("purchase", "buy_ts", "buy_id"),
+      "user_id", "view_ts", "buy_ts", 14400L, "6 hours")
+    StreamOps.runToCompletion(joined, s"q61_${System.nanoTime()}",
+        outputMode = "append")
+      .select(col("user_id"), col("view_id"), col("buy_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_ts"))
+      .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -862,6 +887,7 @@ object SparkEntry {
     "q58_bm25_search" -> q58 _,
     "q59_bloom_join" -> q59 _,
     "q60_histogram" -> q60 _,
+    "q61_stream_interval_join" -> q61 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1352,6 +1378,15 @@ object SparkEntry {
         |    GROUP BY 1)
         |SELECT doc_id, round(score, 6) AS score FROM sc
         |ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin,
+    "q61_stream_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
+        |FROM events v JOIN events p ON p.user_id = v.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND v.user_id < 100
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+        |ORDER BY v.user_id, view_id, buy_id""".stripMargin,
     "q59_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue

@@ -141,6 +141,30 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval equi-join: match each left event with the
+    * right events of the same key within `(tsLeft, tsLeft +
+    * upperSeconds]`-style bounds (here `tsRight ∈ [tsLeft, tsLeft +
+    * upperSeconds]`) — the attribution/funnel join (view → purchase
+    * within 30 min). BOTH sides carry watermarks and the join condition
+    * bounds event time in both directions, so each side's buffered
+    * state is evictable once the watermark passes the bound — without
+    * the time bound a stream-stream join must buffer both streams
+    * forever. Inner join: matches emit as soon as both rows arrive.
+    * `right`'s key column is renamed internally; all other column
+    * names must be disjoint between the two sides. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         tsLeft: String, tsRight: String,
+                         upperSeconds: Long,
+                         watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(tsLeft, watermarkDelay)
+    val r = right.withColumnRenamed(keyCol, "_rk")
+      .withWatermark(tsRight, watermarkDelay)
+    l.join(r, col(keyCol) === col("_rk") &&
+        col(tsRight) >= col(tsLeft) &&
+        col(tsRight) <= col(tsLeft) + expr(s"interval $upperSeconds seconds"))
+      .drop("_rk")
+  }
+
   /** Score a stream with a batch-fitted model and deliver each
     * micro-batch to `sink` (the foreachBatch stand-in for Cassandra). */
   def scoreStream(stream: DataFrame, model: PipelineModel,
