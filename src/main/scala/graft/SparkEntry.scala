@@ -651,6 +651,26 @@ object SparkEntry {
         round(col("max_v"), 2).as("max_v"))
       .orderBy(col("bucket"))
 
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    // IQR outlier gate (Tukey fences) — quantile bounds broadcast onto
+    // the scan, no driver action; kept-row profile per returnflag
+    CleanOps.iqrOutlierFilter(t(s, dir, "lineitem"), "l_extendedprice")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(min(col("l_extendedprice")), 2).as("min_kept"),
+        round(max(col("l_extendedprice")), 2).as("max_kept"))
+      .orderBy(col("l_returnflag"))
+
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    // per-label embedding centroids (posexplode + map-side partial
+    // mean): 0-based pos matches the oracle's generate_series(1,n)-1
+    SimilarityOps.groupCentroids(t(s, dir, "embeddings"),
+        "label", "embedding")
+      .select(col("label").cast("long").as("label"),
+        col("pos").cast("long").as("pos"),
+        round(col("centroid"), 6).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
   // ---------------------------------------------------------------- //
   // LLM-pipeline: text analysis
   // ---------------------------------------------------------------- //
@@ -888,6 +908,8 @@ object SparkEntry {
     "q59_bloom_join" -> q59 _,
     "q60_histogram" -> q60 _,
     "q61_stream_interval_join" -> q61 _,
+    "q62_iqr_outliers" -> q62 _,
+    "q63_label_centroids" -> q63 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1387,6 +1409,22 @@ object SparkEntry {
         |  AND v.user_id < 100
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
         |ORDER BY v.user_id, view_id, buy_id""".stripMargin,
+    "q62_iqr_outliers" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+        |    quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_kept,
+        |  round(min(l_extendedprice), 2) AS min_kept,
+        |  round(max(l_extendedprice), 2) AS max_kept
+        |FROM lineitem, b
+        |WHERE l_extendedprice >= q1 - 1.5 * (q3 - q1)
+        |  AND l_extendedprice <= q3 + 1.5 * (q3 - q1)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q63_label_centroids" ->
+      """SELECT label::BIGINT AS label, (i.i - 1)::BIGINT AS pos,
+        |  round(avg(embedding[i.i]::DOUBLE), 6) AS centroid
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q59_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue

@@ -77,6 +77,26 @@ object CleanOps {
     df.na.fill(fills)
   }
 
+  /** IQR outlier filter: keep rows with `valueCol` inside
+    * [q1 − k·IQR, q3 + k·IQR] (Tukey's fences, the standard numeric
+    * outlier gate in a training-data pipeline). Declarative shape: the
+    * two quantiles are a 1-row aggregate CROSS-joined (broadcast) onto
+    * the scan — no driver action, one pass to bound + one to filter.
+    * Exact `percentile` buffers per-partition values; at 100 TB swap
+    * in `percentile_approx` for a single-pass sketch with the same
+    * plan shape. */
+  def iqrOutlierFilter(df: DataFrame, valueCol: String,
+                       k: Double = 1.5): DataFrame = {
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, 0.25)").as("_q1"),
+      expr(s"percentile($valueCol, 0.75)").as("_q3"))
+    val iqr = col("_q3") - col("_q1")
+    df.crossJoin(broadcast(bounds))
+      .filter(col(valueCol) >= col("_q1") - lit(k) * iqr &&
+              col(valueCol) <= col("_q3") + lit(k) * iqr)
+      .drop("_q1", "_q3")
+  }
+
   /** Approximate variant: one-pass approxQuantile sketch (what Imputer
     * actually runs). Use at scale; `medianFill` for exactness. */
   def medianFillApprox(df: DataFrame, cols: Seq[String],

@@ -185,6 +185,20 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"), col("rn"))
   }
 
+  /** Per-group embedding centroids as (group, pos, value) rows:
+    * posexplode the vector, hash-aggregate the per-dimension mean.
+    * Map-side partial aggregation means the shuffle carries only
+    * (groups × dims) partials per task — NOT rows × dims — so the
+    * class-centroid pass over 100 TB of embeddings exchanges a few KB
+    * per task. Centroids feed classifier-free filtering (distance to
+    * own class centroid) and IVF-style coarse quantizers. */
+  def groupCentroids(df: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "_v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("_v")).as("centroid"))
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, via LSH
     * buckets (approximate; exact within buckets). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -183,6 +183,28 @@ class CleanSplitSpec extends AnyFunSuite {
     assert(scores(1L) > scores(2L))  // df(rare)=1 < df(common)=3
   }
 
+  test("iqrOutlierFilter drops points outside the Tukey fences and " +
+       "keeps the bulk") {
+    import graft.ops.CleanOps
+    val df = ((1 to 100).map(_.toDouble) ++ Seq(10000.0, -10000.0))
+      .toDF("v")
+    val kept = CleanOps.iqrOutlierFilter(df, "v")
+      .as[Double].collect().sorted
+    assert(kept === (1 to 100).map(_.toDouble).toArray)
+  }
+
+  test("groupCentroids is the per-dimension mean within each group") {
+    import graft.ops.SimilarityOps
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
+      (1, Array(10.0f, 20.0f))).toDF("g", "vec")
+    val got = SimilarityOps.groupCentroids(df, "g", "vec")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    assert(got === Map((0, 0) -> 2.0, (0, 1) -> 4.0,
+      (1, 0) -> 10.0, (1, 1) -> 20.0))
+  }
+
   test("seededSplit is reproducible with the same seed") {
     val df = (0 until 300).map(_.toLong).toDF("v")
     val a = SplitOps.seededSplit(df, Array(0.8, 0.2), 42L)
