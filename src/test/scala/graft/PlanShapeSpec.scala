@@ -62,4 +62,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1,
       "minhash should shuffle once on the doc key")
   }
+
+  test("q59: bloom filter prunes the probe BEFORE the join (filter " +
+       "below the join, no lineitem-side degradation)") {
+    val p = planOf("q59_bloom_join")
+    // the UDF membership test must sit in the lineitem scan stage —
+    // i.e. a Filter containing the UDF appears, and the join itself is
+    // a hash join keyed on l_orderkey
+    assert("UDF\\((knownnotnull\\()?l_orderkey".r.findFirstIn(p).isDefined,
+      s"bloom probe filter missing:\n${p.take(1500)}")
+    assert(p.contains("HashJoin"), "bloom-pruned join lost its hash join")
+  }
+
+  test("q63: centroid aggregation is partial+final (map-side combine " +
+       "keeps the shuffle at groups x dims)") {
+    val p = planOf("q63_label_centroids")
+    assert("HashAggregate.*partial_avg".r.findFirstIn(p).isDefined ||
+      "partial".r.findFirstIn(p).isDefined,
+      s"no partial aggregate before the exchange:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning\\(label".r.findAllIn(p).length === 1,
+      "centroids should shuffle once on (label, pos)")
+  }
+
+  test("q58: BM25 statistics and term frequencies broadcast to the " +
+       "scorers (no shuffle join on the postings)") {
+    val p = planOf("q58_bm25_search")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).length >= 2,
+      s"df/stats should broadcast, not shuffle:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "BM25 top-k should plan as a heap, not a global sort")
+  }
 }
