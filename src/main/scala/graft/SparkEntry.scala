@@ -701,6 +701,24 @@ object SparkEntry {
         TextOps.setFingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    // fixed-size token chunking with overlap (context-window splitter):
+    // chunkSize 8, overlap 2 → starts 1, 7, 13, …
+    TextOps.chunkTokens(t(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", chunkSize = 8, overlap = 2)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    // Gopher-style rule gate: token-count window + duplicate-trigram
+    // ceiling; surviving docs surface with their signals
+    val kept = TextOps.qualityGate(t(s, dir, "documents"), "text",
+      minTokens = 20, maxTokens = 80, maxDupTrigramRatio = 0.02)
+    kept.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextOps.dupShingleRatio(col("text"), 3), 6).as("dup3_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Streaming (SURVEY §2.11) + batch window parity
   // ---------------------------------------------------------------- //
@@ -910,6 +928,8 @@ object SparkEntry {
     "q61_stream_interval_join" -> q61 _,
     "q62_iqr_outliers" -> q62 _,
     "q63_label_centroids" -> q63 _,
+    "q64_chunking" -> q64 _,
+    "q65_quality_gate" -> q65 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1409,6 +1429,31 @@ object SparkEntry {
         |  AND v.user_id < 100
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
         |ORDER BY v.user_id, view_id, buy_id""".stripMargin,
+    "q64_chunking" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents WHERE doc_id < 50),
+        |  s AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t), 6)) AS start
+        |  FROM d WHERE len(t) > 0)
+        |SELECT doc_id, ((start - 1) // 6)::BIGINT AS chunk_id,
+        |  array_to_string(t[start:start+7], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q65_quality_gate" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |  f AS (SELECT doc_id, len(t) AS n_tokens,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      1.0 - len(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> array_to_string(t[i:i+2], ' '))))::DOUBLE / (len(t) - 2)
+        |      ELSE 0.0 END AS dup3
+        |  FROM d)
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        |  round(dup3, 6) AS dup3_ratio
+        |FROM f
+        |WHERE n_tokens >= 20 AND n_tokens <= 80 AND dup3 <= 0.02
+        |ORDER BY doc_id""".stripMargin,
     "q62_iqr_outliers" ->
       """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
         |    quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)

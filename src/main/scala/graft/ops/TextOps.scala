@@ -99,6 +99,50 @@ object TextOps {
             .cast("double") / nTok).otherwise(lit(0.0)))
   }
 
+  /** Duplicate-shingle ratio: 1 − distinct/total word n-grams — the
+    * repetition signal behind published quality-filter rule sets
+    * (degenerate generated text repeats its own n-grams). 0.0 for docs
+    * too short to have a shingle. */
+  def dupShingleRatio(c: Column, n: Int): Column = {
+    val sh = shingles(c, n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+      .otherwise(lit(0.0))
+  }
+
+  /** Rule-based quality gate: token-count window + repetition ceiling
+    * (the Gopher/RefinedWeb-style threshold filter, composed from the
+    * same column expressions as [[qualityFeatures]]). A pure filter —
+    * pushes into the scan stage, no shuffle. */
+  def qualityGate(df: DataFrame, textCol: String, minTokens: Int,
+                  maxTokens: Int, maxDupTrigramRatio: Double): DataFrame = {
+    val c = col(textCol)
+    df.filter(tokenCount(c) >= minTokens && tokenCount(c) <= maxTokens &&
+      dupShingleRatio(c, 3) <= maxDupTrigramRatio)
+  }
+
+  /** Fixed-size token chunking with overlap (the context-window
+    * splitter): chunk starts at token 1, 1+step, … (step = chunkSize −
+    * overlap) while ≤ n; each chunk is the space-rejoined slice of
+    * `chunkSize` tokens (the last may be shorter). One explode over
+    * O(n/step) starts per doc — no shuffle; empty docs yield no
+    * chunks. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && chunkSize > overlap,
+      s"need 0 <= overlap < chunkSize, got $overlap/$chunkSize")
+    val step = chunkSize - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("_t")), lit(step))).as("_start"),
+        col("_t"))
+      .select(col(idCol),
+        ((col("_start") - 1) / step).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("_t"), col("_start"), lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
   /** Order-insensitive content fingerprint: md5 over the sorted distinct
     * token set — robust to shuffled word order, cheap exact-near-dup key. */
   def setFingerprint(c: Column): Column =

@@ -196,6 +196,45 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got.values.toSet === Set(1L))
   }
 
+  test("chunkTokens: overlapping windows cover every token; empty doc " +
+       "yields no chunks") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x"), (3L, " "))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(df, "doc_id", "text", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    // step 3: starts 1,4,7,10 → 4 chunks for doc 1; doc 2 one chunk;
+    // doc 3 (whitespace only) none
+    assert(got === Array(
+      (1L, 0L, "a b c d"), (1L, 1L, "d e f g"), (1L, 2L, "g h i j"),
+      (1L, 3L, "j"), (2L, 0L, "x")))
+  }
+
+  test("dupShingleRatio flags repetitive text, 0 for short or " +
+       "all-distinct docs") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),  // 4 identical trigrams
+      (2L, "all tokens here are different words"),
+      (3L, "ab")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.dupShingleRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.75)  // 4 trigrams, 1 distinct
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 0.0)   // too short for a trigram
+  }
+
+  test("qualityGate applies the token window and repetition ceiling") {
+    val df = Seq(
+      (1L, "one two three four five six seven"),       // kept (7 tokens)
+      (2L, "too short"),                                // < minTokens
+      (3L, "rep rep rep rep rep rep rep rep"))          // repetitive
+      .toDF("doc_id", "text")
+    val kept = TextOps.qualityGate(df, "text", 5, 100, 0.1)
+      .select("doc_id").as[Long].collect()
+    assert(kept === Array(1L))
+  }
+
   test("langId picks the language with most stopword hits, und on none") {
     val df = Seq(
       "the cat is one of the animals and it sleeps",
