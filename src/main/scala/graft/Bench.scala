@@ -35,8 +35,16 @@ object Bench {
     val sibling = new java.io.File(new java.io.File(sfDir).getParent,
       "sf0.001")
     val warmDir = if (sibling.isDirectory) sibling.getPath else sfDir
+    // SPARK_GRAFT_ONLY=q32_lsh_pairs,q65_quality_gate → bench only those
+    // (local profiling aid; driver runs without it = full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     var warmFailures = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         warmFailures += 1
@@ -46,7 +54,7 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[bench] $warmFailures warmup failures " +
         s"(dir=$warmDir) — timings may include cold codegen")
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = selected.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

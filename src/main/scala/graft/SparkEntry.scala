@@ -863,6 +863,79 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- //
+  // Round 3: redaction, SimHash near-dup (oracled), heavy hitters,
+  // embedding quantization, sliding windows, skew-salted aggregation
+  // ---------------------------------------------------------------- //
+
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    // PII/URL redaction. The fixture text is clean, so the query first
+    // stamps each doc with deterministic synthetic PII (an e-mail, a
+    // URL, a 9+-digit account number derived from doc_id) and then
+    // redacts it — the oracle builds the identical dirty text and
+    // applies the identical regexes, so any divergence in the redaction
+    // pass itself surfaces as a hash mismatch.
+    t(s, dir, "documents")
+      .withColumn("_dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via https://ex.org/p/"),
+        col("doc_id").cast("string"), lit(" ref "),
+        (col("doc_id") * lit(1000000000L) + lit(123456789L))
+          .cast("string")))
+      .select(col("doc_id"), TextOps.redactPii(col("_dirty")).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    // SimHash near-dup, end-to-end and fully oracled: md5-based 60-bit
+    // fingerprints (DuckDB-reproducible, unlike the xxhash64 production
+    // form of q33) → 4×15-bit Hamming-bucketed representative pairs →
+    // exact bit_count verify ≤ 3. Linear candidate volume (O(chunks·n)).
+    val fp = DedupOps.simhashMd5(t(s, dir, "documents"), "doc_id", "text")
+    DedupOps.simhashRepPairs(fp, "doc_id", "simhash",
+        bits = 60, chunks = 4, maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    // exact corpus heavy hitters: vocabulary-sized shuffle (map-side
+    // combine), top-k via TakeOrderedAndProject
+    TextOps.topTerms(t(s, dir, "documents"), "text", 20)
+
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    // L2-normalize + int8-quantize the embedding column (the 4×
+    // compaction step before ANN indexing); first 8 quantized dims
+    // projected as scalars (array columns can't be oracle-hashed)
+    val v = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("_v"))
+      .withColumn("_norm", SimilarityOps.l2Norm(col("_v")))
+      .withColumn("_q", SimilarityOps.quantizeInt8(col("_v"), col("_norm")))
+    v.select(col("vec_id") +: round(col("_norm"), 6).as("norm") +:
+        (0 until 8).map(i => col("_q")(i).cast("long").as(s"q$i")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    // sliding (hopping) windows — the overlapping sibling of q41's
+    // tumbling form: width 1 h, slide 30 min ⇒ every event lands in
+    // exactly 2 windows. Same groupBy(window(...)) declarative shape,
+    // streaming-capable with a watermark.
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    // two-stage skew-salted aggregation over the (5-value, heavily
+    // skewed) event_type key; identical result to the direct groupBy —
+    // which is exactly what the oracle runs
+    AggOps.saltedAgg(t(s, dir, "events"), "event_type", "value", 8)
+      .select(col("event_type"), col("n"),
+        round(col("total"), 2).as("total"))
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> q01 _,
@@ -930,6 +1003,12 @@ object SparkEntry {
     "q63_label_centroids" -> q63 _,
     "q64_chunking" -> q64 _,
     "q65_quality_gate" -> q65 _,
+    "q66_pii_redact" -> q66 _,
+    "q67_simhash_neardup" -> q67 _,
+    "q68_heavy_hitters" -> q68 _,
+    "q69_embed_quant" -> q69 _,
+    "q70_sliding_window" -> q70 _,
+    "q71_salted_agg" -> q71 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -959,6 +1038,27 @@ object SparkEntry {
        |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |    FROM bands a JOIN bands b
        |      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Generated CTE prefix reproducing [[DedupOps.simhashMd5]] in DuckDB:
+    * per-token 60-bit md5-derived hash, 60 bit-vote sums, sign-fold into
+    * the fingerprint. Ends with a `fp(doc_id, f)` CTE. */
+  private def simhashSqlPrefix: String = {
+    val votes = (0 until 60).map(i =>
+      s"sum(CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n    ")
+    val fold = (0 until 60).map(i =>
+      s"CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0 END")
+      .mkString(" + ")
+    s"""toks AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |  xs AS (SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS x FROM toks),
+       |  votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM xs GROUP BY doc_id),
+       |  fp AS (SELECT doc_id, ($fold)::BIGINT AS f FROM votes)""".stripMargin
   }
 
   /** DuckDB oracle SQL (dialect: DuckDB 1.0). Omitted for queries whose
@@ -1548,5 +1648,70 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY l_returnflag)
         |QUALIFY l_orderkey < 300
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q66_pii_redact" ->
+      // identical dirty-text synthesis, identical regexes in identical
+      // order (URL → e-mail → 9+-digit runs); DuckDB needs the 'g' flag
+      // for replace-all (Spark's regexp_replace is replace-all already)
+      """WITH dirty AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR ||
+        |    '@example.com via https://ex.org/p/' || doc_id::VARCHAR ||
+        |    ' ref ' || (doc_id * 1000000000 + 123456789)::VARCHAR AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(d,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g') AS clean
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    "q67_simhash_neardup" ->
+      s"""WITH ${simhashSqlPrefix},
+        |  chunks AS (SELECT doc_id, f, ci, (f >> (ci * 15)) & 32767 AS cv
+        |    FROM fp, (SELECT unnest([0, 1, 2, 3]) AS ci)),
+        |  reps AS (SELECT ci, cv, min(doc_id) AS id_a
+        |    FROM chunks GROUP BY 1, 2),
+        |  pairs AS (SELECT DISTINCT r.id_a, c.doc_id AS id_b
+        |    FROM chunks c JOIN reps r ON r.ci = c.ci AND r.cv = c.cv
+        |      AND c.doc_id > r.id_a)
+        |SELECT p.id_a, p.id_b,
+        |  bit_count(xor(fa.f, fb.f))::BIGINT AS hamming
+        |FROM pairs p JOIN fp fa ON fa.doc_id = p.id_a
+        |  JOIN fp fb ON fb.doc_id = p.id_b
+        |WHERE bit_count(xor(fa.f, fb.f)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q68_heavy_hitters" ->
+      """SELECT tok AS term, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |    t -> len(t) > 0)) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    "q69_embed_quant" ->
+      {
+        val qCols = (0 until 8).map(i =>
+          s"round(embedding[${i + 1}]::DOUBLE / norm * 127)::BIGINT AS q$i")
+          .mkString(",\n  ")
+        s"""WITH n AS (SELECT vec_id, embedding,
+          |    sqrt(list_aggregate(list_transform(embedding,
+          |      x -> x::DOUBLE * x::DOUBLE), 'sum')) AS norm
+          |  FROM embeddings)
+          |SELECT vec_id, round(norm, 6) AS norm,
+          |  $qCols
+          |FROM n ORDER BY vec_id""".stripMargin
+      },
+    "q70_sliding_window" ->
+      // width 3600 s, slide 1800 s: every event belongs to the two
+      // windows starting at its 30-min floor and 30 min before it.
+      // time_bucket's default origin (2000-01-01) is 1800 s-aligned
+      // with Spark's epoch-aligned window(), so the floors agree.
+      """WITH w AS (SELECT event_type,
+        |    time_bucket(INTERVAL '30 minutes', ts)
+        |      - off * INTERVAL '1 second' AS win_start
+        |  FROM events, (SELECT unnest([0, 1800]) AS off))
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q71_salted_agg" ->
+      // the salted two-stage aggregation must equal the direct groupBy
+      """SELECT event_type, count(*) AS n,
+        |  round(sum("value"), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -109,4 +109,23 @@ object AggOps {
     df.groupBy(floor((col(valueCol) - lo) / step).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+
+  /** Two-stage skew-safe aggregation: stage 1 aggregates on
+    * (key, salt) — spreading a hot key's rows over `factor` reducers —
+    * stage 2 re-aggregates the partials on the key alone. The salt is
+    * derived deterministically from the value (never from
+    * monotonically_increasing_id — nondeterministic under stage retry).
+    * Result is IDENTICAL to the direct groupBy, which is what the
+    * oracle checks. Spark's map-side partial aggregation already
+    * de-skews algebraic count/sum; the explicit two-stage form is the
+    * shape that matters when the accumulator itself is heavy
+    * (collect_set / distinct-style) or when AQE skew handling is off —
+    * exposed here over count+sum as the demonstrable pattern. */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+                factor: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(factor)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .groupBy(col(key))
+      .agg(sum(col("_n")).as("n"), sum(col("_s")).as("total"))
 }

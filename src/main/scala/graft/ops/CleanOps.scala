@@ -87,9 +87,12 @@ object CleanOps {
     * plan shape. */
   def iqrOutlierFilter(df: DataFrame, valueCol: String,
                        k: Double = 1.5): DataFrame = {
+    // ONE percentile aggregate with both probes: the exact-percentile
+    // buffer holds every value, so two separate aggregates would buffer
+    // the column twice
     val bounds = df.agg(
-      expr(s"percentile($valueCol, 0.25)").as("_q1"),
-      expr(s"percentile($valueCol, 0.75)").as("_q3"))
+        expr(s"percentile($valueCol, array(0.25, 0.75))").as("_q"))
+      .select(col("_q")(0).as("_q1"), col("_q")(1).as("_q3"))
     val iqr = col("_q3") - col("_q1")
     df.crossJoin(broadcast(bounds))
       .filter(col(valueCol) >= col("_q1") - lit(k) * iqr &&

@@ -248,6 +248,63 @@ object DedupOps {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Oracle-reproducible 60-bit SimHash: token hash = first 15 hex
+    * chars of md5 (60 bits — positive in a signed 64-bit long in both
+    * engines), bit votes via the single-buffer
+    * [[org.apache.spark.sql.graft.SimHashAgg]]. Input bits 60-63 are
+    * always 0, so their vote sums are −n and the fingerprint's top 4
+    * bits stay 0 — a 60-bit fingerprint in a long. The xxhash64 sibling
+    * [[simhash64]] is the cheaper production form; this one trades one
+    * md5 per distinct token for bit-for-bit DuckDB parity. */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(TextOps.tokenSet(col(textCol))).as("_tok"))
+      .withColumn("_h",
+        conv(substring(md5(col("_tok")), 1, 15), 16, 10).cast("long"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.GraftFunctions.simhash_agg(col("_h"))
+        .as("simhash"))
+
+  /** Hamming-bucketed SimHash near-dup pairs, representative form: the
+    * fingerprint splits into `chunks` equal bit blocks; by pigeonhole,
+    * two fingerprints within Hamming distance `chunks − 1` agree on at
+    * least one whole block — bucket on (block index, block value), pair
+    * each member with its bucket's minimum id, verify with [[hamming64]]
+    * ≤ `maxDist`. O(chunks × n) candidate rows (the all-pairs bucket
+    * expansion would be O(Σ bucket²) — quadratic on a near-dup-heavy
+    * corpus), every shuffle keyed on a small long. Same representative
+    * trade-off as [[lshRepresentativePairs]]: a member is tested only
+    * against each bucket's minimum, which for keep-lowest dedup of
+    * tight clusters is the cluster representative anyway. */
+  def simhashRepPairs(fp0: DataFrame, idCol: String, fpCol: String,
+                      bits: Int = 60, chunks: Int = 4,
+                      maxDist: Int = 3): DataFrame = {
+    require(bits % chunks == 0, s"bits=$bits not divisible by $chunks")
+    val w = bits / chunks
+    // the fingerprint frame is referenced three times (banding + both
+    // sides of the verify join-back); materialize its (possibly
+    // whole-corpus-aggregate) lineage once
+    val fp = fp0.localCheckpoint(false)
+    val chunkCols = (0 until chunks).map { i =>
+      struct(lit(i).as("ci"),
+        shiftrightunsigned(col(fpCol), i * w)
+          .bitwiseAND(lit((1L << w) - 1)).as("cv"))
+    }
+    val banded = fp.select(col(idCol), explode(array(chunkCols: _*)).as("_c"))
+      .select(col(idCol), col("_c.ci").as("_ci"), col("_c.cv").as("_cv"))
+    val reps = banded.groupBy(col("_ci"), col("_cv"))
+      .agg(min(col(idCol)).as("id_a"))
+    val pairs = banded.join(reps, Seq("_ci", "_cv"))
+      .filter(col(idCol) > col("id_a"))
+      .select(col("id_a"), col(idCol).as("id_b")).distinct()
+    pairs
+      .join(fp.select(col(idCol).as("id_a"), col(fpCol).as("_fa")), "id_a")
+      .join(fp.select(col(idCol).as("id_b"), col(fpCol).as("_fb")), "id_b")
+      .withColumn("hamming", hamming64(col("_fa"), col("_fb")).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Connected components over near-dup candidate pairs: the canonical
     * step AFTER pair generation — verified pairs form a graph whose
     * components are the duplicate clusters (keep one doc per component).

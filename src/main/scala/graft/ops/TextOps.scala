@@ -28,16 +28,32 @@ object TextOps {
   /** Distinct-token set. */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
+  /** Let-binding for column expressions: evaluate `v` ONCE and make it
+    * available to `body` as a lambda variable. Catalyst has no `let`;
+    * referencing a subexpression twice re-evaluates its whole tree
+    * (projection collapse + predicate pushdown re-inline aliases, and
+    * a lambda body referencing an outer expression re-evaluates it PER
+    * ELEMENT). Encoding: `v` becomes the single element of a wrapper
+    * array, `body` runs inside a transform over it, element_at unwraps.
+    * Turns an O(elements × cost(v)) evaluation into cost(v) + O(n). */
+  def bind(v: Column, body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Word n-gram shingles: the space-joined sliding windows of n
     * consecutive tokens (the classic dedup shingling unit; n = 1
     * degenerates to [[tokens]]). Pure column expressions — a transform
-    * over an index sequence, no explode until the caller wants rows. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+    * over an index sequence, no explode until the caller wants rows.
+    * The token array is [[bind]]-bound: without it, every shingle
+    * element's slice re-runs the regex split (~n splits per row — the
+    * difference between 0.6 s and 14 s on the sf0.1 corpus). */
+  def shingles(c: Column, n: Int): Column =
+    bind(tokens(c), toks => shinglesOf(toks, n))
+
+  /** [[shingles]] over an already-materialized token array. */
+  def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
 
   /** Distinct shingle set (for shingle-level Jaccard / MinHash). */
   def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
@@ -51,19 +67,22 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "que", "est"),
     "de" -> Seq("der", "die", "und", "das", "ist"))
 
-  def langId(c: Column): Column = {
-    val toks = tokenSet(c)
-    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      lang -> ws.map(w => when(array_contains(toks, w), 1).otherwise(0))
-        .reduce(_ + _)
-    }
-    // argmax with deterministic tie-break on language code order
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === best && s > 0 && acc === lit("und"), lit(lang))
-        .otherwise(acc)
-    }
-  }
+  def langId(c: Column): Column =
+    // bind: the 20 marker probes and the argmax chain all reference the
+    // token set — as a lambda variable it's built once per row, not once
+    // per reference
+    bind(tokenSet(c), toks => {
+      val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+        lang -> ws.map(w => when(array_contains(toks, w), 1).otherwise(0))
+          .reduce(_ + _)
+      }
+      // argmax with deterministic tie-break on language code order
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+        when(s === best && s > 0 && acc === lit("und"), lit(lang))
+          .otherwise(acc)
+      }
+    })
 
   /** English stopword sample for the stopword-ratio quality signal. */
   val stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "is",
@@ -103,12 +122,11 @@ object TextOps {
     * repetition signal behind published quality-filter rule sets
     * (degenerate generated text repeats its own n-grams). 0.0 for docs
     * too short to have a shingle. */
-  def dupShingleRatio(c: Column, n: Int): Column = {
-    val sh = shingles(c, n)
-    when(size(sh) > 0,
-      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
-      .otherwise(lit(0.0))
-  }
+  def dupShingleRatio(c: Column, n: Int): Column =
+    bind(shingles(c, n), sh =>
+      when(size(sh) > 0,
+        lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+        .otherwise(lit(0.0)))
 
   /** Rule-based quality gate: token-count window + repetition ceiling
     * (the Gopher/RefinedWeb-style threshold filter, composed from the
@@ -142,6 +160,34 @@ object TextOps {
         concat_ws(" ", slice(col("_t"), col("_start"), lit(chunkSize)))
           .as("chunk_text"))
   }
+
+  /** PII/URL scrubbing: replace URLs, e-mail addresses, and long digit
+    * runs (IDs, account-number-shaped values) with typed placeholder
+    * tokens — the standard pre-training redaction pass. A pure
+    * regexp_replace chain: codegen'd, one pass over the scan, no UDF,
+    * no shuffle. Order matters: URLs first (an e-mail-shaped userinfo
+    * inside a URL is part of the URL), then e-mails, then digit runs of
+    * ≥ 9 (shorter runs — years, quantities — are signal, not PII).
+    * Patterns stay in the RE2 ∩ java.util.regex common subset so the
+    * DuckDB oracle applies the identical expressions. */
+  def redactPii(c: Column): Column = {
+    val url = regexp_replace(c, "https?://[^\\s]+", "<URL>")
+    val mail = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(mail, "[0-9]{9,}", "<NUM>")
+  }
+
+  /** Corpus-wide top-k terms (exact heavy hitters): explode the token
+    * bag, hash-aggregate counts — map-side partial combine keeps the
+    * shuffle at distinct-terms × partitions, not total tokens — then
+    * top-k as TakeOrderedAndProject (no full sort). Ties at the k
+    * boundary break on the term for cross-engine determinism. At 100 TB
+    * the shuffle volume is the vocabulary, which is why exact heavy
+    * hitters stay feasible where exact medians don't. */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
 
   /** Order-insensitive content fingerprint: md5 over the sorted distinct
     * token set — robust to shuffled word order, cheap exact-near-dup key. */

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AggOps, DedupOps, SimilarityOps, TextOps}
+
+/** Round-3 operators: PII redaction, exact heavy hitters, md5 SimHash +
+  * Hamming-bucketed near-dup, int8 embedding quantization, skew-salted
+  * aggregation, and the `bind` let-encoding they build on. */
+class Round3OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ bind
+
+  test("bind evaluates the bound expression once with identical result") {
+    val df = Seq("a b c d e").toDF("t")
+    val direct = df.select(
+      TextOps.dupShingleRatio(col("t"), 2).as("r")).head.getDouble(0)
+    // 5 tokens, 4 distinct bigrams, no dups
+    assert(direct === 0.0)
+    // null input propagates to null, not a crash
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(TextOps.shingles(col("t"), 2).as("s")).head
+    assert(n.isNullAt(0))
+  }
+
+  // -------------------------------------------------------- redaction
+
+  test("redactPii masks URLs, e-mails, and long digit runs only") {
+    val df = Seq(
+      "mail me at jane.doe+x@corp.example.org today",
+      "see https://a.example.com/path?q=1#frag for details",
+      "card 12345678901234 expires 2026",   // 14-digit run + a year
+      "short 12345678 stays"                // 8 digits: below threshold
+    ).toDF("t").select(TextOps.redactPii(col("t")).as("r"))
+    val rs = df.as[String].collect()
+    assert(rs(0) === "mail me at <EMAIL> today")
+    assert(rs(1) === "see <URL> for details")
+    assert(rs(2) === "card <NUM> expires 2026")
+    assert(rs(3) === "short 12345678 stays")
+  }
+
+  test("redactPii handles an email-shaped userinfo inside a URL as URL") {
+    val r = Seq("go https://user@host.example.com/p now").toDF("t")
+      .select(TextOps.redactPii(col("t"))).as[String].head()
+    assert(r === "go <URL> now")
+  }
+
+  // ----------------------------------------------------- heavy hitters
+
+  test("topTerms counts exactly and breaks count ties on the term") {
+    val docs = Seq("b a a", "b c a", "c b d").toDF("text")
+    val top = TextOps.topTerms(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top === Array(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
+  // ----------------------------------------------------- md5 SimHash
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("simhashMd5: identical docs identical, fingerprint fits in 60 bits") {
+    val fps = DedupOps.simhashMd5(docs, "doc_id", "text")
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(fps(0) === fps(1))
+    assert(fps.forall(f => f >= 0 && f < (1L << 60)))
+    // locality: one-token edit is closer than an unrelated doc
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0), fps(2)) < ham(fps(0), fps(3)))
+  }
+
+  test("simhashRepPairs finds identical docs at hamming 0; pigeonhole " +
+      "recalls all pairs within chunks-1 of a bucket representative") {
+    val fp = DedupOps.simhashMd5(docs, "doc_id", "text")
+    val pairs = DedupOps.simhashRepPairs(fp, "doc_id", "simhash",
+        bits = 60, chunks = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((0L, 1L, 0L)))
+    // no pair reported above the distance ceiling
+    assert(pairs.forall(_._3 <= 3))
+    // synthetic: fingerprints differing in exactly 2 bits must be found
+    val synth = Seq((10L, 0L), (11L, 3L)).toDF("id", "f") // ham(0,3)=2
+    val sp = DedupOps.simhashRepPairs(synth, "id", "f",
+        bits = 60, chunks = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sp.contains((10L, 11L)))
+  }
+
+  // ----------------------------------------------------- quantization
+
+  test("quantizeInt8 output is within [-127, 127] and recovers cosine") {
+    val emb = Seq(
+      (0L, Array(3.0, 4.0, 0.0)),
+      (1L, Array(-1.0, 2.0, -2.0))
+    ).toDF("id", "v")
+      .withColumn("norm", SimilarityOps.l2Norm(col("v")))
+      .withColumn("q", SimilarityOps.quantizeInt8(col("v"), col("norm")))
+    val rows = emb.select("q").as[Array[Int]].collect()
+    assert(rows.flatten.forall(q => q >= -127 && q <= 127))
+    // unit direction survives: q/127 ~ v/norm within quantization step
+    val v0 = rows(0).map(_ / 127.0)
+    assert(math.abs(v0(0) - 0.6) < 0.01 && math.abs(v0(1) - 0.8) < 0.01)
+  }
+
+  // -------------------------------------------------- salted aggregate
+
+  test("saltedAgg equals the direct groupBy on a 90%-hot-key frame") {
+    val df = (1 to 1000).map { i =>
+      (if (i <= 900) "hot" else s"k${i % 7}", i.toDouble)
+    }.toDF("k", "v")
+    val salted = AggOps.saltedAgg(df, "k", "v", factor = 8)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted === direct)
+  }
+
+  // ------------------------------------------------------ lang-id bind
+
+  test("langId still classifies after the bind rewrite") {
+    val r = Seq("the cat is a friend of the dog", "el gato es de la casa")
+      .toDF("text").select(TextOps.langId(col("text"))).as[String].collect()
+    assert(r === Array("en", "es"))
+  }
+}
