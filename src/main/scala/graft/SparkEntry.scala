@@ -935,6 +935,45 @@ object SparkEntry {
         round(col("total"), 2).as("total"))
       .orderBy(col("event_type"))
 
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    // incremental ingestion gate: new batch (doc_id >= 250) deduped
+    // against the already-ingested reference half (doc_id < 250) by
+    // exact content — digest-only anti-join, the re-crawl shape
+    val docs = t(s, dir, "documents")
+    DedupOps.dedupAgainst(docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250), Seq("text"))
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    // benchmark decontamination: eval docs (src10-src19, i.e.
+    // length(source) = 5) sharing any word 8-gram with the train half
+    // (src0-src9), with shared-shingle counts
+    val docs = t(s, dir, "documents")
+    DedupOps.contamination(
+        docs.filter(length(col("source")) === 5),
+        docs.filter(length(col("source")) === 4),
+        "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    // stream-STATIC broadcast join (§2.11): an event stream enriched
+    // with a batch dimension (customer segment) — stateless, no
+    // watermark needed, the standard streaming-enrichment shape; then a
+    // windowless global aggregate in complete mode
+    val raw = StreamOps.fileStream(s, Tables.rawSchema(s, dir, "events"),
+      stageStreamDir(dir, "events"))
+    val stream = Tables.withTimestamps(raw, "events")
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = stream.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    StreamOps.runToCompletion(enriched, s"q74_${System.nanoTime()}")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1009,6 +1048,9 @@ object SparkEntry {
     "q69_embed_quant" -> q69 _,
     "q70_sliding_window" -> q70 _,
     "q71_salted_agg" -> q71 _,
+    "q72_dedup_against" -> q72 _,
+    "q73_decontaminate" -> q73 _,
+    "q74_stream_static_join" -> q74 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1713,5 +1755,28 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  round(sum("value"), 2) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q72_dedup_against" ->
+      """WITH ref AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |    WHERE doc_id < 250)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 250 AND md5(text) NOT IN (SELECT h FROM ref)
+        |ORDER BY doc_id""".stripMargin,
+    "q73_decontaminate" ->
+      """WITH d AS (SELECT doc_id, (length(source) = 4) AS is_ref,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |  sh AS (SELECT doc_id, is_ref,
+        |    list_distinct(list_transform(generate_series(1, len(t) - 7),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS ss
+        |  FROM d WHERE len(t) >= 8),
+        |  e AS (SELECT doc_id, unnest(ss) AS s FROM sh WHERE NOT is_ref),
+        |  r AS (SELECT DISTINCT unnest(ss) AS s FROM sh WHERE is_ref)
+        |SELECT e.doc_id, count(*) AS n_shared
+        |FROM e JOIN r ON r.s = e.s
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    "q74_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -125,6 +125,31 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  // ------------------------------------- incremental dedup + contamination
+
+  test("dedupAgainst drops exactly the rows whose content exists in ref") {
+    val ref = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq((10L, "seen before"), (11L, "brand new"),
+      (12L, "also seen"), (13L, "brand new")).toDF("doc_id", "text")
+    val kept = DedupOps.dedupAgainst(batch, ref, Seq("text"))
+      .select("doc_id").as[Long].collect().sorted
+    // within-batch duplicates are NOT collapsed (that's exactDedup's
+    // job) — only matches against the reference are dropped
+    assert(kept === Array(11L, 13L))
+  }
+
+  test("contamination reports eval docs sharing an n-gram with train") {
+    val train = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "prefix alpha beta gamma delta suffix"), // shares 3-grams
+      (11L, "nothing in common at all here")
+    ).toDF("doc_id", "text")
+    val hits = DedupOps.contamination(eval_, train, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // shared distinct trigrams: "alpha beta gamma", "beta gamma delta"
+    assert(hits === Map(10L -> 2L))
+  }
+
   // ------------------------------------------------------ lang-id bind
 
   test("langId still classifies after the bind rewrite") {
