@@ -530,7 +530,7 @@ object SparkEntry {
       .filter(col("user_id") < 50)
     val sessions = StreamOps.sessionizeStream(stream, "user_id", "ts", 1800L)
     StreamOps.runToCompletion(sessions.toDF(), s"q49_${System.nanoTime()}",
-        outputMode = "append")
+        outputMode = "append", statePartitions = Some(8))
       .select(col("user_id"),
         date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
         date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
@@ -755,7 +755,8 @@ object SparkEntry {
     val stream = Tables.withTimestamps(raw, "events")
     val agg = StreamOps.tumblingCounts(stream, "ts", "event_type",
       "1 hour", "1 hour")
-    StreamOps.runToCompletion(agg, s"q42_sink_${System.nanoTime()}")
+    StreamOps.runToCompletion(agg, s"q42_sink_${System.nanoTime()}",
+        statePartitions = Some(8))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
         .as("win_start"), col("event_type"), col("n"),
         round(col("total_value"), 2).as("total_value"))
@@ -780,7 +781,7 @@ object SparkEntry {
       side("purchase", "buy_ts", "buy_id"),
       "user_id", "view_ts", "buy_ts", 14400L, "6 hours")
     StreamOps.runToCompletion(joined, s"q61_${System.nanoTime()}",
-        outputMode = "append")
+        outputMode = "append", statePartitions = Some(8))
       .select(col("user_id"), col("view_id"), col("buy_id"),
         date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
         date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_ts"))
@@ -854,7 +855,7 @@ object SparkEntry {
     val scored = IdsPipeline.scoreUnlabeled(model, raw, Some("embedding"))
       .select(col("vec_id"), col("prediction"))
     StreamOps.runToCompletion(scored, s"q54_${System.nanoTime()}",
-        outputMode = "append")
+        outputMode = "append", statePartitions = Some(8))
       .groupBy(col("prediction"))
       .agg(count(lit(1)).as("n"))
       .select(col("prediction").cast("long").as("predicted_class"),
@@ -970,7 +971,8 @@ object SparkEntry {
     val enriched = stream.join(broadcast(dim), Seq("user_id"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    StreamOps.runToCompletion(enriched, s"q74_${System.nanoTime()}")
+    StreamOps.runToCompletion(enriched, s"q74_${System.nanoTime()}",
+        statePartitions = Some(8))
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 

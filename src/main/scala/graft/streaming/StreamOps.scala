@@ -179,17 +179,39 @@ object StreamOps {
   /** Run a streaming aggregation over a static directory to completion
     * (AvailableNow + memory sink) and return the final result as a
     * batch DataFrame — lets the DuckDB oracle check streaming results.
-    * `complete` output mode so open windows are included. */
+    * `complete` output mode so open windows are included.
+    *
+    * `statePartitions`: stateful operators allocate one state store per
+    * shuffle partition PER stateful operator side (a stream-stream join
+    * holds four per partition), each paying per-micro-batch
+    * snapshot/commit file I/O — at 32 shuffle partitions a single
+    * interval join maintains 128 stores. Streaming state partitioning
+    * is a deliberate per-workload knob (it is frozen into the
+    * checkpoint on first start — a real deployment sizes it to peak
+    * key cardinality, not to the batch-side CPU count). The session
+    * conf is cloned into the streaming query at `start()`, so setting
+    * it transiently scopes it to this query only. */
   def runToCompletion(agg: DataFrame, queryName: String,
-                      outputMode: String = "complete"): DataFrame = {
+                      outputMode: String = "complete",
+                      statePartitions: Option[Int] = None): DataFrame = {
     val spark = agg.sparkSession
-    val q = agg.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = agg.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      // the streaming query captured a cloned session conf at start();
+      // the live session must not keep the override for later queries
+      statePartitions.foreach(_ =>
+        spark.conf.set("spark.sql.shuffle.partitions", prev))
+    }
     spark.table(queryName)
   }
 }

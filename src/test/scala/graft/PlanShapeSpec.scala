@@ -93,4 +93,53 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       "BM25 top-k should plan as a heap, not a global sort")
   }
+
+  test("q68: heavy hitters partial-aggregate before the vocabulary " +
+       "shuffle and top-k as a heap") {
+    val p = planOf("q68_heavy_hitters")
+    // map-side combine: a partial HashAggregate must sit below the
+    // term-keyed exchange, so the shuffle carries (term, partial count)
+    assert("Exchange hashpartitioning\\(term".r.findFirstIn(p).isDefined,
+      s"expected a term-keyed exchange:\n${p.take(1500)}")
+    assert("partial_count|partial".r.findFirstIn(
+      p.substring(p.indexOf("Exchange hashpartitioning(term"))).isDefined ||
+      "HashAggregate".r.findAllIn(p).length >= 2,
+      "no partial aggregate before the term shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k terms should plan as a heap, not a global sort")
+  }
+
+  test("q72: dedup-against anti-joins on the digest, reading only the " +
+       "dedup columns from the reference side") {
+    val p = planOf("q72_dedup_against")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    // the reference scan needs text (to hash) and nothing else
+    val refScans = p.split("\n").filter(l =>
+      l.contains("documents.parquet") && l.contains("ReadSchema"))
+    assert(refScans.exists(_.contains("text")), "ref side must read text")
+    assert(!refScans.exists(_.contains("lang")),
+      s"ref scan reads unused columns: ${refScans.mkString}")
+  }
+
+  test("q73: contamination collapses the train side to its distinct " +
+       "shingle vocabulary before the join") {
+    val p = planOf("q73_decontaminate")
+    // the train-side distinct is a (partial, final) aggregate pair below
+    // the shingle equi-join — the join input is the vocabulary, not the
+    // exploded corpus
+    assert("HashAggregate".r.findAllIn(p).length >= 3,
+      s"train-side distinct aggregate missing:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "contamination must stay an equi-join on the shingle")
+  }
+
+  test("q71: salted aggregation is two exchanges — (key, salt) then key") {
+    val p = planOf("q71_salted_agg")
+    assert("Exchange hashpartitioning\\(event_type[^,]*, _salt"
+      .r.findFirstIn(p).isDefined,
+      s"stage-1 exchange should key on (event_type, _salt):\n${p.take(1500)}")
+    assert("Exchange hashpartitioning\\(event_type[^_]".r.findFirstIn(p)
+      .isDefined, "stage-2 exchange should key on event_type alone")
+  }
 }
