@@ -976,6 +976,29 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    // sequence packing: lay each language's docs head-to-tail and cut
+    // 512-token training sequences — bin/offset assignment is pure
+    // window arithmetic, parallel across languages
+    TextOps.packSequences(t(s, dir, "documents"), "lang", "doc_id", "text",
+        budget = 512)
+      .orderBy(col("lang"), col("doc_id"))
+
+  /** Target mixture for q76: reweight sources to a fixed composition
+    * (keep-all French, half English, a tenth of Chinese …). */
+  private val MixtureFractions = Map(
+    "en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 1.0, "zh" -> 0.1)
+
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    // deterministic data mixing: md5-of-key order makes the per-group
+    // draw pseudo-random yet bit-reproducible on any engine — the first
+    // SAMPLING query with a full oracle (the seeded-RNG forms q20/q21
+    // are rows-only by nature)
+    SplitOps.hashMixture(t(s, dir, "documents"), "lang", "doc_id",
+        MixtureFractions)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1053,6 +1076,8 @@ object SparkEntry {
     "q72_dedup_against" -> q72 _,
     "q73_decontaminate" -> q73 _,
     "q74_stream_static_join" -> q74 _,
+    "q75_sequence_packing" -> q75 _,
+    "q76_source_mixture" -> q76 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1780,5 +1805,29 @@ object SparkEntry {
       """SELECT c_mktsegment, event_type, count(*) AS n
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q75_sequence_packing" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> len(t) > 0))::BIGINT AS n_tokens
+        |  FROM documents),
+        |  c AS (SELECT lang, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d)
+        |SELECT lang, doc_id, n_tokens,
+        |  (cum // 512)::BIGINT AS bin, (cum % 512)::BIGINT AS bin_offset
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "q76_source_mixture" -> {
+      val cases = MixtureFractions.toSeq.sortBy(_._1)
+        .map { case (g, f) => s"WHEN '$g' THEN $f" }.mkString(" ")
+      s"""WITH f AS (SELECT doc_id, lang,
+        |    count(*) OVER (PARTITION BY lang) AS n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM f
+        |WHERE rk <= ceil((CASE lang $cases ELSE 0.0 END) * n)
+        |ORDER BY doc_id""".stripMargin
+    },
   )
 }

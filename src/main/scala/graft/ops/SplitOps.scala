@@ -88,4 +88,29 @@ object SplitOps {
   def seededSplit(df: DataFrame, weights: Array[Double],
                   seed: Long): Array[DataFrame] =
     df.randomSplit(weights, seed)
+
+  /** Deterministic per-group mixture sampling: keep
+    * ceil(fraction(g) × |g|) rows of each group, chosen by md5-of-key
+    * order — the data-mixing step that reweights sources/languages to a
+    * target composition. Hash order makes the draw pseudo-random but
+    * exactly reproducible on ANY engine (no RNG state, no partition
+    * order dependence) — unlike the seeded Bernoulli [[stratifiedSample]],
+    * this one is DuckDB-oracle-checkable bit for bit. `salt` varies the
+    * draw. One exchange on the group key; per-group size via a window
+    * count, rank via row_number — same single-shuffle shape as
+    * [[exactStratifiedSample]]. */
+  def hashMixture(df: DataFrame, groupCol: String, keyCol: String,
+                  fractions: Map[String, Double], salt: String = ""): DataFrame = {
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(f)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(groupCol))
+    val order = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))),
+        col(keyCol))
+    df.withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_rk", row_number().over(order))
+      .filter(col("_rk") <= ceil(frac * col("_n")))
+      .drop("_n", "_rk")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface
@@ -188,6 +189,27 @@ object TextOps {
     df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(k)
+
+  /** Greedy concat-packing of documents into fixed token-budget training
+    * sequences: documents lie head-to-tail in `orderCol` order within
+    * each `groupCol` partition (packing runs per shard/language stream
+    * in practice, so the window parallelizes across groups); each doc's
+    * bin = floor(exclusive-cumulative-tokens / budget) and offset =
+    * cum mod budget. Docs straddle bin boundaries — the concat-and-slice
+    * model of sequence packing (attention masks keep doc boundaries;
+    * split positions are offset arithmetic, not data motion). One
+    * exchange on the group key; the running sum is a frame-bounded
+    * window aggregate, no self-join. */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+                    textCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("_nt", tokenCount(col(textCol)).cast("long"))
+      .withColumn("_cum", coalesce(sum(col("_nt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col(orderCol), col("_nt").as("n_tokens"),
+        floor(col("_cum") / budget).cast("long").as("bin"),
+        (col("_cum") % budget).cast("long").as("bin_offset"))
+  }
 
   /** Order-insensitive content fingerprint: md5 over the sorted distinct
     * token set — robust to shuffled word order, cheap exact-near-dup key. */

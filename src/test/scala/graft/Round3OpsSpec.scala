@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{AggOps, DedupOps, SimilarityOps, TextOps}
+import graft.ops.{AggOps, DedupOps, SimilarityOps, SplitOps, TextOps}
 
 /** Round-3 operators: PII redaction, exact heavy hitters, md5 SimHash +
   * Hamming-bucketed near-dup, int8 embedding quantization, skew-salted
@@ -148,6 +148,43 @@ class Round3OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // shared distinct trigrams: "alpha beta gamma", "beta gamma delta"
     assert(hits === Map(10L -> 2L))
+  }
+
+  // --------------------------------------------- packing + mixture
+
+  test("packSequences assigns bins by exclusive cumulative tokens") {
+    val docs = Seq(
+      ("g", 1L, "a b c"),          // 3 tokens, cum 0 → bin 0 off 0
+      ("g", 2L, "d e f g"),        // 4 tokens, cum 3 → bin 0 off 3
+      ("g", 3L, "h i"),            // cum 7 → bin 1 off 2 (budget 5)
+      ("h", 9L, "x y z")           // separate group restarts at 0
+    ).toDF("lang", "doc_id", "text")
+    val out = TextOps.packSequences(docs, "lang", "doc_id", "text", 5)
+      .orderBy("lang", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      ("g", 1L, 3L, 0L, 0L), ("g", 2L, 4L, 0L, 3L),
+      ("g", 3L, 2L, 1L, 2L), ("h", 9L, 3L, 0L, 0L)))
+  }
+
+  test("hashMixture keeps ceil(f*n) rows per group, deterministically") {
+    val df = (0 until 200).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "g")
+    val mix = Map("a" -> 0.3, "b" -> 1.0)
+    val out = SplitOps.hashMixture(df, "g", "id", mix)
+    val sizes = out.groupBy("g").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sizes === Map("a" -> 30L, "b" -> 100L))   // ceil(.3*100), all of b
+    // reproducible: the same call selects the same ids
+    val ids1 = out.select("id").as[Long].collect().sorted
+    val ids2 = SplitOps.hashMixture(df, "g", "id", mix)
+      .select("id").as[Long].collect().sorted
+    assert(ids1 === ids2)
+    // a different salt draws a different subset of the same size
+    val salted = SplitOps.hashMixture(df, "g", "id", mix, salt = "s1")
+      .select("id").as[Long].collect().sorted
+    assert(salted.length === ids1.length && !(salted sameElements ids1))
   }
 
   // ------------------------------------------------------ lang-id bind
