@@ -999,6 +999,36 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    // FULL OUTER join completing the registered join family (inner q03,
+    // semi q05, anti q04, left in asof/q27): per-nation customer counts
+    // vs supplier counts, nations missing on either side surface with
+    // null-coalesced zeros
+    val cust = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val supp = t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, Seq("nk"), "full_outer")
+      .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nk"))
+  }
+
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    // explicit GROUPING SETS (the general form behind q16's ROLLUP and
+    // q56's CUBE): per-status totals, per-priority totals, and the
+    // grand total in ONE pass — exercised through the SQL surface over
+    // a registered view (spark.sql is part of the engine contract)
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, '(all)') AS status,
+             coalesce(o_orderpriority, '(all)') AS prio,
+             count(1) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders_v
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, prio""")
+  }
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1078,6 +1108,8 @@ object SparkEntry {
     "q74_stream_static_join" -> q74 _,
     "q75_sequence_packing" -> q75 _,
     "q76_source_mixture" -> q76 _,
+    "q77_full_outer" -> q77 _,
+    "q78_grouping_sets" -> q78 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1829,5 +1861,22 @@ object SparkEntry {
         |WHERE rk <= ceil((CASE lang $cases ELSE 0.0 END) * n)
         |ORDER BY doc_id""".stripMargin
     },
+    "q77_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |    FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+        |  s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |    FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nk,
+        |  coalesce(n_cust, 0) AS n_cust,
+        |  coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON s.nk = c.nk
+        |ORDER BY nk""".stripMargin,
+    "q78_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS prio,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, prio""".stripMargin,
   )
 }

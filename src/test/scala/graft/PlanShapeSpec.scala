@@ -134,6 +134,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "contamination must stay an equi-join on the shingle")
   }
 
+  test("q75: sequence packing costs ONE exchange on the group key " +
+       "(cumsum is a frame-bounded window, no self-join)") {
+    val p = planOf("q75_sequence_packing")
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).length === 1,
+      s"packing should shuffle once on lang:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "packing must not plan a self-join")
+  }
+
+  test("q76: mixture sampling's two windows share one exchange on the " +
+       "group key") {
+    val p = planOf("q76_source_mixture")
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).length === 1,
+      s"both windows should reuse a single lang exchange:\n${p.take(1500)}")
+  }
+
   test("q71: salted aggregation is two exchanges — (key, salt) then key") {
     val p = planOf("q71_salted_agg")
     assert("Exchange hashpartitioning\\(event_type[^,]*, _salt"
