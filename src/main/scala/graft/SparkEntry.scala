@@ -1029,6 +1029,15 @@ object SparkEntry {
       ORDER BY status, prio""")
   }
 
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    // hash-THRESHOLD mixture — the zero-shuffle scale sibling of q76:
+    // the filter runs in the scan stage, sizes are Binomial(n, f), and
+    // the draw is still bit-reproducible in DuckDB (same md5 threshold)
+    SplitOps.hashSampleMixture(t(s, dir, "documents"), "lang", "doc_id",
+        MixtureFractions)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1110,6 +1119,7 @@ object SparkEntry {
     "q76_source_mixture" -> q76 _,
     "q77_full_outer" -> q77 _,
     "q78_grouping_sets" -> q78 _,
+    "q79_hash_sample" -> q79 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1878,5 +1888,13 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, prio""".stripMargin,
+    "q79_hash_sample" -> {
+      val cases = MixtureFractions.toSeq.sortBy(_._1)
+        .map { case (g, f) => s"WHEN '$g' THEN $f" }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |    / 4294967296.0 < (CASE lang $cases ELSE 0.0 END)
+        |ORDER BY doc_id""".stripMargin
+    },
   )
 }

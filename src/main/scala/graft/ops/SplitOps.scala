@@ -113,4 +113,24 @@ object SplitOps {
       .filter(col("_rk") <= ceil(frac * col("_n")))
       .drop("_n", "_rk")
   }
+
+  /** Scale sibling of [[hashMixture]]: deterministic hash-THRESHOLD
+    * mixture — keep a row iff the first 8 md5 hex chars of its salted
+    * key, read as a fraction of 2^32, fall below fraction(group).
+    * ZERO shuffle (a pure scan-stage filter — [[hashMixture]]'s exact
+    * ceil(f·n) sizes cost a per-group rank whose parallelism is one
+    * task per group); sizes are Binomial(n, f) rather than exact — the
+    * standard trade at 100 TB, and still bit-reproducible on any
+    * engine (same md5, same threshold). */
+  def hashSampleMixture(df: DataFrame, groupCol: String, keyCol: String,
+                        fractions: Map[String, Double],
+                        salt: String = ""): DataFrame = {
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(f)).otherwise(acc)
+    }
+    val u = conv(substring(
+        md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    df.filter(u < frac)
+  }
 }

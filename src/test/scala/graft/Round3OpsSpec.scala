@@ -187,6 +187,17 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(salted.length === ids1.length && !(salted sameElements ids1))
   }
 
+  test("hashSampleMixture: deterministic, near-f sizes, zero-shuffle plan") {
+    val df = (0 until 2000).map(i => (i.toLong, "a")).toDF("id", "g")
+    val out = SplitOps.hashSampleMixture(df, "g", "id", Map("a" -> 0.3))
+    val n = out.count()
+    assert(math.abs(n - 600.0) < 100, s"binomial size way off: $n")  // ±~4σ
+    assert(out.count() === n)                    // deterministic re-run
+    // the filter is a scan-stage predicate: no exchange in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "hash-threshold sampling must not shuffle")
+  }
+
   // ------------------------------------------------------ lang-id bind
 
   test("langId still classifies after the bind rewrite") {
