@@ -1038,6 +1038,24 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    // sketch accuracy contract: exact per-group distinct users next to a
+    // BOOLEAN asserting the HLL++ estimate lands within 5% relative
+    // error. The estimate itself is engine-specific (DuckDB can't
+    // reproduce Spark's HLL), but the CONTRACT is oracle-checkable: the
+    // oracle emits `true`, so an estimator drifting out of tolerance
+    // hash-mismatches and fails the gate. approx_count_distinct is the
+    // 100 TB path (fixed-size sketch, map-side combinable, mergeable
+    // across partitions) where countDistinct re-shuffles every key.
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("_approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("_approx") - col("exact_users")).cast("double") /
+          col("exact_users") < 0.05).as("approx_ok"))
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1120,6 +1138,7 @@ object SparkEntry {
     "q77_full_outer" -> q77 _,
     "q78_grouping_sets" -> q78 _,
     "q79_hash_sample" -> q79 _,
+    "q80_sketch_accuracy" -> q80 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -1896,5 +1915,12 @@ object SparkEntry {
         |    / 4294967296.0 < (CASE lang $cases ELSE 0.0 END)
         |ORDER BY doc_id""".stripMargin
     },
+    "q80_sketch_accuracy" ->
+      // the oracle asserts the CONTRACT (estimate within 5%), not the
+      // engine-specific HLL value: it emits `true`, so estimator drift
+      // beyond tolerance fails the hash compare
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

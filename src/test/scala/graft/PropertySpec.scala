@@ -101,4 +101,57 @@ class PropertySpec extends AnyFunSuite {
         assert(fp(0L) === fp(1L))
     }
   }
+
+  test("packSequences: offsets stay below budget, bins are non-decreasing " +
+       "in order, and bin boundaries respect the cumulative token count") {
+    val word = Gen.oneOf("a", "b", "cc", "ddd")
+    val doc = Gen.choose(1, 9).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    forAllSeeded(Gen.zip(Gen.listOfN(8, doc), Gen.choose(3, 12)),
+        n = 8) { case (docs: List[String], budget: Int) =>
+        val df = docs.zipWithIndex.map { case (t, i) => ("g", i.toLong, t) }
+          .toDF("g", "id", "text")
+        val out = TextOps.packSequences(df, "g", "id", "text", budget)
+          .orderBy("id").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        var cum = 0L
+        out.foreach { case (_, n, bin, off) =>
+          assert(off >= 0 && off < budget)
+          assert(bin === cum / budget)
+          assert(off === cum % budget)
+          cum += n
+        }
+        assert(out.map(_._3).toSeq === out.map(_._3).sorted.toSeq)
+    }
+  }
+
+  test("hashMixture: exact ceil(f*n) per group for arbitrary fractions; " +
+       "output is always a subset of the input") {
+    forAllSeeded(Gen.zip(Gen.choose(0.05, 0.95), Gen.choose(0.05, 0.95)),
+        n = 6) { case (fa: Double, fb: Double) =>
+        val df = (0 until 120).map(i =>
+          (i.toLong, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
+        val out = SplitOps.hashMixture(df, "g", "id",
+          Map("a" -> fa, "b" -> fb))
+        val sizes = out.groupBy("g").count().collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        assert(sizes.getOrElse("a", 0L) === math.ceil(fa * 40).toLong)
+        assert(sizes.getOrElse("b", 0L) === math.ceil(fb * 80).toLong)
+        assert(out.join(df, Seq("id"), "left_anti").count() === 0)
+    }
+  }
+
+  test("countMinSketch never under-counts and respects the eps bound") {
+    val df = (0 until 3000).map(i => (i % 37).toLong).toDF("k")
+    val cms = df.stat.countMinSketch(col("k"), eps = 0.01,
+      confidence = 0.99, seed = 42)
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n, s"CMS under-counted $k: $est < $n")
+      assert(est <= n + math.ceil(0.01 * 3000).toLong,
+        s"CMS over-counted $k beyond eps*N: $est vs $n")
+    }
+  }
 }
