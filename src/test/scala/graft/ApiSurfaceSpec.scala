@@ -1,12 +1,31 @@
 package graft
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 // top-level: Catalyst encoders can't capture a test-class inner scope
 case class Order(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
                  o_totalprice: Double)
+
+/** Typed `Aggregator[IN, BUF, OUT]` — the idiomatic user-defined
+  * aggregate surface (SURVEY §2.10; the engine's own hot-path
+  * aggregates are Catalyst `TypedImperativeAggregate`s, this is the
+  * public-API form a library user extends): Welford-style mean over
+  * doubles, mergeable across partitions like any builtin. */
+object MeanAgg extends Aggregator[Double, (Double, Long), Double] {
+  def zero: (Double, Long) = (0.0, 0L)
+  def reduce(b: (Double, Long), x: Double): (Double, Long) =
+    (b._1 + x, b._2 + 1)
+  def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  def finish(b: (Double, Long)): Double =
+    if (b._2 == 0) Double.NaN else b._1 / b._2
+  def bufferEncoder: Encoder[(Double, Long)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
 
 /** The two API surfaces beyond the Column DSL that a reference user
   * gets: `spark.sql` over registered views (must agree with the
@@ -55,6 +74,40 @@ class ApiSurfaceSpec extends AnyFunSuite {
 
   test("the driver smoke entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("typed Aggregator (UDAF surface) matches the builtin avg, both " +
+       "as a TypedColumn and registered for SQL") {
+    import spark.implicits._
+    val ds = Tables.load(spark, dir, "orders")
+      .select("o_totalprice").as[Double]
+    val typed = ds.select(MeanAgg.toColumn).head()
+    val builtin = Tables.load(spark, dir, "orders")
+      .agg(avg("o_totalprice")).head().getDouble(0)
+    assert(math.abs(typed - builtin) < 1e-6)
+    spark.udf.register("mean_agg", udaf(MeanAgg))
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("o_udaf")
+    val viaSql = spark.sql("SELECT mean_agg(o_totalprice) FROM o_udaf")
+      .head().getDouble(0)
+    assert(math.abs(viaSql - builtin) < 1e-6)
+  }
+
+  test("rate source: the unbounded streaming source wires through the " +
+       "same transform surface as the file source") {
+    val rows = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .withColumn("bucket", pmod(col("value"), lit(5)))
+    val q = rows.writeStream.format("memory")
+      .queryName("rate_smoke").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1200)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rate_smoke")
+    assert(got.columns.toSeq ===
+      Seq("timestamp", "value", "bucket"))
+    assert(got.count() >= 0)   // rows depend on wall clock; schema is the check
   }
 
   test("multi-path CSV scan is an implicit UNION ALL of per-file scans " +
