@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Degenerate-input hardening: every library operator must survive an
+  * EMPTY frame and a single-row frame — at 100 TB empty partitions,
+  * empty micro-batches, and all-filtered shards are routine, and the
+  * oracle gates (which run on populated fixtures) never exercise them. */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def oneDoc: DataFrame =
+    Seq((1L, "just one tiny document")).toDF("doc_id", "text")
+
+  test("dedup ops survive empty and singleton corpora") {
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      assert(DedupOps.exactDedup(docs, Seq("text"), "doc_id").count() ===
+        docs.count())
+      assert(DedupOps.dupGroups(docs, "text", "doc_id").count() ===
+        docs.count())
+      assert(DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+        k = 16, bands = 4).count() === 0)
+      assert(DedupOps.lshRepresentativePairs(docs, "doc_id", "text",
+        k = 16, bands = 4).count() === 0)
+      val fp = DedupOps.simhashMd5(docs, "doc_id", "text")
+      assert(DedupOps.simhashRepPairs(fp, "doc_id", "simhash")
+        .count() === 0)
+      assert(DedupOps.dedupAgainst(docs, emptyDocs, Seq("text")).count() ===
+        docs.count())
+      assert(DedupOps.dedupAgainst(emptyDocs, docs, Seq("text")).count() === 0)
+      assert(DedupOps.contamination(docs, emptyDocs, "doc_id", "text", 2)
+        .count() === 0)
+      val noCands = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+      assert(DedupOps.jaccardVerify(docs, "doc_id", "text", noCands)
+        .count() === 0)
+      assert(DedupOps.connectedComponents(docs.select(col("doc_id")),
+        noCands, "doc_id").count() === docs.count())
+    }
+  }
+
+  test("text ops survive empty frames, empty strings, and whitespace") {
+    val weird = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    for (docs <- Seq(emptyDocs, weird)) {
+      assert(TextOps.topTerms(docs, "text", 5).count() <= 1)
+      assert(TextOps.qualityGate(docs, "text", 1, 10, 0.5).count() <=
+        docs.count())
+      assert(TextOps.chunkTokens(docs, "doc_id", "text", 4, 1).count() <= 1)
+      assert(TextOps.packSequences(docs, "doc_id", "doc_id", "text", 8)
+        .count() === docs.count())
+      val red = docs.select(TextOps.redactPii(col("text"))).collect()
+      assert(red.length === docs.count())
+      // empty/whitespace text → zero tokens, empty shingles, und lang
+      val sig = docs.select(TextOps.tokenCount(col("text")).as("n"),
+        TextOps.langId(col("text")).as("l"),
+        TextOps.dupShingleRatio(col("text"), 3).as("r")).collect()
+      sig.foreach { r =>
+        assert(r.getInt(0) >= 0 && r.getDouble(2) >= 0.0)
+      }
+    }
+  }
+
+  test("sampling/agg ops survive empty frames") {
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "g", "v")
+    assert(SplitOps.hashMixture(empty, "g", "id", Map("a" -> 0.5))
+      .count() === 0)
+    assert(SplitOps.hashSampleMixture(empty, "g", "id", Map("a" -> 0.5))
+      .count() === 0)
+    assert(AggOps.saltedAgg(empty, "g", "v", 4).count() === 0)
+    assert(AggOps.histogram(empty, "v", 0.0, 10.0).count() === 0)
+    assert(CleanOps.iqrOutlierFilter(empty, "v").count() === 0)
+    assert(CleanOps.dropNulls(empty, Seq("v")).count() === 0)
+  }
+
+  test("similarity ops survive empty corpora") {
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    val one = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(SimilarityOps.bruteForceTopK(one, empty, "vec_id", "embedding", 3)
+      .count() === 0)
+    assert(SimilarityOps.bruteForceTopK(empty, one, "vec_id", "embedding", 3)
+      .count() === 0)
+    assert(SimilarityOps.groupCentroids(
+      Seq.empty[(Int, Array[Double])].toDF("label", "embedding"),
+      "label", "embedding").count() === 0)
+    val q = one.withColumn("norm", SimilarityOps.l2Norm(col("embedding")))
+      .withColumn("q", SimilarityOps.quantizeInt8(col("embedding"),
+        col("norm")))
+    assert(q.count() === 1)
+  }
+}
