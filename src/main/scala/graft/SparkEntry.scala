@@ -687,9 +687,12 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   private def q39(s: SparkSession, dir: String): DataFrame =
+    // two-projection form: token set materialized once as a column,
+    // argmax chain codegen'd over the attribute (2× the bind form)
     t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenSet(col("text")).as("_t"))
       .select(col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred"))
+        TextOps.langIdFromTokens(col("_t")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
   private def q40(s: SparkSession, dir: String): DataFrame =
@@ -710,7 +713,15 @@ object SparkEntry {
 
   private def q65(s: SparkSession, dir: String): DataFrame = {
     // Gopher-style rule gate: token-count window + duplicate-trigram
-    // ceiling; surviving docs surface with their signals
+    // ceiling; surviving docs surface with their signals. Uses the
+    // bind-based operator filter, NOT the two-projection pattern of
+    // q38/q39: predicate pushdown substitutes an alias's FULL
+    // expression into filters below the project (CollapseProject's
+    // cost model protects projections only), so a filter on a
+    // materialized expensive column re-inlines it per reference —
+    // measured 11.4 s vs 2.1 s for this bind form at sf0.1. bind keeps
+    // the let-binding inside a single expression, immune to both
+    // rewrites.
     val kept = TextOps.qualityGate(t(s, dir, "documents"), "text",
       minTokens = 20, maxTokens = 80, maxDupTrigramRatio = 0.02)
     kept.select(col("doc_id"),

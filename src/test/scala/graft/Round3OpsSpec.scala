@@ -198,6 +198,16 @@ class Round3OpsSpec extends AnyFunSuite {
       "hash-threshold sampling must not shuffle")
   }
 
+  test("qualityGate operator selects exactly q65's two-projection doc set") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val viaOp = TextOps.qualityGate(docs, "text", 20, 80, 0.02)
+      .select("doc_id").as[Long].collect().sorted
+    val viaQuery = SparkEntry.queries("q65_quality_gate")(spark, dir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaOp === viaQuery)
+  }
+
   // ------------------------------------------------------ lang-id bind
 
   test("langId still classifies after the bind rewrite") {
