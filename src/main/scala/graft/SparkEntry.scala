@@ -574,11 +574,11 @@ object SparkEntry {
 
   private def q46(s: SparkSession, dir: String): DataFrame =
     // LSH-bucketed cosine near-dup — the 100 TB shape (bucket equi-join,
-    // no crossJoin). Seeded hyperplanes aren't DuckDB-reproducible →
-    // no_oracle here; SimilarityOpsSpec pins the subset-of-exact and
-    // determinism properties.
+    // no crossJoin). Oracled via embedded hyperplane literals (the q36
+    // trick); SimilarityOpsSpec additionally pins subset-of-exact and
+    // determinism.
     SimilarityOps.cosineNearDupPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.8, planes = 8, seed = 42L)
+        "vec_id", "embedding", threshold = 0.3, planes = 8, seed = 42L)
       .orderBy(col("id_a"), col("id_b"))
 
   private def q47(s: SparkSession, dir: String): DataFrame = {
@@ -1445,6 +1445,76 @@ object SparkEntry {
         |FROM pairs
         |WHERE round(inter::DOUBLE / (size_a + size_b - inter), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q36_ann_lsh" -> {
+      // the hyperplanes are seeded Scala Gaussians — embedded here as
+      // shortest-roundtrip double literals (same trick as the q67
+      // 60-vote SimHash SQL), so DuckDB computes the IDENTICAL buckets.
+      // dim is pinned to the fixture's 64 (TESTDATA.md); a dim change
+      // would desync the literals and fail the compare loudly rather
+      // than silently.
+      val dim = 64
+      val planes = 6
+      def bucketExpr(v: String, t: Int): String = {
+        val hp = SimilarityOps.hyperplanes(planes, dim, 42L + t)
+        (0 until planes).map { i =>
+          s"(CASE WHEN list_inner_product($v, [${hp(i).mkString(", ")}])" +
+            s" >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      }
+      val qb = (0 until 3).map(t => s"${bucketExpr("qv", t)} AS b$t")
+        .mkString(",\n    ")
+      val cb = (0 until 3).map(t => s"${bucketExpr("cv", t)} AS b$t")
+        .mkString(",\n    ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |    FROM embeddings),
+        |  qb AS (SELECT query_id, qv,
+        |    $qb
+        |  FROM q),
+        |  cb AS (SELECT neighbor_id, cv,
+        |    $cb
+        |  FROM c),
+        |  cand AS (SELECT DISTINCT query_id, neighbor_id
+        |    FROM qb, cb
+        |    WHERE (qb.b0 = cb.b0 OR qb.b1 = cb.b1 OR qb.b2 = cb.b2)
+        |      AND query_id <> neighbor_id),
+        |  s AS (SELECT cand.query_id, cand.neighbor_id,
+        |      list_inner_product(q.qv, c.cv) /
+        |        (sqrt(list_inner_product(q.qv, q.qv)) *
+        |         sqrt(list_inner_product(c.cv, c.cv))) AS sim0
+        |    FROM cand JOIN q ON q.query_id = cand.query_id
+        |    JOIN c ON c.neighbor_id = cand.neighbor_id),
+        |  r AS (SELECT query_id, neighbor_id, round(sim0, 6) AS sim,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(sim0, 6) DESC, neighbor_id) AS rn
+        |    FROM s)
+        |SELECT query_id, neighbor_id, sim, rn FROM r WHERE rn <= 3
+        |ORDER BY query_id, rn""".stripMargin
+    },
+    "q46_cosine_neardup_lsh" -> {
+      // single-table 8-plane bucket join with embedded hyperplane
+      // literals; the >= threshold filter runs on the UNROUNDED sim,
+      // exactly like cosineNearDupPairs
+      val dim = 64
+      val planes = 8
+      val hp = SimilarityOps.hyperplanes(planes, dim, 42L)
+      val bucket = (0 until planes).map { i =>
+        s"(CASE WHEN list_inner_product(v, [${hp(i).mkString(", ")}])" +
+          s" >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |  b AS (SELECT vec_id, v, $bucket AS bk FROM e),
+        |  p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+        |      list_inner_product(a.v, x.v) /
+        |        (sqrt(list_inner_product(a.v, a.v)) *
+        |         sqrt(list_inner_product(x.v, x.v))) AS sim0
+        |    FROM b a JOIN b x ON a.bk = x.bk AND a.vec_id < x.vec_id)
+        |SELECT DISTINCT id_a, id_b, round(sim0, 6) AS sim
+        |FROM p WHERE sim0 >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin
+    },
     "q35_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |    FROM embeddings WHERE vec_id < 5),
