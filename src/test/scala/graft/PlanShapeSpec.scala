@@ -149,6 +149,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both windows should reuse a single lang exchange:\n${p.take(1500)}")
   }
 
+  test("q39/q38: the two-projection pattern holds — exactly ONE regex " +
+       "tokenization in each plan (CollapseProject must keep the " +
+       "multiply-referenced token array materialized)") {
+    val p39 = planOf("q39_lang_id")
+    assert("split\\(".r.findAllIn(p39).length === 1,
+      s"q39 re-tokenizes per marker probe:\n${p39.take(1200)}")
+    val p38 = planOf("q38_text_quality")
+    assert("split\\(".r.findAllIn(p38).length === 1,
+      s"q38 re-tokenizes per signal:\n${p38.take(1200)}")
+  }
+
   test("q71: salted aggregation is two exchanges — (key, salt) then key") {
     val p = planOf("q71_salted_agg")
     assert("Exchange hashpartitioning\\(event_type[^,]*, _salt"
