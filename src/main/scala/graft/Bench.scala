@@ -36,11 +36,18 @@ object Bench {
       "sf0.001")
     val warmDir = if (sibling.isDirectory) sibling.getPath else sfDir
     // SPARK_GRAFT_ONLY=q32_lsh_pairs,q65_quality_gate → bench only those
-    // (local profiling aid; driver runs without it = full suite)
+    // (local profiling aid; driver runs without it = full suite).
+    // Unknown names fail loudly — a misspelling would otherwise bench
+    // zero queries and emit an empty-but-plausible results file.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+            unknown.mkString(", "))
+        SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
     var warmFailures = 0

@@ -168,33 +168,57 @@ object SparkEntry {
   }
 
   private def q12(s: SparkSession, dir: String): DataFrame = {
-    // Median impute (A8): flag the null rows, run the actual
-    // CleanOps.medianFill operator, then aggregate the FILLED column —
-    // n_null_after and avg_after are measured from the operator's
-    // output, not derived arithmetically on the driver. Two scans total
-    // (the exact-median aggregate inside medianFill + the stats pass);
-    // at 100 TB medianFillApprox swaps the full-sort median for a
-    // single-pass sketch with the same query shape.
+    // Median impute (A8), sketch form: the fill value comes from the
+    // one-pass approxQuantile sketch (CleanOps.medianFillApprox's path —
+    // fixed memory, mergeable) instead of the exact `median()`, whose
+    // buffer of every value fails the 100× memory test. A sketch isn't
+    // bit-reproducible in DuckDB, so the gate is q80's tolerance-CONTRACT
+    // pattern: the imputed value must sit within ±(1%+1 row) rank of the
+    // true median of the non-null distribution — Spark emits the boolean,
+    // the oracle emits literal true, and a drifting sketch (rank error
+    // guarantee: 0.1%) hash-mismatches loudly.
     val withNulls = t(s, dir, "lineitem")
       .withColumn("value_n",
         when(col("l_quantity") === 5, lit(null).cast("double"))
           .otherwise(col("l_extendedprice")))
       .withColumn("_was_null", col("value_n").isNull)
-    val filled = CleanOps.medianFill(withNulls, Seq("value_n"))
+    val med = CleanOps.approxMedians(withNulls, Seq("value_n"))("value_n")
+    val filled = withNulls.na.fill(Map("value_n" -> med))
+    val nn = count(when(!col("_was_null"), lit(1)))
+    val cle = count(when(!col("_was_null") && col("value_n") <= med, lit(1)))
+    val clt = count(when(!col("_was_null") && col("value_n") < med, lit(1)))
+    val err = lit(0.01) * nn + lit(1)
     filled.agg(
       count(when(col("_was_null"), lit(1))).as("n_null_before"),
       count(when(col("value_n").isNull, lit(1))).as("n_null_after"),
-      round(avg(col("value_n")), 4).as("avg_after"))
+      (cle >= lit(0.5) * nn - err && clt <= lit(0.5) * nn + err)
+        .as("median_rank_ok"))
   }
 
-  private def q13(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    // Per-group quartiles, sketch form (A8 at scale): percentile_approx
+    // is a fixed-size mergeable sketch — map-side combinable, no
+    // per-group buffer of every value. Contract oracle (q80 pattern):
+    // each reported quantile is rank-certified against its group —
+    // count(x ≤ v) ≥ (p−ε)·n and count(x < v) ≤ (p+ε)·n with
+    // ε = 1% + 1 row (the sketch's guarantee is 0.01% at accuracy 1e4).
+    val o = t(s, dir, "orders")
+    val probes = o.groupBy(col("o_orderstatus"))
+      .agg(percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("_p"))
+    val n = count(lit(1))
+    val err = lit(0.01) * n + lit(1)
+    def okCol(i: Int, p: Double, nm: String) = {
+      val cle = count(when(col("o_totalprice") <= col("_p")(i), lit(1)))
+      val clt = count(when(col("o_totalprice") < col("_p")(i), lit(1)))
+      (cle >= lit(p) * n - err && clt <= lit(p) * n + err).as(nm)
+    }
+    o.join(broadcast(probes), "o_orderstatus")
       .groupBy(col("o_orderstatus"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+      .agg(n.as("n"), okCol(0, 0.25, "p25_ok"), okCol(1, 0.5, "p50_ok"),
+        okCol(2, 0.75, "p75_ok"))
       .orderBy(col("o_orderstatus"))
+  }
 
   private def q14(s: SparkSession, dir: String): DataFrame =
     RelOps.topK(t(s, dir, "orders"),
@@ -423,13 +447,17 @@ object SparkEntry {
 
   /** LSH parameters for q32/q47: k=128 hashes, 16 bands of r=8 →
     * S-curve threshold (1/16)^(1/8) ≈ 0.71 Jaccard. (Round 1 shipped a
-    * degenerate r=2 that emitted 72% of all-pairs as "candidates".) */
+    * degenerate r=2 that emitted 72% of all-pairs as "candidates".)
+    * MaxBucket=64 caps the within-bucket C(m,2) expansion — it BINDS on
+    * the fixture's dominant near-dup cluster (≈n/3 docs at every SF), so
+    * the capped path is what the oracle checks and the bench times. */
   private val LshK = 128
   private val LshBands = 16
+  private val LshMaxBucket = 64
 
   private def q32(s: SparkSession, dir: String): DataFrame =
     DedupOps.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
-        k = LshK, bands = LshBands)
+        k = LshK, bands = LshBands, maxBucket = LshMaxBucket)
       .orderBy(col("id_a"), col("id_b"))
 
   private def q33(s: SparkSession, dir: String): DataFrame =
@@ -651,15 +679,40 @@ object SparkEntry {
         round(col("max_v"), 2).as("max_v"))
       .orderBy(col("bucket"))
 
-  private def q62(s: SparkSession, dir: String): DataFrame =
-    // IQR outlier gate (Tukey fences) — quantile bounds broadcast onto
-    // the scan, no driver action; kept-row profile per returnflag
-    CleanOps.iqrOutlierFilter(t(s, dir, "lineitem"), "l_extendedprice")
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_kept"),
-        round(min(col("l_extendedprice")), 2).as("min_kept"),
-        round(max(col("l_extendedprice")), 2).as("max_kept"))
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    // IQR outlier gate (Tukey fences), sketch form: approx fences
+    // (CleanOps.iqrOutlierFilterApprox — percentile_approx bounds
+    // broadcast onto the scan, no exact-percentile buffer, no driver
+    // action) + q80-style tolerance contracts: both fence quantiles are
+    // rank-certified against the data, and the gate must keep at least
+    // the IQR box (Tukey fences strictly contain [q1, q3] ⇒ ≥ ~50% of
+    // rows; 45% leaves sketch-error margin). Per-flag totals stay exact.
+    val li = t(s, dir, "lineitem")
+    val v = col("l_extendedprice")
+    val bounds = li.agg(percentile_approx(v, array(lit(0.25), lit(0.75)),
+        lit(10000)).as("_q"))
+      .select(col("_q")(0).as("_q1"), col("_q")(1).as("_q3"))
+    val nKept = CleanOps.iqrOutlierFilterApprox(li, "l_extendedprice")
+      .agg(count(lit(1)).as("_n_kept"))
+    val n = count(lit(1))
+    val err = lit(0.01) * n + lit(1)
+    val cert = li.crossJoin(broadcast(bounds)).agg(
+        n.as("_n"),
+        (count(when(v <= col("_q1"), lit(1))) >= lit(0.25) * n - err &&
+         count(when(v < col("_q1"), lit(1))) <= lit(0.25) * n + err)
+          .as("q1_rank_ok"),
+        (count(when(v <= col("_q3"), lit(1))) >= lit(0.75) * n - err &&
+         count(when(v < col("_q3"), lit(1))) <= lit(0.75) * n + err)
+          .as("q3_rank_ok"))
+      .crossJoin(broadcast(nKept))
+      .select(col("q1_rank_ok"), col("q3_rank_ok"),
+        (col("_n_kept") >= lit(0.45) * col("_n") &&
+         col("_n_kept") <= col("_n")).as("kept_frac_ok"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(cert))
       .orderBy(col("l_returnflag"))
+  }
 
   private def q63(s: SparkSession, dir: String): DataFrame =
     // per-label embedding centroids (posexplode + map-side partial
@@ -1155,8 +1208,13 @@ object SparkEntry {
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
     * + [[DedupOps.lshBands]] + candidate pairs in DuckDB SQL, generated
     * from the same coefficient seed as the Spark side so both engines
-    * evaluate identical literals. Ends with a `cand(id_a, id_b)` CTE. */
-  private def lshCandSqlPrefix(k: Int, bands: Int): String = {
+    * evaluate identical literals. Ends with a `cand(id_a, id_b)` CTE
+    * mirroring [[DedupOps.lshCandidatePairs]]'s mega-bucket guard: a
+    * (band, bh) bucket with more than `maxBucket` members contributes
+    * (bucket-min, member) representative pairs instead of its C(m,2)
+    * enumeration. Tokenization matches TextOps.tokens (split on
+    * whitespace, empties dropped). */
+  private def lshCandSqlPrefix(k: Int, bands: Int, maxBucket: Int): String = {
     val coeffs = DedupOps.minhashCoeffs(k)
     val r = k / bands
     val p = DedupOps.MinhashPrime
@@ -1168,7 +1226,8 @@ object SparkEntry {
       s"SELECT doc_id, $bi AS band, md5(concat_ws(':', $members)) AS bh FROM sig"
     }.mkString("\n    UNION ALL ")
     s"""toks AS (SELECT doc_id,
-       |    unnest(list_distinct(string_split(text, ' '))) AS tok
+       |    unnest(list_filter(list_distinct(string_split_regex(text, '\\s+')),
+       |      t -> len(t) > 0)) AS tok
        |  FROM documents),
        |  xs AS (SELECT doc_id,
        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x FROM toks),
@@ -1176,9 +1235,18 @@ object SparkEntry {
        |    $sigCols
        |  FROM xs GROUP BY doc_id),
        |  bands AS ($bandSelects),
-       |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |    FROM bands a JOIN bands b
-       |      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+       |  bkt AS (SELECT band, bh, doc_id,
+       |    count(*) OVER (PARTITION BY band, bh) AS m,
+       |    min(doc_id) OVER (PARTITION BY band, bh) AS mn
+       |  FROM bands),
+       |  cand AS (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM bkt a JOIN bkt b
+       |        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |      WHERE a.m <= $maxBucket
+       |    UNION
+       |    SELECT mn AS id_a, doc_id AS id_b
+       |      FROM bkt WHERE m > $maxBucket AND doc_id > mn)""".stripMargin
   }
 
   /** Generated CTE prefix reproducing [[DedupOps.simhashMd5]] in DuckDB:
@@ -1191,8 +1259,11 @@ object SparkEntry {
     val fold = (0 until 60).map(i =>
       s"CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0 END")
       .mkString(" + ")
+    // tokenization mirrors TextOps.tokens (\s+ split, empties dropped) —
+    // a plain ' ' split would desync on consecutive/leading whitespace
     s"""toks AS (SELECT doc_id,
-       |    unnest(list_distinct(string_split(text, ' '))) AS tok
+       |    unnest(list_filter(list_distinct(string_split_regex(text, '\\s+')),
+       |      t -> len(t) > 0)) AS tok
        |  FROM documents),
        |  xs AS (SELECT doc_id,
        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS x FROM toks),
@@ -1299,18 +1370,18 @@ object SparkEntry {
         |    THEN l_returnflag END) AS first_rf
         |FROM d""".stripMargin,
     "q12_median_impute" ->
+      // tolerance-contract oracle (q80 pattern): the sketch-imputed
+      // value's rank certification is Spark-side; the oracle pins the
+      // exact-computable columns and asserts the contract emits true
       """WITH d AS (SELECT CASE WHEN l_quantity = 5 THEN NULL
-        |    ELSE l_extendedprice END AS value_n FROM lineitem),
-        |  m AS (SELECT quantile_cont(value_n, 0.5) AS med FROM d)
-        |SELECT (SELECT count(*) FROM d WHERE value_n IS NULL) AS n_null_before,
-        |  count(*) FILTER (WHERE coalesce(value_n, med) IS NULL) AS n_null_after,
-        |  round(avg(coalesce(value_n, med)), 4) AS avg_after
-        |FROM d, m""".stripMargin,
+        |    ELSE l_extendedprice END AS value_n FROM lineitem)
+        |SELECT count(*) FILTER (WHERE value_n IS NULL) AS n_null_before,
+        |  0::BIGINT AS n_null_after,
+        |  true AS median_rank_ok
+        |FROM d""".stripMargin,
     "q13_percentiles" ->
-      """SELECT o_orderstatus,
-        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+      """SELECT o_orderstatus, count(*) AS n,
+        |  true AS p25_ok, true AS p50_ok, true AS p75_ok
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q14_top_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
@@ -1428,7 +1499,7 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q32_lsh_pairs" ->
-      s"""WITH ${lshCandSqlPrefix(LshK, LshBands)}
+      s"""WITH ${lshCandSqlPrefix(LshK, LshBands, LshMaxBucket)}
         |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
     "q34_ngram_jaccard" ->
       """WITH sets AS (SELECT doc_id,
@@ -1647,7 +1718,7 @@ object SparkEntry {
         |ORDER BY media_id""".stripMargin
     },
     "q47_neardup_dedup" ->
-      s"""WITH ${lshCandSqlPrefix(LshK, LshBands)},
+      s"""WITH ${lshCandSqlPrefix(LshK, LshBands, LshMaxBucket)},
         |  repcand AS (SELECT DISTINCT r.id_a, b.doc_id AS id_b
         |    FROM bands b JOIN (SELECT band, bh, min(doc_id) AS id_a
         |      FROM bands GROUP BY 1, 2) r
@@ -1766,15 +1837,9 @@ object SparkEntry {
         |WHERE n_tokens >= 20 AND n_tokens <= 80 AND dup3 <= 0.02
         |ORDER BY doc_id""".stripMargin,
     "q62_iqr_outliers" ->
-      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
-        |    quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
-        |SELECT l_returnflag, count(*) AS n_kept,
-        |  round(min(l_extendedprice), 2) AS min_kept,
-        |  round(max(l_extendedprice), 2) AS max_kept
-        |FROM lineitem, b
-        |WHERE l_extendedprice >= q1 - 1.5 * (q3 - q1)
-        |  AND l_extendedprice <= q3 + 1.5 * (q3 - q1)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  true AS q1_rank_ok, true AS q3_rank_ok, true AS kept_frac_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q63_label_centroids" ->
       """SELECT label::BIGINT AS label, (i.i - 1)::BIGINT AS pos,
         |  round(avg(embedding[i.i]::DOUBLE), 6) AS centroid

@@ -24,4 +24,15 @@ object GraftFunctions {
     * a long token hash (xxhash64) per row. */
   def simhash_agg(c: Column): Column =
     Bridge.column(SimHashAgg(Bridge.expression(c)).toAggregateExpression())
+
+  /** Native bloom-membership probe over a driver-built
+    * `org.apache.spark.util.sketch.BloomFilter` (serialized form):
+    * plants Spark's own codegen-capable `BloomFilterMightContain`
+    * instead of a codegen-breaking Scala UDF. `value` must be LongType. */
+  def bloom_might_contain(serialized: Array[Byte], value: Column): Column =
+    Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(serialized, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(value)))
 }

@@ -100,13 +100,41 @@ object CleanOps {
       .drop("_q1", "_q3")
   }
 
+  /** Per-column approximate medians (one-pass Greenwald-Khanna sketch —
+    * rank error ≤ relativeError·n, fixed memory, mergeable across
+    * partitions). Columns that are all-null/empty are absent from the
+    * result. Driver action is O(cols) doubles — the 100 TB-safe sibling
+    * of the exact `median()` aggregate, which buffers every value. */
+  def approxMedians(df: DataFrame, cols: Seq[String],
+                    relativeError: Double = 0.001): Map[String, Double] = {
+    val med = df.stat.approxQuantile(cols.toArray, Array(0.5), relativeError)
+    cols.zip(med.map(_.headOption.getOrElse(Double.NaN)))
+      .filterNot(_._2.isNaN).toMap
+  }
+
   /** Approximate variant: one-pass approxQuantile sketch (what Imputer
     * actually runs). Use at scale; `medianFill` for exactness. */
   def medianFillApprox(df: DataFrame, cols: Seq[String],
-                       relativeError: Double = 0.001): DataFrame = {
-    val med = df.stat.approxQuantile(cols.toArray, Array(0.5), relativeError)
-    val fills = cols.zip(med.map(_.headOption.getOrElse(Double.NaN)))
-      .filterNot(_._2.isNaN).toMap
-    df.na.fill(fills)
+                       relativeError: Double = 0.001): DataFrame =
+    df.na.fill(approxMedians(df, cols, relativeError))
+
+  /** Sketch-based IQR gate — [[iqrOutlierFilter]] with the exact
+    * `percentile` buffer swapped for `percentile_approx` (fixed-size
+    * KLL-style sketch, map-side combinable): the single-pass form that
+    * survives 100× scale. Same declarative shape: a 1-row bounds
+    * aggregate broadcast onto the scan, no driver action. Rank error
+    * ≤ n/accuracy moves each fence by at most that many ranks. */
+  def iqrOutlierFilterApprox(df: DataFrame, valueCol: String,
+                             k: Double = 1.5,
+                             accuracy: Int = 10000): DataFrame = {
+    val bounds = df.agg(
+        percentile_approx(col(valueCol),
+          array(lit(0.25), lit(0.75)), lit(accuracy)).as("_q"))
+      .select(col("_q")(0).as("_q1"), col("_q")(1).as("_q3"))
+    val iqr = col("_q3") - col("_q1")
+    df.crossJoin(broadcast(bounds))
+      .filter(col(valueCol) >= col("_q1") - lit(k) * iqr &&
+              col(valueCol) <= col("_q3") + lit(k) * iqr)
+      .drop("_q1", "_q3")
   }
 }

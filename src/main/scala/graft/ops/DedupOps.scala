@@ -193,10 +193,20 @@ object DedupOps {
     * S-curve threshold at (1/16)^(1/8) ≈ 0.71 Jaccard — candidates are
     * genuinely-similar docs, not (as with a degenerate r=2) most of the
     * corpus. Always follow with [[jaccardVerify]]: banding gives recall,
-    * the verify join gives precision. */
+    * the verify join gives precision.
+    *
+    * `maxBucket` caps the quadratic within-bucket expansion: a bucket
+    * with m > maxBucket members is DOWNGRADED to representative pairs
+    * (bucket-min anchor, m−1 rows) instead of C(m,2) enumeration — a
+    * mega-bucket is by construction a tight near-dup cluster, for which
+    * keep-lowest dedup only needs each member tied to the cluster
+    * representative anyway (the [[lshRepresentativePairs]] argument,
+    * applied only where the all-pairs form would blow up: a 170k-doc
+    * cluster at 100× the fixture would otherwise emit 1.5e10 pairs).
+    * Buckets at or below the cap keep exact all-pairs semantics. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 128, bands: Int = 16,
-                        ngram: Int = 1): DataFrame = {
+                        ngram: Int = 1, maxBucket: Int = 256): DataFrame = {
     val bandsDf = lshBandsFromArray(
       minhashSignatureArr(df, idCol, textCol, k, ngram = ngram),
       idCol, "sig", k, bands)
@@ -205,19 +215,25 @@ object DedupOps {
     // pair expansion: near-identical docs collide in every band, so a
     // cluster of m docs would otherwise emit its C(m,2) pairs `bands`
     // times over — on the fixture's 1737-doc cluster that is 16 × 1.5M
-    // rows into the final distinct instead of 1.5M.
+    // rows into the final distinct instead of 1.5M. (Identical sets have
+    // identical sizes, so the maxBucket branch below is per-SET
+    // consistent — same decision the oracle's per-bucket guard takes.)
     val buckets = bandsDf.groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
       .filter(size(col("_ids")) > 1)
       .select(col("_ids")).distinct()
-    buckets
+    val small = buckets.filter(size(col("_ids")) <= maxBucket)
       .select(explode(col("_ids")).as("id_a"), col("_ids"))
       // spread the second-level expansion: without this, one task owns a
-      // whole giant bucket and generates its C(m,2) pairs serially
+      // whole bucket and generates its C(m,2) pairs serially
       .repartition(col("id_a"))
       .select(col("id_a"),
         explode(filter(col("_ids"), x => x > col("id_a"))).as("id_b"))
-      .distinct()
+    // mega-bucket downgrade: (sorted) head anchors the rest — linear
+    val large = buckets.filter(size(col("_ids")) > maxBucket)
+      .select(col("_ids").getItem(0).as("id_a"),
+        explode(slice(col("_ids"), lit(2), size(col("_ids")) - 1)).as("id_b"))
+    small.unionByName(large).distinct()
   }
 
   /** Representative-anchored candidate pairs: (bucket-min id, member id)

@@ -101,21 +101,30 @@ object RelOps {
 
   /** Bloom-filter pruned equi-join (long keys): one pass over the
     * build side constructs an approximate membership filter (a few
-    * hundred KB to the driver, broadcast inside the UDF closure), and
-    * the PROBE side is filtered before its shuffle — at 100 TB the
+    * hundred KB to the driver, embedded as a binary literal), and the
+    * PROBE side is filtered before its shuffle — at 100 TB the
     * probe rows that can't match never leave their scan tasks, the
     * classic runtime-filter / semi-join-reduction pattern (Spark's own
     * `spark.sql.optimizer.runtimeFilter.bloomFilter` applies it to
     * subquery filters; this is the explicit operator form). False
     * positives (rate `fpp`) pass the filter and are eliminated by the
     * actual join, so the result is IDENTICAL to the plain join — which
-    * is exactly what the oracle checks. */
+    * is exactly what the oracle checks.
+    *
+    * The probe uses Spark's native `BloomFilterMightContain` expression
+    * (the one its runtime-filter rule plants), NOT a Scala UDF: a UDF
+    * is opaque to Catalyst — it breaks whole-stage codegen at the
+    * filter and can never participate in scan-adjacent optimization.
+    * The native expression stays inside the codegen'd stage. */
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame, key: String,
                       expectedItems: Long,
                       fpp: Double = 0.03): DataFrame = {
     val bf = build.stat.bloomFilter(key, expectedItems, fpp)
-    val mightContain = udf((v: Long) => bf.mightContain(v))
-    probe.filter(mightContain(col(key))).join(build, Seq(key))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    probe.filter(graft.functions.GraftFunctions.bloom_might_contain(
+        bos.toByteArray, col(key).cast("long")))
+      .join(build, Seq(key))
   }
 
   /** Gap-based sessionization over an event stream (batch form): a new

@@ -43,6 +43,29 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("lshCandidatePairs maxBucket downgrades mega-buckets to " +
+       "representative pairs, leaves small buckets all-pairs") {
+    // 6 identical docs form one mega-bucket in every band; docs 100/101
+    // form a separate small (2-member) bucket
+    val clustered = ((0L until 6L).map(i => (i, "aaa bbb ccc ddd eee")) ++
+      Seq((100L, "xxx yyy zzz www qqq"), (101L, "xxx yyy zzz www qqq")))
+      .toDF("doc_id", "text")
+    val capped = DedupOps.lshCandidatePairs(clustered, "doc_id", "text",
+        k = 32, bands = 4, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // mega-bucket (6 > 4): only (min, member) anchors — 5 pairs, not C(6,2)
+    val clusterPairs = capped.filter(_._2 < 100L)
+    assert(clusterPairs === (1L until 6L).map(i => (0L, i)).toSet)
+    // small bucket (2 ≤ 4): exact all-pairs semantics retained
+    assert(capped.contains((100L, 101L)))
+    // uncapped form on the same data is the full C(6,2) enumeration
+    val full = DedupOps.lshCandidatePairs(clustered, "doc_id", "text",
+        k = 32, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.count(_._2 < 100L) === 15)
+    assert(capped.subsetOf(full))
+  }
+
   test("LSH candidates recall exact duplicates and respect id ordering") {
     val pairs = DedupOps.lshCandidatePairs(docs, "doc_id", "text",
         k = 32, bands = 4)

@@ -63,14 +63,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "minhash should shuffle once on the doc key")
   }
 
-  test("q59: bloom filter prunes the probe BEFORE the join (filter " +
-       "below the join, no lineitem-side degradation)") {
+  test("q59: bloom filter prunes the probe BEFORE the join via the " +
+       "NATIVE BloomFilterMightContain (no codegen-breaking UDF)") {
     val p = planOf("q59_bloom_join")
-    // the UDF membership test must sit in the lineitem scan stage —
-    // i.e. a Filter containing the UDF appears, and the join itself is
-    // a hash join keyed on l_orderkey
-    assert("UDF\\((knownnotnull\\()?l_orderkey".r.findFirstIn(p).isDefined,
-      s"bloom probe filter missing:\n${p.take(1500)}")
+    assert(p.contains("might_contain"),
+      s"native bloom probe filter missing:\n${p.take(1500)}")
+    assert(!p.contains("UDF"),
+      s"bloom probe regressed to an opaque Scala UDF:\n${p.take(1500)}")
     assert(p.contains("HashJoin"), "bloom-pruned join lost its hash join")
   }
 
@@ -162,10 +161,17 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q71: salted aggregation is two exchanges — (key, salt) then key") {
     val p = planOf("q71_salted_agg")
-    assert("Exchange hashpartitioning\\(event_type[^,]*, _salt"
-      .r.findFirstIn(p).isDefined,
-      s"stage-1 exchange should key on (event_type, _salt):\n${p.take(1500)}")
-    assert("Exchange hashpartitioning\\(event_type[^_]".r.findFirstIn(p)
-      .isDefined, "stage-2 exchange should key on event_type alone")
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r
+      .findAllIn(p).toList
+    val salted = exchanges.filter(_.contains("_salt"))
+    val keyOnly = exchanges.filter(e =>
+      e.contains("event_type") && !e.contains("_salt"))
+    // exactly one (key, salt) exchange and one key-only exchange — the
+    // earlier regex ([^_] after event_type) matched the attribute-id '#'
+    // of BOTH exchanges and could never fail (round-3 ADVICE)
+    assert(salted.length === 1,
+      s"stage-1 exchange should key on (event_type, _salt): $exchanges")
+    assert(keyOnly.length === 1,
+      s"stage-2 exchange should key on event_type alone: $exchanges")
   }
 }
