@@ -797,16 +797,27 @@ object SparkEntry {
 
   /** A file stream source monitors a DIRECTORY, but the fixtures are
     * single parquet files — stage one into a directory (a real
-    * deployment points at the landing dir). */
-  private def stageStreamDir(dir: String, table: String): String = {
+    * deployment points at the landing dir). `copies` > 1 stages the
+    * same file under N names: with maxFilesPerTrigger=1 that replays
+    * the table as N micro-batches (the cross-batch upsert/dedup
+    * fixtures). */
+  private def stageStreamDir(dir: String, table: String,
+                             copies: Int = 1): String = {
     val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = if (copies == 1) "" else s"_x$copies"
     val streamDir = java.nio.file.Paths.get(
-      s"/root/repo/target/stream_src/${table}_$sfTag")
+      s"/root/repo/target/stream_src/${table}_$sfTag$suffix")
     java.nio.file.Files.createDirectories(streamDir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/$table.parquet"),
-      streamDir.resolve(s"$table.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // clear leftovers from prior runs/layouts — a stale extra file in
+    // the monitored dir would silently double the stream
+    java.nio.file.Files.list(streamDir)
+      .forEach(java.nio.file.Files.deleteIfExists(_))
+    (0 until copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/$table.parquet"),
+        streamDir.resolve(s"${table}_$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     streamDir.toString
   }
 
@@ -1121,6 +1132,115 @@ object SparkEntry {
       .orderBy(col("event_type"))
 
   // ---------------------------------------------------------------- //
+  // Round 4: value frames, as-of tolerance, streaming dedup oracle,
+  // keyed-sink round-trip
+  // ---------------------------------------------------------------- //
+
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    // Value-based (RANGE) frames + first_value/nth_value — the window
+    // shapes q26's ranking/offset/ROWS family doesn't cover (SURVEY
+    // §2.5 claims the full family). The range key is an integer day
+    // offset so both engines frame on identical arithmetic; the
+    // first/nth window pins an explicit ROWS frame (engines disagree on
+    // nth_value's default frame) over a fully-deterministic ordering.
+    val days = datediff(col("o_orderdate"), to_date(lit("1990-01-01")))
+      .cast("long")
+    val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("_days"))
+      .rangeBetween(-30, 30)
+    val wRows = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").filter(col("o_custkey") < 100)
+      .withColumn("_days", days)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("_days").as("days"),
+        round(sum(col("o_totalprice")).over(wRange), 2).as("nearby_sum"),
+        count(lit(1)).over(wRange).as("nearby_n"),
+        first_value(col("o_orderkey")).over(wRows).as("first_order"),
+        nth_value(col("o_orderkey"), 2).over(wRows).as("second_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    // As-of join with a match tolerance (the production point-in-time
+    // variant): a purchase only picks up a click within the preceding
+    // 30 minutes — beyond the gap the attribution is null, NOT the
+    // stale click. DuckDB verifies with native ASOF + a gap CASE.
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    RelOps.asofJoin(purchases, clicks, "user_id", "ts", Seq("ts", "value"),
+        maxGapSeconds = Some(1800.0))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        round(col("asof_value"), 2).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    // Streaming exact dedup, fully oracled (the last spec-only
+    // streaming operator): the staged source is unioned with a
+    // re-stamped copy of itself (same event_id, ts shifted +7 s — the
+    // retransmission shape), dropDuplicatesWithinWatermark keeps one
+    // arrival per event_id. The surviving copy's observable columns are
+    // identical either way, so the output is deterministic and the
+    // batch oracle is simply the original table. Without the dedup the
+    // row count doubles — rows_match fails loudly.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    def src() = Tables.withTimestamps(
+      StreamOps.fileStream(s, schema, staged), "events")
+    val restamped = src().withColumn("ts",
+      col("ts") + expr("interval 7 seconds"))
+    val deduped = StreamOps.dedupStream(src().unionByName(restamped),
+      "ts", "1 hour", "event_id")
+    StreamOps.runToCompletion(
+        deduped.select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")),
+        s"q83_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(8))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    // S5 keyed-sink ROUND-TRIP — the one reference call-site that had
+    // no oracled query (spark_to_cassandra.py's prepared-batch writes,
+    // i.e. per-key upserts): the event stream is replayed as TWO
+    // identical micro-batches (maxFilesPerTrigger=1 over a twice-staged
+    // dir), each delivered through the foreachBatch sink into a KEYED
+    // parquet table with MERGE semantics (batch 2 replaces batch 1's
+    // rows key-by-key). The re-read table must equal exactly one copy
+    // of the source: append-instead-of-upsert doubles the counts,
+    // a lossy merge drops them — either hash-mismatches.
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sinkPath = s"/root/repo/target/keyed_sink/purchases_$sfTag"
+    import java.nio.file.{Files, Paths}
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(sinkPath)); rm(Paths.get(sinkPath + "_tmp"))
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events", copies = 2)
+    val stream = Tables.withTimestamps(
+        StreamOps.fileStream(s, schema, staged,
+          maxFilesPerTrigger = Some(1)), "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    StreamOps.sinkStream(stream,
+        StreamOps.keyedParquetUpsert(s, sinkPath, "event_id"))
+      .awaitTermination()
+    s.read.parquet(sinkPath)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> q01 _,
@@ -1203,6 +1323,10 @@ object SparkEntry {
     "q78_grouping_sets" -> q78 _,
     "q79_hash_sample" -> q79 _,
     "q80_sketch_accuracy" -> q80 _,
+    "q81_window_frames" -> q81 _,
+    "q82_asof_tolerance" -> q82 _,
+    "q83_stream_dedup" -> q83 _,
+    "q84_keyed_sink" -> q84 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -2068,5 +2192,44 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q81_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  datediff('day', DATE '1990-01-01', o_orderdate::DATE)::BIGINT
+        |    AS days,
+        |  round(sum(o_totalprice) OVER wr, 2) AS nearby_sum,
+        |  count(*) OVER wr AS nearby_n,
+        |  first_value(o_orderkey) OVER wo AS first_order,
+        |  nth_value(o_orderkey, 2) OVER wo AS second_order
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW
+        |  wr AS (PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1990-01-01', o_orderdate::DATE)
+        |    RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING),
+        |  wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q82_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        |  CASE WHEN epoch(p.ts) - epoch(c.ts) <= 1800
+        |    THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S') END AS click_ts,
+        |  CASE WHEN epoch(p.ts) - epoch(c.ts) <= 1800
+        |    THEN round(c.value, 2) END AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q83_stream_dedup" ->
+      // the stream carries each event twice (re-stamped duplicate);
+      // dedup-by-key must reduce it to exactly the original table
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q84_keyed_sink" ->
+      // two identical micro-batches upserted key-by-key must leave ONE
+      // copy of the source in the keyed table: append doubles `n`,
+      // lossy merge drops it — either hash-mismatches
+      """SELECT user_id % 10 AS bucket, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -40,16 +40,28 @@ object RelOps {
     * right row IS visible to the left row (matches `ON l.ts >= r.ts`).
     * `payloadCols` surface as `asof_<name>` (null when no right row
     * precedes the left row).
+    *
+    * `maxGapSeconds` is the production tolerance variant: a match only
+    * counts if the right row is within `maxGap` seconds BEFORE the left
+    * row — beyond it the payload is null, exactly as if no right row
+    * preceded. (The most recent right row is the nearest one, so nulling
+    * it never hides an older in-gap match.) Same single-exchange plan;
+    * the gap test is one codegen'd comparison on the carried timestamp.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               tsCol: String, payloadCols: Seq[String]): DataFrame = {
+               tsCol: String, payloadCols: Seq[String],
+               maxGapSeconds: Option[Double] = None): DataFrame = {
     // the payload travels as ONE struct so `last(ignoreNulls)` picks the
     // most recent right ROW atomically — filling each column separately
     // would stitch fields from different right rows whenever a payload
-    // value is null (null value ≠ no row)
-    val payloadStructR = struct(payloadCols.map(col): _*)
+    // value is null (null value ≠ no row). The struct carries the right
+    // row's event time as an internal `_rts` field for the gap test.
+    val payloadStructR = struct(payloadCols.map(col) :+
+      col(tsCol).cast("double").as("_rts"): _*)
     val payloadType = org.apache.spark.sql.types.StructType(
-      payloadCols.map(c => right.schema(c)))
+      payloadCols.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("_rts",
+          org.apache.spark.sql.types.DoubleType))
     val lU = left
       .withColumn("_side", lit(1))
       .withColumn("_payload", lit(null).cast(payloadType))
@@ -65,10 +77,19 @@ object RelOps {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = all.withColumn("_match",
-      last(col("_payload"), ignoreNulls = true).over(w))
+    val lastMatch = last(col("_payload"), ignoreNulls = true).over(w)
+    val gated = maxGapSeconds match {
+      case Some(g) =>
+        val m = col("_m0")
+        all.withColumn("_m0", lastMatch)
+          .withColumn("_match",
+            when(m.isNotNull &&
+              col(tsCol).cast("double") - m.getField("_rts") <= g, m))
+          .drop("_m0")
+      case None => all.withColumn("_match", lastMatch)
+    }
     payloadCols.foldLeft(
-        filled.filter(col("_side") === 1)) { (d, c) =>
+        gated.filter(col("_side") === 1)) { (d, c) =>
         d.withColumn(s"asof_$c", col("_match").getField(c))
       }
       .drop("_side", "_payload", "_match")

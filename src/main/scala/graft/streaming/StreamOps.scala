@@ -32,10 +32,18 @@ case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
 object StreamOps {
 
   /** File-based stream source with a pinned schema (inference is
-    * disallowed on streams — and a perf bug on batch, SURVEY §2.1 S1). */
+    * disallowed on streams — and a perf bug on batch, SURVEY §2.1 S1).
+    * `maxFilesPerTrigger` caps files per micro-batch — the knob that
+    * turns a multi-file staging dir into a multi-batch replay (used by
+    * the keyed-sink round-trip to exercise cross-batch upserts). */
   def fileStream(spark: SparkSession, schema: StructType, path: String,
-                 format: String = "parquet"): DataFrame =
-    spark.readStream.schema(schema).format(format).load(path)
+                 format: String = "parquet",
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema).format(format)
+    maxFilesPerTrigger.foreach(n =>
+      r.option("maxFilesPerTrigger", n.toString))
+    r.load(path)
+  }
 
   /** Tumbling-window event counts with a watermark: the dashboard's
     * per-interval label counts (SURVEY §2.11). */
@@ -165,16 +173,57 @@ object StreamOps {
       .drop("_rk")
   }
 
+  /** Deliver each micro-batch of a stream to `sink` — the foreachBatch
+    * connector surface (the reference's Cassandra writer call-site,
+    * `/root/reference/src/spark_to_cassandra.py:22-30`, generalized to
+    * any keyed store). */
+  def sinkStream(stream: DataFrame,
+                 sink: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) => sink(batch, id) }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Score a stream with a batch-fitted model and deliver each
     * micro-batch to `sink` (the foreachBatch stand-in for Cassandra). */
   def scoreStream(stream: DataFrame, model: PipelineModel,
                   sink: (DataFrame, Long) => Unit): StreamingQuery =
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(model.transform(batch), id)
+    sinkStream(stream, (batch, id) => sink(model.transform(batch), id))
+
+  /** Keyed parquet UPSERT sink for [[sinkStream]]/[[scoreStream]]: per
+    * micro-batch, rows already in the table whose key appears in the
+    * batch are REPLACED (digest-free anti-join on the key + union +
+    * atomic directory swap) — the portable MERGE idiom behind the
+    * reference's prepared-statement Cassandra writes (a Cassandra INSERT
+    * is an upsert per primary key). A production deployment points the
+    * same per-batch shape at an ACID table format (Delta/Iceberg MERGE)
+    * or a key-value store; plain parquet needs the tmp-dir swap because
+    * a table can't be read and overwritten in one job. The anti-join
+    * broadcasts the batch's (small) key set, so the merge cost is one
+    * scan of the live table per batch. */
+  def keyedParquetUpsert(spark: SparkSession, path: String,
+                         keyCol: String): (DataFrame, Long) => Unit = {
+    (batch, _) =>
+      import java.nio.file.{Files, Paths}
+      val target = Paths.get(path)
+      val merged =
+        if (Files.exists(target))
+          spark.read.parquet(path)
+            .join(broadcast(batch.select(keyCol).distinct()),
+              Seq(keyCol), "left_anti")
+            .unionByName(batch)
+        else batch
+      val tmp = path + "_tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      // swap: drop the old table, move the new one in
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).forEach(rm(_))
+        Files.deleteIfExists(p)
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
+      rm(target)
+      Files.move(Paths.get(tmp), target)
+  }
 
   /** Run a streaming aggregation over a static directory to completion
     * (AvailableNow + memory sink) and return the final result as a

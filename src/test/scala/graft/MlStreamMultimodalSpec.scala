@@ -85,6 +85,42 @@ class MlStreamMultimodalSpec extends AnyFunSuite {
     assert(got("p3") === None)         // no right rows for key 2
   }
 
+  test("asofJoin maxGap: matches beyond the tolerance are null, not " +
+       "stale; in-gap matches unchanged; exact boundary still matches") {
+    import graft.ops.RelOps
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, ts(1000), "in_gap"), (2L, ts(1000), "beyond"),
+      (3L, ts(1000), "boundary")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(990), 1.0),   // 10 s before — inside gap 30
+      (2L, ts(900), 2.0),                 // 100 s before — beyond gap
+      (3L, ts(970), 3.0)).toDF("k", "ts", "v") // exactly 30 s — inclusive
+    val got = RelOps.asofJoin(left, right, "k", "ts", Seq("v"),
+        maxGapSeconds = Some(30.0))
+      .select("tag", "asof_v").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got("in_gap") === Some(1.0))
+    assert(got("beyond") === None)     // the no-match-beyond-gap contract
+    assert(got("boundary") === Some(3.0))
+  }
+
+  test("keyedParquetUpsert: batch 2 replaces overlapping keys, keeps " +
+       "disjoint ones (MERGE, not append)") {
+    val path = "/root/repo/target/test_keyed_upsert"
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(path))
+    rm(java.nio.file.Paths.get(path + "_tmp"))
+    val sink = StreamOps.keyedParquetUpsert(spark, path, "k")
+    sink(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    sink(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), 1L)
+    val got = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("asofJoin: a null payload VALUE in the matched row stays null " +
        "(no stale fill from older rows)") {
     import graft.ops.RelOps
