@@ -61,18 +61,46 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[bench] $warmFailures warmup failures " +
         s"(dir=$warmDir) — timings may include cold codegen")
-    val results = selected.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Noise protocol (round-3 verdict: single-run deltas on a shared box
+    // are untrustworthy below ~3×): run the WHOLE suite `runs` times in
+    // sequence — interleaved across queries, so a host-load spike taxes
+    // one run of many queries instead of every run of one query — and
+    // report per-query MEDIANS. Raw per-run values go to a side file
+    // the driver's tail-parse can't truncate.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
+    val names = selected.keys.toSeq
+    val raw = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to runs).foreach { r =>
+      selected.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name (run $r) failed: ${e.getMessage}")
+        }
+        raw(name) = raw(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val medians = names.map(n => n -> median(raw(n)))
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    // side file: medians + every raw run, machine-readable
+    val rawJson = names.map { n =>
+      "\"" + n + "\":{\"median\":" + median(raw(n)) +
+        ",\"runs\":[" + raw(n).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    val sideFile = sys.env.getOrElse("SPARK_GRAFT_MEDIANS_FILE",
+      "/root/repo/BENCH_MEDIANS.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(sideFile),
+      s"""{"sf":"$sfDir","runs":$runs,"queries":$rawJson}""" + "\n")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -1068,9 +1068,12 @@ object SparkEntry {
     // deterministic data mixing: md5-of-key order makes the per-group
     // draw pseudo-random yet bit-reproducible on any engine — the first
     // SAMPLING query with a full oracle (the seeded-RNG forms q20/q21
-    // are rows-only by nature)
-    SplitOps.hashMixture(t(s, dir, "documents"), "lang", "doc_id",
-        MixtureFractions)
+    // are rows-only by nature). Distributed form: the rank window
+    // splits across 256 md5 buckets per group (bit-identical to the
+    // single-window hashMixture, pinned by spec), so no group
+    // serializes through one task.
+    SplitOps.hashMixtureDistributed(t(s, dir, "documents"), "lang",
+        "doc_id", MixtureFractions)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
@@ -1240,6 +1243,21 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    // Quantized ANN end-to-end — the consumer of q69's int8 compaction:
+    // LSH-bucketed candidates scored by integer dot product / 127²
+    // (only int8 vectors cross the join — the 4× bandwidth saving IS
+    // the point). Fully oracled: buckets via embedded plane literals
+    // (the q36 trick), quantization is round() integer math, and the
+    // integer dot is exact in any engine. Recall ≥ 0.9 vs the exact
+    // q35 ranking is pinned in SimilarityAggSpec.
+    SimilarityOps.quantizedTopK(
+        t(s, dir, "embeddings").filter(col("vec_id") < 5),
+        t(s, dir, "embeddings"), "vec_id", "embedding", 3,
+        planes = 6, seed = 42L, tables = 3)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy(col("query_id"), col("rn"))
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1327,6 +1345,7 @@ object SparkEntry {
     "q82_asof_tolerance" -> q82 _,
     "q83_stream_dedup" -> q83 _,
     "q84_keyed_sink" -> q84 _,
+    "q85_ann_quantized" -> q85 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -2231,5 +2250,52 @@ object SparkEntry {
         |  round(sum(value), 2) AS total
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q85_ann_quantized" -> {
+      // same embedded-plane-literal trick as q36 (identical buckets),
+      // then int8 quantization (q69's proven round() formula) and an
+      // EXACT integer dot product — no FP fragility in the rank
+      val dim = 64
+      val planes = 6
+      def bucketExpr(v: String, tbl: Int): String = {
+        val hp = SimilarityOps.hyperplanes(planes, dim, 42L + tbl)
+        (0 until planes).map { i =>
+          s"(CASE WHEN list_inner_product($v, [${hp(i).mkString(", ")}])" +
+            s" >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      }
+      val qb = (0 until 3).map(t => s"${bucketExpr("qv", t)} AS b$t")
+        .mkString(",\n    ")
+      val cb = (0 until 3).map(t => s"${bucketExpr("cv", t)} AS b$t")
+        .mkString(",\n    ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |    FROM embeddings),
+        |  qq AS (SELECT query_id,
+        |    list_transform(qv, x -> round(x / sqrt(list_aggregate(
+        |      list_transform(qv, y -> y * y), 'sum')) * 127)::BIGINT)
+        |      AS qi,
+        |    $qb
+        |  FROM q),
+        |  cq AS (SELECT neighbor_id,
+        |    list_transform(cv, x -> round(x / sqrt(list_aggregate(
+        |      list_transform(cv, y -> y * y), 'sum')) * 127)::BIGINT)
+        |      AS ci,
+        |    $cb
+        |  FROM c),
+        |  cand AS (SELECT DISTINCT query_id, neighbor_id, qi, ci
+        |    FROM qq, cq
+        |    WHERE (qq.b0 = cq.b0 OR qq.b1 = cq.b1 OR qq.b2 = cq.b2)
+        |      AND query_id <> neighbor_id),
+        |  s AS (SELECT query_id, neighbor_id,
+        |      list_inner_product(qi, ci)::DOUBLE / 16129.0 AS qs
+        |    FROM cand),
+        |  r AS (SELECT query_id, neighbor_id, round(qs, 6) AS qsim,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(qs, 6) DESC, neighbor_id) AS rn
+        |    FROM s)
+        |SELECT query_id, neighbor_id, qsim, rn FROM r WHERE rn <= 3
+        |ORDER BY query_id, rn""".stripMargin
+    },
   )
 }

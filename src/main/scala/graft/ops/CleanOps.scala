@@ -63,6 +63,24 @@ object CleanOps {
   def dropNulls(df: DataFrame, cols: Seq[String]): DataFrame =
     df.na.drop(cols)
 
+  /** Schema introspection: (string columns, numeric columns) — the
+    * reference's dtype-driven split that decides which columns are
+    * indexed vs assembled (`src/modelling.py:55-58` partitions on
+    * `df.dtypes`). Metadata-only — no job runs. Columns that are
+    * neither (timestamps, arrays, binary) appear in neither seq. */
+  def columnsByType(df: DataFrame): (Seq[String], Seq[String]) = {
+    val fields = df.schema.fields.toSeq
+    (fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType =>
+          f.name
+      },
+      fields.collect {
+        case f if f.dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+          f.name
+      })
+  }
+
   /** Median-impute nulls in each column (the reference's
     * `Imputer(strategy="median")`, `src/modelling.py:74-76`). Exact
     * interpolated median via `median()` for oracle parity; the Imputer's

@@ -196,6 +196,59 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"), col("rn"))
   }
 
+  /** Quantized LSH top-k — [[lshTopK]] with the SCORING path running on
+    * int8 vectors (the consumer of [[quantizeInt8]]'s 4× compaction):
+    * each side is bucketed on its full-precision vector, but only the
+    * (id, bucket, int8 vector) triple enters the join, so the bucket
+    * shuffle and the candidate rows carry a quarter of the bandwidth —
+    * at 100 TB that IS the point of quantizing. Scoring is an integer
+    * dot product rescaled by 1/127² (both vectors are unit-normalized
+    * before quantization, so the rescaled dot approximates cosine to
+    * ~1%; recall vs the exact [[bruteForceTopK]] is pinned by spec).
+    * Integer arithmetic makes the score bit-reproducible in any engine
+    * — no FP-summation fragility in the rank. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, planes: Int = 6,
+                    seed: Long = 42L, tables: Int = 3): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    def prep(df: DataFrame, idName: String) =
+      df.select(col(idCol).as(idName),
+        col(vecCol).cast("array<double>").as("_v"))
+    val q = prep(queries, "query_id")
+    val c = prep(corpus, "neighbor_id")
+    def bucketed(side: DataFrame, idName: String, qName: String) = {
+      val quant = side.withColumn(qName,
+        quantizeInt8(col("_v"), l2Norm(col("_v"))))
+      (0 until tables).map { t =>
+        val hp = hyperplanes(planes, dim, seed + t)
+        // bucket on the full-precision vector, then PROJECT IT AWAY —
+        // only the int8 vector crosses the join
+        quant.withColumn("_b",
+            struct(lit(t).as("t"), lshBucket(col("_v"), hp).as("h")))
+          .select(col(idName), col("_b"), col(qName))
+      }.reduce(_ unionByName _)
+    }
+    val joined = bucketed(q, "query_id", "_qq")
+      .join(bucketed(c, "neighbor_id", "_cq"), Seq("_b"))
+      .drop("_b")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val candidates =
+      if (tables > 1) joined.dropDuplicates("query_id", "neighbor_id")
+      else joined
+    val idot = aggregate(
+      zip_with(col("_qq"), col("_cq"), (x, y) => x * y),
+      lit(0L), (a, v) => a + v)
+    candidates
+      .withColumn("qsim", idot.cast("double") / lit(127.0 * 127.0))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("qsim"), 6).desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("qsim"), 6).as("qsim"), col("rn"))
+  }
+
   /** Per-group embedding centroids as (group, pos, value) rows:
     * posexplode the vector, hash-aggregate the per-dimension mean.
     * Map-side partial aggregation means the shuffle carries only

@@ -114,6 +114,62 @@ object SplitOps {
       .drop("_n", "_rk")
   }
 
+  /** Distributed exact-size mixture — [[hashMixture]]'s semantics
+    * (keep exactly ceil(fraction(g)·|g|) rows per group, chosen by
+    * md5-of-key order) WITHOUT its one-task-per-group rank window: the
+    * md5 space is pre-split into 256 buckets by the hash's first byte,
+    * a tiny (groups × 256) count matrix decides per bucket whether it
+    * is kept whole, ranked within, or dropped, and the only data-sized
+    * window partitions on (group, bucket) — 256-way parallel inside
+    * every group, so a 1-group-dominant mixture no longer serializes.
+    * Dropped buckets never join (the quota table is inner-broadcast),
+    * so ~(1−f) of each group is eliminated without ranking at all.
+    *
+    * The count matrix is a driver action, but it is O(groups × 256)
+    * rows REGARDLESS of corpus size (groups = sources/languages — a
+    * bounded vocabulary), the same accepted O(K) class as the strata
+    * discovery in [[stratifiedSampleUniform]]. Result is bit-identical
+    * to [[hashMixture]] (same hash order, same ceil sizes; pinned by
+    * spec), so the two share one oracle. */
+  def hashMixtureDistributed(df: DataFrame, groupCol: String,
+                             keyCol: String,
+                             fractions: Map[String, Double],
+                             salt: String = ""): DataFrame = {
+    val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val withH = df.withColumn("_h", h)
+      .withColumn("_mb",
+        conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    val counts = withH.groupBy(col(groupCol), col("_mb"))
+      .agg(count(lit(1)).as("_c")).collect()
+      .map(r => (r.get(0) match {
+        case null => null; case v => v.toString
+      }, r.getInt(1), r.getLong(2)))
+    // per group: walk buckets in hash order, keep whole buckets while
+    // they fit under k = ceil(f·n), give the boundary bucket the rest
+    val quotas = counts.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val n = rows.map(_._3).sum
+      val f = Option(g).flatMap(fractions.get).getOrElse(0.0)
+      val k = math.ceil(f * n).toLong
+      var cum = 0L
+      rows.sortBy(_._2).flatMap { case (_, mb, c) =>
+        val take = math.min(c, math.max(0L, k - cum))
+        cum += c
+        if (take > 0) Some((g, mb, take)) else None
+      }
+    }
+    if (quotas.isEmpty) return df.limit(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotaDf = quotas.toDF(groupCol, "_mb", "_q")
+    val ranked = withH
+      .join(broadcast(quotaDf), Seq(groupCol, "_mb"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(groupCol), col("_mb"))
+          .orderBy(col("_h"), col(keyCol))))
+      .filter(col("_rk") <= col("_q"))
+    ranked.drop("_h", "_mb", "_q", "_rk")
+  }
+
   /** Scale sibling of [[hashMixture]]: deterministic hash-THRESHOLD
     * mixture — keep a row iff the first 8 md5 hex chars of its salted
     * key, read as a fraction of 2^32, fall below fraction(group).

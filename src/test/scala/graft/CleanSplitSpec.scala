@@ -32,6 +32,14 @@ class CleanSplitSpec extends AnyFunSuite {
     assert(row.getString(row.fieldIndex("s_first")) === "a")
   }
 
+  test("columnsByType splits string vs numeric, skips other types") {
+    val df = Seq((1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "name", "score", "ts")
+    val (strings, numerics) = CleanOps.columnsByType(df)
+    assert(strings === Seq("name"))
+    assert(numerics === Seq("id", "score"))
+  }
+
   test("medianFill fills nulls with the interpolated median") {
     val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None)
       .toDF("v")

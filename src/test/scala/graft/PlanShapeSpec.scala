@@ -141,11 +141,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "packing must not plan a self-join")
   }
 
-  test("q76: mixture sampling's two windows share one exchange on the " +
-       "group key") {
+  test("q76: mixture rank window partitions on (group, md5-bucket) — " +
+       "no single-task-per-group window") {
     val p = planOf("q76_source_mixture")
-    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).length === 1,
-      s"both windows should reuse a single lang exchange:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning\\(lang#\\d+, _mb".r
+      .findFirstIn(p).isDefined,
+      s"rank window should partition on (lang, _mb):\n${p.take(1500)}")
+    // the quota table joins as a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      "quota table should broadcast onto the scan")
   }
 
   test("q39/q38: the two-projection pattern holds — exactly ONE regex " +

@@ -141,6 +141,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hashMixtureDistributed is bit-identical to hashMixture for " +
+       "arbitrary fractions (same rows, not just same sizes)") {
+    forAllSeeded(Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)),
+        n = 6) { case (fa: Double, fb: Double) =>
+        val df = (0 until 150).map(i =>
+          (i.toLong, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
+        val mix = Map("a" -> fa, "b" -> fb)
+        val exact = SplitOps.hashMixture(df, "g", "id", mix)
+          .select("id").as[Long].collect().sorted.toSeq
+        val dist = SplitOps.hashMixtureDistributed(df, "g", "id", mix)
+          .select("id").as[Long].collect().sorted.toSeq
+        assert(dist === exact)
+    }
+  }
+
   test("countMinSketch never under-counts and respects the eps bound") {
     val df = (0 until 3000).map(i => (i % 37).toLong).toDF("k")
     val cms = df.stat.countMinSketch(col("k"), eps = 0.01,

@@ -90,6 +90,62 @@ class SimilarityAggSpec extends AnyFunSuite {
     assert(r4 > 0.8, s"4-table recall $r4")
   }
 
+  test("quantizedTopK: int8-scored neighbors reach recall >= 0.9 vs " +
+       "exact brute force (the q69->ANN consumer contract)") {
+    // int8 resolves cosine to ~1% — a meaningful recall@k contract
+    // needs neighbor GAPS above that (the `clustered` fixture's
+    // same-cluster sims differ by ~1e-4, unrecoverable by ANY 8-bit
+    // score). Plant 3 neighbors per query at separated angles
+    // (cos ≈ 0.98 / 0.92 / 0.86) over random far distractors.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def randUnit() = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 4).flatMap { qi =>
+      val qv = randUnit()
+      val u = { // orthogonalize a random direction against qv
+        val r = randUnit()
+        val d = r.zip(qv).map { case (a, b) => a * b }.sum
+        unit(r.zip(qv).map { case (a, b) => a - d * b })
+      }
+      val planted = Seq(0.98, 0.92, 0.86).zipWithIndex.map {
+        case (c, j) =>
+          val s = math.sqrt(1 - c * c)
+          (100L + qi * 10 + j,
+            qv.zip(u).map { case (a, b) => c * a + s * b }.toSeq)
+      }
+      ((qi.toLong, qv.toSeq) +: planted)
+    } ++ (0 until 40).map(i => (500L + i, randUnit().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 4)
+    val exact = SimilarityOps.bruteForceTopK(q, df, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilarityOps.quantizedTopK(q, df, "vec_id", "embedding", 3,
+        planes = 6, seed = 42L, tables = 6)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (quant & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall")
+    // and the rescaled int dot approximates cosine: every returned
+    // score is within 0.05 of the exact cosine of the same pair
+    val exactSim = SimilarityOps.bruteForceTopK(q, df, "vec_id",
+        "embedding", rows.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    SimilarityOps.quantizedTopK(q, df, "vec_id", "embedding", 3,
+        planes = 6, seed = 42L, tables = 6)
+      .collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        exactSim.get(key).foreach { cos =>
+          assert(math.abs(r.getDouble(2) - cos) < 0.05,
+            s"pair $key: qsim ${r.getDouble(2)} vs cosine $cos")
+        }
+      }
+  }
+
   test("ivfTopK: high recall vs brute force on clustered data") {
     val df = clustered
     val q = df.filter(col("vec_id") < 6)
@@ -103,6 +159,35 @@ class SimilarityAggSpec extends AnyFunSuite {
     // clusters are tight → the probed lists contain the true neighbors
     val recall = (ivf & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
+  test("q36/q46/q85 plane-literal oracles: no fixture projection sits " +
+       "within epsilon of the sign boundary (FP-fragility guard)") {
+    // The generated DuckDB oracles embed the hyperplanes as double
+    // literals and re-derive each bucket bit from sign(proj). A
+    // projection within rounding error of 0 could flip under a
+    // different summation order and silently change the candidate set
+    // (round-3 ADVICE) — assert the fixture keeps a wide margin, so a
+    // near-zero projection fails loudly HERE, not as an oracle
+    // hash-mismatch three layers up.
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    // q36/q85 tables (planes=6, seeds 42..44) + q46 (planes=8, seed 42)
+    val planeSets =
+      (0 until 3).map(t => SimilarityOps.hyperplanes(6, 64, 42L + t)) :+
+        SimilarityOps.hyperplanes(8, 64, 42L)
+    var minAbs = Double.MaxValue
+    for (hp <- planeSets; w <- hp; v <- vecs) {
+      // same left-fold order as the Column-side aggregate
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += v(i) * w(i); i += 1 }
+      minAbs = math.min(minAbs, math.abs(acc))
+    }
+    assert(minAbs > 1e-9,
+      s"a projection sits $minAbs from the sign boundary — the " +
+        "plane-literal oracles are FP-fragile on this fixture")
   }
 
   test("confusionMatrix pivots grouped counts") {
