@@ -1638,7 +1638,7 @@ object SparkEntry {
         |  min(md5('2_' || tok)) AS h2, min(md5('3_' || tok)) AS h3,
         |  min(md5('4_' || tok)) AS h4, min(md5('5_' || tok)) AS h5,
         |  min(md5('6_' || tok)) AS h6, min(md5('7_' || tok)) AS h7
-        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), z -> len(z) > 0)) AS tok
         |  FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q32_lsh_pairs" ->
@@ -1646,7 +1646,7 @@ object SparkEntry {
         |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
     "q34_ngram_jaccard" ->
       """WITH sets AS (SELECT doc_id,
-        |    list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |    list_distinct(list_filter(string_split_regex(text, '\s+'), z -> len(z) > 0)) AS s FROM documents),
         |  toks AS (SELECT doc_id, len(s) AS sz, unnest(s) AS tok FROM sets),
         |  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |      a.sz AS size_a, b.sz AS size_b, count(*) AS inter
@@ -1755,25 +1755,34 @@ object SparkEntry {
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "q38_text_quality" ->
-      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |  round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
-        |    / len(string_split(text, ' ')), 6) AS mean_tok_len,
-        |  round(len(list_distinct(string_split(text, ' ')))::DOUBLE
-        |    / len(string_split(text, ' ')), 6) AS distinct_ratio,
+      // tokenization mirrors TextOps.tokens (\s+ split, empties
+      // dropped); mean_tok_len sums actual token lengths rather than
+      // the single-space arithmetic shortcut, so the oracle stays
+      // correct on dirty (multi-space/tab) text too
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0) AS t,
+        |    text FROM documents)
+        |SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |  round(list_aggregate(list_transform(t, x -> len(x)),
+        |      'sum')::DOUBLE / len(t), 6) AS mean_tok_len,
+        |  round(len(list_distinct(t))::DOUBLE / len(t), 6)
+        |    AS distinct_ratio,
         |  round((length(text) -
         |      length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
         |    / length(text), 6) AS alpha_ratio,
         |  round((length(text) -
         |      length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
         |    / length(text), 6) AS punct_ratio,
-        |  round(len(list_filter(string_split(text, ' '), t ->
+        |  round(len(list_filter(t, x ->
         |      list_contains(['the','a','an','of','and','is','to','in',
-        |        'that','it'], t)))::DOUBLE
-        |    / len(string_split(text, ' ')), 6) AS stopword_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |        'that','it'], x)))::DOUBLE
+        |    / len(t), 6) AS stopword_ratio
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q39_lang_id" ->
       """WITH t AS (SELECT doc_id,
-        |    list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |    list_distinct(list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0)) AS toks FROM documents),
         |  sc AS (SELECT doc_id,
         |    (CASE WHEN list_contains(toks, 'der') THEN 1 ELSE 0 END +
         |     CASE WHEN list_contains(toks, 'die') THEN 1 ELSE 0 END +
@@ -1810,16 +1819,18 @@ object SparkEntry {
       // n_subwords: letter-runs + digit-runs + single other non-space
       // chars — the lookaround-free decomposition of the BPE-ish regex
       // (DuckDB's RE2 has no lookarounds)
-      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+      """WITH d AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0) AS t FROM documents)
+        |SELECT doc_id, len(t)::BIGINT AS n_tokens,
         |  (len(regexp_extract_all(text, '[a-zA-Z]+'))
         |   + len(regexp_extract_all(text, '[0-9]+'))
         |   + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')))::BIGINT
         |    AS n_subwords,
         |  length(text)::BIGINT AS n_chars,
-        |  md5(array_to_string(
-        |    list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |  md5(array_to_string(list_sort(list_distinct(t)), ' '))
         |    AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q41_window_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS win_start,
@@ -1867,7 +1878,7 @@ object SparkEntry {
         |      FROM bands GROUP BY 1, 2) r
         |      ON b.band = r.band AND b.bh = r.bh AND b.doc_id > r.id_a),
         |  sets AS (SELECT doc_id,
-        |    list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |    list_distinct(list_filter(string_split_regex(text, '\\s+'), z -> len(z) > 0)) AS s FROM documents),
         |  tk AS (SELECT doc_id, len(s) AS sz, unnest(s) AS tok FROM sets),
         |  pairs AS (SELECT c.id_a, c.id_b, ta.sz AS size_a, tb.sz AS size_b,
         |      count(*) AS inter
@@ -1904,7 +1915,7 @@ object SparkEntry {
       // UNION (not UNION ALL) dedups (id, comp) states so the recursion
       // terminates
       """WITH RECURSIVE
-        |  sets AS (SELECT doc_id, list_distinct(string_split(text, ' '))
+        |  sets AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), z -> len(z) > 0))
         |    AS s FROM documents WHERE doc_id < 60),
         |  tk AS (SELECT doc_id, len(s) AS sz, unnest(s) AS tok FROM sets),
         |  jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1927,7 +1938,7 @@ object SparkEntry {
       // operations (not pre-evaluated constants) so both engines
       // produce bit-identical doubles before the round
       """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS t
         |  FROM documents),
         |  dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM d),
         |  st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
@@ -1956,7 +1967,7 @@ object SparkEntry {
         |ORDER BY v.user_id, view_id, buy_id""".stripMargin,
     "q64_chunking" ->
       """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS t
         |  FROM documents WHERE doc_id < 50),
         |  s AS (SELECT doc_id, t,
         |    unnest(generate_series(1, len(t), 6)) AS start
@@ -1966,7 +1977,7 @@ object SparkEntry {
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "q65_quality_gate" ->
       """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS t
         |  FROM documents),
         |  f AS (SELECT doc_id, len(t) AS n_tokens,
         |    CASE WHEN len(t) >= 3 THEN
@@ -2036,7 +2047,7 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q53_shingle_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), z -> len(z) > 0) AS t
         |  FROM documents),
         |  sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(t) - 1),
@@ -2099,7 +2110,7 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q68_heavy_hitters" ->
       """SELECT tok AS term, count(*) AS n
-        |FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
         |    t -> len(t) > 0)) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, term LIMIT 20""".stripMargin,
     "q69_embed_quant" ->
@@ -2140,7 +2151,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q73_decontaminate" ->
       """WITH d AS (SELECT doc_id, (length(source) = 4) AS is_ref,
-        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS t
         |  FROM documents),
         |  sh AS (SELECT doc_id, is_ref,
         |    list_distinct(list_transform(generate_series(1, len(t) - 7),
@@ -2157,7 +2168,7 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q75_sequence_packing" ->
       """WITH d AS (SELECT lang, doc_id,
-        |    len(list_filter(string_split(text, ' '),
+        |    len(list_filter(string_split_regex(text, '\s+'),
         |      t -> len(t) > 0))::BIGINT AS n_tokens
         |  FROM documents),
         |  c AS (SELECT lang, doc_id, n_tokens,

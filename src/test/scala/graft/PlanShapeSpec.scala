@@ -73,6 +73,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), "bloom-pruned join lost its hash join")
   }
 
+  test("q12/q13/q62: quantile plans run the percentile_approx sketch — " +
+       "no exact-percentile buffer of every value") {
+    for (q <- Seq("q12_median_impute", "q13_percentiles",
+        "q62_iqr_outliers")) {
+      val p = planOf(q)
+      assert(!"percentile\\((?!_approx)".r.findFirstIn(p).isDefined &&
+        !p.contains("median("),
+        s"$q still buffers exact percentiles:\n${p.take(1200)}")
+    }
+  }
+
   test("q63: centroid aggregation is partial+final (map-side combine " +
        "keeps the shuffle at groups x dims)") {
     val p = planOf("q63_label_centroids")
