@@ -94,7 +94,8 @@ object SimilarityOps {
               vecCol: String, k: Int, planes: Int = 8,
               seed: Long = 42L, tables: Int = 1): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dim = corpus.select(size(col(vecCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1) // empty corpus: any dim works, result is empty
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -211,7 +212,8 @@ object SimilarityOps {
                     vecCol: String, k: Int, planes: Int = 6,
                     seed: Long = 42L, tables: Int = 3): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dim = corpus.select(size(col(vecCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1) // empty corpus: any dim works, result is empty
     def prep(df: DataFrame, idName: String) =
       df.select(col(idCol).as(idName),
         col(vecCol).cast("array<double>").as("_v"))
@@ -268,7 +270,8 @@ object SimilarityOps {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 8,
                          seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = df.select(size(col(vecCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1) // empty frame: result is empty
     val hp = hyperplanes(planes, dim, seed)
     val v = df.select(col(idCol),
         col(vecCol).cast("array<double>").as("_v"))

@@ -76,6 +76,23 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registry consistency: every oracle key names a registered " +
+       "query, and the no-oracle set is exactly the declared six") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    val orphanOracles = os -- qs
+    assert(orphanOracles.isEmpty,
+      s"oracles without a query (typo?): $orphanOracles")
+    // SURVEY §5 convention: only seeded-RNG sampling, xxhash64 simhash,
+    // and ML-training queries may lack an oracle — a NEW query landing
+    // here unannounced means someone forgot its oracle entry
+    val declaredNoOracle = Set("q20_stratified_sample", "q21_split_sizes",
+      "q33_simhash", "q45_ml_metrics", "q48_ann_ivf", "q54_stream_scoring")
+    assert((qs -- os) === declaredNoOracle,
+      s"no-oracle set drifted: ${(qs -- os) -- declaredNoOracle} added, " +
+        s"${declaredNoOracle -- (qs -- os)} missing")
+  }
+
   test("typed Aggregator (UDAF surface) matches the builtin avg, both " +
        "as a TypedColumn and registered for SQL") {
     import spark.implicits._

@@ -27,6 +27,8 @@ class EmptyInputSpec extends AnyFunSuite {
         docs.count())
       assert(DedupOps.lshCandidatePairs(docs, "doc_id", "text",
         k = 16, bands = 4).count() === 0)
+      assert(DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+        k = 16, bands = 4, maxBucket = 1).count() === 0)
       assert(DedupOps.lshRepresentativePairs(docs, "doc_id", "text",
         k = 16, bands = 4).count() === 0)
       val fp = DedupOps.simhashMd5(docs, "doc_id", "text")
@@ -70,12 +72,20 @@ class EmptyInputSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, String, Double)].toDF("id", "g", "v")
     assert(SplitOps.hashMixture(empty, "g", "id", Map("a" -> 0.5))
       .count() === 0)
+    assert(SplitOps.hashMixtureDistributed(empty, "g", "id",
+      Map("a" -> 0.5)).count() === 0)
     assert(SplitOps.hashSampleMixture(empty, "g", "id", Map("a" -> 0.5))
       .count() === 0)
     assert(AggOps.saltedAgg(empty, "g", "v", 4).count() === 0)
     assert(AggOps.histogram(empty, "v", 0.0, 10.0).count() === 0)
     assert(CleanOps.iqrOutlierFilter(empty, "v").count() === 0)
+    assert(CleanOps.iqrOutlierFilterApprox(empty, "v").count() === 0)
+    assert(CleanOps.approxMedians(empty, Seq("v")).isEmpty)
     assert(CleanOps.dropNulls(empty, Seq("v")).count() === 0)
+    // a group absent from the fractions map is dropped, not crashed
+    val oneGroup = Seq((1L, "zz", 1.0)).toDF("id", "g", "v")
+    assert(SplitOps.hashMixtureDistributed(oneGroup, "g", "id",
+      Map("a" -> 0.5)).count() === 0)
   }
 
   test("similarity ops survive empty corpora") {
@@ -92,5 +102,18 @@ class EmptyInputSpec extends AnyFunSuite {
       .withColumn("q", SimilarityOps.quantizeInt8(col("embedding"),
         col("norm")))
     assert(q.count() === 1)
+    // quantizedTopK: empty corpus yields no neighbors; self-only corpus
+    // yields none either (self-pairs filtered)
+    assert(SimilarityOps.quantizedTopK(one, one, "vec_id", "embedding", 3,
+      planes = 4, tables = 2).count() === 0)
+    assert(SimilarityOps.quantizedTopK(empty, one, "vec_id", "embedding",
+      3, planes = 4, tables = 2).count() === 0)
+    // empty CORPUS must not crash the driver-side dim probe
+    assert(SimilarityOps.quantizedTopK(one, empty, "vec_id", "embedding",
+      3, planes = 4, tables = 2).count() === 0)
+    assert(SimilarityOps.lshTopK(one, empty, "vec_id", "embedding", 3,
+      planes = 4).count() === 0)
+    assert(SimilarityOps.cosineNearDupPairs(empty, "vec_id", "embedding",
+      0.5).count() === 0)
   }
 }

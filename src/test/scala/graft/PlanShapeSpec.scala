@@ -57,6 +57,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "asof must not degrade to a cross-join strategy")
   }
 
+  test("q82: gap-tolerant as-of keeps the single-exchange merge-sort " +
+       "shape (the gap test must not add a join or exchange)") {
+    val p = planOf("q82_asof_tolerance")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
+      s"asof+gap should still shuffle once via the union:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "asof+gap must not degrade to a cross-join strategy")
+  }
+
+  test("q85: quantized ANN joins broadcast the (tiny) query side and " +
+       "carry int8 vectors, not the double originals") {
+    val p = planOf("q85_ann_quantized")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query side should broadcast onto the corpus buckets:\n${p.take(1500)}")
+    // the join output must not resurrect the full-precision arrays —
+    // only the int8 projections (_qq/_cq) feed the scorer
+    val joinLine = p.split("\n").find(_.contains("BroadcastHashJoin"))
+    assert(joinLine.exists(l => !l.contains("_qv") && !l.contains("_cv")),
+      s"full-precision vectors cross the join: ${joinLine.getOrElse("")}")
+  }
+
   test("q31: minhash aggregates in a single exchange on doc_id") {
     val p = planOf("q31_minhash_sig")
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1,
