@@ -1243,6 +1243,62 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Drop a saved bucketed table AND its warehouse directory — the
+    * in-memory catalog forgets tables between JVMs but their warehouse
+    * dirs persist, so a bare saveAsTable would hit
+    * LOCATION_ALREADY_EXISTS on the next session. */
+  private def dropSavedTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val p = java.nio.file.Paths.get(wh, name)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    // Bucketed CO-LOCATED join, registered (was spec-only layout
+    // machinery): both sides are written bucketed on the join key, so
+    // the hinted sort-merge join plans with NO Exchange below it (the
+    // pre-shuffle happened at write time — at 100 TB this is the lever
+    // that turns every repeated fact-dim join into a scan-local merge).
+    // Plan shape asserted in PlanShapeSpec; the oracle checks the join
+    // result equals the plain parquet join.
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (to, tc) = (s"b_orders_$sfTag", s"b_customer_$sfTag")
+    dropSavedTable(s, to); dropSavedTable(s, tc)
+    t(s, dir, "orders").write.bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").mode("overwrite").saveAsTable(to)
+    t(s, dir, "customer").write.bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").mode("overwrite").saveAsTable(tc)
+    s.table(to).hint("merge")
+      .join(s.table(tc).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    // Hive-partitioned write + PRUNED read, registered: the filter on
+    // the partition column must resolve to directory pruning (asserted
+    // in PlanShapeSpec — PartitionFilters, not a data filter), so a
+    // 100 TB scan of one event type touches one directory tree.
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/part_events/$sfTag"
+    t(s, dir, "events").write.mode("overwrite")
+      .partitionBy("event_type").parquet(path)
+    s.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("bucket"))
+  }
+
   private def q85(s: SparkSession, dir: String): DataFrame =
     // Quantized ANN end-to-end — the consumer of q69's int8 compaction:
     // LSH-bucketed candidates scored by integer dot product / 127²
@@ -1346,6 +1402,8 @@ object SparkEntry {
     "q83_stream_dedup" -> q83 _,
     "q84_keyed_sink" -> q84 _,
     "q85_ann_quantized" -> q85 _,
+    "q86_bucketed_join" -> q86 _,
+    "q87_partition_prune" -> q87 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -2308,5 +2366,17 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, qsim, rn FROM r WHERE rn <= 3
         |ORDER BY query_id, rn""".stripMargin
     },
+    "q86_bucketed_join" ->
+      // the bucketed layout changes the PLAN (no join-time shuffle),
+      // never the RESULT — the oracle is the plain join
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q87_partition_prune" ->
+      """SELECT user_id % 10 AS bucket, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

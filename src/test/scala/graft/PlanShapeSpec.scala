@@ -79,6 +79,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"full-precision vectors cross the join: ${joinLine.getOrElse("")}")
   }
 
+  test("q86: bucketed join plans with NO Exchange below the merge join " +
+       "(the pre-shuffled layout IS the shuffle)") {
+    val p = planOf("q86_bucketed_join")
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected SortMergeJoin in:\n${p.take(1500)}")
+    assert(!p.substring(joinIdx).contains("Exchange"),
+      s"bucketed join re-shuffled its inputs:\n${p.substring(joinIdx).take(1000)}")
+  }
+
+  test("q87: the event-type filter resolves to PARTITION pruning, not " +
+       "a data filter") {
+    val p = planOf("q87_partition_prune")
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
+      s"expected a partition filter on event_type:\n${p.take(1500)}")
+    // pruned at the directory level → no pushed DATA filter needed on it
+    assert(!"PushedFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
+      "event_type leaked into data filters — pruning failed")
+  }
+
   test("q31: minhash aggregates in a single exchange on doc_id") {
     val p = planOf("q31_minhash_sig")
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1,
