@@ -783,6 +783,75 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    // Repetition quality signals (the published-rule-set trio beyond
+    // q65's duplicate-trigram gate): most-common-token share,
+    // most-common-2-gram share, duplicate-2-gram ratio. All three are
+    // per-row sorted-array folds — a pure projection, zero shuffle, so
+    // the scan stage is the whole plan at any scale (the oracle's
+    // unnest+group-by form would shuffle every 2-gram occurrence; the
+    // fold is why the engine-side signal survives 100 TB).
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TextOps.topElementFraction(TextOps.tokens(col("text"))), 6)
+          .as("top_tok_frac"),
+        round(TextOps.topShingleFraction(col("text"), 2), 6)
+          .as("top2_frac"),
+        round(TextOps.dupShingleRatio(col("text"), 2), 6)
+          .as("dup2_frac"))
+      .orderBy(col("doc_id"))
+
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    // URL-canonicalized per-domain cap — the crawl-pipeline stage
+    // between exact dedup and quality filtering: normalize the URL
+    // (strip query/fragment, lowercase scheme+host), extract the host,
+    // keep the top `cap` docs per host by size. The fixture has no URL
+    // column, so one is synthesized deterministically from
+    // (source, doc_id) — the normalization then has real work to do
+    // (mixed-case host, utm query string). One hash exchange on host;
+    // the rank window parallelizes across hosts (a mega-host would
+    // serialize its own partition — the q79 hash-threshold form is the
+    // documented fallback for that skew).
+    val cap = 25
+    val docs = t(s, dir, "documents")
+      .withColumn("url", concat(lit("https://WWW."), col("source"),
+        lit(".Example.org/doc/"), col("doc_id"), lit("/?utm_source=crawl")))
+    val norm = docs
+      .withColumn("canon_url", TextOps.urlNormalize(col("url")))
+      .withColumn("host", TextOps.urlHost(col("url")))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    norm.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+      .select(col("host"), col("doc_id"), col("canon_url"),
+        col("rnk").cast("long").as("rnk"), col("n_chars"))
+      .orderBy(col("host"), col("rnk"))
+  }
+
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    // ORC source round-trip (the q25 pattern for the second columnar
+    // format a Spark shop actually meets): write lineitem through ORC,
+    // read it back with the pinned schema, filter + aggregate. The
+    // filter must push into the ORC scan (PlanShapeSpec asserts
+    // PushedFilters) — ORC carries the same stripe-level min/max
+    // pruning parquet does, so the 100 TB story is unchanged. Oracle
+    // reads the parquet twin: a lossy round-trip (types, nulls,
+    // precision) hash-mismatches.
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/orc_cache/lineitem_$sfTag"
+    val src = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_shipdate"), col("l_extendedprice"))
+    src.write.mode("overwrite").orc(path)
+    s.read.schema(src.schema).orc(path)
+      .filter(col("l_shipdate") >= "1995-01-01")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---------------------------------------------------------------- //
   // Streaming (SURVEY §2.11) + batch window parity
   // ---------------------------------------------------------------- //
@@ -1404,6 +1473,9 @@ object SparkEntry {
     "q85_ann_quantized" -> q85 _,
     "q86_bucketed_join" -> q86 _,
     "q87_partition_prune" -> q87 _,
+    "q88_repetition_stats" -> q88 _,
+    "q89_domain_cap" -> q89 _,
+    "q90_orc_roundtrip" -> q90 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -2378,5 +2450,55 @@ object SparkEntry {
         |  round(sum(value), 2) AS total
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q88_repetition_stats" ->
+      // the oracle takes the unnest+group-by road to the same numbers
+      // the engine computes as a per-row sorted-array fold; empty and
+      // sub-2-token docs coalesce to the engine's 0.0 convention
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0) AS t FROM documents),
+        |  tokc AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM (
+        |      SELECT doc_id, w, count(*) AS c FROM (
+        |        SELECT doc_id, unnest(t) AS w FROM d) u
+        |      GROUP BY doc_id, w) s GROUP BY doc_id),
+        |  g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS gm FROM d),
+        |  gc AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot,
+        |      count(*) AS nd FROM (
+        |      SELECT doc_id, gm, count(*) AS c FROM g
+        |      GROUP BY doc_id, gm) s GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(coalesce(tokc.mx::DOUBLE / tokc.tot, 0), 6)
+        |    AS top_tok_frac,
+        |  round(coalesce(gc.mx::DOUBLE / gc.tot, 0), 6) AS top2_frac,
+        |  round(coalesce(1 - gc.nd::DOUBLE / gc.tot, 0), 6) AS dup2_frac
+        |FROM d LEFT JOIN tokc USING (doc_id) LEFT JOIN gc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q89_domain_cap" ->
+      // identical RE2-safe normalization regexes as TextOps.urlNormalize
+      // / urlHost; url synthesized from (source, doc_id) exactly as the
+      // engine side
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    'https://WWW.' || source || '.Example.org/doc/' || doc_id ||
+        |      '/?utm_source=crawl' AS url FROM documents),
+        |  n AS (SELECT doc_id, n_chars,
+        |    lower(regexp_extract(s, '^([A-Za-z]+://[^/]*)', 1)) ||
+        |      regexp_extract(s, '^[A-Za-z]+://[^/]*(.*)', 1) AS canon_url,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host
+        |  FROM (SELECT *, regexp_replace(regexp_replace(url,
+        |      '[?#].*', ''), '/$', '') AS s FROM u) t),
+        |  r AS (SELECT host, doc_id, canon_url, n_chars,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY n_chars DESC, doc_id) AS rnk FROM n)
+        |SELECT host, doc_id, canon_url, rnk::BIGINT AS rnk, n_chars
+        |FROM r WHERE rnk <= 25 ORDER BY host, rnk""".stripMargin,
+    "q90_orc_roundtrip" ->
+      // oracle reads the parquet twin — a lossy ORC round-trip
+      // (types, nulls, timestamp precision) hash-mismatches
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -96,16 +96,23 @@ object SimilarityOps {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     val dim = corpus.select(size(col(vecCol))).head(1).headOption
       .map(_.getInt(0)).getOrElse(1) // empty corpus: any dim works, result is empty
+    // all `tables` bucket ids are computed in ONE pass per side and
+    // exploded — a per-table union would re-scan (and re-cast) the
+    // corpus `tables` times, since Catalyst does not CSE across union
+    // branches. The exploded (table, bucket) struct is the join key,
+    // so buckets from different tables never collide.
+    def withBuckets(df: DataFrame, vc: String) =
+      df.withColumn("_b", explode(array((0 until tables).map { t =>
+        val hp = hyperplanes(planes, dim, seed + t)
+        struct(lit(t).as("t"), lshBucket(col(vc), hp).as("h"))
+      }: _*)))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("_qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_cv"))
-    val unioned = (0 until tables).map { t =>
-      val hp = hyperplanes(planes, dim, seed + t)
-      q.withColumn("_b", lshBucket(col("_qv"), hp))
-        .join(c.withColumn("_b", lshBucket(col("_cv"), hp)), Seq("_b"))
-        .drop("_b")
-    }.reduce(_ unionByName _)
+    val unioned = withBuckets(q, "_qv")
+      .join(withBuckets(c, "_cv"), Seq("_b"))
+      .drop("_b")
       .filter(col("query_id") =!= col("neighbor_id"))
     // a single table can't produce duplicate pairs — don't pay the
     // dedup exchange (candidate rows carry both embedding arrays)
@@ -222,14 +229,15 @@ object SimilarityOps {
     def bucketed(side: DataFrame, idName: String, qName: String) = {
       val quant = side.withColumn(qName,
         quantizeInt8(col("_v"), l2Norm(col("_v"))))
-      (0 until tables).map { t =>
-        val hp = hyperplanes(planes, dim, seed + t)
-        // bucket on the full-precision vector, then PROJECT IT AWAY —
-        // only the int8 vector crosses the join
-        quant.withColumn("_b",
-            struct(lit(t).as("t"), lshBucket(col("_v"), hp).as("h")))
-          .select(col(idName), col("_b"), col(qName))
-      }.reduce(_ unionByName _)
+      // all `tables` bucket ids in ONE pass (a per-table union would
+      // re-scan and re-quantize the side per table — no CSE across
+      // union branches), then the full-precision vector is PROJECTED
+      // AWAY: only (id, bucket, int8) crosses the join
+      quant.withColumn("_b", explode(array((0 until tables).map { t =>
+          val hp = hyperplanes(planes, dim, seed + t)
+          struct(lit(t).as("t"), lshBucket(col("_v"), hp).as("h"))
+        }: _*)))
+        .select(col(idName), col("_b"), col(qName))
     }
     val joined = bucketed(q, "query_id", "_qq")
       .join(bucketed(c, "neighbor_id", "_cq"), Seq("_b"))

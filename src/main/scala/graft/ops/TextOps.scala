@@ -229,6 +229,44 @@ object TextOps {
         (col("_cum") % budget).cast("long").as("bin_offset"))
   }
 
+  /** Fraction of an array's elements taken by its most frequent value —
+    * the "fraction in most common n-gram" repetition signal from
+    * published quality-filter rule sets (a doc whose top 2-gram covers
+    * 20% of the text is degenerate). Computed as the longest run in the
+    * SORTED array via a single `aggregate` fold — per-row, zero
+    * shuffle, so the signal costs a projection even at 100 TB (the
+    * group-by-gram alternative would shuffle every n-gram occurrence
+    * in the corpus). 0.0 for empty arrays. */
+  def topElementFraction(arr: Column): Column =
+    bind(array_sort(arr), sorted =>
+      when(size(sorted) === 0, lit(0.0)).otherwise(
+        aggregate(sorted,
+          struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+            lit(0L).as("best")),
+          (acc, x) => bind(
+            when(x <=> acc.getField("prev"), acc.getField("run") + 1L)
+              .otherwise(lit(1L)),
+            run => struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))),
+          acc => acc.getField("best")).cast("double") / size(sorted)))
+
+  /** [[topElementFraction]] over the word n-gram shingles of `c`. */
+  def topShingleFraction(c: Column, n: Int): Column =
+    topElementFraction(shingles(c, n))
+
+  /** Canonical URL: strip query string and fragment, drop a trailing
+    * slash, lowercase scheme+host (the path keeps its case). The
+    * standard pre-dedup URL normalization; RE2 ∩ java.util.regex
+    * patterns so the DuckDB oracle applies identical expressions. */
+  def urlNormalize(c: Column): Column =
+    bind(regexp_replace(regexp_replace(c, "[?#].*", ""), "/$", ""), u =>
+      concat(lower(regexp_extract(u, "^([A-Za-z]+://[^/]*)", 1)),
+        regexp_extract(u, "^[A-Za-z]+://[^/]*(.*)", 1)))
+
+  /** Lowercased host component of a URL ('' if not URL-shaped). */
+  def urlHost(c: Column): Column =
+    lower(regexp_extract(c, "^[A-Za-z]+://([^/?#]+)", 1))
+
   /** Order-insensitive content fingerprint: md5 over the sorted distinct
     * token set — robust to shuffled word order, cheap exact-near-dup key. */
   def setFingerprint(c: Column): Column =

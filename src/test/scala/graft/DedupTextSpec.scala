@@ -266,4 +266,39 @@ class DedupTextSpec extends AnyFunSuite {
       .select(TextOps.langId(col("t")).as("lang"))
     assert(df.as[String].collect() === Array("en", "es", "und"))
   }
+
+  test("topElementFraction: longest sorted run over tokens and shingles; " +
+       "0.0 on empty and sub-n docs") {
+    val df = Seq(
+      "a b a b a",   // top token a: 3/5; 2-grams [a b, b a, a b, b a]: 2/4
+      "x",           // single token: 1/1; no 2-grams -> 0.0
+      "",            // empty: 0.0 everywhere
+      "u v w").toDF("t")  // all distinct: 1/3; 2-grams distinct: 1/2
+      .select(
+        TextOps.topElementFraction(TextOps.tokens(col("t"))).as("tok"),
+        TextOps.topShingleFraction(col("t"), 2).as("g2"))
+    val rows = df.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows(0) === ((0.6, 0.5)))
+    assert(rows(1) === ((1.0, 0.0)))
+    assert(rows(2) === ((0.0, 0.0)))
+    assert(rows(3) === ((1.0 / 3, 0.5)))
+  }
+
+  test("urlNormalize strips query/fragment/trailing slash and lowercases " +
+       "scheme+host only; urlHost extracts the lowercased host") {
+    val df = Seq(
+      "https://WWW.Foo.Example.org/Path/To?q=1#frag",
+      "http://A.b/",
+      "HTTPS://Host.com:8080/Mixed/Case",
+      "https://bare.host").toDF("u")
+      .select(TextOps.urlNormalize(col("u")).as("n"),
+        TextOps.urlHost(col("u")).as("h"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows(0) === (("https://www.foo.example.org/Path/To",
+      "www.foo.example.org")))
+    assert(rows(1) === (("http://a.b", "a.b")))
+    assert(rows(2) === (("https://host.com:8080/Mixed/Case",
+      "host.com:8080")))
+    assert(rows(3) === (("https://bare.host", "bare.host")))
+  }
 }

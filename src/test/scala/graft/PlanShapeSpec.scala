@@ -98,6 +98,29 @@ class PlanShapeSpec extends AnyFunSuite {
       "event_type leaked into data filters — pruning failed")
   }
 
+  test("q88: repetition signals are a pure projection — no hash " +
+       "exchange anywhere; the only exchange is the output-order sort") {
+    val p = planOf("q88_repetition_stats")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row fold should not shuffle:\n${p.take(1500)}")
+    assert("Exchange rangepartitioning".r.findAllIn(p).length === 1,
+      "expected exactly the deterministic output sort")
+  }
+
+  test("q89: domain cap costs one hash exchange (the host window); " +
+       "rank filter applied before the output projection") {
+    val p = planOf("q89_domain_cap")
+    assert("Exchange hashpartitioning\\(host".r.findAllIn(p).length === 1,
+      s"expected exactly one exchange on host:\n${p.take(1500)}")
+  }
+
+  test("q90: the shipdate filter pushes into the ORC scan") {
+    val p = planOf("q90_orc_roundtrip")
+    assert(p.toLowerCase.contains("orc"), "expected an ORC scan")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"shipdate filter not pushed into the ORC scan:\n${p.take(2000)}")
+  }
+
   test("q31: minhash aggregates in a single exchange on doc_id") {
     val p = planOf("q31_minhash_sig")
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1,
