@@ -1312,6 +1312,73 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Stage the events table as THREE micro-batch files split by
+    * event_id mod 3, residue 0 first — file name AND modification time
+    * both pin the replay order regardless of which ordering the source
+    * uses. Used by the watermark-semantics query [[q91]]; three
+    * batches because the late filter for batch N applies the watermark
+    * derived from batches ≤ N−2 (pinned by the StreamSemanticsSpec
+    * probe), so the earliest batch whose rows can be dropped is the
+    * third. */
+  private def stageResidueBatches(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val streamDir = Paths.get(
+      s"/root/repo/target/stream_src/events_residue_$sfTag")
+    Files.createDirectories(streamDir)
+    Files.list(streamDir).forEach(Files.deleteIfExists(_))
+    Tables.enableNanosRead(s)
+    // raw read, NOT Tables.load: ts must stay a nanos-long so the
+    // staged files keep the exact on-disk layout the stream declares
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    Seq(0, 1, 2).foreach { res =>
+      val tmp = s"/root/repo/target/stream_src/_residue_tmp_$sfTag$res"
+      raw.filter(col("event_id") % 3 === res).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      val dest = streamDir.resolve(s"batch$res.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + res * 600000L))
+    }
+    streamDir.toString
+  }
+
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    // Watermark LATE-DATA DROP + append-mode emission, ORACLED — the
+    // two streaming contracts no other query proves. The source replays
+    // as three micro-batches split by event_id mod 3 (residue order).
+    // The late filter for batch N applies the watermark derived from
+    // batches ≤ N−2 (Spark publishes the updated watermark only after
+    // a batch commits, and filters with the value in force at batch
+    // start — probed and pinned in StreamSemanticsSpec), so batch 2's
+    // rows are dropped iff their 1-hour window closed before
+    // max(batch-0 ts) − 30 min. Dropping is exactly what bounds state
+    // at 100 TB — without it every straggler resurrects its window's
+    // store forever. Append mode then emits only windows closed by the
+    // FINAL watermark (max(all ts) − 30 min); later windows stay open
+    // and unemitted. Both rules are pure relational predicates over
+    // the residue split, so the oracle reproduces them in SQL — a
+    // stream that failed to drop (or emitted open windows)
+    // hash-mismatches.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageResidueBatches(s, dir)
+    val stream = Tables.withTimestamps(
+      StreamOps.fileStream(s, schema, staged, maxFilesPerTrigger = Some(1)),
+      "events")
+    val agg = StreamOps.tumblingCounts(stream, "ts", "event_type",
+      "1 hour", "30 minutes")
+    StreamOps.runToCompletion(agg, s"q91_${System.nanoTime()}",
+        outputMode = "append", statePartitions = Some(8))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** Drop a saved bucketed table AND its warehouse directory — the
     * in-memory catalog forgets tables between JVMs but their warehouse
     * dirs persist, so a bare saveAsTable would hit
@@ -1476,6 +1543,7 @@ object SparkEntry {
     "q88_repetition_stats" -> q88 _,
     "q89_domain_cap" -> q89 _,
     "q90_orc_roundtrip" -> q90 _,
+    "q91_late_drop" -> q91 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -2500,5 +2568,26 @@ object SparkEntry {
         |  round(avg(l_extendedprice), 6) AS avg_price
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q91_late_drop" ->
+      // the two watermark rules as relational predicates over the
+      // mod-3 split: wma = watermark in force while batch 2 arrives
+      // (max batch-0 ts − 30 min — the late filter trails the commit
+      // by one batch, see q91's comment; batch-2 rows in windows
+      // already closed under it drop), wmf = final watermark (append
+      // emits only windows closed by it)
+      """WITH wma AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w
+        |    FROM events WHERE event_id % 3 = 0),
+        |  wmf AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+        |  kept AS (SELECT * FROM events
+        |    WHERE event_id % 3 <> 2
+        |      OR date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |         > (SELECT w FROM wma)),
+        |  agg AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+        |      count(*) AS n, round(sum(value), 2) AS total_value
+        |    FROM kept GROUP BY 1, 2)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, n, total_value
+        |FROM agg WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+        |ORDER BY win_start, event_type""".stripMargin,
   )
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+/** Pins the watermark mechanics q91's oracle is built on, with a
+  * controlled 3-file replay (maxFilesPerTrigger = 1):
+  *
+  *  - the late filter for batch N applies the watermark derived from
+  *    batches ≤ N−2 (the updated watermark publishes only after a
+  *    batch commits, and filtering uses the value in force at batch
+  *    start) — so a late row in batch 1 survives a watermark that
+  *    would drop it one batch later;
+  *  - a late row in batch 2 whose window closed under max(batch-0) −
+  *    delay IS dropped;
+  *  - append mode emits exactly the windows closed by the final
+  *    watermark; open windows never emit;
+  *  - no window key is ever emitted twice (the filter boundary equals
+  *    the prior eviction boundary, so late rows can't resurrect an
+  *    evicted window's state).
+  *
+  * If a Spark upgrade shifts any of these, this suite fails before
+  * the q91 oracle silently diverges.
+  */
+class StreamSemanticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def stage(batches: Seq[Seq[(Long, String)]]): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val dirP = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "wm_sem")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$dirP/_tmp$i"
+      rows.toDF("event_id", "tss")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      val dest = dirP.resolve(s"batch$i.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + i * 600000L))
+    }
+    dirP.toString
+  }
+
+  test("late filter trails the commit by one batch; append emits " +
+       "closed windows exactly once") {
+    val dir = stage(Seq(
+      // batch 0: wm after commit = 12:00 − 30m = 11:30
+      Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 12:00:00")),
+      // batch 1: 10:15 is "late" vs 11:30 but filtered with the
+      // batch-(-1) watermark (−∞) → KEPT; 14:00 advances wm to 13:30
+      Seq((3L, "2024-01-01 10:15:00"), (4L, "2024-01-01 12:30:00"),
+        (5L, "2024-01-01 14:00:00")),
+      // batch 2: filtered with max(batch 0) − 30m = 11:30 →
+      // 10:20 (window end 11:00 ≤ 11:30) DROPS,
+      // 12:40 (window end 13:00 > 11:30) survives; 16:00 → final wm
+      // 15:30, so [14,15) emits and [16,17) stays open
+      Seq((6L, "2024-01-01 10:20:00"), (7L, "2024-01-01 12:40:00"),
+        (8L, "2024-01-01 16:00:00"))))
+    val schema = spark.read.parquet(dir).schema
+    val agg = StreamOps.fileStream(spark, schema, dir,
+        maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"wm_sem_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name)
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // exactly-once per window key
+    assert(got.map(_._1).distinct.size === got.size)
+    assert(got.sortBy(_._1) === Seq(
+      "10:00" -> 2L,   // 10:00 + late-but-kept 10:15; 10:20 dropped
+      "12:00" -> 3L,   // 12:00 + 12:30 + surviving 12:40
+      "14:00" -> 1L))  // closed by final wm; [16,17) never emits
+  }
+}
