@@ -852,6 +852,35 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    // Schema EVOLUTION read (mergeSchema) — the landing-zone reality a
+    // long-lived 100 TB table lives with: month-1 files carry
+    // (orderkey, totalprice), month-2 files add o_orderpriority. A
+    // mergeSchema read unions the footers (one footer per file, NOT a
+    // data pass); pre-evolution rows surface NULL for the added column
+    // and aggregate under an explicit '<pre-evolution>' bucket. The
+    // oracle reproduces the split relationally — a read that dropped
+    // the old files, or defaulted the new column to anything but NULL,
+    // hash-mismatches.
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"/root/repo/target/evo_cache/orders_$sfTag"
+    val orders = t(s, dir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$base/m1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$base/m2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/m1", s"$base/m2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+        .as("pri"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("pri"))
+  }
+
   // ---------------------------------------------------------------- //
   // Streaming (SURVEY §2.11) + batch window parity
   // ---------------------------------------------------------------- //
@@ -1544,6 +1573,7 @@ object SparkEntry {
     "q89_domain_cap" -> q89 _,
     "q90_orc_roundtrip" -> q90 _,
     "q91_late_drop" -> q91 _,
+    "q92_schema_evolution" -> q92 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -2589,5 +2619,17 @@ object SparkEntry {
         |  event_type, n, total_value
         |FROM agg WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
         |ORDER BY win_start, event_type""".stripMargin,
+    "q92_schema_evolution" ->
+      // the evolution split reproduced relationally: even orderkeys are
+      // the pre-evolution files (no priority column -> NULL)
+      """WITH u AS (
+        |  SELECT o_totalprice, NULL AS pri FROM orders
+        |    WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice, o_orderpriority AS pri FROM orders
+        |    WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(pri, '<pre-evolution>') AS pri,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM u GROUP BY 1 ORDER BY pri""".stripMargin,
   )
 }
