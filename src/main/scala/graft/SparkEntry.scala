@@ -790,14 +790,22 @@ object SparkEntry {
     // per-row sorted-array folds — a pure projection, zero shuffle, so
     // the scan stage is the whole plan at any scale (the oracle's
     // unnest+group-by form would shuffle every 2-gram occurrence; the
-    // fold is why the engine-side signal survives 100 TB).
+    // fold is why the engine-side signal survives 100 TB). The token
+    // and shingle arrays are projected ONCE and every signal reads the
+    // attribute (the q38/q39 two-projection pattern — the inline form
+    // tokenized three times and shingled twice: 2.9 s vs 2.0 s at
+    // sf0.1; the residual cost is the per-element fold itself, see
+    // TextOps.topElementFraction's formulation notes).
     t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("_t"),
+        TextOps.shinglesOf(col("_t"), 2).as("_g"))
       .select(col("doc_id"),
-        round(TextOps.topElementFraction(TextOps.tokens(col("text"))), 6)
+        round(TextOps.topElementFraction(col("_t")), 6)
           .as("top_tok_frac"),
-        round(TextOps.topShingleFraction(col("text"), 2), 6)
+        round(TextOps.topElementFraction(col("_g")), 6)
           .as("top2_frac"),
-        round(TextOps.dupShingleRatio(col("text"), 2), 6)
+        round(TextOps.dupRatioOf(col("_g")), 6)
           .as("dup2_frac"))
       .orderBy(col("doc_id"))
 

@@ -237,22 +237,37 @@ object TextOps {
     * shuffle, so the signal costs a projection even at 100 TB (the
     * group-by-gram alternative would shuffle every n-gram occurrence
     * in the corpus). 0.0 for empty arrays. */
-  def topElementFraction(arr: Column): Column =
+  def topElementFraction(arr: Column): Column = {
+    // the run-length expression appears twice in the fold step; keep it
+    // a plain duplicated comparison — a per-element [[bind]] pays a
+    // wrapper-array + transform + element_at PER ELEMENT (measured
+    // ~20% slower), and a run-boundary index formulation (filter over
+    // sequence + zip_with of starts) measured slower still: the fold's
+    // struct is cheaper than two element_at probes per element.
+    def run(acc: Column, x: Column): Column =
+      when(x <=> acc.getField("prev"), acc.getField("run") + 1L)
+        .otherwise(lit(1L))
     bind(array_sort(arr), sorted =>
       when(size(sorted) === 0, lit(0.0)).otherwise(
         aggregate(sorted,
           struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
             lit(0L).as("best")),
-          (acc, x) => bind(
-            when(x <=> acc.getField("prev"), acc.getField("run") + 1L)
-              .otherwise(lit(1L)),
-            run => struct(x.as("prev"), run.as("run"),
-              greatest(acc.getField("best"), run).as("best"))),
+          (acc, x) => struct(x.as("prev"), run(acc, x).as("run"),
+            greatest(acc.getField("best"), run(acc, x)).as("best")),
           acc => acc.getField("best")).cast("double") / size(sorted)))
+  }
 
   /** [[topElementFraction]] over the word n-gram shingles of `c`. */
   def topShingleFraction(c: Column, n: Int): Column =
     topElementFraction(shingles(c, n))
+
+  /** [[dupShingleRatio]] over an already-materialized shingle array —
+    * for the two-projection pattern (one tokenization + one shingle
+    * construction per plan) when several signals share the array. */
+  def dupRatioOf(sh: Column): Column =
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+      .otherwise(lit(0.0))
 
   /** Canonical URL: strip query string and fragment, drop a trailing
     * slash, lowercase scheme+host (the path keeps its case). The

@@ -99,12 +99,15 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q88: repetition signals are a pure projection — no hash " +
-       "exchange anywhere; the only exchange is the output-order sort") {
+       "exchange anywhere; the only exchange is the output-order sort; " +
+       "tokens and shingles each materialize ONCE (two-projection)") {
     val p = planOf("q88_repetition_stats")
     assert(!p.contains("Exchange hashpartitioning"),
       s"per-row fold should not shuffle:\n${p.take(1500)}")
     assert("Exchange rangepartitioning".r.findAllIn(p).length === 1,
       "expected exactly the deterministic output sort")
+    assert("split\\(".r.findAllIn(p).length === 1,
+      s"q88 re-tokenizes per signal:\n${p.take(1200)}")
   }
 
   test("q89: domain cap costs one hash exchange (the host window); " +
