@@ -236,7 +236,9 @@ object TextOps {
     * SORTED array via a single `aggregate` fold — per-row, zero
     * shuffle, so the signal costs a projection even at 100 TB (the
     * group-by-gram alternative would shuffle every n-gram occurrence
-    * in the corpus). 0.0 for empty arrays. */
+    * in the corpus). 0.0 for empty arrays. String arrays only (the
+    * fold's zero state types `prev` as string — the token/shingle
+    * domain this module works in). */
   def topElementFraction(arr: Column): Column = {
     // the run-length expression appears twice in the fold step; keep it
     // a plain duplicated comparison — a per-element [[bind]] pays a
