@@ -889,6 +889,35 @@ object SparkEntry {
       .orderBy(col("pri"))
   }
 
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    // MAP-typed feature column round-trip (the feature-store shape —
+    // the one nested type no other query exercises): per-user event
+    // counts aggregate into a map<event_type, n> via map_from_entries,
+    // transform_values derives each type's share of the user's total,
+    // and exploding the map back must reproduce the plain relational
+    // aggregation EXACTLY (the oracle) — a lossy map construction
+    // (dropped duplicate keys, reordered entries feeding a
+    // non-commutative step) hash-mismatches. Plan: the same two-level
+    // aggregate any per-user profile costs (map-side combine on
+    // (user, type), then one exchange on user); the map machinery is
+    // per-row projection work after the shuffle, which is why feature
+    // maps are free at 100 TB once the profile aggregate exists.
+    val counts = t(s, dir, "events").filter(col("user_id") < 300)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("n"))))).as("fm"))
+      .withColumn("_tot",
+        aggregate(map_values(col("fm")), lit(0L), (a, v) => a + v))
+      .select(col("user_id"), explode(transform_values(col("fm"),
+        (_, v) => struct(v.as("n"),
+          round(v.cast("double") / col("_tot"), 6).as("share")))))
+      .select(col("user_id"), col("key").as("event_type"),
+        col("value.n").as("n"), col("value.share").as("share"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------- //
   // Streaming (SURVEY §2.11) + batch window parity
   // ---------------------------------------------------------------- //
@@ -1582,6 +1611,7 @@ object SparkEntry {
     "q90_orc_roundtrip" -> q90 _,
     "q91_late_drop" -> q91 _,
     "q92_schema_evolution" -> q92 _,
+    "q93_feature_map" -> q93 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -2639,5 +2669,14 @@ object SparkEntry {
         |SELECT coalesce(pri, '<pre-evolution>') AS pri,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM u GROUP BY 1 ORDER BY pri""".stripMargin,
+    "q93_feature_map" ->
+      // the map detour must equal the plain relational aggregation
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |    FROM events WHERE user_id < 300 GROUP BY 1, 2),
+        |  t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.user_id, c.event_type, c.n,
+        |  round(c.n::DOUBLE / t.tot, 6) AS share
+        |FROM c JOIN t USING (user_id)
+        |ORDER BY user_id, event_type""".stripMargin,
   )
 }
