@@ -816,10 +816,14 @@ object SparkEntry {
     // keep the top `cap` docs per host by size. The fixture has no URL
     // column, so one is synthesized deterministically from
     // (source, doc_id) — the normalization then has real work to do
-    // (mixed-case host, utm query string). One hash exchange on host;
-    // the rank window parallelizes across hosts (a mega-host would
-    // serialize its own partition — the q79 hash-threshold form is the
-    // documented fallback for that skew).
+    // (mixed-case host, utm query string). The cap runs as Spark's
+    // bounded-heap CollectTopK aggregate, NOT a rank window: every
+    // partial buffer holds ≤ cap rows, so the shuffle carries ≤ cap
+    // rows per host per map task and a mega-host (the crawl reality:
+    // one domain = 10% of the corpus) aggregates in parallel instead
+    // of serializing through one window task. Sort key (n_chars,
+    // −doc_id) descending ≡ the oracle's ORDER BY n_chars DESC,
+    // doc_id; rank = position in the heap's sorted output.
     val cap = 25
     val docs = t(s, dir, "documents")
       .withColumn("url", concat(lit("https://WWW."), col("source"),
@@ -827,12 +831,15 @@ object SparkEntry {
     val norm = docs
       .withColumn("canon_url", TextOps.urlNormalize(col("url")))
       .withColumn("host", TextOps.urlHost(col("url")))
-    val w = Window.partitionBy(col("host"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    norm.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= cap)
-      .select(col("host"), col("doc_id"), col("canon_url"),
-        col("rnk").cast("long").as("rnk"), col("n_chars"))
+    norm.groupBy(col("host"))
+      .agg(graft.functions.GraftFunctions.collect_top_k(
+        struct(col("n_chars"), (-col("doc_id")).as("_nd"),
+          col("doc_id"), col("canon_url")), cap).as("_top"))
+      .select(col("host"), posexplode(col("_top")))
+      .select(col("host"), col("col.doc_id").as("doc_id"),
+        col("col.canon_url").as("canon_url"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.n_chars").as("n_chars"))
       .orderBy(col("host"), col("rnk"))
   }
 

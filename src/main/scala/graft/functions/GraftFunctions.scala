@@ -25,6 +25,18 @@ object GraftFunctions {
   def simhash_agg(c: Column): Column =
     Bridge.column(SimHashAgg(Bridge.expression(c)).toAggregateExpression())
 
+  /** Spark's own bounded-heap top-k aggregate (`CollectTopK` — private
+    * to Catalyst, surfaced through the same Bridge as the rest of this
+    * file): every partial buffer holds at most k elements, so a
+    * grouped top-k shuffles ≤ k rows per group per map task — the
+    * scalable replacement for the rank-window form, which serializes
+    * each group through one task (a mega-group bottlenecks). With
+    * `reverse = false` keeps the k LARGEST under the child's natural
+    * ordering (lexicographic for structs), output sorted descending;
+    * `reverse = true` keeps the k smallest, ascending. */
+  def collect_top_k(c: Column, k: Int, reverse: Boolean = false): Column =
+    Bridge.column(Bridge.collectTopK(Bridge.expression(c), k, reverse))
+
   /** Native bloom-membership probe over a driver-built
     * `org.apache.spark.util.sketch.BloomFilter` (serialized form):
     * plants Spark's own codegen-capable `BloomFilterMightContain`

@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Catalyst's `CollectTopK` bounded-heap aggregate is private[sql];
+    * this package qualifies. See GraftFunctions.collect_top_k for the
+    * public Column form + semantics. */
+  def collectTopK(child: Expression, num: Int, reverse: Boolean): Expression =
+    new org.apache.spark.sql.catalyst.expressions.aggregate
+      .CollectTopK(child, num, reverse, 0, 0).toAggregateExpression()
 }

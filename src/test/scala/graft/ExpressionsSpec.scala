@@ -112,4 +112,33 @@ class ExpressionsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
     }
   }
+
+  test("collect_top_k equals the rank-window top-k (per group, ordered, " +
+       "tie-broken); short groups return all members") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(200)(i =>
+      (s"g${i % 7}", i.toLong, rnd.nextInt(40).toLong))
+    val df = rows.toDF("g", "id", "score")
+    val viaWindow = df.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("g"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("g"), col("id"), col("rnk").cast("long").as("rnk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaHeap = df.groupBy(col("g"))
+      .agg(GraftFunctions.collect_top_k(
+        struct(col("score"), (-col("id")).as("_ni"), col("id")), 5).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), col("col.id").as("id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaHeap === viaWindow)
+    // a group smaller than k yields its full membership
+    val small = Seq(("a", 1L), ("a", 2L)).toDF("g", "id")
+      .groupBy(col("g"))
+      .agg(GraftFunctions.collect_top_k(struct(col("id")), 5).as("t"))
+      .select(explode(col("t"))).count()
+    assert(small === 2L)
+  }
 }

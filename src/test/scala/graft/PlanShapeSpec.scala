@@ -110,11 +110,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q88 re-tokenizes per signal:\n${p.take(1200)}")
   }
 
-  test("q89: domain cap costs one hash exchange (the host window); " +
-       "rank filter applied before the output projection") {
+  test("q89: domain cap is the bounded-heap CollectTopK aggregate — " +
+       "one host exchange carrying partial-capped buffers, NO rank " +
+       "window (a mega-host must not serialize through one task)") {
     val p = planOf("q89_domain_cap")
     assert("Exchange hashpartitioning\\(host".r.findAllIn(p).length === 1,
       s"expected exactly one exchange on host:\n${p.take(1500)}")
+    assert(!p.contains("Window"),
+      s"cap degraded to a rank window:\n${p.take(1500)}")
+    assert(p.toLowerCase.contains("collect_top_k") ||
+           p.toLowerCase.contains("collecttopk"),
+      s"expected the CollectTopK aggregate in the plan:\n${p.take(1500)}")
   }
 
   test("q90: the shipdate filter pushes into the ORC scan") {
