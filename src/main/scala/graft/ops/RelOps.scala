@@ -15,7 +15,12 @@ object RelOps {
   /** Top-k rows per group by `order` (ranking-window family the engine
     * exposes per SURVEY §2.5). Physical shape: one hash-partition
     * exchange on `part`, per-partition sort, early-stop rank filter —
-    * no global sort, so it scales with the largest group, not the table. */
+    * no global sort, so it scales with the largest group, not the
+    * table. A mega-group serializes through its one window task; when
+    * that's the workload shape, use the bounded-heap
+    * [[graft.functions.GraftFunctions.collect_top_k]] aggregate
+    * instead (q89's form — partial buffers capped at k, so the
+    * shuffle carries ≤ k rows per group per map task). */
   def topKPerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column],
                    k: Int, rankCol: String = "rn"): DataFrame =
     df.withColumn(rankCol,

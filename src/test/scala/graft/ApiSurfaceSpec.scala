@@ -127,6 +127,22 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(got.count() >= 0)   // rows depend on wall clock; schema is the check
   }
 
+  test("observe() metrics: row-count/sum reconciliation piggybacks on " +
+       "the action (the production audit surface — no second scan)") {
+    val df = Tables.load(spark, dir, "orders")
+      .observe("audit", count(lit(1)).as("rows"),
+        sum(col("o_totalprice")).as("total"))
+      .filter(col("o_totalprice") > 0)
+    // metrics attach to THIS QueryExecution — df.count() would plan a
+    // new one and the observation would never run
+    val kept = df.collect().length.toLong
+    val m = df.queryExecution.observedMetrics("audit")
+    // the metric sees PRE-filter rows: it observes the scan, so the
+    // reconciliation check costs zero extra passes
+    assert(m.getAs[Long]("rows") >= kept && m.getAs[Long]("rows") > 0)
+    assert(m.getAs[Double]("total") > 0.0)
+  }
+
   test("multi-path CSV scan is an implicit UNION ALL of per-file scans " +
        "(S1, the reference's daily-file ingest)") {
     val nation = Tables.load(spark, dir, "nation")
