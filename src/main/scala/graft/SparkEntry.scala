@@ -925,6 +925,32 @@ object SparkEntry {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    // END-TO-END preprocessing pipeline — the library's stages composed
+    // the way a training-data run actually chains them: quality gate
+    // (token window + duplicate-trigram ceiling, q65) → exact dedup
+    // keep-min-id (q51) → per-language hash-threshold mixture sample
+    // (q79, zero-shuffle) → greedy sequence packing into 256-token
+    // bins (q75). One plan: the gate and the sample threshold are
+    // scan-stage filters, dedup is one digest exchange, packing is one
+    // group exchange + frame-bounded cumsum — four pipeline stages,
+    // two shuffles total, nothing materialized in between. The oracle
+    // recomposes the four proven SQL fragments; any stage drifting
+    // (or the composition reordering rows into a different packing)
+    // hash-mismatches.
+    val docs = t(s, dir, "documents")
+    val gated = DedupOps.exactDedup(
+      TextOps.qualityGate(docs, "text", minTokens = 20, maxTokens = 80,
+        maxDupTrigramRatio = 0.02),
+      Seq("text"), "doc_id")
+    val sampled = SplitOps.hashSampleMixture(gated, "lang", "doc_id",
+      MixtureFractions)
+    TextOps.packSequences(sampled, "lang", "doc_id", "text", budget = 256)
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("bin"), col("bin_offset"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Streaming (SURVEY §2.11) + batch window parity
   // ---------------------------------------------------------------- //
@@ -1619,6 +1645,7 @@ object SparkEntry {
     "q91_late_drop" -> q91 _,
     "q92_schema_evolution" -> q92 _,
     "q93_feature_map" -> q93 _,
+    "q94_pipeline_e2e" -> q94 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -2685,5 +2712,39 @@ object SparkEntry {
         |  round(c.n::DOUBLE / t.tot, 6) AS share
         |FROM c JOIN t USING (user_id)
         |ORDER BY user_id, event_type""".stripMargin,
+    "q94_pipeline_e2e" -> {
+      // the four proven fragments recomposed: q65 gate, q51 dedup,
+      // q79 threshold, q75 packing (NOTE s-string: regex backslashes
+      // doubled)
+      val cases = MixtureFractions.toSeq.sortBy(_._1)
+        .map { case (g, f) => s"WHEN '$g' THEN $f" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(text, '\\s+'),
+        |      t -> len(t) > 0) AS t
+        |  FROM documents),
+        |  f AS (SELECT doc_id, lang, text, len(t) AS nt,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      1.0 - len(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> array_to_string(t[i:i+2], ' '))))::DOUBLE / (len(t) - 2)
+        |      ELSE 0.0 END AS dup3
+        |  FROM d),
+        |  gate AS (SELECT doc_id, lang, text, nt FROM f
+        |    WHERE nt >= 20 AND nt <= 80 AND dup3 <= 0.02),
+        |  ded AS (SELECT doc_id, lang, nt FROM (
+        |    SELECT doc_id, lang, nt,
+        |      row_number() OVER (PARTITION BY md5(text)
+        |        ORDER BY doc_id) AS rn
+        |    FROM gate) z WHERE rn = 1),
+        |  samp AS (SELECT doc_id, lang, nt FROM ded
+        |    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |        / 4294967296.0 < (CASE lang $cases ELSE 0.0 END)),
+        |  c AS (SELECT lang, doc_id, nt,
+        |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM samp)
+        |SELECT lang, doc_id, nt::BIGINT AS n_tokens,
+        |  (cum // 256)::BIGINT AS bin, (cum % 256)::BIGINT AS bin_offset
+        |FROM c ORDER BY lang, doc_id""".stripMargin
+    },
   )
 }

@@ -130,6 +130,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shipdate filter not pushed into the ORC scan:\n${p.take(2000)}")
   }
 
+  test("q94: the four-stage pipeline costs TWO hash exchanges total — " +
+       "the dedup digest and the packing group; gate + sample threshold " +
+       "are scan-stage filters") {
+    val p = planOf("q94_pipeline_e2e")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2,
+      s"expected exactly dedup(_h) + packing(lang) exchanges:\n${p.take(2000)}")
+    assert("Exchange rangepartitioning".r.findAllIn(p).length === 1,
+      "expected exactly the deterministic output sort")
+  }
+
   test("q31: minhash aggregates in a single exchange on doc_id") {
     val p = planOf("q31_minhash_sig")
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1,
