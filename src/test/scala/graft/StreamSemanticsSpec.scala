@@ -1,10 +1,29 @@
 package graft
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamOps
+
+/** Minimal `transformWithState` processor (the Spark-4 arbitrary-state
+  * API succeeding flatMapGroupsWithState): a per-key running count in
+  * a ValueState, emitted on every update. Top-level — the processor is
+  * serialized to executors. */
+class RunningCount extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+  @transient private var count: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+      TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long)] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator((key, n))
+  }
+}
 
 /** Pins the watermark mechanics q91's oracle is built on, with a
   * controlled 3-file replay (maxFilesPerTrigger = 1):
@@ -84,5 +103,50 @@ class StreamSemanticsSpec extends AnyFunSuite {
       "10:00" -> 2L,   // 10:00 + late-but-kept 10:15; 10:20 dropped
       "12:00" -> 3L,   // 12:00 + 12:30 + surviving 12:40
       "14:00" -> 1L))  // closed by final wm; [16,17) never emits
+  }
+
+  test("transformWithState (the Spark-4 arbitrary-state API): a " +
+       "ValueState running count accumulates across micro-batches " +
+       "under the RocksDB state store") {
+    import spark.implicits._
+    val dir = stage(Seq(
+      Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:01:00"),
+        (2L, "2024-01-01 10:02:00")),
+      Seq((1L, "2024-01-01 11:00:00"), (2L, "2024-01-01 11:01:00"),
+        (2L, "2024-01-01 11:02:00"), (3L, "2024-01-01 11:03:00"))))
+    val schema = spark.read.parquet(dir).schema
+    val typed = StreamOps.fileStream(spark, schema, dir,
+        maxFilesPerTrigger = Some(1))
+      .select(col("event_id"), lit(1L).as("one"))
+      .as[(Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new RunningCount,
+        TimeMode.None(), OutputMode.Update())
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val name = s"tws_${System.nanoTime()}"
+    try {
+      val q = out.toDF("key", "n").writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // update mode appends each batch's emissions; the running count's
+    // MAX per key is the cross-batch total — state survived the batch
+    // boundary iff key 1 and 2 exceed their single-batch counts
+    val totals = spark.table(name).groupBy("key")
+      .agg(max("n").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals === Map(1L -> 3L, 2L -> 3L, 3L -> 1L))
   }
 }
