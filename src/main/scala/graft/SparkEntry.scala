@@ -951,6 +951,107 @@ object SparkEntry {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    // Range-lookup join (the IDS blocklist shape: event address vs
+    // [lo, hi] watch ranges) via RelOps.rangeLookupJoin's coarse-bucket
+    // equi-join — NOT the BroadcastNestedLoopJoin a naive non-equi join
+    // plans to. Ranges derive deterministically from customer (width
+    // ≤ 23 by construction, bucketWidth 16 → ≤ 3 buckets per range);
+    // the oracle runs the naive BETWEEN join, so any bucket-math bug
+    // (off-by-one at a bucket edge, dropped spanning range)
+    // hash-mismatches.
+    val events = t(s, dir, "events")
+    val ranges = t(s, dir, "customer")
+      .filter(col("c_custkey") % 7 === 3)
+      .select((col("c_custkey") * 13 % 150).as("lo"),
+        (col("c_custkey") * 13 % 150 + col("c_custkey") % 23 + 1).as("hi"),
+        col("c_mktsegment").as("segment"))
+    RelOps.rangeLookupJoin(events, ranges, "user_id", "lo", "hi",
+        bucketWidth = 16L)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("segment"))
+  }
+
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    // Fuzzy string self-join (catalog entity resolution): names within
+    // ONE edit of each other, found by deletion-neighborhood blocking
+    // (DedupOps.editDistancePairs) — an equi-join on |s|+1 variant keys
+    // per unique name, never the O(n²) cross join the oracle runs.
+    // Duplicates aggregate to (name, row count) FIRST, so the blocking
+    // cost is per distinct name; the verify is exact levenshtein.
+    val names = t(s, dir, "part").groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_rows"))
+    DedupOps.editDistancePairs(names, "p_name", Seq("n_rows"))
+      .select(col("p_name_a").as("name_a"), col("p_name_b").as("name_b"),
+        levenshtein(col("p_name_a"), col("p_name_b")).cast("long")
+          .as("dist"),
+        col("n_rows_a").as("rows_a"), col("n_rows_b").as("rows_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    // Fixed-iteration PageRank over the click graph (user → content
+    // bucket). 3 iterations = 3 node-keyed shuffles; the oracle unrolls
+    // the same recurrence as chained CTEs, so a drifted damping term,
+    // dangling-mass convention, or missed dangling node (left-join base
+    // term) hash-mismatches. (1−d) is computed as the same double
+    // subtraction on both sides — 0.15 as a literal is a DIFFERENT
+    // double than 1.0 − 0.85.
+    val edges = t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
+    GraphOps.pageRank(edges, iterations = 3, damping = 0.85)
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("id"))
+  }
+
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    // TF-IDF weights (the vectorizer feeding q58's BM25 retrieval):
+    // tf/|d| · ln(N/df). Corpus statistics (df, N) aggregate over ALL
+    // documents; the per-document side is filtered to the output subset
+    // BEFORE tokenization — at 100 TB the df table is the only full
+    // scan, and it reduces map-side to distinct (term, doc) pairs.
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val dfreq = toks.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val sub = docs.filter(col("doc_id") % 37 === 0)
+    val tf = sub.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round((col("tf").cast("double") / col("dl")) *
+          log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    // Latest-state snapshot (CDC / upsert-log compaction): one
+    // partial-aggregable max_by pass — the per-key argmax travels as a
+    // single struct ordered by (ts, event_id), so map-side combine
+    // reduces each partition to one row per key BEFORE the exchange.
+    // The window row_number() formulation the oracle runs shuffles
+    // every row and sorts each partition — this plan does neither.
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"),
+          col("value")),
+        struct(col("ts"), col("event_id"))).as("_last"))
+      .select(col("user_id"),
+        date_format(col("_last.ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("_last.event_id").as("event_id"),
+        col("_last.event_type").as("event_type"),
+        round(col("_last.value"), 6).as("value"))
+      .orderBy(col("user_id"))
+
   // ---------------------------------------------------------------- //
   // Streaming (SURVEY §2.11) + batch window parity
   // ---------------------------------------------------------------- //
@@ -1646,6 +1747,11 @@ object SparkEntry {
     "q92_schema_evolution" -> q92 _,
     "q93_feature_map" -> q93 _,
     "q94_pipeline_e2e" -> q94 _,
+    "q95_range_join" -> q95 _,
+    "q96_fuzzy_join" -> q96 _,
+    "q97_pagerank" -> q97 _,
+    "q98_tfidf" -> q98 _,
+    "q99_latest_snapshot" -> q99 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -2746,5 +2852,78 @@ object SparkEntry {
         |  (cum // 256)::BIGINT AS bin, (cum % 256)::BIGINT AS bin_offset
         |FROM c ORDER BY lang, doc_id""".stripMargin
     },
+    "q95_range_join" ->
+      // the naive BETWEEN join — the bucketed equi-join must equal it
+      """WITH r AS (SELECT (c_custkey * 13) % 150 AS lo,
+        |    (c_custkey * 13) % 150 + c_custkey % 23 + 1 AS hi,
+        |    c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey % 7 = 3)
+        |SELECT segment, count(*) AS n_hits,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN r ON e.user_id BETWEEN r.lo AND r.hi
+        |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q96_fuzzy_join" ->
+      // the O(n²) all-pairs comparison the blocking must collapse to
+      """WITH n AS (SELECT p_name, count(*) AS n_rows FROM part
+        |    GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name)::BIGINT AS dist,
+        |  a.n_rows AS rows_a, b.n_rows AS rows_b
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q97_pagerank" ->
+      // the recurrence unrolled: r0 → c/r × 3. (1.0 - 0.85) spelled as
+      // the subtraction so both engines evaluate the same double.
+      """WITH e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+        |    FROM events WHERE event_type = 'click'),
+        |  nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |  nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |  deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |  r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        |  c1 AS (SELECT e.dst AS id, sum(r.rank / d.deg) AS contrib
+        |    FROM e JOIN deg d USING (src) JOIN r0 r ON e.src = r.id
+        |    GROUP BY 1),
+        |  r1 AS (SELECT nodes.id, (1.0 - 0.85) / (SELECT n FROM nn)
+        |      + 0.85 * coalesce(c1.contrib, 0.0) AS rank
+        |    FROM nodes LEFT JOIN c1 USING (id)),
+        |  c2 AS (SELECT e.dst AS id, sum(r.rank / d.deg) AS contrib
+        |    FROM e JOIN deg d USING (src) JOIN r1 r ON e.src = r.id
+        |    GROUP BY 1),
+        |  r2 AS (SELECT nodes.id, (1.0 - 0.85) / (SELECT n FROM nn)
+        |      + 0.85 * coalesce(c2.contrib, 0.0) AS rank
+        |    FROM nodes LEFT JOIN c2 USING (id)),
+        |  c3 AS (SELECT e.dst AS id, sum(r.rank / d.deg) AS contrib
+        |    FROM e JOIN deg d USING (src) JOIN r2 r ON e.src = r.id
+        |    GROUP BY 1),
+        |  r3 AS (SELECT nodes.id, (1.0 - 0.85) / (SELECT n FROM nn)
+        |      + 0.85 * coalesce(c3.contrib, 0.0) AS rank
+        |    FROM nodes LEFT JOIN c3 USING (id))
+        |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
+    "q98_tfidf" ->
+      // corpus stats over ALL docs, tf only over the output subset
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      z -> len(z) > 0)) AS term
+        |  FROM documents),
+        |  dfreq AS (SELECT term, count(*) AS df
+        |    FROM (SELECT DISTINCT doc_id, term FROM tok) z GROUP BY 1),
+        |  nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |    WHERE doc_id % 37 = 0 GROUP BY 1, 2),
+        |  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |  round((tf.tf::DOUBLE / dl.dl) *
+        |    ln((SELECT n_docs FROM nd) / dfreq.df), 6) AS tfidf
+        |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+        |ORDER BY doc_id, term""".stripMargin,
+    "q99_latest_snapshot" ->
+      // the window formulation the single-pass max_by must equal
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  event_id, event_type, round(value, 6) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events) z
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 }

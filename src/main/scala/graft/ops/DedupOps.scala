@@ -438,4 +438,45 @@ object DedupOps {
         (col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter"))).as("jaccard"))
   }
+
+  /** Fuzzy (edit-distance ≤ 1) string self-join via DELETION-NEIGHBORHOOD
+    * blocking — the sound-and-complete blocking scheme for one edit:
+    * every string emits itself plus each single-character deletion as a
+    * join key; two strings within one edit (substitution, insertion or
+    * deletion) necessarily share a key, so the all-pairs comparison the
+    * oracle runs collapses to an EQUI-join on the variant key. Each
+    * string emits |s|+1 keys — a linear blowup on the (deduplicated)
+    * string side, never a quadratic candidate set, and the exchange
+    * keys on the variant hash, so the plan survives a 100× vocabulary.
+    * False candidates (e.g. transpositions, which share two deletion
+    * variants but sit at distance 2) are eliminated by the exact
+    * `levenshtein` verify, which runs only on candidates; pairs are
+    * deduped on (a, b) BEFORE the verify so a pair sharing several
+    * variants is scored once. Output columns: `<strCol>_a/_b` plus each
+    * carry column as `<name>_a/_b`.
+    *
+    * Feed this DISTINCT strings (aggregate duplicates first) — the
+    * blocking cost is per unique string, which is how a catalog /
+    * entity-resolution pass wants it at scale anyway. */
+  def editDistancePairs(strings: DataFrame, strCol: String,
+                        carryCols: Seq[String] = Nil): DataFrame = {
+    val sc = col(strCol)
+    // variant i deletes the i-th char: s[1..i-1] ++ s[i+1..len].
+    // array_union folds in the undeleted string (insert/delete pairs
+    // match a full string against a deletion of the longer one).
+    val variants = array_union(
+      array(sc),
+      transform(sequence(lit(1), length(sc)),
+        i => concat(sc.substr(lit(1), i - lit(1)),
+          sc.substr(i + lit(1), length(sc) - i))))
+    val keyed = strings.select(
+      (sc +: carryCols.map(col)) :+ explode(variants).as("_variant"): _*)
+    def side(tag: String) = keyed.select(
+      (col(strCol).as(s"${strCol}_$tag") +:
+        carryCols.map(c => col(c).as(s"${c}_$tag"))) :+ col("_variant"): _*)
+    side("a").join(side("b"), Seq("_variant"))
+      .filter(col(s"${strCol}_a") < col(s"${strCol}_b"))
+      .drop("_variant").distinct()
+      .filter(levenshtein(col(s"${strCol}_a"), col(s"${strCol}_b")) <= 1)
+  }
 }

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames (the link-analysis
+  * sibling of [[DedupOps.connectedComponents]]'s min-label propagation).
+  *
+  * Spark-first shape: one rank⋈edges join + one groupBy per iteration —
+  * i.e. O(iterations) shuffles keyed on node id, never an adjacency
+  * matrix or a driver-side graph. At 100 TB the edge list is the big
+  * side; it is shuffled once per iteration on `src` (co-partitioned with
+  * the rank table after the first exchange, so AQE reuses the layout).
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank with damping factor `damping`.
+    *
+    * Semantics (pinned so the oracle can reproduce them exactly):
+    *  - edges are DISTINCT (src, dst) pairs; nodes = src ∪ dst;
+    *  - r₀(v) = 1/N;  rᵢ₊₁(v) = (1−d)/N + d·Σ_{(u,v)∈E} rᵢ(u)/outdeg(u);
+    *  - dangling-node mass is NOT redistributed (ranks then sum to < 1
+    *    when sinks exist — the common "simple" variant; the oracle
+    *    mirrors it term for term).
+    *
+    * The edge+degree table is cached: it is probed every iteration, and
+    * recomputing the distinct + degree aggregate per iteration would
+    * triple the scan cost. `nodes.count()` is the one driver action —
+    * O(1) result, same convention as `ivfCentroids`. For iteration
+    * counts beyond ~10, `localCheckpoint` the rank table every few
+    * rounds to cut lineage (documented, not needed at 3).
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+               damping: Double): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+    val eDeg = e.join(outDeg, "src").cache()
+    val n = nodes.count().toDouble
+    val base = (1.0 - damping) / n
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("id"))
+        .select(eDeg("dst").as("id"),
+          (col("rank") / col("_deg")).as("_c"))
+        .groupBy(col("id")).agg(sum(col("_c")).as("_contrib"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) * coalesce(col("_contrib"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
+  }
+}

@@ -153,6 +153,35 @@ object RelOps {
       .join(build, Seq(key))
   }
 
+  /** Range-lookup join: match each point row to every range row with
+    * `lo <= point <= hi` — the interval/range join Spark has no native
+    * operator for (the brief's named gap next to as-of). A raw non-equi
+    * join plans as `BroadcastNestedLoopJoin` — an O(|points|·|ranges|)
+    * probe that is the first thing to die at 100 TB. This is the coarse
+    * -bucket reformulation every production range join uses: pick a
+    * `bucketWidth` on the order of the maximum range width, explode each
+    * range to the buckets it overlaps (≤ width/bucketWidth + 1 rows,
+    * bounded by construction), map each point to its single bucket, and
+    * EQUI-join on the bucket id with the `between` test as a residual
+    * filter. One hash exchange on a key whose cardinality is
+    * domain/bucketWidth — co-partitioned, codegen'd, skew governed by
+    * points-per-bucket (size `bucketWidth` so bucket count ≫ parallelism).
+    * A point lives in exactly one bucket, so no post-join dedup is
+    * needed; a range spanning b buckets replicates b× on the (small)
+    * range side only. Result is IDENTICAL to the naive non-equi join —
+    * which is exactly what the oracle checks. */
+  def rangeLookupJoin(points: DataFrame, ranges: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("_bkt", floor(col(pointCol) / bucketWidth))
+    val r = ranges.withColumn("_bkt", explode(sequence(
+      floor(col(loCol) / bucketWidth), floor(col(hiCol) / bucketWidth))))
+    p.join(r, Seq("_bkt"))
+      .filter(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop("_bkt")
+  }
+
   /** Gap-based sessionization over an event stream (batch form): a new
     * session starts when the gap to the previous event of the same key
     * exceeds `gapSeconds`. One exchange on `keyCol` + one sort — the

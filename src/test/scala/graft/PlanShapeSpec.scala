@@ -257,6 +257,48 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q38 re-tokenizes per signal:\n${p38.take(1200)}")
   }
 
+  test("q95: range-lookup join is an EQUI-join on the coarse bucket — " +
+       "never the BroadcastNestedLoopJoin a naive non-equi join plans to") {
+    val p = planOf("q95_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join degraded to an all-pairs strategy:\n${p.take(1500)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the bucket id:\n${p.take(1500)}")
+  }
+
+  test("q96: fuzzy join blocks on the deletion variant (equi-join), " +
+       "not an all-pairs levenshtein comparison") {
+    val p = planOf("q96_fuzzy_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"fuzzy join degraded to an all-pairs strategy:\n${p.take(1500)}")
+    assert(p.contains("_variant"),
+      s"expected the variant blocking key in the join:\n${p.take(1500)}")
+  }
+
+  test("q97: each PageRank iteration is node-keyed shuffles — no " +
+       "cross-join anywhere in the unrolled plan") {
+    val p = planOf("q97_pagerank")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"rank propagation must stay an equi-join on src/id:\n${p.take(1500)}")
+  }
+
+  test("q99: latest-state snapshot is one partial-aggregable max_by " +
+       "pass — NO rank window, and a partial aggregate sits below the " +
+       "user exchange so map-side combine reduces before the shuffle") {
+    val p = planOf("q99_latest_snapshot")
+    assert(!p.contains("Window"),
+      s"snapshot degraded to a rank window:\n${p.take(1500)}")
+    assert(p.contains("max_by"),
+      s"expected the max_by aggregate:\n${p.take(1500)}")
+    val ex = p.indexOf("Exchange hashpartitioning(user_id")
+    assert(ex >= 0, s"expected a user_id exchange:\n${p.take(1500)}")
+    assert(p.substring(ex).contains("Aggregate"),
+      s"no partial aggregate below the user exchange:\n${p.take(1500)}")
+  }
+
   test("q71: salted aggregation is two exchanges — (key, salt) then key") {
     val p = planOf("q71_salted_agg")
     val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r
