@@ -1052,6 +1052,130 @@ object SparkEntry {
         round(col("_last.value"), 6).as("value"))
       .orderBy(col("user_id"))
 
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    // Interval-OVERLAP join (range × range, the sibling of q95's
+    // point-in-range) via RelOps.intervalOverlapJoin: bucketed
+    // equi-join with the first-common-bucket ownership trick, so the
+    // output needs NO distinct() even though wide interval pairs share
+    // several buckets. Both interval sets derive deterministically from
+    // customer/supplier; the oracle runs the naive overlap theta-join,
+    // so a dropped or double-counted spanning pair hash-mismatches.
+    val cust = t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("cust_id"),
+        (col("c_custkey") * 7 % 200).as("lo_a"),
+        (col("c_custkey") * 7 % 200 + col("c_custkey") % 17 + 1).as("hi_a"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("supp_id"),
+        (col("s_suppkey") * 11 % 200).as("lo_b"),
+        (col("s_suppkey") * 11 % 200 + col("s_suppkey") % 13 + 2).as("hi_b"))
+    RelOps.intervalOverlapJoin(cust, supp, "lo_a", "hi_a", "lo_b", "hi_b",
+        bucketWidth = 16L)
+      .select(col("cust_id"), col("supp_id"),
+        (least(col("hi_a"), col("hi_b")) -
+          greatest(col("lo_a"), col("lo_b")) + 1).cast("long")
+          .as("overlap_len"))
+      .orderBy(col("cust_id"), col("supp_id"))
+  }
+
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    // Windowed funnel (view → click ≤ 6 h later → purchase ≤ 24 h
+    // after that): each stage's first qualifying timestamp must be
+    // strictly after the previous stage's and within its window —
+    // three per-user min-aggregates chained by co-partitioned joins on
+    // user_id (one logical key for every exchange, so AQE reuses the
+    // layout; no windows, no per-user event sorting). Output is the
+    // per-depth user census the conversion report reads.
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts") &&
+        col("ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts") &&
+        col("ts") <= col("c_ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    ev.select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c.select(col("user_id"), col("c_ts")), Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(when(col("p_ts").isNotNull, 3)
+        .when(col("c_ts").isNotNull, 2)
+        .when(col("v_ts").isNotNull, 1)
+        .otherwise(0).cast("long").as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    // Triangle census over a synthetic undirected graph (orders-derived
+    // edges): GraphOps.triangleStats canonicalizes to a < b and closes
+    // wedges from the smallest vertex, so each triangle is counted once
+    // by two node-keyed equi-joins — no broadcast of the edge list, no
+    // C(n,2) enumeration. The oracle runs the same closure as SQL.
+    GraphOps.triangleStats(
+      t(s, dir, "orders").select((col("o_custkey") % 50).as("src"),
+        (col("o_orderkey") % 50).as("dst")))
+
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    // Rolling z-score anomaly flags: per-user 20-row rolling
+    // mean/stddev (ROWS frame over the (ts, event_id) total order —
+    // deterministic tie-break), emitting only |z| > 2.5 rows. The
+    // window must be ≥ 14 rows for the threshold to be reachable at
+    // all (max sample z within its own window is (n−1)/√n). One
+    // exchange on user_id + one sort; the rounded z is the compare
+    // contract (both engines compute Welford-style variance; at
+    // window ≤ 20 the float divergence is ~1 ulp, far inside round-4).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    val z = (col("value") - avg(col("value")).over(w)) /
+      stddev_samp(col("value")).over(w)
+    t(s, dir, "events")
+      .withColumn("_sd", stddev_samp(col("value")).over(w))
+      .withColumn("z", round(z, 4))
+      .filter(col("_sd") > 0 && abs(col("z")) > 2.5)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"), col("z"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    // Weighted Bernoulli sample, p ∝ document length (the curation
+    // move: longer docs carry more training tokens, sample them more):
+    // SplitOps.weightedHashSample's md5-uniform draw makes the member
+    // set bit-reproducible in DuckDB — zero shuffle, scan-stage filter.
+    SplitOps.weightedHashSample(t(s, dir, "documents"), "doc_id",
+        length(col("text")), rate = 2e-4)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy(col("doc_id"))
+
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    // Term co-occurrence with a document-frequency band (30 ≤ df ≤
+    // 390 on this corpus' 31-term vocabulary): the band drops both the
+    // highest-df terms (whose doc lists explode the pair space — the
+    // quadratic guard every production co-occurrence pass applies) and
+    // rare terms below the support floor, BEFORE the per-doc pairing;
+    // the pair fan-out per doc is then C(k,2) on the doc's surviving
+    // distinct terms, bounded by doc length. Joins key on term /
+    // doc_id only.
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      explode(TextOps.tokenSet(col("text"))).as("term"))
+    val vocab = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(30, 390))
+    val tf = toks.join(vocab.select(col("term")), Seq("term"), "left_semi")
+    tf.select(col("doc_id"), col("term").as("term_a"))
+      .join(tf.select(col("doc_id"), col("term").as("term_b")), "doc_id")
+      .filter(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 30)
+      .orderBy(col("term_a"), col("term_b"))
+  }
+
   // ---------------------------------------------------------------- //
   // Streaming (SURVEY §2.11) + batch window parity
   // ---------------------------------------------------------------- //
@@ -1130,6 +1254,36 @@ object SparkEntry {
         date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
         date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_ts"))
       .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    // transformWithState (Spark-4 arbitrary-state API) under RocksDB,
+    // oracled: per-user running (count, sum) accumulated across THREE
+    // micro-batches (the source is range-split into 3 files and
+    // re-played one file per trigger — state that didn't survive a
+    // batch boundary could not reproduce the batch totals). Update-mode
+    // emissions are cumulative, so the row with the largest n per key
+    // is the final state; the oracle is the plain batch aggregate.
+    import s.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val staged = s"/root/repo/target/stream_src/events_tws_$sfTag"
+    t(s, dir, "events")
+      .select(col("user_id").cast("long"), col("value").cast("double"),
+        col("event_id"))
+      .repartitionByRange(3, col("event_id"))
+      .write.mode("overwrite").parquet(staged)
+    val typed = StreamOps.fileStream(s, s.read.parquet(staged).schema,
+        staged, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val out = StreamOps.runningTotalsStream(typed)
+      .toDF("user_id", "n", "total")
+    StreamOps.runToCompletion(out, s"q100_${System.nanoTime()}",
+        outputMode = "update", statePartitions = Some(8), rocksDb = true)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n"), col("total")), col("n")).as("_f"))
+      .select(col("user_id"), col("_f.n").as("n"),
+        round(col("_f.total"), 2).as("total"))
+      .orderBy(col("user_id"))
   }
 
   // ---------------------------------------------------------------- //
@@ -1752,6 +1906,13 @@ object SparkEntry {
     "q97_pagerank" -> q97 _,
     "q98_tfidf" -> q98 _,
     "q99_latest_snapshot" -> q99 _,
+    "q100_stream_running_totals" -> q100 _,
+    "q101_interval_overlap" -> q101 _,
+    "q102_funnel" -> q102 _,
+    "q103_triangles" -> q103 _,
+    "q104_rolling_zscore" -> q104 _,
+    "q105_weighted_sample" -> q105 _,
+    "q106_cooccurrence" -> q106 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -2925,5 +3086,91 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events) z
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q100_stream_running_totals" ->
+      // the batch aggregate the cross-batch ValueState must reproduce
+      """SELECT user_id, count(*)::BIGINT AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q101_interval_overlap" ->
+      // the naive overlap theta-join — the bucketed equi-join with
+      // first-common-bucket ownership must emit exactly these pairs
+      """WITH a AS (SELECT c_custkey AS cust_id,
+        |    (c_custkey * 7) % 200 AS lo_a,
+        |    (c_custkey * 7) % 200 + c_custkey % 17 + 1 AS hi_a
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |  b AS (SELECT s_suppkey AS supp_id,
+        |    (s_suppkey * 11) % 200 AS lo_b,
+        |    (s_suppkey * 11) % 200 + s_suppkey % 13 + 2 AS hi_b
+        |  FROM supplier)
+        |SELECT cust_id, supp_id,
+        |  (least(hi_a, hi_b) - greatest(lo_a, lo_b) + 1)::BIGINT
+        |    AS overlap_len
+        |FROM a JOIN b ON lo_a <= hi_b AND lo_b <= hi_a
+        |ORDER BY cust_id, supp_id""".stripMargin,
+    "q102_funnel" ->
+      // strictly-ordered stage minima chained per user
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |  c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |    JOIN v ON e.user_id = v.user_id
+        |    WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |      AND e.ts <= v.v_ts + INTERVAL 6 HOUR GROUP BY 1),
+        |  p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |    JOIN c ON e.user_id = c.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |      AND e.ts <= c.c_ts + INTERVAL 24 HOUR GROUP BY 1),
+        |  u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT (CASE WHEN p.user_id IS NOT NULL THEN 3
+        |    WHEN c.user_id IS NOT NULL THEN 2
+        |    WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage,
+        |  count(*)::BIGINT AS n_users
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q103_triangles" ->
+      // same canonicalization + wedge closure as SQL
+      """WITH e AS (SELECT DISTINCT
+        |    least(o_custkey % 50, o_orderkey % 50) AS a,
+        |    greatest(o_custkey % 50, o_orderkey % 50) AS b
+        |  FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),
+        |  nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e)
+        |SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+        |  (SELECT count(*) FROM e)::BIGINT AS n_edges,
+        |  (SELECT count(*) FROM e e1
+        |    JOIN e e2 ON e1.b = e2.a
+        |    JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)::BIGINT
+        |    AS n_triangles""".stripMargin,
+    "q104_rolling_zscore" ->
+      // identical ROWS frame over the (ts, event_id) total order
+      """WITH b AS (SELECT user_id, event_id, value,
+        |    avg(value) OVER w AS m, stddev_samp(value) OVER w AS sd
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, round(value, 2) AS value,
+        |  round((value - m) / sd, 4) AS z
+        |FROM b WHERE sd > 0 AND abs(round((value - m) / sd, 4)) > 2.5
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q105_weighted_sample" ->
+      // same md5-uniform draw, same min(1, rate·len) threshold
+      """SELECT doc_id, lang, length(text)::BIGINT AS text_len
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |    / 4294967296.0 < least(1.0, 0.0002 * length(text))
+        |ORDER BY doc_id""".stripMargin,
+    "q106_cooccurrence" ->
+      // df-banded vocabulary, then per-doc pairing
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      z -> len(z) > 0)) AS term
+        |  FROM documents),
+        |  tokd AS (SELECT DISTINCT doc_id, term FROM tok),
+        |  voc AS (SELECT term FROM (SELECT term, count(*) AS df
+        |      FROM tokd GROUP BY 1) z WHERE df BETWEEN 30 AND 390),
+        |  tf AS (SELECT doc_id, term FROM tokd JOIN voc USING (term))
+        |SELECT x.term AS term_a, y.term AS term_b,
+        |  count(*)::BIGINT AS n
+        |FROM tf x JOIN tf y ON x.doc_id = y.doc_id AND x.term < y.term
+        |GROUP BY 1, 2 HAVING count(*) >= 30
+        |ORDER BY term_a, term_b""".stripMargin,
   )
 }

@@ -52,4 +52,34 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Triangle count over an undirected edge list. Edges are first
+    * CANONICALIZED (a = min endpoint, b = max, self-loops dropped,
+    * distinct) so each undirected edge appears once as a < b; a
+    * triangle {x < y < z} is then counted exactly once by the
+    * two-join wedge closure e1(x,y) ⋈ e2(y,z) ⋈ e3(x,z).
+    *
+    * Scale: the a < b orientation is the degree-bound trick in id
+    * space — every wedge is enumerated from its SMALLEST vertex only,
+    * so the join fan-out per vertex is C(outdeg,2) on the oriented
+    * out-degree (≤ total degree; for production skew the orientation
+    * key would be (degree, id) rather than id, same plan). Both joins
+    * are equi-joins on a single node id — hash exchanges on node id,
+    * no broadcast of the (big) edge list, AQE free to re-plan the
+    * closure probe. Returns one row: n_nodes, n_edges, n_triangles. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct().cache()
+    val wedges = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), "y")
+    val tri = wedges.join(
+      e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val nodes = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
 }

@@ -182,6 +182,34 @@ object RelOps {
       .drop("_bkt")
   }
 
+  /** Interval-overlap join: every (left, right) pair whose [lo, hi]
+    * intervals intersect — the range×range sibling of
+    * [[rangeLookupJoin]]'s point-in-range. Same coarse-bucket
+    * reformulation (explode each side to its overlapping buckets,
+    * equi-join on bucket id, `overlaps` as a residual filter), with the
+    * standard DEDUP-FREE trick: a pair whose intervals span several
+    * common buckets would match once per shared bucket, so the join
+    * keeps only the match in the FIRST bucket both intervals occupy —
+    * `_bkt == floor(max(lo_l, lo_r) / width)` — making the output
+    * exactly the distinct overlap pairs with no post-join `distinct()`
+    * (no second exchange, no wide-row hash). Each side replicates
+    * ≤ width/bucketWidth + 1 rows; one hash exchange each on the
+    * bucket id. Column name collisions are the caller's to avoid
+    * (suffix the sides before calling). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          loL: String, hiL: String, loR: String,
+                          hiR: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def exploded(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("_bkt", explode(sequence(
+        floor(col(lo) / bucketWidth), floor(col(hi) / bucketWidth))))
+    exploded(left, loL, hiL)
+      .join(exploded(right, loR, hiR), Seq("_bkt"))
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+        col("_bkt") === floor(greatest(col(loL), col(loR)) / bucketWidth))
+      .drop("_bkt")
+  }
+
   /** Gap-based sessionization over an event stream (batch form): a new
     * session starts when the gap to the previous event of the same key
     * exceeds `gapSeconds`. One exchange on `keyCol` + one sort — the

@@ -189,4 +189,21 @@ object SplitOps {
       .cast("double") / lit(4294967296.0)
     df.filter(u < frac)
   }
+
+  /** Weighted Bernoulli (probability-proportional-to-size) sample:
+    * keep each row independently with p = min(1, rate·weight) — the
+    * weighted sibling of [[hashSampleMixture]], same md5-uniform draw
+    * keyed on `keyCol`, so the member set is deterministic and
+    * bit-reproducible on any engine. ZERO shuffle: the filter is pure
+    * scan-stage arithmetic; expected sample size is Σ min(1, rate·wᵢ)
+    * with no coordination across rows — the sampling shape that holds
+    * at 100 TB where an exact weighted draw (A-ES top-k by u^(1/w))
+    * needs a global ordering pass. */
+  def weightedHashSample(df: DataFrame, keyCol: String, weight: Column,
+                         rate: Double, salt: String = ""): DataFrame = {
+    val u = conv(substring(
+        md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    df.filter(u < least(lit(1.0), lit(rate) * weight))
+  }
 }

@@ -1,13 +1,36 @@
 package graft.streaming
 
 import org.apache.spark.ml.PipelineModel
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Open-session state carried across micro-batches per key. */
 case class OpenSession(start: Long, end: Long, n: Long)
+
+/** `transformWithState` processor behind
+  * [[StreamOps.runningTotalsStream]]: cumulative (count, sum) per key.
+  * Top-level class — the processor is serialized to executors, and the
+  * state handle is re-acquired per task via `init` (hence @transient).
+  * Input rows are (key, value); output is (key, n, total) after the
+  * batch's rows are folded into state. */
+class RunningTotals
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var totals: ValueState[(Long, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+      TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Double)] = {
+    var (n, total) = if (totals.exists()) totals.get() else (0L, 0.0)
+    rows.foreach { case (_, v) => n += 1; total += v }
+    totals.update((n, total))
+    Iterator((key, n, total))
+  }
+}
 
 /** A completed gap-delimited session emitted downstream. */
 case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
@@ -242,11 +265,20 @@ object StreamOps {
     * it transiently scopes it to this query only. */
   def runToCompletion(agg: DataFrame, queryName: String,
                       outputMode: String = "complete",
-                      statePartitions: Option[Int] = None): DataFrame = {
+                      statePartitions: Option[Int] = None,
+                      rocksDb: Boolean = false): DataFrame = {
     val spark = agg.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    // transformWithState requires the RocksDB state store (the HDFS
+    // -backed default doesn't implement the v2 column-family API); the
+    // override is scoped to this query the same way as the partitions
+    if (rocksDb) spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
     try {
       val q = agg.writeStream
         .outputMode(outputMode)
@@ -260,7 +292,32 @@ object StreamOps {
       // the live session must not keep the override for later queries
       statePartitions.foreach(_ =>
         spark.conf.set("spark.sql.shuffle.partitions", prev))
+      if (rocksDb) prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
     }
     spark.table(queryName)
+  }
+
+  /** Per-key running (count, sum) carried across micro-batches in a
+    * `transformWithState` ValueState — the Spark-4 arbitrary-state API
+    * (successor of flatMapGroupsWithState, used by q49's sessionizer).
+    * Each batch emits the key's cumulative totals after folding that
+    * batch's rows in, so update-mode output contains one row per
+    * (key, batch-with-arrivals) and the row with the LARGEST `n` per
+    * key is the final state — which is how the oracle reads it back.
+    *
+    * Scale: state is one 16-byte pair per live key, partitioned by key
+    * hash across the state stores; RocksDB keeps it off-heap, so key
+    * cardinality is bounded by disk, not executor memory. No timers /
+    * TTL here — a production deployment with unbounded key churn adds
+    * `TTLConfig` so idle keys expire. */
+  def runningTotalsStream(events: Dataset[(Long, Double)])
+      : Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningTotals,
+        TimeMode.None(), OutputMode.Update())
   }
 }
