@@ -299,6 +299,45 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no partial aggregate below the user exchange:\n${p.take(1500)}")
   }
 
+  test("q101: interval-overlap join is an equi-join on the bucket id " +
+       "with the theta predicate as residual — no nested-loop") {
+    val p = planOf("q101_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"overlap join degraded to an all-pairs strategy:\n${p.take(1500)}")
+    assert(p.contains("_bkt"),
+      s"expected the bucket id in the join keys:\n${p.take(1500)}")
+  }
+
+  test("q102: the funnel is user-keyed equi-joins end to end (no " +
+       "cross-join, no window sort over the raw event stream)") {
+    val p = planOf("q102_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"funnel stage joins must stay equi on user_id:\n${p.take(1500)}")
+    assert(!p.contains("Window"),
+      s"funnel must not sort per-user event sequences:\n${p.take(1500)}")
+  }
+
+  test("q104: rolling z-score costs ONE user exchange feeding a single " +
+       "window sort (both window functions share the frame)") {
+    val p = planOf("q104_rolling_zscore")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
+      s"rolling stats should shuffle once on user_id:\n${p.take(1500)}")
+    assert("Window\\b".r.findAllIn(p).length <= 2,
+      s"avg/stddev over the same frame must share windows:\n${p.take(1500)}")
+  }
+
+  test("q106: co-occurrence prunes tokens through a SEMI join on the " +
+       "df-banded vocabulary before the per-doc pairing") {
+    val p = planOf("q106_cooccurrence")
+    assert(p.contains("LeftSemi"),
+      s"vocabulary band must prune via semi-join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"pairing must stay an equi-join on doc_id:\n${p.take(1500)}")
+  }
+
   test("q71: salted aggregation is two exchanges — (key, salt) then key") {
     val p = planOf("q71_salted_agg")
     val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r

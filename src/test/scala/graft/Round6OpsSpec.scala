@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{GraphOps, RelOps, SplitOps}
+
+/** Round-6 operators: interval-overlap join (boundary + multi-bucket
+  * dedup soundness vs the naive theta-join), triangle census
+  * (hand-counted fixture; canonicalization of dirty edge lists),
+  * weighted Bernoulli hash sample (determinism, rate monotonicity,
+  * p=1 saturation). The registered queries q101/q103/q105 carry the
+  * oracle checks on fixture data; these pin the decision boundaries.
+  */
+class Round6OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- //
+  // intervalOverlapJoin
+  // ---------------------------------------------------------------- //
+
+  test("intervalOverlapJoin matches the naive overlap theta-join, " +
+       "including touching endpoints (hi_a == lo_b), containment, and " +
+       "identical intervals") {
+    val a = Seq((1L, 0L, 10L), (2L, 5L, 5L), (3L, 20L, 40L),
+      (4L, 64L, 64L)).toDF("id_a", "lo_a", "hi_a")
+    val b = Seq((10L, 10L, 12L), (20L, 0L, 100L), (30L, 41L, 50L),
+      (40L, 5L, 5L)).toDF("id_b", "lo_b", "hi_b")
+    val got = RelOps.intervalOverlapJoin(a, b, "lo_a", "hi_a", "lo_b",
+        "hi_b", bucketWidth = 8L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = a.crossJoin(b)
+      .filter(col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    // the fixture must actually exercise the boundary cases it claims
+    assert(want.contains((1L, 10L)), "touching endpoints (10 == 10)")
+    assert(want.contains((2L, 40L)), "identical degenerate intervals")
+    assert(!want.contains((3L, 30L)), "adjacent-but-disjoint (40 < 41)")
+  }
+
+  test("intervalOverlapJoin emits a pair ONCE even when the intervals " +
+       "share many buckets (first-common-bucket ownership, no distinct)") {
+    val a = Seq((1L, 0L, 100L)).toDF("id_a", "lo_a", "hi_a")
+    val b = Seq((9L, 3L, 97L)).toDF("id_b", "lo_b", "hi_b")
+    // width 4 → the pair co-occupies ~24 buckets; exactly one row out
+    val out = RelOps.intervalOverlapJoin(a, b, "lo_a", "hi_a", "lo_b",
+      "hi_b", bucketWidth = 4L)
+    assert(out.count() === 1L)
+  }
+
+  test("intervalOverlapJoin plans as an equi-join on the bucket id " +
+       "(never a nested-loop over the theta predicate)") {
+    val a = (0L until 64L).map(i => (i, i, i + 5)).toDF("id_a", "lo_a", "hi_a")
+    val b = (0L until 64L).map(i => (i, i * 2, i * 2 + 3))
+      .toDF("id_b", "lo_b", "hi_b")
+    val p = RelOps.intervalOverlapJoin(a, b, "lo_a", "hi_a", "lo_b",
+      "hi_b", bucketWidth = 8L).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"overlap join degraded to a cross strategy:\n${p.take(1500)}")
+  }
+
+  // ---------------------------------------------------------------- //
+  // triangleStats
+  // ---------------------------------------------------------------- //
+
+  test("triangleStats counts a hand-built graph exactly once per " +
+       "triangle, through duplicate / reversed / self-loop edges") {
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant 4-5 (no triangle),
+    // fed dirty: both orientations, duplicates, and a self-loop
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 2L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (4L, 5L), (3L, 3L)
+    ).toDF("src", "dst")
+    val row = GraphOps.triangleStats(edges).collect().head
+    assert(row.getLong(row.fieldIndex("n_nodes")) === 5L)
+    assert(row.getLong(row.fieldIndex("n_edges")) === 7L)
+    assert(row.getLong(row.fieldIndex("n_triangles")) === 4L)
+  }
+
+  test("triangleStats: triangle-free graphs (path, star) report zero") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    for (g <- Seq(path, star)) {
+      val row = GraphOps.triangleStats(g).collect().head
+      assert(row.getLong(row.fieldIndex("n_triangles")) === 0L)
+    }
+  }
+
+  // ---------------------------------------------------------------- //
+  // weightedHashSample
+  // ---------------------------------------------------------------- //
+
+  private lazy val docs = (0L until 2000L)
+    .map(i => (i, 1L + i % 100))
+    .toDF("id", "w")
+
+  test("weightedHashSample is deterministic and monotone in rate " +
+       "(the same key's uniform draw is reused, so a lower-rate sample " +
+       "is a subset of a higher-rate one)") {
+    val lo = SplitOps.weightedHashSample(docs, "id", col("w"), 0.002)
+      .select("id").as[Long].collect().toSet
+    val lo2 = SplitOps.weightedHashSample(docs, "id", col("w"), 0.002)
+      .select("id").as[Long].collect().toSet
+    val hi = SplitOps.weightedHashSample(docs, "id", col("w"), 0.01)
+      .select("id").as[Long].collect().toSet
+    assert(lo === lo2, "same rate must reproduce the same member set")
+    assert(lo.subsetOf(hi), "raising the rate must only add members")
+    assert(lo.nonEmpty && hi.size < 2000, "fixture must bind both ways")
+  }
+
+  test("weightedHashSample saturates: p = min(1, rate*w) keeps EVERY " +
+       "row whose rate*weight >= 1, and rate = 0 keeps none") {
+    val all = SplitOps.weightedHashSample(docs, "id", col("w") * 0 + 1000, 0.01)
+    assert(all.count() === 2000L, "rate*w = 10 >= 1 must keep all rows")
+    val none = SplitOps.weightedHashSample(docs, "id", col("w"), 0.0)
+    assert(none.count() === 0L)
+  }
+
+  test("weightedHashSample skews toward heavy rows: the sampled mean " +
+       "weight exceeds the population mean (pps by construction)") {
+    val sampled = SplitOps.weightedHashSample(docs, "id", col("w"), 0.005)
+      .agg(avg(col("w"))).as[Double].collect().head
+    val popMean = docs.agg(avg(col("w"))).as[Double].collect().head
+    assert(sampled > popMean,
+      s"pps sample mean $sampled should exceed population mean $popMean")
+  }
+
+  test("weightedHashSample stays a scan-stage filter: no exchange in " +
+       "the plan") {
+    val p = SplitOps.weightedHashSample(docs, "id", col("w"), 0.01)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+}
