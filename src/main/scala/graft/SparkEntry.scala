@@ -1176,6 +1176,154 @@ object SparkEntry {
       .orderBy(col("term_a"), col("term_b"))
   }
 
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    // SCD-2 compaction of a change log: collapse each user's event
+    // stream to validity intervals [valid_from, valid_to) over
+    // event_type — the CDC shape every warehouse dimension build runs.
+    // Change detection (lag) and interval close (lead) are two window
+    // passes over the SAME (user_id, ts, event_id) order, so Catalyst
+    // plans ONE exchange; the open interval closes with a sentinel so
+    // the row set is deterministic.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+      .withColumn("_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("_to"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+  }
+
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    // Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    // user (engagement streaks), via the date-minus-row_number anchor —
+    // consecutive days share an anchor, any gap shifts it. Activity
+    // first reduces to distinct (user, day) — the only full-data
+    // shuffle; the window then orders ≤ 366·years rows per user.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("_anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("_anchor"))
+      .agg(count(lit(1)).cast("long").as("len"),
+        date_format(min(col("d")), "yyyy-MM-dd").as("streak_start"),
+        date_format(max(col("d")), "yyyy-MM-dd").as("streak_end"))
+      .filter(col("len") >= 3)
+      .select(col("user_id"), col("streak_start"), col("streak_end"),
+        col("len"))
+      .orderBy(col("user_id"), col("streak_start"))
+  }
+
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    // Weekly cohort retention: users keyed by first-activity week,
+    // counted per whole-week offset since their own first event. Two
+    // aggregations share the user_id key (first-event then census), so
+    // the cohort join is co-partitioned; the retention matrix itself is
+    // tiny (weeks × offsets). Offsets divide day distance directly —
+    // no second date_trunc, so a cohort born late in a week still ages
+    // in exact 7-day steps.
+    val first = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+    t(s, dir, "events").select(col("user_id"), col("ts"))
+      .join(first, "user_id")
+      .select(date_format(date_trunc("week", col("first_ts")),
+          "yyyy-MM-dd").as("cohort_week"),
+        floor(datediff(to_date(col("ts")), to_date(col("first_ts"))) / 7)
+          .as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    // Distribution-rank window family (the quantile siblings of q26's
+    // ranking/offset set): ntile quartiles, percent_rank, cume_dist
+    // over account balance within market segment. The (value, key)
+    // order makes every rank deterministic under ties; one exchange on
+    // the segment feeds all three functions.
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .filter(col("c_custkey") % 7 === 0)
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    // Time-weighted average (sensor/price integrals): each reading
+    // holds its value until the next one, so the mean weights by
+    // interval length — Σ v·Δt / Σ Δt with Δt from lead() over the
+    // (ts, event_id) total order. Microsecond integer deltas keep both
+    // engines in exact integer arithmetic until the final divide. One
+    // exchange + one sort, then a plain partial-aggregable groupBy.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("_dt",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("_dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        round(sum(col("value") * col("_dt")) / sum(col("_dt")), 6)
+          .as("tw_avg"))
+      .filter(col("n_intervals") >= 5)
+      .orderBy(col("user_id"))
+  }
+
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    // Unigram Shannon entropy per document (the information-density
+    // quality signal: boilerplate and keyword-stuffed docs score low).
+    // H = log2(n) − (Σ c·log2 c)/n — the decomposition that turns
+    // entropy into ONE partial-aggregable pass over term counts, with
+    // no per-doc probability join and no second shuffle.
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("_n"), count(lit(1)).as("n_unique"),
+        sum(col("c") * log(2.0, col("c"))).as("_slc"))
+      .select(col("doc_id"), col("_n").cast("long").as("n_tokens"),
+        col("n_unique"),
+        round(log(2.0, col("_n")) - col("_slc") / col("_n"), 6)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    // Raw-line text source (S1's log-file sibling): documents flatten
+    // to "lang<TAB>text" lines, round-trip through spark.read.text, and
+    // re-parse with a limit-2 split — the schema-on-read shape every
+    // log pipeline starts from. The oracle computes the same stats from
+    // the parquet twin, so a line lost, split wrong, or whitespace-
+    // mangled in the round-trip hash-mismatches.
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/text_cache/documents_$sfTag"
+    t(s, dir, "documents")
+      .select(concat(col("lang"), lit("\t"),
+        regexp_replace(col("text"), "[\\n\\r\\t]+", " ")).as("value"))
+      .write.mode("overwrite").text(path)
+    val parsed = s.read.text(path)
+      .select(split(col("value"), "\t", 2).as("_p"))
+      .select(col("_p").getItem(0).as("lang"),
+        col("_p").getItem(1).as("body"))
+    parsed.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(size(TextOps.tokens(col("body")))).cast("long")
+          .as("n_tokens"),
+        round(avg(length(col("body"))), 6).as("avg_len"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------- //
   // Streaming (SURVEY §2.11) + batch window parity
   // ---------------------------------------------------------------- //
@@ -1283,6 +1431,48 @@ object SparkEntry {
       .agg(max_by(struct(col("n"), col("total")), col("n")).as("_f"))
       .select(col("user_id"), col("_f.n").as("n"),
         round(col("_f.total"), 2).as("total"))
+      .orderBy(col("user_id"))
+  }
+
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    // transformWithState ListState, oracled: per user the 3 largest
+    // event ids (+ values) and a seen-count, accumulated across THREE
+    // micro-batches with the list compacted to top-3 every batch
+    // (bounded state per key — see RecentTopEvents). Ordering by
+    // event_id makes the final state arrival-independent, so the batch
+    // top-3 window is an exact oracle. Update-mode rows are cumulative;
+    // max n per key is the final state (q100's read-back).
+    import s.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val staged = s"/root/repo/target/stream_src/events_top_$sfTag"
+    t(s, dir, "events")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"), col("ts"))
+      .repartitionByRange(3, col("ts"))
+      .write.mode("overwrite").parquet(staged)
+    val typed = StreamOps.fileStream(s, s.read.parquet(staged).schema,
+        staged, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+    val out = StreamOps.recentEventsStream(typed)
+      .toDF("user_id", "n", "top_ids", "top_values")
+    StreamOps.runToCompletion(out, s"q113_${System.nanoTime()}",
+        outputMode = "update", statePartitions = Some(8), rocksDb = true)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n"), col("top_ids"), col("top_values")),
+        col("n")).as("_f"))
+      .select(col("user_id"), col("_f.n").as("n_seen"),
+        // -1 sentinels for keys with < 3 events: a NULL's pandas dtype
+        // differs between the parquet dump and the oracle frame
+        coalesce(col("_f.top_ids").getItem(0), lit(-1L)).as("top1_id"),
+        coalesce(round(col("_f.top_values").getItem(0), 2), lit(-1.0))
+          .as("top1_value"),
+        coalesce(col("_f.top_ids").getItem(1), lit(-1L)).as("top2_id"),
+        coalesce(round(col("_f.top_values").getItem(1), 2), lit(-1.0))
+          .as("top2_value"),
+        coalesce(col("_f.top_ids").getItem(2), lit(-1L)).as("top3_id"),
+        coalesce(round(col("_f.top_values").getItem(2), 2), lit(-1.0))
+          .as("top3_value"))
       .orderBy(col("user_id"))
   }
 
@@ -1913,6 +2103,14 @@ object SparkEntry {
     "q104_rolling_zscore" -> q104 _,
     "q105_weighted_sample" -> q105 _,
     "q106_cooccurrence" -> q106 _,
+    "q107_scd2" -> q107 _,
+    "q108_streaks" -> q108 _,
+    "q109_cohort_retention" -> q109 _,
+    "q110_rank_family" -> q110 _,
+    "q111_time_weighted_avg" -> q111 _,
+    "q112_token_entropy" -> q112 _,
+    "q113_stream_list_state" -> q113 _,
+    "q114_text_source" -> q114 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -3172,5 +3370,107 @@ object SparkEntry {
         |FROM tf x JOIN tf y ON x.doc_id = y.doc_id AND x.term < y.term
         |GROUP BY 1, 2 HAVING count(*) >= 30
         |ORDER BY term_a, term_b""".stripMargin,
+    "q107_scd2" ->
+      // identical change-detect (lag) + interval-close (lead) windows
+      """WITH chg AS (SELECT user_id, event_type, ts, event_id FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev
+        |    FROM events WHERE user_id % 10 = 0) z
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S'),
+        |    '9999-12-31 00:00:00') AS valid_to
+        |FROM chg ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "q108_streaks" ->
+      // the same date-minus-row_number island anchor
+      """WITH days AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+        |  anch AS (SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS INT) AS anchor
+        |  FROM days)
+        |SELECT user_id,
+        |  strftime(min(d), '%Y-%m-%d') AS streak_start,
+        |  strftime(max(d), '%Y-%m-%d') AS streak_end,
+        |  count(*)::BIGINT AS len
+        |FROM anch GROUP BY user_id, anchor
+        |HAVING count(*) >= 3
+        |ORDER BY user_id, streak_start""".stripMargin,
+    "q109_cohort_retention" ->
+      // cohort = first-activity ISO week; offset in exact 7-day steps
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+        |    GROUP BY 1)
+        |SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d')
+        |    AS cohort_week,
+        |  (date_diff('day', f.first_ts::DATE, e.ts::DATE) // 7)::BIGINT
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id)::BIGINT AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "q110_rank_family" ->
+      // same deterministic (value, key) order under every rank
+      """SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal, c_custkey)
+        |QUALIFY c_custkey % 7 = 0
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q111_time_weighted_avg" ->
+      // microsecond deltas keep both engines in integer arithmetic
+      """WITH iv AS (SELECT user_id, value,
+        |    date_diff('microsecond', ts, lead(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) AS dt
+        |  FROM events)
+        |SELECT user_id, count(*)::BIGINT AS n_intervals,
+        |  round(sum(value * dt) / sum(dt), 6) AS tw_avg
+        |FROM iv WHERE dt IS NOT NULL
+        |GROUP BY 1 HAVING count(*) >= 5 ORDER BY user_id""".stripMargin,
+    "q112_token_entropy" ->
+      // H = log2(n) - (sum c*log2 c)/n over the same token counts
+      """WITH tf AS (SELECT doc_id, term, count(*)::DOUBLE AS c
+        |  FROM (SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '\s+'),
+        |        t -> len(t) > 0)) AS term
+        |    FROM documents) z
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |  count(*)::BIGINT AS n_unique,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+        |FROM tf GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q113_stream_list_state" ->
+      // the batch top-3-by-event_id the cross-batch ListState must equal
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, count(*)::BIGINT AS n_seen,
+        |  coalesce(max(CASE WHEN rn = 1 THEN event_id END), -1)::BIGINT
+        |    AS top1_id,
+        |  coalesce(round(max(CASE WHEN rn = 1 THEN value END), 2), -1.0)
+        |    AS top1_value,
+        |  coalesce(max(CASE WHEN rn = 2 THEN event_id END), -1)::BIGINT
+        |    AS top2_id,
+        |  coalesce(round(max(CASE WHEN rn = 2 THEN value END), 2), -1.0)
+        |    AS top2_value,
+        |  coalesce(max(CASE WHEN rn = 3 THEN event_id END), -1)::BIGINT
+        |    AS top3_id,
+        |  coalesce(round(max(CASE WHEN rn = 3 THEN value END), 2), -1.0)
+        |    AS top3_value
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q114_text_source" ->
+      // the parquet twin after the same newline/tab sanitization
+      """WITH sane AS (SELECT lang,
+        |    regexp_replace(text, '[\n\r\t]+', ' ', 'g') AS body
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_lines,
+        |  sum(len(list_filter(string_split_regex(body, '\s+'),
+        |    t -> len(t) > 0)))::BIGINT AS n_tokens,
+        |  round(avg(length(body)), 6) AS avg_len
+        |FROM sane GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Open-session state carried across micro-batches per key. */
@@ -29,6 +29,41 @@ class RunningTotals
     rows.foreach { case (_, v) => n += 1; total += v }
     totals.update((n, total))
     Iterator((key, n, total))
+  }
+}
+
+/** `transformWithState` processor behind
+  * [[StreamOps.recentEventsStream]]: per key, the 3 LARGEST event ids
+  * (with their values) plus a seen-count, carried across micro-batches
+  * in a ListState + ValueState pair. The list is compacted to the
+  * top-3 on every batch, so state per key is bounded (4 small entries)
+  * no matter how many events the key ever sees — the bounded-state
+  * discipline that keeps keyed streaming state disk-resident-safe at
+  * 100 TB. Ordering by event_id (not arrival) makes the final state
+  * independent of batch partitioning — which is what lets a batch SQL
+  * oracle reproduce it. */
+class RecentTopEvents extends StatefulProcessor[
+    Long, (Long, Long, Double), (Long, Long, Seq[Long], Seq[Double])] {
+  @transient private var top: ListState[(Long, Double)] = _
+  @transient private var seen: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    top = getHandle.getListState[(Long, Double)]("top",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+      TTLConfig.NONE)
+    seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+      TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long,
+                               rows: Iterator[(Long, Long, Double)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Seq[Long], Seq[Double])] = {
+    val batch = rows.map { case (_, id, v) => (id, v) }.toArray
+    val merged = (top.get().toArray ++ batch)
+      .sortBy(-_._1).take(3)
+    top.put(merged)
+    val n = (if (seen.exists()) seen.get() else 0L) + batch.length
+    seen.update(n)
+    Iterator((key, n, merged.map(_._1).toSeq, merged.map(_._2).toSeq))
   }
 }
 
@@ -318,6 +353,18 @@ object StreamOps {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .transformWithState(new RunningTotals,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-key bounded recent-top state (ListState) across micro-batches:
+    * the 3 largest event ids + values and a total seen-count per key —
+    * see [[RecentTopEvents]] for the state discipline. Input rows are
+    * (key, event_id, value). */
+  def recentEventsStream(events: Dataset[(Long, Long, Double)])
+      : Dataset[(Long, Long, Seq[Long], Seq[Double])] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RecentTopEvents,
         TimeMode.None(), OutputMode.Update())
   }
 }
