@@ -1476,6 +1476,86 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    // transformWithState MapState, oracled: per-user event-type census
+    // accumulated across three micro-batches (completes the arbitrary-
+    // state trio — ValueState q100, ListState q113, MapState here).
+    // The map snapshot is emitted per batch; max total per key is the
+    // final state, pivoted to fixed type columns for the oracle.
+    import s.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val staged = s"/root/repo/target/stream_src/events_types_$sfTag"
+    t(s, dir, "events")
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .repartitionByRange(3, col("ts"))
+      .write.mode("overwrite").parquet(staged)
+    val typed = StreamOps.fileStream(s, s.read.parquet(staged).schema,
+        staged, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("event_type")).as[(Long, String)]
+    val out = StreamOps.typeCountsStream(typed)
+      .toDF("user_id", "n", "counts")
+    def cnt(typ: String) =
+      coalesce(col("_f.counts").getItem(typ), lit(0L)).as(s"n_$typ")
+    StreamOps.runToCompletion(out, s"q115_${System.nanoTime()}",
+        outputMode = "update", statePartitions = Some(8), rocksDb = true)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n"), col("counts")), col("n")).as("_f"))
+      .select(col("user_id"), col("_f.n").as("n_events"),
+        cnt("view"), cnt("click"), cnt("purchase"), cnt("signup"),
+        cnt("error"))
+      .orderBy(col("user_id"))
+  }
+
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    // MERGE / upsert-apply (the warehouse CDC sink): a base snapshot
+    // (events before the cut) absorbs a change batch (events after),
+    // where a 'purchase' change is a DELETE and anything else upserts.
+    // Both sides compact to one row per key FIRST (max_by partial
+    // aggregates — map-side combinable), so the full-outer merge join
+    // carries one row per key per side; provenance labels the action.
+    val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+    def latest(df: DataFrame) = df
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value")), struct(col("ts"), col("event_id"))).as("_r"))
+      .select(col("user_id"), col("_r.event_id").as("event_id"),
+        col("_r.ts").as("ts"), col("_r.event_type").as("event_type"),
+        col("_r.value").as("value"))
+    val ev = t(s, dir, "events")
+    RelOps.mergeUpsert(
+        latest(ev.filter(col("ts") < cut)),
+        latest(ev.filter(col("ts") >= cut)),
+        "user_id", chg => chg.getField("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("event_type"), round(col("value"), 6).as("value"),
+        col("action"))
+      .orderBy(col("user_id"))
+  }
+
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    // Embedding geometry audit (the sanity pass before any ANN build:
+    // un-normalized or degenerate vectors poison cosine indexes).
+    // The L2 norm folds each row's array locally — `aggregate` is a
+    // per-row loop, no explode, no shuffle of vector elements; the
+    // only exchange is the tiny per-label aggregate. Elements cast to
+    // double BEFORE multiply so both engines square in f64.
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))
+          .as("_norm"),
+        size(col("embedding")).as("_dim"),
+        element_at(col("embedding"), 1).cast("double").as("_x0"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("_dim")).as("n_dims"),
+        round(min(col("_norm")), 6).as("min_norm"),
+        round(max(col("_norm")), 6).as("max_norm"),
+        round(avg(col("_norm")), 6).as("avg_norm"),
+        round(avg(col("_x0")), 6).as("avg_x0"))
+      .orderBy(col("label"))
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2111,6 +2191,9 @@ object SparkEntry {
     "q112_token_entropy" -> q112 _,
     "q113_stream_list_state" -> q113 _,
     "q114_text_source" -> q114 _,
+    "q115_stream_map_state" -> q115 _,
+    "q116_merge_upsert" -> q116 _,
+    "q117_embed_norms" -> q117 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -3472,5 +3555,52 @@ object SparkEntry {
         |    t -> len(t) > 0)))::BIGINT AS n_tokens,
         |  round(avg(length(body)), 6) AS avg_len
         |FROM sane GROUP BY lang ORDER BY lang""".stripMargin,
+    "q115_stream_map_state" ->
+      // the batch per-type census the cross-batch MapState must equal
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |  count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+        |  count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+        |  count(*) FILTER (event_type = 'purchase')::BIGINT
+        |    AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+        |  count(*) FILTER (event_type = 'error')::BIGINT AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q116_merge_upsert" ->
+      // merge = latest event overall per key; a final 'purchase' change
+      // deletes; provenance from which side(s) the key appears in
+      """WITH snap AS (SELECT user_id, event_id, ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events
+        |    WHERE ts < TIMESTAMP '2024-01-21 00:00:00') z WHERE rn = 1),
+        |  delta AS (SELECT user_id, event_id, ts, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-21 00:00:00') z WHERE rn = 1)
+        |SELECT coalesce(d.user_id, s.user_id) AS user_id,
+        |  coalesce(d.event_id, s.event_id)::BIGINT AS event_id,
+        |  strftime(coalesce(d.ts, s.ts), '%Y-%m-%d %H:%M:%S') AS ts,
+        |  coalesce(d.event_type, s.event_type) AS event_type,
+        |  round(coalesce(d.value, s.value), 6) AS value,
+        |  CASE WHEN d.user_id IS NULL THEN 'kept'
+        |    WHEN s.user_id IS NULL THEN 'inserted'
+        |    ELSE 'updated' END AS action
+        |FROM snap s FULL OUTER JOIN delta d ON s.user_id = d.user_id
+        |WHERE d.user_id IS NULL OR d.event_type <> 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "q117_embed_norms" ->
+      // the same f64 square-fold per row, then per-label extremes
+      """WITH v AS (SELECT label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+        |    len(embedding) AS dim,
+        |    CAST(embedding[1] AS DOUBLE) AS x0
+        |  FROM embeddings)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |  count(DISTINCT dim)::BIGINT AS n_dims,
+        |  round(min(norm), 6) AS min_norm,
+        |  round(max(norm), 6) AS max_norm,
+        |  round(avg(norm), 6) AS avg_norm,
+        |  round(avg(x0), 6) AS avg_x0
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
   )
 }

@@ -210,6 +210,38 @@ object RelOps {
       .drop("_bkt")
   }
 
+  /** MERGE-apply (the warehouse upsert sink): `base` and `changes` are
+    * one-row-per-key frames with identical schemas; a change row wins
+    * over the base row, a change row matching `isDelete` (a predicate
+    * over the change-side struct) removes the key, and every surviving
+    * row carries a provenance `action` — 'kept' (base only),
+    * 'inserted' (change only, new key), 'updated' (both).
+    *
+    * Scale: ONE full-outer equi-join on the key — both inputs are
+    * expected pre-compacted (e.g. a max_by latest-row aggregate, which
+    * is map-side combinable), so the join carries one row per key per
+    * side and AQE is free to broadcast a small change batch. This is
+    * how MERGE INTO executes at 100 TB: never row-at-a-time, always
+    * compact-then-join. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String,
+                  isDelete: Column => Column): DataFrame = {
+    val payload = base.columns.filterNot(_ == keyCol).toSeq
+    require(payload.toSet == changes.columns.filterNot(_ == keyCol).toSet,
+      "base and changes must share the payload schema")
+    val b = base.select(col(keyCol),
+      struct(payload.map(col): _*).as("_base"))
+    val c = changes.select(col(keyCol),
+      struct(payload.map(col): _*).as("_chg"))
+    b.join(c, Seq(keyCol), "full_outer")
+      .filter(col("_chg").isNull || !isDelete(col("_chg")))
+      .select(col(keyCol) +:
+        payload.map(f =>
+          coalesce(col(s"_chg.$f"), col(s"_base.$f")).as(f)) :+
+        when(col("_chg").isNull, "kept")
+          .when(col("_base").isNull, "inserted")
+          .otherwise("updated").as("action"): _*)
+  }
+
   /** Gap-based sessionization over an event stream (batch form): a new
     * session starts when the gap to the previous event of the same key
     * exceeds `gapSeconds`. One exchange on `keyCol` + one sort — the

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Open-session state carried across micro-batches per key. */
@@ -64,6 +64,30 @@ class RecentTopEvents extends StatefulProcessor[
     val n = (if (seen.exists()) seen.get() else 0L) + batch.length
     seen.update(n)
     Iterator((key, n, merged.map(_._1).toSeq, merged.map(_._2).toSeq))
+  }
+}
+
+/** `transformWithState` processor behind
+  * [[StreamOps.typeCountsStream]]: per key, a MapState[String, Long] of
+  * event-type → count (the per-key sub-keyed state shape: a ValueState
+  * would serialize the whole map per update, a MapState updates one
+  * entry). Emits the full map + total after each batch; the map is
+  * bounded by the event-type domain, so state per key stays small. */
+class PerTypeCounts extends StatefulProcessor[
+    Long, (Long, String), (Long, Long, Map[String, Long])] {
+  @transient private var counts: MapState[String, Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Map[String, Long])] = {
+    rows.foreach { case (_, et) =>
+      val c = if (counts.containsKey(et)) counts.getValue(et) else 0L
+      counts.updateValue(et, c + 1L)
+    }
+    val snap = counts.iterator().toMap
+    Iterator((key, snap.valuesIterator.sum, snap))
   }
 }
 
@@ -365,6 +389,17 @@ object StreamOps {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .transformWithState(new RecentTopEvents,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-key event-type census across micro-batches in a MapState —
+    * see [[PerTypeCounts]]. Input rows are (key, event_type); output
+    * is (key, total_n, type → count map) per batch, cumulative. */
+  def typeCountsStream(events: Dataset[(Long, String)])
+      : Dataset[(Long, Long, Map[String, Long])] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new PerTypeCounts,
         TimeMode.None(), OutputMode.Update())
   }
 }

@@ -90,6 +90,37 @@ class Round6OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  // mergeUpsert
+  // ---------------------------------------------------------------- //
+
+  test("mergeUpsert covers all four outcomes: kept (base only), " +
+       "updated (change wins), inserted (new key), deleted (absent)") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val changes = Seq((2L, "B", 22.0), (3L, "DEL", 0.0), (4L, "d", 40.0),
+      (5L, "DEL", 0.0)).toDF("k", "tag", "v")
+    val got = RelOps.mergeUpsert(base, changes, "k",
+        chg => chg.getField("tag") === "DEL")
+      .select("k", "tag", "v", "action")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got === Set(
+      (1L, "a", 10.0, "kept"),        // untouched base row survives
+      (2L, "B", 22.0, "updated"),     // change payload wins wholesale
+      (4L, "d", 40.0, "inserted")))   // new key from the change batch
+    // key 3 deleted; key 5's delete-of-nonexistent emits nothing
+  }
+
+  test("mergeUpsert is ONE full-outer equi-join — no window, no " +
+       "second exchange after the join") {
+    val base = (0L until 100L).map(i => (i, i.toDouble)).toDF("k", "v")
+    val changes = (50L until 150L).map(i => (i, -i.toDouble)).toDF("k", "v")
+    val p = RelOps.mergeUpsert(base, changes, "k", _ => lit(false))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    assert(!p.contains("Window"), s"merge must not rank/window:\n$p")
+  }
+
+  // ---------------------------------------------------------------- //
   // weightedHashSample
   // ---------------------------------------------------------------- //
 
