@@ -1556,6 +1556,26 @@ object SparkEntry {
         round(avg(col("_x0")), 6).as("avg_x0"))
       .orderBy(col("label"))
 
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    // XML source round-trip (Spark 4's built-in XML datasource — the
+    // third non-parquet format after CSV q25 / ORC q90 / JSON q29):
+    // pinned-schema write + read (schema inference on XML is a full
+    // document parse per file — never at 100 TB), aggregate, oracle vs
+    // the parquet twin. A value mangled by XML escaping or a row lost
+    // in rowTag framing hash-mismatches.
+    val src = t(s, dir, "part")
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/xml_cache/part_$sfTag"
+    src.write.mode("overwrite").option("rowTag", "part").xml(path)
+    s.read.schema(src.schema).option("rowTag", "part").xml(path)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_size")).cast("long").as("total_size"),
+        round(sum(col("p_retailprice")), 2).as("total_price"),
+        min(col("p_name")).as("first_name"))
+      .orderBy(col("p_brand"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2194,6 +2214,7 @@ object SparkEntry {
     "q115_stream_map_state" -> q115 _,
     "q116_merge_upsert" -> q116 _,
     "q117_embed_norms" -> q117 _,
+    "q118_xml_source" -> q118 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -3602,5 +3623,12 @@ object SparkEntry {
         |  round(avg(norm), 6) AS avg_norm,
         |  round(avg(x0), 6) AS avg_x0
         |FROM v GROUP BY label ORDER BY label""".stripMargin,
+    "q118_xml_source" ->
+      // the parquet twin of the XML round-trip
+      """SELECT p_brand, count(*)::BIGINT AS n,
+        |  sum(p_size)::BIGINT AS total_size,
+        |  round(sum(p_retailprice), 2) AS total_price,
+        |  min(p_name) AS first_name
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }
