@@ -997,9 +997,10 @@ object SparkEntry {
     // bucket). 3 iterations = 3 node-keyed shuffles; the oracle unrolls
     // the same recurrence as chained CTEs, so a drifted damping term,
     // dangling-mass convention, or missed dangling node (left-join base
-    // term) hash-mismatches. (1−d) is computed as the same double
-    // subtraction on both sides — 0.15 as a literal is a DIFFERENT
-    // double than 1.0 − 0.85.
+    // term) hash-mismatches. The oracle spells (1−d) as
+    // (1.0::DOUBLE - 0.85::DOUBLE): DuckDB evaluates a bare 1.0 - 0.85
+    // in exact DECIMAL (0.15, one ulp off Scala's IEEE subtraction);
+    // casting first forces the same f64 op on both sides.
     val edges = t(s, dir, "events")
       .filter(col("event_type") === "click")
       .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
@@ -3337,8 +3338,10 @@ object SparkEntry {
         |WHERE levenshtein(a.p_name, b.p_name) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
     "q97_pagerank" ->
-      // the recurrence unrolled: r0 → c/r × 3. (1.0 - 0.85) spelled as
-      // the subtraction so both engines evaluate the same double.
+      // the recurrence unrolled: r0 → c/r × 3. (1−d) spelled as
+      // (1.0::DOUBLE - 0.85::DOUBLE) so DuckDB performs the IEEE f64
+      // subtraction (a bare 1.0 - 0.85 is exact DECIMAL 0.15 — one ulp
+      // away from Scala's 1.0 - 0.85).
       """WITH e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
         |    FROM events WHERE event_type = 'click'),
         |  nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
@@ -3348,19 +3351,19 @@ object SparkEntry {
         |  c1 AS (SELECT e.dst AS id, sum(r.rank / d.deg) AS contrib
         |    FROM e JOIN deg d USING (src) JOIN r0 r ON e.src = r.id
         |    GROUP BY 1),
-        |  r1 AS (SELECT nodes.id, (1.0 - 0.85) / (SELECT n FROM nn)
+        |  r1 AS (SELECT nodes.id, (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
         |      + 0.85 * coalesce(c1.contrib, 0.0) AS rank
         |    FROM nodes LEFT JOIN c1 USING (id)),
         |  c2 AS (SELECT e.dst AS id, sum(r.rank / d.deg) AS contrib
         |    FROM e JOIN deg d USING (src) JOIN r1 r ON e.src = r.id
         |    GROUP BY 1),
-        |  r2 AS (SELECT nodes.id, (1.0 - 0.85) / (SELECT n FROM nn)
+        |  r2 AS (SELECT nodes.id, (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
         |      + 0.85 * coalesce(c2.contrib, 0.0) AS rank
         |    FROM nodes LEFT JOIN c2 USING (id)),
         |  c3 AS (SELECT e.dst AS id, sum(r.rank / d.deg) AS contrib
         |    FROM e JOIN deg d USING (src) JOIN r2 r ON e.src = r.id
         |    GROUP BY 1),
-        |  r3 AS (SELECT nodes.id, (1.0 - 0.85) / (SELECT n FROM nn)
+        |  r3 AS (SELECT nodes.id, (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
         |      + 0.85 * coalesce(c3.contrib, 0.0) AS rank
         |    FROM nodes LEFT JOIN c3 USING (id))
         |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin,

@@ -90,6 +90,56 @@ class Round6OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  // iteration hygiene (round-6): checkpoint cadence + unpersist
+  // ---------------------------------------------------------------- //
+
+  test("pageRank at iterations=10: localCheckpoint cadence keeps the " +
+       "returned plan bounded, results match the checkpoint-free run, " +
+       "and the node/edge caches are unpersisted") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val r = GraphOps.pageRank(edges, iterations = 10, damping = 0.85,
+      checkpointEvery = 3)
+    // the returned frame is an eagerly checkpointed leaf: without
+    // lineage truncation a 10-iteration plan is >40 operators deep
+    val nPlanNodes =
+      r.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nPlanNodes <= 3,
+      s"expected a checkpointed leaf plan, got $nPlanNodes operators")
+    // cadence must not change the numbers (checkpointEvery=99 → the
+    // mid-loop truncation never fires)
+    val noCp = GraphOps.pageRank(edges, iterations = 10, damping = 0.85,
+        checkpointEvery = 99)
+      .as[(Long, Double)].collect().toMap
+    r.as[(Long, Double)].collect().foreach { case (id, rank) =>
+      assert(math.abs(rank - noCp(id)) < 1e-15, s"node $id drifted")
+    }
+    // cache hygiene: re-deriving the exact node/edge-degree plans from
+    // the same input must find NOTHING in the cache manager (lookup is
+    // by plan equality — a leftover cache entry would match)
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    assert(spark.sharedState.cacheManager.lookupCachedData(nodes.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]).isEmpty,
+      "pageRank left its node table cached")
+    val eDeg = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("_deg")), "src")
+    assert(spark.sharedState.cacheManager.lookupCachedData(eDeg.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]).isEmpty,
+      "pageRank left its edge-degree table cached")
+  }
+
+  test("triangleStats unpersists its canonical edge cache") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    GraphOps.triangleStats(edges).collect()
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    assert(spark.sharedState.cacheManager.lookupCachedData(canon.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]).isEmpty,
+      "triangleStats left its edge table cached")
+  }
+
+  // ---------------------------------------------------------------- //
   // mergeUpsert
   // ---------------------------------------------------------------- //
 
