@@ -1162,8 +1162,20 @@ object SparkEntry {
     // the pair fan-out per doc is then C(k,2) on the doc's surviving
     // distinct terms, bounded by doc length. Joins key on term /
     // doc_id only.
+    //
+    // The token table is localCheckpoint'ed: it feeds two aggregate
+    // consumers (the df vocabulary and the pairing side), and without
+    // materialization Catalyst executes the tokenize+explode scan once
+    // per consumer — at 100 TB tokenization is the dominant cost, so
+    // it must run ONCE (PlanShapeSpec pins zero Generate nodes in the
+    // final plan). A cluster deployment writes this intermediate as a
+    // table; localCheckpoint is the single-JVM analogue. A window-
+    // over-term df would also tokenize once but puts every occurrence
+    // of a hot stop-word in ONE window partition — skew-unsafe, so the
+    // df stays a map-side-combinable aggregate.
     val toks = t(s, dir, "documents").select(col("doc_id"),
       explode(TextOps.tokenSet(col("text"))).as("term"))
+      .localCheckpoint()
     val vocab = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(30, 390))
@@ -3591,7 +3603,9 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q116_merge_upsert" ->
       // merge = latest event overall per key; a final 'purchase' change
-      // deletes; provenance from which side(s) the key appears in
+      // deletes; provenance from which side(s) the key appears in. The
+      // winning SIDE is chosen once (CASE on the delta key, mirroring
+      // mergeUpsert's whole-struct pick) — not per-field coalesce.
       """WITH snap AS (SELECT user_id, event_id, ts, event_type, value
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn FROM events
@@ -3601,10 +3615,14 @@ object SparkEntry {
         |      ORDER BY ts DESC, event_id DESC) AS rn FROM events
         |    WHERE ts >= TIMESTAMP '2024-01-21 00:00:00') z WHERE rn = 1)
         |SELECT coalesce(d.user_id, s.user_id) AS user_id,
-        |  coalesce(d.event_id, s.event_id)::BIGINT AS event_id,
-        |  strftime(coalesce(d.ts, s.ts), '%Y-%m-%d %H:%M:%S') AS ts,
-        |  coalesce(d.event_type, s.event_type) AS event_type,
-        |  round(coalesce(d.value, s.value), 6) AS value,
+        |  (CASE WHEN d.user_id IS NULL THEN s.event_id
+        |    ELSE d.event_id END)::BIGINT AS event_id,
+        |  strftime(CASE WHEN d.user_id IS NULL THEN s.ts ELSE d.ts END,
+        |    '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CASE WHEN d.user_id IS NULL THEN s.event_type
+        |    ELSE d.event_type END AS event_type,
+        |  round(CASE WHEN d.user_id IS NULL THEN s.value
+        |    ELSE d.value END, 6) AS value,
         |  CASE WHEN d.user_id IS NULL THEN 'kept'
         |    WHEN s.user_id IS NULL THEN 'inserted'
         |    ELSE 'updated' END AS action

@@ -450,14 +450,20 @@ object DedupOps {
     * keys on the variant hash, so the plan survives a 100× vocabulary.
     * False candidates (e.g. transpositions, which share two deletion
     * variants but sit at distance 2) are eliminated by the exact
-    * `levenshtein` verify, which runs only on candidates; pairs are
-    * deduped on (a, b) BEFORE the verify so a pair sharing several
-    * variants is scored once. Output columns: `<strCol>_a/_b` plus each
-    * carry column as `<name>_a/_b`.
+    * `levenshtein` verify, which runs FIRST — it is one codegen'd
+    * comparison per candidate row and prunes nearly all of them — so
+    * the `distinct()` that collapses pairs sharing several variants
+    * dedups only true pairs (its exchange carries the wide carry
+    * columns, so it must run on the small side of the filter). Output
+    * columns: `<strCol>_a/_b` plus each carry column as `<name>_a/_b`.
     *
     * Feed this DISTINCT strings (aggregate duplicates first) — the
     * blocking cost is per unique string, which is how a catalog /
-    * entity-resolution pass wants it at scale anyway. */
+    * entity-resolution pass wants it at scale anyway. If the
+    * precondition is violated (duplicate strings with differing carry
+    * values), a matched pair multiplies into one output row per carry
+    * combination — the whole-row distinct cannot collapse rows whose
+    * carries differ. */
   def editDistancePairs(strings: DataFrame, strCol: String,
                         carryCols: Seq[String] = Nil): DataFrame = {
     val sc = col(strCol)
@@ -475,8 +481,8 @@ object DedupOps {
       (col(strCol).as(s"${strCol}_$tag") +:
         carryCols.map(c => col(c).as(s"${c}_$tag"))) :+ col("_variant"): _*)
     side("a").join(side("b"), Seq("_variant"))
-      .filter(col(s"${strCol}_a") < col(s"${strCol}_b"))
+      .filter(col(s"${strCol}_a") < col(s"${strCol}_b") &&
+        levenshtein(col(s"${strCol}_a"), col(s"${strCol}_b")) <= 1)
       .drop("_variant").distinct()
-      .filter(levenshtein(col(s"${strCol}_a"), col(s"${strCol}_b")) <= 1)
   }
 }

@@ -212,10 +212,14 @@ object RelOps {
 
   /** MERGE-apply (the warehouse upsert sink): `base` and `changes` are
     * one-row-per-key frames with identical schemas; a change row wins
-    * over the base row, a change row matching `isDelete` (a predicate
-    * over the change-side struct) removes the key, and every surviving
-    * row carries a provenance `action` — 'kept' (base only),
-    * 'inserted' (change only, new key), 'updated' (both).
+    * over the base row WHOLESALE — the winning side's entire payload
+    * struct is selected, so a NULL field in a change row stays NULL in
+    * the output (standard MERGE semantics; a per-field coalesce would
+    * silently resurrect the base value). A change row matching
+    * `isDelete` (a predicate over the change-side struct) removes the
+    * key, and every surviving row carries a provenance `action` —
+    * 'kept' (base only), 'inserted' (change only, new key),
+    * 'updated' (both).
     *
     * Scale: ONE full-outer equi-join on the key — both inputs are
     * expected pre-compacted (e.g. a max_by latest-row aggregate, which
@@ -234,9 +238,13 @@ object RelOps {
       struct(payload.map(col): _*).as("_chg"))
     b.join(c, Seq(keyCol), "full_outer")
       .filter(col("_chg").isNull || !isDelete(col("_chg")))
+      // the WINNING STRUCT is chosen once, then unpacked — field-level
+      // coalesce would mix fields from both sides on NULL-bearing
+      // change rows
+      .withColumn("_win",
+        when(col("_chg").isNotNull, col("_chg")).otherwise(col("_base")))
       .select(col(keyCol) +:
-        payload.map(f =>
-          coalesce(col(s"_chg.$f"), col(s"_base.$f")).as(f)) :+
+        payload.map(f => col(s"_win.$f").as(f)) :+
         when(col("_chg").isNull, "kept")
           .when(col("_base").isNull, "inserted")
           .otherwise("updated").as("action"): _*)

@@ -321,7 +321,15 @@ object StreamOps {
     * checkpoint on first start — a real deployment sizes it to peak
     * key cardinality, not to the batch-side CPU count). The session
     * conf is cloned into the streaming query at `start()`, so setting
-    * it transiently scopes it to this query only. */
+    * it transiently scopes it to this query only.
+    *
+    * SERIAL-EXECUTION ASSUMPTION: the transient overrides (shuffle
+    * partitions, RocksDB provider) mutate the shared session conf for
+    * the start()…finally window — any query launched concurrently in
+    * that window would capture them. The harness runs queries serially
+    * (Verify/Bench/specs), which is what makes this safe; a concurrent
+    * deployment should build the stream on `spark.newSession()` so the
+    * overrides live on a session clone. */
   def runToCompletion(agg: DataFrame, queryName: String,
                       outputMode: String = "complete",
                       statePartitions: Option[Int] = None,

@@ -257,6 +257,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q38 re-tokenizes per signal:\n${p38.take(1200)}")
   }
 
+  test("q106: the token table materializes ONCE — the co-occurrence " +
+       "plan reads the checkpointed tokens, zero Generate/explode " +
+       "nodes left (tokenization is the dominant cost at scale)") {
+    val p = planOf("q106_cooccurrence")
+    assert(!p.contains("Generate"),
+      s"q106 re-tokenizes a consumer of the checkpointed tokens:\n" +
+        p.take(1500))
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the localCheckpoint leaf under both consumers:\n" +
+        p.take(1500))
+  }
+
   test("q95: range-lookup join is an EQUI-join on the coarse bucket — " +
        "never the BroadcastNestedLoopJoin a naive non-equi join plans to") {
     val p = planOf("q95_range_join")

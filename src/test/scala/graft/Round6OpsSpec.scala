@@ -160,6 +160,19 @@ class Round6OpsSpec extends AnyFunSuite {
     // key 3 deleted; key 5's delete-of-nonexistent emits nothing
   }
 
+  test("mergeUpsert: a change row with a NULL payload field wins " +
+       "WHOLESALE — the NULL does not resurrect the base value") {
+    val base = Seq((1L, Some("a"), Some(10.0)))
+      .toDF("k", "tag", "v")
+    val changes = Seq((1L, Option.empty[String], Some(11.0)))
+      .toDF("k", "tag", "v")
+    val got = RelOps.mergeUpsert(base, changes, "k", _ => lit(false))
+      .select("k", "tag", "v", "action")
+      .as[(Long, Option[String], Option[Double], String)].collect().toSet
+    assert(got === Set((1L, None, Some(11.0), "updated")),
+      "standard MERGE: the change row's NULL field must surface as NULL")
+  }
+
   test("mergeUpsert is ONE full-outer equi-join — no window, no " +
        "second exchange after the join") {
     val base = (0L until 100L).map(i => (i, i.toDouble)).toDF("k", "v")
