@@ -1589,6 +1589,60 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    // Skew-salted join, ORACLED (was spec-only): events (5 hot
+    // event_type keys — exactly the serialized-reducer shape) join a
+    // tiny per-type dimension through RelOps.saltedJoin, which spreads
+    // each hot key across `factor` (key, salt) reducers. The result is
+    // IDENTICAL to the plain equi-join — which is what the oracle
+    // runs; a salt that drops rows (bad modulus) or duplicates them
+    // (replication joined without the salt key) hash-mismatches.
+    // At this dim size AQE broadcasts and the salt is belt-and-braces;
+    // the exchange shape with broadcast disabled is pinned in
+    // PlanShapeSpec — the explicit form exists for broadcast-
+    // ineligible dims (bucketed layouts, AQE off).
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+    val dim = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 6).as("type_avg"))
+    RelOps.saltedJoin(ev, dim, "event_type", factor = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(max(col("type_avg")), 6).as("type_avg"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    // observe() audit metrics, ORACLED (was spec-only): production
+    // pipelines attach CollectMetrics to a running query to audit row
+    // counts / value bounds WITHOUT a second scan — the metrics ride
+    // the existing pass as accumulators (zero extra jobs, zero extra
+    // shuffles; this is the 100 TB way to count what you just wrote).
+    // The noop sink drives one full pass; the observed map must equal
+    // the aggregate twin the oracle computes from the same table.
+    val obs = new org.apache.spark.sql.Observation(
+      s"q120_${System.nanoTime()}")
+    t(s, dir, "events")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(min(col("value")), 6).as("min_value"),
+        round(max(col("value")), 6).as("max_value"),
+        count(col("user_id")).as("n_user_ids"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("total_value").asInstanceOf[Double],
+      m("min_value").asInstanceOf[Double],
+      m("max_value").asInstanceOf[Double],
+      m("n_user_ids").asInstanceOf[Long]))
+      .toDF("n_rows", "total_value", "min_value", "max_value",
+        "n_user_ids")
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2228,6 +2282,8 @@ object SparkEntry {
     "q116_merge_upsert" -> q116 _,
     "q117_embed_norms" -> q117 _,
     "q118_xml_source" -> q118 _,
+    "q119_salted_join" -> q119 _,
+    "q120_observe_metrics" -> q120 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -3651,5 +3707,23 @@ object SparkEntry {
         |  round(sum(p_retailprice), 2) AS total_price,
         |  min(p_name) AS first_name
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q119_salted_join" ->
+      // the plain equi-join the salted form must be identical to
+      """WITH dim AS (SELECT event_type,
+        |    round(avg(value), 6) AS type_avg
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*)::BIGINT AS n,
+        |  round(sum(e.value), 2) AS total_value,
+        |  round(max(d.type_avg), 6) AS type_avg
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q120_observe_metrics" ->
+      // the aggregate twin the observed metrics must equal
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  round(sum(value), 2) AS total_value,
+        |  round(min(value), 6) AS min_value,
+        |  round(max(value), 6) AS max_value,
+        |  count(user_id)::BIGINT AS n_user_ids
+        |FROM events""".stripMargin,
   )
 }

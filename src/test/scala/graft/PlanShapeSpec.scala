@@ -257,6 +257,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q38 re-tokenizes per signal:\n${p38.take(1200)}")
   }
 
+  test("q119/saltedJoin: with broadcast off, both sides exchange on " +
+       "(key, salt) — the hot key spreads across factor reducers") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val left = (0L until 512L).map(i => (if (i % 4 == 0) "hot" else s"k$i",
+        i)).toDF("k", "v")
+      val right = Seq(("hot", 1.0), ("k1", 2.0)).toDF("k", "w")
+      val p = graft.ops.RelOps.saltedJoin(left, right, "k", factor = 8)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(k#\\d+, _salt#\\d+".r
+        .findFirstIn(p).isDefined,
+        s"join must key on (k, _salt):\n${p.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q106: the token table materializes ONCE — the co-occurrence " +
        "plan reads the checkpointed tokens, zero Generate/explode " +
        "nodes left (tokenization is the dominant cost at scale)") {
