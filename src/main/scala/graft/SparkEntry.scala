@@ -1375,6 +1375,54 @@ object SparkEntry {
     streamDir.toString
   }
 
+  /** Shared 3-batch staging for the transformWithState queries
+    * (q100/q113/q115/q121): ONE typed superset of `events` (user_id,
+    * event_id, event_type, value, ts), split into three files by
+    * event-time thirds (ntile over (ts, event_id) — exact and
+    * deterministic; the window is single-task but this is harness
+    * staging at fixture scale, not an operator). File names AND
+    * modification times pin the replay order batch1 → batch3, which
+    * the event-time timer query REQUIRES (its watermark must advance
+    * monotonically with the batches); the cumulative-state trio is
+    * order-independent and just shares the staging. Staged once per
+    * (fixture dir) per JVM — Bench's repeated runs and the four
+    * queries reuse the same files instead of re-staging 12×. */
+  private val typedBatchesStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageTypedBatches(s: SparkSession, dir: String): String = {
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val key = s"/root/repo/target/stream_src/events_typed3_$sfTag"
+    typedBatchesStaged.computeIfAbsent(key, { _ =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val streamDir = Paths.get(key)
+      Files.createDirectories(streamDir)
+      Files.list(streamDir).forEach(Files.deleteIfExists(_))
+      val typed = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value").cast("double").as("value"),
+          col("ts"))
+        .withColumn("_b", ntile(3).over(
+          Window.orderBy(col("ts"), col("event_id"))))
+      Seq(1, 2, 3).foreach { b =>
+        val tmp = s"${key}_tmp$b"
+        typed.filter(col("_b") === b).drop("_b").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp))
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        val dest = streamDir.resolve(s"batch$b.parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1000000000000L + b * 600000L))
+        Files.list(Paths.get(tmp)).forEach(Files.deleteIfExists(_))
+        Files.deleteIfExists(Paths.get(tmp))
+      }
+      key
+    })
+  }
+
   private def q42(s: SparkSession, dir: String): DataFrame = {
     // Pinned-schema stream read: the raw parquet schema carries ts as a
     // nanos-long (Spark 4 can't scan TIMESTAMP(NANOS) natively); the
@@ -1420,19 +1468,14 @@ object SparkEntry {
   private def q100(s: SparkSession, dir: String): DataFrame = {
     // transformWithState (Spark-4 arbitrary-state API) under RocksDB,
     // oracled: per-user running (count, sum) accumulated across THREE
-    // micro-batches (the source is range-split into 3 files and
-    // re-played one file per trigger — state that didn't survive a
-    // batch boundary could not reproduce the batch totals). Update-mode
-    // emissions are cumulative, so the row with the largest n per key
-    // is the final state; the oracle is the plain batch aggregate.
+    // micro-batches (the shared typed staging splits events into 3
+    // files by event-time thirds, re-played one file per trigger —
+    // state that didn't survive a batch boundary could not reproduce
+    // the batch totals). Update-mode emissions are cumulative, so the
+    // row with the largest n per key is the final state; the oracle is
+    // the plain batch aggregate.
     import s.implicits._
-    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val staged = s"/root/repo/target/stream_src/events_tws_$sfTag"
-    t(s, dir, "events")
-      .select(col("user_id").cast("long"), col("value").cast("double"),
-        col("event_id"))
-      .repartitionByRange(3, col("event_id"))
-      .write.mode("overwrite").parquet(staged)
+    val staged = stageTypedBatches(s, dir)
     val typed = StreamOps.fileStream(s, s.read.parquet(staged).schema,
         staged, maxFilesPerTrigger = Some(1))
       .select(col("user_id"), col("value")).as[(Long, Double)]
@@ -1450,19 +1493,14 @@ object SparkEntry {
   private def q113(s: SparkSession, dir: String): DataFrame = {
     // transformWithState ListState, oracled: per user the 3 largest
     // event ids (+ values) and a seen-count, accumulated across THREE
-    // micro-batches with the list compacted to top-3 every batch
-    // (bounded state per key — see RecentTopEvents). Ordering by
-    // event_id makes the final state arrival-independent, so the batch
-    // top-3 window is an exact oracle. Update-mode rows are cumulative;
-    // max n per key is the final state (q100's read-back).
+    // micro-batches (shared typed staging) with the list compacted to
+    // top-3 every batch (bounded state per key — see RecentTopEvents).
+    // Ordering by event_id makes the final state arrival-independent,
+    // so the batch top-3 window is an exact oracle. Update-mode rows
+    // are cumulative; max n per key is the final state (q100's
+    // read-back).
     import s.implicits._
-    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val staged = s"/root/repo/target/stream_src/events_top_$sfTag"
-    t(s, dir, "events")
-      .select(col("user_id").cast("long"), col("event_id").cast("long"),
-        col("value").cast("double"), col("ts"))
-      .repartitionByRange(3, col("ts"))
-      .write.mode("overwrite").parquet(staged)
+    val staged = stageTypedBatches(s, dir)
     val typed = StreamOps.fileStream(s, s.read.parquet(staged).schema,
         staged, maxFilesPerTrigger = Some(1))
       .select(col("user_id"), col("event_id"), col("value"))
@@ -1491,17 +1529,13 @@ object SparkEntry {
 
   private def q115(s: SparkSession, dir: String): DataFrame = {
     // transformWithState MapState, oracled: per-user event-type census
-    // accumulated across three micro-batches (completes the arbitrary-
-    // state trio — ValueState q100, ListState q113, MapState here).
-    // The map snapshot is emitted per batch; max total per key is the
-    // final state, pivoted to fixed type columns for the oracle.
+    // accumulated across three micro-batches (shared typed staging;
+    // completes the arbitrary-state trio — ValueState q100, ListState
+    // q113, MapState here). The map snapshot is emitted per batch; max
+    // total per key is the final state, pivoted to fixed type columns
+    // for the oracle.
     import s.implicits._
-    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val staged = s"/root/repo/target/stream_src/events_types_$sfTag"
-    t(s, dir, "events")
-      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
-      .repartitionByRange(3, col("ts"))
-      .write.mode("overwrite").parquet(staged)
+    val staged = stageTypedBatches(s, dir)
     val typed = StreamOps.fileStream(s, s.read.parquet(staged).schema,
         staged, maxFilesPerTrigger = Some(1))
       .select(col("user_id"), col("event_type")).as[(Long, String)]
@@ -1641,6 +1675,63 @@ object SparkEntry {
       m("n_user_ids").asInstanceOf[Long]))
       .toDF("n_rows", "total_value", "min_value", "max_value",
         "n_user_ids")
+  }
+
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    // transformWithState EVENT-TIME TIMERS, oracled — the last corner
+    // of the Spark-4 arbitrary-state API (q100/q113/q115 cover the
+    // three state types; this exercises registerTimer /
+    // handleExpiredTimer). Gap sessionization where the final session
+    // per key CLOSES via timer once the watermark passes end + gap —
+    // the mechanism that bounds state per active key on an unbounded
+    // stream. The shared typed staging replays events as three
+    // event-time-ordered batches, so the watermark climbs
+    // monotonically and the timer set fires deterministically:
+    // a session is emitted iff a later event closed it (data) or its
+    // expiry end_ms + gap_ms <= final watermark (timer; the <= is
+    // TimerStateImpl's expiry-index scan bound). The oracle computes
+    // the same batch sessionization and the same closability
+    // predicate in SQL — a timer that fired early/late/twice, or
+    // state that survived its close, hash-mismatches.
+    val staged = stageTypedBatches(s, dir)
+    val stream = StreamOps.fileStream(s, s.read.parquet(staged).schema,
+        staged, maxFilesPerTrigger = Some(1))
+      .filter(col("user_id") < 50)
+    val sessions = StreamOps.sessionizeTimersStream(stream, "user_id",
+      "ts", gapSeconds = 1800L, watermarkDelay = "30 minutes")
+    StreamOps.runToCompletion(sessions.toDF(), s"q121_${System.nanoTime()}",
+        outputMode = "append", statePartitions = Some(8), rocksDb = true)
+      .select(col("user_id"),
+        date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("sess_start"),
+        date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    // Avro source round-trip (completes the format family: parquet /
+    // CSV q25 / JSON q29 / ORC q90 / text q114 / XML q118 / Avro —
+    // the Kafka-ecosystem wire format). No spark-avro module on this
+    // classpath, so the engine ships its own DataSource V2 reader over
+    // avro-core (graft.sources.AvroSource — per-file partitions,
+    // pruned columns decode-skipped via the Avro reader schema) and a
+    // distributed per-partition writer (AvroIO). Pinned schema on
+    // read; aggregate over a filtered subset so a value mangled in the
+    // union-null encoding or a row lost at a container-block boundary
+    // hash-mismatches against the parquet twin.
+    val src = t(s, dir, "part")
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/avro_cache/part_$sfTag"
+    graft.sources.AvroIO.write(src, path)
+    s.read.format("graft-avro").schema(src.schema).load(path)
+      .filter(col("p_size") >= 25)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_size")).cast("long").as("total_size"),
+        round(avg(col("p_retailprice")), 6).as("avg_price"),
+        max(col("p_name")).as("last_name"))
+      .orderBy(col("p_brand"))
   }
 
   // ---------------------------------------------------------------- //
@@ -2284,6 +2375,8 @@ object SparkEntry {
     "q118_xml_source" -> q118 _,
     "q119_salted_join" -> q119 _,
     "q120_observe_metrics" -> q120 _,
+    "q121_stream_timers" -> q121 _,
+    "q122_avro_source" -> q122 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -3725,5 +3818,40 @@ object SparkEntry {
         |  round(max(value), 6) AS max_value,
         |  count(user_id)::BIGINT AS n_user_ids
         |FROM events""".stripMargin,
+    "q121_stream_timers" ->
+      // batch sessionization + the timer-closability predicate: a
+      // session is in the output iff a later event of the same user
+      // closed it, or its expiry (end_ms + gap_ms, ms-floored exactly
+      // as Spark floors event time) is <= the final watermark
+      // (ms-floored max event time - 30 min). epoch_ms() floors like
+      // Spark's micros/1000.
+      """WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 50),
+        |  wm AS (SELECT max(epoch_ms(ts)) - 1800000 AS w FROM e),
+        |  g AS (SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER win > 1800
+        |      OR lag(epoch(ts)) OVER win IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+        |  s AS (SELECT user_id, ts,
+        |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        |  FROM g),
+        |  sess AS (SELECT user_id, session_id, count(*) AS n_events,
+        |    min(ts) AS t0, max(ts) AS t1
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, strftime(t0, '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(t1, '%Y-%m-%d %H:%M:%S') AS sess_end, n_events
+        |FROM sess
+        |WHERE session_id < (SELECT max(session_id) FROM sess s2
+        |    WHERE s2.user_id = sess.user_id)
+        |  OR epoch_ms(t1) + 1800000 <= (SELECT w FROM wm)
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "q122_avro_source" ->
+      // the parquet twin of the Avro round-trip
+      """SELECT p_brand, count(*)::BIGINT AS n,
+        |  sum(p_size)::BIGINT AS total_size,
+        |  round(avg(p_retailprice), 6) AS avg_price,
+        |  max(p_name) AS last_name
+        |FROM part WHERE p_size >= 25
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.util.{List => JList, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, SeekableFileInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal Avro container-file READER as a DataSource V2 table
+  * (`spark.read.format("graft-avro")`): the `spark-avro` connector
+  * module is not on this classpath, but avro-core is — and Avro is the
+  * Kafka-ecosystem wire format a streaming IDS pipeline (the
+  * reference's own ingest domain, `/root/reference/src/modelling.py:26-37`
+  * reads the same flow records from CSV) actually receives. Supported
+  * type subset: boolean / int / long / float / double / string /
+  * binary / timestamp (micros logical), each nullable via the standard
+  * `union(null, T)` — the fixture tables' full type surface.
+  *
+  * Scale shape: one InputPartition per `.avro` container file (the
+  * Avro analogue of parquet row-group splits; container blocks could
+  * sub-split but per-file is the right granularity for the multi-file
+  * layouts [[AvroIO.write]] produces — one file per upstream
+  * partition). Column pruning is REAL: Spark's pruned schema becomes
+  * the Avro READER schema, so schema resolution decode-skips every
+  * unrequested field (row-oriented bytes are still scanned — the
+  * format's nature — but no values materialize; `ReadSchema` in
+  * `.explain` shows the pruned set). Filters stay in Spark (Avro has
+  * no stats to push to).
+  */
+class AvroSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-avro"
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Schema inference opens ONE container header (the writer schema is
+    * file metadata — cheap, unlike CSV/JSON full-scan inference), but
+    * pinning the schema stays the recommended path (SURVEY §2.1 S1). */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = AvroSource.pathOf(options)
+    val first = AvroSource.listAvroFiles(path).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no .avro files under $path"))
+    val r = new DataFileReader[GenericRecord](
+      new SeekableFileInput(new java.io.File(first)),
+      new GenericDatumReader[GenericRecord]())
+    try AvroSchemas.toStruct(r.getSchema) finally r.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new AvroTable(schema, properties.get("path"))
+}
+
+object AvroSource {
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft-avro requires a load(path)")
+    p
+  }
+
+  /** Files are listed once on the DRIVER at plan time (the planInput
+    * Partitions contract): deterministic order for stable partition
+    * ids. */
+  def listAvroFiles(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".avro")).toSeq.sorted
+    else Seq(path)
+  }
+}
+
+/** StructType ↔ Avro Schema for the supported subset. Kept separate so
+  * the writer ([[AvroIO]]) and reader agree on one mapping. */
+object AvroSchemas {
+  def toAvro(struct: StructType, recordName: String): Schema = {
+    val nullSchema = Schema.create(Schema.Type.NULL)
+    val fields: JList[Schema.Field] = struct.fields.map { f =>
+      val base = f.dataType match {
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType => Schema.create(Schema.Type.LONG)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case TimestampType =>
+          org.apache.avro.LogicalTypes.timestampMicros()
+            .addToSchema(Schema.create(Schema.Type.LONG))
+        case other => throw new IllegalArgumentException(
+          s"graft-avro does not map ${other.simpleString}")
+      }
+      val sch = if (f.nullable)
+        Schema.createUnion(List(nullSchema, base).asJava) else base
+      new Schema.Field(f.name, sch, null, null)
+    }.toList.asJava
+    Schema.createRecord(recordName, null, "graft", false, fields)
+  }
+
+  def toStruct(schema: Schema): StructType = {
+    def unwrap(s: Schema): (Schema, Boolean) =
+      if (s.getType == Schema.Type.UNION) {
+        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        require(nonNull.size == 1, s"unsupported union $s")
+        (nonNull.head, true)
+      } else (s, false)
+    StructType(schema.getFields.asScala.map { f =>
+      val (s, nullable) = unwrap(f.schema())
+      val dt = s.getType match {
+        case Schema.Type.BOOLEAN => BooleanType
+        case Schema.Type.INT => IntegerType
+        case Schema.Type.LONG =>
+          if (s.getLogicalType != null &&
+              s.getLogicalType.getName == "timestamp-micros") TimestampType
+          else LongType
+        case Schema.Type.FLOAT => FloatType
+        case Schema.Type.DOUBLE => DoubleType
+        case Schema.Type.STRING => StringType
+        case Schema.Type.BYTES => BinaryType
+        case other => throw new IllegalArgumentException(
+          s"graft-avro does not map avro $other")
+      }
+      StructField(f.name(), dt, nullable)
+    }.toArray)
+  }
+}
+
+class AvroTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-avro:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new AvroScanBuilder(schema, path)
+}
+
+class AvroScanBuilder(schema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new AvroScan(required, path)
+}
+
+case class AvroInputPartition(file: String) extends InputPartition
+
+class AvroScan(required: StructType, path: String) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-avro $path ReadSchema: ${required.simpleString}"
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroSource.listAvroFiles(path).map(AvroInputPartition(_)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(required.json)
+}
+
+/** The factory ships to executors; the pruned schema travels as JSON
+  * (StructType is not serializable-stable across Spark versions). */
+class AvroReaderFactory(requiredJson: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val required =
+      DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    new AvroPartitionReader(
+      partition.asInstanceOf[AvroInputPartition].file, required)
+  }
+}
+
+/** Reads one container file; the pruned StructType becomes the Avro
+  * READER schema, so resolution skips unrequested fields at decode
+  * time. Values convert avro-internal → Spark-internal (Utf8 →
+  * UTF8String, ByteBuffer → Array[Byte], timestamp-micros long rides
+  * through — Spark's internal timestamp IS micros). */
+class AvroPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val readerSchema = AvroSchemas.toAvro(required, "graft_record")
+  private val datumReader =
+    new GenericDatumReader[GenericRecord](null, readerSchema)
+  private val reader = new DataFileReader[GenericRecord](
+    new SeekableFileInput(new java.io.File(file)), datumReader)
+  private var record: GenericRecord = _
+
+  override def next(): Boolean = {
+    if (reader.hasNext) { record = reader.next(record); true }
+    else false
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val v = record.get(i)
+      vals(i) =
+        if (v == null) null
+        else required.fields(i).dataType match {
+          case StringType => UTF8String.fromString(v.toString)
+          case BinaryType =>
+            val bb = v.asInstanceOf[java.nio.ByteBuffer]
+            val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+            arr
+          case _ => v // boolean/int/long/float/double/timestamp-micros
+        }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}

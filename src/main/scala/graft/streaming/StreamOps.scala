@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Open-session state carried across micro-batches per key. */
@@ -94,6 +94,101 @@ class PerTypeCounts extends StatefulProcessor[
 /** A completed gap-delimited session emitted downstream. */
 case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
                       sess_end: java.sql.Timestamp, n_events: Long)
+
+/** `transformWithState` processor behind
+  * [[StreamOps.sessionizeTimersStream]]: gap sessionization where the
+  * final session per key is closed by an EVENT-TIME TIMER instead of
+  * lingering open forever — the flagship use of the Spark-4 timer API
+  * and the piece that bounds state on an unbounded stream (the q49
+  * flatMapGroupsWithState form keeps one open session per key for the
+  * lifetime of the key).
+  *
+  * Per batch: the key's events are sorted, folded into the open
+  * session with the same gap rule as [[StreamOps.sessionizeStream]],
+  * and sessions closed BY DATA (a later event beyond the gap) emit
+  * immediately. The still-open session re-registers its one timer at
+  * `end_ms + gap_ms` (previous timers deleted — one live timer per
+  * key). When the event-time watermark passes the expiry
+  * (`expiry <= watermark`, pinned by TimerStateImpl's secondary-index
+  * scan), `handleExpiredTimer` emits the open session and CLEARS the
+  * state — at that watermark no admissible event can extend the
+  * session, so the close is exact, and an idle key holds zero state
+  * afterward. Scale: state is one OpenSession + one timer per ACTIVE
+  * key, not per key ever seen. */
+class SessionTimers(gapSeconds: Long) extends StatefulProcessor[
+    Long, (Long, Long), SessionOut] {
+  private val gapMicros = gapSeconds * 1000000L
+  private val gapMs = gapSeconds * 1000L
+  @transient private var open: ValueState[OpenSession] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession]("open",
+      Encoders.product[OpenSession], TTLConfig.NONE)
+  private def toOut(key: Long, o: OpenSession): SessionOut =
+    SessionOut(key, new java.sql.Timestamp(o.start / 1000L),
+      new java.sql.Timestamp(o.end / 1000L), o.n)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues)
+      : Iterator[SessionOut] = {
+    val ts = rows.map(_._2).toArray.sorted
+    var cur = if (open.exists()) Some(open.get()) else None
+    val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+    ts.foreach { t =>
+      cur match {
+        case Some(o) if t - o.end <= gapMicros =>
+          // min/max: a same-batch event inside the horizon must never
+          // move the window backwards (same rule as sessionizeStream)
+          cur = Some(OpenSession(math.min(o.start, t),
+            math.max(o.end, t), o.n + 1))
+        case Some(o) =>
+          closed += toOut(key, o)
+          cur = Some(OpenSession(t, t, 1))
+        case None => cur = Some(OpenSession(t, t, 1))
+      }
+    }
+    cur.foreach { o =>
+      open.update(o)
+      // exactly one live timer per key, tracking the open session's end
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(o.end / 1000L + gapMs)
+    }
+    closed.iterator
+  }
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo)
+      : Iterator[SessionOut] = {
+    // the live timer always tracks the current open session (deleted +
+    // re-registered on every update), so an expiry means the watermark
+    // passed end + gap: close, emit, and drop the key's state entirely
+    if (open.exists()) {
+      val o = open.get()
+      open.clear()
+      Iterator(toOut(key, o))
+    } else Iterator.empty
+  }
+}
+
+/** [[RunningTotals]] with a real processing-time TTL on its state
+  * (spec-exercised): a key idle for longer than `ttl` reads back as
+  * absent — its totals restart — which is the eviction discipline an
+  * unbounded-key-churn stream needs (TTL is processing-time-based in
+  * Spark, so the oracled queries pin cross-batch retention with
+  * TTL-free twins and the eviction contract is spec-pinned instead). */
+class RunningTotalsTtl(ttl: java.time.Duration) extends StatefulProcessor[
+    Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var totals: ValueState[(Long, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+      TTLConfig(ttl))
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Double)] = {
+    var (n, total) = if (totals.exists()) totals.get() else (0L, 0.0)
+    rows.foreach { case (_, v) => n += 1; total += v }
+    totals.update((n, total))
+    Iterator((key, n, total))
+  }
+}
 
 /** Structured Streaming layer (SURVEY.md §2.11): the reference is pure
   * batch, but the problem is stream-shaped (flows arrive continuously;
@@ -333,7 +428,8 @@ object StreamOps {
   def runToCompletion(agg: DataFrame, queryName: String,
                       outputMode: String = "complete",
                       statePartitions: Option[Int] = None,
-                      rocksDb: Boolean = false): DataFrame = {
+                      rocksDb: Boolean = false,
+                      stopAfterRows: Option[Long] = None): DataFrame = {
     val spark = agg.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -353,6 +449,20 @@ object StreamOps {
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
+      // A PROCESSING-TIME stateful operator reports "run another batch"
+      // unconditionally (its timers/TTL could always fire later), so
+      // under AvailableNow the engine neither terminates NOR latches
+      // noNewData (every scheduled batch counts as progress) —
+      // awaitTermination and processAllAvailable both block forever.
+      // The only clean drain is observational: poll the sink until the
+      // expected rows landed, then stop. Event-time / no-time queries
+      // terminate on their own once the watermark stabilizes.
+      stopAfterRows.foreach { n =>
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (spark.table(queryName).count() < n &&
+               System.nanoTime() < deadline) Thread.sleep(100)
+        q.stop()
+      }
       q.awaitTermination()
     } finally {
       // the streaming query captured a cloned session conf at start();
@@ -409,5 +519,38 @@ object StreamOps {
     events.groupByKey(_._1)
       .transformWithState(new PerTypeCounts,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Gap sessionization with EVENT-TIME TIMER close — see
+    * [[SessionTimers]]. Unlike [[sessionizeStream]], every session
+    * whose quiet period the watermark has passed is EMITTED and its
+    * key's state dropped; only sessions still extendable at the final
+    * watermark stay open. The watermark must be declared here (the
+    * timer mode requires it); `tsCol` rides along as event-time micros.
+    */
+  def sessionizeTimersStream(events: DataFrame, keyCol: String,
+                             tsCol: String, gapSeconds: Long,
+                             watermarkDelay: String): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long"),
+        unix_micros(col(tsCol)).as("_us"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .transformWithState(new SessionTimers(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[runningTotalsStream]] with a processing-time TTL on the state —
+    * see [[RunningTotalsTtl]]. Spec-exercised (TTL expiry depends on
+    * wall-clock batch spacing, so it cannot be oracled). */
+  def runningTotalsTtlStream(events: Dataset[(Long, Double)],
+                             ttl: java.time.Duration)
+      : Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningTotalsTtl(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 }
