@@ -1734,6 +1734,60 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING Avro source (readStream.format("graft-avro")): the
+    // custom DSv2 exposes a MicroBatchStream with admission control —
+    // file-count offsets, maxFilesPerTrigger=1 replays the staged
+    // container files as separate micro-batches — so the Kafka wire
+    // format flows through the same windowed-aggregation path as the
+    // parquet streams (q42). Oracle = the batch aggregate over the
+    // same rows; a file skipped/duplicated by the offset math, or a
+    // timestamp mangled by the micros logical type, hash-mismatches.
+    val src = t(s, dir, "events")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("value").cast("double").as("value"),
+        col("ts"))
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/avro_cache/events_$sfTag"
+    graft.sources.AvroIO.write(src.repartition(3), path)
+    val stream = s.readStream.format("graft-avro").schema(src.schema)
+      .option("maxFilesPerTrigger", "1").load(path)
+    val agg = StreamOps.tumblingCounts(stream, "ts", "event_type",
+      "1 hour", "1 hour")
+    StreamOps.runToCompletion(agg, s"q123_${System.nanoTime()}",
+        statePartitions = Some(8))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    // Adjacent-bigram LM statistics (the n-gram sibling of q106's
+    // co-occurrence — ADJACENCY, not co-presence): bigram counts and
+    // the conditional P(b | a) = n(a,b) / n(a,·), the table an LM-data
+    // pipeline derives for repetition signals and next-token stats.
+    // Two-projection: tokenize once into an attribute, bigrams from
+    // the attribute; one explode, two map-side-combinable aggregates
+    // (pair counts, then first-token totals as a second pass over the
+    // PAIR table — already reduced, never the token stream again).
+    val toks = t(s, dir, "documents")
+      .select(TextOps.tokens(col("text")).as("t"))
+    val bg = toks.select(explode(TextOps.bigrams(col("t"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairs = bg.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val firsts = pairs.groupBy(col("a"))
+      .agg(sum(col("n_ab")).as("n_a"))
+    pairs.join(firsts, "a")
+      .filter(col("n_ab") >= 25)
+      .select(col("a"), col("b"), col("n_ab"),
+        col("n_a").cast("long").as("n_a"),
+        round(col("n_ab").cast("double") / col("n_a"), 6)
+          .as("p_b_given_a"))
+      .orderBy(col("a"), col("b"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2377,6 +2431,8 @@ object SparkEntry {
     "q120_observe_metrics" -> q120 _,
     "q121_stream_timers" -> q121 _,
     "q122_avro_source" -> q122 _,
+    "q123_avro_stream" -> q123 _,
+    "q124_bigram_stats" -> q124 _,
   )
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
@@ -3853,5 +3909,28 @@ object SparkEntry {
         |  max(p_name) AS last_name
         |FROM part WHERE p_size >= 25
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q123_avro_stream" ->
+      // the batch tumbling aggregate the avro-stream replay must equal
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q124_bigram_stats" ->
+      // identical adjacency pairs via a projected unnest(range(...))
+      // — range(1, len) is [1, len), so a 1-token doc yields no pairs,
+      // mirroring the Spark-side size guard
+      """WITH tok AS (SELECT list_filter(string_split_regex(text, '\s+'),
+        |    z -> len(z) > 0) AS l FROM documents),
+        |  idx AS (SELECT l, unnest(range(1, len(l))) AS i FROM tok),
+        |  bg AS (SELECT l[i] AS a, l[i + 1] AS b FROM idx),
+        |  pairs AS (SELECT a, b, count(*)::BIGINT AS n_ab
+        |    FROM bg GROUP BY 1, 2),
+        |  firsts AS (SELECT a, sum(n_ab)::BIGINT AS n_a
+        |    FROM pairs GROUP BY 1)
+        |SELECT a, b, n_ab, n_a,
+        |  round(n_ab::DOUBLE / n_a, 6) AS p_b_given_a
+        |FROM pairs JOIN firsts USING (a)
+        |WHERE n_ab >= 25
+        |ORDER BY a, b""".stripMargin,
   )
 }

@@ -29,6 +29,22 @@ object TextOps {
   /** Distinct-token set. */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
+  /** Adjacent-bigram structs over an already-materialized token-array
+    * column (two-projection friendly): one struct(a, b) per adjacent
+    * pair, empty when fewer than 2 tokens. The `when` guard matters:
+    * Spark's `sequence(1, n)` REVERSES when n < 1 (step defaults to
+    * -1), so a 1-token document would otherwise fabricate a (t[1],
+    * t[0]) pair — DuckDB's generate_series is empty there, and so are
+    * we. Pure codegen'd builtins; the LM-statistics feed (repetition
+    * signals, conditional next-token tables) at corpus scale is this
+    * explode + one map-side-combinable count. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("a"),
+          element_at(toks, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
   /** Let-binding for column expressions: evaluate `v` ONCE and make it
     * available to `body` as a lambda variable. Catalyst has no `let`;
     * referencing a subexpression twice re-evaluates its whole tree

@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -139,22 +140,27 @@ class AvroTable(schema: StructType, path: String)
   override def name(): String = s"graft-avro:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new AvroScanBuilder(schema, path)
+      : ScanBuilder = new AvroScanBuilder(schema, path,
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
-class AvroScanBuilder(schema: StructType, path: String)
+class AvroScanBuilder(schema: StructType, path: String,
+                      maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AvroScan(required, path)
+  override def build(): Scan =
+    new AvroScan(required, path, maxFilesPerTrigger)
 }
 
 case class AvroInputPartition(file: String) extends InputPartition
 
-class AvroScan(required: StructType, path: String) extends Scan with Batch {
+class AvroScan(required: StructType, path: String,
+               maxFilesPerTrigger: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -163,6 +169,73 @@ class AvroScan(required: StructType, path: String) extends Scan with Batch {
     AvroSource.listAvroFiles(path).map(AvroInputPartition(_)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required.json)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new AvroMicroBatchStream(path, required.json, maxFilesPerTrigger)
+}
+
+/** Stream offset = count of container files consumed, in sorted-name
+  * order (the staging layouts pin names; a production landing dir
+  * would use ingest-sequence names the same way). */
+case class AvroStreamOffset(idx: Int) extends Offset {
+  override def json(): String = idx.toString
+}
+
+/** Micro-batch read over a directory of container files — the
+  * `readStream.format("graft-avro")` path (SURVEY §2.11's source
+  * surface on the Kafka wire format). Files are immutable-once-landed
+  * and consumed in sorted-name order; `maxFilesPerTrigger` caps files
+  * per batch through the standard admission-control API (this is what
+  * turns a staged directory into a deterministic multi-batch replay,
+  * exactly like the built-in file source's option). Offsets are plain
+  * file counts — restart-safe via the offset log; `commit` is a no-op
+  * because the source is the durable store.
+  *
+  * SupportsTriggerAvailableNow is implemented DIRECTLY (the built-in
+  * file source's pattern): Spark's generic AvailableNow wrapper
+  * returns its full snapshot from `latestOffset(start, limit)` and
+  * IGNORES the read limit (AvailableNowDataStreamWrapper — verified
+  * in 4.1.2 bytecode), which would collapse a maxFilesPerTrigger
+  * replay into one batch. Here `prepareForTriggerAvailableNow`
+  * snapshots the file count and the admission-controlled latestOffset
+  * advances at most `maxFilesPerTrigger` files per batch, capped at
+  * the snapshot — multi-batch drain, then clean termination. */
+class AvroMicroBatchStream(path: String, requiredJson: String,
+                           maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  private def files: Seq[String] = AvroSource.listAvroFiles(path)
+  // end-of-stream snapshot under Trigger.AvailableNow; None = live
+  @volatile private var snapshot: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    snapshot = Some(files.size)
+  override def initialOffset(): Offset = AvroStreamOffset(0)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[AvroStreamOffset].idx
+    val total = snapshot.getOrElse(files.size)
+    limit match {
+      case mf: ReadMaxFiles =>
+        AvroStreamOffset(math.min(total, s + mf.maxFiles()))
+      case _ => AvroStreamOffset(total)
+    }
+  }
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] =
+    files.slice(start.asInstanceOf[AvroStreamOffset].idx,
+        end.asInstanceOf[AvroStreamOffset].idx)
+      .map(AvroInputPartition(_)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(requiredJson)
+  override def deserializeOffset(json: String): Offset =
+    AvroStreamOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** The factory ships to executors; the pruned schema travels as JSON

@@ -67,6 +67,31 @@ class AvroSourceSpec extends AnyFunSuite {
       src.select(col("p_brand"), col("p_size")).distinct().count())
   }
 
+  test("streaming read replays one container file per micro-batch " +
+       "under maxFilesPerTrigger=1 (admission control) and delivers " +
+       "every row exactly once") {
+    val src = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_size"))
+    val path = "/root/repo/target/avro_cache/spec_stream"
+    AvroIO.write(src.repartition(3), path)
+    val stream = spark.readStream.format("graft-avro").schema(src.schema)
+      .option("maxFilesPerTrigger", "1").load(path)
+    val name = s"spec_avro_stream_${System.nanoTime()}"
+    val q = stream.groupBy().agg(count(lit(1)).as("n"),
+        sum(col("p_size")).as("s"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 3,
+      s"expected 3 one-file micro-batches, saw $dataBatches")
+    val (n, s) = spark.table(name).as[(Long, Long)].head()
+    val (wantN, wantS) = src.agg(count(lit(1)), sum(col("p_size")))
+      .as[(Long, Long)].head()
+    assert((n, s) === (wantN, wantS), "rows lost or duplicated")
+  }
+
   test("schema inference reads ONE container header (writer schema is " +
        "file metadata) and matches the written frame") {
     val src = Tables.load(spark, dir, "part")

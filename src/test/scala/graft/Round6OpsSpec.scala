@@ -140,6 +140,21 @@ class Round6OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  // bigrams
+  // ---------------------------------------------------------------- //
+
+  test("bigrams emits exactly the adjacent pairs, in order, and the " +
+       "size guard returns empty (not a reversed-sequence pair) for " +
+       "0/1-token docs") {
+    import graft.ops.TextOps
+    val docs = Seq("a b b c", "solo", "", "x y").toDF("text")
+    val got = docs
+      .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("p"))
+      .select(col("p.a"), col("p.b")).as[(String, String)].collect().toSeq
+    assert(got === Seq(("a", "b"), ("b", "b"), ("b", "c"), ("x", "y")))
+  }
+
+  // ---------------------------------------------------------------- //
   // mergeUpsert
   // ---------------------------------------------------------------- //
 
