@@ -1788,6 +1788,52 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    // Z-ORDER locality audit (LayoutOps.zValue — the data-skipping
+    // layout key): interleave two 16-bit dimensions, bucket the curve
+    // into z-ranges, and report each bucket's (da, db) bounding box —
+    // the min/max statistics a file written per bucket would carry,
+    // i.e. exactly what a scan would prune on. The oracle re-derives
+    // the 5-step Morton spread as generated SQL from the same masks
+    // (16-bit domain keeps every intermediate far from BIGINT overflow,
+    // which DuckDB's shift refuses), so one wrong mask or shift
+    // hash-mismatches.
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(65536L)).as("da"),
+      pmod(col("event_id"), lit(65536L)).as("db"))
+    ev.withColumn("z", LayoutOps.zValue(col("da"), col("db")))
+      .groupBy(shiftright(col("z"), 20).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("da")).as("min_da"), max(col("da")).as("max_da"),
+        min(col("db")).as("min_db"), max(col("db")).as("max_db"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy(col("bucket"))
+  }
+
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    // Snapshot DIFF (RelOps.snapshotDiff): reconcile two latest-state
+    // views of the same keys — the engagement snapshot over
+    // view/click events vs the one over click/purchase events — and
+    // classify every user added / removed / changed / unchanged. The
+    // compact-then-join shape (max_by snapshots, ONE full-outer join,
+    // whole-struct null-safe compare) is the 100 TB reconciliation
+    // pass; the oracle rebuilds both snapshots with rank windows and
+    // compares field-by-field with IS NOT DISTINCT FROM.
+    val ev = t(s, dir, "events")
+    def snap(types: Seq[String]) = ev
+      .filter(col("event_type").isin(types: _*))
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("_r"))
+      .select(col("user_id"), col("_r.event_id").as("event_id"),
+        col("_r.event_type").as("event_type"),
+        round(col("_r.value"), 6).as("value"))
+    RelOps.snapshotDiff(snap(Seq("view", "click")),
+        snap(Seq("click", "purchase")), "user_id")
+      .orderBy(col("user_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2433,7 +2479,20 @@ object SparkEntry {
     "q122_avro_source" -> q122 _,
     "q123_avro_stream" -> q123 _,
     "q124_bigram_stats" -> q124 _,
+    "q125_zorder" -> q125 _,
+    "q126_table_diff" -> q126 _,
   )
+
+  /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
+    * mask-and-shift fold, generated from the same mask constants so
+    * both engines evaluate identical integer arithmetic. */
+  private def zSpreadSql(e: String): String =
+    Seq(16 -> 281470681808895L, 8 -> 71777214294589695L,
+        4 -> 1085102592571150095L, 2 -> 3689348814741910323L,
+        1 -> 6148914691236517205L)
+      .foldLeft(s"($e & 4294967295)") { case (x, (sh, m)) =>
+        s"(($x | ($x << $sh)) & $m)"
+      }
 
   /** Shared WITH-clause prefix reproducing [[DedupOps.minhashSignatureFast]]
     * + [[DedupOps.lshBands]] + candidate pairs in DuckDB SQL, generated
@@ -3932,5 +3991,42 @@ object SparkEntry {
         |FROM pairs JOIN firsts USING (a)
         |WHERE n_ab >= 25
         |ORDER BY a, b""".stripMargin,
+    "q125_zorder" ->
+      // the Morton interleave re-derived from the same mask constants
+      s"""WITH d AS (SELECT user_id % 65536 AS da, event_id % 65536 AS db
+        |    FROM events),
+        |  zc AS (SELECT da, db,
+        |    (${zSpreadSql("da")} | (${zSpreadSql("db")} << 1)) AS z
+        |  FROM d)
+        |SELECT (z >> 20)::BIGINT AS bucket, count(*)::BIGINT AS n,
+        |  min(da)::BIGINT AS min_da, max(da)::BIGINT AS max_da,
+        |  min(db)::BIGINT AS min_db, max(db)::BIGINT AS max_db,
+        |  min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z
+        |FROM zc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q126_table_diff" ->
+      // both snapshots via rank windows; per-field null-safe compare
+      """WITH a AS (SELECT user_id, event_id, event_type,
+        |    round(value, 6) AS value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events
+        |    WHERE event_type IN ('view', 'click')) z WHERE rn = 1),
+        |  b AS (SELECT user_id, event_id, event_type,
+        |    round(value, 6) AS value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events
+        |    WHERE event_type IN ('click', 'purchase')) z WHERE rn = 1)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |  a.event_id::BIGINT AS old_event_id,
+        |  a.event_type AS old_event_type, a.value AS old_value,
+        |  b.event_id::BIGINT AS new_event_id,
+        |  b.event_type AS new_event_type, b.value AS new_value,
+        |  CASE WHEN a.user_id IS NULL THEN 'added'
+        |    WHEN b.user_id IS NULL THEN 'removed'
+        |    WHEN a.event_id IS NOT DISTINCT FROM b.event_id
+        |      AND a.event_type IS NOT DISTINCT FROM b.event_type
+        |      AND a.value IS NOT DISTINCT FROM b.value THEN 'unchanged'
+        |    ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

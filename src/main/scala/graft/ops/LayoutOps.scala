@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: the levers that decide what a 100 TB
+  * scan SKIPS. Bucketing (q86) co-locates joins; the z-order curve
+  * here co-locates MULTI-dimensional range predicates — rows close in
+  * (a, b) land close on the 1-D curve, so min/max file statistics
+  * prune files for predicates on EITHER dimension (the classic
+  * Delta/Iceberg OPTIMIZE ZORDER move, re-expressed as plain Spark:
+  * compute the interleaved key, range-partition on it, sort within
+  * partitions — every written file then covers a tight z-range). */
+object LayoutOps {
+
+  /** Spread the low 32 bits of `c` to the even bit positions of a
+    * 64-bit value (Morton spread): the 5-step mask-and-shift fold —
+    * pure codegen'd integer ops, no UDF. Inputs beyond 32 bits are
+    * masked first (the curve's domain is the caller's to bound). */
+  def spreadBits(c: Column): Column = {
+    val steps = Seq(
+      16 -> lit(0x0000FFFF0000FFFFL),
+      8  -> lit(0x00FF00FF00FF00FFL),
+      4  -> lit(0x0F0F0F0F0F0F0F0FL),
+      2  -> lit(0x3333333333333333L),
+      1  -> lit(0x5555555555555555L))
+    steps.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+      case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(m)
+    }
+  }
+
+  /** Z-value (Morton code) of two dimensions: a's bits on even
+    * positions, b's on odd. Monotone in the interleaved order — the
+    * sort key for [[zOrderLayout]]. */
+  def zValue(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Lay a frame out along the z-curve of (a, b): range-partition on
+    * the z-value (each output partition owns a contiguous z-range →
+    * a tight (a, b) rectangle) and sort within partitions (so row
+    * groups inside each file are tight too). A write of this frame
+    * gives min/max stats that prune on BOTH dimensions. One range
+    * exchange (with a sampling pass for bounds) + local sort — no
+    * global sort. */
+  def zOrderLayout(df: DataFrame, a: Column, b: Column,
+                   numPartitions: Int): DataFrame =
+    df.withColumn("_z", zValue(a, b))
+      .repartitionByRange(numPartitions, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+}

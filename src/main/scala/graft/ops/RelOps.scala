@@ -250,6 +250,35 @@ object RelOps {
           .otherwise("updated").as("action"): _*)
   }
 
+  /** Snapshot DIFF (the reconciliation report next to [[mergeUpsert]]'s
+    * apply): given two one-row-per-key snapshots with identical
+    * schemas, classify every key as 'added' (new only), 'removed'
+    * (old only), 'changed' (both, payload differs) or 'unchanged'.
+    * This is how a 100 TB pipeline validates a CDC feed or compares
+    * a rebuilt table against production: ONE full-outer equi-join on
+    * the key, payloads compared as whole structs with null-safe
+    * equality (`<=>` — a NULL field equals a NULL field, so nullable
+    * payloads don't misreport as changed). Output: key, `status`, and
+    * both payloads as `old_<f>` / `new_<f>` columns. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCol: String): DataFrame = {
+    val payload = oldSnap.columns.filterNot(_ == keyCol).toSeq
+    require(payload.toSet == newSnap.columns.filterNot(_ == keyCol).toSet,
+      "snapshots must share the payload schema")
+    val o = oldSnap.select(col(keyCol),
+      struct(payload.map(col): _*).as("_old"))
+    val n = newSnap.select(col(keyCol),
+      struct(payload.map(col): _*).as("_new"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol) +:
+        payload.map(f => col(s"_old.$f").as(s"old_$f")) ++:
+        payload.map(f => col(s"_new.$f").as(s"new_$f")) :+
+        when(col("_old").isNull, "added")
+          .when(col("_new").isNull, "removed")
+          .when(col("_old") <=> col("_new"), "unchanged")
+          .otherwise("changed").as("status"): _*)
+  }
+
   /** Gap-based sessionization over an event stream (batch form): a new
     * session starts when the gap to the previous event of the same key
     * exceeds `gapSeconds`. One exchange on `keyCol` + one sort — the

@@ -140,6 +140,50 @@ class Round6OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  // z-order layout
+  // ---------------------------------------------------------------- //
+
+  test("zValue interleaves bits exactly (hand-computed Morton codes) " +
+       "and saturates the 16-bit domain") {
+    import graft.ops.LayoutOps
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+        (65535L, 65535L))
+      .toDF("a", "b")
+      .select(LayoutOps.zValue(col("a"), col("b"))).as[Long]
+      .collect().toSeq
+    // z(3,5): a bits {0,1} -> even positions 0,2 = 5; b bits {0,2} ->
+    // odd positions 1,5 = 34; 5 | 34 = 39
+    assert(got === Seq(0L, 1L, 2L, 39L, 4294967295L))
+  }
+
+  test("zOrderLayout range-partitions on the z-value (contiguous curve " +
+       "ranges per partition) and preserves the row set") {
+    import graft.ops.LayoutOps
+    val df = (0L until 256L).map(i => (i % 16, i / 16)).toDF("a", "b")
+    val laid = LayoutOps.zOrderLayout(df, col("a"), col("b"), 4)
+    val p = laid.queryExecution.executedPlan.toString
+    assert("rangepartitioning\\(_z".r.findFirstIn(p.toLowerCase).isDefined,
+      s"expected a range exchange on _z:\n${p.take(1200)}")
+    assert(laid.count() === 256L)
+  }
+
+  // ---------------------------------------------------------------- //
+  // snapshotDiff
+  // ---------------------------------------------------------------- //
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, with " +
+       "null-safe payload compare (NULL == NULL is unchanged)") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]),
+      (4L, Some("gone"))).toDF("k", "v")
+    val neu = Seq((1L, Some("a")), (2L, Some("B")), (3L, Option.empty[String]),
+      (5L, Some("new"))).toDF("k", "v")
+    val got = RelOps.snapshotDiff(old, neu, "k")
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+  }
+
+  // ---------------------------------------------------------------- //
   // bigrams
   // ---------------------------------------------------------------- //
 
