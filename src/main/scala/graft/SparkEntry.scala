@@ -1834,6 +1834,40 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    // Stream-stream LEFT OUTER interval join (q61's inner form plus
+    // the null-emission contract): unconverted views surface with null
+    // purchase columns exactly once, WHEN the watermark passes their
+    // join window — a view whose 4-hour window the final watermark
+    // has not closed is withheld (it could still convert), which is
+    // the semantics that keeps outer-join state bounded on an
+    // unbounded stream. The oracle mirrors both halves: the plain
+    // batch interval join, plus NOT-EXISTS views gated on
+    // view_ts + 4h < min(final side watermarks). Null purchase
+    // columns surface as -1 sentinels (nullable-long pandas dtype).
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    def side(tpe: String, tsName: String, idName: String) =
+      Tables.withTimestamps(StreamOps.fileStream(s, schema, staged),
+          "events")
+        .filter(col("user_id") < 100 && col("event_type") === tpe)
+        .select(col("user_id"), col("ts").as(tsName),
+          col("event_id").as(idName))
+    val joined = StreamOps.intervalJoinStream(
+      side("view", "view_ts", "view_id"),
+      side("purchase", "buy_ts", "buy_id"),
+      "user_id", "view_ts", "buy_ts", 14400L, "6 hours",
+      joinType = "left_outer")
+    StreamOps.runToCompletion(joined, s"q127_${System.nanoTime()}",
+        outputMode = "append", statePartitions = Some(8))
+      .select(col("user_id"), col("view_id"),
+        coalesce(col("buy_id"), lit(-1L)).as("buy_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        coalesce(date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("-")).as("buy_ts"))
+      .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2481,6 +2515,7 @@ object SparkEntry {
     "q124_bigram_stats" -> q124 _,
     "q125_zorder" -> q125 _,
     "q126_table_diff" -> q126 _,
+    "q127_stream_left_outer" -> q127 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4028,5 +4063,37 @@ object SparkEntry {
         |    ELSE 'changed' END AS status
         |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
         |ORDER BY user_id""".stripMargin,
+    "q127_stream_left_outer" ->
+      // inner matches unconditionally (both sides fully staged), plus
+      // NOT-EXISTS views gated on the watermark-eviction predicate:
+      // null-emission happens iff view_ts + 4h < min(per-side final
+      // watermarks), all in the ms domain Spark computes watermarks in
+      """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+        |    FROM events WHERE user_id < 100 AND event_type = 'view'),
+        |  p AS (SELECT user_id, ts AS buy_ts, event_id AS buy_id
+        |    FROM events WHERE user_id < 100 AND event_type = 'purchase'),
+        |  wm AS (SELECT least((SELECT max(epoch_ms(view_ts)) FROM v),
+        |      (SELECT max(epoch_ms(buy_ts)) FROM p)) - 21600000 AS w),
+        |  m AS (SELECT v.user_id, v.view_id, p.buy_id, v.view_ts,
+        |      p.buy_ts
+        |    FROM v JOIN p ON v.user_id = p.user_id
+        |      AND p.buy_ts >= v.view_ts
+        |      AND p.buy_ts <= v.view_ts + INTERVAL 4 HOUR),
+        |  um AS (SELECT v.user_id, v.view_id, v.view_ts FROM v
+        |    WHERE NOT EXISTS (SELECT 1 FROM p
+        |        WHERE p.user_id = v.user_id
+        |          AND p.buy_ts >= v.view_ts
+        |          AND p.buy_ts <= v.view_ts + INTERVAL 4 HOUR)
+        |      AND epoch_ms(v.view_ts) + 14400000 < (SELECT w FROM wm))
+        |SELECT user_id, view_id, buy_id::BIGINT AS buy_id,
+        |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(buy_ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
+        |FROM m
+        |UNION ALL
+        |SELECT user_id, view_id, (-1)::BIGINT AS buy_id,
+        |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  '-' AS buy_ts
+        |FROM um
+        |ORDER BY user_id, view_id, buy_id""".stripMargin,
   )
 }

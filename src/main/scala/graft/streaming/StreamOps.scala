@@ -335,18 +335,27 @@ object StreamOps {
     * state is evictable once the watermark passes the bound — without
     * the time bound a stream-stream join must buffer both streams
     * forever. Inner join: matches emit as soon as both rows arrive.
-    * `right`'s key column is renamed internally; all other column
-    * names must be disjoint between the two sides. */
+    * LEFT OUTER (`joinType = "left_outer"`): additionally, a left row
+    * with NO match emits null-augmented exactly ONCE, when the
+    * watermark passes its join window (state eviction time) — the
+    * attribution report that includes unconverted views, with the
+    * lateness contract built in (a left row whose window the final
+    * watermark has not passed is withheld, not emitted with nulls —
+    * it could still match). `right`'s key column is renamed
+    * internally; all other column names must be disjoint between the
+    * two sides. */
   def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
                          tsLeft: String, tsRight: String,
                          upperSeconds: Long,
-                         watermarkDelay: String): DataFrame = {
+                         watermarkDelay: String,
+                         joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsLeft, watermarkDelay)
     val r = right.withColumnRenamed(keyCol, "_rk")
       .withWatermark(tsRight, watermarkDelay)
     l.join(r, col(keyCol) === col("_rk") &&
         col(tsRight) >= col(tsLeft) &&
-        col(tsRight) <= col(tsLeft) + expr(s"interval $upperSeconds seconds"))
+        col(tsRight) <= col(tsLeft) + expr(s"interval $upperSeconds seconds"),
+        joinType)
       .drop("_rk")
   }
 

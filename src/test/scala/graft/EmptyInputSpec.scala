@@ -116,4 +116,43 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(SimilarityOps.cosineNearDupPairs(empty, "vec_id", "embedding",
       0.5).count() === 0)
   }
+
+  test("round-6 ops survive empty and singleton inputs: bigrams, " +
+       "z-order, snapshotDiff, graph, fuzzy join, avro round-trip") {
+    // bigrams: empty + 1-token docs produce no pairs (no reversed
+    // sequence artifacts)
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      val bg = docs.select(explode(
+        TextOps.bigrams(TextOps.tokens(col("text")))).as("p"))
+      assert(bg.count() === (if (docs.count() == 0) 0 else 3))
+    }
+    val noRows = Seq.empty[(Long, Long)].toDF("a", "b")
+    // z-order layout on an empty frame: range partitioner has no
+    // sample, must still plan and return empty
+    assert(LayoutOps.zOrderLayout(noRows, col("a"), col("b"), 4)
+      .count() === 0)
+    // snapshotDiff: empty vs empty, empty vs populated
+    val one = Seq((1L, "x")).toDF("k", "v")
+    val emptyKV = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(RelOps.snapshotDiff(emptyKV, emptyKV, "k").count() === 0)
+    assert(RelOps.snapshotDiff(emptyKV, one, "k")
+      .select("status").as[String].collect().toSeq === Seq("added"))
+    assert(RelOps.snapshotDiff(one, emptyKV, "k")
+      .select("status").as[String].collect().toSeq === Seq("removed"))
+    // graph ops on empty edge lists
+    assert(GraphOps.pageRank(noRows.toDF("src", "dst"), 2, 0.85)
+      .count() === 0)
+    val tri = GraphOps.triangleStats(noRows.toDF("src", "dst"))
+      .collect().head
+    assert(tri.getLong(tri.fieldIndex("n_triangles")) === 0L)
+    // fuzzy join on empty vocabulary
+    assert(DedupOps.editDistancePairs(
+      Seq.empty[String].toDF("s"), "s").count() === 0)
+    // avro: writing an empty frame yields no files; a pinned-schema
+    // read of the empty dir returns zero rows
+    val path = "/root/repo/target/avro_cache/spec_empty"
+    graft.sources.AvroIO.write(emptyKV, path)
+    assert(spark.read.format("graft-avro").schema(emptyKV.schema)
+      .load(path).count() === 0)
+  }
 }
