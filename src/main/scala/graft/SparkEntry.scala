@@ -1771,12 +1771,20 @@ object SparkEntry {
     // the attribute; one explode, two map-side-combinable aggregates
     // (pair counts, then first-token totals as a second pass over the
     // PAIR table — already reduced, never the token stream again).
+    // The pair table is localCheckpoint'ed because it feeds two
+    // consumers (the banded join side and the first-token totals) —
+    // without materialization each consumer re-runs the tokenize+
+    // explode scan (the q106 lesson; PlanShapeSpec pins ONE Generate).
+    // Unlike the raw token stream, the aggregated pair table is small
+    // (bounded by observed-bigram vocabulary), so materializing it is
+    // the cheap side of the trade at 100 TB.
     val toks = t(s, dir, "documents")
       .select(TextOps.tokens(col("text")).as("t"))
     val bg = toks.select(explode(TextOps.bigrams(col("t"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val pairs = bg.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint()
     val firsts = pairs.groupBy(col("a"))
       .agg(sum(col("n_ab")).as("n_a"))
     pairs.join(firsts, "a")
@@ -1866,6 +1874,32 @@ object SparkEntry {
         coalesce(date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss"),
           lit("-")).as("buy_ts"))
       .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    // Unigram-surprisal quality score (the crude-LM gibberish flag:
+    // score each document by the average -ln p(token) under the
+    // corpus unigram model — rare-token soup scores high, natural
+    // text low). The LM aggregates over ALL documents; the scored
+    // side is pre-filtered to the output subset BEFORE tokenization
+    // (q98's documented two-pass shape — the corpus pass is the only
+    // full scan and reduces map-side). The per-token probability is
+    // the same f64 division + ln on both engines; round(…, 6) on the
+    // per-doc average absorbs libm ulp skew (the q98/q112 contract).
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+    docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .join(lm, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("n_t").cast("double") / col("n"))), 6)
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- //
@@ -2516,6 +2550,7 @@ object SparkEntry {
     "q125_zorder" -> q125 _,
     "q126_table_diff" -> q126 _,
     "q127_stream_left_outer" -> q127 _,
+    "q128_unigram_surprisal" -> q128 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4095,5 +4130,19 @@ object SparkEntry {
         |  '-' AS buy_ts
         |FROM um
         |ORDER BY user_id, view_id, buy_id""".stripMargin,
+    "q128_unigram_surprisal" ->
+      // same unigram LM over all docs, same f64 division + ln
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      z -> len(z) > 0)) AS term
+        |  FROM documents),
+        |  lm AS (SELECT term, count(*) AS n_t FROM tok GROUP BY 1),
+        |  tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
+        |  sc AS (SELECT t.doc_id, lm.n_t FROM tok t JOIN lm USING (term)
+        |    WHERE t.doc_id % 17 = 0)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(avg(-ln(n_t::DOUBLE / (SELECT n FROM tot))), 6)
+        |    AS avg_surprisal
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
   )
 }

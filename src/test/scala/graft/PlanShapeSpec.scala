@@ -257,6 +257,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q38 re-tokenizes per signal:\n${p38.take(1200)}")
   }
 
+  test("q124: bigram statistics tokenize ONCE — the checkpointed pair " +
+       "table feeds both consumers, zero Generate nodes downstream, " +
+       "and no window for the first-token totals") {
+    val p = planOf("q124_bigram_stats")
+    assert(!p.contains("Generate"),
+      s"q124 re-tokenizes a consumer of the pair table:\n${p.take(1500)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the localCheckpoint leaf under both consumers:\n" +
+        p.take(1500))
+    assert(!p.contains("Window"),
+      s"first-token totals must be an aggregate, not a window:\n" +
+        p.take(1500))
+  }
+
+  test("q126: snapshot diff is ONE full-outer equi-join over two " +
+       "map-side-compacted snapshots — no rank window") {
+    val p = planOf("q126_table_diff")
+    assert(p.contains("FullOuter"), s"expected full-outer:\n${p.take(1500)}")
+    assert(!p.contains("Window"),
+      s"snapshots must compact via max_by aggregate:\n${p.take(1500)}")
+  }
+
   test("q119/saltedJoin: with broadcast off, both sides exchange on " +
        "(key, salt) — the hot key spreads across factor reducers") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
