@@ -155,4 +155,39 @@ object CleanOps {
               col(valueCol) <= col("_q3") + lit(k) * iqr)
       .drop("_q1", "_q3")
   }
+
+  /** Exact equi-depth (quantile) binning — the deterministic relational
+    * form of QuantileDiscretizer: every row lands in
+    * bin = floor(rank_below·bins / n), where rank_below counts rows
+    * strictly smaller, so TIES always share a bin (no arbitrary split
+    * of equal values across a boundary — the property a feature-binning
+    * step needs for reproducible buckets). Output: one row per
+    * non-empty bin with count and [lo, hi] value bounds — exactly the
+    * cut-point table a discretizer ships to training.
+    *
+    * Plan shape: ONE map-side-combinable count aggregate collapses the
+    * data to its distinct-VALUE histogram, and the only window runs
+    * over that histogram — vocabulary-sized, like q124's bigram table,
+    * not data-sized. The data itself is never globally sorted (a naive
+    * global `ntile` window would single-task the whole table). For a
+    * continuous column, quantize first (e.g. `round(c, -2)`) so the
+    * histogram stays bounded; at 100 TB the sketch sibling is
+    * `percentile_approx` cut points (q13/q62's path), which trades
+    * this exactness for a fixed-size buffer. Integer arithmetic
+    * throughout (counts·bins < 2^53 in the double division), so the
+    * assignment is bit-reproducible on any engine. */
+  def equiDepthBins(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    val hist = df.groupBy(value.as("v")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("_cb",
+      coalesce(sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("v"))
+        .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val tot = hist.agg(sum(col("c")).as("_t"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("bin",
+        least(lit(bins - 1L), floor(col("_cb") * bins / col("_t"))))
+      .groupBy(col("bin"))
+      .agg(sum(col("c")).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+  }
 }

@@ -300,4 +300,18 @@ object RelOps {
           byKey.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("_prev", "_new_session")
   }
+
+  /** Wide→long reshape (melt / SQL UNPIVOT): each input row fans out
+    * to one row per entry of `valueCols`, carrying `idCols` plus the
+    * column name in `varName` and its value in `valName`. Wraps
+    * `Dataset.unpivot`, which plans as a Catalyst `Expand` — the
+    * fan-out happens inside the scan stage with ZERO shuffle and stays
+    * in whole-stage codegen, so at 100 TB a k-column melt costs one
+    * pass over k·n rows, never a join or union of k scans. All
+    * `valueCols` must share (or be cast to) one common type — that is
+    * `unpivot`'s contract, surfaced here unchanged. */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+           varName: String = "metric", valName: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      varName, valName)
 }
