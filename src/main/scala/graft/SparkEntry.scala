@@ -1886,11 +1886,19 @@ object SparkEntry {
     // full scan and reduces map-side). The per-token probability is
     // the same f64 division + ln on both engines; round(…, 6) on the
     // per-doc average absorbs libm ulp skew (the q98/q112 contract).
+    //
+    // ONE corpus tokenization: the aggregated LM table feeds BOTH the
+    // probability join and the total-token count (unigram counts sum
+    // to the corpus size — no second tokenize+explode scan), and it is
+    // localCheckpoint'ed because it has two consumers (the q106/q124
+    // rule: without materialization each consumer re-runs the
+    // tokenize scan, a 2× constant on the dominant cost at 100 TB).
+    // The LM table is vocabulary-sized, so materializing it is cheap.
     val docs = t(s, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(TextOps.tokens(col("text"))).as("term"))
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("term"))
     val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
-    val tot = toks.agg(count(lit(1)).cast("double").as("n"))
+      .localCheckpoint()
+    val tot = lm.agg(sum(col("n_t")).cast("double").as("n"))
     docs.filter(col("doc_id") % 17 === 0)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .join(lm, "term")

@@ -102,8 +102,10 @@ object AggOps {
   /** Fixed-width histogram: bucket = floor((v − lo)/step) with count
     * and observed min/max per bucket. One hash aggregate — the bucket
     * expression keys the shuffle, so at 100 TB this is one scan + one
-    * exchange of (buckets × partials). Equi-DEPTH binning is the ntile
-    * window (q26); this is the equi-WIDTH sibling. */
+    * exchange of (buckets × partials). Equi-DEPTH binning is
+    * [[graft.ops.CleanOps.equiDepthBins]] (rank over the distinct-value
+    * histogram — never a data-sized ntile window); this is the
+    * equi-WIDTH sibling. */
   def histogram(df: DataFrame, valueCol: String, lo: Double,
                 step: Double): DataFrame =
     df.groupBy(floor((col(valueCol) - lo) / step).cast("long").as("bucket"))

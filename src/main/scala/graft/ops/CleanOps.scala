@@ -175,16 +175,29 @@ object CleanOps {
     * `percentile_approx` cut points (q13/q62's path), which trades
     * this exactness for a fixed-size buffer. Integer arithmetic
     * throughout (counts·bins < 2^53 in the double division), so the
-    * assignment is bit-reproducible on any engine. */
+    * assignment is bit-reproducible on any engine.
+    *
+    * Invalid-value policy (QuantileDiscretizer's handleInvalid="skip"):
+    * NULLs are dropped BEFORE the histogram — otherwise they'd bucket
+    * into bin 0 and shift every real value's rank_below. NaN (a real
+    * floating-point VALUE, not a missing one) is kept and sorts above
+    * every finite double (Spark's ordering), so NaN rows land in the
+    * top bin; callers wanting NaN skipped filter `!isnan(c)` first. */
   def equiDepthBins(df: DataFrame, value: Column, bins: Int): DataFrame = {
-    val hist = df.groupBy(value.as("v")).agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("_cb",
-      coalesce(sum(col("c")).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("v"))
-        .rowsBetween(Long.MinValue, -1)), lit(0L)))
-    val tot = hist.agg(sum(col("c")).as("_t"))
-    cum.crossJoin(broadcast(tot))
-      .withColumn("bin",
+    require(bins >= 1, s"equiDepthBins needs bins >= 1, got $bins")
+    val hist = df.where(value.isNotNull)
+      .groupBy(value.as("v")).agg(count(lit(1)).as("c"))
+    // both the running count and the grand total ride ONE window sort
+    // over the vocabulary-sized histogram (same ordering ⇒ one Window
+    // operator, one single-partition exchange) — no second aggregate
+    // subtree, no crossJoin(broadcast(tot)) re-running the scan
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val cum = hist
+      .withColumn("_cb", coalesce(sum(col("c"))
+        .over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("_t", sum(col("c"))
+        .over(w.rowsBetween(Long.MinValue, Long.MaxValue)))
+    cum.withColumn("bin",
         least(lit(bins - 1L), floor(col("_cb") * bins / col("_t"))))
       .groupBy(col("bin"))
       .agg(sum(col("c")).as("n"), min(col("v")).as("lo"),

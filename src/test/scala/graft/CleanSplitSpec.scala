@@ -220,4 +220,64 @@ class CleanSplitSpec extends AnyFunSuite {
     assert(a(0).as[Long].collect().sorted === b(0).as[Long].collect().sorted)
     assert(a(0).count() + a(1).count() === 300)
   }
+
+  test("equiDepthBins: ties share a bin, NULLs are skipped, counts " +
+       "cover exactly the non-null rows") {
+    // 2 nulls + values 1,2,2,2,3,4 with bins=2: rank_below(2)=1 →
+    // bin 0 for ALL THREE ties (never split across a boundary);
+    // nulls must not inflate bin 0 or shift ranks
+    val df = Seq[Option[Int]](Some(1), Some(2), Some(2), Some(2),
+      Some(3), Some(4), None, None).toDF("v")
+    val got = CleanOps.equiDepthBins(df, col("v"), bins = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got === Map(0L -> ((4L, 1, 2)), 1L -> ((2L, 3, 4))))
+  }
+
+  test("equiDepthBins: empty input yields zero bins; bins < 1 is " +
+       "rejected up front") {
+    val empty = spark.emptyDataFrame.withColumn("v", lit(1))
+      .filter(lit(false))
+    assert(CleanOps.equiDepthBins(empty, col("v"), 4).count() === 0)
+    intercept[IllegalArgumentException] {
+      CleanOps.equiDepthBins(Seq(1).toDF("v"), col("v"), 0)
+    }
+  }
+
+  test("equiDepthBins: one window sort over the histogram — no " +
+       "crossJoin/broadcast of a separate total aggregate") {
+    val df = Seq(1, 2, 2, 3, 4, 5, 6, 7).toDF("v")
+    val p = CleanOps.equiDepthBins(df, col("v"), 4)
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(p).length === 1,
+      s"running count and total must share one Window operator:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"total must not arrive via a crossJoin:\n$p")
+  }
+
+  test("melt round-trips wide→long: every (id, metric) cell appears " +
+       "once; plan is a single Expand with no exchange") {
+    import graft.ops.RelOps
+    val df = Seq((1L, 10.0, 0.5), (2L, 20.0, 0.25))
+      .toDF("id", "price", "discount")
+    val long = RelOps.melt(df, Seq("id"), Seq("price", "discount"))
+    val got = long.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, "price", 10.0), (1L, "discount", 0.5),
+      (2L, "price", 20.0), (2L, "discount", 0.25)))
+    val p = long.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"melt must plan as Expand:\n$p")
+    assert(!p.contains("Exchange"),
+      s"melt must not shuffle (scan-stage fan-out):\n$p")
+  }
+
+  test("melt with an empty valueCols list fails fast with Spark's " +
+       "UNPIVOT contract error, not a silent empty frame") {
+    import graft.ops.RelOps
+    val df = Seq((1L, 1.0)).toDF("id", "x")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      RelOps.melt(df, Seq("id"), Seq.empty).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("unpivot"))
+  }
 }

@@ -271,6 +271,17 @@ class PlanShapeSpec extends AnyFunSuite {
         p.take(1500))
   }
 
+  test("q128: the corpus tokenizes ONCE — the checkpointed unigram LM " +
+       "feeds both the probability join and the total-token count, so " +
+       "the only Generate left is the scored subset's explode") {
+    val p = planOf("q128_unigram_surprisal")
+    assert("Generate".r.findAllIn(p).length === 1,
+      s"q128 re-tokenizes the corpus for the total count:\n${p.take(1500)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the localCheckpoint leaf under both LM consumers:\n" +
+        p.take(1500))
+  }
+
   test("q126: snapshot diff is ONE full-outer equi-join over two " +
        "map-side-compacted snapshots — no rank window") {
     val p = planOf("q126_table_diff")
