@@ -1910,6 +1910,174 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    // Exact equi-depth (quantile) binning as a registered query
+    // (CleanOps.equiDepthBins — the deterministic QuantileDiscretizer
+    // twin): rank over the distinct-VALUE histogram, never a
+    // data-sized ntile window; NULLs skipped before the histogram so
+    // they can't shift real ranks. l_quantity's 50 integral values
+    // tie heavily — the tie-sharing rule (rank_below, strictly
+    // smaller) is exactly what the oracle re-derives.
+    CleanOps.equiDepthBins(t(s, dir, "lineitem"), col("l_quantity"),
+        bins = 8)
+      .orderBy(col("bin"))
+
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    // Wide→long melt (RelOps.melt / SQL UNPIVOT): the four lineitem
+    // measures fan out to (id, metric, value) rows inside the scan
+    // stage (Catalyst Expand — zero shuffle, no union of 4 scans),
+    // then one aggregate per metric. The oracle is the UNION ALL
+    // spelling of the same reshape — a metric mislabeled or a cell
+    // dropped by the Expand projection hash-mismatches.
+    RelOps.melt(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total"),
+        round(avg(col("value")), 6).as("avg_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy(col("metric"))
+
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    // Avro DATE + DECIMAL round-trip (the q122 sibling over the two
+    // types a real warehouse feed adds first): orders' date/price
+    // cast to DATE and DECIMAL(12,2), written through AvroIO (date =
+    // `date` logical over int days; decimal = `decimal` logical over
+    // big-endian unscaled bytes) and read back through the DSv2
+    // source. Decimal aggregation is EXACT on both engines — the
+    // double cast happens once, after the exact sum — so a scale
+    // mangled in the bytes encoding or a day shifted in the epoch
+    // arithmetic hash-mismatches against the parquet twin.
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("o_date"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/avro_cache/orders_dd_$sfTag"
+    graft.sources.AvroIO.write(src, path)
+    s.read.format("graft-avro").schema(src.schema).load(path)
+      .groupBy(year(col("o_date")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_price")).cast("double"), 2).as("total_price"),
+        min(col("o_price")).cast("double").as("min_price"),
+        max(col("o_price")).cast("double").as("max_price"),
+        date_format(min(col("o_date")), "yyyy-MM-dd").as("first_date"),
+        date_format(max(col("o_date")), "yyyy-MM-dd").as("last_date"))
+      .orderBy(col("yr"))
+  }
+
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    // Stream-stream RIGHT OUTER interval join (q127's mirror — the
+    // family's remaining oracled variant): purchases with no
+    // originating view in the preceding 4 hours surface with null
+    // view columns exactly once, when the watermark passes the
+    // purchase's own event time (for this condition the latest
+    // admissible view_ts IS buy_ts — the purchase can stop waiting as
+    // soon as no admissible view can still arrive). The oracle
+    // mirrors both halves: the batch interval join plus NOT-EXISTS
+    // purchases gated on buy_ts < min(final side watermarks).
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    def side(tpe: String, tsName: String, idName: String) =
+      Tables.withTimestamps(StreamOps.fileStream(s, schema, staged),
+          "events")
+        .filter(col("user_id") < 100 && col("event_type") === tpe)
+        .select(col("user_id"), col("ts").as(tsName),
+          col("event_id").as(idName))
+    val joined = StreamOps.intervalJoinStream(
+      side("view", "view_ts", "view_id"),
+      side("purchase", "buy_ts", "buy_id"),
+      "user_id", "view_ts", "buy_ts", 14400L, "6 hours",
+      joinType = "right_outer")
+    StreamOps.runToCompletion(joined, s"q132_${System.nanoTime()}",
+        outputMode = "append", statePartitions = Some(8))
+      .select(col("user_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"), col("buy_id"),
+        coalesce(date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("-")).as("view_ts"),
+        date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_ts"))
+      .orderBy(col("user_id"), col("buy_id"), col("view_id"))
+  }
+
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    // Z-order layout WRITE + pruned read-back (q125 audits the curve;
+    // this writes it): events laid out along the z-curve of (da, db)
+    // via LayoutOps.zOrderLayout — range-partitioned on the z-value,
+    // sorted within partitions — then read back under a tight corner
+    // rectangle. Because each written file covers a contiguous
+    // z-range (a tight (da, db) bounding box), the pushed min/max
+    // predicates skip whole row groups; PhysicalLayoutSpec measures
+    // the skip (records read under z-layout ≪ under a hash layout).
+    // The oracle aggregates the same rectangle from the raw table —
+    // a row lost or duplicated by the layout write hash-mismatches.
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(65536L)).as("da"),
+      pmod(col("event_id"), lit(65536L)).as("db"),
+      col("value"))
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/zorder_cache/events_$sfTag"
+    LayoutOps.zOrderLayout(ev, col("da"), col("db"), numPartitions = 16)
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("da") < 256 && col("db") < 256)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        min(col("da")).as("min_da"), max(col("da")).as("max_da"),
+        min(col("db")).as("min_db"), max(col("db")).as("max_db"))
+  }
+
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    // Composite-key MERGE (q116 with the CDC-normal multi-column
+    // business key): latest state per (user_id, event_type) absorbs
+    // the post-cut change batch; a change whose latest value dropped
+    // below 0.2 is a DELETE. The full-outer merge join keys the
+    // shuffle on BOTH columns; provenance labels the action.
+    val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+    def latest(df: DataFrame) = df
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(struct(col("ts"), col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("_r"))
+      .select(col("user_id"), col("event_type"),
+        col("_r.event_id").as("event_id"), col("_r.ts").as("ts"),
+        col("_r.value").as("value"))
+    val ev = t(s, dir, "events")
+    RelOps.mergeUpsert(
+        latest(ev.filter(col("ts") < cut)),
+        latest(ev.filter(col("ts") >= cut)),
+        Seq("user_id", "event_type"),
+        chg => chg.getField("value") < 0.2)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        round(col("value"), 6).as("value"), col("action"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    // Composite-key snapshot DIFF (q126's multi-key form): the
+    // pre-cut latest state per (user_id, event_type) reconciled
+    // against the full-window latest state — keys first seen after
+    // the cut classify 'added', keys whose latest row moved classify
+    // 'changed', the rest 'unchanged' ('removed' is impossible here:
+    // old ⊆ new by construction, and the oracle would catch a
+    // spurious one).
+    val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+    val ev = t(s, dir, "events")
+    def snap(pred: Column) = ev.filter(pred)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(struct(col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("_r"))
+      .select(col("user_id"), col("event_type"),
+        col("_r.event_id").as("event_id"),
+        round(col("_r.value"), 6).as("value"))
+    RelOps.snapshotDiff(snap(col("ts") < cut), snap(lit(true)),
+        Seq("user_id", "event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2559,6 +2727,13 @@ object SparkEntry {
     "q126_table_diff" -> q126 _,
     "q127_stream_left_outer" -> q127 _,
     "q128_unigram_surprisal" -> q128 _,
+    "q129_equidepth_bins" -> q129 _,
+    "q130_melt" -> q130 _,
+    "q131_avro_datedec" -> q131 _,
+    "q132_stream_right_outer" -> q132 _,
+    "q133_zorder_prune" -> q133 _,
+    "q134_merge_multikey" -> q134 _,
+    "q135_diff_multikey" -> q135 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4152,5 +4327,139 @@ object SparkEntry {
         |  round(avg(-ln(n_t::DOUBLE / (SELECT n FROM tot))), 6)
         |    AS avg_surprisal
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q129_equidepth_bins" ->
+      // the same rank-below formulation over the distinct-value
+      // histogram: bin = floor(rank_below·bins/n), NULLs skipped,
+      // ties share a bin by construction
+      """WITH hist AS (SELECT l_quantity AS v, count(*)::BIGINT AS c
+        |    FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |  cum AS (SELECT v, c,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |    sum(c) OVER () AS t FROM hist)
+        |SELECT least(7, floor(cb * 8 / t))::BIGINT AS bin,
+        |  sum(c)::BIGINT AS n, min(v) AS lo, max(v) AS hi
+        |FROM cum GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q130_melt" ->
+      // the UNION ALL spelling of the same wide→long reshape
+      """WITH long AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*)::BIGINT AS n,
+        |  round(sum(value), 2) AS total, round(avg(value), 6) AS avg_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
+    "q131_avro_datedec" ->
+      // the parquet twin with the same DATE/DECIMAL casts — exact
+      // decimal sum, double cast once after
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders)
+        |SELECT year(d)::BIGINT AS yr, count(*)::BIGINT AS n,
+        |  round(CAST(sum(p) AS DOUBLE), 2) AS total_price,
+        |  CAST(min(p) AS DOUBLE) AS min_price,
+        |  CAST(max(p) AS DOUBLE) AS max_price,
+        |  strftime(min(d), '%Y-%m-%d') AS first_date,
+        |  strftime(max(d), '%Y-%m-%d') AS last_date
+        |FROM o GROUP BY 1 ORDER BY yr""".stripMargin,
+    "q132_stream_right_outer" ->
+      // matched pairs unconditionally, plus NOT-EXISTS purchases
+      // gated on the right-outer eviction predicate: the latest
+      // admissible view_ts for a purchase is buy_ts itself, so nulls
+      // emit iff buy_ts < min(per-side final watermarks)
+      """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+        |    FROM events WHERE user_id < 100 AND event_type = 'view'),
+        |  p AS (SELECT user_id, ts AS buy_ts, event_id AS buy_id
+        |    FROM events WHERE user_id < 100 AND event_type = 'purchase'),
+        |  wm AS (SELECT least((SELECT max(epoch_ms(view_ts)) FROM v),
+        |      (SELECT max(epoch_ms(buy_ts)) FROM p)) - 21600000 AS w),
+        |  m AS (SELECT v.user_id, v.view_id, p.buy_id, v.view_ts,
+        |      p.buy_ts
+        |    FROM v JOIN p ON v.user_id = p.user_id
+        |      AND p.buy_ts >= v.view_ts
+        |      AND p.buy_ts <= v.view_ts + INTERVAL 4 HOUR),
+        |  up AS (SELECT p.user_id, p.buy_id, p.buy_ts FROM p
+        |    WHERE NOT EXISTS (SELECT 1 FROM v
+        |        WHERE v.user_id = p.user_id
+        |          AND p.buy_ts >= v.view_ts
+        |          AND p.buy_ts <= v.view_ts + INTERVAL 4 HOUR)
+        |      AND epoch_ms(p.buy_ts) < (SELECT w FROM wm))
+        |SELECT user_id, view_id::BIGINT AS view_id, buy_id,
+        |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(buy_ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
+        |FROM m
+        |UNION ALL
+        |SELECT user_id, (-1)::BIGINT AS view_id, buy_id,
+        |  '-' AS view_ts,
+        |  strftime(buy_ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
+        |FROM up
+        |ORDER BY user_id, buy_id, view_id""".stripMargin,
+    "q133_zorder_prune" ->
+      // the same corner rectangle over the raw table — the layout
+      // write must be a pure reshuffle
+      """SELECT count(*)::BIGINT AS n, round(sum(value), 2) AS total_value,
+        |  min(user_id % 65536)::BIGINT AS min_da,
+        |  max(user_id % 65536)::BIGINT AS max_da,
+        |  min(event_id % 65536)::BIGINT AS min_db,
+        |  max(event_id % 65536)::BIGINT AS max_db
+        |FROM events
+        |WHERE user_id % 65536 < 256 AND event_id % 65536 < 256""".stripMargin,
+    "q134_merge_multikey" ->
+      // q116's merge with the composite (user_id, event_type) key:
+      // rank windows partition on BOTH columns; the winning SIDE is
+      // chosen once (CASE on the delta key)
+      """WITH snap AS (SELECT user_id, event_type, event_id, ts, value
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events
+        |    WHERE ts < TIMESTAMP '2024-01-21 00:00:00') z WHERE rn = 1),
+        |  delta AS (SELECT user_id, event_type, event_id, ts, value
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-21 00:00:00') z WHERE rn = 1)
+        |SELECT coalesce(d.user_id, s.user_id) AS user_id,
+        |  coalesce(d.event_type, s.event_type) AS event_type,
+        |  (CASE WHEN d.user_id IS NULL THEN s.event_id
+        |    ELSE d.event_id END)::BIGINT AS event_id,
+        |  strftime(CASE WHEN d.user_id IS NULL THEN s.ts ELSE d.ts END,
+        |    '%Y-%m-%d %H:%M:%S') AS ts,
+        |  round(CASE WHEN d.user_id IS NULL THEN s.value
+        |    ELSE d.value END, 6) AS value,
+        |  CASE WHEN d.user_id IS NULL THEN 'kept'
+        |    WHEN s.user_id IS NULL THEN 'inserted'
+        |    ELSE 'updated' END AS action
+        |FROM snap s FULL OUTER JOIN delta d
+        |  ON s.user_id = d.user_id AND s.event_type = d.event_type
+        |WHERE d.user_id IS NULL OR NOT (d.value < 0.2)
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q135_diff_multikey" ->
+      // both snapshots via composite-key rank windows; per-field
+      // null-safe compare
+      """WITH a AS (SELECT user_id, event_type, event_id,
+        |    round(value, 6) AS value
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events
+        |    WHERE ts < TIMESTAMP '2024-01-21 00:00:00') z WHERE rn = 1),
+        |  b AS (SELECT user_id, event_type, event_id,
+        |    round(value, 6) AS value
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events) z
+        |  WHERE rn = 1)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |  coalesce(a.event_type, b.event_type) AS event_type,
+        |  a.event_id::BIGINT AS old_event_id, a.value AS old_value,
+        |  b.event_id::BIGINT AS new_event_id, b.value AS new_value,
+        |  CASE WHEN a.user_id IS NULL THEN 'added'
+        |    WHEN b.user_id IS NULL THEN 'removed'
+        |    WHEN a.event_id IS NOT DISTINCT FROM b.event_id
+        |      AND a.value IS NOT DISTINCT FROM b.value THEN 'unchanged'
+        |    ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b
+        |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+        |ORDER BY user_id, event_type""".stripMargin,
   )
 }

@@ -228,22 +228,36 @@ object RelOps {
     * how MERGE INTO executes at 100 TB: never row-at-a-time, always
     * compact-then-join. */
   def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String,
+                  isDelete: Column => Column): DataFrame =
+    mergeUpsert(base, changes, Seq(keyCol), isDelete)
+
+  /** Composite-key MERGE: the multi-column business key (the CDC norm —
+    * (tenant, entity), (order, line), …) joins as a Seq the same way a
+    * warehouse MERGE ON a AND b does; the full-outer join keys the
+    * shuffle on ALL key columns, so hot single-column prefixes still
+    * spread across reducers. Side-presence tests stay on the payload
+    * STRUCTS (`_chg`/`_base` null ⇔ that side absent) — key columns
+    * can't carry that signal once coalesced by the USING join. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame,
+                  keyCols: Seq[String],
                   isDelete: Column => Column): DataFrame = {
-    val payload = base.columns.filterNot(_ == keyCol).toSeq
-    require(payload.toSet == changes.columns.filterNot(_ == keyCol).toSet,
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    val payload = base.columns.filterNot(keyCols.contains).toSeq
+    require(payload.toSet ==
+        changes.columns.filterNot(keyCols.contains).toSet,
       "base and changes must share the payload schema")
-    val b = base.select(col(keyCol),
-      struct(payload.map(col): _*).as("_base"))
-    val c = changes.select(col(keyCol),
-      struct(payload.map(col): _*).as("_chg"))
-    b.join(c, Seq(keyCol), "full_outer")
+    val b = base.select(keyCols.map(col) :+
+      struct(payload.map(col): _*).as("_base"): _*)
+    val c = changes.select(keyCols.map(col) :+
+      struct(payload.map(col): _*).as("_chg"): _*)
+    b.join(c, keyCols, "full_outer")
       .filter(col("_chg").isNull || !isDelete(col("_chg")))
       // the WINNING STRUCT is chosen once, then unpacked — field-level
       // coalesce would mix fields from both sides on NULL-bearing
       // change rows
       .withColumn("_win",
         when(col("_chg").isNotNull, col("_chg")).otherwise(col("_base")))
-      .select(col(keyCol) +:
+      .select(keyCols.map(col) ++:
         payload.map(f => col(s"_win.$f").as(f)) :+
         when(col("_chg").isNull, "kept")
           .when(col("_base").isNull, "inserted")
@@ -261,16 +275,25 @@ object RelOps {
     * payloads don't misreport as changed). Output: key, `status`, and
     * both payloads as `old_<f>` / `new_<f>` columns. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
-                   keyCol: String): DataFrame = {
-    val payload = oldSnap.columns.filterNot(_ == keyCol).toSeq
-    require(payload.toSet == newSnap.columns.filterNot(_ == keyCol).toSet,
+                   keyCol: String): DataFrame =
+    snapshotDiff(oldSnap, newSnap, Seq(keyCol))
+
+  /** Composite-key snapshot diff — same one-full-outer-join shape with
+    * the business key as a column Seq (see [[mergeUpsert]]'s
+    * composite-key notes; presence tests live on the payload structs). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    val payload = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    require(payload.toSet ==
+        newSnap.columns.filterNot(keyCols.contains).toSet,
       "snapshots must share the payload schema")
-    val o = oldSnap.select(col(keyCol),
-      struct(payload.map(col): _*).as("_old"))
-    val n = newSnap.select(col(keyCol),
-      struct(payload.map(col): _*).as("_new"))
-    o.join(n, Seq(keyCol), "full_outer")
-      .select(col(keyCol) +:
+    val o = oldSnap.select(keyCols.map(col) :+
+      struct(payload.map(col): _*).as("_old"): _*)
+    val n = newSnap.select(keyCols.map(col) :+
+      struct(payload.map(col): _*).as("_new"): _*)
+    o.join(n, keyCols, "full_outer")
+      .select(keyCols.map(col) ++:
         payload.map(f => col(s"_old.$f").as(s"old_$f")) ++:
         payload.map(f => col(s"_new.$f").as(s"new_$f")) :+
         when(col("_old").isNull, "added")

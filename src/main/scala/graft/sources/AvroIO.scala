@@ -56,6 +56,13 @@ object AvroIO {
                   case BinaryType =>
                     java.nio.ByteBuffer.wrap(row.getBinary(i))
                   case TimestampType => row.getLong(i) // internal micros
+                  case DateType => row.getInt(i) // internal epoch days
+                  case d: DecimalType =>
+                    // Avro decimal logical: big-endian two's-complement
+                    // unscaled value at the schema's scale
+                    java.nio.ByteBuffer.wrap(
+                      row.getDecimal(i, d.precision, d.scale)
+                        .toJavaBigDecimal.unscaledValue().toByteArray)
                   case other => throw new IllegalArgumentException(
                     s"graft-avro does not map ${other.simpleString}")
                 })

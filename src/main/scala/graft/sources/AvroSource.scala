@@ -25,8 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference's own ingest domain, `/root/reference/src/modelling.py:26-37`
   * reads the same flow records from CSV) actually receives. Supported
   * type subset: boolean / int / long / float / double / string /
-  * binary / timestamp (micros logical), each nullable via the standard
-  * `union(null, T)` — the fixture tables' full type surface.
+  * binary / timestamp (micros logical) / date (date logical over int)
+  * / decimal (decimal logical over bytes, precision+scale from the
+  * schema), each nullable via the standard `union(null, T)` — the
+  * fixture tables' type surface plus the first two types a real
+  * warehouse feed adds beyond it.
   *
   * Scale shape: one InputPartition per `.avro` container file (the
   * Avro analogue of parquet row-group splits; container blocks could
@@ -97,6 +100,16 @@ object AvroSchemas {
         case TimestampType =>
           org.apache.avro.LogicalTypes.timestampMicros()
             .addToSchema(Schema.create(Schema.Type.LONG))
+        case DateType =>
+          // Avro `date` logical: int days since epoch — exactly
+          // Spark's internal DateType representation
+          org.apache.avro.LogicalTypes.date()
+            .addToSchema(Schema.create(Schema.Type.INT))
+        case d: DecimalType =>
+          // Avro `decimal` logical over bytes: big-endian two's
+          // -complement unscaled value; precision/scale ride the schema
+          org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+            .addToSchema(Schema.create(Schema.Type.BYTES))
         case other => throw new IllegalArgumentException(
           s"graft-avro does not map ${other.simpleString}")
       }
@@ -118,7 +131,10 @@ object AvroSchemas {
       val (s, nullable) = unwrap(f.schema())
       val dt = s.getType match {
         case Schema.Type.BOOLEAN => BooleanType
-        case Schema.Type.INT => IntegerType
+        case Schema.Type.INT =>
+          if (s.getLogicalType != null &&
+              s.getLogicalType.getName == "date") DateType
+          else IntegerType
         case Schema.Type.LONG =>
           if (s.getLogicalType != null &&
               s.getLogicalType.getName == "timestamp-micros") TimestampType
@@ -126,7 +142,11 @@ object AvroSchemas {
         case Schema.Type.FLOAT => FloatType
         case Schema.Type.DOUBLE => DoubleType
         case Schema.Type.STRING => StringType
-        case Schema.Type.BYTES => BinaryType
+        case Schema.Type.BYTES => s.getLogicalType match {
+          case d: org.apache.avro.LogicalTypes.Decimal =>
+            DecimalType(d.getPrecision, d.getScale)
+          case _ => BinaryType
+        }
         case other => throw new IllegalArgumentException(
           s"graft-avro does not map avro $other")
       }
@@ -283,7 +303,15 @@ class AvroPartitionReader(file: String, required: StructType)
             val bb = v.asInstanceOf[java.nio.ByteBuffer]
             val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
             arr
-          case _ => v // boolean/int/long/float/double/timestamp-micros
+          case d: DecimalType =>
+            // bytes → big-endian unscaled BigInteger → Spark Decimal
+            // at the schema's scale (the writer's exact value back)
+            val bb = v.asInstanceOf[java.nio.ByteBuffer]
+            val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+            org.apache.spark.sql.types.Decimal(
+              new java.math.BigDecimal(new java.math.BigInteger(arr),
+                d.scale), d.precision, d.scale)
+          case _ => v // boolean/int/long/float/double/ts-micros/date
         }
       i += 1
     }

@@ -190,6 +190,53 @@ class RunningTotalsTtl(ttl: java.time.Duration) extends StatefulProcessor[
   }
 }
 
+/** `transformWithState` processor behind
+  * [[StreamOps.idleFlushStream]] — the PROCESSING-TIME timer half of
+  * the timer API ([[SessionTimers]] exercises event time): per key,
+  * accumulate (count, sum) and FLUSH the accumulated batch downstream
+  * only once the key has been idle for `idleFlushMs` of wall-clock
+  * time — the micro-batching sink pattern (coalesce a key's updates,
+  * emit one write per quiet period, state dropped on flush).
+  *
+  * Timer discipline mirrors [[SessionTimers]]: every batch with input
+  * deletes the key's old timer and re-arms at now + idleFlushMs (one
+  * live timer per key), so the timer only ever fires for a key with
+  * no newer input — and Spark processes a batch's input rows BEFORE
+  * its expired timers, so a key receiving data in the same batch its
+  * old deadline lapsed re-arms instead of flushing (it wasn't idle).
+  * On expiry the pending aggregate is emitted and the state CLEARED —
+  * an idle key holds zero state, the same bound as the event-time
+  * sessionizer. Wall-clock-dependent ⇒ spec-pinned
+  * (IdleFlushTimerSpec), not oracled — the TTL precedent. */
+class IdleFlushTimers(idleFlushMs: Long) extends StatefulProcessor[
+    Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var pending: ValueState[(Long, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    pending = getHandle.getValueState[(Long, Double)]("pending",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+      TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Double)] = {
+    var (n, total) = if (pending.exists()) pending.get() else (0L, 0.0)
+    rows.foreach { case (_, v) => n += 1; total += v }
+    pending.update((n, total))
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(
+      timerValues.getCurrentProcessingTimeInMs() + idleFlushMs)
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo)
+      : Iterator[(Long, Long, Double)] = {
+    if (pending.exists()) {
+      val (n, total) = pending.get()
+      pending.clear()
+      Iterator((key, n, total))
+    } else Iterator.empty
+  }
+}
+
 /** Structured Streaming layer (SURVEY.md §2.11): the reference is pure
   * batch, but the problem is stream-shaped (flows arrive continuously;
   * the dashboard consumes live predictions) — BASELINE.json mandates
@@ -341,9 +388,16 @@ object StreamOps {
     * attribution report that includes unconverted views, with the
     * lateness contract built in (a left row whose window the final
     * watermark has not passed is withheld, not emitted with nulls —
-    * it could still match). `right`'s key column is renamed
-    * internally; all other column names must be disjoint between the
-    * two sides. */
+    * it could still match). RIGHT OUTER (`joinType = "right_outer"`)
+    * is the mirror: an unmatched RIGHT row null-augments once the
+    * watermark passes ITS admissible window — for this condition the
+    * latest admissible left event time is tsRight itself, so a right
+    * row evicts (and null-emits) when the watermark passes tsRight.
+    * `right`'s key column is renamed internally and coalesced back
+    * after the join — on outer-emitted rows the absent side's key
+    * column is null, so without the coalesce a right-outer unmatched
+    * row would lose its key; all other column names must be disjoint
+    * between the two sides. */
   def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
                          tsLeft: String, tsRight: String,
                          upperSeconds: Long,
@@ -356,6 +410,7 @@ object StreamOps {
         col(tsRight) >= col(tsLeft) &&
         col(tsRight) <= col(tsLeft) + expr(s"interval $upperSeconds seconds"),
         joinType)
+      .withColumn(keyCol, coalesce(col(keyCol), col("_rk")))
       .drop("_rk")
   }
 
@@ -528,6 +583,17 @@ object StreamOps {
     events.groupByKey(_._1)
       .transformWithState(new PerTypeCounts,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Idle-key flush on a PROCESSING-TIME timer — see
+    * [[IdleFlushTimers]]. Append mode: rows emerge only when a key's
+    * quiet period lapses, one aggregate row per flush. */
+  def idleFlushStream(events: Dataset[(Long, Double)],
+                      idleFlushMs: Long): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new IdleFlushTimers(idleFlushMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Gap sessionization with EVENT-TIME TIMER close — see

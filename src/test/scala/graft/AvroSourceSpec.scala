@@ -102,4 +102,39 @@ class AvroSourceSpec extends AnyFunSuite {
       src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(inferred.count() === src.count())
   }
+
+  test("DATE and DECIMAL ride the date / decimal logical types — " +
+       "exact values, scale, and nulls back; inference recovers the " +
+       "precision/scale from the schema") {
+    val src = Seq(
+      (1L, Some(java.sql.Date.valueOf("2024-02-29")), Some("1234567890.12")),
+      (2L, None, None),
+      (3L, Some(java.sql.Date.valueOf("1969-07-20")), Some("-0.01")),
+      (4L, Some(java.sql.Date.valueOf("1970-01-01")), Some("0.00"))
+    ).toDF("id", "d", "p_raw")
+      .withColumn("p", col("p_raw").cast("decimal(12,2)")).drop("p_raw")
+    val path = "/root/repo/target/avro_cache/spec_datedec"
+    AvroIO.write(src, path)
+    val back = spark.read.format("graft-avro").schema(src.schema)
+      .load(path)
+    assert(back.schema === src.schema)
+    assert(back.collect().map(_.toSeq).toSet ===
+      src.collect().map(_.toSeq).toSet)
+    // inference must rebuild DecimalType(12,2) / DateType from the
+    // logical annotations, not fall back to bytes / int
+    val inferred = spark.read.format("graft-avro").load(path)
+    assert(inferred.schema("d").dataType ===
+      org.apache.spark.sql.types.DateType)
+    assert(inferred.schema("p").dataType ===
+      org.apache.spark.sql.types.DecimalType(12, 2))
+  }
+
+  test("an unsupported Spark type fails fast with a clear error on " +
+       "write — never a silent drop or a mangled encoding") {
+    val src = Seq((1L, Seq(1, 2, 3))).toDF("id", "xs")
+    val e = intercept[IllegalArgumentException] {
+      AvroIO.write(src, "/root/repo/target/avro_cache/spec_bad")
+    }
+    assert(e.getMessage.contains("graft-avro does not map"))
+  }
 }

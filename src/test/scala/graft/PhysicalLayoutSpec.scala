@@ -79,4 +79,56 @@ class PhysicalLayoutSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("z-order layout + pushed rectangle predicate skips row groups " +
+       "a hash layout must read (the q133 file-skipping proof)") {
+    import graft.ops.LayoutOps
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(pmod(col("user_id"), lit(65536L)).as("da"),
+        pmod(col("event_id"), lit(65536L)).as("db"), col("value"))
+    val zDir = "/root/repo/target/zorder_cache/spec_z"
+    val hDir = "/root/repo/target/zorder_cache/spec_hash"
+    // same rows, two layouts: along the z-curve vs hash-scattered
+    LayoutOps.zOrderLayout(ev, col("da"), col("db"), 16)
+      .write.mode("overwrite").parquet(zDir)
+    ev.repartition(16).write.mode("overwrite").parquet(hDir)
+
+    // records actually READ from parquet (post row-group pruning),
+    // summed over the job's tasks via a listener; listener delivery is
+    // async, so poll until the counter stabilizes
+    def recordsRead(path: String): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        spark.read.parquet(path)
+          .filter(col("da") < 256 && col("db") < 256)
+          .agg(count(lit(1))).collect()
+        var prev = -1L
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val cur = acc.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        acc.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    val zRead = recordsRead(zDir)
+    val hRead = recordsRead(hDir)
+    // hash layout: every file spans the full (da, db) domain → no
+    // row group prunes, the scan reads ~all rows. z layout: the tight
+    // corner rectangle intersects only the files whose z-range covers
+    // it — the min/max stats skip the rest.
+    assert(hRead > 0, "listener captured no input metrics")
+    assert(zRead * 2 < hRead,
+      s"z-order layout must let the pushed rectangle skip most row " +
+        s"groups: z=$zRead vs hash=$hRead records read")
+  }
 }

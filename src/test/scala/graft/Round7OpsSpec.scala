@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.RelOps
+
+/** Round-7 operator units: composite-key MERGE / snapshot diff — the
+  * multi-column business key (the CDC norm) through the same
+  * one-full-outer-join shape the single-key forms pin. The oracled
+  * q134/q135 carry the DuckDB hash checks; these pin the label and
+  * null-handling corners on hand-built rows. */
+class Round7OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("composite-key mergeUpsert: delete / insert / update / keep " +
+       "resolve per (k1, k2) pair — never per single column") {
+    val base = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0))
+      .toDF("k1", "k2", "v")
+    val changes = Seq(("a", 1, 11.0), ("a", 3, 33.0), ("b", 1, -1.0))
+      .toDF("k1", "k2", "v")
+    val got = RelOps.mergeUpsert(base, changes, Seq("k1", "k2"),
+        chg => chg.getField("v") < 0)
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getDouble(2), r.getString(3)))).toMap
+    // ("b",1) deleted; ("a",2) kept (same k1 as updated rows — a
+    // single-column join would have clobbered it)
+    assert(got === Map(
+      ("a", 1) -> ((11.0, "updated")),
+      ("a", 2) -> ((20.0, "kept")),
+      ("a", 3) -> ((33.0, "inserted"))))
+  }
+
+  test("composite-key mergeUpsert: a NULL-bearing change row wins " +
+       "WHOLESALE (whole-struct pick, no field mixing)") {
+    val base = Seq(("a", 1, Some(10.0), Some("x"))).toDF("k1", "k2", "v", "s")
+    val changes = Seq(("a", 1, None: Option[Double], Some("y")))
+      .toDF("k1", "k2", "v", "s")
+    val row = RelOps.mergeUpsert(base, changes, Seq("k1", "k2"),
+      _ => lit(false)).collect().head
+    assert(row.isNullAt(row.fieldIndex("v")),
+      "the change's NULL v must win — field-level coalesce would " +
+        "resurrect the base's 10.0")
+    assert(row.getString(row.fieldIndex("s")) === "y")
+  }
+
+  test("composite-key snapshotDiff: status per (k1, k2); NULL payload " +
+       "fields compare null-safe (never misreport 'changed')") {
+    val old_ = Seq(("a", 1, None: Option[Double]), ("a", 2, Some(2.0)),
+      ("b", 1, Some(3.0))).toDF("k1", "k2", "v")
+    val new_ = Seq(("a", 1, None: Option[Double]), ("a", 2, Some(9.0)),
+      ("c", 1, Some(4.0))).toDF("k1", "k2", "v")
+    val got = RelOps.snapshotDiff(old_, new_, Seq("k1", "k2"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        r.getString(r.fieldIndex("status")))).toMap
+    assert(got === Map(
+      ("a", 1) -> "unchanged", // NULL <=> NULL
+      ("a", 2) -> "changed",
+      ("b", 1) -> "removed",
+      ("c", 1) -> "added"))
+  }
+}

@@ -116,4 +116,45 @@ class TimerTtlStreamSpec extends AnyFunSuite {
     assert(retained === Seq(2L, 4L, 6L),
       s"1 h TTL: unexpired state must accumulate, got $retained")
   }
+
+  test("processing-time timers: an idle key flushes its pending " +
+       "aggregate ONCE and restarts from empty state; a key with " +
+       "same-batch input re-arms instead of flushing") {
+    // idleFlushMs = 1: micro-batches are always > 1 ms apart, so a
+    // key's timer is expired by the NEXT batch — unless that batch
+    // carries new input for the key, which re-arms it first (input is
+    // processed before expired timers within a batch).
+    //   batch0: key1 ×2        → pending (2, 3.0), timer armed
+    //   batch1: key1 +10.0     → folds to (3, 13.0), RE-ARMS (no flush
+    //                            — the key was not idle)
+    //   batch2: key2 +5.0      → key1's timer fires: flush (1,3,13.0)
+    //   batch3: key1 +100.0    → FRESH state (proves the clear);
+    //                            key2's timer fires: flush (2,1,5.0)
+    //   drain:                 → key1's timer fires: flush (1,1,100.0)
+    val batches = Seq(
+      Seq((1L, 1.0), (1L, 2.0)),
+      Seq((1L, 10.0)),
+      Seq((2L, 5.0)),
+      Seq((1L, 100.0))
+    ).map(_.toDF("user_id", "value"))
+    val staged = stageBatches("idle_flush", batches)
+    val typed = StreamOps.fileStream(spark, batches.head.schema,
+        staged, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val out = StreamOps.idleFlushStream(typed, idleFlushMs = 1L)
+      .toDF("user_id", "n", "total")
+    // ProcessingTime mode never self-terminates under AvailableNow —
+    // drain by the expected flush count
+    val got = StreamOps.runToCompletion(out,
+        s"spec_idle_flush_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(2), rocksDb = true,
+        stopAfterRows = Some(3L))
+      .select(col("user_id"), col("n"), col("total"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.sorted === Seq((1L, 1L, 100.0), (1L, 3L, 13.0),
+      (2L, 1L, 5.0)), s"unexpected flush set: $got")
+    assert(got.count(_ == ((1L, 1L, 100.0))) === 1,
+      "key1's post-flush state must restart from empty (n=1), which " +
+        "also proves the flush cleared it")
+  }
 }
