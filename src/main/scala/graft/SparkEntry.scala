@@ -2078,6 +2078,32 @@ object SparkEntry {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    // Nested-record + array Avro round-trip (the Kafka ENVELOPE
+    // shape — a record of records with a repeated field): orders
+    // wrapped in a nested info struct and a key array, written
+    // through AvroIO (nested records / avro arrays, recursive
+    // conversion) and read back through the DSv2 source. Flattening
+    // the envelope and aggregating must equal the flat relational
+    // twin — a field lost in nested schema resolution or an element
+    // dropped in the array encoding hash-mismatches.
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      struct(col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price")).as("info"),
+      array(col("o_custkey"), col("o_orderkey")).as("keys"))
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/avro_cache/orders_nested_$sfTag"
+    graft.sources.AvroIO.write(src, path)
+    s.read.format("graft-avro").schema(src.schema).load(path)
+      .groupBy(col("info.status").as("status"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("info.price")), 2).as("total_price"),
+        sum(element_at(col("keys"), 1) + element_at(col("keys"), 2))
+          .cast("long").as("key_sum"))
+      .orderBy(col("status"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2734,6 +2760,7 @@ object SparkEntry {
     "q133_zorder_prune" -> q133 _,
     "q134_merge_multikey" -> q134 _,
     "q135_diff_multikey" -> q135 _,
+    "q136_avro_nested" -> q136 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4461,5 +4488,11 @@ object SparkEntry {
         |FROM a FULL OUTER JOIN b
         |  ON a.user_id = b.user_id AND a.event_type = b.event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    "q136_avro_nested" ->
+      // the flat relational twin of the nested-envelope round-trip
+      """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  sum(o_custkey + o_orderkey)::BIGINT AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
   )
 }

@@ -27,9 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * type subset: boolean / int / long / float / double / string /
   * binary / timestamp (micros logical) / date (date logical over int)
   * / decimal (decimal logical over bytes, precision+scale from the
-  * schema), each nullable via the standard `union(null, T)` — the
-  * fixture tables' type surface plus the first two types a real
-  * warehouse feed adds beyond it.
+  * schema) / nested structs (nested records, recursive) / arrays,
+  * each nullable via the standard `union(null, T)` — the fixture
+  * tables' type surface plus the envelope shapes (date, decimal,
+  * nested, repeated) a real warehouse feed adds beyond it.
   *
   * Scale shape: one InputPartition per `.avro` container file (the
   * Avro analogue of parquet row-group splits; container blocks could
@@ -84,35 +85,48 @@ object AvroSource {
 }
 
 /** StructType ↔ Avro Schema for the supported subset. Kept separate so
-  * the writer ([[AvroIO]]) and reader agree on one mapping. */
+  * the writer ([[AvroIO]]) and reader agree on one mapping. Nested
+  * records and arrays map recursively (a Kafka feed's envelope is
+  * routinely a record of records with repeated fields); nested record
+  * names are derived from the field path — Avro requires every record
+  * schema in a file to carry a unique full name. */
 object AvroSchemas {
+  private def baseSchema(dt: DataType, path: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      // Avro `date` logical: int days since epoch — exactly
+      // Spark's internal DateType representation
+      org.apache.avro.LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT))
+    case d: DecimalType =>
+      // Avro `decimal` logical over bytes: big-endian two's
+      // -complement unscaled value; precision/scale ride the schema
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case st: StructType => toAvro(st, path)
+    case ArrayType(elem, containsNull) =>
+      // array elements get the same union-null treatment as fields
+      val e = baseSchema(elem, s"${path}_item")
+      Schema.createArray(if (containsNull)
+        Schema.createUnion(List(Schema.create(Schema.Type.NULL), e).asJava)
+      else e)
+    case other => throw new IllegalArgumentException(
+      s"graft-avro does not map ${other.simpleString}")
+  }
+
   def toAvro(struct: StructType, recordName: String): Schema = {
     val nullSchema = Schema.create(Schema.Type.NULL)
     val fields: JList[Schema.Field] = struct.fields.map { f =>
-      val base = f.dataType match {
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case LongType => Schema.create(Schema.Type.LONG)
-        case FloatType => Schema.create(Schema.Type.FLOAT)
-        case DoubleType => Schema.create(Schema.Type.DOUBLE)
-        case StringType => Schema.create(Schema.Type.STRING)
-        case BinaryType => Schema.create(Schema.Type.BYTES)
-        case TimestampType =>
-          org.apache.avro.LogicalTypes.timestampMicros()
-            .addToSchema(Schema.create(Schema.Type.LONG))
-        case DateType =>
-          // Avro `date` logical: int days since epoch — exactly
-          // Spark's internal DateType representation
-          org.apache.avro.LogicalTypes.date()
-            .addToSchema(Schema.create(Schema.Type.INT))
-        case d: DecimalType =>
-          // Avro `decimal` logical over bytes: big-endian two's
-          // -complement unscaled value; precision/scale ride the schema
-          org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
-            .addToSchema(Schema.create(Schema.Type.BYTES))
-        case other => throw new IllegalArgumentException(
-          s"graft-avro does not map ${other.simpleString}")
-      }
+      val base = baseSchema(f.dataType, s"${recordName}_${f.name}")
       val sch = if (f.nullable)
         Schema.createUnion(List(nullSchema, base).asJava) else base
       new Schema.Field(f.name, sch, null, null)
@@ -120,39 +134,44 @@ object AvroSchemas {
     Schema.createRecord(recordName, null, "graft", false, fields)
   }
 
-  def toStruct(schema: Schema): StructType = {
-    def unwrap(s: Schema): (Schema, Boolean) =
-      if (s.getType == Schema.Type.UNION) {
-        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-        require(nonNull.size == 1, s"unsupported union $s")
-        (nonNull.head, true)
-      } else (s, false)
+  private def unwrap(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1, s"unsupported union $s")
+      (nonNull.head, true)
+    } else (s, false)
+
+  private def toDataType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT =>
+      if (s.getLogicalType != null &&
+          s.getLogicalType.getName == "date") DateType
+      else IntegerType
+    case Schema.Type.LONG =>
+      if (s.getLogicalType != null &&
+          s.getLogicalType.getName == "timestamp-micros") TimestampType
+      else LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING => StringType
+    case Schema.Type.BYTES => s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        DecimalType(d.getPrecision, d.getScale)
+      case _ => BinaryType
+    }
+    case Schema.Type.RECORD => toStruct(s)
+    case Schema.Type.ARRAY =>
+      val (elem, containsNull) = unwrap(s.getElementType)
+      ArrayType(toDataType(elem), containsNull)
+    case other => throw new IllegalArgumentException(
+      s"graft-avro does not map avro $other")
+  }
+
+  def toStruct(schema: Schema): StructType =
     StructType(schema.getFields.asScala.map { f =>
       val (s, nullable) = unwrap(f.schema())
-      val dt = s.getType match {
-        case Schema.Type.BOOLEAN => BooleanType
-        case Schema.Type.INT =>
-          if (s.getLogicalType != null &&
-              s.getLogicalType.getName == "date") DateType
-          else IntegerType
-        case Schema.Type.LONG =>
-          if (s.getLogicalType != null &&
-              s.getLogicalType.getName == "timestamp-micros") TimestampType
-          else LongType
-        case Schema.Type.FLOAT => FloatType
-        case Schema.Type.DOUBLE => DoubleType
-        case Schema.Type.STRING => StringType
-        case Schema.Type.BYTES => s.getLogicalType match {
-          case d: org.apache.avro.LogicalTypes.Decimal =>
-            DecimalType(d.getPrecision, d.getScale)
-          case _ => BinaryType
-        }
-        case other => throw new IllegalArgumentException(
-          s"graft-avro does not map avro $other")
-      }
-      StructField(f.name(), dt, nullable)
+      StructField(f.name(), toDataType(s), nullable)
     }.toArray)
-  }
 }
 
 class AvroTable(schema: StructType, path: String)
@@ -273,9 +292,12 @@ class AvroReaderFactory(requiredJson: String)
 
 /** Reads one container file; the pruned StructType becomes the Avro
   * READER schema, so resolution skips unrequested fields at decode
-  * time. Values convert avro-internal → Spark-internal (Utf8 →
-  * UTF8String, ByteBuffer → Array[Byte], timestamp-micros long rides
-  * through — Spark's internal timestamp IS micros). */
+  * time (including nested record fields — resolution matches by
+  * name recursively). Values convert avro-internal → Spark-internal
+  * (Utf8 → UTF8String, ByteBuffer → Array[Byte], timestamp-micros
+  * long rides through — Spark's internal timestamp IS micros; nested
+  * records recurse into GenericInternalRow, arrays into
+  * GenericArrayData). */
 class AvroPartitionReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
   private val readerSchema = AvroSchemas.toAvro(required, "graft_record")
@@ -290,29 +312,46 @@ class AvroPartitionReader(file: String, required: StructType)
     else false
   }
 
+  private def fromAvro(dt: DataType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(v.toString)
+      case BinaryType =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+        arr
+      case d: DecimalType =>
+        // bytes → big-endian unscaled BigInteger → Spark Decimal
+        // at the schema's scale (the writer's exact value back)
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(new java.math.BigInteger(arr),
+            d.scale), d.precision, d.scale)
+      case st: StructType =>
+        val rec = v.asInstanceOf[GenericRecord]
+        val vals = new Array[Any](st.length)
+        var i = 0
+        while (i < st.length) {
+          vals(i) = fromAvro(st.fields(i).dataType, rec.get(i))
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      case ArrayType(elem, _) =>
+        val c = v.asInstanceOf[java.util.Collection[Any]]
+        val out = new Array[Any](c.size())
+        val it = c.iterator()
+        var i = 0
+        while (it.hasNext) { out(i) = fromAvro(elem, it.next()); i += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case _ => v // boolean/int/long/float/double/ts-micros/date
+    }
+
   override def get(): InternalRow = {
     val vals = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {
-      val v = record.get(i)
-      vals(i) =
-        if (v == null) null
-        else required.fields(i).dataType match {
-          case StringType => UTF8String.fromString(v.toString)
-          case BinaryType =>
-            val bb = v.asInstanceOf[java.nio.ByteBuffer]
-            val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
-            arr
-          case d: DecimalType =>
-            // bytes → big-endian unscaled BigInteger → Spark Decimal
-            // at the schema's scale (the writer's exact value back)
-            val bb = v.asInstanceOf[java.nio.ByteBuffer]
-            val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
-            org.apache.spark.sql.types.Decimal(
-              new java.math.BigDecimal(new java.math.BigInteger(arr),
-                d.scale), d.precision, d.scale)
-          case _ => v // boolean/int/long/float/double/ts-micros/date
-        }
+      vals(i) = fromAvro(required.fields(i).dataType, record.get(i))
       i += 1
     }
     new GenericInternalRow(vals)

@@ -129,9 +129,26 @@ class AvroSourceSpec extends AnyFunSuite {
       org.apache.spark.sql.types.DecimalType(12, 2))
   }
 
+  test("nested structs and arrays round-trip as nested records / " +
+       "avro arrays — values, nulls, and float arrays exact") {
+    val src = Seq(
+      (1L, Some(("x", 10.0)), Seq(1.5f, -2.25f), Seq(Some(1L), None)),
+      (2L, None, Seq.empty[Float], Seq(Some(7L)))
+    ).toDF("id", "info", "vec", "opts")
+    val path = "/root/repo/target/avro_cache/spec_nested"
+    AvroIO.write(src, path)
+    val back = spark.read.format("graft-avro").schema(src.schema)
+      .load(path)
+    assert(back.schema === src.schema)
+    assert(back.collect().map(_.toSeq).toSet ===
+      src.collect().map(_.toSeq).toSet)
+    // nested-field access through the round-trip
+    assert(back.filter(col("info._1") === "x").count() === 1)
+  }
+
   test("an unsupported Spark type fails fast with a clear error on " +
        "write — never a silent drop or a mangled encoding") {
-    val src = Seq((1L, Seq(1, 2, 3))).toDF("id", "xs")
+    val src = Seq((1L, Map("a" -> 1))).toDF("id", "m")
     val e = intercept[IllegalArgumentException] {
       AvroIO.write(src, "/root/repo/target/avro_cache/spec_bad")
     }

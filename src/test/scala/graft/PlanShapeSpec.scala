@@ -282,6 +282,29 @@ class PlanShapeSpec extends AnyFunSuite {
         p.take(1500))
   }
 
+  test("q129: equi-depth binning windows the distinct-value HISTOGRAM " +
+       "only — one Window, fed by a map-side-combinable aggregate, " +
+       "never a data-sized ntile sort or a crossJoin'd total") {
+    val p = planOf("q129_equidepth_bins")
+    assert("Window".r.findAllIn(p).length === 1,
+      s"running count and grand total must share one Window:\n${p.take(1500)}")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"histogram must partial-aggregate before the exchange:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"no crossJoin'd total aggregate:\n${p.take(1500)}")
+  }
+
+  test("q130: melt fans out inside the scan stage — ONE parquet scan " +
+       "feeding an Expand, never a per-metric union of 4 scans") {
+    val p = planOf("q130_melt")
+    assert(p.contains("Expand"), s"melt must plan as Expand:\n${p.take(1500)}")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"melt re-scans the table per metric:\n${p.take(1500)}")
+    assert(!p.contains("Union"),
+      s"melt degraded to a union of scans:\n${p.take(1500)}")
+  }
+
   test("q126: snapshot diff is ONE full-outer equi-join over two " +
        "map-side-compacted snapshots — no rank window") {
     val p = planOf("q126_table_diff")
