@@ -2104,6 +2104,38 @@ object SparkEntry {
       .orderBy(col("status"))
   }
 
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    // Stream-stream FULL OUTER interval join — completes the family
+    // (inner q61 / left q127 / right q132): BOTH unmatched sides
+    // null-augment exactly once, each when the watermark passes its
+    // OWN eviction point (view_ts + 4h for views, buy_ts for
+    // purchases — the two predicates the left/right oracles proved
+    // separately, now combined). State stays bounded on both sides.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    def side(tpe: String, tsName: String, idName: String) =
+      Tables.withTimestamps(StreamOps.fileStream(s, schema, staged),
+          "events")
+        .filter(col("user_id") < 100 && col("event_type") === tpe)
+        .select(col("user_id"), col("ts").as(tsName),
+          col("event_id").as(idName))
+    val joined = StreamOps.intervalJoinStream(
+      side("view", "view_ts", "view_id"),
+      side("purchase", "buy_ts", "buy_id"),
+      "user_id", "view_ts", "buy_ts", 14400L, "6 hours",
+      joinType = "full_outer")
+    StreamOps.runToCompletion(joined, s"q137_${System.nanoTime()}",
+        outputMode = "append", statePartitions = Some(8))
+      .select(col("user_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(col("buy_id"), lit(-1L)).as("buy_id"),
+        coalesce(date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("-")).as("view_ts"),
+        coalesce(date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("-")).as("buy_ts"))
+      .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2761,6 +2793,7 @@ object SparkEntry {
     "q134_merge_multikey" -> q134 _,
     "q135_diff_multikey" -> q135 _,
     "q136_avro_nested" -> q136 _,
+    "q137_stream_full_outer" -> q137 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4494,5 +4527,45 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total_price,
         |  sum(o_custkey + o_orderkey)::BIGINT AS key_sum
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    "q137_stream_full_outer" ->
+      // matched pairs, plus BOTH unmatched sides gated on their own
+      // watermark-eviction predicates (view_ts + 4h for views —
+      // q127's half; buy_ts for purchases — q132's half)
+      """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+        |    FROM events WHERE user_id < 100 AND event_type = 'view'),
+        |  p AS (SELECT user_id, ts AS buy_ts, event_id AS buy_id
+        |    FROM events WHERE user_id < 100 AND event_type = 'purchase'),
+        |  wm AS (SELECT least((SELECT max(epoch_ms(view_ts)) FROM v),
+        |      (SELECT max(epoch_ms(buy_ts)) FROM p)) - 21600000 AS w),
+        |  m AS (SELECT v.user_id, v.view_id, p.buy_id, v.view_ts,
+        |      p.buy_ts
+        |    FROM v JOIN p ON v.user_id = p.user_id
+        |      AND p.buy_ts >= v.view_ts
+        |      AND p.buy_ts <= v.view_ts + INTERVAL 4 HOUR),
+        |  um AS (SELECT v.user_id, v.view_id, v.view_ts FROM v
+        |    WHERE NOT EXISTS (SELECT 1 FROM p
+        |        WHERE p.user_id = v.user_id
+        |          AND p.buy_ts >= v.view_ts
+        |          AND p.buy_ts <= v.view_ts + INTERVAL 4 HOUR)
+        |      AND epoch_ms(v.view_ts) + 14400000 < (SELECT w FROM wm)),
+        |  up AS (SELECT p.user_id, p.buy_id, p.buy_ts FROM p
+        |    WHERE NOT EXISTS (SELECT 1 FROM v
+        |        WHERE v.user_id = p.user_id
+        |          AND p.buy_ts >= v.view_ts
+        |          AND p.buy_ts <= v.view_ts + INTERVAL 4 HOUR)
+        |      AND epoch_ms(p.buy_ts) < (SELECT w FROM wm))
+        |SELECT user_id, view_id, buy_id::BIGINT AS buy_id,
+        |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(buy_ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
+        |FROM m
+        |UNION ALL
+        |SELECT user_id, view_id, (-1)::BIGINT AS buy_id,
+        |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts, '-' AS buy_ts
+        |FROM um
+        |UNION ALL
+        |SELECT user_id, (-1)::BIGINT AS view_id, buy_id,
+        |  '-' AS view_ts, strftime(buy_ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
+        |FROM up
+        |ORDER BY user_id, view_id, buy_id""".stripMargin,
   )
 }
