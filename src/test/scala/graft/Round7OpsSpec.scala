@@ -45,6 +45,26 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(row.getString(row.fieldIndex("s")) === "y")
   }
 
+  test("composite-key mergeUpsert/snapshotDiff: empty sides degrade " +
+       "gracefully (all-kept / all-inserted / all-added / all-removed)") {
+    val rows = Seq(("a", 1, 1.0), ("b", 2, 2.0)).toDF("k1", "k2", "v")
+    val none = rows.filter(lit(false))
+    def actions(base: org.apache.spark.sql.DataFrame,
+                chg: org.apache.spark.sql.DataFrame) =
+      RelOps.mergeUpsert(base, chg, Seq("k1", "k2"), _ => lit(false))
+        .select("action").as[String].collect().toSeq.sorted
+    assert(actions(rows, none) === Seq("kept", "kept"))
+    assert(actions(none, rows) === Seq("inserted", "inserted"))
+    def statuses(o: org.apache.spark.sql.DataFrame,
+                 n: org.apache.spark.sql.DataFrame) =
+      RelOps.snapshotDiff(o, n, Seq("k1", "k2"))
+        .select("status").as[String].collect().toSeq.sorted
+    assert(statuses(rows, none) === Seq("removed", "removed"))
+    assert(statuses(none, rows) === Seq("added", "added"))
+    assert(RelOps.mergeUpsert(none, none, Seq("k1", "k2"),
+      _ => lit(false)).count() === 0)
+  }
+
   test("composite-key snapshotDiff: status per (k1, k2); NULL payload " +
        "fields compare null-safe (never misreport 'changed')") {
     val old_ = Seq(("a", 1, None: Option[Double]), ("a", 2, Some(2.0)),
