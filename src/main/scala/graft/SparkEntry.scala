@@ -2079,19 +2079,23 @@ object SparkEntry {
   }
 
   private def q136(s: SparkSession, dir: String): DataFrame = {
-    // Nested-record + array Avro round-trip (the Kafka ENVELOPE
-    // shape — a record of records with a repeated field): orders
-    // wrapped in a nested info struct and a key array, written
-    // through AvroIO (nested records / avro arrays, recursive
-    // conversion) and read back through the DSv2 source. Flattening
-    // the envelope and aggregating must equal the flat relational
-    // twin — a field lost in nested schema resolution or an element
-    // dropped in the array encoding hash-mismatches.
+    // Nested-record + array + map Avro round-trip (the Kafka ENVELOPE
+    // shape — a record of records with repeated and keyed fields):
+    // orders wrapped in a nested info struct, a key array, and a
+    // string-keyed feature map, written through AvroIO (nested
+    // records / avro arrays / avro maps, recursive conversion) and
+    // read back through the DSv2 source. Flattening the envelope and
+    // aggregating must equal the flat relational twin — a field lost
+    // in nested schema resolution, an element dropped in the array
+    // encoding, or a map entry lost in the keyed encoding
+    // hash-mismatches.
     val src = t(s, dir, "orders").select(
       col("o_orderkey"),
       struct(col("o_orderstatus").as("status"),
         col("o_totalprice").as("price")).as("info"),
-      array(col("o_custkey"), col("o_orderkey")).as("keys"))
+      array(col("o_custkey"), col("o_orderkey")).as("keys"),
+      map(lit("cust"), col("o_custkey").cast("double"),
+        lit("price"), col("o_totalprice")).as("feats"))
     val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"/root/repo/target/avro_cache/orders_nested_$sfTag"
     graft.sources.AvroIO.write(src, path)
@@ -2100,7 +2104,8 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         round(sum(col("info.price")), 2).as("total_price"),
         sum(element_at(col("keys"), 1) + element_at(col("keys"), 2))
-          .cast("long").as("key_sum"))
+          .cast("long").as("key_sum"),
+        sum(element_at(col("feats"), "cust")).cast("long").as("cust_sum"))
       .orderBy(col("status"))
   }
 
@@ -4525,7 +4530,8 @@ object SparkEntry {
       // the flat relational twin of the nested-envelope round-trip
       """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
         |  round(sum(o_totalprice), 2) AS total_price,
-        |  sum(o_custkey + o_orderkey)::BIGINT AS key_sum
+        |  sum(o_custkey + o_orderkey)::BIGINT AS key_sum,
+        |  sum(o_custkey)::BIGINT AS cust_sum
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     "q137_stream_full_outer" ->
       // matched pairs, plus BOTH unmatched sides gated on their own

@@ -65,6 +65,19 @@ object AvroIO {
         j += 1
       }
       out
+    case MapType(StringType, value, _) =>
+      val m = g.getMap(i)
+      val keys = m.keyArray(); val vals = m.valueArray()
+      val valueSchema = unwrapNull(avro.getValueType)
+      val out = new java.util.HashMap[String, Any](m.numElements())
+      var j = 0
+      while (j < m.numElements()) {
+        out.put(keys.getUTF8String(j).toString,
+          if (vals.isNullAt(j)) null
+          else toAvroValue(value, vals, j, valueSchema))
+        j += 1
+      }
+      out
     case other => throw new IllegalArgumentException(
       s"graft-avro does not map ${other.simpleString}")
   }

@@ -27,10 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * type subset: boolean / int / long / float / double / string /
   * binary / timestamp (micros logical) / date (date logical over int)
   * / decimal (decimal logical over bytes, precision+scale from the
-  * schema) / nested structs (nested records, recursive) / arrays,
-  * each nullable via the standard `union(null, T)` — the fixture
-  * tables' type surface plus the envelope shapes (date, decimal,
-  * nested, repeated) a real warehouse feed adds beyond it.
+  * schema) / nested structs (nested records, recursive) / arrays /
+  * string-keyed maps (Avro's map contract), each nullable via the
+  * standard `union(null, T)` — the fixture tables' type surface plus
+  * the envelope shapes (date, decimal, nested, repeated, keyed) a
+  * real warehouse feed adds beyond it.
   *
   * Scale shape: one InputPartition per `.avro` container file (the
   * Avro analogue of parquet row-group splits; container blocks could
@@ -119,6 +120,13 @@ object AvroSchemas {
       Schema.createArray(if (containsNull)
         Schema.createUnion(List(Schema.create(Schema.Type.NULL), e).asJava)
       else e)
+    case MapType(StringType, value, valueContainsNull) =>
+      // Avro maps are string-keyed by definition — exactly the
+      // feature-store map shape (q93); non-string keys are rejected
+      val v = baseSchema(value, s"${path}_value")
+      Schema.createMap(if (valueContainsNull)
+        Schema.createUnion(List(Schema.create(Schema.Type.NULL), v).asJava)
+      else v)
     case other => throw new IllegalArgumentException(
       s"graft-avro does not map ${other.simpleString}")
   }
@@ -163,6 +171,9 @@ object AvroSchemas {
     case Schema.Type.ARRAY =>
       val (elem, containsNull) = unwrap(s.getElementType)
       ArrayType(toDataType(elem), containsNull)
+    case Schema.Type.MAP =>
+      val (value, valueContainsNull) = unwrap(s.getValueType)
+      MapType(StringType, toDataType(value), valueContainsNull)
     case other => throw new IllegalArgumentException(
       s"graft-avro does not map avro $other")
   }
@@ -344,6 +355,21 @@ class AvroPartitionReader(file: String, required: StructType)
         var i = 0
         while (it.hasNext) { out(i) = fromAvro(elem, it.next()); i += 1 }
         new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case MapType(StringType, value, _) =>
+        val m = v.asInstanceOf[java.util.Map[Any, Any]]
+        val keys = new Array[Any](m.size())
+        val vals = new Array[Any](m.size())
+        val it = m.entrySet().iterator()
+        var i = 0
+        while (it.hasNext) {
+          val e = it.next()
+          keys(i) = UTF8String.fromString(e.getKey.toString)
+          vals(i) = fromAvro(value, e.getValue)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
       case _ => v // boolean/int/long/float/double/ts-micros/date
     }
 

@@ -129,12 +129,14 @@ class AvroSourceSpec extends AnyFunSuite {
       org.apache.spark.sql.types.DecimalType(12, 2))
   }
 
-  test("nested structs and arrays round-trip as nested records / " +
-       "avro arrays — values, nulls, and float arrays exact") {
+  test("nested structs, arrays, and string-keyed maps round-trip as " +
+       "nested records / avro arrays / avro maps — values, nulls, " +
+       "and float arrays exact") {
     val src = Seq(
-      (1L, Some(("x", 10.0)), Seq(1.5f, -2.25f), Seq(Some(1L), None)),
-      (2L, None, Seq.empty[Float], Seq(Some(7L)))
-    ).toDF("id", "info", "vec", "opts")
+      (1L, Some(("x", 10.0)), Seq(1.5f, -2.25f), Seq(Some(1L), None),
+        Map("a" -> 1.0, "b" -> -2.5)),
+      (2L, None, Seq.empty[Float], Seq(Some(7L)), Map.empty[String, Double])
+    ).toDF("id", "info", "vec", "opts", "feats")
     val path = "/root/repo/target/avro_cache/spec_nested"
     AvroIO.write(src, path)
     val back = spark.read.format("graft-avro").schema(src.schema)
@@ -148,7 +150,8 @@ class AvroSourceSpec extends AnyFunSuite {
 
   test("an unsupported Spark type fails fast with a clear error on " +
        "write — never a silent drop or a mangled encoding") {
-    val src = Seq((1L, Map("a" -> 1))).toDF("id", "m")
+    // Avro maps are string-keyed by definition — int keys must reject
+    val src = Seq((1L, Map(1 -> 1))).toDF("id", "m")
     val e = intercept[IllegalArgumentException] {
       AvroIO.write(src, "/root/repo/target/avro_cache/spec_bad")
     }
