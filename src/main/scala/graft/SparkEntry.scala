@@ -2141,6 +2141,25 @@ object SparkEntry {
       .orderBy(col("user_id"), col("view_id"), col("buy_id"))
   }
 
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    // Exponential time-decay trailing features
+    // (RelOps.trailingDecayFeatures): recency-weighted prior-event
+    // count and value sum per event over the same user's preceding
+    // hour — the leakage-free (strictly-earlier) feature shape an ML
+    // training pipeline derives per example. Bucketed (key, hour)
+    // equi-join, window bound residual in the ON clause — the q95/q101
+    // no-nested-loop discipline; the oracle runs the naive
+    // theta-join, so a dropped bucket boundary or a self-match
+    // hash-mismatches. epoch seconds as f64 micros/1e6 on BOTH
+    // engines; round(…, 6) absorbs exp() libm ulp skew (q128's ln
+    // contract).
+    RelOps.trailingDecayFeatures(
+        t(s, dir, "events").filter(col("user_id") < 300),
+        "user_id", "ts", "event_id", "value",
+        windowSeconds = 3600L, tauSeconds = 1800.0,
+        bucketSeconds = 3600L)
+      .orderBy(col("user_id"), col("event_id"))
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2799,6 +2818,7 @@ object SparkEntry {
     "q135_diff_multikey" -> q135 _,
     "q136_avro_nested" -> q136 _,
     "q137_stream_full_outer" -> q137 _,
+    "q138_decay_features" -> q138 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4573,5 +4593,20 @@ object SparkEntry {
         |  '-' AS view_ts, strftime(buy_ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
         |FROM up
         |ORDER BY user_id, view_id, buy_id""".stripMargin,
+    "q138_decay_features" ->
+      // the naive theta-join spelling of the same trailing-window
+      // decay aggregate; epoch seconds derived micros/1e6 in f64 on
+      // both engines
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(ts) / 1000000.0 AS t, value
+        |  FROM events WHERE user_id < 300)
+        |SELECT a.user_id, a.event_id, count(b.t)::BIGINT AS n_prior,
+        |  coalesce(round(sum(exp((b.t - a.t) / 1800.0)), 6), 0.0)
+        |    AS decay_count,
+        |  coalesce(round(sum(b.value * exp((b.t - a.t) / 1800.0)), 6), 0.0)
+        |    AS decay_value
+        |FROM e a LEFT JOIN e b ON a.user_id = b.user_id
+        |  AND b.t >= a.t - 3600 AND b.t < a.t
+        |GROUP BY 1, 2 ORDER BY a.user_id, a.event_id""".stripMargin,
   )
 }

@@ -210,6 +210,50 @@ object RelOps {
       .drop("_bkt")
   }
 
+  /** Exponential time-decay trailing features — the leakage-free ML
+    * feature-engineering shape: for every event, aggregate the SAME
+    * key's STRICTLY-EARLIER events inside the trailing window
+    * `[t - windowSeconds, t)`, weighting each by
+    * `exp(-(t - t') / tauSeconds)` (recency-weighted count and value
+    * sum). Strictly-earlier keeps the feature causal — the event never
+    * sees itself or its future.
+    *
+    * Execution is the [[rangeLookupJoin]] reformulation with the key
+    * folded in: each event's trailing window explodes to its
+    * time buckets (≤ window/bucket + 1 rows, bounded), each candidate
+    * prior event is a POINT in exactly one bucket, and the join is an
+    * EQUI-join on (key, bucket) with the window bound as a residual
+    * inside the join condition — no nested loop, no dedup (a point
+    * occupies one bucket), shuffle keyed on (key, bucket) so a hot
+    * key's history still spreads across its time range. LEFT OUTER
+    * with the residual in the ON clause keeps zero-history events in
+    * the output with zero features (a post-join filter would silently
+    * drop an event whose only candidates fell outside the window). */
+  def trailingDecayFeatures(df: DataFrame, keyCol: String, tsCol: String,
+                            idCol: String, valueCol: String,
+                            windowSeconds: Long, tauSeconds: Double,
+                            bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val sec = col(tsCol).cast("double")
+    val cur = df.select(col(keyCol), col(idCol), sec.as("_t"))
+      .withColumn("_bkt", explode(sequence(
+        floor((col("_t") - windowSeconds) / bucketSeconds),
+        floor(col("_t") / bucketSeconds))))
+    val prior = df.select(col(keyCol).as("_pk"), sec.as("_pt"),
+        col(valueCol).cast("double").as("_pv"))
+      .withColumn("_pbkt", floor(col("_pt") / bucketSeconds))
+    val w = exp((col("_pt") - col("_t")) / tauSeconds)
+    cur.join(prior,
+        col(keyCol) === col("_pk") && col("_bkt") === col("_pbkt") &&
+          col("_pt") >= col("_t") - windowSeconds && col("_pt") < col("_t"),
+        "left_outer")
+      .groupBy(col(keyCol), col(idCol))
+      .agg(count(col("_pt")).as("n_prior"),
+        coalesce(round(sum(w), 6), lit(0.0)).as("decay_count"),
+        coalesce(round(sum(col("_pv") * w), 6), lit(0.0))
+          .as("decay_value"))
+  }
+
   /** MERGE-apply (the warehouse upsert sink): `base` and `changes` are
     * one-row-per-key frames with identical schemas; a change row wins
     * over the base row WHOLESALE — the winning side's entire payload

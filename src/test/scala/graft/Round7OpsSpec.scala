@@ -65,6 +65,49 @@ class Round7OpsSpec extends AnyFunSuite {
       _ => lit(false)).count() === 0)
   }
 
+  test("trailingDecayFeatures: strictly-earlier window, hand-computed " +
+       "weights, zero-history events kept with zero features") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      (1L, 10L, ts(0), 2.0),    // no prior
+      (1L, 11L, ts(60), 4.0),   // prior: event 10 @ t=0
+      (1L, 12L, ts(4000), 8.0), // window [400, 4000): both priors out
+      (2L, 20L, ts(60), 1.0)    // other key: never sees key 1
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = RelOps.trailingDecayFeatures(df, "user_id", "ts",
+        "event_id", "value", windowSeconds = 3600L, tauSeconds = 1800.0,
+        bucketSeconds = 3600L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val w = BigDecimal(math.exp(-60.0 / 1800.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wv = BigDecimal(2.0 * math.exp(-60.0 / 1800.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map(
+      10L -> ((0L, 0.0, 0.0)),  // kept despite zero history
+      11L -> ((1L, w, wv)),
+      12L -> ((0L, 0.0, 0.0)),  // candidates exist but fall outside
+      20L -> ((0L, 0.0, 0.0))))
+  }
+
+  test("trailingDecayFeatures plans as an equi-join on (key, bucket) " +
+       "— no nested-loop, windows crossing bucket boundaries exact") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    // prior at t=3590 (bucket 0), event at t=3610 (bucket 1): the
+    // trailing hour spans both buckets — the explode must find it
+    val df = Seq((1L, 1L, ts(3590), 5.0), (1L, 2L, ts(3610), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = RelOps.trailingDecayFeatures(df, "user_id", "ts",
+      "event_id", "value", 3600L, 1800.0, 3600L)
+    val row = out.filter(col("event_id") === 2L).collect().head
+    assert(row.getLong(row.fieldIndex("n_prior")) === 1L,
+      "cross-bucket prior missed")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"decay features must equi-join on (key, bucket):\n$p")
+  }
+
   test("composite-key snapshotDiff: status per (k1, k2); NULL payload " +
        "fields compare null-safe (never misreport 'changed')") {
     val old_ = Seq(("a", 1, None: Option[Double]), ("a", 2, Some(2.0)),
