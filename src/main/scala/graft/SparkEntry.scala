@@ -1364,8 +1364,8 @@ object SparkEntry {
     java.nio.file.Files.createDirectories(streamDir)
     // clear leftovers from prior runs/layouts — a stale extra file in
     // the monitored dir would silently double the stream
-    java.nio.file.Files.list(streamDir)
-      .forEach(java.nio.file.Files.deleteIfExists(_))
+    Fs.listDir(streamDir)(
+      _.forEach(java.nio.file.Files.deleteIfExists(_)))
     (0 until copies).foreach { i =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/$table.parquet"),
@@ -1396,7 +1396,7 @@ object SparkEntry {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val streamDir = Paths.get(key)
       Files.createDirectories(streamDir)
-      Files.list(streamDir).forEach(Files.deleteIfExists(_))
+      Fs.listDir(streamDir)(_.forEach(Files.deleteIfExists(_)))
       val typed = t(s, dir, "events")
         .select(col("user_id").cast("long").as("user_id"),
           col("event_id").cast("long").as("event_id"),
@@ -1408,15 +1408,15 @@ object SparkEntry {
         val tmp = s"${key}_tmp$b"
         typed.filter(col("_b") === b).drop("_b").coalesce(1)
           .write.mode("overwrite").parquet(tmp)
-        val part = Files.list(Paths.get(tmp))
-          .filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst().get()
+        val part = Fs.listDir(Paths.get(tmp))(
+          _.filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst().get())
         val dest = streamDir.resolve(s"batch$b.parquet")
         Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime
             .fromMillis(1000000000000L + b * 600000L))
-        Files.list(Paths.get(tmp)).forEach(Files.deleteIfExists(_))
+        Fs.listDir(Paths.get(tmp))(_.forEach(Files.deleteIfExists(_)))
         Files.deleteIfExists(Paths.get(tmp))
       }
       key
@@ -1842,6 +1842,25 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** The shared view/purchase stream sides of the outer-interval-join
+    * family (q127/q132/q137): the staged events replayed as two
+    * filtered, renamed sides for the watermarked join. ONE definition —
+    * the staging contract (user_id < 100 cutoff, column renames) must
+    * never diverge between the three join variants or their oracles. */
+  private def intervalJoinSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    def side(tpe: String, tsName: String, idName: String) =
+      Tables.withTimestamps(StreamOps.fileStream(s, schema, staged),
+          "events")
+        .filter(col("user_id") < 100 && col("event_type") === tpe)
+        .select(col("user_id"), col("ts").as(tsName),
+          col("event_id").as(idName))
+    (side("view", "view_ts", "view_id"),
+      side("purchase", "buy_ts", "buy_id"))
+  }
+
   private def q127(s: SparkSession, dir: String): DataFrame = {
     // Stream-stream LEFT OUTER interval join (q61's inner form plus
     // the null-emission contract): unconverted views surface with null
@@ -1853,17 +1872,8 @@ object SparkEntry {
     // batch interval join, plus NOT-EXISTS views gated on
     // view_ts + 4h < min(final side watermarks). Null purchase
     // columns surface as -1 sentinels (nullable-long pandas dtype).
-    val schema = Tables.rawSchema(s, dir, "events")
-    val staged = stageStreamDir(dir, "events")
-    def side(tpe: String, tsName: String, idName: String) =
-      Tables.withTimestamps(StreamOps.fileStream(s, schema, staged),
-          "events")
-        .filter(col("user_id") < 100 && col("event_type") === tpe)
-        .select(col("user_id"), col("ts").as(tsName),
-          col("event_id").as(idName))
-    val joined = StreamOps.intervalJoinStream(
-      side("view", "view_ts", "view_id"),
-      side("purchase", "buy_ts", "buy_id"),
+    val (views, buys) = intervalJoinSides(s, dir)
+    val joined = StreamOps.intervalJoinStream(views, buys,
       "user_id", "view_ts", "buy_ts", 14400L, "6 hours",
       joinType = "left_outer")
     StreamOps.runToCompletion(joined, s"q127_${System.nanoTime()}",
@@ -1928,12 +1938,14 @@ object SparkEntry {
     // stage (Catalyst Expand — zero shuffle, no union of 4 scans),
     // then one aggregate per metric. The oracle is the UNION ALL
     // spelling of the same reshape — a metric mislabeled or a cell
-    // dropped by the Expand projection hash-mismatches.
+    // dropped by the Expand projection hash-mismatches. idCols is
+    // EMPTY: the downstream aggregate never reads the id columns, and
+    // an Expand replicates every projected column 4x — at 100 TB two
+    // unused long columns across 4x the rows is pure waste.
     RelOps.melt(
-        t(s, dir, "lineitem").select(col("l_orderkey"),
-          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax")),
-        Seq("l_orderkey", "l_linenumber"),
+        t(s, dir, "lineitem").select(col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        Seq.empty,
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .groupBy(col("metric"))
       .agg(count(lit(1)).as("n"),
@@ -1980,17 +1992,8 @@ object SparkEntry {
     // soon as no admissible view can still arrive). The oracle
     // mirrors both halves: the batch interval join plus NOT-EXISTS
     // purchases gated on buy_ts < min(final side watermarks).
-    val schema = Tables.rawSchema(s, dir, "events")
-    val staged = stageStreamDir(dir, "events")
-    def side(tpe: String, tsName: String, idName: String) =
-      Tables.withTimestamps(StreamOps.fileStream(s, schema, staged),
-          "events")
-        .filter(col("user_id") < 100 && col("event_type") === tpe)
-        .select(col("user_id"), col("ts").as(tsName),
-          col("event_id").as(idName))
-    val joined = StreamOps.intervalJoinStream(
-      side("view", "view_ts", "view_id"),
-      side("purchase", "buy_ts", "buy_id"),
+    val (views, buys) = intervalJoinSides(s, dir)
+    val joined = StreamOps.intervalJoinStream(views, buys,
       "user_id", "view_ts", "buy_ts", 14400L, "6 hours",
       joinType = "right_outer")
     StreamOps.runToCompletion(joined, s"q132_${System.nanoTime()}",
@@ -2116,17 +2119,8 @@ object SparkEntry {
     // OWN eviction point (view_ts + 4h for views, buy_ts for
     // purchases — the two predicates the left/right oracles proved
     // separately, now combined). State stays bounded on both sides.
-    val schema = Tables.rawSchema(s, dir, "events")
-    val staged = stageStreamDir(dir, "events")
-    def side(tpe: String, tsName: String, idName: String) =
-      Tables.withTimestamps(StreamOps.fileStream(s, schema, staged),
-          "events")
-        .filter(col("user_id") < 100 && col("event_type") === tpe)
-        .select(col("user_id"), col("ts").as(tsName),
-          col("event_id").as(idName))
-    val joined = StreamOps.intervalJoinStream(
-      side("view", "view_ts", "view_id"),
-      side("purchase", "buy_ts", "buy_id"),
+    val (views, buys) = intervalJoinSides(s, dir)
+    val joined = StreamOps.intervalJoinStream(views, buys,
       "user_id", "view_ts", "buy_ts", 14400L, "6 hours",
       joinType = "full_outer")
     StreamOps.runToCompletion(joined, s"q137_${System.nanoTime()}",
@@ -2520,7 +2514,7 @@ object SparkEntry {
     val sinkPath = s"/root/repo/target/keyed_sink/purchases_$sfTag"
     import java.nio.file.{Files, Paths}
     def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      if (Files.isDirectory(p)) Fs.listDir(p)(_.forEach(rm(_)))
       Files.deleteIfExists(p)
     }
     rm(Paths.get(sinkPath)); rm(Paths.get(sinkPath + "_tmp"))
@@ -2554,7 +2548,7 @@ object SparkEntry {
     val streamDir = Paths.get(
       s"/root/repo/target/stream_src/events_residue_$sfTag")
     Files.createDirectories(streamDir)
-    Files.list(streamDir).forEach(Files.deleteIfExists(_))
+    Fs.listDir(streamDir)(_.forEach(Files.deleteIfExists(_)))
     Tables.enableNanosRead(s)
     // raw read, NOT Tables.load: ts must stay a nanos-long so the
     // staged files keep the exact on-disk layout the stream declares
@@ -2563,9 +2557,9 @@ object SparkEntry {
       val tmp = s"/root/repo/target/stream_src/_residue_tmp_$sfTag$res"
       raw.filter(col("event_id") % 3 === res).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst().get()
+      val part = Fs.listDir(Paths.get(tmp))(
+        _.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get())
       val dest = streamDir.resolve(s"batch$res.parquet")
       Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dest,

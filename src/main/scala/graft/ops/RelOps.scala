@@ -228,7 +228,11 @@ object RelOps {
     * key's history still spreads across its time range. LEFT OUTER
     * with the residual in the ON clause keeps zero-history events in
     * the output with zero features (a post-join filter would silently
-    * drop an event whose only candidates fell outside the window). */
+    * drop an event whose only candidates fell outside the window); a
+    * NULL-timestamp event survives too (`explode_outer` — a plain
+    * explode of the null bucket sequence would drop the row), with
+    * zero features, and a NULL-timestamp candidate never matches —
+    * both exactly the SQL LEFT JOIN semantics the oracle runs. */
   def trailingDecayFeatures(df: DataFrame, keyCol: String, tsCol: String,
                             idCol: String, valueCol: String,
                             windowSeconds: Long, tauSeconds: Double,
@@ -236,7 +240,7 @@ object RelOps {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val sec = col(tsCol).cast("double")
     val cur = df.select(col(keyCol), col(idCol), sec.as("_t"))
-      .withColumn("_bkt", explode(sequence(
+      .withColumn("_bkt", explode_outer(sequence(
         floor((col("_t") - windowSeconds) / bucketSeconds),
         floor(col("_t") / bucketSeconds))))
     val prior = df.select(col(keyCol).as("_pk"), sec.as("_pt"),

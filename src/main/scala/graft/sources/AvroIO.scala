@@ -28,10 +28,7 @@ import org.apache.spark.sql.types._
   * the per-partition write shape is unchanged. */
 object AvroIO {
 
-  private def unwrapNull(s: Schema): Schema =
-    if (s.getType == Schema.Type.UNION)
-      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
-    else s
+  private def unwrapNull(s: Schema): Schema = AvroSchemas.nonNull(s)
 
   /** One Spark-internal value → its Avro datum, positions `i` of
     * getter `g`; `avro` is the value's (union-unwrapped) schema. */
@@ -100,8 +97,8 @@ object AvroIO {
     val schemaJson = AvroSchemas.toAvro(struct, "graft_record").toString
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.list(dir)
-      .forEach(java.nio.file.Files.deleteIfExists(_))
+    graft.Fs.listDir(dir)(
+      _.forEach(java.nio.file.Files.deleteIfExists(_)))
     df.queryExecution.toRdd.foreachPartition { rows =>
       if (rows.hasNext) {
         val avroSchema =

@@ -79,8 +79,8 @@ object AvroSource {
   def listAvroFiles(path: String): Seq[String] = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).iterator().asScala
-        .map(_.toString).filter(_.endsWith(".avro")).toSeq.sorted
+      graft.Fs.listDir(p)(_.iterator().asScala
+        .map(_.toString).filter(_.endsWith(".avro")).toSeq.sorted)
     else Seq(path)
   }
 }
@@ -148,6 +148,11 @@ object AvroSchemas {
       require(nonNull.size == 1, s"unsupported union $s")
       (nonNull.head, true)
     } else (s, false)
+
+  /** The non-null branch of a `union(null, T)` (or the schema itself)
+    * — shared with [[AvroIO]] so writer and reader unwrap unions with
+    * one implementation. */
+  private[sources] def nonNull(s: Schema): Schema = unwrap(s)._1
 
   private def toDataType(s: Schema): DataType = s.getType match {
     case Schema.Type.BOOLEAN => BooleanType

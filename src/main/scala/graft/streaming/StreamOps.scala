@@ -459,7 +459,7 @@ object StreamOps {
       // swap: drop the old table, move the new one in
       def rm(p: java.nio.file.Path): Unit = {
         if (Files.isDirectory(p))
-          Files.list(p).forEach(rm(_))
+          graft.Fs.listDir(p)(_.forEach(rm(_)))
         Files.deleteIfExists(p)
       }
       rm(target)

@@ -69,10 +69,11 @@ class Round7OpsSpec extends AnyFunSuite {
        "weights, zero-history events kept with zero features") {
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
     val df = Seq(
-      (1L, 10L, ts(0), 2.0),    // no prior
-      (1L, 11L, ts(60), 4.0),   // prior: event 10 @ t=0
-      (1L, 12L, ts(4000), 8.0), // window [400, 4000): both priors out
-      (2L, 20L, ts(60), 1.0)    // other key: never sees key 1
+      (1L, 10L, Some(ts(0)), 2.0),    // no prior
+      (1L, 11L, Some(ts(60)), 4.0),   // prior: event 10 @ t=0
+      (1L, 12L, Some(ts(4000)), 8.0), // window [400, 4000): priors out
+      (2L, 20L, Some(ts(60)), 1.0),   // other key: never sees key 1
+      (2L, 21L, None, 9.0)            // NULL ts: kept, zero features
     ).toDF("user_id", "event_id", "ts", "value")
     val got = RelOps.trailingDecayFeatures(df, "user_id", "ts",
         "event_id", "value", windowSeconds = 3600L, tauSeconds = 1800.0,
@@ -87,7 +88,8 @@ class Round7OpsSpec extends AnyFunSuite {
       10L -> ((0L, 0.0, 0.0)),  // kept despite zero history
       11L -> ((1L, w, wv)),
       12L -> ((0L, 0.0, 0.0)),  // candidates exist but fall outside
-      20L -> ((0L, 0.0, 0.0))))
+      20L -> ((0L, 0.0, 0.0)),
+      21L -> ((0L, 0.0, 0.0)))) // NULL ts survives (explode_outer)
   }
 
   test("trailingDecayFeatures plans as an equi-join on (key, bucket) " +
