@@ -2154,6 +2154,37 @@ object SparkEntry {
         bucketSeconds = 3600L)
       .orderBy(col("user_id"), col("event_id"))
 
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    // Time-grid RESAMPLING with forward-fill (the feature-store /
+    // dashboard regularization pass: irregular events → a fixed
+    // hourly grid per key, each grid point carrying the key's most
+    // recent at-or-before value). Composes proven pieces: the grid is
+    // a scan-stage explode of one broadcast (lo, hi) row over the
+    // distinct keys; the fill is RelOps.asofJoin's union+window form
+    // (ONE shuffle on the key, no per-grid-point probe join). Grid
+    // points before a key's first event surface as a -1 sentinel —
+    // same convention as the outer-join family. Oracle = DuckDB's
+    // native ASOF LEFT JOIN over the identical grid.
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("ts"), col("value"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("grid_ts"))
+    RelOps.asofJoin(grid,
+        ev.select(col("user_id"), col("ts").as("grid_ts"), col("value")),
+        "user_id", "grid_ts", Seq("value"))
+      .select(col("user_id"),
+        date_format(col("grid_ts"), "yyyy-MM-dd HH:mm:ss").as("grid_ts"),
+        coalesce(round(col("asof_value"), 6), lit(-1.0)).as("value_ff"))
+      .orderBy(col("user_id"), col("grid_ts"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2813,6 +2844,7 @@ object SparkEntry {
     "q136_avro_nested" -> q136 _,
     "q137_stream_full_outer" -> q137 _,
     "q138_decay_features" -> q138 _,
+    "q139_resample_ffill" -> q139 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4602,5 +4634,23 @@ object SparkEntry {
         |FROM e a LEFT JOIN e b ON a.user_id = b.user_id
         |  AND b.t >= a.t - 3600 AND b.t < a.t
         |GROUP BY 1, 2 ORDER BY a.user_id, a.event_id""".stripMargin,
+    "q139_resample_ffill" ->
+      // the same hourly grid (projected unnest(generate_series(...)) —
+      // the table-function form rejects non-constant args) filled by
+      // the native ASOF LEFT JOIN
+      """WITH e AS (SELECT user_id, ts, value FROM events
+        |    WHERE user_id < 50),
+        |  b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi FROM e),
+        |  g AS (SELECT u.user_id, t.gs AS grid_ts
+        |    FROM (SELECT DISTINCT user_id FROM e) u,
+        |      (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |        AS gs FROM b) t)
+        |SELECT g.user_id,
+        |  strftime(g.grid_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+        |  coalesce(round(e.value, 6), -1.0) AS value_ff
+        |FROM g ASOF LEFT JOIN e
+        |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+        |ORDER BY g.user_id, grid_ts""".stripMargin,
   )
 }
