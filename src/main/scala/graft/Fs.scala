@@ -15,4 +15,13 @@ object Fs {
     val s = java.nio.file.Files.list(p)
     try f(s) finally s.close()
   }
+
+  /** Recursive delete (idempotent on a missing path) — the shared form
+    * of the per-query sink/checkpoint cleanup that q84 and the keyed
+    * upsert sink previously each inlined. */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      listDir(p)(_.forEach(deleteRecursively(_)))
+    java.nio.file.Files.deleteIfExists(p)
+  }
 }

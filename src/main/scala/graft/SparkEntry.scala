@@ -2185,6 +2185,125 @@ object SparkEntry {
       .orderBy(col("user_id"), col("grid_ts"))
   }
 
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    // EXACT-k-per-group sampling, fully oracled (promotes
+    // exactStratifiedSample's semantics from spec-only to hash-green:
+    // its rand(seed) stream is Spark-private, the md5 rank here is
+    // engine-portable — the q79 trick applied to exact-size draws).
+    // The training-mixture use case: "exactly 40 documents per
+    // language, uniformly, reproducibly on any engine". Scale: the
+    // row_number()<=k filter triggers InferWindowGroupLimit, so each
+    // map task forwards at most k rows per group into the exchange —
+    // the shuffle moves O(groups·k·tasks), not the corpus (plan-pinned
+    // by Round7OpsSpec).
+    SplitOps.exactKPerGroupHash(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", k = 40, salt = "r7")
+      .orderBy(col("doc_id"))
+
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    // Vocabulary build + per-doc OOV rate (the tokenizer-training prep
+    // pass: fix a top-V vocab over the corpus, score every document by
+    // the fraction of token OCCURRENCES outside it — high-OOV docs are
+    // the ones a fixed tokenizer shreds into bytes). ONE tokenization:
+    // the per-(doc, term) count table is the compressed doc-term
+    // matrix — smaller than the raw token stream — and is
+    // localCheckpoint'ed because BOTH consumers (vocab aggregate,
+    // per-doc scorer) read it (the q106/q124/q128 materialization
+    // rule). The vocab is V rows → broadcast; the scorer is one
+    // map-side join + one doc-keyed aggregate. At 100 TB: tokenize
+    // scan → one (doc,term) shuffle → broadcast join, no second scan.
+    val docs = t(s, dir, "documents")
+    val dtf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val vocab = dtf.groupBy(col("term")).agg(sum(col("n")).as("tot"))
+      .orderBy(col("tot").desc, col("term").asc)
+      .limit(150).select(col("term"))
+    dtf.join(broadcast(vocab.withColumn("_in_vocab", lit(1))),
+        Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        round(
+          sum(when(col("_in_vocab").isNull, col("n")).otherwise(lit(0)))
+            .cast("double") / sum(col("n")), 6).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    // CHECKPOINT RESTART / EXACTLY-ONCE RECOVERY, oracled end-to-end —
+    // the streaming surface every production pipeline lives or dies
+    // by, and the one a memory-sink harness can't touch. The events
+    // table is split at the midpoint hour into two typed files; run 1
+    // ingests the earlier half into a watermarked tumbling aggregate
+    // writing the exactly-once PARQUET FILE SINK, then the query is
+    // STOPPED (process death). Run 2 starts a fresh query from the
+    // SAME checkpoint: the source log must skip phase 1's file, the
+    // state store must restore the open boundary windows + watermark,
+    // and the sink log must not duplicate run 1's output. A far-future
+    // sentinel row in phase 2 drives the final watermark past every
+    // real window so append mode flushes them all. The batch oracle is
+    // the plain tumbling aggregate of the whole table — lost state
+    // under-counts, replayed input double-counts, either
+    // hash-mismatches. Watermark safety: run 1's watermark ends below
+    // (mid - 1h), and every window it can evict ends before that, so
+    // no phase-2 row (all >= mid) arrives late for an already-emitted
+    // window.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = Paths.get(s"/root/repo/target/stream_restart/$sfTag")
+    Fs.deleteRecursively(base)
+    val srcDir = base.resolve("src"); Files.createDirectories(srcDir)
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("out").toString
+
+    val typed = t(s, dir, "events")
+      .select(col("event_type"), col("value").cast("double").as("value"),
+        col("ts"))
+    // midpoint hour — one O(1) driver action on an aggregate (the
+    // documented staging pattern; this is harness setup, not the
+    // operator)
+    val Array(mid, hi) = typed
+      .agg(to_timestamp(from_unixtime(
+          (unix_timestamp(min(col("ts"))) + unix_timestamp(max(col("ts"))))
+            / 2)).as("mid"),
+        max(col("ts")).as("hi"))
+      .collect().head.toSeq.toArray
+    val sentinel = typed.sparkSession.range(1)
+      .select(lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        (lit(hi).cast("timestamp") + expr("interval 48 hours")).as("ts"))
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = base.resolve(s"tmp_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Fs.listDir(Paths.get(tmp))(
+        _.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get())
+      Files.move(part, srcDir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Fs.deleteRecursively(Paths.get(tmp))
+    }
+    def runPhase(): Unit = {
+      val stream = StreamOps.fileStream(s,
+        s.read.parquet(srcDir.toString).schema, srcDir.toString)
+      StreamOps.runFileSinkPhase(
+        StreamOps.tumblingCounts(stream, "ts", "event_type",
+          "1 hour", "1 hour"),
+        ckpt, out, statePartitions = Some(8))
+    }
+    stage(typed.filter(col("ts") < lit(mid)), "phase1")
+    runPhase()                                   // lifetime 1, then stop
+    stage(typed.filter(col("ts") >= lit(mid)).unionByName(sentinel),
+      "phase2")
+    runPhase()                                   // lifetime 2: RESUME
+    s.read.parquet(out)
+      .filter(col("event_type") =!= "sentinel")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2845,6 +2964,9 @@ object SparkEntry {
     "q137_stream_full_outer" -> q137 _,
     "q138_decay_features" -> q138 _,
     "q139_resample_ffill" -> q139 _,
+    "q140_exactk_sample" -> q140 _,
+    "q141_vocab_oov" -> q141 _,
+    "q142_stream_restart" -> q142 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4652,5 +4774,38 @@ object SparkEntry {
         |FROM g ASOF LEFT JOIN e
         |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts
         |ORDER BY g.user_id, grid_ts""".stripMargin,
+    "q140_exactk_sample" ->
+      // the identical md5 rank: hex strings compare the same in both
+      // engines (lowercase, fixed length), doc_id breaks the
+      // (practically impossible) collision tie
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR || 'r7'), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 40
+        |ORDER BY doc_id""".stripMargin,
+    "q141_vocab_oov" ->
+      // same doc-term matrix, same top-150 vocab (count desc, term asc
+      // is a total order), same occurrence-weighted OOV fraction
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      z -> len(z) > 0)) AS term FROM documents),
+        |  dtf AS (SELECT doc_id, term, count(*)::BIGINT AS n
+        |    FROM tok GROUP BY 1, 2),
+        |  vocab AS (SELECT term FROM dtf GROUP BY term
+        |    ORDER BY sum(n) DESC, term ASC LIMIT 150)
+        |SELECT d.doc_id, sum(d.n)::BIGINT AS n_tokens,
+        |  round(sum(CASE WHEN v.term IS NULL THEN d.n ELSE 0 END)::DOUBLE
+        |      / sum(d.n), 6) AS oov_rate
+        |FROM dtf d LEFT JOIN vocab v ON d.term = v.term
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q142_stream_restart" ->
+      // the restart harness must reproduce the plain batch tumbling
+      // aggregate: replayed input double-counts n, lost state
+      // under-counts — either hash-mismatches
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
   )
 }

@@ -206,4 +206,26 @@ object SplitOps {
       .cast("double") / lit(4294967296.0)
     df.filter(u < least(lit(1.0), lit(rate) * weight))
   }
+
+  /** EXACT-k-per-group sample, deterministic and engine-portable: rank
+    * rows inside each group by the md5 of their key (+salt) and keep
+    * the k smallest — a seeded reservoir draw whose member set any
+    * engine reproduces bit-for-bit (the oracle-able twin of
+    * [[exactStratifiedSample]], whose `rand(seed)` stream is
+    * Spark-private). Uniformity comes from md5's avalanche on the key.
+    *
+    * Scale: `row_number() <= k` under a partitioned window triggers
+    * Spark's `InferWindowGroupLimit`, which inserts a PARTIAL
+    * WindowGroupLimit before the shuffle — each map task forwards at
+    * most k rows per group, so the exchange moves O(groups·k·tasks)
+    * rows instead of the whole table. No group ever materializes fully
+    * in one task's sort buffer beyond its bounded heap. */
+  def exactKPerGroupHash(df: DataFrame, groupCol: String, keyCol: String,
+                         k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(u, col(keyCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
 }

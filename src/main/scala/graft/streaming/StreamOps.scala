@@ -489,6 +489,45 @@ object StreamOps {
     * (Verify/Bench/specs), which is what makes this safe; a concurrent
     * deployment should build the stream on `spark.newSession()` so the
     * overrides live on a session clone. */
+  /** Run `agg` to completion (AvailableNow) into the exactly-once
+    * PARQUET FILE SINK with a durable checkpoint — the RESTARTABLE
+    * sibling of [[runToCompletion]]'s memory sink. Each call is one
+    * "process lifetime": a later call with the same `checkpointDir`
+    * RESUMES the query — the file-source commit log skips
+    * already-ingested input files, the state store restores
+    * aggregation state and the watermark, and the sink's
+    * `_spark_metadata` commit log makes every emitted row land exactly
+    * once even when a batch straddles the restart boundary. This is
+    * the deployment shape of every long-running pipeline (planned
+    * restarts, executor loss, code pushes); q142 proves it end-to-end
+    * against a batch oracle.
+    *
+    * `statePartitions` is frozen into the checkpoint at first start
+    * (Spark ignores the conf on resume), so phases may pass the same
+    * value or none. Same transient-conf serial-execution contract as
+    * [[runToCompletion]]. */
+  def runFileSinkPhase(agg: DataFrame, checkpointDir: String,
+                       outDir: String,
+                       statePartitions: Option[Int] = None): Unit = {
+    val spark = agg.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      agg.writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally {
+      statePartitions.foreach(_ =>
+        spark.conf.set("spark.sql.shuffle.partitions", prev))
+    }
+  }
+
   def runToCompletion(agg: DataFrame, queryName: String,
                       outputMode: String = "complete",
                       statePartitions: Option[Int] = None,

@@ -438,4 +438,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(keyOnly.length === 1,
       s"stage-2 exchange should key on event_type alone: $exchanges")
   }
+
+  test("q140: the row_number()<=k sample plans a WindowGroupLimit — " +
+       "each map task forwards at most k rows per group into the " +
+       "exchange, so the shuffle never moves the corpus") {
+    val p = planOf("q140_exactk_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed to a group limit:\n${p.take(1500)}")
+  }
+
+  test("q141: vocab + OOV tokenize ONCE — the checkpointed doc-term " +
+       "matrix feeds both the vocab aggregate and the scorer, zero " +
+       "Generate downstream, vocab side broadcast") {
+    val p = planOf("q141_vocab_oov")
+    assert(!p.contains("Generate"),
+      s"q141 re-tokenizes a consumer of the doc-term matrix:\n" +
+        p.take(1500))
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the localCheckpoint leaf under both consumers:\n" +
+        p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 150-row vocab must broadcast:\n${p.take(1500)}")
+  }
 }

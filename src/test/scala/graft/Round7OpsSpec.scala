@@ -125,4 +125,95 @@ class Round7OpsSpec extends AnyFunSuite {
       ("b", 1) -> "removed",
       ("c", 1) -> "added"))
   }
+
+  test("exactKPerGroupHash: exactly k rows per group, call-to-call " +
+       "deterministic, k > group size degrades to the whole group, " +
+       "k < 1 rejected") {
+    val df = (1 to 500).map(i => (i.toLong, if (i % 3 == 0) "x" else "y"))
+      .toDF("id", "g")
+    val a = graft.ops.SplitOps.exactKPerGroupHash(df, "g", "id", 7)
+    val sizes = a.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("x" -> 7L, "y" -> 7L))
+    val b = graft.ops.SplitOps.exactKPerGroupHash(df, "g", "id", 7)
+    assert(a.collect().map(_.getLong(0)).sorted
+      sameElements b.collect().map(_.getLong(0)).sorted,
+      "md5 rank must be deterministic across invocations")
+    // a different salt draws a (near-certainly) different member set
+    val c = graft.ops.SplitOps.exactKPerGroupHash(df, "g", "id", 7, "z")
+    assert(!(a.collect().map(_.getLong(0)).sorted
+      sameElements c.collect().map(_.getLong(0)).sorted))
+    val tiny = df.filter(col("id") <= 10)
+    assert(graft.ops.SplitOps.exactKPerGroupHash(tiny, "g", "id", 999)
+      .count() === 10L)
+    intercept[IllegalArgumentException] {
+      graft.ops.SplitOps.exactKPerGroupHash(df, "g", "id", 0)
+    }
+  }
+
+  test("runFileSinkPhase: restart from the same checkpoint RESUMES — " +
+       "phase 1 emits only watermark-closed windows, phase 2 restores " +
+       "the open-window state and completes to the exact batch totals") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Paths.get("target/spec_stream_restart")
+    Fs.deleteRecursively(base)
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("out").toString
+    // 8 hourly windows x 2 types, a row every 10 minutes
+    val rows = for {
+      h <- 0 until 8; m <- 0 until 60 by 10; t <- Seq("a", "b")
+    } yield (t, 1.0 + h + m / 100.0,
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00"))
+    val df = rows.toDF("event_type", "value", "ts")
+    def stage(d: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = base.resolve(s"tmp_$name").toString
+      d.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Fs.listDir(Paths.get(tmp))(
+        _.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get())
+      Files.move(part, src.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Fs.deleteRecursively(Paths.get(tmp))
+    }
+    def runPhase(): Unit = {
+      val stream = graft.streaming.StreamOps.fileStream(spark,
+        spark.read.parquet(src.toString).schema, src.toString)
+      graft.streaming.StreamOps.runFileSinkPhase(
+        graft.streaming.StreamOps.tumblingCounts(stream, "ts",
+          "event_type", "1 hour", "1 hour"),
+        ckpt, out, statePartitions = Some(4))
+    }
+    // phase 1 = hours 0-3: max ts 03:50 -> watermark 02:50 -> only the
+    // hour-0 and hour-1 windows have closed (end <= watermark)
+    stage(df.filter(hour(col("ts")) < 4), "p1")
+    runPhase()
+    val after1 = spark.read.parquet(out).count()
+    assert(after1 === 4L,
+      s"phase 1 must emit exactly the watermark-closed windows, got $after1")
+    // phase 2 = hours 4-7 plus a far-future sentinel; hours 2-3 held in
+    // restored state from phase 1 must surface with their ORIGINAL rows
+    val sentinel = Seq(("s", 0.0,
+      java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+      .toDF("event_type", "value", "ts")
+    stage(df.filter(hour(col("ts")) >= 4).unionByName(sentinel), "p2")
+    runPhase()
+    val got = spark.read.parquet(out)
+      .filter(col("event_type") =!= "s")
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("total_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), math.round(r.getDouble(3) * 100) / 100.0)))
+      .toMap
+    val want = df.groupBy(date_trunc("hour", col("ts")).as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("tv"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), math.round(r.getDouble(3) * 100) / 100.0)))
+      .toMap
+    assert(got === want,
+      "restart must reproduce the batch aggregate exactly once")
+  }
 }
