@@ -2304,6 +2304,57 @@ object SparkEntry {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    // WINSORIZED robust aggregates: clip value into its per-type
+    // [p05, p95] band, then aggregate the clipped column — the
+    // tail-clamp that keeps heavy-tailed metrics from letting one
+    // sensor dominate a mean. The percentiles are EXACT, computed
+    // from the distinct-value histogram (CleanOps.percentilesFromHist
+    // — a vocabulary-sized window, never the `percentile` aggregate's
+    // all-values-in-one-buffer collect). Oracle = DuckDB
+    // percentile_cont, the same p·(n−1) interpolation.
+    CleanOps.winsorize(
+        t(s, dir, "events").select(col("event_type"), col("value")),
+        "event_type", "value", 0.05, 0.95)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("winsorized")), 6).as("avg_w"),
+        round(min(col("winsorized")), 6).as("min_w"),
+        round(max(col("winsorized")), 6).as("max_w"))
+      .orderBy(col("event_type"))
+
+  private def q144(s: SparkSession, dir: String): DataFrame =
+    // MAD outlier report (the robust sibling of q62's IQR filter):
+    // median + median-absolute-deviation per type, outliers counted by
+    // the modified z-score rule |x−med| > 3.5·1.4826·MAD as a
+    // MULTIPLICATION (no division — engines disagree on x/0: Spark
+    // gives Infinity, DuckDB NULL). Both medians run over
+    // distinct-value histograms; the outlier count aggregates the
+    // deviation histogram, so after the two inherent raw passes
+    // nothing data-sized moves.
+    CleanOps.madOutlierReport(
+        t(s, dir, "events").select(col("event_type"), col("value")),
+        "event_type", "value", k = 3.5)
+      .select(col("event_type"), col("n"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+
+  private def q145(s: SparkSession, dir: String): DataFrame =
+    // Key-skew diagnostic over (event_type, user_id) — the report
+    // that decides whether a key needs salting (q71/q119) BEFORE the
+    // 100 TB join runs: hottest-key share, key-distribution entropy,
+    // and skew_factor = hottest / mean-per-key. One map-side-
+    // combinable (group, key) aggregate + a G-row broadcast; the
+    // entropy re-aggregate folds the per-key counts, no window.
+    AggOps.keySkewReport(t(s, dir, "events"), "event_type", "user_id")
+      .select(col("event_type"), col("n_keys"), col("n_rows"),
+        round(col("top_share"), 6).as("top_share"),
+        round(col("entropy"), 6).as("entropy"),
+        round(col("skew_factor"), 4).as("skew_factor"))
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -2967,6 +3018,9 @@ object SparkEntry {
     "q140_exactk_sample" -> q140 _,
     "q141_vocab_oov" -> q141 _,
     "q142_stream_restart" -> q142 _,
+    "q143_winsorize" -> q143 _,
+    "q144_mad_outliers" -> q144 _,
+    "q145_key_skew" -> q145 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4807,5 +4861,57 @@ object SparkEntry {
         |    AS win_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q143_winsorize" ->
+      // percentile_cont IS the p·(n−1) linear interpolation the
+      // histogram form evaluates; ::DOUBLE input keeps DuckDB off its
+      // DECIMAL interpolation path
+      """WITH v AS (SELECT event_type, value::DOUBLE AS x FROM events
+        |    WHERE value IS NOT NULL),
+        |  th AS (SELECT event_type,
+        |    percentile_cont(0.05) WITHIN GROUP (ORDER BY x) AS plo,
+        |    percentile_cont(0.95) WITHIN GROUP (ORDER BY x) AS phi
+        |  FROM v GROUP BY 1)
+        |SELECT v.event_type, count(*) AS n,
+        |  round(avg(least(greatest(v.x, th.plo), th.phi)), 6) AS avg_w,
+        |  round(min(least(greatest(v.x, th.plo), th.phi)), 6) AS min_w,
+        |  round(max(least(greatest(v.x, th.plo), th.phi)), 6) AS max_w
+        |FROM v JOIN th USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q144_mad_outliers" ->
+      // same two-stage median; the outlier test multiplies
+      // (3.5·1.4826·mad) with both factors ::DOUBLE so the IEEE
+      // product matches the Spark literal exactly
+      """WITH v AS (SELECT event_type, value::DOUBLE AS x FROM events
+        |    WHERE value IS NOT NULL),
+        |  med AS (SELECT event_type, percentile_cont(0.5)
+        |      WITHIN GROUP (ORDER BY x) AS med
+        |    FROM v GROUP BY 1),
+        |  dev AS (SELECT v.event_type, abs(v.x - med.med) AS adev,
+        |      med.med AS med
+        |    FROM v JOIN med USING (event_type)),
+        |  mad AS (SELECT event_type, percentile_cont(0.5)
+        |      WITHIN GROUP (ORDER BY adev) AS mad
+        |    FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*)::BIGINT AS n,
+        |  round(max(d.med), 6) AS med, round(max(mad.mad), 6) AS mad,
+        |  sum(CASE WHEN d.adev > 3.5::DOUBLE * 1.4826::DOUBLE * mad.mad
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q145_key_skew" ->
+      """WITH kc AS (SELECT event_type, user_id, count(*)::BIGINT AS c
+        |    FROM events GROUP BY 1, 2),
+        |  tot AS (SELECT event_type, sum(c)::BIGINT AS total,
+        |    count(*)::BIGINT AS n_keys, max(c) AS maxc
+        |  FROM kc GROUP BY 1)
+        |SELECT kc.event_type, max(tot.n_keys) AS n_keys,
+        |  max(tot.total) AS n_rows,
+        |  round(max(tot.maxc)::DOUBLE / max(tot.total), 6) AS top_share,
+        |  round(-sum((kc.c::DOUBLE / tot.total)
+        |    * ln(kc.c::DOUBLE / tot.total)), 6) AS entropy,
+        |  round(max(tot.maxc)::DOUBLE * max(tot.n_keys) / max(tot.total),
+        |    4) AS skew_factor
+        |FROM kc JOIN tot USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

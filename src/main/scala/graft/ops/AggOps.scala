@@ -130,4 +130,32 @@ object AggOps {
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("total"))
+
+  /** KEY-SKEW diagnostic: per `groupCol`, the key cardinality, row
+    * total, the hottest key's share, the Shannon entropy of the key
+    * distribution, and skew_factor = hottest key's rows / mean rows
+    * per key — the report that decides whether a join/agg on `keyCol`
+    * needs salting ([[saltedAgg]], RelOps.saltedJoin) or AQE skew
+    * handling before it runs at scale. Shape: one (group, key)
+    * aggregate (map-side combinable), a G-row totals broadcast, one
+    * group re-aggregate over the per-key counts — no windows, nothing
+    * data-sized on a single task. */
+  def keySkewReport(df: DataFrame, groupCol: String,
+                    keyCol: String): DataFrame = {
+    val kc = df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("_c"))
+    val tot = kc.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("_total"), count(lit(1)).as("_n_keys"),
+        max(col("_c")).as("_maxc"))
+    val p = col("_c").cast("double") / col("_total")
+    kc.join(broadcast(tot), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("_n_keys")).as("n_keys"),
+        first(col("_total")).as("n_rows"),
+        (first(col("_maxc")).cast("double") / first(col("_total")))
+          .as("top_share"),
+        (-sum(p * log(p))).as("entropy"),
+        (first(col("_maxc")).cast("double") * first(col("_n_keys")) /
+          first(col("_total"))).as("skew_factor"))
+  }
 }

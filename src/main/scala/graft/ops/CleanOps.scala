@@ -203,4 +203,110 @@ object CleanOps {
       .agg(sum(col("c")).as("n"), min(col("v")).as("lo"),
         max(col("v")).as("hi"))
   }
+
+  /** EXACT per-group percentiles from a pre-aggregated distinct-value
+    * histogram `(groupCol, _v, _c)` — the percentile_cont formula
+    * (linear interpolation at rank p·(n−1)) evaluated with a window
+    * over the VOCABULARY-sized histogram, never a buffer of every raw
+    * value (the `percentile` aggregate collects each group's values
+    * into one task's memory — the same anti-pattern equiDepthBins
+    * avoids). The running count and grand total share one window sort;
+    * the floor/ceil rank rows are picked with conditional aggregates.
+    * Output: one row per group, columns `p0..p{k-1}` in `ps` order. */
+  private[graft] def percentilesFromHist(hist: DataFrame, groupCol: String,
+                                         ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0, 1], got $ps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_v"))
+    val cum = hist
+      .withColumn("_below", coalesce(sum(col("_c"))
+        .over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_c"))
+        .over(w.rowsBetween(Long.MinValue, Long.MaxValue)))
+    val picks = ps.zipWithIndex.flatMap { case (p, i) =>
+      // rank r = p·(n−1) over the group's value positions [0, n); the
+      // histogram row holding position q is the one with
+      // _below <= q < _below + _c
+      val r = lit(p) * (col("_n") - 1L).cast("double")
+      def at(pos: Column) = max(when(col("_below") <= pos &&
+        pos < col("_below") + col("_c"), col("_v")))
+      Seq(at(floor(r)).as(s"_lo$i"), at(ceil(r)).as(s"_hi$i"),
+        max(r - floor(r).cast("double")).as(s"_f$i"))
+    }
+    cum.groupBy(col(groupCol))
+      .agg(picks.head, picks.tail: _*)
+      .select(col(groupCol) +: ps.indices.map(i =>
+        (col(s"_lo$i") + col(s"_f$i") * (col(s"_hi$i") - col(s"_lo$i")))
+          .as(s"p$i")): _*)
+  }
+
+  /** [[percentilesFromHist]] over `df`'s own values (NULLs skipped —
+    * the equiDepthBins contract: they must not shift real ranks). */
+  def histPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                      ps: Seq[Double]): DataFrame =
+    percentilesFromHist(
+      df.where(col(valueCol).isNotNull)
+        .groupBy(col(groupCol), col(valueCol).cast("double").as("_v"))
+        .agg(count(lit(1)).as("_c")),
+      groupCol, ps)
+
+  /** WINSORIZE: clip `valueCol` into its per-group [pLo, pHi]
+    * percentile band — the robust-statistics tail clamp (outliers
+    * pulled to the fence, not dropped; the complement of
+    * [[iqrOutlierFilter]]'s row removal). Two inherent passes: the
+    * percentile histogram, then the clip; the G-row threshold table
+    * broadcasts. NULL values stay NULL (never clamped to a fence). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double,
+                outCol: String = "winsorized"): DataFrame = {
+    require(pLo <= pHi, s"pLo must be <= pHi, got ($pLo, $pHi)")
+    val th = histPercentiles(df, groupCol, valueCol, Seq(pLo, pHi))
+      .select(col(groupCol), col("p0").as("_wlo"), col("p1").as("_whi"))
+    df.join(broadcast(th), Seq(groupCol), "left")
+      .withColumn(outCol, when(col(valueCol).isNotNull,
+        least(greatest(col(valueCol).cast("double"), col("_wlo")),
+          col("_whi"))))
+      .drop("_wlo", "_whi")
+  }
+
+  /** MAD outlier report: per group, the median, the median absolute
+    * deviation, and the count of rows whose |x − med| exceeds
+    * k·1.4826·MAD (the modified z-score rule; 1.4826 rescales MAD to
+    * σ under normality). The threshold is a MULTIPLICATION, never a
+    * division — MAD = 0 (over half the group identical) then means
+    * "any deviation is an outlier, zero deviation is not", with no
+    * engine-specific 0/0 or x/0 semantics in the hash path.
+    *
+    * Scan economics: two raw-data passes are inherent (the median must
+    * exist before deviations do). Both vocabulary-sized intermediates
+    * — the median table and the DEVIATION histogram — are
+    * localCheckpoint'ed because each has two consumers (the q106/q124
+    * rule); without that, Catalyst would re-run the raw scans once per
+    * consumer (4 scans instead of 2). The outlier count itself
+    * aggregates the deviation HISTOGRAM (sum of `_c`), never re-reads
+    * raw rows. */
+  def madOutlierReport(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Double = 3.5): DataFrame = {
+    val med = histPercentiles(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol), col("p0").as("_med"))
+      .localCheckpoint()
+    val devHist = df.where(col(valueCol).isNotNull)
+      .join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol),
+        abs(col(valueCol).cast("double") - col("_med")).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val mad = percentilesFromHist(devHist, groupCol, Seq(0.5))
+      .select(col(groupCol), col("p0").as("_mad"))
+    devHist
+      .join(broadcast(mad), Seq(groupCol))
+      .join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("n"),
+        first(col("_med")).as("med"),
+        first(col("_mad")).as("mad"),
+        sum(when(col("_v") > lit(k) * lit(1.4826) * col("_mad"),
+          col("_c")).otherwise(0L)).as("n_outliers"))
+  }
 }

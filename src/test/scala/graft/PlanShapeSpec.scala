@@ -460,4 +460,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the 150-row vocab must broadcast:\n${p.take(1500)}")
   }
+
+  test("q144: MAD report's final plan reads only the checkpointed " +
+       "histograms — the two inherent raw passes ran at construction, " +
+       "the outlier count never re-scans parquet") {
+    val p = planOf("q144_mad_outliers")
+    assert(!p.contains("Scan parquet"),
+      s"q144 re-reads raw rows past the two inherent passes:\n" +
+        p.take(1500))
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the localCheckpoint leaves:\n${p.take(1500)}")
+  }
+
+  test("q145: the skew report is two map-side-combinable aggregates " +
+       "and a broadcast — no window over the per-key counts") {
+    val p = planOf("q145_key_skew")
+    assert(!p.contains("Window"),
+      s"skew stats must not sort per-key counts in a window:\n" +
+        p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the G-row totals must broadcast:\n${p.take(1500)}")
+  }
 }

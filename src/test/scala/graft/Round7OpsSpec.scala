@@ -216,4 +216,87 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got === want,
       "restart must reproduce the batch aggregate exactly once")
   }
+
+  test("histPercentiles: percentile_cont interpolation from the " +
+       "distinct-value histogram — hand-computed ranks, tie-heavy " +
+       "values, NULLs skipped, out-of-range ps rejected") {
+    import graft.ops.CleanOps
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 4.0), ("g", 8.0))
+      .toDF("k", "v")
+    val got = CleanOps.histPercentiles(df, "k", "v",
+        Seq(0.25, 0.5, 0.95)).collect().head
+    // r = p·(n−1): 0.75 → 1.75; 1.5 → 3.0; 2.85 → 4 + 0.85·4 = 7.4
+    assert(math.abs(got.getDouble(1) - 1.75) < 1e-9)
+    assert(math.abs(got.getDouble(2) - 3.0) < 1e-9)
+    assert(math.abs(got.getDouble(3) - 7.4) < 1e-9)
+    // ties: median of [1,1,1,2] sits inside the value-1 run
+    val ties = Seq(("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 2.0))
+      .toDF("k", "v")
+    assert(CleanOps.histPercentiles(ties, "k", "v", Seq(0.5))
+      .collect().head.getDouble(1) === 1.0)
+    // NULLs must not shift ranks (the equiDepthBins contract)
+    val withNull = Seq(("g", Some(1.0)), ("g", None), ("g", Some(3.0)))
+      .toDF("k", "v")
+    assert(CleanOps.histPercentiles(withNull, "k", "v", Seq(0.5))
+      .collect().head.getDouble(1) === 2.0)
+    intercept[IllegalArgumentException] {
+      CleanOps.histPercentiles(df, "k", "v", Seq(1.5))
+    }
+  }
+
+  test("winsorize: values clamp to the per-group [pLo, pHi] fences, " +
+       "NULL values stay NULL, inverted band rejected") {
+    import graft.ops.CleanOps
+    val df = ((1 to 10).map(i => ("g", Some(i.toDouble))) :+
+      (("g", None: Option[Double]))).toDF("k", "v")
+    val got = CleanOps.winsorize(df, "k", "v", 0.1, 0.9)
+      .select(col("v"), col("winsorized")).collect()
+    // fences: r=0.9 → 1.9, r=8.1 → 9.1
+    val byV = got.filter(!_.isNullAt(0))
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(byV(1.0) - 1.9) < 1e-9, "low tail must clamp up")
+    assert(math.abs(byV(10.0) - 9.1) < 1e-9, "high tail must clamp down")
+    assert(byV(5.0) === 5.0, "in-band values pass through")
+    assert(got.filter(_.isNullAt(0)).forall(_.isNullAt(1)),
+      "NULL values must not be clamped to a fence")
+    intercept[IllegalArgumentException] {
+      CleanOps.winsorize(df, "k", "v", 0.9, 0.1)
+    }
+  }
+
+  test("madOutlierReport: hand-computed median/MAD; MAD = 0 means any " +
+       "deviation is an outlier and zero deviation is not (no x/0)") {
+    import graft.ops.CleanOps
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 100.0))
+      .toDF("k", "v")
+    val got = CleanOps.madOutlierReport(df, "k", "v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    // a: med 3, adevs [2,1,0,1,97] → mad 1; only 97 > 5.1891
+    assert(got("a") === ((5L, 3.0, 1.0, 1L)))
+    // b: med 5, adevs [0,0,0,95] → mad 0; 95 > 0 outlier, zeros not
+    assert(got("b") === ((4L, 5.0, 0.0, 1L)))
+  }
+
+  test("keySkewReport: uniform keys score skew_factor 1 and entropy " +
+       "ln(n_keys); a hot key drives top_share and skew_factor") {
+    import graft.ops.AggOps
+    val uniform = (for (k <- Seq("a", "b", "c", "d"); _ <- 1 to 5)
+      yield ("u", k)).toDF("g", "key")
+    val hot = (("h", "hot") +: (for (_ <- 1 to 15) yield ("h", "hot")) ++:
+      Seq(("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4")))
+      .toDF("g", "key")
+    val got = AggOps.keySkewReport(uniform.unionByName(hot), "g", "key")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val (uk, un, us, ue, uf) = got("u")
+    assert((uk, un, us, uf) === ((4L, 20L, 0.25, 1.0)))
+    assert(math.abs(ue - math.log(4.0)) < 1e-9)
+    val (hk, hn, hs, _, hf) = got("h")
+    assert((hk, hn, hs, hf) === ((5L, 20L, 0.8, 4.0)))
+  }
 }
