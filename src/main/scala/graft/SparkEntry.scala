@@ -2355,6 +2355,79 @@ object SparkEntry {
         round(col("skew_factor"), 4).as("skew_factor"))
       .orderBy(col("event_type"))
 
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q5 shape — the six-table CYCLIC join (the local-supplier
+    // condition c_nationkey = s_nationkey closes the cycle, so this is
+    // NOT a star; join order matters). lineitem is the fact; supplier
+    // carries the cycle-closing nationkey equality as part of its
+    // composite join key. The plan is declarative on purpose: at
+    // fixture scale AQE broadcasts every non-fact side (ZERO fact
+    // shuffles before the aggregate); at warehouse scale orders and
+    // customer outgrow the broadcast threshold and become shuffle hash
+    // joins on the same code — nothing to rewrite. The pinned
+    // invariants are the scale-independent ones: both selective
+    // filters reach their scans, the fact scan reads 4 of 11 columns,
+    // and no join degenerates to a nested loop (PlanShapeSpec).
+    val orders = t(s, dir, "orders").where(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val nation = broadcast(t(s, dir, "nation"))
+    val region = broadcast(
+      t(s, dir, "region").where(col("r_name") === "ASIA"))
+    t(s, dir, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    // First-order Markov TRANSITION MATRIX over per-user event
+    // sequences: pair each event with its successor (lead over
+    // (ts, event_id) — a total order, so ties can't flip pairs) and
+    // estimate p(to | from). The per-user sort is the one inherent
+    // shuffle of sequence analytics; the matrix itself is
+    // |types|² rows, so the conditional-probability window costs
+    // nothing. The q102 funnel asks "did the user reach stage k";
+    // this asks "where does each state lead" — the complementary
+    // sequence view.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val m = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    m.withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(wf), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private def q148(s: SparkSession, dir: String): DataFrame =
+    // Pareto coverage (q145's companion): how many users cover 80% of
+    // each event type's rows — concentration as a key COUNT, exact,
+    // via the count-of-counts histogram (the window sorts activity
+    // LEVELS, never the per-key table; see AggOps.paretoCoverage).
+    AggOps.paretoCoverage(t(s, dir, "events"), "event_type", "user_id",
+        share = 0.8)
+      .select(col("event_type"), col("n_keys"), col("n_rows"),
+        col("k_cover").as("k80"),
+        round(col("k_cover").cast("double") / col("n_keys"), 6)
+          .as("k80_share"))
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -3021,6 +3094,9 @@ object SparkEntry {
     "q143_winsorize" -> q143 _,
     "q144_mad_outliers" -> q144 _,
     "q145_key_skew" -> q145 _,
+    "q146_tpch_q5" -> q146 _,
+    "q147_transition_matrix" -> q147 _,
+    "q148_pareto" -> q148 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4913,5 +4989,61 @@ object SparkEntry {
         |    4) AS skew_factor
         |FROM kc JOIN tot USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q146_tpch_q5" ->
+      // l_discount is DOUBLE, so (1 - l_discount) is IEEE arithmetic
+      // on both engines; round(,2) absorbs partial-sum order
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= '1996-01-01'
+        |  AND o_orderdate < '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q147_transition_matrix" ->
+      // the same (ts, event_id) total order under lead() — ties can't
+      // flip successor pairs on either engine
+      """WITH seq AS (SELECT event_type, lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |    FROM events),
+        |  m AS (SELECT event_type AS from_type, to_type,
+        |      count(*)::BIGINT AS n
+        |    FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+    "q148_pareto" ->
+      // identical count-of-counts interpolation; 0.8::DOUBLE keeps the
+      // target off DuckDB's DECIMAL arithmetic so the boundary
+      // comparisons are the same IEEE ops as the Spark literals
+      """WITH kc AS (SELECT event_type, user_id, count(*)::BIGINT AS c
+        |    FROM events GROUP BY 1, 2),
+        |  cc AS (SELECT event_type, c, count(*)::BIGINT AS m
+        |    FROM kc GROUP BY 1, 2),
+        |  cum AS (SELECT event_type, c, m,
+        |    coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS users_below,
+        |    coalesce(sum(c * m) OVER (PARTITION BY event_type
+        |      ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS mass_below,
+        |    sum(c * m) OVER (PARTITION BY event_type)::BIGINT AS total,
+        |    sum(m) OVER (PARTITION BY event_type)::BIGINT AS n_keys
+        |  FROM cc),
+        |  pick AS (SELECT event_type, max(n_keys) AS n_keys,
+        |      max(total) AS n_rows,
+        |      min(CASE WHEN mass_below::DOUBLE < 0.8::DOUBLE * total
+        |          AND 0.8::DOUBLE * total <= (mass_below + c * m)::DOUBLE
+        |        THEN users_below + ceil(
+        |          (0.8::DOUBLE * total - mass_below) / c)::BIGINT
+        |        END) AS k80
+        |    FROM cum GROUP BY 1)
+        |SELECT event_type, n_keys, n_rows, k80,
+        |  round(k80::DOUBLE / n_keys, 6) AS k80_share
+        |FROM pick ORDER BY event_type""".stripMargin,
   )
 }

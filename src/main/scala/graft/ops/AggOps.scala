@@ -158,4 +158,45 @@ object AggOps {
         (first(col("_maxc")).cast("double") * first(col("_n_keys")) /
           first(col("_total"))).as("skew_factor"))
   }
+
+  /** PARETO coverage: per group, the minimum number of keys whose rows
+    * cover `share` of the group's total (the "how concentrated is this
+    * domain" 80/20 report, [[keySkewReport]]'s companion). Computed
+    * EXACTLY from the count-of-COUNTS table — users are interchangeable
+    * within an activity level, so ranking the (count c, m keys at c)
+    * histogram by c descending and interpolating inside the covering
+    * level gives the same answer as sorting every key, while the window
+    * sorts only the distinct activity LEVELS (tiny), never the per-key
+    * table (a per-group sort of every key is the single-task trap at
+    * 100 TB — same argument as percentilesFromHist). */
+  def paretoCoverage(df: DataFrame, groupCol: String, keyCol: String,
+                     share: Double = 0.8): DataFrame = {
+    require(share > 0.0 && share <= 1.0,
+      s"share must lie in (0, 1], got $share")
+    val kc = df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("_c"))
+    val cc = kc.groupBy(col(groupCol), col("_c"))
+      .agg(count(lit(1)).as("_m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_c").desc)
+    val cum = cc
+      .withColumn("_users_below", coalesce(sum(col("_m"))
+        .over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("_mass_below", coalesce(sum(col("_c") * col("_m"))
+        .over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("_total", sum(col("_c") * col("_m"))
+        .over(w.rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("_n_keys", sum(col("_m"))
+        .over(w.rowsBetween(Long.MinValue, Long.MaxValue)))
+    val target = lit(share) * col("_total").cast("double")
+    cum.groupBy(col(groupCol))
+      .agg(first(col("_n_keys")).as("n_keys"),
+        first(col("_total")).as("n_rows"),
+        min(when(col("_mass_below").cast("double") < target &&
+          target <= (col("_mass_below") + col("_c") * col("_m"))
+            .cast("double"),
+          col("_users_below") +
+            ceil((target - col("_mass_below").cast("double")) /
+              col("_c").cast("double")))).as("k_cover"))
+  }
 }

@@ -481,4 +481,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the G-row totals must broadcast:\n${p.take(1500)}")
   }
+
+  test("q146: Q5's scale-independent invariants — the date filter " +
+       "reaches the orders scan, the region filter its scan, the fact " +
+       "scan prunes to 4 of 11 columns, no join degenerates to a " +
+       "nested loop") {
+    val p = planOf("q146_tpch_q5")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date range not pushed to the orders scan:\n${p.take(2000)}")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed:\n${p.take(2000)}")
+    val factRead = "ReadSchema: struct<l_[^\n]*".r.findFirstIn(p).get
+    assert(factRead.count(_ == ',') == 3,
+      s"fact scan must read exactly 4 lineitem columns: $factRead")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the cyclic join must stay hash equi-joins:\n${p.take(2000)}")
+  }
+
+  test("q148: Pareto coverage windows the count-of-COUNTS only — the " +
+       "per-key table is never sorted (no rank over every key)") {
+    val p = planOf("q148_pareto")
+    // the window sorts order the LEVEL histogram (event_type, _c) —
+    // a per-key rank would need a Sort whose ordering carries user_id
+    assert(!"Sort \\[[^\n]*user_id".r.findFirstIn(p).isDefined,
+      s"per-key table must never be sorted:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no cross join in the coverage report:\n${p.take(1500)}")
+  }
 }

@@ -299,4 +299,30 @@ class Round7OpsSpec extends AnyFunSuite {
     val (hk, hn, hs, _, hf) = got("h")
     assert((hk, hn, hs, hf) === ((5L, 20L, 0.8, 4.0)))
   }
+
+  test("paretoCoverage: exact minimum key count via count-of-counts " +
+       "interpolation — hot-key, uniform, and on-boundary groups") {
+    import graft.ops.AggOps
+    // h: hot key with 16 rows + 4 singles → 0.8·20 = 16 → 1 key
+    // u: 4 uniform keys of 5 → 16 needs ceil(16/5) = 4 keys
+    // b: counts [3,3,2,2] → 0.8·10 = 8 lands ON a level boundary:
+    //    2 threes (6) + 1 two = exactly 8 → 3 keys
+    val rows =
+      (1 to 16).map(_ => ("h", "hot")) ++
+        Seq(("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4")) ++
+        (for (k <- Seq("a", "b", "c", "d"); _ <- 1 to 5)
+          yield ("u", k)) ++
+        Seq.fill(3)(("b", "x")) ++ Seq.fill(3)(("b", "y")) ++
+        Seq.fill(2)(("b", "z")) ++ Seq.fill(2)(("b", "w"))
+    val got = AggOps.paretoCoverage(rows.toDF("g", "key"), "g", "key")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("h") === ((5L, 20L, 1L)))
+    assert(got("u") === ((4L, 20L, 4L)))
+    assert(got("b") === ((4L, 10L, 3L)))
+    intercept[IllegalArgumentException] {
+      AggOps.paretoCoverage(rows.toDF("g", "key"), "g", "key", 0.0)
+    }
+  }
 }
