@@ -2428,6 +2428,97 @@ object SparkEntry {
           .as("k80_share"))
       .orderBy(col("event_type"))
 
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    // TIME TRAVEL over the SCD-2 dimension (closes q107's CDC loop:
+    // build intervals → query them): rebuild the validity intervals
+    // with q107's one-exchange two-window pass, then reconstruct each
+    // user's state AS OF a fixed instant by interval containment
+    // [valid_from, valid_to) ∋ T. The oracle derives the same state by
+    // a different route — the latest CHANGE row at-or-before T — so a
+    // wrong boundary anywhere around T hash-mismatches. Changes
+    // sharing a timestamp resolve by event_id on both sides (the
+    // zero-length interval [ts, ts) can never contain T).
+    val T = lit("2024-01-15 12:00:00").cast("timestamp")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+      .withColumn("_to", lead(col("ts"), 1).over(w))
+      .filter(col("ts") <= T && (col("_to").isNull || col("_to") > T))
+      .select(col("user_id"), col("event_type").as("state_at_t"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("since"))
+      .orderBy(col("user_id"))
+  }
+
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    // Temporal GAP detection — the inverse of q139's resample: per
+    // key, the hourly grid points inside the key's OWN [first, last]
+    // span with no event (the missing-data audit a backfill starts
+    // from). The grid explodes from the per-key bounds aggregate in
+    // the scan stage; observed hours anti-join it; full-coverage keys
+    // are absent — the report is the exception list.
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+    grid.join(ev.distinct(), Seq("user_id", "h"), "left_anti")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_missing"),
+        date_format(min(col("h")), "yyyy-MM-dd HH:mm:ss").as("first_gap"),
+        date_format(max(col("h")), "yyyy-MM-dd HH:mm:ss").as("last_gap"))
+      .orderBy(col("user_id"))
+  }
+
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    // LIVE aggregate-table maintenance — the "dashboard table" shape:
+    // a watermarked tumbling aggregate in UPDATE output mode delivered
+    // through foreachBatch into the keyed parquet upsert, keyed on
+    // (window, type). Each micro-batch re-emits only the windows it
+    // touched and the sink REPLACES those rows — q84 upserts raw
+    // events; this maintains an AGGREGATE under re-emission, which is
+    // what update mode exists for. The shared 3-batch time-split
+    // staging makes mid-stream windows genuinely update across
+    // batches (time-ordered replay, so nothing ever arrives behind
+    // the watermark). The re-read table must equal the plain batch
+    // aggregate: a sink that appends instead of replacing duplicates
+    // every re-emitted window; one that drops rows under-counts.
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sinkPath = s"/root/repo/target/live_table/agg_$sfTag"
+    import java.nio.file.Paths
+    Fs.deleteRecursively(Paths.get(sinkPath))
+    Fs.deleteRecursively(Paths.get(sinkPath + "_tmp"))
+    val staged = stageTypedBatches(s, dir)
+    val stream = StreamOps.fileStream(s, s.read.parquet(staged).schema,
+      staged, maxFilesPerTrigger = Some(1))
+    val agg = stream.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"), col("event_type"), col("n"),
+        col("total_value"),
+        concat_ws("|", date_format(col("window.start"),
+          "yyyy-MM-dd HH:mm:ss"), col("event_type")).as("_k"))
+    val spark = s
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try
+      StreamOps.sinkStream(agg,
+          StreamOps.keyedParquetUpsert(s, sinkPath, "_k"),
+          outputMode = "update")
+        .awaitTermination()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(sinkPath)
+      .select(col("win_start"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -3097,6 +3188,9 @@ object SparkEntry {
     "q146_tpch_q5" -> q146 _,
     "q147_transition_matrix" -> q147 _,
     "q148_pareto" -> q148 _,
+    "q149_time_travel" -> q149 _,
+    "q150_gap_detect" -> q150 _,
+    "q151_live_table" -> q151 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -5045,5 +5139,47 @@ object SparkEntry {
         |SELECT event_type, n_keys, n_rows, k80,
         |  round(k80::DOUBLE / n_keys, 6) AS k80_share
         |FROM pick ORDER BY event_type""".stripMargin,
+    "q149_time_travel" ->
+      // the state AS OF T by the OTHER derivation: the latest change
+      // row at-or-before T (ties resolve by event_id, mirroring the
+      // zero-length-interval rule)
+      """WITH chg AS (SELECT user_id, event_type, ts, event_id FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev
+        |    FROM events WHERE user_id % 10 = 0) z
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state_at_t,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS since
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM chg WHERE ts <= TIMESTAMP '2024-01-15 12:00:00')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q150_gap_detect" ->
+      // per-key grid via projected unnest(generate_series(lo, hi, ...))
+      // — column args are fine in the projected form
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h
+        |    FROM events WHERE user_id < 50),
+        |  span AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+        |    FROM e GROUP BY 1),
+        |  grid AS (SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |  miss AS (SELECT g.user_id, g.h FROM grid g
+        |    LEFT JOIN (SELECT DISTINCT user_id, h FROM e) o
+        |      ON g.user_id = o.user_id AND g.h = o.h
+        |    WHERE o.user_id IS NULL)
+        |SELECT user_id, count(*)::BIGINT AS n_missing,
+        |  strftime(min(h), '%Y-%m-%d %H:%M:%S') AS first_gap,
+        |  strftime(max(h), '%Y-%m-%d %H:%M:%S') AS last_gap
+        |FROM miss GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q151_live_table" ->
+      // the maintained table must equal the plain batch aggregate —
+      // append-instead-of-replace doubles re-emitted windows, a lossy
+      // merge drops them; either hash-mismatches
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
   )
 }

@@ -419,8 +419,10 @@ object StreamOps {
     * `/root/reference/src/spark_to_cassandra.py:22-30`, generalized to
     * any keyed store). */
   def sinkStream(stream: DataFrame,
-                 sink: (DataFrame, Long) => Unit): StreamingQuery =
+                 sink: (DataFrame, Long) => Unit,
+                 outputMode: String = "append"): StreamingQuery =
     stream.writeStream
+      .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, id: Long) => sink(batch, id) }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -325,4 +325,63 @@ class Round7OpsSpec extends AnyFunSuite {
       AggOps.paretoCoverage(rows.toDF("g", "key"), "g", "key", 0.0)
     }
   }
+
+  test("update-mode live table: a window spanning micro-batches is " +
+       "RE-EMITTED and replaced in the keyed sink — the final table " +
+       "converges to the batch totals, not an append trail") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.streaming.StreamOps
+    val base = Paths.get("target/spec_live_table")
+    Fs.deleteRecursively(base)
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val out = base.resolve("out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def stage(d: org.apache.spark.sql.DataFrame, name: String,
+              mtime: Long): Unit = {
+      val tmp = base.resolve(s"tmp_$name").toString
+      d.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Fs.listDir(Paths.get(tmp))(
+        _.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get())
+      val dest = src.resolve(s"$name.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      Fs.deleteRecursively(Paths.get(tmp))
+    }
+    // window W = 10:00; batch 1 carries two W rows, batch 2 a third
+    // (later ts, same window — NOT late) plus an 11:00 row
+    stage(Seq(("a", 1.0, ts("2024-01-01 10:05:00")),
+      ("a", 2.0, ts("2024-01-01 10:10:00"))).toDF("k", "v", "ts"),
+      "b1", 1000000000000L)
+    stage(Seq(("a", 4.0, ts("2024-01-01 10:20:00")),
+      ("a", 8.0, ts("2024-01-01 11:00:00"))).toDF("k", "v", "ts"),
+      "b2", 1000000600000L)
+    val agg = StreamOps.fileStream(spark,
+        spark.read.parquet(src.toString).schema, src.toString,
+        maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("tv"))
+      .select(date_format(col("window.start"), "HH:mm").as("w"),
+        col("k"), col("n"), col("tv"),
+        concat_ws("|", date_format(col("window.start"), "HH:mm"),
+          col("k")).as("_k"))
+    val seen = scala.collection.mutable.ArrayBuffer[Set[String]]()
+    val inner = StreamOps.keyedParquetUpsert(spark, out, "_k")
+    StreamOps.sinkStream(agg, (b, id) => {
+      val keys = b.select(col("_k")).collect().map(_.getString(0)).toSet
+      if (keys.nonEmpty) seen.synchronized { seen += keys }
+      inner(b, id)
+    }, outputMode = "update").awaitTermination()
+    assert(seen.size === 2, s"expected two emitting batches, got $seen")
+    assert(seen.forall(_.contains("10:00|a")),
+      s"the spanning window must re-emit in both batches: $seen")
+    val fin = spark.read.parquet(out)
+      .select(col("w"), col("n"), col("tv")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(fin === Map("10:00" -> ((3L, 7.0)), "11:00" -> ((1L, 8.0))),
+      "replaced totals must equal the batch aggregate")
+  }
 }
