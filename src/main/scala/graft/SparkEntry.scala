@@ -2519,6 +2519,59 @@ object SparkEntry {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    // Stream-stream LEFT SEMI interval join — the existence form of
+    // q61's attribution ("which views converted?"): each qualifying
+    // view emits ONCE however many purchases land in its window, and
+    // the output carries no right-side columns. Completes the
+    // streaming join family: inner q61, left q127, right q132, full
+    // q137, semi here. (Stream-stream left ANTI is unsupported by
+    // Spark; the relational q04/q72 own that shape.)
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    def side(tpe: String, tsName: String, idName: String) =
+      Tables.withTimestamps(StreamOps.fileStream(s, schema, staged),
+          "events")
+        .filter(col("user_id") < 100 && col("event_type") === tpe)
+        .select(col("user_id"), col("ts").as(tsName),
+          col("event_id").as(idName))
+    val joined = StreamOps.intervalJoinStream(
+      side("view", "view_ts", "view_id"),
+      side("purchase", "buy_ts", "buy_id"),
+      "user_id", "view_ts", "buy_ts", 14400L, "6 hours", "left_semi")
+    StreamOps.runToCompletion(joined, s"q152_${System.nanoTime()}",
+        outputMode = "append", statePartitions = Some(8))
+      .select(col("user_id"), col("view_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"))
+      .orderBy(col("user_id"), col("view_id"))
+  }
+
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    // QUARTILE-BAND labeling over a COMPOSITE group key — the
+    // multi-key histPercentiles: cut l_extendedprice at each
+    // (returnflag, linestatus) group's p25/p50/p75, label every row by
+    // strict > comparisons (a tie at a cut goes to the lower band on
+    // both engines), aggregate per band. All three cut points ride ONE
+    // histogram pass; the labeling join broadcasts the G-row cut
+    // table — per-row quantile classification with no data-sized
+    // window (the winsorize argument applied to labeling).
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice").cast("double").as("price"))
+      .where(col("price").isNotNull)
+    val cuts = CleanOps.histPercentiles(li,
+      Seq("l_returnflag", "l_linestatus"), "price", Seq(0.25, 0.5, 0.75))
+    li.join(broadcast(cuts), Seq("l_returnflag", "l_linestatus"))
+      .withColumn("band",
+        (col("price") > col("p0")).cast("int") +
+        (col("price") > col("p1")).cast("int") +
+        (col("price") > col("p2")).cast("int"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("band"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("price")), 2).as("avg_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("band"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -3191,6 +3244,8 @@ object SparkEntry {
     "q149_time_travel" -> q149 _,
     "q150_gap_detect" -> q150 _,
     "q151_live_table" -> q151 _,
+    "q152_stream_semi" -> q152 _,
+    "q153_quartile_bands" -> q153 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -5181,5 +5236,34 @@ object SparkEntry {
         |    AS win_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q152_stream_semi" ->
+      // existence via EXISTS — one row per converting view, however
+      // many purchases fall in its window
+      """SELECT v.user_id, v.event_id AS view_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        |FROM events v
+        |WHERE v.user_id < 100 AND v.event_type = 'view'
+        |  AND EXISTS (SELECT 1 FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        |      AND p.ts >= v.ts
+        |      AND p.ts <= v.ts + INTERVAL 14400 SECOND)
+        |ORDER BY user_id, view_id""".stripMargin,
+    "q153_quartile_bands" ->
+      // identical interpolated cuts (::DOUBLE input), identical strict
+      // > band arithmetic — a tie at a cut goes low on both engines
+      """WITH v AS (SELECT l_returnflag, l_linestatus,
+        |    l_extendedprice::DOUBLE AS price FROM lineitem
+        |    WHERE l_extendedprice IS NOT NULL),
+        |  cuts AS (SELECT l_returnflag, l_linestatus,
+        |    percentile_cont(0.25) WITHIN GROUP (ORDER BY price) AS p0,
+        |    percentile_cont(0.5)  WITHIN GROUP (ORDER BY price) AS p1,
+        |    percentile_cont(0.75) WITHIN GROUP (ORDER BY price) AS p2
+        |  FROM v GROUP BY 1, 2)
+        |SELECT v.l_returnflag, v.l_linestatus,
+        |  ((v.price > c.p0)::INT + (v.price > c.p1)::INT
+        |    + (v.price > c.p2)::INT) AS band,
+        |  count(*) AS n, round(avg(v.price), 2) AS avg_price
+        |FROM v JOIN cuts c USING (l_returnflag, l_linestatus)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
 }

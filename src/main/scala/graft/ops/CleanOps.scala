@@ -214,11 +214,19 @@ object CleanOps {
     * the floor/ceil rank rows are picked with conditional aggregates.
     * Output: one row per group, columns `p0..p{k-1}` in `ps` order. */
   private[graft] def percentilesFromHist(hist: DataFrame, groupCol: String,
+                                         ps: Seq[Double]): DataFrame =
+    percentilesFromHist(hist, Seq(groupCol), ps)
+
+  /** Composite-key core of [[percentilesFromHist]] — multi-column
+    * business groups (the CDC-norm argument from mergeUpsert applied
+    * to statistics). */
+  private[graft] def percentilesFromHist(hist: DataFrame,
+                                         groupCols: Seq[String],
                                          ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must lie in [0, 1], got $ps")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("_v"))
+      .partitionBy(groupCols.map(col): _*).orderBy(col("_v"))
     val cum = hist
       .withColumn("_below", coalesce(sum(col("_c"))
         .over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
@@ -234,9 +242,9 @@ object CleanOps {
       Seq(at(floor(r)).as(s"_lo$i"), at(ceil(r)).as(s"_hi$i"),
         max(r - floor(r).cast("double")).as(s"_f$i"))
     }
-    cum.groupBy(col(groupCol))
+    cum.groupBy(groupCols.map(col): _*)
       .agg(picks.head, picks.tail: _*)
-      .select(col(groupCol) +: ps.indices.map(i =>
+      .select(groupCols.map(col) ++ ps.indices.map(i =>
         (col(s"_lo$i") + col(s"_f$i") * (col(s"_hi$i") - col(s"_lo$i")))
           .as(s"p$i")): _*)
   }
@@ -245,11 +253,17 @@ object CleanOps {
     * the equiDepthBins contract: they must not shift real ranks). */
   def histPercentiles(df: DataFrame, groupCol: String, valueCol: String,
                       ps: Seq[Double]): DataFrame =
+    histPercentiles(df, Seq(groupCol), valueCol, ps)
+
+  /** Composite-key form of [[histPercentiles]]. */
+  def histPercentiles(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, ps: Seq[Double]): DataFrame =
     percentilesFromHist(
       df.where(col(valueCol).isNotNull)
-        .groupBy(col(groupCol), col(valueCol).cast("double").as("_v"))
+        .groupBy((groupCols.map(col) :+
+          col(valueCol).cast("double").as("_v")): _*)
         .agg(count(lit(1)).as("_c")),
-      groupCol, ps)
+      groupCols, ps)
 
   /** WINSORIZE: clip `valueCol` into its per-group [pLo, pHi]
     * percentile band — the robust-statistics tail clamp (outliers

@@ -406,10 +406,13 @@ object StreamOps {
     val l = left.withWatermark(tsLeft, watermarkDelay)
     val r = right.withColumnRenamed(keyCol, "_rk")
       .withWatermark(tsRight, watermarkDelay)
-    l.join(r, col(keyCol) === col("_rk") &&
-        col(tsRight) >= col(tsLeft) &&
-        col(tsRight) <= col(tsLeft) + expr(s"interval $upperSeconds seconds"),
-        joinType)
+    val joined = l.join(r, col(keyCol) === col("_rk") &&
+      col(tsRight) >= col(tsLeft) &&
+      col(tsRight) <= col(tsLeft) + expr(s"interval $upperSeconds seconds"),
+      joinType)
+    // a semi join carries no right-side columns — nothing to coalesce
+    if (joinType.contains("semi")) joined
+    else joined
       .withColumn(keyCol, coalesce(col(keyCol), col("_rk")))
       .drop("_rk")
   }

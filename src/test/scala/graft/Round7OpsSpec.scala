@@ -384,4 +384,19 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(fin === Map("10:00" -> ((3L, 7.0)), "11:00" -> ((1L, 8.0))),
       "replaced totals must equal the batch aggregate")
   }
+
+  test("histPercentiles composite key: each (k1, k2) pair gets its own " +
+       "independent percentiles — a single-column group would mix them") {
+    import graft.ops.CleanOps
+    val df = Seq(
+      ("a", "x", 1.0), ("a", "x", 3.0),   // median 2.0
+      ("a", "y", 10.0), ("a", "y", 30.0), // median 20.0 (same k1!)
+      ("b", "x", 100.0))                  // median 100.0
+      .toDF("k1", "k2", "v")
+    val got = CleanOps.histPercentiles(df, Seq("k1", "k2"), "v", Seq(0.5))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(("a", "x") -> 2.0, ("a", "y") -> 20.0,
+      ("b", "x") -> 100.0))
+  }
 }
