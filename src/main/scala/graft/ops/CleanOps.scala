@@ -212,7 +212,15 @@ object CleanOps {
     * into one task's memory — the same anti-pattern equiDepthBins
     * avoids). The running count and grand total share one window sort;
     * the floor/ceil rank rows are picked with conditional aggregates.
-    * Output: one row per group, columns `p0..p{k-1}` in `ps` order. */
+    * Output: one row per group, columns `p0..p{k-1}` in `ps` order.
+    *
+    * Scale caveat: the win over the collect-all aggregate is the
+    * map-side combine — heavy duplication (integral sensor readings,
+    * prices, counts) compacts before the shuffle. NEAR-UNIQUE doubles
+    * don't compact, and the per-group window sort then carries the
+    * full column; when exactness isn't required at that cardinality,
+    * `approxMedians`/percentile_approx (q12/q13's rank-certified
+    * sketch) is the 100 TB path. */
   private[graft] def percentilesFromHist(hist: DataFrame, groupCol: String,
                                          ps: Seq[Double]): DataFrame =
     percentilesFromHist(hist, Seq(groupCol), ps)
