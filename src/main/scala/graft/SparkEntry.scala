@@ -2572,6 +2572,65 @@ object SparkEntry {
       .orderBy(col("l_returnflag"), col("l_linestatus"), col("band"))
   }
 
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    // DAU / trailing-7-day WAU / stickiness — the engagement triple
+    // every product dashboard runs. The trailing DISTINCT cannot ride
+    // a window function (no windowed countDistinct), and the naive
+    // day-range join is a BroadcastNestedLoopJoin; instead each
+    // (day, user) row EXPLODES to the ≤7 future days it supports —
+    // a scan-stage sequence(), one (day, user) shuffle, equi-group
+    // all the way (the q138 bucket argument applied to distincts).
+    // Days past the observed span are dropped; early days carry
+    // partial trailing windows on both engines alike.
+    val du = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .localCheckpoint() // three consumers: dau, expansion, span
+    val dau = du.groupBy(col("d")).agg(countDistinct(col("user_id"))
+      .as("dau"))
+    val span = du.agg(max(col("d")).as("hi"))
+    val wau = du
+      .select(col("user_id"), explode(sequence(col("d"),
+        date_add(col("d"), 6), expr("interval 1 day"))).as("d"))
+      .crossJoin(broadcast(span))
+      .where(col("d") <= col("hi"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    dau.join(wau, Seq("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau7"),
+        round(col("dau").cast("double") / col("wau7"), 4)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    // FIRST-conversion delay percentiles: per user, first view → the
+    // first purchase at-or-after it; the p50/p90 of the delay through
+    // the SAME histogram-percentile primitive the robust-stats family
+    // uses (q143/q144/q153), here on a DERIVED metric with a constant
+    // group. Delays are whole seconds — the compact-vocabulary case
+    // the histogram form is built for. min/min aggregates are
+    // map-side combinable; the single-group histogram window holds
+    // distinct delay values, not users.
+    val ev = t(s, dir, "events")
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val delays = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id"), col("v_ts"))
+      .agg(min(col("ts")).as("p_ts"))
+      .select(lit("all").as("_g"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts")))
+          .as("delay_s"))
+      .localCheckpoint() // two consumers: the count and the histogram
+    val n = delays.agg(count(lit(1)).as("n_converted"))
+    CleanOps.histPercentiles(delays, "_g", "delay_s", Seq(0.5, 0.9))
+      .crossJoin(broadcast(n))
+      .select(col("n_converted"),
+        round(col("p0"), 2).as("p50_s"), round(col("p1"), 2).as("p90_s"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -3246,6 +3305,8 @@ object SparkEntry {
     "q151_live_table" -> q151 _,
     "q152_stream_semi" -> q152 _,
     "q153_quartile_bands" -> q153 _,
+    "q154_dau_wau" -> q154 _,
+    "q155_conversion_delay" -> q155 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -5265,5 +5326,38 @@ object SparkEntry {
         |  count(*) AS n, round(avg(v.price), 2) AS avg_price
         |FROM v JOIN cuts c USING (l_returnflag, l_linestatus)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q154_dau_wau" ->
+      // the same ≤7-day expansion; days beyond the observed max drop
+      """WITH du AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+        |  dau AS (SELECT d, count(DISTINCT user_id)::BIGINT AS dau
+        |    FROM du GROUP BY 1),
+        |  ex AS (SELECT user_id,
+        |      unnest(generate_series(d, d + INTERVAL 6 DAY,
+        |        INTERVAL 1 DAY))::DATE AS d
+        |    FROM du),
+        |  wau AS (SELECT d, count(DISTINCT user_id)::BIGINT AS wau7
+        |    FROM ex WHERE d <= (SELECT max(d) FROM du) GROUP BY 1)
+        |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau7,
+        |  round(dau.dau::DOUBLE / wau.wau7, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.d = wau.d
+        |ORDER BY day""".stripMargin,
+    "q155_conversion_delay" ->
+      // identical first-view/first-purchase derivation. floor(epoch())
+      // mirrors unix_timestamp's truncation — DuckDB's DOUBLE→BIGINT
+      // cast ROUNDS, which shifts delays on .5+ fractional seconds
+      """WITH fv AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |  conv AS (SELECT e.user_id, fv.v_ts, min(e.ts) AS p_ts
+        |    FROM events e JOIN fv USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.ts >= fv.v_ts
+        |    GROUP BY 1, 2),
+        |  d AS (SELECT (floor(epoch(p_ts))::BIGINT
+        |      - floor(epoch(v_ts))::BIGINT) AS delay_s FROM conv)
+        |SELECT count(*)::BIGINT AS n_converted,
+        |  round(percentile_cont(0.5) WITHIN GROUP
+        |    (ORDER BY delay_s::DOUBLE), 2) AS p50_s,
+        |  round(percentile_cont(0.9) WITHIN GROUP
+        |    (ORDER BY delay_s::DOUBLE), 2) AS p90_s
+        |FROM d""".stripMargin,
   )
 }
