@@ -2378,7 +2378,10 @@ object SparkEntry {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "supplier")),
+      // no broadcast hint: supplier GROWS with scale factor (unlike
+      // nation/region, which are constant-size) — AQE broadcasts it at
+      // fixture scale and shuffle-joins it at warehouse scale
+      .join(t(s, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(nation, col("s_nationkey") === col("n_nationkey"))
