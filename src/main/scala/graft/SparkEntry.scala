@@ -2634,6 +2634,179 @@ object SparkEntry {
         round(col("p0"), 2).as("p50_s"), round(col("p1"), 2).as("p90_s"))
   }
 
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    // RAW-BYTES ingest via the binaryFile source — the multimodal
+    // on-ramp: images/audio land as opaque FILES long before any
+    // decode, and stage one is "one row per file (path, length,
+    // content), read with file-granular parallelism" (S1's binary
+    // sibling; MultimodalOps takes over from the bytes). Fixture: the
+    // five lowest-id documents are staged as .bin files (an O(5)
+    // driver bridge, the q25 staging convention; stale .bin files are
+    // cleared first so re-runs at a changed fixture stay exact) plus
+    // a decoy .txt that pathGlobFilter must skip. The digest is md5
+    // over the raw bytes — DuckDB's md5 hashes a VARCHAR's UTF-8
+    // bytes, which IS the file payload here, so the oracle recomputes
+    // it from the documents view without touching the filesystem.
+    import java.nio.file.{Files, Paths}
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = Paths.get(s"/root/repo/target/bin_cache/docs_$sfTag")
+    Files.createDirectories(base)
+    Files.list(base).filter(_.toString.endsWith(".bin"))
+      .forEach(p => Files.delete(p))
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(5).collect()
+      .foreach { r =>
+        Files.write(base.resolve(s"doc_${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    Files.write(base.resolve("decoy.txt"),
+      "not a payload".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(base.toString)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("length").as("bytes"), md5(col("content")).as("digest"))
+      .orderBy(col("file"))
+  }
+
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    // SKETCH REAGGREGATION — per-day HLL sketches of distinct users,
+    // merged across days per event type. This is the datasketches
+    // pattern that makes 100 TB uniques cheap: persist a FIXED-SIZE
+    // sketch per (type, day) partition once, answer any period's
+    // uniques by unioning sketches — never re-scan raw events. q80
+    // pinned the one-shot estimator; this pins the MERGE path
+    // (estimate-after-union within 5% of exact). The estimate itself
+    // is engine-specific, so the oracle checks the CONTRACT boolean
+    // (the q80 convention) next to fully-oracled n_days/exact_users.
+    val ev = t(s, dir, "events")
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("_est") - col("exact_users")).cast("double") /
+          col("exact_users") < 0.05).as("merged_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    // MARKET-BASKET association rules at the brand level: support /
+    // confidence / lift for every co-ordered brand pair. The basket
+    // table (order, brand) is distinct'ed once and localCheckpoint'ed
+    // (three consumers: the pair self-join, the per-brand counts, the
+    // order count); the self-join keys on the ORDER so the pair
+    // expansion is per-order local — bounded by C(25,2) brand pairs
+    // per basket, never a global cross join — and the count tables it
+    // attaches are brand-cardinality broadcasts (25 rows at ANY scale
+    // factor; the order count is a 1-row broadcast). min-count 10
+    // keeps the rule table to statistically meaningful pairs.
+    val basket = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("brand"))
+      .distinct()
+      .localCheckpoint()
+    val nOrders = basket.agg(countDistinct(col("ok")).as("n_orders"))
+    val perBrand = basket.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_b"))
+    val pairs = basket.as("a")
+      .join(basket.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .select(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 10)
+    pairs
+      .join(broadcast(perBrand.select(col("brand").as("brand_a"),
+        col("n_b").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(perBrand.select(col("brand").as("brand_b"),
+        col("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_orders"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    // SINGLE-SOURCE SHORTEST PATH over the symmetrized click graph
+    // (user ↔ content bucket) — reachability completes the graph
+    // family next to rank (q97), triangles (q103), and components
+    // (q57). The seed is the relational min node (a one-row frame, no
+    // driver action); GraphOps' frontier BFS keeps O(nodes) state
+    // where the oracle's bounded recursive CTE materializes every
+    // walk — both agree on min-hop distances within 4 hops.
+    val raw = t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(concat(lit("u"), col("user_id").cast("string")).as("src"),
+        concat(lit("b"), (col("event_id") % 150).cast("string"))
+          .as("dst"))
+    val sym = raw.union(
+      raw.select(col("dst").as("src"), col("src").as("dst")))
+    val source = sym.agg(min(col("src")).as("id"))
+    GraphOps.shortestPaths(sym, source, maxHops = 4)
+      .orderBy(col("dist"), col("id"))
+  }
+
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    // RFM SEGMENTATION — recency / frequency / monetary quartile
+    // banding per customer, the classic CRM cut. Each metric's three
+    // quartile cuts ride ONE histogram pass (q143's primitive with a
+    // constant group); labeling joins broadcast three 1-row cut
+    // tables, so per-row classification is scan-local — never a
+    // data-sized window over customers. Bands use the q153 strict->
+    // convention (a tie at a cut falls to the lower band on both
+    // engines); monetary is rounded to cents BEFORE banding so the
+    // FP sum's last-ulp partition-order noise cannot flip a band.
+    val orders = t(s, dir, "orders")
+    val maxD = orders.agg(max(col("o_orderdate")).as("hi"))
+    val rfm = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last"),
+        count(lit(1)).as("freq"),
+        round(sum(col("o_totalprice")), 2).as("money"))
+      .crossJoin(broadcast(maxD))
+      .select(col("o_custkey"),
+        datediff(col("hi"), col("last")).cast("double").as("recency"),
+        col("freq").cast("double").as("frequency"),
+        col("money").as("monetary"), lit(1).as("_g"))
+      .localCheckpoint() // four consumers: three cut tables + labeling
+    def cuts(m: String) = CleanOps
+      .histPercentiles(rfm, "_g", m, Seq(0.25, 0.5, 0.75))
+      .select(col("p0").as(s"${m}_p0"), col("p1").as(s"${m}_p1"),
+        col("p2").as(s"${m}_p2"))
+    def band(m: String) =
+      (col(m) > col(s"${m}_p0")).cast("int") +
+        (col(m) > col(s"${m}_p1")).cast("int") +
+        (col(m) > col(s"${m}_p2")).cast("int")
+    rfm.crossJoin(broadcast(cuts("recency")))
+      .crossJoin(broadcast(cuts("frequency")))
+      .crossJoin(broadcast(cuts("monetary")))
+      .select(col("monetary"),
+        band("recency").as("r_band"), band("frequency").as("f_band"),
+        band("monetary").as("m_band"))
+      .groupBy(col("r_band"), col("f_band"), col("m_band"))
+      // sum, not avg: summing cents-rounded values stays ~1e-9 from a
+      // 2dp grid point so round(·,2) is stable on both engines; an
+      // avg over n customers lands on exact .005 midpoints where the
+      // engines' half-rounding of the binary double disagrees
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("monetary")), 2).as("total_monetary"))
+      .orderBy(col("r_band"), col("f_band"), col("m_band"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -3310,6 +3483,11 @@ object SparkEntry {
     "q153_quartile_bands" -> q153 _,
     "q154_dau_wau" -> q154 _,
     "q155_conversion_delay" -> q155 _,
+    "q156_binary_source" -> q156 _,
+    "q157_hll_merge" -> q157 _,
+    "q158_basket_rules" -> q158 _,
+    "q159_shortest_path" -> q159 _,
+    "q160_rfm_segments" -> q160 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -5362,5 +5540,98 @@ object SparkEntry {
         |  round(percentile_cont(0.9) WITHIN GROUP
         |    (ORDER BY delay_s::DOUBLE), 2) AS p90_s
         |FROM d""".stripMargin,
+    "q156_binary_source" ->
+      // the staged .bin payload IS the document's UTF-8 bytes, so the
+      // oracle recomputes length + md5 from the documents view;
+      // DuckDB strlen/md5 operate on the same UTF-8 byte sequence
+      // Spark's binaryFile content column carries
+      """WITH sel AS (SELECT doc_id, text FROM documents
+        |  ORDER BY doc_id LIMIT 5)
+        |SELECT 'doc_' || doc_id || '.bin' AS file,
+        |  strlen(text)::BIGINT AS bytes, md5(text) AS digest
+        |FROM sel ORDER BY 1""".stripMargin,
+    "q157_hll_merge" ->
+      // n_days / exact_users fully oracled; the merged-sketch
+      // estimate is engine-specific so its 5%-of-exact CONTRACT
+      // boolean is pinned to true (q80 convention)
+      """SELECT event_type,
+        |  count(DISTINCT ts::DATE)::BIGINT AS n_days,
+        |  count(DISTINCT user_id)::BIGINT AS exact_users,
+        |  true AS merged_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q158_basket_rules" ->
+      // identical basket/pair derivation; numerators cast ::DOUBLE
+      // first so both engines divide in IEEE f64
+      """WITH basket AS (SELECT DISTINCT l.l_orderkey AS ok,
+        |    p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |  n AS (SELECT count(DISTINCT ok) AS n_orders FROM basket),
+        |  pb AS (SELECT brand, count(*)::BIGINT AS n_b
+        |    FROM basket GROUP BY 1),
+        |  pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |      count(*)::BIGINT AS n_ab
+        |    FROM basket a JOIN basket b
+        |      ON a.ok = b.ok AND a.brand < b.brand
+        |    GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+        |  round(pr.n_ab::DOUBLE / n.n_orders, 6) AS support,
+        |  round(pr.n_ab::DOUBLE / pa.n_b, 6) AS confidence,
+        |  round(pr.n_ab::DOUBLE * n.n_orders / (pa.n_b * pb2.n_b), 6)
+        |    AS lift
+        |FROM pr
+        |  JOIN pb pa ON pr.brand_a = pa.brand
+        |  JOIN pb pb2 ON pr.brand_b = pb2.brand
+        |  CROSS JOIN n
+        |ORDER BY 1, 2""".stripMargin,
+    "q159_shortest_path" ->
+      // bounded recursive CTE: UNION dedups (id, dist) pairs and the
+      // dist < 4 guard bounds every walk, so recursion terminates on
+      // the cyclic symmetric graph; min(dist) per node = BFS distance
+      """WITH RECURSIVE e AS (
+        |    SELECT 'u' || user_id AS src, 'b' || (event_id % 150) AS dst
+        |    FROM events WHERE event_type = 'click'),
+        |  sym AS (SELECT src, dst FROM e
+        |    UNION SELECT dst AS src, src AS dst FROM e),
+        |  walk(id, dist) AS (
+        |    SELECT (SELECT min(src) FROM sym) AS id, 0 AS dist
+        |    UNION
+        |    SELECT s.dst, w.dist + 1 FROM walk w
+        |    JOIN sym s ON s.src = w.id WHERE w.dist < 4)
+        |SELECT id, min(dist)::INTEGER AS dist FROM walk
+        |GROUP BY id ORDER BY dist, id""".stripMargin,
+    "q160_rfm_segments" ->
+      // identical RFM derivation (monetary rounded to cents BEFORE
+      // banding on both sides); percentile_cont cuts + the q153
+      // strict-> band arithmetic
+      """WITH rfm AS (SELECT o_custkey,
+        |    date_diff('day', max(o_orderdate)::DATE,
+        |      (SELECT max(o_orderdate) FROM orders)::DATE)::DOUBLE
+        |      AS recency,
+        |    count(*)::DOUBLE AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY 1),
+        |  c AS (SELECT
+        |    percentile_cont(0.25) WITHIN GROUP (ORDER BY recency) AS r0,
+        |    percentile_cont(0.5)  WITHIN GROUP (ORDER BY recency) AS r1,
+        |    percentile_cont(0.75) WITHIN GROUP (ORDER BY recency) AS r2,
+        |    percentile_cont(0.25) WITHIN GROUP (ORDER BY frequency) AS f0,
+        |    percentile_cont(0.5)  WITHIN GROUP (ORDER BY frequency) AS f1,
+        |    percentile_cont(0.75) WITHIN GROUP (ORDER BY frequency) AS f2,
+        |    percentile_cont(0.25) WITHIN GROUP (ORDER BY monetary) AS m0,
+        |    percentile_cont(0.5)  WITHIN GROUP (ORDER BY monetary) AS m1,
+        |    percentile_cont(0.75) WITHIN GROUP (ORDER BY monetary) AS m2
+        |  FROM rfm),
+        |  lab AS (SELECT monetary,
+        |    (recency > r0)::INT + (recency > r1)::INT
+        |      + (recency > r2)::INT AS r_band,
+        |    (frequency > f0)::INT + (frequency > f1)::INT
+        |      + (frequency > f2)::INT AS f_band,
+        |    (monetary > m0)::INT + (monetary > m1)::INT
+        |      + (monetary > m2)::INT AS m_band
+        |  FROM rfm CROSS JOIN c)
+        |SELECT r_band, f_band, m_band,
+        |  count(*)::BIGINT AS n_customers,
+        |  round(sum(monetary), 2) AS total_monetary
+        |FROM lab GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
 }

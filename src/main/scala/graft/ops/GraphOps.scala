@@ -90,6 +90,55 @@ object GraphOps {
     * and unpersisted in a `finally` — the three counts are collected
     * eagerly (O(1) driver results, the nodes.count() convention), so
     * the returned one-row frame holds no lineage into the cache. */
+  /** Single-source shortest path (unweighted hop count), bounded at
+    * `maxHops` — the reachability member of the graph family next to
+    * [[pageRank]]'s rank propagation and `connectedComponents`' label
+    * flood.
+    *
+    * Semantics (pinned so a recursive-CTE oracle can reproduce them):
+    *  - edges are DISTINCT directed (src, dst) pairs (callers pass a
+    *    symmetrized list for undirected semantics);
+    *  - `source` is a ONE-ROW frame with column `id` (relational, so
+    *    a computed seed — e.g. min node — needs no driver action);
+    *  - output = (id, dist) for every node reachable within `maxHops`
+    *    hops, dist = minimum hop count, source at dist 0; unreachable
+    *    nodes are omitted.
+    *
+    * Scale shape: classic frontier BFS — each hop is ONE equi-join of
+    * the (small) frontier against the edge list keyed on src plus one
+    * anti-join against the known set, so the per-hop shuffle moves
+    * O(frontier ⋈ edges) rows and each node enters `dist` exactly
+    * once. The recursive-CTE spelling the oracle uses materializes
+    * every (node, walk-length ≤ k) pair — fine at fixture scale,
+    * quadratic in path multiplicity at 100 TB; the anti-join frontier
+    * is the scale-safe variant. The edge list is cached (probed once
+    * per hop) and unpersisted in a `finally`; the frontier is
+    * localCheckpoint'ed every hop (it is probed twice — the union and
+    * the next expansion — and would otherwise re-run the whole prefix
+    * per consumer), `dist` on the [[pageRank]] cadence so plan depth
+    * stays O(checkpointEvery), not O(maxHops). */
+  def shortestPaths(edges: DataFrame, source: DataFrame, maxHops: Int,
+                    checkpointEvery: Int = 3): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    try {
+      var dist = source.select(col("id"), lit(0).as("dist"))
+        .localCheckpoint()
+      var frontier = dist.select(col("id"))
+      for (h <- 1 to maxHops) {
+        val next = frontier.join(e, frontier("id") === e("src"))
+          .select(e("dst").as("id")).distinct()
+        frontier = next.join(dist, Seq("id"), "left_anti")
+          .localCheckpoint()
+        dist = dist.union(frontier.select(col("id"), lit(h).as("dist")))
+        if (h % checkpointEvery == 0 && h < maxHops)
+          dist = dist.localCheckpoint()
+      }
+      dist.localCheckpoint()
+    } finally e.unpersist()
+  }
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val e = edges

@@ -399,4 +399,51 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got === Map(("a", "x") -> 2.0, ("a", "y") -> 20.0,
       ("b", "x") -> 100.0))
   }
+
+  test("shortestPaths: hand-computed BFS distances — source at 0, " +
+       "min-hop through a cycle, maxHops bound drops the far node, " +
+       "disconnected node omitted") {
+    import graft.ops.GraphOps
+    // 1→2→3→4→5 chain, plus shortcut 1→3 and back-edge 3→1 (cycle);
+    // node 9 is disconnected. From 1 with maxHops=2: 1:0, 2:1, 3:1
+    // (shortcut beats the 2-hop chain), 4:2; 5 needs 3 hops → dropped.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (3L, 1L), (9L, 9L)).toDF("src", "dst")
+    val source = Seq(Tuple1(1L)).toDF("id")
+    val got = GraphOps.shortestPaths(edges, source, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // maxHops = 0 → just the seed
+    val seedOnly = GraphOps.shortestPaths(edges, source, maxHops = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(seedOnly === Map(1L -> 0))
+  }
+
+  test("shortestPaths at maxHops=10: checkpoint cadence keeps the " +
+       "returned plan bounded, results match the cadence-free run, " +
+       "and the edge cache is unpersisted") {
+    import graft.ops.GraphOps
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (8L, 9L), (9L, 10L), (10L, 11L))
+      .toDF("src", "dst")
+    val source = Seq(Tuple1(1L)).toDF("id")
+    val r = GraphOps.shortestPaths(edges, source, maxHops = 10,
+      checkpointEvery = 3)
+    val nPlanNodes =
+      r.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nPlanNodes <= 3,
+      s"expected a checkpointed leaf plan, got $nPlanNodes operators")
+    val noCp = GraphOps.shortestPaths(edges, source, maxHops = 10,
+        checkpointEvery = 99)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gotMap = r.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotMap === noCp)
+    assert(gotMap === (1L to 11L).map(i => i -> (i - 1).toInt).toMap)
+    // cache hygiene: the distinct edge plan must not linger
+    val e = edges.select(col("src"), col("dst")).distinct()
+    assert(spark.sharedState.cacheManager.lookupCachedData(
+        e.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+          org.apache.spark.sql.Row]]).isEmpty,
+      "shortestPaths left its edge table cached")
+  }
 }
