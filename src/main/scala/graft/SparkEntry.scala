@@ -2807,6 +2807,157 @@ object SparkEntry {
       .orderBy(col("r_band"), col("f_band"), col("m_band"))
   }
 
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    // CONSTRAINED funnel — q102's unconstrained ordering plus the
+    // product question that actually gets asked: each step must land
+    // within ONE HOUR of the previous step (first view → first click
+    // ≤1h after it → first purchase ≤1h after that). Three min
+    // aggregates chained by user-keyed joins — every shuffle keys on
+    // user_id, the timeout is a residual filter on the joined row, so
+    // the plan is three hash joins + three partial-aggregates at any
+    // scale. Users counted once per deepest stage reached.
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      .localCheckpoint() // two consumers: its count and stage 2
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("v_ts") &&
+        col("ts") <= col("v_ts") + expr("interval 1 hour"))
+      .groupBy(col("user_id"), col("v_ts")).agg(min(col("ts")).as("c_ts"))
+      .localCheckpoint() // two consumers: its count and the next stage
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("c_ts") &&
+        col("ts") <= col("c_ts") + expr("interval 1 hour"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n")).select(lit(1).as("stage"),
+        lit("view").as("step"), col("n"))
+      .unionAll(c.agg(count(lit(1)).as("n")).select(lit(2).as("stage"),
+        lit("click_1h").as("step"), col("n")))
+      .unionAll(p.agg(count(lit(1)).as("n")).select(lit(3).as("stage"),
+        lit("purchase_1h").as("step"), col("n")))
+      .orderBy(col("stage"))
+  }
+
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    // CHI-SQUARE independence test: event_type × day-of-week
+    // contingency table → χ², degrees of freedom, Cramér's V. The
+    // cell counts are ONE map-side-combinable aggregate; marginals
+    // re-aggregate the (7×types)-row cell table (never re-scan
+    // events) and attach as broadcasts; the χ² sum folds ~35 cells.
+    // Exact integer counts → the only FP is the final fold, rounded
+    // to 4 dp on both engines.
+    val cells = t(s, dir, "events")
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // four consumers: marginals, N, cells, dof
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(col("dow")).as("n_dows"))
+    cells.join(broadcast(rowT), Seq("event_type"))
+      .join(broadcast(colT), Seq("dow"))
+      .crossJoin(broadcast(n))
+      // r·c cast to double BEFORE multiplying: marginal products
+      // overflow long at warehouse row counts, and the cast pins both
+      // engines to the same IEEE ops
+      .select((col("o") - col("r").cast("double") * col("c") / col("n"))
+          .as("d"),
+        (col("r").cast("double") * col("c") / col("n")).as("e"),
+        col("n"), col("n_types"), col("n_dows"))
+      .groupBy(col("n"), col("n_types"), col("n_dows"))
+      .agg(sum(col("d") * col("d") / col("e")).as("chi2"))
+      .select(col("n"),
+        ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
+        round(col("chi2"), 4).as("chi2"),
+        round(sqrt(col("chi2") / (col("n").cast("double") *
+          least(col("n_types") - 1, col("n_dows") - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    // Fuzzy self-join at RADIUS TWO — editDistancePairs' maxDist=2:
+    // the delete-two SymSpell neighborhood (O(L²/2) variant keys per
+    // unique name, still linear in corpus size) against the oracle's
+    // O(n²) cross join. Completes the typo-radius ladder: q96 is one
+    // edit, this is the two-edit band catalogs actually dedup at.
+    val names = t(s, dir, "part").groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_rows"))
+    DedupOps.editDistancePairs(names, "p_name", Seq("n_rows"),
+        maxDist = 2)
+      .select(col("p_name_a").as("name_a"), col("p_name_b").as("name_b"),
+        levenshtein(col("p_name_a"), col("p_name_b")).cast("long")
+          .as("dist"),
+        col("n_rows_a").as("rows_a"), col("n_rows_b").as("rows_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    // DATA-QUALITY AUDIT — the expectations report a warehouse runs
+    // before anything downstream trusts a load: referential orphans
+    // (anti-joins keyed on the FK), null-rate and domain checks
+    // (map-side aggregates), and a cross-field consistency probe.
+    // Each check is one small frame; the report unions O(checks)
+    // one-row results — at 100 TB every check is a scan-local filter
+    // or an FK-keyed anti-join, nothing quadratic, and the union is
+    // driver-free.
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val events = t(s, dir, "events")
+    val docs = t(s, dir, "documents")
+    def report(check: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(check).as("check"), col("n_violations"))
+    report("orders_orphan_custkey",
+        orders.join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left_anti"))
+      .unionAll(report("lineitem_orphan_orderkey",
+        lineitem.join(orders,
+          col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionAll(report("events_null_user",
+        events.filter(col("user_id").isNull)))
+      .unionAll(report("orders_nonpositive_price",
+        orders.filter(col("o_totalprice") <= 0)))
+      .unionAll(report("lineitem_qty_out_of_domain",
+        lineitem.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
+      .unionAll(report("documents_nchars_mismatch",
+        docs.filter(col("n_chars") =!= length(col("text")))))
+      .orderBy(col("check"))
+  }
+
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    // CUSUM CHANGE-POINT detection per event type: hourly counts,
+    // cumulative sum of deviations from the series mean, report the
+    // hour where |CUSUM| peaks (the classic level-shift locator). The
+    // hourly rollup is one map-side-combinable aggregate; the mean
+    // attaches by a type-keyed broadcast; the running sum and argmax
+    // are windows over each type's OWN series (bounded by the time
+    // span, thousands of points — never a data-sized window).
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .localCheckpoint() // two consumers: the mean and the series
+    val mean = hourly.groupBy(col("event_type"))
+      .agg(avg(col("x")).as("mu"), count(lit(1)).as("n_hours"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val series = hourly.join(broadcast(mean), Seq("event_type"))
+      .withColumn("cusum", sum(col("x") - col("mu")).over(w))
+    series
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("cusum")).desc, col("h"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm").as("change_hour"),
+        round(col("cusum"), 4).as("peak_cusum"),
+        round(col("mu"), 4).as("hourly_mean"), col("n_hours"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -3488,6 +3639,11 @@ object SparkEntry {
     "q158_basket_rules" -> q158 _,
     "q159_shortest_path" -> q159 _,
     "q160_rfm_segments" -> q160 _,
+    "q161_funnel_timeout" -> q161 _,
+    "q162_chi_square" -> q162 _,
+    "q163_fuzzy_join_2" -> q163 _,
+    "q164_dq_audit" -> q164 _,
+    "q165_cusum" -> q165 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -5633,5 +5789,102 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_customers,
         |  round(sum(monetary), 2) AS total_monetary
         |FROM lab GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q161_funnel_timeout" ->
+      // identical chained min-aggregates with the 1-hour residual
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |  c AS (SELECT e.user_id, v.v_ts, min(e.ts) AS c_ts
+        |    FROM events e JOIN v USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+        |      AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+        |    GROUP BY 1, 2),
+        |  p AS (SELECT c.user_id, min(e.ts) AS p_ts
+        |    FROM events e JOIN c USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |      AND e.ts <= c.c_ts + INTERVAL 1 HOUR
+        |    GROUP BY 1)
+        |SELECT 1 AS stage, 'view' AS step,
+        |    (SELECT count(*) FROM v)::BIGINT AS n
+        |UNION ALL SELECT 2, 'click_1h', (SELECT count(*) FROM c)::BIGINT
+        |UNION ALL SELECT 3, 'purchase_1h',
+        |  (SELECT count(*) FROM p)::BIGINT
+        |ORDER BY stage""".stripMargin,
+    "q162_chi_square" ->
+      // dayofweek: DuckDB is 0-6 Sun..Sat, Spark 1-7 Sun=1 — the +1
+      // aligns the grouping key space (the key never leaves the
+      // aggregate, only its cardinality matters); r·c casts ::DOUBLE
+      // first to mirror the Spark side's IEEE ops
+      """WITH cells AS (SELECT event_type, dayofweek(ts) + 1 AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |  rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+        |  ct AS (SELECT dow, sum(o) AS c FROM cells GROUP BY 1),
+        |  nn AS (SELECT sum(o) AS n,
+        |      count(DISTINCT event_type) AS n_types,
+        |      count(DISTINCT dow) AS n_dows FROM cells),
+        |  chi AS (SELECT nn.n, nn.n_types, nn.n_dows,
+        |      sum((cells.o - rt.r::DOUBLE * ct.c / nn.n)
+        |        * (cells.o - rt.r::DOUBLE * ct.c / nn.n)
+        |        / (rt.r::DOUBLE * ct.c / nn.n)) AS chi2
+        |    FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+        |      CROSS JOIN nn
+        |    GROUP BY 1, 2, 3)
+        |SELECT n::BIGINT AS n,
+        |  ((n_types - 1) * (n_dows - 1))::BIGINT AS dof,
+        |  round(chi2, 4) AS chi2,
+        |  round(sqrt(chi2 / (n::DOUBLE
+        |    * least(n_types - 1, n_dows - 1))), 6) AS cramers_v
+        |FROM chi""".stripMargin,
+    "q163_fuzzy_join_2" ->
+      // the O(n²) comparison the delete-two blocking must collapse to
+      """WITH n AS (SELECT p_name, count(*) AS n_rows FROM part
+        |    GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name)::BIGINT AS dist,
+        |  a.n_rows AS rows_a, b.n_rows AS rows_b
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q164_dq_audit" ->
+      """SELECT 'documents_nchars_mismatch' AS check,
+        |  (SELECT count(*) FROM documents
+        |    WHERE n_chars <> length(text))::BIGINT AS n_violations
+        |UNION ALL SELECT 'events_null_user',
+        |  (SELECT count(*) FROM events WHERE user_id IS NULL)::BIGINT
+        |UNION ALL SELECT 'lineitem_orphan_orderkey',
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+        |UNION ALL SELECT 'lineitem_qty_out_of_domain',
+        |  (SELECT count(*) FROM lineitem
+        |    WHERE l_quantity < 1 OR l_quantity > 50)::BIGINT
+        |UNION ALL SELECT 'orders_nonpositive_price',
+        |  (SELECT count(*) FROM orders WHERE o_totalprice <= 0)::BIGINT
+        |UNION ALL SELECT 'orders_orphan_custkey',
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey))::BIGINT
+        |ORDER BY "check"""".stripMargin,
+    "q165_cusum" ->
+      // same ordered running sum — both engines accumulate the
+      // per-type series in h order, so the partial sums are
+      // bit-identical given the same mean
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1, 2),
+        |  m AS (SELECT event_type, avg(x) AS mu,
+        |    count(*)::BIGINT AS n_hours FROM hourly GROUP BY 1),
+        |  s AS (SELECT hourly.event_type, h, mu, n_hours,
+        |    sum(x - mu) OVER (PARTITION BY hourly.event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cusum
+        |    FROM hourly JOIN m USING (event_type)),
+        |  r AS (SELECT *, row_number() OVER
+        |      (PARTITION BY event_type ORDER BY abs(cusum) DESC, h)
+        |      AS rk FROM s)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M') AS change_hour,
+        |  round(cusum, 4) AS peak_cusum, round(mu, 4) AS hourly_mean,
+        |  n_hours
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
   )
 }

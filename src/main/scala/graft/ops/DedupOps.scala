@@ -439,12 +439,13 @@ object DedupOps {
           (col("size_a") + col("size_b") - col("inter"))).as("jaccard"))
   }
 
-  /** Fuzzy (edit-distance ≤ 1) string self-join via DELETION-NEIGHBORHOOD
-    * blocking — the sound-and-complete blocking scheme for one edit:
-    * every string emits itself plus each single-character deletion as a
-    * join key; two strings within one edit (substitution, insertion or
-    * deletion) necessarily share a key, so the all-pairs comparison the
-    * oracle runs collapses to an EQUI-join on the variant key. Each
+  /** Fuzzy (edit-distance ≤ `maxDist`, 1 or 2) string self-join via
+    * DELETION-NEIGHBORHOOD blocking — the sound-and-complete blocking
+    * scheme: every string emits itself plus each ≤`maxDist`-character
+    * deletion as a join key; two strings within `maxDist` edits
+    * (substitution, insertion or deletion) necessarily share a key
+    * (SymSpell's meet-in-the-middle lemma), so the all-pairs comparison
+    * the oracle runs collapses to an EQUI-join on the variant key. Each
     * string emits |s|+1 keys — a linear blowup on the (deduplicated)
     * string side, never a quadratic candidate set, and the exchange
     * keys on the variant hash, so the plan survives a 100× vocabulary.
@@ -465,16 +466,38 @@ object DedupOps {
     * combination — the whole-row distinct cannot collapse rows whose
     * carries differ. */
   def editDistancePairs(strings: DataFrame, strCol: String,
-                        carryCols: Seq[String] = Nil): DataFrame = {
+                        carryCols: Seq[String] = Nil,
+                        maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"editDistancePairs supports maxDist 1 or 2, got $maxDist")
     val sc = col(strCol)
     // variant i deletes the i-th char: s[1..i-1] ++ s[i+1..len].
     // array_union folds in the undeleted string (insert/delete pairs
     // match a full string against a deletion of the longer one).
-    val variants = array_union(
-      array(sc),
-      transform(sequence(lit(1), length(sc)),
-        i => concat(sc.substr(lit(1), i - lit(1)),
-          sc.substr(i + lit(1), length(sc) - i))))
+    val del1 = transform(sequence(lit(1), length(sc)),
+      i => concat(sc.substr(lit(1), i - lit(1)),
+        sc.substr(i + lit(1), length(sc) - i)))
+    // maxDist=2 adds the delete-two neighborhood (positions i < j) —
+    // the SymSpell meet-in-the-middle: lev(a,b) ≤ d ⟹ some ≤d-deletion
+    // variants of a and b coincide, so an equi-join on variants is a
+    // SOUND block at O(L²/2) variants per unique string (vs L+1 for
+    // d=1) — linear in corpus size either way, never the O(n²) cross
+    // join. The j-index rides filter(idx, j > i), NOT sequence(i+1, L):
+    // Spark's sequence(a, b) auto-steps DESCENDING when a > b, which
+    // at i = L would fabricate [L+1, L] "positions" instead of none.
+    val variants =
+      if (maxDist == 1) array_union(array(sc), del1)
+      else {
+        val idx = sequence(lit(1), length(sc))
+        val del2 = when(length(sc) >= 2,
+          flatten(transform(idx, i =>
+            transform(filter(idx, j => j > i), j => concat(
+              sc.substr(lit(1), i - lit(1)),
+              sc.substr(i + lit(1), j - i - lit(1)),
+              sc.substr(j + lit(1), length(sc) - j))))))
+          .otherwise(array().cast("array<string>"))
+        array_distinct(concat(array(sc), del1, del2))
+      }
     val keyed = strings.select(
       (sc +: carryCols.map(col)) :+ explode(variants).as("_variant"): _*)
     def side(tag: String) = keyed.select(
@@ -482,7 +505,7 @@ object DedupOps {
         carryCols.map(c => col(c).as(s"${c}_$tag"))) :+ col("_variant"): _*)
     side("a").join(side("b"), Seq("_variant"))
       .filter(col(s"${strCol}_a") < col(s"${strCol}_b") &&
-        levenshtein(col(s"${strCol}_a"), col(s"${strCol}_b")) <= 1)
+        levenshtein(col(s"${strCol}_a"), col(s"${strCol}_b")) <= maxDist)
       .drop("_variant").distinct()
   }
 }

@@ -84,6 +84,30 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got.count() === 1L)
   }
 
+  test("editDistancePairs maxDist=2 equals brute-force levenshtein<=2 " +
+       "— transpositions and double edits now in, distance 3 out, " +
+       "short strings safe, maxDist 3 rejected") {
+    val vocab = Seq("cat", "act", "bar", "bat", "cart", "carts", "ca",
+      "c", "", "dog", "xylo").toDF("s")
+    val got = DedupOps.editDistancePairs(vocab, "s", maxDist = 2)
+      .select("s_a", "s_b").as[(String, String)].collect().toSet
+    val want = vocab.select(col("s").as("s_a"))
+      .crossJoin(vocab.select(col("s").as("s_b")))
+      .filter(col("s_a") < col("s_b") &&
+        levenshtein(col("s_a"), col("s_b")) <= 2)
+      .as[(String, String)].collect().toSet
+    assert(got === want)
+    // the radius-2 cases bind: transposition (act/cat), double-ins
+    // (carts/cat), len<2 strings survive the delete-two guard
+    // ("" and "ca"); dog/cat (three substitutions) must be out
+    assert(want.contains(("act", "cat")) && want.contains(("carts", "cat"))
+      && want.contains(("", "ca")) && !want.contains(("cat", "dog"))
+      && !want.contains(("dog", "cat")))
+    intercept[IllegalArgumentException] {
+      DedupOps.editDistancePairs(vocab, "s", maxDist = 3)
+    }
+  }
+
   // ---------------------------------------------------------------- //
   // pageRank
   // ---------------------------------------------------------------- //
