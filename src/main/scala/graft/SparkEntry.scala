@@ -2958,6 +2958,142 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    // POPULATION STABILITY INDEX — the distribution-drift monitor a
+    // production ML pipeline runs between a reference window and the
+    // live window. Value deciles are computed on the REFERENCE half
+    // only (per event type, one histogram pass — q143's primitive);
+    // both halves band against those cuts via a broadcast, so the
+    // whole check is one scan + one (type, bin) aggregate at any
+    // scale. The half-split boundary is the integer midpoint of the
+    // observed epoch span (exact on both engines); proportions carry
+    // +0.5/(n+5) pseudo-counts so an empty-on-one-side bin
+    // contributes a finite term instead of ln(0).
+    val ev = t(s, dir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("e"))
+    val span = ev.agg(min(col("e")).as("lo"), max(col("e")).as("hi"))
+    val tagged = ev.crossJoin(broadcast(span))
+      .withColumn("period",
+        when(col("e") < ((col("lo") + col("hi")) / lit(2)).cast("long"),
+          "ref").otherwise("live"))
+      .localCheckpoint() // two consumers: the ref cuts and the banding
+    val cuts = CleanOps.histPercentiles(
+      tagged.filter(col("period") === "ref"),
+      Seq("event_type"), "value", (1 to 9).map(_ / 10.0))
+    val cells = tagged.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("bin", (0 to 8)
+        .map(i => (col("value") > col(s"p$i")).cast("int"))
+        .reduce(_ + _))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("period") === "ref", 1).otherwise(0)).as("cr"),
+        sum(when(col("period") === "live", 1).otherwise(0)).as("cl"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cl")).as("n_live"))
+    cells.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("n_ref"), col("n_live"),
+        ((col("cr") + lit(0.5)) / (col("n_ref") + lit(5.0))).as("pr"),
+        ((col("cl") + lit(0.5)) / (col("n_live") + lit(5.0))).as("pl"))
+      .groupBy(col("event_type"), col("n_ref"), col("n_live"))
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum((col("pr") - col("pl")) * log(col("pr") / col("pl"))),
+          6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    // WEIGHTED exact-k sample WITHOUT replacement (Efraimidis–
+    // Spirakis A-ES), weight ∝ document length: rank by ln(u)/w — the
+    // monotone twin of u^(1/w) — with the q105 md5-uniform u, so the
+    // draw is bit-reproducible in DuckDB. Top-k rides
+    // TakeOrderedAndProject (a bounded per-partition heap + one k-row
+    // merge, never a global sort); the key is rounded to 9 dp and
+    // tie-broken by doc_id so a last-ulp ln() difference between
+    // engines cannot flip the cutoff.
+    val docs = t(s, dir, "documents")
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("aes7"))), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("text_len"),
+        round(log(u) / length(col("text")), 9).as("_k"))
+      .orderBy(col("_k").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("lang"), col("text_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    // PER-GROUP LINEAR REGRESSION — hourly event volume regressed on
+    // the hour index through the regr_* aggregate family: slope /
+    // intercept / R² from ONE pass of sufficient statistics (sums,
+    // not a solver), partially aggregable and therefore
+    // warehouse-shaped. x is re-origined per group (hours since the
+    // group's first hour) so the normal-equation arithmetic stays
+    // small-magnitude at any calendar offset.
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .localCheckpoint() // two consumers: the x-origin and the fit
+    val origin = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"))
+    hourly.join(broadcast(origin), Seq("event_type"))
+      .withColumn("x",
+        ((unix_timestamp(col("h")) - unix_timestamp(col("h0"))) /
+          lit(3600)).cast("double"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(regr_slope(col("y"), col("x")), 6).as("slope"),
+        round(regr_intercept(col("y"), col("x")), 4).as("intercept"),
+        round(regr_r2(col("y"), col("x")), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    // MULTI-SOURCE streaming union — two independent file-stream
+    // sources (the Kafka-topic-per-type shape) unioned BEFORE the
+    // watermark + tumbling aggregate, so one state store serves both
+    // feeds and the watermark advances on the merged event time.
+    // Fully-staged sources ⇒ deterministic ⇒ the oracle is the plain
+    // batch union aggregate.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    def src(tpe: String) = Tables.withTimestamps(
+        StreamOps.fileStream(s, schema, staged), "events")
+      .filter(col("event_type") === tpe)
+    val agg = StreamOps.tumblingCounts(
+      src("view").unionAll(src("purchase")), "ts", "event_type",
+      "1 hour", "1 hour")
+    StreamOps.runToCompletion(agg, s"q169_sink_${System.nanoTime()}",
+        statePartitions = Some(8))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    // ARGMAX aggregation — max_by over a composite (date, key) order:
+    // "latest row per group" as ONE partially-aggregable pass (q99's
+    // window-based sibling without the row_number sort; each map task
+    // keeps a single champion per group, the exchange moves one row
+    // per group per task). The struct order key is tie-proof: equal
+    // dates resolve by o_orderkey on both engines.
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        max_by(col("o_orderstatus"),
+          struct(col("o_orderdate"), col("o_orderkey")))
+          .as("last_status"),
+        max_by(col("o_totalprice"),
+          struct(col("o_orderdate"), col("o_orderkey")))
+          .as("last_price_raw"),
+        max(col("o_orderdate")).as("last_ts"))
+      .select(col("o_custkey"), col("n_orders"), col("last_status"),
+        round(col("last_price_raw"), 2).as("last_price"),
+        date_format(col("last_ts"), "yyyy-MM-dd").as("last_date"))
+      .orderBy(col("o_custkey"))
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -3644,6 +3780,11 @@ object SparkEntry {
     "q163_fuzzy_join_2" -> q163 _,
     "q164_dq_audit" -> q164 _,
     "q165_cusum" -> q165 _,
+    "q166_psi_drift" -> q166 _,
+    "q167_weighted_topk" -> q167 _,
+    "q168_group_regression" -> q168 _,
+    "q169_stream_union" -> q169 _,
+    "q170_argmax_latest" -> q170 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -5886,5 +6027,92 @@ object SparkEntry {
         |  round(cusum, 4) AS peak_cusum, round(mu, 4) AS hourly_mean,
         |  n_hours
         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "q166_psi_drift" ->
+      // identical midpoint split (integer floor), ref-half decile
+      // cuts via percentile_cont, strict-> banding, +0.5/(n+5)
+      // pseudo-count proportions
+      """WITH ev AS (SELECT event_type, value,
+        |    floor(epoch(ts))::BIGINT AS e FROM events
+        |    WHERE value IS NOT NULL),
+        |  span AS (SELECT min(e) AS lo, max(e) AS hi FROM ev),
+        |  tagged AS (SELECT event_type, value,
+        |    CASE WHEN e < ((lo + hi) // 2) THEN 'ref' ELSE 'live' END
+        |      AS period FROM ev CROSS JOIN span),
+        |  cuts AS (SELECT event_type,
+        |    percentile_cont(0.1) WITHIN GROUP (ORDER BY value) AS p0,
+        |    percentile_cont(0.2) WITHIN GROUP (ORDER BY value) AS p1,
+        |    percentile_cont(0.3) WITHIN GROUP (ORDER BY value) AS p2,
+        |    percentile_cont(0.4) WITHIN GROUP (ORDER BY value) AS p3,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p4,
+        |    percentile_cont(0.6) WITHIN GROUP (ORDER BY value) AS p5,
+        |    percentile_cont(0.7) WITHIN GROUP (ORDER BY value) AS p6,
+        |    percentile_cont(0.8) WITHIN GROUP (ORDER BY value) AS p7,
+        |    percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS p8
+        |  FROM tagged WHERE period = 'ref' GROUP BY 1),
+        |  cells AS (SELECT t.event_type,
+        |    (value > p0)::INT + (value > p1)::INT + (value > p2)::INT
+        |    + (value > p3)::INT + (value > p4)::INT + (value > p5)::INT
+        |    + (value > p6)::INT + (value > p7)::INT + (value > p8)::INT
+        |      AS bin,
+        |    sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN period = 'live' THEN 1 ELSE 0 END) AS cl
+        |  FROM tagged t JOIN cuts USING (event_type) GROUP BY 1, 2),
+        |  tot AS (SELECT event_type, sum(cr)::BIGINT AS n_ref,
+        |    sum(cl)::BIGINT AS n_live FROM cells GROUP BY 1)
+        |SELECT c.event_type, n_ref, n_live,
+        |  count(*)::BIGINT AS n_bins,
+        |  round(sum(((cr + 0.5) / (n_ref + 5.0)
+        |        - (cl + 0.5) / (n_live + 5.0))
+        |      * ln(((cr + 0.5) / (n_ref + 5.0))
+        |        / ((cl + 0.5) / (n_live + 5.0)))), 6) AS psi
+        |FROM cells c JOIN tot USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q167_weighted_topk" ->
+      // the identical md5-uniform draw and ln(u)/w key, rounded to
+      // 9 dp with a doc_id tie-break so the cutoff is ulp-proof
+      """WITH keyed AS (SELECT doc_id, lang,
+        |    length(text)::BIGINT AS text_len,
+        |    round(ln(('0x' || substr(md5(doc_id::VARCHAR || 'aes7'),
+        |        1, 8))::BIGINT / 4294967296.0)
+        |      / length(text), 9) AS k
+        |  FROM documents)
+        |SELECT doc_id, lang, text_len FROM keyed
+        |ORDER BY k DESC, doc_id LIMIT 50""".stripMargin,
+    "q168_group_regression" ->
+      // DuckDB's regr_* family over the identical re-origined series
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*)::DOUBLE AS y FROM events GROUP BY 1, 2),
+        |  o AS (SELECT event_type, min(h) AS h0 FROM hourly GROUP BY 1),
+        |  xy AS (SELECT hourly.event_type, y,
+        |    ((floor(epoch(h))::BIGINT - floor(epoch(h0))::BIGINT)
+        |      / 3600)::DOUBLE AS x
+        |  FROM hourly JOIN o USING (event_type))
+        |SELECT event_type, count(*)::BIGINT AS n_hours,
+        |  round(regr_slope(y, x), 6) AS slope,
+        |  round(regr_intercept(y, x), 4) AS intercept,
+        |  round(regr_r2(y, x), 6) AS r2
+        |FROM xy GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q169_stream_union" ->
+      // batch twin of the two-source union (the q42 spelling filtered
+      // to the two unioned feeds)
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events WHERE event_type IN ('view', 'purchase')
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q170_argmax_latest" ->
+      // the composite (date, key) argmax encoded as one BIGINT for
+      // DuckDB's scalar arg_max (epoch·1e8 + orderkey; orderkey stays
+      // far below 1e8 at fixture scale — oracle-side spelling only,
+      // the Spark side orders the real struct)
+      """SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |  arg_max(o_orderstatus,
+        |    floor(epoch(o_orderdate))::BIGINT * 100000000 + o_orderkey)
+        |    AS last_status,
+        |  round(arg_max(o_totalprice,
+        |    floor(epoch(o_orderdate))::BIGINT * 100000000 + o_orderkey),
+        |    2) AS last_price,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

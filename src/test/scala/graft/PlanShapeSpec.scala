@@ -509,4 +509,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"no cross join in the coverage report:\n${p.take(1500)}")
   }
+
+  test("q167: the A-ES weighted top-k plans as TakeOrderedAndProject " +
+       "— a bounded per-partition heap, never a global sort") {
+    val p = planOf("q167_weighted_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q170: max_by argmax is ONE partially-aggregable pass — a " +
+       "partial HashAggregate below the group exchange, no window " +
+       "sort over the orders table") {
+    val p = planOf("q170_argmax_latest")
+    assert("partial_max_by|HashAggregate[^\n]*partial".r
+      .findFirstIn(p).isDefined,
+      s"argmax must map-side combine:\n${p.take(1500)}")
+    assert(!p.contains("Window"),
+      s"argmax must not fall back to a row_number window:\n${p.take(1500)}")
+  }
 }
