@@ -3094,6 +3094,260 @@ object SparkEntry {
         date_format(col("last_ts"), "yyyy-MM-dd").as("last_date"))
       .orderBy(col("o_custkey"))
 
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    // WELCH TWO-SAMPLE T-TEST per event type — the continuous-metric
+    // A/B readout next to q162's categorical chi-square. Variant
+    // assignment is the deterministic holdout split (user_id parity);
+    // all six sufficient statistics (n/mean/var per arm) come from ONE
+    // map-side-combinable conditional-aggregate pass — no second scan,
+    // no join — and the t statistic + Welch–Satterthwaite dof are
+    // scalar arithmetic over that tiny result. var_samp over a
+    // when(...) ignores the other arm's nulls on both engines.
+    val arms = t(s, dir, "events")
+      .where(col("value").isNotNull)
+      .withColumn("a", col("user_id") % 2 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(when(col("a"), 1)).as("n_a"),
+        count(when(!col("a"), 1)).as("n_b"),
+        avg(when(col("a"), col("value"))).as("m_a"),
+        avg(when(!col("a"), col("value"))).as("m_b"),
+        var_samp(when(col("a"), col("value"))).as("v_a"),
+        var_samp(when(!col("a"), col("value"))).as("v_b"))
+    val se2 = col("v_a") / col("n_a") + col("v_b") / col("n_b")
+    arms.select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("m_a"), 6).as("mean_a"),
+        round(col("m_b"), 6).as("mean_b"),
+        round((col("m_a") - col("m_b")) / sqrt(se2), 4).as("t_stat"),
+        round(se2 * se2 /
+          ((col("v_a") / col("n_a")) * (col("v_a") / col("n_a")) /
+            (col("n_a") - 1) +
+           (col("v_b") / col("n_b")) * (col("v_b") / col("n_b")) /
+            (col("n_b") - 1)), 2).as("welch_dof"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    // CUMULATIVE UNIQUE USERS — the growth curve, computed the only
+    // way that survives 100 TB: a running count_distinct over an
+    // expanding window re-counts the whole history per day; instead,
+    // each user collapses to their FIRST-SEEN day (one groupBy), daily
+    // new-user counts re-aggregate that, and the cumulative sum is a
+    // window over the calendar-bounded daily table (≤ a few thousand
+    // rows regardless of event volume — the single-partition window is
+    // bounded by days, not data).
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"))
+      .groupBy(col("d0"))
+      .agg(count(lit(1)).as("new_users"))
+    daily.select(date_format(col("d0"), "yyyy-MM-dd").as("day"),
+        col("new_users"),
+        sum(col("new_users")).over(Window.orderBy(col("d0")))
+          .as("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    // CHAINED STATEFUL STREAMING AGGREGATES — hourly tumbling counts
+    // re-aggregated to daily totals INSIDE one streaming query (two
+    // stateful operators back to back, Spark's multi-stateful support;
+    // append mode is required, so only watermark-finalized windows
+    // flow downstream). The daily state sees one row per finalized
+    // hour, not raw events — the re-aggregation is over a 24×-smaller
+    // stream. The final (incomplete-horizon) day never emits in
+    // append mode; the oracle applies the same watermark cutoff
+    // (day end ≤ max event time).
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    val src = Tables.withTimestamps(
+      StreamOps.fileStream(s, schema, staged), "events")
+    val hourly = src.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("tv"))
+    val daily = hourly
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("tv")).as("tv"))
+    StreamOps.runToCompletion(daily, s"q173_sink_${System.nanoTime()}",
+        outputMode = "append", statePartitions = Some(8))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"),
+        round(col("tv"), 2).as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    // RECORD LINKAGE — an incoming batch of entity names matched
+    // against the master table: block on the name's head noun (linear
+    // candidate generation — never all-pairs), score each candidate
+    // with the codegen'd DuckDB-parity [[JaroWinkler]] expression,
+    // keep the best match per probe. The probe side is small by
+    // construction (an arriving batch), so it BROADCASTS and the scan
+    // side streams through map-side; the rank window partitions by
+    // probe over the blocked candidate set only. Ties rank on the
+    // 6-dp ROUNDED score then candidate key, so a last-ulp difference
+    // between engines cannot reorder.
+    val parts = t(s, dir, "part")
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val probes = parts.where(col("p_partkey") % 97 === 0)
+      .select(col("p_partkey").as("probe_key"),
+        col("p_name").as("probe_name"), col("blk"))
+    val scored = parts.join(broadcast(probes), Seq("blk"))
+      .where(col("p_partkey") =!= col("probe_key"))
+      .select(col("probe_key"), col("probe_name"),
+        col("p_partkey").as("match_key"), col("p_name").as("match_name"),
+        round(GraftFunctions.jaro_winkler(col("probe_name"),
+          col("p_name")), 6).as("score"))
+    scored.withColumn("rk", row_number().over(Window
+        .partitionBy(col("probe_key"))
+        .orderBy(col("score").desc, col("match_key"))))
+      .where(col("rk") === 1).drop("rk")
+      .orderBy(col("probe_key"))
+  }
+
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    // ITEM-ITEM COLLABORATIVE FILTERING — co-occurrence cosine over
+    // the user×item interaction matrix (item = the props.k key). The
+    // quadratic danger is the per-user pair explosion (one power user
+    // with 10⁵ items = 10¹⁰ pairs), so every user is CAPPED at 20
+    // items first, chosen by a deterministic md5 hash rank (the
+    // q105/q167 uniform convention, reproducible in the oracle) — the
+    // DIMSUM-style guard that keeps the self-join linear in users.
+    // The pair join keys on user_id; co-counts and per-item counts
+    // are plain aggregates; cosine = co / √(nᵢ·nⱼ).
+    val ui = t(s, dir, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .distinct()
+    val capped = ui.withColumn("rk", row_number().over(Window
+        .partitionBy(col("user_id"))
+        .orderBy(conv(substring(md5(concat(col("user_id").cast("string"),
+            lit("#"), col("item").cast("string"))), 1, 8), 16, 10)
+          .cast("long"), col("item"))))
+      .where(col("rk") <= 20).drop("rk")
+      .localCheckpoint() // three consumers: both join sides + counts
+    val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+    val co = capped.as("a")
+      .join(capped.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= 2)
+    co.join(ni.withColumnRenamed("item", "item_a")
+          .withColumnRenamed("ni", "n_a"), Seq("item_a"))
+      .join(ni.withColumnRenamed("item", "item_b")
+          .withColumnRenamed("ni", "n_b"), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co"), col("n_a"),
+        col("n_b"),
+        round(col("co") / sqrt(col("n_a") * col("n_b")), 6).as("cosine"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    // DEGREE ASSORTATIVITY of the q97 click graph — "do well-connected
+    // sources link to well-connected targets?" as the Pearson
+    // correlation of (out-degree(src), in-degree(dst)) over edges.
+    // Degrees are two aggregates of the edge list; attaching them back
+    // is two key-partitioned joins (node-cardinality tables — NOT
+    // broadcast at 100 TB); the correlation is one corr() pass. A
+    // positive value = hub-to-hub traffic, negative = hub-to-leaf.
+    val edges = t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
+      .localCheckpoint() // three consumers: both degree tables + join
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val ind = edges.groupBy(col("dst")).agg(count(lit(1)).as("id_"))
+    edges.join(outd, Seq("src")).join(ind, Seq("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        round(avg(col("od")), 6).as("avg_out_deg"),
+        round(avg(col("id_")), 6).as("avg_in_deg"),
+        round(corr(col("od"), col("id_")), 6).as("assortativity"))
+  }
+
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    // TRIGRAM PATH MINING — the 3-step generalization of q147's
+    // first-order transition matrix: each event joined to its two
+    // successors via lead() over the per-user (ts, event_id) total
+    // order, counted into a ≤|types|³-row table; the share window
+    // costs nothing at that size. Sequence analytics' one inherent
+    // shuffle is the per-user sort; everything after is tiny.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("s1"))
+      .withColumn("s2", lead(col("s1"), 1).over(w))
+      .withColumn("s3", lead(col("s1"), 2).over(w))
+      .where(col("s3").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+    tri.withColumn("share",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()), 6))
+      .orderBy(col("s1"), col("s2"), col("s3"))
+  }
+
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    // ZIPF-LAW FIT over the corpus vocabulary: ln(freq) regressed on
+    // ln(rank) for the TOP-1000 terms (Zipf fits are head fits — the
+    // tail deviates by construction, and bounding the fit set is also
+    // what makes this scale: the top-k rides TakeOrderedAndProject's
+    // per-partition heap, so the global rank window only ever sees
+    // 1000 rows, never the vocabulary). One tokenize+count pass feeds
+    // everything; slope ≈ −1 is the classic law.
+    val vocab = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("term"))
+      .limit(1000)
+    vocab.withColumn("rank", row_number().over(Window
+        .orderBy(col("n_t").desc, col("term"))))
+      .agg(count(lit(1)).as("n_terms_fit"),
+        sum(col("n_t")).as("head_tokens"),
+        round(regr_slope(log(col("n_t")), log(col("rank"))), 6)
+          .as("zipf_slope"),
+        round(regr_intercept(log(col("n_t")), log(col("rank"))), 4)
+          .as("zipf_intercept"),
+        round(regr_r2(log(col("n_t")), log(col("rank"))), 6).as("r2"))
+  }
+
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    // BOOTSTRAP CONFIDENCE INTERVAL for the mean — the Poisson
+    // bootstrap, the ONLY resampling scheme that works distributed:
+    // true resampling needs global row indexing, but Poisson(1) row
+    // weights are iid per (row, replicate), so each row draws its 40
+    // replicate weights locally from the q105 md5-uniform (inverse
+    // CDF, thresholds pinned to 15 dp on both engines). The explode
+    // is map-side only: the per-replicate weighted sums partial-
+    // aggregate to ≤40 rows per task before the shuffle, so the 40×
+    // blowup costs CPU in the scan stage, never network. Each
+    // replicate's UNWEIGHTED avg is the point estimate (rows are
+    // duplicated uniformly), so one pass yields both.
+    val e1 = lit(0.367879441171442) // e^-1; P(w=0)
+    val c1 = lit(0.735758882342885) // + e^-1; P(w<=1)
+    val c2 = lit(0.919698602928606) // + e^-1/2
+    val c3 = lit(0.981011843123846) // + e^-1/6
+    val rep = t(s, dir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_id"), col("value"),
+        explode(sequence(lit(1), lit(40))).as("b"))
+      .withColumn("u",
+        conv(substring(md5(concat(col("event_id").cast("string"),
+          lit("#"), col("b").cast("string"))), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0))
+      .withColumn("w",
+        when(col("u") < e1, 0).when(col("u") < c1, 1)
+          .when(col("u") < c2, 2).when(col("u") < c3, 3).otherwise(4))
+      .groupBy(col("b"))
+      .agg((sum(col("w") * col("value")) / sum(col("w"))).as("m_b"),
+        avg(col("value")).as("m0"))
+    rep.agg(count(lit(1)).as("n_replicates"),
+        round(avg(col("m0")), 5).as("mean_full"),
+        round(expr("percentile(m_b, 0.025)"), 5).as("ci_lo"),
+        round(expr("percentile(m_b, 0.975)"), 5).as("ci_hi"),
+        round(stddev_samp(col("m_b")), 5).as("se_boot"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -3785,6 +4039,15 @@ object SparkEntry {
     "q168_group_regression" -> q168 _,
     "q169_stream_union" -> q169 _,
     "q170_argmax_latest" -> q170 _,
+    "q171_welch_ttest" -> q171 _,
+    "q172_cumulative_uniques" -> q172 _,
+    "q173_stream_chained_agg" -> q173 _,
+    "q174_record_linkage" -> q174 _,
+    "q175_item_similarity" -> q175 _,
+    "q176_assortativity" -> q176 _,
+    "q177_trigram_paths" -> q177 _,
+    "q178_zipf_fit" -> q178 _,
+    "q179_bootstrap_ci" -> q179 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6114,5 +6377,153 @@ object SparkEntry {
         |    2) AS last_price,
         |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q171_welch_ttest" ->
+      // identical conditional aggregates and the same scalar Welch
+      // arithmetic over them
+      """WITH arms AS (SELECT event_type,
+        |    count(CASE WHEN user_id % 2 = 0 THEN 1 END)::BIGINT AS n_a,
+        |    count(CASE WHEN user_id % 2 <> 0 THEN 1 END)::BIGINT AS n_b,
+        |    avg(CASE WHEN user_id % 2 = 0 THEN value END) AS m_a,
+        |    avg(CASE WHEN user_id % 2 <> 0 THEN value END) AS m_b,
+        |    var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS v_a,
+        |    var_samp(CASE WHEN user_id % 2 <> 0 THEN value END) AS v_b
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+        |  round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+        |  round((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+        |    / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+        |      + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 2) AS welch_dof
+        |FROM arms ORDER BY event_type""".stripMargin,
+    "q172_cumulative_uniques" ->
+      // the same first-seen collapse; the running sum is over the
+      // daily table on both engines
+      """WITH f AS (SELECT user_id, min(ts::DATE) AS d0
+        |    FROM events GROUP BY 1),
+        |  d AS (SELECT d0, count(*)::BIGINT AS new_users
+        |    FROM f GROUP BY 1)
+        |SELECT strftime(d0, '%Y-%m-%d') AS day, new_users,
+        |  (sum(new_users) OVER (ORDER BY d0))::BIGINT AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+    "q173_stream_chained_agg" ->
+      // batch twin of the chained hourly→daily aggregate with the
+      // append-mode watermark cutoff: a day emits only once the
+      // watermark (max event time, 0s delay) passes its end
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, count(*)::BIGINT AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events CROSS JOIN mx
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q174_record_linkage" ->
+      // DuckDB's native jaro_winkler_similarity is the oracle for the
+      // custom expression; identical blocking, 6-dp-rounded-score
+      // ranking, and key tie-break
+      """WITH p AS (SELECT p_partkey, p_name,
+        |    str_split(p_name, ' ')[-1] AS blk FROM part),
+        |  probes AS (SELECT p_partkey AS probe_key,
+        |    p_name AS probe_name, blk FROM p WHERE p_partkey % 97 = 0),
+        |  cand AS (SELECT probe_key, probe_name,
+        |    p.p_partkey AS match_key, p.p_name AS match_name,
+        |    round(jaro_winkler_similarity(probe_name, p.p_name), 6)
+        |      AS score
+        |  FROM p JOIN probes USING (blk)
+        |  WHERE p.p_partkey <> probe_key),
+        |  r AS (SELECT *, row_number() OVER (PARTITION BY probe_key
+        |    ORDER BY score DESC, match_key) AS rk FROM cand)
+        |SELECT probe_key, probe_name, match_key, match_name, score
+        |FROM r WHERE rk = 1 ORDER BY probe_key""".stripMargin,
+    "q175_item_similarity" ->
+      // identical deterministic md5-rank cap, pair join, and cosine
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |    json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events WHERE json_extract_string(props, '$.k')
+        |    IS NOT NULL),
+        |  r AS (SELECT user_id, item, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ('0x' || substr(md5(
+        |      user_id::VARCHAR || '#' || item::VARCHAR), 1, 8))::BIGINT,
+        |      item) AS rk FROM ui),
+        |  c AS (SELECT user_id, item FROM r WHERE rk <= 20),
+        |  n AS (SELECT item, count(*)::BIGINT AS ni FROM c GROUP BY 1),
+        |  co AS (SELECT a.item AS item_a, b.item AS item_b,
+        |      count(*)::BIGINT AS co
+        |    FROM c a JOIN c b ON a.user_id = b.user_id
+        |      AND a.item < b.item
+        |    GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, co, na.ni AS n_a, nb.ni AS n_b,
+        |  round(co / sqrt((na.ni * nb.ni)::DOUBLE), 6) AS cosine
+        |FROM co JOIN n na ON na.item = item_a
+        |  JOIN n nb ON nb.item = item_b
+        |ORDER BY item_a, item_b""".stripMargin,
+    "q176_assortativity" ->
+      // same click-graph edges (q97 spelling), same degree attach
+      """WITH e AS (SELECT user_id AS src, event_id % 150 AS dst
+        |    FROM events WHERE event_type = 'click'),
+        |  o AS (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),
+        |  i AS (SELECT dst, count(*)::BIGINT AS id_ FROM e GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_edges,
+        |  round(avg(od), 6) AS avg_out_deg,
+        |  round(avg(id_), 6) AS avg_in_deg,
+        |  round(corr(od, id_), 6) AS assortativity
+        |FROM e JOIN o USING (src) JOIN i USING (dst)""".stripMargin,
+    "q177_trigram_paths" ->
+      // identical lead-pair construction over the (ts, event_id)
+      // total order
+      """WITH s AS (SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  tri AS (SELECT s1, s2, s3, count(*)::BIGINT AS n
+        |    FROM s WHERE s3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT s1, s2, s3, n,
+        |  round(n / (sum(n) OVER ())::DOUBLE, 6) AS share
+        |FROM tri ORDER BY s1, s2, s3""".stripMargin,
+    "q178_zipf_fit" ->
+      // same tokenization (q106/q128 spelling), same top-1000 head
+      // with the (n_t desc, term) tie-break, same ln/ln regression
+      """WITH tok AS (SELECT
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      z -> len(z) > 0)) AS term
+        |  FROM documents),
+        |  vocab AS (SELECT term, count(*)::BIGINT AS n_t FROM tok
+        |    GROUP BY 1 ORDER BY n_t DESC, term LIMIT 1000),
+        |  ranked AS (SELECT n_t, row_number() OVER
+        |    (ORDER BY n_t DESC, term) AS rank FROM vocab)
+        |SELECT count(*)::BIGINT AS n_terms_fit,
+        |  sum(n_t)::BIGINT AS head_tokens,
+        |  round(regr_slope(ln(n_t::DOUBLE), ln(rank::DOUBLE)), 6)
+        |    AS zipf_slope,
+        |  round(regr_intercept(ln(n_t::DOUBLE), ln(rank::DOUBLE)), 4)
+        |    AS zipf_intercept,
+        |  round(regr_r2(ln(n_t::DOUBLE), ln(rank::DOUBLE)), 6) AS r2
+        |FROM ranked""".stripMargin,
+    "q179_bootstrap_ci" ->
+      // identical md5-uniform Poisson weights (15-dp inverse-CDF
+      // thresholds) and percentile_cont over the 40 replicate means
+      """WITH rep AS (SELECT event_id, value,
+        |    unnest(range(1, 41)) AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |  u AS (SELECT b, value,
+        |    ('0x' || substr(md5(event_id::VARCHAR || '#' || b::VARCHAR),
+        |      1, 8))::BIGINT / 4294967296.0 AS u FROM rep),
+        |  w AS (SELECT b, value, CASE
+        |      WHEN u < 0.367879441171442 THEN 0
+        |      WHEN u < 0.735758882342885 THEN 1
+        |      WHEN u < 0.919698602928606 THEN 2
+        |      WHEN u < 0.981011843123846 THEN 3 ELSE 4 END AS w
+        |    FROM u),
+        |  m AS (SELECT b, sum(w * value) / sum(w) AS m_b,
+        |      avg(value) AS m0
+        |    FROM w GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_replicates,
+        |  round(avg(m0), 5) AS mean_full,
+        |  round(percentile_cont(0.025) WITHIN GROUP (ORDER BY m_b), 5)
+        |    AS ci_lo,
+        |  round(percentile_cont(0.975) WITHIN GROUP (ORDER BY m_b), 5)
+        |    AS ci_hi,
+        |  round(stddev_samp(m_b), 5) AS se_boot
+        |FROM m""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, CosineSim, MinHashAgg, ReplaceInf, SimHashAgg}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, JaroWinkler, MinHashAgg, ReplaceInf, SimHashAgg}
 
 /** Column-API entry points for the custom Catalyst expressions
   * (implementations in org.apache.spark.sql.graft — they need
@@ -13,6 +13,12 @@ object GraftFunctions {
 
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** DuckDB-parity Jaro-Winkler similarity (codegen'd static-call
+    * expression; see [[org.apache.spark.sql.graft.JaroWinklerAlgo]] for
+    * the pinned semantics). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
 
   /** All-k MinHash minima as one array-buffer aggregate (vs k separate
     * `min(...)` buffer slots). Input: a long token hash per row. */

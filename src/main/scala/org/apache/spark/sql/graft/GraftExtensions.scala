@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
   }
 }
 
@@ -64,5 +67,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => ReplaceInf(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       (args: Seq[Expression]) => CosineSim(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1)), "scala_udf")
   }
 }

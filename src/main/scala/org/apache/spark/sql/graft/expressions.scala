@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions (SURVEY.md §7 "custom Catalyst surface").
   *
@@ -121,5 +122,90 @@ case class CosineSim(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaro-Winkler similarity kernel, shared by the interpreted and the
+  * codegen path of [[JaroWinkler]] (the same static-helper shape Spark's
+  * own `Levenshtein` uses: the generated code is a single static call,
+  * so the expression stays inside whole-stage codegen without inlining
+  * a 40-line loop nest into every stage).
+  *
+  * Semantics are pinned to DuckDB's `jaro_winkler_similarity` (verified
+  * against it vector-by-vector, see ExpressionsSpec): match window
+  * `max(|a|,|b|)/2 - 1` (floor, min 0), transpositions halved with
+  * integer division, Winkler prefix boost (factor 0.1, prefix capped at
+  * 4) applied only when jaro > 0.7, and — DuckDB's corner — EMPTY vs
+  * EMPTY returns 0.0, not 1.0. Operates on UTF-8 bytes (byte-equal to
+  * codepoint matching on the ASCII fixture domain; multi-byte
+  * codepoints match per byte, which is also how DuckDB's byte-oriented
+  * kernel behaves).
+  *
+  * Cost: O(|a|·window) time, two small boolean scratch arrays per call
+  * — for entity-resolution workloads this runs AFTER blocking, so the
+  * quadratic term is bounded by the name length, never the table. */
+object JaroWinklerAlgo {
+  def similarity(l: UTF8String, r: UTF8String): Double = {
+    val a = l.getBytes; val b = r.getBytes
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val ma = new Array[Boolean](la); val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb, i + window + 1)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j < hi && !found) {
+        if (!mb(j) && a(i) == b(j)) {
+          ma(i) = true; mb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0; i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
+    if (jaro > 0.7) {
+      val lim = math.min(4, math.min(la, lb))
+      var p = 0
+      while (p < lim && a(p) == b(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}
+
+/** DuckDB-parity Jaro-Winkler similarity between two strings — the
+  * scoring half of the record-linkage surface (the candidate-generation
+  * half is the blocked join in SparkEntry q174 / DedupOps). Null-safe:
+  * either side null → null. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinklerAlgo.similarity(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.JaroWinklerAlgo.similarity($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
 }

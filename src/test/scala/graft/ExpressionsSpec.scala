@@ -141,4 +141,51 @@ class ExpressionsSpec extends AnyFunSuite {
       .select(explode(col("t"))).count()
     assert(small === 2L)
   }
+
+  // Expected values below were produced by DuckDB's
+  // jaro_winkler_similarity on these exact inputs — the oracle engine
+  // the q174 correctness gate compares against.
+  test("JaroWinkler: DuckDB-pinned vectors (boost >0.7, prefix<=4, " +
+       "empty-vs-empty = 0)") {
+    val vectors = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("duane", "dwayne", 0.84),
+      ("large bolt", "large widget", 0.8566666666666667),
+      ("cold widget", "small widget", 0.7146464646464646),
+      ("widget", "widgets", 0.9714285714285714),
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0),   // window 0: adjacent transposes don't match
+      ("a", "", 0.0),
+      ("", "", 0.0))       // DuckDB's corner: NOT 1.0
+    val got = vectors.map(v => (v._1, v._2)).toDF("a", "b")
+      .select(GraftFunctions.jaro_winkler(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    vectors.zip(got).foreach { case ((a, b, want), d) =>
+      assert(math.abs(d - want) < 1e-12, s"jw($a, $b) = $d, want $want")
+    }
+  }
+
+  test("JaroWinkler: null on either side is null; interpreted eval " +
+       "agrees with the codegen'd column path") {
+    val rows = Seq((Some("martha"), Some("marhta")),
+      (None: Option[String], Some("x")), (Some("x"), None))
+    val out = rows.toDF("a", "b")
+      .select(GraftFunctions.jaro_winkler(col("a"), col("b")).as("s"))
+      .collect()
+    assert(!out(0).isNullAt(0) && out(1).isNullAt(0) && out(2).isNullAt(0))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.JaroWinkler
+    val interp = JaroWinkler(Literal("martha"), Literal("marhta"))
+      .eval(null).asInstanceOf[Double]
+    assert(math.abs(interp - out(0).getDouble(0)) < 1e-15)
+  }
+
+  test("jaro_winkler is registered as a SQL function") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT round(jaro_winkler('martha', 'marhta'), 6) AS s")
+      .head().getDouble(0)
+    assert(math.abs(r - 0.961111) < 1e-9)
+  }
 }

@@ -516,6 +516,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("q171: the Welch t-test is ONE conditional-aggregate pass — " +
+       "no join, no second events scan") {
+    val p = planOf("q171_welch_ttest")
+    assert(!p.contains("Join"),
+      s"both arms must come from one pass:\n${p.take(1500)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"events must be scanned once:\n${p.take(1500)}")
+  }
+
+  test("q174: the probe side of the record-linkage join broadcasts") {
+    val p = planOf("q174_record_linkage")
+    assert(p.contains("BroadcastHashJoin"),
+      s"record linkage must broadcast the probe batch:\n${p.take(1500)}")
+  }
+
+  test("q175: the item-pair generation is a keyed equi-join (user_id) " +
+       "— never a cartesian — and the < predicate rides the join") {
+    val p = planOf("q175_item_similarity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must key on user_id:\n${p.take(1500)}")
+  }
+
   test("q170: max_by argmax is ONE partially-aggregable pass — a " +
        "partial HashAggregate below the group exchange, no window " +
        "sort over the orders table") {
