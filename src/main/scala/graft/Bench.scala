@@ -71,14 +71,22 @@ object Bench {
     val names = selected.keys.toSeq
     val raw = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    // A run that throws records NO timing: an analysis error "completes"
+    // in ~0.07 s, and round 7's artifacts carried 21 such fake entries
+    // that read as blazing-fast queries. Failed queries surface as
+    // "err" in the output JSON (with the exception in `errors`) instead.
+    val failed = scala.collection.mutable.Map[String, String]()
     (1 to runs).foreach { r =>
       selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          raw(name) = raw(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(2).mkString(" | ")
           System.err.println(s"[bench] $name (run $r) failed: ${e.getMessage}")
         }
-        raw(name) = raw(name) :+ (System.nanoTime() - t0) / 1e9
       }
     }
     def median(xs: Vector[Double]): Double = {
@@ -87,20 +95,35 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val medians = names.map(n => n -> median(raw(n)))
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ok = names.filter(n => raw(n).nonEmpty)
+    val medians = ok.map(n => n -> median(raw(n)))
+    val qs = names.map { n =>
+      if (raw(n).nonEmpty) "\"" + n + "\":" + median(raw(n))
+      else "\"" + n + "\":\"err\""
+    }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    // side file: medians + every raw run, machine-readable
+    val errJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    // side file: medians + every raw run, machine-readable; failed
+    // queries carry "err" medians so they can never seed a gate
     val rawJson = names.map { n =>
-      "\"" + n + "\":{\"median\":" + median(raw(n)) +
-        ",\"runs\":[" + raw(n).mkString(",") + "]}"
+      if (raw(n).nonEmpty)
+        "\"" + n + "\":{\"median\":" + median(raw(n)) +
+          ",\"runs\":[" + raw(n).mkString(",") + "]}"
+      else "\"" + n + "\":{\"median\":\"err\",\"runs\":[]}"
     }.mkString("{", ",", "}")
     val sideFile = sys.env.getOrElse("SPARK_GRAFT_MEDIANS_FILE",
       "/root/repo/BENCH_MEDIANS.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(sideFile),
-      s"""{"sf":"$sfDir","runs":$runs,"queries":$rawJson}""" + "\n")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+      s"""{"sf":"$sfDir","runs":$runs,"errors":$errJson,"queries":$rawJson}""" + "\n")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson}""")
     spark.stop()
   }
 }

@@ -29,11 +29,18 @@ object Verify {
         SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // A thrown query must stay visible: besides stderr, every failure
+    // lands in _errors.json next to oracle_sql.json. Round 7 shipped a
+    // green-looking gate over 21 broken queries because a failure here
+    // simply produced no output dir (indistinguishable from "not run").
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg.linesIterator.take(3).mkString(" | ")
+        System.err.println(s"[verify] $name failed: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -51,6 +58,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size}/${selected.size} queries FAILED: " +
+          errors.keys.mkString(", "))
+    // exit 0 even on per-query failures: the driver must still compare
+    // the queries that DID produce output; _errors.json carries the rest
     spark.stop()
   }
 }
