@@ -50,6 +50,20 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(df.exceptAll(rawUs).isEmpty && rawUs.exceptAll(df).isEmpty)
   }
 
+  test("legacy nanos-long layout still normalizes (old fixture generations)") {
+    // Under `nanosAsLong`, parquet INT64 TIMESTAMP(NANOS) surfaces as a
+    // plain LongType column — synthesize that post-read shape and check
+    // the normalization still rebuilds exact micros. Integer-division
+    // exactness matters: epoch-nanos exceed a double's 53-bit mantissa.
+    import spark.implicits._
+    val nanos = Seq(1700000000123456789L, 1700000001987654321L)
+    val legacy = nanos.toDF("ts")
+    val out = Tables.withTimestamps(legacy, "events")
+    assert(out.schema("ts").dataType == TimestampType)
+    val got = out.select(unix_micros(col("ts"))).as[Long].collect().toSeq
+    assert(got == nanos.map(_ / 1000L))
+  }
+
   /** The full pinned logical schema per table — column names + types as
     * every operator in the engine assumes them. A driver-side fixture
     * regeneration that changes any of these should fail HERE. */
