@@ -3348,6 +3348,48 @@ object SparkEntry {
         round(stddev_samp(col("m_b")), 5).as("se_boot"))
   }
 
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    // CANONICAL keep-best selection per near-dup cluster: q57's
+    // verified-Jaccard connected components, then ONE partial-aggregable
+    // argmax keeps the LONGEST member per cluster (ties → min doc_id) —
+    // the keep-best-copy convention real pretraining dedup runs
+    // (C4/FineWeb keep-longest), where q47/q51 keep an arbitrary
+    // bucket-min. Probe set bounded to doc_id < 60 for the recursive-CTE
+    // oracle (q57's convention); the at-scale candidate path is the LSH
+    // pipeline (q32/q47).
+    val docs = t(s, dir, "documents")
+    val ids = docs.filter(col("doc_id") < 60).select(col("doc_id"))
+    val candidates = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val edges = DedupOps.jaccardVerify(docs, "doc_id", "text", candidates)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"))
+    val labeled = DedupOps.connectedComponents(ids, edges, "doc_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    DedupOps.canonicalPerCluster(labeled, "doc_id", "comp", "n_chars")
+      .select(col("comp"), col("keep_id"),
+        col("best_score").cast("long").as("best_chars"),
+        col("n_members"))
+      .orderBy(col("comp"))
+  }
+
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    // TOKEN-budget mixture — "cut each source at N tokens" (the actual
+    // unit training-data mixing is specified in), vs q76's row-fraction
+    // cut. Deterministic greedy prefix in md5-of-doc_id order; the
+    // distributed two-level prefix sum (256 hash buckets, broadcast
+    // start offsets) keeps every window (source, bucket)-partitioned —
+    // no per-source serialization at scale.
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+    SplitOps.tokenBudgetMixture(docs, "source", "doc_id",
+        col("n_tokens"), Map("src0" -> 1000L, "src1" -> 600L),
+        defaultBudget = 300L, salt = "mix8")
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4048,6 +4090,8 @@ object SparkEntry {
     "q177_trigram_paths" -> q177 _,
     "q178_zipf_fit" -> q178 _,
     "q179_bootstrap_ci" -> q179 _,
+    "q180_dedup_canonical" -> q180 _,
+    "q181_token_budget" -> q181 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6525,5 +6569,58 @@ object SparkEntry {
         |    AS ci_hi,
         |  round(stddev_samp(m_b), 5) AS se_boot
         |FROM m""".stripMargin,
+    "q180_dedup_canonical" ->
+      // q57's recursive-CTE components + keep-longest argmax (max
+      // n_chars, ties -> min doc_id), expressed as two aggregates + a
+      // join-back (the Spark side's single max(struct) argmax is the
+      // same function)
+      """WITH RECURSIVE
+        |  sets AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), z -> len(z) > 0))
+        |    AS s FROM documents WHERE doc_id < 60),
+        |  tk AS (SELECT doc_id, len(s) AS sz, unnest(s) AS tok FROM sets),
+        |  jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      a.sz AS size_a, b.sz AS size_b, count(*) AS inter
+        |    FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2, 3, 4),
+        |  ed AS (SELECT id_a, id_b FROM jp
+        |    WHERE inter::DOUBLE / (size_a + size_b - inter) >= 0.6),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM ed
+        |    UNION ALL SELECT id_b, id_a FROM ed),
+        |  reach AS (
+        |    SELECT doc_id AS id, doc_id AS comp FROM sets
+        |    UNION
+        |    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |  lab AS (SELECT id AS doc_id, min(comp) AS comp FROM reach
+        |    GROUP BY id),
+        |  mem AS (SELECT l.comp, d.doc_id, d.n_chars
+        |    FROM lab l JOIN documents d USING (doc_id)),
+        |  best AS (SELECT comp, max(n_chars) AS best_chars,
+        |      count(*) AS n_members
+        |    FROM mem GROUP BY comp)
+        |SELECT best.comp, min(mem.doc_id) AS keep_id,
+        |  best.best_chars, best.n_members
+        |FROM best JOIN mem ON mem.comp = best.comp
+        |  AND mem.n_chars = best.best_chars
+        |GROUP BY best.comp, best.best_chars, best.n_members
+        |ORDER BY best.comp""".stripMargin,
+    "q181_token_budget" ->
+      // same md5 draw, same greedy prefix rule tokens_before < budget;
+      // the window form here IS the semantics the distributed
+      // two-level prefix sum reproduces bit-for-bit
+      """WITH d AS (SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      z -> len(z) > 0))::BIGINT AS n_tokens,
+        |    md5(doc_id::VARCHAR || 'mix8') AS h
+        |  FROM documents),
+        |  c AS (SELECT doc_id, source, n_tokens,
+        |    CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600
+        |      ELSE 300 END AS budget,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE before < budget ORDER BY doc_id""".stripMargin,
   )
 }

@@ -396,6 +396,25 @@ object DedupOps {
     labels.select(col("_id").as(idCol), col("_comp").as("comp"))
   }
 
+  /** Canonical-member selection per duplicate cluster: keep the member
+    * with the highest `scoreCol` (ties → smallest id) — the "keep the
+    * best copy" step real pretraining pipelines run after clustering
+    * (keep-longest / keep-highest-quality), where [[exactDedup]]'s
+    * keep-min-id is an arbitrary stand-in.
+    *
+    * ONE partial-aggregable hash aggregate: `max(struct(score, -id))`
+    * carries the argmax through map-side combine, so the shuffle moves
+    * one row per (cluster × task), never the membership. No window, no
+    * join-back — the at-scale shape for billions of members. */
+  def canonicalPerCluster(labeled: DataFrame, idCol: String,
+                          compCol: String, scoreCol: String): DataFrame =
+    labeled.groupBy(col(compCol))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).as("_s"),
+          (-col(idCol)).as("_negid"))).as("_m"))
+      .select(col(compCol), (-col("_m._negid")).as("keep_id"),
+        col("_m._s").as("best_score"), col("n_members"))
+
   /** Exact token-set Jaccard for candidate pairs: explode + equi-join on
     * token + count — the verify step after LSH candidate generation.
     * `candidates` must have (id_a, id_b). */

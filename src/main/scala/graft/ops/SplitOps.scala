@@ -190,6 +190,66 @@ object SplitOps {
     df.filter(u < frac)
   }
 
+  /** TOKEN-budget mixture: keep each group's documents, in deterministic
+    * md5-of-key order, while the cumulative token count stays under the
+    * group's budget (the doc that straddles the boundary is kept — the
+    * "cut at N tokens per source" step of training-data mixing, where
+    * [[hashMixture]] cuts at a ROW fraction). Member set is
+    * bit-reproducible on any engine: same md5, same greedy prefix rule
+    * `tokens_before < budget`.
+    *
+    * Scale shape = two-level prefix sum, NOT one rank window per group:
+    * the md5 space is pre-split into 256 buckets by the hash's first
+    * byte; a tiny (groups × 256) token-sum matrix gives each bucket its
+    * group-cumulative START offset on the driver (O(groups·256) rows
+    * regardless of corpus size — the same accepted class as
+    * [[hashMixtureDistributed]]'s count matrix). Buckets starting past
+    * the budget never join (inner broadcast ⇒ ~(1−f) of each group is
+    * eliminated without ranking); the only data-sized window partitions
+    * on (group, bucket) — 256-way parallel inside every group. A row is
+    * kept iff bucketStart + within-bucket tokens-before < budget, which
+    * equals the global per-group prefix rule because ordering by the
+    * full hash already orders by (first byte, rest). */
+  def tokenBudgetMixture(df: DataFrame, groupCol: String, keyCol: String,
+                         tokensCol: Column, budgets: Map[String, Long],
+                         defaultBudget: Long,
+                         salt: String = ""): DataFrame = {
+    val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val withH = df.withColumn("_tk", tokensCol.cast("long"))
+      .withColumn("_h", h)
+      .withColumn("_mb",
+        conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    val sums = withH.groupBy(col(groupCol), col("_mb"))
+      .agg(sum(col("_tk")).as("_s")).collect()
+      .map(r => (r.get(0) match {
+        case null => null; case v => v.toString
+      }, r.getInt(1), r.getLong(2)))
+    // per group: walk buckets in hash order accumulating token starts;
+    // emit only buckets that BEGIN inside the budget (at most one of
+    // them straddles it — cumulative starts are monotone)
+    val starts = sums.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val budget = Option(g).flatMap(budgets.get).getOrElse(defaultBudget)
+      var cum = 0L
+      rows.sortBy(_._2).flatMap { case (_, mb, s) =>
+        val start = cum
+        cum += s
+        if (start < budget) Some((g, mb, start, budget)) else None
+      }
+    }
+    if (starts.isEmpty) return df.limit(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val startDf = starts.toDF(groupCol, "_mb", "_start", "_budget")
+    val win = Window.partitionBy(col(groupCol), col("_mb"))
+      .orderBy(col("_h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withH.join(broadcast(startDf), Seq(groupCol, "_mb"))
+      .withColumn("_before",
+        col("_start") + coalesce(sum(col("_tk")).over(win), lit(0L)))
+      .filter(col("_before") < col("_budget"))
+      .drop("_tk", "_h", "_mb", "_start", "_budget", "_before")
+  }
+
   /** Weighted Bernoulli (probability-proportional-to-size) sample:
     * keep each row independently with p = min(1, rate·weight) — the
     * weighted sibling of [[hashSampleMixture]], same md5-uniform draw

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, SplitOps, TextOps}
+
+/** Round-8 operator units: canonical keep-best selection per duplicate
+  * cluster and the token-budget mixture. The oracled q180/q181 carry
+  * the DuckDB hash checks; these pin the argmax tie-break, the
+  * distributed-equals-naive prefix-sum equivalence, and the plan shape
+  * (one aggregate / no per-group serialization). */
+class Round8OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("canonicalPerCluster keeps highest score, ties break to min id") {
+    val labeled = Seq(
+      (1L, 10L, 5L), (2L, 10L, 9L), (3L, 10L, 9L), // tie at 9 → id 2
+      (4L, 40L, 7L),                                // singleton
+      (5L, 50L, 1L), (6L, 50L, 2L)
+    ).toDF("doc_id", "comp", "score")
+    val got = DedupOps.canonicalPerCluster(labeled, "doc_id", "comp",
+        "score")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      10L -> ((2L, 9L, 3L)),
+      40L -> ((4L, 7L, 1L)),
+      50L -> ((6L, 2L, 2L))))
+  }
+
+  test("canonicalPerCluster is ONE hash aggregate — no window, no join") {
+    val labeled = Seq((1L, 1L, 1L)).toDF("doc_id", "comp", "score")
+    val plan = DedupOps.canonicalPerCluster(labeled, "doc_id", "comp",
+      "score").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("tokenBudgetMixture == naive per-group prefix window, bit-exact") {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+    val budgets = Map("src0" -> 1000L, "src1" -> 600L)
+    val got = SplitOps.tokenBudgetMixture(docs, "source", "doc_id",
+        col("n_tokens"), budgets, defaultBudget = 300L, salt = "mix8")
+      .select(col("doc_id")).as[Long].collect().toSet
+    // naive single-window formulation (the oracle's shape)
+    val h = md5(concat(col("doc_id").cast("string"), lit("mix8")))
+    val budget = when(col("source") === "src0", 1000L)
+      .when(col("source") === "src1", 600L).otherwise(300L)
+    val naive = docs.withColumn("_h", h)
+      .withColumn("_before", coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("_h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("_before") < budget)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
+  test("tokenBudgetMixture greedy-prefix invariants per source") {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+    val kept = SplitOps.tokenBudgetMixture(docs, "source", "doc_id",
+        col("n_tokens"), Map.empty, defaultBudget = 300L, salt = "mix8")
+    // every source is cut: kept tokens land in [budget, budget + maxdoc)
+    val perSrc = kept.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tok"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(perSrc.size == 20)
+    perSrc.foreach { case (src, tok) =>
+      assert(tok >= 300L, s"$src under budget: $tok — greedy prefix " +
+        "must cover the budget (straddler kept)")
+    }
+    val maxDoc = docs.agg(max(col("n_tokens"))).as[Long].head()
+    perSrc.foreach { case (src, tok) =>
+      assert(tok < 300L + maxDoc, s"$src overshot by a full doc: $tok")
+    }
+  }
+
+  test("tokenBudgetMixture start-offset table joins broadcast; windows " +
+       "partition on (group, bucket)") {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+    val plan = SplitOps.tokenBudgetMixture(docs, "source", "doc_id",
+        col("n_tokens"), Map.empty, defaultBudget = 300L, salt = "mix8")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the rank window must include the bucket column — a window keyed
+    // on source alone is the one-task-per-group shape this op exists
+    // to avoid
+    assert("windowspecdefinition\\(source#\\d+, _mb#\\d+".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+}
