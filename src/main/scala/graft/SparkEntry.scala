@@ -3390,6 +3390,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def q182(s: SparkSession, dir: String): DataFrame =
+    // CROSS-DOC DUPLICATED SPANS (Lee et al. 2022 exact-substring dedup
+    // signal): which 8-gram occurrences appear in >=2 distinct docs, per
+    // doc. Two shingle-keyed hash aggregates + one equi-join — linear in
+    // corpus tokens, never pairwise.
+    TextOps.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    // TEMPERATURE-WEIGHTED mixture: each source's token budget scales
+    // as sqrt of its token mass (alpha = 0.5 flattening — the multi-
+    // lingual/multi-source rebalancing convention), then the q181
+    // greedy-prefix cut. The per-source token sums are an O(sources)
+    // driver aggregate (bounded vocabulary, the hashMixtureDistributed
+    // class); budgets = floor(20·sqrt(tokens)) use only IEEE-exact
+    // double ops so any engine derives the identical cut.
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+    val budgets = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tot")).collect()
+      .map(r => r.getString(0) ->
+        math.floor(20.0 * math.sqrt(r.getLong(1).toDouble)).toLong)
+      .toMap
+    val kept = SplitOps.tokenBudgetMixture(docs, "source", "doc_id",
+      col("n_tokens"), budgets, defaultBudget = 0L, salt = "temp8")
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
+      when(col("source") === g, lit(b)).otherwise(acc)
+    }
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("kept_tokens"))
+      .withColumn("budget", budgetCol)
+      .select(col("source"), col("budget"), col("n_docs"),
+        col("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4092,6 +4128,8 @@ object SparkEntry {
     "q179_bootstrap_ci" -> q179 _,
     "q180_dedup_canonical" -> q180 _,
     "q181_token_budget" -> q181 _,
+    "q182_dup_spans" -> q182 _,
+    "q183_temperature_mix" -> q183 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6622,5 +6660,49 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, source, n_tokens FROM c
         |WHERE before < budget ORDER BY doc_id""".stripMargin,
+    "q182_dup_spans" ->
+      // identical 8-gram shingling (space-joined sliding windows over
+      // whitespace tokens); DuckDB range(a,b) is exclusive and list
+      // slicing inclusive, so range(1, len-6) x tk[i:i+7] reproduces
+      // Spark's sequence(1, size-7) x slice(toks, i, 8)
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), z -> len(z) > 0)
+        |      AS tk FROM documents),
+        |  sh AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk) - 6),
+        |      i -> array_to_string(tk[i:i+7], ' '))) AS s FROM t),
+        |  d AS (SELECT s FROM sh GROUP BY s
+        |    HAVING count(DISTINCT doc_id) >= 2),
+        |  per AS (SELECT doc_id, count(*) AS n_spans FROM sh
+        |    GROUP BY doc_id),
+        |  dup AS (SELECT sh.doc_id, count(*) AS dup_spans
+        |    FROM sh JOIN d USING (s) GROUP BY sh.doc_id)
+        |SELECT per.doc_id, per.n_spans::BIGINT AS n_spans,
+        |  dup.dup_spans::BIGINT AS dup_spans,
+        |  round(dup.dup_spans::DOUBLE / per.n_spans, 6) AS dup_frac
+        |FROM per JOIN dup USING (doc_id)
+        |ORDER BY per.doc_id""".stripMargin,
+    "q183_temperature_mix" ->
+      // same sqrt-temperature budget derivation (floor(20*sqrt(tokens))
+      // — IEEE-exact double ops on identical integer sums) and the q181
+      // prefix rule under salt 'temp8'
+      """WITH d AS (SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      z -> len(z) > 0))::BIGINT AS nt,
+        |    md5(doc_id::VARCHAR || 'temp8') AS h
+        |  FROM documents),
+        |  s AS (SELECT source, sum(nt) AS tot FROM d GROUP BY source),
+        |  b AS (SELECT source,
+        |    floor(20.0 * sqrt(tot::DOUBLE))::BIGINT AS budget FROM s),
+        |  c AS (SELECT d.doc_id, d.source, d.nt, b.budget,
+        |    coalesce(sum(nt) OVER (PARTITION BY d.source
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM d JOIN b USING (source))
+        |SELECT source, budget, count(*)::BIGINT AS n_docs,
+        |  sum(nt)::BIGINT AS kept_tokens
+        |FROM c WHERE before < budget
+        |GROUP BY source, budget ORDER BY source""".stripMargin,
   )
 }

@@ -163,6 +163,36 @@ object TextOps {
         lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
         .otherwise(lit(0.0)))
 
+  /** Cross-document duplicated-SPAN stats — the corpus-level sibling of
+    * [[dupShingleRatio]] (which is within-doc): for every word n-gram
+    * occurrence, is that n-gram present in ≥2 distinct documents? Per
+    * doc: total span occurrences, duplicated occurrences, and their
+    * ratio — the exact-substring dedup signal of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"),
+    * where repeated 50-token spans across a corpus are removed; at
+    * fixture doc lengths the span unit is the caller's n.
+    *
+    * Scale shape: two hash aggregates and one equi-join, all keyed on
+    * the shingle or the doc id — linear in corpus token count, never
+    * pairwise. The exploded occurrence table feeds three consumers, so
+    * it is checkpointed once (the q141 single-tokenization convention)
+    * instead of re-running the tokenize+explode lineage 3×. */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val occ = df.select(col(idCol), explode(shingles(col(textCol), n))
+      .as("_sh")).localCheckpoint()
+    val dup = occ.groupBy(col("_sh"))
+      .agg(count_distinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= 2).select(col("_sh"))
+    val perDoc = occ.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = occ.join(dup, Seq("_sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_spans"))
+    perDoc.join(dupPerDoc, Seq(idCol))
+      .select(col(idCol), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_frac"))
+  }
+
   /** Rule-based quality gate: token-count window + repetition ceiling
     * (the Gopher/RefinedWeb-style threshold filter, composed from the
     * same column expressions as [[qualityFeatures]]). A pure filter —

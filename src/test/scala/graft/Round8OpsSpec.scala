@@ -81,6 +81,39 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupSpanStats flags only cross-doc repeated n-grams") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),   // shares the 8-gram a..h with doc 2
+      (2L, "a b c d e f g h z"),
+      (3L, "p q r s t u v w x y"), // unique spans only
+      (4L, "x x x x x x x x")      // self-repetition but single doc
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupSpanStats(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2)))).toMap
+    // docs 1 and 2 each have 2 spans, 1 duplicated (the shared prefix);
+    // docs 3 and 4 have no cross-doc span and drop out of the report
+    assert(got === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L))))
+  }
+
+  test("dupSpanStats ignores docs shorter than the span") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(TextOps.dupSpanStats(docs, "doc_id", "text", n = 8).isEmpty)
+  }
+
+  test("temperature budgets: floor(20*sqrt(tokens)) cuts every source " +
+       "below its full mass") {
+    val got = SparkEntry.queries("q183_temperature_mix")(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 20)
+    got.foreach { case (src, (budget, _, kept)) =>
+      assert(kept >= budget, s"$src: kept $kept under budget $budget")
+      // sqrt flattening: budget ~ 20*sqrt(~1400) ~ 750 < source mass
+      assert(budget < 1700L && budget > 600L, s"$src budget $budget")
+    }
+  }
+
   test("tokenBudgetMixture start-offset table joins broadcast; windows " +
        "partition on (group, bucket)") {
     val docs = Tables.load(spark, dir, "documents")
