@@ -3398,6 +3398,18 @@ object SparkEntry {
     TextOps.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", n = 8)
       .orderBy(col("doc_id"))
 
+  private def q184(s: SparkSession, dir: String): DataFrame =
+    // DUPLICATED-SPAN REMOVAL (the rewrite q182 only measures): tokens
+    // covered by any cross-doc 8-gram are dropped, text re-joined in
+    // order; rewritten docs reported with an md5 of the cleaned text so
+    // the oracle checks the exact reconstruction, not just counts.
+    TextOps.removeDupSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 8)
+      .filter(col("n_after") < col("n_before"))
+      .select(col("doc_id"), col("n_before"), col("n_after"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
   private def q183(s: SparkSession, dir: String): DataFrame = {
     // TEMPERATURE-WEIGHTED mixture: each source's token budget scales
     // as sqrt of its token mass (alpha = 0.5 flattening — the multi-
@@ -4130,6 +4142,7 @@ object SparkEntry {
     "q181_token_budget" -> q181 _,
     "q182_dup_spans" -> q182 _,
     "q183_temperature_mix" -> q183 _,
+    "q184_span_removal" -> q184 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6704,5 +6717,36 @@ object SparkEntry {
         |  sum(nt)::BIGINT AS kept_tokens
         |FROM c WHERE before < budget
         |GROUP BY source, budget ORDER BY source""".stripMargin,
+    "q184_span_removal" ->
+      // q182's shingling, then token-position coverage and in-order
+      // rebuild; zipped unnests give (token, position), md5 pins the
+      // exact reconstructed string
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), z -> len(z) > 0)
+        |      AS tk FROM documents),
+        |  sh AS (SELECT doc_id, spos,
+        |      array_to_string(tk[spos:spos+7], ' ') AS s
+        |    FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6))
+        |      AS spos FROM t)),
+        |  dup AS (SELECT s FROM sh GROUP BY s
+        |    HAVING count(DISTINCT doc_id) >= 2),
+        |  cov AS (SELECT DISTINCT doc_id, p FROM
+        |    (SELECT sh.doc_id, unnest(range(spos, spos + 8)) AS p
+        |     FROM sh JOIN dup USING (s))),
+        |  tok AS (SELECT doc_id, unnest(tk) AS tok,
+        |      unnest(range(1, len(tk) + 1)) AS p FROM t),
+        |  kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+        |    LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+        |    WHERE cov.p IS NULL),
+        |  reb AS (SELECT doc_id, count(*) AS n_after,
+        |      array_to_string(list(tok ORDER BY p), ' ') AS clean
+        |    FROM kept GROUP BY doc_id),
+        |  base AS (SELECT doc_id, len(tk)::BIGINT AS n_before FROM t)
+        |SELECT base.doc_id, base.n_before,
+        |  coalesce(reb.n_after, 0)::BIGINT AS n_after,
+        |  md5(coalesce(reb.clean, '')) AS clean_md5
+        |FROM base LEFT JOIN reb USING (doc_id)
+        |WHERE coalesce(reb.n_after, 0) < base.n_before
+        |ORDER BY base.doc_id""".stripMargin,
   )
 }

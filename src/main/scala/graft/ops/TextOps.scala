@@ -193,6 +193,48 @@ object TextOps {
           .as("dup_frac"))
   }
 
+  /** Duplicated-span REMOVAL — the rewrite step [[dupSpanStats]] only
+    * measures: every token covered by a cross-document n-gram span is
+    * dropped and the remaining tokens are re-joined in order (Lee et
+    * al. 2022's ExactSubstr deletion, at word-shingle granularity).
+    * Returns (id, n_before, n_after, clean) for EVERY doc — callers
+    * filter `n_after < n_before` for the rewritten subset.
+    *
+    * Scale shape: the token array is materialized once (checkpoint) and
+    * feeds both the position-explode and the shingle-explode; duplicated
+    * spans come from one shingle-keyed aggregate; span→token coverage
+    * is a bounded ×n map-side explode, deduped before the anti-join;
+    * the rebuild is one per-doc collect_list whose size is bounded by
+    * doc length (the q141/packing class — never corpus-sized). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    val tdf = df.select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .localCheckpoint()
+    val toks = tdf.select(col(idCol),
+      posexplode(col("_tk")).as(Seq("_pos", "_tok")))
+    val spans = tdf.select(col(idCol),
+      posexplode(shinglesOf(col("_tk"), n)).as(Seq("_spos", "_sh")))
+    val dupSh = spans.groupBy(col("_sh"))
+      .agg(count_distinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= 2).select(col("_sh"))
+    val covered = spans.join(dupSh, Seq("_sh"))
+      .select(col(idCol),
+        explode(sequence(col("_spos"), col("_spos") + (n - 1)))
+          .as("_pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "_pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_after"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          x => x.getField("_tok"))).as("clean"))
+    tdf.select(col(idCol), size(col("_tk")).cast("long").as("n_before"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("clean"), lit("")).as("clean"))
+  }
+
   /** Rule-based quality gate: token-count window + repetition ceiling
     * (the Gopher/RefinedWeb-style threshold filter, composed from the
     * same column expressions as [[qualityFeatures]]). A pure filter —

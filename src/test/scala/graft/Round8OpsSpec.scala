@@ -101,6 +101,38 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(TextOps.dupSpanStats(docs, "doc_id", "text", n = 8).isEmpty)
   }
 
+  test("removeDupSpans drops exactly the covered tokens, in-order rebuild") {
+    val docs = Seq(
+      (1L, "a b c d e f g h tail1 unique1"),
+      (2L, "head2 a b c d e f g h tail2"),
+      (3L, "solo text with no repeats at all ok")
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeDupSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the shared 8-gram a..h covers those tokens in docs 1 and 2; the
+    // surrounding tokens survive in order; doc 3 is untouched
+    assert(got(1L) === ((10L, 2L, "tail1 unique1")))
+    assert(got(2L) === ((10L, 2L, "head2 tail2")))
+    assert(got(3L) === ((8L, 8L,
+      "solo text with no repeats at all ok")))
+  }
+
+  test("removeDupSpans: overlapping dup spans cover their union; a " +
+       "fully-covered doc rebuilds to empty") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"), // both 8-gram spans dup'd → all covered
+      (2L, "a b c d e f g h i"),
+      (3L, "z")
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeDupSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((9L, 0L, "")))
+    assert(got(2L) === ((9L, 0L, "")))
+    assert(got(3L) === ((1L, 1L, "z")))
+  }
+
   test("temperature budgets: floor(20*sqrt(tokens)) cuts every source " +
        "below its full mass") {
     val got = SparkEntry.queries("q183_temperature_mix")(spark, dir)
