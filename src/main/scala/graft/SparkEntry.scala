@@ -3398,6 +3398,49 @@ object SparkEntry {
     TextOps.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", n = 8)
       .orderBy(col("doc_id"))
 
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING NEAR-DUP against a static corpus index — the continuous
+    // -ingestion dedup shape: new docs (doc_id >= 250, streamed) emit
+    // LSH band keys from a PURE PER-ROW MinHash expression (stateless —
+    // a streaming groupBy(doc) signature would chain a stateful agg
+    // before the join), stream-static inner join against the corpus
+    // band index (doc_id < 250, built with the partial-aggregable
+    // MinHashAgg — the at-scale index path; bit-equal by spec), then a
+    // stateful pair-dedup collapses multi-band hits. Mega-buckets in
+    // the INDEX collapse to their min-id representative past
+    // maxBucket=64 (the q32/q47 cap convention) — without it, one viral
+    // cluster in a 100 TB corpus makes every matching new doc join the
+    // whole bucket. Fully-staged source ⇒ deterministic ⇒ the oracle is
+    // the batch twin with the same capped index.
+    val k = 32; val bands = 8; val cap = 64
+    val allBands = DedupOps.lshBandsFromArray(
+      DedupOps.minhashSignatureArr(
+        t(s, dir, "documents").filter(col("doc_id") < 250),
+        "doc_id", "text", k = k),
+      "doc_id", "sig", k = k, bands = bands)
+    val bw = Window.partitionBy(col("band"), col("band_hash"))
+    val corpus = allBands
+      .withColumn("_m", count(lit(1)).over(bw))
+      .withColumn("_mn", min(col("doc_id")).over(bw))
+      .filter(col("_m") <= cap || col("doc_id") === col("_mn"))
+      .select(col("doc_id").as("corpus_id"), col("band"),
+        col("band_hash"))
+    val schema = Tables.rawSchema(s, dir, "documents")
+    val staged = stageStreamDir(dir, "documents")
+    val newDocs = StreamOps.fileStream(s, schema, staged)
+      .filter(col("doc_id") >= 250)
+      .withColumn("sig", DedupOps.minhashSigExpr(col("text"), k))
+    val hits = DedupOps.lshBandsFromArray(newDocs, "doc_id", "sig",
+        k = k, bands = bands)
+      .select(col("doc_id").as("new_id"), col("band"), col("band_hash"))
+      .join(corpus, Seq("band", "band_hash"))
+      .select(col("new_id"), col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    StreamOps.runToCompletion(hits, s"q185_${System.nanoTime()}",
+        outputMode = "append", statePartitions = Some(8))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   private def q184(s: SparkSession, dir: String): DataFrame =
     // DUPLICATED-SPAN REMOVAL (the rewrite q182 only measures): tokens
     // covered by any cross-doc 8-gram are dropped, text re-joined in
@@ -4143,6 +4186,7 @@ object SparkEntry {
     "q182_dup_spans" -> q182 _,
     "q183_temperature_mix" -> q183 _,
     "q184_span_removal" -> q184 _,
+    "q185_stream_neardup" -> q185 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6748,5 +6792,42 @@ object SparkEntry {
         |FROM base LEFT JOIN reb USING (doc_id)
         |WHERE coalesce(reb.n_after, 0) < base.n_before
         |ORDER BY base.doc_id""".stripMargin,
+    "q185_stream_neardup" -> {
+      // batch twin of the stream-static band join: same k=32 MinHash
+      // family (generated coefficient literals, the q32 convention),
+      // same band keys, corpus/new split on doc_id
+      val k = 32; val bands = 8; val r = k / bands
+      val coeffs = DedupOps.minhashCoeffs(k)
+      val p = DedupOps.MinhashPrime
+      val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * x + $b) % $p) AS h$i"
+      }.mkString(",\n    ")
+      val bandSelects = (0 until bands).map { bi =>
+        val members = (bi * r until (bi + 1) * r).map(i => s"h$i")
+          .mkString(", ")
+        s"SELECT doc_id, $bi AS band, md5(concat_ws(':', $members)) " +
+          "AS bh FROM sig"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(list_filter(list_distinct(string_split_regex(text, '\\s+')),
+         |      t -> len(t) > 0)) AS tok
+         |  FROM documents),
+         |  xs AS (SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x FROM toks),
+         |  sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM xs GROUP BY doc_id),
+         |  bands AS ($bandSelects),
+         |  corpusb AS (SELECT doc_id, band, bh,
+         |      count(*) OVER (PARTITION BY band, bh) AS m,
+         |      min(doc_id) OVER (PARTITION BY band, bh) AS mn
+         |    FROM bands WHERE doc_id < 250),
+         |  idx AS (SELECT doc_id, band, bh FROM corpusb
+         |    WHERE m <= 64 OR doc_id = mn)
+         |SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |FROM bands n JOIN idx c ON n.band = c.band AND n.bh = c.bh
+         |WHERE n.doc_id >= 250
+         |ORDER BY new_id, corpus_id""".stripMargin
+    },
   )
 }

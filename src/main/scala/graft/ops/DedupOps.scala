@@ -150,6 +150,27 @@ object DedupOps {
         .minhash_agg(col("_x"), k, seed).as("sig"))
   }
 
+  /** [[minhashSignatureFast]]'s hash family as a PURE PER-ROW column
+    * expression — no explode, no aggregate: the salted-token hash array
+    * is bound once per row, then each of the k minima is an
+    * `array_min(transform(...))` pass. Bit-identical to the aggregate
+    * forms (pinned by spec). The k array traversals per row cost more
+    * CPU than the single-buffer aggregate, so batch index builds should
+    * keep using [[minhashSignatureArr]]; this form exists for STREAMS,
+    * where a per-doc signature must come from a stateless projection
+    * (a streaming groupBy(doc) would put a stateful aggregate in front
+    * of every downstream join). */
+  def minhashSigExpr(textCol: Column, k: Int,
+                     seed: Long = 12345L): Column = {
+    val coeffs = minhashCoeffs(k, seed)
+    TextOps.bind(transform(TextOps.tokenSet(textCol),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
+      xs => array(coeffs.map { case (a, b) =>
+        array_min(transform(xs,
+          x => (x * lit(a) + lit(b)) % lit(MinhashPrime)))
+      }: _*))
+  }
+
   /** LSH banding over an array-form signature (from
     * [[minhashSignatureArr]]): band key = md5 of the ':'-joined slice —
     * identical strings to the column-form [[lshBands]]. */

@@ -101,6 +101,19 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(TextOps.dupSpanStats(docs, "doc_id", "text", n = 8).isEmpty)
   }
 
+  test("minhashSigExpr (per-row, stream-safe) == minhashSignatureArr " +
+       "(aggregate index path), bit-for-bit") {
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+    val agg = DedupOps.minhashSignatureArr(docs, "doc_id", "text", k = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expr = docs.select(col("doc_id"),
+        DedupOps.minhashSigExpr(col("text"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(agg.keySet === expr.keySet)
+    agg.foreach { case (id, sig) => assert(sig === expr(id), s"doc $id") }
+  }
+
   test("removeDupSpans drops exactly the covered tokens, in-order rebuild") {
     val docs = Seq(
       (1L, "a b c d e f g h tail1 unique1"),
