@@ -159,6 +159,16 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q182/q184 plans: shingle-keyed equi-joins only — no cartesian, " +
+       "no broadcast nested loop") {
+    Seq("q182_dup_spans", "q184_span_removal").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+  }
+
   test("tokenBudgetMixture start-offset table joins broadcast; windows " +
        "partition on (group, bucket)") {
     val docs = Tables.load(spark, dir, "documents")
