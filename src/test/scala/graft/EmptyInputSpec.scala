@@ -47,6 +47,32 @@ class EmptyInputSpec extends AnyFunSuite {
     }
   }
 
+  test("round-8 ops survive empty and singleton corpora") {
+    for (docs <- Seq(emptyDocs, oneDoc)) {
+      val labeled = docs.select(col("doc_id"), col("doc_id").as("comp"),
+        length(col("text")).cast("long").as("score"))
+      assert(DedupOps.canonicalPerCluster(labeled, "doc_id", "comp",
+        "score").count() === docs.count())
+      val withTok = docs.withColumn("src", lit("s"))
+        .withColumn("nt", TextOps.tokenCount(col("text")).cast("long"))
+      assert(SplitOps.tokenBudgetMixture(withTok, "src", "doc_id",
+        col("nt"), Map.empty, defaultBudget = 10L).count() ===
+        docs.count())
+      assert(SplitOps.tokenBudgetMixture(withTok, "src", "doc_id",
+        col("nt"), Map.empty, defaultBudget = 0L).count() === 0)
+      assert(TextOps.dupSpanStats(docs, "doc_id", "text", 2)
+        .count() === 0)
+      val cleaned = TextOps.removeDupSpans(docs, "doc_id", "text", 2)
+      assert(cleaned.count() === docs.count())
+      // nothing duplicated cross-doc → every doc survives unchanged
+      assert(cleaned.filter(col("n_after") < col("n_before"))
+        .count() === 0)
+      assert(docs.select(col("doc_id"),
+        DedupOps.minhashSigExpr(col("text"), 8).as("sig"))
+        .count() === docs.count())
+    }
+  }
+
   test("text ops survive empty frames, empty strings, and whitespace") {
     val weird = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
     for (docs <- Seq(emptyDocs, weird)) {
