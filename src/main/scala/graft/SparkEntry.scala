@@ -3419,12 +3419,16 @@ object SparkEntry {
         "doc_id", "text", k = k),
       "doc_id", "sig", k = k, bands = bands)
     val bw = Window.partitionBy(col("band"), col("band_hash"))
+    // materialize the index ONCE — the static side of a stream-static
+    // join is re-evaluated every micro-batch, and rebuilding MinHash
+    // signatures per batch is exactly what an index exists to avoid
     val corpus = allBands
       .withColumn("_m", count(lit(1)).over(bw))
       .withColumn("_mn", min(col("doc_id")).over(bw))
       .filter(col("_m") <= cap || col("doc_id") === col("_mn"))
       .select(col("doc_id").as("corpus_id"), col("band"),
         col("band_hash"))
+      .localCheckpoint()
     val schema = Tables.rawSchema(s, dir, "documents")
     val staged = stageStreamDir(dir, "documents")
     val newDocs = StreamOps.fileStream(s, schema, staged)
