@@ -3445,6 +3445,45 @@ object SparkEntry {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    // MARGIN-BASED BITEXT MINING (Artetxe & Schwenk ratio margin, the
+    // CCMatrix/LASER parallel-corpus criterion): candidate pair score =
+    // cos(x,y) normalized by the mean of both sides' top-4 neighbor
+    // cosines — mutual near-best pairs clear 1, hubs are damped. The
+    // demo runs the documented bounded-probe shape (20×20 broadcast
+    // cross; the at-scale candidate path is the LSH bucket join, q46).
+    // DETERMINISM: cosines are fixed to integer micro-units BEFORE the
+    // top-4 sums, so the only float ops downstream (one divide) are
+    // order-independent — an avg over raw doubles would expose float
+    // summation order between engines.
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 40)
+    val src = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"),
+        col("embedding").cast("array<double>").as("sv"))
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"),
+        col("embedding").cast("array<double>").as("tv"))
+    val pairs = src.crossJoin(broadcast(tgt))
+      .withColumn("cos6", round(graft.functions.GraftFunctions
+        .cosine_sim(col("sv"), col("tv")) * 1e6, 0).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("cos6"))
+      .localCheckpoint() // 400 rows; feeds both knn sums + the join
+    def topSum(side: String, other: String) = pairs
+      .withColumn("rn", row_number().over(Window.partitionBy(col(side))
+        .orderBy(col("cos6").desc, col(other))))
+      .filter(col("rn") <= 4)
+      .groupBy(col(side)).agg(sum(col("cos6")).as(s"s_$side"))
+    pairs.join(topSum("src_id", "tgt_id"), "src_id")
+      .join(topSum("tgt_id", "src_id"), "tgt_id")
+      .withColumn("margin",
+        lit(8.0) * col("cos6") / (col("s_src_id") + col("s_tgt_id")))
+      .filter(col("margin") >= 1.05)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cos6") / 1e6, 6).as("cos"),
+        round(col("margin"), 6).as("margin"))
+      .orderBy(col("src_id"), col("tgt_id"))
+  }
+
   private def q184(s: SparkSession, dir: String): DataFrame =
     // DUPLICATED-SPAN REMOVAL (the rewrite q182 only measures): tokens
     // covered by any cross-doc 8-gram are dropped, text re-joined in
@@ -4191,6 +4230,7 @@ object SparkEntry {
     "q183_temperature_mix" -> q183 _,
     "q184_span_removal" -> q184 _,
     "q185_stream_neardup" -> q185 _,
+    "q186_bitext_margin" -> q186 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6833,5 +6873,37 @@ object SparkEntry {
          |WHERE n.doc_id >= 250
          |ORDER BY new_id, corpus_id""".stripMargin
     },
+    "q186_bitext_margin" ->
+      // same integer micro-unit cosines (the q35 parity formula x 1e6,
+      // rounded to BIGINT) before the top-4 sums, so margin =
+      // 8*cos6/(sx+sy) is a single order-independent float op
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |    FROM embeddings WHERE vec_id < 40),
+        |  src AS (SELECT vec_id AS src_id, e AS sv FROM v
+        |    WHERE vec_id % 2 = 0),
+        |  tgt AS (SELECT vec_id AS tgt_id, e AS tv FROM v
+        |    WHERE vec_id % 2 = 1),
+        |  p AS (SELECT src_id, tgt_id,
+        |      round(list_inner_product(sv, tv) /
+        |        (sqrt(list_inner_product(sv, sv)) *
+        |         sqrt(list_inner_product(tv, tv))) * 1e6)::BIGINT AS cos6
+        |    FROM src, tgt),
+        |  rx AS (SELECT src_id, cos6,
+        |      row_number() OVER (PARTITION BY src_id
+        |        ORDER BY cos6 DESC, tgt_id) AS rn FROM p),
+        |  sx AS (SELECT src_id, sum(cos6)::BIGINT AS sx FROM rx
+        |    WHERE rn <= 4 GROUP BY src_id),
+        |  ry AS (SELECT tgt_id, cos6,
+        |      row_number() OVER (PARTITION BY tgt_id
+        |        ORDER BY cos6 DESC, src_id) AS rn FROM p),
+        |  sy AS (SELECT tgt_id, sum(cos6)::BIGINT AS sy FROM ry
+        |    WHERE rn <= 4 GROUP BY tgt_id),
+        |  m AS (SELECT p.src_id, p.tgt_id, p.cos6,
+        |      8.0 * p.cos6 / (sx.sx + sy.sy) AS margin
+        |    FROM p JOIN sx USING (src_id) JOIN sy USING (tgt_id))
+        |SELECT src_id, tgt_id, round(cos6 / 1000000.0, 6) AS cos,
+        |  round(margin, 6) AS margin
+        |FROM m WHERE margin >= 1.05
+        |ORDER BY src_id, tgt_id""".stripMargin,
   )
 }
