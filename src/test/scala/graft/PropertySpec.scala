@@ -156,6 +156,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetMixture: kept set grows monotonically with budget " +
+       "(prefix property) and never exceeds budget before the straddler") {
+    forAllSeeded(Gen.zip(Gen.choose(5L, 200L), Gen.choose(5L, 200L)),
+        n = 6) { case (b1: Long, b2: Long) =>
+        val df = (0 until 90).map(i =>
+          (i.toLong, if (i % 2 == 0) "a" else "b", (i % 7 + 1).toLong))
+          .toDF("id", "g", "tok")
+        def kept(b: Long) = SplitOps.tokenBudgetMixture(df, "g", "id",
+          col("tok"), Map.empty, defaultBudget = b)
+          .select("id").as[Long].collect().toSet
+        val (lo, hi) = (math.min(b1, b2), math.max(b1, b2))
+        val (kl, kh) = (kept(lo), kept(hi))
+        assert(kl.subsetOf(kh),
+          s"budget $lo kept ${kl -- kh} that budget $hi dropped")
+        // greedy rule: total-before-last-doc < budget per group
+        val rows = SplitOps.tokenBudgetMixture(df, "g", "id", col("tok"),
+            Map.empty, defaultBudget = lo)
+          .groupBy("g").agg(sum(col("tok")).as("t"), max(col("tok")).as("m"))
+          .collect()
+        rows.foreach { r =>
+          assert(r.getLong(1) - r.getLong(2) < lo,
+            s"group ${r.getString(0)}: kept past the straddler")
+        }
+    }
+  }
+
+  test("canonicalPerCluster: keeper is a member with the cluster-max " +
+       "score, and cluster sizes are preserved") {
+    forAllSeeded(Gen.choose(2, 9), n = 6) { mod: Int =>
+      val df = (0 until 80).map(i =>
+        (i.toLong, (i % mod).toLong, ((i * 31) % 13).toLong))
+        .toDF("id", "comp", "score")
+      val out = DedupOps.canonicalPerCluster(df, "id", "comp", "score")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val members = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._2)
+      assert(out.keySet === members.keySet)
+      members.foreach { case (comp, ms) =>
+        val (keepId, best, n) = out(comp)
+        assert(n === ms.length)
+        assert(best === ms.map(_._3).max)
+        val ties = ms.filter(_._3 == best).map(_._1)
+        assert(keepId === ties.min, s"comp $comp tie-break")
+      }
+    }
+  }
+
+  test("removeDupSpans: n_after tokens reconstruct clean exactly; " +
+       "never grows; untouched docs round-trip verbatim") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 120)
+    val out = TextOps.removeDupSpans(docs, "doc_id", "text", n = 8)
+    val rows = out.collect()
+    rows.foreach { r =>
+      val (nb, na, clean) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(na <= nb)
+      val cleanToks =
+        if (clean.isEmpty) 0 else clean.split("\\s+").count(_.nonEmpty)
+      assert(cleanToks === na, s"doc ${r.getLong(0)}")
+    }
+    val untouched = out.filter(col("n_after") === col("n_before"))
+      .join(docs, Seq("doc_id"))
+      .filter(concat_ws(" ",
+        graft.ops.TextOps.tokens(col("text"))) =!= col("clean"))
+    assert(untouched.isEmpty)
+  }
+
   test("countMinSketch never under-counts and respects the eps bound") {
     val df = (0 until 3000).map(i => (i % 37).toLong).toDF("k")
     val cms = df.stat.countMinSketch(col("k"), eps = 0.01,
