@@ -3484,6 +3484,34 @@ object SparkEntry {
       .orderBy(col("src_id"), col("tgt_id"))
   }
 
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    // INCREMENTAL LSH-INDEX REFRESH — maintain the near-dup band index
+    // (q185's static side) without a full rebuild: changed docs'
+    // OLD band rows are deleted by doc key and their fresh rows
+    // inserted (multi-row-per-key upsert = anti-join + union; the
+    // band-count-per-doc may change, so a row-level MERGE can't express
+    // it). The stale rows for docs 250-299 are built from a different
+    // signature seed — a deterministic stand-in for outdated text — and
+    // must vanish entirely. Oracle: the refreshed index equals a FRESH
+    // full-corpus build, row for row.
+    val k = 32; val bands = 8
+    val docs = t(s, dir, "documents")
+    def bandsOf(df: DataFrame, seed: Long) = DedupOps.lshBandsFromArray(
+      DedupOps.minhashSignatureArr(df, "doc_id", "text", k = k,
+        seed = seed),
+      "doc_id", "sig", k = k, bands = bands)
+    val stale = bandsOf(docs.filter(col("doc_id") < 250), 12345L)
+      .unionByName(bandsOf(
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 300), 99L))
+    val delta = bandsOf(docs.filter(col("doc_id") >= 250), 12345L)
+    stale.join(delta.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .unionByName(delta)
+      .select(col("doc_id"), col("band").cast("long").as("band"),
+        col("band_hash"))
+      .orderBy(col("doc_id"), col("band"))
+  }
+
   private def q184(s: SparkSession, dir: String): DataFrame =
     // DUPLICATED-SPAN REMOVAL (the rewrite q182 only measures): tokens
     // covered by any cross-doc 8-gram are dropped, text re-joined in
@@ -4231,6 +4259,7 @@ object SparkEntry {
     "q184_span_removal" -> q184 _,
     "q185_stream_neardup" -> q185 _,
     "q186_bitext_margin" -> q186 _,
+    "q187_index_refresh" -> q187 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6905,5 +6934,33 @@ object SparkEntry {
         |  round(margin, 6) AS margin
         |FROM m WHERE margin >= 1.05
         |ORDER BY src_id, tgt_id""".stripMargin,
+    "q187_index_refresh" -> {
+      // the refreshed index must equal a FRESH full-corpus build — the
+      // oracle IS that fresh build (stale seed-99 rows never appear)
+      val k = 32; val bands = 8; val r = k / bands
+      val coeffs = DedupOps.minhashCoeffs(k)
+      val p = DedupOps.MinhashPrime
+      val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * x + $b) % $p) AS h$i"
+      }.mkString(",\n    ")
+      val bandSelects = (0 until bands).map { bi =>
+        val members = (bi * r until (bi + 1) * r).map(i => s"h$i")
+          .mkString(", ")
+        s"SELECT doc_id, $bi::BIGINT AS band, " +
+          s"md5(concat_ws(':', $members)) AS band_hash FROM sig"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(list_filter(list_distinct(string_split_regex(text, '\\s+')),
+         |      t -> len(t) > 0)) AS tok
+         |  FROM documents),
+         |  xs AS (SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x FROM toks),
+         |  sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM xs GROUP BY doc_id),
+         |  bands AS ($bandSelects)
+         |SELECT doc_id, band, band_hash FROM bands
+         |ORDER BY doc_id, band""".stripMargin
+    },
   )
 }
