@@ -3484,6 +3484,51 @@ object SparkEntry {
       .orderBy(col("src_id"), col("tgt_id"))
   }
 
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING DRIFT MONITOR — per-day PSI of the live value
+    // distribution against the full-corpus reference histogram (q166's
+    // batch monitor moved onto the stream): the STREAM side is only the
+    // watermarked tumbling (day, bin) histogram — bounded state, the
+    // q42/q173 shape; the PSI arithmetic runs batch-side on the landed
+    // per-window counts joined to a broadcast reference. Fixed decade
+    // bins (floor(value/10) capped at 9) rather than quantile cuts keep
+    // the stream side stateless per row. Append-mode cutoff convention
+    // = q173: a day emits once the 0-delay watermark passes its end.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    def binned(df: DataFrame) = df.where(col("value").isNotNull)
+      .withColumn("bin",
+        least(floor(col("value") / 10), lit(9.0)).cast("int"))
+    val stream = binned(Tables.withTimestamps(
+      StreamOps.fileStream(s, schema, staged), "events"))
+    val landed = StreamOps.runToCompletion(
+      StreamOps.tumblingCounts(stream, "ts", "bin", "1 day", "0 seconds"),
+      s"q188_${System.nanoTime()}", outputMode = "append",
+      statePartitions = Some(8))
+    val ev = binned(t(s, dir, "events"))
+    val ref = ev.groupBy(col("bin")).agg(count(lit(1)).as("cr"))
+    val nref = ref.agg(sum(col("cr")).as("n_ref"))
+    val live = landed.select(col("window.start").as("d"), col("bin"),
+      col("n").as("cl"))
+    val nlive = live.groupBy(col("d")).agg(sum(col("cl")).as("n_live"))
+    val grid = nlive.crossJoin(broadcast(
+        s.range(0, 10).select(col("id").cast("int").as("bin"))))
+      .join(live, Seq("d", "bin"), "left")
+      .join(broadcast(ref), Seq("bin"), "left")
+      .crossJoin(broadcast(nref))
+      .select(col("d"), col("n_live"),
+        ((coalesce(col("cl"), lit(0L)) + lit(0.5)) /
+          (col("n_live") + lit(5.0))).as("pl"),
+        ((coalesce(col("cr"), lit(0L)) + lit(0.5)) /
+          (col("n_ref") + lit(5.0))).as("pr"))
+    grid.groupBy(col("d"), col("n_live"))
+      .agg(round(sum((col("pl") - col("pr")) * log(col("pl") / col("pr"))),
+        6).as("psi"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_live"), col("psi"))
+      .orderBy(col("day"))
+  }
+
   private def q187(s: SparkSession, dir: String): DataFrame = {
     // INCREMENTAL LSH-INDEX REFRESH — maintain the near-dup band index
     // (q185's static side) without a full rebuild: changed docs'
@@ -4260,6 +4305,7 @@ object SparkEntry {
     "q185_stream_neardup" -> q185 _,
     "q186_bitext_margin" -> q186 _,
     "q187_index_refresh" -> q187 _,
+    "q188_stream_psi" -> q188 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6962,5 +7008,30 @@ object SparkEntry {
          |SELECT doc_id, band, band_hash FROM bands
          |ORDER BY doc_id, band""".stripMargin
     },
+    "q188_stream_psi" ->
+      // batch twin: same decade bins, q173's day-emission cutoff, same
+      // Laplace pseudo-counts (+0.5 per bin over 10 bins)
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |  ev AS (SELECT ts, least(floor(value / 10), 9)::INT AS bin
+        |    FROM events WHERE value IS NOT NULL),
+        |  ref AS (SELECT bin, count(*) AS cr FROM ev GROUP BY bin),
+        |  nref AS (SELECT sum(cr) AS n_ref FROM ref),
+        |  live AS (SELECT date_trunc('day', ts) AS d, bin,
+        |      count(*) AS cl
+        |    FROM ev CROSS JOIN mx
+        |    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m
+        |    GROUP BY 1, 2),
+        |  nlive AS (SELECT d, sum(cl) AS n_live FROM live GROUP BY d),
+        |  grid AS (SELECT n.d, n.n_live, b.bin FROM nlive n
+        |    CROSS JOIN (SELECT unnest(range(0, 10))::INT AS bin) b),
+        |  cells AS (SELECT g.d, g.n_live,
+        |      (coalesce(l.cl, 0) + 0.5) / (g.n_live + 5.0) AS pl,
+        |      (coalesce(r.cr, 0) + 0.5) / (nref.n_ref + 5.0) AS pr
+        |    FROM grid g
+        |    LEFT JOIN live l ON l.d = g.d AND l.bin = g.bin
+        |    LEFT JOIN ref r ON r.bin = g.bin, nref)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, n_live::BIGINT AS n_live,
+        |  round(sum((pl - pr) * ln(pl / pr)), 6) AS psi
+        |FROM cells GROUP BY d, n_live ORDER BY day""".stripMargin,
   )
 }
