@@ -101,23 +101,29 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val ok = names.filter(n => raw(n).nonEmpty)
+    // a query is clean only if EVERY run succeeded: a 1-of-3-success
+    // query's "median" is a single arbitrary run (quite possibly the
+    // noisiest) and must never seed a gate, so any failure — total or
+    // partial — reports "err" in both outputs. Surviving raw runs stay
+    // visible in the side file (with ok_runs) for diagnosis.
+    val ok = names.filter(n => raw(n).nonEmpty && !failed.contains(n))
     val medians = ok.map(n => n -> median(raw(n)))
     val qs = names.map { n =>
-      if (raw(n).nonEmpty) "\"" + n + "\":" + median(raw(n))
+      if (raw(n).nonEmpty && !failed.contains(n))
+        "\"" + n + "\":" + median(raw(n))
       else "\"" + n + "\":\"err\""
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val errJson = failed.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    // side file: medians + every raw run, machine-readable; failed
-    // queries carry "err" medians so they can never seed a gate
     val rawJson = names.map { n =>
-      if (raw(n).nonEmpty)
-        "\"" + n + "\":{\"median\":" + median(raw(n)) +
-          ",\"runs\":[" + raw(n).mkString(",") + "]}"
-      else "\"" + n + "\":{\"median\":\"err\",\"runs\":[]}"
+      val med =
+        if (raw(n).nonEmpty && !failed.contains(n)) median(raw(n)).toString
+        else "\"err\""
+      "\"" + n + "\":{\"median\":" + med +
+        ",\"ok_runs\":" + raw(n).size +
+        ",\"runs\":[" + raw(n).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val sideFile = sys.env.getOrElse("SPARK_GRAFT_MEDIANS_FILE",
       "/root/repo/BENCH_MEDIANS.json")

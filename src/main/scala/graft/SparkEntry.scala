@@ -3530,8 +3530,11 @@ object SparkEntry {
   }
 
   private def q187(s: SparkSession, dir: String): DataFrame = {
-    // INCREMENTAL LSH-INDEX REFRESH — maintain the near-dup band index
-    // (q185's static side) without a full rebuild: changed docs'
+    // INCREMENTAL LSH-INDEX REFRESH — maintain a near-dup band index
+    // without a full rebuild. (This refreshes the UNCAPPED band table —
+    // the stage that feeds q185's maxBucket cap step, not q185's capped
+    // static side itself; the cap is a read-time projection over this
+    // table and is re-derivable after any refresh.) Changed docs'
     // OLD band rows are deleted by doc key and their fresh rows
     // inserted (multi-row-per-key upsert = anti-join + union; the
     // band-count-per-doc may change, so a row-level MERGE can't express

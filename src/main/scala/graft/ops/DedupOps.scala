@@ -397,25 +397,57 @@ object DedupOps {
       .select(col("id_a").as("_src"), col("id_b").as("_dst"))
       .union(pairs.select(col("id_b").as("_src"), col("id_a").as("_dst")))
       .distinct().localCheckpoint()
-    var labels = nodes.select(col(idCol).as("_id")).distinct()
+    // `ckpt` tracks the RAW checkpointed frame of the current iterate
+    // (releaseCheckpoint pattern-matches LogicalRDD, so it must see the
+    // checkpoint itself, not a projection over it). Every superseded
+    // iterate's blocks are released as soon as its successor is
+    // materialized — without this, a maxIter-deep run strands maxIter
+    // checkpoint RDDs in the block manager until GC (the q57 monotone
+    // slowdown). Only the FINAL iterate's checkpoint survives the call,
+    // the [[graft.ops.GraphOps.pageRank]] convention (context cleaner
+    // reclaims it when the returned frame is collected).
+    var ckpt = nodes.select(col(idCol).as("_id")).distinct()
       .withColumn("_comp", col("_id")).localCheckpoint()
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      val nbrMin = edges.join(labels, col("_src") === col("_id"))
-        .groupBy(col("_dst")).agg(min(col("_comp")).as("_nbr"))
-      val next = labels.join(nbrMin, col("_id") === col("_dst"), "left")
-        .select(col("_id"),
-          least(col("_comp"), coalesce(col("_nbr"), col("_comp")))
-            .as("_comp"),
-          (coalesce(col("_nbr"), col("_comp")) < col("_comp")).as("_chg"))
-        .localCheckpoint()
-      done = next.filter(col("_chg")).isEmpty
-      labels = next.drop("_chg")
-      iter += 1
+    var labels = ckpt
+    try {
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        val nbrMin = edges.join(labels, col("_src") === col("_id"))
+          .groupBy(col("_dst")).agg(min(col("_comp")).as("_nbr"))
+        val next = labels.join(nbrMin, col("_id") === col("_dst"), "left")
+          .select(col("_id"),
+            least(col("_comp"), coalesce(col("_nbr"), col("_comp")))
+              .as("_comp"),
+            (coalesce(col("_nbr"), col("_comp")) < col("_comp")).as("_chg"))
+          .localCheckpoint()
+        releaseCheckpoint(ckpt) // next is materialized; prior blocks dead
+        ckpt = next
+        done = next.filter(col("_chg")).isEmpty
+        labels = next.drop("_chg")
+        iter += 1
+      }
+      labels.select(col("_id").as(idCol), col("_comp").as("comp"))
+    } finally {
+      // the final iterate is checkpointed (lineage truncated), so the
+      // returned frame no longer reads edges — safe to drop its blocks.
+      releaseCheckpoint(edges)
     }
-    labels.select(col("_id").as(idCol), col("_comp").as("comp"))
   }
+
+  /** Eagerly drop the persisted blocks behind a `localCheckpoint`ed
+    * frame. `Dataset.localCheckpoint` persists an RDD that only the
+    * context cleaner frees (on GC of the referencing Dataset) — an
+    * iterative caller that checkpoints per round must release
+    * superseded iterates itself or strand one RDD per round in the
+    * block manager. No-op on frames that are not a direct checkpoint
+    * (the plan root must be the `LogicalRDD` the checkpoint created). */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Canonical-member selection per duplicate cluster: keep the member
     * with the highest `scoreCol` (ties → smallest id) — the "keep the

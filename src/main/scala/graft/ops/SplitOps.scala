@@ -214,21 +214,31 @@ object SplitOps {
                          tokensCol: Column, budgets: Map[String, Long],
                          defaultBudget: Long,
                          salt: String = ""): DataFrame = {
+    // All grouping runs on an internal STRING key `_g` = cast(group) with
+    // NULL coalesced to a sentinel: an inner join on the raw column would
+    // silently drop null-group rows (SQL null keys never match), and a
+    // non-string group column would otherwise meet a string offset table
+    // with a mixed-type join key. Null groups and groups whose string
+    // form has no `budgets` entry both fall to `defaultBudget`; `budgets`
+    // is keyed by the group's STRING form.
+    val nullKey = " <null-group>"
     val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
     val withH = df.withColumn("_tk", tokensCol.cast("long"))
       .withColumn("_h", h)
+      .withColumn("_g",
+        coalesce(col(groupCol).cast("string"), lit(nullKey)))
       .withColumn("_mb",
         conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
-    val sums = withH.groupBy(col(groupCol), col("_mb"))
+    val sums = withH.groupBy(col("_g"), col("_mb"))
       .agg(sum(col("_tk")).as("_s")).collect()
-      .map(r => (r.get(0) match {
-        case null => null; case v => v.toString
-      }, r.getInt(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     // per group: walk buckets in hash order accumulating token starts;
     // emit only buckets that BEGIN inside the budget (at most one of
     // them straddles it — cumulative starts are monotone)
     val starts = sums.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
-      val budget = Option(g).flatMap(budgets.get).getOrElse(defaultBudget)
+      val budget =
+        if (g == nullKey) defaultBudget
+        else budgets.getOrElse(g, defaultBudget)
       var cum = 0L
       rows.sortBy(_._2).flatMap { case (_, mb, s) =>
         val start = cum
@@ -239,15 +249,15 @@ object SplitOps {
     if (starts.isEmpty) return df.limit(0)
     val spark = df.sparkSession
     import spark.implicits._
-    val startDf = starts.toDF(groupCol, "_mb", "_start", "_budget")
-    val win = Window.partitionBy(col(groupCol), col("_mb"))
+    val startDf = starts.toDF("_g", "_mb", "_start", "_budget")
+    val win = Window.partitionBy(col("_g"), col("_mb"))
       .orderBy(col("_h"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withH.join(broadcast(startDf), Seq(groupCol, "_mb"))
+    withH.join(broadcast(startDf), Seq("_g", "_mb"))
       .withColumn("_before",
         col("_start") + coalesce(sum(col("_tk")).over(win), lit(0L)))
       .filter(col("_before") < col("_budget"))
-      .drop("_tk", "_h", "_mb", "_start", "_budget", "_before")
+      .drop("_tk", "_h", "_g", "_mb", "_start", "_budget", "_before")
   }
 
   /** Weighted Bernoulli (probability-proportional-to-size) sample:

@@ -209,6 +209,26 @@ class DedupTextSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 6L, 7L -> 6L))
   }
 
+  test("connectedComponents releases superseded checkpoints: at most the " +
+       "final iterate's RDD survives a 20-iteration run") {
+    val sc = spark.sparkContext
+    // snapshot IDS, not counts: earlier tests' final checkpoints may be
+    // context-cleaner-collected mid-test, which would skew a count delta
+    val before = sc.getPersistentRDDs.keySet
+    // 30-node path: diameter 29 > maxIter, so all 20 iterations run and
+    // every one produces (and must release) a checkpoint. Without the
+    // per-round release this strands 20+ RDDs (edges + initial labels +
+    // one per iteration) — the q57 monotone-slowdown signature.
+    val nodes = (1L to 30L).toDF("id")
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(nodes, pairs, "id", maxIter = 20)
+    assert(got.count() === 30L)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size === 1,
+      s"stranded checkpoint RDDs from this run: $leaked " +
+        "(only the final iterate's checkpoint may survive the call)")
+  }
+
   test("connectedComponents labels are invariant to edge direction and " +
        "duplicate pairs") {
     val nodes = (1L to 4L).toDF("id")

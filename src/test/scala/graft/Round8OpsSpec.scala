@@ -61,6 +61,34 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("tokenBudgetMixture keeps null-group rows under defaultBudget " +
+       "and accepts a non-string group column") {
+    // null groups: inner-joining on the raw column would silently drop
+    // them; the internal coalesced string key must route them through
+    // defaultBudget exactly like a named group with no budgets entry
+    val docs = Seq(
+      (1L, Option("a"), 10L), (2L, Option("a"), 10L),
+      (3L, None: Option[String], 10L), (4L, None: Option[String], 10L),
+      (5L, None: Option[String], 10L)
+    ).toDF("id", "g", "tok")
+    val kept = SplitOps.tokenBudgetMixture(docs, "g", "id", col("tok"),
+        Map("a" -> 100L), defaultBudget = 25L, salt = "nulls")
+      .select(col("id")).as[Long].collect().toSet
+    assert(Set(1L, 2L).subsetOf(kept), s"named group lost rows: $kept")
+    val nullKept = kept.intersect(Set(3L, 4L, 5L))
+    // 25-token budget over 10-token docs: greedy prefix keeps 3 (the
+    // straddler rule — tokens_before < budget admits 0,10,20)
+    assert(nullKept.size === 3, s"null-group rows mishandled: $kept")
+    // integer group column: budgets keyed by the group's string form
+    val intG = Seq((1L, 7, 10L), (2L, 7, 10L), (3L, 8, 10L))
+      .toDF("id", "g", "tok")
+    val keptInt = SplitOps.tokenBudgetMixture(intG, "g", "id", col("tok"),
+        Map("7" -> 100L), defaultBudget = 5L, salt = "ints")
+      .select(col("id")).as[Long].collect().toSet
+    assert(keptInt.intersect(Set(1L, 2L)) === Set(1L, 2L))
+    assert(keptInt.intersect(Set(3L)).size === 1) // straddler under 5
+  }
+
   test("tokenBudgetMixture greedy-prefix invariants per source") {
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
@@ -178,9 +206,9 @@ class Round8OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the rank window must include the bucket column — a window keyed
-    // on source alone is the one-task-per-group shape this op exists
-    // to avoid
-    assert("windowspecdefinition\\(source#\\d+, _mb#\\d+".r
+    // on the group alone is the one-task-per-group shape this op exists
+    // to avoid (the group key is the internal null-coalesced `_g`)
+    assert("windowspecdefinition\\(_g#\\d+, _mb#\\d+".r
       .findFirstIn(plan).isDefined, plan)
   }
 }
