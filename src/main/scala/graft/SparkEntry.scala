@@ -3560,6 +3560,18 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("band"))
   }
 
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    // SEMANTIC DEDUP (SemDeDup-class): cluster embeddings, remove any
+    // member whose cosine to an earlier member of its cluster reaches
+    // the threshold, keep the first member of each duplicate group.
+    // The oracle variant clusters by fixed-seed sign-projection buckets
+    // (embedded hyperplane literals, the q36/q46 convention);
+    // semanticDedupIvf is the k-means production path, spec-covered in
+    // SemanticDedupSpec (recall vs brute force, IVF/bucket agreement).
+    SimilarityOps.semanticDedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.2, planes = 6, seed = 42L)
+      .orderBy(col("vec_id"))
+
   private def q184(s: SparkSession, dir: String): DataFrame =
     // DUPLICATED-SPAN REMOVAL (the rewrite q182 only measures): tokens
     // covered by any cross-doc 8-gram are dropped, text re-joined in
@@ -4309,6 +4321,7 @@ object SparkEntry {
     "q186_bitext_margin" -> q186 _,
     "q187_index_refresh" -> q187 _,
     "q188_stream_psi" -> q188 _,
+    "q189_semantic_dedup" -> q189 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7036,5 +7049,32 @@ object SparkEntry {
         |SELECT strftime(d, '%Y-%m-%d') AS day, n_live::BIGINT AS n_live,
         |  round(sum((pl - pr) * ln(pl / pr)), 6) AS psi
         |FROM cells GROUP BY d, n_live ORDER BY day""".stripMargin,
+    "q189_semantic_dedup" -> {
+      // SemDeDup prune replayed relationally: same 6-plane sign-bucket
+      // clusters (embedded hyperplane literals, q46 convention), max
+      // cosine to EARLIER members per row, keep iff no prior member
+      // reaches the (unrounded) threshold
+      val dim = 64
+      val planes = 6
+      val hp = SimilarityOps.hyperplanes(planes, dim, 42L)
+      val bucket = (0 until planes).map { i =>
+        s"(CASE WHEN list_inner_product(v, [${hp(i).mkString(", ")}])" +
+          s" >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |  b AS (SELECT vec_id, v, ($bucket)::BIGINT AS cl FROM e),
+        |  p AS (SELECT a.vec_id AS id,
+        |      max(list_inner_product(a.v, x.v) /
+        |        (sqrt(list_inner_product(a.v, a.v)) *
+        |         sqrt(list_inner_product(x.v, x.v)))) AS ms
+        |    FROM b a JOIN b x ON a.cl = x.cl AND x.vec_id < a.vec_id
+        |    GROUP BY a.vec_id)
+        |SELECT b.vec_id, b.cl AS cluster,
+        |  (p.ms IS NULL OR p.ms < 0.2) AS kept,
+        |  round(p.ms, 6) AS max_prior_sim
+        |FROM b LEFT JOIN p ON b.vec_id = p.id
+        |ORDER BY b.vec_id""".stripMargin
+    },
   )
 }

@@ -273,6 +273,86 @@ object SimilarityOps {
       .groupBy(col(groupCol), col("pos"))
       .agg(avg(col("_v")).as("centroid"))
 
+  /** SemDeDup-class SEMANTIC dedup (cluster embeddings, prune
+    * within-cluster cosine-duplicates, keep one representative per
+    * duplicate group — the embedding-space pillar of a pretraining
+    * dedup stack next to MinHash/SimHash surface dedup): every vector
+    * is assigned to exactly ONE cluster, members are ordered
+    * deterministically inside the cluster, and a member is REMOVED iff
+    * its cosine to some EARLIER member reaches `threshold`. That
+    * earlier-member rule is the published algorithm's sequential scan
+    * (keep the first member seen of each semantic-duplicate group);
+    * id-ascending order stands in for the paper's centroid-distance
+    * order so the kept set is bit-reproducible on any engine.
+    *
+    * This entry point assigns clusters by fixed-seed random-hyperplane
+    * buckets ([[lshBucket]]) — deterministic and embeddable as oracle
+    * SQL literals (the q36/q46 convention). [[semanticDedupIvf]] is the
+    * same prune over data-adaptive k-means cells, the production path.
+    *
+    * Returns the full decision table (idCol, cluster, kept,
+    * max_prior_sim): downstream keeps `WHERE kept`, and the removed
+    * rows carry the similarity that evicted them (rounded for display;
+    * the kept/removed DECISION compares the unrounded max — the q46
+    * convention).
+    *
+    * Scale shape: one narrow pass to bucket (projections are literal
+    * arithmetic, codegen'd), one self-equi-join ON THE CLUSTER ID, one
+    * hash aggregate (max prior sim per member), one broadcast-free left
+    * join back. Intra-cluster pairwork is Σ|cluster|² — the operator's
+    * knob is cluster COUNT (`planes` here, `nlist` for IVF), grown with
+    * the corpus so the expected cluster size, and with it per-task
+    * pairwork, stays constant; the published recipe runs ~n/10k
+    * clusters at 100 TB. No stage materializes a cluster in memory —
+    * the pairs stream through the join. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, planes: Int = 8,
+                    seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1) // empty frame: result is empty
+    val hp = hyperplanes(planes, dim, seed)
+    val v = df.select(col(idCol),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_cl", lshBucket(col("_v"), hp))
+    semanticPrune(v, idCol, threshold)
+  }
+
+  /** [[semanticDedup]] over IVF k-means cells (each vector assigned to
+    * its nearest centroid, [[ivfCentroids]] fit) — the production
+    * cluster assignment: data-adaptive cells follow the embedding
+    * distribution, so duplicate groups land in one cell with far fewer
+    * cells than sign-buckets need. Same prune, same decision table.
+    * k-means init is seeded but engine-specific ⇒ spec-covered rather
+    * than SQL-oracled (the q48 convention). */
+  def semanticDedupIvf(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nlist: Int = 16,
+                       seed: Long = 42L): DataFrame = {
+    val cents = ivfCentroids(df, vecCol, nlist, seed)
+    val v = df.select(col(idCol),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_cl",
+        element_at(nearestLists(col("_v"), cents, 1), 1).cast("long"))
+    semanticPrune(v, idCol, threshold)
+  }
+
+  /** Shared SemDeDup prune: `v` = (idCol, _v vector, _cl cluster).
+    * max-cosine-to-earlier-member per row, then the keep decision. */
+  private def semanticPrune(v: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
+    val a = v.select(col("_cl"), col(idCol).as("_ida"),
+      col("_v").as("_va"))
+    val b = v.select(col("_cl"), col(idCol).as("_idb"),
+      col("_v").as("_vb"))
+    val prior = a.join(b, Seq("_cl")).filter(col("_idb") < col("_ida"))
+      .withColumn("_sim", graft.functions.GraftFunctions
+        .cosine_sim(col("_va"), col("_vb")))
+      .groupBy(col("_ida")).agg(max(col("_sim")).as("_ms"))
+    v.join(prior, col(idCol) === col("_ida"), "left")
+      .select(col(idCol), col("_cl").as("cluster"),
+        (col("_ms").isNull || col("_ms") < threshold).as("kept"),
+        round(col("_ms"), 6).as("max_prior_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, via LSH
     * buckets (approximate; exact within buckets). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
