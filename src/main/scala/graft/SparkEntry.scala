@@ -3572,6 +3572,24 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.2, planes = 6, seed = 42L)
       .orderBy(col("vec_id"))
 
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    // BPE MERGE-PAIR TRAINING (tokenizer prep): 6 rounds of the
+    // byte-pair-encoding training loop over the corpus vocabulary —
+    // adjacent-pair counts weighted by word frequency, merge the top
+    // pair (ties → lexicographic), repeat. The merge application is a
+    // literal `_a__b_` → `_ab_` replace over the double-underscore
+    // symbol encoding, whose left-to-right non-overlapping scan IS
+    // BPE's leftmost-greedy rule in any engine (TextOps.bpeMerges).
+    // Alphabet pinned to ^[a-z]{2,30}$ so symbols never contain the
+    // separator and the oracle's positional grid (len < 64) covers
+    // every word.
+    val words = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,30}$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    TextOps.bpeMerges(words, "w", "f", k = 6).orderBy(col("round"))
+  }
+
   private def q184(s: SparkSession, dir: String): DataFrame =
     // DUPLICATED-SPAN REMOVAL (the rewrite q182 only measures): tokens
     // covered by any cross-doc 8-gram are dropped, text re-joined in
@@ -4322,6 +4340,7 @@ object SparkEntry {
     "q187_index_refresh" -> q187 _,
     "q188_stream_psi" -> q188 _,
     "q189_semantic_dedup" -> q189 _,
+    "q190_bpe_merges" -> q190 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7075,6 +7094,44 @@ object SparkEntry {
         |  round(p.ms, 6) AS max_prior_sim
         |FROM b LEFT JOIN p ON b.vec_id = p.id
         |ORDER BY b.vec_id""".stripMargin
+    },
+    "q190_bpe_merges" -> {
+      // replay the k merge rounds relationally: each round = pair
+      // counts from the current encoding (positional grid × list
+      // slices, the q182 convention), argmax with the same
+      // (cnt DESC, a, b) tie-break, then the SAME literal
+      // `_a__b_` → `_ab_` replace — DuckDB's replace shares the
+      // left-to-right non-overlapping scan, so the greedy semantics
+      // match bit for bit
+      val k = 6
+      val rounds = (1 to k).map { r =>
+        s"""  p$r AS (SELECT a, b, sum(f)::BIGINT AS cnt FROM (
+           |    SELECT w.f, list_extract(w.s, g.i) AS a,
+           |        list_extract(w.s, g.i + 1) AS b
+           |    FROM (SELECT f, string_split(trim(e, '_'), '__') AS s
+           |          FROM w${r - 1}) w, grid g
+           |    WHERE g.i + 1 <= len(w.s)) GROUP BY a, b),
+           |  m$r AS (SELECT a, b, cnt FROM p$r
+           |    ORDER BY cnt DESC, a, b LIMIT 1),
+           |  w$r AS (SELECT replace(w.e, '_' || m.a || '__' || m.b || '_',
+           |      '_' || m.a || m.b || '_') AS e, w.f
+           |    FROM w${r - 1} w CROSS JOIN m$r m)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to k).map { r =>
+        s"SELECT $r::BIGINT AS round, a AS sym_a, b AS sym_b, " +
+          s"cnt AS pair_count FROM m$r"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH vocab AS (SELECT w, count(*)::BIGINT AS f FROM (
+        |    SELECT unnest(list_filter(
+        |        string_split_regex(lower(text), '\\s+'),
+        |        x -> len(x) > 0)) AS w FROM documents)
+        |    WHERE regexp_matches(w, '^[a-z]{2,30}$$') GROUP BY w),
+        |  grid AS (SELECT unnest(range(1, 64)) AS i),
+        |  w0 AS (SELECT '_' || array_to_string(string_split(w, ''), '__')
+        |      || '_' AS e, f FROM vocab),
+        |$rounds
+        |$out
+        |ORDER BY round""".stripMargin
     },
   )
 }

@@ -296,6 +296,74 @@ object TextOps {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(k)
 
+  /** BPE MERGE-PAIR TRAINING statistics (tokenizer-training prep): run
+    * `k` rounds of the byte-pair-encoding training loop over a
+    * (word, freq) vocabulary — count adjacent symbol pairs weighted by
+    * word frequency, merge the most frequent pair everywhere (ties →
+    * lexicographic (a, b)), repeat — and return the merge table
+    * (round, sym_a, sym_b, pair_count), the artifact tokenizer training
+    * actually produces.
+    *
+    * MERGE SEMANTICS, pinned for cross-engine replay: each word is
+    * encoded as `_s1__s2__..._sn_` (symbols joined by `__`, flanked by
+    * `_`; symbols must not contain `_` — callers filter the alphabet).
+    * Applying merge (a,b) is then the literal string replacement
+    * `_a__b_` → `_ab_`, whose left-to-right non-overlapping scan IS
+    * BPE's leftmost-greedy rule (a run `a a a` merges once, `a a a a`
+    * twice) — and because each match consumes exactly two symbol slots
+    * and restores the `__` boundary, the scan can neither over-merge a
+    * run nor match inside a multi-character symbol. Any engine's
+    * standard `replace` reproduces it exactly; no per-row loop, no UDF.
+    *
+    * Scale shape: the loop runs over the VOCABULARY (one corpus-sized
+    * groupBy builds (word, freq) once — upstream of this function),
+    * so each round is one explode + hash aggregate over vocab-sized
+    * data plus one argmax `collect` of a single row (k driver actions
+    * total, the [[graft.ops.SimilarityOps.ivfCentroids]] class of
+    * driver bridge); the merge application is a map-side projection.
+    * The vocab table is localCheckpoint'ed once; round r's plan chains
+    * r literal replaces over it (depth k, no re-aggregation). */
+  def bpeMerges(words: DataFrame, wordCol: String, freqCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = words.sparkSession
+    var enc = words.select(
+        concat(lit("_"),
+          array_join(filter(split(col(wordCol), ""),
+            x => length(x) > lit(0)), "__"),
+          lit("_")).as("e"),
+        col(freqCol).cast("long").as("f"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val s = split(expr("trim(BOTH '_' FROM e)"), "__")
+      val top = enc.select(col("f"), s.as("s"))
+        .withColumn("p", explode(arrays_zip(
+          slice(col("s"), lit(1), size(col("s")) - 1),
+          slice(col("s"), lit(2), size(col("s")) - 1))))
+        .groupBy(col("p.0").as("a"), col("p.1").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word down to one symbol
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, a, b, cnt))
+        enc = enc.select(
+          replace(col("e"), lit(s"_${a}__${b}_"), lit(s"_$a$b" + "_"))
+            .as("e"),
+          col("f"))
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
+  }
+
   /** Greedy concat-packing of documents into fixed token-budget training
     * sequences: documents lie head-to-tail in `orderCol` order within
     * each `groupCol` partition (packing runs per shard/language stream
