@@ -105,6 +105,37 @@ class StreamSemanticsSpec extends AnyFunSuite {
       "14:00" -> 1L))  // closed by final wm; [16,17) never emits
   }
 
+  test("dedupStream state is BOUNDED by the watermark: a key re-sent " +
+       "after its state expired is re-admitted (the observable " +
+       "difference from unbounded dropDuplicates)") {
+    val dir = stage(Seq(
+      // batch 0: key 1 and key 2; key 1's state expires at
+      // eventTime + delay = 10:10
+      Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:00:30")),
+      // batch 1 (wm in force 09:50): key-1 retransmission @10:01 —
+      // state alive → DROPPED; 12:00 advances the committed wm to 11:50
+      Seq((1L, "2024-01-01 10:01:00"), (9L, "2024-01-01 12:00:00")),
+      // batch 2 runs with wm 11:50 ≥ 10:10 — but state CLEANUP happens
+      // at batch END, after the dedup check, so this batch only
+      // triggers the eviction (filler key 8)
+      Seq((8L, "2024-01-01 12:30:00")),
+      // batch 3: key-1 state is gone — the re-send is ADMITTED as a
+      // new event. Unbounded dropDuplicates would still drop it.
+      Seq((1L, "2024-01-01 12:31:00"))))
+    val schema = spark.read.parquet(dir).schema
+    val deduped = StreamOps.dedupStream(
+      StreamOps.fileStream(spark, schema, dir,
+        maxFilesPerTrigger = Some(1)),
+      "ts", "10 minutes", "event_id")
+    val got = StreamOps.runToCompletion(deduped,
+      s"dd_bound_${System.nanoTime()}", outputMode = "append")
+    val perKey = got.groupBy(col("event_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perKey === Map(1L -> 2L, 2L -> 1L, 8L -> 1L, 9L -> 1L),
+      s"got $perKey — key 1 must appear twice (within-horizon dup " +
+        "dropped, post-eviction re-send admitted)")
+  }
+
   test("transformWithState (the Spark-4 arbitrary-state API): a " +
        "ValueState running count accumulates across micro-batches " +
        "under the RocksDB state store") {
