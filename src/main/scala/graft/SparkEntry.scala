@@ -461,7 +461,12 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
 
   private def q33(s: SparkSession, dir: String): DataFrame =
-    DedupOps.simhash64(t(s, dir, "documents"), "doc_id", "text")
+    // md5-derived bits (DedupOps.simhashMd5) so the fingerprints are
+    // engine-portable and the query is fully oracled — the q67
+    // technique; the xxhash64 production form (DedupOps.simhash64)
+    // stays spec-covered (locality + bit-equality to its 64-column
+    // spelling in DedupTextSpec, avalanche property in PropertySpec)
+    DedupOps.simhashMd5(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private def q34(s: SparkSession, dir: String): DataFrame = {
@@ -4650,6 +4655,11 @@ object SparkEntry {
     "q32_lsh_pairs" ->
       s"""WITH ${lshCandSqlPrefix(LshK, LshBands, LshMaxBucket)}
         |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+    "q33_simhash" ->
+      // same md5-60-bit fingerprint derivation as q67's prefix — the
+      // whole decision table is the fingerprint itself
+      s"""WITH ${simhashSqlPrefix}
+        |SELECT doc_id, f AS simhash FROM fp ORDER BY doc_id""".stripMargin,
     "q34_ngram_jaccard" ->
       """WITH sets AS (SELECT doc_id,
         |    list_distinct(list_filter(string_split_regex(text, '\s+'), z -> len(z) > 0)) AS s FROM documents),

@@ -83,11 +83,12 @@ class ApiSurfaceSpec extends AnyFunSuite {
     val orphanOracles = os -- qs
     assert(orphanOracles.isEmpty,
       s"oracles without a query (typo?): $orphanOracles")
-    // SURVEY §5 convention: only seeded-RNG sampling, xxhash64 simhash,
-    // and ML-training queries may lack an oracle — a NEW query landing
-    // here unannounced means someone forgot its oracle entry
+    // SURVEY §5 convention: only seeded-RNG sampling and ML-training
+    // queries may lack an oracle — a NEW query landing here unannounced
+    // means someone forgot its oracle entry (q33 left this set in
+    // round 9: simhashMd5's bits are engine-portable)
     val declaredNoOracle = Set("q20_stratified_sample", "q21_split_sizes",
-      "q33_simhash", "q45_ml_metrics", "q48_ann_ivf", "q54_stream_scoring")
+      "q45_ml_metrics", "q48_ann_ivf", "q54_stream_scoring")
     assert((qs -- os) === declaredNoOracle,
       s"no-oracle set drifted: ${(qs -- os) -- declaredNoOracle} added, " +
         s"${declaredNoOracle -- (qs -- os)} missing")
