@@ -3577,6 +3577,45 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.2, planes = 6, seed = 42L)
       .orderBy(col("vec_id"))
 
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    // SEMANTIC DEDUP with KEEP-BEST canonical selection — the
+    // composition the full pretraining stack runs: q189's keep-first
+    // rule approximates groups by scan order; here the duplicate
+    // GROUPS are exact (connected components of the within-cluster
+    // similarity graph) and each group keeps its best-scored member.
+    // Composes three scale-reviewed operators: bucketed cosine edges
+    // (cluster equi-join, no all-pairs), connectedComponents (one
+    // shuffle/iter, checkpoint-released), canonicalPerCluster (ONE
+    // partial-aggregable argmax — no window, no join-back). Score =
+    // L2 norm: data-derived and computed with the identical
+    // sequential float ops in both engines (the q35/q69 convention).
+    val emb = t(s, dir, "embeddings")
+    val planes = 6
+    val hp = SimilarityOps.hyperplanes(planes, 64, 42L)
+    val v = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("_v"))
+      .withColumn("_cl", SimilarityOps.lshBucket(col("_v"), hp))
+      .localCheckpoint() // three consumers: both edge sides + scores
+    val a = v.select(col("_cl"), col("vec_id").as("id_a"),
+      col("_v").as("_va"))
+    val b = v.select(col("_cl"), col("vec_id").as("id_b"),
+      col("_v").as("_vb"))
+    val edges = a.join(b, Seq("_cl")).filter(col("id_a") < col("id_b"))
+      .withColumn("_sim", graft.functions.GraftFunctions
+        .cosine_sim(col("_va"), col("_vb")))
+      .filter(col("_sim") >= 0.2)
+      .select(col("id_a"), col("id_b"))
+    val comps = DedupOps.connectedComponents(
+      v.select(col("vec_id")), edges, "vec_id")
+    val scored = v.select(col("vec_id"),
+      SimilarityOps.l2Norm(col("_v")).as("score"))
+    DedupOps.canonicalPerCluster(comps.join(scored, "vec_id"),
+        "vec_id", "comp", "score")
+      .select(col("comp"), col("keep_id"),
+        round(col("best_score"), 6).as("best_score"), col("n_members"))
+      .orderBy(col("comp"))
+  }
+
   private def q190(s: SparkSession, dir: String): DataFrame = {
     // BPE MERGE-PAIR TRAINING (tokenizer prep): 6 rounds of the
     // byte-pair-encoding training loop over the corpus vocabulary —
@@ -4346,6 +4385,7 @@ object SparkEntry {
     "q188_stream_psi" -> q188 _,
     "q189_semantic_dedup" -> q189 _,
     "q190_bpe_merges" -> q190 _,
+    "q191_semdedup_canonical" -> q191 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7104,6 +7144,47 @@ object SparkEntry {
         |  round(p.ms, 6) AS max_prior_sim
         |FROM b LEFT JOIN p ON b.vec_id = p.id
         |ORDER BY b.vec_id""".stripMargin
+    },
+    "q191_semdedup_canonical" -> {
+      // same 6-plane clusters and unrounded >= 0.2 edge rule as the
+      // Spark side; components via the q57 recursive-CTE min-label;
+      // keep-best replayed as (score DESC, id ASC) rank 1 — the
+      // relational spelling of canonicalPerCluster's
+      // max(struct(score, -id)) argmax
+      val dim = 64
+      val planes = 6
+      val hp = SimilarityOps.hyperplanes(planes, dim, 42L)
+      val bucket = (0 until planes).map { i =>
+        s"(CASE WHEN list_inner_product(v, [${hp(i).mkString(", ")}])" +
+          s" >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE
+        |  e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |  b AS (SELECT vec_id, v, ($bucket)::BIGINT AS cl FROM e),
+        |  ed AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b
+        |    FROM b a JOIN b x ON a.cl = x.cl AND a.vec_id < x.vec_id
+        |    WHERE list_inner_product(a.v, x.v) /
+        |      (sqrt(list_inner_product(a.v, a.v)) *
+        |       sqrt(list_inner_product(x.v, x.v))) >= 0.2),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM ed
+        |    UNION ALL SELECT id_b, id_a FROM ed),
+        |  reach AS (
+        |    SELECT vec_id AS id, vec_id AS comp FROM b
+        |    UNION
+        |    SELECT g.dst, r.comp FROM reach r JOIN edges g ON g.src = r.id),
+        |  cmp AS (SELECT id AS vec_id, min(comp) AS comp FROM reach
+        |    GROUP BY id),
+        |  sc AS (SELECT vec_id,
+        |    sqrt(list_inner_product(v, v)) AS score FROM b),
+        |  ranked AS (SELECT c.comp, c.vec_id, s.score,
+        |      row_number() OVER (PARTITION BY c.comp
+        |        ORDER BY s.score DESC, c.vec_id) AS rn,
+        |      count(*) OVER (PARTITION BY c.comp) AS nm
+        |    FROM cmp c JOIN sc s ON s.vec_id = c.vec_id)
+        |SELECT comp, vec_id AS keep_id, round(score, 6) AS best_score,
+        |  nm::BIGINT AS n_members
+        |FROM ranked WHERE rn = 1 ORDER BY comp""".stripMargin
     },
     "q190_bpe_merges" -> {
       // replay the k merge rounds relationally: each round = pair

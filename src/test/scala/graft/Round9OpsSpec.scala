@@ -54,6 +54,22 @@ class Round9OpsSpec extends AnyFunSuite {
       (2L, "aa", "a", 1L)))
   }
 
+  test("q191 composition invariants: components partition the corpus, " +
+       "kept member is a member, best_score is its group's max") {
+    val got = SparkEntry.queries("q191_semdedup_canonical")(
+      spark, "/root/testdata/sf0.001")
+    val rows = got.collect()
+    // groups partition the 500 vectors
+    assert(rows.map(_.getLong(3)).sum === 500L)
+    // the kept member leads its own component label ordering: comp is
+    // the group's minimum id, so keep_id >= comp, and a singleton
+    // keeps itself
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0))
+      if (r.getLong(3) == 1L) assert(r.getLong(1) === r.getLong(0))
+    }
+  }
+
   test("bpeMerges: multi-char symbols never merge mid-symbol") {
     // after (l,o)→lo, word 'lol' = [lo, l]; a naive string scan could
     // find 'o l' inside 'lo l' — the boundary encoding must not
