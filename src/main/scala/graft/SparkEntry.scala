@@ -3616,6 +3616,30 @@ object SparkEntry {
       .orderBy(col("comp"))
   }
 
+  /** Shared vocabulary builder for the BPE pair (q190 trains, q192
+    * encodes): lowercase whitespace tokens, alphabet pinned to
+    * ^[a-z]{2,30}$ (symbols never contain the boundary underscore, and
+    * the oracle's positional grid covers every word). */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,30}$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    // BPE ENCODE (the apply half of q190): train the same 6 merges,
+    // then segment every vocabulary word with them — the merge list is
+    // a driver-side literal (6 rows; the trained artifact), the encode
+    // itself is 6 chained codegen'd literal replaces: a pure map-side
+    // projection, zero shuffle — the tokenization hot path at scale.
+    val words = bpeVocab(s, dir)
+    val merges = TextOps.bpeMerges(words, "w", "f", k = 6)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextOps.bpeEncode(words.select(col("w")), "w", merges)
+      .orderBy(col("w"))
+  }
+
   private def q190(s: SparkSession, dir: String): DataFrame = {
     // BPE MERGE-PAIR TRAINING (tokenizer prep): 6 rounds of the
     // byte-pair-encoding training loop over the corpus vocabulary —
@@ -3624,14 +3648,8 @@ object SparkEntry {
     // literal `_a__b_` → `_ab_` replace over the double-underscore
     // symbol encoding, whose left-to-right non-overlapping scan IS
     // BPE's leftmost-greedy rule in any engine (TextOps.bpeMerges).
-    // Alphabet pinned to ^[a-z]{2,30}$ so symbols never contain the
-    // separator and the oracle's positional grid (len < 64) covers
-    // every word.
-    val words = t(s, dir, "documents")
-      .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
-      .filter(col("w").rlike("^[a-z]{2,30}$"))
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-    TextOps.bpeMerges(words, "w", "f", k = 6).orderBy(col("round"))
+    TextOps.bpeMerges(bpeVocab(s, dir), "w", "f", k = 6)
+      .orderBy(col("round"))
   }
 
   private def q184(s: SparkSession, dir: String): DataFrame =
@@ -4386,6 +4404,7 @@ object SparkEntry {
     "q189_semantic_dedup" -> q189 _,
     "q190_bpe_merges" -> q190 _,
     "q191_semdedup_canonical" -> q191 _,
+    "q192_bpe_encode" -> q192 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4465,6 +4484,41 @@ object SparkEntry {
        |    $votes
        |  FROM xs GROUP BY doc_id),
        |  fp AS (SELECT doc_id, ($fold)::BIGINT AS f FROM votes)""".stripMargin
+  }
+
+  /** Generated CTE chain replaying [[graft.ops.TextOps.bpeMerges]] in
+    * DuckDB, shared by the q190 (training) and q192 (encode) oracles:
+    * each round = pair counts from the current encoding (positional
+    * grid × list slices, the q182 convention), argmax with the same
+    * (cnt DESC, a, b) tie-break, then the SAME literal `_a__b_` →
+    * `_ab_` replace — DuckDB's replace shares the left-to-right
+    * non-overlapping scan, so the greedy semantics match bit for bit.
+    * Exposes vocab(w, f), m1..mk (the merges), w0..wk (the per-round
+    * encodings, word carried through). */
+  private def bpeSqlChain(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""  p$r AS (SELECT a, b, sum(f)::BIGINT AS cnt FROM (
+         |    SELECT w.f, list_extract(w.s, g.i) AS a,
+         |        list_extract(w.s, g.i + 1) AS b
+         |    FROM (SELECT f, string_split(trim(e, '_'), '__') AS s
+         |          FROM w${r - 1}) w, grid g
+         |    WHERE g.i + 1 <= len(w.s)) GROUP BY a, b),
+         |  m$r AS (SELECT a, b, cnt FROM p$r
+         |    ORDER BY cnt DESC, a, b LIMIT 1),
+         |  w$r AS (SELECT w.w, replace(w.e, '_' || m.a || '__' || m.b || '_',
+         |      '_' || m.a || m.b || '_') AS e, w.f
+         |    FROM w${r - 1} w CROSS JOIN m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""vocab AS (SELECT w, count(*)::BIGINT AS f FROM (
+       |    SELECT unnest(list_filter(
+       |        string_split_regex(lower(text), '\\s+'),
+       |        x -> len(x) > 0)) AS w FROM documents)
+       |    WHERE regexp_matches(w, '^[a-z]{2,30}$$') GROUP BY w),
+       |  grid AS (SELECT unnest(range(1, 64)) AS i),
+       |  w0 AS (SELECT w, f,
+       |    concat('_', array_to_string(string_split(w, ''), '__'), '_')
+       |      AS e FROM vocab),
+       |$rounds""".stripMargin
   }
 
   /** DuckDB oracle SQL (dialect: DuckDB 1.0). Omitted for queries whose
@@ -7187,42 +7241,25 @@ object SparkEntry {
         |FROM ranked WHERE rn = 1 ORDER BY comp""".stripMargin
     },
     "q190_bpe_merges" -> {
-      // replay the k merge rounds relationally: each round = pair
-      // counts from the current encoding (positional grid × list
-      // slices, the q182 convention), argmax with the same
-      // (cnt DESC, a, b) tie-break, then the SAME literal
-      // `_a__b_` → `_ab_` replace — DuckDB's replace shares the
-      // left-to-right non-overlapping scan, so the greedy semantics
-      // match bit for bit
       val k = 6
-      val rounds = (1 to k).map { r =>
-        s"""  p$r AS (SELECT a, b, sum(f)::BIGINT AS cnt FROM (
-           |    SELECT w.f, list_extract(w.s, g.i) AS a,
-           |        list_extract(w.s, g.i + 1) AS b
-           |    FROM (SELECT f, string_split(trim(e, '_'), '__') AS s
-           |          FROM w${r - 1}) w, grid g
-           |    WHERE g.i + 1 <= len(w.s)) GROUP BY a, b),
-           |  m$r AS (SELECT a, b, cnt FROM p$r
-           |    ORDER BY cnt DESC, a, b LIMIT 1),
-           |  w$r AS (SELECT replace(w.e, '_' || m.a || '__' || m.b || '_',
-           |      '_' || m.a || m.b || '_') AS e, w.f
-           |    FROM w${r - 1} w CROSS JOIN m$r m)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to k).map { r =>
         s"SELECT $r::BIGINT AS round, a AS sym_a, b AS sym_b, " +
           s"cnt AS pair_count FROM m$r"
       }.mkString("\n  UNION ALL ")
-      s"""WITH vocab AS (SELECT w, count(*)::BIGINT AS f FROM (
-        |    SELECT unnest(list_filter(
-        |        string_split_regex(lower(text), '\\s+'),
-        |        x -> len(x) > 0)) AS w FROM documents)
-        |    WHERE regexp_matches(w, '^[a-z]{2,30}$$') GROUP BY w),
-        |  grid AS (SELECT unnest(range(1, 64)) AS i),
-        |  w0 AS (SELECT '_' || array_to_string(string_split(w, ''), '__')
-        |      || '_' AS e, f FROM vocab),
-        |$rounds
+      s"""WITH ${bpeSqlChain(k)}
         |$out
         |ORDER BY round""".stripMargin
+    },
+    "q192_bpe_encode" -> {
+      // the final w6 of the training replay IS the encoded vocabulary:
+      // each word carried through the same 6 ordered replaces
+      val k = 6
+      s"""WITH ${bpeSqlChain(k)}
+        |SELECT w,
+        |  array_to_string(string_split(trim(e, '_'), '__'), ' ')
+        |    AS encoding,
+        |  len(string_split(trim(e, '_'), '__'))::BIGINT AS n_symbols
+        |FROM w$k ORDER BY w""".stripMargin
     },
   )
 }

@@ -364,6 +364,32 @@ object TextOps {
     merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
   }
 
+  /** BPE ENCODE (the apply half of [[bpeMerges]]): segment each word
+    * into the subword symbols a trained merge list produces — apply the
+    * merges IN TRAINING ORDER, each as the same literal `_a__b_` →
+    * `_ab_` replace over the boundary encoding (so apply-time greedy
+    * behavior matches training bit for bit), then split the final
+    * encoding back into symbols. Returns (wordCol, encoding
+    * space-joined, n_symbols).
+    *
+    * Scale shape: the merge list is a tiny driver-side literal (the
+    * trained artifact); the whole encode is |merges| chained codegen'd
+    * string replaces — a pure map-side projection, ZERO shuffle, the
+    * tokenization hot path at 100 TB. */
+  def bpeEncode(df: DataFrame, wordCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val enc0 = concat(lit("_"),
+      array_join(filter(split(col(wordCol), ""),
+        x => length(x) > lit(0)), "__"),
+      lit("_"))
+    val encoded = merges.foldLeft(enc0) { case (e, (a, b)) =>
+      replace(e, lit(s"_${a}__${b}_"), lit(s"_$a$b" + "_"))
+    }
+    val syms = split(trim(encoded, "_"), "__")
+    df.select(col(wordCol), array_join(syms, " ").as("encoding"),
+      size(syms).cast("long").as("n_symbols"))
+  }
+
   /** Greedy concat-packing of documents into fixed token-budget training
     * sequences: documents lie head-to-tail in `orderCol` order within
     * each `groupCol` partition (packing runs per shard/language stream

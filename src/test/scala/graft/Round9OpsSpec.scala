@@ -54,6 +54,24 @@ class Round9OpsSpec extends AnyFunSuite {
       (2L, "aa", "a", 1L)))
   }
 
+  test("bpeEncode applies merges in training order; symbols " +
+       "concatenate back to the word") {
+    val words = Seq("servers", "verse", "x").toDF("w")
+    val got = TextOps.bpeEncode(words, "w",
+        Seq(("e", "r"), ("er", "s")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    // servers: s,e,r,v,e,r,s → (e,r) → s,er,v,er,s → (er,s) → s,er,v,ers
+    assert(got("servers") === (("s er v ers", 4L)))
+    // verse: v,e,r,s,e → (e,r) → v,er,s,e → (er,s) → v,ers,e
+    assert(got("verse") === (("v ers e", 3L)))
+    assert(got("x") === (("x", 1L)))
+    // reconstruction: symbols concatenate back to the original word
+    got.foreach { case (w, (enc, _)) =>
+      assert(enc.replace(" ", "") === w)
+    }
+  }
+
   test("q191 composition invariants: components partition the corpus, " +
        "kept member is a member, best_score is its group's max") {
     val got = SparkEntry.queries("q191_semdedup_canonical")(
