@@ -3626,6 +3626,30 @@ object SparkEntry {
       .filter(col("w").rlike("^[a-z]{2,30}$"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
 
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    // HYBRID RETRIEVAL via reciprocal-rank fusion: BM25 keyword
+    // ranking (q58's scorer, top-50) fused with embedding-cosine
+    // ranking against a fixed query vector (q35's exact ranker,
+    // top-50) — the sparse+dense combiner a RAG / decontamination
+    // retrieval stack runs. Ranks derive from ROUNDED scores with id
+    // tie-breaks (the q35/q58 determinism convention); contributions
+    // are integer micro-units so the fused sum is order-free. The
+    // post-top-k rank windows are single-partition but bounded at 50
+    // rows by construction.
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val bm = SearchOps.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "query", "join"), 50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(round(col("score"), 6).desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val ann = SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 50)
+      .select(col("neighbor_id").as("doc_id"), col("rn").as("rank"))
+    SearchOps.rrfFuse(Seq(bm, ann), "doc_id", "rank")
+      .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+  }
+
   private def q192(s: SparkSession, dir: String): DataFrame = {
     // BPE ENCODE (the apply half of q190): train the same 6 merges,
     // then segment every vocabulary word with them — the merge list is
@@ -4405,6 +4429,7 @@ object SparkEntry {
     "q190_bpe_merges" -> q190 _,
     "q191_semdedup_canonical" -> q191 _,
     "q192_bpe_encode" -> q192 _,
+    "q193_hybrid_rrf" -> q193 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7249,6 +7274,51 @@ object SparkEntry {
       s"""WITH ${bpeSqlChain(k)}
         |$out
         |ORDER BY round""".stripMargin
+    },
+    "q193_hybrid_rrf" -> {
+      // BM25 scorer = q58's CTEs verbatim (same double arithmetic);
+      // cosine ranker = q35's spelling against the vec_id=0 query;
+      // both ranked on rounded scores with id tie-breaks, fused in
+      // integer micro-units so the sum is order-free
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |  dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM d),
+        |  st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        |  tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+        |    FROM (SELECT doc_id, unnest(t) AS tok FROM d)
+        |    WHERE tok IN ('spark', 'query', 'join') GROUP BY 1, 2),
+        |  dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |  sc AS (SELECT tf.doc_id,
+        |      sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |        * tf.tf * (1.2 + 1.0)
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+        |        AS score
+        |    FROM tf JOIN dfq ON dfq.tok = tf.tok
+        |    JOIN dl ON dl.doc_id = tf.doc_id, st
+        |    GROUP BY 1),
+        |  bmr AS (SELECT doc_id, rank FROM (SELECT doc_id,
+        |      row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+        |        AS rank FROM sc) WHERE rank <= 50),
+        |  qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+        |    WHERE vec_id = 0),
+        |  cs AS (SELECT vec_id AS doc_id,
+        |      list_inner_product(embedding::DOUBLE[], q) /
+        |        (sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) *
+        |         sqrt(list_inner_product(q, q))) AS sim0
+        |    FROM embeddings, qv WHERE vec_id <> 0),
+        |  annr AS (SELECT doc_id, rank FROM (SELECT doc_id,
+        |      row_number() OVER (ORDER BY round(sim0, 6) DESC, doc_id)
+        |        AS rank FROM cs) WHERE rank <= 50),
+        |  u AS (SELECT doc_id,
+        |      round(1000000000.0 / (60 + rank))::BIGINT AS c FROM bmr
+        |    UNION ALL SELECT doc_id,
+        |      round(1000000000.0 / (60 + rank))::BIGINT FROM annr),
+        |  f AS (SELECT doc_id, count(*)::BIGINT AS n_lists,
+        |      sum(c)::BIGINT AS rrf_micro FROM u GROUP BY doc_id)
+        |SELECT doc_id, n_lists, rrf_micro FROM f
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
     },
     "q192_bpe_encode" -> {
       // the final w6 of the training replay IS the encoded vocabulary:

@@ -62,4 +62,28 @@ object SearchOps {
       .orderBy(round(col("score"), 6).desc, col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of N ranked lists (the standard hybrid-
+    * retrieval combiner: sparse BM25 + dense ANN, each contributing
+    * 1/(k0 + rank) per member): returns (idCol, n_lists, rrf_micro)
+    * where rrf_micro = Σ round(1e9/(k0 + rank)) over the lists that
+    * contain the id. Contributions are fixed to INTEGER micro-units
+    * before the sum (the q186 bitext convention), so the fused score is
+    * order-free and bit-identical on any engine — a float Σ 1/(k0+r)
+    * over 3+ lists would expose summation order.
+    *
+    * Scale shape: union + ONE hash aggregate on the id — no join
+    * between the lists, so fusing N lists of k rows shuffles N·k tiny
+    * rows regardless of corpus size. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    rankings.map(df => df.select(col(idCol),
+        round(lit(1e9) / (lit(k0) + col(rankCol)), 0).cast("long")
+          .as("_c")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        sum(col("_c")).as("rrf_micro"))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.TextOps
+import graft.ops.{SearchOps, TextOps}
 
 /** Round-9 operator units: BPE merge-pair training statistics. The
   * oracled q190 carries the DuckDB replay; these pin the hand-checkable
@@ -70,6 +70,22 @@ class Round9OpsSpec extends AnyFunSuite {
     got.foreach { case (w, (enc, _)) =>
       assert(enc.replace(" ", "") === w)
     }
+  }
+
+  test("rrfFuse: integer micro-unit contributions, absent-list items " +
+       "score from present lists only") {
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val l2 = Seq((20L, 1), (10L, 2)).toDF("id", "rank")
+    val got = SearchOps.rrfFuse(Seq(l1, l2), "id", "rank", k0 = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    def c(rank: Int) = math.round(1e9 / (60 + rank))
+    assert(got === Map(
+      10L -> ((2L, c(1) + c(2))),
+      20L -> ((2L, c(2) + c(1))),
+      30L -> ((1L, c(3)))))
+    // symmetric ranks fuse identically — order-free by construction
+    assert(got(10L)._2 === got(20L)._2)
   }
 
   test("q191 composition invariants: components partition the corpus, " +
