@@ -3450,6 +3450,44 @@ object SparkEntry {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING EMBEDDING NEAR-DUP against a static dense index — the
+    // DENSE sibling of q185's MinHash shape (continuous-ingestion
+    // semantic dedup): arriving vectors (vec_id < 100, streamed)
+    // compute their sign-projection bucket as a STATELESS per-row
+    // projection, stream-static join against the bucketed corpus
+    // index (vec_id >= 100, materialized ONCE — the static side is
+    // re-evaluated per micro-batch otherwise), exact cosine ≥ 0.2
+    // inside the bucket. Sign-LSH assigns exactly ONE bucket per
+    // vector, so there is no multi-band fan-out and no stateful pair
+    // dedup — the whole stream side is stateless projections + one
+    // broadcastable join. Fully-staged source ⇒ deterministic ⇒ the
+    // oracle is the batch twin with the same embedded hyperplanes.
+    val planes = 6
+    val hp = SimilarityOps.hyperplanes(planes, 64, 42L)
+    val corpus = t(s, dir, "embeddings").filter(col("vec_id") >= 100)
+      .select(col("vec_id").as("corpus_id"),
+        col("embedding").cast("array<double>").as("_cv"))
+      .withColumn("_b", SimilarityOps.lshBucket(col("_cv"), hp))
+      .localCheckpoint()
+    val schema = Tables.rawSchema(s, dir, "embeddings")
+    val staged = stageStreamDir(dir, "embeddings")
+    val stream = StreamOps.fileStream(s, schema, staged)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id").as("new_id"),
+        col("embedding").cast("array<double>").as("_nv"))
+      .withColumn("_b", SimilarityOps.lshBucket(col("_nv"), hp))
+    val hits = stream.join(corpus, Seq("_b"))
+      .withColumn("sim", graft.functions.GraftFunctions
+        .cosine_sim(col("_nv"), col("_cv")))
+      .filter(col("sim") >= 0.2)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("sim"), 6).as("sim"))
+    StreamOps.runToCompletion(hits, s"q194_${System.nanoTime()}",
+        outputMode = "append")
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   private def q186(s: SparkSession, dir: String): DataFrame = {
     // MARGIN-BASED BITEXT MINING (Artetxe & Schwenk ratio margin, the
     // CCMatrix/LASER parallel-corpus criterion): candidate pair score =
@@ -4430,6 +4468,7 @@ object SparkEntry {
     "q191_semdedup_canonical" -> q191 _,
     "q192_bpe_encode" -> q192 _,
     "q193_hybrid_rrf" -> q193 _,
+    "q194_stream_semantic" -> q194 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7274,6 +7313,32 @@ object SparkEntry {
       s"""WITH ${bpeSqlChain(k)}
         |$out
         |ORDER BY round""".stripMargin
+    },
+    "q194_stream_semantic" -> {
+      // batch twin: same 6-plane buckets (embedded literals), same
+      // split, same unrounded >= 0.2 filter inside the bucket
+      val dim = 64
+      val planes = 6
+      val hp = SimilarityOps.hyperplanes(planes, dim, 42L)
+      val bucket = (0 until planes).map { i =>
+        s"(CASE WHEN list_inner_product(v, [${hp(i).mkString(", ")}])" +
+          s" >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |  b AS (SELECT vec_id, v, ($bucket)::BIGINT AS bk FROM e),
+        |  n AS (SELECT vec_id AS new_id, v AS nv, bk FROM b
+        |    WHERE vec_id < 100),
+        |  c AS (SELECT vec_id AS corpus_id, v AS cv, bk FROM b
+        |    WHERE vec_id >= 100),
+        |  p AS (SELECT new_id, corpus_id,
+        |      list_inner_product(nv, cv) /
+        |        (sqrt(list_inner_product(nv, nv)) *
+        |         sqrt(list_inner_product(cv, cv))) AS sim0
+        |    FROM n JOIN c ON n.bk = c.bk)
+        |SELECT new_id, corpus_id, round(sim0, 6) AS sim
+        |FROM p WHERE sim0 >= 0.2
+        |ORDER BY new_id, corpus_id""".stripMargin
     },
     "q193_hybrid_rrf" -> {
       // BM25 scorer = q58's CTEs verbatim (same double arithmetic);
