@@ -4550,6 +4550,20 @@ object SparkEntry {
        |  fp AS (SELECT doc_id, ($fold)::BIGINT AS f FROM votes)""".stripMargin
   }
 
+  /** DuckDB expression reproducing
+    * [[graft.ops.SimilarityOps.lshBucket]] over a DOUBLE[] column named
+    * `v`: sign bit per hyperplane (embedded literals from the same
+    * seeded generator) packed into a BIGINT sum. ONE definition shared
+    * by the q46/q189/q191/q194 oracles — a convention change (planes,
+    * dim, bit order) can no longer drift between copies. */
+  private def signBucketSql(planes: Int, dim: Int, seed: Long): String = {
+    val hp = SimilarityOps.hyperplanes(planes, dim, seed)
+    (0 until planes).map { i =>
+      s"(CASE WHEN list_inner_product(v, [${hp(i).mkString(", ")}])" +
+        s" >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   /** Generated CTE chain replaying [[graft.ops.TextOps.bpeMerges]] in
     * DuckDB, shared by the q190 (training) and q192 (encode) oracles:
     * each round = pair counts from the current encoding (positional
@@ -4569,9 +4583,11 @@ object SparkEntry {
          |    WHERE g.i + 1 <= len(w.s)) GROUP BY a, b),
          |  m$r AS (SELECT a, b, cnt FROM p$r
          |    ORDER BY cnt DESC, a, b LIMIT 1),
-         |  w$r AS (SELECT w.w, replace(w.e, '_' || m.a || '__' || m.b || '_',
-         |      '_' || m.a || m.b || '_') AS e, w.f
-         |    FROM w${r - 1} w CROSS JOIN m$r m)""".stripMargin
+         |  w$r AS (SELECT w.w,
+         |      CASE WHEN m.a IS NULL THEN w.e
+         |        ELSE replace(w.e, '_' || m.a || '__' || m.b || '_',
+         |          '_' || m.a || m.b || '_') END AS e, w.f
+         |    FROM w${r - 1} w LEFT JOIN m$r m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""vocab AS (SELECT w, count(*)::BIGINT AS f FROM (
        |    SELECT unnest(list_filter(
@@ -4886,11 +4902,7 @@ object SparkEntry {
       // exactly like cosineNearDupPairs
       val dim = 64
       val planes = 8
-      val hp = SimilarityOps.hyperplanes(planes, dim, 42L)
-      val bucket = (0 until planes).map { i =>
-        s"(CASE WHEN list_inner_product(v, [${hp(i).mkString(", ")}])" +
-          s" >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
+      val bucket = signBucketSql(planes, dim, 42L)
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |    FROM embeddings),
         |  b AS (SELECT vec_id, v, $bucket AS bk FROM e),
@@ -7243,11 +7255,7 @@ object SparkEntry {
       // reaches the (unrounded) threshold
       val dim = 64
       val planes = 6
-      val hp = SimilarityOps.hyperplanes(planes, dim, 42L)
-      val bucket = (0 until planes).map { i =>
-        s"(CASE WHEN list_inner_product(v, [${hp(i).mkString(", ")}])" +
-          s" >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
+      val bucket = signBucketSql(planes, dim, 42L)
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |    FROM embeddings),
         |  b AS (SELECT vec_id, v, ($bucket)::BIGINT AS cl FROM e),
@@ -7271,11 +7279,7 @@ object SparkEntry {
       // max(struct(score, -id)) argmax
       val dim = 64
       val planes = 6
-      val hp = SimilarityOps.hyperplanes(planes, dim, 42L)
-      val bucket = (0 until planes).map { i =>
-        s"(CASE WHEN list_inner_product(v, [${hp(i).mkString(", ")}])" +
-          s" >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
+      val bucket = signBucketSql(planes, dim, 42L)
       s"""WITH RECURSIVE
         |  e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |    FROM embeddings),
@@ -7319,11 +7323,7 @@ object SparkEntry {
       // split, same unrounded >= 0.2 filter inside the bucket
       val dim = 64
       val planes = 6
-      val hp = SimilarityOps.hyperplanes(planes, dim, 42L)
-      val bucket = (0 until planes).map { i =>
-        s"(CASE WHEN list_inner_product(v, [${hp(i).mkString(", ")}])" +
-          s" >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
+      val bucket = signBucketSql(planes, dim, 42L)
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |    FROM embeddings),
         |  b AS (SELECT vec_id, v, ($bucket)::BIGINT AS bk FROM e),

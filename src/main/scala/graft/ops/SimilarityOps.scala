@@ -61,6 +61,16 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"), col("rn"))
   }
 
+  /** Dimension probe for the LSH/IVF entry points: length of the first
+    * NON-NULL vector. The null filter matters — `size(NULL)` is NULL
+    * and a bare `Row.getInt` on it NPEs, so a frame whose first row
+    * carries a null embedding must not crash the probe. Empty or
+    * all-null frames return 1 (any dim works — every downstream result
+    * is empty). One LIMIT-1 job. */
+  private def probeDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("_d")).filter(col("_d").isNotNull)
+      .head(1).headOption.map(_.getInt(0)).getOrElse(1)
+
   /** Deterministic random hyperplanes: `planes` rows × `dim` cols drawn
     * from a seeded RNG on the driver (tiny, broadcast as literals). */
   def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
@@ -94,8 +104,7 @@ object SimilarityOps {
               vecCol: String, k: Int, planes: Int = 8,
               seed: Long = 42L, tables: Int = 1): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
-    val dim = corpus.select(size(col(vecCol))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(1) // empty corpus: any dim works, result is empty
+    val dim = probeDim(corpus, vecCol)
     // all `tables` bucket ids are computed in ONE pass per side and
     // exploded — a per-table union would re-scan (and re-cast) the
     // corpus `tables` times, since Catalyst does not CSE across union
@@ -219,8 +228,7 @@ object SimilarityOps {
                     vecCol: String, k: Int, planes: Int = 6,
                     seed: Long = 42L, tables: Int = 3): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
-    val dim = corpus.select(size(col(vecCol))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(1) // empty corpus: any dim works, result is empty
+    val dim = probeDim(corpus, vecCol)
     def prep(df: DataFrame, idName: String) =
       df.select(col(idCol).as(idName),
         col(vecCol).cast("array<double>").as("_v"))
@@ -308,8 +316,7 @@ object SimilarityOps {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, planes: Int = 8,
                     seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(1) // empty frame: result is empty
+    val dim = probeDim(df, vecCol)
     val hp = hyperplanes(planes, dim, seed)
     val v = df.select(col(idCol),
         col(vecCol).cast("array<double>").as("_v"))
@@ -358,8 +365,7 @@ object SimilarityOps {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 8,
                          seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(1) // empty frame: result is empty
+    val dim = probeDim(df, vecCol)
     val hp = hyperplanes(planes, dim, seed)
     val v = df.select(col(idCol),
         col(vecCol).cast("array<double>").as("_v"))

@@ -221,7 +221,7 @@ object SplitOps {
     // with a mixed-type join key. Null groups and groups whose string
     // form has no `budgets` entry both fall to `defaultBudget`; `budgets`
     // is keyed by the group's STRING form.
-    val nullKey = " <null-group>"
+    val nullKey = "\u0000<null-group>"
     val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
     val withH = df.withColumn("_tk", tokensCol.cast("long"))
       .withColumn("_h", h)

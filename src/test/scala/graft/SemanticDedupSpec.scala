@@ -78,6 +78,23 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(ivf.size > bucket.size)
   }
 
+  test("a leading null embedding neither crashes the dimension probe " +
+       "nor evicts anyone: null rows pass through as kept") {
+    val withNull = Seq(
+      (0L, null.asInstanceOf[Array[Double]]),
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val d = SimilarityOps.semanticDedup(withNull, "vec_id", "embedding",
+      threshold = 0.5, planes = 2, seed = 7L)
+    assert(d.count() === 3)
+    val kept = d.filter(col("kept")).select(col("vec_id"))
+      .as[Long].collect().toSet
+    // identical vectors 1,2 dedup (keep 1); the null row is kept — a
+    // null cosine can never reach the threshold
+    assert(kept === Set(0L, 1L))
+  }
+
   test("determinism: same seed reproduces the identical kept set") {
     val a = removedOf(SimilarityOps.semanticDedup(emb, "vec_id",
       "embedding", threshold = tau, planes = 6, seed = 42L))
