@@ -3754,6 +3754,117 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    // LM QUALITY FILTER (CCNet / Wenzek et al. 2020's perplexity
+    // gate): train an add-one-smoothed bigram LM on half the corpus
+    // (even doc_ids), score the held-out half by per-bigram negative
+    // log-likelihood — the quality stage between dedup and mixing in
+    // a pretraining pipeline. TextOps.bigramLmScore carries the scale
+    // shape (held side reduced to per-doc pair counts before the LM
+    // joins, vocabulary-bounded LM tables, integer micro-nat log-probs
+    // so no engine sums raw doubles); the held/train split makes the
+    // unseen-bigram and unseen-first-token smoothing paths real.
+    val docs = t(s, dir, "documents")
+    TextOps.bigramLmScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    // TOPIC LABELING (BERTopic's c-TF-IDF) over embedding clusters:
+    // cluster by the fixed-seed sign projection (q46/q189 convention,
+    // embedded hyperplane literals in the oracle), then name each
+    // cluster by its top-5 class-based TF-IDF terms — the corpus-
+    // exploration pass a curation pipeline runs to see WHAT each
+    // semantic cluster contains. The embedding→cluster table joins
+    // the documents on the id (equi-join, broadcastable side); the
+    // heavy lifting is TextOps.cTfIdfTopTerms' single token explode.
+    val hp = SimilarityOps.hyperplanes(6, 64, 42L)
+    val cl = t(s, dir, "embeddings").select(
+      col("vec_id"),
+      SimilarityOps.lshBucket(
+        col("embedding").cast("array<double>"), hp).as("cluster"))
+    val docs = t(s, dir, "documents")
+      .join(cl, col("doc_id") === col("vec_id"))
+    TextOps.cTfIdfTopTerms(docs, "cluster", "text", 5)
+      .orderBy(col("cluster"), col("rank"))
+  }
+
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    // k-ANONYMITY SUPPRESSION (CleanOps.kAnonymize — the privacy gate
+    // next to q65's PII redaction): customers whose (nation, segment,
+    // balance-band) quasi-identifier tuple isolates fewer than 5
+    // records get every QI cell nulled. The QI frequency table is ONE
+    // map-side-combinable groupBy, QI-domain-bounded, broadcast back
+    // — no window sort over the full table.
+    val c = t(s, dir, "customer")
+      .withColumn("bal_band", floor(col("c_acctbal") / 2000))
+    CleanOps.kAnonymize(c,
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), 5)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"), col("bal_band"), col("k_suppressed"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    // SMALL-FILES COMPACTION PLAN (LayoutOps.compactionPlan — the
+    // Delta/Iceberg OPTIMIZE bin-packing planner): build the
+    // per-(day, hour) file inventory from events (128 bytes/row size
+    // proxy — the manifest a lakehouse table keeps), then cut
+    // target-size bins along the running byte total within each day.
+    // The planner touches METADATA only; windows partition by day, so
+    // nothing global ever sorts.
+    val inv = t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast("long").as("file_id"))
+      .agg((count(lit(1)) * 128).as("bytes"))
+    LayoutOps.compactionPlan(inv, "day", "file_id", "bytes", 16384L)
+      .orderBy(col("day"), col("bin"))
+  }
+
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    // FELLEGI–SUNTER LINKAGE (RelOps.fellegiSunter over q174's
+    // head-noun blocking, q174's probe-batch shape): an arriving
+    // batch of part records matched against the master table, each
+    // blocked candidate pair scored on four field comparisons — name
+    // Jaro-Winkler ≥ 0.9 (on the ROUNDED score, q174's tie
+    // convention), brand equality, size within 2, retail price within
+    // 50 — with fixed integer micro-unit log-odds weights, classified
+    // match / possible / non_match. Candidate volume is |batch| ×
+    // block size (LINEAR in the master table — a full self-dedup
+    // would instead run multi-pass blocking with the q32 block cap);
+    // the batch side broadcasts, scoring is pure map-side projection,
+    // non_match pairs drop from the report (the review-queue shape).
+    val parts = t(s, dir, "part")
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val a = parts.where(col("p_partkey") % 23 === 0)
+      .select(col("blk"), col("p_partkey").as("key_a"),
+        col("p_name").as("name_a"), col("p_brand").as("brand_a"),
+        col("p_size").as("size_a"), col("p_retailprice").as("price_a"))
+    val b = parts.select(col("blk"), col("p_partkey").as("key_b"),
+      col("p_name").as("name_b"), col("p_brand").as("brand_b"),
+      col("p_size").as("size_b"), col("p_retailprice").as("price_b"))
+    val pairs = broadcast(a).join(b, Seq("blk"))
+      .where(col("key_a") =!= col("key_b"))
+    RelOps.fellegiSunter(pairs, Seq(
+        ("name", round(GraftFunctions.jaro_winkler(col("name_a"),
+          col("name_b")), 6) >= 0.9, 2400000L, -1200000L),
+        ("brand", col("brand_a") === col("brand_b"),
+          1800000L, -900000L),
+        ("size", abs(col("size_a") - col("size_b")) <= 2,
+          1000000L, -500000L),
+        ("price", abs(col("price_a") - col("price_b")) <= 50.0,
+          800000L, -400000L)),
+      matchAtLeast = 4000000L, nonMatchAtMost = 0L)
+      .where(col("decision") =!= "non_match")
+      .select(col("key_a"), col("key_b"), col("agr_name"),
+        col("agr_brand"), col("agr_size"), col("agr_price"),
+        col("score_micro"), col("decision"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4469,6 +4580,11 @@ object SparkEntry {
     "q192_bpe_encode" -> q192 _,
     "q193_hybrid_rrf" -> q193 _,
     "q194_stream_semantic" -> q194 _,
+    "q195_lm_quality" -> q195 _,
+    "q196_ctfidf_topics" -> q196 _,
+    "q197_k_anonymity" -> q197 _,
+    "q198_compaction_plan" -> q198 _,
+    "q199_fellegi_sunter" -> q199 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7396,5 +7512,134 @@ object SparkEntry {
         |  len(string_split(trim(e, '_'), '__'))::BIGINT AS n_symbols
         |FROM w$k ORDER BY w""".stripMargin
     },
+    "q195_lm_quality" ->
+      // same add-one bigram LM over even doc_ids (q124's tokenization
+      // + range(1, len) adjacency), same integer micro-nat log-probs
+      // before the per-doc sum; ln on identical integer-derived
+      // rationals in both engines
+      """WITH trt AS (SELECT list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0) AS l
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |  tidx AS (SELECT l, unnest(range(1, len(l))) AS i FROM trt),
+        |  pairs AS (SELECT l[i] AS a, l[i + 1] AS b,
+        |      count(*)::BIGINT AS n_ab
+        |    FROM tidx GROUP BY 1, 2),
+        |  firsts AS (SELECT a, sum(n_ab)::BIGINT AS n_a
+        |    FROM pairs GROUP BY 1),
+        |  voc AS (SELECT count(DISTINCT w)::BIGINT AS v
+        |    FROM (SELECT unnest(l) AS w FROM trt)),
+        |  ht AS (SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0) AS l
+        |    FROM documents WHERE doc_id % 2 = 1),
+        |  hidx AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+        |    FROM ht),
+        |  hb AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b,
+        |      count(*)::BIGINT AS c
+        |    FROM hidx GROUP BY 1, 2, 3),
+        |  lp AS (SELECT h.doc_id, h.c,
+        |      round(ln((coalesce(p.n_ab, 0) + 1)::DOUBLE /
+        |        (coalesce(f.n_a, 0) + voc.v)::DOUBLE) * 1e6)::BIGINT
+        |        AS lp_micro
+        |    FROM hb h
+        |    LEFT JOIN pairs p ON p.a = h.a AND p.b = h.b
+        |    LEFT JOIN firsts f ON f.a = h.a
+        |    CROSS JOIN voc)
+        |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |  sum(c * lp_micro)::BIGINT AS sum_lp_micro,
+        |  round(-sum(c * lp_micro)::DOUBLE / 1e6 / sum(c), 6) AS avg_nll
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q196_ctfidf_topics" -> {
+      // same 6-plane clusters (embedded literals), same integer tf/f,
+      // same one-divide A, weights fixed to micro-units before the
+      // (weight DESC, token) rank window
+      val bucket = signBucketSql(6, 64, 42L)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |  b AS (SELECT vec_id, ($bucket)::BIGINT AS cluster FROM e),
+        |  d AS (SELECT b.cluster, list_filter(
+        |      string_split_regex(lower(text), '\\s+'),
+        |      z -> len(z) > 0) AS l
+        |    FROM documents JOIN b ON b.vec_id = documents.doc_id),
+        |  tk AS (SELECT cluster, unnest(l) AS w FROM d),
+        |  tf AS (SELECT cluster, w, count(*)::BIGINT AS tf
+        |    FROM tk GROUP BY 1, 2),
+        |  cf AS (SELECT w, sum(tf)::BIGINT AS f FROM tf GROUP BY 1),
+        |  aa AS (SELECT sum(tf)::DOUBLE / count(DISTINCT cluster) AS a
+        |    FROM tf),
+        |  wt AS (SELECT tf.cluster, tf.w, tf.tf,
+        |      round(tf.tf::DOUBLE * ln(1.0 + aa.a / cf.f::DOUBLE)
+        |        * 1e6)::BIGINT AS weight_micro
+        |    FROM tf JOIN cf USING (w) CROSS JOIN aa),
+        |  rk AS (SELECT cluster, w, tf, weight_micro,
+        |      row_number() OVER (PARTITION BY cluster
+        |        ORDER BY weight_micro DESC, w) AS rank
+        |    FROM wt)
+        |SELECT cluster, rank::BIGINT AS rank, w AS token, tf,
+        |  weight_micro
+        |FROM rk WHERE rank <= 5 ORDER BY cluster, rank""".stripMargin
+    },
+    "q197_k_anonymity" ->
+      // same QI bands (one IEEE divide + floor), same < 5 suppression
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 2000)::BIGINT AS bal_band FROM customer),
+        |  n AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |    count(*) AS qi_n FROM c GROUP BY 1, 2, 3)
+        |SELECT c.c_custkey,
+        |  CASE WHEN n.qi_n < 5 THEN NULL ELSE c.c_nationkey END
+        |    AS c_nationkey,
+        |  CASE WHEN n.qi_n < 5 THEN NULL ELSE c.c_mktsegment END
+        |    AS c_mktsegment,
+        |  CASE WHEN n.qi_n < 5 THEN NULL ELSE c.bal_band END
+        |    AS bal_band,
+        |  n.qi_n < 5 AS k_suppressed
+        |FROM c JOIN n USING (c_nationkey, c_mktsegment, bal_band)
+        |ORDER BY c_custkey""".stripMargin,
+    "q198_compaction_plan" ->
+      // same inventory, same floor(bytes-before / target) bin rule
+      """WITH inv AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    hour(ts)::BIGINT AS file_id,
+        |    (count(*) * 128)::BIGINT AS bytes
+        |  FROM events GROUP BY 1, 2),
+        |  cb AS (SELECT day, file_id, bytes,
+        |    (sum(bytes) OVER (PARTITION BY day ORDER BY file_id)
+        |      - bytes) AS cum_before
+        |  FROM inv)
+        |SELECT day, floor(cum_before / 16384)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n_files, sum(bytes)::BIGINT AS bin_bytes,
+        |  min(file_id)::BIGINT AS first_file,
+        |  max(file_id)::BIGINT AS last_file
+        |FROM cb GROUP BY 1, 2 ORDER BY day, bin""".stripMargin,
+    "q199_fellegi_sunter" ->
+      // same blocking, same rounded-JW agreement, same integer
+      // micro-unit weights — the score is an integer sum either way
+      """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size,
+        |    p_retailprice,
+        |    str_split(p_name, ' ')[-1] AS blk
+        |  FROM part),
+        |  pr AS (SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |      round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+        |        >= 0.9 AS agr_name,
+        |      a.p_brand = b.p_brand AS agr_brand,
+        |      abs(a.p_size - b.p_size) <= 2 AS agr_size,
+        |      abs(a.p_retailprice - b.p_retailprice) <= 50.0
+        |        AS agr_price
+        |    FROM p a JOIN p b
+        |      ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+        |    WHERE a.p_partkey % 23 = 0),
+        |  sc AS (SELECT *,
+        |      (CASE WHEN agr_name THEN 2400000 ELSE -1200000 END
+        |       + CASE WHEN agr_brand THEN 1800000 ELSE -900000 END
+        |       + CASE WHEN agr_size THEN 1000000 ELSE -500000 END
+        |       + CASE WHEN agr_price THEN 800000 ELSE -400000 END
+        |      )::BIGINT AS score_micro
+        |    FROM pr)
+        |SELECT key_a, key_b, agr_name, agr_brand, agr_size, agr_price,
+        |  score_micro,
+        |  CASE WHEN score_micro >= 4000000 THEN 'match'
+        |       ELSE 'possible' END AS decision
+        |FROM sc WHERE score_micro > 0
+        |ORDER BY key_a, key_b""".stripMargin,
   )
 }

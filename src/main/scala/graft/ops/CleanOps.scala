@@ -331,4 +331,28 @@ object CleanOps {
         sum(when(col("_v") > lit(k) * lit(1.4826) * col("_mad"),
           col("_c")).otherwise(0L)).as("n_outliers"))
   }
+
+  /** k-ANONYMITY SUPPRESSION (Sweeney's k-anonymity, the privacy gate
+    * a training-data pipeline runs next to PII redaction): rows whose
+    * quasi-identifier combination occurs in fewer than k records get
+    * every QI column nulled (cell suppression), so no released row's
+    * QI tuple isolates fewer than k individuals.
+    *
+    * SCALE: ONE map-side-combinable groupBy over the QI columns
+    * produces the QI-DOMAIN-bounded frequency table, broadcast back
+    * onto the rows — no window (a count-over-partition window would
+    * shuffle-AND-sort the full table; the groupBy+broadcast shape
+    * shuffles only the bounded counts). For an unbounded QI domain
+    * drop the broadcast hint and let AQE pick the join side. */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "k-anonymity needs at least one QI column")
+    val counts = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_qi_n"))
+    val suppressed = col("_qi_n") < k
+    qiCols.foldLeft(df.join(broadcast(counts), qiCols)) { (d, c) =>
+        d.withColumn(c, when(suppressed, lit(null)).otherwise(col(c)))
+      }
+      .withColumn("k_suppressed", suppressed)
+      .drop("_qi_n")
+  }
 }

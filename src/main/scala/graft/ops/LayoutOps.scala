@@ -48,4 +48,33 @@ object LayoutOps {
       .repartitionByRange(numPartitions, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
+
+  /** Small-files COMPACTION PLAN (the Delta/Iceberg OPTIMIZE
+    * bin-packing step, as a deterministic relational plan): within
+    * each table partition, lay the files out in `fileCol` order and
+    * cut bins at multiples of `targetSize` on the running byte total —
+    * bin = floor(bytes-before-this-file / target). Every bin except a
+    * partition's last holds ≥ targetSize once its first overflowing
+    * file lands, so output file count is ⌈partition bytes / target⌉.
+    *
+    * SCALE: the planner consumes the file INVENTORY (metadata — a
+    * manifest/listing row per file), which is millions of rows when
+    * the data is 100 TB; the window partitions by the table partition,
+    * so no global sort, and the heavy data never moves until the plan
+    * is executed. Returns one row per (partition, bin) with the file
+    * range to rewrite. */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+                     sizeCol: String, targetSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(fileCol))
+    files
+      .withColumn("_cum_before",
+        coalesce(sum(col(sizeCol)).over(w) - col(sizeCol), lit(0L)))
+      .withColumn("bin", floor(col("_cum_before") / lit(targetSize)))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).as("bin_bytes"),
+        min(col(fileCol)).as("first_file"),
+        max(col(fileCol)).as("last_file"))
+  }
 }

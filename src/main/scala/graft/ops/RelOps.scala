@@ -385,4 +385,36 @@ object RelOps {
            varName: String = "metric", valName: String = "value"): DataFrame =
     df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
       varName, valName)
+
+  /** Fellegi–Sunter record-linkage scoring (the 1969 probabilistic
+    * linkage model behind Splink/dedupe.io): each candidate pair gets
+    * a per-field agreement/disagreement weight (in practice
+    * log2(m/u), here caller-fixed INTEGER micro-unit literals so the
+    * total is an order-free integer sum — the q186 convention), the
+    * total log-odds score classifies match / possible / non_match
+    * against the caller's thresholds. Takes ALREADY-BLOCKED candidate
+    * pairs: blocking is the linear candidate generator (q174's
+    * head-noun block, LSH buckets, SymSpell deletions…) — this
+    * operator adds only per-row codegen'd projections, no shuffle.
+    * Each field is (name, agreement predicate, agree-weight,
+    * disagree-weight); a per-field `agr_<name>` boolean lands in the
+    * output so a reviewer sees WHY a pair scored. */
+  def fellegiSunter(pairs: DataFrame,
+      fields: Seq[(String, Column, Long, Long)],
+      matchAtLeast: Long, nonMatchAtMost: Long): DataFrame = {
+    require(fields.nonEmpty, "linkage needs at least one field")
+    require(nonMatchAtMost < matchAtLeast,
+      "thresholds must leave room for 'possible'")
+    val withAgr = fields.foldLeft(pairs) { case (d, (n, pred, _, _)) =>
+      d.withColumn(s"agr_$n", pred)
+    }
+    val score = fields.map { case (n, _, a, dz) =>
+      when(col(s"agr_$n"), lit(a)).otherwise(lit(dz))
+    }.reduce(_ + _)
+    withAgr.withColumn("score_micro", score)
+      .withColumn("decision",
+        when(col("score_micro") >= matchAtLeast, lit("match"))
+          .when(col("score_micro") <= nonMatchAtMost, lit("non_match"))
+          .otherwise(lit("possible")))
+  }
 }

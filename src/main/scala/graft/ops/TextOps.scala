@@ -471,6 +471,101 @@ object TextOps {
   def setFingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(tokenSet(c))))
 
+  /** CCNet-style bigram-LM quality score (Wenzek et al. 2020's KenLM
+    * perplexity filter, re-expressed with an add-one-smoothed bigram
+    * LM): train on `train`'s lowercased whitespace tokens, score each
+    * `held` document by per-bigram negative log-likelihood — the
+    * quality gate a pretraining pipeline runs after dedup, where low
+    * avg_nll ≈ fluent and high ≈ noise. P(b|a) = (n(a,b)+1) /
+    * (n(a,·)+V); unseen bigrams and unseen first tokens fall out of
+    * the same formula with the counts coalesced to 0.
+    *
+    * DETERMINISM: each bigram's log-prob is fixed to integer
+    * micro-nats (round(ln p × 1e6), the q186 convention) BEFORE the
+    * per-doc sum, so no engine ever sums raw doubles in its own order.
+    *
+    * SCALE: the held side is reduced to per-(doc, a, b) COUNTS before
+    * any join, so the two probability lookups join an aggregate, not
+    * the raw token stream; both LM tables are observed-vocabulary-
+    * bounded (broadcast candidates once pruned); every aggregate is
+    * map-side combinable. The tokenized train projection and the pair
+    * table are localCheckpoint'ed because each feeds two consumers
+    * (the q124/q141 convention).
+    */
+  def bigramLmScore(train: DataFrame, held: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val trainT = train.select(toks.as("_t"))
+      .localCheckpoint() // feeds the pair table AND the vocab count
+    val pairs = trainT
+      .select(explode(bigrams(col("_t"))).as("_p"))
+      .groupBy(col("_p.a").as("_a"), col("_p.b").as("_b"))
+      .agg(count(lit(1)).as("_n_ab"))
+      .localCheckpoint() // feeds firsts AND the scoring join
+    val firsts = pairs.groupBy(col("_a"))
+      .agg(sum(col("_n_ab")).as("_n_a"))
+    val vocab = trainT.select(explode(col("_t")).as("_w"))
+      .agg(count_distinct(col("_w")).as("_v"))
+    held
+      .select(col(idCol), explode(bigrams(toks)).as("_p"))
+      .groupBy(col(idCol), col("_p.a").as("_a"), col("_p.b").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .join(pairs, Seq("_a", "_b"), "left")
+      .join(firsts, Seq("_a"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("_lp_micro", round(log(
+          (coalesce(col("_n_ab"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("_n_a"), lit(0L)) + col("_v")).cast("double"))
+        * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_bigrams"),
+        sum(col("_c") * col("_lp_micro")).as("sum_lp_micro"))
+      .withColumn("avg_nll", round(
+        -col("sum_lp_micro").cast("double") / 1e6 / col("n_bigrams"), 6))
+  }
+
+  /** c-TF-IDF top terms per cluster (Grootendorst's BERTopic
+    * class-based TF-IDF — the topic-labeling pass run after embedding
+    * clustering to name what each cluster is about): weight(t, c) =
+    * tf(t, c) · ln(1 + A / f(t)), A = average token mass per cluster,
+    * f(t) = corpus frequency of t. Common-everywhere terms are damped,
+    * cluster-concentrated terms surface.
+    *
+    * DETERMINISM: tf and f are integers, A is one integer divide, and
+    * the weight is fixed to integer micro-units (q186 convention)
+    * before the rank window, whose tie-break is (weight desc, token).
+    *
+    * SCALE: one token explode feeds ONE map-side-combinable (cluster,
+    * token) aggregate; corpus frequency and the A scalar derive from
+    * that aggregate (vocabulary-sized, localCheckpoint'ed for its
+    * three consumers), never from the token stream again. The rank
+    * window partitions by cluster over the (cluster, token) table —
+    * per-cluster VOCABULARY bounded, not corpus bounded.
+    */
+  def cTfIdfTopTerms(docs: DataFrame, clusterCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val tf = docs.select(col(clusterCol).as("cluster"),
+        explode(tokens(lower(col(textCol)))).as("_w"))
+      .groupBy(col("cluster"), col("_w"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds corpus freq, the A scalar, the weights
+    val corpus = tf.groupBy(col("_w")).agg(sum(col("tf")).as("_f"))
+    val avgMass = tf.agg((sum(col("tf")).cast("double") /
+      count_distinct(col("cluster")).cast("double")).as("_a"))
+    tf.join(corpus, Seq("_w"))
+      .crossJoin(broadcast(avgMass))
+      .withColumn("weight_micro", round(col("tf").cast("double") *
+        log(lit(1.0) + col("_a") / col("_f").cast("double")) * 1e6, 0)
+        .cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("weight_micro").desc, col("_w")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cluster"), col("rank"), col("_w").as("token"),
+        col("tf"), col("weight_micro"))
+  }
+
   /** Order-sensitive rolling fingerprint: polynomial hash over token
     * xxhash64s, base 31 mod the Mersenne prime 2^31−1. Modular (not
     * wraparound) arithmetic: Spark 4's default ANSI mode turns Long

@@ -104,6 +104,103 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramLmScore: hand-computed add-one smoothing, unseen bigram " +
+       "and unseen first token fall out of the coalesced formula") {
+    // train 'a b a b': pairs (a,b)=2, (b,a)=1; firsts a=2, b=1; V=2
+    // held 'a b c': (a,b) p=(2+1)/(2+2)=0.75; (b,c) p=(0+1)/(1+2)=1/3
+    // held 'z q':   (z,q) p=(0+1)/(0+2)=0.5  (first token unseen)
+    val train = Seq("a b a b").toDF("text")
+    val held = Seq((1L, "a b c"), (2L, "z q"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLmScore(train, held, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def micro(p: Double) = math.round(math.log(p) * 1e6)
+    val d1 = micro(0.75) + micro(1.0 / 3.0)
+    val nll1 = BigDecimal(-d1.toDouble / 1e6 / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((2L, d1, nll1)))
+    assert(got(2L) === ((1L, micro(0.5), 0.693147)))
+    // a 1-token doc has no bigrams and is absent, not NaN
+    assert(!got.contains(3L))
+  }
+
+  test("cTfIdfTopTerms: hand-computed weights, cluster-concentrated " +
+       "terms outrank common ones, (weight, token) tie-break") {
+    // cluster 0: 'x x y'; cluster 1: 'y z'
+    // tf: (0,x)=2 (0,y)=1 (1,y)=1 (1,z)=1; f: x=2 y=2 z=1; A=5/2
+    val docs = Seq((0L, "x x y"), (1L, "y z")).toDF("cluster", "text")
+    val got = TextOps.cTfIdfTopTerms(docs, "cluster", "text", 2)
+      .orderBy(col("cluster"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    def w(tf: Long, f: Long) =
+      math.round(tf * math.log(1.0 + 2.5 / f) * 1e6)
+    assert(got === Array(
+      (0L, 1L, "x", 2L, w(2, 2)),
+      (0L, 2L, "y", 1L, w(1, 2)),
+      (1L, 1L, "z", 1L, w(1, 1)), // rarer z beats shared y
+      (1L, 2L, "y", 1L, w(1, 2))))
+  }
+
+  test("kAnonymize: small QI groups suppress every QI cell, large " +
+       "groups pass through, non-QI columns untouched") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 11L), (3L, "a", 12L),
+      (4L, "b", 13L)).toDF("qi", "seg", "id")
+      .select(col("qi"), col("seg"), col("id"))
+    val got = graft.ops.CleanOps.kAnonymize(
+        df.select(col("qi").cast("long").as("qi"), col("seg"), col("id")),
+        Seq("qi", "seg"), k = 3)
+      .orderBy(col("id")).collect()
+    // every (qi, seg) tuple is a singleton → all suppressed, QI null
+    got.foreach { r =>
+      assert(r.getBoolean(3)); assert(r.isNullAt(0)); assert(r.isNullAt(1))
+    }
+    val big = Seq((9L, "x", 1L), (9L, "x", 2L), (9L, "x", 3L))
+      .toDF("qi", "seg", "id")
+    val kept = graft.ops.CleanOps.kAnonymize(big, Seq("qi", "seg"), 3)
+      .orderBy(col("id")).collect()
+    kept.foreach { r =>
+      assert(!r.getBoolean(3)); assert(r.getLong(0) === 9L)
+      assert(r.getString(1) === "x")
+    }
+  }
+
+  test("compactionPlan: bins cut at target multiples of the running " +
+       "total, reset per partition, remainder bin kept") {
+    val inv = Seq(("p1", 1L, 60L), ("p1", 2L, 50L), ("p1", 3L, 50L),
+      ("p1", 4L, 10L), ("p2", 1L, 5L))
+      .toDF("part", "file_id", "bytes")
+    val got = graft.ops.LayoutOps
+      .compactionPlan(inv, "part", "file_id", "bytes", 100L)
+      .orderBy(col("part"), col("bin"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // p1: cum-before 0,60,110,160 → bins 0,0,1,1; p2 resets to bin 0
+    assert(got === Array(
+      ("p1", 0L, 2L, 110L, 1L, 2L),
+      ("p1", 1L, 2L, 60L, 3L, 4L),
+      ("p2", 0L, 1L, 5L, 1L, 1L)))
+  }
+
+  test("fellegiSunter: integer weight sum, threshold classification, " +
+       "per-field agreement flags surface") {
+    val pairs = Seq((1L, 2L, "x", "x", 10L, 11L),
+      (3L, 4L, "x", "y", 10L, 50L)).toDF(
+      "key_a", "key_b", "f1_a", "f1_b", "f2_a", "f2_b")
+    val got = graft.ops.RelOps.fellegiSunter(pairs, Seq(
+        ("f1", col("f1_a") === col("f1_b"), 2000000L, -1000000L),
+        ("f2", abs(col("f2_a") - col("f2_b")) <= 2, 1000000L, -500000L)),
+      matchAtLeast = 3000000L, nonMatchAtMost = -1000000L)
+      .orderBy(col("key_a"))
+      .collect().map(r => (r.getAs[Boolean]("agr_f1"),
+        r.getAs[Boolean]("agr_f2"), r.getAs[Long]("score_micro"),
+        r.getAs[String]("decision")))
+    assert(got === Array(
+      (true, true, 3000000L, "match"),
+      (false, false, -1500000L, "non_match")))
+  }
+
   test("bpeMerges: multi-char symbols never merge mid-symbol") {
     // after (l,o)→lo, word 'lol' = [lo, l]; a naive string scan could
     // find 'o l' inside 'lo l' — the boundary encoding must not
