@@ -3865,6 +3865,24 @@ object SparkEntry {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    // HEAVY HITTERS in one bounded-memory pass (the custom
+    // MisraGriesAgg Catalyst aggregate): every partial buffer holds
+    // ≤ 64 (item, counter) entries no matter how many distinct tokens
+    // stream through — at 100 TB of URLs/domains this replaces the
+    // full per-key count shuffle with ≤ capacity rows per map task.
+    // Capacity 64 ≥ the corpus vocabulary, so the summary is EXACT
+    // and hash-comparable (the q80/q157 exact-regime convention);
+    // the eviction path's underestimate/presence guarantees are
+    // spec-pinned on skewed synthetic data under varied partitioning.
+    t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
+      .agg(GraftFunctions.misra_gries(col("w"), 64).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item").as("token"), col("e.est").as("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4585,6 +4603,7 @@ object SparkEntry {
     "q197_k_anonymity" -> q197 _,
     "q198_compaction_plan" -> q198 _,
     "q199_fellegi_sunter" -> q199 _,
+    "q200_heavy_hitters" -> q200 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7641,5 +7660,13 @@ object SparkEntry {
         |       ELSE 'possible' END AS decision
         |FROM sc WHERE score_micro > 0
         |ORDER BY key_a, key_b""".stripMargin,
+    "q200_heavy_hitters" ->
+      // capacity >= vocabulary => the MG summary IS the exact count
+      // table; the oracle is the exact aggregate in the same order
+      """WITH t AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    z -> len(z) > 0)) AS w FROM documents)
+        |SELECT w AS token, count(*)::BIGINT AS n FROM t
+        |GROUP BY 1 ORDER BY n DESC, token""".stripMargin,
   )
 }

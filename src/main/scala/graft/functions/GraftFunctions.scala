@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, CosineSim, JaroWinkler, MinHashAgg, ReplaceInf, SimHashAgg}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, JaroWinkler, MinHashAgg, MisraGriesAgg, ReplaceInf, SimHashAgg}
 
 /** Column-API entry points for the custom Catalyst expressions
   * (implementations in org.apache.spark.sql.graft — they need
@@ -25,6 +25,17 @@ object GraftFunctions {
   def minhash_agg(c: Column, k: Int, seed: Long = 12345L): Column =
     Bridge.column(
       MinHashAgg(Bridge.expression(c), k, seed).toAggregateExpression())
+
+  /** Misra–Gries heavy-hitters summary: a bounded-memory frequent-items
+    * sketch whose partial buffers never exceed `capacity` entries (the
+    * during-the-pass sibling of [[collect_top_k]]'s post-aggregate
+    * heap). Estimates are underestimates within n/(capacity+1); size
+    * capacity ≥ distinct items for the exact (hash-comparable) regime.
+    * Input: a string item per row; output: array<struct<item, est>>
+    * sorted (est DESC, item ASC). */
+  def misra_gries(c: Column, capacity: Int): Column =
+    Bridge.column(
+      MisraGriesAgg(Bridge.expression(c), capacity).toAggregateExpression())
 
   /** 64-bit SimHash fingerprint as one array-buffer aggregate. Input:
     * a long token hash (xxhash64) per row. */

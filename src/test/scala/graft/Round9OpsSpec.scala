@@ -201,6 +201,49 @@ class Round9OpsSpec extends AnyFunSuite {
       (false, false, -1500000L, "non_match")))
   }
 
+  test("misra_gries: capacity >= distinct items is the exact count " +
+       "table under any partitioning") {
+    val items = Seq.tabulate(300)(i => s"t${i % 7}")
+    for (parts <- Seq(1, 4, 13)) {
+      val got = items.toDF("w").repartition(parts)
+        .agg(graft.functions.GraftFunctions.misra_gries(col("w"), 10)
+          .as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+      assert(got === exact.toMap)
+    }
+  }
+
+  test("misra_gries: eviction regime keeps the underestimate-within-" +
+       "n/(k+1) and heavy-item-presence guarantees under any split") {
+    // skewed stream: 'hot' 500, 'warm' 120, 60 singletons (n = 680)
+    val items = Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++
+      (0 until 60).map(i => s"cold$i")
+    val n = items.size.toLong
+    val cap = 5
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+    for (parts <- Seq(1, 3, 8)) {
+      val got = items.toDF("w").repartition(parts)
+        .agg(graft.functions.GraftFunctions.misra_gries(col("w"), cap)
+          .as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size <= cap)
+      got.foreach { case (item, est) =>
+        val truth = exact(item)
+        assert(est <= truth, s"$item overestimated")
+        assert(truth - est <= n / (cap + 1), s"$item error bound")
+      }
+      // anything with true count > n/(cap+1) must be present
+      exact.filter(_._2 > n / (cap + 1)).keys.foreach { heavy =>
+        assert(got.contains(heavy), s"$heavy missing at parts=$parts")
+      }
+    }
+  }
+
   test("bpeMerges: multi-char symbols never merge mid-symbol") {
     // after (l,o)→lo, word 'lol' = [lo, l]; a naive string scan could
     // find 'o l' inside 'lo l' — the boundary encoding must not
