@@ -3883,6 +3883,83 @@ object SparkEntry {
       .orderBy(col("n").desc, col("token"))
   }
 
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING TRENDING ENTITIES — per-day top-3 users by event
+    // volume (the trending-terms dashboard shape): the STREAM side is
+    // only the watermarked tumbling (day, user) count — bounded
+    // state, the q42/q173 shape; the ranking runs batch-side on the
+    // landed windows via collect_top_k's bounded heap (≤ 3 rows per
+    // day cross the final shuffle — never a rank window serializing a
+    // day's full user set through one task). Append cutoff = q173 (a
+    // day emits once the 0-delay watermark passes its end); top-k
+    // order is (n DESC, user ASC) via the (n, -user) struct ordering.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    val stream = Tables.withTimestamps(
+      StreamOps.fileStream(s, schema, staged), "events")
+    val landed = StreamOps.runToCompletion(
+      StreamOps.tumblingCounts(stream, "ts", "user_id", "1 day",
+        "0 seconds"),
+      s"q201_${System.nanoTime()}", outputMode = "append",
+      statePartitions = Some(8))
+    landed
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        struct(col("n"), (-col("user_id")).as("nu")).as("e"))
+      .groupBy(col("day"))
+      .agg(GraftFunctions.collect_top_k(col("e"), 3).as("top"))
+      .select(col("day"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("day"), (col("pos") + 1).cast("long").as("rank"),
+        (-col("e.nu")).cast("long").as("user_id"), col("e.n"))
+      .orderBy(col("day"), col("rank"))
+  }
+
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    // PERCEPTUAL-HASH NEAR-DUP — the image-dedup pass over the
+    // multimodal surface: 32-bit average-hash per payload
+    // (MultimodalOps.aHash32: downscale grid → threshold vs mean →
+    // pack bits), Hamming-≤3 candidate pairs via 4-band pigeonhole
+    // (8 bits each — any pair within distance 3 agrees on ≥ 1 band),
+    // exact bit_count(xor) verified in-bucket. Banding keeps
+    // candidate generation linear (the q32/q67 convention; a
+    // mega-band at corpus scale takes the maxBucket representative
+    // cap). Exact-duplicate payloads surface at dist 0.
+    val ph = MultimodalOps.aHash32(t(s, dir, "documents"),
+        "doc_id", "text")
+      .localCheckpoint() // feeds both sides of the band self-join
+    val bands = ph.select(col("doc_id"), col("phash"), explode(array(
+        struct(lit(0).as("bi"),
+          col("phash").bitwiseAND(lit(255L)).as("bv")),
+        struct(lit(1).as("bi"),
+          shiftright(col("phash"), 8).bitwiseAND(lit(255L)).as("bv")),
+        struct(lit(2).as("bi"),
+          shiftright(col("phash"), 16).bitwiseAND(lit(255L)).as("bv")),
+        struct(lit(3).as("bi"),
+          shiftright(col("phash"), 24).as("bv")))).as("b"))
+      .select(col("doc_id"), col("phash"), col("b.bi"), col("b.bv"))
+    val a = bands.select(col("bi"), col("bv"),
+      col("doc_id").as("id_a"), col("phash").as("ha"))
+    val bb = bands.select(col("bi"), col("bv"),
+      col("doc_id").as("id_b"), col("phash").as("hb"))
+    a.join(bb, Seq("bi", "bv")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .where(col("dist") <= 3)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    // COLLOCATION MINING via PMI (TextOps.pmiCollocations — the
+    // phrase-discovery pass next to q124's conditional bigram table
+    // and q190's BPE merges): adjacent pairs with n_ab ≥ 25 ranked by
+    // pointwise mutual information in integer micro-nats. Top-40 by
+    // (pmi DESC, a, b) — a bounded TakeOrderedAndProject, never a
+    // global sort.
+    TextOps.pmiCollocations(t(s, dir, "documents"), "text", 25L)
+      .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+      .limit(40)
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4604,6 +4681,9 @@ object SparkEntry {
     "q198_compaction_plan" -> q198 _,
     "q199_fellegi_sunter" -> q199 _,
     "q200_heavy_hitters" -> q200 _,
+    "q201_stream_trending" -> q201 _,
+    "q202_phash_neardup" -> q202 _,
+    "q203_pmi_collocations" -> q203 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7668,5 +7748,75 @@ object SparkEntry {
         |    z -> len(z) > 0)) AS w FROM documents)
         |SELECT w AS token, count(*)::BIGINT AS n FROM t
         |GROUP BY 1 ORDER BY n DESC, token""".stripMargin,
+    "q201_stream_trending" ->
+      // batch twin: q173's day-emission cutoff, (n DESC, user ASC)
+      // rank replayed as a window over the per-day counts
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |  d AS (SELECT date_trunc('day', ts) AS d, user_id,
+        |      count(*)::BIGINT AS n
+        |    FROM events CROSS JOIN mx
+        |    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m
+        |    GROUP BY 1, 2),
+        |  r AS (SELECT *, row_number() OVER (PARTITION BY d
+        |      ORDER BY n DESC, user_id) AS rank FROM d)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, rank::BIGINT AS rank,
+        |  user_id, n
+        |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
+    "q202_phash_neardup" ->
+      // the same grid/threshold/pack arithmetic in SQL (q44's LATERAL
+      // char walk; unicode == utf-8 byte for the ASCII fixture), same
+      // 3-band pigeonhole, same exact Hamming verify
+      """WITH ch AS (SELECT doc_id,
+        |    ((i.i - 1) * 32) // length(text) AS cell,
+        |    unicode(substr(text, i.i, 1)) AS b
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, length(text)))
+        |      AS i) i
+        |  WHERE length(text) > 0),
+        |  cells AS (SELECT doc_id, cell, sum(b)::BIGINT AS s,
+        |      count(*)::BIGINT AS c
+        |    FROM ch GROUP BY 1, 2),
+        |  tot AS (SELECT doc_id, sum(s)::BIGINT AS st,
+        |      sum(c)::BIGINT AS ct
+        |    FROM cells GROUP BY 1),
+        |  ph AS (SELECT cells.doc_id, sum(CASE
+        |      WHEN cells.s::DOUBLE / cells.c > tot.st::DOUBLE / tot.ct
+        |      THEN (1::BIGINT << cell) ELSE 0 END)::BIGINT AS phash
+        |    FROM cells JOIN tot USING (doc_id) GROUP BY 1),
+        |  bands AS (SELECT doc_id, phash, b.bi,
+        |      CASE b.bi WHEN 0 THEN phash & 255
+        |                WHEN 1 THEN (phash >> 8) & 255
+        |                WHEN 2 THEN (phash >> 16) & 255
+        |                ELSE phash >> 24 END AS bv
+        |    FROM ph CROSS JOIN (SELECT unnest(range(0, 4))::INT AS bi) b),
+        |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      a.phash AS ha, b.phash AS hb
+        |    FROM bands a JOIN bands b
+        |      ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS dist
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q203_pmi_collocations" ->
+      // q124's tokenization/adjacency, integer products, one divide +
+      // ln fixed to micro-nats before the (pmi DESC, a, b) top-40
+      """WITH tok AS (SELECT list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0) AS l FROM documents),
+        |  idx AS (SELECT l, unnest(range(1, len(l))) AS i FROM tok),
+        |  bg AS (SELECT l[i] AS a, l[i + 1] AS b FROM idx),
+        |  pairs AS (SELECT a, b, count(*)::BIGINT AS n_ab
+        |    FROM bg GROUP BY 1, 2),
+        |  firsts AS (SELECT a, sum(n_ab)::BIGINT AS na
+        |    FROM pairs GROUP BY 1),
+        |  seconds AS (SELECT b, sum(n_ab)::BIGINT AS nb
+        |    FROM pairs GROUP BY 1),
+        |  tot AS (SELECT sum(n_ab)::BIGINT AS n FROM pairs)
+        |SELECT p.a, p.b, p.n_ab,
+        |  round(ln((p.n_ab * tot.n)::DOUBLE /
+        |    (f.na * s.nb)::DOUBLE) * 1e6)::BIGINT AS pmi_micro
+        |FROM pairs p JOIN firsts f USING (a) JOIN seconds s USING (b)
+        |CROSS JOIN tot
+        |WHERE p.n_ab >= 25
+        |ORDER BY pmi_micro DESC, a, b LIMIT 40""".stripMargin,
   )
 }

@@ -96,6 +96,47 @@ object MultimodalOps {
       .withColumn("n_bytes_resized", octet_length(col("payload_resized")))
   }
 
+  /** Perceptual AVERAGE-HASH (aHash — the classic image near-dup
+    * fingerprint: downscale, threshold each cell against the global
+    * mean, pack bits) over the stub "pixel" domain: the payload's
+    * byte sequence mapped onto a 32-cell grid (cell = pos·32 div len,
+    * the downscale), each cell's mean byte value thresholded against
+    * the payload mean, bit g set iff cell g is brighter. A real image
+    * pipeline swaps the byte grid for decoded luma — every relational
+    * shape downstream (cell aggregate, threshold join, bit packing,
+    * Hamming banding) is the production one.
+    *
+    * DETERMINISM: cell/total means are single divides of exact
+    * integer sums; the strict `>` threshold resolves identically in
+    * any engine; the hash is an integer sum of distinct powers of two.
+    *
+    * SCALE: one char-explode feeds ONE map-side-combinable (id, cell)
+    * aggregate (≤ 32 rows per id); totals and bits derive from that
+    * 32-bounded table, never the byte stream again. */
+  def aHash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cells = df
+      .where(length(col(textCol)) > 0)
+      .select(col(idCol).as("_id"),
+        length(col(textCol)).cast("long").as("_n"),
+        posexplode(
+          transform(sequence(lit(0), (length(col(textCol)) - 1).cast("int")),
+            i => ascii(col(textCol).substr(i + lit(1), lit(1)))))
+          .as(Seq("_pos", "_b")))
+      .withColumn("_cell", expr("(CAST(_pos AS BIGINT) * 32) div _n"))
+      .groupBy(col("_id"), col("_cell"))
+      .agg(sum(col("_b")).as("_s"), count(lit(1)).as("_c"))
+    val totals = cells.groupBy(col("_id"))
+      .agg(sum(col("_s")).as("_st"), sum(col("_c")).as("_ct"))
+    cells.join(totals, "_id")
+      .withColumn("_contrib", expr(
+        "CASE WHEN CAST(_s AS DOUBLE) / _c > CAST(_st AS DOUBLE) / _ct " +
+        "THEN shiftleft(CAST(1 AS BIGINT), CAST(_cell AS INT)) " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_contrib")).as("phash"))
+      .select(col("_id").as(idCol), col("phash"))
+  }
+
   /** Frame-sampling stub for video-shaped payloads: emit every `stride`th
     * chunk of `frameBytes` as a "frame" row (1→N explode, narrow). */
   def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {

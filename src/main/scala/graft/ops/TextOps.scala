@@ -566,6 +566,44 @@ object TextOps {
         col("tf"), col("weight_micro"))
   }
 
+  /** PMI COLLOCATIONS (pointwise mutual information over adjacent
+    * bigrams — the phrase-mining pass a tokenizer/vocabulary pipeline
+    * runs to find multi-word units worth fusing): PMI(a,b) =
+    * ln(n_ab·N / (n_a·n_b)) with n_a = count of a as FIRST token,
+    * n_b = count of b as SECOND token, N = total bigrams. A minimum
+    * pair count screens the unstable long tail (classic Church &
+    * Hanks practice).
+    *
+    * DETERMINISM: n_ab·N and n_a·n_b are exact integer products
+    * (< 2^53), so the PMI is one divide + one ln fixed to integer
+    * micro-nats (q186 convention) — no engine sums raw doubles.
+    *
+    * SCALE: one token explode → ONE map-side-combinable pair
+    * aggregate; firsts/seconds/N all derive from the
+    * vocabulary-bounded pair table (localCheckpoint'ed for its
+    * multiple consumers, the q124 rule), never the token stream again.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    val pairs = docs
+      .select(tokens(lower(col(textCol))).as("_t"))
+      .select(explode(bigrams(col("_t"))).as("_p"))
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint() // feeds firsts, seconds, N, and the join
+    val firsts = pairs.groupBy(col("a")).agg(sum(col("n_ab")).as("_na"))
+    val seconds = pairs.groupBy(col("b")).agg(sum(col("n_ab")).as("_nb"))
+    val total = pairs.agg(sum(col("n_ab")).as("_n"))
+    pairs.where(col("n_ab") >= minCount)
+      .join(firsts, "a").join(seconds, "b")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_micro", round(log(
+          (col("n_ab") * col("_n")).cast("double") /
+          (col("_na") * col("_nb")).cast("double")) * 1e6, 0)
+        .cast("long"))
+      .select(col("a"), col("b"), col("n_ab"), col("pmi_micro"))
+  }
+
   /** Order-sensitive rolling fingerprint: polynomial hash over token
     * xxhash64s, base 31 mod the Mersenne prime 2^31−1. Modular (not
     * wraparound) arithmetic: Spark 4's default ANSI mode turns Long

@@ -244,6 +244,32 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("aHash32: hand-computed grid/threshold/pack; identical " +
+       "payloads hash equal") {
+    val df = Seq((1L, "ab"), (2L, "ab"), (3L, "ba")).toDF("id", "text")
+    val got = graft.ops.MultimodalOps.aHash32(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "ab": cells {0: 'a'=97, 16: 'b'=98}, mean 97.5 → only cell 16
+    // clears the threshold
+    assert(got(1L) === (1L << 16))
+    assert(got(2L) === got(1L)) // identical payload ⇒ Hamming 0
+    assert(got(3L) === 1L)      // "ba": cell 0 is the bright one
+  }
+
+  test("pmiCollocations: hand-computed PMI, positional first/second " +
+       "marginals, min-count screen") {
+    // tokens 'a b a b c b': bigrams (a,b)x2 (b,a) (b,c) (c,b); N=5
+    // firsts: a=2 b=2 c=1; seconds: b=3 a=1 c=1
+    val docs = Seq("a b a b c b").toDF("text")
+    val got = TextOps.pmiCollocations(docs, "text", minCount = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // only (a,b) clears minCount; PMI = ln(2·5 / (2·3))
+    assert(got.keySet === Set(("a", "b")))
+    assert(got(("a", "b")) ===
+      ((2L, math.round(math.log(10.0 / 6.0) * 1e6))))
+  }
+
   test("bpeMerges: multi-char symbols never merge mid-symbol") {
     // after (l,o)→lo, word 'lol' = [lo, l]; a naive string scan could
     // find 'o l' inside 'lo l' — the boundary encoding must not
