@@ -15,8 +15,10 @@ object ExplainNew {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    Seq("q189_semantic_dedup", "q191_semdedup_canonical",
-      "q192_bpe_encode", "q193_hybrid_rrf").foreach { q =>
+    val qs = if (args.nonEmpty) args.toSeq
+    else Seq("q189_semantic_dedup", "q191_semdedup_canonical",
+      "q192_bpe_encode", "q193_hybrid_rrf")
+    qs.foreach { q =>
       println(s"\n================ $q ================")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
