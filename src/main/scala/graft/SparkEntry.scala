@@ -3960,6 +3960,38 @@ object SparkEntry {
       .limit(40)
   }
 
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    // PER-ENTITY TREND (AggOps.olsTrend — closed-form OLS in one
+    // partial-aggregable pass): each user's engagement slope in
+    // value-cents per day. x = epoch-day − 20000 and y = cents keep
+    // every exact-integer product far inside 2^53 (the operator's
+    // determinism contract), so both engines divide identical
+    // integers. Only users with ≥ 20 events and a real time spread
+    // survive (the analyst screen; also keeps the output stable).
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), lit("1970-01-01")) - 20000)
+          .as("_day"),
+        round(col("value") * 100, 0).as("_cents"))
+      .where(col("_cents").isNotNull)
+    AggOps.olsTrend(ev, "user_id", col("_day"), col("_cents"))
+      .where(col("n") >= 20)
+      .orderBy(col("user_id"))
+  }
+
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    // NEYMAN-ALLOCATION STRATIFIED SAMPLE (SplitOps.neymanSample): a
+    // 120-doc eval slice over the source strata, each stratum's share
+    // ∝ N_h·S_h of document length — the survey-sampling optimum, so
+    // long-tailed sources get proportionally more draws than uniform
+    // ones. Weights go to integer micro-units before the cross-strata
+    // total; the draw is the q140 md5-rank with broadcast quotas.
+    SplitOps.neymanSample(t(s, dir, "documents"), "source", "doc_id",
+        col("n_chars"), totalN = 120L, salt = "neyman9")
+      .select(col("source"), col("doc_id"), col("alloc_n"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4684,6 +4716,8 @@ object SparkEntry {
     "q201_stream_trending" -> q201 _,
     "q202_phash_neardup" -> q202 _,
     "q203_pmi_collocations" -> q203 _,
+    "q204_ols_trend" -> q204 _,
+    "q205_neyman_sample" -> q205 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7818,5 +7852,45 @@ object SparkEntry {
         |CROSS JOIN tot
         |WHERE p.n_ab >= 25
         |ORDER BY pmi_micro DESC, a, b LIMIT 40""".stripMargin,
+    "q204_ols_trend" ->
+      // same integer sufficient statistics (DuckDB HUGEINT sums cast
+      // back to BIGINT), same two divides on exact integers
+      """WITH d AS (SELECT user_id,
+        |    (date_diff('day', DATE '1970-01-01', ts::DATE) - 20000)
+        |      ::BIGINT AS x,
+        |    round(value * 100)::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |  a AS (SELECT user_id, count(*)::BIGINT AS n,
+        |      sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |      sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+        |    FROM d GROUP BY 1),
+        |  f AS (SELECT *, (n * sxx - sx * sx)::BIGINT AS den,
+        |      ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx))
+        |        AS slope
+        |    FROM a WHERE n >= 20 AND (n * sxx - sx * sx) <> 0)
+        |SELECT user_id, n, round(slope, 6) AS slope,
+        |  round((sy::DOUBLE - slope * sx::DOUBLE) / n, 6) AS intercept
+        |FROM f ORDER BY user_id""".stripMargin,
+    "q205_neyman_sample" ->
+      // same integer stats, same micro-unit sqrt weight, same exact
+      // integer allocation and md5-rank draw
+      """WITH st AS (SELECT source, count(*)::BIGINT AS nh,
+        |      sum(n_chars)::BIGINT AS sy,
+        |      sum(n_chars * n_chars)::BIGINT AS syy
+        |    FROM documents GROUP BY 1),
+        |  wm AS (SELECT source,
+        |      round(sqrt((nh * syy - sy * sy)::DOUBLE) * 1e6)::BIGINT
+        |        AS w_micro
+        |    FROM st),
+        |  wt AS (SELECT sum(w_micro)::BIGINT AS w FROM wm),
+        |  alloc AS (SELECT source, (120 * w_micro) // wt.w AS alloc_n
+        |    FROM wm, wt),
+        |  rk AS (SELECT d.source, d.doc_id, a.alloc_n,
+        |      row_number() OVER (PARTITION BY d.source
+        |        ORDER BY md5(d.doc_id::VARCHAR || 'neyman9'), d.doc_id)
+        |        AS rn
+        |    FROM documents d JOIN alloc a USING (source))
+        |SELECT source, doc_id, alloc_n::BIGINT AS alloc_n
+        |FROM rk WHERE rn <= alloc_n ORDER BY source, doc_id""".stripMargin,
   )
 }

@@ -199,4 +199,42 @@ object AggOps {
             ceil((target - col("_mass_below").cast("double")) /
               col("_c").cast("double")))).as("k_cover"))
   }
+
+  /** Per-group OLS trend (closed-form simple linear regression) in ONE
+    * map-side-combinable aggregate — the distributed spelling of the
+    * "fit a slope per entity" pass (engagement trends, drift slopes,
+    * per-feature calibration lines): slope = (n·Σxy − Σx·Σy) /
+    * (n·Σx² − (Σx)²), intercept = (Σy − slope·Σx)/n, all five
+    * sufficient statistics partial-aggregable, so the raw table is
+    * read once and only (group × 5 longs) cross the shuffle.
+    *
+    * DETERMINISM CONTRACT: x and y must be INTEGER-valued columns
+    * (cast to long here) with |n·Σxy| and |n·Σx²| < 2^53 — then both
+    * engines derive identical exact integer numerators/denominators
+    * and the only float ops are two divides and a multiply. Callers
+    * re-base x (e.g. epoch-day − 20000) and fix y to cents/micro
+    * units to stay in the bound; Spark's ANSI mode errors loudly on a
+    * violated bound rather than wrapping. Degenerate groups (n < 2 or
+    * a single distinct x) are dropped — a vertical line has no slope.
+    */
+  def olsTrend(df: DataFrame, groupCol: String,
+               x: Column, y: Column): DataFrame = {
+    val d = df.select(col(groupCol), x.cast("long").as("_x"),
+      y.cast("long").as("_y"))
+    d.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+      .withColumn("_den", col("n") * col("_sxx") - col("_sx") * col("_sx"))
+      .where(col("n") >= 2 && col("_den") =!= 0)
+      .withColumn("_slope",
+        (col("n") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+          col("_den").cast("double"))
+      .select(col(groupCol), col("n"),
+        round(col("_slope"), 6).as("slope"),
+        round((col("_sy").cast("double") - col("_slope") *
+          col("_sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"))
+  }
 }

@@ -298,4 +298,42 @@ object SplitOps {
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k).drop("_rn")
   }
+
+  /** NEYMAN-ALLOCATION STRATIFIED SAMPLE (optimal allocation: stratum
+    * h of a total budget n gets n_h ∝ N_h·S_h — bigger AND more
+    * variable strata get more draws; the survey-sampling optimum and
+    * the right way to build an eval slice from heterogeneous sources):
+    * N_h·S_h = sqrt(N_h·Σy² − (Σy)²) over integer y, fixed to integer
+    * micro-units BEFORE the cross-strata total (q186 convention — the
+    * strata sum never adds raw doubles), allocation = (n·w_h) div W
+    * in exact integer arithmetic, then the q140 md5-rank draw with
+    * the per-stratum quota broadcast back.
+    *
+    * SCALE: the stats pass is one map-side-combinable aggregate; the
+    * allocation table is strata-bounded (broadcast); the draw is the
+    * established md5-rank window per stratum. sqrt is IEEE
+    * correctly-rounded, so the micro-unit weight is engine-portable.
+    */
+  def neymanSample(df: DataFrame, strataCol: String, keyCol: String,
+                   y: Column, totalN: Long, salt: String = ""): DataFrame = {
+    require(totalN >= 1, s"budget must be >= 1, got $totalN")
+    val yl = y.cast("long")
+    val stats = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_nh"), sum(yl).as("_sy"),
+        sum(yl * yl).as("_syy"))
+      .withColumn("_w_micro", round(sqrt(
+        (col("_nh") * col("_syy") - col("_sy") * col("_sy"))
+          .cast("double")) * 1e6, 0).cast("long"))
+    val wtot = stats.agg(sum(col("_w_micro")).as("_wt"))
+    val alloc = stats.crossJoin(broadcast(wtot))
+      .withColumn("alloc_n",
+        expr(s"(${totalN}L * _w_micro) div _wt"))
+      .select(col(strataCol), col("alloc_n"))
+    val u = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col(strataCol)).orderBy(u, col(keyCol))
+    df.join(broadcast(alloc), strataCol)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("alloc_n"))
+      .drop("_rn")
+  }
 }

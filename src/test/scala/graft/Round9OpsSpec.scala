@@ -270,6 +270,38 @@ class Round9OpsSpec extends AnyFunSuite {
       ((2L, math.round(math.log(10.0 / 6.0) * 1e6))))
   }
 
+  test("olsTrend: exact line recovered, noisy fit hand-checked, " +
+       "degenerate groups dropped") {
+    val pts = Seq(("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 4L),
+      ("b", 0L, 1L), ("b", 1L, 1L), ("b", 2L, 3L),
+      ("c", 5L, 1L), ("c", 5L, 9L)).toDF("g", "x", "y")
+    val got = graft.ops.AggOps.olsTrend(pts, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("a") === ((3L, 2.0, 0.0)))
+    // b: n=3 sx=3 sy=5 sxx=5 sxy=7 → slope (21-15)/(15-9)=1,
+    // intercept (5-3)/3
+    assert(got("b") === ((3L, 1.0, 0.666667)))
+    assert(!got.contains("c")) // single distinct x — no slope
+  }
+
+  test("neymanSample: bigger-and-noisier strata get more draws, " +
+       "per-stratum counts equal the exact-integer allocation") {
+    // stratum p: 40 rows, y spread 0..390; stratum q: 40 rows, y
+    // constant → w_q = 0 → everything goes to p
+    val rows = (0 until 40).map(i => ("p", i.toLong, i * 10L)) ++
+      (0 until 40).map(i => ("q", 100L + i, 7L))
+    val df = rows.toDF("src", "id", "y")
+    val got = graft.ops.SplitOps
+      .neymanSample(df, "src", "id", col("y"), totalN = 20L, salt = "t")
+      .groupBy(col("src")).agg(count(lit(1)).as("n"),
+        first(col("alloc_n")).as("alloc"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("p") === ((20L, 20L)))
+    assert(!got.contains("q")) // zero-variance stratum draws nothing
+  }
+
   test("bpeMerges: multi-char symbols never merge mid-symbol") {
     // after (l,o)→lo, word 'lol' = [lo, l]; a naive string scan could
     // find 'o l' inside 'lo l' — the boundary encoding must not
