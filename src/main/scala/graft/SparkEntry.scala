@@ -3992,6 +3992,41 @@ object SparkEntry {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    // GRAM MATRIX over the corpus embeddings (SimilarityOps.gramMatrix
+    // — the Xᵀ X pass PCA / covariance / whitening start from): 2080
+    // upper-triangle cells in integer micro-units; only those cells
+    // cross the shuffle no matter how many vectors stream through.
+    SimilarityOps.gramMatrix(t(s, dir, "embeddings"), "embedding")
+      .orderBy(col("i"), col("j"))
+
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    // LAMBDA-ARCHITECTURE MERGE (incremental aggregate maintenance —
+    // the 100 TB reason: NEVER rescan history to refresh a live
+    // rollup): the pre-aggregated BASE state (days before the cutoff)
+    // merges with the fresh DELTA aggregate (the new day) by pure
+    // state addition — full-outer on the key, counts/sums coalesce-
+    // added. The oracle recomputes from scratch; hash-equality IS the
+    // maintenance-correctness proof. Cents keep the merged sum an
+    // exact integer (the additive-state contract; raw double sums
+    // would drift between merge orders).
+    val ev = t(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("_cents"))
+    def rollup(d: DataFrame) = d.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("_cents")).as("cents"))
+    val base = rollup(ev.where(col("day") < "2024-01-25"))
+    val delta = rollup(ev.where(col("day") >= "2024-01-25"))
+    base.as("b").join(delta.as("d"), Seq("day", "event_type"), "full")
+      .select(col("day"), col("event_type"),
+        (coalesce(col("b.n"), lit(0L)) +
+          coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("b.cents"), lit(0L)) +
+          coalesce(col("d.cents"), lit(0L))).as("cents"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4718,6 +4753,8 @@ object SparkEntry {
     "q203_pmi_collocations" -> q203 _,
     "q204_ols_trend" -> q204 _,
     "q205_neyman_sample" -> q205 _,
+    "q206_gram_matrix" -> q206 _,
+    "q207_lambda_merge" -> q207 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7892,5 +7929,23 @@ object SparkEntry {
         |    FROM documents d JOIN alloc a USING (source))
         |SELECT source, doc_id, alloc_n::BIGINT AS alloc_n
         |FROM rk WHERE rn <= alloc_n ORDER BY source, doc_id""".stripMargin,
+    "q206_gram_matrix" ->
+      // same micro-unit products, same exact integer reduction
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |  p AS (SELECT (i.i - 1)::INT AS i, (j.j - 1)::INT AS j,
+        |      round(v[i.i] * v[j.j] * 1e6)::BIGINT AS p
+        |    FROM e,
+        |    LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i,
+        |    LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) j
+        |    WHERE j.j >= i.i)
+        |SELECT i, j, sum(p)::BIGINT AS g_micro
+        |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    "q207_lambda_merge" ->
+      // from-scratch recompute — equality with the base+delta merge
+      // is the incremental-maintenance correctness proof
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  count(*)::BIGINT AS n,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
   )
 }

@@ -302,6 +302,19 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(!got.contains("q")) // zero-variance stratum draws nothing
   }
 
+  test("gramMatrix: hand-computed upper triangle in micro-units, " +
+       "partition-invariant exact reduction") {
+    val vecs = Seq(Array(1.0, 2.0), Array(3.0, 4.0))
+    for (parts <- Seq(1, 2)) {
+      val got = graft.ops.SimilarityOps.gramMatrix(
+          vecs.toDF("embedding").repartition(parts), "embedding")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      assert(got === Map((0, 0) -> 10000000L, (0, 1) -> 14000000L,
+        (1, 1) -> 20000000L))
+    }
+  }
+
   test("bpeMerges: multi-char symbols never merge mid-symbol") {
     // after (l,o)→lo, word 'lol' = [lo, l]; a naive string scan could
     // find 'o l' inside 'lo l' — the boundary encoding must not
