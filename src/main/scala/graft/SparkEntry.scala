@@ -4027,6 +4027,58 @@ object SparkEntry {
       .orderBy(col("day"), col("event_type"))
   }
 
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    // NEGATIVE SAMPLING for contrastive training (the pair-mining
+    // prep for embedding/reranker models): each anchor draws 4
+    // pseudo-random corpus negatives via the md5-uniform rule over
+    // (salt, anchor, draw-index) — map-side except the one-row corpus
+    // count broadcast, reproducible in any engine, with the classic
+    // +1 re-draw when the hash lands on the anchor itself. Relies on
+    // the dense 0..N−1 id space (re-key through uniqueId otherwise).
+    val emb = t(s, dir, "embeddings")
+    val nTot = emb.agg(count(lit(1)).as("_n"))
+    emb.where(col("vec_id") < 50)
+      .select(col("vec_id").as("anchor_id"))
+      .crossJoin(broadcast(nTot))
+      .select(col("anchor_id"), col("_n"),
+        explode(sequence(lit(0), lit(3))).as("neg_idx"))
+      .withColumn("_h", conv(substring(md5(concat(lit("neg9|"),
+        col("anchor_id").cast("string"), lit("|"),
+        col("neg_idx").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("neg_id", pmod(col("_h"), col("_n")))
+      .withColumn("neg_id", when(col("neg_id") === col("anchor_id"),
+        pmod(col("neg_id") + 1, col("_n"))).otherwise(col("neg_id")))
+      .select(col("anchor_id"), col("neg_idx").cast("long").as("neg_idx"),
+        col("neg_id"))
+      .orderBy(col("anchor_id"), col("neg_idx"))
+  }
+
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    // LEAKAGE-SAFE SPLIT (dedup-aware train/val/test assignment — the
+    // modern-eval requirement: near-duplicate GROUPS, not rows, are
+    // the unit, so no eval doc has a training near-twin): q57's
+    // verified-Jaccard components, each COMPONENT hashed 80/10/10 by
+    // the md5-uniform rule, every member inheriting its component's
+    // split by construction. Probe set bounded (q57/q180 oracle
+    // convention); the at-scale edge path is the LSH pipeline
+    // (q32/q47).
+    val docs = t(s, dir, "documents")
+    val ids = docs.filter(col("doc_id") < 60).select(col("doc_id"))
+    val candidates = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val edges = DedupOps.jaccardVerify(docs, "doc_id", "text", candidates)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"))
+    val u = conv(substring(md5(concat(lit("split9|"),
+      col("comp").cast("string"))), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+    DedupOps.connectedComponents(ids, edges, "doc_id")
+      .withColumn("split", when(u < 0.8, "train")
+        .when(u < 0.9, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4755,6 +4807,8 @@ object SparkEntry {
     "q205_neyman_sample" -> q205 _,
     "q206_gram_matrix" -> q206 _,
     "q207_lambda_merge" -> q207 _,
+    "q208_negative_sampling" -> q208 _,
+    "q209_leakage_split" -> q209 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7947,5 +8001,53 @@ object SparkEntry {
         |  count(*)::BIGINT AS n,
         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q208_negative_sampling" ->
+      // same md5-uniform draws over (salt, anchor, index), same
+      // anchor-collision re-draw
+      """WITH nt AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+        |  a AS (SELECT vec_id AS anchor_id FROM embeddings
+        |    WHERE vec_id < 50),
+        |  g AS (SELECT anchor_id, i.i AS neg_idx FROM a,
+        |    LATERAL (SELECT unnest(range(0, 4)) AS i) i),
+        |  h AS (SELECT anchor_id, neg_idx,
+        |      ('0x' || substr(md5('neg9|' || anchor_id::VARCHAR || '|'
+        |        || neg_idx::VARCHAR), 1, 8))::BIGINT % nt.n AS neg0,
+        |      nt.n AS n
+        |    FROM g, nt)
+        |SELECT anchor_id, neg_idx::BIGINT AS neg_idx,
+        |  CASE WHEN neg0 = anchor_id THEN (neg0 + 1) % n
+        |       ELSE neg0 END AS neg_id
+        |FROM h ORDER BY anchor_id, neg_idx""".stripMargin,
+    "q209_leakage_split" ->
+      // q57's recursive min-label components + the same md5-uniform
+      // component hash and 80/10/10 thresholds
+      """WITH RECURSIVE
+        |  sets AS (SELECT doc_id, list_distinct(list_filter(
+        |      string_split_regex(text, '\s+'), z -> len(z) > 0))
+        |    AS s FROM documents WHERE doc_id < 60),
+        |  tk AS (SELECT doc_id, len(s) AS sz, unnest(s) AS tok
+        |    FROM sets),
+        |  jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      a.sz AS size_a, b.sz AS size_b, count(*) AS inter
+        |    FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2, 3, 4),
+        |  ed AS (SELECT id_a, id_b FROM jp
+        |    WHERE inter::DOUBLE / (size_a + size_b - inter) >= 0.6),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM ed
+        |    UNION ALL SELECT id_b, id_a FROM ed),
+        |  reach AS (
+        |    SELECT doc_id AS id, doc_id AS comp FROM sets
+        |    UNION
+        |    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |  cmp AS (SELECT id AS doc_id, min(comp) AS comp FROM reach
+        |    GROUP BY id),
+        |  sp AS (SELECT doc_id, comp,
+        |      ('0x' || substr(md5('split9|' || comp::VARCHAR), 1, 8))
+        |        ::BIGINT / 4294967296.0 AS u
+        |    FROM cmp)
+        |SELECT doc_id, comp,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM sp ORDER BY doc_id""".stripMargin,
   )
 }
