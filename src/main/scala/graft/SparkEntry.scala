@@ -4079,6 +4079,51 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    // JSON-LINES SOURCE with malformed-row QUARANTINE (the ingest
+    // shape for crawl/API feeds): documents staged as JSONL plus 3
+    // deliberately corrupt lines, read back with a PINNED schema in
+    // PERMISSIVE mode — broken lines land whole in _corrupt_record
+    // instead of failing the job or silently skewing stats (the
+    // ingest-vs-quarantine split every 100 TB feed needs). Valid rows
+    // aggregate per lang; the quarantine count rides as the
+    // '_corrupt' row. The parsed frame is localCheckpoint'ed: Spark
+    // refuses a filter on _corrupt_record alone over a lazy JSON scan
+    // (internal-column pushdown restriction), and the stage writes
+    // once either way.
+    val src = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/json_cache/docs_$sfTag"
+    src.coalesce(1).write.mode("overwrite").json(path)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-corrupt.json"),
+      ("{\"doc_id\": \"not-a-number\"}\n{broken\nnot json at all\n")
+        .getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .localCheckpoint()
+    val good = parsed.where(col("_corrupt_record").isNull)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    val bad = parsed.where(col("_corrupt_record").isNotNull)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("_corrupt").as("lang"), col("n"),
+        lit(0L).as("chars"))
+    good.unionByName(bad).orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4809,6 +4854,7 @@ object SparkEntry {
     "q207_lambda_merge" -> q207 _,
     "q208_negative_sampling" -> q208 _,
     "q209_leakage_split" -> q209 _,
+    "q210_jsonl_source" -> q210 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -8049,5 +8095,14 @@ object SparkEntry {
         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM sp ORDER BY doc_id""".stripMargin,
+    "q210_jsonl_source" ->
+      // the parquet twin for the valid rows + the known 3-line
+      // quarantine row (corrupt lines are fixed literals in the
+      // staged file)
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  sum(n_chars)::BIGINT AS chars
+        |FROM documents GROUP BY 1
+        |UNION ALL SELECT '_corrupt', 3, 0
+        |ORDER BY lang""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, CosineSim, JaroWinkler, MinHashAgg, MisraGriesAgg, ReplaceInf, SimHashAgg}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, GramAgg, JaroWinkler, MinHashAgg, MisraGriesAgg, ReplaceInf, SimHashAgg}
 
 /** Column-API entry points for the custom Catalyst expressions
   * (implementations in org.apache.spark.sql.graft — they need
@@ -36,6 +36,15 @@ object GraftFunctions {
   def misra_gries(c: Column, capacity: Int): Column =
     Bridge.column(
       MisraGriesAgg(Bridge.expression(c), capacity).toAggregateExpression())
+
+  /** Exact Gram-matrix (Xᵀ X) upper triangle as ONE buffer aggregate
+    * (vs a d(d+1)/2-struct explode per row): per-row products fixed to
+    * integer micro-units inside the update loop, merge = elementwise
+    * add. Output array<struct<i, j, g_micro>> in row-major triangle
+    * order. Input: an array<double> vector per row. */
+  def gram_agg(c: Column, dim: Int): Column =
+    Bridge.column(
+      GramAgg(Bridge.expression(c), dim).toAggregateExpression())
 
   /** 64-bit SimHash fingerprint as one array-buffer aggregate. Input:
     * a long token hash (xxhash64) per row. */

@@ -382,29 +382,20 @@ object SimilarityOps {
 
   /** Exact GRAM MATRIX (Xᵀ X — the covariance/PCA prep pass over an
     * embedding column): upper-triangle cell (i, j) = Σ over rows of
-    * x_i·x_j. Every per-row product is fixed to integer micro-units
-    * BEFORE the cross-row sum (q186 convention), so the reduction is
-    * an exact integer add in any order and any engine — a raw-double
-    * Σ would expose float summation order at the first repartition.
+    * x_i·x_j, every per-row product fixed to integer micro-units
+    * BEFORE the cross-row sum (q186 convention) so the reduction is
+    * an exact integer add in any order and any engine.
     *
-    * SCALE: per-row pair expansion is map-side (one let-bound array,
-    * d(d+1)/2 structs), the (i, j) aggregate is map-side combinable,
-    * and only d(d+1)/2 cells ever cross the shuffle — at 64 dims
-    * that is 2080 longs per map task regardless of row count. (A
-    * BLAS-accumulating mapPartitions variant saves the struct
-    * allocation at very high dims; the relational shape is the same.)
+    * ONE custom buffer aggregate ([[org.apache.spark.sql.graft.GramAgg]],
+    * the MinHashAgg pattern) carries all d(d+1)/2 cells: partial
+    * buffers combine map-side and only 2080 longs (d = 64) per map
+    * task ever cross the shuffle — the composable explode-2080-structs
+    * form inflates rows 2080× before the exchange and measured 17×
+    * slower at sf0.1 (7.1 s → 0.40 s).
     */
-  def gramMatrix(df: DataFrame, vecCol: String): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    df.select(graft.ops.TextOps.bind(v, vec =>
-        flatten(transform(sequence(lit(0), size(vec) - 1), i =>
-          transform(sequence(i, size(vec) - 1), j =>
-            struct(i.cast("int").as("i"), j.cast("int").as("j"),
-              round(element_at(vec, (i + 1).cast("int")) *
-                element_at(vec, (j + 1).cast("int")) * 1e6, 0)
-                .cast("long").as("p")))))).as("_ps"))
-      .select(explode(col("_ps")).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("g_micro"))
-  }
+  def gramMatrix(df: DataFrame, vecCol: String, dim: Int = 64): DataFrame =
+    df.agg(graft.functions.GraftFunctions.gram_agg(
+        col(vecCol).cast("array<double>"), dim).as("_g"))
+      .select(explode(col("_g")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g_micro").as("g_micro"))
 }

@@ -307,7 +307,7 @@ class Round9OpsSpec extends AnyFunSuite {
     val vecs = Seq(Array(1.0, 2.0), Array(3.0, 4.0))
     for (parts <- Seq(1, 2)) {
       val got = graft.ops.SimilarityOps.gramMatrix(
-          vecs.toDF("embedding").repartition(parts), "embedding")
+          vecs.toDF("embedding").repartition(parts), "embedding", dim = 2)
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
         .toMap
       assert(got === Map((0, 0) -> 10000000L, (0, 1) -> 14000000L,
