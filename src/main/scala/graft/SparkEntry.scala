@@ -4124,6 +4124,30 @@ object SparkEntry {
     good.unionByName(bad).orderBy(col("lang"))
   }
 
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    // PCA TOP COMPONENT by DETERMINISTIC power iteration: the Gram
+    // pass (q206's one-buffer aggregate) is the only distributed work;
+    // the 64×64 matrix then iterates ON THE DRIVER (d²-bounded — the
+    // S6 bridge convention) in EXACT INTEGER arithmetic: w = G·v over
+    // micro-unit cells, rescaled by v' = sign(w)·(|w|·1e6 div max|w|)
+    // each of 20 rounds — no float ever enters, so any engine (the
+    // oracle unrolls the same 20 steps in HUGEINT SQL) lands on the
+    // identical vector. The classic float normalize would expose
+    // summation order and sqrt rounding at every step.
+    val d = 64
+    val cells = SimilarityOps.gramMatrix(t(s, dir, "embeddings"),
+      "embedding", d).collect()
+    val g = Array.ofDim[Long](d, d)
+    cells.foreach { r =>
+      val (i, j, p) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      g(i)(j) = p; g(j)(i) = p
+    }
+    val v = SimilarityOps.powerIterationMicro(g, iters = 20)
+    import s.implicits._
+    v.zipWithIndex.map { case (vi, i) => (i, vi.toLong) }.toSeq
+      .toDF("i", "v_micro").orderBy(col("i"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4855,6 +4879,7 @@ object SparkEntry {
     "q208_negative_sampling" -> q208 _,
     "q209_leakage_split" -> q209 _,
     "q210_jsonl_source" -> q210 _,
+    "q211_pca_power" -> q211 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -4959,6 +4984,47 @@ object SparkEntry {
     * non-overlapping scan, so the greedy semantics match bit for bit.
     * Exposes vocab(w, f), m1..mk (the merges), w0..wk (the per-round
     * encodings, word carried through). */
+  /** Shared DuckDB CTE body reproducing [[SimilarityOps.gramMatrix]]'s
+    * micro-unit Gram cells (used by q206 and q211's oracles). Ends with
+    * `gcells(i, j, p)` = per-row micro products, pre-aggregation. */
+  private val gramCellsSql: String =
+    """e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      |  gcells AS (SELECT (i.i - 1)::INT AS i, (j.j - 1)::INT AS j,
+      |      round(v[i.i] * v[j.j] * 1e6)::BIGINT AS p
+      |    FROM e,
+      |    LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i,
+      |    LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) j
+      |    WHERE j.j >= i.i)""".stripMargin
+
+  /** Generated k-step integer power-iteration CTE chain over the Gram
+    * matrix (q211's oracle; the bpeSqlChain generated-unroll
+    * convention — standard SQL forbids aggregates over the recursive
+    * reference, so the fixed iteration count unrolls instead; every
+    * step is MATERIALIZED — default CTE inlining would expand the
+    * chain exponentially). All
+    * arithmetic is HUGEINT-exact: w = G·v, then v' = sign(w)·
+    * (|w|·1e6 // max|w|) — the same integers Scala's BigInt derives. */
+  private def powerIterSqlChain(k: Int): String = {
+    val steps = (1 to k).map { step =>
+      val pv = if (step == 1) "v0" else s"v${step - 1}"
+      s"""w$step AS MATERIALIZED (SELECT gf.i,
+         |      sum(gf.g::HUGEINT * p.v) AS w
+         |    FROM gf JOIN $pv p ON p.i = gf.j GROUP BY 1),
+         |  m$step AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$step),
+         |  v$step AS MATERIALIZED (SELECT i, CASE WHEN w < 0
+         |      THEN -((-w * 1000000) // m$step.m)
+         |      ELSE (w * 1000000) // m$step.m END AS v
+         |    FROM w$step, m$step)""".stripMargin
+    }
+    s"""gsum AS MATERIALIZED (SELECT i, j, sum(p)::BIGINT AS g
+       |    FROM gcells GROUP BY 1, 2),
+       |  gf AS MATERIALIZED (SELECT i, j, g FROM gsum
+       |    UNION ALL SELECT j, i, g FROM gsum WHERE i <> j),
+       |  v0 AS MATERIALIZED (SELECT DISTINCT i, 1000000::HUGEINT AS v
+       |    FROM gf),
+       |  ${steps.mkString(",\n  ")}""".stripMargin
+  }
+
   private def bpeSqlChain(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""  p$r AS (SELECT a, b, sum(f)::BIGINT AS cnt FROM (
@@ -8031,15 +8097,16 @@ object SparkEntry {
         |FROM rk WHERE rn <= alloc_n ORDER BY source, doc_id""".stripMargin,
     "q206_gram_matrix" ->
       // same micro-unit products, same exact integer reduction
-      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
-        |  p AS (SELECT (i.i - 1)::INT AS i, (j.j - 1)::INT AS j,
-        |      round(v[i.i] * v[j.j] * 1e6)::BIGINT AS p
-        |    FROM e,
-        |    LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i,
-        |    LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) j
-        |    WHERE j.j >= i.i)
+      s"""WITH $gramCellsSql
         |SELECT i, j, sum(p)::BIGINT AS g_micro
-        |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+        |FROM gcells GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    "q211_pca_power" ->
+      // the same 20 integer power-iteration steps, unrolled (HUGEINT
+      // exact; // == BigInt / on the positive operands by the sign
+      // split)
+      s"""WITH $gramCellsSql,
+        |  ${powerIterSqlChain(20)}
+        |SELECT i, v::BIGINT AS v_micro FROM v20 ORDER BY i""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof

@@ -398,4 +398,26 @@ object SimilarityOps {
         col(vecCol).cast("array<double>"), dim).as("_g"))
       .select(explode(col("_g")).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g_micro").as("g_micro"))
+
+  /** Integer-exact power iteration over a micro-unit Gram matrix (the
+    * driver half of q211's deterministic PCA): v' = sign(w)·(|w|·1e6
+    * div max|w|) with w = G·v in BigInt — no float ever enters, so
+    * any engine replaying the same integers (the oracle unrolls the
+    * steps in HUGEINT SQL) lands on the identical vector. d²-bounded
+    * driver math, the S6 bridge convention. */
+  def powerIterationMicro(g: Array[Array[Long]], iters: Int): Array[BigInt] = {
+    val d = g.length
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = BigInt(0)
+        var j = 0
+        while (j < d) { acc += BigInt(g(i)(j)) * v(j); j += 1 }
+        acc
+      }
+      val m = w.map(_.abs).max
+      v = w.map(x => BigInt(x.signum) * ((x.abs * 1000000) / m))
+    }
+    v
+  }
 }

@@ -315,6 +315,21 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("powerIterationMicro: converges onto the dominant axis in " +
+       "exact integers, off-axis mass decays monotonically") {
+    // G = diag(2, 1) in micro-units: dominant eigenvector = e0
+    val g = Array(Array(2000000L, 0L), Array(0L, 1000000L))
+    var prev = BigInt(1000000)
+    for (k <- 1 to 8) {
+      val v = graft.ops.SimilarityOps.powerIterationMicro(g, k)
+      assert(v(0) === BigInt(1000000)) // dominant axis pegged at scale
+      assert(v(1) < prev)              // off-axis halves each round
+      prev = v(1)
+    }
+    assert(graft.ops.SimilarityOps.powerIterationMicro(g, 8)(1)
+      === BigInt(1000000) / BigInt(256))
+  }
+
   test("bpeMerges: multi-char symbols never merge mid-symbol") {
     // after (l,o)→lo, word 'lol' = [lo, l]; a naive string scan could
     // find 'o l' inside 'lo l' — the boundary encoding must not
