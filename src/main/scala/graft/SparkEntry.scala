@@ -4148,6 +4148,34 @@ object SparkEntry {
       .toDF("i", "v_micro").orderBy(col("i"))
   }
 
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    // PCA PROJECTION (the transform half of q211's fit — embedding
+    // dimensionality reduction onto the learned component): each
+    // vector's coordinate = Σ round(x_i·1e6)·v_i over the integer
+    // component — vector elements fixed to micro-units BEFORE the
+    // products, so the per-row reduction is exact and the projection
+    // is a PURE MAP-SIDE expression over the broadcast-literal
+    // component (the fitted artifact). Unit: 1e-12 (micro × micro).
+    val d = 64
+    val emb = t(s, dir, "embeddings")
+    val cells = SimilarityOps.gramMatrix(emb, "embedding", d).collect()
+    val g = Array.ofDim[Long](d, d)
+    cells.foreach { r =>
+      val (i, j, p) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      g(i)(j) = p; g(j)(i) = p
+    }
+    val comp = SimilarityOps.powerIterationMicro(g, iters = 20)
+      .map(_.toLong)
+    val vLit = array(comp.map(lit(_)): _*)
+    emb.select(col("vec_id"),
+        aggregate(zip_with(
+          transform(col("embedding").cast("array<double>"),
+            e => round(e * 1e6, 0).cast("long")),
+          vLit, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+          .as("proj_micro2"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4880,6 +4908,7 @@ object SparkEntry {
     "q209_leakage_split" -> q209 _,
     "q210_jsonl_source" -> q210 _,
     "q211_pca_power" -> q211 _,
+    "q212_pca_project" -> q212 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -8107,6 +8136,21 @@ object SparkEntry {
       s"""WITH $gramCellsSql,
         |  ${powerIterSqlChain(20)}
         |SELECT i, v::BIGINT AS v_micro FROM v20 ORDER BY i""".stripMargin,
+    "q212_pca_project" ->
+      // refit the same integer component, then the same micro-unit
+      // projection sum per vector
+      s"""WITH $gramCellsSql,
+        |  ${powerIterSqlChain(20)},
+        |  pr AS (SELECT vec_id, embedding::DOUBLE[] AS x
+        |    FROM embeddings),
+        |  px AS (SELECT vec_id, (i.i - 1)::INT AS i,
+        |      round(x[i.i] * 1e6)::BIGINT AS xm
+        |    FROM pr,
+        |    LATERAL (SELECT unnest(generate_series(1, len(x))) AS i) i)
+        |SELECT vec_id, sum(px.xm::HUGEINT * v20.v)::BIGINT
+        |    AS proj_micro2
+        |FROM px JOIN v20 ON v20.i = px.i
+        |GROUP BY 1 ORDER BY vec_id""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof
