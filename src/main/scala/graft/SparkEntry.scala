@@ -4176,6 +4176,32 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    // CORPUS TOKENIZATION with the trained tokenizer — THE pretraining
+    // tokenize pass at 100 TB: encode the VOCABULARY once (q190 train
+    // + q192 encode, a vocabulary-sized table), then tokenizing the
+    // corpus is a broadcast join of the exploded word stream against
+    // the (word → n_subwords) artifact — the corpus text is never
+    // re-segmented per occurrence. Per doc: alphabet word count and
+    // subword total; out-of-alphabet words are screened by the q190
+    // alphabet pin on both sides.
+    val words = bpeVocab(s, dir)
+    val merges = TextOps.bpeMerges(words, "w", "f", k = 6)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextOps.bpeEncode(words.select(col("w")), "w", merges)
+      .select(col("w"), col("n_symbols"))
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("w"))
+    toks.where(col("w").rlike("^[a-z]{2,30}$"))
+      .join(broadcast(enc), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_symbols")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4909,6 +4935,7 @@ object SparkEntry {
     "q210_jsonl_source" -> q210 _,
     "q211_pca_power" -> q211 _,
     "q212_pca_project" -> q212 _,
+    "q213_bpe_tokenize" -> q213 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -8151,6 +8178,24 @@ object SparkEntry {
         |    AS proj_micro2
         |FROM px JOIN v20 ON v20.i = px.i
         |GROUP BY 1 ORDER BY vec_id""".stripMargin,
+    "q213_bpe_tokenize" -> {
+      // the trained encoding's symbol counts joined onto the exploded
+      // word stream — identical chain, identical alphabet screen
+      val k = 6
+      s"""WITH ${bpeSqlChain(k)},
+        |  enc AS (SELECT w,
+        |      len(string_split(trim(e, '_'), '__'))::BIGINT AS ns
+        |    FROM w$k),
+        |  tok AS (SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\\s+'),
+        |      x -> len(x) > 0)) AS w FROM documents),
+        |  tw AS (SELECT doc_id, tok.w, enc.ns FROM tok
+        |    JOIN enc ON enc.w = tok.w
+        |    WHERE regexp_matches(tok.w, '^[a-z]{2,30}$$'))
+        |SELECT doc_id, count(*)::BIGINT AS n_words,
+        |  sum(ns)::BIGINT AS n_subwords
+        |FROM tw GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof
