@@ -4202,6 +4202,82 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    // GROUPED HEAVY HITTERS — the Misra–Gries buffer aggregate inside
+    // a groupBy (per-SOURCE frequent tokens): one bounded buffer per
+    // (group × partial), still map-side combinable, so per-domain
+    // vocabularies at crawl scale never materialize a full
+    // (source, token) count table. Capacity 64 ≥ the fixture
+    // vocabulary ⇒ exact regime (q200's convention); the eviction
+    // guarantees stay spec-pinned.
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextOps.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("source"))
+      .agg(GraftFunctions.misra_gries(col("w"), 64).as("mg"))
+      .select(col("source"), explode(col("mg")).as("e"))
+      .select(col("source"), col("e.item").as("token"),
+        col("e.est").as("n"))
+      .orderBy(col("source"), col("n").desc, col("token"))
+  }
+
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    // GOLDEN-RECORD CONSOLIDATION (the survivorship step after
+    // record linkage — one clean row per real-world entity): q199's
+    // Fellegi–Sunter 'match' pairs over a bounded probe set become
+    // the edge list (q57 convention; LSH blocking is the scale path),
+    // connected components define the entities, and each field
+    // survives by its own deterministic rule — name: longest (ties →
+    // min key), brand: mode (ties → lexicographically first), size:
+    // LOW median via a per-entity collect (entities are small by
+    // construction — blocking bounds them), price: exact-cents mean.
+    val parts = t(s, dir, "part").where(col("p_partkey") < 400)
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val a = parts.select(col("blk"), col("p_partkey").as("key_a"),
+      col("p_name").as("name_a"), col("p_brand").as("brand_a"),
+      col("p_size").as("size_a"), col("p_retailprice").as("price_a"))
+    val b = parts.select(col("blk"), col("p_partkey").as("key_b"),
+      col("p_name").as("name_b"), col("p_brand").as("brand_b"),
+      col("p_size").as("size_b"), col("p_retailprice").as("price_b"))
+    val pairs = a.join(b, Seq("blk")).where(col("key_a") < col("key_b"))
+    val matches = RelOps.fellegiSunter(pairs, Seq(
+        ("name", round(GraftFunctions.jaro_winkler(col("name_a"),
+          col("name_b")), 6) >= 0.9, 2400000L, -1200000L),
+        ("brand", col("brand_a") === col("brand_b"),
+          1800000L, -900000L),
+        ("size", abs(col("size_a") - col("size_b")) <= 2,
+          1000000L, -500000L),
+        ("price", abs(col("price_a") - col("price_b")) <= 50.0,
+          800000L, -400000L)),
+      matchAtLeast = 4000000L, nonMatchAtMost = 0L)
+      .where(col("decision") === "match")
+      .select(col("key_a").as("id_a"), col("key_b").as("id_b"))
+    val ids = parts.select(col("p_partkey"))
+    val comps = DedupOps.connectedComponents(ids, matches, "p_partkey")
+    val m = comps.join(parts, "p_partkey")
+      .withColumn("_cents", round(col("p_retailprice") * 100, 0)
+        .cast("long"))
+    val brandMode = m.groupBy(col("comp"), col("p_brand"))
+      .agg(count(lit(1)).as("_bc"))
+      .groupBy(col("comp"))
+      .agg(min_by(col("p_brand"),
+        struct(-col("_bc"), col("p_brand"))).as("brand"))
+    m.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("p_name"),
+          struct(length(col("p_name")), -col("p_partkey"))).as("name"),
+        sort_array(collect_list(col("p_size"))).as("_szl"),
+        sum(col("_cents")).as("_cs"))
+      .join(brandMode, "comp")
+      .select(col("comp"), col("n_members"), col("name"), col("brand"),
+        element_at(col("_szl"),
+          expr("CAST((size(_szl) + 1) div 2 AS INT)")).cast("long")
+          .as("size_med"),
+        round(col("_cs").cast("double") / 100 / col("n_members"), 6)
+          .as("price_mean"))
+      .orderBy(col("comp"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -4936,6 +5012,8 @@ object SparkEntry {
     "q211_pca_power" -> q211 _,
     "q212_pca_project" -> q212 _,
     "q213_bpe_tokenize" -> q213 _,
+    "q214_grouped_hh" -> q214 _,
+    "q215_golden_record" -> q215 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -8196,6 +8274,65 @@ object SparkEntry {
         |  sum(ns)::BIGINT AS n_subwords
         |FROM tw GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
+    "q214_grouped_hh" ->
+      // exact regime per group: capacity >= vocabulary, so the
+      // grouped summary IS the per-source count table
+      """WITH t AS (SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    z -> len(z) > 0)) AS w FROM documents)
+        |SELECT source, w AS token, count(*)::BIGINT AS n
+        |FROM t GROUP BY 1, 2 ORDER BY source, n DESC, token""".stripMargin,
+    "q215_golden_record" ->
+      // matched pairs replayed (q199 weights, both sides < 400),
+      // recursive min-label components, then each survivorship rule
+      // as its rank/first spelling
+      """WITH RECURSIVE
+        |  p AS (SELECT p_partkey, p_name, p_brand, p_size,
+        |      p_retailprice, str_split(p_name, ' ')[-1] AS blk
+        |    FROM part WHERE p_partkey < 400),
+        |  pr AS (SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |      (CASE WHEN round(jaro_winkler_similarity(a.p_name,
+        |          b.p_name), 6) >= 0.9 THEN 2400000 ELSE -1200000 END
+        |       + CASE WHEN a.p_brand = b.p_brand THEN 1800000
+        |           ELSE -900000 END
+        |       + CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 1000000
+        |           ELSE -500000 END
+        |       + CASE WHEN abs(a.p_retailprice - b.p_retailprice)
+        |           <= 50.0 THEN 800000 ELSE -400000 END) AS sc
+        |    FROM p a JOIN p b
+        |      ON a.blk = b.blk AND a.p_partkey < b.p_partkey),
+        |  ed AS (SELECT key_a, key_b FROM pr WHERE sc >= 4000000),
+        |  edges AS (SELECT key_a AS src, key_b AS dst FROM ed
+        |    UNION ALL SELECT key_b, key_a FROM ed),
+        |  reach AS (
+        |    SELECT p_partkey AS id, p_partkey AS comp FROM p
+        |    UNION
+        |    SELECT e.dst, r.comp FROM reach r JOIN edges e
+        |      ON e.src = r.id),
+        |  cmp AS (SELECT id AS p_partkey, min(comp) AS comp FROM reach
+        |    GROUP BY id),
+        |  m AS (SELECT c.comp, p.*,
+        |      round(p.p_retailprice * 100)::BIGINT AS cents
+        |    FROM cmp c JOIN p ON p.p_partkey = c.p_partkey),
+        |  nm AS (SELECT comp, p_name AS name FROM (
+        |    SELECT comp, p_name, row_number() OVER (PARTITION BY comp
+        |        ORDER BY length(p_name) DESC, p_partkey) AS rn
+        |    FROM m) WHERE rn = 1),
+        |  bc AS (SELECT comp, p_brand, count(*) AS c FROM m
+        |    GROUP BY 1, 2),
+        |  bm AS (SELECT comp, p_brand AS brand FROM (
+        |    SELECT comp, p_brand, row_number() OVER (PARTITION BY comp
+        |        ORDER BY c DESC, p_brand) AS rn FROM bc) WHERE rn = 1),
+        |  ag AS (SELECT comp, count(*)::BIGINT AS n_members,
+        |      list_sort(list(p_size)) AS szl,
+        |      sum(cents)::BIGINT AS cs
+        |    FROM m GROUP BY 1)
+        |SELECT ag.comp, ag.n_members, nm.name, bm.brand,
+        |  szl[(len(szl) + 1) // 2]::BIGINT AS size_med,
+        |  round(cs::DOUBLE / 100 / n_members, 6) AS price_mean
+        |FROM ag JOIN nm ON nm.comp = ag.comp
+        |JOIN bm ON bm.comp = ag.comp
+        |ORDER BY ag.comp""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof
