@@ -4278,6 +4278,54 @@ object SparkEntry {
       .orderBy(col("comp"))
   }
 
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    // CUPED EXPERIMENT READOUT (Deng et al. 2013 variance reduction —
+    // the standard online-experimentation estimator): per-user
+    // pre-period spend is the covariate for the post-period metric;
+    // θ = cov(pre, post)/var(pre) from ONE pass of integer
+    // sufficient statistics (cents — the q204 exactness contract),
+    // fixed to micro-units, and the adjusted metric is kept in the
+    // SCALED-INTEGER form n·post·1e6 − θ_micro·(n·pre − Σpre) so the
+    // per-variant reduction is an exact integer sum — the two float
+    // divides happen once, at the end, on identical integers in any
+    // engine. Assignment = user_id parity (the fixture's stand-in
+    // for the experiment's hash bucket).
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        to_date(col("ts")).as("_d"),
+        coalesce(round(col("value") * 100, 0).cast("long"), lit(0L))
+          .as("_cents"))
+    val byUser = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("_d") < "2024-01-15", col("_cents"))
+          .otherwise(0L)).as("pre"),
+        sum(when(col("_d") >= "2024-01-15", col("_cents"))
+          .otherwise(0L)).as("post"))
+      .localCheckpoint() // feeds the theta stats AND the readout
+    val st = byUser.agg(count(lit(1)).as("n"),
+      sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
+      sum(col("pre") * col("pre")).as("sxx"),
+      sum(col("pre") * col("post")).as("sxy"))
+      .withColumn("theta_micro", round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        * 1e6, 0).cast("long"))
+    byUser.crossJoin(broadcast(st))
+      .withColumn("_adj", col("n") * col("post") * lit(1000000L) -
+        col("theta_micro") * (col("n") * col("pre") - col("sx")))
+      .groupBy((col("user_id") % 2).cast("long").as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        first(col("n")).as("_n"), first(col("theta_micro")).as("_th"),
+        sum(col("post")).as("_sp"), sum(col("_adj")).as("_sa"))
+      .select(col("variant"), col("n_users"),
+        col("_th").as("theta_micro"),
+        round(col("_sp").cast("double") / col("n_users") / 100, 6)
+          .as("mean_post"),
+        round(col("_sa").cast("double") / col("_n").cast("double")
+          / 1e6 / col("n_users").cast("double") / 100, 6)
+          .as("mean_adjusted"))
+      .orderBy(col("variant"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -5014,6 +5062,7 @@ object SparkEntry {
     "q213_bpe_tokenize" -> q213 _,
     "q214_grouped_hh" -> q214 _,
     "q215_golden_record" -> q215 _,
+    "q216_cuped" -> q216 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -8333,6 +8382,37 @@ object SparkEntry {
         |FROM ag JOIN nm ON nm.comp = ag.comp
         |JOIN bm ON bm.comp = ag.comp
         |ORDER BY ag.comp""".stripMargin,
+    "q216_cuped" ->
+      // same integer sufficient stats, same micro-unit theta, same
+      // scaled-integer adjustment; divides once at the end
+      """WITH ev AS (SELECT user_id, ts::DATE AS d,
+        |    coalesce(round(value * 100)::BIGINT, 0) AS cents
+        |  FROM events),
+        |  u AS (SELECT user_id,
+        |      sum(CASE WHEN d < DATE '2024-01-15' THEN cents
+        |          ELSE 0 END)::BIGINT AS pre,
+        |      sum(CASE WHEN d >= DATE '2024-01-15' THEN cents
+        |          ELSE 0 END)::BIGINT AS post
+        |    FROM ev GROUP BY 1),
+        |  st AS (SELECT count(*)::BIGINT AS n,
+        |      sum(pre)::BIGINT AS sx, sum(post)::BIGINT AS sy,
+        |      sum(pre * pre)::BIGINT AS sxx,
+        |      sum(pre * post)::BIGINT AS sxy
+        |    FROM u),
+        |  th AS (SELECT *, round((n * sxy - sx * sy)::DOUBLE /
+        |      (n * sxx - sx * sx) * 1e6)::BIGINT AS theta_micro
+        |    FROM st),
+        |  adj AS (SELECT u.user_id % 2 AS variant, u.post,
+        |      th.n, th.theta_micro,
+        |      (th.n * u.post * 1000000 -
+        |       th.theta_micro * (th.n * u.pre - th.sx))::HUGEINT AS a
+        |    FROM u, th)
+        |SELECT variant::BIGINT AS variant, count(*)::BIGINT AS n_users,
+        |  max(theta_micro)::BIGINT AS theta_micro,
+        |  round(sum(post)::DOUBLE / count(*) / 100, 6) AS mean_post,
+        |  round(sum(a)::DOUBLE / max(n) / 1e6 / count(*) / 100, 6)
+        |    AS mean_adjusted
+        |FROM adj GROUP BY 1 ORDER BY variant""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof
