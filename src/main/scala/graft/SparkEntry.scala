@@ -4326,6 +4326,15 @@ object SparkEntry {
       .orderBy(col("variant"))
   }
 
+  private def q217(s: SparkSession, dir: String): DataFrame =
+    // EXACT-PHRASE retrieval (SearchOps.phraseSearch): "small table"
+    // via positional postings pruned to the query terms before any
+    // join — adjacency is an equi-join on (doc, pos − offset), the
+    // inverted-index query shape next to q58's BM25 ranking.
+    SearchOps.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("small", "table"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -5063,6 +5072,7 @@ object SparkEntry {
     "q214_grouped_hh" -> q214 _,
     "q215_golden_record" -> q215 _,
     "q216_cuped" -> q216 _,
+    "q217_phrase_search" -> q217 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -8413,6 +8423,21 @@ object SparkEntry {
         |  round(sum(a)::DOUBLE / max(n) / 1e6 / count(*) / 100, 6)
         |    AS mean_adjusted
         |FROM adj GROUP BY 1 ORDER BY variant""".stripMargin,
+    "q217_phrase_search" ->
+      // the same positional-postings adjacency join
+      """WITH d AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    z -> len(z) > 0) AS l FROM documents),
+        |  tk AS (SELECT doc_id, i.i - 1 AS pos, l[i.i] AS w
+        |    FROM d, LATERAL (SELECT unnest(
+        |      generate_series(1, len(l))) AS i) i
+        |    WHERE l[i.i] IN ('small', 'table')),
+        |  p0 AS (SELECT doc_id, pos FROM tk WHERE w = 'small'),
+        |  p1 AS (SELECT doc_id, pos - 1 AS pos FROM tk
+        |    WHERE w = 'table')
+        |SELECT doc_id, count(*)::BIGINT AS n_occ
+        |FROM p0 JOIN p1 USING (doc_id, pos)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof

@@ -86,4 +86,33 @@ object SearchOps {
       .agg(count(lit(1)).cast("long").as("n_lists"),
         sum(col("_c")).as("rrf_micro"))
   }
+
+  /** POSITIONAL PHRASE SEARCH ("exact phrase" boolean retrieval —
+    * the positional-postings query BM25 can't answer): docs where the
+    * phrase terms occur at CONSECUTIVE positions, found by chaining
+    * equi-joins on (doc, pos − offset) over the positional postings
+    * of the QUERY TERMS ONLY — the `isin` prune reaches the token
+    * stream before any join, so the index slice is proportional to
+    * the query terms' document frequency, never the corpus. Returns
+    * (id, n_occ) with one row per matching doc.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val toks = docs
+      .select(col(idCol), posexplode(
+        TextOps.tokens(lower(col(textCol)))).as(Seq("_pos", "_w")))
+      .where(col("_w").isin(phrase.distinct: _*))
+      .localCheckpoint() // one slice feeds every term's posting side
+    val head = toks.where(col("_w") === phrase.head)
+      .select(col(idCol), col("_pos"))
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(head) { case (acc, (term, i)) =>
+        acc.join(toks.where(col("_w") === term)
+            .select(col(idCol), (col("_pos") - i).as("_pos")),
+          Seq(idCol, "_pos"))
+      }
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occ"))
+  }
 }

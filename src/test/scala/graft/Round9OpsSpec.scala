@@ -330,6 +330,22 @@ class Round9OpsSpec extends AnyFunSuite {
       === BigInt(1000000) / BigInt(256))
   }
 
+  test("phraseSearch: consecutive positions only, repeated terms " +
+       "chain correctly, occurrences counted per doc") {
+    val docs = Seq(
+      (1L, "a b c a b"),   // 'a b' twice; adjacency pairs ab bc ca ab
+      (2L, "b a"),          // reversed — no 'a b'
+      (3L, "a x b"),        // gap — no match
+      (4L, "a a a")).toDF("id", "text")
+    def hits(p: String*) = SearchOps
+      .phraseSearch(docs, "id", "text", p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits("a", "b") === Map(1L -> 2L))
+    assert(hits("b", "a") === Map(2L -> 1L))
+    assert(hits("c", "a", "b") === Map(1L -> 1L))
+    assert(hits("a", "a", "a") === Map(4L -> 1L))
+  }
+
   test("bpeMerges: multi-char symbols never merge mid-symbol") {
     // after (l,o)→lo, word 'lol' = [lo, l]; a naive string scan could
     // find 'o l' inside 'lo l' — the boundary encoding must not
