@@ -4335,6 +4335,47 @@ object SparkEntry {
         Seq("small", "table"))
       .orderBy(col("doc_id"))
 
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    // DATA-CONTRACT VALIDATION (the dbt-tests / Deequ-class audit a
+    // pipeline runs before publishing a table): five contract checks
+    // over orders — not-null key, accepted status values, price
+    // range (tight enough that real rows violate it — a failing
+    // contract must surface as pass=false, not vanish), key
+    // uniqueness, and referential integrity to customer —
+    // each ONE map-side-combinable conditional aggregate except the
+    // FK check (a broadcast anti-join count; dimension side small).
+    // One (check, n_checked, violations, pass) row per contract.
+    val o = t(s, dir, "orders").localCheckpoint() // five consumers
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val nRows = o.count()
+    def check(name: String, violations: DataFrame) = violations
+      .select(lit(name).as("check"), lit(nRows).as("n_checked"),
+        col("violations"),
+        (col("violations") === 0L).as("pass"))
+    val notNull = check("o_custkey_not_null",
+      o.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+        .as("violations")))
+    val accepted = check("o_orderstatus_accepted",
+      o.agg(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)).as("violations")))
+    val range = check("o_totalprice_range",
+      o.agg(sum(when(col("o_totalprice") < 0 ||
+          col("o_totalprice") > 300000, 1L).otherwise(0L))
+        .as("violations")))
+    val unique = check("o_orderkey_unique",
+      o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("_n"))
+        .agg(sum(when(col("_n") > 1, col("_n"))).cast("long")
+          .as("violations"))
+        .select(coalesce(col("violations"), lit(0L)).as("violations")))
+    val fk = check("o_custkey_references_customer",
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("violations")))
+    notNull.unionByName(accepted).unionByName(range)
+      .unionByName(unique).unionByName(fk)
+      .orderBy(col("check"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -5073,6 +5114,7 @@ object SparkEntry {
     "q215_golden_record" -> q215 _,
     "q216_cuped" -> q216 _,
     "q217_phrase_search" -> q217 _,
+    "q218_data_contract" -> q218 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -8438,6 +8480,32 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_occ
         |FROM p0 JOIN p1 USING (doc_id, pos)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q218_data_contract" ->
+      // the same five contracts as plain SQL aggregates
+      """WITH n AS (SELECT count(*)::BIGINT AS n_checked FROM orders),
+        |  checks AS (
+        |    SELECT 'o_custkey_not_null' AS chk,
+        |      count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS v
+        |    FROM orders
+        |    UNION ALL SELECT 'o_orderstatus_accepted',
+        |      count(*) FILTER (WHERE o_orderstatus NOT IN
+        |        ('O', 'F', 'P'))::BIGINT
+        |    FROM orders
+        |    UNION ALL SELECT 'o_totalprice_range',
+        |      count(*) FILTER (WHERE o_totalprice < 0
+        |        OR o_totalprice > 300000)::BIGINT
+        |    FROM orders
+        |    UNION ALL SELECT 'o_orderkey_unique',
+        |      coalesce(sum(c) FILTER (WHERE c > 1), 0)::BIGINT
+        |    FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |    UNION ALL SELECT 'o_custkey_references_customer',
+        |      count(*)::BIGINT
+        |    FROM orders o LEFT JOIN customer c
+        |      ON c.c_custkey = o.o_custkey
+        |    WHERE c.c_custkey IS NULL)
+        |SELECT chk AS "check", n.n_checked, v AS violations,
+        |  v = 0 AS pass
+        |FROM checks, n ORDER BY chk""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof
