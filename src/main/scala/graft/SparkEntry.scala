@@ -4376,6 +4376,91 @@ object SparkEntry {
       .orderBy(col("check"))
   }
 
+  /** Fixed scoring hyperplane for the evaluation queries (q220/q221):
+    * integer MILLI-unit weights from the seeded Gaussian draw (the
+    * q46 embedded-literal convention) — the stand-in for a trained
+    * linear classifier's weight vector, identical literals on both
+    * engines. */
+  private lazy val evalPlaneMilli: Array[Long] =
+    SimilarityOps.hyperplanes(1, 64, seed = 7L).head
+      .map(w => math.round(w * 1000))
+
+  /** Integer classifier score for q220/q221: Σ round(x_i·1e6)·w_i
+    * over the milli-unit plane — elements fixed to micro-units BEFORE
+    * the products (the q212 exactness convention), pure map-side. */
+  private def evalScoreMicro(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      (col("label") === 3).as("_pos"),
+      aggregate(zip_with(
+        transform(col("embedding").cast("array<double>"),
+          e => round(e * 1e6, 0).cast("long")),
+        typedLit(evalPlaneMilli), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("_score"))
+
+  /** Shared DuckDB prefix for q220/q221: the same micro×milli integer
+    * projection, grouped to a (score, n_pos, n_neg) table. */
+  private def evalScoreSqlPrefix: String =
+    s"""w AS (SELECT (i.i - 1)::INT AS i, lv[i.i]::BIGINT AS v
+      |    FROM (SELECT list_value(${evalPlaneMilli.mkString(", ")})
+      |      AS lv),
+      |    LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i),
+      |  pr AS (SELECT vec_id, label = 3 AS pos,
+      |      embedding::DOUBLE[] AS x FROM embeddings),
+      |  px AS (SELECT vec_id, pos, (i.i - 1)::INT AS i,
+      |      round(x[i.i] * 1e6)::BIGINT AS xm
+      |    FROM pr,
+      |    LATERAL (SELECT unnest(generate_series(1, len(x))) AS i) i),
+      |  sc AS (SELECT vec_id, pos, sum(xm * w.v)::BIGINT AS s
+      |    FROM px JOIN w ON w.i = px.i GROUP BY 1, 2)""".stripMargin
+
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    // RANKED-RETRIEVAL EVALUATION (P@10 / recall@10 / MRR / NDCG@10 —
+    // the measurement half of the q35/q58/q193 retrieval stack):
+    // label-match relevance over the exact-cosine top-10, per-query
+    // total-relevant counts from the 10-row label table, NDCG's
+    // log2 discounts fixed to integer micro-units on the driver and
+    // embedded in both engines. One aggregate over 10·|queries| rows
+    // on top of the already-truncated ranking — evaluation costs
+    // nothing beyond the retrieval at any corpus size.
+    val emb = t(s, dir, "embeddings")
+    val ranked = SimilarityOps.bruteForceTopK(
+      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val lc = emb.groupBy(col("label")).agg(count(lit(1)).as("_lc"))
+    val rel = ranked
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("_ql"))), "query_id")
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("_nl"))), "neighbor_id")
+      .join(broadcast(lc.select(col("label").as("_ql"), col("_lc"))),
+        "_ql")
+      .withColumn("rel", (col("_ql") === col("_nl")).cast("int"))
+      .withColumn("total_rel", (col("_lc") - 1).cast("long"))
+    EvalOps.rankingMetrics(rel, "query_id", "rn", "rel", "total_rel",
+        k = 10)
+      .orderBy(col("query_id"))
+  }
+
+  private def q220(s: SparkSession, dir: String): DataFrame =
+    // EXACT DISTRIBUTED ROC-AUC (Mann–Whitney with tie averaging)
+    // for the fixed linear scorer vs the label==3 positive class:
+    // scores collapse to a grouped (score, n_pos, n_neg) table
+    // map-side, ranking becomes EvalOps.rocAuc's two-level prefix sum
+    // (bucket-partitioned windows + O(buckets) driver offsets — the
+    // q181 pattern), ONE float divide at the end on identical
+    // integers. No global sort at any row count.
+    EvalOps.rocAuc(evalScoreMicro(s, dir), "_score", "_pos")
+
+  private def q221(s: SparkSession, dir: String): DataFrame =
+    // CALIBRATION: 10-bin reliability diagram + expected calibration
+    // error for the same scorer — min-max normalization, binning, and
+    // the ECE numerator all in exact integer arithmetic
+    // (EvalOps.calibrationBins); two hash aggregates and two 1-row
+    // broadcasts, nothing sorts.
+    EvalOps.calibrationBins(evalScoreMicro(s, dir), "_score", "_pos",
+        bins = 10)
+      .orderBy(col("bin"))
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -5115,6 +5200,9 @@ object SparkEntry {
     "q216_cuped" -> q216 _,
     "q217_phrase_search" -> q217 _,
     "q218_data_contract" -> q218 _,
+    "q219_ranking_metrics" -> q219 _,
+    "q220_roc_auc" -> q220 _,
+    "q221_calibration" -> q221 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -8506,6 +8594,88 @@ object SparkEntry {
         |SELECT chk AS "check", n.n_checked, v AS violations,
         |  v = 0 AS pass
         |FROM checks, n ORDER BY chk""".stripMargin,
+    "q219_ranking_metrics" -> {
+      // the q35 cosine ranking + label-match relevance, with the SAME
+      // driver-derived integer gain/ideal-DCG literals as the engine
+      val gains = EvalOps.dcgGainsMicro(10).mkString(", ")
+      val idcg = EvalOps.idcgMicro(10).drop(1).mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
+        |    embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        |  c AS (SELECT vec_id AS neighbor_id, label AS cl,
+        |    embedding::DOUBLE[] AS cv FROM embeddings),
+        |  sm AS (SELECT query_id, ql, neighbor_id, cl,
+        |      list_inner_product(qv, cv) /
+        |        (sqrt(list_inner_product(qv, qv)) *
+        |         sqrt(list_inner_product(cv, cv))) AS sim0
+        |    FROM q, c WHERE query_id <> neighbor_id),
+        |  r AS (SELECT query_id, ql, (ql = cl)::INT AS rel,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(sim0, 6) DESC, neighbor_id) AS rn
+        |    FROM sm),
+        |  lc AS (SELECT label, count(*)::BIGINT AS n FROM embeddings
+        |    GROUP BY 1),
+        |  top AS (SELECT r.query_id, r.rel, r.rn,
+        |      (lc.n - 1)::BIGINT AS tr
+        |    FROM r JOIN lc ON lc.label = r.ql WHERE rn <= 10),
+        |  m AS (SELECT query_id, sum(rel)::BIGINT AS n_rel_ret,
+        |      min(CASE WHEN rel = 1 THEN rn END) AS fr,
+        |      sum(rel * list_value($gains)[rn::INT])::BIGINT
+        |        AS dcg_micro,
+        |      max(tr) AS tr FROM top GROUP BY 1)
+        |SELECT query_id, n_rel_ret,
+        |  round(n_rel_ret::DOUBLE / 10, 6) AS p_at_k,
+        |  CASE WHEN tr > 0 THEN round(n_rel_ret::DOUBLE / tr, 6) END
+        |    AS recall_at_k,
+        |  coalesce(round(1000000.0 / fr)::BIGINT, 0) AS mrr_micro,
+        |  dcg_micro,
+        |  (CASE WHEN tr = 0 THEN 0
+        |    ELSE list_value($idcg)[least(tr, 10)::INT] END)::BIGINT
+        |    AS idcg_micro,
+        |  CASE WHEN tr > 0 THEN round(dcg_micro::DOUBLE /
+        |    list_value($idcg)[least(tr, 10)::INT], 6) END AS ndcg
+        |FROM m ORDER BY query_id""".stripMargin
+    },
+    "q220_roc_auc" ->
+      // same grouped-score table; the oracle's single prefix-sum
+      // window IS the spec the engine's two-level sum must equal
+      s"""WITH $evalScoreSqlPrefix,
+        |  g AS (SELECT s,
+        |      sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS p,
+        |      sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS n
+        |    FROM sc GROUP BY 1),
+        |  cu AS (SELECT s, p, n, coalesce(sum(n) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS nb FROM g),
+        |  tt AS (SELECT sum(p)::BIGINT AS np, sum(n)::BIGINT AS nn,
+        |      sum(p * (2 * nb + n))::BIGINT AS num2 FROM cu)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  round(num2::DOUBLE / (2 * np * nn), 6) AS auc,
+        |  round(2 * round(num2::DOUBLE / (2 * np * nn), 6) - 1, 6)
+        |    AS gini
+        |FROM tt""".stripMargin,
+    "q221_calibration" ->
+      // same integer min-max binning + exact-integer ECE numerator
+      s"""WITH $evalScoreSqlPrefix,
+        |  st AS (SELECT min(s) AS lo, max(s) AS hi,
+        |      (max(s) - min(s))::BIGINT AS r, count(*)::BIGINT AS nt
+        |    FROM sc),
+        |  b AS (SELECT (CASE WHEN st.r = 0 THEN 0
+        |      ELSE least((sc.s - st.lo) * 10 // st.r, 9) END)::BIGINT
+        |        AS bin,
+        |      sc.pos, (sc.s - st.lo)::BIGINT AS d, st.r, st.nt
+        |    FROM sc, st),
+        |  pb AS (SELECT bin, count(*)::BIGINT AS n,
+        |      sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |      sum(d)::BIGINT AS sd, max(r) AS r, max(nt) AS nt
+        |    FROM b GROUP BY 1),
+        |  e AS (SELECT CASE WHEN max(r) > 0 THEN
+        |      round(sum(abs(sd - n_pos * r))::DOUBLE /
+        |        (max(r)::DOUBLE * max(nt)), 6) END AS ece FROM pb)
+        |SELECT bin, n, n_pos,
+        |  CASE WHEN r > 0 THEN
+        |    round(sd::DOUBLE / (n::DOUBLE * r), 6) END AS confidence,
+        |  round(n_pos::DOUBLE / n, 6) AS accuracy, e.ece
+        |FROM pb, e ORDER BY bin""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof
