@@ -4461,6 +4461,100 @@ object SparkEntry {
         bins = 10)
       .orderBy(col("bin"))
 
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    // DSIR DATA SELECTION (Xie et al. 2023 importance resampling —
+    // the pretraining-curation pass that picks raw-web docs whose
+    // hashed-n-gram profile looks like a high-quality target): target
+    // = the English slice, raw = the full corpus; per-bucket
+    // log-ratios fixed to integer micro-nats (q195 convention), doc
+    // weight = order-free integer dot product, deterministic top-100
+    // cut on (weight desc, doc_id) — TakeOrdered, never a global sort.
+    val docs = t(s, dir, "documents")
+    TextOps.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    // WINNOWING FINGERPRINTS (MOSS local fingerprinting — positional
+    // near-dup detection with the shared-substring GUARANTEE MinHash
+    // lacks): 4-token shingles, window 4, min-hash-per-window with
+    // the rightmost-tie rule packed into one integer min. Per-doc
+    // digest of the fingerprint set is the compare witness.
+    TextOps.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 4)
+      .orderBy(col("doc_id"))
+
+  private def q224(s: SparkSession, dir: String): DataFrame =
+    // CHI-SQUARE INDEPENDENCE (the SRM/guardrail sibling of q216's
+    // CUPED readout: is the event mix independent of the variant
+    // assignment?): one contingency pass, exact integer O·N − r·c
+    // deviations, per-cell values fixed to micro-units before the
+    // order-free sum.
+    AggOps.chiSquareIndependence(
+      t(s, dir, "events").select(col("event_type"),
+        (col("user_id") % 2).as("variant")),
+      "event_type", "variant")
+
+  private def q225(s: SparkSession, dir: String): DataFrame =
+    // SPEARMAN RANK CORRELATION (exact, tie-averaged) between
+    // per-customer order count and lifetime spend: two
+    // AggOps.valueRanks passes (the two-level prefix sum — no global
+    // sort), ranks centered to mean-zero integers before any product
+    // so the sufficient statistics stay inside 2^63 to ~2M rows, one
+    // float divide at the end.
+    AggOps.spearman(
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("_n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("_cents")),
+      "_n_orders", "_cents")
+
+  private def q226(s: SparkSession, dir: String): DataFrame =
+    // EQUI-DEPTH DISCRETIZATION: decile bins of line-item price cents
+    // by EXACT rank (AggOps.equiDepthBins over valueRanks — none of
+    // approx_percentile's drift), bin = below·10 div n so tie groups
+    // never split. Returns the bin dictionary a feature transformer
+    // broadcasts back onto rows.
+    AggOps.equiDepthBins(
+      t(s, dir, "lineitem").select(
+        round(col("l_extendedprice") * 100, 0).cast("long").as("_cents")),
+      "_cents", bins = 10)
+      .orderBy(col("bin"))
+
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    // GROUPED QUANTILES from the deterministic mergeable QUANTILE
+    // SKETCH (QuantileSketchAgg — the MRL multi-level summary, the
+    // quantile sibling of q200's Misra–Gries): per-status p50/p90/p99
+    // of order price cents. The sketch buffer is bounded and
+    // map-side-combinable, so at 100 TB a quantile pass shuffles
+    // KB-sized summaries instead of a per-value count table or a
+    // global sort; capacity ≥ the group size here ⇒ the exact
+    // (hash-comparable) regime, the q200 convention. Extraction =
+    // one summary-bounded cum-weight window, integer rank rule
+    // 100·cum ≥ n·p.
+    val sk = t(s, dir, "orders")
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("_c"))
+      .groupBy(col("o_orderstatus"))
+      .agg(graft.functions.GraftFunctions
+        .quantile_sketch(col("_c"), 16384).as("_sk"))
+    val byStatus = Window.partitionBy(col("o_orderstatus"))
+    val cum = sk
+      .select(col("o_orderstatus"), explode(col("_sk")).as("_e"))
+      .select(col("o_orderstatus"), col("_e.value").as("_v"),
+        col("_e.weight").as("_w"))
+      .withColumn("_cum", sum(col("_w")).over(byStatus.orderBy(col("_v"))))
+      .withColumn("_n", sum(col("_w")).over(byStatus))
+    def qv(p: Int) = min(when(col("_cum") * 100 >= col("_n") * p,
+      col("_v")))
+    cum.groupBy(col("o_orderstatus"))
+      .agg(max(col("_n")).as("n"), qv(50).as("p50_cents"),
+        qv(90).as("p90_cents"), qv(99).as("p99_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -5203,6 +5297,12 @@ object SparkEntry {
     "q219_ranking_metrics" -> q219 _,
     "q220_roc_auc" -> q220 _,
     "q221_calibration" -> q221 _,
+    "q222_dsir_selection" -> q222 _,
+    "q223_winnowing" -> q223 _,
+    "q224_chi_square" -> q224 _,
+    "q225_spearman" -> q225 _,
+    "q226_equidepth_bins" -> q226 _,
+    "q227_quantile_sketch" -> q227 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -8676,6 +8776,139 @@ object SparkEntry {
         |    round(sd::DOUBLE / (n::DOUBLE * r), 6) END AS confidence,
         |  round(n_pos::DOUBLE / n, 6) AS accuracy, e.ece
         |FROM pb, e ORDER BY bin""".stripMargin,
+    "q222_dsir_selection" ->
+      // same md5 bucketing, add-one smoothing, micro-nat log-ratios,
+      // and (weight desc, doc_id) top-100 cut
+      """WITH tw AS (SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0)) AS w FROM documents WHERE lang = 'en'),
+        |  rw AS (SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0)) AS w FROM documents),
+        |  tb AS (SELECT ('0x' || substr(md5(w), 1, 2))::BIGINT % 256
+        |      AS b, count(*)::BIGINT AS t FROM tw GROUP BY 1),
+        |  rb AS (SELECT ('0x' || substr(md5(w), 1, 2))::BIGINT % 256
+        |      AS b, count(*)::BIGINT AS n FROM rw GROUP BY 1),
+        |  tot AS (SELECT (SELECT sum(t) FROM tb)::BIGINT AS nt,
+        |      (SELECT sum(n) FROM rb)::BIGINT AS nr),
+        |  lam AS (SELECT coalesce(rb.b, tb.b) AS b,
+        |      round(ln(((coalesce(tb.t, 0) + 1) *
+        |          (tot.nr + 256))::DOUBLE /
+        |        ((coalesce(rb.n, 0) + 1) *
+        |          (tot.nt + 256))::DOUBLE) * 1e6)::BIGINT AS lam
+        |    FROM rb FULL OUTER JOIN tb ON tb.b = rb.b, tot),
+        |  dc AS (SELECT doc_id,
+        |      ('0x' || substr(md5(w), 1, 2))::BIGINT % 256 AS b,
+        |      count(*)::BIGINT AS c FROM rw GROUP BY 1, 2),
+        |  sc AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |      sum(c * lam.lam)::BIGINT AS weight_micro
+        |    FROM dc JOIN lam USING (b) GROUP BY 1)
+        |SELECT doc_id, n_tokens, weight_micro FROM sc
+        |ORDER BY weight_micro DESC, doc_id LIMIT 100""".stripMargin,
+    "q223_winnowing" ->
+      // same 36-bit md5 shingle hash, packed rightmost-tie window
+      // minimum, and sorted-set digest
+      """WITH d AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    z -> len(z) > 0) AS l FROM documents),
+        |  sh AS (SELECT doc_id, i.i - 1 AS pos,
+        |      array_to_string(l[i.i:i.i + 3], ' ') AS s
+        |    FROM d, LATERAL (SELECT unnest(
+        |      generate_series(1, len(l) - 3)) AS i) i
+        |    WHERE len(l) >= 4),
+        |  pk AS (SELECT doc_id, pos,
+        |      ('0x' || substr(md5(s), 1, 9))::BIGINT * 16777216 +
+        |        (16777215 - pos) AS packed,
+        |      count(*) OVER (PARTITION BY doc_id) AS ng
+        |    FROM sh),
+        |  sel AS (SELECT doc_id, ng,
+        |      CASE WHEN pos <= ng - 4 THEN
+        |        min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) END AS s
+        |    FROM pk)
+        |SELECT doc_id, max(ng)::BIGINT AS n_grams,
+        |  count(DISTINCT s)::BIGINT AS n_fingerprints,
+        |  md5(coalesce(array_to_string(list_sort(
+        |    list(DISTINCT s) FILTER (WHERE s IS NOT NULL)), ','), ''))
+        |    AS fp_digest
+        |FROM sel GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q224_chi_square" ->
+      // same exact-integer deviations and per-cell micro rounding
+      """WITH o AS (SELECT event_type AS r, (user_id % 2)::BIGINT AS c,
+        |    count(*)::BIGINT AS o FROM events GROUP BY 1, 2),
+        |  rm AS (SELECT r, sum(o)::BIGINT AS rt FROM o GROUP BY 1),
+        |  cm AS (SELECT c, sum(o)::BIGINT AS ct FROM o GROUP BY 1),
+        |  tot AS (SELECT sum(o)::BIGINT AS n,
+        |      count(DISTINCT r)::BIGINT AS nr,
+        |      count(DISTINCT c)::BIGINT AS nc FROM o),
+        |  mic AS (SELECT round(
+        |      ((o.o * tot.n - rm.rt * cm.ct)::DOUBLE *
+        |       (o.o * tot.n - rm.rt * cm.ct)::DOUBLE) /
+        |      (tot.n * rm.rt * cm.ct)::DOUBLE * 1e6)::BIGINT AS m,
+        |      tot.n, tot.nr, tot.nc
+        |    FROM o JOIN rm USING (r) JOIN cm USING (c), tot)
+        |SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS n_cells,
+        |  ((max(nr) - 1) * (max(nc) - 1))::BIGINT AS dof,
+        |  round(sum(m)::DOUBLE / 1e6, 6) AS chi2,
+        |  round(sqrt(sum(m)::DOUBLE / 1e6 /
+        |    (max(n) * least(max(nr) - 1, max(nc) - 1))::DOUBLE), 6)
+        |    AS cramers_v
+        |FROM mic""".stripMargin,
+    "q225_spearman" ->
+      // same tie-averaged doubled ranks, same mean-zero centering;
+      // rank() = below + 1 so u = 2·rank + cnt − 1 = 2·below + cnt + 1
+      """WITH pc AS (SELECT o_custkey, count(*)::BIGINT AS x,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |  nn AS (SELECT count(*)::BIGINT AS n FROM pc),
+        |  r AS (SELECT
+        |      2 * (rank() OVER (ORDER BY x)) +
+        |        count(*) OVER (PARTITION BY x) - 1 AS u,
+        |      2 * (rank() OVER (ORDER BY y)) +
+        |        count(*) OVER (PARTITION BY y) - 1 AS v
+        |    FROM pc),
+        |  c AS (SELECT (u - nn.n - 1)::BIGINT AS du,
+        |      (v - nn.n - 1)::BIGINT AS dv FROM r, nn),
+        |  t AS (SELECT count(*)::BIGINT AS n,
+        |      sum(du * dv)::BIGINT AS sxy,
+        |      sum(du * du)::BIGINT AS sxx,
+        |      sum(dv * dv)::BIGINT AS syy FROM c)
+        |SELECT n, CASE WHEN sxx > 0 AND syy > 0 THEN
+        |    round(sxy::DOUBLE / (sqrt(sxx::DOUBLE) *
+        |      sqrt(syy::DOUBLE)), 6) END AS rho
+        |FROM t""".stripMargin,
+    "q226_equidepth_bins" ->
+      // same exact below-counts and below·B div n binning
+      """WITH v AS (SELECT round(l_extendedprice * 100)::BIGINT AS c
+        |    FROM lineitem),
+        |  nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        |  g AS (SELECT c, count(*)::BIGINT AS cnt FROM v GROUP BY 1),
+        |  r AS (SELECT c, cnt, coalesce(sum(cnt) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS below FROM g)
+        |SELECT (below * 10 // nn.n)::BIGINT AS bin,
+        |  sum(cnt)::BIGINT AS n, min(c)::BIGINT AS lo,
+        |  max(c)::BIGINT AS hi
+        |FROM r, nn GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q227_quantile_sketch" ->
+      // exact-regime equivalence: the sketch's (value, weight) table
+      // IS the exact per-value count table, so the same cum/rank rule
+      // lands on identical quantiles
+      """WITH v AS (SELECT o_orderstatus AS st,
+        |    round(o_totalprice * 100)::BIGINT AS c FROM orders),
+        |  g AS (SELECT st, c, count(*)::BIGINT AS w FROM v
+        |    GROUP BY 1, 2),
+        |  r AS (SELECT st, c,
+        |      sum(w) OVER (PARTITION BY st ORDER BY c)::BIGINT AS cum,
+        |      sum(w) OVER (PARTITION BY st)::BIGINT AS n FROM g)
+        |SELECT st AS o_orderstatus, max(n)::BIGINT AS n,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN c END)::BIGINT
+        |    AS p50_cents,
+        |  min(CASE WHEN cum * 100 >= n * 90 THEN c END)::BIGINT
+        |    AS p90_cents,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN c END)::BIGINT
+        |    AS p99_cents
+        |FROM r GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, CosineSim, GramAgg, JaroWinkler, MinHashAgg, MisraGriesAgg, ReplaceInf, SimHashAgg}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, GramAgg, JaroWinkler, MinHashAgg, MisraGriesAgg, QuantileSketchAgg, ReplaceInf, SimHashAgg}
 
 /** Column-API entry points for the custom Catalyst expressions
   * (implementations in org.apache.spark.sql.graft — they need
@@ -62,6 +62,18 @@ object GraftFunctions {
     * `reverse = true` keeps the k smallest, ascending. */
   def collect_top_k(c: Column, k: Int, reverse: Boolean = false): Column =
     Bridge.column(Bridge.collectTopK(Bridge.expression(c), k, reverse))
+
+  /** Deterministic mergeable quantile sketch (MRL multi-level summary,
+    * the quantile sibling of [[misra_gries]]): bounded per-level runs,
+    * weight-conserving compaction, rank error ≤ #levels·n/capacity.
+    * capacity ≥ n (even) ⇒ exact sorted value/count table,
+    * hash-comparable. Input: a long per row; output:
+    * array<struct<value, weight>> sorted by value, equal values
+    * merged. */
+  def quantile_sketch(c: Column, capacity: Int): Column =
+    Bridge.column(
+      QuantileSketchAgg(Bridge.expression(c), capacity)
+        .toAggregateExpression())
 
   /** Native bloom-membership probe over a driver-built
     * `org.apache.spark.util.sketch.BloomFilter` (serialized form):

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY.md §2.4).
@@ -236,5 +237,140 @@ object AggOps {
         round((col("_sy").cast("double") - col("_slope") *
           col("_sx").cast("double")) / col("n").cast("double"), 6)
           .as("intercept"))
+  }
+
+  /** Pearson chi-square test of independence over two categorical
+    * columns (the SRM / guardrail check run next to a CUPED readout:
+    * is the outcome mix independent of the assignment?).
+    *
+    * chi2 = Σ_cells (O·N − r·c)² / (N·r·c) over the observed count O,
+    * row margin r, column margin c, total N. DETERMINISM: O·N − r·c
+    * is an EXACT integer per cell; its square and the one divide run
+    * in doubles over those identical integers, fixed to integer
+    * micro-units per cell before the order-free sum (the q186
+    * convention — a raw double Σ over cells would expose summation
+    * order). Requires O·N < 2^63: fine to ~3·10^9 rows per side.
+    *
+    * SCALE: ONE map-side-combinable groupBy(row, col) pass over the
+    * data; margins and the total derive from that contingency table
+    * (checkpointed once — category-domain bounded, not data bounded)
+    * and broadcast back. Returns one row: n, n_cells, dof, chi2,
+    * cramers_v. */
+  def chiSquareIndependence(df: DataFrame, rowCol: String,
+                            colCol: String): DataFrame = {
+    val o = df.groupBy(col(rowCol).as("_r"), col(colCol).as("_c"))
+      .agg(count(lit(1)).as("_o"))
+      .localCheckpoint() // feeds margins, total, and the cell pass
+    val rm = o.groupBy(col("_r")).agg(sum(col("_o")).as("_rt"))
+    val cm = o.groupBy(col("_c")).agg(sum(col("_o")).as("_ct"))
+    val tot = o.agg(sum(col("_o")).as("_n"),
+      count_distinct(col("_r")).as("_nr"),
+      count_distinct(col("_c")).as("_nc"))
+    o.join(broadcast(rm), "_r").join(broadcast(cm), "_c")
+      .crossJoin(broadcast(tot))
+      .withColumn("_dev",
+        (col("_o") * col("_n") - col("_rt") * col("_ct")).cast("double"))
+      .withColumn("_cell_micro",
+        round(col("_dev") * col("_dev") /
+          (col("_n") * col("_rt") * col("_ct")).cast("double") * 1e6, 0)
+          .cast("long"))
+      .groupBy()
+      .agg(first(col("_n")).as("n"),
+        count(lit(1)).as("n_cells"),
+        first(col("_nr")).as("_r2"), first(col("_nc")).as("_c2"),
+        sum(col("_cell_micro")).as("_chi2_micro"))
+      .select(col("n"), col("n_cells"),
+        ((col("_r2") - 1) * (col("_c2") - 1)).as("dof"),
+        round(col("_chi2_micro").cast("double") / 1e6, 6).as("chi2"),
+        round(sqrt(col("_chi2_micro").cast("double") / 1e6 /
+          (col("n") * least(col("_r2") - 1, col("_c2") - 1))
+            .cast("double")), 6).as("cramers_v"))
+  }
+
+  /** EXACT global rank statistics per distinct value of a LONG column
+    * — (value, cnt, below) where `below` counts rows strictly
+    * smaller — WITHOUT a global sort: the two-level prefix sum (the
+    * q181/rocAuc pattern). Rows collapse map-side to per-value
+    * counts; values pre-bucket by their high bits (arithmetic shift,
+    * so bucket order == numeric order for negatives); an O(buckets)
+    * driver matrix seeds each bucket's running total; the only window
+    * partitions BY BUCKET. This is the primitive behind average
+    * ranks, equi-depth binning, and rank correlation at any
+    * cardinality — no single-partition window anywhere. */
+  def valueRanks(df: DataFrame, valueCol: String,
+                 bucketShift: Int = 32): DataFrame = {
+    val grouped = df.groupBy(col(valueCol).cast("long").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("_b", shiftright(col("value"), bucketShift))
+      .localCheckpoint() // feeds the bucket matrix AND the scan below
+    val perBucket = grouped.groupBy(col("_b"))
+      .agg(sum(col("cnt")).as("_bn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val starts = perBucket.map(_._1)
+      .zip(perBucket.scanLeft(0L)(_ + _._2))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = starts.toSeq.toDF("_b", "_start")
+    val win = Window.partitionBy(col("_b")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped.join(broadcast(offDf), Seq("_b"))
+      .select(col("value"), col("cnt"),
+        (col("_start") + coalesce(sum(col("cnt")).over(win), lit(0L)))
+          .as("below"))
+  }
+
+  /** Spearman rank correlation between two LONG columns, EXACT with
+    * average-tie ranks and no global sort (two [[valueRanks]] passes).
+    *
+    * Ranks are centered before any product: d = 2·avgRank − (n+1) =
+    * 2·below + cnt − n is a mean-ZERO exact integer (Σ of doubled avg
+    * ranks is n(n+1) by construction), so
+    * rho = Σ d_x·d_y / (√Σd_x² · √Σd_y²) needs only n³ < 2^63 —
+    * exact to ~2·10^6 rows per correlation; uncentered sufficient
+    * statistics would overflow at ~4·10^4. One float divide at the
+    * end on identical integers. Returns (n, rho); rho is null when
+    * either side is constant. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d = df.select(col(xCol).cast("long").as("_x"),
+      col(yCol).cast("long").as("_y"))
+      .localCheckpoint() // feeds two rank passes AND the row join
+    val n = d.agg(count(lit(1)).as("_n"))
+    val rx = valueRanks(d, "_x")
+      .select(col("value").as("_x"),
+        (lit(2L) * col("below") + col("cnt")).as("_u"))
+    val ry = valueRanks(d, "_y")
+      .select(col("value").as("_y"),
+        (lit(2L) * col("below") + col("cnt")).as("_v"))
+    d.join(rx, Seq("_x")).join(ry, Seq("_y"))
+      .crossJoin(broadcast(n))
+      .select(col("_n"), (col("_u") - col("_n")).as("_du"),
+        (col("_v") - col("_n")).as("_dv"))
+      .agg(first(col("_n")).as("n"),
+        sum(col("_du") * col("_dv")).as("_sxy"),
+        sum(col("_du") * col("_du")).as("_sxx"),
+        sum(col("_dv") * col("_dv")).as("_syy"))
+      .select(col("n"),
+        when(col("_sxx") > 0 && col("_syy") > 0,
+          round(col("_sxy").cast("double") /
+            (sqrt(col("_sxx").cast("double")) *
+             sqrt(col("_syy").cast("double"))), 6)).as("rho"))
+  }
+
+  /** Equi-depth (quantile) discretization of a LONG column into
+    * `bins` rank-balanced bins — the feature-binning artifact: bin =
+    * below·bins div n, so every tie group lands in one bin and bin
+    * populations are as equal as ties allow. EXACT ranks from
+    * [[valueRanks]] (no global sort, no approx-percentile drift);
+    * returns the bin dictionary (bin, n, lo, hi) a transformer
+    * broadcasts back onto rows. */
+  def equiDepthBins(df: DataFrame, valueCol: String,
+                    bins: Int): DataFrame = {
+    val ranked = valueRanks(df, valueCol)
+    val n = ranked.agg(sum(col("cnt")).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bin", expr(s"(below * $bins) DIV _n"))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
   }
 }

@@ -614,4 +614,130 @@ object TextOps {
     aggregate(tokens(c), lit(0L),
       (acc, t) => (acc * lit(31L) + pmod(xxhash64(t), m)) % m)
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-unigram bag is under
+    * the TARGET distribution than under the RAW distribution —
+    * weight(d) = Σ_b count_d(b)·( ln p_t(b) − ln p_r(b) ) with
+    * add-one-smoothed bucket probabilities over `buckets` md5 hash
+    * buckets. Selection (the "resampling" half) is then a top-k or
+    * threshold cut on the returned weight; this deterministic variant
+    * omits the paper's Gumbel noise so the cut is reproducible.
+    *
+    * DETERMINISM: each bucket's log-ratio is fixed to integer
+    * micro-nats from an exact integer rational
+    * ((n_t(b)+1)·(N_r+B)) / ((n_r(b)+1)·(N_t+B)) — the q195
+    * convention — so a document's weight is an order-free integer
+    * dot product of its bucket counts against a B-row literal table.
+    *
+    * SCALE: both distributions collapse to B-row aggregates
+    * (map-side combinable, broadcast); scoring is one (doc, bucket)
+    * aggregate joined against the broadcast ratio table — one corpus
+    * scan per side, no shuffle wider than B per doc. Returns
+    * (idCol, n_tokens, weight_micro). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets <= 256, "bucket id comes from the md5 first byte")
+    def bucket(w: Column): Column =
+      pmod(conv(substring(md5(w), 1, 2), 16, 10).cast("int"),
+        lit(buckets))
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(explode(tokens(lower(col(textCol)))).as("_w"))
+        .groupBy(bucket(col("_w")).as("_b"))
+        .agg(count(lit(1)).as("_n"))
+    val tc = bucketCounts(target)
+    val rc = bucketCounts(raw)
+    val tTot = tc.agg(sum(col("_n")).as("_nt"))
+    val rTot = rc.agg(sum(col("_n")).as("_nr"))
+    val lam = rc.join(tc.withColumnRenamed("_n", "_t"), Seq("_b"),
+        "full_outer")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("_b"),
+        round(log(
+          ((coalesce(col("_t"), lit(0L)) + 1L) *
+            (col("_nr") + buckets)).cast("double") /
+          ((coalesce(col("_n"), lit(0L)) + 1L) *
+            (col("_nt") + buckets)).cast("double")) * 1e6, 0)
+          .cast("long").as("_lam"))
+    raw.select(col(idCol), explode(tokens(lower(col(textCol)))).as("_w"))
+      .groupBy(col(idCol), bucket(col("_w")).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .join(broadcast(lam), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_tokens"),
+        sum(col("_c") * col("_lam")).as("weight_micro"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    * MOSS local fingerprinting scheme): hash every `k`-token shingle,
+    * slide a window of `w` consecutive hashes, and select each
+    * window's minimum (rightmost position on ties — the "robust"
+    * rule). The selected set has expected density 2/(w+1) yet
+    * GUARANTEES any shared token run of length ≥ w + k − 1 between
+    * two documents shares a fingerprint — the positional dedup
+    * primitive MinHash (a global signature) cannot provide.
+    *
+    * DETERMINISM: the hash is the 36-bit md5 prefix of the shingle
+    * (engine-portable, q67 convention); min-with-rightmost-tie is
+    * ONE integer min over h·2^24 + (2^24−1−pos) — no argmax window
+    * needed. Token positions must stay below 2^24 (16M tokens/doc).
+    *
+    * SCALE: one shuffle by document id, then per-doc windows bounded
+    * by document length; the fingerprint table that feeds cross-doc
+    * matching is (2/(w+1))·|shingles| rows — the downstream join is
+    * the standard hash equi-join on the fingerprint.
+    *
+    * Returns one row per doc: n_grams, n_fingerprints, fp_digest
+    * (md5 of the sorted distinct packed fingerprints — the
+    * set-equality witness). Docs with at least one shingle but fewer
+    * than w complete windows appear with n_fingerprints = 0; docs
+    * shorter than k tokens have no shingles and drop out. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol))
+    winnowGrams(docs, idCol, textCol, k, w)
+      .withColumn("_ng", count(lit(1)).over(byDoc))
+      .groupBy(col(idCol))
+      .agg(max(col("_ng")).as("n_grams"),
+        count_distinct(col("_sel")).as("n_fingerprints"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_set(col("_sel"))),
+            x => x.cast("string")))).as("fp_digest"))
+  }
+
+  /** The fingerprint TABLE behind [[winnowFingerprints]]: one row per
+    * selected fingerprint — (idCol, fp_hash, fp_pos), where fp_pos is
+    * the shingle position the winnowing rule picked. This is the side
+    * a cross-document matcher equi-joins on fp_hash (two docs sharing
+    * a ≥ w+k−1 token run MUST share a row here). */
+  def winnowFingerprintRows(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int = 4,
+                            w: Int = 4): DataFrame =
+    winnowGrams(docs, idCol, textCol, k, w)
+      .where(col("_sel").isNotNull)
+      .select(col(idCol), col("_sel")).distinct()
+      .select(col(idCol),
+        // integer div/mod — a double `/` would lose bits above 2^53
+        expr("_sel DIV 16777216").as("fp_hash"),
+        (lit(16777215L) - pmod(col("_sel"), lit(16777216L)))
+          .as("fp_pos"))
+
+  /** Shared winnowing core: shingle rows with `_sel` = the packed
+    * window minimum for complete-window start positions, null
+    * elsewhere. */
+  private def winnowGrams(docs: DataFrame, idCol: String,
+                          textCol: String, k: Int, w: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol))
+    val frame = byDoc.orderBy(col("_pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    docs.select(col(idCol),
+        posexplode(shingles(lower(col(textCol)), k)).as(Seq("_pos", "_sh")))
+      .withColumn("_packed",
+        conv(substring(md5(col("_sh")), 1, 9), 16, 10).cast("long") *
+          lit(16777216L) + (lit(16777215L) - col("_pos")))
+      .withColumn("_sel",
+        when(col("_pos") <= count(lit(1)).over(byDoc) - w,
+          min(col("_packed")).over(frame)))
+  }
 }
