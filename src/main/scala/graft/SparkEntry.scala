@@ -4555,6 +4555,127 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  private def q228(s: SparkSession, dir: String): DataFrame =
+    // l-DIVERSITY AUDIT (the homogeneity-attack check k-anonymity
+    // misses — q197's refinement): per (segment, nation) QI group,
+    // count distinct sensitive balance bands; one map-side aggregate,
+    // QI-domain bounded.
+    CleanOps.lDiversityAudit(
+      t(s, dir, "customer").withColumn("_sens",
+        floor(col("c_acctbal") / 1000)),
+      Seq("c_mktsegment", "c_nationkey"), "_sens", l = 3)
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    // JENSEN-SHANNON DIVERGENCE between two sources' hashed-token
+    // distributions (the SYMMETRIC, bounded [0, ln 2] sibling of
+    // q166's PSI — corpus drift monitoring that never blows up on
+    // empty buckets): 64 md5 buckets, per-bucket contributions
+    // p·ln(2p/(p+q)) computed from exact integer rationals and fixed
+    // to micro-nats before the order-free sum (q186 convention);
+    // zero-count buckets contribute exactly 0. Two bucket aggregates
+    // + one 64-row full-outer join.
+    val docs = t(s, dir, "documents")
+    def buckets(src: String) = docs
+      .filter(col("source") === src)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("_w"))
+      .groupBy(pmod(conv(substring(md5(col("_w")), 1, 2), 16, 10)
+        .cast("int"), lit(64)).as("_b"))
+      .agg(count(lit(1)).as("_n"))
+    AggOps.jensenShannon(buckets("src0"), buckets("src1"), "_b", "_n")
+      .select(col("n_buckets"), col("np_total").as("np_tokens"),
+        col("nq_total").as("nq_tokens"), col("jsd"))
+  }
+
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    // RFM SEGMENTATION (recency / frequency / monetary quintiles —
+    // the classic customer-value grid) by EXACT rank: three
+    // AggOps.valueRanks passes over the per-customer rollup (the
+    // two-level prefix sum — no global sort even at billions of
+    // customers), quintile = below·5 div n so tie groups never
+    // split; one (r, f, m) cell count per segment.
+    val orders = t(s, dir, "orders")
+    val mx = orders.agg(max(to_date(col("o_orderdate"))).as("_mx"))
+    val pc = orders.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("_last"),
+        count(lit(1)).as("_f"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("_m"))
+      .crossJoin(broadcast(mx))
+      .select(col("o_custkey"),
+        datediff(col("_mx"), col("_last")).cast("long").as("_r"),
+        col("_f"), col("_m"))
+      .localCheckpoint() // feeds three rank passes AND the row joins
+    val n = pc.agg(count(lit(1)).as("_n"))
+    def bins(metric: String) = AggOps.valueRanks(pc, metric)
+      .crossJoin(broadcast(n))
+      .select(col("value").as(metric),
+        expr("(below * 5) DIV _n").as(metric + "bin"))
+    pc.join(bins("_r"), Seq("_r")).join(bins("_f"), Seq("_f"))
+      .join(bins("_m"), Seq("_m"))
+      .groupBy(col("_rbin").as("r_bin"), col("_fbin").as("f_bin"),
+        col("_mbin").as("m_bin"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_bin"), col("f_bin"), col("m_bin"))
+  }
+
+  private def q231(s: SparkSession, dir: String): DataFrame =
+    // EXACT SET-SIMILARITY SELF-JOIN with prefix filtering
+    // (DedupOps.setSimilarityJoin — the no-false-negative complement
+    // of the q32 LSH candidate generator): all document pairs with
+    // token-set Jaccard >= 7/10, candidates generated only from each
+    // doc's rarest-token prefix, every threshold in integer rational
+    // arithmetic. BOUNDED-PROBE DEMO (the q180/q186 convention): the
+    // fixture corpus draws from a ~100-word vocabulary, so genuinely
+    // similar pairs are DENSE — the full corpus at 3/5 yields
+    // millions of true pairs (honest output, useless as a gate row);
+    // the doc_id slice keeps the oracle-harness shape constant across
+    // SFs while the operator itself is the real-corpus scale path
+    // (rare-token prefixes shrink postings when the vocabulary is
+    // realistic).
+    DedupOps.setSimilarityJoin(
+        t(s, dir, "documents").where(col("doc_id") < 400), "doc_id",
+        "text", tNum = 7, tDen = 10)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    // INCREMENTAL JOIN-VIEW MAINTENANCE (the JOIN sibling of q207's
+    // aggregate merge — never re-join old-with-old): revenue per
+    // order status over orders ⋈ lineitem where BOTH sides grow; the
+    // refresh adds the three delta terms ΔO⋈L_old, O_old⋈ΔL, ΔO⋈ΔL
+    // and merges by pure state addition (full-outer coalesce-add on
+    // exact cents). The oracle recomputes the join from scratch —
+    // hash equality IS the maintenance proof.
+    val cut = "2024-01-15"
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), to_date(col("o_orderdate")).as("_od"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+      to_date(col("l_shipdate")).as("_sd"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100, 0).cast("long").as("_cents"))
+    val oOld = o.where(col("_od") < cut)
+    val oNew = o.where(col("_od") >= cut)
+    val lOld = l.where(col("_sd") < cut)
+    val lNew = l.where(col("_sd") >= cut)
+    def agg(os: DataFrame, ls: DataFrame) = os
+      .join(ls, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("_n"), sum(col("_cents")).as("_c"))
+    val base = agg(oOld, lOld)
+    val deltas = Seq(agg(oNew, lOld), agg(oOld, lNew), agg(oNew, lNew))
+    deltas.foldLeft(base) { (acc, d) =>
+        acc.withColumnRenamed("_n", "_n0").withColumnRenamed("_c", "_c0")
+          .join(d, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"),
+            (coalesce(col("_n0"), lit(0L)) +
+              coalesce(col("_n"), lit(0L))).as("_n"),
+            (coalesce(col("_c0"), lit(0L)) +
+              coalesce(col("_c"), lit(0L))).as("_c"))
+      }
+      .select(col("o_orderstatus"), col("_n").as("n_items"),
+        col("_c").as("revenue_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -5303,6 +5424,11 @@ object SparkEntry {
     "q225_spearman" -> q225 _,
     "q226_equidepth_bins" -> q226 _,
     "q227_quantile_sketch" -> q227 _,
+    "q228_l_diversity" -> q228 _,
+    "q229_jsd_drift" -> q229 _,
+    "q230_rfm_segments" -> q230 _,
+    "q231_set_similarity" -> q231 _,
+    "q232_join_ivm" -> q232 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -8909,6 +9035,108 @@ object SparkEntry {
         |  min(CASE WHEN cum * 100 >= n * 99 THEN c END)::BIGINT
         |    AS p99_cents
         |FROM r GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q228_l_diversity" ->
+      // same QI grouping and distinct-sensitive count
+      """SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS n,
+        |  count(DISTINCT floor(c_acctbal / 1000)::BIGINT)::BIGINT
+        |    AS n_sensitive,
+        |  count(DISTINCT floor(c_acctbal / 1000)::BIGINT) >= 3
+        |    AS diverse
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q229_jsd_drift" ->
+      // same buckets, integer rationals, and micro-nat rounding
+      """WITH pw AS (SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0)) AS w FROM documents
+        |    WHERE source = 'src0'),
+        |  qw AS (SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0)) AS w FROM documents
+        |    WHERE source = 'src1'),
+        |  pb AS (SELECT ('0x' || substr(md5(w), 1, 2))::BIGINT % 64
+        |      AS b, count(*)::BIGINT AS cp FROM pw GROUP BY 1),
+        |  qb AS (SELECT ('0x' || substr(md5(w), 1, 2))::BIGINT % 64
+        |      AS b, count(*)::BIGINT AS cq FROM qw GROUP BY 1),
+        |  tot AS (SELECT (SELECT sum(cp) FROM pb)::BIGINT AS np,
+        |      (SELECT sum(cq) FROM qb)::BIGINT AS nq),
+        |  j AS (SELECT coalesce(pb.cp, 0)::BIGINT AS cp,
+        |      coalesce(qb.cq, 0)::BIGINT AS cq, tot.np, tot.nq
+        |    FROM pb FULL OUTER JOIN qb ON qb.b = pb.b, tot),
+        |  t AS (SELECT
+        |      CASE WHEN cp > 0 THEN round(cp::DOUBLE / np *
+        |        ln((2 * cp * nq)::DOUBLE /
+        |           (cp * nq + cq * np)::DOUBLE) * 1e6)::BIGINT
+        |        ELSE 0 END AS tp,
+        |      CASE WHEN cq > 0 THEN round(cq::DOUBLE / nq *
+        |        ln((2 * cq * np)::DOUBLE /
+        |           (cq * np + cp * nq)::DOUBLE) * 1e6)::BIGINT
+        |        ELSE 0 END AS tq,
+        |      np, nq FROM j)
+        |SELECT count(*)::BIGINT AS n_buckets, max(np)::BIGINT
+        |    AS np_tokens, max(nq)::BIGINT AS nq_tokens,
+        |  round((sum(tp) + sum(tq))::DOUBLE / 2e6, 6) AS jsd
+        |FROM t""".stripMargin,
+    "q230_rfm_segments" ->
+      // rank() − 1 == below-count, same quintile div rule
+      """WITH mx AS (SELECT max(o_orderdate)::DATE AS mx FROM orders),
+        |  pc AS (SELECT o_custkey,
+        |      date_diff('day', max(o_orderdate)::DATE, mx.mx)::BIGINT
+        |        AS r,
+        |      count(*)::BIGINT AS f,
+        |      sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS m
+        |    FROM orders, mx GROUP BY o_custkey, mx.mx),
+        |  nn AS (SELECT count(*)::BIGINT AS n FROM pc),
+        |  b AS (SELECT
+        |      ((rank() OVER (ORDER BY r)) - 1) * 5 // nn.n AS r_bin,
+        |      ((rank() OVER (ORDER BY f)) - 1) * 5 // nn.n AS f_bin,
+        |      ((rank() OVER (ORDER BY m)) - 1) * 5 // nn.n AS m_bin
+        |    FROM pc, nn)
+        |SELECT r_bin::BIGINT AS r_bin, f_bin::BIGINT AS f_bin,
+        |  m_bin::BIGINT AS m_bin, count(*)::BIGINT AS n_customers
+        |FROM b GROUP BY 1, 2, 3
+        |ORDER BY r_bin, f_bin, m_bin""".stripMargin,
+    "q231_set_similarity" ->
+      // same rarity order, prefix rule, length filter, integer verify
+      """WITH tk AS (SELECT doc_id, unnest(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0))) AS tok FROM documents
+        |    WHERE doc_id < 400),
+        |  dfc AS (SELECT tok, count(*)::BIGINT AS df FROM tk
+        |    GROUP BY 1),
+        |  sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tk
+        |    GROUP BY 1),
+        |  pr AS (SELECT tk.doc_id, tk.tok, sz.sz,
+        |      row_number() OVER (PARTITION BY tk.doc_id
+        |        ORDER BY dfc.df, tk.tok) AS rn
+        |    FROM tk JOIN dfc USING (tok) JOIN sz USING (doc_id)),
+        |  pf AS (SELECT doc_id, tok, sz FROM pr
+        |    WHERE rn <= sz - (sz * 7 + 9) // 10 + 1),
+        |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      a.sz AS sa, b.sz AS sb
+        |    FROM pf a JOIN pf b ON a.tok = b.tok
+        |      AND a.doc_id < b.doc_id
+        |    WHERE 7 * greatest(a.sz, b.sz) <= 10 * least(a.sz, b.sz)),
+        |  iv AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS inter
+        |    FROM cand c JOIN tk ta ON ta.doc_id = c.id_a
+        |      JOIN tk tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+        |    GROUP BY 1, 2)
+        |SELECT c.id_a, c.id_b, coalesce(iv.inter, 0)::BIGINT AS inter,
+        |  (c.sa + c.sb - coalesce(iv.inter, 0))::BIGINT AS "union",
+        |  round(coalesce(iv.inter, 0)::DOUBLE /
+        |    (c.sa + c.sb - coalesce(iv.inter, 0)), 6) AS jaccard
+        |FROM cand c LEFT JOIN iv USING (id_a, id_b)
+        |WHERE coalesce(iv.inter, 0) * 10 >=
+        |  (c.sa + c.sb - coalesce(iv.inter, 0)) * 7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q232_join_ivm" ->
+      // from-scratch join recompute — equality with base + three
+      // delta terms is the incremental-maintenance proof
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_items,
+        |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    ::BIGINT)::BIGINT AS revenue_cents
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof

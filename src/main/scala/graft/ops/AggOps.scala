@@ -287,6 +287,46 @@ object AggOps {
             .cast("double")), 6).as("cramers_v"))
   }
 
+  /** Jensen–Shannon divergence between two bucketed count tables
+    * (each (bucketCol, countCol)) — the SYMMETRIC, bounded [0, ln 2]
+    * drift measure next to PSI (which blows up on empty buckets; JSD
+    * contributes exactly 0 there). Per-bucket contributions
+    * p·ln(2p/(p+q)) are computed from EXACT integer rationals
+    * (2·cp·Nq / (cp·Nq + cq·Np)) and fixed to integer micro-nats
+    * before the order-free sum (the q186 convention). One full-outer
+    * join of two bucket-domain-bounded aggregates + two 1-row
+    * broadcasts. Returns (n_buckets, np_total, nq_total, jsd) in
+    * nats. */
+  def jensenShannon(p: DataFrame, q: DataFrame, bucketCol: String,
+                    countCol: String): DataFrame = {
+    val pc = p.select(col(bucketCol).as("_b"),
+      col(countCol).cast("long").as("_cp"))
+    val qc = q.select(col(bucketCol).as("_b"),
+      col(countCol).cast("long").as("_cq"))
+    val np = pc.agg(sum(col("_cp")).as("_np"))
+    val nq = qc.agg(sum(col("_cq")).as("_nq"))
+    def term(cSelf: Column, nSelf: Column, cOther: Column,
+             nOther: Column): Column =
+      when(cSelf > 0, round(
+        cSelf.cast("double") / nSelf.cast("double") *
+          log((lit(2L) * cSelf * nOther).cast("double") /
+            (cSelf * nOther + cOther * nSelf).cast("double")) * 1e6, 0)
+        .cast("long")).otherwise(lit(0L))
+    pc.join(qc, Seq("_b"), "full_outer")
+      .select(coalesce(col("_cp"), lit(0L)).as("_cp"),
+        coalesce(col("_cq"), lit(0L)).as("_cq"))
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .select(
+        term(col("_cp"), col("_np"), col("_cq"), col("_nq")).as("_tp"),
+        term(col("_cq"), col("_nq"), col("_cp"), col("_np")).as("_tq"),
+        col("_np"), col("_nq"))
+      .agg(count(lit(1)).as("n_buckets"),
+        first(col("_np")).as("np_total"),
+        first(col("_nq")).as("nq_total"),
+        round((sum(col("_tp")) + sum(col("_tq"))).cast("double") / 2e6, 6)
+          .as("jsd"))
+  }
+
   /** EXACT global rank statistics per distinct value of a LONG column
     * — (value, cnt, below) where `below` counts rows strictly
     * smaller — WITHOUT a global sort: the two-level prefix sum (the

@@ -355,4 +355,21 @@ object CleanOps {
       .withColumn("k_suppressed", suppressed)
       .drop("_qi_n")
   }
+
+  /** l-DIVERSITY AUDIT (Machanavajjhala et al. 2006 — the
+    * k-anonymity refinement guarding against the homogeneity attack:
+    * a QI group that is large enough can still leak when every member
+    * shares one sensitive value). One map-side-combinable aggregate
+    * per QI group over the QI-domain-bounded table — no window, no
+    * sort; returns (qiCols..., n, n_sensitive, diverse) with diverse
+    * = (distinct sensitive values ≥ l), the audit a publisher runs
+    * next to [[kAnonymize]]. */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "l-diversity needs at least one QI column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
 }

@@ -580,4 +580,70 @@ object DedupOps {
         levenshtein(col(s"${strCol}_a"), col(s"${strCol}_b")) <= maxDist)
       .drop("_variant").distinct()
   }
+
+  /** EXACT set-similarity self-join via PREFIX FILTERING (Chaudhuri–
+    * Ganti–Kaushik 2006, the PPJoin/AllPairs candidate generator —
+    * the exact complement of MinHash-LSH: NO false negative can exist
+    * at the threshold). Jaccard threshold t = tNum/tDen is kept as a
+    * RATIONAL so every filter is integer arithmetic.
+    *
+    * Tokens order globally by RARITY (document frequency asc, token
+    * asc — a deterministic total order); a pair with Jaccard ≥ t must
+    * share a token within each side's first |d| − ceil(t·|d|) + 1
+    * rarest tokens (dropping a whole prefix leaves too little
+    * intersection mass to reach t). Candidates are therefore an
+    * equi-join on exploded PREFIX tokens only — the rarest tokens
+    * carry the smallest postings, so candidate volume collapses vs
+    * the full token join — plus the length filter
+    * tNum·max(|a|,|b|) ≤ tDen·min(|a|,|b|). The exact intersect
+    * verify keeps inter·tDen ≥ union·tNum — integer, no float
+    * threshold.
+    *
+    * Scale shape: one tokenize pass (checkpointed — it feeds the
+    * df-counts, the prefixes, and the verify), a token-bounded
+    * df-count join-back, per-doc rank windows bounded by doc length,
+    * then equi-join + hash-aggregate verify — the LSH pipeline's
+    * shape with the approximation removed. Returns
+    * (id_a, id_b, inter, union, jaccard). */
+  def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+                        tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      "threshold must be a rational in (0, 1]")
+    val toks = df.select(col(idCol), explode(TextOps.tokenSet(
+        lower(col(textCol)))).as("_tok"))
+      .localCheckpoint() // feeds df-counts, prefixes, and the verify
+    val dfCounts = toks.groupBy(col("_tok"))
+      .agg(count(lit(1)).as("_df"))
+    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("_sz"))
+    val byDocRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("_df"), col("_tok"))
+    val prefix = toks.join(dfCounts, "_tok").join(sizes, idCol)
+      .withColumn("_rn", row_number().over(byDocRarity))
+      // prefix length = sz − ceil(t·sz) + 1; ceil(a/b) = (a+b−1) div b
+      .where(col("_rn") <= col("_sz") -
+        expr(s"(_sz * $tNum + $tDen - 1) DIV $tDen") + 1)
+      .select(col(idCol), col("_tok"), col("_sz"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("_tok"),
+        col("_sz").as("_sa"))
+      .join(prefix.select(col(idCol).as("id_b"), col("_tok"),
+        col("_sz").as("_sb")), "_tok")
+      .where(col("id_a") < col("id_b") &&
+        lit(tNum) * greatest(col("_sa"), col("_sb")) <=
+          lit(tDen) * least(col("_sa"), col("_sb")))
+      .select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col(idCol).as("id_a"), col("_tok")), "id_a")
+      .join(toks.select(col(idCol).as("id_b"), col("_tok")),
+        Seq("id_b", "_tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .withColumn("union", col("_sa") + col("_sb") - col("inter"))
+      .where(col("inter") * tDen >= col("union") * tNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("union"),
+        round(col("inter").cast("double") / col("union"), 6)
+          .as("jaccard"))
+  }
 }
