@@ -4676,6 +4676,244 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    // MUTUAL INFORMATION between an embedding feature's sign and the
+    // class label (the feature-relevance readout a selection pass
+    // runs before training — info-theory family next to q229 JSD and
+    // q203 PMI): exact integer rationals per contingency cell,
+    // micro-nat rounding before the order-free sum.
+    AggOps.mutualInformation(
+      t(s, dir, "embeddings").select(
+        (element_at(col("embedding"), 1) > 0).as("_f"), col("label")),
+      "_f", "label")
+
+  private def q234(s: SparkSession, dir: String): DataFrame =
+    // k-CORE (k=3) over the q103 synthetic orders graph: the peeling
+    // fixpoint is UNIQUE for any removal order, so the engine's
+    // iterative semi-join loop (checkpoint-per-iteration, previous
+    // released — the q57 hygiene) and the oracle's unrolled peel land
+    // on the same core.
+    GraphOps.kCore(
+      t(s, dir, "orders").select((col("o_custkey") % 50).as("src"),
+        (col("o_orderkey") % 50).as("dst")),
+      k = 3)
+      .orderBy(col("node"))
+
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING QUANTILE MONITOR — per-day p50/p95 of event value
+    // cents with the mergeable QuantileSketchAgg running INSIDE the
+    // watermarked streaming aggregation (its binary buffer is what
+    // the state store persists across micro-batches): the stream side
+    // is ONLY the bounded (day window, sketch, n) aggregate — the
+    // q201 shape — and quantile extraction runs batch-side on the
+    // landed summaries via the q227 integer rank rule. Capacity 8192
+    // ≥ any fixture day's event count ⇒ exact regime at the verify SF
+    // (the q227/q200 convention); append cutoff = q173.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    val stream = Tables.withTimestamps(
+      StreamOps.fileStream(s, schema, staged), "events")
+    val agg = stream
+      .withColumn("_cents",
+        coalesce(round(col("value") * 100, 0).cast("long"), lit(0L)))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.GraftFunctions
+          .quantile_sketch(col("_cents"), 8192).as("_sk"),
+        count(lit(1)).as("n"))
+    val landed = StreamOps.runToCompletion(agg,
+      s"q235_${System.nanoTime()}", outputMode = "append",
+      statePartitions = Some(8))
+    val byDay = Window.partitionBy(col("day"))
+    val cum = landed
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("n"), explode(col("_sk")).as("_e"))
+      .select(col("day"), col("n"), col("_e.value").as("_v"),
+        col("_e.weight").as("_w"))
+      .withColumn("_cum", sum(col("_w")).over(byDay.orderBy(col("_v"))))
+    def qv(p: Int) = min(when(col("_cum") * 100 >= col("n") * p,
+      col("_v")))
+    cum.groupBy(col("day"))
+      .agg(max(col("n")).as("n"), qv(50).as("p50_cents"),
+        qv(95).as("p95_cents"))
+      .orderBy(col("day"))
+  }
+
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    // EXACT-k WEIGHTED SAMPLE (Efraimidis–Spirakis A-ES top-k by
+    // u^(1/w), SplitOps.weightedExactKSample): 50 orders drawn
+    // proportional to price, deterministic md5 uniforms, pico-unit
+    // keys, TakeOrdered — the exact-size weighted draw the Bernoulli
+    // q-sampler (weightedHashSample) can't give.
+    SplitOps.weightedExactKSample(
+      t(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("_cents")),
+      "o_orderkey", col("_cents"), k = 50, salt = "aes9")
+      .select(col("o_orderkey"), col("_cents").as("weight_cents"),
+        col("aes_key_pico"))
+      .orderBy(col("aes_key_pico").desc, col("o_orderkey"))
+
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    // K-FOLD CROSS-VALIDATED EVALUATION: deterministic md5 fold
+    // assignment (the q79 convention) + per-fold precision/recall/F1
+    // of the fixed q220 linear scorer (prediction = score > 0,
+    // positive = label 3) — the fold machinery a CV loop runs, with
+    // the fixed model standing in for the per-fold retrain (training
+    // itself is the q45 no-oracle path). One map-side aggregate per
+    // fold; ties to the q219/q220/q221 evaluation family.
+    val folds = evalScoreMicro(s, dir)
+      .withColumn("_fold",
+        pmod(conv(substring(md5(concat(col("vec_id").cast("string"),
+          lit("cv9"))), 1, 8), 16, 10).cast("long"), lit(5)))
+      .withColumn("_pred", col("_score") > 0)
+    folds.groupBy(col("_fold").as("fold"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_pred") && col("_pos"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("_pred") && !col("_pos"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("_pred") && col("_pos"), 1L).otherwise(0L))
+          .as("fn"))
+      .select(col("fold"), col("n"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0, round(col("tp").cast("double") /
+          (col("tp") + col("fp")), 6)).as("precision"),
+        when(col("tp") + col("fn") > 0, round(col("tp").cast("double") /
+          (col("tp") + col("fn")), 6)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")), 6))
+          .as("f1"))
+      .orderBy(col("fold"))
+  }
+
+  private def q238(s: SparkSession, dir: String): DataFrame =
+    // LEAVE-ONE-OUT TARGET ENCODING (the leakage-free categorical
+    // feature: each row's encoding = the category's target mean
+    // EXCLUDING the row itself, so the feature never sees its own
+    // label): enc = (Σ_cat − own)/(n_cat − 1) over exact cents — one
+    // category aggregate broadcast back, null for singleton
+    // categories (nothing to encode from).
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("_cents"))
+      .withColumn("_sum", sum(col("_cents"))
+        .over(Window.partitionBy(col("p_brand"))))
+      .withColumn("_n", count(lit(1))
+        .over(Window.partitionBy(col("p_brand"))))
+      .select(col("p_partkey"), col("p_brand"),
+        when(col("_n") > 1, round((col("_sum") - col("_cents"))
+          .cast("double") / (col("_n") - 1) / 100, 6))
+          .as("loo_mean_price"))
+      .orderBy(col("p_partkey"))
+
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    // KAPLAN–MEIER SURVIVAL (the product-limit churn estimator):
+    // per-user duration = days first→last event; a user whose last
+    // event is > 7 days before the corpus end has churned (death),
+    // otherwise censored-at-end. S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)
+    // evaluated as exp of the ORDER-FREE micro-nat sum
+    // Σ round(1e6·ln(1−d/n)) — per-step factors are exact integer
+    // rationals, so both engines exponentiate the same integer; a
+    // step with d == n zeroes survival from there on (cum flag, no
+    // ln(0)). The duration table is day-domain bounded, so its
+    // windows are the accepted bounded class.
+    val ev = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("_first"),
+        to_date(max(col("ts"))).as("_last"))
+    val mx = ev.agg(max(col("_last")).as("_mx"))
+    val durations = ev.crossJoin(broadcast(mx))
+      .select(datediff(col("_last"), col("_first")).cast("long")
+          .as("dur"),
+        (datediff(col("_mx"), col("_last")) > 7).as("_death"))
+    val byDur = durations
+      .groupBy(col("dur"))
+      .agg(count(lit(1)).as("_total"),
+        sum(when(col("_death"), 1L).otherwise(0L)).as("n_deaths"))
+    val w = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDur
+      .withColumn("_n_at_risk",
+        sum(col("_total")).over(Window.orderBy(col("dur"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("_ln_micro",
+        when(col("n_deaths") < col("_n_at_risk"),
+          round(log((col("_n_at_risk") - col("n_deaths"))
+            .cast("double") / col("_n_at_risk").cast("double")) * 1e6,
+            0).cast("long")).otherwise(lit(0L)))
+      .withColumn("_zero",
+        max(when(col("n_deaths") === col("_n_at_risk"), 1L)
+          .otherwise(0L)).over(wIncl))
+      .withColumn("_cum_ln", sum(col("_ln_micro")).over(wIncl))
+      .select(col("dur").as("duration_days"),
+        col("_n_at_risk").as("n_at_risk"), col("n_deaths"),
+        when(col("_zero") === 1, lit(0.0))
+          .otherwise(round(exp(col("_cum_ln").cast("double") / 1e6), 6))
+          .as("survival"))
+      .orderBy(col("duration_days"))
+  }
+
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    // CUSUM CHANGE-POINT MONITOR over daily event volume, in CLOSED
+    // FORM: the one-sided CUSUM recursion S_t = max(0, S_{t−1} + y_t)
+    // equals P_t − min_{s≤t} P_s over prefix sums P of
+    // y = daily − target — so the sequential control chart becomes
+    // two windows over the day-domain-bounded table, no recursion,
+    // EXACT integers end to end (target = total div n_days; alarm
+    // threshold h = target div 2). The first alarm day is where a
+    // real pipeline pages.
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(coalesce(round(col("value") * 100, 0).cast("long"),
+        lit(0L))).as("cents"))
+      .localCheckpoint() // feeds the target scalar AND the chart
+    // integer DIV — a double `/` then cast could land one off the
+    // exact floor when the quotient grazes an integer
+    val tgt = daily.agg(sum(col("cents")).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(expr("_s DIV _n").as("_target"))
+    val byDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(tgt))
+      .withColumn("_p", sum(col("cents") - col("_target")).over(byDay))
+      .withColumn("_minp", least(lit(0L), min(col("_p")).over(byDay)))
+      .select(col("day"), col("cents"),
+        (col("_p") - col("_minp")).as("cusum"),
+        ((col("_p") - col("_minp")) >=
+          expr("_target DIV 2")).as("alarm"))
+      .orderBy(col("day"))
+  }
+
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    // BENFORD FIRST-DIGIT AUDIT (the classic fabricated-numbers
+    // screen): leading digit via the DECIMAL STRING rendering (exact
+    // in any engine — no float log10 boundary risk), observed share
+    // vs Benford's ln(1 + 1/d)/ln 10 fixed to micro units, per-digit
+    // deviation in micro units — one map-side aggregate over the
+    // scan.
+    val d = t(s, dir, "orders")
+      .select(round(col("o_totalprice") * 100, 0).cast("long")
+        .as("_c"))
+      .where(col("_c") > 0)
+      .select(substring(col("_c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum(col("n")).as("_nt"))
+    d.crossJoin(broadcast(tot))
+      .withColumn("p_observed_micro",
+        expr("(n * 1000000) DIV _nt"))
+      .withColumn("p_benford_micro",
+        round(log(lit(1.0) + lit(1.0) / col("digit")) /
+          log(lit(10.0)) * 1e6, 0).cast("long"))
+      .select(col("digit"), col("n"), col("p_observed_micro"),
+        col("p_benford_micro"),
+        abs(col("p_observed_micro") - col("p_benford_micro"))
+          .as("deviation_micro"))
+      .orderBy(col("digit"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -5429,6 +5667,15 @@ object SparkEntry {
     "q230_rfm_segments" -> q230 _,
     "q231_set_similarity" -> q231 _,
     "q232_join_ivm" -> q232 _,
+    "q233_mutual_info" -> q233 _,
+    "q234_k_core" -> q234 _,
+    "q235_stream_quantiles" -> q235 _,
+    "q236_weighted_sample" -> q236 _,
+    "q237_kfold_eval" -> q237 _,
+    "q238_target_encoding" -> q238 _,
+    "q239_kaplan_meier" -> q239 _,
+    "q240_cusum" -> q240 _,
+    "q241_benford" -> q241 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -9137,6 +9384,183 @@ object SparkEntry {
         |    ::BIGINT)::BIGINT AS revenue_cents
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q233_mutual_info" ->
+      // same contingency rationals, micro-nat rounding, entropies
+      """WITH o AS (SELECT embedding[1] > 0 AS x, label AS y,
+        |    count(*)::BIGINT AS c FROM embeddings GROUP BY 1, 2),
+        |  xm AS (SELECT x, sum(c)::BIGINT AS cx FROM o GROUP BY 1),
+        |  ym AS (SELECT y, sum(c)::BIGINT AS cy FROM o GROUP BY 1),
+        |  tot AS (SELECT sum(c)::BIGINT AS n FROM o),
+        |  hx AS (SELECT sum(round(cx::DOUBLE / tot.n *
+        |      ln(tot.n::DOUBLE / cx) * 1e6)::BIGINT)::BIGINT AS hxm
+        |    FROM xm, tot),
+        |  hy AS (SELECT sum(round(cy::DOUBLE / tot.n *
+        |      ln(tot.n::DOUBLE / cy) * 1e6)::BIGINT)::BIGINT AS hym
+        |    FROM ym, tot),
+        |  mi AS (SELECT sum(round(o.c::DOUBLE / tot.n *
+        |      ln((o.c * tot.n)::DOUBLE / (xm.cx * ym.cy)::DOUBLE)
+        |      * 1e6)::BIGINT)::BIGINT AS mim,
+        |      count(*)::BIGINT AS nc, max(tot.n)::BIGINT AS n
+        |    FROM o JOIN xm USING (x) JOIN ym USING (y), tot)
+        |SELECT mi.n, mi.nc AS n_cells,
+        |  round(hx.hxm::DOUBLE / 1e6, 6) AS hx,
+        |  round(hy.hym::DOUBLE / 1e6, 6) AS hy,
+        |  round(mi.mim::DOUBLE / 1e6, 6) AS mi,
+        |  CASE WHEN least(hx.hxm, hy.hym) > 0 THEN
+        |    round(mi.mim::DOUBLE / least(hx.hxm, hy.hym), 6) END
+        |    AS mi_normalized
+        |FROM mi, hx, hy""".stripMargin,
+    "q234_k_core" -> {
+      // unrolled peel — each round is idempotent at the fixpoint, so
+      // extra rounds cannot change the (unique) core
+      val rounds = 12
+      val peel = (1 to rounds).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT src AS node FROM e0
+           |    WHERE src IN (SELECT node FROM s${i - 1})
+           |      AND dst IN (SELECT node FROM s${i - 1})
+           |    GROUP BY 1 HAVING count(*) >= 3)""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH u AS (SELECT (o_custkey % 50)::BIGINT AS src,
+        |    (o_orderkey % 50)::BIGINT AS dst FROM orders),
+        |  e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |    (SELECT src, dst FROM u
+        |     UNION ALL SELECT dst, src FROM u)
+        |    WHERE src <> dst),
+        |  s0 AS (SELECT DISTINCT src AS node FROM e0),
+        |  $peel
+        |SELECT src AS node, count(*)::BIGINT AS degree FROM e0
+        |WHERE src IN (SELECT node FROM s$rounds)
+        |  AND dst IN (SELECT node FROM s$rounds)
+        |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+    "q235_stream_quantiles" ->
+      // batch twin: q173 day-emission cutoff + the exact-regime
+      // per-value counts and the same integer rank rule
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |  e AS (SELECT date_trunc('day', ts) AS d,
+        |      coalesce(round(value * 100)::BIGINT, 0) AS c
+        |    FROM events CROSS JOIN mx
+        |    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m),
+        |  g AS (SELECT d, c, count(*)::BIGINT AS w FROM e
+        |    GROUP BY 1, 2),
+        |  nn AS (SELECT d, sum(w)::BIGINT AS n FROM g GROUP BY 1),
+        |  r AS (SELECT g.d, g.c,
+        |      sum(g.w) OVER (PARTITION BY g.d ORDER BY g.c)::BIGINT
+        |        AS cum,
+        |      nn.n FROM g JOIN nn USING (d))
+        |SELECT strftime(d, '%Y-%m-%d') AS day, max(n)::BIGINT AS n,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN c END)::BIGINT
+        |    AS p50_cents,
+        |  min(CASE WHEN cum * 100 >= n * 95 THEN c END)::BIGINT
+        |    AS p95_cents
+        |FROM r GROUP BY 1 ORDER BY day""".stripMargin,
+    "q236_weighted_sample" ->
+      // same md5 uniforms, pico keys, and (key desc, id) cut
+      """WITH w AS (SELECT o_orderkey,
+        |      round(o_totalprice * 100)::BIGINT AS weight_cents,
+        |      ((('0x' || substr(md5(o_orderkey::VARCHAR || 'aes9'),
+        |        1, 8))::BIGINT + 1)::DOUBLE) / 4294967296.0 AS u
+        |    FROM orders WHERE round(o_totalprice * 100) > 0),
+        |  k AS (SELECT o_orderkey, weight_cents,
+        |      round(ln(u) / weight_cents * 1e12)::BIGINT
+        |        AS aes_key_pico FROM w)
+        |SELECT o_orderkey, weight_cents, aes_key_pico
+        |FROM k ORDER BY aes_key_pico DESC, o_orderkey
+        |LIMIT 50""".stripMargin,
+    "q237_kfold_eval" ->
+      // same scorer prefix, md5 folds, and per-fold conditional sums
+      s"""WITH $evalScoreSqlPrefix,
+        |  f AS (SELECT vec_id, pos, s,
+        |      ('0x' || substr(md5(vec_id::VARCHAR || 'cv9'), 1, 8))
+        |        ::BIGINT % 5 AS fold,
+        |      s > 0 AS pred FROM sc),
+        |  m AS (SELECT fold, count(*)::BIGINT AS n,
+        |      sum(CASE WHEN pred AND pos THEN 1 ELSE 0 END)::BIGINT
+        |        AS tp,
+        |      sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END)
+        |        ::BIGINT AS fp,
+        |      sum(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END)
+        |        ::BIGINT AS fn
+        |    FROM f GROUP BY 1)
+        |SELECT fold::BIGINT AS fold, n, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    round(tp::DOUBLE / (tp + fp), 6) END AS "precision",
+        |  CASE WHEN tp + fn > 0 THEN
+        |    round(tp::DOUBLE / (tp + fn), 6) END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+        |FROM m ORDER BY fold""".stripMargin,
+    "q238_target_encoding" ->
+      // same window sums and leave-one-out arithmetic on exact cents
+      """SELECT p_partkey, p_brand,
+        |  CASE WHEN cnt > 1 THEN
+        |    round((s - c)::DOUBLE / (cnt - 1) / 100, 6) END
+        |    AS loo_mean_price
+        |FROM (SELECT p_partkey, p_brand,
+        |    round(p_retailprice * 100)::BIGINT AS c,
+        |    sum(round(p_retailprice * 100)::BIGINT)
+        |      OVER (PARTITION BY p_brand)::BIGINT AS s,
+        |    count(*) OVER (PARTITION BY p_brand)::BIGINT AS cnt
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q239_kaplan_meier" ->
+      // same durations, micro-nat factors, cum flag, and exp
+      """WITH ev AS (SELECT user_id, min(ts)::DATE AS f,
+        |    max(ts)::DATE AS l FROM events GROUP BY 1),
+        |  mx AS (SELECT max(l) AS m FROM ev),
+        |  d AS (SELECT date_diff('day', f, l)::BIGINT AS dur,
+        |      date_diff('day', l, mx.m) > 7 AS death FROM ev, mx),
+        |  g AS (SELECT dur, count(*)::BIGINT AS total,
+        |      sum(CASE WHEN death THEN 1 ELSE 0 END)::BIGINT AS nd
+        |    FROM d GROUP BY 1),
+        |  r AS (SELECT dur, nd,
+        |      sum(total) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING)::BIGINT AS nr FROM g),
+        |  x AS (SELECT dur, nr, nd,
+        |      CASE WHEN nd < nr THEN
+        |        round(ln((nr - nd)::DOUBLE / nr) * 1e6)::BIGINT
+        |        ELSE 0 END AS lnm,
+        |      CASE WHEN nd = nr THEN 1 ELSE 0 END AS z FROM r),
+        |  c AS (SELECT dur, nr, nd,
+        |      sum(lnm) OVER (ORDER BY dur)::BIGINT AS cln,
+        |      max(z) OVER (ORDER BY dur)::BIGINT AS cz FROM x)
+        |SELECT dur AS duration_days, nr AS n_at_risk,
+        |  nd AS n_deaths,
+        |  CASE WHEN cz = 1 THEN 0.0
+        |    ELSE round(exp(cln::DOUBLE / 1e6), 6) END AS survival
+        |FROM c ORDER BY duration_days""".stripMargin,
+    "q240_cusum" ->
+      // same prefix-sum closed form, integer target and threshold
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |    sum(coalesce(round(value * 100)::BIGINT, 0))::BIGINT
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |  tgt AS (SELECT (sum(cents) // count(*))::BIGINT AS t
+        |    FROM daily),
+        |  p AS (SELECT day, cents,
+        |      sum(cents - tgt.t) OVER (ORDER BY day)::BIGINT AS pp,
+        |      tgt.t FROM daily, tgt),
+        |  m AS (SELECT day, cents, pp, t,
+        |      least(0, min(pp) OVER (ORDER BY day))::BIGINT AS mp
+        |    FROM p)
+        |SELECT day, cents, (pp - mp)::BIGINT AS cusum,
+        |  pp - mp >= t // 2 AS alarm
+        |FROM m ORDER BY day""".stripMargin,
+    "q241_benford" ->
+      // same string-derived leading digit and integer shares
+      """WITH c AS (SELECT round(o_totalprice * 100)::BIGINT AS c
+        |    FROM orders WHERE round(o_totalprice * 100) > 0),
+        |  d AS (SELECT substr(c::VARCHAR, 1, 1)::INT AS digit,
+        |      count(*)::BIGINT AS n FROM c GROUP BY 1),
+        |  tot AS (SELECT sum(n)::BIGINT AS nt FROM d)
+        |SELECT digit, n,
+        |  ((n * 1000000) // tot.nt)::BIGINT AS p_observed_micro,
+        |  round(ln(1.0::DOUBLE + 1.0::DOUBLE / digit) / ln(10.0)
+        |    * 1e6)::BIGINT AS p_benford_micro,
+        |  abs((n * 1000000) // tot.nt -
+        |    round(ln(1.0::DOUBLE + 1.0::DOUBLE / digit) / ln(10.0)
+        |      * 1e6)::BIGINT)::BIGINT AS deviation_micro
+        |FROM d, tot ORDER BY digit""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof

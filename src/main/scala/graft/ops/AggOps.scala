@@ -327,6 +327,56 @@ object AggOps {
           .as("jsd"))
   }
 
+  /** Mutual information I(X; Y) between two categorical columns, plus
+    * the marginal entropies — the information-theoretic
+    * feature-relevance measure next to [[jensenShannon]] (distribution
+    * drift) and PMI (q203, pairwise association). Everything derives
+    * from ONE contingency pass: per-cell contributions
+    * (c_xy/N)·ln(c_xy·N/(c_x·c_y)) come from EXACT integer rationals,
+    * fixed to integer micro-nats before the order-free sum (the q186
+    * convention); empty cells contribute exactly 0 by construction.
+    *
+    * Returns (n, n_cells, hx, hy, mi, mi_normalized) in nats, with
+    * mi_normalized = mi/min(hx, hy) (null when either entropy is 0 —
+    * a constant column carries no information). Scale: the
+    * contingency table is category-domain bounded; margins derive
+    * from it (checkpointed once) and broadcast back. */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val o = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // feeds margins, total, and the cell pass
+    val xm = o.groupBy(col("_x")).agg(sum(col("_c")).as("_cx"))
+    val ym = o.groupBy(col("_y")).agg(sum(col("_c")).as("_cy"))
+    val tot = o.agg(sum(col("_c")).as("_n"))
+    def entMicro(cnt: Column, n: Column): Column =
+      round(cnt.cast("double") / n.cast("double") *
+        log(n.cast("double") / cnt.cast("double")) * 1e6, 0)
+        .cast("long")
+    val hx = xm.crossJoin(broadcast(tot))
+      .agg(sum(entMicro(col("_cx"), col("_n"))).as("_hxm"))
+    val hy = ym.crossJoin(broadcast(tot))
+      .agg(sum(entMicro(col("_cy"), col("_n"))).as("_hym"))
+    o.join(broadcast(xm), "_x").join(broadcast(ym), "_y")
+      .crossJoin(broadcast(tot))
+      .select(col("_n"),
+        round(col("_c").cast("double") / col("_n").cast("double") *
+          log((col("_c") * col("_n")).cast("double") /
+            (col("_cx") * col("_cy")).cast("double")) * 1e6, 0)
+          .cast("long").as("_mi"))
+      .agg(first(col("_n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(col("_mi")).as("_mim"))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("n_cells"),
+        round(col("_hxm").cast("double") / 1e6, 6).as("hx"),
+        round(col("_hym").cast("double") / 1e6, 6).as("hy"),
+        round(col("_mim").cast("double") / 1e6, 6).as("mi"),
+        when(least(col("_hxm"), col("_hym")) > 0,
+          round(col("_mim").cast("double") /
+            least(col("_hxm"), col("_hym")).cast("double"), 6))
+          .as("mi_normalized"))
+  }
+
   /** EXACT global rank statistics per distinct value of a LONG column
     * — (value, cnt, below) where `below` counts rows strictly
     * smaller — WITHOUT a global sort: the two-level prefix sum (the

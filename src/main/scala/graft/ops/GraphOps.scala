@@ -160,4 +160,59 @@ object GraphOps {
         .toDF("n_nodes", "n_edges", "n_triangles")
     } finally e.unpersist()
   }
+
+  /** k-CORE decomposition membership (the densest-subgraph peeling
+    * primitive — graph family sibling of pageRank / triangles /
+    * components / shortestPaths): iteratively remove nodes of degree
+    * < k until a fixpoint; what survives is the maximal subgraph
+    * where every node keeps ≥ k neighbors. The k-core is UNIQUE for
+    * any removal order, so partitioning never changes the result.
+    *
+    * Relational loop with the pageRank/connectedComponents hygiene:
+    * degrees = one hash aggregate over the surviving edge set
+    * (re-filtered by two semi-joins); each iteration's survivor set
+    * is localCheckpoint'ed and the PREVIOUS checkpoint released as
+    * soon as the next materializes (the round-9 q57 fix); the
+    * canonical edge set is checkpointed once and released in
+    * `finally`. Terminates when an iteration drops nobody. Returns
+    * (node, degree) within the core. */
+  def kCore(edges0: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    val und = edges0.select(col("src").cast("long"),
+        col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+    val edges = und.union(und.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // the loop re-filters this every iteration
+    def coreEdges(survivors: DataFrame) = edges
+      .join(survivors.select(col("node").as("src")), Seq("src"),
+        "left_semi")
+      .join(survivors.select(col("node").as("dst")), Seq("dst"),
+        "left_semi")
+    try {
+      var survivors = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      var dropped = true
+      var iter = 0
+      while (dropped && iter < maxIter) {
+        val next = coreEdges(survivors)
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("_deg"))
+          .where(col("_deg") >= k)
+          .select(col("node"))
+          .localCheckpoint()
+        dropped = next.count() < survivors.count()
+        val prev = survivors
+        survivors = next
+        prev.unpersist()
+        iter += 1
+      }
+      coreEdges(survivors)
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+        .localCheckpoint()
+    } finally {
+      edges.unpersist()
+    }
+  }
 }

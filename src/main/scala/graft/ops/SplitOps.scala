@@ -336,4 +336,34 @@ object SplitOps {
       .filter(col("_rn") <= col("alloc_n"))
       .drop("_rn")
   }
+
+  /** EXACT-k WEIGHTED sample without replacement (Efraimidis–
+    * Spirakis A-ES: keep the k largest u^(1/w) keys ⟺ the k largest
+    * ln(u)/w) — the exact-size sibling of [[weightedHashSample]]'s
+    * Bernoulli draw. The uniform u = (md5_32(key‖salt) + 1)/2^32 is
+    * deterministic and engine-portable (the q79/q140 md5 convention);
+    * the A-ES key is fixed to integer PICO units (ln(u)/w · 1e12 —
+    * ln(u)/w itself is ≤ 1e-6-scale for cent weights, so micro units
+    * would collapse ties) with (key desc, id) ordering, so the drawn
+    * set is bit-reproducible anywhere.
+    *
+    * Scale: the draw is pure scan-stage arithmetic; the top-k is
+    * orderBy+limit — Catalyst's TakeOrdered, a per-partition heap +
+    * driver merge of k·partitions rows, never a global sort. Rows
+    * with weight ≤ 0 or null cannot be drawn (ln(u)/w needs w > 0).
+    * Returns the sampled rows + `aes_key_pico`. */
+  def weightedExactKSample(df: DataFrame, keyCol: String,
+                           weight: Column, k: Int,
+                           salt: String = ""): DataFrame = {
+    val u = (conv(substring(
+        md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 8),
+        16, 10).cast("double") + 1.0) / lit(4294967296.0)
+    df.withColumn("_w", weight.cast("double"))
+      .where(col("_w") > 0)
+      .withColumn("aes_key_pico",
+        round(log(u) / col("_w") * 1e12, 0).cast("long"))
+      .orderBy(col("aes_key_pico").desc, col(keyCol))
+      .limit(k)
+      .drop("_w")
+  }
 }
