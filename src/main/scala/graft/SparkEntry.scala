@@ -4914,6 +4914,112 @@ object SparkEntry {
       .orderBy(col("digit"))
   }
 
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    // ROLLING-ORIGIN FORECAST BACKTEST (time-series cross-validation
+    // — never score a forecast on data it saw): for every day with
+    // ≥ 7 prior days, the naive expanding-mean forecast uses ONLY
+    // strictly-earlier days (integer DIV of exact cents) and the
+    // absolute error is scored against the actual — the leakage-free
+    // evaluation loop behind any forecasting pipeline, as two windows
+    // over the day-bounded table.
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(coalesce(round(col("value") * 100, 0).cast("long"),
+        lit(0L))).as("cents"))
+    val prior = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("_ps", sum(col("cents")).over(prior))
+      .withColumn("_pn", count(lit(1)).over(prior))
+      .where(col("_pn") >= 7)
+      .select(col("day"), col("cents"),
+        expr("_ps DIV _pn").as("forecast_cents"),
+        abs(col("cents") - expr("_ps DIV _pn")).as("abs_err_cents"))
+      .orderBy(col("day"))
+  }
+
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV distance between the BUILDING
+    // and MACHINERY segments' order-price distributions (the
+    // continuous-distribution sibling of q224's chi-square): D =
+    // max_v |F1(v) − F2(v)| with the numerator |cum1·n2 − cum2·n1|
+    // an EXACT integer at every support point; the cum counts come
+    // from the q181/valueRanks two-level prefix sum over the MERGED
+    // support — both sides in one pass, bucket-partitioned windows,
+    // no global sort. One float divide at the end.
+    val o = t(s, dir, "orders").join(
+        broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long")
+          .as("_v"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+          .as("_a"),
+        when(col("c_mktsegment") === "MACHINERY", 1L).otherwise(0L)
+          .as("_b"))
+    val grouped = o.groupBy(col("_v"))
+      .agg(sum(col("_a")).as("_c1"), sum(col("_b")).as("_c2"))
+      .withColumn("_bk", shiftright(col("_v"), 16))
+      .localCheckpoint() // feeds the bucket matrix AND the scan
+    val perBucket = grouped.groupBy(col("_bk"))
+      .agg(sum(col("_c1")).as("_s1"), sum(col("_c2")).as("_s2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val starts = perBucket.map(_._1).zip(
+      perBucket.scanLeft((0L, 0L)) { case ((a, b), (_, s1, s2)) =>
+        (a + s1, b + s2)
+      })
+    import s.implicits._
+    val offDf = starts.toSeq.map { case (bk, (st1, st2)) =>
+      (bk, st1, st2)
+    }.toDF("_bk", "_st1", "_st2")
+    val w = Window.partitionBy(col("_bk")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grouped.join(broadcast(offDf), Seq("_bk"))
+      .withColumn("_cum1", col("_st1") + sum(col("_c1")).over(w))
+      .withColumn("_cum2", col("_st2") + sum(col("_c2")).over(w))
+      .crossJoin(broadcast(grouped.agg(sum(col("_c1")).as("_n1"),
+        sum(col("_c2")).as("_n2"))))
+      .select(col("_n1"), col("_n2"),
+        struct(abs(col("_cum1") * col("_n2") -
+          col("_cum2") * col("_n1")).as("_num"),
+          (-col("_v")).as("_negv")).as("_e"))
+      .agg(first(col("_n1")).as("n1"), first(col("_n2")).as("n2"),
+        max(col("_e")).as("_m"))
+      .select(col("n1"), col("n2"),
+        round(col("_m._num").cast("double") /
+          (col("n1") * col("n2")).cast("double"), 6).as("ks"),
+        (-col("_m._negv")).as("ks_at_cents"))
+  }
+
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    // GINI COEFFICIENT of customer lifetime spend (the inequality
+    // readout): with ties handled by position-averaging, Σ rank·x
+    // over the sorted sample equals Σ_values v·(c·below + c(c+1)/2)
+    // — EXACT integers from AggOps.valueRanks (no global sort), and
+    // G = 2·S/(n·T) − (n+1)/n with one float step at the end.
+    // Contract: n·T < 2^63 (fine to ~10^8 customers at 10^4-dollar
+    // spends).
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("_cents"))
+    val ranked = AggOps.valueRanks(spend, "_cents")
+    ranked
+      .select(col("value"), col("cnt"), col("below"),
+        (col("value") * (col("cnt") * col("below") +
+          expr("(cnt * (cnt + 1)) DIV 2"))).as("_contrib"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("value") * col("cnt")).as("total_cents"),
+        sum(col("_contrib")).as("_s"))
+      .select(col("n"), col("total_cents"),
+        round(lit(2.0) * col("_s").cast("double") /
+          (col("n") * col("total_cents")).cast("double") -
+          (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -5676,6 +5782,9 @@ object SparkEntry {
     "q239_kaplan_meier" -> q239 _,
     "q240_cusum" -> q240 _,
     "q241_benford" -> q241 _,
+    "q242_forecast_backtest" -> q242 _,
+    "q243_ks_test" -> q243 _,
+    "q244_gini" -> q244 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -9561,6 +9670,66 @@ object SparkEntry {
         |    round(ln(1.0::DOUBLE + 1.0::DOUBLE / digit) / ln(10.0)
         |      * 1e6)::BIGINT)::BIGINT AS deviation_micro
         |FROM d, tot ORDER BY digit""".stripMargin,
+    "q242_forecast_backtest" ->
+      // same strictly-prior expanding windows and integer DIV
+      // (daily cents are positive, so floor and trunc agree)
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |    sum(coalesce(round(value * 100)::BIGINT, 0))::BIGINT
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |  w AS (SELECT day, cents,
+        |      sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND 1 PRECEDING)::BIGINT AS ps,
+        |      count(*) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND 1 PRECEDING)::BIGINT AS pn
+        |    FROM daily)
+        |SELECT day, cents, (ps // pn)::BIGINT AS forecast_cents,
+        |  abs(cents - ps // pn)::BIGINT AS abs_err_cents
+        |FROM w WHERE pn >= 7 ORDER BY day""".stripMargin,
+    "q243_ks_test" ->
+      // one prefix-sum window over the merged support — the exact
+      // integer numerator the engine's two-level sum must equal
+      """WITH o AS (SELECT round(o_totalprice * 100)::BIGINT AS v,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        |      AS a,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END
+        |      AS b
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |  g AS (SELECT v, sum(a)::BIGINT AS c1, sum(b)::BIGINT AS c2
+        |    FROM o GROUP BY 1),
+        |  t AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+        |    FROM g),
+        |  c AS (SELECT v,
+        |      sum(c1) OVER (ORDER BY v)::BIGINT AS cum1,
+        |      sum(c2) OVER (ORDER BY v)::BIGINT AS cum2 FROM g),
+        |  d AS (SELECT v,
+        |      abs(cum1 * t.n2 - cum2 * t.n1)::BIGINT AS num,
+        |      t.n1, t.n2 FROM c, t),
+        |  m AS (SELECT max(num)::BIGINT AS mx FROM d)
+        |SELECT d.n1, d.n2,
+        |  round(d.num::DOUBLE / (d.n1 * d.n2), 6) AS ks,
+        |  min(d.v)::BIGINT AS ks_at_cents
+        |FROM d, m WHERE d.num = m.mx
+        |GROUP BY d.n1, d.n2, d.num""".stripMargin,
+    "q244_gini" ->
+      // same tie-averaged rank identity over grouped values
+      """WITH s AS (SELECT o_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS c
+        |  FROM orders GROUP BY 1),
+        |  g AS (SELECT c AS v, count(*)::BIGINT AS cnt FROM s
+        |    GROUP BY 1),
+        |  r AS (SELECT v, cnt, coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS below FROM g),
+        |  t AS (SELECT sum(cnt)::BIGINT AS n,
+        |      sum(v * cnt)::BIGINT AS total,
+        |      sum(v * (cnt * below + (cnt * (cnt + 1)) // 2))::BIGINT
+        |        AS sr FROM r)
+        |SELECT n, total AS total_cents,
+        |  round(2.0 * sr / (n * total) -
+        |    (n + 1)::DOUBLE / n, 6) AS gini
+        |FROM t""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof
