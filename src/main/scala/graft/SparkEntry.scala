@@ -5020,6 +5020,63 @@ object SparkEntry {
           .as("gini"))
   }
 
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    // CORPUS DATASHEET (the per-source "dataset card" a curation team
+    // publishes with a release): docs, token mass, language spread,
+    // dominant language (mode with lexicographic tie-break — the q215
+    // survivorship rule), and the exact-duplicate rate from distinct
+    // text md5s. Two map-side aggregates + one tiny join — the shape
+    // stays two hash aggregates at any corpus size.
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("_tok"),
+        md5(col("text")).as("_h"))
+      .localCheckpoint() // feeds the stats AND the language mode
+    val langMode = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("_lc"))
+      .groupBy(col("source"))
+      .agg(min_by(col("lang"), struct((-col("_lc")).as("_n"),
+        col("lang"))).as("top_lang"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("_h")).as("_nd"))
+      .join(langMode, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_langs"), col("top_lang"),
+        round(lit(1.0) - col("_nd").cast("double") /
+          col("n_docs").cast("double"), 6).as("exact_dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    // COHEN'S KAPPA between two deterministic binary raters (the
+    // q220 linear scorer vs the q233 first-dimension sign — the
+    // inter-annotator / model-agreement readout): with integer
+    // marginals, kappa = (n·agree − a1·b1 − a0·b0) /
+    // (n² − a1·b1 − a0·b0) is ONE divide over exact integers — no
+    // float probability ever accumulates.
+    t(s, dir, "embeddings")
+      .select((aggregate(zip_with(
+          transform(col("embedding").cast("array<double>"),
+            e => round(e * 1e6, 0).cast("long")),
+          typedLit(evalPlaneMilli), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x) > 0).as("_ra"),
+        (element_at(col("embedding"), 1) > 0).as("_rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_ra") === col("_rb"), 1L).otherwise(0L))
+          .as("agree"),
+        sum(when(col("_ra"), 1L).otherwise(0L)).as("_a1"),
+        sum(when(col("_rb"), 1L).otherwise(0L)).as("_b1"))
+      .select(col("n"), col("agree"),
+        round((col("n") * col("agree") - col("_a1") * col("_b1") -
+          (col("n") - col("_a1")) * (col("n") - col("_b1")))
+          .cast("double") /
+          (col("n") * col("n") - col("_a1") * col("_b1") -
+            (col("n") - col("_a1")) * (col("n") - col("_b1")))
+          .cast("double"), 6).as("kappa"))
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -5785,6 +5842,8 @@ object SparkEntry {
     "q242_forecast_backtest" -> q242 _,
     "q243_ks_test" -> q243 _,
     "q244_gini" -> q244 _,
+    "q245_corpus_datasheet" -> q245 _,
+    "q246_cohens_kappa" -> q246 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -9730,6 +9789,44 @@ object SparkEntry {
         |  round(2.0 * sr / (n * total) -
         |    (n + 1)::DOUBLE / n, 6) AS gini
         |FROM t""".stripMargin,
+    "q245_corpus_datasheet" ->
+      // same aggregates, mode tie-break, and md5 distinct-text rate
+      """WITH d AS (SELECT source, lang, md5(text) AS h,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      z -> len(z) > 0))::BIGINT AS tok FROM documents),
+        |  lm AS (SELECT source, lang, count(*)::BIGINT AS lc
+        |    FROM d GROUP BY 1, 2),
+        |  top AS (SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang, row_number() OVER (
+        |      PARTITION BY source ORDER BY lc DESC, lang) AS rn
+        |    FROM lm) WHERE rn = 1),
+        |  st AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |      sum(tok)::BIGINT AS n_tokens,
+        |      count(DISTINCT lang)::BIGINT AS n_langs,
+        |      count(DISTINCT h)::BIGINT AS nd
+        |    FROM d GROUP BY 1)
+        |SELECT st.source, st.n_docs, st.n_tokens, st.n_langs,
+        |  top.top_lang,
+        |  round(1.0::DOUBLE - nd::DOUBLE / n_docs, 6)
+        |    AS exact_dup_rate
+        |FROM st JOIN top USING (source)
+        |ORDER BY source""".stripMargin,
+    "q246_cohens_kappa" ->
+      // same scorer prefix, same exact-integer kappa
+      s"""WITH $evalScoreSqlPrefix,
+        |  r AS (SELECT sc.s > 0 AS ra, e.embedding[1] > 0 AS rb
+        |    FROM sc JOIN embeddings e ON e.vec_id = sc.vec_id),
+        |  m AS (SELECT count(*)::BIGINT AS n,
+        |      sum(CASE WHEN ra = rb THEN 1 ELSE 0 END)::BIGINT
+        |        AS agree,
+        |      sum(CASE WHEN ra THEN 1 ELSE 0 END)::BIGINT AS a1,
+        |      sum(CASE WHEN rb THEN 1 ELSE 0 END)::BIGINT AS b1
+        |    FROM r)
+        |SELECT n, agree,
+        |  round((n * agree - a1 * b1 - (n - a1) * (n - b1))::DOUBLE /
+        |    (n * n - a1 * b1 - (n - a1) * (n - b1))::DOUBLE, 6)
+        |    AS kappa
+        |FROM m""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof
