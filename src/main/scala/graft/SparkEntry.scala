@@ -5077,6 +5077,69 @@ object SparkEntry {
             (col("n") - col("_a1")) * (col("n") - col("_b1")))
           .cast("double"), 6).as("kappa"))
 
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    // HILL TAIL-INDEX ESTIMATOR (the power-law exponent of the spend
+    // distribution — heavy-tail analytics next to q148's Pareto
+    // front): α̂ = k / Σ ln(x_i/x_cut) over the k largest order
+    // statistics, cut = the (k+1)-th. The top-(k+1) cut is
+    // TakeOrdered with the (cents desc, custkey) total order; each
+    // ln of an integer ratio is fixed to micro-nats before the
+    // order-free sum; one divide at the end.
+    val k = 200
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("_cents"))
+      .orderBy(col("_cents").desc, col("o_custkey"))
+      .limit(k + 1)
+      .localCheckpoint() // 201 rows feed the cut AND the sum
+    val cut = spend.agg(min(col("_cents")).as("_cut"))
+    // drop exactly the (k+1)-th row by the total order — a tie AT the
+    // cut inside the top k stays (its ln term is 0), per Hill
+    spend
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("_cents").desc, col("o_custkey"))))
+      .where(col("_rn") <= k)
+      .crossJoin(broadcast(cut))
+      .withColumn("_ln_micro",
+        round(log(col("_cents").cast("double") /
+          col("_cut").cast("double")) * 1e6, 0).cast("long"))
+      .agg(count(lit(1)).as("_k2"), first(col("_cut")).as("xmin_cents"),
+        sum(col("_ln_micro")).as("_s"))
+      .select(col("_k2").as("k"), col("xmin_cents"),
+        when(col("_s") > 0, round(col("_k2").cast("double") /
+          (col("_s").cast("double") / 1e6), 6)).as("alpha"))
+  }
+
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    // SOURCE VOCABULARY OVERLAP MATRIX (which corpora speak the same
+    // language — the cross-source diagnostic next to q229's JSD):
+    // distinct (source, token) postings, intersections via ONE
+    // token-keyed self-join (postings per token bounded by the
+    // source count), Jaccard from exact integers.
+    val vs = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextOps.tokenSet(lower(col("text")))).as("_tok"))
+      .distinct()
+      .localCheckpoint() // feeds sizes AND both join sides
+    val sizes = vs.groupBy(col("source")).agg(count(lit(1)).as("_sz"))
+    vs.select(col("source").as("source_a"), col("_tok"))
+      .join(vs.select(col("source").as("source_b"), col("_tok")),
+        "_tok")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("_sz").as("_sa"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("_sz").as("_sb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        (col("_sa") + col("_sb") - col("inter")).as("union"),
+        round(col("inter").cast("double") /
+          (col("_sa") + col("_sb") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
   // ---------------------------------------------------------------- //
@@ -5844,6 +5907,8 @@ object SparkEntry {
     "q244_gini" -> q244 _,
     "q245_corpus_datasheet" -> q245 _,
     "q246_cohens_kappa" -> q246 _,
+    "q247_hill_tail" -> q247 _,
+    "q248_vocab_overlap" -> q248 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -9827,6 +9892,41 @@ object SparkEntry {
         |    (n * n - a1 * b1 - (n - a1) * (n - b1))::DOUBLE, 6)
         |    AS kappa
         |FROM m""".stripMargin,
+    "q247_hill_tail" ->
+      // same top-(k+1) total order, cut, and micro-nat ratio sum
+      """WITH s AS (SELECT o_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS c
+        |  FROM orders GROUP BY 1),
+        |  top AS (SELECT o_custkey, c,
+        |      row_number() OVER (ORDER BY c DESC, o_custkey) AS rn
+        |    FROM s QUALIFY rn <= 201),
+        |  cut AS (SELECT min(c)::BIGINT AS x FROM top),
+        |  h AS (SELECT round(ln(top.c::DOUBLE / cut.x) * 1e6)::BIGINT
+        |      AS lm, cut.x FROM top, cut WHERE top.rn <= 200)
+        |SELECT count(*)::BIGINT AS k, max(x)::BIGINT AS xmin_cents,
+        |  CASE WHEN sum(lm) > 0 THEN
+        |    round(count(*)::DOUBLE / (sum(lm)::DOUBLE / 1e6), 6) END
+        |    AS alpha
+        |FROM h""".stripMargin,
+    "q248_vocab_overlap" ->
+      // same distinct postings, token self-join, and exact Jaccard
+      """WITH vs AS (SELECT DISTINCT source, unnest(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0))) AS tok FROM documents),
+        |  sz AS (SELECT source, count(*)::BIGINT AS s FROM vs
+        |    GROUP BY 1),
+        |  iv AS (SELECT a.source AS source_a, b.source AS source_b,
+        |      count(*)::BIGINT AS inter
+        |    FROM vs a JOIN vs b ON a.tok = b.tok
+        |      AND a.source < b.source
+        |    GROUP BY 1, 2)
+        |SELECT iv.source_a, iv.source_b, iv.inter,
+        |  (sa.s + sb.s - iv.inter)::BIGINT AS "union",
+        |  round(iv.inter::DOUBLE / (sa.s + sb.s - iv.inter), 6)
+        |    AS jaccard
+        |FROM iv JOIN sz sa ON sa.source = iv.source_a
+        |  JOIN sz sb ON sb.source = iv.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof
