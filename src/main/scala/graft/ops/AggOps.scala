@@ -282,9 +282,13 @@ object AggOps {
       .select(col("n"), col("n_cells"),
         ((col("_r2") - 1) * (col("_c2") - 1)).as("dof"),
         round(col("_chi2_micro").cast("double") / 1e6, 6).as("chi2"),
-        round(sqrt(col("_chi2_micro").cast("double") / 1e6 /
-          (col("n") * least(col("_r2") - 1, col("_c2") - 1))
-            .cast("double")), 6).as("cramers_v"))
+        // a constant column (1 category) zeroes least(r−1, c−1) —
+        // Cramér's V is undefined there; return null, never a NaN
+        // (the mutualInformation mi_normalized guard convention)
+        when(least(col("_r2") - 1, col("_c2") - 1) > 0,
+          round(sqrt(col("_chi2_micro").cast("double") / 1e6 /
+            (col("n") * least(col("_r2") - 1, col("_c2") - 1))
+              .cast("double")), 6)).as("cramers_v"))
   }
 
   /** Jensen–Shannon divergence between two bucketed count tables
@@ -296,7 +300,14 @@ object AggOps {
     * before the order-free sum (the q186 convention). One full-outer
     * join of two bucket-domain-bounded aggregates + two 1-row
     * broadcasts. Returns (n_buckets, np_total, nq_total, jsd) in
-    * nats. */
+    * nats.
+    *
+    * Contract (the chiSquareIndependence convention): the integer
+    * rationals cp·Nq and cq·Np must stay inside Long —
+    * max_bucket_count · other_side_total < 2^63. That holds to
+    * ~10^9 rows per side with any bucket split; for 10^10+-token
+    * corpora pre-scale the counts (divide both sides by a common
+    * factor — JSD is scale-invariant in the two distributions). */
   def jensenShannon(p: DataFrame, q: DataFrame, bucketCol: String,
                     countCol: String): DataFrame = {
     val pc = p.select(col(bucketCol).as("_b"),

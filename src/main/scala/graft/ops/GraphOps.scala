@@ -207,6 +207,13 @@ object GraphOps {
         prev.unpersist()
         iter += 1
       }
+      // Peeling can need O(n) rounds on cascade graphs (a path at
+      // k = 2 sheds one endpoint per round). Exiting before the
+      // fixpoint would silently return non-core nodes — fail loudly
+      // instead; callers raise maxIter for slow-converging graphs.
+      require(!dropped,
+        s"kCore did not reach the peeling fixpoint in maxIter=$maxIter " +
+          "iterations; raise maxIter (cascade graphs need O(n) rounds)")
       coreEdges(survivors)
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree"))

@@ -351,7 +351,15 @@ object SplitOps {
     * orderBy+limit — Catalyst's TakeOrdered, a per-partition heap +
     * driver merge of k·partitions rows, never a global sort. Rows
     * with weight ≤ 0 or null cannot be drawn (ln(u)/w needs w > 0).
-    * Returns the sampled rows + `aes_key_pico`. */
+    * Returns the sampled rows + `aes_key_pico`.
+    *
+    * Contract: weights must be ≥ ~1e-5. ln(u) reaches ~−22.2 at the
+    * smallest md5-derived u, so below w ≈ 2.4e-6 the pico-unit key
+    * |ln(u)/w|·1e12 leaves Long — the double→long cast saturates
+    * (no wraparound) and saturated keys collapse to (id) tie-break
+    * order, which breaks the documented bit-reproducible WEIGHTED
+    * draw. Rescale sub-1e-5 weights by a common factor first (the
+    * A-ES key order is invariant under weight scaling). */
   def weightedExactKSample(df: DataFrame, keyCol: String,
                            weight: Column, k: Int,
                            salt: String = ""): DataFrame = {
