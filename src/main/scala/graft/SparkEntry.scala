@@ -540,13 +540,17 @@ object SparkEntry {
 
   private def q48(s: SparkSession, dir: String): DataFrame = {
     // IVF ANN — the second scale path (coarse quantizer + inverted
-    // lists) next to the hyperplane LSH of q36. Seeded k-means isn't
-    // DuckDB-reproducible → no_oracle; SimilarityAggSpec pins recall
-    // against the exact q35 path.
+    // lists) next to the hyperplane LSH of q36. Round 10: the coarse
+    // quantizer is the DETERMINISTIC integer k-means (kMeansMicro —
+    // farthest-point init + truncating-integer-mean Lloyd rounds, the
+    // q211 micro-unit technique), so the whole query is hash-oracled
+    // (the round-9 verdict's top gap; previously the seeded MLlib
+    // float fit kept it no_oracle). The float ivfTopK stays as the
+    // sampling-capped library API, recall-pinned in SimilarityAggSpec.
     val emb = t(s, dir, "embeddings")
-    SimilarityOps.ivfTopK(
+    SimilarityOps.ivfTopKMicro(
         emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3,
-        nlist = 8, nprobe = 3, seed = 42L)
+        nlist = 8, nprobe = 3, iters = 4)
       .withColumn("rn", col("rn").cast("long"))
       .orderBy(col("query_id"), col("rn"))
   }
@@ -5070,12 +5074,17 @@ object SparkEntry {
         sum(when(col("_ra"), 1L).otherwise(0L)).as("_a1"),
         sum(when(col("_rb"), 1L).otherwise(0L)).as("_b1"))
       .select(col("n"), col("agree"),
-        round((col("n") * col("agree") - col("_a1") * col("_b1") -
-          (col("n") - col("_a1")) * (col("n") - col("_b1")))
-          .cast("double") /
-          (col("n") * col("n") - col("_a1") * col("_b1") -
+        // pe = 1 (both raters constant and equal) zeroes the
+        // denominator — kappa is undefined there; return null, not
+        // an IEEE Infinity (the cramers_v degenerate-input guard)
+        when(col("n") * col("n") - col("_a1") * col("_b1") -
+            (col("n") - col("_a1")) * (col("n") - col("_b1")) =!= 0L,
+          round((col("n") * col("agree") - col("_a1") * col("_b1") -
             (col("n") - col("_a1")) * (col("n") - col("_b1")))
-          .cast("double"), 6).as("kappa"))
+            .cast("double") /
+            (col("n") * col("n") - col("_a1") * col("_b1") -
+              (col("n") - col("_a1")) * (col("n") - col("_b1")))
+            .cast("double"), 6)).as("kappa"))
 
   private def q247(s: SparkSession, dir: String): DataFrame = {
     // HILL TAIL-INDEX ESTIMATOR (the power-law exponent of the spend
@@ -5139,6 +5148,276 @@ object SparkEntry {
           (col("_sa") + col("_sb") - col("inter")), 6).as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    // DETERMINISTIC INTEGER K-MEANS (the coarse-quantizer fit itself,
+    // exposed): farthest-point init + 4 Lloyd rounds over micro-unit
+    // integer vectors — every distance, argmin, and truncating mean
+    // is an exact integer, so the oracle's unrolled SQL chain
+    // (kmeansSqlChain — the powerIterSqlChain convention) derives the
+    // SAME 8×64 centroid table bit for bit. This is the fit that
+    // backs q48's IVF cells and q250's SemDeDup cells.
+    import s.implicits._
+    val cents = SimilarityOps.kMeansMicro(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 4)
+    cents.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, j) => (i, j, v) }
+    }.toSeq.toDF("cluster", "j", "c_micro")
+      .orderBy(col("cluster"), col("j"))
+  }
+
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    // RANGE-PARTITIONED LAYOUT WRITE + pruned read-back (the everyday
+    // warehouse sibling of q133's z-order): orders laid out by
+    // repartitionByRange(o_orderdate) + sortWithinPartitions, then
+    // read back under a one-quarter date window. Each written file
+    // owns a contiguous date range, so the pushed min/max predicate
+    // skips whole files/row groups; PhysicalLayoutSpec measures the
+    // skip vs a hash layout (the q133 listener convention). The
+    // oracle aggregates the same window from the raw table — a row
+    // lost or duplicated by the layout write hash-mismatches.
+    // The sort key is stored as DATE: Spark's default parquet
+    // timestamp encoding is INT96, whose min/max stats readers must
+    // ignore — a timestamp key would silently disable the very
+    // row-group pruning this layout exists for (the spec caught it).
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      to_date(col("o_orderdate")).as("o_orderdate"),
+      col("o_totalprice"))
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/range_cache/orders_$sfTag"
+    LayoutOps.rangeLayout(o, col("o_orderdate"), numPartitions = 16,
+        col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_d"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_d"))
+  }
+
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    // CURATION CAPSTONE — the round-9 curation stack composed as ONE
+    // registered pipeline (q94's preprocessing capstone extended to
+    // the curation half, the round-9 verdict's ask): LM quality gate
+    // (q195 scorer) → semantic dedup (q189 prune) → DSIR selection
+    // (q222) → token-budget mixture (q181) → sequence packing (q75).
+    // The LM gate's threshold is DATA-DERIVED yet exact: keep a held
+    // doc iff its avg bigram NLL beats the held-corpus average —
+    // S_d·N_T > S_T·n_d over the integer micro-nat sums, one
+    // cross-multiply, no float divide (both micro-sums are ≤ ~1e10 at
+    // sf0.1, the product far inside Long). Stage boundaries are
+    // localCheckpoints sized O(survivors): each stage's output feeds
+    // 2–3 downstream consumers (DSIR reads its raw side twice), so
+    // recomputing the upstream LM joins per consumer would triple the
+    // pipeline; the checkpoint is the q124/q141 convention. The final
+    // mixture+packing segment is plan-pinned (PlanShapeSpec): two
+    // hash exchanges + the output sort, nothing else.
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val scored = TextOps.bigramLmScore(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val tot = scored.agg(sum(col("sum_lp_micro")).as("_st"),
+      sum(col("n_bigrams")).as("_nt"))
+    val gated = scored.crossJoin(broadcast(tot))
+      .filter(col("sum_lp_micro") * col("_nt") >
+        col("_st") * col("n_bigrams"))
+      .select(col("doc_id"))
+      .localCheckpoint() // feeds the dedup semi-join
+    val kept = SimilarityOps.semanticDedup(
+        emb.join(gated, col("vec_id") === col("doc_id"), "left_semi"),
+        "vec_id", "embedding", threshold = 0.2, planes = 6, seed = 42L)
+      .filter(col("kept")).select(col("vec_id").as("doc_id"))
+    val surv = docs.join(kept, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // feeds DSIR raw (2 passes) + target slice
+    val sel = TextOps.dsirWeights(surv,
+        surv.filter(col("lang") === "en"), "doc_id", "text")
+      .orderBy(col("weight_micro").desc, col("doc_id")).limit(60)
+      .select(col("doc_id"))
+    val selDocs = docs.join(sel, Seq("doc_id"), "left_semi")
+      .withColumn("n_tokens",
+        TextOps.tokenCount(col("text")).cast("long"))
+      .localCheckpoint() // ≤ 60 rows; feeds budget walk + packing
+    val mixed = SplitOps.tokenBudgetMixture(selDocs, "source", "doc_id",
+      col("n_tokens"), Map("src0" -> 800L, "src1" -> 500L),
+      defaultBudget = 300L, salt = "cap10")
+    TextOps.packSequences(mixed, "lang", "doc_id", "text", budget = 256)
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  private def q254(s: SparkSession, dir: String): DataFrame =
+    // SCD TYPE-2 DIMENSION HISTORY from the event change log (the
+    // everyday warehouse effective-dating pass next to q116's MERGE
+    // and q149's time travel): per user, each event_type change opens
+    // a version; no-op changes are suppressed; validity bounds are
+    // integer epoch micros. One hash exchange + one sort shared by
+    // the lag screen and the lead/rank pass (plan-reuse, pinned in
+    // Round10OpsSpec). The as-of lookup against this history is
+    // q27's asofJoin.
+    RelOps.scd2Build(t(s, dir, "events"), "user_id", "event_type",
+        "ts", "event_id")
+      .orderBy(col("user_id"), col("version"))
+
+  private def q255(s: SparkSession, dir: String): DataFrame =
+    // TOKEN-DISTRIBUTION ENTROPY per source (corpus-diversity
+    // datasheet column next to q245/q248): exact-integer micro-nat
+    // Σ c·ln c, one token explode + two map-side-combinable hash
+    // aggregates; evenness = H / ln(vocab) with the degenerate
+    // single-token guard.
+    AggOps.shannonEntropy(
+      t(s, dir, "documents").select(col("source"),
+        explode(TextOps.tokens(lower(col("text")))).as("_w")),
+      "source", col("_w"))
+      .orderBy(col("source"))
+
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    // INTER-ARRIVAL GAP QUANTILES (the event-cadence readout feeding
+    // session-gap and watermark-delay choices): per-user lag gives
+    // each gap in exact integer SECONDS (unix_micros diff, truncating
+    // div on non-negative operands — Spark DIV == DuckDB // here);
+    // p50/p95/p99 are EXACT from the gap-value histogram (the q143
+    // convention — the cum window runs over DISTINCT gap values,
+    // value-domain bounded, never a data-sized sort).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = t(s, dir, "events")
+      .withColumn("_gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("_gap_us").isNotNull)
+      .withColumn("_gap", expr("_gap_us div 1000000"))
+    val hist = gaps.groupBy(col("_gap")).agg(count(lit(1)).as("_w"))
+    val cum = hist
+      .withColumn("_cum",
+        sum(col("_w")).over(Window.orderBy(col("_gap"))))
+      .crossJoin(broadcast(hist.agg(sum(col("_w")).as("_n"))))
+    def qv(p: Int) = min(when(col("_cum") * 100 >= col("_n") * p,
+      col("_gap")))
+    cum.agg(max(col("_n")).as("n_gaps"), qv(50).as("p50_s"),
+      qv(95).as("p95_s"), qv(99).as("p99_s"))
+  }
+
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    // TOKENIZER FERTILITY BY LANGUAGE (subwords per word through the
+    // trained BPE — the multilingual tokenizer-quality readout; a
+    // lang whose fertility is 2× English pays 2× the context budget):
+    // q213's broadcast vocabulary-encoding join, grouped by lang.
+    val words = bpeVocab(s, dir)
+    val merges = TextOps.bpeMerges(words, "w", "f", k = 6)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextOps.bpeEncode(words.select(col("w")), "w", merges)
+      .select(col("w"), col("n_symbols"))
+    t(s, dir, "documents")
+      .select(col("lang"),
+        explode(TextOps.tokens(lower(col("text")))).as("w"))
+      .where(col("w").rlike("^[a-z]{2,30}$"))
+      .join(broadcast(enc), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_symbols")).as("n_subwords"))
+      .withColumn("fertility", round(
+        col("n_subwords").cast("double") / col("n_words"), 6))
+      .orderBy(col("lang"))
+  }
+
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    // HARD-NEGATIVE MINING (the contrastive-training pass next to
+    // q208's random negatives): per anchor, top-5 most-similar
+    // DIFFERENT-label embeddings — broadcast anchors, one corpus
+    // scan, label predicate inside the join condition.
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.hardNegatives(emb.filter(col("vec_id") < 30), emb,
+        "vec_id", "embedding", "label", k = 5)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    // CALENDAR GAP-FILL (sparse events → dense per-user daily series,
+    // the resample step every forecasting/feature pipeline runs):
+    // per-user day aggregate, per-user [min, max] span, scan-stage
+    // sequence() explode of the span (the q154 idiom — never a
+    // calendar × users cross join), left join + zero fill. Exchanges
+    // only on (user, day) and user; the calendar explode is bounded
+    // by each user's own span.
+    val du = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("_d"))
+      .agg(count(lit(1)).as("_n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("_cents"))
+      .localCheckpoint() // feeds the span aggregate AND the fill join
+    val cal = du.groupBy(col("user_id"))
+      .agg(min(col("_d")).as("_lo"), max(col("_d")).as("_hi"))
+      .select(col("user_id"), explode(sequence(col("_lo"), col("_hi"),
+        expr("interval 1 day"))).as("_d"))
+    cal.join(du, Seq("user_id", "_d"), "left")
+      .select(col("user_id"),
+        date_format(col("_d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("_n"), lit(0L)).as("n"),
+        coalesce(col("_cents"), lit(0L)).as("cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private def q260(s: SparkSession, dir: String): DataFrame =
+    // CLASS-BALANCED DOWNSAMPLE: every label kept at the minority
+    // class's size, rows chosen by the engine-portable md5 draw
+    // (q79/q140 convention) — the imbalance fix before training.
+    SplitOps.balancedDownsample(t(s, dir, "embeddings"), "label",
+        "vec_id", salt = "bal10")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+
+  private def q261(s: SparkSession, dir: String): DataFrame =
+    // HASHING-TRICK FEATURE STATS (fixed-width featurization with no
+    // vocabulary fit): md5 bucket mod 64, per-doc nnz / token total /
+    // exact integer ‖x‖² of the hashed count vector.
+    TextOps.hashingTrickStats(t(s, dir, "documents"), "doc_id", "text",
+        buckets = 64)
+      .orderBy(col("doc_id"))
+
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING HEAVY HITTERS — per-day trending users via the
+    // bounded MisraGriesAgg buffer running INSIDE the watermarked
+    // streaming aggregation (the q235 state-store proof repeated for
+    // the frequent-items sketch, completing the streaming-sketch
+    // story): the state store persists ONE ≤ 2048-entry MG buffer per
+    // day window instead of q201's per-(day, user) count rows — at
+    // 100 TB of users the state is bounded by CAPACITY, not
+    // cardinality. Capacity ≥ the fixture's distinct users ⇒ exact
+    // regime ⇒ hash-comparable (q200 convention); the top-3 is the
+    // summary's own (est DESC, item ASC) prefix — a slice, no further
+    // shuffle or rank window. Append cutoff = q173.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    val stream = Tables.withTimestamps(
+      StreamOps.fileStream(s, schema, staged), "events")
+    val agg = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(GraftFunctions.misra_gries(
+        col("user_id").cast("string"), 2048).as("_mg"))
+    val landed = StreamOps.runToCompletion(agg,
+      s"q252_${System.nanoTime()}", outputMode = "append",
+      statePartitions = Some(8))
+    landed
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        posexplode(slice(col("_mg"), 1, 3)).as(Seq("pos", "e")))
+      .select(col("day"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.item").as("hh_user"), col("e.est").as("n"))
+      .orderBy(col("day"), col("rank"))
+  }
+
+  private def q250(s: SparkSession, dir: String): DataFrame =
+    // SEMANTIC DEDUP over INTEGER k-means cells — the oracled twin of
+    // q189's production path (semanticDedupIvf): same SemDeDup prune
+    // and decision table, but the data-adaptive cluster assignment
+    // replays exactly in DuckDB via the kmeansSqlChain. Closes the
+    // round-9 verdict gap: the k-means cells themselves are now
+    // hash-checked, not just the sign-bucket demo.
+    SimilarityOps.semanticDedupMicro(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.2, nlist = 8, iters = 4)
+      .orderBy(col("vec_id"))
 
   // ---------------------------------------------------------------- //
   // Multimodal plumbing + ML pipeline (rows-only where not SQL-able)
@@ -5909,6 +6188,19 @@ object SparkEntry {
     "q246_cohens_kappa" -> q246 _,
     "q247_hill_tail" -> q247 _,
     "q248_vocab_overlap" -> q248 _,
+    "q249_int_kmeans" -> q249 _,
+    "q250_semdedup_kmeans" -> q250 _,
+    "q251_range_layout" -> q251 _,
+    "q252_stream_hh" -> q252 _,
+    "q253_curation_e2e" -> q253 _,
+    "q254_scd2_history" -> q254 _,
+    "q255_source_entropy" -> q255 _,
+    "q256_interarrival" -> q256 _,
+    "q257_bpe_fertility" -> q257 _,
+    "q258_hard_negatives" -> q258 _,
+    "q259_calendar_fill" -> q259 _,
+    "q260_balanced_sample" -> q260 _,
+    "q261_feature_hashing" -> q261 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6052,6 +6344,65 @@ object SparkEntry {
        |  v0 AS MATERIALIZED (SELECT DISTINCT i, 1000000::HUGEINT AS v
        |    FROM gf),
        |  ${steps.mkString(",\n  ")}""".stripMargin
+  }
+
+  /** Generated integer k-means CTE chain replaying
+    * [[graft.ops.SimilarityOps.kMeansMicro]] (q48/q249/q250 oracles;
+    * the powerIterSqlChain generated-unroll convention): micro-unit
+    * vectors, farthest-point init, `iters` Lloyd rounds with the
+    * sign-split truncating `//` mean (== Java `/`). Everything stays
+    * inside BIGINT (|xm| ≤ ~6e5 ⇒ dist² ≤ ~2.6e14). Ends with
+    * `kc(cl, j, c)` = final centroids, `kfd(vec_id, cl, d2)` = final
+    * distances, `kasg(vec_id, cl)` = final 1-nearest assignment, and
+    * `xe(vec_id, j, xj)` = exploded micro vectors. */
+  private def kmeansSqlChain(k: Int, iters: Int): String = {
+    val init = (1 until k).map { t =>
+      s"""kd$t AS MATERIALIZED (SELECT xe.vec_id, ct.cl,
+         |      sum((xe.xj - ct.c) * (xe.xj - ct.c))::BIGINT AS d2
+         |    FROM xe JOIN ki${t - 1} ct ON ct.j = xe.j GROUP BY 1, 2),
+         |  km$t AS MATERIALIZED (SELECT vec_id, min(d2) AS dmin
+         |    FROM kd$t GROUP BY 1),
+         |  kn$t AS MATERIALIZED (SELECT vec_id FROM km$t
+         |    ORDER BY dmin DESC, vec_id LIMIT 1),
+         |  ki$t AS MATERIALIZED (SELECT cl, j, c FROM ki${t - 1}
+         |    UNION ALL SELECT $t::INT AS cl, xe.j, xe.xj AS c FROM xe
+         |    WHERE xe.vec_id = (SELECT vec_id FROM kn$t))""".stripMargin
+    }.mkString(",\n  ")
+    val lloyd = (1 to iters).map { r =>
+      val prev = if (r == 1) s"ki${k - 1}" else s"kl${r - 1}"
+      s"""ka$r AS MATERIALIZED (SELECT xe.vec_id, ct.cl,
+         |      sum((xe.xj - ct.c) * (xe.xj - ct.c))::BIGINT AS d2
+         |    FROM xe JOIN $prev ct ON ct.j = xe.j GROUP BY 1, 2),
+         |  kg$r AS MATERIALIZED (SELECT vec_id, cl FROM (
+         |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d2, cl) AS rn FROM ka$r) WHERE rn = 1),
+         |  ku$r AS MATERIALIZED (SELECT g.cl, xe.j,
+         |      sum(xe.xj)::BIGINT AS s, count(*)::BIGINT AS n
+         |    FROM kg$r g JOIN xe ON xe.vec_id = g.vec_id GROUP BY 1, 2),
+         |  kl$r AS MATERIALIZED (SELECT p.cl, p.j,
+         |      COALESCE(CASE WHEN u.s < 0 THEN -((-u.s) // u.n)
+         |        ELSE u.s // u.n END, p.c)::BIGINT AS c
+         |    FROM $prev p LEFT JOIN ku$r u
+         |      ON u.cl = p.cl AND u.j = p.j)""".stripMargin
+    }.mkString(",\n  ")
+    s"""kx AS MATERIALIZED (SELECT vec_id, list_transform(
+       |      embedding::DOUBLE[], e -> round(e * 1e6)::BIGINT) AS x
+       |    FROM embeddings),
+       |  xe AS MATERIALIZED (SELECT vec_id, (j.j - 1)::INT AS j,
+       |      x[j.j] AS xj
+       |    FROM kx, LATERAL (SELECT unnest(generate_series(1, len(x)))
+       |      AS j) j),
+       |  ki0 AS MATERIALIZED (SELECT 0::INT AS cl, j, xj AS c FROM xe
+       |    WHERE vec_id = (SELECT min(vec_id) FROM kx)),
+       |  $init,
+       |  $lloyd,
+       |  kc AS MATERIALIZED (SELECT cl, j, c FROM kl$iters),
+       |  kfd AS MATERIALIZED (SELECT xe.vec_id, ct.cl,
+       |      sum((xe.xj - ct.c) * (xe.xj - ct.c))::BIGINT AS d2
+       |    FROM xe JOIN kc ct ON ct.j = xe.j GROUP BY 1, 2),
+       |  kasg AS MATERIALIZED (SELECT vec_id, cl FROM (
+       |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY d2, cl) AS rn FROM kfd) WHERE rn = 1)""".stripMargin
   }
 
   private def bpeSqlChain(k: Int): String = {
@@ -9645,7 +9996,11 @@ object SparkEntry {
         |FROM mi, hx, hy""".stripMargin,
     "q234_k_core" -> {
       // unrolled peel — each round is idempotent at the fixpoint, so
-      // extra rounds cannot change the (unique) core
+      // extra rounds cannot change the (unique) core. 12 rounds is a
+      // FIXTURE assumption (the dense %50 graph converges in ~3);
+      // the engine side needs no such bound — kCore now fails loudly
+      // if maxIter is hit before the fixpoint, so a slow-converging
+      // fixture would be a visible error, not a silent mismatch.
       val rounds = 12
       val peel = (1 to rounds).map { i =>
         s"""s$i AS MATERIALIZED (SELECT src AS node FROM e0
@@ -9888,9 +10243,10 @@ object SparkEntry {
         |      sum(CASE WHEN rb THEN 1 ELSE 0 END)::BIGINT AS b1
         |    FROM r)
         |SELECT n, agree,
-        |  round((n * agree - a1 * b1 - (n - a1) * (n - b1))::DOUBLE /
-        |    (n * n - a1 * b1 - (n - a1) * (n - b1))::DOUBLE, 6)
-        |    AS kappa
+        |  CASE WHEN n * n - a1 * b1 - (n - a1) * (n - b1) <> 0 THEN
+        |    round((n * agree - a1 * b1 - (n - a1) * (n - b1))::DOUBLE /
+        |      (n * n - a1 * b1 - (n - a1) * (n - b1))::DOUBLE, 6)
+        |  END AS kappa
         |FROM m""".stripMargin,
     "q247_hill_tail" ->
       // same top-(k+1) total order, cut, and micro-nat ratio sum
@@ -9927,6 +10283,317 @@ object SparkEntry {
         |FROM iv JOIN sz sa ON sa.source = iv.source_a
         |  JOIN sz sb ON sb.source = iv.source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    "q249_int_kmeans" ->
+      // the same farthest-point init + 4 truncating-mean Lloyd
+      // rounds, unrolled in exact BIGINT arithmetic
+      s"""WITH ${kmeansSqlChain(8, 4)}
+        |SELECT cl::INT AS cluster, j::INT AS j, c::BIGINT AS c_micro
+        |FROM kc ORDER BY cluster, j""".stripMargin,
+    "q48_ann_ivf" ->
+      // refit the same integer cells, probe each query's 3 nearest,
+      // then the q35 exact-cosine rank within the probed cells
+      s"""WITH ${kmeansSqlChain(8, 4)},
+        |  kq AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cl) AS rn
+        |    FROM kfd WHERE vec_id < 5) WHERE rn <= 3),
+        |  e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |  s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      list_inner_product(qe.v, ce.v) /
+        |        (sqrt(list_inner_product(qe.v, qe.v)) *
+        |         sqrt(list_inner_product(ce.v, ce.v))) AS sim0
+        |    FROM kq q JOIN kasg c ON c.cl = q.cl
+        |      AND c.vec_id <> q.vec_id
+        |    JOIN e2 qe ON qe.vec_id = q.vec_id
+        |    JOIN e2 ce ON ce.vec_id = c.vec_id),
+        |  r AS (SELECT query_id, neighbor_id, round(sim0, 6) AS sim,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(sim0, 6) DESC, neighbor_id) AS rn
+        |    FROM s)
+        |SELECT query_id, neighbor_id, sim, rn::BIGINT AS rn FROM r
+        |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    "q250_semdedup_kmeans" ->
+      // same integer cells, then q189's SemDeDup prune replay with
+      // the k-means assignment in place of sign buckets
+      s"""WITH ${kmeansSqlChain(8, 4)},
+        |  b AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+        |      a.cl::BIGINT AS cl
+        |    FROM embeddings e JOIN kasg a ON a.vec_id = e.vec_id),
+        |  p AS (SELECT a.vec_id AS id,
+        |      max(list_inner_product(a.v, x.v) /
+        |        (sqrt(list_inner_product(a.v, a.v)) *
+        |         sqrt(list_inner_product(x.v, x.v)))) AS ms
+        |    FROM b a JOIN b x ON a.cl = x.cl AND x.vec_id < a.vec_id
+        |    GROUP BY a.vec_id)
+        |SELECT b.vec_id, b.cl AS cluster,
+        |  (p.ms IS NULL OR p.ms < 0.2) AS kept,
+        |  round(p.ms, 6) AS max_prior_sim
+        |FROM b LEFT JOIN p ON b.vec_id = p.id
+        |ORDER BY b.vec_id""".stripMargin,
+    "q251_range_layout" ->
+      // layout-invariant aggregate of the same date window from the
+      // raw table — any row lost/duplicated by the write mismatches
+      """SELECT count(*)::BIGINT AS n,
+        |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+        |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_d,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_d
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q253_curation_e2e" -> {
+      // the five stage replays chained: q195's LM (integer
+      // cross-multiply gate), q189's prune restricted to survivors,
+      // q222's DSIR over survivors, q181's budget window, q75's
+      // packing window — every stage the already-proven oracle form
+      val bucket = signBucketSql(6, 64, 42L)
+      s"""WITH trt AS (SELECT list_filter(
+        |      string_split_regex(lower(text), '\\s+'),
+        |      z -> len(z) > 0) AS l
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |  tidx AS (SELECT l, unnest(range(1, len(l))) AS i FROM trt),
+        |  pairs AS (SELECT l[i] AS a, l[i + 1] AS b,
+        |      count(*)::BIGINT AS n_ab
+        |    FROM tidx GROUP BY 1, 2),
+        |  firsts AS (SELECT a, sum(n_ab)::BIGINT AS n_a
+        |    FROM pairs GROUP BY 1),
+        |  voc AS (SELECT count(DISTINCT w)::BIGINT AS v
+        |    FROM (SELECT unnest(l) AS w FROM trt)),
+        |  ht AS (SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '\\s+'),
+        |      z -> len(z) > 0) AS l
+        |    FROM documents WHERE doc_id % 2 = 1),
+        |  hidx AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+        |    FROM ht),
+        |  hb AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b,
+        |      count(*)::BIGINT AS c
+        |    FROM hidx GROUP BY 1, 2, 3),
+        |  lp AS (SELECT h.doc_id, h.c,
+        |      round(ln((coalesce(p.n_ab, 0) + 1)::DOUBLE /
+        |        (coalesce(f.n_a, 0) + voc.v)::DOUBLE) * 1e6)::BIGINT
+        |        AS lp_micro
+        |    FROM hb h
+        |    LEFT JOIN pairs p ON p.a = h.a AND p.b = h.b
+        |    LEFT JOIN firsts f ON f.a = h.a
+        |    CROSS JOIN voc),
+        |  sc AS (SELECT doc_id, sum(c)::BIGINT AS nb,
+        |      sum(c * lp_micro)::BIGINT AS slp FROM lp GROUP BY 1),
+        |  tt AS (SELECT sum(slp)::BIGINT AS st, sum(nb)::BIGINT AS nt
+        |    FROM sc),
+        |  g AS (SELECT sc.doc_id FROM sc, tt
+        |    WHERE sc.slp * tt.nt > tt.st * sc.nb),
+        |  e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id IN (SELECT doc_id FROM g)),
+        |  b AS (SELECT vec_id, v, ($bucket)::BIGINT AS cl FROM e),
+        |  pr AS (SELECT a.vec_id AS id,
+        |      max(list_inner_product(a.v, x.v) /
+        |        (sqrt(list_inner_product(a.v, a.v)) *
+        |         sqrt(list_inner_product(x.v, x.v)))) AS ms
+        |    FROM b a JOIN b x ON a.cl = x.cl AND x.vec_id < a.vec_id
+        |    GROUP BY a.vec_id),
+        |  keep AS (SELECT b.vec_id AS doc_id FROM b
+        |    LEFT JOIN pr ON b.vec_id = pr.id
+        |    WHERE pr.ms IS NULL OR pr.ms < 0.2),
+        |  sdoc AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        |  tw AS (SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '\\s+'),
+        |      z -> len(z) > 0)) AS w FROM sdoc WHERE lang = 'en'),
+        |  rw AS (SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\\s+'),
+        |      z -> len(z) > 0)) AS w FROM sdoc),
+        |  tb AS (SELECT ('0x' || substr(md5(w), 1, 2))::BIGINT % 256
+        |      AS bk, count(*)::BIGINT AS t FROM tw GROUP BY 1),
+        |  rb AS (SELECT ('0x' || substr(md5(w), 1, 2))::BIGINT % 256
+        |      AS bk, count(*)::BIGINT AS n FROM rw GROUP BY 1),
+        |  tot AS (SELECT (SELECT sum(t) FROM tb)::BIGINT AS nt,
+        |      (SELECT sum(n) FROM rb)::BIGINT AS nr),
+        |  lam AS (SELECT coalesce(rb.bk, tb.bk) AS bk,
+        |      round(ln(((coalesce(tb.t, 0) + 1) *
+        |          (tot.nr + 256))::DOUBLE /
+        |        ((coalesce(rb.n, 0) + 1) *
+        |          (tot.nt + 256))::DOUBLE) * 1e6)::BIGINT AS lam
+        |    FROM rb FULL OUTER JOIN tb ON tb.bk = rb.bk, tot),
+        |  dc AS (SELECT doc_id,
+        |      ('0x' || substr(md5(w), 1, 2))::BIGINT % 256 AS bk,
+        |      count(*)::BIGINT AS c FROM rw GROUP BY 1, 2),
+        |  scw AS (SELECT doc_id, sum(c * lam.lam)::BIGINT AS wm
+        |    FROM dc JOIN lam USING (bk) GROUP BY 1),
+        |  sel AS (SELECT doc_id FROM scw
+        |    ORDER BY wm DESC, doc_id LIMIT 60),
+        |  seld AS (SELECT d.doc_id, d.source, d.lang,
+        |      len(list_filter(string_split_regex(d.text, '\\s+'),
+        |        z -> len(z) > 0))::BIGINT AS n_tokens,
+        |      md5(d.doc_id::VARCHAR || 'cap10') AS h
+        |    FROM documents d JOIN sel USING (doc_id)),
+        |  cbud AS (SELECT *, CASE source WHEN 'src0' THEN 800
+        |      WHEN 'src1' THEN 500 ELSE 300 END AS budget,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |    FROM seld),
+        |  mixed AS (SELECT lang, doc_id, n_tokens FROM cbud
+        |    WHERE before < budget),
+        |  pk AS (SELECT lang, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |    FROM mixed)
+        |SELECT lang, doc_id, n_tokens, (cum // 256)::BIGINT AS bin,
+        |  (cum % 256)::BIGINT AS bin_offset
+        |FROM pk ORDER BY lang, doc_id""".stripMargin
+    },
+    "q254_scd2_history" ->
+      // same (ts, event_id) order, null-safe no-op suppression, and
+      // lead-closed validity in exact epoch micros
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |  ch AS (SELECT user_id, event_type, ts, event_id FROM o
+        |    WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |  v AS (SELECT user_id, event_type,
+        |      epoch_us(ts)::BIGINT AS valid_from_us,
+        |      epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id))::BIGINT AS valid_to_us,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id)::BIGINT AS version
+        |    FROM ch)
+        |SELECT user_id, event_type, valid_from_us, valid_to_us,
+        |  version, valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    "q255_source_entropy" ->
+      // same micro-nat Σ c·ln c; final ln and divide are the same
+      // sequential double ops
+      """WITH tc AS (SELECT source, w, count(*)::BIGINT AS c FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0)) AS w
+        |    FROM documents) GROUP BY 1, 2),
+        |  ag AS (SELECT source, sum(c)::BIGINT AS n,
+        |      count(*)::BIGINT AS vocab,
+        |      sum(c * round(ln(c) * 1e6)::BIGINT)::BIGINT AS s
+        |    FROM tc GROUP BY 1)
+        |SELECT source, n, vocab,
+        |  round(ln(n) - s::DOUBLE / 1e6 / n, 6) AS entropy_nats,
+        |  CASE WHEN vocab > 1 THEN
+        |    round((ln(n) - s::DOUBLE / 1e6 / n) / ln(vocab), 6)
+        |  END AS entropy_norm
+        |FROM ag ORDER BY source""".stripMargin,
+    "q256_interarrival" ->
+      // same per-user lag, integer-second gaps (// == DIV on the
+      // non-negative operands), exact histogram-rank quantiles
+      """WITH g AS (SELECT user_id,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)))
+        |      // 1000000 AS gap_s
+        |  FROM events),
+        |  h AS (SELECT gap_s, count(*)::BIGINT AS w FROM g
+        |    WHERE gap_s IS NOT NULL GROUP BY 1),
+        |  t AS (SELECT sum(w)::BIGINT AS n FROM h),
+        |  cu AS (SELECT gap_s, sum(w) OVER (ORDER BY gap_s) AS cum,
+        |      t.n FROM h, t)
+        |SELECT max(n)::BIGINT AS n_gaps,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN gap_s END)::BIGINT
+        |    AS p50_s,
+        |  min(CASE WHEN cum * 100 >= n * 95 THEN gap_s END)::BIGINT
+        |    AS p95_s,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN gap_s END)::BIGINT
+        |    AS p99_s
+        |FROM cu""".stripMargin,
+    "q257_bpe_fertility" -> {
+      // q213's encoding chain + alphabet screen, grouped by lang
+      val k = 6
+      s"""WITH ${bpeSqlChain(k)},
+        |  enc AS (SELECT w,
+        |      len(string_split(trim(e, '_'), '__'))::BIGINT AS ns
+        |    FROM w$k),
+        |  tok AS (SELECT lang, unnest(list_filter(
+        |      string_split_regex(lower(text), '\\s+'),
+        |      x -> len(x) > 0)) AS w FROM documents),
+        |  tw AS (SELECT lang, tok.w, enc.ns FROM tok
+        |    JOIN enc ON enc.w = tok.w
+        |    WHERE regexp_matches(tok.w, '^[a-z]{2,30}$$'))
+        |SELECT lang, count(*)::BIGINT AS n_words,
+        |  sum(ns)::BIGINT AS n_subwords,
+        |  round(sum(ns)::DOUBLE / count(*), 6) AS fertility
+        |FROM tw GROUP BY 1 ORDER BY lang""".stripMargin
+    },
+    "q258_hard_negatives" ->
+      // q35's cosine rank restricted to different-label candidates
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    embedding::DOUBLE[] AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 30),
+        |  s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |      list_inner_product(qv, e.embedding::DOUBLE[]) /
+        |        (sqrt(list_inner_product(qv, qv)) *
+        |         sqrt(list_inner_product(e.embedding::DOUBLE[],
+        |           e.embedding::DOUBLE[]))) AS sim0
+        |    FROM q JOIN embeddings e ON e.label <> q.ql),
+        |  r AS (SELECT query_id, neighbor_id, round(sim0, 6) AS sim,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(sim0, 6) DESC, neighbor_id) AS rn
+        |    FROM s)
+        |SELECT query_id, neighbor_id, sim, rn::BIGINT AS rn FROM r
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q259_calendar_fill" ->
+      // same per-user span, generate_series calendar, zero fill
+      """WITH du AS (SELECT user_id, date_trunc('day', ts)::DATE AS d,
+        |    count(*)::BIGINT AS n,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |  sp AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM du
+        |    GROUP BY 1),
+        |  cal AS (SELECT user_id, unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY))::DATE AS d FROM sp)
+        |SELECT cal.user_id, strftime(cal.d, '%Y-%m-%d') AS day,
+        |  coalesce(du.n, 0)::BIGINT AS n,
+        |  coalesce(du.cents, 0)::BIGINT AS cents
+        |FROM cal LEFT JOIN du ON du.user_id = cal.user_id
+        |  AND du.d = cal.d
+        |ORDER BY cal.user_id, day""".stripMargin,
+    "q260_balanced_sample" ->
+      // same md5 order, same minority-size cap
+      """WITH lc AS (SELECT label, count(*)::BIGINT AS n
+        |    FROM embeddings GROUP BY 1),
+        |  mn AS (SELECT min(n)::BIGINT AS nmin FROM lc),
+        |  rk AS (SELECT vec_id, label,
+        |      row_number() OVER (PARTITION BY label
+        |        ORDER BY md5(vec_id::VARCHAR || 'bal10'), vec_id)
+        |        AS rk
+        |    FROM embeddings)
+        |SELECT vec_id, label FROM rk, mn WHERE rk <= mn.nmin
+        |ORDER BY vec_id""".stripMargin,
+    "q261_feature_hashing" ->
+      // same md5 buckets, same exact integer collision-aware norm
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    z -> len(z) > 0)) AS w FROM documents),
+        |  bc AS (SELECT doc_id,
+        |      ('0x' || substr(md5(w), 1, 2))::BIGINT % 64 AS b,
+        |      count(*)::BIGINT AS cnt
+        |    FROM tk GROUP BY 1, 2)
+        |SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+        |  count(*)::BIGINT AS nnz, sum(cnt * cnt)::BIGINT AS l2sq
+        |FROM bc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q252_stream_hh" ->
+      // batch twin: q173's day-emission cutoff; capacity >= distinct
+      // users => the MG prefix IS the exact (n DESC, user ASC) top-3
+      // (user compared as STRING — the sketch item type)
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |  d AS (SELECT date_trunc('day', ts) AS d,
+        |      user_id::VARCHAR AS u, count(*)::BIGINT AS n
+        |    FROM events CROSS JOIN mx
+        |    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m
+        |    GROUP BY 1, 2),
+        |  r AS (SELECT *, row_number() OVER (PARTITION BY d
+        |      ORDER BY n DESC, u) AS rank FROM d)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, rank::BIGINT AS rank,
+        |  u AS hh_user, n
+        |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
     "q207_lambda_merge" ->
       // from-scratch recompute — equality with the base+delta merge
       // is the incremental-maintenance correctness proof

@@ -474,4 +474,37 @@ object AggOps {
       .agg(sum(col("cnt")).as("n"),
         min(col("value")).as("lo"), max(col("value")).as("hi"))
   }
+
+  /** SHANNON ENTROPY of the `itemCol` distribution per group (the
+    * token-diversity / class-balance readout next to [[histogram]]
+    * and the q229 divergences): H = ln N − (Σ c·ln c)/N in nats.
+    * Each distinct count's ln c is fixed to integer MICRO-NATS before
+    * the weighted cross-item sum (the q186 convention), so the only
+    * float steps are the final ln N and one divide — identical
+    * sequential ops in any engine. `entropy_norm` = H / ln(vocab)
+    * (the evenness index), null when vocab = 1 (the cramers_v
+    * degenerate-input guard convention).
+    *
+    * SCALE: one (group, item) hash aggregate (map-side combinable)
+    * then one group-sized aggregate — the item stream is never
+    * shuffled twice; Long is safe to c ≤ ~5e11 items per (group,
+    * item) cell (c · round(ln c · 1e6) < 2^63). */
+  def shannonEntropy(df: DataFrame, groupCol: String,
+                     itemCol: Column): DataFrame =
+    df.select(col(groupCol), itemCol.as("_it"))
+      .groupBy(col(groupCol), col("_it"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("n"),
+        count(lit(1)).as("vocab"),
+        sum(col("_c") * round(log(col("_c").cast("double")) * 1e6, 0)
+          .cast("long")).as("_s"))
+      .select(col(groupCol), col("n"), col("vocab"),
+        round(log(col("n").cast("double")) -
+          col("_s").cast("double") / 1e6 / col("n"), 6)
+          .as("entropy_nats"),
+        when(col("vocab") > 1,
+          round((log(col("n").cast("double")) -
+            col("_s").cast("double") / 1e6 / col("n")) /
+            log(col("vocab").cast("double")), 6)).as("entropy_norm"))
 }

@@ -49,6 +49,21 @@ object LayoutOps {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
 
+  /** RANGE-partitioned layout on a single sort key — the everyday
+    * warehouse layout next to [[zOrderLayout]]'s Morton curve (a real
+    * user range-lays-out on a date far more often than they z-order):
+    * `repartitionByRange` on the key (each written file owns a
+    * contiguous key range) + `sortWithinPartitions` on (key,
+    * secondary…) so row groups inside each file are tight too. Any
+    * range predicate on the key then prunes whole files AND row
+    * groups via parquet min/max stats. One range exchange (with
+    * Spark's reservoir-sampling pass for the bounds) + local sort —
+    * never a global sort, so the write scales linearly at 100 TB. */
+  def rangeLayout(df: DataFrame, key: Column, numPartitions: Int,
+                  secondary: Column*): DataFrame =
+    df.repartitionByRange(numPartitions, key)
+      .sortWithinPartitions((key +: secondary): _*)
+
   /** Small-files COMPACTION PLAN (the Delta/Iceberg OPTIMIZE
     * bin-packing step, as a deterministic relational plan): within
     * each table partition, lay the files out in `fileCol` order and

@@ -417,4 +417,40 @@ object RelOps {
           .when(col("score_micro") <= nonMatchAtMost, lit("non_match"))
           .otherwise(lit("possible")))
   }
+
+  /** SCD TYPE-2 HISTORY BUILD (the slowly-changing-dimension
+    * effective-dating pass every warehouse runs on entity change
+    * logs): per key, order the log by (ts, tie), SUPPRESS no-op
+    * changes (a new version opens only when the tracked attribute
+    * actually changes — null-safe comparison), then close each
+    * version with the next change's timestamp: valid_from = its ts,
+    * valid_to = lead(ts) (null ⇒ is_current), version = the change's
+    * rank. Validity bounds are returned as integer epoch
+    * MICROSECONDS (`unix_micros`) so the history is engine-portable
+    * with zero timestamp-format risk.
+    *
+    * SCALE: both windows share the (key) partitioning and the
+    * (ts, tie) sort, so the whole build is ONE hash exchange + one
+    * sort reused by the lag screen and the lead/rank pass — never a
+    * global sort; per-key history lengths bound the window frames.
+    * The as-of lookup against the built history is [[asofJoin]]. */
+  def scd2Build(changes: DataFrame, keyCol: String, attrCol: String,
+                tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    changes
+      // first-row detection must be positional, NOT `_prev IS NULL`:
+      // a null previous ATTRIBUTE would then re-open a version on
+      // every consecutive null (the null-safe <=> handles the rest)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(attrCol)))
+      .withColumn("valid_from_us", unix_micros(col(tsCol)))
+      .withColumn("valid_to_us",
+        unix_micros(lead(col(tsCol), 1).over(w)))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col(keyCol), col(attrCol), col("valid_from_us"),
+        col("valid_to_us"), col("version"), col("is_current"))
+  }
 }

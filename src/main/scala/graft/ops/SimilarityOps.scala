@@ -420,4 +420,178 @@ object SimilarityOps {
     }
     v
   }
+
+  // ── deterministic INTEGER k-means (micro-unit Lloyd's) ──────────
+  // q211's powerIterationMicro technique applied to clustering: every
+  // coordinate is fixed to integer micro-units before any cross-row
+  // arithmetic, so assignment distances, farthest-point init, and the
+  // truncating per-cluster mean are EXACT integers — any engine
+  // replaying the same steps (the oracle unrolls them in SQL) lands on
+  // bit-identical centroids. This is what gives the IVF / SemDeDup
+  // production paths a hash-checkable oracle; the float MLlib fit
+  // ([[ivfCentroids]]) stays as the sampling-capped library API.
+
+  /** Micro-unit integer quantization of a vector column:
+    * xm_i = round(x_i · 1e6) as long (the q206 Gram convention —
+    * |x| < 1 keeps |xm| ≤ ~1e6, so a 64-dim squared distance is
+    * ≤ ~2.6e14, far inside Long). */
+  def microVec(vecCol: Column): Column =
+    transform(vecCol.cast("array<double>"),
+      e => round(e * 1e6, 0).cast("long"))
+
+  /** Integer squared L2 distance to a literal micro-unit centroid —
+    * one codegen'd fold, no UDF. */
+  private def microDistSq(xm: Column, cent: Array[Long]): Column =
+    aggregate(zip_with(xm, typedLit(cent.toSeq), (x, c) => (x - c) * (x - c)),
+      lit(0L), (a, v) => a + v)
+
+  /** The `nprobe` nearest micro centroids as an array of cell ids —
+    * exact integer distances, ties to the smaller cell id (the
+    * array_sort struct order), pure scan-stage expressions. */
+  def nearestCellsMicro(xm: Column, cents: Array[Array[Long]],
+                        nprobe: Int): Column = {
+    val ds = cents.zipWithIndex.map { case (c, i) =>
+      struct(microDistSq(xm, c).as("d"), lit(i).as("i"))
+    }
+    transform(slice(array_sort(array(ds: _*)), 1, nprobe),
+      s => s.getField("i").cast("long"))
+  }
+
+  /** Deterministic integer k-means: farthest-point init (c0 = the
+    * min-id row; each next centroid = the row maximizing its min
+    * integer distance to the chosen set, ties to the smaller id),
+    * then `iters` Lloyd rounds (assign by exact integer distance,
+    * ties to the smaller cell; new centroid = per-dimension
+    * truncating integer mean, Java `/` == DuckDB's sign-split `//`
+    * on the positive operands; empty cells keep their centroid).
+    *
+    * Scale shape: (k − 1) + iters narrow passes over ONE
+    * localCheckpoint'ed (id, micro-vector) projection; each Lloyd
+    * pass is a single hash aggregate with k·(d + 1) accumulators and
+    * only k·(d + 1) longs ever reach the driver (the S6 bridge
+    * convention — O(k·d), never O(rows)). At 100 TB fit the
+    * quantizer on a deterministic md5-hash sample first (the
+    * q79/q140 convention); the assignment pass stays full-corpus
+    * either way. */
+  def kMeansMicro(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int, dim: Int = 64): Array[Array[Long]] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val x = df.select(col(idCol).cast("long").as("_id"),
+        microVec(col(vecCol)).as("_xm"))
+      .localCheckpoint() // (k − 1) init + iters Lloyd passes re-read it
+    try {
+      var cents: Array[Array[Long]] =
+        Array(x.orderBy(col("_id")).limit(1)
+          .collect()(0).getSeq[Long](1).toArray)
+      while (cents.length < k) {
+        val dmin =
+          if (cents.length == 1) microDistSq(col("_xm"), cents(0))
+          else least(cents.map(c => microDistSq(col("_xm"), c)): _*)
+        val far = x.withColumn("_dmin", dmin)
+          .orderBy(col("_dmin").desc, col("_id")) // TakeOrdered, k·p rows
+          .limit(1).collect()(0)
+        cents = cents :+ far.getSeq[Long](1).toArray
+      }
+      for (_ <- 1 to iters) {
+        val sums = (0 until dim).map(j =>
+          sum(element_at(col("_xm"), j + 1)).as(s"_s$j"))
+        val rows = x.withColumn("_cl",
+            element_at(nearestCellsMicro(col("_xm"), cents, 1), 1))
+          .groupBy(col("_cl"))
+          .agg(count(lit(1)).as("_n"), sums: _*)
+          .collect()
+        val next = cents.map(_.clone())
+        rows.foreach { r =>
+          val cl = r.getLong(0).toInt
+          val n = r.getLong(1)
+          var j = 0
+          while (j < dim) {
+            next(cl)(j) = r.getLong(2 + j) / n // truncates toward zero
+            j += 1
+          }
+        }
+        cents = next
+      }
+      cents
+    } finally x.unpersist()
+  }
+
+  /** [[ivfTopK]] with the coarse quantizer swapped for
+    * [[kMeansMicro]] — identical inverted-list plan (one narrow pass
+    * to assign cells, one equi-join shuffle on the cell id, exact
+    * fused-cosine rank within the probed cells), but the cell
+    * boundaries are engine-portable integers, so the WHOLE query is
+    * hash-oracle-able (q48). Candidate volume ≈ nprobe/nlist of the
+    * corpus per query, same as the float path. */
+  def ivfTopKMicro(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nlist: Int = 8,
+                   nprobe: Int = 3, iters: Int = 4): DataFrame = {
+    val cents = kMeansMicro(corpus, idCol, vecCol, nlist, iters)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .withColumn("_b",
+        element_at(nearestCellsMicro(microVec(col("_cv")), cents, 1), 1))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
+      .withColumn("_b",
+        explode(nearestCellsMicro(microVec(col("_qv")), cents, nprobe)))
+    q.join(c, Seq("_b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("_qv"), col("_cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** HARD-NEGATIVE MINING for contrastive training (the pass that
+    * turns q208's random negatives into the hard ones that actually
+    * move a metric-learning loss): for each anchor, the top-k most
+    * cosine-similar corpus rows whose LABEL DIFFERS — similar enough
+    * to confuse the model, labeled differently so the pair is a true
+    * negative. Same physical shape as [[bruteForceTopK]] (broadcast
+    * the bounded anchor set, one corpus scan, per-anchor rank window
+    * over k·|anchors| rows); the label-difference predicate rides the
+    * join condition, so candidates are filtered BEFORE scoring. At
+    * corpus scale swap the scan for [[lshTopK]]/[[ivfTopKMicro]]
+    * candidates and keep the same label filter. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"),
+      col(labelCol).as("_ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"),
+      col(labelCol).as("_cl"))
+    c.join(broadcast(q), col("_cl") =!= col("_ql"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine_sim(col("_qv"), col("_cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** [[semanticDedupIvf]] with [[kMeansMicro]] cells — the oracled
+    * twin of the k-means production path (q250): same SemDeDup prune,
+    * same decision table, but the cluster assignment replays exactly
+    * in any engine. Σ|cluster|² pairwork bounded by the cluster-count
+    * knob, as in the float path. */
+  def semanticDedupMicro(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nlist: Int = 8,
+                         iters: Int = 4): DataFrame = {
+    val cents = kMeansMicro(df, idCol, vecCol, nlist, iters)
+    val v = df.select(col(idCol),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_cl",
+        element_at(nearestCellsMicro(microVec(col("_v")), cents, 1), 1))
+    semanticPrune(v, idCol, threshold)
+  }
 }

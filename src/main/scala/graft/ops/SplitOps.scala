@@ -374,4 +374,26 @@ object SplitOps {
       .limit(k)
       .drop("_w")
   }
+
+  /** CLASS-BALANCED DOWNSAMPLE (undersample every class to the
+    * minority class's size — the imbalance fix run before training
+    * when upweighting is off the table): per label, keep the first
+    * n_min rows in deterministic md5(key‖salt) order (the q79/q140
+    * engine-portable draw). One (label) aggregate broadcasts the
+    * per-class counts; the rank window partitions by label, so no
+    * class serializes through one task beyond its own rows — and at
+    * 100 TB the md5 order means the draw needs no global sort, just
+    * the per-label window. Returns the kept rows. */
+  def balancedDownsample(df: DataFrame, labelCol: String,
+                         keyCol: String, salt: String = ""): DataFrame = {
+    val nmin = df.groupBy(col(labelCol)).agg(count(lit(1)).as("_n"))
+      .agg(min(col("_n")).as("_nmin"))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))),
+        col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .crossJoin(broadcast(nmin))
+      .filter(col("_rk") <= col("_nmin"))
+      .drop("_rk", "_nmin")
+  }
 }

@@ -740,4 +740,28 @@ object TextOps {
         when(col("_pos") <= count(lit(1)).over(byDoc) - w,
           min(col("_packed")).over(frame)))
   }
+
+  /** HASHING-TRICK FEATURE STATS (Weinberger et al. 2009 feature
+    * hashing — the fixed-width sparse featurization that needs no
+    * vocabulary fit): every token maps to bucket md5(token) mod
+    * `buckets`; per doc, the populated-bucket count (nnz), token
+    * total, and the EXACT integer squared L2 norm Σ c_b² of the
+    * hashed count vector (collision-aware — colliding tokens add
+    * into one bucket before the square). One token explode + two
+    * map-side-combinable hash aggregates; the md5 bucket is the
+    * engine-portable q222 convention. */
+  def hashingTrickStats(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 64): DataFrame = {
+    require(buckets <= 256, "bucket id comes from the md5 first byte")
+    docs.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("_w"))
+      .groupBy(col(idCol),
+        pmod(conv(substring(md5(col("_w")), 1, 2), 16, 10).cast("int"),
+          lit(buckets)).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("nnz"),
+        sum(col("_c") * col("_c")).as("l2sq"))
+  }
 }

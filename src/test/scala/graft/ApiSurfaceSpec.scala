@@ -77,7 +77,7 @@ class ApiSurfaceSpec extends AnyFunSuite {
   }
 
   test("registry consistency: every oracle key names a registered " +
-       "query, and the no-oracle set is exactly the declared six") {
+       "query, and the no-oracle set is exactly the declared four") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     val orphanOracles = os -- qs
@@ -86,9 +86,10 @@ class ApiSurfaceSpec extends AnyFunSuite {
     // SURVEY §5 convention: only seeded-RNG sampling and ML-training
     // queries may lack an oracle — a NEW query landing here unannounced
     // means someone forgot its oracle entry (q33 left this set in
-    // round 9: simhashMd5's bits are engine-portable)
+    // round 9: simhashMd5's bits are engine-portable; q48 left it in
+    // round 10: the integer-k-means IVF cells replay in SQL)
     val declaredNoOracle = Set("q20_stratified_sample", "q21_split_sizes",
-      "q45_ml_metrics", "q48_ann_ivf", "q54_stream_scoring")
+      "q45_ml_metrics", "q54_stream_scoring")
     assert((qs -- os) === declaredNoOracle,
       s"no-oracle set drifted: ${(qs -- os) -- declaredNoOracle} added, " +
         s"${declaredNoOracle -- (qs -- os)} missing")

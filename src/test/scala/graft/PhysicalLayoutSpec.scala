@@ -131,4 +131,56 @@ class PhysicalLayoutSpec extends AnyFunSuite {
       s"z-order layout must let the pushed rectangle skip most row " +
         s"groups: z=$zRead vs hash=$hRead records read")
   }
+
+  test("range layout + pushed date predicate skips row groups a hash " +
+       "layout must read (the q251 file-skipping proof)") {
+    import graft.ops.LayoutOps
+    // DATE, not timestamp: Spark writes timestamps as INT96 whose
+    // parquet stats are ignored — a timestamp key would disable the
+    // row-group pruning this test measures (q251 stores DATE too)
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"))
+    val rDir = "/root/repo/target/range_cache/spec_range"
+    val hDir = "/root/repo/target/range_cache/spec_hash"
+    LayoutOps.rangeLayout(o, col("o_orderdate"), 16, col("o_orderkey"))
+      .write.mode("overwrite").parquet(rDir)
+    o.repartition(16).write.mode("overwrite").parquet(hDir)
+
+    def recordsRead(path: String): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        spark.read.parquet(path)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-04-01"))
+          .agg(count(lit(1))).collect()
+        var prev = -1L
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val cur = acc.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        acc.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    val rRead = recordsRead(rDir)
+    val hRead = recordsRead(hDir)
+    // hash layout: every file spans the full date domain → min/max
+    // stats prune nothing. range layout: only the files whose date
+    // range intersects the one-quarter window are read.
+    assert(hRead > 0, "listener captured no input metrics")
+    assert(rRead * 2 < hRead,
+      s"range layout must let the pushed date window skip most row " +
+        s"groups: range=$rRead vs hash=$hRead records read")
+  }
 }

@@ -140,6 +140,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected exactly the deterministic output sort")
   }
 
+  test("q253: the curation capstone's mixture+packing tail costs two " +
+       "hash exchanges + the output sort — stage boundaries are " +
+       "checkpoint leaves, so the LM/dedup/DSIR work never recomputes " +
+       "per downstream consumer") {
+    val p = planOf("q253_curation_e2e")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2,
+      s"expected exactly the budget (_g, _mb) + packing (lang) " +
+        s"exchanges:\n${p.take(2000)}")
+    assert("Exchange rangepartitioning".r.findAllIn(p).length === 1,
+      "expected exactly the deterministic output sort")
+  }
+
   test("q31: minhash aggregates in a single exchange on doc_id") {
     val p = planOf("q31_minhash_sig")
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1,
