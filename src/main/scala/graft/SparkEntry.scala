@@ -5376,6 +5376,215 @@ object SparkEntry {
         buckets = 64)
       .orderBy(col("doc_id"))
 
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    // POINT-IN-TIME ENRICHMENT against the SCD2 history (the
+    // feature-store "what was the dimension worth WHEN the fact
+    // happened" lookup — q254's consumer): probes (every 5th event,
+    // shifted +1 h so each falls strictly inside a validity interval)
+    // equi-join the history on the key; the interval predicate is a
+    // residual filter on the hash join — per-key histories are small,
+    // so no range-join machinery is needed. Open-ended is_current
+    // rows catch probes past the last change.
+    val ev = t(s, dir, "events")
+    val hist = RelOps.scd2Build(ev, "user_id", "event_type", "ts",
+        "event_id")
+      .localCheckpoint() // built once, probed below
+    val probes = ev.filter(col("event_id") % 5 === 0)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) + lit(3600000000L)).as("probe_us"))
+    probes.join(hist, Seq("user_id"))
+      .where(col("valid_from_us") <= col("probe_us") &&
+        (col("valid_to_us").isNull ||
+          col("probe_us") < col("valid_to_us")))
+      .select(col("event_id"), col("user_id"), col("probe_us"),
+        col("event_type").as("state"), col("version"))
+      .orderBy(col("event_id"))
+  }
+
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    // GROUPED QUANTILE SKETCH — q227's mergeable MRL sketch as a
+    // per-group aggregate (per event_type p50/p95 of value cents):
+    // capacity 32768 ≥ any type's row count through sf0.1 ⇒ exact
+    // regime (q227/q200 convention) so the exact-rank oracle
+    // hash-matches; at larger SFs the same plan degrades gracefully
+    // to the published MRL bound instead of shuffling a per-value
+    // table. ≤ capacity longs per map task cross the shuffle.
+    val byT = Window.partitionBy(col("event_type"))
+    val agg = t(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("_c"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions
+          .quantile_sketch(col("_c"), 32768).as("_sk"),
+        count(lit(1)).as("n"))
+    val cum = agg.select(col("event_type"), col("n"),
+        explode(col("_sk")).as("_e"))
+      .select(col("event_type"), col("n"), col("_e.value").as("_v"),
+        col("_e.weight").as("_w"))
+      .withColumn("_cum", sum(col("_w")).over(byT.orderBy(col("_v"))))
+    def qv(p: Int) = min(when(col("_cum") * 100 >= col("n") * p,
+      col("_v")))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), qv(50).as("p50_cents"),
+        qv(95).as("p95_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    // PER-GROUP MIN-MAX SCALER, fit + transform in ONE plan (q52's
+    // global scaler grouped — the per-segment feature prep): integer
+    // cents, scaled_milli = (c − lo)·1000 div (hi − lo) — truncating
+    // integer division on non-negative operands (Spark DIV == DuckDB
+    // //); a constant group (hi = lo) scales to null, never a
+    // 0-division (the cramers_v guard). One G-row stats broadcast,
+    // transform pure map-side.
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(min(col("cents")).as("_lo"), max(col("cents")).as("_hi"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        when(col("_hi") > col("_lo"),
+          expr("(cents - _lo) * 1000 div (_hi - _lo)"))
+          .as("scaled_milli"))
+      .orderBy(col("event_id"))
+  }
+
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    // MOSS CLUSTERS — connected components over shared winnowing
+    // fingerprints (the cross-doc consumer of q223's selection, and
+    // the POSITIONAL sibling of q57's token-Jaccard clusters): docs
+    // sharing any fingerprint HASH edge into one cluster. The
+    // fingerprint equi-join is bounded by posting-list length
+    // (max 3 on the fixture; a maxBucket cap is the 100 TB guard,
+    // q32's convention); components use the q57 checkpoint-released
+    // loop.
+    val docs = t(s, dir, "documents")
+    val fp = TextOps.winnowFingerprintTable(docs, "doc_id", "text")
+      .localCheckpoint() // both self-join sides
+    val edges = fp.select(col("fp"), col("doc_id").as("id_a"))
+      .join(fp.select(col("fp"), col("doc_id").as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    DedupOps.connectedComponents(docs.select(col("doc_id")), edges,
+        "doc_id")
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("comp"))
+  }
+
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    // QUANTILE (RANK) TRANSFORM TABLE — map every distinct value to
+    // its mid-rank percentile (the rank-gaussianize / quantile-
+    // normalize prep before tree-free models): ranks come from the
+    // two-level prefix-sum `valueRanks` primitive (bucket-partitioned
+    // windows + an O(buckets) driver offset table — NEVER a global
+    // sort), pct_ppm = (2·below + cnt − 1)·5e5 div (n − 1) — the
+    // mid-rank of each value's tie run, exact integers. Production
+    // applies the table via broadcast join; the table IS the fit.
+    val ranks = AggOps.valueRanks(
+      t(s, dir, "orders").select(
+        round(col("o_totalprice") * 100, 0).cast("long").as("v")), "v")
+    val n = ranks.agg(sum(col("cnt")).as("_n"))
+    ranks.crossJoin(broadcast(n))
+      .select(col("value"), col("cnt"), col("below"),
+        expr("((2 * below + cnt - 1) * 500000) div (_n - 1)")
+          .as("pct_ppm"))
+      .orderBy(col("value"))
+  }
+
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    // DAY-OF-WEEK SEASONALITY PROFILE + residuals (the decomposition
+    // feeding q242's backtest and q240's change-point: is Monday just
+    // Monday, or a real shift?): dow = epoch-days mod 7 — PORTABLE
+    // (Spark counts Sunday=1, DuckDB Sunday=0; the mod sidesteps
+    // both), dow mean = truncating integer div over the day-bounded
+    // profile, residual exact integer cents.
+    val d = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .withColumn("dow",
+        pmod(datediff(col("_day"), to_date(lit("1970-01-01"))), lit(7))
+          .cast("long"))
+      .localCheckpoint() // feeds the dow profile AND the residual join
+    val m = d.groupBy(col("dow"))
+      .agg(sum(col("cents")).as("_s"), count(lit(1)).as("_k"))
+    d.join(broadcast(m), "dow")
+      .select(date_format(col("_day"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("cents"),
+        expr("_s div _k").as("dow_mean_cents"),
+        (col("cents") - expr("_s div _k")).as("residual_cents"))
+      .orderBy(col("day"))
+  }
+
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    // JOIN-SIZE ESTIMATOR from per-key histograms — the pre-flight
+    // |A ⋈ B| = Σ c_A(k)·c_B(k) check before committing a 100 TB
+    // equi-join (q145's skew report aimed at JOIN OUTPUT): two key
+    // aggregates + one equi-join of the (key-domain-sized)
+    // histograms. The estimate is EXACT for equi-joins — that
+    // identity IS the oracle — and top_share_ppm flags a key that
+    // would dominate the output (the salting decision input).
+    val a = t(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("_ca"))
+    val b = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("_cb"))
+    a.join(b, "k")
+      .select((col("_ca") * col("_cb")).as("_p"))
+      .agg(sum(col("_p")).as("est_rows"), count(lit(1)).as("n_keys"),
+        max(col("_p")).as("max_key_product"))
+      .select(col("est_rows"), col("n_keys"), col("max_key_product"),
+        expr("(max_key_product * 1000000) div est_rows")
+          .as("top_share_ppm"))
+  }
+
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    // PERSONALIZED PAGERANK in EXACT pico-unit integers (q97's click
+    // graph, q211's integer-iteration technique): teleport mass
+    // returns only to the seed set {0, 1, 2}, giving "related to the
+    // seeds" scores — the recommender readout plain PageRank can't
+    // give. Every step is integer — contrib = Σ (r div deg), update
+    // = seed-mass div |S| + (c·17) div 20 — so any engine replaying
+    // the integers lands bit-identical (no float-sum order
+    // fragility). 3 iterations; per iteration one (src) join + one
+    // (dst) hash aggregate, iterates localCheckpoint-released (q57
+    // hygiene).
+    val e = t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    try {
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+      val seeds = Seq(0L, 1L, 2L)
+      val isSeed = col("id").isin(seeds: _*)
+      var r = nodes.select(col("id"),
+          when(isSeed, lit(1000000000000L / seeds.size))
+            .otherwise(lit(0L)).as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val c = e.join(deg, "src")
+          .join(r.select(col("id").as("src"), col("r")), "src")
+          .select(col("dst").as("id"), expr("r div _deg").as("_c"))
+          .groupBy(col("id")).agg(sum(col("_c")).as("_c"))
+        val next = nodes.join(c, Seq("id"), "left")
+          .select(col("id"),
+            (when(isSeed, lit(150000000000L / seeds.size))
+              .otherwise(lit(0L)) +
+              expr("(coalesce(_c, 0) * 17) div 20")).as("r"))
+          .localCheckpoint()
+        r.unpersist()
+        r = next
+      }
+      r.filter(col("r") > 0)
+        .select(col("id"), col("r").as("ppr_pico"))
+        .orderBy(col("id"))
+    } finally { e.unpersist(); nodes.unpersist() }
+  }
+
   private def q252(s: SparkSession, dir: String): DataFrame = {
     // STREAMING HEAVY HITTERS — per-day trending users via the
     // bounded MisraGriesAgg buffer running INSIDE the watermarked
@@ -6201,6 +6410,14 @@ object SparkEntry {
     "q259_calendar_fill" -> q259 _,
     "q260_balanced_sample" -> q260 _,
     "q261_feature_hashing" -> q261 _,
+    "q262_scd2_pit" -> q262 _,
+    "q263_grouped_quantiles" -> q263 _,
+    "q264_group_scaler" -> q264 _,
+    "q265_winnow_clusters" -> q265 _,
+    "q266_quantile_transform" -> q266 _,
+    "q267_dow_seasonality" -> q267 _,
+    "q268_join_estimator" -> q268 _,
+    "q269_personalized_ppr" -> q269 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -10579,6 +10796,184 @@ object SparkEntry {
         |SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
         |  count(*)::BIGINT AS nnz, sum(cnt * cnt)::BIGINT AS l2sq
         |FROM bc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q262_scd2_pit" ->
+      // q254's history chain + the same probe interval join
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |  ch AS (SELECT user_id, event_type, ts, event_id FROM o
+        |    WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |  v AS (SELECT user_id, event_type,
+        |      epoch_us(ts)::BIGINT AS vf,
+        |      epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id))::BIGINT AS vt,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id)::BIGINT AS version
+        |    FROM ch),
+        |  p AS (SELECT event_id, user_id,
+        |      epoch_us(ts)::BIGINT + 3600000000 AS probe_us
+        |    FROM events WHERE event_id % 5 = 0)
+        |SELECT p.event_id, p.user_id, p.probe_us,
+        |  v.event_type AS state, v.version
+        |FROM p JOIN v ON v.user_id = p.user_id
+        |  AND v.vf <= p.probe_us
+        |  AND (v.vt IS NULL OR p.probe_us < v.vt)
+        |ORDER BY p.event_id""".stripMargin,
+    "q263_grouped_quantiles" ->
+      // capacity >= per-type n => the sketch IS the exact histogram;
+      // same integer rank rule per type
+      """WITH c AS (SELECT event_type,
+        |    round(value * 100)::BIGINT AS v FROM events),
+        |  h AS (SELECT event_type, v, count(*)::BIGINT AS w FROM c
+        |    GROUP BY 1, 2),
+        |  t AS (SELECT event_type, sum(w)::BIGINT AS n FROM h
+        |    GROUP BY 1),
+        |  cu AS (SELECT h.event_type, h.v,
+        |      sum(h.w) OVER (PARTITION BY h.event_type ORDER BY h.v)
+        |        AS cum, t.n
+        |    FROM h JOIN t USING (event_type))
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN v END)::BIGINT
+        |    AS p50_cents,
+        |  min(CASE WHEN cum * 100 >= n * 95 THEN v END)::BIGINT
+        |    AS p95_cents
+        |FROM cu GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q264_group_scaler" ->
+      // same integer cents, same truncating scaled_milli, same
+      // constant-group null guard
+      """WITH e AS (SELECT event_id, event_type,
+        |    round(value * 100)::BIGINT AS cents FROM events),
+        |  s AS (SELECT event_type, min(cents)::BIGINT AS lo,
+        |      max(cents)::BIGINT AS hi FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.cents,
+        |  CASE WHEN s.hi > s.lo THEN
+        |    ((e.cents - s.lo) * 1000) // (s.hi - s.lo)
+        |  END::BIGINT AS scaled_milli
+        |FROM e JOIN s USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+    "q265_winnow_clusters" ->
+      // q223's fingerprint selection, hash part only, then the q57
+      // recursive min-label components over shared-hash edges
+      """WITH RECURSIVE
+        |  d AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    z -> len(z) > 0) AS l FROM documents),
+        |  sh AS (SELECT doc_id, i.i - 1 AS pos,
+        |      array_to_string(l[i.i:i.i + 3], ' ') AS s
+        |    FROM d, LATERAL (SELECT unnest(
+        |      generate_series(1, len(l) - 3)) AS i) i
+        |    WHERE len(l) >= 4),
+        |  pk AS (SELECT doc_id, pos,
+        |      ('0x' || substr(md5(s), 1, 9))::BIGINT * 16777216 +
+        |        (16777215 - pos) AS packed,
+        |      count(*) OVER (PARTITION BY doc_id) AS ng
+        |    FROM sh),
+        |  sel AS (SELECT doc_id,
+        |      CASE WHEN pos <= ng - 4 THEN
+        |        min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) END AS s
+        |    FROM pk),
+        |  fp AS (SELECT DISTINCT doc_id, s // 16777216 AS f
+        |    FROM sel WHERE s IS NOT NULL),
+        |  ed AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM ed
+        |    UNION ALL SELECT id_b, id_a FROM ed),
+        |  reach AS (
+        |    SELECT doc_id AS id, doc_id AS comp FROM documents
+        |    UNION
+        |    SELECT e.dst, r.comp FROM reach r JOIN edges e
+        |      ON e.src = r.id),
+        |  cmp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1)
+        |SELECT comp, count(*)::BIGINT AS n_docs FROM cmp
+        |GROUP BY 1 ORDER BY comp""".stripMargin,
+    "q266_quantile_transform" ->
+      // same mid-rank integers; the single window here IS what the
+      // two-level prefix sum reproduces (the q181 convention)
+      """WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS value
+        |    FROM orders),
+        |  h AS (SELECT value, count(*)::BIGINT AS cnt FROM v
+        |    GROUP BY 1),
+        |  t AS (SELECT sum(cnt)::BIGINT AS n FROM h),
+        |  cu AS (SELECT value, cnt,
+        |      coalesce(sum(cnt) OVER (ORDER BY value
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0)::BIGINT AS below
+        |    FROM h)
+        |SELECT value, cnt, below,
+        |  (((2 * below + cnt - 1) * 500000) // (t.n - 1))::BIGINT
+        |    AS pct_ppm
+        |FROM cu, t ORDER BY value""".stripMargin,
+    "q267_dow_seasonality" ->
+      // same epoch-days mod-7 dow, truncating dow mean, exact
+      // residuals
+      """WITH d AS (SELECT date_trunc('day', ts)::DATE AS day,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1),
+        |  w AS (SELECT day,
+        |      date_diff('day', DATE '1970-01-01', day) % 7 AS dow,
+        |      cents FROM d),
+        |  m AS (SELECT dow, sum(cents)::BIGINT AS s,
+        |      count(*)::BIGINT AS k FROM w GROUP BY 1)
+        |SELECT strftime(w.day, '%Y-%m-%d') AS day, w.dow::BIGINT
+        |    AS dow, w.cents,
+        |  (m.s // m.k)::BIGINT AS dow_mean_cents,
+        |  (w.cents - m.s // m.k)::BIGINT AS residual_cents
+        |FROM w JOIN m USING (dow) ORDER BY day""".stripMargin,
+    "q268_join_estimator" ->
+      // the estimator identity: Σ c_A·c_B over the key histograms
+      """WITH a AS (SELECT o_orderkey AS k, count(*)::BIGINT AS ca
+        |    FROM orders GROUP BY 1),
+        |  b AS (SELECT l_orderkey AS k, count(*)::BIGINT AS cb
+        |    FROM lineitem GROUP BY 1),
+        |  j AS (SELECT a.k, ca * cb AS p FROM a JOIN b USING (k))
+        |SELECT sum(p)::BIGINT AS est_rows, count(*)::BIGINT AS n_keys,
+        |  max(p)::BIGINT AS max_key_product,
+        |  (max(p) * 1000000 // sum(p))::BIGINT AS top_share_ppm
+        |FROM j""".stripMargin,
+    "q269_personalized_ppr" ->
+      // the same 3 integer steps unrolled: contrib = Σ (r // deg),
+      // update = seed-mass // |S| + (c·17) // 20 — all operands
+      // non-negative, so // == the engine's DIV everywhere
+      """WITH e AS (SELECT DISTINCT user_id AS src,
+        |    event_id % 150 AS dst
+        |  FROM events WHERE event_type = 'click'),
+        |  nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |  deg AS (SELECT src, count(*)::BIGINT AS deg FROM e
+        |    GROUP BY 1),
+        |  seeds AS (SELECT unnest([0, 1, 2])::BIGINT AS id),
+        |  r0 AS (SELECT nodes.id, CASE WHEN seeds.id IS NOT NULL
+        |      THEN 333333333333 ELSE 0 END::BIGINT AS r
+        |    FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id),
+        |  c1 AS (SELECT e.dst AS id, sum(r.r // d.deg)::BIGINT AS c
+        |    FROM e JOIN deg d USING (src) JOIN r0 r ON r.id = e.src
+        |    GROUP BY 1),
+        |  r1 AS (SELECT nodes.id,
+        |      (CASE WHEN s.id IS NOT NULL THEN 50000000000 ELSE 0 END
+        |       + (coalesce(c1.c, 0) * 17) // 20)::BIGINT AS r
+        |    FROM nodes LEFT JOIN seeds s ON nodes.id = s.id
+        |    LEFT JOIN c1 ON c1.id = nodes.id),
+        |  c2 AS (SELECT e.dst AS id, sum(r.r // d.deg)::BIGINT AS c
+        |    FROM e JOIN deg d USING (src) JOIN r1 r ON r.id = e.src
+        |    GROUP BY 1),
+        |  r2 AS (SELECT nodes.id,
+        |      (CASE WHEN s.id IS NOT NULL THEN 50000000000 ELSE 0 END
+        |       + (coalesce(c2.c, 0) * 17) // 20)::BIGINT AS r
+        |    FROM nodes LEFT JOIN seeds s ON nodes.id = s.id
+        |    LEFT JOIN c2 ON c2.id = nodes.id),
+        |  c3 AS (SELECT e.dst AS id, sum(r.r // d.deg)::BIGINT AS c
+        |    FROM e JOIN deg d USING (src) JOIN r2 r ON r.id = e.src
+        |    GROUP BY 1),
+        |  r3 AS (SELECT nodes.id,
+        |      (CASE WHEN s.id IS NOT NULL THEN 50000000000 ELSE 0 END
+        |       + (coalesce(c3.c, 0) * 17) // 20)::BIGINT AS r
+        |    FROM nodes LEFT JOIN seeds s ON nodes.id = s.id
+        |    LEFT JOIN c3 ON c3.id = nodes.id)
+        |SELECT id, r AS ppr_pico FROM r3 WHERE r > 0
+        |ORDER BY id""".stripMargin,
     "q252_stream_hh" ->
       // batch twin: q173's day-emission cutoff; capacity >= distinct
       // users => the MG prefix IS the exact (n DESC, user ASC) top-3

@@ -477,7 +477,8 @@ object AggOps {
 
   /** SHANNON ENTROPY of the `itemCol` distribution per group (the
     * token-diversity / class-balance readout next to [[histogram]]
-    * and the q229 divergences): H = ln N − (Σ c·ln c)/N in nats.
+    * and the q229 divergences; the generic, EXACT-integer sibling of
+    * q112's per-doc float-log2 spelling): H = ln N − (Σ c·ln c)/N in nats.
     * Each distinct count's ln c is fixed to integer MICRO-NATS before
     * the weighted cross-item sum (the q186 convention), so the only
     * float steps are the final ln N and one divide — identical

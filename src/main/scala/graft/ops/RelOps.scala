@@ -420,7 +420,10 @@ object RelOps {
 
   /** SCD TYPE-2 HISTORY BUILD (the slowly-changing-dimension
     * effective-dating pass every warehouse runs on entity change
-    * logs): per key, order the log by (ts, tie), SUPPRESS no-op
+    * logs; the library generalization of q107's inline compaction —
+    * adds version ranks, is_current, epoch-micro bounds, and the
+    * positional null-run guard): per key, order the log by
+    * (ts, tie), SUPPRESS no-op
     * changes (a new version opens only when the tracked attribute
     * actually changes — null-safe comparison), then close each
     * version with the next change's timestamp: valid_from = its ts,

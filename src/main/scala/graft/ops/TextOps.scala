@@ -726,6 +726,21 @@ object TextOps {
   /** Shared winnowing core: shingle rows with `_sel` = the packed
     * window minimum for complete-window start positions, null
     * elsewhere. */
+  /** Distinct (doc, fingerprint-hash) postings from the winnowing
+    * selection — the join side of cross-doc matching (q265's MOSS
+    * clusters): the position half of the packed value is stripped
+    * (hash = packed div 2^24) because the MOSS sharing guarantee is
+    * on HASHES; positions only break window ties. Density 2/(w+1) of
+    * the shingle stream, so the posting table (and the downstream
+    * fingerprint equi-join) is a small fraction of the corpus. */
+  def winnowFingerprintTable(docs: DataFrame, idCol: String,
+                             textCol: String, k: Int = 4,
+                             w: Int = 4): DataFrame =
+    winnowGrams(docs, idCol, textCol, k, w)
+      .filter(col("_sel").isNotNull)
+      .select(col(idCol), expr("_sel div 16777216").as("fp"))
+      .distinct()
+
   private def winnowGrams(docs: DataFrame, idCol: String,
                           textCol: String, k: Int, w: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol))

@@ -137,6 +137,22 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got.getLong(3) === 5L) // 2^2 + 1^2
   }
 
+  test("q264 scaler shape: a constant group scales to null, " +
+       "extremes to 0 and 1000, truncation toward zero") {
+    val ev = Seq((1L, "a", 10L), (2L, "a", 25L), (3L, "a", 40L),
+      (4L, "b", 7L), (5L, "b", 7L)).toDF("event_id", "t", "cents")
+    val stats = ev.groupBy(col("t"))
+      .agg(min(col("cents")).as("_lo"), max(col("cents")).as("_hi"))
+    val got = ev.join(broadcast(stats), "t")
+      .select(col("event_id"),
+        when(col("_hi") > col("_lo"),
+          expr("(cents - _lo) * 1000 div (_hi - _lo)"))
+          .as("scaled_milli"))
+      .orderBy("event_id").collect()
+      .map(r => if (r.isNullAt(1)) -1L else r.getLong(1))
+    assert(got.toSeq === Seq(0L, 500L, 1000L, -1L, -1L))
+  }
+
   test("scd2Build: no-op suppression, null-safe attribute compare, " +
        "lead-closed validity, per-key version ranks") {
     val log = Seq(
