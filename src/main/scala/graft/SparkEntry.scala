@@ -5499,8 +5499,13 @@ object SparkEntry {
     // feeding q242's backtest and q240's change-point: is Monday just
     // Monday, or a real shift?): dow = epoch-days mod 7 — PORTABLE
     // (Spark counts Sunday=1, DuckDB Sunday=0; the mod sidesteps
-    // both), dow mean = truncating integer div over the day-bounded
-    // profile, residual exact integer cents.
+    // both; pmod here == the oracle's double-mod, so pre-epoch days
+    // agree too), dow mean = truncating integer div over the
+    // day-bounded profile, residual exact integer cents.
+    // PRECONDITION: per-day cent sums non-negative (fixture contract
+    // value >= 0.01) — Spark `div` truncates toward zero while DuckDB
+    // `//` floors, so a signed-value corpus needs the kmeansSqlChain
+    // sign-split on the dow mean.
     val d = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("_day"))
       .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
@@ -10024,9 +10029,10 @@ object SparkEntry {
         |SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS n_cells,
         |  ((max(nr) - 1) * (max(nc) - 1))::BIGINT AS dof,
         |  round(sum(m)::DOUBLE / 1e6, 6) AS chi2,
-        |  round(sqrt(sum(m)::DOUBLE / 1e6 /
-        |    (max(n) * least(max(nr) - 1, max(nc) - 1))::DOUBLE), 6)
-        |    AS cramers_v
+        |  CASE WHEN least(max(nr) - 1, max(nc) - 1) > 0 THEN
+        |    round(sqrt(sum(m)::DOUBLE / 1e6 /
+        |      (max(n) * least(max(nr) - 1, max(nc) - 1))::DOUBLE), 6)
+        |  END AS cramers_v
         |FROM mic""".stripMargin,
     "q225_spearman" ->
       // same tie-averaged doubled ranks, same mean-zero centering;
@@ -10908,13 +10914,19 @@ object SparkEntry {
         |    AS pct_ppm
         |FROM cu, t ORDER BY value""".stripMargin,
     "q267_dow_seasonality" ->
-      // same epoch-days mod-7 dow, truncating dow mean, exact
-      // residuals
+      // same epoch-days mod-7 dow (double-mod = Spark's pmod, so the
+      // encoding survives pre-epoch days where a bare % goes
+      // negative), truncating dow mean, exact residuals. The dow-mean
+      // `//` == Spark `div` only on NON-NEGATIVE sums — guaranteed
+      // here by the fixture contract value >= 0.01 (documented
+      // precondition; a signed-value corpus needs the kmeansSqlChain
+      // sign-split).
       """WITH d AS (SELECT date_trunc('day', ts)::DATE AS day,
         |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
         |  FROM events GROUP BY 1),
         |  w AS (SELECT day,
-        |      date_diff('day', DATE '1970-01-01', day) % 7 AS dow,
+        |      ((date_diff('day', DATE '1970-01-01', day) % 7) + 7) % 7
+        |        AS dow,
         |      cents FROM d),
         |  m AS (SELECT dow, sum(cents)::BIGINT AS s,
         |      count(*)::BIGINT AS k FROM w GROUP BY 1)

@@ -472,9 +472,18 @@ object SimilarityOps {
     * convention — O(k·d), never O(rows)). At 100 TB fit the
     * quantizer on a deterministic md5-hash sample first (the
     * q79/q140 convention); the assignment pass stays full-corpus
-    * either way. */
+    * either way.
+    *
+    * `dim` defaults to 0 = DERIVE from the data: the Lloyd mean
+    * update covers exactly the length of the first (min-id) vector,
+    * which the init collects anyway — a hardcoded width would
+    * silently freeze the tail of wider vectors at init values and
+    * crash on narrower ones. Pass `dim > 0` only as an assertion
+    * that the corpus width is what you think it is. Vectors must
+    * share ONE width; a ragged row surfaces as a null/garbage
+    * distance at assignment, not a wrong-but-plausible centroid. */
   def kMeansMicro(df: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iters: Int, dim: Int = 64): Array[Array[Long]] = {
+                  k: Int, iters: Int, dim: Int = 0): Array[Array[Long]] = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val x = df.select(col(idCol).cast("long").as("_id"),
@@ -484,6 +493,9 @@ object SimilarityOps {
       var cents: Array[Array[Long]] =
         Array(x.orderBy(col("_id")).limit(1)
           .collect()(0).getSeq[Long](1).toArray)
+      val d = if (dim > 0) dim else cents(0).length
+      require(cents(0).length == d,
+        s"vector dim ${cents(0).length} != declared dim $d")
       while (cents.length < k) {
         val dmin =
           if (cents.length == 1) microDistSq(col("_xm"), cents(0))
@@ -494,7 +506,7 @@ object SimilarityOps {
         cents = cents :+ far.getSeq[Long](1).toArray
       }
       for (_ <- 1 to iters) {
-        val sums = (0 until dim).map(j =>
+        val sums = (0 until d).map(j =>
           sum(element_at(col("_xm"), j + 1)).as(s"_s$j"))
         val rows = x.withColumn("_cl",
             element_at(nearestCellsMicro(col("_xm"), cents, 1), 1))
@@ -506,7 +518,7 @@ object SimilarityOps {
           val cl = r.getLong(0).toInt
           val n = r.getLong(1)
           var j = 0
-          while (j < dim) {
+          while (j < d) {
             next(cl)(j) = r.getLong(2 + j) / n // truncates toward zero
             j += 1
           }
