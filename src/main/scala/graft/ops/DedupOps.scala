@@ -243,17 +243,40 @@ object DedupOps {
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
       .filter(size(col("_ids")) > 1)
       .select(col("_ids")).distinct()
-    val small = buckets.filter(size(col("_ids")) <= maxBucket)
-      .select(explode(col("_ids")).as("id_a"), col("_ids"))
+    cappedPairsFromBuckets(buckets, "_ids", maxBucket)
+  }
+
+  /** Capped pair expansion over pre-grouped member-id lists — the
+    * maxBucket downgrade EXTRACTED from [[lshCandidatePairs]] so every
+    * bucketed pair generator (LSH bands, perceptual-hash bands,
+    * fingerprint posting lists) shares ONE skew guard instead of
+    * re-deriving it: groups at or below `maxBucket` expand to exact
+    * all-pairs (C(m,2)); larger groups DOWNGRADE to representative
+    * pairs — sorted-head anchor vs each other member, m−1 rows,
+    * linear. Input: one row per group with a SORTED member-id array
+    * of size > 1 (dedupe identical sets first; identical sets share a
+    * size, so the branch decision is per-set consistent — the
+    * property the oracle's per-bucket window guard relies on).
+    * Output: distinct (id_a, id_b) with id_a < id_b.
+    *
+    * The per-group id array lives in ONE aggregation buffer — O(m)
+    * memory on the task that owns the group (the accepted
+    * lshCandidatePairs shape); the cap guards the C(m,2) EMISSION,
+    * which is what blows up first by a factor of m. */
+  def cappedPairsFromBuckets(buckets: DataFrame, idsCol: String,
+                             maxBucket: Int): DataFrame = {
+    val ids = col(idsCol)
+    val small = buckets.filter(size(ids) <= maxBucket)
+      .select(explode(ids).as("id_a"), ids.as("_pids"))
       // spread the second-level expansion: without this, one task owns a
       // whole bucket and generates its C(m,2) pairs serially
       .repartition(col("id_a"))
       .select(col("id_a"),
-        explode(filter(col("_ids"), x => x > col("id_a"))).as("id_b"))
+        explode(filter(col("_pids"), x => x > col("id_a"))).as("id_b"))
     // mega-bucket downgrade: (sorted) head anchors the rest — linear
-    val large = buckets.filter(size(col("_ids")) > maxBucket)
-      .select(col("_ids").getItem(0).as("id_a"),
-        explode(slice(col("_ids"), lit(2), size(col("_ids")) - 1)).as("id_b"))
+    val large = buckets.filter(size(ids) > maxBucket)
+      .select(ids.getItem(0).as("id_a"),
+        explode(slice(ids, lit(2), size(ids) - 1)).as("id_b"))
     small.unionByName(large).distinct()
   }
 

@@ -438,22 +438,38 @@ object RelOps {
     * global sort; per-key history lengths bound the window frames.
     * The as-of lookup against the built history is [[asofJoin]]. */
   def scd2Build(changes: DataFrame, keyCol: String, attrCol: String,
-                tsCol: String, tieCol: String): DataFrame = {
+                tsCol: String, tieCol: String): DataFrame =
+    scd2Build(changes, keyCol, Seq(attrCol), tsCol, tieCol)
+
+  /** Multi-attribute [[scd2Build]] — real dimension builds track MANY
+    * columns, and a version must open when ANY of them changes. The
+    * change screen compares the WHOLE tracked-attribute STRUCT with
+    * the null-safe `<=>` (q126's whole-struct trick): struct equality
+    * treats per-field null==null as equal, so the composite rule is
+    * exactly `OR` over per-field `IS DISTINCT FROM` — one comparison,
+    * no per-column lag columns. Same positional first-row guard, same
+    * single (key) exchange + (ts, tie) sort shared by both windows. */
+  def scd2Build(changes: DataFrame, keyCol: String,
+                attrCols: Seq[String], tsCol: String,
+                tieCol: String): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Build needs >= 1 tracked attribute")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
+    val attrs = struct(attrCols.map(col): _*)
     changes
       // first-row detection must be positional, NOT `_prev IS NULL`:
       // a null previous ATTRIBUTE would then re-open a version on
       // every consecutive null (the null-safe <=> handles the rest)
       .withColumn("_rn", row_number().over(w))
-      .withColumn("_prev", lag(col(attrCol), 1).over(w))
-      .filter(col("_rn") === 1 || !(col("_prev") <=> col(attrCol)))
+      .withColumn("_prev", lag(attrs, 1).over(w))
+      .filter(col("_rn") === 1 || !(col("_prev") <=> attrs))
       .withColumn("valid_from_us", unix_micros(col(tsCol)))
       .withColumn("valid_to_us",
         unix_micros(lead(col(tsCol), 1).over(w)))
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("is_current", col("valid_to_us").isNull)
-      .select(col(keyCol), col(attrCol), col("valid_from_us"),
-        col("valid_to_us"), col("version"), col("is_current"))
+      .select(col(keyCol) +: attrCols.map(col) :+
+        col("valid_from_us") :+ col("valid_to_us") :+
+        col("version") :+ col("is_current"): _*)
   }
 }

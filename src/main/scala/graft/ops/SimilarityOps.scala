@@ -308,20 +308,33 @@ object SimilarityOps {
     * arithmetic, codegen'd), one self-equi-join ON THE CLUSTER ID, one
     * hash aggregate (max prior sim per member), one broadcast-free left
     * join back. Intra-cluster pairwork is Σ|cluster|² — the operator's
-    * knob is cluster COUNT (`planes` here, `nlist` for IVF), grown with
-    * the corpus so the expected cluster size, and with it per-task
-    * pairwork, stays constant; the published recipe runs ~n/10k
-    * clusters at 100 TB. No stage materializes a cluster in memory —
-    * the pairs stream through the join. */
+    * FIRST knob is cluster COUNT (`planes` here, `nlist` for IVF),
+    * grown with the corpus so the EXPECTED cluster size, and with it
+    * per-task pairwork, stays constant; the published recipe runs
+    * ~n/10k clusters at 100 TB. Expectation is not skew-robustness,
+    * though — boilerplate-heavy web corpora concentrate near-identical
+    * embeddings in ONE cell, and that cell goes quadratic — so
+    * `maxCluster` is the BINDING guard: a cluster with m > maxCluster
+    * members DOWNGRADES to representative-vs-member pairs (each member
+    * scored against the cluster's min-id representative only, m−1
+    * pairs instead of C(m,2)) — [[graft.ops.DedupOps.lshCandidatePairs]]'s
+    * maxBucket downgrade carried over. The semantics trade is the same
+    * one: a mega-cluster is by construction a tight near-dup blob, for
+    * which keep-first dedup only needs each member tied to the
+    * representative; clusters at or below the cap keep the exact
+    * max-over-earlier-members decision. The cap is mirrored per-cell
+    * in the q189/q250/q253 oracle CTEs. No stage materializes a
+    * cluster in memory — the pairs stream through the join. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, planes: Int = 8,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L,
+                    maxCluster: Int = 256): DataFrame = {
     val dim = probeDim(df, vecCol)
     val hp = hyperplanes(planes, dim, seed)
     val v = df.select(col(idCol),
         col(vecCol).cast("array<double>").as("_v"))
       .withColumn("_cl", lshBucket(col("_v"), hp))
-    semanticPrune(v, idCol, threshold)
+    semanticPrune(v, idCol, threshold, maxCluster)
   }
 
   /** [[semanticDedup]] over IVF k-means cells (each vector assigned to
@@ -333,27 +346,59 @@ object SimilarityOps {
     * than SQL-oracled (the q48 convention). */
   def semanticDedupIvf(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nlist: Int = 16,
-                       seed: Long = 42L): DataFrame = {
+                       seed: Long = 42L,
+                       maxCluster: Int = 256): DataFrame = {
     val cents = ivfCentroids(df, vecCol, nlist, seed)
     val v = df.select(col(idCol),
         col(vecCol).cast("array<double>").as("_v"))
       .withColumn("_cl",
         element_at(nearestLists(col("_v"), cents, 1), 1).cast("long"))
-    semanticPrune(v, idCol, threshold)
+    semanticPrune(v, idCol, threshold, maxCluster)
   }
 
   /** Shared SemDeDup prune: `v` = (idCol, _v vector, _cl cluster).
-    * max-cosine-to-earlier-member per row, then the keep decision. */
-  private def semanticPrune(v: DataFrame, idCol: String,
-                            threshold: Double): DataFrame = {
-    val a = v.select(col("_cl"), col(idCol).as("_ida"),
-      col("_v").as("_va"))
+    * max-cosine-to-earlier-member per row, then the keep decision.
+    *
+    * `maxCluster` is the mega-cluster skew guard ([[semanticDedup]]'s
+    * scaladoc has the argument): clusters at or below the cap pay the
+    * exact C(m,2) earlier-member join; larger clusters DOWNGRADE to
+    * one representative comparison per member — sim(member, min-id
+    * rep), m−1 rows, linear. The branch decision, the representative
+    * choice, and both similarity forms are mirrored bit-for-bit in
+    * the q189/q250/q253 oracle CTEs. The size/rep table reuses the
+    * cluster-id shuffle key, so the cap costs one extra hash
+    * aggregate + equi-join, never a new partitioning. */
+  private def semanticPrune(v0: DataFrame, idCol: String,
+                            threshold: Double,
+                            maxCluster: Int = 256): DataFrame = {
+    // four consumers (size table, both pair-join sides, decision
+    // join-back) — materialize the (id, vec, cluster) projection once
+    val v = v0.localCheckpoint()
+    val sz = v.groupBy(col("_cl"))
+      .agg(count(lit(1)).as("_m"), min(col(idCol)).as("_rep"))
+    val vm = v.join(sz, Seq("_cl"))
+    val a = vm.filter(col("_m") <= maxCluster)
+      .select(col("_cl"), col(idCol).as("_ida"), col("_v").as("_va"))
     val b = v.select(col("_cl"), col(idCol).as("_idb"),
       col("_v").as("_vb"))
-    val prior = a.join(b, Seq("_cl")).filter(col("_idb") < col("_ida"))
+    val priorSmall = a.join(b, Seq("_cl"))
+      .filter(col("_idb") < col("_ida"))
       .withColumn("_sim", graft.functions.GraftFunctions
         .cosine_sim(col("_va"), col("_vb")))
       .groupBy(col("_ida")).agg(max(col("_sim")).as("_ms"))
+    // mega-cluster downgrade: each non-rep member scores against the
+    // min-id representative ONLY — m−1 rows through a cluster-id
+    // equi-join against the O(#mega-clusters) rep side
+    val reps = vm.filter(col("_m") > maxCluster)
+      .filter(col(idCol) === col("_rep"))
+      .select(col("_cl"), col("_v").as("_vr"))
+    val priorLarge = vm
+      .filter(col("_m") > maxCluster && col(idCol) =!= col("_rep"))
+      .select(col("_cl"), col(idCol).as("_ida"), col("_v").as("_va"))
+      .join(reps, Seq("_cl"))
+      .select(col("_ida"), graft.functions.GraftFunctions
+        .cosine_sim(col("_va"), col("_vr")).as("_ms"))
+    val prior = priorSmall.unionByName(priorLarge)
     v.join(prior, col(idCol) === col("_ida"), "left")
       .select(col(idCol), col("_cl").as("cluster"),
         (col("_ms").isNull || col("_ms") < threshold).as("kept"),
@@ -535,19 +580,29 @@ object SimilarityOps {
     * fused-cosine rank within the probed cells), but the cell
     * boundaries are engine-portable integers, so the WHOLE query is
     * hash-oracle-able (q48). Candidate volume ≈ nprobe/nlist of the
-    * corpus per query, same as the float path. */
+    * corpus per query, same as the float path.
+    *
+    * `cents` injects an already-fitted [[kMeansMicro]] centroid table
+    * (must be nlist × the corpus dim): the fit is deterministic, so a
+    * consumer that shares one fit across several queries (the
+    * SparkEntry suite memo — round-10 verdict task 3) replays
+    * identical cells without re-paying the (k−1)+iters fit passes. */
   def ivfTopKMicro(queries: DataFrame, corpus: DataFrame, idCol: String,
                    vecCol: String, k: Int, nlist: Int = 8,
-                   nprobe: Int = 3, iters: Int = 4): DataFrame = {
-    val cents = kMeansMicro(corpus, idCol, vecCol, nlist, iters)
+                   nprobe: Int = 3, iters: Int = 4,
+                   cents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cs = cents.getOrElse(
+      kMeansMicro(corpus, idCol, vecCol, nlist, iters))
+    require(cs.length == nlist,
+      s"injected fit has ${cs.length} centroids, expected $nlist")
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
       .withColumn("_b",
-        element_at(nearestCellsMicro(microVec(col("_cv")), cents, 1), 1))
+        element_at(nearestCellsMicro(microVec(col("_cv")), cs, 1), 1))
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("_qv"))
       .withColumn("_b",
-        explode(nearestCellsMicro(microVec(col("_qv")), cents, nprobe)))
+        explode(nearestCellsMicro(microVec(col("_qv")), cs, nprobe)))
     q.join(c, Seq("_b"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
@@ -598,12 +653,16 @@ object SimilarityOps {
     * knob, as in the float path. */
   def semanticDedupMicro(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nlist: Int = 8,
-                         iters: Int = 4): DataFrame = {
-    val cents = kMeansMicro(df, idCol, vecCol, nlist, iters)
+                         iters: Int = 4, maxCluster: Int = 256,
+                         cents: Option[Array[Array[Long]]] = None)
+      : DataFrame = {
+    val cs = cents.getOrElse(kMeansMicro(df, idCol, vecCol, nlist, iters))
+    require(cs.length == nlist,
+      s"injected fit has ${cs.length} centroids, expected $nlist")
     val v = df.select(col(idCol),
         col(vecCol).cast("array<double>").as("_v"))
       .withColumn("_cl",
-        element_at(nearestCellsMicro(microVec(col("_v")), cents, 1), 1))
-    semanticPrune(v, idCol, threshold)
+        element_at(nearestCellsMicro(microVec(col("_v")), cs, 1), 1))
+    semanticPrune(v, idCol, threshold, maxCluster)
   }
 }
