@@ -3655,15 +3655,15 @@ object SparkEntry {
     val v = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("_v"))
       .withColumn("_cl", SimilarityOps.lshBucket(col("_v"), hp))
-      .localCheckpoint() // three consumers: both edge sides + scores
-    val a = v.select(col("_cl"), col("vec_id").as("id_a"),
-      col("_v").as("_va"))
-    val b = v.select(col("_cl"), col("vec_id").as("id_b"),
-      col("_v").as("_vb"))
-    val edges = a.join(b, Seq("_cl")).filter(col("id_a") < col("id_b"))
-      .withColumn("_sim", graft.functions.GraftFunctions
-        .cosine_sim(col("_va"), col("_vb")))
-      .filter(col("_sim") >= 0.2)
+      .localCheckpoint() // consumers: capped edge gen + scores
+    // round 11: the within-cluster threshold-edge join runs through
+    // the capped pair generator (maxBucket=256, mirrored in the
+    // oracle's windowed two-branch cand) — under the cap a
+    // mega-cluster's members edge to the min-id representative only,
+    // which for DUPLICATE components keeps the blob connected through
+    // the rep (and the rep is what keep-best then ranks against)
+    val edges = SimilarityOps
+      .cappedCosinePairs(v, "vec_id", 0.2, 256)
       .select(col("id_a"), col("id_b"))
     val comps = DedupOps.connectedComponents(
       v.select(col("vec_id")), edges, "vec_id")
@@ -3941,14 +3941,15 @@ object SparkEntry {
     // (MultimodalOps.aHash32: downscale grid → threshold vs mean →
     // pack bits), Hamming-≤3 candidate pairs via 4-band pigeonhole
     // (8 bits each — any pair within distance 3 agrees on ≥ 1 band),
-    // exact bit_count(xor) verified in-bucket. Banding keeps
-    // candidate generation linear (the q32/q67 convention; a
-    // mega-band at corpus scale takes the maxBucket representative
-    // cap). Exact-duplicate payloads surface at dist 0.
+    // exact bit_count(xor) verified in-bucket. Round 11: the band
+    // pair join runs through cappedPairsFromBuckets (maxBucket=64 —
+    // the q32 downgrade, previously only DOCUMENTED here; mirrored
+    // in the oracle's windowed two-branch cand since pair output is
+    // cap-sensitive). Exact-duplicate payloads surface at dist 0.
     val ph = MultimodalOps.aHash32(t(s, dir, "documents"),
         "doc_id", "text")
-      .localCheckpoint() // feeds both sides of the band self-join
-    val bands = ph.select(col("doc_id"), col("phash"), explode(array(
+      .localCheckpoint() // feeds band buckets + both verify sides
+    val bands = ph.select(col("doc_id"), explode(array(
         struct(lit(0).as("bi"),
           col("phash").bitwiseAND(lit(255L)).as("bv")),
         struct(lit(1).as("bi"),
@@ -3957,13 +3958,16 @@ object SparkEntry {
           shiftright(col("phash"), 16).bitwiseAND(lit(255L)).as("bv")),
         struct(lit(3).as("bi"),
           shiftright(col("phash"), 24).as("bv")))).as("b"))
-      .select(col("doc_id"), col("phash"), col("b.bi"), col("b.bv"))
-    val a = bands.select(col("bi"), col("bv"),
-      col("doc_id").as("id_a"), col("phash").as("ha"))
-    val bb = bands.select(col("bi"), col("bv"),
-      col("doc_id").as("id_b"), col("phash").as("hb"))
-    a.join(bb, Seq("bi", "bv")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+      .select(col("doc_id"), col("b.bi"), col("b.bv"))
+    val buckets = bands.groupBy(col("bi"), col("bv"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(col("_ids")).distinct()
+    DedupOps.cappedPairsFromBuckets(buckets, "_ids", 64)
+      .join(ph.select(col("doc_id").as("id_a"),
+        col("phash").as("ha")), Seq("id_a"))
+      .join(ph.select(col("doc_id").as("id_b"),
+        col("phash").as("hb")), Seq("id_b"))
       .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .where(col("dist") <= 3)
       .select(col("id_a"), col("id_b"), col("dist"))
@@ -6676,6 +6680,35 @@ object SparkEntry {
        |    FROM bm a JOIN bm r ON r.cl = a.cl AND r.vec_id = a.rep
        |    WHERE a.m > $maxCluster AND a.vec_id <> a.rep)""".stripMargin
 
+  /** Generated CTE pair `(bm, cp)` replaying
+    * [[graft.ops.SimilarityOps.cappedCosinePairs]] against an existing
+    * `b(vec_id, v, <bucketCol>)` CTE: per-bucket size + min-id rep
+    * via windows, exact all-pairs for buckets at or below the cap,
+    * rep-vs-member pairs above it. `cp` carries the UNROUNDED `sim0`
+    * so callers apply their own threshold/rounding (the q46
+    * convention). Shared by the q46/q191 oracles. */
+  private def cappedCosinePairsSql(bucketCol: String,
+                                   maxBucket: Int): String =
+    s"""bm AS (SELECT vec_id, v, $bucketCol,
+       |      count(*) OVER (PARTITION BY $bucketCol) AS m,
+       |      min(vec_id) OVER (PARTITION BY $bucketCol) AS rep
+       |    FROM b),
+       |  cp AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+       |      list_inner_product(a.v, x.v) /
+       |        (sqrt(list_inner_product(a.v, a.v)) *
+       |         sqrt(list_inner_product(x.v, x.v))) AS sim0
+       |    FROM bm a JOIN bm x ON a.$bucketCol = x.$bucketCol
+       |      AND a.vec_id < x.vec_id
+       |    WHERE a.m <= $maxBucket
+       |    UNION ALL
+       |    SELECT a.rep AS id_a, a.vec_id AS id_b,
+       |      list_inner_product(a.v, r.v) /
+       |        (sqrt(list_inner_product(a.v, a.v)) *
+       |         sqrt(list_inner_product(r.v, r.v))) AS sim0
+       |    FROM bm a JOIN bm r ON r.$bucketCol = a.$bucketCol
+       |      AND r.vec_id = a.rep
+       |    WHERE a.m > $maxBucket AND a.vec_id <> a.rep)""".stripMargin
+
   /** DuckDB expression reproducing
     * [[graft.ops.SimilarityOps.lshBucket]] over a DOUBLE[] column named
     * `v`: sign bit per hyperplane (embedded literals from the same
@@ -7124,21 +7157,18 @@ object SparkEntry {
     },
     "q46_cosine_neardup_lsh" -> {
       // single-table 8-plane bucket join with embedded hyperplane
-      // literals; the >= threshold filter runs on the UNROUNDED sim,
-      // exactly like cosineNearDupPairs
+      // literals, through the mirrored maxBucket=256 cap
+      // (cappedCosinePairsSql); the >= threshold filter runs on the
+      // UNROUNDED sim, exactly like cosineNearDupPairs
       val dim = 64
       val planes = 8
       val bucket = signBucketSql(planes, dim, 42L)
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |    FROM embeddings),
         |  b AS (SELECT vec_id, v, $bucket AS bk FROM e),
-        |  p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
-        |      list_inner_product(a.v, x.v) /
-        |        (sqrt(list_inner_product(a.v, a.v)) *
-        |         sqrt(list_inner_product(x.v, x.v))) AS sim0
-        |    FROM b a JOIN b x ON a.bk = x.bk AND a.vec_id < x.vec_id)
+        |  ${cappedCosinePairsSql("bk", 256)}
         |SELECT DISTINCT id_a, id_b, round(sim0, 6) AS sim
-        |FROM p WHERE sim0 >= 0.3
+        |FROM cp WHERE sim0 >= 0.3
         |ORDER BY id_a, id_b""".stripMargin
     },
     "q35_ann_bruteforce" ->
@@ -9506,11 +9536,8 @@ object SparkEntry {
         |  e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |    FROM embeddings),
         |  b AS (SELECT vec_id, v, ($bucket)::BIGINT AS cl FROM e),
-        |  ed AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b
-        |    FROM b a JOIN b x ON a.cl = x.cl AND a.vec_id < x.vec_id
-        |    WHERE list_inner_product(a.v, x.v) /
-        |      (sqrt(list_inner_product(a.v, a.v)) *
-        |       sqrt(list_inner_product(x.v, x.v))) >= 0.2),
+        |  ${cappedCosinePairsSql("cl", 256)},
+        |  ed AS (SELECT id_a, id_b FROM cp WHERE sim0 >= 0.2),
         |  edges AS (SELECT id_a AS src, id_b AS dst FROM ed
         |    UNION ALL SELECT id_b, id_a FROM ed),
         |  reach AS (
@@ -9772,7 +9799,9 @@ object SparkEntry {
     "q202_phash_neardup" ->
       // the same grid/threshold/pack arithmetic in SQL (q44's LATERAL
       // char walk; unicode == utf-8 byte for the ASCII fixture), same
-      // 3-band pigeonhole, same exact Hamming verify
+      // 4-band pigeonhole THROUGH the mirrored maxBucket=64 windowed
+      // cap (q32's guard — round 11 made the engine side actually
+      // apply it), same exact Hamming verify
       """WITH ch AS (SELECT doc_id,
         |    ((i.i - 1) * 32) // length(text) AS cell,
         |    unicode(substr(text, i.i, 1)) AS b
@@ -9796,10 +9825,20 @@ object SparkEntry {
         |                WHEN 2 THEN (phash >> 16) & 255
         |                ELSE phash >> 24 END AS bv
         |    FROM ph CROSS JOIN (SELECT unnest(range(0, 4))::INT AS bi) b),
-        |  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      a.phash AS ha, b.phash AS hb
-        |    FROM bands a JOIN bands b
-        |      ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |  bkt AS (SELECT bi, bv, doc_id, phash,
+        |      count(*) OVER (PARTITION BY bi, bv) AS m,
+        |      min(doc_id) OVER (PARTITION BY bi, bv) AS mn
+        |    FROM bands),
+        |  cand AS (
+        |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        a.phash AS ha, b.phash AS hb
+        |      FROM bkt a JOIN bkt b ON a.bi = b.bi AND a.bv = b.bv
+        |        AND a.doc_id < b.doc_id
+        |      WHERE a.m <= 64
+        |    UNION
+        |    SELECT a.mn, a.doc_id, r.phash, a.phash
+        |      FROM bkt a JOIN ph r ON r.doc_id = a.mn
+        |      WHERE a.m > 64 AND a.doc_id > a.mn)
         |SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS dist
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,

@@ -405,22 +405,64 @@ object SimilarityOps {
         round(col("_ms"), 6).as("max_prior_sim"))
   }
 
+  /** Capped within-bucket cosine PAIRS at or above `threshold` — the
+    * [[semanticPrune]] maxCluster downgrade applied to pair
+    * GENERATION (the q46/q191 shape): buckets at or below `maxBucket`
+    * emit exact all-pairs; larger buckets emit representative pairs
+    * only (min-id rep vs each member, m−1 rows, linear) — a
+    * mega-bucket is a tight near-dup blob, and its downstream
+    * consumers (keep-lowest dedup, duplicate components) need each
+    * member tied to the representative, not the full clique. `v` =
+    * (idCol, `_v` vector, `_cl` bucket). Pairs carry the UNROUNDED
+    * sim (callers round for display; the threshold compares
+    * unrounded — the q46 convention); id_a < id_b always (the rep IS
+    * the bucket minimum). Branch rule, rep choice, and both
+    * similarity forms are mirrored in the q46/q191 oracles via the
+    * generated `cappedCosinePairsSql` CTE. */
+  private[graft] def cappedCosinePairs(v0: DataFrame, idCol: String,
+      threshold: Double, maxBucket: Int): DataFrame = {
+    // four consumers: size table, both pair-join sides, rep side
+    val v = v0.localCheckpoint()
+    val sz = v.groupBy(col("_cl"))
+      .agg(count(lit(1)).as("_m"), min(col(idCol)).as("_rep"))
+    val vm = v.join(sz, Seq("_cl"))
+    val a = vm.filter(col("_m") <= maxBucket)
+      .select(col("_cl"), col(idCol).as("id_a"), col("_v").as("_va"))
+    val b = v.select(col("_cl"), col(idCol).as("id_b"),
+      col("_v").as("_vb"))
+    val small = a.join(b, Seq("_cl")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", graft.functions.GraftFunctions
+        .cosine_sim(col("_va"), col("_vb")))
+    val reps = vm.filter(col("_m") > maxBucket)
+      .filter(col(idCol) === col("_rep"))
+      .select(col("_cl"), col("_v").as("_vr"))
+    val large = vm
+      .filter(col("_m") > maxBucket && col(idCol) =!= col("_rep"))
+      .select(col("_cl"), col("_rep").as("id_a"),
+        col(idCol).as("id_b"), col("_v").as("_vb"))
+      .join(reps, Seq("_cl"))
+      .withColumn("sim", graft.functions.GraftFunctions
+        .cosine_sim(col("_vb"), col("_vr")))
+    small.select(col("id_a"), col("id_b"), col("sim"))
+      .unionByName(large.select(col("id_a"), col("id_b"), col("sim")))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, via LSH
-    * buckets (approximate; exact within buckets). */
+    * buckets (approximate; exact within buckets). `maxBucket` is the
+    * mega-bucket skew guard ([[cappedCosinePairs]]): oversized
+    * buckets downgrade to representative pairs, mirrored in the q46
+    * oracle. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 8,
-                         seed: Long = 42L): DataFrame = {
+                         seed: Long = 42L,
+                         maxBucket: Int = 256): DataFrame = {
     val dim = probeDim(df, vecCol)
     val hp = hyperplanes(planes, dim, seed)
     val v = df.select(col(idCol),
         col(vecCol).cast("array<double>").as("_v"))
-      .withColumn("_b", lshBucket(col("_v"), hp))
-    val a = v.select(col("_b"), col(idCol).as("id_a"), col("_v").as("_va"))
-    val b = v.select(col("_b"), col(idCol).as("id_b"), col("_v").as("_vb"))
-    a.join(b, Seq("_b")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim",
-        graft.functions.GraftFunctions.cosine_sim(col("_va"), col("_vb")))
-      .filter(col("sim") >= threshold)
+      .withColumn("_cl", lshBucket(col("_v"), hp))
+    cappedCosinePairs(v, idCol, threshold, maxBucket)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .distinct()
   }

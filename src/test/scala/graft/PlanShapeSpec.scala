@@ -152,6 +152,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected exactly the deterministic output sort")
   }
 
+  test("q271: the media capstone's packing tail costs one hash " +
+       "exchange + the output sort — ingest/dedup/gate work sits " +
+       "behind the survivor checkpoint leaf") {
+    val p = planOf("q271_media_capstone")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly the per-source packing exchange:\n${p.take(2000)}")
+    assert("Exchange rangepartitioning".r.findAllIn(p).length === 1,
+      "expected exactly the deterministic output sort")
+  }
+
   test("q31: minhash aggregates in a single exchange on doc_id") {
     val p = planOf("q31_minhash_sig")
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1,

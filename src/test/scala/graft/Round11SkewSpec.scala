@@ -134,6 +134,27 @@ class Round11SkewSpec extends AnyFunSuite {
       s"expected quadratic uncapped ≫ capped, got $uncapped vs $capped")
   }
 
+  test("cosineNearDupPairs maxBucket: a hot bucket degrades to the " +
+       "m−1 representative star; uncapped emits the full clique; " +
+       "capped output is a subset of uncapped") {
+    val n = 40
+    val df = hotCluster(n) // pairwise cosine ≈ 1, all one bucket
+    val capped = SimilarityOps.cosineNearDupPairs(df, "vec_id",
+      "embedding", threshold = 0.5, planes = 2, seed = 42L,
+      maxBucket = 8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val uncapped = SimilarityOps.cosineNearDupPairs(df, "vec_id",
+      "embedding", threshold = 0.5, planes = 2, seed = 42L,
+      maxBucket = n + 1)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(capped === (1L until n).map(b => (0L, b)).toSet,
+      "capped hot bucket must be exactly the min-id star")
+    assert(uncapped.size === n * (n - 1) / 2,
+      "uncapped hot bucket must be the full clique")
+    assert((capped -- uncapped).isEmpty,
+      "the downgrade must never invent a pair")
+  }
+
   // ------------------------------------------------------------------
   // q265 posting-list cap — star ≡ clique for connected components
   // ------------------------------------------------------------------
