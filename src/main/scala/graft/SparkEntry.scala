@@ -5717,6 +5717,76 @@ object SparkEntry {
       .orderBy(col("source"), col("media_id"))
   }
 
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    // INCREMENTAL SCD2 APPLY (scd2Apply — the nightly-delta form of
+    // q272's build): history built from the first ~20 days of the
+    // change log, then the remainder applied as the delta batch. The
+    // oracle is the FULL-REBUILD IDENTITY — the same q272 chain over
+    // the whole table — so a version opened/closed/numbered
+    // differently by the incremental path than by the rebuild
+    // hash-mismatches. The cutoff is a 1-row driver bridge (min day
+    // + 20, the S6 convention); delta rows are strictly later than
+    // every seed's valid_from by construction (day < vs >= split),
+    // satisfying the append-only CDC precondition.
+    val ev = t(s, dir, "events").withColumn("band",
+      expr("cast(round(value * 100) as bigint) div 2000"))
+    val cut = ev.agg(date_add(to_date(min(col("ts"))), 20).as("_c"))
+      .collect()(0).getDate(0)
+    val attrs = Seq("event_type", "band")
+    val hist0 = RelOps.scd2Build(
+      ev.filter(to_date(col("ts")) < lit(cut)),
+      "user_id", attrs, "ts", "event_id")
+    RelOps.scd2Apply(hist0,
+        ev.filter(to_date(col("ts")) >= lit(cut)),
+        "user_id", attrs, "ts", "event_id")
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    // ANN RECALL REPORT, ORACLED — the index-quality readout as a
+    // hash-checked query (EvalOps.topKOverlap): recall@3 of the
+    // deterministic integer-k-means IVF (q48's index, shared fit)
+    // against the exact brute force (q35), per query, as exact ppm
+    // rationals. Both inputs are deterministic, so ANN quality is a
+    // CHECKED quantity here, not a spec-only recall floor (the float
+    // LSH/IVF paths keep their SimilarityAggSpec floors). Scale
+    // shape: two k·|queries|-row inputs, one equi-join + two tiny
+    // aggregates.
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = SimilarityOps.ivfTopKMicro(q, emb, "vec_id", "embedding",
+      3, nlist = 8, nprobe = 3, iters = 4,
+      cents = Some(microCents(s, dir, 8, 4)))
+    val bf = SimilarityOps.bruteForceTopK(q, emb, "vec_id",
+      "embedding", 3)
+    EvalOps.topKOverlap(ivf, bf, "query_id", "neighbor_id")
+      .orderBy(col("query_id"))
+  }
+
+  private def q275(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING SCD2 — dimension maintenance ONLINE
+    // (StreamOps.scd2Stream): the q272 multi-attribute version chain
+    // built by per-key state over the 3-batch event-time-ordered
+    // replay (q121's stageTypedBatches staging — batches arrive in
+    // (ts, event_id) order, so the cross-batch ordering contract
+    // holds by construction). The stream emits CLOSED versions only
+    // (each key's final version stays open in the state store), so
+    // the oracle is the batch chain minus its is_current rows — the
+    // q49 convention for open-tail stateful operators.
+    val staged = stageTypedBatches(s, dir)
+    val stream = StreamOps.fileStream(s,
+        s.read.parquet(staged).schema, staged,
+        maxFilesPerTrigger = Some(1))
+      .withColumn("band",
+        expr("cast(round(value * 100) as bigint) div 2000"))
+    val versions = StreamOps.scd2Stream(stream, "user_id",
+      "event_type", "band", "ts", "event_id")
+    StreamOps.runToCompletion(versions.toDF(),
+        s"q275_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(8))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   private def q272(s: SparkSession, dir: String): DataFrame =
     // MULTI-ATTRIBUTE SCD2 HISTORY (round-10 verdict task 6 —
     // q254's single-attr build generalized to what real dimension
@@ -6570,6 +6640,9 @@ object SparkEntry {
     "q270_metric_report" -> q270 _,
     "q271_media_capstone" -> q271 _,
     "q272_scd2_multiattr" -> q272 _,
+    "q273_scd2_apply" -> q273 _,
+    "q274_ann_recall" -> q274 _,
+    "q275_stream_scd2" -> q275 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6708,6 +6781,35 @@ object SparkEntry {
        |    FROM bm a JOIN bm r ON r.$bucketCol = a.$bucketCol
        |      AND r.vec_id = a.rep
        |    WHERE a.m > $maxBucket AND a.vec_id <> a.rep)""".stripMargin
+
+  /** Shared q272/q273/q275 oracle chain: the MULTI-ATTRIBUTE SCD2
+    * build over events, ending with CTE `v(user_id, event_type, band,
+    * valid_from_us, valid_to_us, version)`. q272 selects it whole;
+    * q273 selects the SAME chain (the full-rebuild identity — the
+    * incremental `scd2Apply` must equal the rebuild bit for bit);
+    * q275 keeps CLOSED rows only (the stream's open tail lives in the
+    * state store). One definition, three consumers — the
+    * semanticPruneSql no-drift convention. */
+  private val scd2MultiAttrSqlChain: String =
+    """c AS (SELECT user_id, event_type,
+      |    round(value * 100)::BIGINT // 2000 AS band, ts, event_id
+      |  FROM events),
+      |  o AS (SELECT user_id, event_type, band, ts, event_id,
+      |    row_number() OVER w AS rn,
+      |    lag(event_type) OVER w AS pt,
+      |    lag(band) OVER w AS pb
+      |  FROM c WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts, event_id)),
+      |  chg AS (SELECT user_id, event_type, band, ts, event_id
+      |    FROM o WHERE rn = 1 OR pt IS DISTINCT FROM event_type
+      |      OR pb IS DISTINCT FROM band),
+      |  v AS (SELECT user_id, event_type, band,
+      |      epoch_us(ts)::BIGINT AS valid_from_us,
+      |      epoch_us(lead(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id))::BIGINT AS valid_to_us,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id)::BIGINT AS version
+      |    FROM chg)""".stripMargin
 
   /** DuckDB expression reproducing
     * [[graft.ops.SimilarityOps.lshBucket]] over a DOUBLE[] column named
@@ -11295,28 +11397,75 @@ object SparkEntry {
       // per-field IS DISTINCT FROM (== Spark's null-safe whole-struct
       // compare), lead-closed validity in exact epoch micros; band
       // `//` == div on the non-negative cents
-      """WITH c AS (SELECT user_id, event_type,
-        |    round(value * 100)::BIGINT // 2000 AS band, ts, event_id
-        |  FROM events),
-        |  o AS (SELECT user_id, event_type, band, ts, event_id,
-        |    row_number() OVER w AS rn,
-        |    lag(event_type) OVER w AS pt,
-        |    lag(band) OVER w AS pb
-        |  FROM c WINDOW w AS (PARTITION BY user_id
-        |    ORDER BY ts, event_id)),
-        |  chg AS (SELECT user_id, event_type, band, ts, event_id
-        |    FROM o WHERE rn = 1 OR pt IS DISTINCT FROM event_type
-        |      OR pb IS DISTINCT FROM band),
-        |  v AS (SELECT user_id, event_type, band,
-        |      epoch_us(ts)::BIGINT AS valid_from_us,
-        |      epoch_us(lead(ts) OVER (PARTITION BY user_id
-        |        ORDER BY ts, event_id))::BIGINT AS valid_to_us,
-        |      row_number() OVER (PARTITION BY user_id
-        |        ORDER BY ts, event_id)::BIGINT AS version
-        |    FROM chg)
+      s"""WITH $scd2MultiAttrSqlChain
         |SELECT user_id, event_type, band, valid_from_us, valid_to_us,
         |  version, valid_to_us IS NULL AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,
+    "q273_scd2_apply" ->
+      // the FULL-REBUILD IDENTITY: the incremental apply over the
+      // (first 20 days, remainder) split must equal the one-shot
+      // build over the whole change log — this is the q272 chain
+      // verbatim; any version the apply opens/closes/numbers
+      // differently hash-mismatches
+      s"""WITH $scd2MultiAttrSqlChain
+        |SELECT user_id, event_type, band, valid_from_us, valid_to_us,
+        |  version, valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    "q275_stream_scd2" ->
+      // the stream emits CLOSED versions only — the batch chain minus
+      // its is_current rows (the q49 open-tail convention)
+      s"""WITH $scd2MultiAttrSqlChain
+        |SELECT user_id, event_type, band, valid_from_us, valid_to_us,
+        |  version
+        |FROM v WHERE valid_to_us IS NOT NULL
+        |ORDER BY user_id, version""".stripMargin,
+    "q274_ann_recall" ->
+      // q48's IVF chain and q35's brute-force chain replayed side by
+      // side, then topKOverlap's semi-join + ppm arithmetic — the
+      // recall of the approximate index is itself hash-checked
+      s"""WITH ${kmeansSqlChain(8, 4)},
+        |  kq AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cl) AS rn
+        |    FROM kfd WHERE vec_id < 5) WHERE rn <= 3),
+        |  e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |  s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      list_inner_product(qe.v, ce.v) /
+        |        (sqrt(list_inner_product(qe.v, qe.v)) *
+        |         sqrt(list_inner_product(ce.v, ce.v))) AS sim0
+        |    FROM kq q JOIN kasg c ON c.cl = q.cl
+        |      AND c.vec_id <> q.vec_id
+        |    JOIN e2 qe ON qe.vec_id = q.vec_id
+        |    JOIN e2 ce ON ce.vec_id = c.vec_id),
+        |  r AS (SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(sim0, 6) DESC, neighbor_id) AS rn
+        |    FROM s),
+        |  ivf AS (SELECT DISTINCT query_id, neighbor_id FROM r
+        |    WHERE rn <= 3),
+        |  bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      list_inner_product(q.v, c.v) /
+        |        (sqrt(list_inner_product(q.v, q.v)) *
+        |         sqrt(list_inner_product(c.v, c.v))) AS sim0
+        |    FROM e2 q, e2 c
+        |    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |  br AS (SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(sim0, 6) DESC, neighbor_id) AS rn
+        |    FROM bs),
+        |  bf AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 3),
+        |  nn AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM bf
+        |    GROUP BY 1),
+        |  h AS (SELECT bf.query_id, count(*)::BIGINT AS hits
+        |    FROM bf JOIN ivf USING (query_id, neighbor_id)
+        |    GROUP BY 1)
+        |SELECT nn.query_id, coalesce(h.hits, 0)::BIGINT AS hits,
+        |  nn.n_exact,
+        |  ((coalesce(h.hits, 0) * 1000000) // nn.n_exact)::BIGINT
+        |    AS recall_ppm
+        |FROM nn LEFT JOIN h USING (query_id)
+        |ORDER BY nn.query_id""".stripMargin,
     "q252_stream_hh" ->
       // batch twin: q173's day-emission cutoff; capacity >= distinct
       // users => the MG prefix IS the exact (n DESC, user ASC) top-3

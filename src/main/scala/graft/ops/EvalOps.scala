@@ -29,6 +29,37 @@ import org.apache.spark.sql.functions._
   */
 object EvalOps {
 
+  /** TOP-K OVERLAP (recall@k of one ranked result set against a
+    * reference) — the ANN-quality readout as a first-class RELATIONAL
+    * op: per query, |approx ∩ exact| over the reference's top-k, as
+    * an exact ppm rational. Unlike [[rankingMetrics]] (graded
+    * relevance labels), this compares two RESULT SETS — the
+    * approx-vs-brute-force evaluation every ANN deployment runs
+    * before trusting an index. With a DETERMINISTIC index
+    * (`ivfTopKMicro`) and the deterministic brute force, the metric
+    * itself is hash-oracle-able (q274) — ANN quality becomes a
+    * checked quantity, not a spec-only recall floor.
+    *
+    * Scale shape: both inputs are already-truncated top-k tables
+    * (k·|queries| rows); the overlap is one equi-join on
+    * (query, item) + one hash aggregate against the reference's
+    * per-query counts — nothing data-sized. */
+  def topKOverlap(approx: DataFrame, exact: DataFrame,
+                  queryCol: String, itemCol: String): DataFrame = {
+    val ex = exact.select(col(queryCol), col(itemCol))
+    val n = ex.groupBy(col(queryCol)).agg(count(lit(1)).as("n_exact"))
+    val hits = ex
+      .join(approx.select(col(queryCol), col(itemCol)),
+        Seq(queryCol, itemCol), "left_semi")
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("hits"))
+    n.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("n_exact"),
+        expr("coalesce(hits, 0) * 1000000 div n_exact")
+          .as("recall_ppm"))
+  }
+
   /** NDCG discount table in integer micro-units:
     * gain(r) = round(1e6 / log2(r + 1)), r = 1..k. */
   def dcgGainsMicro(k: Int): Array[Long] =

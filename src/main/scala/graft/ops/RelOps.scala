@@ -472,4 +472,60 @@ object RelOps {
         col("valid_from_us") :+ col("valid_to_us") :+
         col("version") :+ col("is_current"): _*)
   }
+
+  /** INCREMENTAL SCD2 MAINTENANCE — apply a new batch of change rows
+    * to an existing [[scd2Build]] history without rebuilding it: the
+    * real warehouse operation (a 100 TB dimension is maintained by
+    * nightly deltas; a full rebuild re-shuffles the entire change log
+    * every night, this touches ONLY the keys present in the delta).
+    *
+    * Semantics = full-rebuild equivalence: `scd2Apply(scd2Build(base),
+    * delta) == scd2Build(base ∪ delta)` — the q273 oracle IS that
+    * identity, and Round11OpsSpec asserts it on a split fixture.
+    * Mechanism: untouched keys (anti-join on the delta's key set)
+    * pass through byte-identical; for touched keys the CLOSED
+    * versions pass through and the OPEN version is re-seeded as a
+    * pseudo-change (its own valid_from, tie sentinel −1 so it sorts
+    * before any real change) into a [[scd2Build]] over (seed ∪
+    * delta); rebuilt versions shift by the seed's version − 1. A key
+    * new in the delta has no seed and builds from version 1.
+    *
+    * PRECONDITIONS (the standard append-only CDC contract; violations
+    * need a rebuild, they cannot be patched in place): every delta
+    * row's (ts, tie) is strictly AFTER the key's current
+    * valid_from_us, and `tieCol` is numeric (the −1 seed sentinel).
+    *
+    * Scale shape: one distinct on the delta's keys, two
+    * semi/anti-joins on the key, then [[scd2Build]]'s single (key)
+    * exchange + sort over O(touched keys' open rows + delta) — the
+    * closed history (the dominant mass) is never re-sorted. */
+  def scd2Apply(hist: DataFrame, changes: DataFrame, keyCol: String,
+                attrCols: Seq[String], tsCol: String,
+                tieCol: String): DataFrame = {
+    val keys = changes.select(col(keyCol)).distinct()
+      .localCheckpoint() // splits hist twice
+    val untouched = hist.join(keys, Seq(keyCol), "left_anti")
+    val affected = hist.join(keys, Seq(keyCol), "left_semi")
+      .localCheckpoint() // closed pass-through + seed + version offset
+    val closed = affected.filter(!col("is_current"))
+      .drop("is_current")
+    val open = affected.filter(col("is_current"))
+    val seed = open.select(col(keyCol) +: attrCols.map(col) :+
+      timestamp_micros(col("valid_from_us")).as(tsCol) :+
+      lit(-1L).as(tieCol): _*)
+    val delta = changes.select(col(keyCol) +: attrCols.map(col) :+
+      col(tsCol) :+ col(tieCol).cast("long").as(tieCol): _*)
+    val voff = open.select(col(keyCol),
+      (col("version") - 1).as("_voff"))
+    val rebuilt = scd2Build(seed.unionByName(delta), keyCol, attrCols,
+        tsCol, tieCol)
+      .join(voff, Seq(keyCol), "left")
+      .withColumn("version",
+        col("version") + coalesce(col("_voff"), lit(0L)))
+      .drop("_voff", "is_current")
+    untouched.drop("is_current")
+      .unionByName(closed)
+      .unionByName(rebuilt)
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
 }

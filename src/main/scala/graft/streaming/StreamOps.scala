@@ -95,6 +95,18 @@ class PerTypeCounts extends StatefulProcessor[
 case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
                       sess_end: java.sql.Timestamp, n_events: Long)
 
+/** Open SCD2 version carried in the state store between micro-batches
+  * ([[StreamOps.scd2Stream]]): the tracked attribute pair, the
+  * version's opening instant, and its rank. One fixed-size record per
+  * ACTIVE key — dimension-maintenance state is bounded by key
+  * cardinality, never by event volume. */
+case class Scd2Open(a: String, b: Long, fromUs: Long, version: Long)
+
+/** A CLOSED dimension version emitted by [[StreamOps.scd2Stream]]. */
+case class Scd2Closed(user_id: Long, event_type: String, band: Long,
+                      valid_from_us: Long, valid_to_us: Long,
+                      version: Long)
+
 /** `transformWithState` processor behind
   * [[StreamOps.sessionizeTimersStream]]: gap sessionization where the
   * final session per key is closed by an EVENT-TIME TIMER instead of
@@ -366,6 +378,59 @@ object StreamOps {
                 open = Some(OpenSession(t, t, 1))
               case None =>
                 open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** STREAMING SCD2 DIMENSION MAINTENANCE — [[graft.ops.RelOps.scd2Build]]
+    * run ONLINE (the streaming sibling of the batch build and of
+    * [[graft.ops.RelOps.scd2Apply]]'s delta form): per key, each
+    * change of the tracked attribute pair CLOSES the open version
+    * (emitted downstream) and opens the next; no-op changes are
+    * suppressed with the same null-safe compare; the final version
+    * per key stays OPEN in the state store (the q49 closed-only
+    * emission convention — the oracle is the batch build minus its
+    * is_current rows). State = ONE [[Scd2Open]] per active key.
+    *
+    * ORDERING CONTRACT: rows are sorted by (ts, tie) WITHIN each
+    * micro-batch (the group iterator carries no order), and batches
+    * must arrive in event-time order per key (q121's
+    * `stageTypedBatches` staging, or any time-partitioned landing
+    * layout) — a cross-batch straggler older than the open version
+    * cannot be versioned retroactively and is DROPPED (counted
+    * nowhere; the batch [[graft.ops.RelOps.scd2Build]] is the repair
+    * path, same contract as scd2Apply's precondition). */
+  def scd2Stream(events: DataFrame, keyCol: String, aCol: String,
+                 bCol: String, tsCol: String,
+                 tieCol: String): Dataset[Scd2Closed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col(keyCol).cast("long"),
+        col(aCol).cast("string"), col(bCol).cast("long"),
+        unix_micros(col(tsCol)), col(tieCol).cast("long"))
+      .as[(Long, String, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, String, Long, Long, Long)],
+         state: GroupState[Scd2Open]) =>
+          val sorted = rows.toArray.sortBy(r => (r._4, r._5))
+          var open = state.getOption
+          val closed =
+            scala.collection.mutable.ArrayBuffer[Scd2Closed]()
+          sorted.foreach { case (_, a, b, us, _) =>
+            open match {
+              case Some(o) if us < o.fromUs => // cross-batch straggler
+              case Some(o) if o.a == a && o.b == b => // no-op change
+              case Some(o) =>
+                closed += Scd2Closed(key, o.a, o.b, o.fromUs, us,
+                  o.version)
+                open = Some(Scd2Open(a, b, us, o.version + 1))
+              case None =>
+                open = Some(Scd2Open(a, b, us, 1L))
             }
           }
           open.foreach(state.update)

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{AggOps, RelOps}
+import graft.ops.{AggOps, EvalOps, RelOps}
 
 /** Round-11 operator units: the integer-exact classification report
   * (multiclassMetrics' oracled twin — q270 carries the DuckDB hash
@@ -98,6 +98,78 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(hist(2).isNullAt(hist(2).fieldIndex("b")))
     assert(hist(2).isNullAt(hist(2).fieldIndex("valid_to_us")))
     assert(hist(2).getAs[Boolean]("is_current"))
+  }
+
+  // ------------------------------------------------------------------
+  // scd2Apply — incremental maintenance
+  // ------------------------------------------------------------------
+
+  test("scd2Apply: full-rebuild identity on the fixture — applying " +
+       "the tail of the change log to a history built from its head " +
+       "equals the one-shot build") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("band",
+        expr("cast(round(value * 100) as bigint) div 2000"))
+    val attrs = Seq("event_type", "band")
+    val cut = ev.agg(date_add(to_date(min(col("ts"))), 20))
+      .collect()(0).getDate(0)
+    val full = RelOps.scd2Build(ev, "user_id", attrs, "ts", "event_id")
+    val applied = RelOps.scd2Apply(
+      RelOps.scd2Build(ev.filter(to_date(col("ts")) < lit(cut)),
+        "user_id", attrs, "ts", "event_id"),
+      ev.filter(to_date(col("ts")) >= lit(cut)),
+      "user_id", attrs, "ts", "event_id")
+    assert(applied.exceptAll(full).count() === 0)
+    assert(full.exceptAll(applied).count() === 0)
+    assert(full.count() === applied.count() && full.count() > 0)
+  }
+
+  test("scd2Apply: hand cases — no-op delta across the boundary " +
+       "extends the open version; a brand-new key builds from " +
+       "version 1; untouched keys pass through byte-identical") {
+    val base = Seq(
+      (1L, "a", 1L, ts(1), 10L), (1L, "b", 1L, ts(2), 11L),
+      (2L, "x", 5L, ts(1), 20L)).toDF("k", "a", "b", "ts", "tie")
+    val hist = RelOps.scd2Build(base, "k", Seq("a", "b"), "ts", "tie")
+    val delta = Seq(
+      (1L, "b", 1L, ts(5), 30L), // no-op vs key 1's open (b, 1)
+      (1L, "c", 1L, ts(6), 31L), // real change → version 3
+      (3L, "z", 9L, ts(7), 40L)  // brand-new key
+    ).toDF("k", "a", "b", "ts", "tie")
+    val got = RelOps.scd2Apply(hist, delta, "k", Seq("a", "b"),
+      "ts", "tie")
+    // key 1: v1 (a) closed at ts2, v2 (b) closed at ts6 — NOT ts5
+    // (the no-op must not close it), v3 (c) open
+    val k1 = got.filter(col("k") === 1).orderBy(col("version")).collect()
+    assert(k1.length === 3)
+    assert(k1(1).getAs[String]("a") === "b")
+    assert(k1(1).getAs[Long]("valid_to_us") === ts(6).getTime * 1000)
+    assert(k1(2).getAs[String]("a") === "c" &&
+      k1(2).getAs[Boolean]("is_current"))
+    // key 2 untouched: identical to its built history
+    assert(got.filter(col("k") === 2).exceptAll(
+      hist.filter(col("k") === 2)).count() === 0)
+    // key 3: single open version 1
+    val k3 = got.filter(col("k") === 3).collect()
+    assert(k3.length === 1 && k3(0).getAs[Long]("version") === 1L &&
+      k3(0).getAs[Boolean]("is_current"))
+  }
+
+  // ------------------------------------------------------------------
+  // topKOverlap
+  // ------------------------------------------------------------------
+
+  test("topKOverlap: hand-computed hits/recall, including a " +
+       "zero-overlap query (hits 0, recall 0 — never a null row)") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("q", "item")
+    val approx = Seq((1L, 11L), (1L, 12L), (1L, 99L),
+      (2L, 98L), (2L, 97L), (2L, 96L)).toDF("q", "item")
+    val got = EvalOps.topKOverlap(approx, exact, "q", "item")
+      .orderBy(col("q"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got(0) === ((1L, 2L, 3L, 666666L)))
+    assert(got(1) === ((2L, 0L, 3L, 0L)))
   }
 
   test("scd2Build: single-attr overload is exactly the 1-element " +
