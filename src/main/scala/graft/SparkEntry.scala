@@ -36,14 +36,26 @@ object SparkEntry {
     * once per (sfDir, k, iters) per JVM instead of once per query.
     * The memo is a registered fit ARTIFACT, not a cache of query
     * results: each query still runs its full assignment/prune/rank
-    * plan every time. O(k·d) longs retained per entry. */
+    * plan every time. O(k·d) longs retained per entry.
+    *
+    * The key carries a cheap DATA FINGERPRINT (the embeddings row
+    * count — a column-less parquet count, paid once per lookup) so an
+    * in-process fixture swap under the same dir re-fits instead of
+    * silently replaying stale centroids (round-12 ADVICE). BENCH
+    * NOTE: after first warm the fit cost vanishes from
+    * q48/q249/q250/q274 timings — their gate medians are the
+    * fit-AMORTIZED steady state (documented in BASELINE.md), which is
+    * also the production shape (fit once, serve many; the persisted
+    * twin is [[graft.ops.FitArtifacts]]/q276). */
   private val kmFitCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int), Array[Array[Long]]]()
+    (String, Long, Int, Int), Array[Array[Long]]]()
   private def microCents(s: SparkSession, dir: String, k: Int,
-                         iters: Int): Array[Array[Long]] =
-    kmFitCache.computeIfAbsent((dir, k, iters),
+                         iters: Int): Array[Array[Long]] = {
+    val fp = t(s, dir, "embeddings").count()
+    kmFitCache.computeIfAbsent((dir, fp, k, iters),
       _ => SimilarityOps.kMeansMicro(t(s, dir, "embeddings"),
         "vec_id", "embedding", k, iters))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -2899,8 +2911,14 @@ object SparkEntry {
       .select(col("n"),
         ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
         round(col("chi2"), 4).as("chi2"),
-        round(sqrt(col("chi2") / (col("n").cast("double") *
-          least(col("n_types") - 1, col("n_dows") - 1))), 6)
+        // degenerate-input guard, q224's convention (round-11 ADVICE
+        // parity): a single-category table has least(r−1, c−1) = 0,
+        // so the V divide would yield NaN — null it instead, on BOTH
+        // engine and oracle sides, so the two chi-square queries
+        // share one convention
+        when(least(col("n_types") - 1, col("n_dows") - 1) > 0,
+          round(sqrt(col("chi2") / (col("n").cast("double") *
+            least(col("n_types") - 1, col("n_dows") - 1))), 6))
           .as("cramers_v"))
   }
 
@@ -3659,9 +3677,14 @@ object SparkEntry {
     // round 11: the within-cluster threshold-edge join runs through
     // the capped pair generator (maxBucket=256, mirrored in the
     // oracle's windowed two-branch cand) — under the cap a
-    // mega-cluster's members edge to the min-id representative only,
-    // which for DUPLICATE components keeps the blob connected through
-    // the rep (and the rep is what keep-best then ranks against)
+    // mega-cluster's members edge to the min-id representative only.
+    // NOTE (round-12 ADVICE): unlike q265's unconditional posting
+    // edges (star ≡ clique, exact), these edges are THRESHOLD-
+    // filtered AFTER the star downgrade, so connectivity through the
+    // rep holds only for members whose rep-similarity clears 0.2 —
+    // the tight-blob assumption of a duplicate cluster. A capped
+    // member similar to a peer but not to the rep becomes a
+    // singleton; the oracle mirrors the cap, so both engines agree.
     val edges = SimilarityOps
       .cappedCosinePairs(v, "vec_id", 0.2, 256)
       .select(col("id_a"), col("id_b"))
@@ -5787,6 +5810,46 @@ object SparkEntry {
       .orderBy(col("user_id"), col("version"))
   }
 
+  private def q276(s: SparkSession, dir: String): DataFrame = {
+    // PERSISTED FIT ARTIFACT round trip (round-12 verdict task 3 —
+    // FitArtifacts): the shared integer-k-means fit is SAVED as a
+    // single-file parquet centroid table, RELOADED, and injected into
+    // q48's IVF chain — the real 100 TB pattern (fit once on a
+    // sample, ship the artifact to every consumer run) made durable
+    // across sessions, where the microCents memo only spans one JVM.
+    // The oracle is q48's refit chain: a loaded artifact must replay
+    // the memo-fit chain bit for bit, which is exactly what the
+    // integer micro-unit centroids guarantee (lossless in parquet).
+    val cents = microCents(s, dir, 8, 4)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_fit_" +
+      s"${Integer.toHexString(dir.hashCode)}/kmeans_8_4"
+    FitArtifacts.saveCentroids(s, path, cents)
+    val loaded = FitArtifacts.loadCentroids(s, path)
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.ivfTopKMicro(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3,
+        nlist = 8, nprobe = 3, iters = 4, cents = Some(loaded))
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def q277(s: SparkSession, dir: String): DataFrame =
+    // ADAPTIVE CAP SELECTION readout (round-12 verdict task 5 —
+    // AggOps.capReport): derive the pair-join cap from the observed
+    // bucket-size distribution instead of the static 64/256 literals.
+    // Buckets here = the first md5 byte of the text (256 uniform-ish
+    // hash cells — the shape of an LSH band table); the report is the
+    // one-row (n_buckets, n_rows, max_size, p99_size, cap) summary a
+    // pipeline computes BEFORE wiring the cap into
+    // cappedPairsFromBuckets. Exact integer rank rule (q227
+    // convention) over the count-of-counts table — the window sorts
+    // distinct size LEVELS only, so the readout stays two hash
+    // aggregates at any corpus size.
+    AggOps.capReport(
+      t(s, dir, "documents").select(
+        substring(md5(col("text")), 1, 2).as("bucket")),
+      "bucket", floor = 16, pPct = 99)
+
   private def q272(s: SparkSession, dir: String): DataFrame =
     // MULTI-ATTRIBUTE SCD2 HISTORY (round-10 verdict task 6 —
     // q254's single-attr build generalized to what real dimension
@@ -6643,6 +6706,8 @@ object SparkEntry {
     "q273_scd2_apply" -> q273 _,
     "q274_ann_recall" -> q274 _,
     "q275_stream_scd2" -> q275 _,
+    "q276_fit_artifact" -> q276 _,
+    "q277_adaptive_cap" -> q277 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -9067,8 +9132,10 @@ object SparkEntry {
         |SELECT n::BIGINT AS n,
         |  ((n_types - 1) * (n_dows - 1))::BIGINT AS dof,
         |  round(chi2, 4) AS chi2,
-        |  round(sqrt(chi2 / (n::DOUBLE
-        |    * least(n_types - 1, n_dows - 1))), 6) AS cramers_v
+        |  CASE WHEN least(n_types - 1, n_dows - 1) > 0 THEN
+        |    round(sqrt(chi2 / (n::DOUBLE
+        |      * least(n_types - 1, n_dows - 1))), 6)
+        |  END AS cramers_v
         |FROM chi""".stripMargin,
     "q163_fuzzy_join_2" ->
       // the O(n²) comparison the delete-two blocking must collapse to
@@ -11466,6 +11533,48 @@ object SparkEntry {
         |    AS recall_ppm
         |FROM nn LEFT JOIN h USING (query_id)
         |ORDER BY nn.query_id""".stripMargin,
+    "q276_fit_artifact" ->
+      // q48's oracle VERBATIM: the engine side routes the fit through
+      // a parquet save/load cycle (FitArtifacts), and the round-trip
+      // must be invisible — a loaded artifact replays the refit chain
+      // bit for bit
+      s"""WITH ${kmeansSqlChain(8, 4)},
+        |  kq AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cl) AS rn
+        |    FROM kfd WHERE vec_id < 5) WHERE rn <= 3),
+        |  e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |  s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      list_inner_product(qe.v, ce.v) /
+        |        (sqrt(list_inner_product(qe.v, qe.v)) *
+        |         sqrt(list_inner_product(ce.v, ce.v))) AS sim0
+        |    FROM kq q JOIN kasg c ON c.cl = q.cl
+        |      AND c.vec_id <> q.vec_id
+        |    JOIN e2 qe ON qe.vec_id = q.vec_id
+        |    JOIN e2 ce ON ce.vec_id = c.vec_id),
+        |  r AS (SELECT query_id, neighbor_id, round(sim0, 6) AS sim,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(sim0, 6) DESC, neighbor_id) AS rn
+        |    FROM s)
+        |SELECT query_id, neighbor_id, sim, rn::BIGINT AS rn FROM r
+        |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    "q277_adaptive_cap" ->
+      // same md5 bucketing, same exact integer rank rule over the
+      // count-of-counts table, same max(floor, p99) cap formula
+      """WITH b AS (SELECT substr(md5(text), 1, 2) AS bucket
+        |    FROM documents),
+        |  s AS (SELECT bucket, count(*)::BIGINT AS sz FROM b
+        |    GROUP BY 1),
+        |  l AS (SELECT sz, count(*)::BIGINT AS m FROM s GROUP BY 1),
+        |  c AS (SELECT sz, sum(m) OVER (ORDER BY sz) AS cum FROM l),
+        |  t AS (SELECT count(*)::BIGINT AS n_buckets,
+        |      sum(sz)::BIGINT AS n_rows, max(sz)::BIGINT AS max_size
+        |    FROM s)
+        |SELECT t.n_buckets, t.n_rows, t.max_size,
+        |  c.sz::BIGINT AS p_size, greatest(16, c.sz)::BIGINT AS cap
+        |FROM c, t WHERE c.cum * 100 >= t.n_buckets * 99
+        |ORDER BY c.sz LIMIT 1""".stripMargin,
     "q252_stream_hh" ->
       // batch twin: q173's day-emission cutoff; capacity >= distinct
       // users => the MG prefix IS the exact (n DESC, user ASC) top-3

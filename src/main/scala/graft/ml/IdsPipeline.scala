@@ -42,8 +42,14 @@ object IdsPipeline {
     new Pipeline().setStages(stages.toArray).fit(train)
   }
 
-  private def classifier(algo: Algo, train: DataFrame, labelCol: String,
-                         nFeatures: Int, mlpHidden: Seq[Int]) = algo match {
+  /** The classifier stage alone, reference-matched settings
+    * (`/root/reference/src/modelling.py:113-150`) — public so
+    * [[graft.BenchMl]] can time the classifier fit/score in isolation
+    * (the reference's published wall times cover exactly that: its
+    * notebook assembles features in earlier cells and `%%time`s only
+    * the fit/predict/evaluate cells). */
+  def classifier(algo: Algo, train: DataFrame, labelCol: String,
+                 nFeatures: Int, mlpHidden: Seq[Int]) = algo match {
     case DT => new DecisionTreeClassifier()
       .setLabelCol("encoded_label").setFeaturesCol("features").setSeed(42L)
     case RF => new RandomForestClassifier()

@@ -209,6 +209,59 @@ object AggOps {
           first(col("_total"))).as("skew_factor"))
   }
 
+  /** ADAPTIVE CAP SELECTION (round-12 verdict task 5 —
+    * [[keySkewReport]] wired into the maxBucket/maxCluster knobs of
+    * [[DedupOps.cappedPairsFromBuckets]] /
+    * [[SimilarityOps.cappedCosinePairs]] / [[SimilarityOps
+    * .semanticPrune]]): instead of a static 64/256 literal, derive
+    * the cap from the OBSERVED bucket-size distribution — `cap =
+    * max(floor, p-quantile of bucket sizes)`. On a healthy (near-
+    * uniform) bucketing the p99 size is the common size, so the cap
+    * sits above every bucket and never binds; a mega-bucket (hot
+    * hash cell, degenerate LSH band) is by construction in the top
+    * (100−p)% tail, so it lands ABOVE the cap and gets the
+    * representative downgrade — the cap binds exactly where the
+    * quadratic blow-up lives. `floor` keeps recall on tiny fixtures
+    * where the whole distribution is small.
+    *
+    * One-row report: (n_buckets, n_rows, max_size, p_size, cap).
+    * Quantile is EXACT over the count-of-counts table with the q227
+    * integer rank rule (smallest size level with 100·cum ≥
+    * n_buckets·pPct) — the global window sorts only the distinct
+    * size LEVELS (the [[paretoCoverage]] argument), never the
+    * buckets, so the report costs two hash aggregates even when the
+    * bucketed table is the 100 TB corpus itself. */
+  def capReport(df: DataFrame, bucketCol: String, floor: Int = 64,
+                pPct: Int = 99): DataFrame = {
+    require(floor >= 1, s"floor must be >= 1, got $floor")
+    require(pPct >= 1 && pPct <= 100, s"pPct must be in [1,100], got $pPct")
+    val sizes = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("_sz"))
+    val levels = sizes.groupBy(col("_sz")).agg(count(lit(1)).as("_m"))
+    val w = Window.orderBy(col("_sz"))
+    val cum = levels.withColumn("_cum",
+      sum(col("_m")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = sizes.agg(count(lit(1)).as("n_buckets"),
+      sum(col("_sz")).as("n_rows"), max(col("_sz")).as("max_size"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("_cum") * 100 >= col("n_buckets") * pPct)
+      .orderBy(col("_sz"))
+      .limit(1)
+      .select(col("n_buckets"), col("n_rows"), col("max_size"),
+        col("_sz").as("p_size"),
+        greatest(lit(floor.toLong), col("_sz")).as("cap"))
+  }
+
+  /** [[capReport]]'s cap as a driver Int — the value callers pass
+    * straight into a capped pair generator's maxBucket/maxCluster
+    * knob (1-row collect, the S6 bounded-bridge convention). */
+  def recommendCap(df: DataFrame, bucketCol: String, floor: Int = 64,
+                   pPct: Int = 99): Int = {
+    val r = capReport(df, bucketCol, floor, pPct).head()
+    val cap = r.getLong(r.fieldIndex("cap"))
+    require(cap <= Int.MaxValue, s"derived cap $cap overflows Int")
+    cap.toInt
+  }
+
   /** PARETO coverage: per group, the minimum number of keys whose rows
     * cover `share` of the group's total (the "how concentrated is this
     * domain" 80/20 report, [[keySkewReport]]'s companion). Computed

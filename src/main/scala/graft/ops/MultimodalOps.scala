@@ -69,8 +69,13 @@ object MultimodalOps {
 
   /** Partition-local batch feature extraction — the Scala analogue of a
     * Pandas-UDF-over-mapInPandas: each partition is processed as a local
-    * iterator batch, payload bytes never cross a shuffle. */
-  def extractFeatures(df: DataFrame): DataFrame = {
+    * iterator batch, payload bytes never cross a shuffle. `decode` is
+    * the pluggable codec ([[stubDecode]] by default; pass
+    * [[imageFeatures]] for real image payloads — the production swap
+    * the module scaladoc promises, proven by Round12MediaSpec). */
+  def extractFeatures(df: DataFrame,
+                      decode: Array[Byte] => Array[Double] = stubDecode)
+      : DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(DoubleType), nullable = false))
@@ -79,7 +84,76 @@ object MultimodalOps {
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        Row.fromSeq(r.toSeq :+ stubDecode(payload).toSeq)
+        Row.fromSeq(r.toSeq :+ decode(payload).toSeq)
+      }
+    }(encoder)
+  }
+
+  /** REAL image decode (round-12 verdict task 7): `javax.imageio` —
+    * public JDK API, no extra dependency — decodes the payload and
+    * returns row-major LUMA values (ITU-R BT.601 integer weights,
+    * (299·R + 587·G + 114·B) / 1000 ∈ [0, 255]). Null/undecodable
+    * payloads (ImageIO returns null on unknown formats) → empty
+    * array, the same degenerate-input convention as [[stubDecode]].
+    * Integer arithmetic keeps the luma — and everything hashed from
+    * it — engine-portable. */
+  def imageLuma(payload: Array[Byte]): Array[Long] = {
+    if (payload == null || payload.isEmpty) return Array.empty[Long]
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null) return Array.empty[Long]
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Long](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        out(y * w + x) = (299L * r + 587L * g + 114L * b) / 1000L
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** [[stubDecode]]'s 8-dim feature contract computed from REAL
+    * decoded luma instead of raw payload bytes — drop-in for
+    * [[extractFeatures]]'s `decode` parameter. */
+  def imageFeatures(payload: Array[Byte]): Array[Double] = {
+    val luma = imageLuma(payload)
+    if (luma.isEmpty) return Array.fill(8)(0.0)
+    val feats = new Array[Double](8)
+    var i = 0
+    while (i < luma.length) {
+      val v = luma(i)
+      feats((v % 8).toInt) += v.toDouble
+      i += 1
+    }
+    feats.map(_ / luma.length)
+  }
+
+  /** Add a `luma array<long>` column by really decoding the image
+    * payload ([[imageLuma]]) — partition-local, payloads never
+    * shuffle; only the luma (and downstream, the 8-byte
+    * [[aHash32FromLongs]] fingerprint) moves on. This is the
+    * production head of the q202/q271 pHash chain: swap
+    * [[aHash32]]'s byte-grid stand-in for `decodeLuma ∘
+    * aHash32FromLongs` and every relational stage downstream —
+    * banding, Hamming verify, dedup — is unchanged. */
+  def decodeLuma(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("luma", ArrayType(LongType), nullable = false))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        Row.fromSeq(r.toSeq :+ imageLuma(payload).toSeq)
       }
     }(encoder)
   }
@@ -127,13 +201,23 @@ object MultimodalOps {
     * exact: integer products < 2^40, and the one float compare is a
     * single divide on each side. */
   def aHash32Expr(text: Column): Column =
-    // TextOps.bind is load-bearing twice: an unbound `bytes` would be
-    // re-built per cell (33× the O(len) char walk — the 6 s → 113 s
-    // difference measured on the sf0.1 corpus), and an unbound total
-    // re-summed per cell
-    TextOps.bind(
+    // the char-walk expression is bound ONCE inside aHash32FromLongs —
+    // unbound it would be re-built per cell (33× the O(len) char walk,
+    // the 6 s → 113 s difference measured on the sf0.1 corpus)
+    aHash32FromLongs(
       transform(sequence(lit(0), (length(text) - 1).cast("int")),
-        i => ascii(text.substr(i + lit(1), lit(1))).cast("long")),
+        i => ascii(text.substr(i + lit(1), lit(1))).cast("long")))
+
+  /** The aHash grid/threshold/pack core over ANY `array<long>` of
+    * pixel-domain values — [[aHash32Expr]] feeds it the byte-grid
+    * stand-in, [[decodeLuma]] feeds it REAL decoded luma (round-12
+    * task 7); the expression (and so the oracle SQL shape) is
+    * identical either way. Empty arrays hash to 0. */
+  def aHash32FromLongs(byteVals: Column): Column =
+    // bind is load-bearing twice: an unbound `bytes` would re-evaluate
+    // the input expression per cell, and an unbound total would
+    // re-sum per cell
+    TextOps.bind(byteVals,
       bytes => TextOps.bind(
         aggregate(bytes, lit(0L), (acc, b) => acc + b),
         total => {

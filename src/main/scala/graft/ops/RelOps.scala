@@ -493,7 +493,11 @@ object RelOps {
     * PRECONDITIONS (the standard append-only CDC contract; violations
     * need a rebuild, they cannot be patched in place): every delta
     * row's (ts, tie) is strictly AFTER the key's current
-    * valid_from_us, and `tieCol` is numeric (the −1 seed sentinel).
+    * valid_from_us, and `tieCol` is numeric and >= 0 (the −1 seed
+    * sentinel must sort first). Both are ENFORCED at execution
+    * (round-12 ADVICE): a negative tie or a straggler ts raises a
+    * `raise_error` inside the rebuilt branch's plan instead of
+    * silently corrupting the dimension.
     *
     * Scale shape: one distinct on the delta's keys, two
     * semi/anti-joins on the key, then [[scd2Build]]'s single (key)
@@ -513,8 +517,35 @@ object RelOps {
     val seed = open.select(col(keyCol) +: attrCols.map(col) :+
       timestamp_micros(col("valid_from_us")).as(tsCol) :+
       lit(-1L).as(tieCol): _*)
+    // PRECONDITION GUARDS (round-12 ADVICE): a violating delta
+    // previously produced a silently wrong history; now it fails the
+    // job at execution. The guards ride INSIDE the tie expression (a
+    // dropped side column would be pruned out of the plan and never
+    // evaluated): tie must be >= 0 (−1 is the seed sentinel — a
+    // negative delta tie could sort before the seed), and a delta
+    // row's ts must not precede the key's open-version valid_from
+    // (the append-only CDC contract; ts == valid_from is legal, the
+    // tie breaks it after the seed). The ts screen is one equi-join
+    // against the O(touched keys) open rows — never the closed
+    // history; a key new in the delta joins null and passes.
+    val openFrom = open.select(col(keyCol),
+      col("valid_from_us").as("_seed_from_us"))
     val delta = changes.select(col(keyCol) +: attrCols.map(col) :+
-      col(tsCol) :+ col(tieCol).cast("long").as(tieCol): _*)
+        col(tsCol) :+ col(tieCol).cast("long").as(tieCol): _*)
+      .join(openFrom, Seq(keyCol), "left")
+      .withColumn(tieCol,
+        when(col(tieCol) < 0, raise_error(concat(
+            lit(s"scd2Apply: delta $tieCol must be >= 0 " +
+              "(-1 is the seed sentinel), got "),
+            col(tieCol).cast("string"))))
+          .when(unix_micros(col(tsCol)) < col("_seed_from_us"),
+            raise_error(concat(
+              lit(s"scd2Apply: delta ($tsCol, $tieCol) precedes the " +
+                s"open version's valid_from for $keyCol="),
+              col(keyCol).cast("string"),
+              lit(" - stragglers need the scd2Build repair path"))))
+          .otherwise(col(tieCol)))
+      .drop("_seed_from_us")
     val voff = open.select(col(keyCol),
       (col("version") - 1).as("_voff"))
     val rebuilt = scd2Build(seed.unionByName(delta), keyCol, attrCols,

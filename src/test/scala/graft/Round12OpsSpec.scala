@@ -1,0 +1,344 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AggOps, FitArtifacts, MultimodalOps, RelOps}
+import graft.streaming.StreamOps
+
+/** Round-12 verdict/ADVICE items: the q162 degenerate guard, scd2
+  * precondition enforcement + straggler observability + null-attr
+  * batch/stream parity, persisted fit artifacts, adaptive cap
+  * selection, and the real `javax.imageio` decode behind the stub
+  * interface.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String) = Files.createTempDirectory(
+    Paths.get("/root/repo/target"), tag)
+
+  // ---------------------------------------------------------------- //
+  // q162 degenerate-input guard (q224 parity)
+  // ---------------------------------------------------------------- //
+
+  test("q162: single-category input yields null cramers_v, not NaN") {
+    val dir = tmpDir("q162_degen")
+    (0 until 20).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 86400000L),
+        i.toLong % 3, "only_type", i.toDouble, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q162_chi_square")(spark, dir.toString)
+      .collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getLong(row.fieldIndex("dof")) === 0L)
+    assert(row.isNullAt(row.fieldIndex("cramers_v")),
+      "degenerate table must null V (q224 convention), not NaN")
+  }
+
+  // ---------------------------------------------------------------- //
+  // scd2Apply precondition guards (round-12 ADVICE)
+  // ---------------------------------------------------------------- //
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  private val scd2Base = Seq(
+    (1L, "a", ts(1000L), 0L), (1L, "b", ts(5000L), 1L),
+    (2L, "x", ts(2000L), 2L)
+  ).toDF("k", "attr", "ts", "tie")
+
+  private def rootCause(t: Throwable): String = {
+    var cur = t
+    val sb = new StringBuilder(Option(cur.getMessage).getOrElse(""))
+    while (cur.getCause != null) {
+      cur = cur.getCause
+      sb.append(" | ").append(Option(cur.getMessage).getOrElse(""))
+    }
+    sb.toString
+  }
+
+  test("scd2Apply: a negative delta tie fails loudly (seed sentinel)") {
+    val hist = RelOps.scd2Build(scd2Base, "k", Seq("attr"), "ts", "tie")
+    val delta = Seq((1L, "c", ts(9000L), -5L))
+      .toDF("k", "attr", "ts", "tie")
+    val e = intercept[Throwable] {
+      RelOps.scd2Apply(hist, delta, "k", Seq("attr"), "ts", "tie")
+        .collect()
+    }
+    assert(rootCause(e).contains("scd2Apply"), rootCause(e))
+  }
+
+  test("scd2Apply: a straggler delta before the open version's " +
+       "valid_from fails loudly instead of corrupting the history") {
+    val hist = RelOps.scd2Build(scd2Base, "k", Seq("attr"), "ts", "tie")
+    // key 1's open version starts at ts=5000; a delta at 3000 violates
+    // the append-only CDC contract
+    val delta = Seq((1L, "c", ts(3000L), 7L))
+      .toDF("k", "attr", "ts", "tie")
+    val e = intercept[Throwable] {
+      RelOps.scd2Apply(hist, delta, "k", Seq("attr"), "ts", "tie")
+        .collect()
+    }
+    assert(rootCause(e).contains("precedes the open version"),
+      rootCause(e))
+  }
+
+  test("scd2Apply: guards are transparent on a valid delta " +
+       "(full-rebuild identity still holds; new keys pass)") {
+    val hist = RelOps.scd2Build(scd2Base, "k", Seq("attr"), "ts", "tie")
+    val delta = Seq(
+      (1L, "c", ts(9000L), 7L),   // after key 1's open valid_from
+      (3L, "new", ts(100L), 8L)   // key new in the delta (null seed)
+    ).toDF("k", "attr", "ts", "tie")
+    val applied = RelOps
+      .scd2Apply(hist, delta, "k", Seq("attr"), "ts", "tie")
+      .orderBy("k", "version")
+    val rebuilt = RelOps
+      .scd2Build(scd2Base.unionByName(delta), "k", Seq("attr"), "ts",
+        "tie")
+      .orderBy("k", "version")
+    assert(applied.collect().toSeq === rebuilt.collect().toSeq)
+  }
+
+  // ---------------------------------------------------------------- //
+  // scd2Stream: straggler observability + null-attr parity
+  // ---------------------------------------------------------------- //
+
+  /** Stage per-batch single-file parquets with increasing modtimes so
+    * maxFilesPerTrigger=1 replays them in order (q275's staging). */
+  private def stageBatches(tag: String, batches: Seq[DataFrame]): String = {
+    val dir = tmpDir(tag)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$dir/_tmp$i"
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Fs.listDir(Paths.get(tmp))(
+        _.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get())
+      val dest = Paths.get(s"$dir/batch$i.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + i * 600000L))
+      Fs.listDir(Paths.get(tmp))(_.forEach(Files.deleteIfExists(_)))
+      Files.deleteIfExists(Paths.get(tmp))
+    }
+    dir.toString
+  }
+
+  test("scd2Stream: dropped cross-batch stragglers are COUNTED " +
+       "(observable, not silent) and produce no version") {
+    val b1 = Seq((1L, "a", Some(10L), ts(100000L), 1L),
+        (1L, "b", Some(20L), ts(200000L), 2L))
+      .toDF("user_id", "event_type", "band", "ts", "event_id")
+    // event_id 3 is OLDER than the open version (valid_from 200000)
+    val b2 = Seq((1L, "zz", Some(99L), ts(150000L), 3L),
+        (1L, "c", Some(30L), ts(300000L), 4L))
+      .toDF("user_id", "event_type", "band", "ts", "event_id")
+    val staged = stageBatches("scd2_straggler", Seq(b1, b2))
+    val dropped = spark.sparkContext.longAccumulator(
+      s"scd2_stragglers_${System.nanoTime()}")
+    val stream = StreamOps.fileStream(spark, b1.schema, staged,
+      maxFilesPerTrigger = Some(1))
+    val versions = StreamOps.scd2Stream(stream, "user_id", "event_type",
+      "band", "ts", "event_id", droppedStragglers = Some(dropped))
+    val got = StreamOps.runToCompletion(versions.toDF(),
+        s"scd2s_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(4))
+      .orderBy("version").collect()
+    assert(dropped.value === 1L, s"straggler count ${dropped.value}")
+    // closed versions: a(100000→200000), b(200000→300000); the
+    // straggler "zz" versions nowhere
+    assert(got.map(_.getString(1)).toSeq === Seq("a", "b"))
+    assert(!got.map(_.getString(1)).contains("zz"))
+  }
+
+  test("scd2Stream: null tracked attribute versions like the batch " +
+       "build (null==null is a no-op change; null→value opens)") {
+    val b1 = Seq((5L, "t", Some(1L), ts(100000L), 1L),
+        (5L, "t", None: Option[Long], ts(200000L), 2L))
+      .toDF("user_id", "event_type", "band", "ts", "event_id")
+    val b2 = Seq((5L, "t", None: Option[Long], ts(300000L), 3L),
+        (5L, "t", Some(2L), ts(400000L), 4L))
+      .toDF("user_id", "event_type", "band", "ts", "event_id")
+    val staged = stageBatches("scd2_nullattr", Seq(b1, b2))
+    val stream = StreamOps.fileStream(spark, b1.schema, staged,
+      maxFilesPerTrigger = Some(1))
+    val versions = StreamOps.scd2Stream(stream, "user_id", "event_type",
+      "band", "ts", "event_id")
+    val got = StreamOps.runToCompletion(versions.toDF(),
+        s"scd2n_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(4))
+      .select("user_id", "event_type", "band", "valid_from_us",
+        "valid_to_us", "version")
+      .orderBy("version")
+    val want = RelOps.scd2Build(b1.unionByName(b2), "user_id",
+        Seq("event_type", "band"), "ts", "event_id")
+      .filter(!col("is_current"))
+      .select("user_id", "event_type", "band", "valid_from_us",
+        "valid_to_us", "version")
+      .orderBy("version")
+    assert(got.collect().toSeq === want.collect().toSeq)
+    // the null-band version (1→null at 200000, closed by null→2 at
+    // 400000 — the 300000 null==null row is a no-op on both paths)
+    val g = got.collect()
+    assert(g.length === 2)
+    assert(g(1).isNullAt(2), "second closed version carries null band")
+  }
+
+  // ---------------------------------------------------------------- //
+  // FitArtifacts (round-12 verdict task 3)
+  // ---------------------------------------------------------------- //
+
+  test("FitArtifacts: centroid save/load round-trips bit for bit and " +
+       "rejects a non-contiguous artifact") {
+    val dir = tmpDir("fit_cents")
+    val cents = Array(Array(1L, -2L, 3L), Array(4L, 5L, -6L),
+      Array(0L, 0L, 7L))
+    FitArtifacts.saveCentroids(spark, s"$dir/c", cents)
+    val loaded = FitArtifacts.loadCentroids(spark, s"$dir/c")
+    assert(loaded.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+    // corrupt: drop cell 1 → contiguity check must fail
+    spark.read.parquet(s"$dir/c").filter(col("cell") =!= 1)
+      .write.mode("overwrite").parquet(s"$dir/corrupt")
+    val e = intercept[IllegalArgumentException] {
+      FitArtifacts.loadCentroids(spark, s"$dir/corrupt")
+    }
+    assert(e.getMessage.contains("not contiguous"))
+  }
+
+  test("FitArtifacts: BPE merge list round-trips in training order") {
+    val dir = tmpDir("fit_merges")
+    val merges = Seq((1L, "a", "b", 10L), (2L, "ab", "c", 7L),
+        (3L, "d", "e", 5L))
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+    FitArtifacts.saveMerges(merges, s"$dir/m")
+    assert(FitArtifacts.loadMerges(spark, s"$dir/m") ===
+      Seq(("a", "b"), ("ab", "c"), ("d", "e")))
+    // generic table round trip (cut dictionaries etc.)
+    val cuts = Seq((0L, 10L), (1L, 20L)).toDF("bin", "hi")
+    FitArtifacts.saveTable(cuts, s"$dir/cuts")
+    assert(FitArtifacts.loadTable(spark, s"$dir/cuts")
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq === Seq((0L, 10L), (1L, 20L)))
+  }
+
+  test("q276 (persisted fit) replays q48 (memo fit) identically") {
+    val dir = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("q276_fit_artifact")(spark, dir).collect()
+    val b = SparkEntry.queries("q48_ann_ivf")(spark, dir).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Adaptive cap selection (round-12 verdict task 5)
+  // ---------------------------------------------------------------- //
+
+  test("capReport: derived cap binds on the hot bucket and not on a " +
+       "uniform bucketing") {
+    // 100 uniform buckets of 5 rows + 1 mega-bucket of 500 rows
+    val hot = spark.range(500).select(lit("HOT").as("bucket"))
+      .unionAll(spark.range(500).select(
+        concat(lit("u"), (col("id") % 100)).as("bucket")))
+    val r = AggOps.capReport(hot, "bucket", floor = 4, pPct = 99)
+      .head()
+    assert(r.getLong(r.fieldIndex("n_buckets")) === 101L)
+    assert(r.getLong(r.fieldIndex("max_size")) === 500L)
+    assert(r.getLong(r.fieldIndex("p_size")) === 5L,
+      "p99 excludes the 1-of-101 mega bucket")
+    val cap = r.getLong(r.fieldIndex("cap"))
+    assert(cap === 5L)
+    assert(cap < 500L, "cap BINDS on the hot bucket")
+    // uniform fixture: every bucket at the common size → cap covers all
+    val uniform = spark.range(500).select(
+      concat(lit("u"), (col("id") % 100)).as("bucket"))
+    val u = AggOps.capReport(uniform, "bucket", floor = 4, pPct = 99)
+      .head()
+    assert(u.getLong(u.fieldIndex("cap")) === 5L)
+    assert(u.getLong(u.fieldIndex("max_size")) === 5L,
+      "cap does NOT bind on the uniform bucketing")
+    // floor dominates tiny distributions
+    val tiny = Seq("a", "b").toDF("bucket")
+    assert(AggOps.recommendCap(tiny, "bucket", floor = 64) === 64)
+    assert(AggOps.recommendCap(hot, "bucket", floor = 4, pPct = 99)
+      === 5)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Real image decode (round-12 verdict task 7)
+  // ---------------------------------------------------------------- //
+
+  /** An 8×4 PNG: left half black, right half white (or inverted). */
+  private def halfPng(invert: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val white = (x >= 4) != invert
+      img.setRGB(x, y, if (white) 0xffffff else 0x000000)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageLuma: real PNG decode yields exact BT.601 integer luma") {
+    val luma = MultimodalOps.imageLuma(halfPng(invert = false))
+    assert(luma.length === 32)
+    // row-major: each row is 4 black then 4 white
+    for (y <- 0 until 4; x <- 0 until 8)
+      assert(luma(y * 8 + x) === (if (x >= 4) 255L else 0L))
+    // a gray pixel decodes to its own value: (299+587+114)*g/1000 = g
+    val g = new java.awt.image.BufferedImage(1, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    g.setRGB(0, 0, 0x646464) // 100,100,100
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(g, "png", bos)
+    assert(MultimodalOps.imageLuma(bos.toByteArray).toSeq === Seq(100L))
+    // undecodable/null payloads follow the stub's degenerate convention
+    assert(MultimodalOps.imageLuma("not a png".getBytes).isEmpty)
+    assert(MultimodalOps.imageLuma(null).isEmpty)
+    assert(MultimodalOps.imageFeatures(null).toSeq ===
+      Seq.fill(8)(0.0))
+  }
+
+  test("aHash32 over REAL decoded luma: bright cells set exactly the " +
+       "expected bits, and the inverted image sets the complement") {
+    val df = Seq((1L, halfPng(invert = false)),
+        (2L, halfPng(invert = true)))
+      .toDF("media_id", "payload")
+    val hashes = MultimodalOps.decodeLuma(df)
+      .select(col("media_id"),
+        MultimodalOps.aHash32FromLongs(col("luma")).as("phash"))
+      .orderBy("media_id").collect()
+    // 32 luma values → cell g IS position g; mean 127.5; white (255)
+    // cells exceed it. Image 1: white at x>=4 → bits {g: g%8 >= 4}.
+    val expect1 = (0 until 32).filter(_ % 8 >= 4).map(1L << _).sum
+    val expect2 = (0 until 32).filter(_ % 8 < 4).map(1L << _).sum
+    assert(hashes(0).getLong(1) === expect1)
+    assert(hashes(1).getLong(1) === expect2)
+    // identical payloads collide (the dedup invariant)
+    val again = MultimodalOps.decodeLuma(
+        Seq((3L, halfPng(invert = false))).toDF("media_id", "payload"))
+      .select(MultimodalOps.aHash32FromLongs(col("luma"))).head()
+      .getLong(0)
+    assert(again === hashes(0).getLong(1))
+  }
+
+  test("extractFeatures accepts the real decoder as a drop-in for the " +
+       "stub (the production-swap contract)") {
+    val df = Seq((1L, halfPng(invert = false))).toDF("media_id", "payload")
+    val feats = MultimodalOps.extractFeatures(df,
+        decode = MultimodalOps.imageFeatures)
+      .select("features").head().getSeq[Double](0)
+    assert(feats.length === 8)
+    // 16 white lumas of 255 land in bin 255 % 8 = 7, averaged over 32
+    assert(math.abs(feats(7) - 255.0 * 16 / 32) < 1e-9)
+    assert(feats.take(7).forall(_ === 0.0))
+  }
+}

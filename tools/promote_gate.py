@@ -30,23 +30,26 @@ def main():
         prev = medians(args.prev)
         common = sorted(set(cur) & set(prev))
         ratios = {q: cur[q] / prev[q] for q in common if prev[q] > 0}
-        med = statistics.median(ratios.values())
-        over15 = {q: r for q, r in ratios.items() if r > 1.5}
-        over20 = {q: r for q, r in ratios.items() if r > 2.0}
-        print(f"common subset: {len(common)}  median ratio: {med:.2f}x")
-        print(f">1.5x: { {q: round(r, 2) for q, r in sorted(over15.items())} }")
-        print(f">2.0x: { {q: round(r, 2) for q, r in sorted(over20.items())} }")
-        faster = {q: round(r, 2) for q, r in sorted(ratios.items())
-                  if r < 0.67}
-        print(f"<0.67x (improvements): {faster}")
+        if ratios:  # empty common subset would crash statistics.median
+            med = statistics.median(ratios.values())
+            over15 = {q: r for q, r in ratios.items() if r > 1.5}
+            over20 = {q: r for q, r in ratios.items() if r > 2.0}
+            print(f"common subset: {len(common)}  median ratio: {med:.2f}x")
+            print(f">1.5x: { {q: round(r, 2) for q, r in sorted(over15.items())} }")
+            print(f">2.0x: { {q: round(r, 2) for q, r in sorted(over20.items())} }")
+            faster = {q: round(r, 2) for q, r in sorted(ratios.items())
+                      if r < 0.67}
+            print(f"<0.67x (improvements): {faster}")
+        else:
+            print(f"common subset: {len(common)} - no ratio stats")
         print("new queries:", sorted(set(cur) - set(prev)))
     print()
     print("| query | median seconds |")
     print("|---|---|")
 
     def key(name):
-        num = int("".join(ch for ch in name.split("_")[0] if ch.isdigit()))
-        return (num, name)
+        digits = "".join(ch for ch in name.split("_")[0] if ch.isdigit())
+        return (int(digits), name) if digits else (0, name)
 
     for q in sorted(cur, key=key):
         print(f"| {q} | {cur[q]:.2f} |")
