@@ -5821,8 +5821,7 @@ object SparkEntry {
     // the memo-fit chain bit for bit, which is exactly what the
     // integer micro-unit centroids guarantee (lossless in parquet).
     val cents = microCents(s, dir, 8, 4)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_fit_" +
-      s"${Integer.toHexString(dir.hashCode)}/kmeans_8_4"
+    val path = s"${fitRoot(dir)}/kmeans_8_4"
     FitArtifacts.saveCentroids(s, path, cents)
     val loaded = FitArtifacts.loadCentroids(s, path)
     val emb = t(s, dir, "embeddings")
@@ -5831,6 +5830,136 @@ object SparkEntry {
         nlist = 8, nprobe = 3, iters = 4, cents = Some(loaded))
       .withColumn("rn", col("rn").cast("long"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Shared per-dir artifact root for the persisted-fit queries
+    * (q276/q278/q279): java.io.tmpdir scoped, overwritten per run. */
+  private def fitRoot(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_fit_" +
+      Integer.toHexString(dir.hashCode)
+
+  private def q278(s: SparkSession, dir: String): DataFrame = {
+    // PERSISTED CUT DICTIONARY APPLIED (FitArtifacts' second claim
+    // made end-to-end): fit the decile equi-depth dictionary on the
+    // TRAINING half of the corpus (even-orderkey lineitem price
+    // cents — exact rank binning, the q226 operator), persist it as
+    // a table artifact, reload, and APPLY it to the SERVING half
+    // (odd orderkeys) — the discretize-at-inference pattern, same
+    // distribution so every bin is exercised. The apply is the
+    // standard cut rule bin(v) = #{interior upper bounds < v}
+    // (out-of-range values clamp to the edge bins), spelled as a
+    // chain over the loaded artifact's O(bins) rows — an
+    // artifact-bounded driver bridge (S6), then a pure map-side
+    // projection over the serving scan: zero shuffle until the final
+    // per-bin aggregate.
+    val cents = t(s, dir, "lineitem").select(col("l_orderkey"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("_c"))
+    val path = s"${fitRoot(dir)}/cuts_lineitem_d10"
+    FitArtifacts.saveTable(
+      AggOps.equiDepthBins(
+        cents.filter(col("l_orderkey") % 2 === 0).select(col("_c")),
+        "_c", 10).orderBy(col("bin")),
+      path)
+    val his = FitArtifacts.loadTable(s, path).orderBy(col("bin"))
+      .collect().map(r => r.getLong(r.fieldIndex("hi")))
+    val binExpr = his.init.foldLeft(lit(0)) { (acc, h) =>
+      acc + when(col("_c") > h, 1).otherwise(0) }
+    cents.filter(col("l_orderkey") % 2 === 1)
+      .select(binExpr.cast("long").as("bin"), col("_c"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col("_c")).as("min_cents"),
+        max(col("_c")).as("max_cents"))
+      .orderBy(col("bin"))
+  }
+
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    // PERSISTED BPE MERGE LIST APPLIED (FitArtifacts' third claim):
+    // q190's merge training, persisted in training order, reloaded,
+    // and driving q192's encode — the tokenizer-artifact lifecycle
+    // (train once, ship the merge table, encode everywhere). Oracle =
+    // q192's verbatim: a loaded merge list must segment identically
+    // to the in-process one (strings are lossless in parquet; order
+    // carried by the round column).
+    val words = bpeVocab(s, dir)
+    val path = s"${fitRoot(dir)}/bpe_merges_k6"
+    FitArtifacts.saveMerges(
+      TextOps.bpeMerges(words, "w", "f", k = 6), path)
+    val loaded = FitArtifacts.loadMerges(s, path)
+    TextOps.bpeEncode(words.select(col("w")), "w", loaded)
+      .orderBy(col("w"))
+  }
+
+  private def q280(s: SparkSession, dir: String): DataFrame =
+    // LABEL-PROPAGATION COMMUNITIES (GraphOps.labelPropagation — the
+    // modularity-free community detector next to q57's connected
+    // components: CC merges everything REACHABLE, LPA splits a
+    // connected graph along its dense cores). Synthetic 100-node
+    // graph with real community structure: 10 dense blocks of 10
+    // (intra-block edges from every order) bridged by SPARSE
+    // cross-block edges (1-in-250 orders) — connected, so CC would
+    // report ONE component; 4 synchronous sweeps with the
+    // (count DESC, label ASC) total tie order recover the blocks.
+    // Oracle replays the rounds as unrolled CTEs (lpaSqlChain).
+    GraphOps.labelPropagation(communityEdges(s, dir), iterations = 4)
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("id")).as("min_member"))
+      .orderBy(col("community"))
+
+  private def q281(s: SparkSession, dir: String): DataFrame =
+    // t-CLOSENESS AUDIT (CleanOps.tClosenessAudit — completes the
+    // privacy ladder next to q197's k-anonymity suppression and
+    // q228's l-diversity): per market segment, the total-variation
+    // distance between the segment's nation distribution and the
+    // whole table's. Exact-integer deviations over the common
+    // denominator, one float divide at the end (the q186
+    // convention); threshold 0.15 marks the publishable segments.
+    CleanOps.tClosenessAudit(t(s, dir, "customer"),
+        Seq("c_mktsegment"), "c_nationkey", threshold = 0.15)
+      .orderBy(col("c_mktsegment"))
+
+  /** q280/q283's shared synthetic community graph: 10 dense blocks of
+    * 10 nodes (intra-block edge per order) + sparse 1-in-250
+    * cross-block bridges — connected, with real community structure. */
+  private def communityEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(expr("o_orderkey % 100").as("src"),
+        expr("(o_orderkey % 100) div 10 * 10 + o_custkey % 10")
+          .as("dst"))
+      .unionAll(o.filter(expr("o_orderkey % 250 = 0"))
+        .select(expr("o_orderkey % 100").as("src"),
+          expr("(o_orderkey * 7 + 13) % 100").as("dst")))
+  }
+
+  private def q282(s: SparkSession, dir: String): DataFrame =
+    // SCD2 WITH TOMBSTONES (RelOps.scd2BuildWithDeletes — the CDC
+    // delete handling q272's build lacks): every 11th event_id is a
+    // tombstone that CLOSES the key's open (event_type, band) version
+    // and opens nothing; later changes re-open; a terminal tombstone
+    // leaves the key with NO current row. Change screen = the q272
+    // null-safe struct compare extended with the deleted flag (so
+    // delete → re-add of the same value re-opens); versions number
+    // LIVE rows only. Same single (key) exchange + (ts, tie) sort.
+    RelOps.scd2BuildWithDeletes(
+        t(s, dir, "events")
+          .withColumn("band",
+            expr("cast(round(value * 100) as bigint) div 2000"))
+          .withColumn("deleted", expr("event_id % 11 = 0")),
+        "user_id", Seq("event_type", "band"), "ts", "event_id",
+        "deleted")
+      .orderBy(col("user_id"), col("version"))
+
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    // MODULARITY READOUT of q280's communities (GraphOps.modularity —
+    // the q274 move repeated for graphs: the partition's QUALITY is
+    // itself a hash-checked quantity): Newman Q of the 4-sweep LPA
+    // assignment over the same block+bridge graph, exact-integer
+    // numerators (4·m·e_c − d_c²) with one final divide. The block
+    // structure should score high (dense intra, sparse inter) — and
+    // the oracle proves the exact value, not "looks clustered".
+    val edges = communityEdges(s, dir)
+    GraphOps.modularity(edges,
+      GraphOps.labelPropagation(edges, iterations = 4))
   }
 
   private def q277(s: SparkSession, dir: String): DataFrame =
@@ -6708,6 +6837,12 @@ object SparkEntry {
     "q275_stream_scd2" -> q275 _,
     "q276_fit_artifact" -> q276 _,
     "q277_adaptive_cap" -> q277 _,
+    "q278_persisted_cuts" -> q278 _,
+    "q279_persisted_merges" -> q279 _,
+    "q280_label_propagation" -> q280 _,
+    "q281_t_closeness" -> q281 _,
+    "q282_scd2_deletes" -> q282 _,
+    "q283_modularity" -> q283 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7024,6 +7159,35 @@ object SparkEntry {
        |  w0 AS (SELECT w, f,
        |    concat('_', array_to_string(string_split(w, ''), '__'), '_')
        |      AS e FROM vocab),
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB twin of [[GraphOps.labelPropagation]] over the q234
+    * synthetic orders graph: the same symmetrized distinct edges and
+    * `iters` unrolled synchronous sweeps, argmax spelled as the
+    * (count DESC, label ASC) rank window — one CTE pair per round
+    * (the kmeansSqlChain no-drift technique). */
+  private def lpaSqlChain(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""  n$r AS (SELECT e.dst AS id, l.lab, count(*)::BIGINT AS c
+         |    FROM e JOIN l${r - 1} l ON l.id = e.src GROUP BY 1, 2),
+         |  p$r AS (SELECT id, lab FROM (SELECT id, lab,
+         |      row_number() OVER (PARTITION BY id
+         |        ORDER BY c DESC, lab) AS rn FROM n$r) WHERE rn = 1),
+         |  l$r AS (SELECT l.id, coalesce(p.lab, l.lab) AS lab
+         |    FROM l${r - 1} l LEFT JOIN p$r p ON p.id = l.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (SELECT (o_orderkey % 100)::BIGINT AS src,
+       |      ((o_orderkey % 100) // 10 * 10
+       |        + o_custkey % 10)::BIGINT AS dst FROM orders
+       |    UNION ALL
+       |    SELECT (o_orderkey % 100)::BIGINT,
+       |      ((o_orderkey * 7 + 13) % 100)::BIGINT FROM orders
+       |    WHERE o_orderkey % 250 = 0),
+       |  e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |  e AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+       |  l0 AS (SELECT DISTINCT src AS id, src AS lab FROM e),
        |$rounds""".stripMargin
   }
 
@@ -11575,6 +11739,123 @@ object SparkEntry {
         |  c.sz::BIGINT AS p_size, greatest(16, c.sz)::BIGINT AS cap
         |FROM c, t WHERE c.cum * 100 >= t.n_buckets * 99
         |ORDER BY c.sz LIMIT 1""".stripMargin,
+    "q278_persisted_cuts" ->
+      // refit the q226 decile dictionary on the even-orderkey half,
+      // then the same #{interior upper bounds < v} cut rule over the
+      // odd-orderkey serving half — the loaded artifact must
+      // discretize identically to the refit
+      """WITH v AS (SELECT round(l_extendedprice * 100)::BIGINT AS c
+        |    FROM lineitem WHERE l_orderkey % 2 = 0),
+        |  nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        |  g AS (SELECT c, count(*)::BIGINT AS cnt FROM v GROUP BY 1),
+        |  r AS (SELECT c, cnt, coalesce(sum(cnt) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS below FROM g),
+        |  d AS (SELECT (below * 10 // nn.n)::BIGINT AS bin,
+        |      max(c)::BIGINT AS hi FROM r, nn GROUP BY 1),
+        |  dh AS (SELECT bin, hi FROM d
+        |    WHERE bin < (SELECT max(bin) FROM d)),
+        |  l AS (SELECT round(l_extendedprice * 100)::BIGINT AS c
+        |    FROM lineitem WHERE l_orderkey % 2 = 1),
+        |  lc AS (SELECT c, count(*)::BIGINT AS m FROM l GROUP BY 1),
+        |  b AS (SELECT lc.c, lc.m,
+        |      (SELECT count(*) FROM dh WHERE lc.c > dh.hi)::BIGINT
+        |        AS bin
+        |    FROM lc)
+        |SELECT bin, sum(m)::BIGINT AS n_rows, min(c)::BIGINT
+        |    AS min_cents, max(c)::BIGINT AS max_cents
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q279_persisted_merges" -> {
+      // q192's oracle VERBATIM: the engine routes the merge list
+      // through a parquet save/load; the round trip must be invisible
+      val k = 6
+      s"""WITH ${bpeSqlChain(k)}
+        |SELECT w,
+        |  array_to_string(string_split(trim(e, '_'), '__'), ' ')
+        |    AS encoding,
+        |  len(string_split(trim(e, '_'), '__'))::BIGINT AS n_symbols
+        |FROM w$k ORDER BY w""".stripMargin
+    },
+    "q280_label_propagation" ->
+      // the same 4 synchronous sweeps, unrolled; argmax = the
+      // (count DESC, label ASC) rank window per round
+      s"""WITH ${lpaSqlChain(4)}
+        |SELECT lab::BIGINT AS community, count(*)::BIGINT
+        |    AS n_members, min(id)::BIGINT AS min_member
+        |FROM l4 GROUP BY 1 ORDER BY community""".stripMargin,
+    "q282_scd2_deletes" ->
+      // the q272 chain with the deleted flag riding the change
+      // screen; tombstones close via lead(ts) then drop; versions
+      // number live rows only
+      """WITH c AS (SELECT user_id, event_type,
+        |    round(value * 100)::BIGINT // 2000 AS band,
+        |    event_id % 11 = 0 AS del, ts, event_id FROM events),
+        |  o AS (SELECT user_id, event_type, band, del, ts, event_id,
+        |    row_number() OVER w AS rn,
+        |    lag(event_type) OVER w AS pt,
+        |    lag(band) OVER w AS pb,
+        |    lag(del) OVER w AS pd
+        |  FROM c WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |  chg AS (SELECT user_id, event_type, band, del, ts, event_id
+        |    FROM o WHERE rn = 1 OR pt IS DISTINCT FROM event_type
+        |      OR pb IS DISTINCT FROM band OR pd IS DISTINCT FROM del),
+        |  v0 AS (SELECT user_id, event_type, band, del, ts, event_id,
+        |      epoch_us(ts)::BIGINT AS valid_from_us,
+        |      epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id))::BIGINT AS valid_to_us
+        |    FROM chg),
+        |  v AS (SELECT user_id, event_type, band, valid_from_us,
+        |      valid_to_us,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id)::BIGINT AS version
+        |    FROM v0 WHERE NOT del)
+        |SELECT user_id, event_type, band, valid_from_us, valid_to_us,
+        |  version, valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    "q283_modularity" ->
+      // the same LPA sweeps, then Newman Q in exact-integer
+      // numerators over the canonical undirected edge set
+      s"""WITH ${lpaSqlChain(4)},
+        |  ce AS (SELECT DISTINCT least(src, dst) AS a,
+        |      greatest(src, dst) AS b FROM e0 WHERE src <> dst),
+        |  mm AS (SELECT count(*)::BIGINT AS m FROM ce),
+        |  deg AS (SELECT id, count(*)::BIGINT AS d FROM (
+        |      SELECT a AS id FROM ce UNION ALL SELECT b FROM ce)
+        |    GROUP BY 1),
+        |  dc AS (SELECT l.lab, sum(deg.d)::BIGINT AS d_c FROM deg
+        |    JOIN l4 l ON l.id = deg.id GROUP BY 1),
+        |  ec AS (SELECT la.lab, count(*)::BIGINT AS e_c FROM ce
+        |    JOIN l4 la ON la.id = ce.a JOIN l4 lb ON lb.id = ce.b
+        |    WHERE la.lab = lb.lab GROUP BY 1),
+        |  pc AS (SELECT dc.lab, dc.d_c,
+        |      coalesce(ec.e_c, 0)::BIGINT AS e_c
+        |    FROM dc LEFT JOIN ec USING (lab))
+        |SELECT count(*)::BIGINT AS n_communities,
+        |  max(mm.m)::BIGINT AS m_edges,
+        |  round(sum(4 * mm.m * e_c - d_c * d_c)::DOUBLE /
+        |    (4 * max(mm.m) * max(mm.m))::DOUBLE, 6) AS q_modularity
+        |FROM pc, mm""".stripMargin,
+    "q281_t_closeness" ->
+      // same exact-integer |c_gs*n - c_s*n_g| deviations over the
+      // explicit group x sensitive-domain grid, one final divide
+      """WITH cells AS (SELECT c_mktsegment AS seg, c_nationkey AS s,
+        |    count(*)::BIGINT AS c_gs FROM customer GROUP BY 1, 2),
+        |  grp AS (SELECT seg, sum(c_gs)::BIGINT AS n_g FROM cells
+        |    GROUP BY 1),
+        |  sv AS (SELECT s, sum(c_gs)::BIGINT AS c_s FROM cells
+        |    GROUP BY 1),
+        |  tot AS (SELECT sum(c_s)::BIGINT AS n FROM sv),
+        |  grid AS (SELECT g.seg, g.n_g, sv.s, sv.c_s,
+        |      coalesce(cells.c_gs, 0)::BIGINT AS c_gs
+        |    FROM grp g CROSS JOIN sv
+        |    LEFT JOIN cells ON cells.seg = g.seg AND cells.s = sv.s)
+        |SELECT seg AS c_mktsegment, max(n_g)::BIGINT AS n,
+        |  round(sum(abs(c_gs * tot.n - c_s * n_g))::DOUBLE /
+        |    (2.0 * max(n_g) * max(tot.n)), 6) AS t,
+        |  round(sum(abs(c_gs * tot.n - c_s * n_g))::DOUBLE /
+        |    (2.0 * max(n_g) * max(tot.n)), 6) <= 0.15 AS close
+        |FROM grid, tot GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q252_stream_hh" ->
       // batch twin: q173's day-emission cutoff; capacity >= distinct
       // users => the MG prefix IS the exact (n DESC, user ASC) top-3

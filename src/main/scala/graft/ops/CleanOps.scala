@@ -372,4 +372,50 @@ object CleanOps {
         count_distinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("diverse", col("n_sensitive") >= l)
   }
+
+  /** t-CLOSENESS AUDIT (Li, Li & Venkatasubramanian 2007 — the third
+    * rung of the k-anonymity / l-diversity ladder: a diverse QI group
+    * can still leak when its sensitive-value DISTRIBUTION diverges
+    * from the table's). For a categorical sensitive attribute under
+    * the equal-ground-distance metric the earth-mover's distance
+    * collapses to TOTAL VARIATION: t(g) = ½ Σ_s |p_g(s) − p(s)|.
+    *
+    * EXACT-INTEGER spelling (the q186 convention): over the common
+    * denominator n_g·n, |c_gs/n_g − c_s/n| = |c_gs·n − c_s·n_g| /
+    * (n_g·n) — the absolute deviations are exact longs, summed
+    * order-free, and the ONE float step is the final divide by
+    * 2·n_g·n (identical sequential ops in any engine; safe while
+    * c_gs·n < 2^63, i.e. to ~3e9 rows per cell at 3e9 total).
+    * Absent (group, value) cells contribute c_s·n_g exactly — the
+    * QI-groups × sensitive-domain grid is built explicitly (G·S
+    * rows, both domain-bounded) with missing cells coalesced to 0.
+    *
+    * SCALE: one (QI, s) hash aggregate over the rows, then
+    * domain-bounded re-aggregates and broadcasts — the row stream
+    * shuffles once; the grid never touches it. Returns (qiCols...,
+    * n, t) with t rounded to 6 dp; `close` = (t ≤ threshold). */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String,
+                      threshold: Double): DataFrame = {
+    require(qiCols.nonEmpty, "t-closeness needs at least one QI column")
+    val cells = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_c_gs"))
+      .localCheckpoint() // three domain-bounded consumers below
+    val groups = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("_c_gs")).as("_n_g"))
+    val sens = cells.groupBy(col(sensitiveCol))
+      .agg(sum(col("_c_gs")).as("_c_s"))
+    val tot = sens.agg(sum(col("_c_s")).as("_n"))
+    groups.crossJoin(broadcast(sens)).crossJoin(broadcast(tot))
+      .join(cells, qiCols :+ sensitiveCol, "left")
+      .groupBy(qiCols.map(col): _*)
+      .agg(first(col("_n_g")).as("n"),
+        sum(abs(coalesce(col("_c_gs"), lit(0L)) * col("_n") -
+          col("_c_s") * col("_n_g"))).as("_num"),
+        first(col("_n")).as("_nn"))
+      .select(qiCols.map(col) :+ col("n") :+
+        round(col("_num").cast("double") /
+          (lit(2.0) * col("n") * col("_nn")), 6).as("t"): _*)
+      .withColumn("close", col("t") <= threshold)
+  }
 }

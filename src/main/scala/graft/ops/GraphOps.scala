@@ -70,6 +70,108 @@ object GraphOps {
     }
   }
 
+  /** SYNCHRONOUS LABEL-PROPAGATION COMMUNITIES (Raghavan, Albert &
+    * Kumara 2007, the fixed-iteration deterministic variant): labels
+    * initialize to the node id; each round EVERY node simultaneously
+    * adopts the most frequent label among its undirected neighbors,
+    * ties broken by the SMALLEST label (a node with no neighbors
+    * keeps its own — cannot occur in an edge-list graph but the rule
+    * is pinned for the oracle). The classic async LPA's visit order
+    * is engine-defined and unreproducible; the synchronous sweep +
+    * total tie order + fixed `iterations` make the result replay
+    * bit-for-bit in any engine (the oracle unrolls the rounds as
+    * CTEs — the kmeansSqlChain technique). Synchronous LPA can
+    * two-cycle on bipartite structures; a fixed iteration budget is
+    * the standard cut-off and part of the pinned semantics.
+    *
+    * SCALE: the symmetrized DISTINCT edge list is cached (probed
+    * every round); each round is ONE labels⋈edges equi-join keyed on
+    * node id + a (node, label) hash aggregate + a per-node argmax via
+    * `max_by(label, struct(count, −label))` — partial-aggregable, no
+    * rank window, so per-round shuffle volume is O(edges) then
+    * O(nodes · distinct neighbor labels). Label tables follow the
+    * [[pageRank]] checkpoint cadence so plan depth stays
+    * O(checkpointEvery). Returns (id, lab). */
+  def labelPropagation(edges: DataFrame, iterations: Int,
+                       checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().cache()
+    try {
+      var labels = und.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lab"))
+      for (i <- 1 to iterations) {
+        val picked = und
+          .join(labels.select(col("id").as("_sid"), col("lab")),
+            col("src") === col("_sid"))
+          .groupBy(col("dst"), col("lab"))
+          .agg(count(lit(1)).as("_c"))
+          .groupBy(col("dst").as("id"))
+          .agg(max_by(col("lab"),
+            struct(col("_c"), (-col("lab")).as("_nl"))).as("_new"))
+        labels = labels.join(picked, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("_new"), col("lab")).as("lab"))
+        if (i % checkpointEvery == 0 && i < iterations)
+          labels = labels.localCheckpoint()
+      }
+      labels.localCheckpoint()
+    } finally und.unpersist()
+  }
+
+  /** NEWMAN MODULARITY of a community assignment (the quality readout
+    * for [[labelPropagation]] — the q274 move repeated for graphs:
+    * partition quality becomes a HASH-CHECKED quantity, not a
+    * judgment call): Q = Σ_c [e_c/m − (d_c/2m)²] over the canonical
+    * undirected edge set, with e_c = intra-community edges, d_c =
+    * total degree of community c, m = edge count.
+    *
+    * EXACT-INTEGER spelling (the q186 convention): Q = Σ_c (4·m·e_c −
+    * d_c²) / (4·m²) — numerators are exact longs summed order-free,
+    * the single float step is the final divide (safe while m·e_c <
+    * 2^61, i.e. to ~1.5e9 edges). Communities with no intra edges
+    * contribute −d_c² exactly (left-join coalesce).
+    *
+    * SCALE: canonicalize once (min/max endpoint, distinct); degrees =
+    * one hash aggregate over 2·m endpoint rows; e_c = two id-keyed
+    * equi-joins of the edge list against the assignment; everything
+    * after is community-domain-bounded. Returns one row
+    * (n_communities, m_edges, q_modularity). */
+  def modularity(edges: DataFrame, assign: DataFrame,
+                 idCol: String = "id", labCol: String = "lab")
+      : DataFrame = {
+    val ce = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // consumers: m, degrees, intra-edge counts
+    val lab = assign.select(col(idCol).cast("long").as("_id"),
+      col(labCol).as("_lab"))
+    val m = ce.agg(count(lit(1)).as("m"))
+    val dc = ce.select(col("a").as("_id"))
+      .unionAll(ce.select(col("b").as("_id")))
+      .groupBy(col("_id")).agg(count(lit(1)).as("_deg"))
+      .join(lab, "_id")
+      .groupBy(col("_lab")).agg(sum(col("_deg")).as("d_c"))
+    val ec = ce
+      .join(lab.select(col("_id").as("a"), col("_lab").as("_la")), "a")
+      .join(lab.select(col("_id").as("b"), col("_lab").as("_lb")), "b")
+      .filter(col("_la") === col("_lb"))
+      .groupBy(col("_la").as("_lab")).agg(count(lit(1)).as("e_c"))
+    dc.join(ec, Seq("_lab"), "left")
+      .crossJoin(broadcast(m))
+      .select((lit(4L) * col("m") * coalesce(col("e_c"), lit(0L)) -
+        col("d_c") * col("d_c")).as("_num"), col("m"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_communities"), sum(col("_num")).as("_s"))
+      .select(col("n_communities"), col("m").as("m_edges"),
+        round(col("_s").cast("double") /
+          (lit(4.0) * col("m") * col("m")), 6).as("q_modularity"))
+  }
+
   /** Triangle count over an undirected edge list. Edges are first
     * CANONICALIZED (a = min endpoint, b = max, self-loops dropped,
     * distinct) so each undirected edge appears once as a < b; a

@@ -473,6 +473,53 @@ object RelOps {
         col("version") :+ col("is_current"): _*)
   }
 
+  /** [[scd2Build]] over a CDC change log WITH TOMBSTONES (round-12
+    * extension — real change streams carry deletes, and an SCD2 build
+    * that ignores them leaves a deleted entity "current" forever): a
+    * row whose `deletedCol` is true CLOSES the key's open version at
+    * its ts and opens nothing; a later change row re-opens the key.
+    * After a terminal tombstone the key has NO current row — the
+    * soft-delete a warehouse dimension actually wants.
+    *
+    * Pinned semantics (the oracle replays them field for field):
+    *  - the change screen compares (attrs..., deleted) — consecutive
+    *    identical live rows suppress as in [[scd2Build]]; repeated
+    *    tombstones collapse to one; delete → re-add of the SAME value
+    *    re-opens (the deleted flag differs on both transitions);
+    *  - `valid_to_us` = lead(ts) over the SCREENED rows, so a live
+    *    version followed by a tombstone closes at the tombstone's ts;
+    *  - tombstone rows emit no version; `version` numbers LIVE
+    *    versions only (row_number over the filtered set);
+    *  - a leading tombstone (delete before any add) emits nothing;
+    *  - null `deletedCol` reads as false.
+    *
+    * Same scale shape as [[scd2Build]]: one (key) hash exchange +
+    * one (ts, tie) sort shared by every window. */
+  def scd2BuildWithDeletes(changes: DataFrame, keyCol: String,
+                           attrCols: Seq[String], tsCol: String,
+                           tieCol: String,
+                           deletedCol: String): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 build needs >= 1 tracked attribute")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val del = coalesce(col(deletedCol).cast("boolean"), lit(false))
+    val screen = struct(attrCols.map(col) :+ del.as("_del"): _*)
+    changes
+      .withColumn("_del", del)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_prev", lag(screen, 1).over(w))
+      .filter(col("_rn") === 1 || !(col("_prev") <=> screen))
+      .withColumn("valid_from_us", unix_micros(col(tsCol)))
+      .withColumn("valid_to_us",
+        unix_micros(lead(col(tsCol), 1).over(w)))
+      .filter(!col("_del"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col(keyCol) +: attrCols.map(col) :+
+        col("valid_from_us") :+ col("valid_to_us") :+
+        col("version") :+ col("is_current"): _*)
+  }
+
   /** INCREMENTAL SCD2 MAINTENANCE — apply a new batch of change rows
     * to an existing [[scd2Build]] history without rebuilding it: the
     * real warehouse operation (a 100 TB dimension is maintained by

@@ -271,6 +271,142 @@ class Round12OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  // Label propagation (q280) and t-closeness (q281)
+  // ---------------------------------------------------------------- //
+
+  test("labelPropagation: two triangles joined by one bridge resolve " +
+       "to two communities (CC would merge them)") {
+    // triangle {0,1,2}, triangle {10,11,12}, bridge 2—10
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+        (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L))
+      .toDF("src", "dst")
+    val labs = graft.ops.GraphOps.labelPropagation(edges, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // min-label tie rule floods each triangle from its smallest id
+    assert(labs(0) === labs(1) && labs(1) === labs(2))
+    assert(labs(10) === labs(11) && labs(11) === labs(12))
+    assert(labs(0) !== labs(10), "bridge must NOT merge the triangles")
+    // sanity: connected components WOULD merge them
+    val cc = graft.ops.DedupOps.connectedComponents(
+      edges.select(col("src").as("id")).unionAll(
+        edges.select(col("dst").as("id"))).distinct(),
+      edges.select(col("src").as("id_a"), col("dst").as("id_b")), "id")
+    assert(cc.select("comp").distinct().count() === 1L)
+  }
+
+  test("labelPropagation: most-frequent-neighbor rule with smallest-" +
+       "label tie break, hand-computed") {
+    // star: node 9 has neighbors 1,2,3 (labels 1,2,3 after round 1's
+    // propagation of init labels) — tie on count, smallest label wins
+    val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    val labs = graft.ops.GraphOps.labelPropagation(edges, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labs(9) === 1L, "tie among {1,2,3} breaks to smallest")
+    // leaves each see only the hub's init label
+    assert(labs(1) === 9L && labs(2) === 9L && labs(3) === 9L)
+  }
+
+  test("tClosenessAudit: hand-computed total variation; a group " +
+       "mirroring the global mix has t = 0") {
+    // global sensitive mix: 4x a, 4x b. Group g1 = 2a+2b (mirrors,
+    // t=0); g2 = 2a (t = 1/2|2/2-4/8| + 1/2|0-4/8| = 0.5); g3 = 2b
+    val df = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"),
+      ("g2", "a"), ("g2", "a"), ("g3", "b"), ("g3", "b")
+    ).toDF("qi", "s")
+    val r = graft.ops.CleanOps
+      .tClosenessAudit(df, Seq("qi"), "s", threshold = 0.25)
+      .orderBy("qi").collect()
+    assert(r.map(_.getDouble(r(0).fieldIndex("t"))).toSeq ===
+      Seq(0.0, 0.5, 0.5))
+    assert(r.map(_.getBoolean(r(0).fieldIndex("close"))).toSeq ===
+      Seq(true, false, false))
+    assert(r.map(_.getLong(r(0).fieldIndex("n"))).toSeq ===
+      Seq(4L, 2L, 2L))
+  }
+
+  test("q278 cut rule: out-of-range serving values clamp to the edge " +
+       "bins (the #{interior bounds < v} spelling)") {
+    // dictionary his = [10, 20, 30]; interior bounds = [10, 20]
+    val his = Array(10L, 20L, 30L)
+    val binExpr = his.init.foldLeft(lit(0)) { (acc, h) =>
+      acc + when(col("v") > h, 1).otherwise(0) }
+    val got = Seq(-5L, 10L, 11L, 20L, 25L, 99L).toDF("v")
+      .select(col("v"), binExpr.as("bin")).orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((-5L, 0), (10L, 0), (11L, 1), (20L, 1),
+      (25L, 2), (99L, 2)))
+  }
+
+  // ---------------------------------------------------------------- //
+  // SCD2 tombstones (q282) and modularity (q283)
+  // ---------------------------------------------------------------- //
+
+  test("scd2BuildWithDeletes: tombstone closes without reopening; " +
+       "delete -> re-add of the same value reopens; terminal delete " +
+       "leaves no current row; repeated tombstones collapse") {
+    val rows = Seq(
+      // key 1: add a @1s, delete @2s, re-add a @3s (same value!),
+      // delete @4s, delete @5s (repeat collapses)
+      (1L, "a", ts(1000L), 1L, false),
+      (1L, "x", ts(2000L), 2L, true),
+      (1L, "a", ts(3000L), 3L, false),
+      (1L, "y", ts(4000L), 4L, true),
+      (1L, "z", ts(5000L), 5L, true),
+      // key 2: leading tombstone then add b — only b emits
+      (2L, "q", ts(1000L), 6L, true),
+      (2L, "b", ts(2000L), 7L, false)
+    ).toDF("k", "attr", "ts", "tie", "deleted")
+    val got = RelOps.scd2BuildWithDeletes(rows, "k", Seq("attr"),
+        "ts", "tie", "deleted")
+      .orderBy("k", "version")
+      .select("k", "attr", "valid_from_us", "valid_to_us", "version",
+        "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got === Seq(
+      (1L, "a", 1000000L, 2000000L, 1L, false), // closed by tombstone
+      (1L, "a", 3000000L, 4000000L, 2L, false), // re-add reopens,
+                                                // closed by 2nd delete
+      (2L, "b", 2000000L, -1L, 1L, true)))      // leading delete
+                                                // emitted nothing
+  }
+
+  test("scd2BuildWithDeletes: null deleted reads as false " +
+       "(degenerate input keeps plain scd2Build semantics)") {
+    val rows = Seq((1L, "a", ts(1000L), 1L, None: Option[Boolean]),
+        (1L, "b", ts(2000L), 2L, None: Option[Boolean]))
+      .toDF("k", "attr", "ts", "tie", "deleted")
+    val got = RelOps.scd2BuildWithDeletes(rows, "k", Seq("attr"),
+      "ts", "tie", "deleted")
+    val plain = RelOps.scd2Build(rows.drop("deleted"), "k",
+      Seq("attr"), "ts", "tie")
+    assert(got.orderBy("version").collect().toSeq ===
+      plain.orderBy("version").collect().toSeq)
+  }
+
+  test("modularity: hand-computed on two triangles + one bridge") {
+    // m = 7 canonical edges; perfect 2-community split:
+    // e_c = 3 each, d_c = 7 each (bridge adds 1 to node 2 and 10)
+    // Q = 2 * (3/7 - (7/14)^2) = 6/7 - 1/2 = 5/14 = 0.357143
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+        (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L))
+      .toDF("src", "dst")
+    val assign = graft.ops.GraphOps.labelPropagation(edges, 4)
+    val r = graft.ops.GraphOps.modularity(edges, assign).head()
+    assert(r.getLong(0) === 2L, "two communities")
+    assert(r.getLong(1) === 7L, "seven canonical edges")
+    assert(r.getDouble(2) === 0.357143)
+    // degenerate: everything in one community -> Q = 1*(7/7 - 1) = 0
+    val one = edges.select(col("src").as("id")).unionAll(
+        edges.select(col("dst").as("id"))).distinct()
+      .select(col("id"), lit(0L).as("lab"))
+    val r1 = graft.ops.GraphOps.modularity(edges, one).head()
+    assert(r1.getDouble(2) === 0.0)
+  }
+
+  // ---------------------------------------------------------------- //
   // Real image decode (round-12 verdict task 7)
   // ---------------------------------------------------------------- //
 
