@@ -5862,6 +5862,7 @@ object SparkEntry {
       path)
     val his = FitArtifacts.loadTable(s, path).orderBy(col("bin"))
       .collect().map(r => r.getLong(r.fieldIndex("hi")))
+    require(his.nonEmpty, "empty cut dictionary artifact")
     val binExpr = his.init.foldLeft(lit(0)) { (acc, h) =>
       acc + when(col("_c") > h, 1).otherwise(0) }
     cents.filter(col("l_orderkey") % 2 === 1)
@@ -5960,6 +5961,97 @@ object SparkEntry {
     val edges = communityEdges(s, dir)
     GraphOps.modularity(edges,
       GraphOps.labelPropagation(edges, iterations = 4))
+  }
+
+  private def q285(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING SCD2 WITH TOMBSTONES (StreamOps.scd2StreamWithDeletes
+    // — q282's delete semantics run ONLINE over the q275 staged
+    // 3-batch replay): every 11th event_id is a tombstone that closes
+    // the open (event_type, band) version in-stream; the live-version
+    // counter survives delete gaps, so the oracle is exactly the
+    // batch tombstone chain minus its is_current rows (the q275/q49
+    // closed-only convention). Completes batch/stream parity for CDC
+    // deletes.
+    val staged = stageTypedBatches(s, dir)
+    val stream = StreamOps.fileStream(s,
+        s.read.parquet(staged).schema, staged,
+        maxFilesPerTrigger = Some(1))
+      .withColumn("band",
+        expr("cast(round(value * 100) as bigint) div 2000"))
+      .withColumn("deleted", expr("event_id % 11 = 0"))
+    val versions = StreamOps.scd2StreamWithDeletes(stream, "user_id",
+      "event_type", "band", "ts", "event_id", "deleted")
+    StreamOps.runToCompletion(versions.toDF(),
+        s"q285_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(8))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    // INCREMENTAL SCD2 APPLY WITH TOMBSTONES
+    // (RelOps.scd2ApplyWithDeletes — q273's nightly-delta pattern over
+    // q282's soft-delete build): history from the first ~20 days,
+    // remainder applied as the delta — including delta tombstones
+    // closing open versions and delta re-adds after history-ending
+    // tombstones (the ended-deleted keys seed a null-attr tombstone
+    // pseudo-row carrying the recovered horizon + live count). Oracle
+    // = the FULL-REBUILD IDENTITY: q282's chain over the whole table.
+    val ev = t(s, dir, "events")
+      .withColumn("band",
+        expr("cast(round(value * 100) as bigint) div 2000"))
+      .withColumn("deleted", expr("event_id % 11 = 0"))
+    val cut = ev.agg(date_add(to_date(min(col("ts"))), 20).as("_c"))
+      .collect()(0).getDate(0)
+    val attrs = Seq("event_type", "band")
+    val hist0 = RelOps.scd2BuildWithDeletes(
+      ev.filter(to_date(col("ts")) < lit(cut)),
+      "user_id", attrs, "ts", "event_id", "deleted")
+    RelOps.scd2ApplyWithDeletes(hist0,
+        ev.filter(to_date(col("ts")) >= lit(cut)),
+        "user_id", attrs, "ts", "event_id", "deleted")
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private def q284(s: SparkSession, dir: String): DataFrame = {
+    // SELF-TUNING NEAR-DUP PASS (q277's adaptive cap WIRED INTO a
+    // real pair join — the full loop: observe the bucket-size
+    // distribution, derive cap = max(floor, p99), feed it to the
+    // capped expansion): q202's pHash band dedup with the maxBucket
+    // knob DATA-DERIVED instead of the static 64. The oracle computes
+    // the SAME cap in a CTE and parameterizes the windowed two-branch
+    // cand with it — the whole adaptive loop, cap value included, is
+    // hash-checked. Cost over q202: one extra pair of hash aggregates
+    // over the band table (the capReport) + a 1-row collect.
+    val ph = MultimodalOps.aHash32(t(s, dir, "documents"),
+        "doc_id", "text")
+      .localCheckpoint() // feeds bands + both verify sides
+    val bands = ph.select(col("doc_id"), explode(array(
+        struct(lit(0).as("bi"),
+          col("phash").bitwiseAND(lit(255L)).as("bv")),
+        struct(lit(1).as("bi"),
+          shiftright(col("phash"), 8).bitwiseAND(lit(255L)).as("bv")),
+        struct(lit(2).as("bi"),
+          shiftright(col("phash"), 16).bitwiseAND(lit(255L)).as("bv")),
+        struct(lit(3).as("bi"),
+          shiftright(col("phash"), 24).as("bv")))).as("b"))
+      .select(col("doc_id"), col("b.bi"), col("b.bv"))
+      .localCheckpoint() // consumers: cap derivation + buckets
+    val cap = AggOps.recommendCap(
+      bands.select(concat_ws("|", col("bi"), col("bv")).as("bucket")),
+      "bucket", floor = 8, pPct = 99)
+    val buckets = bands.groupBy(col("bi"), col("bv"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(col("_ids")).distinct()
+    DedupOps.cappedPairsFromBuckets(buckets, "_ids", cap)
+      .join(ph.select(col("doc_id").as("id_a"),
+        col("phash").as("ha")), Seq("id_a"))
+      .join(ph.select(col("doc_id").as("id_b"),
+        col("phash").as("hb")), Seq("id_b"))
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .where(col("dist") <= 3)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   private def q277(s: SparkSession, dir: String): DataFrame =
@@ -6843,6 +6935,9 @@ object SparkEntry {
     "q281_t_closeness" -> q281 _,
     "q282_scd2_deletes" -> q282 _,
     "q283_modularity" -> q283 _,
+    "q284_adaptive_dedup" -> q284 _,
+    "q285_stream_scd2_deletes" -> q285 _,
+    "q286_scd2_apply_deletes" -> q286 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6990,6 +7085,38 @@ object SparkEntry {
     * q275 keeps CLOSED rows only (the stream's open tail lives in the
     * state store). One definition, three consumers — the
     * semanticPruneSql no-drift convention. */
+  /** [[scd2MultiAttrSqlChain]]'s tombstone sibling — the DuckDB twin
+    * of [[graft.ops.RelOps.scd2BuildWithDeletes]] over the q282
+    * events change log (deleted = event_id % 11 = 0): the deleted
+    * flag rides the change screen, valid_to = lead(ts) over screened
+    * rows INCLUDING tombstones, tombstone rows drop, versions number
+    * live rows only. Shared by q282 (full history) and q285 (the
+    * streaming twin's closed-only emission). */
+  private val scd2DeletesSqlChain: String =
+    """c AS (SELECT user_id, event_type,
+      |    round(value * 100)::BIGINT // 2000 AS band,
+      |    event_id % 11 = 0 AS del, ts, event_id FROM events),
+      |  o AS (SELECT user_id, event_type, band, del, ts, event_id,
+      |    row_number() OVER w AS rn,
+      |    lag(event_type) OVER w AS pt,
+      |    lag(band) OVER w AS pb,
+      |    lag(del) OVER w AS pd
+      |  FROM c WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts, event_id)),
+      |  chg AS (SELECT user_id, event_type, band, del, ts, event_id
+      |    FROM o WHERE rn = 1 OR pt IS DISTINCT FROM event_type
+      |      OR pb IS DISTINCT FROM band OR pd IS DISTINCT FROM del),
+      |  v0 AS (SELECT user_id, event_type, band, del, ts, event_id,
+      |      epoch_us(ts)::BIGINT AS valid_from_us,
+      |      epoch_us(lead(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id))::BIGINT AS valid_to_us
+      |    FROM chg),
+      |  v AS (SELECT user_id, event_type, band, valid_from_us,
+      |      valid_to_us,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id)::BIGINT AS version
+      |    FROM v0 WHERE NOT del)""".stripMargin
+
   private val scd2MultiAttrSqlChain: String =
     """c AS (SELECT user_id, event_type,
       |    round(value * 100)::BIGINT // 2000 AS band, ts, event_id
@@ -10175,6 +10302,59 @@ object SparkEntry {
         |SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS dist
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "q284_adaptive_dedup" ->
+      // q202's chain with the cap COMPUTED in a CTE (the q277
+      // max(floor=8, p99 band-bucket size) rule) and the windowed
+      // two-branch cand parameterized by that scalar — the whole
+      // adaptive loop, derived cap included, replays in SQL
+      """WITH ch AS (SELECT doc_id,
+        |    ((i.i - 1) * 32) // length(text) AS cell,
+        |    unicode(substr(text, i.i, 1)) AS b
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, length(text)))
+        |      AS i) i
+        |  WHERE length(text) > 0),
+        |  cells AS (SELECT doc_id, cell, sum(b)::BIGINT AS s,
+        |      count(*)::BIGINT AS c
+        |    FROM ch GROUP BY 1, 2),
+        |  tot AS (SELECT doc_id, sum(s)::BIGINT AS st,
+        |      sum(c)::BIGINT AS ct
+        |    FROM cells GROUP BY 1),
+        |  ph AS (SELECT cells.doc_id, sum(CASE
+        |      WHEN cells.s::DOUBLE / cells.c > tot.st::DOUBLE / tot.ct
+        |      THEN (1::BIGINT << cell) ELSE 0 END)::BIGINT AS phash
+        |    FROM cells JOIN tot USING (doc_id) GROUP BY 1),
+        |  bands AS (SELECT doc_id, phash, b.bi,
+        |      CASE b.bi WHEN 0 THEN phash & 255
+        |                WHEN 1 THEN (phash >> 8) & 255
+        |                WHEN 2 THEN (phash >> 16) & 255
+        |                ELSE phash >> 24 END AS bv
+        |    FROM ph CROSS JOIN (SELECT unnest(range(0, 4))::INT AS bi) b),
+        |  capd AS (SELECT bi, bv, count(*)::BIGINT AS sz FROM bands
+        |    GROUP BY 1, 2),
+        |  capl AS (SELECT sz, count(*)::BIGINT AS m FROM capd
+        |    GROUP BY 1),
+        |  capc AS (SELECT greatest(8, sz)::BIGINT AS cap FROM (
+        |      SELECT sz, sum(m) OVER (ORDER BY sz) AS cum,
+        |        (SELECT count(*) FROM capd) AS nb FROM capl)
+        |    WHERE cum * 100 >= nb * 99 ORDER BY sz LIMIT 1),
+        |  bkt AS (SELECT bi, bv, doc_id, phash,
+        |      count(*) OVER (PARTITION BY bi, bv) AS m,
+        |      min(doc_id) OVER (PARTITION BY bi, bv) AS mn
+        |    FROM bands),
+        |  cand AS (
+        |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        a.phash AS ha, b.phash AS hb
+        |      FROM bkt a JOIN bkt b ON a.bi = b.bi AND a.bv = b.bv
+        |        AND a.doc_id < b.doc_id
+        |      WHERE a.m <= (SELECT cap FROM capc)
+        |    UNION
+        |    SELECT a.mn, a.doc_id, r.phash, a.phash
+        |      FROM bkt a JOIN ph r ON r.doc_id = a.mn
+        |      WHERE a.m > (SELECT cap FROM capc) AND a.doc_id > a.mn)
+        |SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS dist
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q203_pmi_collocations" ->
       // q124's tokenization/adjacency, integer products, one divide +
       // ln fixed to micro-nats before the (pmi DESC, a, b) top-40
@@ -11787,29 +11967,23 @@ object SparkEntry {
       // the q272 chain with the deleted flag riding the change
       // screen; tombstones close via lead(ts) then drop; versions
       // number live rows only
-      """WITH c AS (SELECT user_id, event_type,
-        |    round(value * 100)::BIGINT // 2000 AS band,
-        |    event_id % 11 = 0 AS del, ts, event_id FROM events),
-        |  o AS (SELECT user_id, event_type, band, del, ts, event_id,
-        |    row_number() OVER w AS rn,
-        |    lag(event_type) OVER w AS pt,
-        |    lag(band) OVER w AS pb,
-        |    lag(del) OVER w AS pd
-        |  FROM c WINDOW w AS (PARTITION BY user_id
-        |    ORDER BY ts, event_id)),
-        |  chg AS (SELECT user_id, event_type, band, del, ts, event_id
-        |    FROM o WHERE rn = 1 OR pt IS DISTINCT FROM event_type
-        |      OR pb IS DISTINCT FROM band OR pd IS DISTINCT FROM del),
-        |  v0 AS (SELECT user_id, event_type, band, del, ts, event_id,
-        |      epoch_us(ts)::BIGINT AS valid_from_us,
-        |      epoch_us(lead(ts) OVER (PARTITION BY user_id
-        |        ORDER BY ts, event_id))::BIGINT AS valid_to_us
-        |    FROM chg),
-        |  v AS (SELECT user_id, event_type, band, valid_from_us,
-        |      valid_to_us,
-        |      row_number() OVER (PARTITION BY user_id
-        |        ORDER BY ts, event_id)::BIGINT AS version
-        |    FROM v0 WHERE NOT del)
+      s"""WITH $scd2DeletesSqlChain
+        |SELECT user_id, event_type, band, valid_from_us, valid_to_us,
+        |  version, valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    "q285_stream_scd2_deletes" ->
+      // the stream emits CLOSED versions only (tombstone- or
+      // change-closed) — the batch tombstone chain minus its
+      // is_current rows (the q275 convention)
+      s"""WITH $scd2DeletesSqlChain
+        |SELECT user_id, event_type, band, valid_from_us, valid_to_us,
+        |  version
+        |FROM v WHERE valid_to_us IS NOT NULL
+        |ORDER BY user_id, version""".stripMargin,
+    "q286_scd2_apply_deletes" ->
+      // the full-rebuild identity: the incremental tombstone apply
+      // must equal q282's whole-table chain bit for bit
+      s"""WITH $scd2DeletesSqlChain
         |SELECT user_id, event_type, band, valid_from_us, valid_to_us,
         |  version, valid_to_us IS NULL AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,

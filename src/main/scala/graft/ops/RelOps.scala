@@ -520,6 +520,89 @@ object RelOps {
         col("version") :+ col("is_current"): _*)
   }
 
+  /** [[scd2Apply]] for a TOMBSTONE-carrying delta against a
+    * [[scd2BuildWithDeletes]] history — the nightly-delta form of the
+    * soft-delete build (round-12): semantics = full-rebuild identity,
+    * `scd2ApplyWithDeletes(buildD(base), delta) == buildD(base ∪
+    * delta)`, which IS the q286 oracle.
+    *
+    * The extra state vs [[scd2Apply]]: a key whose history ENDED
+    * DELETED has no current row, but its tombstone still matters —
+    * the first live delta row must open a NEW version numbered after
+    * the key's live count, and a repeated delta tombstone must
+    * no-op. The history encodes this recoverably: such a key's last
+    * close instant (`max(valid_to_us)`) is the tombstone's ts and
+    * `max(version)` is its live count, so the rebuild seed for it is
+    * a TOMBSTONE pseudo-row at (that ts, tie −1) with null attrs —
+    * the deleted flag alone drives the screen, so the attr payload
+    * is immaterial (a live row always differs from it; a delta
+    * tombstone row is dropped by the build either way). Open keys
+    * seed as in [[scd2Apply]]; version offsets are `open.version − 1`
+    * (the seed rebuilds as live version 1) vs `max(version)` (a
+    * tombstone seed emits no version). Same raise_error guards, with
+    * the straggler horizon = the open version's valid_from OR the
+    * tombstone instant. Same touched-keys-only scale shape. */
+  def scd2ApplyWithDeletes(hist: DataFrame, changes: DataFrame,
+                           keyCol: String, attrCols: Seq[String],
+                           tsCol: String, tieCol: String,
+                           deletedCol: String): DataFrame = {
+    val keys = changes.select(col(keyCol)).distinct()
+      .localCheckpoint() // splits hist twice
+    val untouched = hist.join(keys, Seq(keyCol), "left_anti")
+    val affected = hist.join(keys, Seq(keyCol), "left_semi")
+      .localCheckpoint() // closed pass-through + seeds + offsets
+    val closed = affected.filter(!col("is_current"))
+      .drop("is_current")
+    val open = affected.filter(col("is_current"))
+    val ended = affected.groupBy(col(keyCol)).agg(
+        max(col("valid_to_us")).as("_tomb_us"),
+        max(col("version")).as("_maxv"),
+        max(when(col("is_current"), 1).otherwise(0)).as("_o"))
+      .filter(col("_o") === 0)
+    val seedOpen = open.select(col(keyCol) +: attrCols.map(col) :+
+      timestamp_micros(col("valid_from_us")).as(tsCol) :+
+      lit(-1L).as(tieCol) :+ lit(false).as(deletedCol): _*)
+    val seedTomb = ended.select(col(keyCol) +:
+      attrCols.map(c => lit(null).cast(hist.schema(c).dataType)
+        .as(c)) :+
+      timestamp_micros(col("_tomb_us")).as(tsCol) :+
+      lit(-1L).as(tieCol) :+ lit(true).as(deletedCol): _*)
+    val horizon = open.select(col(keyCol),
+        col("valid_from_us").as("_h"))
+      .unionByName(ended.select(col(keyCol), col("_tomb_us").as("_h")))
+    val delta = changes.select(col(keyCol) +: attrCols.map(col) :+
+        col(tsCol) :+ col(tieCol).cast("long").as(tieCol) :+
+        coalesce(col(deletedCol).cast("boolean"), lit(false))
+          .as(deletedCol): _*)
+      .join(horizon, Seq(keyCol), "left")
+      .withColumn(tieCol,
+        when(col(tieCol) < 0, raise_error(concat(
+            lit(s"scd2ApplyWithDeletes: delta $tieCol must be >= 0 " +
+              "(-1 is the seed sentinel), got "),
+            col(tieCol).cast("string"))))
+          .when(unix_micros(col(tsCol)) < col("_h"),
+            raise_error(concat(
+              lit(s"scd2ApplyWithDeletes: delta ($tsCol, $tieCol) " +
+                s"precedes the key's horizon for $keyCol="),
+              col(keyCol).cast("string"),
+              lit(" - stragglers need the rebuild repair path"))))
+          .otherwise(col(tieCol)))
+      .drop("_h")
+    val voff = open.select(col(keyCol), (col("version") - 1).as("_voff"))
+      .unionByName(ended.select(col(keyCol), col("_maxv").as("_voff")))
+    val rebuilt = scd2BuildWithDeletes(
+        seedOpen.unionByName(seedTomb).unionByName(delta),
+        keyCol, attrCols, tsCol, tieCol, deletedCol)
+      .join(voff, Seq(keyCol), "left")
+      .withColumn("version",
+        col("version") + coalesce(col("_voff"), lit(0L)))
+      .drop("_voff", "is_current")
+    untouched.drop("is_current")
+      .unionByName(closed)
+      .unionByName(rebuilt)
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** INCREMENTAL SCD2 MAINTENANCE — apply a new batch of change rows
     * to an existing [[scd2Build]] history without rebuilding it: the
     * real warehouse operation (a 100 TB dimension is maintained by

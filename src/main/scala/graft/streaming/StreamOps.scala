@@ -112,6 +112,16 @@ case class Scd2Closed(user_id: Long, event_type: String,
                       valid_from_us: Long, valid_to_us: Long,
                       version: Long)
 
+/** Per-key state of [[StreamOps.scd2StreamWithDeletes]]: whether a
+  * version is open, its attributes/opening instant when it is, the
+  * last transition instant (`fromUs` doubles as the straggler
+  * horizon after a close), and the LIVE-version counter that
+  * survives delete gaps (the batch build numbers live rows only, so
+  * the counter must not reset when a tombstone clears the open
+  * version). One fixed-size record per key ever seen. */
+case class Scd2DelState(open: Boolean, a: String, b: java.lang.Long,
+                        fromUs: Long, version: Long)
+
 /** `transformWithState` processor behind
   * [[StreamOps.sessionizeTimersStream]]: gap sessionization where the
   * final session per key is closed by an EVENT-TIME TIMER instead of
@@ -456,6 +466,69 @@ object StreamOps {
             }
           }
           open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** [[scd2Stream]] WITH TOMBSTONES — the streaming sibling of
+    * [[graft.ops.RelOps.scd2BuildWithDeletes]] (q282's batch
+    * semantics run online): a row whose `deletedCol` is true CLOSES
+    * the key's open version (emitted immediately) and opens nothing;
+    * a later live row re-opens with the live-version counter
+    * continuing across the gap (versions number live rows only, the
+    * batch rule); repeated tombstones and leading tombstones are
+    * no-ops; null `deletedCol` reads as false. Same ordering
+    * contract, straggler rule (`us < last transition` drops, counted
+    * into `droppedStragglers`), and closed-only emission convention
+    * as [[scd2Stream]] — the oracle is the batch tombstone chain
+    * minus its is_current rows. State = ONE [[Scd2DelState]] per
+    * key. */
+  def scd2StreamWithDeletes(events: DataFrame, keyCol: String,
+                            aCol: String, bCol: String, tsCol: String,
+                            tieCol: String, deletedCol: String,
+                            droppedStragglers: Option[
+                              org.apache.spark.util.LongAccumulator] =
+                              None): Dataset[Scd2Closed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col(keyCol).cast("long"),
+        col(aCol).cast("string"), col(bCol).cast("long"),
+        unix_micros(col(tsCol)), col(tieCol).cast("long"),
+        coalesce(col(deletedCol).cast("boolean"), lit(false)))
+      .as[(Long, String, java.lang.Long, Long, Long, Boolean)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2DelState, Scd2Closed](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long,
+         rows: Iterator[(Long, String, java.lang.Long, Long, Long,
+           Boolean)],
+         state: GroupState[Scd2DelState]) =>
+          val sorted = rows.toArray.sortBy(r => (r._4, r._5))
+          var st = state.getOption.getOrElse(
+            Scd2DelState(open = false, null, null, Long.MinValue, 0L))
+          val closed =
+            scala.collection.mutable.ArrayBuffer[Scd2Closed]()
+          sorted.foreach { case (_, a, b, us, _, del) =>
+            if (us < st.fromUs) { // cross-batch straggler
+              droppedStragglers.foreach(_.add(1L))
+            } else if (del) {
+              if (st.open) { // tombstone closes, opens nothing
+                closed += Scd2Closed(key, st.a, st.b, st.fromUs, us,
+                  st.version)
+                st = Scd2DelState(open = false, null, null, us,
+                  st.version)
+              } // !open: repeated/leading tombstone — no-op
+            } else if (st.open && st.a == a && st.b == b) {
+              // no-op change (null-safe on the boxed attr)
+            } else if (st.open) {
+              closed += Scd2Closed(key, st.a, st.b, st.fromUs, us,
+                st.version)
+              st = Scd2DelState(open = true, a, b, us, st.version + 1)
+            } else { // (re-)open after a gap or for a new key
+              st = Scd2DelState(open = true, a, b, us, st.version + 1)
+            }
+          }
+          state.update(st)
           closed.iterator
       }
   }

@@ -162,6 +162,42 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected exactly the deterministic output sort")
   }
 
+  test("q278: the persisted-cut APPLY side is join-free — the loaded " +
+       "dictionary becomes a literal when-chain projection") {
+    val p = planOf("q278_persisted_cuts")
+    // the serving branch must not join the dictionary: the artifact is
+    // driver-bounded, so the cut rule compiles to a projection; the
+    // only joins in the WHOLE plan would be dictionary-refit internals
+    // (there are none — valueRanks is window+agg)
+    assert(!p.contains("Join"),
+      s"cut apply should be a pure projection, found a join:\n${p.take(1500)}")
+    // the serving scan prunes to the two used columns
+    val scans = p.split("\n").filter(l =>
+      l.contains("lineitem.parquet") && l.contains("ReadSchema"))
+    assert(scans.nonEmpty && scans.forall(l =>
+      !l.contains("l_quantity") && !l.contains("l_shipdate")),
+      s"serving scan reads unused columns: ${scans.mkString}")
+  }
+
+  test("q281: the t-closeness grid joins broadcast the domain-bounded " +
+       "sides (no row-stream re-shuffle after the first aggregate)") {
+    val p = planOf("q281_t_closeness")
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2,
+      s"sens/tot sides should broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "grid must use broadcast cross/hash joins, not a cartesian")
+  }
+
+  test("q280: the LPA result is checkpoint-materialized — the readout " +
+       "costs one exchange over an RDD leaf, not the 12-stage loop " +
+       "lineage (the q57/q97 iteration hygiene)") {
+    val p = planOf("q280_label_propagation")
+    assert(p.contains("ExistingRDD"),
+      s"assignment should be a checkpointed leaf:\n${p.take(1200)}")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"readout re-plans the whole loop:\n${p.take(1500)}")
+  }
+
   test("q31: minhash aggregates in a single exchange on doc_id") {
     val p = planOf("q31_minhash_sig")
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1,

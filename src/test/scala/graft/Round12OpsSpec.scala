@@ -191,6 +191,93 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(g(1).isNullAt(2), "second closed version carries null band")
   }
 
+  test("scd2ApplyWithDeletes: full-rebuild identity across every " +
+       "boundary shape (delta tombstone closes; re-add after an " +
+       "ended-deleted history; new key; untouched pass-through)") {
+    val all = Seq(
+      // key 1: open at the boundary; delta tombstone closes it, then
+      // a re-add
+      (1L, "a", ts(1000L), 1L, false), (1L, "x", ts(9000L), 2L, true),
+      (1L, "b", ts(12000L), 3L, false),
+      // key 2: history ENDS DELETED; delta re-adds (version must
+      // continue) then another tombstone
+      (2L, "p", ts(1000L), 4L, false), (2L, "q", ts(2000L), 5L, true),
+      (2L, "r", ts(10000L), 6L, false), (2L, "s", ts(11000L), 7L, true),
+      // key 3: untouched by the delta
+      (3L, "z", ts(1000L), 8L, false),
+      // key 4: new in the delta, starts with a leading tombstone
+      (4L, "t", ts(9500L), 9L, true), (4L, "u", ts(10500L), 10L, false)
+    ).toDF("k", "attr", "ts", "tie", "deleted")
+    val base = all.filter(col("ts") < lit(ts(9000L)))
+    val delta = all.filter(col("ts") >= lit(ts(9000L)))
+    val hist0 = RelOps.scd2BuildWithDeletes(base, "k", Seq("attr"),
+      "ts", "tie", "deleted")
+    val applied = RelOps.scd2ApplyWithDeletes(hist0, delta, "k",
+        Seq("attr"), "ts", "tie", "deleted")
+      .orderBy("k", "version")
+    val rebuilt = RelOps.scd2BuildWithDeletes(all, "k", Seq("attr"),
+        "ts", "tie", "deleted")
+      .orderBy("k", "version")
+    assert(applied.collect().toSeq === rebuilt.collect().toSeq)
+    // the shapes the seeds must get right, spelled out:
+    val rows = applied.collect().map(r => (r.getLong(0),
+      r.getString(1), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(rows === Seq(
+      (1L, "a", 1L, false), // closed by the delta tombstone @9s
+      (1L, "b", 2L, true),  // re-opened, current
+      (2L, "p", 1L, false), // closed by the base tombstone @2s
+      (2L, "r", 2L, false), // version CONTINUED past the delete gap,
+                            // closed by the delta tombstone @11s
+      (3L, "z", 1L, true),  // untouched pass-through
+      (4L, "u", 1L, true))) // leading delta tombstone emitted nothing
+    // and the tombstone close instants are exact
+    val k1v1 = applied.filter(col("k") === 1 && col("version") === 1)
+      .head()
+    assert(k1v1.getLong(k1v1.fieldIndex("valid_to_us")) === 9000000L)
+  }
+
+  test("scd2StreamWithDeletes: tombstone crossing a batch boundary " +
+       "closes in-stream; live-version counter survives the gap; " +
+       "equals the batch tombstone build minus current rows") {
+    // batch 1: open a @100s; batch 2: tombstone @200s, re-open b
+    // @300s (version must be 2, not 1); batch 3: change c @400s
+    val b1 = Seq((7L, "a", Some(1L), ts(100000L), 1L, false))
+      .toDF("user_id", "event_type", "band", "ts", "event_id",
+        "deleted")
+    val b2 = Seq((7L, "x", Some(9L), ts(200000L), 2L, true),
+        (7L, "b", Some(2L), ts(300000L), 3L, false))
+      .toDF("user_id", "event_type", "band", "ts", "event_id",
+        "deleted")
+    val b3 = Seq((7L, "c", Some(3L), ts(400000L), 4L, false))
+      .toDF("user_id", "event_type", "band", "ts", "event_id",
+        "deleted")
+    val staged = stageBatches("scd2_del_stream", Seq(b1, b2, b3))
+    val stream = StreamOps.fileStream(spark, b1.schema, staged,
+      maxFilesPerTrigger = Some(1))
+    val versions = StreamOps.scd2StreamWithDeletes(stream, "user_id",
+      "event_type", "band", "ts", "event_id", "deleted")
+    val got = StreamOps.runToCompletion(versions.toDF(),
+        s"scd2d_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(4))
+      .select("user_id", "event_type", "band", "valid_from_us",
+        "valid_to_us", "version")
+      .orderBy("version")
+    val want = RelOps.scd2BuildWithDeletes(
+        b1.unionByName(b2).unionByName(b3), "user_id",
+        Seq("event_type", "band"), "ts", "event_id", "deleted")
+      .filter(!col("is_current"))
+      .select("user_id", "event_type", "band", "valid_from_us",
+        "valid_to_us", "version")
+      .orderBy("version")
+    assert(got.collect().toSeq === want.collect().toSeq)
+    val g = got.collect()
+    // a closed BY TOMBSTONE at 200s; b (version 2 — counter survived
+    // the delete gap) closed by the change to c at 400s
+    assert(g.map(_.getString(1)).toSeq === Seq("a", "b"))
+    assert(g(0).getLong(4) === 200000000L)
+    assert(g.map(_.getLong(5)).toSeq === Seq(1L, 2L))
+  }
+
   // ---------------------------------------------------------------- //
   // FitArtifacts (round-12 verdict task 3)
   // ---------------------------------------------------------------- //
@@ -268,6 +355,28 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(AggOps.recommendCap(tiny, "bucket", floor = 64) === 64)
     assert(AggOps.recommendCap(hot, "bucket", floor = 4, pPct = 99)
       === 5)
+  }
+
+  test("q284 loop: the DERIVED cap fed into cappedPairsFromBuckets " +
+       "downgrades the hot bucket to linear emission") {
+    // bucketed rows: 100 buckets of 5 ids + 1 hot bucket of 200 ids
+    val rows = spark.range(500)
+      .select(concat(lit("u"), (col("id") % 100)).as("bucket"),
+        col("id"))
+      .unionAll(spark.range(1000, 1200)
+        .select(lit("HOT").as("bucket"), col("id")))
+    val cap = AggOps.recommendCap(rows, "bucket", floor = 4, pPct = 99)
+    assert(cap === 5)
+    val buckets = rows.groupBy("bucket")
+      .agg(sort_array(collect_list(col("id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1).select("_ids")
+    val pairs = graft.ops.DedupOps
+      .cappedPairsFromBuckets(buckets, "_ids", cap)
+    // hot bucket: 199 rep-anchored pairs, NOT C(200,2) = 19900;
+    // uniform buckets: C(5,2) = 10 each
+    val hotPairs = pairs.filter(col("id_a") === 1000L).count()
+    assert(hotPairs === 199L, s"hot bucket emitted $hotPairs")
+    assert(pairs.count() === 100L * 10 + 199)
   }
 
   // ---------------------------------------------------------------- //
