@@ -255,12 +255,15 @@ object AggOps {
     * straight into a capped pair generator's maxBucket/maxCluster
     * knob (1-row collect, the S6 bounded-bridge convention). */
   def recommendCap(df: DataFrame, bucketCol: String, floor: Int = 64,
-                   pPct: Int = 99): Int = {
-    val r = capReport(df, bucketCol, floor, pPct).head()
-    val cap = r.getLong(r.fieldIndex("cap"))
-    require(cap <= Int.MaxValue, s"derived cap $cap overflows Int")
-    cap.toInt
-  }
+                   pPct: Int = 99): Int =
+    capReport(df, bucketCol, floor, pPct).collect().headOption match {
+      case Some(r) =>
+        val cap = r.getLong(r.fieldIndex("cap"))
+        require(cap <= Int.MaxValue, s"derived cap $cap overflows Int")
+        cap.toInt
+      case None => floor // empty input: no buckets observed — the
+                         // floor is the only defensible knob value
+    }
 
   /** PARETO coverage: per group, the minimum number of keys whose rows
     * cover `share` of the group's total (the "how concentrated is this

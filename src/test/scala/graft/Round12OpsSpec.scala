@@ -350,9 +350,11 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(u.getLong(u.fieldIndex("cap")) === 5L)
     assert(u.getLong(u.fieldIndex("max_size")) === 5L,
       "cap does NOT bind on the uniform bucketing")
-    // floor dominates tiny distributions
+    // floor dominates tiny distributions; empty input yields the floor
     val tiny = Seq("a", "b").toDF("bucket")
     assert(AggOps.recommendCap(tiny, "bucket", floor = 64) === 64)
+    assert(AggOps.recommendCap(tiny.limit(0), "bucket", floor = 64)
+      === 64)
     assert(AggOps.recommendCap(hot, "bucket", floor = 4, pPct = 99)
       === 5)
   }
