@@ -57,7 +57,11 @@ object BenchMl {
     * loop) and written once. */
   private def fixture(spark: SparkSession, rows: Long,
                       parts: Int): String = {
-    val path = s"target/ml_fixture_$rows"
+    // parts is part of the cache key: rand(seed) draws are
+    // per-partition, so the same row count generated at a different
+    // parallelism is DIFFERENT data — a reused fixture must match
+    // both (round-12 review)
+    val path = s"target/ml_fixture_${rows}_p$parts"
     if (!new java.io.File(path).isDirectory) {
       val cls = when(pmod(col("id"), lit(100)) < 80, 0)
         .when(pmod(col("id"), lit(100)) < 95, 1).otherwise(2)

@@ -12023,7 +12023,8 @@ object SparkEntry {
         |  grid AS (SELECT g.seg, g.n_g, sv.s, sv.c_s,
         |      coalesce(cells.c_gs, 0)::BIGINT AS c_gs
         |    FROM grp g CROSS JOIN sv
-        |    LEFT JOIN cells ON cells.seg = g.seg AND cells.s = sv.s)
+        |    LEFT JOIN cells ON cells.seg IS NOT DISTINCT FROM g.seg
+        |      AND cells.s IS NOT DISTINCT FROM sv.s)
         |SELECT seg AS c_mktsegment, max(n_g)::BIGINT AS n,
         |  round(sum(abs(c_gs * tot.n - c_s * n_g))::DOUBLE /
         |    (2.0 * max(n_g) * max(tot.n)), 6) AS t,

@@ -235,7 +235,11 @@ object AggOps {
                 pPct: Int = 99): DataFrame = {
     require(floor >= 1, s"floor must be >= 1, got $floor")
     require(pPct >= 1 && pPct <= 100, s"pPct must be in [1,100], got $pPct")
+    // bucket-domain-bounded; checkpointed because BOTH the level
+    // chain and the totals consume it — uncached, the O(rows) bucket
+    // count (and its scan) would execute twice (round-12 review)
     val sizes = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("_sz"))
+      .localCheckpoint()
     val levels = sizes.groupBy(col("_sz")).agg(count(lit(1)).as("_m"))
     val w = Window.orderBy(col("_sz"))
     val cum = levels.withColumn("_cum",

@@ -406,8 +406,18 @@ object CleanOps {
     val sens = cells.groupBy(col(sensitiveCol))
       .agg(sum(col("_c_gs")).as("_c_s"))
     val tot = sens.agg(sum(col("_c_s")).as("_n"))
+    // null-safe cell lookup (round-12 review): a NULL sensitive value
+    // is a legitimate category — an equi-join key would drop its
+    // per-group count (coalesced to 0) while c_s(null) still enters
+    // every group's deviation, inflating t. The right side is renamed
+    // so the <=> condition is unambiguous.
+    val cellsR = cells.select(
+      (qiCols :+ sensitiveCol).map(c => col(c).as(s"_r_$c")) :+
+        col("_c_gs"): _*)
+    val joinCond = (qiCols :+ sensitiveCol)
+      .map(c => col(c) <=> col(s"_r_$c")).reduce(_ && _)
     groups.crossJoin(broadcast(sens)).crossJoin(broadcast(tot))
-      .join(cells, qiCols :+ sensitiveCol, "left")
+      .join(cellsR, joinCond, "left")
       .groupBy(qiCols.map(col): _*)
       .agg(first(col("_n_g")).as("n"),
         sum(abs(coalesce(col("_c_gs"), lit(0L)) * col("_n") -

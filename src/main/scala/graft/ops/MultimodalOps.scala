@@ -103,6 +103,11 @@ object MultimodalOps {
       new java.io.ByteArrayInputStream(payload))
     if (img == null) return Array.empty[Long]
     val (w, h) = (img.getWidth, img.getHeight)
+    // hostile/corrupt headers can declare >= 2^31 pixels — w*h would
+    // wrap negative and kill the task instead of following the
+    // degenerate-input convention; 2^28 pixels (~1 GB of luma) is
+    // already far beyond any sane corpus thumbnail
+    if (w.toLong * h > (1L << 28)) return Array.empty[Long]
     val out = new Array[Long](w * h)
     var y = 0
     while (y < h) {

@@ -541,7 +541,13 @@ object RelOps {
     * (the seed rebuilds as live version 1) vs `max(version)` (a
     * tombstone seed emits no version). Same raise_error guards, with
     * the straggler horizon = the open version's valid_from OR the
-    * tombstone instant. Same touched-keys-only scale shape. */
+    * tombstone instant. As with [[scd2Apply]], the guard is
+    * NECESSARY, NOT SUFFICIENT: base rows the build suppressed
+    * (no-op changes, REPEATED tombstones collapsed by the screen)
+    * are unrecoverable from the history, so a delta landing behind
+    * one of them passes the guard yet diverges from the full
+    * rebuild — the append-only feed ordering is the real contract.
+    * Same touched-keys-only scale shape. */
   def scd2ApplyWithDeletes(hist: DataFrame, changes: DataFrame,
                            keyCol: String, attrCols: Seq[String],
                            tsCol: String, tieCol: String,
@@ -622,12 +628,19 @@ object RelOps {
     *
     * PRECONDITIONS (the standard append-only CDC contract; violations
     * need a rebuild, they cannot be patched in place): every delta
-    * row's (ts, tie) is strictly AFTER the key's current
-    * valid_from_us, and `tieCol` is numeric and >= 0 (the −1 seed
-    * sentinel must sort first). Both are ENFORCED at execution
-    * (round-12 ADVICE): a negative tie or a straggler ts raises a
+    * row's (ts, tie) is strictly AFTER EVERY base change row for its
+    * key — the CDC feed delivers in order — and `tieCol` is numeric
+    * and >= 0 (the −1 seed sentinel must sort first). Both are
+    * GUARDED at execution (round-12 ADVICE): a negative tie or a
+    * delta ts behind the key's open valid_from raises a
     * `raise_error` inside the rebuilt branch's plan instead of
-    * silently corrupting the dimension.
+    * silently corrupting the dimension. The ts guard is NECESSARY,
+    * NOT SUFFICIENT (round-12 review): the history cannot see base
+    * rows the build SUPPRESSED (no-op changes after the open
+    * version's valid_from), so a delta landing between a suppressed
+    * base row and the feed head passes the guard yet breaks the
+    * rebuild identity — only the feed's ordering discipline rules
+    * that out; the guard catches the common violation class.
     *
     * Scale shape: one distinct on the delta's keys, two
     * semi/anti-joins on the key, then [[scd2Build]]'s single (key)

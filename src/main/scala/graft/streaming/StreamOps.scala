@@ -97,14 +97,18 @@ case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
 
 /** Open SCD2 version carried in the state store between micro-batches
   * ([[StreamOps.scd2Stream]]): the tracked attribute pair, the
-  * version's opening instant, and its rank. One fixed-size record per
-  * ACTIVE key — dimension-maintenance state is bounded by key
-  * cardinality, never by event volume. `b` is boxed
-  * (`java.lang.Long`) so a NULL tracked attribute versions like the
-  * batch build's null-safe compare instead of crashing the primitive
-  * tuple decoder (round-12 ADVICE — batch/stream null parity). */
+  * version's opening instant, its rank, and the straggler horizon
+  * `seenUs` (max ACCEPTED event time — a suppressed no-op change
+  * advances it where `fromUs` cannot, so a cross-batch row slipping
+  * in behind a no-op is dropped+counted instead of silently
+  * diverging from the batch build). One fixed-size record per ACTIVE
+  * key — dimension-maintenance state is bounded by key cardinality,
+  * never by event volume. `b` is boxed (`java.lang.Long`) so a NULL
+  * tracked attribute versions like the batch build's null-safe
+  * compare instead of crashing the primitive tuple decoder (round-12
+  * ADVICE — batch/stream null parity). */
 case class Scd2Open(a: String, b: java.lang.Long, fromUs: Long,
-                    version: Long)
+                    version: Long, seenUs: Long)
 
 /** A CLOSED dimension version emitted by [[StreamOps.scd2Stream]]. */
 case class Scd2Closed(user_id: Long, event_type: String,
@@ -114,13 +118,15 @@ case class Scd2Closed(user_id: Long, event_type: String,
 
 /** Per-key state of [[StreamOps.scd2StreamWithDeletes]]: whether a
   * version is open, its attributes/opening instant when it is, the
-  * last transition instant (`fromUs` doubles as the straggler
-  * horizon after a close), and the LIVE-version counter that
-  * survives delete gaps (the batch build numbers live rows only, so
-  * the counter must not reset when a tombstone clears the open
-  * version). One fixed-size record per key ever seen. */
+  * straggler horizon `seenUs` (the max event time ACCEPTED for the
+  * key — advanced by every row including suppressed no-ops and
+  * repeated tombstones, which `fromUs` alone cannot see), and the
+  * LIVE-version counter that survives delete gaps (the batch build
+  * numbers live rows only, so the counter must not reset when a
+  * tombstone clears the open version). One fixed-size record per key
+  * ever seen. */
 case class Scd2DelState(open: Boolean, a: String, b: java.lang.Long,
-                        fromUs: Long, version: Long)
+                        fromUs: Long, version: Long, seenUs: Long)
 
 /** `transformWithState` processor behind
   * [[StreamOps.sessionizeTimersStream]]: gap sessionization where the
@@ -414,8 +420,10 @@ object StreamOps {
     * micro-batch (the group iterator carries no order), and batches
     * must arrive in event-time order per key (q121's
     * `stageTypedBatches` staging, or any time-partitioned landing
-    * layout) — a cross-batch straggler older than the open version
-    * cannot be versioned retroactively and is DROPPED. The drop is
+    * layout) — a cross-batch straggler older than the key's max
+    * ACCEPTED event time (`Scd2Open.seenUs` — suppressed no-ops
+    * advance it too) cannot be versioned retroactively and is
+    * DROPPED. The drop is
     * OBSERVABLE (round-12 verdict task 4 — silent data loss at
     * 100 TB must be a monitored quantity): pass `droppedStragglers`
     * (a driver-registered `LongAccumulator`) and every dropped row
@@ -454,15 +462,17 @@ object StreamOps {
             scala.collection.mutable.ArrayBuffer[Scd2Closed]()
           sorted.foreach { case (_, a, b, us, _) =>
             open match {
-              case Some(o) if us < o.fromUs => // cross-batch straggler
+              case Some(o) if us < o.seenUs => // cross-batch straggler
                 droppedStragglers.foreach(_.add(1L))
-              case Some(o) if o.a == a && o.b == b => // no-op change
+              case Some(o) if o.a == a && o.b == b => // no-op change —
+                // still advances the straggler horizon
+                open = Some(o.copy(seenUs = us))
               case Some(o) =>
                 closed += Scd2Closed(key, o.a, o.b, o.fromUs, us,
                   o.version)
-                open = Some(Scd2Open(a, b, us, o.version + 1))
+                open = Some(Scd2Open(a, b, us, o.version + 1, us))
               case None =>
-                open = Some(Scd2Open(a, b, us, 1L))
+                open = Some(Scd2Open(a, b, us, 1L, us))
             }
           }
           open.foreach(state.update)
@@ -505,27 +515,36 @@ object StreamOps {
          state: GroupState[Scd2DelState]) =>
           val sorted = rows.toArray.sortBy(r => (r._4, r._5))
           var st = state.getOption.getOrElse(
-            Scd2DelState(open = false, null, null, Long.MinValue, 0L))
+            Scd2DelState(open = false, null, null, Long.MinValue, 0L,
+              Long.MinValue))
           val closed =
             scala.collection.mutable.ArrayBuffer[Scd2Closed]()
           sorted.foreach { case (_, a, b, us, _, del) =>
-            if (us < st.fromUs) { // cross-batch straggler
+            if (us < st.seenUs) { // cross-batch straggler: older than
+              // the max ACCEPTED event time — suppressed no-ops and
+              // repeated tombstones advance the horizon too, or a
+              // row slipping in behind one would silently diverge
+              // from the batch build (round-12 review finding)
               droppedStragglers.foreach(_.add(1L))
             } else if (del) {
               if (st.open) { // tombstone closes, opens nothing
                 closed += Scd2Closed(key, st.a, st.b, st.fromUs, us,
                   st.version)
                 st = Scd2DelState(open = false, null, null, us,
-                  st.version)
-              } // !open: repeated/leading tombstone — no-op
+                  st.version, us)
+              } else { // repeated/leading tombstone — emits nothing
+                st = st.copy(seenUs = us)
+              }
             } else if (st.open && st.a == a && st.b == b) {
-              // no-op change (null-safe on the boxed attr)
+              st = st.copy(seenUs = us) // no-op change (null-safe)
             } else if (st.open) {
               closed += Scd2Closed(key, st.a, st.b, st.fromUs, us,
                 st.version)
-              st = Scd2DelState(open = true, a, b, us, st.version + 1)
+              st = Scd2DelState(open = true, a, b, us,
+                st.version + 1, us)
             } else { // (re-)open after a gap or for a new key
-              st = Scd2DelState(open = true, a, b, us, st.version + 1)
+              st = Scd2DelState(open = true, a, b, us,
+                st.version + 1, us)
             }
           }
           state.update(st)

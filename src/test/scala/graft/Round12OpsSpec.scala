@@ -278,6 +278,87 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(g.map(_.getLong(5)).toSeq === Seq(1L, 2L))
   }
 
+  test("scd2Stream horizon: a straggler hiding behind a SUPPRESSED " +
+       "no-op change is dropped and counted (seenUs advances where " +
+       "fromUs cannot)") {
+    // batch 1: a@100s opens, a@300s is a suppressed no-op (fromUs
+    // stays 100s but the horizon must advance to 300s)
+    val b1 = Seq((1L, "a", Some(1L), ts(100000L), 1L),
+        (1L, "a", Some(1L), ts(300000L), 2L))
+      .toDF("user_id", "event_type", "band", "ts", "event_id")
+    // batch 2: b@200s is BEHIND the suppressed no-op — the batch
+    // build over the ordered log would have versioned it between the
+    // two a-rows, so accepting it here silently diverges; it must
+    // drop
+    val b2 = Seq((1L, "b", Some(2L), ts(200000L), 3L),
+        (1L, "c", Some(3L), ts(400000L), 4L))
+      .toDF("user_id", "event_type", "band", "ts", "event_id")
+    val staged = stageBatches("scd2_noop_straggler", Seq(b1, b2))
+    val dropped = spark.sparkContext.longAccumulator(
+      s"noop_straggler_${System.nanoTime()}")
+    val stream = StreamOps.fileStream(spark, b1.schema, staged,
+      maxFilesPerTrigger = Some(1))
+    val versions = StreamOps.scd2Stream(stream, "user_id",
+      "event_type", "band", "ts", "event_id",
+      droppedStragglers = Some(dropped))
+    val got = StreamOps.runToCompletion(versions.toDF(),
+        s"scd2h_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(4))
+      .orderBy("version").collect()
+    assert(dropped.value === 1L, s"count ${dropped.value}")
+    assert(got.map(_.getString(1)).toSeq === Seq("a"),
+      "only a's close by c@400s emits; b@200s must not version")
+    assert(got(0).getLong(got(0).fieldIndex("valid_to_us"))
+      === 400000000L)
+  }
+
+  test("scd2StreamWithDeletes horizon: a straggler behind a REPEATED " +
+       "tombstone is dropped (the tombstone advances seenUs)") {
+    val b1 = Seq((2L, "a", Some(1L), ts(100000L), 1L, false),
+        (2L, "x", Some(9L), ts(200000L), 2L, true),
+        (2L, "y", Some(8L), ts(300000L), 3L, true)) // repeated: no-op
+      .toDF("user_id", "event_type", "band", "ts", "event_id",
+        "deleted")
+    // b@250s hides behind the repeated tombstone at 300s
+    val b2 = Seq((2L, "b", Some(2L), ts(250000L), 4L, false))
+      .toDF("user_id", "event_type", "band", "ts", "event_id",
+        "deleted")
+    val staged = stageBatches("scd2_del_straggler", Seq(b1, b2))
+    val dropped = spark.sparkContext.longAccumulator(
+      s"del_straggler_${System.nanoTime()}")
+    val stream = StreamOps.fileStream(spark, b1.schema, staged,
+      maxFilesPerTrigger = Some(1))
+    val versions = StreamOps.scd2StreamWithDeletes(stream, "user_id",
+      "event_type", "band", "ts", "event_id", "deleted",
+      droppedStragglers = Some(dropped))
+    val got = StreamOps.runToCompletion(versions.toDF(),
+        s"scd2hd_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(4))
+      .collect()
+    assert(dropped.value === 1L, s"count ${dropped.value}")
+    // only a's tombstone close emitted; the straggler re-add dropped
+    assert(got.map(_.getString(1)).toSeq === Seq("a"))
+  }
+
+  test("tClosenessAudit: null sensitive values are a real category — " +
+       "the grid join is null-safe on both sides") {
+    // global mix: 2x a, 2x null. g1 mirrors it exactly (t = 0);
+    // g2 = 2x null only (t = 1/2(|0-1/2| + |1-1/2|) = 0.5)
+    val df = Seq(("g1", Some("a")), ("g1", Some("a")),
+        ("g1", None: Option[String]), ("g1", None: Option[String]),
+        ("g2", None: Option[String]), ("g2", None: Option[String]),
+        ("g2", None: Option[String]), ("g2", None: Option[String]))
+      .toDF("qi", "s")
+    val r = graft.ops.CleanOps
+      .tClosenessAudit(df, Seq("qi"), "s", threshold = 0.25)
+      .orderBy("qi").collect()
+    val ti = r(0).fieldIndex("t")
+    assert(r(0).getDouble(ti) === 0.25,
+      "g1: |2/4-2/8| + |2/4-6/8| over 2 = 0.25")
+    assert(r(1).getDouble(ti) === 0.25,
+      "g2: all-null group vs 6/8 null global")
+  }
+
   // ---------------------------------------------------------------- //
   // FitArtifacts (round-12 verdict task 3)
   // ---------------------------------------------------------------- //
