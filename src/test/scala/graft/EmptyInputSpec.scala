@@ -181,4 +181,58 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(spark.read.format("graft-avro").schema(emptyKV.schema)
       .load(path).count() === 0)
   }
+
+  test("round-12 ops survive empty and singleton inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val oneEdge = Seq((1L, 2L)).toDF("src", "dst")
+    // LPA: empty graph -> empty assignment; a single edge is the
+    // minimal bipartite 2-cycle (each node's ONLY neighbor holds the
+    // other label) — the documented synchronous oscillation: odd
+    // iteration counts swap, even ones restore the init labels
+    assert(GraphOps.labelPropagation(noEdges, 2).count() === 0)
+    val lpOdd = GraphOps.labelPropagation(oneEdge, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lpOdd === Map(1L -> 2L, 2L -> 1L))
+    val lpEven = GraphOps.labelPropagation(oneEdge, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lpEven === Map(1L -> 1L, 2L -> 2L))
+    // modularity: empty graph -> empty report (no m to divide by);
+    // one edge, one community -> Q = 1/1 - 1 = 0
+    assert(GraphOps.modularity(noEdges,
+      noEdges.select(col("src").as("id"), col("src").as("lab")))
+      .count() === 0)
+    val q1 = GraphOps.modularity(oneEdge,
+      oneEdge.select(col("src").as("id"), lit(0L).as("lab")).unionAll(
+        oneEdge.select(col("dst").as("id"), lit(0L).as("lab"))))
+      .head()
+    assert(q1.getDouble(q1.fieldIndex("q_modularity")) === 0.0)
+    // t-closeness: empty -> empty; single row -> t = 0 (mirrors)
+    val emptyQS = Seq.empty[(String, String)].toDF("qi", "s")
+    assert(CleanOps.tClosenessAudit(emptyQS, Seq("qi"), "s", 0.1)
+      .count() === 0)
+    val t1 = CleanOps.tClosenessAudit(
+      Seq(("g", "a")).toDF("qi", "s"), Seq("qi"), "s", 0.1).head()
+    assert(t1.getDouble(t1.fieldIndex("t")) === 0.0)
+    // scd2 tombstone build: empty -> empty; lone tombstone -> empty
+    val emptyChg = Seq.empty[(Long, String,
+      java.sql.Timestamp, Long, Boolean)]
+      .toDF("k", "attr", "ts", "tie", "deleted")
+    assert(RelOps.scd2BuildWithDeletes(emptyChg, "k", Seq("attr"),
+      "ts", "tie", "deleted").count() === 0)
+    val loneTomb = Seq((1L, "x",
+        new java.sql.Timestamp(1000L), 1L, true))
+      .toDF("k", "attr", "ts", "tie", "deleted")
+    assert(RelOps.scd2BuildWithDeletes(loneTomb, "k", Seq("attr"),
+      "ts", "tie", "deleted").count() === 0)
+    // tombstone apply with an empty delta: history passes through
+    val hist = RelOps.scd2BuildWithDeletes(loneTomb
+        .withColumn("deleted", lit(false)), "k", Seq("attr"),
+      "ts", "tie", "deleted")
+    assert(RelOps.scd2ApplyWithDeletes(hist, emptyChg, "k",
+        Seq("attr"), "ts", "tie", "deleted")
+      .collect().toSeq === hist.collect().toSeq)
+    // capReport: empty -> empty report; recommendCap falls to floor
+    assert(graft.ops.AggOps.capReport(
+      Seq.empty[String].toDF("b"), "b").count() === 0)
+  }
 }
