@@ -89,6 +89,15 @@ object BenchMl {
     path
   }
 
+  /** Locale-pinned decimal formatting for the JSON line: the `f`
+    * interpolator is default-locale-sensitive — under a
+    * comma-decimal locale it would emit `"sec":1,234`, invalid JSON
+    * (round-13 ADVICE). */
+  private def d3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def d5(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.5f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_ML_ROWS", "1050000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -122,15 +131,21 @@ object BenchMl {
     val ceilings = flows.select(featureCols.map(c =>
       max(CleanOps.replaceInf(nanNulled(c), lit(-100.0))).as(c)): _*)
       .head()
+    val probeSec = (System.nanoTime() - t0) / 1e9
     val definite = flows.select(
       col("row_id") +: featureCols.zipWithIndex.map { case (c, i) =>
         (if (ceilings.isNullAt(i)) nanNulled(c)
          else CleanOps.replaceInf(nanNulled(c),
            lit(ceilings.getDouble(i)))).as(c)
       } :+ col("label"): _*)
+    val tMed = System.nanoTime()
+    // medianFillApprox runs one approx-quantile pass over the 78
+    // columns (its own job), then the screened+imputed projection is
+    // staged to parquet — the write materializes the whole clean plan
     val cleanedPath = s"target/ml_cleaned_$rows"
     CleanOps.medianFillApprox(definite, featureCols)
       .write.mode("overwrite").parquet(cleanedPath)
+    val stageSec = (System.nanoTime() - tMed) / 1e9
     val cleaned = spark.read.parquet(cleanedPath)
     val (train, valid) = SplitOps.antiJoinSplit(
       cleaned, "row_id", "label", 0.2, 42L)
@@ -166,8 +181,20 @@ object BenchMl {
     val nValid = validP.count()
     val prepSec = (System.nanoTime() - t1) / 1e9
 
+    // index → original label name, for the per-label metric keys
+    // (frequencyDesc order, so index 0 is the majority class — the
+    // reference's "label 0")
+    val labelNames = prep.stages(2)
+      .asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel]
+      .labelsArray(0)
+
     // ---- per-algo classifier fit + score + accuracy (the published
-    // cells' region; reference MLP hidden layers = [4, 2]) ----
+    // cells' region; reference MLP hidden layers = [4, 2]).
+    // Per-label precision/recall (the last reference-published
+    // numbers with no engine-side measurement, BASELINE.md label-0
+    // rows) come from ONE O(C²) confusion aggregate per algo —
+    // outside the timed region, like the notebook's evaluator
+    // cells. ----
     val results = algos.map { name =>
       val clf = ids.classifier(algoOf(name), trainP, "encoded_label",
         78, Seq(4, 2))
@@ -179,19 +206,44 @@ object BenchMl {
             .otherwise(0.0)))
         .head().getDouble(0)
       val sec = (System.nanoTime() - t) / 1e9
+      val conf = scored.groupBy("encoded_label", "prediction").count()
+        .collect()
+        .map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2)))
+        .toMap
+      val perLabel = labelNames.indices.map { l =>
+        val li = l.toDouble
+        val tp = conf.getOrElse((li, li), 0L)
+        val predL = conf.collect { case ((_, p), c) if p == li => c }.sum
+        val trueL = conf.collect { case ((tr, _), c) if tr == li => c }.sum
+        val prec = if (predL == 0) 0.0 else tp.toDouble / predL
+        val rec = if (trueL == 0) 0.0 else tp.toDouble / trueL
+        (l, labelNames(l), prec, rec)
+      }
       System.err.println(f"[bench-ml] $name%-3s ${sec}%8.2f s  " +
         f"acc=$acc%.5f  (colab baseline ${baselineColabSec(name)}%.0f s)")
-      (name, sec, acc)
+      perLabel.foreach { case (l, n2, p, r) =>
+        System.err.println(
+          s"[bench-ml]   label $l ($n2): precision=${d5(p)} recall=${d5(r)}")
+      }
+      (name, sec, acc, perLabel)
     }
-    val algoJson = results.map { case (n, s, a) =>
-      s""""$n":{"sec":${f"$s%.3f"},"accuracy":${f"$a%.5f"},""" +
+    val algoJson = results.map { case (n, s, a, pl) =>
+      val labelsJson = pl.map { case (l, n2, p, r) =>
+        s""""$l":{"label":"$n2","precision":${d5(p)},""" +
+          s""""recall":${d5(r)}}"""
+      }.mkString(",")
+      s""""$n":{"sec":${d3(s)},"accuracy":${d5(a)},""" +
         s""""baseline_colab_sec":${baselineColabSec(n)},""" +
-        s""""ratio_vs_colab":${f"${s / baselineColabSec(n)}%.4f"}}"""
+        s""""ratio_vs_colab":${String.format(java.util.Locale.ROOT,
+          "%.4f", Double.box(s / baselineColabSec(n)))},""" +
+        s""""by_label":{$labelsJson}}"""
     }.mkString(",")
     val json = s"""{"metric":"ml_train_score","rows":$rows,""" +
       s""""n_features":78,"n_train":$nTrain,"n_valid":$nValid,""" +
-      s""""cpus":$cpus,"clean_sec":${f"$cleanSec%.3f"},""" +
-      s""""prep_sec":${f"$prepSec%.3f"},"algos":{$algoJson}}"""
+      s""""cpus":$cpus,"clean_sec":${d3(cleanSec)},""" +
+      s""""clean_probe_sec":${d3(probeSec)},""" +
+      s""""clean_stage_sec":${d3(stageSec)},""" +
+      s""""prep_sec":${d3(prepSec)},"algos":{$algoJson}}"""
     println(json)
     sys.env.get("SPARK_GRAFT_ML_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

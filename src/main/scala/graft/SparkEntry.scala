@@ -38,23 +38,69 @@ object SparkEntry {
     * results: each query still runs its full assignment/prune/rank
     * plan every time. O(k·d) longs retained per entry.
     *
-    * The key carries a cheap DATA FINGERPRINT (the embeddings row
-    * count — a column-less parquet count, paid once per lookup) so an
-    * in-process fixture swap under the same dir re-fits instead of
-    * silently replaying stale centroids (round-12 ADVICE). BENCH
+    * The key carries a cheap DATA FINGERPRINT — the embeddings row
+    * count PLUS a content signal (`bit_xor` of `hash(vec_id,
+    * embedding[0])` — one column-pruned, partial-aggregable hash
+    * aggregate per lookup) — so an in-process fixture swap under the
+    * same dir re-fits instead of silently replaying stale centroids,
+    * INCLUDING a cardinality-preserving swap (regenerated vectors,
+    * same row count — the round-13 ADVICE gap in the count-only
+    * fingerprint). BENCH
     * NOTE: after first warm the fit cost vanishes from
     * q48/q249/q250/q274 timings — their gate medians are the
     * fit-AMORTIZED steady state (documented in BASELINE.md), which is
     * also the production shape (fit once, serve many; the persisted
     * twin is [[graft.ops.FitArtifacts]]/q276). */
   private val kmFitCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Int, Int), Array[Array[Long]]]()
+    (String, Long, Long, Int, Int), Array[Array[Long]]]()
+  /** (row count, content xor) fingerprint of the embeddings table —
+    * shared by the in-JVM memo key and the persisted artifact's
+    * provenance sidecar (q276). */
+  private def embFingerprint(s: SparkSession, dir: String): (Long, Long) = {
+    val r = t(s, dir, "embeddings").agg(
+      count(lit(1)),
+      coalesce(bit_xor(hash(col("vec_id"),
+        element_at(col("embedding"), 1)).cast("long")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
   private def microCents(s: SparkSession, dir: String, k: Int,
                          iters: Int): Array[Array[Long]] = {
-    val fp = t(s, dir, "embeddings").count()
-    kmFitCache.computeIfAbsent((dir, fp, k, iters),
+    val (n, x) = embFingerprint(s, dir)
+    kmFitCache.computeIfAbsent(
+      (dir, n, x, k, iters),
       _ => SimilarityOps.kMeansMicro(t(s, dir, "embeddings"),
         "vec_id", "embedding", k, iters))
+  }
+
+  /** Shared 4-sweep LPA assignment over [[communityEdges]] (round-13
+    * verdict task 1 — the [[microCents]] memo pattern applied to the
+    * q280/q283 pair): [[graft.ops.GraphOps.labelPropagation]] is
+    * DETERMINISTIC (synchronous sweeps, (count DESC, label ASC)
+    * ties), so both consumers replay the identical assignment from
+    * ONE run of the sweep chain instead of each paying the ~3
+    * node-keyed shuffles × 4 sweeps. The memo holds the collected
+    * (id, lab) rows — NODE-bounded, and this graph is 100 nodes BY
+    * CONSTRUCTION (`% 100`), so the driver bridge is O(100) — the S6
+    * argument; the general `labelPropagation` op stays fully
+    * distributed, this memo is a SparkEntry registration detail like
+    * `microCents`. Key carries a (row count, bit_xor over
+    * hash(o_orderkey, o_custkey)) fingerprint of the columns the
+    * graph derives from, so a fixture swap re-runs the sweeps. */
+  private val lpaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Int), Array[(Long, Long)]]()
+  private def lpaAssignment(s: SparkSession, dir: String,
+                            iters: Int): DataFrame = {
+    val fpRow = t(s, dir, "orders").agg(
+      count(lit(1)),
+      coalesce(bit_xor(hash(col("o_orderkey"), col("o_custkey"))
+        .cast("long")), lit(0L))).head()
+    val arr = lpaCache.computeIfAbsent(
+      (dir, fpRow.getLong(0), fpRow.getLong(1), iters),
+      _ => GraphOps.labelPropagation(communityEdges(s, dir), iters)
+        .select(col("id").cast("long"), col("lab").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+    import s.implicits._
+    s.createDataset(arr.toSeq).toDF("id", "lab")
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -3982,11 +4028,8 @@ object SparkEntry {
         struct(lit(3).as("bi"),
           shiftright(col("phash"), 24).as("bv")))).as("b"))
       .select(col("doc_id"), col("b.bi"), col("b.bv"))
-    val buckets = bands.groupBy(col("bi"), col("bv"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("_ids"))
-      .filter(size(col("_ids")) > 1)
-      .select(col("_ids")).distinct()
-    DedupOps.cappedPairsFromBuckets(buckets, "_ids", 64)
+    // round-13: buffer-bounded members form — no over-cap id array
+    DedupOps.cappedPairsFromMembers(bands, Seq("bi", "bv"), "doc_id", 64)
       .join(ph.select(col("doc_id").as("id_a"),
         col("phash").as("ha")), Seq("id_a"))
       .join(ph.select(col("doc_id").as("id_b"),
@@ -5518,11 +5561,9 @@ object SparkEntry {
     // checkpoint-released loop.
     val docs = t(s, dir, "documents")
     val fp = TextOps.winnowFingerprintTable(docs, "doc_id", "text")
-    val posts = fp.groupBy(col("fp"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("_ids"))
-      .filter(size(col("_ids")) > 1)
-      .select(col("_ids")).distinct()
-    val edges = DedupOps.cappedPairsFromBuckets(posts, "_ids", 64)
+    // round-13: buffer-bounded members form — no over-cap id array
+    val edges = DedupOps.cappedPairsFromMembers(
+      fp.select(col("fp"), col("doc_id")), Seq("fp"), "doc_id", 64)
     DedupOps.connectedComponents(docs.select(col("doc_id")), edges,
         "doc_id")
       .groupBy(col("comp"))
@@ -5709,11 +5750,9 @@ object SparkEntry {
         struct(lit(3).as("bi"),
           shiftright(col("phash"), 24).as("bv")))).as("b"))
       .select(col("doc_id"), col("b.bi"), col("b.bv"))
-    val buckets = bands.groupBy(col("bi"), col("bv"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("_ids"))
-      .filter(size(col("_ids")) > 1)
-      .select(col("_ids")).distinct()
-    val dup = DedupOps.cappedPairsFromBuckets(buckets, "_ids", 64)
+    // round-13: buffer-bounded members form — no over-cap id array
+    val dup = DedupOps.cappedPairsFromMembers(bands, Seq("bi", "bv"),
+        "doc_id", 64)
       .join(ph.select(col("doc_id").as("id_a"),
         col("phash").as("ha")), Seq("id_a"))
       .join(ph.select(col("doc_id").as("id_b"),
@@ -5822,8 +5861,15 @@ object SparkEntry {
     // integer micro-unit centroids guarantee (lossless in parquet).
     val cents = microCents(s, dir, 8, 4)
     val path = s"${fitRoot(dir)}/kmeans_8_4"
-    FitArtifacts.saveCentroids(s, path, cents)
-    val loaded = FitArtifacts.loadCentroids(s, path)
+    // provenance sidecar = the memo's data fingerprint made durable
+    // (round-13 verdict task 4): a stale artifact from a regenerated
+    // fixture fails loudly on load instead of silently replaying old
+    // centroids
+    val (n, x) = embFingerprint(s, dir)
+    val prov = Map("source_rows" -> n.toString,
+      "content_xor" -> x.toString, "k" -> "8", "iters" -> "4")
+    FitArtifacts.saveCentroids(s, path, cents, prov)
+    val loaded = FitArtifacts.loadCentroids(s, path, expect = prov)
     val emb = t(s, dir, "embeddings")
     SimilarityOps.ivfTopKMicro(
         emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3,
@@ -5855,12 +5901,16 @@ object SparkEntry {
     val cents = t(s, dir, "lineitem").select(col("l_orderkey"),
       round(col("l_extendedprice") * 100, 0).cast("long").as("_c"))
     val path = s"${fitRoot(dir)}/cuts_lineitem_d10"
+    // provenance = training-half row count + params (round-13 task 4)
+    val trainRows = cents.filter(col("l_orderkey") % 2 === 0).count()
+    val prov = Map("source_rows" -> trainRows.toString, "bins" -> "10")
     FitArtifacts.saveTable(
       AggOps.equiDepthBins(
         cents.filter(col("l_orderkey") % 2 === 0).select(col("_c")),
         "_c", 10).orderBy(col("bin")),
-      path)
-    val his = FitArtifacts.loadTable(s, path).orderBy(col("bin"))
+      path, prov)
+    val his = FitArtifacts.loadTable(s, path, expect = prov)
+      .orderBy(col("bin"))
       .collect().map(r => r.getLong(r.fieldIndex("hi")))
     require(his.nonEmpty, "empty cut dictionary artifact")
     val binExpr = his.init.foldLeft(lit(0)) { (acc, h) =>
@@ -5883,9 +5933,14 @@ object SparkEntry {
     // carried by the round column).
     val words = bpeVocab(s, dir)
     val path = s"${fitRoot(dir)}/bpe_merges_k6"
+    // provenance = source corpus row count (metadata-only) + params
+    // (round-13 task 4) — the vocab itself would cost a re-tokenize
+    val prov = Map(
+      "source_rows" -> t(s, dir, "documents").count().toString,
+      "k" -> "6")
     FitArtifacts.saveMerges(
-      TextOps.bpeMerges(words, "w", "f", k = 6), path)
-    val loaded = FitArtifacts.loadMerges(s, path)
+      TextOps.bpeMerges(words, "w", "f", k = 6), path, prov)
+    val loaded = FitArtifacts.loadMerges(s, path, expect = prov)
     TextOps.bpeEncode(words.select(col("w")), "w", loaded)
       .orderBy(col("w"))
   }
@@ -5901,7 +5956,9 @@ object SparkEntry {
     // report ONE component; 4 synchronous sweeps with the
     // (count DESC, label ASC) total tie order recover the blocks.
     // Oracle replays the rounds as unrolled CTEs (lpaSqlChain).
-    GraphOps.labelPropagation(communityEdges(s, dir), iterations = 4)
+    // The 4-sweep assignment is the SHARED lpaAssignment memo —
+    // q283 scores the identical table (round-13 verdict task 1).
+    lpaAssignment(s, dir, iters = 4)
       .groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("n_members"),
         min(col("id")).as("min_member"))
@@ -5958,9 +6015,10 @@ object SparkEntry {
     // numerators (4·m·e_c − d_c²) with one final divide. The block
     // structure should score high (dense intra, sparse inter) — and
     // the oracle proves the exact value, not "looks clustered".
+    // The assignment is the SHARED lpaAssignment memo (round-13
+    // verdict task 1) — q283 no longer re-runs q280's sweep chain.
     val edges = communityEdges(s, dir)
-    GraphOps.modularity(edges,
-      GraphOps.labelPropagation(edges, iterations = 4))
+    GraphOps.modularity(edges, lpaAssignment(s, dir, iters = 4))
   }
 
   private def q285(s: SparkSession, dir: String): DataFrame = {
@@ -6012,6 +6070,124 @@ object SparkEntry {
       .orderBy(col("user_id"), col("version"))
   }
 
+  private def q287(s: SparkSession, dir: String): DataFrame = {
+    // MULTI-ATTRIBUTE STREAMING SCD2 (StreamOps.scd2StreamMulti —
+    // round-13 verdict task 3: q275's two hardcoded (String, Long)
+    // attrs generalized to a row-encoded attr vector of arbitrary
+    // atomic types): THREE tracked columns with a type mix —
+    // event_type (string), band (long), hi_flag (boolean, value ≥ 50)
+    // — over the same staged 3-batch event-time-ordered replay. A
+    // version opens when ANY of the three changes (per-field
+    // null-safe compare ≡ the batch build's whole-struct <=>); the
+    // stream emits CLOSED versions only, so the oracle is the
+    // three-attr batch chain minus its is_current rows (the q275
+    // convention).
+    val staged = stageTypedBatches(s, dir)
+    val stream = StreamOps.fileStream(s,
+        s.read.parquet(staged).schema, staged,
+        maxFilesPerTrigger = Some(1))
+      .withColumn("band",
+        expr("cast(round(value * 100) as bigint) div 2000"))
+      .withColumn("hi_flag", col("value") >= 50)
+    val versions = StreamOps.scd2StreamMulti(stream, "user_id",
+      Seq("event_type", "band", "hi_flag"), "ts", "event_id")
+    StreamOps.runToCompletion(versions,
+        s"q287_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(8))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private def q288(s: SparkSession, dir: String): DataFrame = {
+    // ADAPTIVE LSH CAP (round-13 verdict task 5 — the q284 loop
+    // applied to the TEXT LSH path): q32's band-bucket pair join with
+    // maxBucket DATA-DERIVED (recommendCap floor=8, p99 over the
+    // (band, band_hash) bucket-size distribution) instead of the
+    // static 64. The oracle computes the SAME cap in a CTE chain
+    // (capd/capl/capc) and parameterizes the windowed two-branch cand
+    // with the scalar — the whole adaptive loop is hash-checked. Cost
+    // over q32: the capReport pair of hash aggregates + a 1-row
+    // collect; the band table is checkpointed once for both consumers.
+    val bandsDf = DedupOps.lshBandsFromArray(
+        DedupOps.minhashSignatureArr(t(s, dir, "documents"),
+          "doc_id", "text", LshK),
+        "doc_id", "sig", LshK, LshBands)
+      .localCheckpoint() // consumers: cap derivation + pair expansion
+    val cap = AggOps.recommendCap(
+      bandsDf.select(concat_ws("|", col("band"), col("band_hash"))
+        .as("bucket")),
+      "bucket", floor = 8, pPct = 99)
+    DedupOps.cappedPairsFromMembers(bandsDf, Seq("band", "band_hash"),
+        "doc_id", cap)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def q289(s: SparkSession, dir: String): DataFrame = {
+    // ADAPTIVE SEMANTIC-DEDUP CAP (task 5 — the q284 loop applied to
+    // semanticPrune's maxCluster knob): q189's SemDeDup prune with
+    // the mega-cluster downgrade threshold DATA-DERIVED from the
+    // sign-bucket size distribution (recommendCap floor=8, p99)
+    // instead of the static 256. The assignment projection is pure
+    // (embedded hyperplanes), so deriving the cap costs two hash
+    // aggregates over a recomputed bucket column — no extra shuffle
+    // of the embeddings themselves.
+    val emb = t(s, dir, "embeddings")
+    val hp = SimilarityOps.hyperplanes(6, 64, 42L)
+    val assigned = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("_v"))
+      .select(col("vec_id"),
+        SimilarityOps.lshBucket(col("_v"), hp).as("bucket"))
+    val cap = AggOps.recommendCap(assigned, "bucket",
+      floor = 8, pPct = 99)
+    SimilarityOps.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.2, planes = 6, seed = 42L, maxCluster = cap)
+      .orderBy(col("vec_id"))
+  }
+
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    // ADAPTIVE STREAMING INDEX CAP (task 5 — q185's stream-static
+    // near-dup with the corpus-index mega-bucket cap DATA-DERIVED):
+    // the index build collapses over-cap buckets to their min-id
+    // representative, with the cap = recommendCap(floor=8, p99) over
+    // the index's own (band, band_hash) size distribution instead of
+    // the static 64 — the knob a continuously-reindexed 100 TB corpus
+    // cannot hand-tune. Stream side unchanged (stateless sig expr +
+    // the capped stream-static join); fully-staged source ⇒ the
+    // oracle is the batch twin with the same derived-cap CTE.
+    val k = 32; val bands = 8
+    val allBands = DedupOps.lshBandsFromArray(
+        DedupOps.minhashSignatureArr(
+          t(s, dir, "documents").filter(col("doc_id") < 250),
+          "doc_id", "text", k = k),
+        "doc_id", "sig", k = k, bands = bands)
+      .localCheckpoint() // consumers: cap derivation + index build
+    val cap = AggOps.recommendCap(
+      allBands.select(concat_ws("|", col("band"), col("band_hash"))
+        .as("bucket")),
+      "bucket", floor = 8, pPct = 99)
+    val bw = Window.partitionBy(col("band"), col("band_hash"))
+    val corpus = allBands
+      .withColumn("_m", count(lit(1)).over(bw))
+      .withColumn("_mn", min(col("doc_id")).over(bw))
+      .filter(col("_m") <= cap || col("doc_id") === col("_mn"))
+      .select(col("doc_id").as("corpus_id"), col("band"),
+        col("band_hash"))
+      .localCheckpoint()
+    val schema = Tables.rawSchema(s, dir, "documents")
+    val staged = stageStreamDir(dir, "documents")
+    val newDocs = StreamOps.fileStream(s, schema, staged)
+      .filter(col("doc_id") >= 250)
+      .withColumn("sig", DedupOps.minhashSigExpr(col("text"), k))
+    val hits = DedupOps.lshBandsFromArray(newDocs, "doc_id", "sig",
+        k = k, bands = bands)
+      .select(col("doc_id").as("new_id"), col("band"), col("band_hash"))
+      .join(corpus, Seq("band", "band_hash"))
+      .select(col("new_id"), col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    StreamOps.runToCompletion(hits, s"q290_${System.nanoTime()}",
+        outputMode = "append", statePartitions = Some(8))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   private def q284(s: SparkSession, dir: String): DataFrame = {
     // SELF-TUNING NEAR-DUP PASS (q277's adaptive cap WIRED INTO a
     // real pair join — the full loop: observe the bucket-size
@@ -6039,11 +6215,9 @@ object SparkEntry {
     val cap = AggOps.recommendCap(
       bands.select(concat_ws("|", col("bi"), col("bv")).as("bucket")),
       "bucket", floor = 8, pPct = 99)
-    val buckets = bands.groupBy(col("bi"), col("bv"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("_ids"))
-      .filter(size(col("_ids")) > 1)
-      .select(col("_ids")).distinct()
-    DedupOps.cappedPairsFromBuckets(buckets, "_ids", cap)
+    // round-13: buffer-bounded members form — no over-cap id array
+    DedupOps.cappedPairsFromMembers(bands, Seq("bi", "bv"), "doc_id",
+        cap)
       .join(ph.select(col("doc_id").as("id_a"),
         col("phash").as("ha")), Seq("id_a"))
       .join(ph.select(col("doc_id").as("id_b"),
@@ -6938,6 +7112,10 @@ object SparkEntry {
     "q284_adaptive_dedup" -> q284 _,
     "q285_stream_scd2_deletes" -> q285 _,
     "q286_scd2_apply_deletes" -> q286 _,
+    "q287_stream_scd2_multiattr" -> q287 _,
+    "q288_adaptive_lsh" -> q288 _,
+    "q289_adaptive_semdedup" -> q289 _,
+    "q290_stream_adaptive" -> q290 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -6960,7 +7138,29 @@ object SparkEntry {
     * (bucket-min, member) representative pairs instead of its C(m,2)
     * enumeration. Tokenization matches TextOps.tokens (split on
     * whitespace, empties dropped). */
-  private def lshCandSqlPrefix(k: Int, bands: Int, maxBucket: Int): String = {
+  private def lshCandSqlPrefix(k: Int, bands: Int, maxBucket: Int): String =
+    lshCandSqlBody(k, bands, "", maxBucket.toString)
+
+  /** [[lshCandSqlPrefix]] with the cap DERIVED in capd/capl/capc CTEs
+    * (the q284 pattern — [[graft.ops.AggOps.recommendCap]]'s exact
+    * integer rank rule over the (band, bh) bucket-size distribution)
+    * instead of a literal — the q288 adaptive-loop oracle. */
+  private def lshCandSqlPrefixAdaptive(k: Int, bands: Int, floor: Int,
+                                       pPct: Int): String =
+    lshCandSqlBody(k, bands,
+      s"""capd AS (SELECT band, bh, count(*)::BIGINT AS sz FROM bands
+         |    GROUP BY 1, 2),
+         |  capl AS (SELECT sz, count(*)::BIGINT AS m FROM capd
+         |    GROUP BY 1),
+         |  capc AS (SELECT greatest($floor, sz)::BIGINT AS cap FROM (
+         |      SELECT sz, sum(m) OVER (ORDER BY sz) AS cum,
+         |        (SELECT count(*) FROM capd) AS nb FROM capl)
+         |    WHERE cum * 100 >= nb * $pPct ORDER BY sz LIMIT 1),
+         |  """.stripMargin,
+      "(SELECT cap FROM capc)")
+
+  private def lshCandSqlBody(k: Int, bands: Int, capCtes: String,
+                             capExpr: String): String = {
     val coeffs = DedupOps.minhashCoeffs(k)
     val r = k / bands
     val p = DedupOps.MinhashPrime
@@ -6981,7 +7181,7 @@ object SparkEntry {
        |    $sigCols
        |  FROM xs GROUP BY doc_id),
        |  bands AS ($bandSelects),
-       |  bkt AS (SELECT band, bh, doc_id,
+       |  ${capCtes}bkt AS (SELECT band, bh, doc_id,
        |    count(*) OVER (PARTITION BY band, bh) AS m,
        |    min(doc_id) OVER (PARTITION BY band, bh) AS mn
        |  FROM bands),
@@ -6989,10 +7189,10 @@ object SparkEntry {
        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |      FROM bkt a JOIN bkt b
        |        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-       |      WHERE a.m <= $maxBucket
+       |      WHERE a.m <= $capExpr
        |    UNION
        |    SELECT mn AS id_a, doc_id AS id_b
-       |      FROM bkt WHERE m > $maxBucket AND doc_id > mn)""".stripMargin
+       |      FROM bkt WHERE m > $capExpr AND doc_id > mn)""".stripMargin
   }
 
   /** Generated CTE prefix reproducing [[DedupOps.simhashMd5]] in DuckDB:
@@ -7029,6 +7229,12 @@ object SparkEntry {
     * cap value, branch rule, and representative choice cannot drift
     * between copies (the signBucketSql convention). */
   private def semanticPruneSql(maxCluster: Int): String =
+    semanticPruneSqlExpr(maxCluster.toString)
+
+  /** [[semanticPruneSql]] with the maxCluster knob as an arbitrary
+    * SQL expression — `(SELECT cap FROM capc)` for the q289 adaptive
+    * variant, a literal for the static q189/q250/q253 oracles. */
+  private def semanticPruneSqlExpr(maxCluster: String): String =
     s"""bm AS (SELECT vec_id, v, cl,
        |      count(*) OVER (PARTITION BY cl) AS m,
        |      min(vec_id) OVER (PARTITION BY cl) AS rep
@@ -11830,6 +12036,114 @@ object SparkEntry {
         |  version
         |FROM v WHERE valid_to_us IS NOT NULL
         |ORDER BY user_id, version""".stripMargin,
+    "q287_stream_scd2_multiattr" ->
+      // the q275 convention over THREE tracked attrs (string, long,
+      // boolean): composite change screen = OR of per-field IS
+      // DISTINCT FROM (== the row-encoded stream's per-field
+      // null-safe compare), closed versions only
+      """WITH c AS (SELECT user_id, event_type,
+        |    round(value * 100)::BIGINT // 2000 AS band,
+        |    value >= 50 AS hi_flag, ts, event_id
+        |  FROM events),
+        |  o AS (SELECT user_id, event_type, band, hi_flag, ts,
+        |    event_id, row_number() OVER w AS rn,
+        |    lag(event_type) OVER w AS pt,
+        |    lag(band) OVER w AS pb,
+        |    lag(hi_flag) OVER w AS pf
+        |  FROM c WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |  chg AS (SELECT user_id, event_type, band, hi_flag, ts,
+        |      event_id
+        |    FROM o WHERE rn = 1 OR pt IS DISTINCT FROM event_type
+        |      OR pb IS DISTINCT FROM band
+        |      OR pf IS DISTINCT FROM hi_flag),
+        |  v AS (SELECT user_id, event_type, band, hi_flag,
+        |      epoch_us(ts)::BIGINT AS valid_from_us,
+        |      epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id))::BIGINT AS valid_to_us,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id)::BIGINT AS version
+        |    FROM chg)
+        |SELECT user_id, event_type, band, hi_flag, valid_from_us,
+        |  valid_to_us, version
+        |FROM v WHERE valid_to_us IS NOT NULL
+        |ORDER BY user_id, version""".stripMargin,
+    "q288_adaptive_lsh" ->
+      // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
+      // (recommendCap's floor=8 / p99 integer rank rule) and the
+      // two-branch cand parameterized by the scalar — the whole
+      // adaptive loop, derived cap included, replays in SQL
+      s"""WITH ${lshCandSqlPrefixAdaptive(LshK, LshBands, 8, 99)}
+        |SELECT id_a, id_b FROM cand
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q289_adaptive_semdedup" -> {
+      // q189's prune with maxCluster derived from the sign-bucket
+      // size distribution in a CTE (the same capd/capl/capc chain
+      // over the cluster column) — semanticPruneSqlExpr parameterized
+      // by the scalar subselect
+      val bucket = signBucketSql(6, 64, 42L)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |  b AS (SELECT vec_id, v, ($bucket)::BIGINT AS cl FROM e),
+        |  capd AS (SELECT cl, count(*)::BIGINT AS sz FROM b
+        |    GROUP BY 1),
+        |  capl AS (SELECT sz, count(*)::BIGINT AS m FROM capd
+        |    GROUP BY 1),
+        |  capc AS (SELECT greatest(8, sz)::BIGINT AS cap FROM (
+        |      SELECT sz, sum(m) OVER (ORDER BY sz) AS cum,
+        |        (SELECT count(*) FROM capd) AS nb FROM capl)
+        |    WHERE cum * 100 >= nb * 99 ORDER BY sz LIMIT 1),
+        |  ${semanticPruneSqlExpr("(SELECT cap FROM capc)")}
+        |SELECT b.vec_id, b.cl AS cluster,
+        |  (p.ms IS NULL OR p.ms < 0.2) AS kept,
+        |  round(p.ms, 6) AS max_prior_sim
+        |FROM b LEFT JOIN p ON b.vec_id = p.id
+        |ORDER BY b.vec_id""".stripMargin
+    },
+    "q290_stream_adaptive" -> {
+      // q185's batch twin with the corpus-index cap derived in the
+      // capd/capl/capc chain over the index's own bucket sizes
+      val k = 32; val bands = 8; val r = k / bands
+      val coeffs = DedupOps.minhashCoeffs(k)
+      val p = DedupOps.MinhashPrime
+      val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * x + $b) % $p) AS h$i"
+      }.mkString(",\n    ")
+      val bandSelects = (0 until bands).map { bi =>
+        val members = (bi * r until (bi + 1) * r).map(i => s"h$i")
+          .mkString(", ")
+        s"SELECT doc_id, $bi AS band, md5(concat_ws(':', $members)) " +
+          "AS bh FROM sig"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(list_filter(list_distinct(string_split_regex(text, '\\s+')),
+         |      t -> len(t) > 0)) AS tok
+         |  FROM documents),
+         |  xs AS (SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x FROM toks),
+         |  sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM xs GROUP BY doc_id),
+         |  bands AS ($bandSelects),
+         |  capd AS (SELECT band, bh, count(*)::BIGINT AS sz
+         |    FROM bands WHERE doc_id < 250 GROUP BY 1, 2),
+         |  capl AS (SELECT sz, count(*)::BIGINT AS m FROM capd
+         |    GROUP BY 1),
+         |  capc AS (SELECT greatest(8, sz)::BIGINT AS cap FROM (
+         |      SELECT sz, sum(m) OVER (ORDER BY sz) AS cum,
+         |        (SELECT count(*) FROM capd) AS nb FROM capl)
+         |    WHERE cum * 100 >= nb * 99 ORDER BY sz LIMIT 1),
+         |  corpusb AS (SELECT doc_id, band, bh,
+         |      count(*) OVER (PARTITION BY band, bh) AS m,
+         |      min(doc_id) OVER (PARTITION BY band, bh) AS mn
+         |    FROM bands WHERE doc_id < 250),
+         |  idx AS (SELECT doc_id, band, bh FROM corpusb
+         |    WHERE m <= (SELECT cap FROM capc) OR doc_id = mn)
+         |SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |FROM bands n JOIN idx c ON n.band = c.band AND n.bh = c.bh
+         |WHERE n.doc_id >= 250
+         |ORDER BY new_id, corpus_id""".stripMargin
+    },
     "q274_ann_recall" ->
       // q48's IVF chain and q35's brute-force chain replayed side by
       // side, then topKOverlap's semi-join + ppm arithmetic — the

@@ -231,19 +231,16 @@ object DedupOps {
     val bandsDf = lshBandsFromArray(
       minhashSignatureArr(df, idCol, textCol, k, ngram = ngram),
       idCol, "sig", k, bands)
-    // Materialize each bucket's membership once (same shuffle a
-    // self-join would pay), then dedupe identical member SETS before
-    // pair expansion: near-identical docs collide in every band, so a
-    // cluster of m docs would otherwise emit its C(m,2) pairs `bands`
-    // times over — on the fixture's 1737-doc cluster that is 16 × 1.5M
-    // rows into the final distinct instead of 1.5M. (Identical sets have
-    // identical sizes, so the maxBucket branch below is per-SET
-    // consistent — same decision the oracle's per-bucket guard takes.)
-    val buckets = bandsDf.groupBy(col("band"), col("band_hash"))
-      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
-      .filter(size(col("_ids")) > 1)
-      .select(col("_ids")).distinct()
-    cappedPairsFromBuckets(buckets, "_ids", maxBucket)
+    // Buffer-bounded capped expansion straight off the band rows
+    // (round-13): the branch decision comes from an O(1)-buffer
+    // count, member arrays are only built for at-or-under-cap
+    // buckets, identical member SETS are deduped before pair
+    // expansion (near-identical docs collide in every band, so a
+    // cluster of m docs would otherwise emit its C(m,2) pairs
+    // `bands` times over — on the fixture's 1737-doc cluster that is
+    // 16 × 1.5M rows into the final distinct instead of 1.5M).
+    cappedPairsFromMembers(bandsDf, Seq("band", "band_hash"), idCol,
+      maxBucket)
   }
 
   /** Capped pair expansion over pre-grouped member-id lists — the
@@ -260,9 +257,15 @@ object DedupOps {
     * Output: distinct (id_a, id_b) with id_a < id_b.
     *
     * The per-group id array lives in ONE aggregation buffer — O(m)
-    * memory on the task that owns the group (the accepted
-    * lshCandidatePairs shape); the cap guards the C(m,2) EMISSION,
-    * which is what blows up first by a factor of m. */
+    * memory on the task that owns the group; the cap guards the
+    * C(m,2) EMISSION, which is what blows up first by a factor of m.
+    * PREFER [[cappedPairsFromMembers]] when the ungrouped
+    * (bucket, member) rows are still at hand: it takes the branch
+    * decision from an O(1)-buffer count aggregate and only ever
+    * builds arrays for at-or-under-cap groups, so no task holds an
+    * over-cap id buffer (round-13 verdict task 2 — a degenerate
+    * 10⁹-member bucket would cost ~8 GB in one buffer here). This
+    * pre-grouped form remains for callers that already hold arrays. */
   def cappedPairsFromBuckets(buckets: DataFrame, idsCol: String,
                              maxBucket: Int): DataFrame = {
     val ids = col(idsCol)
@@ -277,6 +280,58 @@ object DedupOps {
     val large = buckets.filter(size(ids) > maxBucket)
       .select(ids.getItem(0).as("id_a"),
         explode(slice(ids, lit(2), size(ids) - 1)).as("id_b"))
+    small.unionByName(large).distinct()
+  }
+
+  /** BUFFER-BOUNDED capped pair expansion over UNGROUPED
+    * (bucket, member) rows — the scale-safe sibling of
+    * [[cappedPairsFromBuckets]] (round-13 verdict task 2). The array
+    * form takes its branch decision from `size(collect_list(...))`,
+    * so one task materializes the FULL member array of a degenerate
+    * bucket before the cap can downgrade it (8 B × m — a 10⁹-member
+    * band value is ~8 GB in one aggregation buffer). Here the
+    * decision comes first, from an O(1)-buffer summary aggregate
+    * (count + min per bucket), and the member rows join back against
+    * it ([[lshRepresentativePairs]]'s aggregate + join-back shape):
+    *
+    *  - groups with 1 < m ≤ maxBucket: grouped into sorted arrays
+    *    (buffer now PROVABLY ≤ maxBucket ids), identical member SETS
+    *    deduped across buckets (a tight cluster collides in every
+    *    band — without this its C(m,2) pairs hit the final distinct
+    *    `bands` times over), then exact all-pairs;
+    *  - groups with m > maxBucket: representative downgrade straight
+    *    off the join — (bucket-min anchor, member) rows, m−1 per
+    *    bucket, NO array ever built.
+    *
+    * Output and semantics are IDENTICAL to grouping the members into
+    * arrays and calling [[cappedPairsFromBuckets]] (Round13OpsSpec
+    * pins parity and the plan shape: every collect_list aggregate
+    * sits above the `≤ maxBucket` filter), so the per-bucket cap
+    * mirror in consumer oracles is unchanged. Input must have one
+    * row per (bucket, member). Cost vs the array form: the summary
+    * aggregate + join-back replace the single group-to-array pass —
+    * one extra co-partitioned hash aggregate, the price of bounding
+    * task memory by `maxBucket` instead of by the hottest bucket. */
+  def cappedPairsFromMembers(members: DataFrame, bucketCols: Seq[String],
+                             idCol: String, maxBucket: Int): DataFrame = {
+    val bk = bucketCols.map(col)
+    val summary = members.groupBy(bk: _*)
+      .agg(count(lit(1)).as("_m"), min(col(idCol)).as("_min"))
+      .filter(col("_m") > 1)
+    val joined = members.join(summary, bucketCols)
+    val small = joined.filter(col("_m") <= maxBucket)
+      .groupBy(bk: _*)
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .select(col("_ids")).distinct()
+      .select(explode(col("_ids")).as("id_a"), col("_ids").as("_pids"))
+      // spread the second-level expansion across tasks (the
+      // cappedPairsFromBuckets convention)
+      .repartition(col("id_a"))
+      .select(col("id_a"),
+        explode(filter(col("_pids"), x => x > col("id_a"))).as("id_b"))
+    val large = joined.filter(col("_m") > maxBucket &&
+        col(idCol) > col("_min"))
+      .select(col("_min").as("id_a"), col(idCol).as("id_b"))
     small.unionByName(large).distinct()
   }
 

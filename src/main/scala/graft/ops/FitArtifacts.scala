@@ -27,10 +27,67 @@ import org.apache.spark.sql.functions._
   */
 object FitArtifacts {
 
+  /** Provenance sidecar location: UNDER the artifact directory with a
+    * leading underscore, so every parquet data-source listing (Spark,
+    * DuckDB's `*.parquet` glob, pyarrow dataset) ignores it and the
+    * artifact stays readable as plain parquet. Written AFTER the
+    * artifact (an overwrite of the artifact wipes the whole dir, so a
+    * half-written save can never pair a fresh artifact with a stale
+    * sidecar). */
+  private def provPath(path: String): String = s"$path/_provenance"
+
+  /** Write the provenance sidecar: a tiny (key, value) string table —
+    * source row count, fit parameters, whatever identifies the data
+    * and config the artifact was fitted on (round-13 verdict task 4:
+    * the durable twin of `SparkEntry.microCents`' memo fingerprint).
+    * All values stringified by the caller so the sidecar schema never
+    * varies. */
+  def saveProvenance(spark: SparkSession, path: String,
+                     provenance: Map[String, String]): Unit = {
+    import spark.implicits._
+    require(provenance.nonEmpty,
+      "refusing to write an empty provenance sidecar")
+    provenance.toSeq.toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(provPath(path))
+  }
+
+  /** Verify an artifact's provenance sidecar against what the loader
+    * EXPECTS (recomputed cheaply from today's source — row count,
+    * params): every expected (key, value) must be present and equal,
+    * and a missing sidecar fails too — a stale artifact from a
+    * regenerated fixture must fail LOUDLY instead of silently
+    * replaying old centroids/merges/cuts. No-op when `expect` is
+    * empty (opt-in, like the contiguity check is always-on). */
+  def checkProvenance(spark: SparkSession, path: String,
+                      expect: Map[String, String]): Unit = {
+    if (expect.nonEmpty) {
+      val saved =
+        try spark.read.parquet(provPath(path)).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"artifact at $path has no provenance sidecar " +
+                "(predates provenance, or was written without one) — " +
+                "refit and re-save before loading with an expectation",
+              e)
+        }
+      expect.foreach { case (k, v) =>
+        require(saved.get(k).contains(v),
+          s"STALE ARTIFACT at $path: provenance '$k' is " +
+            s"${saved.get(k).getOrElse("<absent>")}, the loader " +
+            s"expected '$v' — the source data or fit params changed " +
+            "since the artifact was written; refit and re-save")
+      }
+    }
+  }
+
   /** Persist a [[SimilarityOps.kMeansMicro]] centroid table as
-    * `(cell int, centroid_micro array<long>)` parquet. */
+    * `(cell int, centroid_micro array<long>)` parquet, with an
+    * optional provenance sidecar ([[saveProvenance]]). */
   def saveCentroids(spark: SparkSession, path: String,
-                    cents: Array[Array[Long]]): Unit = {
+                    cents: Array[Array[Long]],
+                    provenance: Map[String, String] = Map.empty): Unit = {
     import spark.implicits._
     require(cents.nonEmpty, "refusing to persist an empty centroid table")
     cents.zipWithIndex
@@ -38,14 +95,20 @@ object FitArtifacts {
       .toDF("cell", "centroid_micro")
       .coalesce(1)
       .write.mode("overwrite").parquet(path)
+    if (provenance.nonEmpty) saveProvenance(spark, path, provenance)
   }
 
   /** Load a [[saveCentroids]] table back into the injectable
     * `Array[Array[Long]]` form ([[SimilarityOps.ivfTopKMicro]]'s
     * `cents` parameter). Cells must be contiguous 0..k−1 — a partial
     * or reordered artifact fails loudly instead of assigning rows to
-    * silently shifted cells. */
-  def loadCentroids(spark: SparkSession, path: String): Array[Array[Long]] = {
+    * silently shifted cells. Pass `expect` to also verify the
+    * provenance sidecar ([[checkProvenance]] — staleness, not just
+    * shape). */
+  def loadCentroids(spark: SparkSession, path: String,
+                    expect: Map[String, String] = Map.empty)
+      : Array[Array[Long]] = {
+    checkProvenance(spark, path, expect)
     val rows = spark.read.parquet(path).orderBy(col("cell")).collect()
     require(rows.nonEmpty, s"no centroid rows at $path")
     rows.zipWithIndex.foreach { case (r, i) =>
@@ -56,26 +119,41 @@ object FitArtifacts {
   }
 
   /** Persist a small fitted dictionary table (quantile/equi-depth cut
-    * tables, vocabularies, encoders) as single-file parquet. The
-    * caller owns the guarantee that `df` is artifact-sized (O(bins),
-    * not O(rows)) — that is what makes `coalesce(1)` safe. */
-  def saveTable(df: DataFrame, path: String): Unit =
+    * tables, vocabularies, encoders) as single-file parquet, with an
+    * optional provenance sidecar. The caller owns the guarantee that
+    * `df` is artifact-sized (O(bins), not O(rows)) — that is what
+    * makes `coalesce(1)` safe. */
+  def saveTable(df: DataFrame, path: String,
+                provenance: Map[String, String] = Map.empty): Unit = {
     df.coalesce(1).write.mode("overwrite").parquet(path)
+    if (provenance.nonEmpty)
+      saveProvenance(df.sparkSession, path, provenance)
+  }
 
-  /** Load a [[saveTable]] artifact (schema as written). */
-  def loadTable(spark: SparkSession, path: String): DataFrame =
+  /** Load a [[saveTable]] artifact (schema as written); `expect`
+    * verifies the provenance sidecar first. */
+  def loadTable(spark: SparkSession, path: String,
+                expect: Map[String, String] = Map.empty): DataFrame = {
+    checkProvenance(spark, path, expect)
     spark.read.parquet(path)
+  }
 
   /** Persist a [[TextOps.bpeMerges]] merge table (round, sym_a,
     * sym_b, pair_count) — training order is the artifact's semantics,
     * carried by the `round` column. */
-  def saveMerges(merges: DataFrame, path: String): Unit =
-    saveTable(merges.orderBy(col("round")), path)
+  def saveMerges(merges: DataFrame, path: String,
+                 provenance: Map[String, String] = Map.empty): Unit =
+    saveTable(merges.orderBy(col("round")), path, provenance)
 
   /** Load a merge table into [[TextOps.bpeEncode]]'s `merges`
-    * parameter — the (a, b) list in training order. */
-  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    * parameter — the (a, b) list in training order; `expect` verifies
+    * the provenance sidecar first. */
+  def loadMerges(spark: SparkSession, path: String,
+                 expect: Map[String, String] = Map.empty)
+      : Seq[(String, String)] = {
+    checkProvenance(spark, path, expect)
     spark.read.parquet(path).orderBy(col("round")).collect()
       .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
       .toSeq
+  }
 }

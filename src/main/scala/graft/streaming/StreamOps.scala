@@ -98,17 +98,28 @@ case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
 /** Open SCD2 version carried in the state store between micro-batches
   * ([[StreamOps.scd2Stream]]): the tracked attribute pair, the
   * version's opening instant, its rank, and the straggler horizon
-  * `seenUs` (max ACCEPTED event time — a suppressed no-op change
-  * advances it where `fromUs` cannot, so a cross-batch row slipping
-  * in behind a no-op is dropped+counted instead of silently
-  * diverging from the batch build). One fixed-size record per ACTIVE
-  * key — dimension-maintenance state is bounded by key cardinality,
-  * never by event volume. `b` is boxed (`java.lang.Long`) so a NULL
-  * tracked attribute versions like the batch build's null-safe
-  * compare instead of crashing the primitive tuple decoder (round-12
-  * ADVICE — batch/stream null parity). */
+  * `(seenUs, seenTie)` (max ACCEPTED `(event time, tie)` SORT KEY —
+  * a suppressed no-op change advances it where `fromUs` cannot, so a
+  * cross-batch row slipping in behind a no-op is dropped+counted
+  * instead of silently diverging from the batch build; carrying the
+  * tie too closes the equal-timestamp gap: a cross-batch row with
+  * `ts == seenUs` but a SMALLER tie is also out of (ts, tie) order
+  * and must drop — round-13 ADVICE). One fixed-size record per
+  * ACTIVE key — dimension-maintenance state is bounded by key
+  * cardinality, never by event volume. `b` is boxed
+  * (`java.lang.Long`) so a NULL tracked attribute versions like the
+  * batch build's null-safe compare instead of crashing the primitive
+  * tuple decoder (round-12 ADVICE — batch/stream null parity).
+  *
+  * STATE-SCHEMA COMPATIBILITY: this record's shape has changed
+  * across library versions (round 12 added `seenUs` and boxed `b`;
+  * round 13 added `seenTie`) — a durable checkpoint written by an
+  * older build (e.g. via [[StreamOps.runFileSinkPhase]], which
+  * advertises cross-lifetime resume) CANNOT be resumed by a newer
+  * one; rebuild the dimension from the batch twin
+  * ([[graft.ops.RelOps.scd2Build]]) and start a fresh checkpoint. */
 case class Scd2Open(a: String, b: java.lang.Long, fromUs: Long,
-                    version: Long, seenUs: Long)
+                    version: Long, seenUs: Long, seenTie: Long)
 
 /** A CLOSED dimension version emitted by [[StreamOps.scd2Stream]]. */
 case class Scd2Closed(user_id: Long, event_type: String,
@@ -118,15 +129,20 @@ case class Scd2Closed(user_id: Long, event_type: String,
 
 /** Per-key state of [[StreamOps.scd2StreamWithDeletes]]: whether a
   * version is open, its attributes/opening instant when it is, the
-  * straggler horizon `seenUs` (the max event time ACCEPTED for the
-  * key — advanced by every row including suppressed no-ops and
-  * repeated tombstones, which `fromUs` alone cannot see), and the
+  * straggler horizon `(seenUs, seenTie)` (the max `(event time,
+  * tie)` sort key ACCEPTED for the key — advanced by every row
+  * including suppressed no-ops and repeated tombstones, which
+  * `fromUs` alone cannot see; the tie component closes the
+  * equal-timestamp ordering gap, round-13 ADVICE), and the
   * LIVE-version counter that survives delete gaps (the batch build
   * numbers live rows only, so the counter must not reset when a
   * tombstone clears the open version). One fixed-size record per key
-  * ever seen. */
+  * ever seen. Same state-schema compatibility caveat as
+  * [[Scd2Open]]: resuming an older build's durable checkpoint is not
+  * supported — rebuild from the batch twin. */
 case class Scd2DelState(open: Boolean, a: String, b: java.lang.Long,
-                        fromUs: Long, version: Long, seenUs: Long)
+                        fromUs: Long, version: Long, seenUs: Long,
+                        seenTie: Long)
 
 /** `transformWithState` processor behind
   * [[StreamOps.sessionizeTimersStream]]: gap sessionization where the
@@ -420,9 +436,10 @@ object StreamOps {
     * micro-batch (the group iterator carries no order), and batches
     * must arrive in event-time order per key (q121's
     * `stageTypedBatches` staging, or any time-partitioned landing
-    * layout) — a cross-batch straggler older than the key's max
-    * ACCEPTED event time (`Scd2Open.seenUs` — suppressed no-ops
-    * advance it too) cannot be versioned retroactively and is
+    * layout) — a cross-batch straggler whose `(ts, tie)` sort key is
+    * lexicographically below the key's max ACCEPTED sort key
+    * (`Scd2Open.seenUs`/`seenTie` — suppressed no-ops advance it
+    * too) cannot be versioned retroactively and is
     * DROPPED. The drop is
     * OBSERVABLE (round-12 verdict task 4 — silent data loss at
     * 100 TB must be a monitored quantity): pass `droppedStragglers`
@@ -460,24 +477,128 @@ object StreamOps {
           var open = state.getOption
           val closed =
             scala.collection.mutable.ArrayBuffer[Scd2Closed]()
-          sorted.foreach { case (_, a, b, us, _) =>
+          sorted.foreach { case (_, a, b, us, tie) =>
             open match {
-              case Some(o) if us < o.seenUs => // cross-batch straggler
+              // cross-batch straggler: (ts, tie) lexicographically
+              // below the accepted horizon — equal-ts smaller-tie
+              // rows are out of sort order too (round-13 ADVICE)
+              case Some(o) if us < o.seenUs ||
+                  (us == o.seenUs && tie < o.seenTie) =>
                 droppedStragglers.foreach(_.add(1L))
               case Some(o) if o.a == a && o.b == b => // no-op change —
                 // still advances the straggler horizon
-                open = Some(o.copy(seenUs = us))
+                open = Some(o.copy(seenUs = us, seenTie = tie))
               case Some(o) =>
                 closed += Scd2Closed(key, o.a, o.b, o.fromUs, us,
                   o.version)
-                open = Some(Scd2Open(a, b, us, o.version + 1, us))
+                open = Some(Scd2Open(a, b, us, o.version + 1, us, tie))
               case None =>
-                open = Some(Scd2Open(a, b, us, 1L, us))
+                open = Some(Scd2Open(a, b, us, 1L, us, tie))
             }
           }
           open.foreach(state.update)
           closed.iterator
       }
+  }
+
+  /** MULTI-ATTRIBUTE [[scd2Stream]] — the streaming sibling of the
+    * general batch build [[graft.ops.RelOps.scd2Build]]`(Seq)`
+    * (round-13 verdict task 3: the two-attr `scd2Stream` hardcodes a
+    * (String, Long) pair; real dimensions track MANY columns of
+    * arbitrary atomic types). The per-key state and the emitted
+    * closed versions are ROW-encoded over the tracked columns'
+    * ACTUAL schema (`Encoders.row` — no tuple-arity ceiling, no
+    * type pinning); the change screen is a per-field NULL-SAFE
+    * compare (`Objects.equals` over boxed values — exactly the batch
+    * build's whole-struct `<=>`: per-field null==null is a no-op).
+    * Tracked columns must be atomic (string/numeric/boolean/
+    * date/timestamp) — array/map/struct attrs would need deep
+    * equality and are not part of the contract.
+    *
+    * Semantics otherwise IDENTICAL to [[scd2Stream]]: (ts, tie)
+    * sort within each micro-batch, event-time-ordered batches per
+    * key, `(seenUs, seenTie)` lexicographic straggler horizon with
+    * the optional observable drop counter, closed-only emission
+    * (the final version per key stays open in the state store) — the
+    * oracle is the multi-attr batch chain minus its is_current rows.
+    * Output columns: key, attrs..., valid_from_us, valid_to_us,
+    * version. State = ONE row-encoded record per active key — same
+    * key-cardinality bound, same state-schema compatibility caveat
+    * as [[Scd2Open]]. */
+  def scd2StreamMulti(events: DataFrame, keyCol: String,
+                      attrCols: Seq[String], tsCol: String,
+                      tieCol: String,
+                      droppedStragglers: Option[
+                        org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(attrCols.nonEmpty,
+      "scd2StreamMulti needs >= 1 tracked attribute")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val na = attrCols.length
+    val proj = events.select(
+      col(keyCol).cast("long").as("_k") +:
+        attrCols.map(col) :+
+        unix_micros(col(tsCol)).as("_us") :+
+        col(tieCol).cast("long").as("_tie"): _*)
+    val attrFields = proj.schema.fields.slice(1, 1 + na)
+    // state row layout: attrs[0..na-1], fromUs, version, seenUs, seenTie
+    val stateSchema = StructType(attrFields ++ Seq(
+      StructField("_from_us", LongType, nullable = false),
+      StructField("_version", LongType, nullable = false),
+      StructField("_seen_us", LongType, nullable = false),
+      StructField("_seen_tie", LongType, nullable = false)))
+    val outSchema = StructType(
+      StructField(keyCol, LongType, nullable = false) +:
+        attrFields :+
+        StructField("valid_from_us", LongType, nullable = false) :+
+        StructField("valid_to_us", LongType, nullable = false) :+
+        StructField("version", LongType, nullable = false))
+    val stateEnc = Encoders.row(stateSchema)
+    val outEnc = Encoders.row(outSchema)
+    val ds = proj.groupByKey(_.getLong(0))
+      .flatMapGroupsWithState[Row, Row](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Row], state: GroupState[Row]) =>
+          val sorted = rows.toArray.sortBy(r =>
+            (r.getLong(1 + na), r.getLong(2 + na)))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[Row]()
+          def sameAttrs(o: Row, r: Row): Boolean =
+            (0 until na).forall(i =>
+              java.util.Objects.equals(o.get(i), r.get(1 + i)))
+          sorted.foreach { r =>
+            val us = r.getLong(1 + na)
+            val tie = r.getLong(2 + na)
+            open match {
+              case Some(o) if us < o.getLong(na + 2) ||
+                  (us == o.getLong(na + 2) && tie < o.getLong(na + 3)) =>
+                // cross-batch straggler: (ts, tie) below the accepted
+                // horizon — dropped + counted, never re-versioned
+                droppedStragglers.foreach(_.add(1L))
+              case Some(o) if sameAttrs(o, r) => // no-op change —
+                // still advances the straggler horizon
+                open = Some(Row.fromSeq(
+                  o.toSeq.take(na + 2) ++ Seq(us, tie)))
+              case Some(o) =>
+                closed += Row.fromSeq(
+                  key +: (0 until na).map(o.get) :+
+                    o.getLong(na) :+ us :+ o.getLong(na + 1))
+                open = Some(Row.fromSeq(
+                  (0 until na).map(i => r.get(1 + i)) ++
+                    Seq(us, o.getLong(na + 1) + 1, us, tie)))
+              case None =>
+                open = Some(Row.fromSeq(
+                  (0 until na).map(i => r.get(1 + i)) ++
+                    Seq(us, 1L, us, tie)))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }(stateEnc, outEnc)
+    ds.toDF()
   }
 
   /** [[scd2Stream]] WITH TOMBSTONES — the streaming sibling of
@@ -488,7 +609,8 @@ object StreamOps {
     * continuing across the gap (versions number live rows only, the
     * batch rule); repeated tombstones and leading tombstones are
     * no-ops; null `deletedCol` reads as false. Same ordering
-    * contract, straggler rule (`us < last transition` drops, counted
+    * contract, straggler rule (`(ts, tie)` below the accepted
+    * horizon drops, counted
     * into `droppedStragglers`), and closed-only emission convention
     * as [[scd2Stream]] — the oracle is the batch tombstone chain
     * minus its is_current rows. State = ONE [[Scd2DelState]] per
@@ -516,35 +638,39 @@ object StreamOps {
           val sorted = rows.toArray.sortBy(r => (r._4, r._5))
           var st = state.getOption.getOrElse(
             Scd2DelState(open = false, null, null, Long.MinValue, 0L,
-              Long.MinValue))
+              Long.MinValue, Long.MinValue))
           val closed =
             scala.collection.mutable.ArrayBuffer[Scd2Closed]()
-          sorted.foreach { case (_, a, b, us, _, del) =>
-            if (us < st.seenUs) { // cross-batch straggler: older than
-              // the max ACCEPTED event time — suppressed no-ops and
-              // repeated tombstones advance the horizon too, or a
-              // row slipping in behind one would silently diverge
-              // from the batch build (round-12 review finding)
+          sorted.foreach { case (_, a, b, us, tie, del) =>
+            if (us < st.seenUs ||
+                (us == st.seenUs && tie < st.seenTie)) {
+              // cross-batch straggler: (ts, tie) lexicographically
+              // below the max ACCEPTED sort key — suppressed no-ops
+              // and repeated tombstones advance the horizon too, or
+              // a row slipping in behind one would silently diverge
+              // from the batch build (round-12 review finding;
+              // equal-ts tie component round-13 ADVICE)
               droppedStragglers.foreach(_.add(1L))
             } else if (del) {
               if (st.open) { // tombstone closes, opens nothing
                 closed += Scd2Closed(key, st.a, st.b, st.fromUs, us,
                   st.version)
                 st = Scd2DelState(open = false, null, null, us,
-                  st.version, us)
+                  st.version, us, tie)
               } else { // repeated/leading tombstone — emits nothing
-                st = st.copy(seenUs = us)
+                st = st.copy(seenUs = us, seenTie = tie)
               }
             } else if (st.open && st.a == a && st.b == b) {
-              st = st.copy(seenUs = us) // no-op change (null-safe)
+              // no-op change (null-safe)
+              st = st.copy(seenUs = us, seenTie = tie)
             } else if (st.open) {
               closed += Scd2Closed(key, st.a, st.b, st.fromUs, us,
                 st.version)
               st = Scd2DelState(open = true, a, b, us,
-                st.version + 1, us)
+                st.version + 1, us, tie)
             } else { // (re-)open after a gap or for a new key
               st = Scd2DelState(open = true, a, b, us,
-                st.version + 1, us)
+                st.version + 1, us, tie)
             }
           }
           state.update(st)

@@ -188,12 +188,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "grid must use broadcast cross/hash joins, not a cartesian")
   }
 
-  test("q280: the LPA result is checkpoint-materialized — the readout " +
-       "costs one exchange over an RDD leaf, not the 12-stage loop " +
-       "lineage (the q57/q97 iteration hygiene)") {
+  test("q280: the LPA readout runs over the MEMOIZED assignment (a " +
+       "local relation — round-13 shared-fit, the microCents pattern " +
+       "for graphs), never the 12-stage sweep-loop lineage") {
     val p = planOf("q280_label_propagation")
-    assert(p.contains("ExistingRDD"),
-      s"assignment should be a checkpointed leaf:\n${p.take(1200)}")
+    assert(p.contains("LocalTableScan") || p.contains("ExistingRDD"),
+      s"assignment should be the node-bounded memo leaf:\n${p.take(1200)}")
     assert("Exchange".r.findAllIn(p).length <= 2,
       s"readout re-plans the whole loop:\n${p.take(1500)}")
   }
