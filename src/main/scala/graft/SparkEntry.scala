@@ -103,6 +103,24 @@ object SparkEntry {
     s.createDataset(arr.toSeq).toDF("id", "lab")
   }
 
+  /** Shared product-quantization codebook fit (the [[microCents]]
+    * pattern for PQ): m=4 subspaces × 16 dims, k=4 centroids, 2 Lloyd
+    * rounds — each an independent deterministic
+    * [[SimilarityOps.kMeansMicro]], memoized per (dir, fingerprint)
+    * so q292 (encode) and q293 (ADC rank) replay one fit. O(m·k·16)
+    * longs retained. */
+  private val PqM = 4; private val PqSubLen = 16
+  private val PqK = 4; private val PqIters = 2
+  private val pqFitCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[Array[Array[Long]]]]()
+  private def pqBooks(s: SparkSession, dir: String)
+      : Seq[Array[Array[Long]]] = {
+    val (n, x) = embFingerprint(s, dir)
+    pqFitCache.computeIfAbsent((dir, n, x),
+      _ => SimilarityOps.pqCodebooks(t(s, dir, "embeddings"),
+        "vec_id", "embedding", PqM, PqSubLen, PqK, PqIters))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -6188,6 +6206,65 @@ object SparkEntry {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  private def q291(s: SparkSession, dir: String): DataFrame = {
+    // MULTI-ATTRIBUTE STREAMING SCD2 WITH TOMBSTONES
+    // (StreamOps.scd2StreamMultiWithDeletes — the last cell of the
+    // SCD2 matrix: batch/stream × single/multi-attr × live/CDC-delete
+    // are now ALL covered): q287's three tracked columns (string,
+    // long, boolean) with q285's tombstone rule (every 11th event_id
+    // closes the open version and opens nothing; the live-version
+    // counter survives delete gaps) over the staged 3-batch replay.
+    // Oracle = the three-attr batch tombstone chain minus its
+    // is_current rows (the q275/q285 convention).
+    val staged = stageTypedBatches(s, dir)
+    val stream = StreamOps.fileStream(s,
+        s.read.parquet(staged).schema, staged,
+        maxFilesPerTrigger = Some(1))
+      .withColumn("band",
+        expr("cast(round(value * 100) as bigint) div 2000"))
+      .withColumn("hi_flag", col("value") >= 50)
+      .withColumn("deleted", expr("event_id % 11 = 0"))
+    val versions = StreamOps.scd2StreamMultiWithDeletes(stream,
+      "user_id", Seq("event_type", "band", "hi_flag"), "ts",
+      "event_id", "deleted")
+    StreamOps.runToCompletion(versions,
+        s"q291_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(8))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private def q292(s: SparkSession, dir: String): DataFrame =
+    // PRODUCT-QUANTIZATION ENCODE (SimilarityOps.pqCodebooks/pqEncode
+    // — Jégou et al. 2011; the q69 int8 quantizer's heavier sibling:
+    // m=4 subspace codebooks of k=4 integer-k-means centroids turn
+    // each 64-dim vector into 4 codes, an 8-64x memory cut, and the
+    // encode itself is a PURE scan-stage projection with the
+    // codebooks as literals — zero shuffle at corpus scale). The
+    // deterministic per-subspace fits replay in the oracle as four
+    // prefixed kmeansSqlChain unrolls (the q249 convention), so the
+    // codebooks AND every code are hash-checked.
+    SimilarityOps.pqEncode(t(s, dir, "embeddings"), "vec_id",
+        "embedding", pqBooks(s, dir), PqSubLen)
+      .orderBy(col("vec_id"))
+
+  private def q293(s: SparkSession, dir: String): DataFrame = {
+    // PQ ASYMMETRIC-DISTANCE TOP-K (SimilarityOps.pqAdcTopK — the
+    // query-time half of q292: per query an O(m·k) integer
+    // lookup table, corpus vectors scored by summing their codes'
+    // table entries, rank (adc_d2, neighbor)). The corpus side never
+    // touches vector math at query time — the PQ scale story — and
+    // the whole ranking is exact integer arithmetic, so the oracle
+    // replays it to the hash.
+    val emb = t(s, dir, "embeddings")
+    val books = pqBooks(s, dir)
+    SimilarityOps.pqAdcTopK(
+        emb.filter(col("vec_id") < 5),
+        SimilarityOps.pqEncode(emb, "vec_id", "embedding", books,
+          PqSubLen),
+        "vec_id", "embedding", books, PqSubLen, topK = 3)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   private def q284(s: SparkSession, dir: String): DataFrame = {
     // SELF-TUNING NEAR-DUP PASS (q277's adaptive cap WIRED INTO a
     // real pair join — the full loop: observe the bucket-size
@@ -7116,6 +7193,9 @@ object SparkEntry {
     "q288_adaptive_lsh" -> q288 _,
     "q289_adaptive_semdedup" -> q289 _,
     "q290_stream_adaptive" -> q290 _,
+    "q291_stream_scd2_multi_deletes" -> q291 _,
+    "q292_pq_encode" -> q292 _,
+    "q293_pq_adc_topk" -> q293 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7466,6 +7546,76 @@ object SparkEntry {
        |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
        |        ORDER BY d2, cl) AS rn FROM kfd) WHERE rn = 1)""".stripMargin
   }
+
+  /** [[kmeansSqlChain]] PARAMETERIZED for product quantization
+    * (q292/q293): every CTE name carries prefix `p` and the input
+    * micro vectors come from the 1-based embedding slice [lo, hi] —
+    * one chain per subspace, composable in a single WITH. Ends with
+    * `${p}kc(cl, j, c)` (final centroids, j local to the subspace)
+    * and `${p}kasg(vec_id, cl)` (the subspace code). */
+  private def pqKmeansSqlChain(p: String, lo: Int, hi: Int, k: Int,
+                               iters: Int): String = {
+    val init = (1 until k).map { t =>
+      s"""${p}kd$t AS MATERIALIZED (SELECT xe.vec_id, ct.cl,
+         |      sum((xe.xj - ct.c) * (xe.xj - ct.c))::BIGINT AS d2
+         |    FROM ${p}xe xe JOIN ${p}ki${t - 1} ct ON ct.j = xe.j
+         |    GROUP BY 1, 2),
+         |  ${p}km$t AS MATERIALIZED (SELECT vec_id, min(d2) AS dmin
+         |    FROM ${p}kd$t GROUP BY 1),
+         |  ${p}kn$t AS MATERIALIZED (SELECT vec_id FROM ${p}km$t
+         |    ORDER BY dmin DESC, vec_id LIMIT 1),
+         |  ${p}ki$t AS MATERIALIZED (SELECT cl, j, c FROM ${p}ki${t - 1}
+         |    UNION ALL SELECT $t::INT AS cl, xe.j, xe.xj AS c
+         |    FROM ${p}xe xe
+         |    WHERE xe.vec_id = (SELECT vec_id FROM ${p}kn$t))""".stripMargin
+    }.mkString(",\n  ")
+    val lloyd = (1 to iters).map { r =>
+      val prev = if (r == 1) s"${p}ki${k - 1}" else s"${p}kl${r - 1}"
+      s"""${p}ka$r AS MATERIALIZED (SELECT xe.vec_id, ct.cl,
+         |      sum((xe.xj - ct.c) * (xe.xj - ct.c))::BIGINT AS d2
+         |    FROM ${p}xe xe JOIN $prev ct ON ct.j = xe.j
+         |    GROUP BY 1, 2),
+         |  ${p}kg$r AS MATERIALIZED (SELECT vec_id, cl FROM (
+         |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d2, cl) AS rn FROM ${p}ka$r) WHERE rn = 1),
+         |  ${p}ku$r AS MATERIALIZED (SELECT g.cl, xe.j,
+         |      sum(xe.xj)::BIGINT AS s, count(*)::BIGINT AS n
+         |    FROM ${p}kg$r g JOIN ${p}xe xe ON xe.vec_id = g.vec_id
+         |    GROUP BY 1, 2),
+         |  ${p}kl$r AS MATERIALIZED (SELECT p.cl, p.j,
+         |      COALESCE(CASE WHEN u.s < 0 THEN -((-u.s) // u.n)
+         |        ELSE u.s // u.n END, p.c)::BIGINT AS c
+         |    FROM $prev p LEFT JOIN ${p}ku$r u
+         |      ON u.cl = p.cl AND u.j = p.j)""".stripMargin
+    }.mkString(",\n  ")
+    s"""${p}kx AS MATERIALIZED (SELECT vec_id, list_transform(
+       |      (embedding::DOUBLE[])[$lo:$hi],
+       |      e -> round(e * 1e6)::BIGINT) AS x
+       |    FROM embeddings),
+       |  ${p}xe AS MATERIALIZED (SELECT vec_id, (j.j - 1)::INT AS j,
+       |      x[j.j] AS xj
+       |    FROM ${p}kx kx, LATERAL (SELECT
+       |      unnest(generate_series(1, len(x))) AS j) j),
+       |  ${p}ki0 AS MATERIALIZED (SELECT 0::INT AS cl, j, xj AS c
+       |    FROM ${p}xe xe
+       |    WHERE vec_id = (SELECT min(vec_id) FROM ${p}kx)),
+       |  $init,
+       |  $lloyd,
+       |  ${p}kc AS MATERIALIZED (SELECT cl, j, c FROM ${p}kl$iters),
+       |  ${p}kfd AS MATERIALIZED (SELECT xe.vec_id, ct.cl,
+       |      sum((xe.xj - ct.c) * (xe.xj - ct.c))::BIGINT AS d2
+       |    FROM ${p}xe xe JOIN ${p}kc ct ON ct.j = xe.j GROUP BY 1, 2),
+       |  ${p}kasg AS MATERIALIZED (SELECT vec_id, cl FROM (
+       |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY d2, cl) AS rn FROM ${p}kfd) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The four q292/q293 subspace chains (m=4, subLen=16, k=4,
+    * iters=2) joined into one WITH-clause fragment. */
+  private def pqChains: String =
+    (0 until 4).map(s =>
+      pqKmeansSqlChain(s"p$s", s * 16 + 1, (s + 1) * 16, 4, 2))
+      .mkString(",\n  ")
 
   private def bpeSqlChain(k: Int): String = {
     val rounds = (1 to k).map { r =>
@@ -12068,6 +12218,99 @@ object SparkEntry {
         |  valid_to_us, version
         |FROM v WHERE valid_to_us IS NOT NULL
         |ORDER BY user_id, version""".stripMargin,
+    "q291_stream_scd2_multi_deletes" ->
+      // the q285 convention over THREE tracked attrs: change screen =
+      // OR of per-field IS DISTINCT FROM over (attrs..., del);
+      // valid_to = lead over screened rows INCL tombstones; versions
+      // number live rows only; closed versions only
+      """WITH c AS (SELECT user_id, event_type,
+        |    round(value * 100)::BIGINT // 2000 AS band,
+        |    value >= 50 AS hi_flag,
+        |    event_id % 11 = 0 AS del, ts, event_id FROM events),
+        |  o AS (SELECT user_id, event_type, band, hi_flag, del, ts,
+        |    event_id, row_number() OVER w AS rn,
+        |    lag(event_type) OVER w AS pt,
+        |    lag(band) OVER w AS pb,
+        |    lag(hi_flag) OVER w AS pf,
+        |    lag(del) OVER w AS pd
+        |  FROM c WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |  chg AS (SELECT user_id, event_type, band, hi_flag, del, ts,
+        |      event_id
+        |    FROM o WHERE rn = 1 OR pt IS DISTINCT FROM event_type
+        |      OR pb IS DISTINCT FROM band
+        |      OR pf IS DISTINCT FROM hi_flag
+        |      OR pd IS DISTINCT FROM del),
+        |  v0 AS (SELECT user_id, event_type, band, hi_flag, del, ts,
+        |      event_id,
+        |      epoch_us(ts)::BIGINT AS valid_from_us,
+        |      epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id))::BIGINT AS valid_to_us
+        |    FROM chg),
+        |  v AS (SELECT user_id, event_type, band, hi_flag,
+        |      valid_from_us, valid_to_us,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id)::BIGINT AS version
+        |    FROM v0 WHERE NOT del)
+        |SELECT user_id, event_type, band, hi_flag, valid_from_us,
+        |  valid_to_us, version
+        |FROM v WHERE valid_to_us IS NOT NULL
+        |ORDER BY user_id, version""".stripMargin,
+    "q292_pq_encode" ->
+      // four prefixed integer-k-means unrolls (one per 16-dim
+      // subspace), each vector's code = its per-subspace kasg cell
+      s"""WITH $pqChains
+        |SELECT a0.vec_id, a0.cl::BIGINT AS code_0,
+        |  a1.cl::BIGINT AS code_1, a2.cl::BIGINT AS code_2,
+        |  a3.cl::BIGINT AS code_3
+        |FROM p0kasg a0 JOIN p1kasg a1 USING (vec_id)
+        |  JOIN p2kasg a2 USING (vec_id) JOIN p3kasg a3 USING (vec_id)
+        |ORDER BY a0.vec_id""".stripMargin,
+    "q293_pq_adc_topk" ->
+      // the same four chains + per-query O(m·k) lookup tables (exact
+      // integer micro d2 from the query's subvector to every
+      // centroid) + code-sum scoring + (adc_d2, neighbor) rank
+      s"""WITH $pqChains,
+        |  qx AS (SELECT vec_id AS query_id, list_transform(
+        |      embedding::DOUBLE[], e -> round(e * 1e6)::BIGINT) AS x
+        |    FROM embeddings WHERE vec_id < 5),
+        |  qe AS (SELECT query_id, (j.j - 1)::INT AS pos, x[j.j] AS xq
+        |    FROM qx, LATERAL (SELECT
+        |      unnest(generate_series(1, len(x))) AS j) j),
+        |  lut0 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p0kc ct ON ct.j = q.pos - 0
+        |    WHERE q.pos >= 0 AND q.pos < 16 GROUP BY 1, 2),
+        |  lut1 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p1kc ct ON ct.j = q.pos - 16
+        |    WHERE q.pos >= 16 AND q.pos < 32 GROUP BY 1, 2),
+        |  lut2 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p2kc ct ON ct.j = q.pos - 32
+        |    WHERE q.pos >= 32 AND q.pos < 48 GROUP BY 1, 2),
+        |  lut3 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p3kc ct ON ct.j = q.pos - 48
+        |    WHERE q.pos >= 48 AND q.pos < 64 GROUP BY 1, 2),
+        |  cds AS (SELECT a0.vec_id, a0.cl AS c0, a1.cl AS c1,
+        |      a2.cl AS c2, a3.cl AS c3
+        |    FROM p0kasg a0 JOIN p1kasg a1 USING (vec_id)
+        |      JOIN p2kasg a2 USING (vec_id)
+        |      JOIN p3kasg a3 USING (vec_id)),
+        |  sc AS (SELECT l0.query_id, c.vec_id AS neighbor_id,
+        |      (l0.d2 + l1.d2 + l2.d2 + l3.d2)::BIGINT AS adc_d2
+        |    FROM cds c
+        |    JOIN lut0 l0 ON l0.cl = c.c0
+        |    JOIN lut1 l1 ON l1.cl = c.c1 AND l1.query_id = l0.query_id
+        |    JOIN lut2 l2 ON l2.cl = c.c2 AND l2.query_id = l0.query_id
+        |    JOIN lut3 l3 ON l3.cl = c.c3 AND l3.query_id = l0.query_id
+        |    WHERE c.vec_id <> l0.query_id),
+        |  r AS (SELECT query_id, neighbor_id, adc_d2,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc_d2, neighbor_id) AS rn FROM sc)
+        |SELECT query_id, neighbor_id, adc_d2, rn::BIGINT AS rn
+        |FROM r WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

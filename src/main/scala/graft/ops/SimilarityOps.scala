@@ -707,4 +707,99 @@ object SimilarityOps {
         element_at(nearestCellsMicro(microVec(col("_v")), cs, 1), 1))
     semanticPrune(v, idCol, threshold, maxCluster)
   }
+
+  // ------------------------------------------------------------------ //
+  // Product quantization (Jégou, Douze & Schmid 2011, "Product
+  // quantization for nearest neighbor search"): split each d-dim
+  // vector into m contiguous subvectors, fit an independent k-centroid
+  // codebook per subspace, store each vector as m small codes (here
+  // m·⌈log2 k⌉ bits — an 8-64x memory cut beyond int8), and rank by
+  // ASYMMETRIC DISTANCE (ADC): the query stays exact, each corpus
+  // vector scores as the sum of its codes' per-subspace distances to
+  // the query, read from an O(m·k)-entry lookup table. Built on the
+  // deterministic integer k-means ([[kMeansMicro]] per subspace), so
+  // codebooks, codes, AND the ADC ranking replay exactly in the
+  // DuckDB oracle — the q249 move applied to PQ.
+  // ------------------------------------------------------------------ //
+
+  /** Fit the `m` per-subspace codebooks: subspace `s` covers the
+    * 1-based slice [s·subLen+1, (s+1)·subLen] of `vecCol`; each fit
+    * is an independent deterministic [[kMeansMicro]] over the sliced
+    * projection. Driver memory O(m·k·subLen) longs — the S6 artifact
+    * bound; persist with [[FitArtifacts.saveCentroids]] per subspace
+    * for the fit-once-serve-many lifecycle. */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, subLen: Int, k: Int,
+                  iters: Int): Seq[Array[Array[Long]]] = {
+    require(m >= 1 && subLen >= 1, s"bad PQ shape m=$m subLen=$subLen")
+    (0 until m).map { s =>
+      kMeansMicro(
+        df.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), s * subLen + 1,
+            subLen).as("_sub")),
+        idCol, "_sub", k, iters)
+    }
+  }
+
+  /** Encode every vector as its m per-subspace nearest-centroid codes
+    * — a PURE projection (the codebooks ride as literals inside
+    * [[nearestCellsMicro]] expressions): zero shuffle, scan-stage
+    * codegen, exactly how a 100 TB corpus is encoded in one pass.
+    * Output: (id, code_0 .. code_{m-1}) with long codes. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               books: Seq[Array[Array[Long]]], subLen: Int): DataFrame =
+    df.select(col(idCol) +: books.zipWithIndex.map { case (b, s) =>
+      element_at(nearestCellsMicro(
+        microVec(slice(col(vecCol).cast("array<double>"),
+          s * subLen + 1, subLen)), b, 1), 1).as(s"code_$s")
+    }: _*)
+
+  /** ADC top-k: per query, build the O(m·k) integer lookup table
+    * (exact micro squared distance from the query's subvector to
+    * every codebook centroid — one broadcastable (query, sub, cell,
+    * d2) side built relationally from the exploded query dims and a
+    * literal codebook table), then score each encoded corpus vector
+    * by summing its codes' table entries and rank (adc_d2 ASC,
+    * neighbor ASC). Shuffle shape: the corpus codes stream through
+    * ONE broadcast-joinable explode + one (query, neighbor) hash
+    * aggregate — no vector math ever touches the corpus side at
+    * query time, which is the entire point of PQ at scale. */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, idCol: String,
+                vecCol: String, books: Seq[Array[Array[Long]]],
+                subLen: Int, topK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = books.length
+    // literal codebook table: (sub, cell, j, bv) — m·k·subLen rows
+    val bookDf = books.zipWithIndex.flatMap { case (b, s) =>
+      b.toSeq.zipWithIndex.flatMap { case (cent, c) =>
+        cent.toSeq.zipWithIndex.map { case (v, j) =>
+          (s, c.toLong, j, v)
+        }
+      }
+    }.toDF("sub", "cell", "j", "bv")
+    val qDims = queries.select(col(idCol).as("query_id"),
+        posexplode(microVec(col(vecCol).cast("array<double>")))
+          .as(Seq("_pos", "_x")))
+      .withColumn("sub", (col("_pos") / subLen).cast("int"))
+      .withColumn("j", pmod(col("_pos"), lit(subLen)).cast("int"))
+    val lut = qDims.join(broadcast(bookDf), Seq("sub", "j"))
+      .groupBy(col("query_id"), col("sub"), col("cell"))
+      .agg(sum((col("_x") - col("bv")) * (col("_x") - col("bv")))
+        .as("_d2"))
+    val codesLong = codes.select(col(idCol).as("neighbor_id"),
+        posexplode(array((0 until m).map(s => col(s"code_$s")): _*))
+          .as(Seq("sub", "cell")))
+      .withColumn("sub", col("sub").cast("int"))
+    val scored = codesLong.join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_d2")).as("adc_d2"))
+    scored.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("adc_d2"), col("neighbor_id"))))
+      .filter(col("rn") <= topK)
+      .withColumn("rn", col("rn").cast("long"))
+  }
 }

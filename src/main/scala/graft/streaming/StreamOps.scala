@@ -601,6 +601,110 @@ object StreamOps {
     ds.toDF()
   }
 
+  /** [[scd2StreamMulti]] WITH TOMBSTONES — completes the SCD2 matrix
+    * (batch/stream × single/multi-attribute × live/CDC-delete): the
+    * row-encoded multi-attribute state of [[scd2StreamMulti]] with
+    * [[scd2StreamWithDeletes]]' tombstone fold — a `deletedCol=true`
+    * row CLOSES the key's open version and opens nothing; the
+    * live-version counter survives delete gaps; repeated/leading
+    * tombstones no-op; null deleted reads false. Same `(seenUs,
+    * seenTie)` lexicographic straggler rule, observable drop counter,
+    * closed-only emission — the oracle is the multi-attr batch
+    * tombstone chain minus its is_current rows. State row layout:
+    * attrs..., open, fromUs, version, seenUs, seenTie — one record
+    * per key ever seen. */
+  def scd2StreamMultiWithDeletes(events: DataFrame, keyCol: String,
+                                 attrCols: Seq[String], tsCol: String,
+                                 tieCol: String, deletedCol: String,
+                                 droppedStragglers: Option[
+                                   org.apache.spark.util.LongAccumulator]
+                                   = None): DataFrame = {
+    require(attrCols.nonEmpty,
+      "scd2StreamMultiWithDeletes needs >= 1 tracked attribute")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField}
+    val na = attrCols.length
+    val proj = events.select(
+      col(keyCol).cast("long").as("_k") +:
+        attrCols.map(col) :+
+        unix_micros(col(tsCol)).as("_us") :+
+        col(tieCol).cast("long").as("_tie") :+
+        coalesce(col(deletedCol).cast("boolean"), lit(false))
+          .as("_del"): _*)
+    val attrFields = proj.schema.fields.slice(1, 1 + na)
+    // state row layout: attrs[0..na-1], open, fromUs, version,
+    // seenUs, seenTie
+    val stateSchema = StructType(attrFields.map(_.copy(nullable = true))
+      ++ Seq(
+      StructField("_open", BooleanType, nullable = false),
+      StructField("_from_us", LongType, nullable = false),
+      StructField("_version", LongType, nullable = false),
+      StructField("_seen_us", LongType, nullable = false),
+      StructField("_seen_tie", LongType, nullable = false)))
+    val outSchema = StructType(
+      StructField(keyCol, LongType, nullable = false) +:
+        attrFields :+
+        StructField("valid_from_us", LongType, nullable = false) :+
+        StructField("valid_to_us", LongType, nullable = false) :+
+        StructField("version", LongType, nullable = false))
+    val stateEnc = Encoders.row(stateSchema)
+    val outEnc = Encoders.row(outSchema)
+    val ds = proj.groupByKey(_.getLong(0))
+      .flatMapGroupsWithState[Row, Row](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Row], state: GroupState[Row]) =>
+          val sorted = rows.toArray.sortBy(r =>
+            (r.getLong(1 + na), r.getLong(2 + na)))
+          var st = state.getOption.getOrElse(Row.fromSeq(
+            Seq.fill[Any](na)(null) ++
+              Seq(false, Long.MinValue, 0L, Long.MinValue,
+                Long.MinValue)))
+          val closed = scala.collection.mutable.ArrayBuffer[Row]()
+          def isOpen = st.getBoolean(na)
+          def sameAttrs(r: Row): Boolean =
+            (0 until na).forall(i =>
+              java.util.Objects.equals(st.get(i), r.get(1 + i)))
+          sorted.foreach { r =>
+            val us = r.getLong(1 + na)
+            val tie = r.getLong(2 + na)
+            val del = r.getBoolean(3 + na)
+            if (us < st.getLong(na + 3) ||
+                (us == st.getLong(na + 3) && tie < st.getLong(na + 4))) {
+              // cross-batch straggler below the (ts, tie) horizon
+              droppedStragglers.foreach(_.add(1L))
+            } else if (del) {
+              if (isOpen) { // tombstone closes, opens nothing
+                closed += Row.fromSeq(
+                  key +: (0 until na).map(st.get) :+
+                    st.getLong(na + 1) :+ us :+ st.getLong(na + 2))
+                st = Row.fromSeq(Seq.fill[Any](na)(null) ++
+                  Seq(false, us, st.getLong(na + 2), us, tie))
+              } else { // repeated/leading tombstone — emits nothing
+                st = Row.fromSeq((0 until na).map(st.get) ++
+                  Seq(false, st.getLong(na + 1), st.getLong(na + 2),
+                    us, tie))
+              }
+            } else if (isOpen && sameAttrs(r)) { // no-op change —
+              // still advances the straggler horizon
+              st = Row.fromSeq((0 until na).map(st.get) ++
+                Seq(true, st.getLong(na + 1), st.getLong(na + 2),
+                  us, tie))
+            } else {
+              if (isOpen) closed += Row.fromSeq(
+                key +: (0 until na).map(st.get) :+
+                  st.getLong(na + 1) :+ us :+ st.getLong(na + 2))
+              st = Row.fromSeq((0 until na).map(i => r.get(1 + i)) ++
+                Seq(true, us, st.getLong(na + 2) + 1, us, tie))
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }(stateEnc, outEnc)
+    ds.toDF()
+  }
+
   /** [[scd2Stream]] WITH TOMBSTONES — the streaming sibling of
     * [[graft.ops.RelOps.scd2BuildWithDeletes]] (q282's batch
     * semantics run online): a row whose `deletedCol` is true CLOSES

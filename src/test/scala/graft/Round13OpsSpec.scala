@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{DedupOps, FitArtifacts, RelOps}
+import graft.ops.{DedupOps, FitArtifacts, RelOps, SimilarityOps}
 import graft.streaming.StreamOps
 
 /** Round-13 verdict/ADVICE items: the `(seenUs, seenTie)`
@@ -283,6 +283,78 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got.map(_.getString(1)).toSeq === Seq("a"))
   }
 
+  test("scd2StreamMultiWithDeletes ≡ scd2StreamWithDeletes on the " +
+       "two-attr special case (tombstones, counter across gaps)") {
+    val b1 = Seq((4L, "a", Some(1L), ts(100000L), 1L, false),
+        (4L, "x", Some(9L), ts(200000L), 2L, true), // tombstone
+        (5L, "p", Some(3L), ts(150000L), 3L, false))
+      .toDF("user_id", "event_type", "band", "ts", "event_id", "deleted")
+    val b2 = Seq((4L, "b", Some(2L), ts(300000L), 4L, false), // re-open
+        (4L, "c", Some(3L), ts(400000L), 5L, false),
+        (5L, "x", Some(9L), ts(350000L), 6L, true)) // terminal tomb
+      .toDF("user_id", "event_type", "band", "ts", "event_id", "deleted")
+    val staged = stageBatches("scd2md_two", Seq(b1, b2))
+    def mkStream() = StreamOps.fileStream(spark, b1.schema, staged,
+      maxFilesPerTrigger = Some(1))
+    val multi = StreamOps.runToCompletion(
+        StreamOps.scd2StreamMultiWithDeletes(mkStream(), "user_id",
+          Seq("event_type", "band"), "ts", "event_id", "deleted"),
+        s"scd2md2_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(4))
+      .orderBy("user_id", "version").collect()
+    val two = StreamOps.runToCompletion(
+        StreamOps.scd2StreamWithDeletes(mkStream(), "user_id",
+          "event_type", "band", "ts", "event_id", "deleted").toDF(),
+        s"scd2dt2_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(4))
+      .select("user_id", "event_type", "band", "valid_from_us",
+        "valid_to_us", "version")
+      .orderBy("user_id", "version").collect()
+    assert(multi.toSeq === two.toSeq)
+    // key 4: "a" closed by tombstone (v1), "b" closed by "c" (v2 —
+    // the counter SURVIVED the delete gap); key 5: "p" closed by its
+    // terminal tombstone (v1)
+    assert(multi.map(r => (r.getLong(0), r.getString(1),
+      r.getLong(r.length - 1))).toSeq ===
+      Seq((4L, "a", 1L), (4L, "b", 2L), (5L, "p", 1L)))
+  }
+
+  test("scd2StreamMultiWithDeletes ≡ batch tombstone build minus " +
+       "is_current across a (string, long, boolean) mix with nulls") {
+    val b1 = Seq(
+        (9L, Option("t"), Some(1L), Some(true), ts(100000L), 1L, false),
+        (9L, Option("t"), None: Option[Long], Some(true), ts(200000L),
+          2L, false))
+      .toDF("user_id", "etype", "band", "flag", "ts", "event_id",
+        "deleted")
+    val b2 = Seq(
+        (9L, None: Option[String], None: Option[Long],
+          None: Option[Boolean], ts(300000L), 3L, true), // tombstone
+        (9L, Option("t"), None: Option[Long], Some(true), ts(400000L),
+          4L, false), // re-add of the pre-delete value re-opens
+        (9L, Option("u"), Some(2L), Some(false), ts(500000L), 5L,
+          false))
+      .toDF("user_id", "etype", "band", "flag", "ts", "event_id",
+        "deleted")
+    val staged = stageBatches("scd2md_null", Seq(b1, b2))
+    val stream = StreamOps.fileStream(spark, b1.schema, staged,
+      maxFilesPerTrigger = Some(1))
+    val got = StreamOps.runToCompletion(
+        StreamOps.scd2StreamMultiWithDeletes(stream, "user_id",
+          Seq("etype", "band", "flag"), "ts", "event_id", "deleted"),
+        s"scd2mdn_${System.nanoTime()}", outputMode = "append",
+        statePartitions = Some(4))
+      .orderBy("version")
+    val want = RelOps.scd2BuildWithDeletes(b1.unionByName(b2),
+        "user_id", Seq("etype", "band", "flag"), "ts", "event_id",
+        "deleted")
+      .filter(!col("is_current"))
+      .select("user_id", "etype", "band", "flag", "valid_from_us",
+        "valid_to_us", "version")
+      .orderBy("version")
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
   // ---------------------------------------------------------------- //
   // FitArtifacts provenance sidecar (round-13 verdict task 4: a
   // stale artifact from a regenerated source fails LOUDLY on load)
@@ -341,5 +413,80 @@ class Round13OpsSpec extends AnyFunSuite {
         expect = Map("source_rows" -> "43"))
     }
     assert(stale.getMessage.contains("STALE ARTIFACT"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Product quantization (q292/q293): codebooks, encode, ADC rank
+  // ---------------------------------------------------------------- //
+
+  /** Two well-separated clusters per subspace: vectors 0-3 live near
+    * (+0.5, …) in sub 0 and (−0.5, …) in sub 1; vectors 4-7 the
+    * mirror. 4-dim vectors, m=2, subLen=2, k=2. */
+  private def pqFixture(): DataFrame =
+    (0 until 8).map { i =>
+      val a = if (i < 4) 0.5 else -0.5
+      (i.toLong, Seq(a + i * 0.001, a - i * 0.001,
+        -a + i * 0.001, -a - i * 0.001))
+    }.toDF("vec_id", "embedding")
+
+  test("pqEncode: codes are the per-subspace nearest centroids, and " +
+       "the two separated halves get distinct codes in every subspace") {
+    val df = pqFixture()
+    val books = SimilarityOps.pqCodebooks(df, "vec_id", "embedding",
+      m = 2, subLen = 2, k = 2, iters = 2)
+    assert(books.length === 2)
+    books.foreach(b => assert(b.length === 2))
+    val codes = SimilarityOps.pqEncode(df, "vec_id", "embedding",
+      books, subLen = 2).orderBy("vec_id").collect()
+    // halves collapse to one code each, and the codes differ
+    val h1 = codes.take(4).map(r => (r.getLong(1), r.getLong(2))).toSet
+    val h2 = codes.drop(4).map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(h1.size === 1 && h2.size === 1 && h1 != h2)
+  }
+
+  test("pqEncode plan: the encode is a PURE projection — zero " +
+       "exchanges (the corpus is coded in one scan pass)") {
+    val df = pqFixture()
+    val books = SimilarityOps.pqCodebooks(df, "vec_id", "embedding",
+      2, 2, 2, 2)
+    val p = SimilarityOps.pqEncode(df, "vec_id", "embedding", books, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"encode projection should not shuffle:\n$p")
+  }
+
+  test("pqAdcTopK: ADC distance equals the exact integer distance to " +
+       "the RECONSTRUCTED (codebook) vector, and top-1 matches the " +
+       "exact NN on separated clusters") {
+    val df = pqFixture()
+    val books = SimilarityOps.pqCodebooks(df, "vec_id", "embedding",
+      2, 2, 2, 2)
+    val codes = SimilarityOps.pqEncode(df, "vec_id", "embedding",
+      books, 2)
+    val got = SimilarityOps.pqAdcTopK(df.filter(col("vec_id") === 0),
+        codes, "vec_id", "embedding", books, subLen = 2, topK = 7)
+      .orderBy("rn").collect()
+    assert(got.length === 7)
+    // hand ADC: micro query dims vs each neighbor's reconstructed
+    // codebook centroids
+    val q = df.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Double](0)
+      .map(v => Math.round(v * 1e6))
+    val codeMap = codes.collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2))).toMap
+    got.foreach { r =>
+      val nb = r.getLong(r.fieldIndex("neighbor_id"))
+      val cs = codeMap(nb)
+      val want = (0 until 2).map { s =>
+        val cent = books(s)(cs(s).toInt)
+        (0 until 2).map { j =>
+          val d = q(s * 2 + j) - cent(j); d * d
+        }.sum
+      }.sum
+      assert(r.getLong(r.fieldIndex("adc_d2")) === want,
+        s"neighbor $nb")
+    }
+    // separated clusters: the 3 nearest are the same half (1, 2, 3)
+    assert(got.take(3).map(_.getLong(1)).toSet === Set(1L, 2L, 3L))
   }
 }
