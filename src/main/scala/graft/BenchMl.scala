@@ -98,6 +98,18 @@ object BenchMl {
   private def d5(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.5f", Double.box(v))
 
+  /** JSON string escape for interpolated label names — a label
+    * carrying a quote/backslash/control char must not break the one
+    * JSON line (round-13 review: same failure class as the locale
+    * pin). */
+  private def jstr(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_ML_ROWS", "1050000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -229,7 +241,7 @@ object BenchMl {
     }
     val algoJson = results.map { case (n, s, a, pl) =>
       val labelsJson = pl.map { case (l, n2, p, r) =>
-        s""""$l":{"label":"$n2","precision":${d5(p)},""" +
+        s""""$l":{"label":"${jstr(n2)}","precision":${d5(p)},""" +
           s""""recall":${d5(r)}}"""
       }.mkString(",")
       s""""$n":{"sec":${d3(s)},"accuracy":${d5(a)},""" +

@@ -55,22 +55,29 @@ object SparkEntry {
     (String, Long, Long, Int, Int), Array[Array[Long]]]()
   /** (row count, content xor) fingerprint of the embeddings table —
     * shared by the in-JVM memo key and the persisted artifact's
-    * provenance sidecar (q276). */
+    * provenance sidecar (q276). The hash covers the WHOLE embedding
+    * array per row (Spark's `hash` folds array elements), so a swap
+    * that preserves ids, cardinality, and even the first dimension
+    * but perturbs any later dimension still re-fits (the round-13
+    * review closed the element-1-only blind spot). One column-level
+    * aggregate over the same columns every fit reads anyway. */
   private def embFingerprint(s: SparkSession, dir: String): (Long, Long) = {
     val r = t(s, dir, "embeddings").agg(
       count(lit(1)),
-      coalesce(bit_xor(hash(col("vec_id"),
-        element_at(col("embedding"), 1)).cast("long")), lit(0L))).head()
+      coalesce(bit_xor(hash(col("vec_id"), col("embedding"))
+        .cast("long")), lit(0L))).head()
     (r.getLong(0), r.getLong(1))
   }
-  private def microCents(s: SparkSession, dir: String, k: Int,
-                         iters: Int): Array[Array[Long]] = {
-    val (n, x) = embFingerprint(s, dir)
+  private def microCentsFp(s: SparkSession, dir: String, k: Int,
+                           iters: Int,
+                           fp: (Long, Long)): Array[Array[Long]] =
     kmFitCache.computeIfAbsent(
-      (dir, n, x, k, iters),
+      (dir, fp._1, fp._2, k, iters),
       _ => SimilarityOps.kMeansMicro(t(s, dir, "embeddings"),
         "vec_id", "embedding", k, iters))
-  }
+  private def microCents(s: SparkSession, dir: String, k: Int,
+                         iters: Int): Array[Array[Long]] =
+    microCentsFp(s, dir, k, iters, embFingerprint(s, dir))
 
   /** Shared 4-sweep LPA assignment over [[communityEdges]] (round-13
     * verdict task 1 — the [[microCents]] memo pattern applied to the
@@ -5877,15 +5884,17 @@ object SparkEntry {
     // The oracle is q48's refit chain: a loaded artifact must replay
     // the memo-fit chain bit for bit, which is exactly what the
     // integer micro-unit centroids guarantee (lossless in parquet).
-    val cents = microCents(s, dir, 8, 4)
-    val path = s"${fitRoot(dir)}/kmeans_8_4"
     // provenance sidecar = the memo's data fingerprint made durable
     // (round-13 verdict task 4): a stale artifact from a regenerated
     // fixture fails loudly on load instead of silently replaying old
-    // centroids
-    val (n, x) = embFingerprint(s, dir)
-    val prov = Map("source_rows" -> n.toString,
-      "content_xor" -> x.toString, "k" -> "8", "iters" -> "4")
+    // centroids. ONE fingerprint aggregate serves both the memo key
+    // and the sidecar (review finding: the microCents-then-
+    // embFingerprint spelling scanned the table twice).
+    val fp = embFingerprint(s, dir)
+    val cents = microCentsFp(s, dir, 8, 4, fp)
+    val path = s"${fitRoot(dir)}/kmeans_8_4"
+    val prov = Map("source_rows" -> fp._1.toString,
+      "content_xor" -> fp._2.toString, "k" -> "8", "iters" -> "4")
     FitArtifacts.saveCentroids(s, path, cents, prov)
     val loaded = FitArtifacts.loadCentroids(s, path, expect = prov)
     val emb = t(s, dir, "embeddings")
@@ -6263,6 +6272,398 @@ object SparkEntry {
           PqSubLen),
         "vec_id", "embedding", books, PqSubLen, topK = 3)
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def q301(s: SparkSession, dir: String): DataFrame = {
+    // RELATIONAL BLOOM FILTER (Bloom 1970; SketchOps.bloomBitTable —
+    // unlike q59's opaque driver-built byte array, the filter here IS
+    // a distinct (bit) TABLE under the md5 rule, so the whole sketch
+    // and both membership guarantees hash-compare): members = every
+    // third order key, k=3 hash copies into m=4096 bits; probes =
+    // ALL members (must read maybe=true — Bloom's no-false-negative
+    // guarantee, checked as data) plus the disjoint %3=1 keys (every
+    // maybe=true IS a false positive — the measured FPR). Output: one
+    // row per probe class with the bit-table size riding.
+    val o = t(s, dir, "orders").select(col("o_orderkey"))
+    val members = o.where(col("o_orderkey") % 3 === 0)
+    val bits = SketchOps.bloomBitTable(members, "o_orderkey", 3, 4096)
+      .localCheckpoint() // feeds both probe classes + the size readout
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    val probes = members.select(col("o_orderkey"), lit("member")
+        .as("probe_class"))
+      .unionAll(o.where(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), lit("non_member").as("probe_class")))
+    SketchOps.bloomProbe(bits, probes.select(col("o_orderkey")).distinct(),
+        "o_orderkey", 3, 4096)
+      .join(probes, Seq("o_orderkey"))
+      .groupBy(col("probe_class"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"))
+      .crossJoin(broadcast(nBits))
+      .select(col("probe_class"), col("n_probes"), col("n_maybe"),
+        expr("n_maybe * 1000000 div n_probes").as("maybe_ppm"),
+        col("n_bits_set"))
+      .orderBy(col("probe_class"))
+  }
+
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    // GROUPED FM/LogLog CARDINALITY (SketchOps.fmCardinalityBy —
+    // the "distinct users per segment" readout a 100 TB pipeline
+    // runs sketch-first): per event_type, the 32-bucket LogLog
+    // estimate next to the exact distinct count. The sketch is one
+    // (group, bucket) max aggregate — state ≤ |groups|·32 cells per
+    // task — and the exact twin here is the audit column, both
+    // hash-checked.
+    val e = t(s, dir, "events")
+    val truth = e.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("true_distinct"))
+    SketchOps.fmCardinalityBy(e, "event_type", "user_id", 32)
+      .join(truth, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q303(s: SparkSession, dir: String): DataFrame =
+    // GOOD–TURING RE-ESTIMATION (Good 1953; TextOps.goodTuring): the
+    // count-of-counts table over corpus unigrams with r* =
+    // (r+1)·N_{r+1}/N_r in exact micro-units and the unseen mass
+    // P₀ = N₁/N — the smoothing table every held-out LM estimate
+    // starts from, as a LEVEL-bounded relational plan (nothing past
+    // the first token aggregate is corpus-sized). Raw-GT zero rows at
+    // N_{r+1} gaps are part of the pinned output.
+    TextOps.goodTuring(t(s, dir, "documents"), "text")
+      .orderBy(col("r"))
+
+  private def q304(s: SparkSession, dir: String): DataFrame =
+    // HITS HUBS & AUTHORITIES (Kleinberg 1999; GraphOps.hits — the
+    // q249/LPA determinism move applied to link analysis): 3
+    // mutual-reinforcement rounds over the directed block+bridge
+    // graph, every score an exact long on the L∞-normalized integer
+    // grid (raw·10⁶ div max — integer div replays in any engine), so
+    // the whole trajectory unrolls in the oracle as CTEs
+    // (hitsSqlChain, the lpaSqlChain technique).
+    GraphOps.hits(communityEdges(s, dir), iterations = 3)
+      .orderBy(col("id"))
+
+  private def q305(s: SparkSession, dir: String): DataFrame =
+    // ONE-PASS RIDGE REGRESSION (normal equations + Cramer solve,
+    // AggOps.ridgeCramer3): β and training R² for price ~ quantity +
+    // discount% + tax% from NINE integer sums in ONE aggregate pass —
+    // zero further shuffles, zero driver math, the closed form a
+    // 100 TB fit wants. λ=1000 in integer feature units. y in whole
+    // dollars keeps Σy² < 2⁵³ through sf1000 (the double-exact bound
+    // the identically-spelled Cramer block relies on).
+    AggOps.ridgeCramer3(
+      t(s, dir, "lineitem")
+        .withColumn("disc_pct", round(col("l_discount") * 100, 0)
+          .cast("long"))
+        .withColumn("tax_pct", round(col("l_tax") * 100, 0)
+          .cast("long"))
+        .withColumn("price_usd", round(col("l_extendedprice"), 0)
+          .cast("long")),
+      "l_quantity", "disc_pct", "tax_pct", "price_usd", lambda = 1000L)
+
+  private def q306(s: SparkSession, dir: String): DataFrame = {
+    // PAIRED PERMUTATION TEST (Fisher 1935; EvalOps.
+    // pairedPermutationTest): does line 1 of an order ship more units
+    // than line 2? d = q₁ − q₂ per order with both lines; B=64
+    // md5 sign-flip replicates — the test's ENTIRE null distribution
+    // (all 64 T_b, the extreme count, the add-one p) is deterministic
+    // and hash-checked, not property-tested. The fan-out aggregate is
+    // bounded-key (64 rows) and map-side combinable.
+    val li = t(s, dir, "lineitem")
+    def line(n: Int, as: String) = li.where(col("l_linenumber") === n)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as(as))
+    val pairs = line(1, "_q1").join(line(2, "_q2"), Seq("l_orderkey"))
+      .select(col("l_orderkey"), (col("_q1") - col("_q2")).as("d"))
+    EvalOps.pairedPermutationTest(pairs, "l_orderkey", "d", b = 64)
+      .orderBy(col("b"))
+  }
+
+  private def q307(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING WINDOWED FM CARDINALITY — q299's sketch under a
+    // watermark: per day, the 32-bucket LogLog distinct-user estimate
+    // maintained as ONE streaming (window, bucket) max aggregate
+    // (state ≤ 32 rows per open window — a sketch, never a per-user
+    // set; the exact streaming twin would hold every user id). The
+    // per-bucket maxes land in the sink append-only once the
+    // watermark passes the day; the LEVEL rollup to ΣR and the
+    // estimate runs batch-side on the 32-row-per-day sink table
+    // (q188's landed-readout convention). Oracle = the batch replay
+    // with the q173 watermark cutoff.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    val src = Tables.withTimestamps(
+      StreamOps.fileStream(s, schema, staged), "events")
+    val perBucket = src.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day"),
+        SketchOps.fmBucket(col("user_id"), 32).as("bucket"))
+      .agg(max(SketchOps.fmRho(col("user_id"))).as("r_max"))
+    StreamOps.runToCompletion(perBucket,
+        s"q307_sink_${System.nanoTime()}",
+        outputMode = "append", statePartitions = Some(8))
+      .groupBy(date_format(col("window.start"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("r_max")).as("sum_r"),
+        count(lit(1)).as("n_buckets"))
+      .select(col("day"), col("n_buckets"), col("sum_r"),
+        SketchOps.fmEstimateMicro(col("sum_r"), 32).as("ll_est_micro"))
+      .orderBy(col("day"))
+  }
+
+  private def q308(s: SparkSession, dir: String): DataFrame = {
+    // KMV DISTINCT + JOIN-SIZE ESTIMATION (Bar-Yossef et al. 2002;
+    // Beyer et al. 2007; SketchOps.kmvSketch — the order-statistic
+    // leg of the sketch family: the sketch is the k smallest md5
+    // values, planned as TakeOrderedAndProject — per-partition top-k
+    // heaps, never a global sort): 256-value sketches of the ordering
+    // customers vs the positive-balance customers, the
+    // union/intersection/Jaccard estimates read off the two k-long
+    // summaries (the join-size estimate a planner wants BEFORE
+    // running the join), and the exact intersection as the audit
+    // column. Order statistics of a content hash ⇒ the whole report
+    // hash-compares.
+    val k = 256
+    val aKeys = t(s, dir, "orders").select(col("o_custkey").as("key"))
+    val bKeys = t(s, dir, "customer").where(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("key"))
+    val est = SketchOps.kmvSetEstimates(
+      SketchOps.kmvSketch(aKeys, "key", k),
+      SketchOps.kmvSketch(bKeys, "key", k), k)
+    val truth = aKeys.distinct()
+      .join(bKeys.distinct(), Seq("key"), "left_semi")
+      .agg(count(lit(1)).as("true_intersect"))
+    est.crossJoin(broadcast(truth))
+  }
+
+  private def q309(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING MODEL MAINTENANCE — one ridge fit PER DAY kept as a
+    // streaming aggregate (AggOps.gramSums3 under a watermark): the
+    // per-window state is ELEVEN LONGS (the Gram sums) — model
+    // maintenance with sketch-sized state, never a data buffer — and
+    // the closed-form solve (cramerRidgeSolve3: q305's identically-
+    // spelled Cramer block) runs batch-side as a pure projection over
+    // the landed 1-row-per-day sums (q188's landed-readout
+    // convention). Features: hour-of-day, user_id mod 24, event_id
+    // mod 10 → centi-value target. Oracle = per-day batch replay with
+    // the q173 append-mode cutoff + the q305 solve per day.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    val src = Tables.withTimestamps(
+        StreamOps.fileStream(s, schema, staged), "events")
+      .withColumn("x1", hour(col("ts")).cast("long"))
+      .withColumn("x2", pmod(col("user_id"), lit(24L)))
+      .withColumn("x3", pmod(col("event_id"), lit(10L)))
+      .withColumn("y", round(col("value") * 100, 0).cast("long"))
+    val sums = AggOps.gramSums3(
+      src.withWatermark("ts", "0 seconds"),
+      "x1", "x2", "x3", "y",
+      Seq(window(col("ts"), "1 day")))
+    val landed = StreamOps.runToCompletion(sums,
+      s"q309_sink_${System.nanoTime()}",
+      outputMode = "append", statePartitions = Some(8))
+    AggOps.cramerRidgeSolve3(
+        landed.withColumn("day",
+          date_format(col("window.start"), "yyyy-MM-dd")),
+        lambda = 1000L, keep = Seq("day"))
+      .orderBy(col("day"))
+  }
+
+  private def q310(s: SparkSession, dir: String): DataFrame =
+    // BINARY-SEGMENTATION CHANGEPOINT (Scott & Knott 1974;
+    // AggOps.changepoint1 — the level-shift detector next to the
+    // sequential CUSUM readouts q165/q240): per event_type, the split
+    // maximizing the between-segment sum of squares over the
+    // (ts, event_id)-ordered centi-value series — exact integer
+    // prefix sums, one identically-spelled float gain, argmax by
+    // (gain desc, i asc). The only sort is the per-group series
+    // window.
+    AggOps.changepoint1(
+        t(s, dir, "events").withColumn("y",
+          round(col("value") * 100, 0).cast("long")),
+        "event_type", "ts", "event_id", "y")
+      .orderBy(col("event_type"))
+
+  private def q311(s: SparkSession, dir: String): DataFrame = {
+    // K-FOLD RIDGE CV WITHOUT RE-SCANNING (AggOps.ridgeCv3 — the
+    // Gram-additivity trick: fold f's training sums are total − fold,
+    // so 5 leave-fold-out models + their HELD-OUT SSE/RMSE all come
+    // from ONE data pass + arithmetic over the 5-row fold-sums
+    // table). Same features as q305, md5 5-way folds, λ=1000; every
+    // fold's β and held-out error hash-compare.
+    val key = concat(col("l_orderkey").cast("string"), lit("#"),
+      col("l_linenumber").cast("string"))
+    val li = t(s, dir, "lineitem")
+      .withColumn("fold",
+        pmod(conv(substring(md5(key), 1, 2), 16, 10).cast("long"),
+          lit(5L)))
+      .withColumn("disc_pct", round(col("l_discount") * 100, 0)
+        .cast("long"))
+      .withColumn("tax_pct", round(col("l_tax") * 100, 0).cast("long"))
+      .withColumn("price_usd", round(col("l_extendedprice"), 0)
+        .cast("long"))
+    AggOps.ridgeCv3(li, "l_quantity", "disc_pct", "tax_pct",
+        "price_usd", "fold", lambda = 1000L)
+      .orderBy(col("fold"))
+  }
+
+  private def q312(s: SparkSession, dir: String): DataFrame =
+    // GRID DBSCAN (Ester et al. 1996; Gunawan 2013's exact grid
+    // formulation; SimilarityOps.gridDbscan): density clustering of
+    // the embedding plane at the CELL level — 0.1-wide cells, core at
+    // ≥8 points, clusters = connected components of the 9-neighbor
+    // core-cell graph (min-label CC — deterministic), border cells
+    // adopt the minimum adjacent core component, the rest are noise.
+    // The ε-scan is a bounded 9-way explode + equi-join; everything
+    // past the first aggregate is occupied-cell bounded. The whole
+    // clustering (components, roles, counts) replays through a
+    // recursive min-label CTE (the q57 technique).
+    SimilarityOps.gridDbscan(t(s, dir, "embeddings"), "embedding",
+        cellMicro = 100000L, minPts = 8L)
+      .orderBy(col("cx"), col("cy"))
+
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
+    // token stream, md5-replayable end to end: the 4×64 counter
+    // matrix is ONE bounded-key groupBy (Catalyst's map-side partial
+    // aggregate IS the sketch — ≤ 256 cells per task at any corpus
+    // size), probes ride a broadcast of the cell table, and because
+    // the row hashes are the engine-portable md5 rule, the estimates
+    // — including their guaranteed-nonnegative overcount — are a pure
+    // content function, hash-checked against DuckDB. Probe set = the
+    // distinct tokens of doc_id < 20 (bounded-probe convention).
+    val toks = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .localCheckpoint() // feeds the sketch AND the exact probe counts
+    val counters = SketchOps.countMinCounters(toks, "tok", 4, 64)
+    val probes = t(s, dir, "documents").where(col("doc_id") < 20)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .distinct()
+    val truth = toks.join(probes, Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+    SketchOps.countMinEstimate(counters, probes, "tok", 4, 64)
+      .join(truth, Seq("tok"))
+      .select(col("tok"), col("true_n"), col("cms_est"),
+        (col("cms_est") - col("true_n")).as("overcount"))
+      .orderBy(col("tok"))
+  }
+
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    // INTERPOLATED KNESER–NEY LM QUALITY (q195's add-one gate
+    // upgraded to the standard smoothing — Kneser & Ney 1995, Chen &
+    // Goodman 1998): same even/odd train/held split, same per-doc
+    // micro-nat scores, but unseen bigrams now back off to the
+    // CONTINUATION unigram (distinct-context counts), the discount
+    // D = 0.75 exact in binary. Model tables vocabulary-bounded, held
+    // side collapsed to per-doc pair counts before any join.
+    val docs = t(s, dir, "documents")
+    TextOps.knBigramLmScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private def q296(s: SparkSession, dir: String): DataFrame = {
+    // MONDRIAN SPLIT CONFORMAL PREDICTION (Papadopoulos et al. 2002;
+    // Lei et al. 2018) on lineitem quantity: md5 10-way split (0–5
+    // train the per-returnflag mean, 6–7 calibrate, 8–9 test), scores
+    // scaled to integers (|y·n_tr − S_tr| — rank statistics are
+    // scale-free), q̂ = the exact ⌈(n+1)(1−α)⌉-th order statistic via
+    // the count-below rank rule over the per-group score histogram
+    // (≤ 50 distinct quantities ⇒ histogram-bounded, no sort), α=1/10.
+    // The whole guarantee loop — q̂ AND the test coverage it buys —
+    // is hash-checked.
+    val key = concat(col("l_orderkey").cast("string"), lit("#"),
+      col("l_linenumber").cast("string"))
+    val li = t(s, dir, "lineitem").withColumn("_h",
+      pmod(conv(substring(md5(key), 1, 2), 16, 10).cast("long"),
+        lit(10L)))
+    EvalOps.splitConformal(
+        li.where(col("_h") <= 5), li.where(col("_h").isin(6L, 7L)),
+        li.where(col("_h") >= 8), "l_returnflag", "l_quantity", 1, 10)
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    // DELETE-1 JACKKNIFE (Tukey 1958; Efron & Stein 1981) per
+    // returnflag: the ratio estimator Σprice/Σqty's bias via the
+    // leave-one-out replicates (algebraically flattened — totals
+    // broadcast back, replicates are ONE map-side projection, never n
+    // passes) and the mean's jackknife SE via the closed-form
+    // identity. Prices fixed to integer cents first so group totals
+    // are exact.
+    val li = t(s, dir, "lineitem").withColumn("price_cents",
+      round(col("l_extendedprice") * 100, 0).cast("long"))
+    EvalOps.jackknifeRatio(li, "l_returnflag",
+        "l_quantity", "price_cents")
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def q298(s: SparkSession, dir: String): DataFrame = {
+    // AMS F₂ SKETCH (Alon, Matias & Szegedy 1996): the self-join size
+    // of the token frequency vector estimated from 8 md5-sign sums —
+    // ONE scan carrying 8 longs of state per task (every sum is
+    // map-side combinable), estimate kept in EXACT integers
+    // ((Σ Xc²) div 8), compared against the exact F₂ from the
+    // frequency table. The classic moment sketch, hash-checked —
+    // signs, copies, estimate, error.
+    val toks = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .localCheckpoint() // feeds the sketch AND the exact moment
+    val sk = SketchOps.amsF2Sketch(toks, "tok", 8)
+    val truth = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("_n"))
+      .agg(sum(col("_n") * col("_n")).as("true_f2"))
+    sk.crossJoin(broadcast(truth))
+      .select(col("n_copies"), col("f2_est"), col("true_f2"),
+        abs(col("f2_est") - col("true_f2")).as("abs_err"),
+        col("x0"), col("x1"), col("x2"), col("x3"),
+        col("x4"), col("x5"), col("x6"), col("x7"))
+  }
+
+  private def q299(s: SparkSession, dir: String): DataFrame = {
+    // FLAJOLET–MARTIN / LOGLOG CARDINALITY (Flajolet & Martin 1985;
+    // Durand & Flajolet 2003): 64 buckets each keeping max ρ(h(tok))
+    // over the RAW token stream — the sketch is duplicate- and
+    // partition-invariant by construction (max of a content
+    // function), ρ computed WITHOUT float logs (length(bin(v & -v)):
+    // the lowest-set-bit isolate is a power of two whose binary
+    // length IS its position). The m-row sketch, the ΣR, and the
+    // α·m·2^(ΣR/m) estimate all hash-compare against the exact
+    // distinct count.
+    val toks = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .localCheckpoint() // feeds the sketch AND the true distinct
+    val truth = toks.agg(count_distinct(col("tok")).as("true_distinct"))
+    SketchOps.fmCardinality(toks, "tok", 64)
+      .crossJoin(broadcast(truth))
+      .orderBy(col("bucket"))
+  }
+
+  private def q300(s: SparkSession, dir: String): DataFrame = {
+    // SKETCH-THEN-EXACT HEAVY-KEY AUDIT — the two-pass pattern a
+    // 100 TB frequency audit actually runs: pass 1 streams the corpus
+    // through a 4×256 Count-Min (bounded state, no per-key table),
+    // pass 2 verifies ONLY the sketch's candidates (est ≥ τ — CMS
+    // never under-counts, so no true heavy key can escape the
+    // candidate set; false positives from collisions are exactly what
+    // the verify pass prunes) with an exact count restricted by
+    // semi-join to the candidate keys. Both passes and the
+    // confirmed/pruned verdicts hash-compare.
+    val tau = 500L
+    val toks = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .localCheckpoint() // pass-1 sketch + probe vocab + pass-2 verify
+    val counters = SketchOps.countMinCounters(toks, "tok", 4, 256)
+    val vocab = toks.distinct()
+    val cand = SketchOps.countMinEstimate(counters, vocab, "tok", 4, 256)
+      .where(col("cms_est") >= tau)
+    val verified = toks.join(cand.select(col("tok")), Seq("tok"),
+        "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+    cand.join(verified, Seq("tok"))
+      .select(col("tok"), col("cms_est"), col("true_n"),
+        (col("true_n") >= tau).as("confirmed"))
+      .orderBy(col("tok"))
   }
 
   private def q284(s: SparkSession, dir: String): DataFrame = {
@@ -7196,6 +7597,25 @@ object SparkEntry {
     "q291_stream_scd2_multi_deletes" -> q291 _,
     "q292_pq_encode" -> q292 _,
     "q293_pq_adc_topk" -> q293 _,
+    "q294_count_min" -> q294 _,
+    "q295_kneser_ney" -> q295 _,
+    "q296_conformal" -> q296 _,
+    "q297_jackknife" -> q297 _,
+    "q298_ams_f2" -> q298 _,
+    "q299_fm_cardinality" -> q299 _,
+    "q300_sketch_verify" -> q300 _,
+    "q301_bloom_filter" -> q301 _,
+    "q302_grouped_fm" -> q302 _,
+    "q303_good_turing" -> q303 _,
+    "q304_hits" -> q304 _,
+    "q305_ridge_cramer" -> q305 _,
+    "q306_permutation_test" -> q306 _,
+    "q307_stream_fm" -> q307 _,
+    "q308_kmv_join_estimate" -> q308 _,
+    "q309_stream_ridge" -> q309 _,
+    "q310_changepoint" -> q310 _,
+    "q311_ridge_cv" -> q311 _,
+    "q312_grid_dbscan" -> q312 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7671,6 +8091,38 @@ object SparkEntry {
        |  e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
        |  e AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
        |  l0 AS (SELECT DISTINCT src AS id, src AS lab FROM e),
+       |$rounds""".stripMargin
+  }
+
+  /** The q304 HITS trajectory as unrolled CTEs (the lpaSqlChain
+    * technique): per round, a raw hub sum over out-edges, the
+    * L∞ integer rescale (raw·10⁶ // max — `//` floors, Spark's `div`
+    * truncates; both operands are non-negative so they agree), then
+    * the authority half likewise. */
+  private def hitsSqlChain(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""  h${r}r AS (SELECT e.src AS id, sum(a.sc)::BIGINT AS raw
+         |    FROM e JOIN a${r - 1} a ON a.id = e.dst GROUP BY 1),
+         |  h$r AS (SELECT nd.id, coalesce(x.raw * 1000000 //
+         |      (SELECT max(raw) FROM h${r}r), 0)::BIGINT AS sc
+         |    FROM nd LEFT JOIN h${r}r x ON x.id = nd.id),
+         |  a${r}r AS (SELECT e.dst AS id, sum(h.sc)::BIGINT AS raw
+         |    FROM e JOIN h$r h ON h.id = e.src GROUP BY 1),
+         |  a$r AS (SELECT nd.id, coalesce(x.raw * 1000000 //
+         |      (SELECT max(raw) FROM a${r}r), 0)::BIGINT AS sc
+         |    FROM nd LEFT JOIN a${r}r x ON x.id = nd.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (SELECT (o_orderkey % 100)::BIGINT AS src,
+       |      ((o_orderkey % 100) // 10 * 10
+       |        + o_custkey % 10)::BIGINT AS dst FROM orders
+       |    UNION ALL
+       |    SELECT (o_orderkey % 100)::BIGINT,
+       |      ((o_orderkey * 7 + 13) % 100)::BIGINT FROM orders
+       |    WHERE o_orderkey % 250 = 0),
+       |  e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |  nd AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |  a0 AS (SELECT id, 1000000::BIGINT AS sc FROM nd),
        |$rounds""".stripMargin
   }
 
@@ -12311,6 +12763,652 @@ object SparkEntry {
         |        ORDER BY adc_d2, neighbor_id) AS rn FROM sc)
         |SELECT query_id, neighbor_id, adc_d2, rn::BIGINT AS rn
         |FROM r WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    "q294_count_min" ->
+      // same md5 row hashes, same 4×64 cell grid, same min-over-rows
+      // estimate — sketch and probes replay exactly
+      """WITH d AS (SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0) AS l FROM documents),
+        |  tok AS (SELECT unnest(l) AS tok FROM d),
+        |  rows_ AS (SELECT unnest(range(4)) AS r),
+        |  cells AS (SELECT r,
+        |      ('0x' || substr(md5('cms' || r || '|' || tok), 1, 8))
+        |        ::BIGINT % 64 AS bucket,
+        |      count(*)::BIGINT AS cnt
+        |    FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+        |  probes AS (SELECT DISTINCT unnest(l) AS tok FROM d
+        |    WHERE doc_id < 20),
+        |  pl AS (SELECT p.tok, r,
+        |      ('0x' || substr(md5('cms' || r || '|' || p.tok), 1, 8))
+        |        ::BIGINT % 64 AS bucket
+        |    FROM probes p CROSS JOIN rows_),
+        |  est AS (SELECT pl.tok,
+        |      min(coalesce(c.cnt, 0))::BIGINT AS cms_est
+        |    FROM pl LEFT JOIN cells c USING (r, bucket) GROUP BY 1),
+        |  tr AS (SELECT tok, count(*)::BIGINT AS true_n FROM tok
+        |    WHERE tok IN (SELECT tok FROM probes) GROUP BY 1)
+        |SELECT e.tok, tr.true_n, e.cms_est,
+        |  (e.cms_est - tr.true_n)::BIGINT AS overcount
+        |FROM est e JOIN tr USING (tok) ORDER BY tok""".stripMargin,
+    "q295_kneser_ney" ->
+      // same D=0.75 interpolated KN: identical integer model tables
+      // (pair counts, context totals, fwd/bwd continuation types,
+      // the (N1+(··), V) scalar), one identically-spelled float
+      // probability per bigram, micro-nats before the per-doc sum
+      """WITH trt AS (SELECT list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0) AS l
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |  tidx AS (SELECT l, unnest(range(1, len(l))) AS i FROM trt),
+        |  pairs AS (SELECT l[i] AS a, l[i + 1] AS b,
+        |      count(*)::BIGINT AS n_ab
+        |    FROM tidx GROUP BY 1, 2),
+        |  ctx AS (SELECT a, sum(n_ab)::BIGINT AS n_a,
+        |      count(*)::BIGINT AS n1p_fwd
+        |    FROM pairs GROUP BY 1),
+        |  ct AS (SELECT b, count(*)::BIGINT AS n1p_bwd
+        |    FROM pairs GROUP BY 1),
+        |  cs AS (SELECT (SELECT count(*) FROM pairs)::BIGINT
+        |        AS n1p_all,
+        |      (SELECT count(DISTINCT w)
+        |        FROM (SELECT unnest(l) AS w FROM trt))::BIGINT AS v),
+        |  ht AS (SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0) AS l
+        |    FROM documents WHERE doc_id % 2 = 1),
+        |  hidx AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+        |    FROM ht),
+        |  hb AS (SELECT doc_id, l[i] AS a, l[i + 1] AS b,
+        |      count(*)::BIGINT AS c
+        |    FROM hidx GROUP BY 1, 2, 3),
+        |  pc AS (SELECT h.*, (coalesce(ct.n1p_bwd, 0) + 1)::DOUBLE /
+        |      (cs.n1p_all + cs.v)::DOUBLE AS pcont
+        |    FROM hb h LEFT JOIN ct ON ct.b = h.b CROSS JOIN cs),
+        |  lp AS (SELECT h.doc_id, h.c,
+        |      round(ln(CASE WHEN x.n_a IS NULL THEN h.pcont
+        |        ELSE greatest(coalesce(p.n_ab, 0)::DOUBLE - 0.75, 0.0)
+        |            / x.n_a::DOUBLE
+        |          + (0.75 * x.n1p_fwd::DOUBLE / x.n_a::DOUBLE)
+        |            * h.pcont END) * 1e6)::BIGINT AS lp_micro
+        |    FROM pc h
+        |    LEFT JOIN pairs p ON p.a = h.a AND p.b = h.b
+        |    LEFT JOIN ctx x ON x.a = h.a)
+        |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |  sum(c * lp_micro)::BIGINT AS sum_lp_micro,
+        |  round(-sum(c * lp_micro)::DOUBLE / 1e6 / sum(c), 6)
+        |    AS avg_nll
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q296_conformal" ->
+      // same md5 10-way split, same integer-scaled scores, same exact
+      // ⌈(n+1)·9/10⌉ order statistic via the count-below rank rule
+      """WITH li AS (SELECT l_returnflag AS g, l_quantity::BIGINT AS y,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || '#' ||
+        |      l_linenumber::VARCHAR), 1, 2))::BIGINT % 10 AS h
+        |  FROM lineitem),
+        |  model AS (SELECT g, sum(y)::BIGINT AS s_tr,
+        |      count(*)::BIGINT AS n_tr
+        |    FROM li WHERE h <= 5 GROUP BY 1),
+        |  calsc AS (SELECT li.g, abs(y * n_tr - s_tr)::BIGINT AS r
+        |    FROM li JOIN model USING (g) WHERE h IN (6, 7)),
+        |  hist AS (SELECT g, r, count(*)::BIGINT AS c
+        |    FROM calsc GROUP BY 1, 2),
+        |  nc AS (SELECT g, sum(c)::BIGINT AS n_cal FROM hist
+        |    GROUP BY 1),
+        |  rk AS (SELECT g, r, c,
+        |      coalesce(sum(c) OVER (PARTITION BY g ORDER BY r
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS below
+        |    FROM hist),
+        |  qh AS (SELECT rk.g, nc.n_cal, rk.r AS qhat_scaled
+        |    FROM rk JOIN nc USING (g)
+        |    WHERE below < ((n_cal + 1) * 9 + 9) // 10
+        |      AND below + c >= ((n_cal + 1) * 9 + 9) // 10),
+        |  test AS (SELECT li.g, abs(y * n_tr - s_tr)::BIGINT AS r
+        |    FROM li JOIN model USING (g) WHERE h >= 8)
+        |SELECT t.g AS l_returnflag, qh.n_cal, qh.qhat_scaled,
+        |  count(*)::BIGINT AS n_test,
+        |  sum(CASE WHEN t.r <= qh.qhat_scaled THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_covered,
+        |  round(sum(CASE WHEN t.r <= qh.qhat_scaled THEN 1 ELSE 0
+        |    END)::DOUBLE / count(*), 6) AS coverage
+        |FROM test t JOIN qh ON qh.g = t.g
+        |GROUP BY 1, 2, 3 ORDER BY l_returnflag""".stripMargin,
+    "q297_jackknife" ->
+      // same integer cents, same one-pass leave-one-out algebra —
+      // replicates and the closed-form SE spelled identically
+      """WITH li AS (SELECT l_returnflag AS g,
+        |    l_quantity::BIGINT AS x,
+        |    round(l_extendedprice * 100)::BIGINT AS y
+        |  FROM lineitem),
+        |  tot AS (SELECT g, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |      sum(x * x)::BIGINT AS sxx, count(*)::BIGINT AS n
+        |    FROM li GROUP BY 1),
+        |  rep AS (SELECT li.g,
+        |      round((sy - y)::DOUBLE / (sx - x)::DOUBLE * 1e6)::BIGINT
+        |        AS ri_micro
+        |    FROM li JOIN tot USING (g))
+        |SELECT t.g AS l_returnflag, t.n, t.sx AS sum_x, t.sy AS sum_y,
+        |  round(t.sy::DOUBLE / t.sx * 1e6)::BIGINT AS ratio_micro,
+        |  round((t.n - 1)::DOUBLE *
+        |    (s.sum_ri::DOUBLE / t.n / 1e6 -
+        |      round(t.sy::DOUBLE / t.sx * 1e6)::BIGINT::DOUBLE / 1e6)
+        |    * 1e6)::BIGINT AS jack_bias_micro,
+        |  round(sqrt((t.n * t.sxx - t.sx * t.sx)::DOUBLE /
+        |    (t.n * t.n * (t.n - 1))::DOUBLE) * 1e6)::BIGINT
+        |    AS jack_se_mean_x_micro
+        |FROM tot t JOIN (SELECT g, sum(ri_micro)::BIGINT AS sum_ri
+        |  FROM rep GROUP BY 1) s USING (g)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q298_ams_f2" -> {
+      // same 8 md5-sign sums, same exact-integer estimate (// on
+      // non-negative operands ≡ Spark's div)
+      val xs = (0 until 8).map { c =>
+        s"""sum(CASE WHEN ('0x' || substr(md5('ams$c|' || tok), 1, 1))
+           |      ::BIGINT % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
+           |    AS x$c""".stripMargin
+      }.mkString(",\n    ")
+      val sq = (0 until 8).map(c => s"x$c * x$c").mkString(" + ")
+      s"""WITH d AS (SELECT list_filter(
+        |      string_split_regex(lower(text), '\\s+'),
+        |      z -> len(z) > 0) AS l FROM documents),
+        |  tok AS (SELECT unnest(l) AS tok FROM d),
+        |  sk AS (SELECT $xs
+        |    FROM tok),
+        |  tf AS (SELECT sum(n * n)::BIGINT AS true_f2
+        |    FROM (SELECT count(*)::BIGINT AS n FROM tok GROUP BY tok))
+        |SELECT 8::BIGINT AS n_copies,
+        |  (($sq) // 8)::BIGINT AS f2_est, tf.true_f2,
+        |  abs(($sq) // 8 - tf.true_f2)::BIGINT AS abs_err,
+        |  x0, x1, x2, x3, x4, x5, x6, x7
+        |FROM sk CROSS JOIN tf""".stripMargin
+    },
+    "q299_fm_cardinality" ->
+      // same bucket/value hashes, same float-free ρ (binary length of
+      // the lowest-set-bit isolate), same micro-fixed estimate
+      """WITH d AS (SELECT list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0) AS l FROM documents),
+        |  tok AS (SELECT unnest(l) AS tok FROM d),
+        |  h AS (SELECT
+        |      ('0x' || substr(md5('fm|' || tok), 1, 2))::BIGINT % 64
+        |        AS bucket,
+        |      ('0x' || substr(md5('fm|' || tok), 3, 14))::BIGINT AS v
+        |    FROM tok),
+        |  r AS (SELECT bucket, max(CASE WHEN v = 0 THEN 57
+        |      ELSE length(bin(v & (-v))) END)::BIGINT AS r_max
+        |    FROM h GROUP BY 1),
+        |  e AS (SELECT sum(r_max)::BIGINT AS sum_r,
+        |      round(0.39701 * 64 * pow(2.0,
+        |        sum(r_max)::DOUBLE / 64) * 1e6)::BIGINT
+        |        AS ll_est_micro
+        |    FROM r),
+        |  t AS (SELECT count(DISTINCT tok)::BIGINT AS true_distinct
+        |    FROM tok)
+        |SELECT bucket, r_max, sum_r, ll_est_micro, true_distinct
+        |FROM r CROSS JOIN e CROSS JOIN t ORDER BY bucket""".stripMargin,
+    "q300_sketch_verify" ->
+      // same 4×256 sketch, same τ=500 candidate gate, same exact
+      // verify restricted to candidates
+      """WITH d AS (SELECT list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0) AS l FROM documents),
+        |  tok AS (SELECT unnest(l) AS tok FROM d),
+        |  rows_ AS (SELECT unnest(range(4)) AS r),
+        |  cells AS (SELECT r,
+        |      ('0x' || substr(md5('cms' || r || '|' || tok), 1, 8))
+        |        ::BIGINT % 256 AS bucket,
+        |      count(*)::BIGINT AS cnt
+        |    FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+        |  vocab AS (SELECT DISTINCT tok FROM tok),
+        |  pl AS (SELECT v.tok, r,
+        |      ('0x' || substr(md5('cms' || r || '|' || v.tok), 1, 8))
+        |        ::BIGINT % 256 AS bucket
+        |    FROM vocab v CROSS JOIN rows_),
+        |  est AS (SELECT pl.tok,
+        |      min(coalesce(c.cnt, 0))::BIGINT AS cms_est
+        |    FROM pl LEFT JOIN cells c USING (r, bucket) GROUP BY 1),
+        |  cand AS (SELECT * FROM est WHERE cms_est >= 500),
+        |  ver AS (SELECT tok, count(*)::BIGINT AS true_n FROM tok
+        |    WHERE tok IN (SELECT tok FROM cand) GROUP BY 1)
+        |SELECT c.tok, c.cms_est, v.true_n, v.true_n >= 500 AS confirmed
+        |FROM cand c JOIN ver v USING (tok) ORDER BY tok""".stripMargin,
+    "q301_bloom_filter" ->
+      // same k=3 md5 positions into m=4096 bits, same distinct bit
+      // table, same all-k membership test and per-class rollup
+      """WITH o AS (SELECT o_orderkey FROM orders),
+        |  members AS (SELECT o_orderkey FROM o WHERE o_orderkey % 3 = 0),
+        |  bits AS (SELECT DISTINCT bit FROM (
+        |    SELECT ('0x' || substr(md5('bl' || h.i || '|' ||
+        |        o_orderkey::VARCHAR), 1, 8))::BIGINT % 4096 AS bit
+        |    FROM members CROSS JOIN
+        |      (SELECT unnest(range(3)) AS i) h)),
+        |  nb AS (SELECT count(*)::BIGINT AS n_bits_set FROM bits),
+        |  probes AS (SELECT o_orderkey, 'member' AS probe_class
+        |      FROM members
+        |    UNION ALL
+        |    SELECT o_orderkey, 'non_member' FROM o
+        |      WHERE o_orderkey % 3 = 1),
+        |  pb AS (SELECT DISTINCT o_orderkey FROM probes),
+        |  pe AS (SELECT pb.o_orderkey,
+        |      ('0x' || substr(md5('bl' || h.i || '|' ||
+        |        pb.o_orderkey::VARCHAR), 1, 8))::BIGINT % 4096 AS bit
+        |    FROM pb CROSS JOIN (SELECT unnest(range(3)) AS i) h),
+        |  mb AS (SELECT pe.o_orderkey,
+        |      (sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 3)
+        |        AS maybe
+        |    FROM pe LEFT JOIN bits b ON b.bit = pe.bit GROUP BY 1)
+        |SELECT p.probe_class, count(*)::BIGINT AS n_probes,
+        |  sum(CASE WHEN m.maybe THEN 1 ELSE 0 END)::BIGINT AS n_maybe,
+        |  (sum(CASE WHEN m.maybe THEN 1 ELSE 0 END) * 1000000
+        |    // count(*))::BIGINT AS maybe_ppm,
+        |  nb.n_bits_set
+        |FROM probes p JOIN mb m USING (o_orderkey) CROSS JOIN nb
+        |GROUP BY 1, 5 ORDER BY probe_class""".stripMargin,
+    "q302_grouped_fm" ->
+      // same per-(group, bucket) max-ρ sketch, same ΣR rollup and
+      // micro estimate, exact distinct as the audit column
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5('fm|' || user_id::VARCHAR), 1, 2))
+        |      ::BIGINT % 32 AS bucket,
+        |    ('0x' || substr(md5('fm|' || user_id::VARCHAR), 3, 14))
+        |      ::BIGINT AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |  sk AS (SELECT event_type, bucket,
+        |      max(CASE WHEN v = 0 THEN 57
+        |        ELSE length(bin(v & (-v))) END)::BIGINT AS r_max
+        |    FROM h GROUP BY 1, 2),
+        |  g AS (SELECT event_type, sum(r_max)::BIGINT AS sum_r
+        |    FROM sk GROUP BY 1),
+        |  tr AS (SELECT event_type,
+        |      count(DISTINCT user_id)::BIGINT AS true_distinct
+        |    FROM events GROUP BY 1)
+        |SELECT g.event_type, g.sum_r,
+        |  round(0.39701 * 32 * pow(2.0, g.sum_r::DOUBLE / 32)
+        |    * 1e6)::BIGINT AS ll_est_micro,
+        |  tr.true_distinct
+        |FROM g JOIN tr USING (event_type) ORDER BY event_type""".stripMargin,
+    "q303_good_turing" ->
+      // same vocabulary counts, count-of-counts, (r+1)·N_{r+1}/N_r
+      // micro re-estimates and N₁/N unseen mass
+      """WITH d AS (SELECT list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      z -> len(z) > 0) AS l FROM documents),
+        |  w AS (SELECT unnest(l) AS w FROM d),
+        |  counts AS (SELECT w, count(*)::BIGINT AS r FROM w GROUP BY 1),
+        |  levels AS (SELECT r, count(*)::BIGINT AS n_r FROM counts
+        |    GROUP BY 1),
+        |  tot AS (SELECT sum(r * n_r)::BIGINT AS n_tokens,
+        |      sum(CASE WHEN r = 1 THEN n_r ELSE 0 END)::BIGINT AS n1
+        |    FROM levels)
+        |SELECT l.r, l.n_r,
+        |  round((l.r + 1)::DOUBLE * coalesce(nx.n_r, 0)::DOUBLE /
+        |    l.n_r::DOUBLE * 1e6)::BIGINT AS r_star_micro,
+        |  tot.n_tokens,
+        |  round(tot.n1::DOUBLE / tot.n_tokens::DOUBLE * 1e6)::BIGINT
+        |    AS p0_micro
+        |FROM levels l LEFT JOIN levels nx ON nx.r = l.r + 1
+        |CROSS JOIN tot ORDER BY l.r""".stripMargin,
+    "q304_hits" ->
+      // the same 3 mutual-reinforcement rounds on the integer grid,
+      // unrolled as CTEs
+      s"""WITH ${hitsSqlChain(3)}
+        |SELECT nd.id, h3.sc AS hub_micro, a3.sc AS auth_micro
+        |FROM nd JOIN h3 ON h3.id = nd.id JOIN a3 ON a3.id = nd.id
+        |ORDER BY nd.id""".stripMargin,
+    "q305_ridge_cramer" ->
+      // the same nine integer sums + λ ridge, the same identically-
+      // spelled Cramer determinant block and R² readout
+      """WITH li AS (SELECT l_quantity::BIGINT AS x1,
+        |    round(l_discount * 100)::BIGINT AS x2,
+        |    round(l_tax * 100)::BIGINT AS x3,
+        |    round(l_extendedprice)::BIGINT AS y
+        |  FROM lineitem),
+        |  s AS (SELECT count(*)::BIGINT AS n,
+        |    (sum(x1 * x1) + 1000)::BIGINT AS a11,
+        |    sum(x1 * x2)::BIGINT AS a12, sum(x1 * x3)::BIGINT AS a13,
+        |    (sum(x2 * x2) + 1000)::BIGINT AS a22,
+        |    sum(x2 * x3)::BIGINT AS a23,
+        |    (sum(x3 * x3) + 1000)::BIGINT AS a33,
+        |    sum(x1 * y)::BIGINT AS b1, sum(x2 * y)::BIGINT AS b2,
+        |    sum(x3 * y)::BIGINT AS b3, sum(y * y)::BIGINT AS syy
+        |  FROM li),
+        |  d AS (SELECT *,
+        |    a11::DOUBLE * (a22::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a23::DOUBLE)
+        |    - a12::DOUBLE * (a12::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a13::DOUBLE)
+        |    + a13::DOUBLE * (a12::DOUBLE * a23::DOUBLE
+        |      - a22::DOUBLE * a13::DOUBLE) AS da,
+        |    b1::DOUBLE * (a22::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a23::DOUBLE)
+        |    - a12::DOUBLE * (b2::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * b3::DOUBLE)
+        |    + a13::DOUBLE * (b2::DOUBLE * a23::DOUBLE
+        |      - a22::DOUBLE * b3::DOUBLE) AS d1,
+        |    a11::DOUBLE * (b2::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * b3::DOUBLE)
+        |    - b1::DOUBLE * (a12::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a13::DOUBLE)
+        |    + a13::DOUBLE * (a12::DOUBLE * b3::DOUBLE
+        |      - b2::DOUBLE * a13::DOUBLE) AS d2,
+        |    a11::DOUBLE * (a22::DOUBLE * b3::DOUBLE
+        |      - b2::DOUBLE * a23::DOUBLE)
+        |    - a12::DOUBLE * (a12::DOUBLE * b3::DOUBLE
+        |      - b2::DOUBLE * a13::DOUBLE)
+        |    + b1::DOUBLE * (a12::DOUBLE * a23::DOUBLE
+        |      - a22::DOUBLE * a13::DOUBLE) AS d3
+        |  FROM s),
+        |  bt AS (SELECT *, d1 / da AS bb1, d2 / da AS bb2,
+        |      d3 / da AS bb3 FROM d)
+        |SELECT n, round(bb1 * 1e6)::BIGINT AS b1_micro,
+        |  round(bb2 * 1e6)::BIGINT AS b2_micro,
+        |  round(bb3 * 1e6)::BIGINT AS b3_micro,
+        |  round((1.0 - (syy::DOUBLE
+        |    - 2.0 * (bb1 * b1::DOUBLE + bb2 * b2::DOUBLE
+        |      + bb3 * b3::DOUBLE)
+        |    + (bb1 * bb1 * a11::DOUBLE + bb2 * bb2 * a22::DOUBLE
+        |      + bb3 * bb3 * a33::DOUBLE
+        |      + 2.0 * (bb1 * bb2 * a12::DOUBLE + bb1 * bb3 * a13::DOUBLE
+        |        + bb2 * bb3 * a23::DOUBLE)))
+        |    / syy::DOUBLE) * 1e6)::BIGINT AS r2_micro
+        |FROM bt""".stripMargin,
+    "q306_permutation_test" ->
+      // same pairing, same md5 sign rule, same add-one p in micro
+      """WITH l1 AS (SELECT l_orderkey, l_quantity::BIGINT AS q1
+        |    FROM lineitem WHERE l_linenumber = 1),
+        |  l2 AS (SELECT l_orderkey, l_quantity::BIGINT AS q2
+        |    FROM lineitem WHERE l_linenumber = 2),
+        |  pairs AS (SELECT l1.l_orderkey AS id, q1 - q2 AS d
+        |    FROM l1 JOIN l2 USING (l_orderkey)),
+        |  obs AS (SELECT count(*)::BIGINT AS n_pairs,
+        |      sum(d)::BIGINT AS t_obs FROM pairs),
+        |  reps AS (SELECT b.b,
+        |      sum(CASE WHEN ('0x' || substr(md5('pt' || b.b || '|' ||
+        |          id::VARCHAR), 1, 1))::BIGINT % 2 = 0
+        |        THEN d ELSE -d END)::BIGINT AS t_b
+        |    FROM pairs CROSS JOIN
+        |      (SELECT unnest(range(64)) AS b) b GROUP BY 1),
+        |  fl AS (SELECT r.b, r.t_b, abs(r.t_b) >= abs(o.t_obs)
+        |      AS is_extreme, o.n_pairs, o.t_obs
+        |    FROM reps r CROSS JOIN obs o),
+        |  p AS (SELECT ((sum(CASE WHEN is_extreme THEN 1 ELSE 0 END)
+        |      + 1) * 1000000 // 65)::BIGINT AS p_micro FROM fl)
+        |SELECT fl.b, fl.t_b, fl.is_extreme, fl.n_pairs, fl.t_obs,
+        |  p.p_micro
+        |FROM fl CROSS JOIN p ORDER BY fl.b""".stripMargin,
+    "q307_stream_fm" ->
+      // batch replay of the per-day (bucket, max ρ) sketch with the
+      // q173 append-mode watermark cutoff, then the ΣR rollup
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |  h AS (SELECT date_trunc('day', ts) AS d0,
+        |      ('0x' || substr(md5('fm|' || user_id::VARCHAR), 1, 2))
+        |        ::BIGINT % 32 AS bucket,
+        |      ('0x' || substr(md5('fm|' || user_id::VARCHAR), 3, 14))
+        |        ::BIGINT AS v
+        |    FROM events CROSS JOIN mx
+        |    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m
+        |      AND user_id IS NOT NULL),
+        |  sk AS (SELECT d0, bucket, max(CASE WHEN v = 0 THEN 57
+        |      ELSE length(bin(v & (-v))) END)::BIGINT AS r_max
+        |    FROM h GROUP BY 1, 2)
+        |SELECT strftime(d0, '%Y-%m-%d') AS day,
+        |  count(*)::BIGINT AS n_buckets, sum(r_max)::BIGINT AS sum_r,
+        |  round(0.39701 * 32 * pow(2.0, sum(r_max)::DOUBLE / 32)
+        |    * 1e6)::BIGINT AS ll_est_micro
+        |FROM sk GROUP BY d0 ORDER BY day""".stripMargin,
+    "q308_kmv_join_estimate" ->
+      // same k smallest md5 values per set, same union/overlap order
+      // statistics, same integer rescales
+      """WITH a AS (SELECT DISTINCT ('0x' || substr(md5('kmv|' ||
+        |      o_custkey::VARCHAR), 1, 14))::BIGINT AS h FROM orders
+        |    ORDER BY h LIMIT 256),
+        |  b AS (SELECT DISTINCT ('0x' || substr(md5('kmv|' ||
+        |      c_custkey::VARCHAR), 1, 14))::BIGINT AS h FROM customer
+        |    WHERE c_acctbal > 0 ORDER BY h LIMIT 256),
+        |  l AS (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL
+        |      SELECT h FROM b) ORDER BY h LIMIT 256),
+        |  ue AS (SELECT count(*)::BIGINT AS k_union,
+        |      CASE WHEN count(*) < 256 THEN count(*) * 1000000
+        |        ELSE round(255.0::DOUBLE * 72057594037927936::DOUBLE /
+        |          max(h)::DOUBLE * 1e6)::BIGINT END AS est_union_micro
+        |    FROM l),
+        |  ki AS (SELECT count(*)::BIGINT AS k_intersect FROM l
+        |    WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+        |  tr AS (SELECT count(*)::BIGINT AS true_intersect FROM
+        |    (SELECT DISTINCT o_custkey AS key FROM orders) oa
+        |    WHERE key IN (SELECT c_custkey FROM customer
+        |      WHERE c_acctbal > 0))
+        |SELECT ue.k_union, ki.k_intersect,
+        |  (ki.k_intersect * 1000000 // ue.k_union)::BIGINT
+        |    AS jaccard_ppm,
+        |  ue.est_union_micro,
+        |  (ki.k_intersect * ue.est_union_micro // ue.k_union)::BIGINT
+        |    AS est_intersect_micro,
+        |  tr.true_intersect
+        |FROM ue CROSS JOIN ki CROSS JOIN tr""".stripMargin,
+    "q309_stream_ridge" ->
+      // per-day batch replay with the q173 append-mode cutoff, then
+      // the q305 identically-spelled Cramer solve per day (λ=1000)
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |  src AS (SELECT date_trunc('day', ts) AS d0,
+        |      hour(ts)::BIGINT AS x1, user_id % 24 AS x2,
+        |      event_id % 10 AS x3, round(value * 100)::BIGINT AS y
+        |    FROM events CROSS JOIN mx
+        |    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m),
+        |  s AS (SELECT d0, count(*)::BIGINT AS n,
+        |    (sum(x1 * x1) + 1000)::BIGINT AS a11,
+        |    sum(x1 * x2)::BIGINT AS a12, sum(x1 * x3)::BIGINT AS a13,
+        |    (sum(x2 * x2) + 1000)::BIGINT AS a22,
+        |    sum(x2 * x3)::BIGINT AS a23,
+        |    (sum(x3 * x3) + 1000)::BIGINT AS a33,
+        |    sum(x1 * y)::BIGINT AS b1, sum(x2 * y)::BIGINT AS b2,
+        |    sum(x3 * y)::BIGINT AS b3, sum(y * y)::BIGINT AS syy
+        |  FROM src GROUP BY 1),
+        |  d AS (SELECT *,
+        |    a11::DOUBLE * (a22::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a23::DOUBLE)
+        |    - a12::DOUBLE * (a12::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a13::DOUBLE)
+        |    + a13::DOUBLE * (a12::DOUBLE * a23::DOUBLE
+        |      - a22::DOUBLE * a13::DOUBLE) AS da,
+        |    b1::DOUBLE * (a22::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a23::DOUBLE)
+        |    - a12::DOUBLE * (b2::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * b3::DOUBLE)
+        |    + a13::DOUBLE * (b2::DOUBLE * a23::DOUBLE
+        |      - a22::DOUBLE * b3::DOUBLE) AS d1,
+        |    a11::DOUBLE * (b2::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * b3::DOUBLE)
+        |    - b1::DOUBLE * (a12::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a13::DOUBLE)
+        |    + a13::DOUBLE * (a12::DOUBLE * b3::DOUBLE
+        |      - b2::DOUBLE * a13::DOUBLE) AS d2,
+        |    a11::DOUBLE * (a22::DOUBLE * b3::DOUBLE
+        |      - b2::DOUBLE * a23::DOUBLE)
+        |    - a12::DOUBLE * (a12::DOUBLE * b3::DOUBLE
+        |      - b2::DOUBLE * a13::DOUBLE)
+        |    + b1::DOUBLE * (a12::DOUBLE * a23::DOUBLE
+        |      - a22::DOUBLE * a13::DOUBLE) AS d3
+        |  FROM s),
+        |  bt AS (SELECT *, d1 / da AS bb1, d2 / da AS bb2,
+        |      d3 / da AS bb3 FROM d)
+        |SELECT strftime(d0, '%Y-%m-%d') AS day, n,
+        |  round(bb1 * 1e6)::BIGINT AS b1_micro,
+        |  round(bb2 * 1e6)::BIGINT AS b2_micro,
+        |  round(bb3 * 1e6)::BIGINT AS b3_micro,
+        |  round((1.0 - (syy::DOUBLE
+        |    - 2.0 * (bb1 * b1::DOUBLE + bb2 * b2::DOUBLE
+        |      + bb3 * b3::DOUBLE)
+        |    + (bb1 * bb1 * a11::DOUBLE + bb2 * bb2 * a22::DOUBLE
+        |      + bb3 * bb3 * a33::DOUBLE
+        |      + 2.0 * (bb1 * bb2 * a12::DOUBLE + bb1 * bb3 * a13::DOUBLE
+        |        + bb2 * bb3 * a23::DOUBLE)))
+        |    / syy::DOUBLE) * 1e6)::BIGINT AS r2_micro
+        |FROM bt ORDER BY day""".stripMargin,
+    "q310_changepoint" ->
+      // same (ts, tie) series order, same integer prefix sums, same
+      // float gain; the max_by argmax replays as the rank-1 row of
+      // (gain DESC, i) — DuckDB's max_by rejects struct keys
+      """WITH pre AS (SELECT event_type, ts, event_id,
+        |      round(value * 100)::BIGINT AS y,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY ts, event_id) AS i,
+        |      sum(round(value * 100)::BIGINT) OVER
+        |        (PARTITION BY event_type ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS si
+        |    FROM events),
+        |  tot AS (SELECT event_type, max(i)::BIGINT AS n,
+        |      sum(y)::BIGINT AS s FROM pre GROUP BY 1),
+        |  cand AS (SELECT p.event_type, p.i, p.ts, p.si, t.n, t.s,
+        |      round(p.si::DOUBLE * p.si::DOUBLE / p.i::DOUBLE
+        |        + (t.s - p.si)::DOUBLE * (t.s - p.si)::DOUBLE
+        |          / (t.n - p.i)::DOUBLE
+        |        - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE)::BIGINT
+        |        AS gain
+        |    FROM pre p JOIN tot t USING (event_type) WHERE p.i < t.n),
+        |  best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gain DESC, i) AS rn FROM cand)
+        |SELECT event_type, n, i::BIGINT AS split_i,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS split_ts,
+        |  i::BIGINT AS left_n, si::BIGINT AS left_sum,
+        |  gain AS gain_units, (s - si)::BIGINT AS right_sum
+        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q311_ridge_cv" ->
+      // same md5 folds; training sums = total − fold (Gram
+      // additivity), the q305 Cramer block per fold, held-out SSE
+      // from the fold's raw sums with β at its published micro
+      // precision
+      """WITH li AS (SELECT
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || '#' ||
+        |      l_linenumber::VARCHAR), 1, 2))::BIGINT % 5 AS fold,
+        |    l_quantity::BIGINT AS x1,
+        |    round(l_discount * 100)::BIGINT AS x2,
+        |    round(l_tax * 100)::BIGINT AS x3,
+        |    round(l_extendedprice)::BIGINT AS y
+        |  FROM lineitem),
+        |  f AS (SELECT fold, count(*)::BIGINT AS n,
+        |    sum(x1 * x1)::BIGINT AS s11, sum(x1 * x2)::BIGINT AS s12,
+        |    sum(x1 * x3)::BIGINT AS s13, sum(x2 * x2)::BIGINT AS s22,
+        |    sum(x2 * x3)::BIGINT AS s23, sum(x3 * x3)::BIGINT AS s33,
+        |    sum(x1 * y)::BIGINT AS b1, sum(x2 * y)::BIGINT AS b2,
+        |    sum(x3 * y)::BIGINT AS b3, sum(y * y)::BIGINT AS syy
+        |  FROM li GROUP BY 1),
+        |  t AS (SELECT sum(n)::BIGINT AS tn, sum(s11)::BIGINT AS t11,
+        |    sum(s12)::BIGINT AS t12, sum(s13)::BIGINT AS t13,
+        |    sum(s22)::BIGINT AS t22, sum(s23)::BIGINT AS t23,
+        |    sum(s33)::BIGINT AS t33, sum(b1)::BIGINT AS tb1,
+        |    sum(b2)::BIGINT AS tb2, sum(b3)::BIGINT AS tb3 FROM f),
+        |  loo AS (SELECT f.fold, f.n AS n_test,
+        |    (t.tn - f.n)::BIGINT AS n_train,
+        |    (t.t11 - f.s11 + 1000)::BIGINT AS a11,
+        |    (t.t12 - f.s12)::BIGINT AS a12,
+        |    (t.t13 - f.s13)::BIGINT AS a13,
+        |    (t.t22 - f.s22 + 1000)::BIGINT AS a22,
+        |    (t.t23 - f.s23)::BIGINT AS a23,
+        |    (t.t33 - f.s33 + 1000)::BIGINT AS a33,
+        |    (t.tb1 - f.b1)::BIGINT AS lb1,
+        |    (t.tb2 - f.b2)::BIGINT AS lb2,
+        |    (t.tb3 - f.b3)::BIGINT AS lb3
+        |  FROM f CROSS JOIN t),
+        |  d AS (SELECT *,
+        |    a11::DOUBLE * (a22::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a23::DOUBLE)
+        |    - a12::DOUBLE * (a12::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a13::DOUBLE)
+        |    + a13::DOUBLE * (a12::DOUBLE * a23::DOUBLE
+        |      - a22::DOUBLE * a13::DOUBLE) AS da,
+        |    lb1::DOUBLE * (a22::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a23::DOUBLE)
+        |    - a12::DOUBLE * (lb2::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * lb3::DOUBLE)
+        |    + a13::DOUBLE * (lb2::DOUBLE * a23::DOUBLE
+        |      - a22::DOUBLE * lb3::DOUBLE) AS d1,
+        |    a11::DOUBLE * (lb2::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * lb3::DOUBLE)
+        |    - lb1::DOUBLE * (a12::DOUBLE * a33::DOUBLE
+        |      - a23::DOUBLE * a13::DOUBLE)
+        |    + a13::DOUBLE * (a12::DOUBLE * lb3::DOUBLE
+        |      - lb2::DOUBLE * a13::DOUBLE) AS d2,
+        |    a11::DOUBLE * (a22::DOUBLE * lb3::DOUBLE
+        |      - lb2::DOUBLE * a23::DOUBLE)
+        |    - a12::DOUBLE * (a12::DOUBLE * lb3::DOUBLE
+        |      - lb2::DOUBLE * a13::DOUBLE)
+        |    + lb1::DOUBLE * (a12::DOUBLE * a23::DOUBLE
+        |      - a22::DOUBLE * a13::DOUBLE) AS d3
+        |  FROM loo),
+        |  bt AS (SELECT fold, n_test, n_train,
+        |      round(d1 / da * 1e6)::BIGINT AS b1_micro,
+        |      round(d2 / da * 1e6)::BIGINT AS b2_micro,
+        |      round(d3 / da * 1e6)::BIGINT AS b3_micro
+        |    FROM d),
+        |  sse AS (SELECT bt.*,
+        |      f.syy::DOUBLE
+        |      - 2.0 * (bt.b1_micro::DOUBLE / 1e6 * f.b1::DOUBLE
+        |        + bt.b2_micro::DOUBLE / 1e6 * f.b2::DOUBLE
+        |        + bt.b3_micro::DOUBLE / 1e6 * f.b3::DOUBLE)
+        |      + (bt.b1_micro::DOUBLE / 1e6 * (bt.b1_micro::DOUBLE
+        |          / 1e6) * f.s11::DOUBLE
+        |        + bt.b2_micro::DOUBLE / 1e6 * (bt.b2_micro::DOUBLE
+        |          / 1e6) * f.s22::DOUBLE
+        |        + bt.b3_micro::DOUBLE / 1e6 * (bt.b3_micro::DOUBLE
+        |          / 1e6) * f.s33::DOUBLE
+        |        + 2.0 * (bt.b1_micro::DOUBLE / 1e6
+        |            * (bt.b2_micro::DOUBLE / 1e6) * f.s12::DOUBLE
+        |          + bt.b1_micro::DOUBLE / 1e6
+        |            * (bt.b3_micro::DOUBLE / 1e6) * f.s13::DOUBLE
+        |          + bt.b2_micro::DOUBLE / 1e6
+        |            * (bt.b3_micro::DOUBLE / 1e6) * f.s23::DOUBLE))
+        |        AS e
+        |    FROM bt JOIN f USING (fold))
+        |SELECT fold, n_train, n_test, b1_micro, b2_micro, b3_micro,
+        |  round(e)::BIGINT AS sse_units,
+        |  round(sqrt(greatest(e, 0.0) / n_test::DOUBLE) * 1e6)::BIGINT
+        |    AS rmse_micro
+        |FROM sse ORDER BY fold""".stripMargin,
+    "q312_grid_dbscan" ->
+      // same integer-micro cells, same 9-neighbor core graph; the CC
+      // replays as the q57 recursive min-label CTE, border = min
+      // adjacent core component
+      """WITH RECURSIVE
+        |  e AS (SELECT
+        |      round((embedding::DOUBLE[])[1] * 1e6)::BIGINT AS e1m,
+        |      round((embedding::DOUBLE[])[2] * 1e6)::BIGINT AS e2m
+        |    FROM embeddings),
+        |  cells AS (SELECT floor(e1m::DOUBLE / 100000)::BIGINT AS cx,
+        |      floor(e2m::DOUBLE / 100000)::BIGINT AS cy,
+        |      count(*)::BIGINT AS n_points
+        |    FROM e GROUP BY 1, 2),
+        |  c2 AS (SELECT *, cx * 1000000 + cy AS cell_id FROM cells),
+        |  core AS (SELECT * FROM c2 WHERE n_points >= 8),
+        |  off AS (SELECT dx.x AS dx, dy.y AS dy FROM
+        |    (SELECT unnest(range(-1, 2)) AS x) dx,
+        |    (SELECT unnest(range(-1, 2)) AS y) dy),
+        |  pairs AS (SELECT a.cell_id AS id_a, b.cell_id AS id_b
+        |    FROM core a CROSS JOIN off JOIN core b
+        |      ON b.cell_id = a.cell_id + off.dx * 1000000 + off.dy
+        |    WHERE a.cell_id < b.cell_id),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |    UNION ALL SELECT id_b, id_a FROM pairs),
+        |  reach AS (SELECT cell_id AS id, cell_id AS comp FROM core
+        |    UNION
+        |    SELECT ed.dst, r.comp FROM reach r JOIN edges ed
+        |      ON ed.src = r.id),
+        |  comp AS (SELECT id AS cell_id, min(comp)::BIGINT AS comp
+        |    FROM reach GROUP BY 1),
+        |  border AS (SELECT c.cell_id, min(k.comp)::BIGINT AS comp
+        |    FROM c2 c CROSS JOIN off JOIN comp k
+        |      ON k.cell_id = c.cell_id + off.dx * 1000000 + off.dy
+        |    WHERE c.cell_id NOT IN (SELECT cell_id FROM core)
+        |    GROUP BY 1)
+        |SELECT c.cx, c.cy, c.n_points,
+        |  CASE WHEN k.comp IS NOT NULL THEN 'core'
+        |    WHEN b.comp IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS role,
+        |  coalesce(k.comp, b.comp) AS comp
+        |FROM c2 c LEFT JOIN comp k USING (cell_id)
+        |LEFT JOIN border b USING (cell_id)
+        |ORDER BY c.cx, c.cy""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

@@ -617,4 +617,212 @@ object AggOps {
           round((log(col("n").cast("double")) -
             col("_s").cast("double") / 1e6 / col("n")) /
             log(col("vocab").cast("double")), 6)).as("entropy_norm"))
+
+  /** ONE-PASS RIDGE REGRESSION by normal equations + Cramer's rule
+    * (3 features, no intercept — the closed form): β = (XᵀX + λI)⁻¹Xᵀy
+    * where every entry of XᵀX, Xᵀy, and yᵀy is ONE exact integer SUM
+    * over the (already integer-scaled) feature columns — the whole
+    * model fits from a single map-side-combinable aggregate, and the
+    * 3×3 solve is pure arithmetic ON THE 1-ROW SUMS FRAME (Cramer
+    * determinants — no collect, no iteration, no second pass). The
+    * training-R² readout needs no extra scan either: SSE = yᵀy −
+    * 2βᵀ(Xᵀy) + βᵀ(XᵀX)β is again arithmetic over the same row.
+    *
+    * Exactness: the Gram sums are exact longs; the determinants and β
+    * are the one identically-spelled float expression block (q186
+    * convention — the sums are integers exactly representable in
+    * doubles, and IEEE arithmetic over a pinned expression tree
+    * replays bit-for-bit in any engine), fixed to micro-units.
+    *
+    * SCALE: the 100 TB design point is the whole point of the closed
+    * form — one aggregate pass (9 sums), zero shuffles beyond it,
+    * zero driver math. λ rides in integer units of the feature scale.
+    * Output 1 row: (n, b1_micro, b2_micro, b3_micro, r2_micro). */
+  def ridgeCramer3(df: DataFrame, x1: String, x2: String, x3: String,
+                   y: String, lambda: Long): DataFrame =
+    cramerRidgeSolve3(gramSums3(df, x1, x2, x3, y, Nil), lambda, Nil)
+
+  /** The RAW Gram sums behind [[ridgeCramer3]], optionally grouped —
+    * exactly the shape a STREAMING per-window fit maintains as state
+    * (q309: eleven longs per open window, the ultimate sketch).
+    * Output per group: (groupCols..., n, s11, s12, s13, s22, s23,
+    * s33, b1, b2, b3, syy) — all exact integer sums, every one
+    * map-side combinable. */
+  def gramSums3(df: DataFrame, x1: String, x2: String, x3: String,
+                y: String, groupCols: Seq[Column]): DataFrame = {
+    val (c1, c2, c3, cy) = (col(x1).cast("long"), col(x2).cast("long"),
+      col(x3).cast("long"), col(y).cast("long"))
+    df.groupBy(groupCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(c1 * c1).as("s11"), sum(c1 * c2).as("s12"),
+      sum(c1 * c3).as("s13"),
+      sum(c2 * c2).as("s22"), sum(c2 * c3).as("s23"),
+      sum(c3 * c3).as("s33"),
+      sum(c1 * cy).as("b1"), sum(c2 * cy).as("b2"),
+      sum(c3 * cy).as("b3"), sum(cy * cy).as("syy"))
+  }
+
+  /** The Cramer solve over a [[gramSums3]] frame — a pure PROJECTION
+    * (one row per fitted group; λ joins the diagonal here), so it
+    * runs identically over the one-row batch aggregate (q305) and a
+    * landed streaming per-window sums table (q309).
+    * Output: (keep..., n, b1_micro, b2_micro, b3_micro, r2_micro). */
+  def cramerRidgeSolve3(sums: DataFrame, lambda: Long,
+                        keep: Seq[String]): DataFrame = {
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    val withA = sums.select(keep.map(col) ++ Seq(
+      col("n"), col("syy"), col("b1"), col("b2"), col("b3"),
+      (col("s11") + lit(lambda)).as("a11"), col("s12").as("a12"),
+      col("s13").as("a13"),
+      (col("s22") + lit(lambda)).as("a22"), col("s23").as("a23"),
+      (col("s33") + lit(lambda)).as("a33")): _*)
+    // Cramer determinants — spelled ONCE here and identically in the
+    // oracle (3×3 cofactor expansion along the first row); symmetric
+    // A, so a21 = a12 etc.
+    def det(m11: Column, m12: Column, m13: Column,
+            m21: Column, m22: Column, m23: Column,
+            m31: Column, m32: Column, m33: Column): Column =
+      m11 * (m22 * m33 - m23 * m32) -
+        m12 * (m21 * m33 - m23 * m31) +
+        m13 * (m21 * m32 - m22 * m31)
+    def d(c: String): Column = col(c).cast("double")
+    val dA = det(d("a11"), d("a12"), d("a13"),
+      d("a12"), d("a22"), d("a23"), d("a13"), d("a23"), d("a33"))
+    val d1 = det(d("b1"), d("a12"), d("a13"),
+      d("b2"), d("a22"), d("a23"), d("b3"), d("a23"), d("a33"))
+    val d2 = det(d("a11"), d("b1"), d("a13"),
+      d("a12"), d("b2"), d("a23"), d("a13"), d("b3"), d("a33"))
+    val d3 = det(d("a11"), d("a12"), d("b1"),
+      d("a12"), d("a22"), d("b2"), d("a13"), d("a23"), d("b3"))
+    val withB = withA.select(keep.map(col) ++ Seq(col("n"), col("syy"),
+      col("b1"), col("b2"), col("b3"),
+      col("a11"), col("a12"), col("a13"), col("a22"), col("a23"),
+      col("a33"),
+      (d1 / dA).as("_b1"), (d2 / dA).as("_b2"),
+      (d3 / dA).as("_b3")): _*)
+    // SSE and R² from the same sums (no-intercept R² = 1 − SSE/yᵀy)
+    val bAb = col("_b1") * col("_b1") * d("a11") +
+      col("_b2") * col("_b2") * d("a22") +
+      col("_b3") * col("_b3") * d("a33") +
+      lit(2.0) * (col("_b1") * col("_b2") * d("a12") +
+        col("_b1") * col("_b3") * d("a13") +
+        col("_b2") * col("_b3") * d("a23"))
+    val btb = col("_b1") * d("b1") + col("_b2") * d("b2") +
+      col("_b3") * d("b3")
+    withB.select(keep.map(col) ++ Seq(col("n"),
+      round(col("_b1") * 1e6).cast("long").as("b1_micro"),
+      round(col("_b2") * 1e6).cast("long").as("b2_micro"),
+      round(col("_b3") * 1e6).cast("long").as("b3_micro"),
+      round((lit(1.0) - (d("syy") - lit(2.0) * btb + bAb) / d("syy"))
+        * 1e6).cast("long").as("r2_micro")): _*)
+  }
+
+  /** BINARY-SEGMENTATION CHANGEPOINT, first split (Scott & Knott
+    * 1974; the opening move of every binary-segmentation detector —
+    * the level-shift sibling of the sequential CUSUM readouts): per
+    * group, order the series by (ts, tie), and pick the split index i
+    * maximizing the between-segment sum of squares
+    *   gain(i) = S_i²/i + (S−S_i)²/(n−i) − S²/n
+    * over 1 ≤ i ≤ n−1. Prefix sums S_i and totals are EXACT integer
+    * aggregates; gain is ONE identically-spelled float expression
+    * rounded to whole squared-y units (its natural magnitude — a
+    * micro scale would overflow: gain ≤ S²/n ~ 10¹³ at centi-value
+    * scale), and the argmax is (gain desc, i asc) via max_by —
+    * deterministic under rounding ties, partial-aggregable, no
+    * second window. A 1-row group (no valid split) drops.
+    *
+    * SCALE: the only sort is the per-group series window — the
+    * partition-bounded sort every per-key sessionization pays; the
+    * argmax and the totals are hash aggregates. Output per group:
+    * (groupCol, n, split_i, split_ts, left_n, left_sum, right_sum,
+    * gain_units). */
+  def changepoint1(df: DataFrame, groupCol: String, tsCol: String,
+                   tieCol: String, yCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val y = col(yCol).cast("long")
+    val pre = df.select(col(groupCol), col(tsCol), col(tieCol), y.as("_y"))
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_si", sum(col("_y")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = pre.groupBy(col(groupCol))
+      .agg(max(col("_i")).as("_n"), sum(col("_y")).as("_s"))
+    val cand = pre.join(totals, Seq(groupCol))
+      .where(col("_i") < col("_n"))
+      .withColumn("_gain", round(
+        col("_si").cast("double") * col("_si").cast("double") /
+          col("_i").cast("double") +
+        (col("_s") - col("_si")).cast("double") *
+          (col("_s") - col("_si")).cast("double") /
+          (col("_n") - col("_i")).cast("double") -
+        col("_s").cast("double") * col("_s").cast("double") /
+          col("_n").cast("double")).cast("long"))
+    cand.groupBy(col(groupCol))
+      .agg(first(col("_n")).as("n"),
+        max_by(struct(col("_i"), col(tsCol), col("_si"), col("_gain")),
+          struct(col("_gain"), (-col("_i")).as("_ni"))).as("_best"))
+      .select(col(groupCol), col("n"),
+        col("_best._i").as("split_i"),
+        date_format(col(s"_best.$tsCol"), "yyyy-MM-dd HH:mm:ss")
+          .as("split_ts"),
+        col("_best._i").as("left_n"),
+        col("_best._si").as("left_sum"),
+        col("_best._gain").as("gain_units"))
+      .join(totals.select(col(groupCol), col("_s")), Seq(groupCol))
+      .withColumn("right_sum", col("_s") - col("left_sum"))
+      .drop("_s")
+  }
+
+  /** K-FOLD CROSS-VALIDATION OF THE RIDGE FIT WITHOUT RE-SCANNING
+    * (the Gram-sum additivity trick — the reason normal-equation
+    * models are the right shape at 100 TB): fold f's TRAINING sums
+    * are total − fold (Gram sums are additive, so leave-fold-out
+    * models cost pure arithmetic over the k-row fold-sums table after
+    * ONE data pass), each fold's β solves through the q305
+    * [[cramerRidgeSolve3]] block, and the HELD-OUT error needs no
+    * scoring scan either: SSE_f = syy_f − 2βᵀb_f + βᵀS_fβ is
+    * arithmetic over the SAME fold sums (S_f = the fold's raw Gram
+    * matrix — evaluation uses the true SSE, no λ). β enters the SSE
+    * at its published micro precision (bi_micro/10⁶) so both engines
+    * evaluate identical operands.
+    *
+    * Output per fold: (foldCol, n_train, n_test, b1_micro, b2_micro,
+    * b3_micro, sse_units, rmse_micro). */
+  def ridgeCv3(df: DataFrame, x1: String, x2: String, x3: String,
+               y: String, foldCol: String, lambda: Long): DataFrame = {
+    val folds = gramSums3(df, x1, x2, x3, y, Seq(col(foldCol)))
+      .localCheckpoint() // feeds totals, the loo subtraction, the SSE
+    val sumCols = Seq("n", "s11", "s12", "s13", "s22", "s23", "s33",
+      "b1", "b2", "b3", "syy")
+    val totals = folds.agg(
+      sum(col("n")).as("tn"),
+      sumCols.tail.map(c => sum(col(c)).as(s"t$c")): _*)
+    val loo = folds.crossJoin(broadcast(totals))
+      .select(col(foldCol) +: col("n").as("n_test") +:
+        (col("tn") - col("n")).as("n") +:
+        sumCols.tail.map(c => (col(s"t$c") - col(c)).as(c)): _*)
+    val beta = cramerRidgeSolve3(loo, lambda,
+        keep = Seq(foldCol, "n_test"))
+      .withColumnRenamed("n", "n_train")
+      .drop("r2_micro") // training R² of the loo fit isn't the readout
+    def bd(c: String): Column = col(c).cast("double") / lit(1e6)
+    def d(c: String): Column = col(c).cast("double")
+    val sse = d("syy") -
+      lit(2.0) * (bd("b1_micro") * d("b1") + bd("b2_micro") * d("b2") +
+        bd("b3_micro") * d("b3")) +
+      (bd("b1_micro") * bd("b1_micro") * d("s11") +
+        bd("b2_micro") * bd("b2_micro") * d("s22") +
+        bd("b3_micro") * bd("b3_micro") * d("s33") +
+        lit(2.0) * (bd("b1_micro") * bd("b2_micro") * d("s12") +
+          bd("b1_micro") * bd("b3_micro") * d("s13") +
+          bd("b2_micro") * bd("b3_micro") * d("s23")))
+    beta.join(folds, Seq(foldCol))
+      .withColumn("sse_units", round(sse).cast("long"))
+      .withColumn("rmse_micro", round(sqrt(
+        greatest(sse, lit(0.0)) / col("n_test").cast("double")) * 1e6)
+        .cast("long"))
+      .select(col(foldCol), col("n_train"), col("n_test"),
+        col("b1_micro"), col("b2_micro"), col("b3_micro"),
+        col("sse_units"), col("rmse_micro"))
+  }
 }

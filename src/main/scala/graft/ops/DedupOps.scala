@@ -318,7 +318,18 @@ object DedupOps {
     val summary = members.groupBy(bk: _*)
       .agg(count(lit(1)).as("_m"), min(col(idCol)).as("_min"))
       .filter(col("_m") > 1)
-    val joined = members.join(summary, bucketCols)
+    // join-back must be NULL-SAFE: groupBy treats a NULL bucket key
+    // as a real group (the array form emits its pairs), so an
+    // equi-join here would silently drop every NULL-bucket member —
+    // the round-13 review finding; `<=>` keeps the two forms
+    // output-identical on nullable keys
+    val mAl = members.as("_cpm_m")
+    val sAl = summary.as("_cpm_s")
+    val joined = mAl.join(sAl,
+        bucketCols.map(c =>
+          col(s"_cpm_m.$c") <=> col(s"_cpm_s.$c")).reduce(_ && _))
+      .select(col("_cpm_m.*") +: Seq(col("_cpm_s._m"),
+        col("_cpm_s._min")): _*)
     val small = joined.filter(col("_m") <= maxBucket)
       .groupBy(bk: _*)
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -208,5 +208,168 @@ object EvalOps {
             (col("n").cast("double") * col("_r")), 6)).as("confidence"),
         round(col("n_pos").cast("double") / col("n"), 6).as("accuracy"))
       .crossJoin(broadcast(ece))
+  }
+
+  /** MONDRIAN SPLIT CONFORMAL PREDICTION (Papadopoulos et al. 2002;
+    * Vovk's Mondrian taxonomy; Lei et al. 2018): given a training
+    * split that fits a per-group point predictor and a calibration
+    * split, the conformal quantile q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    * calibration nonconformity score buys the finite-sample marginal
+    * guarantee P(|y − μ̂| ≤ q̂) ≥ 1−α on exchangeable test rows —
+    * per GROUP (the Mondrian form), so the guarantee is
+    * class-conditional. A group whose calibration set is too small
+    * for a finite guarantee (⌈(n+1)(1−α)⌉ > n) drops from the report
+    * rather than emitting a fake quantile.
+    *
+    * Exactness: the predictor is the exact rational group mean
+    * (sum, count kept as integers), and nonconformity scores are
+    * SCALED to integers — r = |y·n_tr − S_tr| (each group's scores
+    * share the n_tr scale, and the quantile is order-statistic-based,
+    * so scaling by a positive per-group constant changes nothing).
+    * q̂ is then an exact integer order statistic via the count-below
+    * rank rule (q227 convention) over the per-group SCORE HISTOGRAM
+    * (bounded: ≤ |distinct y values| rows per group), and coverage is
+    * an integer ratio — everything hash-compares.
+    *
+    * Scale shape: one grouped agg per split (map-side combinable),
+    * the per-group model/quantile tables BROADCAST back, scoring and
+    * the coverage check are pure projections — the 100 TB test set
+    * never sorts. ⌈(n+1)(1−α)⌉ with α = num/den is computed in
+    * integer arithmetic: (n+1)·(den−num) ceil-div den. */
+  def splitConformal(train: DataFrame, cal: DataFrame, test: DataFrame,
+                     groupCol: String, valueCol: String,
+                     alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha = $alphaNum/$alphaDen must sit in (0, 1)")
+    val y = col(valueCol).cast("long")
+    val model = train.groupBy(col(groupCol))
+      .agg(sum(y).as("_s_tr"), count(lit(1)).as("_n_tr"))
+    def scored(df: DataFrame) = df
+      .join(broadcast(model), Seq(groupCol))
+      .withColumn("_r", abs(y * col("_n_tr") - col("_s_tr")))
+    // per-group score histogram -> exact ⌈(n+1)(1-α)⌉-th smallest:
+    // the window sorts distinct score LEVELS only, never rows
+    val hist = scored(cal)
+      .groupBy(col(groupCol), col("_r"))
+      .agg(count(lit(1)).as("_c"))
+    val ranked = hist
+      .withColumn("_below", coalesce(sum(col("_c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("_r"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val nCal = hist.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("n_cal"))
+    // ceil-div in integers: ((n+1)(den−num) + den−1) / den — operands
+    // are non-negative so the double floor agrees with integer div
+    val target = ((col("n_cal") + 1) * lit((alphaDen - alphaNum).toLong)
+      + lit((alphaDen - 1).toLong)) / lit(alphaDen.toLong)
+    val qhat = ranked.join(broadcast(nCal), Seq(groupCol))
+      .withColumn("_target", floor(target).cast("long"))
+      .where(col("_below") < col("_target") &&
+        col("_below") + col("_c") >= col("_target"))
+      .select(col(groupCol), col("n_cal"), col("_r").as("qhat_scaled"))
+    scored(test)
+      .join(broadcast(qhat), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_cal")).as("n_cal"),
+        first(col("qhat_scaled")).as("qhat_scaled"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("_r") <= col("qhat_scaled"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage", round(
+        col("n_covered").cast("double") / col("n_test"), 6))
+  }
+
+  /** DELETE-1 JACKKNIFE over grouped data (Tukey 1958; Efron & Stein
+    * 1981) for the two statistics the resampling textbooks open with:
+    * the MEAN (where the leave-one-out algebra collapses to a closed
+    * form — the identity v_J = (n·Σx² − S²)/(n²(n−1)) makes the n
+    * replications ONE pass) and the RATIO estimator R = Σy/Σx (where
+    * the jackknife genuinely earns its keep: the bias estimate
+    * (n−1)·(mean(R₍ᵢ₎) − R) has no closed form and needs the per-row
+    * leave-one-out replicate R₍ᵢ₎ = (Sy−yᵢ)/(Sx−xᵢ)).
+    *
+    * Exactness: group totals are integer; replicates are one
+    * identically-spelled float expression per row, reduced by a SUM
+    * whose operands are fixed to micro-units first (q186 convention),
+    * so bias/SE hash-compare.
+    *
+    * Scale shape: one grouped agg for totals, broadcast back, one
+    * map-side replicate projection, one closing agg — the jackknife's
+    * classic n² cost is algebraically flattened to two passes. */
+  def jackknifeRatio(df: DataFrame, groupCol: String,
+                     xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * x).as("_sxx"), count(lit(1)).as("n"))
+    val rep = df.join(broadcast(totals), Seq(groupCol))
+      .withColumn("_ri_micro", round(
+        (col("_sy") - y).cast("double") /
+          (col("_sx") - x).cast("double") * 1e6, 0).cast("long"))
+    rep.groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"),
+        first(col("_sx")).as("sum_x"),
+        first(col("_sy")).as("sum_y"),
+        first(col("_sxx")).as("_sxx"),
+        sum(col("_ri_micro")).as("_sum_ri_micro"))
+      .withColumn("ratio_micro", round(
+        col("sum_y").cast("double") / col("sum_x") * 1e6, 0)
+        .cast("long"))
+      .withColumn("jack_bias_micro", round(
+        (col("n") - 1).cast("double") *
+          (col("_sum_ri_micro").cast("double") / col("n") / 1e6 -
+            col("ratio_micro").cast("double") / 1e6) * 1e6, 0)
+        .cast("long"))
+      .withColumn("jack_se_mean_x_micro", round(
+        sqrt((col("n") * col("_sxx") - col("sum_x") * col("sum_x"))
+          .cast("double") /
+          (col("n") * col("n") * (col("n") - 1)).cast("double"))
+          * 1e6, 0).cast("long"))
+      .drop("_sxx", "_sum_ri_micro")
+  }
+
+  /** PAIRED-SAMPLE PERMUTATION TEST (Fisher 1935; the exact
+    * randomization test) under the md5 rule: for paired differences
+    * d_i, the observed statistic T = Σd_i is compared against B
+    * sign-flip replicates T_b = Σ s_b(i)·d_i with s_b(i) = ±1 from
+    * the engine-portable md5 hash — DETERMINISTIC "randomization", so
+    * the whole null distribution (every replicate, the extreme count,
+    * the p-value) hash-compares cross-engine instead of being
+    * property-tested. p = (1 + #{b : |T_b| ≥ |T|}) / (B+1), the
+    * add-one form that keeps the test exact-level.
+    *
+    * Exactness: d_i and every T_b are integer sums; p is fixed to
+    * micro-units with one divide.
+    *
+    * Scale shape: the B-way fan-out rides ONE generator over the pair
+    * table, and the per-replicate sums are a bounded-key (B rows)
+    * map-side-combinable aggregate — at 100 TB the shuffle moves ≤ B
+    * rows per task, and the observed T is a 1-row broadcast. Output:
+    * B rows (b, t_b, is_extreme) carrying the shared
+    * (n_pairs, t_obs, p_micro). */
+  def pairedPermutationTest(pairs: DataFrame, idCol: String,
+                            diffCol: String, b: Int): DataFrame = {
+    require(b >= 1, s"permutation copies must be >= 1, got $b")
+    val d = col(diffCol).cast("long")
+    val obs = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(d).as("t_obs"))
+    def sign(c: Column): Column =
+      when(pmod(conv(substring(md5(concat(lit("pt"), c, lit("|"),
+        col(idCol))), 1, 1), 16, 10).cast("long"), lit(2L)) === 0L,
+        lit(1L)).otherwise(lit(-1L))
+    val reps = pairs
+      .select(d.as("_d"), col(idCol),
+        explode(array((0 until b).map(i => lit(i.toLong)): _*)).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(sign(col("b")) * col("_d")).as("t_b"))
+    val flagged = reps.crossJoin(broadcast(obs))
+      .withColumn("is_extreme", abs(col("t_b")) >= abs(col("t_obs")))
+    val p = flagged.agg(
+      ((sum(when(col("is_extreme"), 1L).otherwise(0L)) + lit(1L)) * lit(1000000L)
+        / (lit(b.toLong) + lit(1L))).cast("long").as("_pm"))
+    flagged.crossJoin(broadcast(p))
+      .select(col("b"), col("t_b"), col("is_extreme"),
+        col("n_pairs"), col("t_obs"), col("_pm").as("p_micro"))
   }
 }

@@ -324,4 +324,69 @@ object GraphOps {
       edges.unpersist()
     }
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — fixed-iteration,
+    * EXACT-INTEGER fixed point (the q249/LPA determinism move applied
+    * to link analysis): over the DISTINCT directed edge set, each
+    * round computes raw hub scores h'(u) = Σ_{u→v} a(v), rescales to
+    * the L∞-normalized integer grid h(u) = h'(u)·10⁶ div max h'
+    * (max-normalization is a published HITS variant — normalization
+    * choice affects only scale, not ranking or convergence — and
+    * integer `div` by a positive max replays exactly in any engine),
+    * then authorities a'(v) = Σ_{u→v} h(u) likewise. Scores start at
+    * 10⁶; a node with no out-edges holds hub 0, no in-edges →
+    * authority 0. Every quantity is a long — the whole trajectory
+    * hash-compares through an unrolled-CTE oracle (the lpaSqlChain
+    * technique).
+    *
+    * SCALE: the distinct edge list is cached and probed every
+    * half-round (one score⋈edges equi-join + one node-keyed sum
+    * aggregate — map-side combinable, O(edges) shuffle per
+    * half-round); the normalizing max is a 1-row broadcast, never a
+    * collect. Each half-round's NODE-sized score table is
+    * localCheckpoint'ed before the rescale reads it twice (the max
+    * agg + the join): unlike [[pageRank]]'s every-5 cadence, the
+    * rescale's self-reference would otherwise recompute the upstream
+    * chain on BOTH branches — 2× per half-round compounds to 2^(2·i)
+    * (measured: 20.7 s → 0.8 s at 3 iterations on the 100-node q304
+    * graph).
+    * Magnitudes: scores ≤ 10⁶, so a raw sum ≤ 10⁶·max-degree and the
+    * div rescale's 10⁶ product stays < 2⁶³ to ~9·10⁹ max-degree.
+    * Returns (id, hub_micro, auth_micro). */
+  def hits(edgesIn: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edgesIn.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint()
+      def rescale(rawIn: DataFrame, scoreCol: String): DataFrame = {
+        val raw = rawIn.localCheckpoint() // feeds the max AND the join
+        val mx = raw.agg(max(col("_raw")).as("_mx"))
+        nodes.join(raw, Seq("id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(col("id"), coalesce(
+            expr("_raw * 1000000L div _mx"), lit(0L)).as(scoreCol))
+          .localCheckpoint() // plan depth stays O(1) across rounds
+      }
+      var auth = nodes.select(col("id"), lit(1000000L).as("auth"))
+      var hub: DataFrame = null
+      for (_ <- 1 to iterations) {
+        hub = rescale(e.join(auth.select(col("id").as("_aid"),
+              col("auth")), col("dst") === col("_aid"))
+            .groupBy(col("src").as("id"))
+            .agg(sum(col("auth")).as("_raw")), "hub")
+        auth = rescale(e.join(hub.select(col("id").as("_hid"),
+              col("hub")), col("src") === col("_hid"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("hub")).as("_raw")), "auth")
+      }
+      hub.join(auth, Seq("id"))
+        .select(col("id"), col("hub").as("hub_micro"),
+          col("auth").as("auth_micro"))
+    } finally e.unpersist()
+  }
 }

@@ -732,6 +732,7 @@ object SimilarityOps {
                   m: Int, subLen: Int, k: Int,
                   iters: Int): Seq[Array[Array[Long]]] = {
     require(m >= 1 && subLen >= 1, s"bad PQ shape m=$m subLen=$subLen")
+    requirePqDim(df, vecCol, m, subLen)
     (0 until m).map { s =>
       kMeansMicro(
         df.select(col(idCol),
@@ -741,18 +742,32 @@ object SimilarityOps {
     }
   }
 
+  /** `slice` (and the ADC lut join) silently truncate a too-narrow
+    * vector — garbage codes instead of an error — so every PQ entry
+    * point asserts the corpus width covers the m·subLen layout (the
+    * loadCentroids fail-loudly convention; round-13 review). */
+  private def requirePqDim(df: DataFrame, vecCol: String, m: Int,
+                           subLen: Int): Unit = {
+    val dim = probeDim(df, vecCol)
+    require(dim >= m * subLen,
+      s"PQ layout m=$m x subLen=$subLen needs >= ${m * subLen} dims, " +
+        s"corpus vectors have $dim")
+  }
+
   /** Encode every vector as its m per-subspace nearest-centroid codes
     * — a PURE projection (the codebooks ride as literals inside
     * [[nearestCellsMicro]] expressions): zero shuffle, scan-stage
     * codegen, exactly how a 100 TB corpus is encoded in one pass.
     * Output: (id, code_0 .. code_{m-1}) with long codes. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-               books: Seq[Array[Array[Long]]], subLen: Int): DataFrame =
+               books: Seq[Array[Array[Long]]], subLen: Int): DataFrame = {
+    requirePqDim(df, vecCol, books.length, subLen)
     df.select(col(idCol) +: books.zipWithIndex.map { case (b, s) =>
       element_at(nearestCellsMicro(
         microVec(slice(col(vecCol).cast("array<double>"),
           s * subLen + 1, subLen)), b, 1), 1).as(s"code_$s")
     }: _*)
+  }
 
   /** ADC top-k: per query, build the O(m·k) integer lookup table
     * (exact micro squared distance from the query's subvector to
@@ -770,6 +785,7 @@ object SimilarityOps {
     val spark = queries.sparkSession
     import spark.implicits._
     val m = books.length
+    requirePqDim(queries, vecCol, m, subLen)
     // literal codebook table: (sub, cell, j, bv) — m·k·subLen rows
     val bookDf = books.zipWithIndex.flatMap { case (b, s) =>
       b.toSeq.zipWithIndex.flatMap { case (cent, c) =>
@@ -801,5 +817,79 @@ object SimilarityOps {
           .orderBy(col("adc_d2"), col("neighbor_id"))))
       .filter(col("rn") <= topK)
       .withColumn("rn", col("rn").cast("long"))
+  }
+
+  /** GRID DBSCAN over the embedding plane (Ester et al. 1996's
+    * density clustering in the exact-grid formulation of Gunawan
+    * 2013): project vectors to their first two dimensions, bucket
+    * into fixed cells (side `cellMicro` in micro-units), and cluster
+    * at the CELL level — a cell with ≥ minPts points is CORE, core
+    * cells within Chebyshev distance 1 connect (the 9-cell
+    * neighborhood explode — bounded fan-out, an equi-join on cell
+    * coords, never a distance cross join), clusters are the connected
+    * components of that core-cell graph
+    * ([[graft.ops.DedupOps.connectedComponents]] — min-label, so the
+    * labeling is deterministic), non-core cells adjacent to a core
+    * cell are BORDER (adopting the minimum adjacent core component —
+    * a pinned tie rule), the rest are NOISE.
+    *
+    * DETERMINISM: cell coords are floor(micro / cellMicro) over
+    * integer micros with ONE identically-spelled float floor (floors,
+    * not truncation — negative coords matter), so the whole
+    * clustering — components, roles, counts — hash-compares.
+    *
+    * SCALE: one hash aggregate buckets any number of points; every
+    * later step works on the CELL table (occupied cells only). The
+    * classic DBSCAN ε-scan becomes the 9-way neighbor explode; the CC
+    * iterations are cell-bounded. Returns one row per occupied cell:
+    * (cx, cy, n_points, role, comp — null for noise). */
+  def gridDbscan(df: DataFrame, vecCol: String, cellMicro: Long,
+                 minPts: Long): DataFrame = {
+    require(cellMicro >= 1 && minPts >= 1,
+      s"bad grid shape cell=$cellMicro minPts=$minPts")
+    def cellOf(i: Int, as: String) =
+      floor(round(element_at(col(vecCol).cast("array<double>"), i)
+        * 1e6).cast("long").cast("double") / lit(cellMicro.toDouble))
+        .cast("long").as(as)
+    val cells = df.select(cellOf(1, "cx"), cellOf(2, "cy"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n_points"))
+      .withColumn("cell_id", col("cx") * lit(1000000L) + col("cy"))
+      .localCheckpoint() // feeds core table, border join, output
+    val core = cells.where(col("n_points") >= minPts)
+      .localCheckpoint() // probed by the 9-way explode twice
+    val offsets = explode(array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*))
+    val fan = core.select(col("cell_id").as("id_a"), offsets.as("_o"))
+      .select(col("id_a"),
+        ((col("id_a") + col("_o.dx") * lit(1000000L)) + col("_o.dy"))
+          .as("_nid"))
+    val pairs = fan
+      .join(core.select(col("cell_id").as("id_b")),
+        col("_nid") === col("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.ops.DedupOps.connectedComponents(
+      core.select(col("cell_id")), pairs, "cell_id")
+    val coreOut = core.join(comps, Seq("cell_id"))
+      .select(col("cell_id"), col("comp"))
+    // border: a non-core cell adjacent (9-neighborhood, itself
+    // excluded by non-membership in core) to ≥1 core cell adopts the
+    // MINIMUM adjacent core component
+    val borderComp = cells.join(core.select(col("cell_id")),
+        Seq("cell_id"), "left_anti")
+      .select(col("cell_id").as("_bid"), offsets.as("_o"))
+      .select(col("_bid"),
+        ((col("_bid") + col("_o.dx") * lit(1000000L)) + col("_o.dy"))
+          .as("_nid"))
+      .join(coreOut.select(col("cell_id").as("_nid"), col("comp")),
+        Seq("_nid"))
+      .groupBy(col("_bid").as("cell_id"))
+      .agg(min(col("comp")).as("comp"))
+    val roles = coreOut.withColumn("role", lit("core"))
+      .unionByName(borderComp.withColumn("role", lit("border")))
+    cells.join(roles, Seq("cell_id"), "left")
+      .select(col("cx"), col("cy"), col("n_points"),
+        coalesce(col("role"), lit("noise")).as("role"), col("comp"))
   }
 }

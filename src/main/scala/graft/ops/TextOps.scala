@@ -779,4 +779,133 @@ object TextOps {
         count(lit(1)).as("nnz"),
         sum(col("_c") * col("_c")).as("l2sq"))
   }
+
+  /** INTERPOLATED KNESER–NEY bigram LM score (Kneser & Ney 1995;
+    * Chen & Goodman 1998's interpolated form — the standard n-gram
+    * smoothing a perplexity-gate pipeline reaches for once add-one
+    * (q195 / [[bigramLmScore]]) proves too blunt): the bigram
+    * probability discounts every seen count by a fixed D and gives
+    * the freed mass to the CONTINUATION unigram — how many distinct
+    * contexts a word follows, not how often it occurs — so "Francisco"
+    * (frequent, but only ever after "San") stops inflating unseen
+    * bigrams.
+    *
+    *   Pcont(b)  = (N1+(·,b) + 1) / (N1+(··) + V)        [add-one so
+    *                an unseen continuation still scores]
+    *   P(b|a)    = max(c(a,b) − D, 0)/c(a)
+    *               + (D · N1+(a,·)/c(a)) · Pcont(b)       [seen a]
+    *             = Pcont(b)                               [unseen a]
+    *   with D = 0.75 (exact in binary — no decimal drift). With the
+    *   +1-smoothed continuation, Σ_b P(b|a) = 1 exactly for every
+    *   context (spec-checked).
+    *
+    * Exactness: all model tables (pair counts, context totals,
+    * forward/backward continuation type counts, the (N1+(··), V)
+    * scalar pair) are INTEGER aggregates; the one float expression per
+    * scored bigram is spelled identically in the DuckDB oracle and
+    * fixed to integer micro-nats before the per-doc sum (the q195
+    * convention), so document scores hash-compare.
+    *
+    * Scale shape = [[bigramLmScore]]: the held side collapses to
+    * per-doc bigram COUNTS before any model join (so a 100 TB held
+    * corpus joins |doc|·|distinct-bigrams-per-doc| rows, not tokens),
+    * model tables are vocabulary-bounded, the two corpus scalars ride
+    * a 1-row broadcast, and scoring is one map-side projection. */
+  def knBigramLmScore(train: DataFrame, held: DataFrame,
+      idCol: String, textCol: String, discount: Double = 0.75)
+      : DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val trainT = train.select(toks.as("_t"))
+      .localCheckpoint() // feeds the pair table AND the vocab count
+    val pairs = trainT
+      .select(explode(bigrams(col("_t"))).as("_p"))
+      .groupBy(col("_p.a").as("_a"), col("_p.b").as("_b"))
+      .agg(count(lit(1)).as("_n_ab"))
+      // feeds contexts, continuations, the scalar AND the scoring join
+      .localCheckpoint()
+    val contexts = pairs.groupBy(col("_a"))
+      .agg(sum(col("_n_ab")).as("_n_a"),
+        count(lit(1)).as("_n1p_fwd"))
+    val conts = pairs.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n1p_bwd"))
+    // V = distinct unigrams of the TRAIN corpus (pair firsts miss the
+    // final token of each doc — count from the raw token stream,
+    // q195's vocab rule); N1+(··) = distinct seen bigrams
+    val vocab = trainT.select(explode(col("_t")).as("_w"))
+      .agg(count_distinct(col("_w")).as("_v"))
+    val consts = pairs.agg(count(lit(1)).as("_n1p_all"))
+      .crossJoin(vocab)
+    val d = lit(discount)
+    val pcont = (coalesce(col("_n1p_bwd"), lit(0L)) + lit(1L))
+      .cast("double") /
+      (col("_n1p_all") + col("_v")).cast("double")
+    val pSeen = greatest(col("_n_ab").cast("double") - d, lit(0.0)) /
+      col("_n_a").cast("double") +
+      (d * col("_n1p_fwd").cast("double") / col("_n_a").cast("double")) *
+      col("_pc")
+    held
+      .select(col(idCol), explode(bigrams(tokens(lower(col(textCol)))))
+        .as("_p"))
+      .groupBy(col(idCol), col("_p.a").as("_a"), col("_p.b").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .join(pairs, Seq("_a", "_b"), "left")
+      .join(contexts, Seq("_a"), "left")
+      .join(conts, Seq("_b"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("_pc", pcont)
+      .withColumn("_lp_micro", round(log(
+          when(col("_n_a").isNull, col("_pc"))
+            .otherwise(pSeen)) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_bigrams"),
+        sum(col("_c") * col("_lp_micro")).as("sum_lp_micro"))
+      .withColumn("avg_nll", round(
+        -col("sum_lp_micro").cast("double") / 1e6 / col("n_bigrams"), 6))
+  }
+
+  /** GOOD–TURING frequency re-estimation (Good 1953; the
+    * count-of-counts smoothing under every held-out LM estimate): for
+    * each observed count level r, the adjusted count r* =
+    * (r+1)·N_{r+1}/N_r where N_r = how many distinct tokens occur
+    * exactly r times; the unseen-mass estimate P₀ = N₁/N. Raw GT
+    * leaves r* = 0 where N_{r+1} = 0 (high-r gaps) — emitted as-is
+    * (the classic gap the Simple-GT regression papers fix; the gap
+    * levels are part of the pinned output, not hidden).
+    *
+    * Exactness: token counts, count-of-counts, and N are all integer
+    * aggregates; r* and P₀ are fixed to micro-units with ONE float
+    * divide each, spelled identically in the oracle — the whole
+    * smoothing table hash-compares.
+    *
+    * Scale shape: one token aggregate (map-side combinable) → a
+    * VOCABULARY-sized count table → a LEVEL-sized count-of-counts
+    * table (≤ distinct frequencies, typically a few hundred rows at
+    * any corpus size); the level self-join for N_{r+1} and the 1-row
+    * N broadcast are both bounded — nothing past the first aggregate
+    * is corpus-sized. Output: one row per observed level
+    * (r, n_r, r_star_micro, n_tokens, p0_micro). */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_r"))
+    val levels = counts.groupBy(col("_r").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .localCheckpoint() // feeds the r+1 self-join AND the totals
+    val next = levels.select((col("r") - 1L).as("r"),
+      col("n_r").as("_n_next"))
+    val totals = levels.agg(sum(col("r") * col("n_r")).as("n_tokens"),
+      sum(when(col("r") === 1L, col("n_r")).otherwise(0L)).as("_n1"))
+      .select(col("n_tokens"),
+        round(col("_n1").cast("double") /
+          col("n_tokens").cast("double") * 1e6).cast("long")
+          .as("p0_micro"))
+    levels.join(next, Seq("r"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1L).cast("double") *
+          coalesce(col("_n_next"), lit(0L)).cast("double") /
+          col("n_r").cast("double") * 1e6).cast("long")
+          .as("r_star_micro"),
+        col("n_tokens"), col("p0_micro"))
+  }
 }

@@ -160,6 +160,28 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cappedPairsFromMembers: a NULL bucket key is a real group — " +
+       "null-safe join-back keeps parity with the array form " +
+       "(round-13 review fix)") {
+    val members = Seq((Some("a"), 1L), (Some("a"), 2L),
+        (None: Option[String], 10L), (None: Option[String], 11L),
+        (None: Option[String], 12L))
+      .toDF("bucket", "id")
+    val got = DedupOps.cappedPairsFromMembers(
+        members, Seq("bucket"), "id", maxBucket = 5)
+      .orderBy("id_a", "id_b").collect()
+    val arrays = members.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(col("_ids")).distinct()
+    val want = DedupOps.cappedPairsFromBuckets(arrays, "_ids", 5)
+      .orderBy("id_a", "id_b").collect()
+    assert(got.toSeq === want.toSeq)
+    // the null bucket's C(3,2) pairs ARE emitted
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L)))
+  }
+
   test("cappedPairsFromMembers plan shape: every collect_list " +
        "aggregate sits ABOVE the ≤-cap filter (no over-cap array " +
        "is ever built)") {
@@ -442,6 +464,22 @@ class Round13OpsSpec extends AnyFunSuite {
     val h1 = codes.take(4).map(r => (r.getLong(1), r.getLong(2))).toSet
     val h2 = codes.drop(4).map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(h1.size === 1 && h2.size === 1 && h1 != h2)
+  }
+
+  test("PQ entry points fail loudly on a too-narrow vector column " +
+       "(slice would silently truncate — round-13 review fix)") {
+    val df = pqFixture() // 4-dim vectors
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.pqCodebooks(df, "vec_id", "embedding",
+        m = 4, subLen = 2, k = 2, iters = 1) // needs 8 dims
+    }
+    assert(e.getMessage.contains("needs >= 8 dims"))
+    val books = SimilarityOps.pqCodebooks(df, "vec_id", "embedding",
+      2, 2, 2, 1)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.pqEncode(df, "vec_id", "embedding",
+        books ++ books, subLen = 2) // 4 books over 4 dims
+    }
   }
 
   test("pqEncode plan: the encode is a PURE projection — zero " +
