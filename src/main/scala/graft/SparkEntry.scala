@@ -6520,6 +6520,50 @@ object SparkEntry {
         cellMicro = 100000L, minPts = 8L)
       .orderBy(col("cx"), col("cy"))
 
+  private def q313(s: SparkSession, dir: String): DataFrame = {
+    // DRIFT TESTS WITH FDR CONTROL (Fisher's permutation per group +
+    // Benjamini & Hochberg 1995 step-up across groups): per
+    // event_type, did a user's value drift between their FIRST and
+    // LAST event? d_user = first − last centi-value (min_by/max_by on
+    // the (ts, event_id) order — deterministic), B=64 md5 sign-flip
+    // replicates per group (EvalOps.pairedPermutationTestBy — the
+    // fan-out is a |groups|·64-key aggregate), then the exact-integer
+    // BH comparison p·m·αden ≤ rank·αnum·10⁶ at α=1/10 picks the
+    // rejected set. The whole multiple-testing pipeline — every
+    // group's p, the ranks, the rejections — hash-compares.
+    val e = t(s, dir, "events").withColumn("vc",
+      round(col("value") * 100, 0).cast("long"))
+    val pairs = e.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("_n"),
+        min_by(col("vc"), struct(col("ts"), col("event_id")))
+          .as("_first"),
+        max_by(col("vc"), struct(col("ts"), col("event_id")))
+          .as("_last"))
+      .where(col("_n") >= 2)
+      .select(col("event_type"), col("user_id"),
+        (col("_first") - col("_last")).as("d"))
+    EvalOps.bhAdjust(
+        EvalOps.pairedPermutationTestBy(pairs, "event_type",
+          "user_id", "d", b = 64),
+        "event_type", "p_micro", 1, 10)
+      .orderBy(col("event_type"))
+  }
+
+  private def q314(s: SparkSession, dir: String): DataFrame =
+    // WILCOXON RANK-SUM / MANN–WHITNEY U with tie correction (Mann &
+    // Whitney 1947; EvalOps.wilcoxonRankSum): do 'click' events carry
+    // different values than 'view' events? Scores collapse to a
+    // LEVEL table (the rocAuc move — the raw rows never sort),
+    // midranks ride DOUBLED integers so the ½s never materialize,
+    // and the tie-corrected z is one identically-spelled float. The
+    // doubled rank sum, doubled U, tie mass, and z all hash-compare.
+    EvalOps.wilcoxonRankSum(
+      t(s, dir, "events")
+        .where(col("event_type").isin("click", "view"))
+        .select(round(col("value") * 100, 0).cast("long").as("vc"),
+          (col("event_type") === "click").as("is_a")),
+      "vc", "is_a")
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -7616,6 +7660,8 @@ object SparkEntry {
     "q310_changepoint" -> q310 _,
     "q311_ridge_cv" -> q311 _,
     "q312_grid_dbscan" -> q312 _,
+    "q313_drift_fdr" -> q313 _,
+    "q314_wilcoxon" -> q314 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -13409,6 +13455,70 @@ object SparkEntry {
         |FROM c2 c LEFT JOIN comp k USING (cell_id)
         |LEFT JOIN border b USING (cell_id)
         |ORDER BY c.cx, c.cy""".stripMargin,
+    "q313_drift_fdr" ->
+      // same (ts, event_id)-ordered first/last pairing (min_by/max_by
+      // replayed as rank-1 rows), same md5 sign rule per (group, b),
+      // same exact-integer BH step-up
+      """WITH e AS (SELECT event_type, user_id, ts, event_id,
+        |    round(value * 100)::BIGINT AS vc FROM events),
+        |  rk AS (SELECT *,
+        |      row_number() OVER (PARTITION BY event_type, user_id
+        |        ORDER BY ts, event_id) AS rf,
+        |      row_number() OVER (PARTITION BY event_type, user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rl,
+        |      count(*) OVER (PARTITION BY event_type, user_id) AS cnt
+        |    FROM e),
+        |  pairs AS (SELECT f.event_type, f.user_id,
+        |      (f.vc - l.vc)::BIGINT AS d
+        |    FROM rk f JOIN rk l ON l.event_type = f.event_type
+        |      AND l.user_id = f.user_id AND l.rl = 1
+        |    WHERE f.rf = 1 AND f.cnt >= 2),
+        |  obs AS (SELECT event_type, count(*)::BIGINT AS n_pairs,
+        |      sum(d)::BIGINT AS t_obs FROM pairs GROUP BY 1),
+        |  reps AS (SELECT p.event_type, b.b,
+        |      sum(CASE WHEN ('0x' || substr(md5('pt' || b.b || '|' ||
+        |          p.user_id::VARCHAR), 1, 1))::BIGINT % 2 = 0
+        |        THEN p.d ELSE -p.d END)::BIGINT AS t_b
+        |    FROM pairs p CROSS JOIN
+        |      (SELECT unnest(range(64)) AS b) b GROUP BY 1, 2),
+        |  tests AS (SELECT r.event_type, o.n_pairs, o.t_obs,
+        |      sum(CASE WHEN abs(r.t_b) >= abs(o.t_obs) THEN 1 ELSE 0
+        |        END)::BIGINT AS n_extreme
+        |    FROM reps r JOIN obs o USING (event_type) GROUP BY 1, 2, 3),
+        |  pt AS (SELECT event_type,
+        |      ((n_extreme + 1) * 1000000 // 65)::BIGINT AS p_micro
+        |    FROM tests),
+        |  rkd AS (SELECT *, row_number() OVER
+        |      (ORDER BY p_micro, event_type)::BIGINT AS rank,
+        |      (SELECT count(*) FROM pt)::BIGINT AS m FROM pt),
+        |  ks AS (SELECT coalesce(max(CASE WHEN p_micro * m * 10 <=
+        |      rank * 1 * 1000000 THEN rank END), 0) AS k FROM rkd)
+        |SELECT event_type, p_micro, rank, m, rank <= ks.k AS rejected
+        |FROM rkd CROSS JOIN ks ORDER BY event_type""".stripMargin,
+    "q314_wilcoxon" ->
+      // same level table, doubled midranks, and tie-corrected z —
+      // one identically-spelled float block
+      """WITH s AS (SELECT round(value * 100)::BIGINT AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |  lv AS (SELECT v, sum(a)::BIGINT AS na,
+        |      sum(1 - a)::BIGINT AS nb, count(*)::BIGINT AS t
+        |    FROM s GROUP BY 1),
+        |  rk AS (SELECT *, coalesce(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS below FROM lv),
+        |  agg AS (SELECT sum(na)::BIGINT AS n_a,
+        |      sum(nb)::BIGINT AS n_b,
+        |      sum(na * (2 * below + t + 1))::BIGINT AS w2_a,
+        |      sum(t * t * t - t)::BIGINT AS tie_cube_sum FROM rk)
+        |SELECT n_a, n_b, w2_a,
+        |  (w2_a - n_a * (n_a + 1))::BIGINT AS u2_a, tie_cube_sum,
+        |  round((w2_a - n_a * (n_a + 1) - n_a * n_b)::DOUBLE / 2.0 /
+        |    sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0 *
+        |      ((n_a + n_b + 1)::DOUBLE - tie_cube_sum::DOUBLE /
+        |        ((n_a + n_b)::DOUBLE * (n_a + n_b - 1)::DOUBLE)))
+        |    * 1e6)::BIGINT AS z_micro
+        |FROM agg""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

@@ -372,4 +372,104 @@ object EvalOps {
       .select(col("b"), col("t_b"), col("is_extreme"),
         col("n_pairs"), col("t_obs"), col("_pm").as("p_micro"))
   }
+
+  /** Per-GROUP paired permutation tests ([[pairedPermutationTest]]'s
+    * grouped form — one deterministic null distribution per group,
+    * collapsed to the test summary): same md5 sign rule, fan-out
+    * aggregate keyed on (group, b) — bounded at |groups|·B rows — and
+    * the add-one p per group. Output per group: (groupCol, n_pairs,
+    * t_obs, n_extreme, p_micro). */
+  def pairedPermutationTestBy(pairs: DataFrame, groupCol: String,
+                              idCol: String, diffCol: String,
+                              b: Int): DataFrame = {
+    require(b >= 1, s"permutation copies must be >= 1, got $b")
+    val d = col(diffCol).cast("long")
+    val obs = pairs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_pairs"), sum(d).as("t_obs"))
+    def sign(c: Column): Column =
+      when(pmod(conv(substring(md5(concat(lit("pt"), c, lit("|"),
+        col(idCol))), 1, 1), 16, 10).cast("long"), lit(2L)) === 0L,
+        lit(1L)).otherwise(lit(-1L))
+    pairs
+      .select(col(groupCol), d.as("_d"), col(idCol),
+        explode(array((0 until b).map(i => lit(i.toLong)): _*)).as("b"))
+      .groupBy(col(groupCol), col("b"))
+      .agg(sum(sign(col("b")) * col("_d")).as("t_b"))
+      .join(broadcast(obs), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_pairs")).as("n_pairs"),
+        first(col("t_obs")).as("t_obs"),
+        sum(when(abs(col("t_b")) >= abs(col("t_obs")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .withColumn("p_micro",
+        expr(s"(n_extreme + 1L) * 1000000L div ${b + 1}L"))
+  }
+
+  /** BENJAMINI–HOCHBERG step-up FDR control (Benjamini & Hochberg
+    * 1995) over a per-group p-value table: sort the m p-values, find
+    * the largest i with p_(i) ≤ (i/m)·α, reject ranks 1..i. The
+    * comparison is EXACT integer arithmetic — p_micro·m·αden ≤
+    * i·αnum·10⁶ — and the rank window orders the GROUP table (m
+    * rows, never data), ties broken by group name (pinned).
+    * Output: (groupCol, p_micro, rank, m, rejected). */
+  def bhAdjust(tests: DataFrame, groupCol: String, pCol: String,
+               alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha = $alphaNum/$alphaDen must sit in (0, 1)")
+    val ranked = tests.select(col(groupCol), col(pCol).as("p_micro"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col(pCol), col(groupCol))).cast("long"))
+    val m = ranked.agg(count(lit(1)).as("m"))
+    val flagged = ranked.crossJoin(broadcast(m))
+      .withColumn("_pass",
+        col("p_micro") * col("m") * lit(alphaDen.toLong) <=
+          col("rank") * lit(alphaNum.toLong) * lit(1000000L))
+    val kStar = flagged.agg(coalesce(max(when(col("_pass"),
+      col("rank"))), lit(0L)).as("_k"))
+    flagged.crossJoin(broadcast(kStar))
+      .select(col(groupCol), col("p_micro"), col("rank"), col("m"),
+        (col("rank") <= col("_k")).as("rejected"))
+  }
+
+  /** WILCOXON RANK-SUM / MANN–WHITNEY U with tie correction (Mann &
+    * Whitney 1947) over an integer score column — never sorts the
+    * row set: scores collapse to a grouped (value, n_a, n_b) LEVEL
+    * table (the [[rocAuc]] move), midranks come from a prefix sum
+    * over levels kept in DOUBLED integers (rank2 = 2·below + t + 1 —
+    * the ½s never materialize), and the z statistic applies the
+    * standard tie-corrected variance
+    *   Var = n_a·n_b/12 · (n + 1 − Σ(t³−t)/(n(n−1)))
+    * as ONE identically-spelled float expression, micro-fixed.
+    * Output 1 row: (n_a, n_b, w2_a — doubled rank sum of side A,
+    * u2_a — doubled U, tie_cube_sum, z_micro). */
+  def wilcoxonRankSum(df: DataFrame, valueCol: String,
+                      sideCol: String): DataFrame = {
+    val levels = df.select(col(valueCol).cast("long").as("_v"),
+        when(col(sideCol), 1L).otherwise(0L).as("_a"))
+      .groupBy(col("_v"))
+      .agg(sum(col("_a")).as("_na"),
+        sum(lit(1L) - col("_a")).as("_nb"))
+      .withColumn("_t", col("_na") + col("_nb"))
+    val ranked = levels.withColumn("_below", coalesce(
+      sum(col("_t")).over(Window.orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val sums = ranked.agg(
+      sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"),
+      sum(col("_na") * (lit(2L) * col("_below") + col("_t") + lit(1L)))
+        .as("w2_a"),
+      sum(col("_t") * col("_t") * col("_t") - col("_t"))
+        .as("tie_cube_sum"))
+    def d(c: String): Column = col(c).cast("double")
+    val n = col("n_a") + col("n_b")
+    val u2 = col("w2_a") - col("n_a") * (col("n_a") + lit(1L))
+    val mean2 = col("n_a") * col("n_b")
+    val varD = d("n_a") * d("n_b") / lit(12.0) *
+      ((n + lit(1L)).cast("double") -
+        d("tie_cube_sum") / (n.cast("double") *
+          (n - lit(1L)).cast("double")))
+    sums.select(col("n_a"), col("n_b"), col("w2_a"),
+      u2.as("u2_a"), col("tie_cube_sum"),
+      round((u2 - mean2).cast("double") / lit(2.0) /
+        sqrt(varD) * 1e6).cast("long").as("z_micro"))
+  }
 }
