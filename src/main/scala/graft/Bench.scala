@@ -61,6 +61,25 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[bench] $warmFailures warmup failures " +
         s"(dir=$warmDir) — timings may include cold codegen")
+    // DISCARDED TARGET-SF PASS (round-13 verdict finding 3): the first
+    // interleaved pass on a freshly-started JVM is wildly contended —
+    // the driver's independent round-13 run showed q38 51.3 s / q36
+    // 40.5 s in run 1 vs ~0.4–2 s in runs 2–3, landing several medians
+    // on the polluted pair. One full untimed pass at the TARGET sf
+    // (shuffle files, page cache, JIT at real data volume — things the
+    // sf0.001 codegen warmup can't touch) before the timed loop makes
+    // median-of-3 robust. SPARK_GRAFT_SKIP_TARGET_WARMUP=1 disables it
+    // (local single-query profiling where the extra pass just costs
+    // time).
+    if (!sys.env.get("SPARK_GRAFT_SKIP_TARGET_WARMUP").contains("1")) {
+      selected.foreach { case (name, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] target warmup $name failed: ${e.getMessage}")
+        }
+      }
+    }
     // Noise protocol (round-3 verdict: single-run deltas on a shared box
     // are untrustworthy below ~3×): run the WHOLE suite `runs` times in
     // sequence — interleaved across queries, so a host-load spike taxes

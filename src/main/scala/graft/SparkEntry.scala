@@ -6394,7 +6394,8 @@ object SparkEntry {
     val staged = stageStreamDir(dir, "events")
     val src = Tables.withTimestamps(
       StreamOps.fileStream(s, schema, staged), "events")
-    val perBucket = src.withWatermark("ts", "0 seconds")
+    val perBucket = src.where(col("user_id").isNotNull)
+      .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 day"),
         SketchOps.fmBucket(col("user_id"), 32).as("bucket"))
       .agg(max(SketchOps.fmRho(col("user_id"))).as("r_max"))
@@ -6563,6 +6564,43 @@ object SparkEntry {
         .select(round(col("value") * 100, 0).cast("long").as("vc"),
           (col("event_type") === "click").as("is_a")),
       "vc", "is_a")
+
+  private def q315(s: SparkSession, dir: String): DataFrame = {
+    // IVF-PQ ANN (SimilarityOps.ivfPqTopK — the round-13 verdict's
+    // task 2: q48's integer-k-means cell pruning COMPOSED with q293's
+    // PQ-ADC scoring, the production 100 TB ANN shape). One
+    // zero-shuffle corpus pass assigns each vector its IVF cell AND
+    // its m=4 PQ codes (all literal-codebook projections); each query
+    // probes its 3 nearest cells and ADC-scores only probed-cell
+    // codes — ≈ nprobe/nlist of the corpus per query instead of
+    // q293's full code scan. Shares the q48 microCents memo and the
+    // q292/q293 pqBooks memo, so the oracle replays both fits
+    // (kmeansSqlChain + the four pqKmeansSqlChain unrolls) and the
+    // exact-integer ADC ranking end to end.
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", microCents(s, dir, 8, 4),
+        pqBooks(s, dir), PqSubLen, nprobe = 3, topK = 3)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def q316(s: SparkSession, dir: String): DataFrame = {
+    // IVF-PQ RECALL, ORACLED (the q274 pattern applied to q315): the
+    // composed index's recall@3 against the exact brute force, per
+    // query, as exact ppm rationals — the quality cost of the
+    // cell-prune + code-quantize approximations is itself a
+    // hash-checked quantity. Both inputs deterministic (shared
+    // microCents + pqBooks memos).
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val ivfpq = SimilarityOps.ivfPqTopK(q, emb, "vec_id", "embedding",
+      microCents(s, dir, 8, 4), pqBooks(s, dir), PqSubLen,
+      nprobe = 3, topK = 3)
+    val bf = SimilarityOps.bruteForceTopK(q, emb, "vec_id",
+      "embedding", 3)
+    EvalOps.topKOverlap(ivfpq, bf, "query_id", "neighbor_id")
+      .orderBy(col("query_id"))
+  }
 
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
@@ -7662,6 +7700,8 @@ object SparkEntry {
     "q312_grid_dbscan" -> q312 _,
     "q313_drift_fdr" -> q313 _,
     "q314_wilcoxon" -> q314 _,
+    "q315_ivfpq_topk" -> q315 _,
+    "q316_ivfpq_recall" -> q316 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -13519,6 +13559,135 @@ object SparkEntry {
         |        ((n_a + n_b)::DOUBLE * (n_a + n_b - 1)::DOUBLE)))
         |    * 1e6)::BIGINT AS z_micro
         |FROM agg""".stripMargin,
+    "q315_ivfpq_topk" ->
+      // the q48 IVF chain (probed cells) + the four q293 PQ chains
+      // (codes, LUTs) with the ADC score restricted to candidates
+      // whose corpus cell is probed by the query — the composition's
+      // prune replays as one extra pair of equi-joins
+      s"""WITH ${kmeansSqlChain(8, 4)},
+        |  kq AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cl) AS rn
+        |    FROM kfd WHERE vec_id < 5) WHERE rn <= 3),
+        |  $pqChains,
+        |  qx AS (SELECT vec_id AS query_id, list_transform(
+        |      embedding::DOUBLE[], e -> round(e * 1e6)::BIGINT) AS x
+        |    FROM embeddings WHERE vec_id < 5),
+        |  qe AS (SELECT query_id, (j.j - 1)::INT AS pos, x[j.j] AS xq
+        |    FROM qx, LATERAL (SELECT
+        |      unnest(generate_series(1, len(x))) AS j) j),
+        |  lut0 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p0kc ct ON ct.j = q.pos - 0
+        |    WHERE q.pos >= 0 AND q.pos < 16 GROUP BY 1, 2),
+        |  lut1 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p1kc ct ON ct.j = q.pos - 16
+        |    WHERE q.pos >= 16 AND q.pos < 32 GROUP BY 1, 2),
+        |  lut2 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p2kc ct ON ct.j = q.pos - 32
+        |    WHERE q.pos >= 32 AND q.pos < 48 GROUP BY 1, 2),
+        |  lut3 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p3kc ct ON ct.j = q.pos - 48
+        |    WHERE q.pos >= 48 AND q.pos < 64 GROUP BY 1, 2),
+        |  cds AS (SELECT a0.vec_id, a0.cl AS c0, a1.cl AS c1,
+        |      a2.cl AS c2, a3.cl AS c3
+        |    FROM p0kasg a0 JOIN p1kasg a1 USING (vec_id)
+        |      JOIN p2kasg a2 USING (vec_id)
+        |      JOIN p3kasg a3 USING (vec_id)),
+        |  sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      (l0.d2 + l1.d2 + l2.d2 + l3.d2)::BIGINT AS adc_d2
+        |    FROM cds c
+        |    JOIN kasg ce ON ce.vec_id = c.vec_id
+        |    JOIN kq q ON q.cl = ce.cl
+        |    JOIN lut0 l0 ON l0.cl = c.c0 AND l0.query_id = q.vec_id
+        |    JOIN lut1 l1 ON l1.cl = c.c1 AND l1.query_id = q.vec_id
+        |    JOIN lut2 l2 ON l2.cl = c.c2 AND l2.query_id = q.vec_id
+        |    JOIN lut3 l3 ON l3.cl = c.c3 AND l3.query_id = q.vec_id
+        |    WHERE c.vec_id <> q.vec_id),
+        |  r AS (SELECT query_id, neighbor_id, adc_d2,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc_d2, neighbor_id) AS rn FROM sc)
+        |SELECT query_id, neighbor_id, adc_d2, rn::BIGINT AS rn
+        |FROM r WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    "q316_ivfpq_recall" ->
+      // q315's composed chain and q35's brute-force chain side by
+      // side, then topKOverlap's semi-join + ppm arithmetic (the q274
+      // pattern applied to the composition)
+      s"""WITH ${kmeansSqlChain(8, 4)},
+        |  kq AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cl) AS rn
+        |    FROM kfd WHERE vec_id < 5) WHERE rn <= 3),
+        |  $pqChains,
+        |  qx AS (SELECT vec_id AS query_id, list_transform(
+        |      embedding::DOUBLE[], e -> round(e * 1e6)::BIGINT) AS x
+        |    FROM embeddings WHERE vec_id < 5),
+        |  qe AS (SELECT query_id, (j.j - 1)::INT AS pos, x[j.j] AS xq
+        |    FROM qx, LATERAL (SELECT
+        |      unnest(generate_series(1, len(x))) AS j) j),
+        |  lut0 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p0kc ct ON ct.j = q.pos - 0
+        |    WHERE q.pos >= 0 AND q.pos < 16 GROUP BY 1, 2),
+        |  lut1 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p1kc ct ON ct.j = q.pos - 16
+        |    WHERE q.pos >= 16 AND q.pos < 32 GROUP BY 1, 2),
+        |  lut2 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p2kc ct ON ct.j = q.pos - 32
+        |    WHERE q.pos >= 32 AND q.pos < 48 GROUP BY 1, 2),
+        |  lut3 AS (SELECT q.query_id, ct.cl,
+        |      sum((q.xq - ct.c) * (q.xq - ct.c))::BIGINT AS d2
+        |    FROM qe q JOIN p3kc ct ON ct.j = q.pos - 48
+        |    WHERE q.pos >= 48 AND q.pos < 64 GROUP BY 1, 2),
+        |  cds AS (SELECT a0.vec_id, a0.cl AS c0, a1.cl AS c1,
+        |      a2.cl AS c2, a3.cl AS c3
+        |    FROM p0kasg a0 JOIN p1kasg a1 USING (vec_id)
+        |      JOIN p2kasg a2 USING (vec_id)
+        |      JOIN p3kasg a3 USING (vec_id)),
+        |  sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      (l0.d2 + l1.d2 + l2.d2 + l3.d2)::BIGINT AS adc_d2
+        |    FROM cds c
+        |    JOIN kasg ce ON ce.vec_id = c.vec_id
+        |    JOIN kq q ON q.cl = ce.cl
+        |    JOIN lut0 l0 ON l0.cl = c.c0 AND l0.query_id = q.vec_id
+        |    JOIN lut1 l1 ON l1.cl = c.c1 AND l1.query_id = q.vec_id
+        |    JOIN lut2 l2 ON l2.cl = c.c2 AND l2.query_id = q.vec_id
+        |    JOIN lut3 l3 ON l3.cl = c.c3 AND l3.query_id = q.vec_id
+        |    WHERE c.vec_id <> q.vec_id),
+        |  r AS (SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc_d2, neighbor_id) AS rn FROM sc),
+        |  ipq AS (SELECT DISTINCT query_id, neighbor_id FROM r
+        |    WHERE rn <= 3),
+        |  e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |  bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      list_inner_product(q.v, c.v) /
+        |        (sqrt(list_inner_product(q.v, q.v)) *
+        |         sqrt(list_inner_product(c.v, c.v))) AS sim0
+        |    FROM e2 q, e2 c
+        |    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |  br AS (SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(sim0, 6) DESC, neighbor_id) AS rn
+        |    FROM bs),
+        |  bf AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 3),
+        |  nn AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM bf
+        |    GROUP BY 1),
+        |  h AS (SELECT bf.query_id, count(*)::BIGINT AS hits
+        |    FROM bf JOIN ipq USING (query_id, neighbor_id)
+        |    GROUP BY 1)
+        |SELECT nn.query_id, coalesce(h.hits, 0)::BIGINT AS hits,
+        |  nn.n_exact,
+        |  ((coalesce(h.hits, 0) * 1000000) // nn.n_exact)::BIGINT
+        |    AS recall_ppm
+        |FROM nn LEFT JOIN h USING (query_id)
+        |ORDER BY nn.query_id""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

@@ -418,7 +418,7 @@ object EvalOps {
       s"alpha = $alphaNum/$alphaDen must sit in (0, 1)")
     val ranked = tests.select(col(groupCol), col(pCol).as("p_micro"))
       .withColumn("rank", row_number().over(
-        Window.orderBy(col(pCol), col(groupCol))).cast("long"))
+        Window.orderBy(col("p_micro"), col(groupCol))).cast("long"))
     val m = ranked.agg(count(lit(1)).as("m"))
     val flagged = ranked.crossJoin(broadcast(m))
       .withColumn("_pass",

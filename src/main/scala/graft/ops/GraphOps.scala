@@ -351,7 +351,8 @@ object GraphOps {
     * (measured: 20.7 s → 0.8 s at 3 iterations on the 100-node q304
     * graph).
     * Magnitudes: scores ≤ 10⁶, so a raw sum ≤ 10⁶·max-degree and the
-    * div rescale's 10⁶ product stays < 2⁶³ to ~9·10⁹ max-degree.
+    * div rescale's 10⁶ product (raw·10⁶ < 2⁶³) bounds max-degree at
+    * ~9.2·10⁶ — dense-hub graphs past that need a widened rescale.
     * Returns (id, hub_micro, auth_micro). */
   def hits(edgesIn: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")

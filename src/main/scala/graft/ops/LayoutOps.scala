@@ -79,6 +79,20 @@ object LayoutOps {
     * is executed. Returns one row per (partition, bin) with the file
     * range to rewrite. */
   def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+                     sizeCol: String, targetSize: Long): DataFrame =
+    binAssignments(files, partCol, fileCol, sizeCol, targetSize)
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).as("bin_bytes"),
+        min(col(fileCol)).as("first_file"),
+        max(col(fileCol)).as("last_file"))
+
+  /** The per-FILE half of [[compactionPlan]]: the same running-total
+    * window and floor-cut rule, returned at (partition, file, bin)
+    * granularity — the join key the rewrite needs. One row per
+    * inventory file; windows partition by the table partition (no
+    * global sort). */
+  def binAssignments(files: DataFrame, partCol: String, fileCol: String,
                      sizeCol: String, targetSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(partCol)).orderBy(col(fileCol))
@@ -86,10 +100,29 @@ object LayoutOps {
       .withColumn("_cum_before",
         coalesce(sum(col(sizeCol)).over(w) - col(sizeCol), lit(0L)))
       .withColumn("bin", floor(col("_cum_before") / lit(targetSize)))
-      .groupBy(col(partCol), col("bin"))
-      .agg(count(lit(1)).as("n_files"),
-        sum(col(sizeCol)).as("bin_bytes"),
-        min(col(fileCol)).as("first_file"),
-        max(col(fileCol)).as("last_file"))
   }
+
+  /** EXECUTE a compaction plan (round-13 verdict task 5 — the q284
+    * close-the-loop move applied to layout: q198 emits the bin plan,
+    * this runs it): tag each data row with its file's bin (an
+    * equi-join on (partition, file) against the [[binAssignments]]
+    * metadata — broadcastable, it is the file inventory), shuffle
+    * ONCE on (partition, bin), and write with
+    * `partitionBy(partition, bin)` so every bin directory receives
+    * exactly one file — the shuffle puts each (partition, bin) group
+    * in a single task, and even if AQE coalesces tasks the per-
+    * directory split keeps one file per bin. Output file count
+    * therefore equals the plan's bin count BY CONSTRUCTION, and the
+    * read-back table is row-identical to the source (both halves
+    * hash-checked by q317). The one data shuffle IS the rewrite —
+    * compaction at 100 TB moves the bytes exactly once. */
+  def executeCompaction(rows: DataFrame, assign: DataFrame,
+                        partCol: String, fileCol: String,
+                        outDir: String): Unit =
+    rows
+      .join(broadcast(assign.select(col(partCol), col(fileCol),
+        col("bin"))), Seq(partCol, fileCol))
+      .repartition(col(partCol), col("bin"))
+      .write.mode("overwrite").partitionBy(partCol, "bin")
+      .parquet(outDir)
 }

@@ -111,15 +111,25 @@ case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
   * batch build's null-safe compare instead of crashing the primitive
   * tuple decoder (round-12 ADVICE — batch/stream null parity).
   *
-  * STATE-SCHEMA COMPATIBILITY: this record's shape has changed
+  * STATE-SCHEMA COMPATIBILITY (round-14: now VERSIONED, the
+  * round-13 verdict's task 4): this record's shape has changed
   * across library versions (round 12 added `seenUs` and boxed `b`;
-  * round 13 added `seenTie`) — a durable checkpoint written by an
-  * older build (e.g. via [[StreamOps.runFileSinkPhase]], which
-  * advertises cross-lifetime resume) CANNOT be resumed by a newer
-  * one; rebuild the dimension from the batch twin
-  * ([[graft.ops.RelOps.scd2Build]]) and start a fresh checkpoint. */
+  * round 13 added `seenTie`; round 14 added the `sv` version field
+  * itself — v4). A durable checkpoint written by an older build
+  * (e.g. via [[StreamOps.runFileSinkPhase]], which advertises
+  * cross-lifetime resume) CANNOT be resumed by a newer one. Two
+  * fences now fail loudly instead of leaving that undefined: a
+  * FIELD-SHAPE change trips Spark's own state-schema compatibility
+  * checker at restore; a SEMANTIC change that keeps the shape (the
+  * class Spark's checker cannot see — e.g. reinterpreting `seenUs`)
+  * trips [[StreamOps.requireScd2StateVersion]] on the first restored
+  * key, with the rebuild instruction in the message. There is no
+  * migration path by design: rebuild the dimension from the batch
+  * twin ([[graft.ops.RelOps.scd2Build]]) and start a fresh
+  * checkpoint. */
 case class Scd2Open(a: String, b: java.lang.Long, fromUs: Long,
-                    version: Long, seenUs: Long, seenTie: Long)
+                    version: Long, seenUs: Long, seenTie: Long,
+                    sv: Int)
 
 /** A CLOSED dimension version emitted by [[StreamOps.scd2Stream]]. */
 case class Scd2Closed(user_id: Long, event_type: String,
@@ -137,12 +147,13 @@ case class Scd2Closed(user_id: Long, event_type: String,
   * LIVE-version counter that survives delete gaps (the batch build
   * numbers live rows only, so the counter must not reset when a
   * tombstone clears the open version). One fixed-size record per key
-  * ever seen. Same state-schema compatibility caveat as
-  * [[Scd2Open]]: resuming an older build's durable checkpoint is not
-  * supported — rebuild from the batch twin. */
+  * ever seen. Same state-schema versioning contract as [[Scd2Open]]
+  * (`sv` checked on restore, stale versions rejected loudly):
+  * resuming an older build's durable checkpoint is not supported —
+  * rebuild from the batch twin. */
 case class Scd2DelState(open: Boolean, a: String, b: java.lang.Long,
                         fromUs: Long, version: Long, seenUs: Long,
-                        seenTie: Long)
+                        seenTie: Long, sv: Int)
 
 /** `transformWithState` processor behind
   * [[StreamOps.sessionizeTimersStream]]: gap sessionization where the
@@ -303,6 +314,29 @@ class IdleFlushTimers(idleFlushMs: Long) extends StatefulProcessor[
   * a 100 TB stream accumulates state forever.
   */
 object StreamOps {
+
+  /** SCD2 streaming state-schema version (round-13 verdict task 4).
+    * History: v1 original (a, b, fromUs, version); v2 + `seenUs`,
+    * boxed `b`; v3 + `seenTie`; v4 + this field itself. Bump on ANY
+    * change to the state layout OR its interpretation; every state
+    * record is written with the current value and checked on restore
+    * by [[requireScd2StateVersion]]. */
+  val Scd2StateVersion: Int = 4
+
+  /** Fail-loudly fence for restored SCD2 state whose version does not
+    * match this build (covers the semantic-change class Spark's own
+    * state-schema checker cannot see — field shapes unchanged, meaning
+    * changed). Runs once per restored key, on the state record the
+    * store already decoded — no extra I/O. */
+  private[graft] def requireScd2StateVersion(found: Int): Unit =
+    if (found != Scd2StateVersion)
+      throw new IllegalStateException(
+        s"STALE STREAMING STATE: checkpoint carries SCD2 state schema " +
+          s"version $found, this build expects $Scd2StateVersion. " +
+          "Durable checkpoints do not migrate across state-schema " +
+          "versions — rebuild the dimension from the batch twin " +
+          "(RelOps.scd2Build / scd2BuildWithDeletes) and start a " +
+          "fresh checkpoint.")
 
   /** File-based stream source with a pinned schema (inference is
     * disallowed on streams — and a perf bug on batch, SURVEY §2.1 S1).
@@ -473,32 +507,47 @@ object StreamOps {
         (key: Long,
          rows: Iterator[(Long, String, java.lang.Long, Long, Long)],
          state: GroupState[Scd2Open]) =>
-          val sorted = rows.toArray.sortBy(r => (r._4, r._5))
-          var open = state.getOption
-          val closed =
-            scala.collection.mutable.ArrayBuffer[Scd2Closed]()
-          sorted.foreach { case (_, a, b, us, tie) =>
-            open match {
-              // cross-batch straggler: (ts, tie) lexicographically
-              // below the accepted horizon — equal-ts smaller-tie
-              // rows are out of sort order too (round-13 ADVICE)
-              case Some(o) if us < o.seenUs ||
-                  (us == o.seenUs && tie < o.seenTie) =>
-                droppedStragglers.foreach(_.add(1L))
-              case Some(o) if o.a == a && o.b == b => // no-op change —
-                // still advances the straggler horizon
-                open = Some(o.copy(seenUs = us, seenTie = tie))
-              case Some(o) =>
-                closed += Scd2Closed(key, o.a, o.b, o.fromUs, us,
-                  o.version)
-                open = Some(Scd2Open(a, b, us, o.version + 1, us, tie))
-              case None =>
-                open = Some(Scd2Open(a, b, us, 1L, us, tie))
-            }
-          }
-          open.foreach(state.update)
-          closed.iterator
+          scd2Step(key, rows, state, droppedStragglers)
       }
+  }
+
+  /** Per-key transition of [[scd2Stream]], factored out so the
+    * state-version fence is testable against a constructed
+    * `TestGroupState` (an old checkpoint cannot be written by this
+    * build, by definition). */
+  private[graft] def scd2Step(key: Long,
+      rows: Iterator[(Long, String, java.lang.Long, Long, Long)],
+      state: GroupState[Scd2Open],
+      droppedStragglers: Option[
+        org.apache.spark.util.LongAccumulator]): Iterator[Scd2Closed] = {
+    val sorted = rows.toArray.sortBy(r => (r._4, r._5))
+    var open = state.getOption
+    open.foreach(o => requireScd2StateVersion(o.sv))
+    val closed =
+      scala.collection.mutable.ArrayBuffer[Scd2Closed]()
+    sorted.foreach { case (_, a, b, us, tie) =>
+      open match {
+        // cross-batch straggler: (ts, tie) lexicographically
+        // below the accepted horizon — equal-ts smaller-tie
+        // rows are out of sort order too (round-13 ADVICE)
+        case Some(o) if us < o.seenUs ||
+            (us == o.seenUs && tie < o.seenTie) =>
+          droppedStragglers.foreach(_.add(1L))
+        case Some(o) if o.a == a && o.b == b => // no-op change —
+          // still advances the straggler horizon
+          open = Some(o.copy(seenUs = us, seenTie = tie))
+        case Some(o) =>
+          closed += Scd2Closed(key, o.a, o.b, o.fromUs, us,
+            o.version)
+          open = Some(Scd2Open(a, b, us, o.version + 1, us, tie,
+            Scd2StateVersion))
+        case None =>
+          open = Some(Scd2Open(a, b, us, 1L, us, tie,
+            Scd2StateVersion))
+      }
+    }
+    open.foreach(state.update)
+    closed.iterator
   }
 
   /** MULTI-ATTRIBUTE [[scd2Stream]] — the streaming sibling of the
@@ -544,12 +593,15 @@ object StreamOps {
         unix_micros(col(tsCol)).as("_us") :+
         col(tieCol).cast("long").as("_tie"): _*)
     val attrFields = proj.schema.fields.slice(1, 1 + na)
-    // state row layout: attrs[0..na-1], fromUs, version, seenUs, seenTie
+    // state row layout: attrs[0..na-1], fromUs, version, seenUs,
+    // seenTie, sv (the Scd2StateVersion fence — round-14)
     val stateSchema = StructType(attrFields ++ Seq(
       StructField("_from_us", LongType, nullable = false),
       StructField("_version", LongType, nullable = false),
       StructField("_seen_us", LongType, nullable = false),
-      StructField("_seen_tie", LongType, nullable = false)))
+      StructField("_seen_tie", LongType, nullable = false),
+      StructField("_sv", org.apache.spark.sql.types.IntegerType,
+        nullable = false)))
     val outSchema = StructType(
       StructField(keyCol, LongType, nullable = false) +:
         attrFields :+
@@ -565,6 +617,7 @@ object StreamOps {
           val sorted = rows.toArray.sortBy(r =>
             (r.getLong(1 + na), r.getLong(2 + na)))
           var open = state.getOption
+          open.foreach(o => requireScd2StateVersion(o.getInt(na + 4)))
           val closed = scala.collection.mutable.ArrayBuffer[Row]()
           def sameAttrs(o: Row, r: Row): Boolean =
             (0 until na).forall(i =>
@@ -580,19 +633,23 @@ object StreamOps {
                 droppedStragglers.foreach(_.add(1L))
               case Some(o) if sameAttrs(o, r) => // no-op change —
                 // still advances the straggler horizon
+                // (Seq[Any]: keeps the Int version field from being
+                // numerically harmonized to Long by the Seq literal)
                 open = Some(Row.fromSeq(
-                  o.toSeq.take(na + 2) ++ Seq(us, tie)))
+                  o.toSeq.take(na + 2) ++
+                    Seq[Any](us, tie, Scd2StateVersion)))
               case Some(o) =>
                 closed += Row.fromSeq(
                   key +: (0 until na).map(o.get) :+
                     o.getLong(na) :+ us :+ o.getLong(na + 1))
                 open = Some(Row.fromSeq(
                   (0 until na).map(i => r.get(1 + i)) ++
-                    Seq(us, o.getLong(na + 1) + 1, us, tie)))
+                    Seq[Any](us, o.getLong(na + 1) + 1, us, tie,
+                      Scd2StateVersion)))
               case None =>
                 open = Some(Row.fromSeq(
                   (0 until na).map(i => r.get(1 + i)) ++
-                    Seq(us, 1L, us, tie)))
+                    Seq[Any](us, 1L, us, tie, Scd2StateVersion)))
             }
           }
           open.foreach(state.update)
@@ -635,14 +692,16 @@ object StreamOps {
           .as("_del"): _*)
     val attrFields = proj.schema.fields.slice(1, 1 + na)
     // state row layout: attrs[0..na-1], open, fromUs, version,
-    // seenUs, seenTie
+    // seenUs, seenTie, sv (the Scd2StateVersion fence — round-14)
     val stateSchema = StructType(attrFields.map(_.copy(nullable = true))
       ++ Seq(
       StructField("_open", BooleanType, nullable = false),
       StructField("_from_us", LongType, nullable = false),
       StructField("_version", LongType, nullable = false),
       StructField("_seen_us", LongType, nullable = false),
-      StructField("_seen_tie", LongType, nullable = false)))
+      StructField("_seen_tie", LongType, nullable = false),
+      StructField("_sv", org.apache.spark.sql.types.IntegerType,
+        nullable = false)))
     val outSchema = StructType(
       StructField(keyCol, LongType, nullable = false) +:
         attrFields :+
@@ -657,10 +716,12 @@ object StreamOps {
         (key: Long, rows: Iterator[Row], state: GroupState[Row]) =>
           val sorted = rows.toArray.sortBy(r =>
             (r.getLong(1 + na), r.getLong(2 + na)))
+          state.getOption.foreach(o =>
+            requireScd2StateVersion(o.getInt(na + 5)))
           var st = state.getOption.getOrElse(Row.fromSeq(
             Seq.fill[Any](na)(null) ++
               Seq(false, Long.MinValue, 0L, Long.MinValue,
-                Long.MinValue)))
+                Long.MinValue, Scd2StateVersion)))
           val closed = scala.collection.mutable.ArrayBuffer[Row]()
           def isOpen = st.getBoolean(na)
           def sameAttrs(r: Row): Boolean =
@@ -680,23 +741,25 @@ object StreamOps {
                   key +: (0 until na).map(st.get) :+
                     st.getLong(na + 1) :+ us :+ st.getLong(na + 2))
                 st = Row.fromSeq(Seq.fill[Any](na)(null) ++
-                  Seq(false, us, st.getLong(na + 2), us, tie))
+                  Seq(false, us, st.getLong(na + 2), us, tie,
+                    Scd2StateVersion))
               } else { // repeated/leading tombstone — emits nothing
                 st = Row.fromSeq((0 until na).map(st.get) ++
                   Seq(false, st.getLong(na + 1), st.getLong(na + 2),
-                    us, tie))
+                    us, tie, Scd2StateVersion))
               }
             } else if (isOpen && sameAttrs(r)) { // no-op change —
               // still advances the straggler horizon
               st = Row.fromSeq((0 until na).map(st.get) ++
                 Seq(true, st.getLong(na + 1), st.getLong(na + 2),
-                  us, tie))
+                  us, tie, Scd2StateVersion))
             } else {
               if (isOpen) closed += Row.fromSeq(
                 key +: (0 until na).map(st.get) :+
                   st.getLong(na + 1) :+ us :+ st.getLong(na + 2))
               st = Row.fromSeq((0 until na).map(i => r.get(1 + i)) ++
-                Seq(true, us, st.getLong(na + 2) + 1, us, tie))
+                Seq(true, us, st.getLong(na + 2) + 1, us, tie,
+                  Scd2StateVersion))
             }
           }
           state.update(st)
@@ -740,9 +803,10 @@ object StreamOps {
            Boolean)],
          state: GroupState[Scd2DelState]) =>
           val sorted = rows.toArray.sortBy(r => (r._4, r._5))
+          state.getOption.foreach(o => requireScd2StateVersion(o.sv))
           var st = state.getOption.getOrElse(
             Scd2DelState(open = false, null, null, Long.MinValue, 0L,
-              Long.MinValue, Long.MinValue))
+              Long.MinValue, Long.MinValue, Scd2StateVersion))
           val closed =
             scala.collection.mutable.ArrayBuffer[Scd2Closed]()
           sorted.foreach { case (_, a, b, us, tie, del) =>
@@ -760,7 +824,7 @@ object StreamOps {
                 closed += Scd2Closed(key, st.a, st.b, st.fromUs, us,
                   st.version)
                 st = Scd2DelState(open = false, null, null, us,
-                  st.version, us, tie)
+                  st.version, us, tie, Scd2StateVersion)
               } else { // repeated/leading tombstone — emits nothing
                 st = st.copy(seenUs = us, seenTie = tie)
               }
@@ -771,10 +835,10 @@ object StreamOps {
               closed += Scd2Closed(key, st.a, st.b, st.fromUs, us,
                 st.version)
               st = Scd2DelState(open = true, a, b, us,
-                st.version + 1, us, tie)
+                st.version + 1, us, tie, Scd2StateVersion)
             } else { // (re-)open after a gap or for a new key
               st = Scd2DelState(open = true, a, b, us,
-                st.version + 1, us, tie)
+                st.version + 1, us, tie, Scd2StateVersion)
             }
           }
           state.update(st)
