@@ -6602,6 +6602,172 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  private def q317(s: SparkSession, dir: String): DataFrame = {
+    // COMPACTION PLAN EXECUTED (LayoutOps.executeCompaction — the
+    // round-13 verdict's task 5, the q284 close-the-loop move applied
+    // to layout): q198's bin plan is RUN — each event row joins its
+    // (day, hour-file)'s bin, one (day, bin) shuffle, one output file
+    // per bin directory — and the result is verified AS DATA: per
+    // day, n_files comes from the ACTUAL compacted listing
+    // (input_file_name), n_bins from the plan, and the row count +
+    // value-cents total from the read-back table. The oracle computes
+    // all four from the raw events + the q198 window chain, so a
+    // writer that splits/merges/drops anything hash-mismatches.
+    // Target = 1 MiB (a real compaction size — q198's 16 KiB knob is
+    // its planner demo scale; executing THAT would write ~260 tiny
+    // files per day, the exact disease compaction cures).
+    val rows = t(s, dir, "events").select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      hour(col("ts")).cast("long").as("file_id"),
+      round(col("value") * 100, 0).cast("long").as("value_cents"))
+    val inv = rows.groupBy(col("day"), col("file_id"))
+      .agg((count(lit(1)) * 128).as("bytes"))
+    val asg = LayoutOps.binAssignments(inv, "day", "file_id",
+        "bytes", 1048576L)
+      .select(col("day"), col("file_id"), col("bin"))
+      .localCheckpoint() // feeds the rewrite join AND the bin count
+    val out = fitRoot(dir) + "/compacted_events"
+    LayoutOps.executeCompaction(rows, asg, "day", "file_id", out)
+    s.read.parquet(out)
+      .select(col("day").cast("string").as("day"),
+        col("value_cents"), input_file_name().as("_f"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("_f")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        sum(col("value_cents")).as("value_cents"))
+      .join(asg.groupBy(col("day"))
+        .agg(countDistinct(col("bin")).as("n_bins")), Seq("day"))
+      .select(col("day"), col("n_bins"), col("n_files"),
+        col("n_rows"), col("value_cents"))
+      .orderBy(col("day"))
+  }
+
+  private def q318(s: SparkSession, dir: String): DataFrame =
+    // DETERMINISTIC EPOCH SHUFFLE (SplitOps.epochShuffle — round-13
+    // verdict task 6: the global training order between mixture and
+    // packing): the corpus's epoch-1 permutation as the md5 total
+    // order, positions from the two-level prefix sum — no global
+    // sort; the identical ORDER BY replays in DuckDB.
+    SplitOps.epochShuffle(t(s, dir, "documents"), "doc_id", "epoch1")
+      .orderBy(col("pos"))
+
+  private def q319(s: SparkSession, dir: String): DataFrame =
+    // CURRICULUM INTERLEAVE (SplitOps.curriculumInterleave): per-lang
+    // round-robin in salted-md5 order — round r takes one doc from
+    // every lang that still has ≥ r docs, langs visited in
+    // md5('src:'‖lang) order; the global position is exact integer
+    // arithmetic against the broadcast per-source directory, never a
+    // global sort. ORDER BY pos IS the training curriculum.
+    SplitOps.curriculumInterleave(t(s, dir, "documents"), "doc_id",
+        "lang", "curr1")
+      .orderBy(col("pos"))
+
+  private def q320(s: SparkSession, dir: String): DataFrame = {
+    // PARAGRAPH-GRANULAR NEAR-DEDUP (round-13 verdict task 7 — the
+    // C4 convention: crawl pipelines dedup below doc level before doc
+    // level). Paragraph proxy on the single-line fixture docs =
+    // 20-token chunks (TextOps.chunkTokens, the q-chunking operator);
+    // each paragraph runs the STANDARD MinHash/LSH candidate chain
+    // (k=32, 8 bands, buffer-bounded maxBucket=256 — exactly q32's
+    // machinery at pid granularity), a paragraph is a DUP if it pairs
+    // with any earlier paragraph (keep-first), and verdicts roll up
+    // to docs under BOTH policies: drop-paragraph keeps the doc's
+    // non-dup paragraphs; drop-doc drops a doc whose dup share
+    // reaches half. pid = doc_id·1000 + chunk_id (chunks ≪ 1000 by
+    // the doc length bound), so the pair chain's keep-first rule
+    // follows (doc, position) order like the doc-level convention.
+    val paras = TextOps.chunkTokens(t(s, dir, "documents"), "doc_id",
+        "text", 20, 0)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("pid"),
+        col("doc_id"), col("chunk_text"))
+      .localCheckpoint() // feeds the LSH chain AND the per-doc rollup
+    val cand = DedupOps.lshCandidatePairs(paras, "pid", "chunk_text",
+      k = 32, bands = 8, maxBucket = 256)
+    val dupIds = cand.select(col("id_b").as("pid")).distinct()
+      .withColumn("_d", lit(1L))
+    paras.join(dupIds, Seq("pid"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(coalesce(col("_d"), lit(0L))).as("n_dup_paras"))
+      .withColumn("doc_dropped",
+        col("n_dup_paras") * 2 >= col("n_paras"))
+      .withColumn("paras_kept", when(col("doc_dropped"), 0L)
+        .otherwise(col("n_paras") - col("n_dup_paras")))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q321(s: SparkSession, dir: String): DataFrame =
+    // ISOTONIC (PAV) CALIBRATION (EvalOps.isotonicPav — round-13
+    // verdict task 8, the monotone score→probability map beside
+    // q221's binned ECE): does a higher event value mean a higher
+    // purchase share? Scores bucket to ~41 levels (value rounded,
+    // div 8 — the level-bounded knob), y = purchase vs click, and
+    // the PAV fit runs in its closed minimax form over exact integer
+    // micro means — every level's raw and calibrated probability
+    // hash-compares, and the fitted sequence is provably monotone.
+    EvalOps.isotonicPav(
+      t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(expr("cast(round(value) as long) div 8L").as("lvl"),
+          (col("event_type") === "purchase").cast("long").as("y")),
+      "lvl", "y")
+      .orderBy(col("level"))
+
+  private def q322(s: SparkSession, dir: String): DataFrame = {
+    // TRAINING-ORDER MANIFEST — the capstone thread for the round-14
+    // ordering pair (the round-13 verdict's task 6 asked for a
+    // capstone variant threading the new ordering stage): q65's
+    // Gopher gate keeps the quality docs, the curriculum interleave
+    // (salt 'curr2') fixes their global training order, and fixed-
+    // size packing assigns batch_id = (pos−1) div 32 — the manifest a
+    // data loader replays verbatim. Every stage is the registered
+    // operator; the whole composition (gate signals, permutation,
+    // batch boundaries) hash-compares.
+    val kept = TextOps.qualityGate(t(s, dir, "documents"), "text",
+        minTokens = 20, maxTokens = 80, maxDupTrigramRatio = 0.02)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .localCheckpoint() // feeds the interleave AND the token join
+    SplitOps.curriculumInterleave(kept, "doc_id", "lang", "curr2")
+      .join(kept.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .select(col("pos"), col("doc_id"), col("lang"),
+        expr("(pos - 1L) div 32L").as("batch_id"), col("n_tokens"))
+      .orderBy(col("pos"))
+  }
+
+  private def q323(s: SparkSession, dir: String): DataFrame =
+    // MURPHY BRIER DECOMPOSITION (EvalOps.brierDecomposition — the
+    // forecast-quality ledger beside q221's ECE and q321's isotonic
+    // map): the naive linear "score as probability" forecast
+    // p = level/41 over the q321 buckets, y = purchase vs click;
+    // reliability exposes exactly the mis-calibration q321 would
+    // repair, resolution what separating power the score has, and
+    // the direct Brier rides as the exact audit column. One level
+    // aggregate + one 1-row broadcast — every component
+    // hash-compares.
+    EvalOps.brierDecomposition(
+      t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(expr(
+          "((cast(round(value) as long) div 8L) * 1000000L) div 41L")
+          .as("p_micro"),
+          (col("event_type") === "purchase").cast("long").as("y")),
+      "p_micro", "y")
+
+  private def q324(s: SparkSession, dir: String): DataFrame =
+    // McNEMAR PAIRED TEST (EvalOps.mcnemar): are the value>=50 and
+    // value>=100 purchase rules differently wrong on the SAME
+    // events? Only the discordant cells enter the statistic; the
+    // continuity-corrected chi2 is exact integer micro. The
+    // model-vs-model gate next to the drift/FDR family (q313).
+    EvalOps.mcnemar(
+      t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select((col("value") >= 50.0).as("pred_a"),
+          (col("value") >= 100.0).as("pred_b"),
+          (col("event_type") === "purchase").as("truth")),
+      "pred_a", "pred_b", "truth")
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -7702,6 +7868,14 @@ object SparkEntry {
     "q314_wilcoxon" -> q314 _,
     "q315_ivfpq_topk" -> q315 _,
     "q316_ivfpq_recall" -> q316 _,
+    "q317_compaction_exec" -> q317 _,
+    "q318_epoch_shuffle" -> q318 _,
+    "q319_curriculum" -> q319 _,
+    "q320_para_dedup" -> q320 _,
+    "q321_isotonic" -> q321 _,
+    "q322_training_manifest" -> q322 _,
+    "q323_brier_decomp" -> q323 _,
+    "q324_mcnemar" -> q324 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -7746,7 +7920,10 @@ object SparkEntry {
       "(SELECT cap FROM capc)")
 
   private def lshCandSqlBody(k: Int, bands: Int, capCtes: String,
-                             capExpr: String): String = {
+                             capExpr: String,
+                             srcFrom: String = "documents",
+                             idExpr: String = "doc_id",
+                             textExpr: String = "text"): String = {
     val coeffs = DedupOps.minhashCoeffs(k)
     val r = k / bands
     val p = DedupOps.MinhashPrime
@@ -7757,10 +7934,10 @@ object SparkEntry {
       val members = (bi * r until (bi + 1) * r).map(i => s"h$i").mkString(", ")
       s"SELECT doc_id, $bi AS band, md5(concat_ws(':', $members)) AS bh FROM sig"
     }.mkString("\n    UNION ALL ")
-    s"""toks AS (SELECT doc_id,
-       |    unnest(list_filter(list_distinct(string_split_regex(text, '\\s+')),
+    s"""toks AS (SELECT $idExpr AS doc_id,
+       |    unnest(list_filter(list_distinct(string_split_regex($textExpr, '\\s+')),
        |      t -> len(t) > 0)) AS tok
-       |  FROM documents),
+       |  FROM $srcFrom),
        |  xs AS (SELECT doc_id,
        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x FROM toks),
        |  sig AS (SELECT doc_id,
@@ -13688,6 +13865,199 @@ object SparkEntry {
         |    AS recall_ppm
         |FROM nn LEFT JOIN h USING (query_id)
         |ORDER BY nn.query_id""".stripMargin,
+    "q317_compaction_exec" ->
+      // the q198 window chain predicts n_bins = the executed layout's
+      // file count (one file per bin by construction), and the
+      // read-back row count + cents total must equal the raw table's
+      """WITH inv AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    hour(ts)::BIGINT AS file_id,
+        |    (count(*) * 128)::BIGINT AS bytes
+        |  FROM events GROUP BY 1, 2),
+        |  cb AS (SELECT day, file_id, bytes,
+        |    (sum(bytes) OVER (PARTITION BY day ORDER BY file_id)
+        |      - bytes) AS cum_before
+        |  FROM inv),
+        |  asg AS (SELECT day, file_id,
+        |    floor(cum_before / 1048576)::BIGINT AS bin FROM cb),
+        |  plan AS (SELECT day, count(DISTINCT bin)::BIGINT AS n_bins
+        |    FROM asg GROUP BY 1),
+        |  agg AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |      count(*)::BIGINT AS n_rows,
+        |      sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |    FROM events GROUP BY 1)
+        |SELECT a.day, p.n_bins, p.n_bins AS n_files, a.n_rows,
+        |  a.value_cents
+        |FROM agg a JOIN plan p USING (day)
+        |ORDER BY a.day""".stripMargin,
+    "q318_epoch_shuffle" ->
+      // the same 60-bit md5 keys; DuckDB spells the total order as
+      // one window — the engine's prefix-sum positions must land on
+      // the identical permutation
+      """WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5('epoch1:' || doc_id), 1, 15))::BIGINT
+        |      AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT
+        |    AS pos
+        |FROM h ORDER BY pos""".stripMargin,
+    "q319_curriculum" ->
+      // same salted draws; the round-robin position is the
+      // lexicographic (round, src_rank) rank — equal by construction
+      // to the engine's directory arithmetic
+      """WITH h AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5('curr1:' || doc_id), 1, 15))::BIGINT
+        |      AS sk
+        |  FROM documents),
+        |  sz AS (SELECT lang, count(*)::BIGINT AS s FROM h
+        |    GROUP BY 1),
+        |  sr AS (SELECT lang, s, row_number() OVER (
+        |      ORDER BY md5('src:' || lang), lang)::BIGINT AS src_rank
+        |    FROM sz),
+        |  r AS (SELECT doc_id, lang, row_number() OVER (
+        |      PARTITION BY lang ORDER BY sk, doc_id)::BIGINT AS round
+        |    FROM h)
+        |SELECT r.doc_id, r.lang, r.round, sr.src_rank,
+        |  row_number() OVER (ORDER BY r.round, sr.src_rank)::BIGINT
+        |    AS pos
+        |FROM r JOIN sr ON sr.lang = r.lang
+        |ORDER BY pos""".stripMargin,
+    "q320_para_dedup" ->
+      // the same 20-token chunking, then q32's band chain verbatim at
+      // pid granularity (lshCandSqlBody parameterized by source), and
+      // the same keep-first + both rollup policies
+      s"""WITH paras AS (SELECT doc_id, (g.g - 1) // 20 AS chunk_id,
+        |    doc_id * 1000 + (g.g - 1) // 20 AS pid,
+        |    array_to_string(tk[g.g : g.g + 19], ' ') AS ptext
+        |  FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(text, '\\s+'), t -> len(t) > 0) AS tk
+        |    FROM documents) d,
+        |  LATERAL (SELECT unnest(generate_series(1, len(tk), 20))
+        |    AS g) g),
+        |  ${lshCandSqlBody(32, 8, "", "256", "paras", "pid", "ptext")},
+        |  dups AS (SELECT DISTINCT id_b AS pid FROM cand),
+        |  roll AS (SELECT p.doc_id, count(*)::BIGINT AS n_paras,
+        |      count(d.pid)::BIGINT AS n_dup_paras
+        |    FROM paras p LEFT JOIN dups d ON d.pid = p.pid
+        |    GROUP BY 1)
+        |SELECT doc_id, n_paras, n_dup_paras,
+        |  (n_dup_paras * 2 >= n_paras) AS doc_dropped,
+        |  (CASE WHEN n_dup_paras * 2 >= n_paras THEN 0
+        |    ELSE n_paras - n_dup_paras END)::BIGINT AS paras_kept
+        |FROM roll ORDER BY doc_id""".stripMargin,
+    "q321_isotonic" ->
+      // same level table, same truncated integer-micro interval
+      // means, same minimax — // and div agree on the non-negative
+      // operands
+      """WITH sx AS (SELECT round(value)::BIGINT // 8 AS level,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  lv AS (SELECT level, count(*)::BIGINT AS n,
+        |      sum(y)::BIGINT AS s FROM sx GROUP BY 1),
+        |  cum AS (SELECT level, n, s,
+        |      sum(n) OVER (ORDER BY level)::BIGINT AS cn,
+        |      sum(s) OVER (ORDER BY level)::BIGINT AS cs FROM lv),
+        |  lo AS (SELECT level AS j, (cn - n)::BIGINT AS cnj,
+        |      (cs - s)::BIGINT AS csj FROM cum),
+        |  hi AS (SELECT level AS k, cn AS cnk, cs AS csk FROM cum),
+        |  pr AS (SELECT j, k,
+        |      (((csk - csj) * 1000000) // (cnk - cnj))::BIGINT AS a
+        |    FROM lo JOIN hi ON j <= k),
+        |  im AS (SELECT c.level, p.j, min(p.a)::BIGINT AS mn
+        |    FROM cum c JOIN pr p ON p.j <= c.level AND p.k >= c.level
+        |    GROUP BY 1, 2),
+        |  iso AS (SELECT level, max(mn)::BIGINT AS iso_micro FROM im
+        |    GROUP BY 1)
+        |SELECT l.level, l.n, l.s,
+        |  ((l.s * 1000000) // l.n)::BIGINT AS raw_micro, i.iso_micro
+        |FROM lv l JOIN iso i USING (level)
+        |ORDER BY l.level""".stripMargin,
+    "q322_training_manifest" ->
+      // q65's gate CTE (+ lang), the q319 interleave chain at salt
+      // 'curr2', and the same div-32 batch arithmetic
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      t -> len(t) > 0) AS t
+        |  FROM documents),
+        |  f AS (SELECT doc_id, lang, len(t) AS n_tokens,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      1.0 - len(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> array_to_string(t[i:i+2], ' '))))::DOUBLE / (len(t) - 2)
+        |      ELSE 0.0 END AS dup3
+        |  FROM d),
+        |  kept AS (SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens
+        |    FROM f
+        |    WHERE n_tokens >= 20 AND n_tokens <= 80 AND dup3 <= 0.02),
+        |  h AS (SELECT doc_id, lang, n_tokens,
+        |    ('0x' || substr(md5('curr2:' || doc_id), 1, 15))::BIGINT
+        |      AS sk
+        |  FROM kept),
+        |  sz AS (SELECT lang, count(*)::BIGINT AS s FROM h GROUP BY 1),
+        |  sr AS (SELECT lang, row_number() OVER (
+        |      ORDER BY md5('src:' || lang), lang)::BIGINT AS src_rank
+        |    FROM sz),
+        |  r AS (SELECT doc_id, lang, n_tokens, row_number() OVER (
+        |      PARTITION BY lang ORDER BY sk, doc_id)::BIGINT AS round
+        |    FROM h),
+        |  m AS (SELECT row_number() OVER (ORDER BY r.round, sr.src_rank)
+        |      ::BIGINT AS pos,
+        |    r.doc_id, r.lang, r.n_tokens
+        |  FROM r JOIN sr ON sr.lang = r.lang)
+        |SELECT pos, doc_id, lang, ((pos - 1) // 32)::BIGINT AS batch_id,
+        |  n_tokens
+        |FROM m ORDER BY pos""".stripMargin,
+    "q323_brier_decomp" ->
+      // same level table, same per-level micro truncation spelling,
+      // same exact direct-Brier audit — all operands non-negative so
+      // div ≡ //
+      """WITH sx AS (SELECT
+        |    ((round(value)::BIGINT // 8) * 1000000) // 41 AS p,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  lv AS (SELECT p, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+        |    FROM sx GROUP BY 1),
+        |  tot AS (SELECT sum(n)::BIGINT AS gn, sum(s)::BIGINT AS gs
+        |    FROM lv),
+        |  terms AS (SELECT l.n, l.s, l.p,
+        |      (l.s * 1000000) // l.n AS ybark,
+        |      (t.gs * 1000000) // t.gn AS ybar, t.gn
+        |    FROM lv l CROSS JOIN tot t),
+        |  agg AS (SELECT gn, ybar,
+        |      sum(n * (((p - ybark) * (p - ybark)) // 1000000))
+        |        ::BIGINT AS rel_sum,
+        |      sum(n * (((ybark - ybar) * (ybark - ybar)) // 1000000))
+        |        ::BIGINT AS res_sum,
+        |      sum(s * ((1000000 - p) * (1000000 - p)) +
+        |        (n - s) * (p * p))::BIGINT AS br_sum
+        |    FROM terms GROUP BY 1, 2)
+        |SELECT gn AS n, ybar AS ybar_micro,
+        |  ((ybar * (1000000 - ybar)) // 1000000)::BIGINT AS unc_micro,
+        |  (rel_sum // gn)::BIGINT AS rel_micro,
+        |  (res_sum // gn)::BIGINT AS res_micro,
+        |  (br_sum // (gn * 1000000))::BIGINT AS brier_micro
+        |FROM agg""".stripMargin,
+    "q324_mcnemar" ->
+      // the 2x2 concordance cells and the continuity-corrected chi2
+      // as one integer expression
+      """WITH sx AS (SELECT (value >= 50.0) AS a, (value >= 100.0) AS b,
+        |    (event_type = 'purchase') AS tr
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  c AS (SELECT
+        |    sum(CASE WHEN a = tr AND b = tr THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n11,
+        |    sum(CASE WHEN a = tr AND b <> tr THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n10,
+        |    sum(CASE WHEN a <> tr AND b = tr THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n01,
+        |    sum(CASE WHEN a <> tr AND b <> tr THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n00
+        |  FROM sx)
+        |SELECT n11, n10, n01, n00,
+        |  (CASE WHEN n10 + n01 > 0 THEN
+        |    ((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1000000)
+        |      // (n10 + n01)
+        |  END)::BIGINT AS chi2_micro
+        |FROM c""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

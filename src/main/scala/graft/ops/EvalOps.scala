@@ -472,4 +472,120 @@ object EvalOps {
       round((u2 - mean2).cast("double") / lit(2.0) /
         sqrt(varD) * 1e6).cast("long").as("z_micro"))
   }
+
+  /** ISOTONIC REGRESSION / PAV CALIBRATION (Ayer et al. 1955; the
+    * pool-adjacent-violators fit in its CLOSED minimax form,
+    * Robertson–Wright–Dykstra 1988: fitted_i = max_{j≤i} min_{k≥i}
+    * mean(y over levels j..k)) — the standard monotone
+    * score-→-probability calibration map next to q221's binned ECE.
+    * Rows collapse to a grouped (level, n, Σy) LEVEL table first (the
+    * [[rocAuc]]/valueRanks convention — the raw rows never sort or
+    * pair), prefix sums ride a window over LEVELS ONLY, and every
+    * interval mean enters as the exact integer micro
+    * (Σy·10⁶ div n — y is 0/1 so the operands are non-negative and
+    * `div` = DuckDB `//`). The minimax then runs over the truncated
+    * means: a monotone transform of the interval means preserves both
+    * the max-min order AND the fitted sequence's monotonicity, so the
+    * output is a deterministic, hash-comparable, provably
+    * NON-DECREASING step function (spec-pinned). Pair/covering
+    * tables are O(L²)/O(L³) in the LEVEL count — bucket scores to a
+    * fixed precision and L stays bounded at any row count; the level
+    * table broadcasts into the covering join. Output: (level, n, s,
+    * raw_micro, iso_micro). */
+  def isotonicPav(df: DataFrame, levelCol: String,
+                  yCol: String): DataFrame = {
+    val levels = df.select(col(levelCol).cast("long").as("level"),
+        col(yCol).cast("long").as("_y"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("s"))
+      .localCheckpoint() // feeds the prefix window + three joins
+    val w = Window.orderBy(col("level")) // LEVEL table only — bounded
+    val cum = levels.select(col("level"), col("n"), col("s"),
+      sum(col("n")).over(w).as("_cn"), sum(col("s")).over(w).as("_cs"))
+    val lo = cum.select(col("level").as("_j"),
+      (col("_cn") - col("n")).as("_cnj"),
+      (col("_cs") - col("s")).as("_csj"))
+    val hi = cum.select(col("level").as("_k"), col("_cn").as("_cnk"),
+      col("_cs").as("_csk"))
+    val pairs = lo.join(hi, col("_j") <= col("_k"))
+      .select(col("_j"), col("_k"),
+        expr("((_csk - _csj) * 1000000L) div (_cnk - _cnj)").as("_a"))
+    val inner = cum.select(col("level"))
+      .join(broadcast(pairs),
+        col("_j") <= col("level") && col("_k") >= col("level"))
+      .groupBy(col("level"), col("_j")).agg(min(col("_a")).as("_mn"))
+    val iso = inner.groupBy(col("level"))
+      .agg(max(col("_mn")).as("iso_micro"))
+    levels.join(iso, Seq("level"))
+      .select(col("level"), col("n"), col("s"),
+        expr("(s * 1000000L) div n").as("raw_micro"),
+        col("iso_micro"))
+  }
+
+  /** MURPHY DECOMPOSITION of the Brier score (Murphy 1973):
+    * Brier = uncertainty − resolution + reliability, computed over
+    * the grouped (forecast level, n, Σy) table — reliability
+    * Σ n_k (p_k − ȳ_k)² / N penalizes mis-calibration, resolution
+    * Σ n_k (ȳ_k − ȳ)² / N rewards forecasts that separate outcomes,
+    * uncertainty ȳ(1−ȳ) is the no-skill floor. Forecasts arrive in
+    * integer micro (`pMicroCol`); every squared term truncates to
+    * micro INSIDE the level row ((Δ² div 10⁶), keeping all operands
+    * ≤ 10¹² — overflow-safe to 2·10⁶ rows per level and beyond for
+    * the sums) with the identical spelling in the oracle, so the
+    * whole report is a deterministic integer function. The direct
+    * Brier Σ [s·(10⁶−p)² + (n−s)·p²] div (N·10⁶) rides along as the
+    * audit column (exact, no per-level truncation — its bound is
+    * N·10¹² < 2⁶³). LEVEL-bounded everywhere past the first
+    * aggregate. Output 1 row: (n, ybar_micro, unc_micro, rel_micro,
+    * res_micro, brier_micro). */
+  def brierDecomposition(df: DataFrame, pMicroCol: String,
+                         yCol: String): DataFrame = {
+    val lv = df.select(col(pMicroCol).cast("long").as("_p"),
+        col(yCol).cast("long").as("_y"))
+      .groupBy(col("_p"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_s"))
+    val tot = lv.agg(sum(col("_n")).as("_gn"), sum(col("_s")).as("_gs"))
+    lv.crossJoin(broadcast(tot))
+      .withColumn("_ybark", expr("(_s * 1000000L) div _n"))
+      .withColumn("_ybar", expr("(_gs * 1000000L) div _gn"))
+      .groupBy(col("_gn"), col("_ybar"))
+      .agg(
+        sum(expr("_n * (((_p - _ybark) * (_p - _ybark)) div 1000000L)"))
+          .as("_rel_sum"),
+        sum(expr(
+          "_n * (((_ybark - _ybar) * (_ybark - _ybar)) div 1000000L)"))
+          .as("_res_sum"),
+        sum(expr("_s * ((1000000L - _p) * (1000000L - _p)) + " +
+          "(_n - _s) * (_p * _p)")).as("_br_sum"))
+      .select(col("_gn").as("n"), col("_ybar").as("ybar_micro"),
+        expr("(_ybar * (1000000L - _ybar)) div 1000000L")
+          .as("unc_micro"),
+        expr("_rel_sum div _gn").as("rel_micro"),
+        expr("_res_sum div _gn").as("res_micro"),
+        expr("_br_sum div (_gn * 1000000L)").as("brier_micro"))
+  }
+
+  /** McNEMAR'S TEST for paired binary classifiers (McNemar 1947,
+    * with Edwards' continuity correction): over rows where two
+    * models predict the same instances, only the DISCORDANT cells
+    * matter — n10 (A right, B wrong) vs n01 (A wrong, B right);
+    * χ²_cc = (|n10 − n01| − 1)² / (n10 + n01), here as the exact
+    * integer micro ((|b−c|−1)²·10⁶ div (b+c), null when no
+    * discordant pairs). ONE map-side-combinable aggregate over the
+    * comparison projection — the standard "is the new model actually
+    * better on the same data" gate next to the drift/FDR family.
+    * Output 1 row: (n11, n10, n01, n00, chi2_micro). */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String,
+              truthCol: String): DataFrame = {
+    val a = col(aCol) === col(truthCol)
+    val b = col(bCol) === col(truthCol)
+    df.agg(
+        sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+      .withColumn("chi2_micro", when(col("n10") + col("n01") > 0,
+        expr("((abs(n10 - n01) - 1L) * (abs(n10 - n01) - 1L) " +
+          "* 1000000L) div (n10 + n01)")))
+  }
 }

@@ -396,4 +396,74 @@ object SplitOps {
       .filter(col("_rk") <= col("_nmin"))
       .drop("_rk", "_nmin")
   }
+
+  /** DETERMINISTIC EPOCH SHUFFLE (round-13 verdict task 6 — the
+    * pretraining-pipeline stage between mixture (q181/q183) and
+    * packing (q75)): the epoch's global training order is the total
+    * order of `shuffle_key` = the first 60 bits of
+    * md5(salt ‖ ':' ‖ id) — change the salt, get an independent
+    * permutation; replay the salt, get the SAME order on any engine
+    * (the q79/q140 md5 draw applied to ordering). `pos` (1..N) comes
+    * from [[graft.ops.AggOps.valueRanks]]' two-level prefix sum over
+    * the key space (bucketShift 52 keeps the driver-side bucket
+    * directory at ≤ 2⁸ entries for the 60-bit keys) plus a
+    * within-key tie window (md5-collision groups — tiny by
+    * construction), so NO global sort ever runs; a consumer
+    * range-partitions on `pos` (or just on `shuffle_key`) to
+    * materialize the epoch. Returns (idCol, shuffle_key, pos). */
+  def epochShuffle(df: DataFrame, idCol: String,
+                   salt: String): DataFrame = {
+    val h = df.select(col(idCol),
+      conv(substring(md5(concat(lit(salt + ":"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+        .as("shuffle_key"))
+    val ranks = AggOps.valueRanks(h.select(col("shuffle_key")),
+      "shuffle_key", bucketShift = 52)
+    h.join(ranks.select(col("value").as("shuffle_key"), col("below")),
+        Seq("shuffle_key"))
+      .withColumn("_t", row_number().over(
+        Window.partitionBy(col("shuffle_key")).orderBy(col(idCol))))
+      .select(col(idCol), col("shuffle_key"),
+        (col("below") + col("_t")).as("pos"))
+  }
+
+  /** CURRICULUM INTERLEAVE (round-13 verdict task 6, second half):
+    * round-robin over sources — round r emits one md5-ranked row
+    * from every source that still has ≥ r rows, sources visited in
+    * md5('src:' ‖ source) order (both draws salted + engine-
+    * portable). The GLOBAL position needs no global sort: with the
+    * per-source size table S (|sources| rows, broadcast),
+    *   pos = Σ_{s'} min(size_{s'}, r−1)
+    *       + #{s' : src_rank_{s'} ≤ src_rank, size_{s'} ≥ r}
+    * — rows before round r, plus this round's sources up to ours —
+    * exact integer arithmetic per row against the broadcast
+    * directory. The within-source rank window partitions by source;
+    * sources are few and comparable here — a heavily skewed source
+    * set would rank within source via the [[epochShuffle]] prefix-sum
+    * technique instead. Returns (idCol, srcCol, round, src_rank,
+    * pos); ORDER BY pos IS the curriculum. */
+  def curriculumInterleave(df: DataFrame, idCol: String,
+                           srcCol: String, salt: String): DataFrame = {
+    val h = df.select(col(idCol), col(srcCol),
+      conv(substring(md5(concat(lit(salt + ":"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+        .as("_sk"))
+    val sizes = h.groupBy(col(srcCol)).agg(count(lit(1)).as("_sz"))
+      .withColumn("src_rank", row_number().over(
+        Window.orderBy(md5(concat(lit("src:"),
+          col(srcCol).cast("string"))), col(srcCol))).cast("long"))
+      .localCheckpoint() // |sources| rows — domain-bounded
+    val ranked = h.withColumn("round", row_number().over(
+        Window.partitionBy(col(srcCol))
+          .orderBy(col("_sk"), col(idCol))).cast("long"))
+      .join(broadcast(sizes.select(col(srcCol), col("src_rank"))),
+        Seq(srcCol))
+    val dir = sizes.select(col("src_rank").as("_osr"),
+      col("_sz").as("_osz"))
+    ranked.crossJoin(broadcast(dir))
+      .groupBy(col(idCol), col(srcCol), col("round"), col("src_rank"))
+      .agg((sum(least(col("_osz"), col("round") - 1)) +
+        sum(when(col("_osr") <= col("src_rank") &&
+          col("_osz") >= col("round"), 1L).otherwise(0L))).as("pos"))
+  }
 }

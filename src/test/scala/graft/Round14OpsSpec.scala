@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{EvalOps, SimilarityOps}
+import graft.ops.{EvalOps, LayoutOps, SimilarityOps, SplitOps}
 import graft.streaming.{Scd2Open, StreamOps}
 
 /** Round-14 verdict/ADVICE items: the IVF-PQ composition
@@ -138,6 +138,227 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out.length === 1 && out.head.version === 1L)
     assert(fresh.get.sv === StreamOps.Scd2StateVersion)
     assert(fresh.get.version === 2L)
+  }
+
+  test("executeCompaction: one output file per plan bin (counted on " +
+       "disk), and the read-back rows are exactly the source rows") {
+    val rows = Seq(
+      // part p1: files 0..3 of 3 bytes-ish rows each → sizes force
+      // bins {0,1}+{2,3} at target 6 (cum 0,3,6,9 → bins 0,0,1,1)
+      ("p1", 0L, 10L), ("p1", 0L, 11L), ("p1", 0L, 12L),
+      ("p1", 1L, 13L), ("p1", 1L, 14L), ("p1", 1L, 15L),
+      ("p1", 2L, 16L), ("p1", 2L, 17L), ("p1", 2L, 18L),
+      ("p1", 3L, 19L), ("p1", 3L, 20L), ("p1", 3L, 21L),
+      // part p2: one file → one bin
+      ("p2", 0L, 30L), ("p2", 0L, 31L))
+      .toDF("part", "file_id", "v")
+    val inv = rows.groupBy(col("part"), col("file_id"))
+      .agg(count(lit(1)).as("bytes")) // 3 or 2 "bytes" per file
+    val asg = LayoutOps.binAssignments(inv, "part", "file_id",
+      "bytes", 6L)
+    val plan = LayoutOps.compactionPlan(inv, "part", "file_id",
+      "bytes", 6L).collect()
+    assert(plan.count(_.getAs[String]("part") == "p1") === 2)
+    assert(plan.count(_.getAs[String]("part") == "p2") === 1)
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "compact")
+      .toString + "/t"
+    LayoutOps.executeCompaction(rows, asg, "part", "file_id", out)
+    // one parquet part file per (part, bin) directory
+    val binDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part="))
+      .flatMap(_.listFiles().filter(_.isDirectory))
+    assert(binDirs.length === 3)
+    binDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length === 1, s"${d.getPath}: ${parts.length} files")
+    }
+    // read-back parity: same multiset of (part, file_id, v)
+    val back = spark.read.parquet(out)
+      .select(col("part").cast("string"), col("file_id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val src = rows.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(back === src)
+  }
+
+  test("epochShuffle: pos is the exact md5 total order (window " +
+       "parity), a bijection 1..N, and salts give different " +
+       "permutations") {
+    val df = (1L to 200L).toDF("id")
+    val got = SplitOps.epochShuffle(df, "id", "e1")
+    val byPrefix = got.orderBy("pos").collect().map(_.getLong(0)).toSeq
+    val byWindow = df.select(col("id"),
+        conv(substring(md5(concat(lit("e1:"),
+          col("id").cast("string"))), 1, 15), 16, 10).cast("long")
+          .as("k"))
+      .orderBy(col("k"), col("id")).collect().map(_.getLong(0)).toSeq
+    assert(byPrefix === byWindow)
+    assert(got.select("pos").collect().map(_.getLong(0)).sorted.toSeq
+      === (1L to 200L))
+    val other = SplitOps.epochShuffle(df, "id", "e2")
+      .orderBy("pos").collect().map(_.getLong(0)).toSeq
+    assert(other !== byPrefix) // independent permutation per salt
+    // partition invariance
+    val rep = SplitOps.epochShuffle(df.repartition(7), "id", "e1")
+      .orderBy("pos").collect().map(_.getLong(0)).toSeq
+    assert(rep === byPrefix)
+  }
+
+  test("curriculumInterleave: round-robin over unequal sources — " +
+       "pos is a bijection and each round visits live sources in " +
+       "src_rank order") {
+    val df = ((1L to 5L).map(i => (i, "a")) ++
+      (6L to 8L).map(i => (i, "b")) ++
+      Seq((9L, "c"))).toDF("id", "src")
+    val got = SplitOps.curriculumInterleave(df, "id", "src", "s1")
+      .orderBy("pos").collect()
+    assert(got.map(_.getAs[Long]("pos")).toSeq === (1L to 9L))
+    // lexicographic (round, src_rank) must be strictly increasing
+    val lex = got.map(r =>
+      (r.getAs[Long]("round"), r.getAs[Long]("src_rank")))
+    assert(lex.toSeq === lex.toSeq.sorted)
+    // sizes 5/3/1: round r emits one row per source with >= r rows
+    val perRound = got.groupBy(_.getAs[Long]("round")).view
+      .mapValues(_.length).toMap
+    val sizes = Map("a" -> 5L, "b" -> 3L, "c" -> 1L)
+    assert(perRound.keySet === (1L to 5L).toSet)
+    perRound.foreach { case (r, cnt) =>
+      assert(cnt === sizes.values.count(_ >= r), s"round $r")
+    }
+  }
+
+  test("paragraph dedup rollup (q320 composition): keep-first marks " +
+       "later copies, drop-paragraph keeps the clean remainder, " +
+       "drop-doc fires at half dup share") {
+    def para(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, para("a") + " " + para("b")),               // originals
+      (2L, para("a") + " " + para("c") + " " + para("d")), // 1/3 dup
+      (3L, para("a") + " " + para("b")))               // 2/2 dup
+      .toDF("doc_id", "text")
+    val paras = graft.ops.TextOps
+      .chunkTokens(docs, "doc_id", "text", 20, 0)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("pid"),
+        col("doc_id"), col("chunk_text"))
+    val cand = graft.ops.DedupOps.lshCandidatePairs(paras, "pid",
+      "chunk_text", k = 32, bands = 8, maxBucket = 256)
+    val dupIds = cand.select(col("id_b").as("pid")).distinct()
+      .withColumn("_d", lit(1L))
+    val got = paras.join(dupIds, Seq("pid"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(coalesce(col("_d"), lit(0L))).as("n_dup_paras"))
+      .withColumn("doc_dropped",
+        col("n_dup_paras") * 2 >= col("n_paras"))
+      .withColumn("paras_kept", when(col("doc_dropped"), 0L)
+        .otherwise(col("n_paras") - col("n_dup_paras")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 0L, false, 2L), // first occurrences — clean
+      (2L, 3L, 1L, false, 2L), // below half: drop the para, keep doc
+      (3L, 2L, 2L, true, 0L))) // at/above half: drop the doc
+  }
+
+  test("isotonicPav: hand-computed pooling — a violator pair pools " +
+       "to its weighted mean, and the fit is monotone") {
+    // levels 1..4 with raw means 0.2, 0.8, 0.4, 1.0:
+    // levels 2 and 3 violate; PAV pools them to (4+2)/10 = 0.6
+    val rows =
+      (1 to 10).map(i => (1L, if (i <= 2) 1L else 0L)) ++
+      (1 to 5).map(i => (2L, if (i <= 4) 1L else 0L)) ++
+      (1 to 5).map(i => (3L, if (i <= 2) 1L else 0L)) ++
+      (1 to 4).map(i => (4L, 1L))
+    val got = EvalOps.isotonicPav(rows.toDF("lvl", "y"), "lvl", "y")
+      .orderBy("level").collect()
+    assert(got.map(_.getAs[Long]("raw_micro")).toSeq ===
+      Seq(200000L, 800000L, 400000L, 1000000L))
+    assert(got.map(_.getAs[Long]("iso_micro")).toSeq ===
+      Seq(200000L, 600000L, 600000L, 1000000L))
+    val iso = got.map(_.getAs[Long]("iso_micro"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("isotonicPav: already-monotone input is returned unchanged, " +
+       "and the output is monotone + partition-invariant on a " +
+       "hashed fixture") {
+    val mono = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 1L),
+      (3L, 1L), (3L, 1L)).toDF("lvl", "y")
+    val g = EvalOps.isotonicPav(mono, "lvl", "y")
+      .orderBy("level").collect()
+    assert(g.map(_.getAs[Long]("iso_micro")).toSeq ===
+      g.map(_.getAs[Long]("raw_micro")).toSeq)
+    // pseudo-random fixture: monotonicity must hold regardless
+    val rnd = (1L to 500L).map { i =>
+      val h = Integer.parseInt(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"iso:$i")
+          .substring(0, 6), 16)
+      (h % 13L, (h / 13 % 2).toLong)
+    }.toDF("lvl", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EvalOps.isotonicPav(d, "lvl", "y").orderBy("level").collect()
+        .map(r => (r.getAs[Long]("level"), r.getAs[Long]("iso_micro")))
+        .toSeq
+    val a = run(rnd.repartition(11))
+    assert(a === run(rnd.coalesce(1)))
+    val vals = a.map(_._2)
+    assert(vals.zip(vals.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("brierDecomposition: hand-computed two-level fixture — " +
+       "perfectly calibrated forecasts have rel=0 and the Murphy " +
+       "identity unc - res + rel = brier holds exactly when the " +
+       "level means are micro-exact") {
+    // p=0.25 over (n=4, s=1) and p=0.75 over (n=4, s=3): calibrated
+    val rows = Seq.fill(1)((250000L, 1L)) ++ Seq.fill(3)((250000L, 0L)) ++
+      Seq.fill(3)((750000L, 1L)) ++ Seq.fill(1)((750000L, 0L))
+    val g = EvalOps.brierDecomposition(rows.toDF("p", "y"), "p", "y")
+      .head()
+    assert(g.getAs[Long]("n") === 8L)
+    assert(g.getAs[Long]("ybar_micro") === 500000L)
+    assert(g.getAs[Long]("rel_micro") === 0L)
+    assert(g.getAs[Long]("res_micro") === 62500L)
+    assert(g.getAs[Long]("unc_micro") === 250000L)
+    assert(g.getAs[Long]("brier_micro") === 187500L)
+    assert(g.getAs[Long]("unc_micro") - g.getAs[Long]("res_micro") +
+      g.getAs[Long]("rel_micro") === g.getAs[Long]("brier_micro"))
+  }
+
+  test("brierDecomposition: a miscalibrated constant forecast has " +
+       "res=0 and rel = its squared error; partition-invariant") {
+    // p=0.9 everywhere, ybar=0.5: rel = (0.4)^2 = 160000 micro
+    val rows = Seq.fill(5)((900000L, 1L)) ++ Seq.fill(5)((900000L, 0L))
+    def run(d: DataFrame) =
+      EvalOps.brierDecomposition(d, "p", "y").head()
+    val g = run(rows.toDF("p", "y"))
+    assert(g.getAs[Long]("res_micro") === 0L)
+    assert(g.getAs[Long]("rel_micro") === 160000L)
+    assert(run(rows.toDF("p", "y").repartition(7)) === g)
+  }
+
+  test("mcnemar: hand-computed discordant cells and the continuity-" +
+       "corrected chi2; no discordance gives a null statistic") {
+    // truth all true; A right on 5 of 8, B right on 3 of 8 with
+    // n11=2, n10=3, n01=1, n00=2
+    val rows = Seq(
+      (true, true, true), (true, true, true),     // n11 = 2
+      (true, false, true), (true, false, true), (true, false, true),
+      (false, true, true),                        // n01 = 1
+      (false, false, true), (false, false, true)) // n00 = 2
+      .toDF("a", "b", "tr")
+    val g = EvalOps.mcnemar(rows, "a", "b", "tr").head()
+    assert((g.getAs[Long]("n11"), g.getAs[Long]("n10"),
+      g.getAs[Long]("n01"), g.getAs[Long]("n00")) === (2L, 3L, 1L, 2L))
+    // ((|3-1|-1)^2 * 1e6) div 4 = 250000
+    assert(g.getAs[Long]("chi2_micro") === 250000L)
+    val none = EvalOps.mcnemar(
+      Seq((true, true, true), (false, false, true)).toDF("a", "b", "tr"),
+      "a", "b", "tr").head()
+    assert(none.isNullAt(none.fieldIndex("chi2_micro")))
   }
 
   test("bhAdjust works for any p-value column name (round-13 " +
