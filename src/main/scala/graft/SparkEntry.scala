@@ -6719,19 +6719,28 @@ object SparkEntry {
     // capstone variant threading the new ordering stage): q65's
     // Gopher gate keeps the quality docs, the curriculum interleave
     // (salt 'curr2') fixes their global training order, and fixed-
-    // size packing assigns batch_id = (pos−1) div 32 — the manifest a
-    // data loader replays verbatim. Every stage is the registered
-    // operator; the whole composition (gate signals, permutation,
-    // batch boundaries) hash-compares.
+    // size packing assigns batch_id = (pos−1) div 32, and WITHIN each
+    // batch the serve order is the epoch shuffle (salt 'epoch1' —
+    // macro order by curriculum, micro order re-randomized per epoch,
+    // the standard loader layout) — the manifest a data loader
+    // replays verbatim. Every stage is the registered operator; the
+    // whole composition (gate signals, permutation, batch boundaries,
+    // within-batch order) hash-compares.
     val kept = TextOps.qualityGate(t(s, dir, "documents"), "text",
         minTokens = 20, maxTokens = 80, maxDupTrigramRatio = 0.02)
       .select(col("doc_id"), col("lang"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .localCheckpoint() // feeds the interleave AND the token join
+      .localCheckpoint() // feeds the interleave, shuffle + token join
     SplitOps.curriculumInterleave(kept, "doc_id", "lang", "curr2")
       .join(kept.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .join(SplitOps.epochShuffle(kept, "doc_id", "epoch1")
+        .select(col("doc_id"), col("shuffle_key")), Seq("doc_id"))
+      .withColumn("batch_id", expr("(pos - 1L) div 32L"))
+      .withColumn("batch_pos", row_number().over(
+        Window.partitionBy(col("batch_id"))
+          .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
       .select(col("pos"), col("doc_id"), col("lang"),
-        expr("(pos - 1L) div 32L").as("batch_id"), col("n_tokens"))
+        col("batch_id"), col("batch_pos"), col("n_tokens"))
       .orderBy(col("pos"))
   }
 
@@ -6767,6 +6776,58 @@ object SparkEntry {
           (col("value") >= 100.0).as("pred_b"),
           (col("event_type") === "purchase").as("truth")),
       "pred_a", "pred_b", "truth")
+
+  private def q325(s: SparkSession, dir: String): DataFrame = {
+    // BLOOM 13-GRAM DECONTAMINATION (the GPT-3 appendix-C move:
+    // before training, probe every train shingle against a Bloom
+    // filter of the EVAL set's 13-grams — Brown et al. 2020; here
+    // with q301's md5-replayable relational Bloom, so the filter AND
+    // every probe verdict hash-compare): eval = doc_id ≥ 450, train
+    // = the rest; a train doc with any maybe-hit shingle is flagged
+    // with its hit count (false positives included BY DESIGN — the
+    // filter's documented one-sided error, deterministic under the
+    // md5 rule). Scale: the m-bounded bit table broadcasts; probes
+    // are one explode + hash aggregate — the eval set never joins
+    // the train corpus directly.
+    val docs = t(s, dir, "documents")
+    val evalSh = docs.where(col("doc_id") >= 450)
+      .select(explode(TextOps.shingleSet(col("text"), 13)).as("sh"))
+      .distinct()
+    val bits = SketchOps.bloomBitTable(evalSh, "sh", 3, 16384)
+      .localCheckpoint() // m-bounded; probed once per distinct shingle
+    val trainSh = docs.where(col("doc_id") < 450)
+      .select(col("doc_id"),
+        explode(TextOps.shingleSet(col("text"), 13)).as("sh"))
+      .localCheckpoint() // feeds the probe set AND the rollup
+    val verdict = SketchOps.bloomProbe(bits,
+      trainSh.select(col("sh")).distinct(), "sh", 3, 16384)
+    trainSh.join(verdict, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_hits"))
+      .where(col("n_hits") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private def q326(s: SparkSession, dir: String): DataFrame = {
+    // JENSEN–SHANNON DIVERGENCE of each language's unigram
+    // distribution vs the REST of the corpus (Lin 1991) — the
+    // corpus-composition diagnostic a mixture pipeline reads before
+    // reweighting (q75/q181's upstream signal): JSD(P‖Q) =
+    // ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)), computed over the
+    // vocabulary-bounded (lang, token) count table. Every per-token
+    // term is fixed to integer NANO-nats before the cross-token sum
+    // (the q186 convention — float adds never reorder), counts and
+    // ratios spelled identically in DuckDB. Output per lang:
+    // (lang, n_tokens, vocab, jsd_micro) — 0 ≤ JSD ≤ ln 2.
+    val counts = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    TextOps.jsdVsRest(counts, "lang", "tok", "c")
+      .orderBy(col("lang"))
+  }
 
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
@@ -7876,6 +7937,8 @@ object SparkEntry {
     "q322_training_manifest" -> q322 _,
     "q323_brier_decomp" -> q323 _,
     "q324_mcnemar" -> q324 _,
+    "q325_bloom_decontam" -> q325 _,
+    "q326_lang_jsd" -> q326 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -14002,10 +14065,20 @@ object SparkEntry {
         |  m AS (SELECT row_number() OVER (ORDER BY r.round, sr.src_rank)
         |      ::BIGINT AS pos,
         |    r.doc_id, r.lang, r.n_tokens
-        |  FROM r JOIN sr ON sr.lang = r.lang)
-        |SELECT pos, doc_id, lang, ((pos - 1) // 32)::BIGINT AS batch_id,
+        |  FROM r JOIN sr ON sr.lang = r.lang),
+        |  e AS (SELECT doc_id,
+        |    ('0x' || substr(md5('epoch1:' || doc_id), 1, 15))::BIGINT
+        |      AS sk
+        |  FROM kept),
+        |  bt AS (SELECT m.pos, m.doc_id, m.lang,
+        |      ((m.pos - 1) // 32)::BIGINT AS batch_id, m.n_tokens,
+        |      e.sk
+        |    FROM m JOIN e USING (doc_id))
+        |SELECT pos, doc_id, lang, batch_id,
+        |  row_number() OVER (PARTITION BY batch_id
+        |    ORDER BY sk, doc_id)::BIGINT AS batch_pos,
         |  n_tokens
-        |FROM m ORDER BY pos""".stripMargin,
+        |FROM bt ORDER BY pos""".stripMargin,
     "q323_brier_decomp" ->
       // same level table, same per-level micro truncation spelling,
       // same exact direct-Brier audit — all operands non-negative so
@@ -14058,6 +14131,90 @@ object SparkEntry {
         |      // (n10 + n01)
         |  END)::BIGINT AS chi2_micro
         |FROM c""".stripMargin,
+    "q325_bloom_decontam" ->
+      // same md5 bit rule (q301's mirror), same 13-gram shingles,
+      // same all-k-bits membership — filter, probes, and the
+      // one-sided error all replay
+      """WITH tk AS (SELECT doc_id, list_filter(
+        |    string_split_regex(text, '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |  esh AS (SELECT DISTINCT
+        |      array_to_string(t[i.j:i.j+12], ' ') AS sh
+        |    FROM tk, LATERAL (SELECT
+        |      unnest(range(1, len(t) - 11)) AS j) i
+        |    WHERE doc_id >= 450 AND len(t) >= 13),
+        |  rg AS (SELECT unnest(range(3)) AS r),
+        |  bits AS (SELECT DISTINCT
+        |      ('0x' || substr(md5('bl' || r || '|' || sh), 1, 8))
+        |        ::BIGINT % 16384 AS bit
+        |    FROM esh CROSS JOIN rg),
+        |  tsh AS (SELECT DISTINCT doc_id,
+        |      array_to_string(t[i.j:i.j+12], ' ') AS sh
+        |    FROM tk, LATERAL (SELECT
+        |      unnest(range(1, len(t) - 11)) AS j) i
+        |    WHERE doc_id < 450 AND len(t) >= 13),
+        |  ps AS (SELECT DISTINCT sh FROM tsh),
+        |  pb AS (SELECT sh,
+        |      ('0x' || substr(md5('bl' || r || '|' || sh), 1, 8))
+        |        ::BIGINT % 16384 AS bit
+        |    FROM ps CROSS JOIN rg),
+        |  pm AS (SELECT pb.sh,
+        |      (sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 3)
+        |        AS maybe
+        |    FROM pb LEFT JOIN bits b ON b.bit = pb.bit
+        |    GROUP BY pb.sh)
+        |SELECT t.doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN pm.maybe THEN 1 ELSE 0 END)::BIGINT AS n_hits
+        |FROM tsh t JOIN pm ON pm.sh = t.sh
+        |GROUP BY 1 HAVING n_hits > 0 ORDER BY t.doc_id""".stripMargin,
+    "q326_lang_jsd" ->
+      // same count tables, same per-token nano-nat terms (identical
+      // division operands, identical ln spelling), same sign-split
+      // integer divisions
+      """WITH tk AS (SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |  ct0 AS (SELECT lang, tok, count(*)::BIGINT AS c FROM tk
+        |    GROUP BY 1, 2),
+        |  pl AS (SELECT lang, sum(c)::BIGINT AS nl,
+        |      count(*)::BIGINT AS vocab FROM ct0 GROUP BY 1),
+        |  pt AS (SELECT tok, sum(c)::BIGINT AS ctt FROM ct0
+        |    GROUP BY 1),
+        |  al AS (SELECT sum(nl)::BIGINT AS n FROM pl),
+        |  terms AS (SELECT t.lang,
+        |      round((t.c::DOUBLE / p.nl) * ln(2.0 *
+        |        (t.c::DOUBLE / p.nl) / ((t.c::DOUBLE / p.nl) +
+        |        ((g.ctt - t.c)::DOUBLE / (a.n - p.nl)))) * 1e9)
+        |        ::BIGINT AS tpn,
+        |      CASE WHEN g.ctt - t.c > 0 THEN
+        |        round(((g.ctt - t.c)::DOUBLE / (a.n - p.nl)) * ln(2.0 *
+        |          ((g.ctt - t.c)::DOUBLE / (a.n - p.nl)) /
+        |          ((t.c::DOUBLE / p.nl) +
+        |           ((g.ctt - t.c)::DOUBLE / (a.n - p.nl)))) * 1e9)
+        |          ::BIGINT
+        |      ELSE 0 END AS tqn
+        |    FROM ct0 t JOIN pt g USING (tok) JOIN pl p USING (lang)
+        |    CROSS JOIN al a),
+        |  miss AS (SELECT p.lang, 0::BIGINT AS tpn,
+        |      round((g.ctt::DOUBLE / (a.n - p.nl)) * ln(2.0) * 1e9)
+        |        ::BIGINT AS tqn
+        |    FROM pt g CROSS JOIN pl p CROSS JOIN al a
+        |    WHERE NOT EXISTS (SELECT 1 FROM ct0 t
+        |      WHERE t.lang = p.lang AND t.tok = g.tok)),
+        |  sm AS (SELECT lang, sum(tpn)::BIGINT AS sp,
+        |      sum(tqn)::BIGINT AS sq
+        |    FROM (SELECT * FROM terms UNION ALL SELECT * FROM miss)
+        |    GROUP BY 1),
+        |  hv AS (SELECT lang, (CASE WHEN sp + sq < 0
+        |      THEN -((-(sp + sq)) // 2) ELSE (sp + sq) // 2 END)
+        |      ::BIGINT AS h
+        |    FROM sm)
+        |SELECT h.lang, p.nl AS n_tokens, p.vocab,
+        |  (CASE WHEN h.h < 0 THEN -((-h.h) // 1000)
+        |    ELSE h.h // 1000 END)::BIGINT AS jsd_micro
+        |FROM hv h JOIN pl p USING (lang)
+        |ORDER BY h.lang""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

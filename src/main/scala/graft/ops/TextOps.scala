@@ -908,4 +908,61 @@ object TextOps {
           .as("r_star_micro"),
         col("n_tokens"), col("p0_micro"))
   }
+
+  /** JENSEN–SHANNON DIVERGENCE of each group's token distribution vs
+    * the REST of the corpus (Lin 1991) — the corpus-composition
+    * diagnostic a mixture pipeline reads before reweighting. Input:
+    * the grouped (groupCol, tokCol, cntCol) count table (build it
+    * with one hash aggregate over the exploded tokens). JSD(P‖Q) =
+    * ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)) with P = the group's
+    * distribution and Q = everything else's; tokens the group never
+    * saw still carry q-mass (their p=0 term is q·ln 2 — the anti-join
+    * side below). Every per-token term fixes to integer NANO-nats
+    * BEFORE the cross-token sum (the q186 convention: float adds
+    * never reorder), divisions/ln spelled once and mirrored verbatim
+    * in the oracle; final halving/rescale are sign-split integer
+    * divisions. Vocabulary-bounded everywhere past the input
+    * aggregate; the per-group directory broadcasts. Output:
+    * (groupCol, n_tokens, vocab, jsd_micro) with
+    * 0 ≤ jsd_micro ≤ ln 2 ·10⁶ ≈ 693147. */
+  def jsdVsRest(counts: DataFrame, groupCol: String, tokCol: String,
+                cntCol: String): DataFrame = {
+    val tok = counts.select(col(groupCol), col(tokCol).as("_tok"),
+        col(cntCol).cast("long").as("_c"))
+      .localCheckpoint() // feeds group totals, token totals, terms
+    val perGrp = tok.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("nl"), count(lit(1)).as("vocab"))
+    val perTok = tok.groupBy(col("_tok")).agg(sum(col("_c")).as("ct"))
+    val all = perGrp.agg(sum(col("nl")).as("n"))
+    val terms = tok.join(perTok, Seq("_tok"))
+      .join(broadcast(perGrp.select(col(groupCol), col("nl"))),
+        Seq(groupCol))
+      .crossJoin(broadcast(all))
+      .withColumn("_p", col("_c").cast("double") / col("nl"))
+      .withColumn("_q", (col("ct") - col("_c")).cast("double") /
+        (col("n") - col("nl")))
+      .withColumn("_tp", when(col("_c") > 0,
+        col("_p") * log(lit(2.0) * col("_p") / (col("_p") + col("_q"))))
+        .otherwise(lit(0.0)))
+      .withColumn("_tq", when(col("ct") - col("_c") > 0,
+        col("_q") * log(lit(2.0) * col("_q") / (col("_p") + col("_q"))))
+        .otherwise(lit(0.0)))
+      .select(col(groupCol),
+        round(col("_tp") * 1e9).cast("long").as("_tpn"),
+        round(col("_tq") * 1e9).cast("long").as("_tqn"))
+    val missing = perTok.crossJoin(broadcast(perGrp))
+      .join(tok.select(col(groupCol), col("_tok")),
+        Seq(groupCol, "_tok"), "left_anti")
+      .crossJoin(broadcast(all))
+      .withColumn("_q", col("ct").cast("double") /
+        (col("n") - col("nl")))
+      .select(col(groupCol), lit(0L).as("_tpn"),
+        round(col("_q") * log(lit(2.0)) * 1e9).cast("long").as("_tqn"))
+    terms.unionByName(missing)
+      .groupBy(col(groupCol))
+      .agg(sum(col("_tpn")).as("_sp"), sum(col("_tqn")).as("_sq"))
+      .join(perGrp, Seq(groupCol))
+      .select(col(groupCol), col("nl").as("n_tokens"), col("vocab"),
+        expr("((_sp + _sq) div 2L) div 1000L").as("jsd_micro"))
+  }
 }

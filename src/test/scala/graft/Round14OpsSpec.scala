@@ -361,6 +361,65 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(none.isNullAt(none.fieldIndex("chi2_micro")))
   }
 
+  test("jsdVsRest: identical distributions give 0, disjoint " +
+       "vocabularies give ln 2, and the value is symmetric in the " +
+       "two-group case") {
+    import graft.ops.TextOps
+    // identical: both groups see the same tokens with the same counts
+    val same = Seq(("g1", "x", 3L), ("g1", "y", 1L),
+      ("g2", "x", 3L), ("g2", "y", 1L)).toDF("g", "tok", "c")
+    val s = TextOps.jsdVsRest(same, "g", "tok", "c")
+      .orderBy("g").collect()
+    assert(s.map(_.getAs[Long]("jsd_micro")).toSeq === Seq(0L, 0L))
+    // disjoint: P and Q share no tokens → JSD = ln 2
+    val disj = Seq(("g1", "x", 2L), ("g1", "y", 2L),
+      ("g2", "z", 4L)).toDF("g", "tok", "c")
+    val d = TextOps.jsdVsRest(disj, "g", "tok", "c")
+      .orderBy("g").collect()
+    d.foreach(r => assert(math.abs(r.getAs[Long]("jsd_micro")
+      - 693147L) <= 1, r.toString))
+    // two groups: JSD(P‖Q) = JSD(Q‖P)
+    val two = Seq(("g1", "x", 5L), ("g1", "y", 1L),
+      ("g2", "x", 1L), ("g2", "y", 3L)).toDF("g", "tok", "c")
+    val t2 = TextOps.jsdVsRest(two, "g", "tok", "c")
+      .collect().map(_.getAs[Long]("jsd_micro")).toSet
+    assert(t2.size === 1) // symmetric
+    val v = t2.head
+    assert(v > 0L && v < 693147L)
+  }
+
+  test("bloom decontamination composition (q325): a train doc " +
+       "sharing a 13-gram with the eval set can NEVER pass " +
+       "unflagged (the filter's one-sided error)") {
+    import graft.ops.SketchOps
+    import graft.ops.TextOps
+    def words(seed: String) =
+      (1 to 13).map(i => s"$seed$i").mkString(" ")
+    val docs = Seq(
+      (1L, words("a") + " " + words("b")), // shares 'a'-gram w/ eval
+      (2L, words("c")),                    // clean
+      (500L, words("a"))).toDF("doc_id", "text") // eval member
+    val evalSh = docs.where(col("doc_id") >= 450)
+      .select(explode(TextOps.shingleSet(col("text"), 13)).as("sh"))
+      .distinct()
+    val bits = SketchOps.bloomBitTable(evalSh, "sh", 3, 16384)
+    val trainSh = docs.where(col("doc_id") < 450)
+      .select(col("doc_id"),
+        explode(TextOps.shingleSet(col("text"), 13)).as("sh"))
+    val verdict = SketchOps.bloomProbe(bits,
+      trainSh.select(col("sh")).distinct(), "sh", 3, 16384)
+    val hits = trainSh.join(verdict, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("n_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 contains the eval 13-gram word-for-word: no false
+    // negatives means it MUST be flagged
+    assert(hits(1L) >= 1L)
+    // doc 2 may only hit by collision; with 3 hash copies in 16384
+    // bits over ~14 member grams a hit would be ~1e-9 — assert clean
+    assert(hits(2L) === 0L)
+  }
+
   test("bhAdjust works for any p-value column name (round-13 " +
        "ADVICE: the rank window must order by the post-rename col)") {
     val tests = Seq(("a", 1000L), ("b", 8000L), ("c", 30000L),
