@@ -6829,6 +6829,52 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  private def q327(s: SparkSession, dir: String): DataFrame =
+    // GROUP FAIRNESS AUDIT (EvalOps.fairnessReport — Hardt et al.
+    // 2016's equalized-odds rates + the demographic-parity gap):
+    // cohorts = props.k quartile bins, classifier = the q324
+    // value>=50 purchase rule — per cohort the selection rate, TPR,
+    // FPR as exact ppm, with the across-cohort max−min gap riding
+    // every row. The audit table an eval suite publishes next to
+    // accuracy.
+    EvalOps.fairnessReport(
+      t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(expr(
+          "cast(get_json_object(props, '$.k') as long) div 25L")
+          .as("cohort"),
+          (col("value") >= 50.0).as("pred"),
+          (col("event_type") === "purchase").as("truth")),
+      "cohort", "pred", "truth")
+      .orderBy(col("grp"))
+
+  private def q328(s: SparkSession, dir: String): DataFrame =
+    // PEARSON CHI-SQUARE INDEPENDENCE + CRAMÉR'S V
+    // (EvalOps.chiSquareIndependence): is event_type independent of
+    // the props.k cohort? Cell terms are one identically-spelled
+    // double over integer operands ≤ 1e12 (exact in IEEE), rounded
+    // to micro per cell before the sum. The association screen a
+    // feature-selection pass runs over every categorical pair.
+    EvalOps.chiSquareIndependence(
+      t(s, dir, "events").select(col("event_type"),
+        expr("cast(get_json_object(props, '$.k') as long) div 25L")
+          .as("cohort")),
+      "event_type", "cohort")
+
+  private def q329(s: SparkSession, dir: String): DataFrame =
+    // POPULATION STABILITY INDEX (EvalOps.psi — the industry drift
+    // monitor): value distribution of the even-event_id half vs the
+    // odd half over 16-unit buckets, add-one smoothed so empty
+    // buckets stay finite; per-bucket nano-nat terms before the sum.
+    // Near-identical halves ⇒ a near-zero PSI (the "no drift" read);
+    // the same operator pointed at yesterday-vs-today is the
+    // production alert.
+    EvalOps.psi(
+      t(s, dir, "events").select(
+        expr("cast(round(value) as long) div 16L").as("bucket"),
+        (col("event_id") % 2 === 0).as("is_base")),
+      "bucket", "is_base")
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -7939,6 +7985,9 @@ object SparkEntry {
     "q324_mcnemar" -> q324 _,
     "q325_bloom_decontam" -> q325 _,
     "q326_lang_jsd" -> q326 _,
+    "q327_fairness" -> q327 _,
+    "q328_chi2_cramers" -> q328 _,
+    "q329_psi_drift" -> q329 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -14215,6 +14264,84 @@ object SparkEntry {
         |    ELSE h.h // 1000 END)::BIGINT AS jsd_micro
         |FROM hv h JOIN pl p USING (lang)
         |ORDER BY h.lang""".stripMargin,
+    "q327_fairness" ->
+      // same cohort bins, same ppm rationals, same null-for-
+      // undefined-rate convention, same max−min gap summary
+      """WITH sx AS (SELECT
+        |    json_extract_string(props, '$.k')::BIGINT // 25 AS grp,
+        |    (value >= 50.0) AS p, (event_type = 'purchase') AS t
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  g AS (SELECT grp, count(*)::BIGINT AS n,
+        |      sum(CASE WHEN p THEN 1 ELSE 0 END)::BIGINT AS np,
+        |      sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |      sum(CASE WHEN p AND t THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |      sum(CASE WHEN p AND NOT t THEN 1 ELSE 0 END)::BIGINT
+        |        AS fp
+        |    FROM sx GROUP BY 1),
+        |  r AS (SELECT grp, n,
+        |      ((np * 1000000) // n)::BIGINT AS sel_ppm,
+        |      (CASE WHEN nt > 0 THEN (tp * 1000000) // nt END)
+        |        ::BIGINT AS tpr_ppm,
+        |      (CASE WHEN n - nt > 0 THEN (fp * 1000000) // (n - nt)
+        |        END)::BIGINT AS fpr_ppm
+        |    FROM g),
+        |  gp AS (SELECT
+        |      (max(sel_ppm) - min(sel_ppm))::BIGINT AS sel_gap_ppm,
+        |      (max(tpr_ppm) - min(tpr_ppm))::BIGINT AS tpr_gap_ppm,
+        |      (max(fpr_ppm) - min(fpr_ppm))::BIGINT AS fpr_gap_ppm
+        |    FROM r)
+        |SELECT r.grp, r.n, r.sel_ppm, r.tpr_ppm, r.fpr_ppm,
+        |  gp.sel_gap_ppm, gp.tpr_gap_ppm, gp.fpr_gap_ppm
+        |FROM r CROSS JOIN gp ORDER BY r.grp""".stripMargin,
+    "q328_chi2_cramers" ->
+      // same contingency margins, same per-cell double term rounded
+      // to micro before the sum, same V
+      """WITH sx AS (SELECT event_type AS a,
+        |    json_extract_string(props, '$.k')::BIGINT // 25 AS b
+        |  FROM events),
+        |  cells AS (SELECT a, b, count(*)::BIGINT AS o FROM sx
+        |    GROUP BY 1, 2),
+        |  ra AS (SELECT a, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+        |  cb AS (SELECT b, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+        |  tot AS (SELECT sum(o)::BIGINT AS n,
+        |      count(DISTINCT a)::BIGINT AS rl,
+        |      count(DISTINCT b)::BIGINT AS cl
+        |    FROM cells),
+        |  terms AS (SELECT t.n, t.rl, t.cl,
+        |      round((ce.o * t.n - ra.r * cb.c)::DOUBLE *
+        |        (ce.o * t.n - ra.r * cb.c)::DOUBLE /
+        |        (t.n::DOUBLE * ra.r::DOUBLE * cb.c::DOUBLE) * 1e6)
+        |        ::BIGINT AS tm
+        |    FROM cells ce JOIN ra USING (a) JOIN cb USING (b)
+        |    CROSS JOIN tot t)
+        |SELECT n, rl AS r_levels, cl AS c_levels,
+        |  ((rl - 1) * (cl - 1))::BIGINT AS dof,
+        |  sum(tm)::BIGINT AS chi2_micro,
+        |  round(sqrt(sum(tm)::DOUBLE / 1e6 /
+        |    (n::DOUBLE * (least(rl, cl) - 1)::DOUBLE)) * 1e6)::BIGINT
+        |    AS cramers_v_micro
+        |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q329_psi_drift" ->
+      // same add-one smoothed shares, same nano-nat per-bucket terms
+      """WITH sx AS (SELECT round(value)::BIGINT // 16 AS bk,
+        |    (event_id % 2 = 0) AS s
+        |  FROM events),
+        |  cells AS (SELECT bk,
+        |      sum(CASE WHEN s THEN 1 ELSE 0 END)::BIGINT AS cb0,
+        |      sum(CASE WHEN NOT s THEN 1 ELSE 0 END)::BIGINT AS cc
+        |    FROM sx GROUP BY 1),
+        |  tot AS (SELECT sum(cb0)::BIGINT AS nb, sum(cc)::BIGINT AS nc,
+        |      count(*)::BIGINT AS nbk FROM cells),
+        |  terms AS (SELECT t.nb, t.nc, t.nbk,
+        |      round(((ce.cb0 + 1)::DOUBLE / (t.nb + t.nbk)::DOUBLE -
+        |        (ce.cc + 1)::DOUBLE / (t.nc + t.nbk)::DOUBLE) *
+        |        ln(((ce.cb0 + 1)::DOUBLE / (t.nb + t.nbk)::DOUBLE) /
+        |          ((ce.cc + 1)::DOUBLE / (t.nc + t.nbk)::DOUBLE)) *
+        |        1e9)::BIGINT AS tn
+        |    FROM cells ce CROSS JOIN tot t)
+        |SELECT nb AS n_base, nc AS n_comp, nbk AS n_buckets,
+        |  (sum(tn) // 1000)::BIGINT AS psi_micro
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

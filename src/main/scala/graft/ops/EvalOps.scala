@@ -588,4 +588,110 @@ object EvalOps {
         expr("((abs(n10 - n01) - 1L) * (abs(n10 - n01) - 1L) " +
           "* 1000000L) div (n10 + n01)")))
   }
+
+  /** GROUP FAIRNESS AUDIT (demographic parity + equalized odds,
+    * Hardt, Price & Srebro 2016): per protected group, the selection
+    * rate P(ŷ=1), TPR P(ŷ=1|y=1), and FPR P(ŷ=1|y=0) as exact ppm
+    * rationals (cnt·10⁶ div denom; a group with no positives /
+    * negatives reports null for the undefined rate rather than a
+    * fake 0), plus the across-group max−min gap for each rate riding
+    * every row (the audit headline). ONE hash aggregate over the
+    * comparison projection + a broadcast 1-row gap summary —
+    * group-domain-bounded everywhere. */
+  def fairnessReport(df: DataFrame, groupCol: String, predCol: String,
+                     truthCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("grp"),
+        col(predCol).cast("boolean").as("_p"),
+        col(truthCol).cast("boolean").as("_t"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_p"), 1L).otherwise(0L)).as("_np"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_p") && col("_t"), 1L).otherwise(0L)).as("_tp"),
+        sum(when(col("_p") && !col("_t"), 1L).otherwise(0L)).as("_fp"))
+      .select(col("grp"), col("n"),
+        expr("(_np * 1000000L) div n").as("sel_ppm"),
+        when(col("_nt") > 0, expr("(_tp * 1000000L) div _nt"))
+          .as("tpr_ppm"),
+        when(col("n") - col("_nt") > 0,
+          expr("(_fp * 1000000L) div (n - _nt)")).as("fpr_ppm"))
+      .localCheckpoint() // feeds the gap summary AND the output
+    val gaps = g.agg(
+      (max(col("sel_ppm")) - min(col("sel_ppm"))).as("sel_gap_ppm"),
+      (max(col("tpr_ppm")) - min(col("tpr_ppm"))).as("tpr_gap_ppm"),
+      (max(col("fpr_ppm")) - min(col("fpr_ppm"))).as("fpr_gap_ppm"))
+    g.crossJoin(broadcast(gaps))
+  }
+
+  /** PEARSON χ² TEST OF INDEPENDENCE + CRAMÉR'S V over an (a, b)
+    * contingency table: every cell's (O−E)²/E term is ONE
+    * identically-spelled double — (o·n − r·c)²/(n·r·c) over integer
+    * operands ≤ 10¹² (exactly representable in doubles, so both
+    * engines square and divide the same IEEE values) — rounded to
+    * micro PER CELL before the cell sum (the q186 convention); V =
+    * √(χ²/(n·(min(R,C)−1))). Domain-bounded past the one contingency
+    * aggregate. Output 1 row: (n, r_levels, c_levels, dof,
+    * chi2_micro, cramers_v_micro). */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+      .localCheckpoint() // feeds margins AND the cell terms
+    val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_r"))
+    val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_c"))
+    val tot = cells.agg(sum(col("_o")).as("_n"),
+      countDistinct(col("_a")).as("r_levels"),
+      countDistinct(col("_b")).as("c_levels"))
+    cells.join(broadcast(ra), Seq("_a"))
+      .join(broadcast(cb), Seq("_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_d", (col("_o") * col("_n") - col("_r") * col("_c"))
+        .cast("double"))
+      .withColumn("_term_micro", round(col("_d") * col("_d") /
+        (col("_n").cast("double") * col("_r").cast("double") *
+          col("_c").cast("double")) * 1e6).cast("long"))
+      .groupBy(col("_n").as("n"), col("r_levels"), col("c_levels"))
+      .agg(sum(col("_term_micro")).as("chi2_micro"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+        col("chi2_micro"),
+        round(sqrt(col("chi2_micro").cast("double") / 1e6 /
+          (col("n").cast("double") *
+            (least(col("r_levels"), col("c_levels")) - lit(1L))
+              .cast("double"))) * 1e6).cast("long")
+          .as("cramers_v_micro"))
+  }
+
+  /** POPULATION STABILITY INDEX (the industry drift monitor):
+    * PSI = Σ_buckets (p−q)·ln(p/q) between a baseline side and a
+    * comparison side of one bucketed metric, with add-one (Laplace)
+    * smoothing on BOTH shares — p = (c_base+1)/(N_base+B) — so an
+    * empty bucket on either side stays finite and deterministic.
+    * Each bucket's term fixes to integer nano-nats before the sum
+    * (the [[graft.ops.TextOps.jsdVsRest]] convention; terms are
+    * individually ≥ 0 since sign(p−q) = sign(ln(p/q))).
+    * Bucket-domain-bounded past the one (bucket, side) aggregate.
+    * `sideCol`: boolean, true = baseline. Output 1 row:
+    * (n_base, n_comp, n_buckets, psi_micro). */
+  def psi(df: DataFrame, bucketCol: String,
+          sideCol: String): DataFrame = {
+    val cells = df.select(col(bucketCol).cast("long").as("_bk"),
+        col(sideCol).cast("boolean").as("_s"))
+      .groupBy(col("_bk"))
+      .agg(sum(when(col("_s"), 1L).otherwise(0L)).as("_cb"),
+        sum(when(!col("_s"), 1L).otherwise(0L)).as("_cc"))
+      .localCheckpoint() // feeds the totals AND the terms
+    val tot = cells.agg(sum(col("_cb")).as("_nb"),
+      sum(col("_cc")).as("_nc"), count(lit(1)).as("n_buckets"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("_p", (col("_cb") + lit(1L)).cast("double") /
+        (col("_nb") + col("n_buckets")).cast("double"))
+      .withColumn("_q", (col("_cc") + lit(1L)).cast("double") /
+        (col("_nc") + col("n_buckets")).cast("double"))
+      .withColumn("_tn", round((col("_p") - col("_q")) *
+        log(col("_p") / col("_q")) * 1e9).cast("long"))
+      .groupBy(col("_nb").as("n_base"), col("_nc").as("n_comp"),
+        col("n_buckets"))
+      .agg(expr("sum(_tn) div 1000L").as("psi_micro"))
+  }
 }

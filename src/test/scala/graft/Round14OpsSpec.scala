@@ -420,6 +420,69 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(hits(2L) === 0L)
   }
 
+  test("fairnessReport: hand-computed rates per group, null for an " +
+       "undefined rate, and the max-min gaps ride every row") {
+    val rows = Seq(
+      // group 1: 4 rows, sel 2/4, tpr 1/2, fpr 1/2
+      (1L, true, true), (1L, true, false),
+      (1L, false, true), (1L, false, false),
+      // group 2: 2 rows, all truths positive -> fpr undefined (null);
+      // sel 2/2, tpr 2/2
+      (2L, true, true), (2L, true, true))
+      .toDF("g", "pred", "truth")
+    val got = EvalOps.fairnessReport(rows, "g", "pred", "truth")
+      .orderBy("grp").collect()
+    val g1 = got(0); val g2 = got(1)
+    assert(g1.getAs[Long]("sel_ppm") === 500000L)
+    assert(g1.getAs[Long]("tpr_ppm") === 500000L)
+    assert(g1.getAs[Long]("fpr_ppm") === 500000L)
+    assert(g2.getAs[Long]("sel_ppm") === 1000000L)
+    assert(g2.getAs[Long]("tpr_ppm") === 1000000L)
+    assert(g2.isNullAt(g2.fieldIndex("fpr_ppm")))
+    // gaps: sel 500000, tpr 500000; fpr over the one defined value = 0
+    got.foreach { r =>
+      assert(r.getAs[Long]("sel_gap_ppm") === 500000L)
+      assert(r.getAs[Long]("tpr_gap_ppm") === 500000L)
+      assert(r.getAs[Long]("fpr_gap_ppm") === 0L)
+    }
+  }
+
+  test("chiSquareIndependence: hand-computed 2x2 association and " +
+       "an exactly-proportional table scoring 0") {
+    def rows(n11: Int, n12: Int, n21: Int, n22: Int) =
+      (Seq.fill(n11)(("a1", "b1")) ++ Seq.fill(n12)(("a1", "b2")) ++
+        Seq.fill(n21)(("a2", "b1")) ++ Seq.fill(n22)(("a2", "b2")))
+        .toDF("a", "b")
+    val g = EvalOps.chiSquareIndependence(rows(10, 20, 20, 10),
+      "a", "b").head()
+    // E = 15 per cell, chi2 = 4 * 25/15 = 6.666668 with per-cell
+    // micro rounding (1666667 * 4); V = sqrt(chi2/60) = 0.333333
+    assert(g.getAs[Long]("chi2_micro") === 6666668L)
+    assert(g.getAs[Long]("dof") === 1L)
+    assert(g.getAs[Long]("cramers_v_micro") === 333333L)
+    val indep = EvalOps.chiSquareIndependence(rows(10, 20, 20, 40),
+      "a", "b").head()
+    assert(indep.getAs[Long]("chi2_micro") === 0L)
+    assert(indep.getAs[Long]("cramers_v_micro") === 0L)
+  }
+
+  test("psi: identical sides score 0, a shifted side scores > 0, " +
+       "and the statistic is symmetric under side swap") {
+    val same = ((1 to 50).map(i => (i % 5, true)) ++
+      (1 to 50).map(i => (i % 5, false))).toDF("bk", "s")
+    assert(EvalOps.psi(same, "bk", "s").head()
+      .getAs[Long]("psi_micro") === 0L)
+    val shifted = ((1 to 50).map(i => (i % 5, true)) ++
+      (1 to 50).map(i => (i % 3, false))).toDF("bk", "s")
+    val v = EvalOps.psi(shifted, "bk", "s").head()
+      .getAs[Long]("psi_micro")
+    assert(v > 0L)
+    val swapped = EvalOps.psi(
+      shifted.withColumn("s", !col("s")), "bk", "s").head()
+    assert(swapped.getAs[Long]("psi_micro") === v)
+    assert(swapped.getAs[Long]("n_base") === 50L)
+  }
+
   test("bhAdjust works for any p-value column name (round-13 " +
        "ADVICE: the rank window must order by the post-rename col)") {
     val tests = Seq(("a", 1000L), ("b", 8000L), ("c", 30000L),
