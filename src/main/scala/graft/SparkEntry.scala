@@ -6875,6 +6875,62 @@ object SparkEntry {
         (col("event_id") % 2 === 0).as("is_base")),
       "bucket", "is_base")
 
+  private def q330(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING PSI DRIFT MONITOR — q329's arithmetic as a per-day
+    // model monitor (the production shape: score each landed day's
+    // distribution against a static training baseline): the stream
+    // maintains ONE (day window, bucket) count aggregate (state ≤
+    // occupied buckets per open window — a histogram, never rows;
+    // q307's sketch-as-state convention), landed days score
+    // batch-side against the even-event_id half with the same
+    // add-one smoothed nano-nat terms over the per-day bucket
+    // universe (day's buckets ∪ baseline's). Oracle = batch replay
+    // with the q173 append-mode watermark cutoff.
+    val schema = Tables.rawSchema(s, dir, "events")
+    val staged = stageStreamDir(dir, "events")
+    val src = Tables.withTimestamps(
+      StreamOps.fileStream(s, schema, staged), "events")
+    val perBucket = src.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day"),
+        expr("cast(round(value) as long) div 16L").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val landed = StreamOps.runToCompletion(perBucket,
+        s"q330_sink_${System.nanoTime()}",
+        outputMode = "append", statePartitions = Some(8))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("bucket"), col("cnt"))
+      .localCheckpoint() // feeds the universe AND the cell join
+    val base = t(s, dir, "events").where(col("event_id") % 2 === 0)
+      .select(expr("cast(round(value) as long) div 16L").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // bucket-domain-bounded; joined per day
+    val days = landed.select(col("day")).distinct()
+    val univ = landed.select(col("day"), col("bucket"))
+      .unionByName(days.crossJoin(broadcast(base.select(col("bucket")))))
+      .distinct()
+    val cells = univ
+      .join(landed, Seq("day", "bucket"), "left")
+      .join(broadcast(base), Seq("bucket"), "left")
+      .select(col("day"), col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("cc"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint() // feeds the totals AND the terms
+    val tot = cells.groupBy(col("day"))
+      .agg(sum(col("cb")).as("nb"), sum(col("cc")).as("nc"),
+        count(lit(1)).as("n_buckets"))
+    cells.join(broadcast(tot), Seq("day"))
+      .withColumn("_p", (col("cb") + lit(1L)).cast("double") /
+        (col("nb") + col("n_buckets")).cast("double"))
+      .withColumn("_q", (col("cc") + lit(1L)).cast("double") /
+        (col("nc") + col("n_buckets")).cast("double"))
+      .withColumn("_tn", round((col("_p") - col("_q")) *
+        log(col("_p") / col("_q")) * 1e9).cast("long"))
+      .groupBy(col("day"), col("nb").as("n_base"),
+        col("nc").as("n_day"), col("n_buckets"))
+      .agg(expr("sum(_tn) div 1000L").as("psi_micro"))
+      .orderBy(col("day"))
+  }
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -7988,6 +8044,7 @@ object SparkEntry {
     "q327_fairness" -> q327 _,
     "q328_chi2_cramers" -> q328 _,
     "q329_psi_drift" -> q329 _,
+    "q330_stream_psi" -> q330 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -14342,6 +14399,41 @@ object SparkEntry {
         |SELECT nb AS n_base, nc AS n_comp, nbk AS n_buckets,
         |  (sum(tn) // 1000)::BIGINT AS psi_micro
         |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+    "q330_stream_psi" ->
+      // batch replay with the q173 append-mode watermark cutoff, the
+      // same per-day bucket universe, the same smoothed nano terms
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |  dstr AS (SELECT date_trunc('day', ts) AS d0,
+        |      round(value)::BIGINT // 16 AS bucket
+        |    FROM events CROSS JOIN mx
+        |    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m),
+        |  ld AS (SELECT strftime(d0, '%Y-%m-%d') AS day, bucket,
+        |      count(*)::BIGINT AS cc FROM dstr GROUP BY 1, 2),
+        |  base AS (SELECT round(value)::BIGINT // 16 AS bucket,
+        |      count(*)::BIGINT AS cb FROM events
+        |    WHERE event_id % 2 = 0 GROUP BY 1),
+        |  days AS (SELECT DISTINCT day FROM ld),
+        |  univ AS (SELECT day, bucket FROM ld
+        |    UNION SELECT d.day, b.bucket FROM days d CROSS JOIN base b),
+        |  cells AS (SELECT u.day, u.bucket,
+        |      coalesce(l.cc, 0)::BIGINT AS cc,
+        |      coalesce(b.cb, 0)::BIGINT AS cb
+        |    FROM univ u
+        |    LEFT JOIN ld l ON l.day = u.day AND l.bucket = u.bucket
+        |    LEFT JOIN base b ON b.bucket = u.bucket),
+        |  tot AS (SELECT day, sum(cb)::BIGINT AS nb,
+        |      sum(cc)::BIGINT AS nc, count(*)::BIGINT AS nbk
+        |    FROM cells GROUP BY 1),
+        |  terms AS (SELECT c.day, t.nb, t.nc, t.nbk,
+        |      round(((c.cb + 1)::DOUBLE / (t.nb + t.nbk)::DOUBLE -
+        |        (c.cc + 1)::DOUBLE / (t.nc + t.nbk)::DOUBLE) *
+        |        ln(((c.cb + 1)::DOUBLE / (t.nb + t.nbk)::DOUBLE) /
+        |          ((c.cc + 1)::DOUBLE / (t.nc + t.nbk)::DOUBLE)) *
+        |        1e9)::BIGINT AS tn
+        |    FROM cells c JOIN tot t USING (day))
+        |SELECT day, nb AS n_base, nc AS n_day, nbk AS n_buckets,
+        |  (sum(tn) // 1000)::BIGINT AS psi_micro
+        |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY day""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

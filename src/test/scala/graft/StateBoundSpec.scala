@@ -164,4 +164,36 @@ class StateBoundSpec extends AnyFunSuite {
         s"(720 rows ingested): $totals")
     assert(totals.last < 720L, s"no eviction happened: $totals")
   }
+
+  // ---------------------------------------------------------------- //
+  // windowed bucket histogram (the q330 streaming-PSI shape):
+  // state = open windows × occupied buckets — a histogram, never rows
+  // ---------------------------------------------------------------- //
+
+  test("windowed histogram state (q330 streaming-PSI shape): bounded " +
+       "by open windows x occupied buckets, never by event volume") {
+    // 4 day-batches x 500 events over 6 value buckets (2000 events);
+    // 0 s watermark keeps at most ~2 day windows open -> <= 12 rows
+    val batches = (0 until 4).map { b =>
+      (0 until 500).map { i =>
+        ((i % 96).toDouble, ts(1000000000000L + b * 86400000L + i))
+      }.toDF("value", "ts")
+    }
+    val staged = stageBatches("psi_state", batches)
+    val stream = StreamOps.fileStream(spark, batches.head.schema,
+      staged, maxFilesPerTrigger = Some(1))
+    val agg = stream.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day"),
+        expr("cast(round(value) as long) div 16L").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val (out, ps) = runWithProgress(agg,
+      s"psi_state_${System.nanoTime()}", "append", 4)
+    // the 3 watermark-closed days land with all 6 buckets each
+    assert(out.count() === 18L)
+    val totals = stateTotals(ps)
+    assert(totals.nonEmpty)
+    assert(totals.max <= 12L,
+      s"histogram state ${totals.max} exceeds open-windows x buckets " +
+        s"= 12 (2000 events ingested): $totals")
+  }
 }
