@@ -6931,6 +6931,20 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  private def q331(s: SparkSession, dir: String): DataFrame =
+    // KENDALL'S τ-b (AggOps.kendallTauB — completing the correlation
+    // family: Pearson via the Gram sums, Spearman q-registered,
+    // Kendall here): is the event value level associated with the
+    // hour of day? Rows collapse to the (value-level, hour) grid,
+    // concordant/discordant masses are exact integer cell×cell sums,
+    // one float sqrt at the end — P, Q, both tie masses, and τ_b all
+    // hash-compare.
+    AggOps.kendallTauB(
+      t(s, dir, "events").select(
+        expr("cast(round(value) as long) div 8L").as("xl"),
+        hour(col("ts")).cast("long").as("yl")),
+      "xl", "yl")
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8045,6 +8059,7 @@ object SparkEntry {
     "q328_chi2_cramers" -> q328 _,
     "q329_psi_drift" -> q329 _,
     "q330_stream_psi" -> q330 _,
+    "q331_kendall_tau" -> q331 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -14434,6 +14449,33 @@ object SparkEntry {
         |SELECT day, nb AS n_base, nc AS n_day, nbk AS n_buckets,
         |  (sum(tn) // 1000)::BIGINT AS psi_micro
         |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY day""".stripMargin,
+    "q331_kendall_tau" ->
+      // same grid, same strictly-less / strictly-greater cell joins,
+      // same tie masses and one identically-spelled sqrt
+      """WITH sx AS (SELECT round(value)::BIGINT // 8 AS x,
+        |    hour(ts)::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |  cells AS (SELECT x, y, count(*)::BIGINT AS m FROM sx
+        |    GROUP BY 1, 2),
+        |  conc AS (SELECT coalesce(sum(a.m * b.m), 0)::BIGINT AS p
+        |    FROM cells a JOIN cells b ON b.x < a.x AND b.y < a.y),
+        |  disc AS (SELECT coalesce(sum(a.m * b.m), 0)::BIGINT AS q
+        |    FROM cells a JOIN cells b ON b.x < a.x AND b.y > a.y),
+        |  nn AS (SELECT sum(m)::BIGINT AS n FROM cells),
+        |  tx AS (SELECT sum(t * (t - 1) // 2)::BIGINT AS tie_x FROM
+        |    (SELECT sum(m)::BIGINT AS t FROM cells GROUP BY x)),
+        |  ty AS (SELECT sum(t * (t - 1) // 2)::BIGINT AS tie_y FROM
+        |    (SELECT sum(m)::BIGINT AS t FROM cells GROUP BY y)),
+        |  f AS (SELECT n, p, q, tie_x, tie_y,
+        |      n * (n - 1) // 2 AS n0
+        |    FROM nn CROSS JOIN conc CROSS JOIN disc
+        |    CROSS JOIN tx CROSS JOIN ty)
+        |SELECT n, p AS p_pairs, q AS q_pairs, tie_x, tie_y,
+        |  (CASE WHEN n0 > tie_x AND n0 > tie_y THEN
+        |    round((p - q)::DOUBLE /
+        |      sqrt((n0 - tie_x)::DOUBLE * (n0 - tie_y)::DOUBLE) * 1e6)
+        |  END)::BIGINT AS tau_b_micro
+        |FROM f""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

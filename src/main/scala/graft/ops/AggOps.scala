@@ -825,4 +825,55 @@ object AggOps {
         col("b1_micro"), col("b2_micro"), col("b3_micro"),
         col("sse_units"), col("rmse_micro"))
   }
+
+  /** KENDALL'S τ-b rank correlation with tie correction (Kendall
+    * 1945) — completing the correlation family next to the Pearson
+    * Gram sums and [[spearman]]: rows collapse to the 2-D
+    * (x-level, y-level, n) CONTINGENCY first (the level-table
+    * convention — concordance is a function of the grid, never of
+    * row pairs), concordant/discordant pair masses come from
+    * cell×cell joins over the level grid
+    *   P = Σ_ij n_ij · Σ_{i'<i, j'<j} n_i'j'   (strictly both-less)
+    *   Q = Σ_ij n_ij · Σ_{i'<i, j'>j} n_i'j'
+    * — EXACT integers (P, Q ≤ n(n−1)/2 < 2⁶³ to ~4·10⁹ rows) — and
+    *   τ_b = (P − Q) / √((n0−n1)(n0−n2))
+    * with n0 = n(n−1)/2, n1/n2 the x/y tie masses; only the final
+    * √·divide is float (one identically-spelled expression, micro
+    * rounded). The grid joins are O(L⁴) in LEVEL count — bucket to
+    * fixed precision and they broadcast; null levels drop (a rank
+    * statistic is undefined on nulls). Output 1 row:
+    * (n, p_pairs, q_pairs, tie_x, tie_y, tau_b_micro). */
+  def kendallTauB(df: DataFrame, xCol: String,
+                  yCol: String): DataFrame = {
+    val cells = df
+      .select(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_m"))
+      .localCheckpoint() // feeds margins + both grid joins
+    val other = cells.select(col("_x").as("_x2"), col("_y").as("_y2"),
+      col("_m").as("_m2"))
+    val conc = cells.join(broadcast(other),
+        col("_x2") < col("_x") && col("_y2") < col("_y"))
+      .agg(coalesce(sum(col("_m") * col("_m2")), lit(0L)).as("p_pairs"))
+    val disc = cells.join(broadcast(other),
+        col("_x2") < col("_x") && col("_y2") > col("_y"))
+      .agg(coalesce(sum(col("_m") * col("_m2")), lit(0L)).as("q_pairs"))
+    val margins = cells.agg(sum(col("_m")).as("n")).crossJoin(
+        cells.groupBy(col("_x")).agg(sum(col("_m")).as("_tx"))
+          .agg(sum(expr("_tx * (_tx - 1L) div 2L")).as("tie_x")))
+      .crossJoin(
+        cells.groupBy(col("_y")).agg(sum(col("_m")).as("_ty"))
+          .agg(sum(expr("_ty * (_ty - 1L) div 2L")).as("tie_y")))
+    margins.crossJoin(broadcast(conc)).crossJoin(broadcast(disc))
+      .withColumn("_n0", expr("n * (n - 1L) div 2L"))
+      .select(col("n"), col("p_pairs"), col("q_pairs"),
+        col("tie_x"), col("tie_y"),
+        // a constant margin makes τ_b undefined (0/0) — null, not NaN
+        when(col("_n0") > col("tie_x") && col("_n0") > col("tie_y"),
+          round((col("p_pairs") - col("q_pairs")).cast("double") /
+            sqrt((col("_n0") - col("tie_x")).cast("double") *
+              (col("_n0") - col("tie_y")).cast("double")) * 1e6)
+            .cast("long")).as("tau_b_micro"))
+  }
 }

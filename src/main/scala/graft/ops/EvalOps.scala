@@ -630,8 +630,11 @@ object EvalOps {
     * engines square and divide the same IEEE values) — rounded to
     * micro PER CELL before the cell sum (the q186 convention); V =
     * √(χ²/(n·(min(R,C)−1))). Domain-bounded past the one contingency
-    * aggregate. Output 1 row: (n, r_levels, c_levels, dof,
-    * chi2_micro, cramers_v_micro). */
+    * aggregate. MAGNITUDE BOUND: the integer products o·n / r·c must
+    * stay < 2⁶³, which holds to n ≈ 3·10⁹ rows — far past where a χ²
+    * test saturates; beyond that, test on a deterministic sample (the
+    * q79 md5 draw) rather than widening the arithmetic. Output 1 row:
+    * (n, r_levels, c_levels, dof, chi2_micro, cramers_v_micro). */
   def chiSquareIndependence(df: DataFrame, aCol: String,
                             bCol: String): DataFrame = {
     val cells = df.select(col(aCol).as("_a"), col(bCol).as("_b"))

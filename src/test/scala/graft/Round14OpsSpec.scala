@@ -483,6 +483,32 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(swapped.getAs[Long]("n_base") === 50L)
   }
 
+  test("kendallTauB: hand-computed concordance (tau 1, 1/3, -1), " +
+       "the tied grid scoring exactly 0, and null on a constant " +
+       "margin") {
+    import graft.ops.AggOps
+    def tau(pairs: Seq[(Long, Long)]) =
+      AggOps.kendallTauB(pairs.toDF("x", "y"), "x", "y").head()
+    assert(tau(Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+      .getAs[Long]("tau_b_micro") === 1000000L)
+    assert(tau(Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+      .getAs[Long]("tau_b_micro") === -1000000L)
+    // one discordant of three pairs: (P, Q) = (2, 1), tau = 1/3
+    val third = tau(Seq((1L, 2L), (2L, 1L), (3L, 3L)))
+    assert((third.getAs[Long]("p_pairs"),
+      third.getAs[Long]("q_pairs")) === (2L, 1L))
+    assert(third.getAs[Long]("tau_b_micro") === 333333L)
+    // 2x2 balanced grid: P = Q = 1, ties 2/2, tau_b = 0
+    val grid = tau(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
+    assert((grid.getAs[Long]("p_pairs"), grid.getAs[Long]("q_pairs"),
+      grid.getAs[Long]("tie_x"), grid.getAs[Long]("tie_y")) ===
+      (1L, 1L, 2L, 2L))
+    assert(grid.getAs[Long]("tau_b_micro") === 0L)
+    // constant x: undefined -> null, never NaN
+    val const = tau(Seq((5L, 1L), (5L, 2L), (5L, 3L)))
+    assert(const.isNullAt(const.fieldIndex("tau_b_micro")))
+  }
+
   test("bhAdjust works for any p-value column name (round-13 " +
        "ADVICE: the rank window must order by the post-rename col)") {
     val tests = Seq(("a", 1000L), ("b", 8000L), ("c", 30000L),
