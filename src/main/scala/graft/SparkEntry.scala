@@ -6945,6 +6945,40 @@ object SparkEntry {
         hour(col("ts")).cast("long").as("yl")),
       "xl", "yl")
 
+  private def q332(s: SparkSession, dir: String): DataFrame =
+    // TWO-PROPORTION Z-TEST (EvalOps.twoProportionZ — the A/B
+    // conversion readout): even vs odd user cohorts, conversion =
+    // purchase among click/purchase events; exact ppm rates and the
+    // pooled z as one identically-spelled float over the integer
+    // counts. The first thing an experimentation dashboard computes.
+    EvalOps.twoProportionZ(
+      t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select((col("user_id") % 2 === 0).as("arm"),
+          (col("event_type") === "purchase").as("conv")),
+      "arm", "conv")
+
+  private def q333(s: SparkSession, dir: String): DataFrame = {
+    // CUPED VARIANCE REDUCTION (EvalOps.cuped — Deng, Xu, Kohavi &
+    // Walker 2013): per user, pre-period spend (calendar day ≤ 15,
+    // integer cents) adjusts the post-period outcome; θ, the ρ²
+    // variance-reduction ratio, and both the raw and CUPED-adjusted
+    // treatment diffs (even vs odd users) come from ONE pass of
+    // exact integer Gram sums. The adjustment every mature
+    // experimentation platform applies before reading a result.
+    val per = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15,
+          round(col("value") * 100, 0).cast("long")).otherwise(0L))
+          .as("x_cents"),
+        sum(when(dayofmonth(col("ts")) > 15,
+          round(col("value") * 100, 0).cast("long")).otherwise(0L))
+          .as("y_cents"))
+      .withColumn("arm", col("user_id") % 2 === 0)
+    EvalOps.cuped(per, "x_cents", "y_cents", "arm")
+  }
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8060,6 +8094,8 @@ object SparkEntry {
     "q329_psi_drift" -> q329 _,
     "q330_stream_psi" -> q330 _,
     "q331_kendall_tau" -> q331 _,
+    "q332_ab_ztest" -> q332 _,
+    "q333_cuped" -> q333 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -14476,6 +14512,74 @@ object SparkEntry {
         |      sqrt((n0 - tie_x)::DOUBLE * (n0 - tie_y)::DOUBLE) * 1e6)
         |  END)::BIGINT AS tau_b_micro
         |FROM f""".stripMargin,
+    "q332_ab_ztest" ->
+      // same integer counts, ppm rationals, and pooled-z spelling
+      """WITH sx AS (SELECT (user_id % 2 = 0) AS a,
+        |    (event_type = 'purchase') AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  t AS (SELECT
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN a AND c THEN 1 ELSE 0 END)::BIGINT AS x_a,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN NOT a AND c THEN 1 ELSE 0 END)::BIGINT
+        |      AS x_b
+        |  FROM sx)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  (CASE WHEN n_a > 0 THEN (x_a * 1000000) // n_a END)
+        |    ::BIGINT AS p_a_ppm,
+        |  (CASE WHEN n_b > 0 THEN (x_b * 1000000) // n_b END)
+        |    ::BIGINT AS p_b_ppm,
+        |  (CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+        |      AND x_a + x_b < n_a + n_b THEN
+        |    round((x_a::DOUBLE / n_a - x_b::DOUBLE / n_b) /
+        |      sqrt(((x_a + x_b)::DOUBLE / (n_a + n_b)) *
+        |        (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b)) *
+        |        (1.0 / n_a + 1.0 / n_b)) * 1e6)
+        |  END)::BIGINT AS z_micro
+        |FROM t""".stripMargin,
+    "q333_cuped" ->
+      // same per-user cent sums, same one-pass Gram block, same
+      // identically-spelled theta/variance/diff floats
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN day(ts) <= 15
+        |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN day(ts) > 15
+        |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y,
+        |    (user_id % 2 = 0) AS t
+        |  FROM events GROUP BY user_id),
+        |  tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |      sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+        |      sum(x * y)::BIGINT AS sxy, sum(y * y)::BIGINT AS syy,
+        |      sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |      sum(CASE WHEN t THEN x ELSE 0 END)::BIGINT AS sxt,
+        |      sum(CASE WHEN t THEN y ELSE 0 END)::BIGINT AS syt,
+        |      sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |      sum(CASE WHEN NOT t THEN x ELSE 0 END)::BIGINT AS sxc,
+        |      sum(CASE WHEN NOT t THEN y ELSE 0 END)::BIGINT AS syc
+        |    FROM per),
+        |  dd AS (SELECT *,
+        |      sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n)
+        |        AS vx,
+        |      syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n)
+        |        AS vy,
+        |      sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n)
+        |        AS cv
+        |    FROM tot),
+        |  th AS (SELECT *, cv / vx AS theta FROM dd)
+        |SELECT n,
+        |  (CASE WHEN vx > 0 THEN round(theta * 1e6) END)::BIGINT
+        |    AS theta_micro,
+        |  (CASE WHEN vx > 0 AND vy > 0 THEN
+        |    round(cv * cv / (vx * vy) * 1e6) END)::BIGINT
+        |    AS var_reduction_ppm,
+        |  (CASE WHEN nt > 0 AND nc > 0 THEN
+        |    round((syt::DOUBLE / nt - syc::DOUBLE / nc) * 1e4) END)
+        |    ::BIGINT AS diff_raw_micro,
+        |  (CASE WHEN nt > 0 AND nc > 0 AND vx > 0 THEN
+        |    round(((syt::DOUBLE / nt - theta * (sxt::DOUBLE / nt)) -
+        |      (syc::DOUBLE / nc - theta * (sxc::DOUBLE / nc))) * 1e4)
+        |  END)::BIGINT AS diff_cuped_micro
+        |FROM th""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

@@ -665,6 +665,105 @@ object EvalOps {
           .as("cramers_v_micro"))
   }
 
+  /** TWO-PROPORTION Z-TEST (the A/B-test conversion readout): exact
+    * integer counts per arm, conversion rates as ppm rationals
+    * (x·10⁶ div n), and the pooled z statistic
+    *   z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))
+    * as ONE identically-spelled float block over the integer counts
+    * (micro rounded). Null z when either arm is empty or the pooled
+    * rate is degenerate (0 or 1 — no variance). One map-side
+    * aggregate; nothing here is ever more than a 1-row frame past
+    * it. `armCol`: boolean, true = arm A. Output 1 row:
+    * (n_a, x_a, n_b, x_b, p_a_ppm, p_b_ppm, z_micro). */
+  def twoProportionZ(df: DataFrame, armCol: String,
+                     convCol: String): DataFrame =
+    df.select(col(armCol).cast("boolean").as("_a"),
+        col(convCol).cast("boolean").as("_c"))
+      .agg(
+        sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_a") && col("_c"), 1L).otherwise(0L)).as("x_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("_a") && col("_c"), 1L).otherwise(0L)).as("x_b"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        when(col("n_a") > 0, expr("(x_a * 1000000L) div n_a"))
+          .as("p_a_ppm"),
+        when(col("n_b") > 0, expr("(x_b * 1000000L) div n_b"))
+          .as("p_b_ppm"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+            col("x_a") + col("x_b") > 0 &&
+            col("x_a") + col("x_b") < col("n_a") + col("n_b"),
+          round((col("x_a").cast("double") / col("n_a") -
+            col("x_b").cast("double") / col("n_b")) /
+            sqrt(((col("x_a") + col("x_b")).cast("double") /
+              (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("x_a") + col("x_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))) * 1e6)
+            .cast("long")).as("z_micro"))
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013 — the
+    * standard pre-experiment covariate adjustment): with integer-cent
+    * pre-metric X and outcome Y per unit,
+    *   θ = cov(X,Y)/var(X),  Y_adj = Y − θ·X,
+    * the adjusted treatment-vs-control mean difference and the
+    * variance reduction ratio ρ² = cov²/(var X · var Y). ONE pass:
+    * overall Gram sums (n, Σx, Σy, Σx², Σxy, Σy² — exact integers,
+    * cents keep Σy² < 2⁵³) plus per-arm (n, Σx, Σy); every float
+    * (θ, variances, both diffs) is one identically-spelled
+    * expression over those integers, micro-rounded. Nulls when
+    * var(X) = 0 (θ undefined). `armCol`: boolean, true = treatment.
+    * Output 1 row: (n, theta_micro, var_reduction_ppm,
+    * diff_raw_micro, diff_cuped_micro). */
+  def cuped(df: DataFrame, xCol: String, yCol: String,
+            armCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"),
+        col(armCol).cast("boolean").as("_t"))
+      .localCheckpoint() // feeds the overall AND per-arm sums
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
+      sum(col("_x") * col("_x")).as("sxx"),
+      sum(col("_x") * col("_y")).as("sxy"),
+      sum(col("_y") * col("_y")).as("syy"))
+    val arms = base.agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(col("_t"), col("_x")).otherwise(0L)).as("sxt"),
+      sum(when(col("_t"), col("_y")).otherwise(0L)).as("syt"),
+      sum(when(!col("_t"), 1L).otherwise(0L)).as("nc"),
+      sum(when(!col("_t"), col("_x")).otherwise(0L)).as("sxc"),
+      sum(when(!col("_t"), col("_y")).otherwise(0L)).as("syc"))
+    val d = tot.crossJoin(broadcast(arms))
+      .withColumn("_vx", col("sxx").cast("double") / col("n") -
+        (col("sx").cast("double") / col("n")) *
+          (col("sx").cast("double") / col("n")))
+      .withColumn("_vy", col("syy").cast("double") / col("n") -
+        (col("sy").cast("double") / col("n")) *
+          (col("sy").cast("double") / col("n")))
+      .withColumn("_cv", col("sxy").cast("double") / col("n") -
+        (col("sx").cast("double") / col("n")) *
+          (col("sy").cast("double") / col("n")))
+      // ANSI mode errors on x/0 even for doubles — theta only exists
+      // when the covariate varies (the guard every consumer re-checks)
+      .withColumn("_th",
+        when(col("_vx") > 0, col("_cv") / col("_vx")))
+    d.select(col("n"),
+      when(col("_vx") > 0, round(col("_th") * 1e6).cast("long"))
+        .as("theta_micro"),
+      when(col("_vx") > 0 && col("_vy") > 0,
+        round(col("_cv") * col("_cv") / (col("_vx") * col("_vy")) * 1e6)
+          .cast("long")).as("var_reduction_ppm"),
+      when(col("nt") > 0 && col("nc") > 0,
+        round((col("syt").cast("double") / col("nt") -
+          col("syc").cast("double") / col("nc")) * 1e4).cast("long"))
+        .as("diff_raw_micro"),
+      when(col("nt") > 0 && col("nc") > 0 && col("_vx") > 0,
+        round(((col("syt").cast("double") / col("nt") -
+          col("_th") * (col("sxt").cast("double") / col("nt"))) -
+          (col("syc").cast("double") / col("nc") -
+            col("_th") * (col("sxc").cast("double") / col("nc")))) *
+          1e4).cast("long")).as("diff_cuped_micro"))
+  }
+
   /** POPULATION STABILITY INDEX (the industry drift monitor):
     * PSI = Σ_buckets (p−q)·ln(p/q) between a baseline side and a
     * comparison side of one bucketed metric, with add-one (Laplace)

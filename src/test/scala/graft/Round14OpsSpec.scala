@@ -509,6 +509,47 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(const.isNullAt(const.fieldIndex("tau_b_micro")))
   }
 
+  test("twoProportionZ: hand-computed pooled z (30/100 vs 20/100 -> " +
+       "z = 1.632993), and degenerate pools give null not NaN") {
+    import graft.ops.EvalOps
+    val rows = (Seq.fill(30)((true, true)) ++
+      Seq.fill(70)((true, false)) ++
+      Seq.fill(20)((false, true)) ++
+      Seq.fill(80)((false, false))).toDF("arm", "conv")
+    val g = EvalOps.twoProportionZ(rows, "arm", "conv").head()
+    assert((g.getAs[Long]("n_a"), g.getAs[Long]("x_a"),
+      g.getAs[Long]("n_b"), g.getAs[Long]("x_b")) ===
+      (100L, 30L, 100L, 20L))
+    assert(g.getAs[Long]("p_a_ppm") === 300000L)
+    assert(g.getAs[Long]("p_b_ppm") === 200000L)
+    // z = 0.1 / sqrt(0.25 * 0.75 * 0.02) = 1.6329932
+    assert(g.getAs[Long]("z_micro") === 1632993L)
+    // all conversions: pooled rate 1 -> no variance -> null z
+    val degen = EvalOps.twoProportionZ(
+      Seq((true, true), (false, true)).toDF("arm", "conv"),
+      "arm", "conv").head()
+    assert(degen.isNullAt(degen.fieldIndex("z_micro")))
+  }
+
+  test("cuped: a perfectly predictive covariate (y = 2x) gives " +
+       "theta = 2, full variance reduction, and a zero adjusted " +
+       "diff; constant covariate gives nulls") {
+    import graft.ops.EvalOps
+    val rows = (1L to 10L).map(i => (i, 2L * i, i > 5))
+      .toDF("x", "y", "arm")
+    val g = EvalOps.cuped(rows, "x", "y", "arm").head()
+    assert(g.getAs[Long]("theta_micro") === 2000000L)
+    assert(g.getAs[Long]("var_reduction_ppm") === 1000000L)
+    // raw diff: mean y_t - mean y_c = 16 - 6 = 10 units -> 1e4 scale
+    assert(g.getAs[Long]("diff_raw_micro") === 100000L)
+    assert(g.getAs[Long]("diff_cuped_micro") === 0L)
+    val const = EvalOps.cuped(
+      (1L to 6L).map(i => (7L, i, i % 2 == 0)).toDF("x", "y", "arm"),
+      "x", "y", "arm").head()
+    assert(const.isNullAt(const.fieldIndex("theta_micro")))
+    assert(const.isNullAt(const.fieldIndex("diff_cuped_micro")))
+  }
+
   test("bhAdjust works for any p-value column name (round-13 " +
        "ADVICE: the rank window must order by the post-rename col)") {
     val tests = Seq(("a", 1000L), ("b", 8000L), ("c", 30000L),
