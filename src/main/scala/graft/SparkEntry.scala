@@ -6979,6 +6979,52 @@ object SparkEntry {
     EvalOps.cuped(per, "x_cents", "y_cents", "arm")
   }
 
+  private def q334(s: SparkSession, dir: String): DataFrame =
+    // COARSENED EXACT MATCHING ATT (EvalOps.cemAtt — Iacus, King &
+    // Porro 2012): what do purchase events "do" to the event value,
+    // matching each purchase to non-purchase events in the same
+    // hour-of-day stratum? One stratum-key hash aggregate + a
+    // broadcast 1-row summary; per-stratum diffs fix to micro before
+    // the treated-weighted ATT, so stratum rows, the ATT, and the
+    // matched-share ppm all hash-compare.
+    EvalOps.cemAtt(
+        t(s, dir, "events").where(col("value").isNotNull)
+          .select(hour(col("ts")).cast("long").as("stratum"),
+            (col("event_type") === "purchase").as("treat"),
+            round(col("value") * 100, 0).cast("long").as("y_cents")),
+        "stratum", "treat", "y_cents")
+      .orderBy(col("stratum"))
+
+  private def q335(s: SparkSession, dir: String): DataFrame =
+    // MANTEL–HAENSZEL stratified odds ratio + CMH χ²
+    // (EvalOps.mantelHaenszel — Mantel & Haenszel 1959): does the
+    // even-user arm convert (value ≥ 50) at different odds once
+    // week-of-month strata are held fixed? Per-stratum 2×2 integer
+    // cells, micro-fixed rational terms, one identically-spelled
+    // pooled OR and χ² — the confounder-adjusted readout next to
+    // q332's marginal z.
+    EvalOps.mantelHaenszel(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(
+          expr("(cast(dayofmonth(ts) as long) - 1L) div 8L")
+            .as("stratum"),
+          (col("user_id") % 2 === 0).as("treat"),
+          (col("value") >= 50.0).as("converted")),
+      "stratum", "treat", "converted")
+
+  private def q336(s: SparkSession, dir: String): DataFrame =
+    // DIFFERENCE-IN-DIFFERENCES (EvalOps.diffInDiff): even-user
+    // "treated" spend vs odd-user control, month-half pre/post — the
+    // four cell counts and cent sums in ONE map-side aggregate, the
+    // pre-period gap (the parallel-trends check) and the DiD estimate
+    // as identically-spelled micro floats.
+    EvalOps.diffInDiff(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select((col("user_id") % 2 === 0).as("treat"),
+          (dayofmonth(col("ts")) > 15).as("post"),
+          round(col("value") * 100, 0).cast("long").as("y_cents")),
+      "treat", "post", "y_cents")
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8096,6 +8142,9 @@ object SparkEntry {
     "q331_kendall_tau" -> q331 _,
     "q332_ab_ztest" -> q332 _,
     "q333_cuped" -> q333 _,
+    "q334_cem_att" -> q334 _,
+    "q335_mantel_haenszel" -> q335 _,
+    "q336_diff_in_diff" -> q336 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -14580,6 +14629,124 @@ object SparkEntry {
         |      (syc::DOUBLE / nc - theta * (sxc::DOUBLE / nc))) * 1e4)
         |  END)::BIGINT AS diff_cuped_micro
         |FROM th""".stripMargin,
+    "q334_cem_att" ->
+      // same hour strata, same integer cell sums, same micro-fixed
+      // per-stratum diffs, sign-split // mirroring Scala div
+      """WITH sx AS (SELECT hour(ts)::BIGINT AS stratum,
+        |    (event_type = 'purchase') AS t,
+        |    round(value * 100)::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |  cells AS (SELECT stratum,
+        |      sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |      sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |      sum(CASE WHEN t THEN y ELSE 0 END)::BIGINT AS sy_t,
+        |      sum(CASE WHEN NOT t THEN y ELSE 0 END)::BIGINT AS sy_c
+        |    FROM sx GROUP BY 1),
+        |  m AS (SELECT *, (n_t > 0 AND n_c > 0) AS matched,
+        |      (CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |        round((sy_t::DOUBLE / n_t - sy_c::DOUBLE / n_c) * 1e6)
+        |      END)::BIGINT AS diff_micro
+        |    FROM cells),
+        |  tot AS (SELECT
+        |      sum(CASE WHEN matched THEN n_t * diff_micro ELSE 0 END)
+        |        ::BIGINT AS num,
+        |      sum(CASE WHEN matched THEN n_t ELSE 0 END)::BIGINT
+        |        AS n_t_matched,
+        |      sum(n_t)::BIGINT AS n_t_all
+        |    FROM m)
+        |SELECT m.stratum, m.n_t, m.n_c, m.sy_t, m.sy_c, m.matched,
+        |  m.diff_micro,
+        |  (CASE WHEN t.n_t_matched > 0 THEN
+        |    CASE WHEN t.num >= 0 THEN t.num // t.n_t_matched
+        |    ELSE -((-t.num) // t.n_t_matched) END
+        |  END)::BIGINT AS att_micro,
+        |  t.n_t_matched, t.n_t_all,
+        |  (CASE WHEN t.n_t_all > 0 THEN
+        |    (t.n_t_matched * 1000000) // t.n_t_all
+        |  END)::BIGINT AS matched_ppm
+        |FROM m CROSS JOIN tot t ORDER BY m.stratum""".stripMargin,
+    "q335_mantel_haenszel" ->
+      // same 2×2 integer cells per stratum, same micro-fixed
+      // a·d/n / b·c/n / E / V terms, same pooled OR and χ² spelling
+      """WITH sx AS (SELECT
+        |    (day(ts)::BIGINT - 1) // 8 AS s,
+        |    (user_id % 2 = 0) AS t, (value >= 50.0) AS o
+        |  FROM events WHERE value IS NOT NULL),
+        |  cells AS (SELECT s,
+        |      sum(CASE WHEN t AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+        |      sum(CASE WHEN t AND NOT o THEN 1 ELSE 0 END)::BIGINT
+        |        AS b,
+        |      sum(CASE WHEN NOT t AND o THEN 1 ELSE 0 END)::BIGINT
+        |        AS c,
+        |      sum(CASE WHEN NOT t AND NOT o THEN 1 ELSE 0 END)
+        |        ::BIGINT AS d
+        |    FROM sx GROUP BY 1),
+        |  kept AS (SELECT *, (a + b + c + d)::BIGINT AS n FROM cells
+        |    WHERE a + b + c + d > 1),
+        |  terms AS (SELECT a, n,
+        |      round(a::DOUBLE * d::DOUBLE / n::DOUBLE * 1e6)::BIGINT
+        |        AS r,
+        |      round(b::DOUBLE * c::DOUBLE / n::DOUBLE * 1e6)::BIGINT
+        |        AS sT,
+        |      round(((a + b) * (a + c))::DOUBLE / n::DOUBLE * 1e6)
+        |        ::BIGINT AS e,
+        |      round(((a + b) * (c + d))::DOUBLE *
+        |        ((a + c) * (b + d))::DOUBLE /
+        |        (n::DOUBLE * n::DOUBLE * (n - 1)::DOUBLE) * 1e6)
+        |        ::BIGINT AS v
+        |    FROM kept),
+        |  agg AS (SELECT count(*)::BIGINT AS k_strata,
+        |      sum(n)::BIGINT AS n, sum(a)::BIGINT AS sum_a,
+        |      sum(r)::BIGINT AS sr, sum(sT)::BIGINT AS ss,
+        |      sum(e)::BIGINT AS se, sum(v)::BIGINT AS sv
+        |    FROM terms)
+        |SELECT k_strata, n, sum_a,
+        |  (CASE WHEN ss > 0 THEN
+        |    round(sr::DOUBLE / ss::DOUBLE * 1e6) END)::BIGINT
+        |    AS or_mh_micro,
+        |  (CASE WHEN sv > 0 THEN
+        |    round((sum_a::DOUBLE - se::DOUBLE / 1e6) *
+        |      (sum_a::DOUBLE - se::DOUBLE / 1e6) /
+        |      (sv::DOUBLE / 1e6) * 1e6) END)::BIGINT AS chi2_micro
+        |FROM agg""".stripMargin,
+    "q336_diff_in_diff" ->
+      // same four integer cells, same identically-spelled pre-gap
+      // and DiD micro floats
+      """WITH sx AS (SELECT (user_id % 2 = 0) AS t,
+        |    (day(ts) > 15) AS p, round(value * 100)::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |  agg AS (SELECT
+        |    sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_t_pre,
+        |    sum(CASE WHEN t AND p THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_t_post,
+        |    sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_c_pre,
+        |    sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_c_post,
+        |    sum(CASE WHEN t AND NOT p THEN y ELSE 0 END)::BIGINT
+        |      AS sy_t_pre,
+        |    sum(CASE WHEN t AND p THEN y ELSE 0 END)::BIGINT
+        |      AS sy_t_post,
+        |    sum(CASE WHEN NOT t AND NOT p THEN y ELSE 0 END)::BIGINT
+        |      AS sy_c_pre,
+        |    sum(CASE WHEN NOT t AND p THEN y ELSE 0 END)::BIGINT
+        |      AS sy_c_post
+        |  FROM sx)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post, sy_t_pre,
+        |  sy_t_post, sy_c_pre, sy_c_post,
+        |  (CASE WHEN n_t_pre > 0 AND n_c_pre > 0 THEN
+        |    round((sy_t_pre::DOUBLE / n_t_pre -
+        |      sy_c_pre::DOUBLE / n_c_pre) * 1e6) END)::BIGINT
+        |    AS pre_gap_micro,
+        |  (CASE WHEN n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0
+        |      AND n_c_post > 0 THEN
+        |    round(((sy_t_post::DOUBLE / n_t_post -
+        |      sy_t_pre::DOUBLE / n_t_pre) -
+        |      (sy_c_post::DOUBLE / n_c_post -
+        |        sy_c_pre::DOUBLE / n_c_pre)) * 1e6) END)::BIGINT
+        |    AS did_micro
+        |FROM agg""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

@@ -764,6 +764,165 @@ object EvalOps {
           1e4).cast("long")).as("diff_cuped_micro"))
   }
 
+  /** COARSENED EXACT MATCHING ATT (Iacus, King & Porro 2012 — the
+    * model-free causal estimator a platform reaches for before any
+    * propensity model): units land in strata of their COARSENED
+    * covariates (the caller buckets; the op never sees raw
+    * covariates), a stratum is matched iff it holds BOTH treated and
+    * control units, and the effect-on-the-treated is the
+    * treated-count-weighted mean of the per-stratum mean differences
+    *   ATT = Σ_matched n_t,s·(ȳ_t,s − ȳ_c,s) / Σ_matched n_t,s.
+    * Everything is ONE hash aggregate on the stratum key (stratum
+    * count is bounded by the coarsening grid, not the row count) plus
+    * a broadcast 1-row summary; per-stratum diffs fix to integer
+    * micro BEFORE the weighted sum (the q186 convention), so the
+    * whole report — including the ATT and the share of treated units
+    * that found a match — is a deterministic integer function.
+    * `yCol`: integer units (cents/micro — caller's choice).
+    * Output: one row per stratum (stratum, n_t, n_c, sy_t, sy_c,
+    * matched, diff_micro) + the global (att_micro, n_t_matched,
+    * n_t_all, matched_ppm) repeated on each row. */
+  def cemAtt(df: DataFrame, stratumCol: String, treatCol: String,
+             yCol: String): DataFrame = {
+    val cells = df.select(col(stratumCol).cast("long").as("stratum"),
+        col(treatCol).cast("boolean").as("_t"),
+        col(yCol).cast("long").as("_y"))
+      .groupBy(col("stratum"))
+      .agg(
+        sum(when(col("_t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("_t"), col("_y")).otherwise(0L)).as("sy_t"),
+        sum(when(!col("_t"), col("_y")).otherwise(0L)).as("sy_c"))
+      .withColumn("matched", col("n_t") > 0 && col("n_c") > 0)
+      .withColumn("diff_micro", when(col("matched"),
+        round((col("sy_t").cast("double") / col("n_t") -
+          col("sy_c").cast("double") / col("n_c")) * 1e6)
+          .cast("long")))
+      .localCheckpoint() // feeds the stratum rows AND the summary
+    val tot = cells.agg(
+      sum(when(col("matched"), col("n_t") * col("diff_micro"))
+        .otherwise(0L)).as("_num"),
+      sum(when(col("matched"), col("n_t")).otherwise(0L))
+        .as("n_t_matched"),
+      sum(col("n_t")).as("n_t_all"))
+    // div truncates toward zero on negatives (DuckDB // floors —
+    // the oracle sign-splits); n_t_all > 0 guards the empty frame
+    cells.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_t"), col("n_c"), col("sy_t"),
+        col("sy_c"), col("matched"), col("diff_micro"),
+        when(col("n_t_matched") > 0,
+          expr("""CASE WHEN _num >= 0 THEN _num div n_t_matched
+                  ELSE -((-_num) div n_t_matched) END"""))
+          .as("att_micro"),
+        col("n_t_matched"), col("n_t_all"),
+        when(col("n_t_all") > 0,
+          expr("(n_t_matched * 1000000L) div n_t_all"))
+          .as("matched_ppm"))
+  }
+
+  /** MANTEL–HAENSZEL stratified odds ratio + CMH test (Mantel &
+    * Haenszel 1959; the Cochran–Mantel–Haenszel χ² WITHOUT continuity
+    * correction): per stratum k the 2×2 cells
+    *   a = treated·success, b = treated·failure,
+    *   c = control·success, d = control·failure,  n = a+b+c+d,
+    * pooled OR_MH = Σ(a·d/n) / Σ(b·c/n), and
+    *   χ²_CMH = (Σa − ΣE)² / ΣV,  E = (a+b)(a+c)/n,
+    *   V = (a+b)(c+d)(a+c)(b+d) / (n²(n−1)).
+    * One hash aggregate on the stratum key; every per-stratum
+    * rational fixes to integer micro before its cross-stratum sum
+    * (IEEE mul/div are exactly rounded, so identically-spelled terms
+    * match DuckDB bit-for-bit), making OR and χ² deterministic
+    * integer functions. Null OR when Σ(b·c/n) = 0; null χ² when
+    * ΣV = 0 or any stratum is a single row (n−1 = 0 strata are
+    * excluded from all three sums, per the estimator's definition).
+    * Output 1 row: (k_strata, n, sum_a, or_mh_micro, chi2_micro). */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+                     treatCol: String, outcomeCol: String): DataFrame = {
+    val cells = df.select(col(stratumCol).cast("long").as("_s"),
+        col(treatCol).cast("boolean").as("_t"),
+        col(outcomeCol).cast("boolean").as("_o"))
+      .groupBy(col("_s"))
+      .agg(
+        sum(when(col("_t") && col("_o"), 1L).otherwise(0L)).as("_a"),
+        sum(when(col("_t") && !col("_o"), 1L).otherwise(0L)).as("_b"),
+        sum(when(!col("_t") && col("_o"), 1L).otherwise(0L)).as("_c"),
+        sum(when(!col("_t") && !col("_o"), 1L).otherwise(0L)).as("_d"))
+      .withColumn("_n", col("_a") + col("_b") + col("_c") + col("_d"))
+      .filter(col("_n") > 1)
+    def dd(c: Column): Column = c.cast("double")
+    val terms = cells.select(col("_a"), col("_n"),
+      round(dd(col("_a")) * dd(col("_d")) / dd(col("_n")) * 1e6)
+        .cast("long").as("_r"),
+      round(dd(col("_b")) * dd(col("_c")) / dd(col("_n")) * 1e6)
+        .cast("long").as("_sT"),
+      round(dd((col("_a") + col("_b")) * (col("_a") + col("_c"))) /
+        dd(col("_n")) * 1e6).cast("long").as("_e"),
+      round(dd((col("_a") + col("_b")) * (col("_c") + col("_d"))) *
+        dd((col("_a") + col("_c")) * (col("_b") + col("_d"))) /
+        (dd(col("_n")) * dd(col("_n")) *
+          dd(col("_n") - lit(1L))) * 1e6).cast("long").as("_v"))
+    terms.agg(count(lit(1)).as("k_strata"), sum(col("_n")).as("n"),
+        sum(col("_a")).as("sum_a"), sum(col("_r")).as("_sr"),
+        sum(col("_sT")).as("_ss"), sum(col("_e")).as("_se"),
+        sum(col("_v")).as("_sv"))
+      .select(col("k_strata"), col("n"), col("sum_a"),
+        when(col("_ss") > 0, round(col("_sr").cast("double") /
+          col("_ss").cast("double") * 1e6).cast("long"))
+          .as("or_mh_micro"),
+        when(col("_sv") > 0,
+          round((col("sum_a").cast("double") -
+            col("_se").cast("double") / 1e6) *
+            (col("sum_a").cast("double") -
+              col("_se").cast("double") / 1e6) /
+            (col("_sv").cast("double") / 1e6) * 1e6).cast("long"))
+          .as("chi2_micro"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES (the canonical 2×2 panel estimator):
+    * four cell means over (treated × post) and
+    *   DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre),
+    * plus the pre-period gap ȳ_t,pre − ȳ_c,pre (the parallel-trends
+    * eyeball every DiD reader checks first). ONE map-side aggregate
+    * (8 integer sums); both floats are single identically-spelled
+    * expressions over the integers, micro-rounded; null when any of
+    * the four cells is empty. `yCol`: integer units. Output 1 row:
+    * (n_t_pre, n_t_post, n_c_pre, n_c_post, sy_t_pre, sy_t_post,
+    * sy_c_pre, sy_c_post, pre_gap_micro, did_micro). */
+  def diffInDiff(df: DataFrame, treatCol: String, postCol: String,
+                 yCol: String): DataFrame = {
+    val base = df.select(col(treatCol).cast("boolean").as("_t"),
+      col(postCol).cast("boolean").as("_p"),
+      col(yCol).cast("long").as("_y"))
+    def cnt(t: Boolean, p: Boolean): Column =
+      sum(when(col("_t") === t && col("_p") === p, 1L).otherwise(0L))
+    def sy(t: Boolean, p: Boolean): Column =
+      sum(when(col("_t") === t && col("_p") === p, col("_y"))
+        .otherwise(0L))
+    def m(n: String, s: String): Column =
+      col(s).cast("double") / col(n)
+    base.agg(
+        cnt(true, false).as("n_t_pre"), cnt(true, true).as("n_t_post"),
+        cnt(false, false).as("n_c_pre"),
+        cnt(false, true).as("n_c_post"),
+        sy(true, false).as("sy_t_pre"), sy(true, true).as("sy_t_post"),
+        sy(false, false).as("sy_c_pre"),
+        sy(false, true).as("sy_c_post"))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"), col("sy_t_pre"), col("sy_t_post"),
+        col("sy_c_pre"), col("sy_c_post"),
+        when(col("n_t_pre") > 0 && col("n_c_pre") > 0,
+          round((m("n_t_pre", "sy_t_pre") -
+            m("n_c_pre", "sy_c_pre")) * 1e6).cast("long"))
+          .as("pre_gap_micro"),
+        when(col("n_t_pre") > 0 && col("n_t_post") > 0 &&
+            col("n_c_pre") > 0 && col("n_c_post") > 0,
+          round(((m("n_t_post", "sy_t_post") -
+            m("n_t_pre", "sy_t_pre")) -
+            (m("n_c_post", "sy_c_post") -
+              m("n_c_pre", "sy_c_pre"))) * 1e6).cast("long"))
+          .as("did_micro"))
+  }
+
   /** POPULATION STABILITY INDEX (the industry drift monitor):
     * PSI = Σ_buckets (p−q)·ln(p/q) between a baseline side and a
     * comparison side of one bucketed metric, with add-one (Laplace)
