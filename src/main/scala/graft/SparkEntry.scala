@@ -7025,6 +7025,31 @@ object SparkEntry {
           round(col("value") * 100, 0).cast("long").as("y_cents")),
       "treat", "post", "y_cents")
 
+  private def q337(s: SparkSession, dir: String): DataFrame =
+    // ONE-WAY ANOVA F + η² (EvalOps.oneWayAnova): do event types
+    // differ in mean value? Whole-dollar units keep Σy² exact
+    // (q311's 2⁵³ discipline); per-group s²/n terms micro-fix before
+    // the cross-group sum, so SSB/SSW/F/η² all hash-compare. The
+    // k-group companion to q171's two-group Welch t.
+    EvalOps.oneWayAnova(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          round(col("value"), 0).cast("long").as("y")),
+      "grp", "y")
+
+  private def q338(s: SparkSession, dir: String): DataFrame =
+    // KRUSKAL–WALLIS H (EvalOps.kruskalWallis): the rank-based
+    // k-group test over the same whole-dollar levels — level-table
+    // doubled midranks (the q314 Wilcoxon machinery), per-group
+    // doubled rank sums, tie-corrected H. Group rows + H
+    // hash-compare.
+    EvalOps.kruskalWallis(
+        t(s, dir, "events").where(col("value").isNotNull)
+          .select(col("event_type").as("grp"),
+            round(col("value"), 0).cast("long").as("v")),
+        "grp", "v")
+      .orderBy(col("grp"))
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8145,6 +8170,8 @@ object SparkEntry {
     "q334_cem_att" -> q334 _,
     "q335_mantel_haenszel" -> q335 _,
     "q336_diff_in_diff" -> q336 _,
+    "q337_anova_f" -> q337 _,
+    "q338_kruskal_wallis" -> q338 _,
   )
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
@@ -14747,6 +14774,73 @@ object SparkEntry {
         |        sy_c_pre::DOUBLE / n_c_pre)) * 1e6) END)::BIGINT
         |    AS did_micro
         |FROM agg""".stripMargin,
+    "q337_anova_f" ->
+      // same whole-dollar integer sums, same micro-fixed s²/n terms,
+      // same identically-spelled F and η²
+      """WITH sx AS (SELECT event_type AS g, round(value)::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |  cells AS (SELECT g, count(*)::BIGINT AS n,
+        |      sum(y)::BIGINT AS s, sum(y * y)::BIGINT AS ss,
+        |      round(sum(y)::DOUBLE * sum(y)::DOUBLE /
+        |        count(*)::DOUBLE * 1e6)::BIGINT AS tm
+        |    FROM sx GROUP BY 1),
+        |  tot AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+        |      sum(s)::BIGINT AS sg, sum(ss)::BIGINT AS sq,
+        |      sum(tm)::BIGINT AS tsum FROM cells),
+        |  d AS (SELECT k, n,
+        |      (tsum - round(sg::DOUBLE * sg::DOUBLE / n::DOUBLE
+        |        * 1e6)::BIGINT)::BIGINT AS ssb_micro,
+        |      (sq * 1000000 - tsum)::BIGINT AS ssw_micro
+        |    FROM tot)
+        |SELECT k, n, ssb_micro, ssw_micro,
+        |  (CASE WHEN k >= 2 AND n > k AND ssw_micro > 0 THEN
+        |    round(ssb_micro::DOUBLE * (n - k)::DOUBLE /
+        |      (ssw_micro::DOUBLE * (k - 1)::DOUBLE) * 1e6)
+        |  END)::BIGINT AS f_micro,
+        |  (CASE WHEN ssb_micro + ssw_micro > 0 THEN
+        |    round(ssb_micro::DOUBLE /
+        |      (ssb_micro + ssw_micro)::DOUBLE * 1e6)
+        |  END)::BIGINT AS eta2_ppm
+        |FROM d""".stripMargin,
+    "q338_kruskal_wallis" ->
+      // same level-table doubled midranks, same unit-fixed deviation
+      // terms, same tie-corrected H spelling
+      """WITH sx AS (SELECT event_type AS grp,
+        |    round(value)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |  cells AS (SELECT grp, v, count(*)::BIGINT AS m FROM sx
+        |    GROUP BY 1, 2),
+        |  levels AS (SELECT v, sum(m)::BIGINT AS t FROM cells
+        |    GROUP BY 1),
+        |  ranked AS (SELECT v, t,
+        |      coalesce(sum(t) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0)::BIGINT AS below
+        |    FROM levels),
+        |  bg AS (SELECT c.grp, sum(c.m)::BIGINT AS n_g,
+        |      sum(c.m * (2 * r.below + r.t + 1))::BIGINT AS r2_g
+        |    FROM cells c JOIN ranked r USING (v) GROUP BY 1),
+        |  tie AS (SELECT sum(t)::BIGINT AS n,
+        |      sum(t * t * t - t)::BIGINT AS tie_cube_sum
+        |    FROM levels),
+        |  dev AS (SELECT b.grp, b.n_g, b.r2_g, t.n, t.tie_cube_sum,
+        |      round((b.r2_g - b.n_g * (t.n + 1))::DOUBLE *
+        |        (b.r2_g - b.n_g * (t.n + 1))::DOUBLE /
+        |        (4 * b.n_g)::DOUBLE)::BIGINT AS term
+        |    FROM bg b CROSS JOIN tie t),
+        |  h AS (SELECT count(*)::BIGINT AS k, n, tie_cube_sum,
+        |      (CASE WHEN n >= 2
+        |          AND tie_cube_sum < n * n * n - n THEN
+        |        round(12.0 * sum(term)::DOUBLE /
+        |          (n::DOUBLE * (n + 1)::DOUBLE) /
+        |          (1.0 - tie_cube_sum::DOUBLE /
+        |            (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE))
+        |          * 1e6)
+        |      END)::BIGINT AS h_micro
+        |    FROM dev GROUP BY n, tie_cube_sum)
+        |SELECT b.grp, b.n_g, b.r2_g, h.k, h.n, h.tie_cube_sum,
+        |  h.h_micro
+        |FROM bg b CROSS JOIN h ORDER BY b.grp""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

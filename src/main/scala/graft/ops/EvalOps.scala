@@ -923,6 +923,112 @@ object EvalOps {
           .as("did_micro"))
   }
 
+  /** ONE-WAY ANOVA F + η² (Fisher; the k-group mean-difference test
+    * next to q171's two-group Welch t): groups collapse to per-group
+    * integer sums (n_g, Σy, Σy²) in ONE hash aggregate — `yCol` must
+    * arrive in WHOLE units small enough that Σy² stays < 2⁵³ (the
+    * q311 convention; cents square out of the exact range ~10⁴×
+    * earlier than dollars). Between/within sums of squares come from
+    * the per-group terms s_g²/n_g, each micro-fixed before the
+    * cross-group sum (IEEE mul/div are exactly rounded — identical
+    * spelling matches DuckDB bit-for-bit):
+    *   SSB = Σ s_g²/n_g − S²/n,  SSW = Σy² − Σ s_g²/n_g,
+    *   F = (SSB/(k−1)) / (SSW/(n−k)),  η² = SSB/SST.
+    * Null F when k < 2, n ≤ k, or SSW = 0 (every within-group value
+    * identical); null η² when SST = 0. Output 1 row:
+    * (k, n, ssb_micro, ssw_micro, f_micro, eta2_ppm). */
+  def oneWayAnova(df: DataFrame, groupCol: String,
+                  yCol: String): DataFrame = {
+    val g = df.select(col(groupCol).cast("string").as("_g"),
+        col(yCol).cast("long").as("_y"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_s"),
+        sum(col("_y") * col("_y")).as("_ss"))
+      .withColumn("_term_micro",
+        round(col("_s").cast("double") * col("_s").cast("double") /
+          col("_n").cast("double") * 1e6).cast("long"))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"),
+      sum(col("_s")).as("_S"), sum(col("_ss")).as("_SS"),
+      sum(col("_term_micro")).as("_tsum"))
+    tot.select(col("k"), col("n"),
+        (col("_tsum") -
+          round(col("_S").cast("double") * col("_S").cast("double") /
+            col("n").cast("double") * 1e6).cast("long"))
+          .as("ssb_micro"),
+        (col("_SS") * lit(1000000L) - col("_tsum")).as("ssw_micro"))
+      .select(col("k"), col("n"), col("ssb_micro"), col("ssw_micro"),
+        when(col("k") >= 2 && col("n") > col("k") &&
+            col("ssw_micro") > 0,
+          round(col("ssb_micro").cast("double") *
+            (col("n") - col("k")).cast("double") /
+            (col("ssw_micro").cast("double") *
+              (col("k") - lit(1L)).cast("double")) * 1e6)
+            .cast("long")).as("f_micro"),
+        when(col("ssb_micro") + col("ssw_micro") > 0,
+          round(col("ssb_micro").cast("double") /
+            (col("ssb_micro") + col("ssw_micro")).cast("double") * 1e6)
+            .cast("long")).as("eta2_ppm"))
+  }
+
+  /** KRUSKAL–WALLIS H with tie correction (Kruskal & Wallis 1952) —
+    * the k-group extension of [[wilcoxonRankSum]], same machinery:
+    * rows collapse to a grouped (value-level, group) cell table,
+    * midranks come from ONE prefix sum over the LEVEL table in
+    * DOUBLED integers (rank2 = 2·below + t + 1), per-group doubled
+    * rank sums R2_g, and the deviation form
+    *   H = 12/(n(n+1)) · Σ_g (R2_g − n_g(n+1))²/(4 n_g)
+    *       / (1 − Σ(t³−t)/(n³−n))
+    * with each group's squared-deviation term fixed to an integer
+    * UNIT (not micro — the term is O(n²·n_g) and must stay < 2⁶³;
+    * the ≤ 0.5/group rounding is invisible at micro precision on any
+    * real n) before the cross-group sum. Null H when n < 2 or every
+    * value is tied (correction denominator 0). LEVEL-bounded past
+    * the first aggregate; the prefix window orders levels only.
+    * Output: one row per group (grp, n_g, r2_g) + the global
+    * (k, n, tie_cube_sum, h_micro) on each row. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("_v"))
+      .groupBy(col("grp"), col("_v")).agg(count(lit(1)).as("_m"))
+      .localCheckpoint() // feeds the level table AND the group sums
+    val levels = cells.groupBy(col("_v")).agg(sum(col("_m")).as("_t"))
+    val ranked = levels.withColumn("_below", coalesce(
+        sum(col("_t")).over(Window.orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_rank2",
+        lit(2L) * col("_below") + col("_t") + lit(1L))
+    val byGroup = cells.join(broadcast(ranked), Seq("_v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("_m")).as("n_g"),
+        sum(col("_m") * col("_rank2")).as("r2_g"))
+      .localCheckpoint() // feeds the group rows AND the H sum
+    val tie = levels.agg(sum(col("_t")).as("_n"),
+      sum(col("_t") * col("_t") * col("_t") - col("_t"))
+        .as("tie_cube_sum"))
+    val withDev = byGroup.crossJoin(broadcast(tie))
+      .withColumn("_a",
+        col("r2_g") - col("n_g") * (col("_n") + lit(1L)))
+      .withColumn("_term", round(col("_a").cast("double") *
+        col("_a").cast("double") /
+        (lit(4L) * col("n_g")).cast("double")).cast("long"))
+    val h = withDev.groupBy(col("_n"), col("tie_cube_sum"))
+      .agg(count(lit(1)).as("k"), sum(col("_term")).as("_num"))
+      .select(col("k"), col("_n").as("n"), col("tie_cube_sum"),
+        when(col("_n") >= 2 &&
+            col("tie_cube_sum") < col("_n") * col("_n") * col("_n") -
+              col("_n"),
+          round(lit(12.0) * col("_num").cast("double") /
+            (col("_n").cast("double") *
+              (col("_n") + lit(1L)).cast("double")) /
+            (lit(1.0) - col("tie_cube_sum").cast("double") /
+              (col("_n").cast("double") * col("_n").cast("double") *
+                col("_n").cast("double") - col("_n").cast("double"))) *
+            1e6).cast("long")).as("h_micro"))
+    byGroup.select(col("grp"), col("n_g"), col("r2_g"))
+      .crossJoin(broadcast(h))
+  }
+
   /** POPULATION STABILITY INDEX (the industry drift monitor):
     * PSI = Σ_buckets (p−q)·ln(p/q) between a baseline side and a
     * comparison side of one bucketed metric, with add-one (Laplace)
