@@ -7050,6 +7050,115 @@ object SparkEntry {
         "grp", "v")
       .orderBy(col("grp"))
 
+  private def q339(s: SparkSession, dir: String): DataFrame =
+    // MANN–KENDALL TREND TEST (AggOps.mannKendall): is each event
+    // type's daily spend drifting? Rows collapse to the (type, day)
+    // cent grid first (calendar-bounded series), S and the
+    // tie-corrected var18 are exact integers from the bounded
+    // pair/tie tables, z is one identically-spelled float. The
+    // monotone-drift companion to q310's level-shift changepoint.
+    AggOps.mannKendall(
+        t(s, dir, "events").where(col("value").isNotNull)
+          .groupBy(col("event_type").as("grp"),
+            date_trunc("day", col("ts")).as("t0"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
+        "grp", "t0", "v")
+      .orderBy(col("grp"))
+
+  private def q340(s: SparkSession, dir: String): DataFrame =
+    // THEIL–SEN ROBUST SLOPE (AggOps.theilSen): cents-per-day drift
+    // estimate per event type — the lower median of all pairwise
+    // daily-spend slopes, each slope a truncating integer division
+    // (oracle sign-splits //). Pairs are calendar-bounded; the
+    // median rank window orders PAIRS, never raw rows.
+    AggOps.theilSen(
+        t(s, dir, "events").where(col("value").isNotNull)
+          .groupBy(col("event_type").as("grp"),
+            expr("cast(unix_timestamp(date_trunc('day', ts)) as long)" +
+              " div 86400L").as("td"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("v")),
+        "grp", "td", "v")
+      .orderBy(col("grp"))
+
+  private def q341(s: SparkSession, dir: String): DataFrame =
+    // WALD SPRT SEQUENTIAL MONITOR (EvalOps.sprtBernoulli): replay
+    // the month as a sequential experiment — is the purchase share
+    // among click/purchase events 15% (H0) or 20% (H1)? Per-day
+    // integer counts, nano-nat increments fixed on the driver and
+    // injected into the oracle as literals, day-bounded prefix
+    // window; the whole LLR trajectory and its decision column
+    // hash-compare.
+    EvalOps.sprtBernoulli(
+        t(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase"))
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            (col("event_type") === "purchase").as("conv")),
+        "day", "conv", p0 = 0.15, p1 = 0.20,
+        alpha = 0.05, beta = 0.05)
+      .orderBy(col("t"))
+
+  private def q342(s: SparkSession, dir: String): DataFrame =
+    // QINI / UPLIFT DECILES (EvalOps.qiniCurve — Radcliffe 2007):
+    // treating event value as the targeting score, how much
+    // incremental purchase conversion do the even-user "treated"
+    // units show, decile by decile? Score levels bucket via a
+    // LEVEL-table prefix sum (no global sort), cumulative counts
+    // ride a 10-row bucket window, qini/uplift are identically
+    // spelled micro floats.
+    EvalOps.qiniCurve(
+        t(s, dir, "events").where(col("value").isNotNull)
+          .select(round(col("value") * 100, 0).cast("long").as("s"),
+            (col("user_id") % 2 === 0).as("arm"),
+            (col("event_type") === "purchase").as("conv")),
+        "s", "arm", "conv", nBuckets = 10)
+      .orderBy(col("bucket"))
+
+  private def q343(s: SparkSession, dir: String): DataFrame =
+    // EMPIRICAL-BAYES RETURN-RATE SHRINKAGE
+    // (EvalOps.empiricalBayesRate): per-brand lineitem return rates
+    // shrunk toward the beta-binomial method-of-moments prior — the
+    // small-n smoothing every ranking-by-rate pipeline needs. One
+    // brand-key aggregate + a broadcast 1-row prior; prior moments
+    // are exact ppm integers; every float identically spelled.
+    EvalOps.empiricalBayesRate(
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            (col("l_returnflag") === "R").as("ret")),
+        "p_brand", "ret")
+      .orderBy(col("item"))
+
+  private def q344(s: SparkSession, dir: String): DataFrame = {
+    // BRADLEY–TERRY BRAND LEADERBOARD (EvalOps.bradleyTerry — the
+    // model behind pairwise-preference LLM arena rankings, fit by 5
+    // deterministic MM sweeps): within each order, the brand with
+    // the larger shipped quantity "wins" the pair; the MM fixed
+    // point turns the win matrix into strengths. Brands are
+    // domain-bounded, so each sweep is a broadcast join + one hash
+    // aggregate; the oracle replays all 5 sweeps as an unrolled CTE
+    // chain.
+    val ob = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .agg(sum(round(col("l_quantity"), 0).cast("long")).as("q"))
+    val a = ob.select(col("ok"), col("brand").as("ba"),
+      col("q").as("qa"))
+    val b = ob.select(col("ok"), col("brand").as("bb"),
+      col("q").as("qb"))
+    val pairs = a.join(b, Seq("ok")).where(col("ba") < col("bb"))
+      .groupBy(col("ba"), col("bb"))
+      .agg(sum(when(col("qa") > col("qb"), 1L).otherwise(0L))
+        .as("wa"),
+        sum(when(col("qb") > col("qa"), 1L).otherwise(0L)).as("wb"))
+      .where(col("wa") + col("wb") > 0)
+    EvalOps.bradleyTerry(pairs, "ba", "bb", "wa", "wb", iters = 5)
+      .orderBy(col("rank"))
+  }
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8172,7 +8281,43 @@ object SparkEntry {
     "q336_diff_in_diff" -> q336 _,
     "q337_anova_f" -> q337 _,
     "q338_kruskal_wallis" -> q338 _,
+    "q339_mann_kendall" -> q339 _,
+    "q340_theil_sen" -> q340 _,
+    "q341_sprt" -> q341 _,
+    "q342_qini" -> q342 _,
+    "q343_eb_rate" -> q343 _,
+    "q344_bradley_terry" -> q344 _,
   )
+
+  /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
+    * the same nano-fixed denominator terms and micro strengths,
+    * unrolled (the kmeansSqlChain convention). Expects CTEs `pairs0`
+    * (ba, bb, wa, wb) upstream; exposes `wins` and `w<iters>`. */
+  private def btSqlChain(iters: Int): String = {
+    val head =
+      """dir AS (SELECT ba AS i, bb AS j, wa, wb FROM pairs0),
+        |  sym AS (SELECT i, j, (wa + wb)::BIGINT AS g FROM dir
+        |    UNION ALL
+        |    SELECT j AS i, i AS j, (wa + wb)::BIGINT AS g FROM dir),
+        |  wins AS (SELECT i, sum(w)::BIGINT AS total_wins FROM (
+        |      SELECT i, wa AS w FROM dir
+        |      UNION ALL SELECT j AS i, wb AS w FROM dir)
+        |    GROUP BY 1),
+        |  w0 AS (SELECT i, 1000000::BIGINT AS wm FROM wins)"""
+        .stripMargin
+    val its = (1 to iters).map { k =>
+      s""",
+        |  d$k AS (SELECT s.i, sum(round(s.g::DOUBLE * 1e9 /
+        |      ((wa.wm + wb.wm)::DOUBLE / 1e6)))::BIGINT AS d
+        |    FROM sym s JOIN w${k - 1} wa ON wa.i = s.i
+        |    JOIN w${k - 1} wb ON wb.i = s.j GROUP BY 1),
+        |  w$k AS (SELECT w.i,
+        |      (CASE WHEN t.d > 0 THEN round(w.total_wins::DOUBLE *
+        |        1e15 / t.d::DOUBLE) ELSE 0 END)::BIGINT AS wm
+        |    FROM wins w JOIN d$k t ON t.i = w.i)""".stripMargin
+    }.mkString
+    head + its
+  }
 
   /** DuckDB twin of [[LayoutOps.spreadBits]]: the same 5-step
     * mask-and-shift fold, generated from the same mask constants so
@@ -14841,6 +14986,178 @@ object SparkEntry {
         |SELECT b.grp, b.n_g, b.r2_g, h.k, h.n, h.tie_cube_sum,
         |  h.h_micro
         |FROM bg b CROSS JOIN h ORDER BY b.grp""".stripMargin,
+    "q339_mann_kendall" ->
+      // same day-grid cent sums, same sign-pair S / integer var18 /
+      // continuity-corrected z spelling
+      """WITH dd AS (SELECT event_type AS grp,
+        |    date_trunc('day', ts) AS t,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |  st AS (SELECT a.grp, sum(sign(b.v - a.v))::BIGINT AS s_stat
+        |    FROM dd a JOIN dd b ON a.grp = b.grp AND a.t < b.t
+        |    GROUP BY 1),
+        |  ties AS (SELECT grp,
+        |      sum(tk * (tk - 1) * (2 * tk + 5))::BIGINT AS tsum,
+        |      sum(tk)::BIGINT AS n
+        |    FROM (SELECT grp, v, count(*)::BIGINT AS tk FROM dd
+        |      GROUP BY 1, 2) GROUP BY 1),
+        |  f AS (SELECT t.grp, t.n,
+        |      coalesce(st.s_stat, 0)::BIGINT AS s_stat,
+        |      (t.n * (t.n - 1) * (2 * t.n + 5) - t.tsum)::BIGINT
+        |        AS var18
+        |    FROM ties t LEFT JOIN st ON st.grp = t.grp)
+        |SELECT grp, n, s_stat, var18,
+        |  (CASE WHEN var18 > 0 THEN
+        |    round((CASE WHEN s_stat > 0 THEN s_stat - 1
+        |      WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END)::DOUBLE /
+        |      sqrt(var18::DOUBLE / 18.0) * 1e6) END)::BIGINT
+        |    AS z_micro
+        |FROM f ORDER BY grp""".stripMargin,
+    "q340_theil_sen" ->
+      // same epoch-day grid, sign-split // mirroring the truncating
+      // div, same lower-median rank rule
+      """WITH dd AS (SELECT event_type AS grp,
+        |    (epoch(date_trunc('day', ts))::BIGINT // 86400) AS t,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |  pr AS (SELECT a.grp,
+        |      (CASE WHEN b.v >= a.v THEN
+        |        ((b.v - a.v) * 1000000) // (b.t - a.t)
+        |      ELSE -(((a.v - b.v) * 1000000) // (b.t - a.t)) END)
+        |        ::BIGINT AS slope
+        |    FROM dd a JOIN dd b ON a.grp = b.grp AND a.t < b.t),
+        |  cnt AS (SELECT grp, count(*)::BIGINT AS n_pairs FROM pr
+        |    GROUP BY 1),
+        |  rk AS (SELECT grp, slope, row_number()
+        |      OVER (PARTITION BY grp ORDER BY slope) AS rn FROM pr),
+        |  med AS (SELECT c.grp, c.n_pairs, r.slope
+        |    FROM cnt c JOIN rk r
+        |      ON r.grp = c.grp AND r.rn = (c.n_pairs + 1) // 2),
+        |  pts AS (SELECT grp, count(*)::BIGINT AS n_points FROM dd
+        |    GROUP BY 1)
+        |SELECT p.grp, p.n_points,
+        |  coalesce(m.n_pairs, 0)::BIGINT AS n_pairs,
+        |  m.slope AS sen_slope_micro
+        |FROM pts p LEFT JOIN med m ON m.grp = p.grp
+        |ORDER BY p.grp""".stripMargin,
+    "q341_sprt" -> {
+      // the SAME nano-nat constants the op fixed on the driver,
+      // injected as literals; day-grid counts + prefix sums
+      val (l1, l0) = EvalOps.sprtIncrementsNano(0.15, 0.20)
+      val (up, lo) = EvalOps.sprtBoundsNano(0.05, 0.05)
+      s"""WITH sx AS (SELECT strftime(ts, '%Y-%m-%d') AS t,
+        |    (event_type = 'purchase') AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  daily AS (SELECT t, count(*)::BIGINT AS n_day,
+        |      sum(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS x_day
+        |    FROM sx GROUP BY 1),
+        |  cum AS (SELECT t, n_day, x_day,
+        |      sum(n_day) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW)::BIGINT AS n_cum,
+        |      sum(x_day) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW)::BIGINT AS x_cum
+        |    FROM daily),
+        |  lr AS (SELECT *,
+        |      (x_cum * ($l1) + (n_cum - x_cum) * ($l0))::BIGINT
+        |        AS llr_nano
+        |    FROM cum)
+        |SELECT t, n_day, x_day, n_cum, x_cum, llr_nano,
+        |  (CASE WHEN llr_nano >= ($up) THEN 'accept_h1'
+        |    WHEN llr_nano <= ($lo) THEN 'accept_h0'
+        |    ELSE 'continue' END) AS decision
+        |FROM lr ORDER BY t""".stripMargin
+    },
+    "q342_qini" ->
+      // same score-level buckets, same cumulative windows, same
+      // qini/uplift spelling
+      """WITH sx AS (SELECT round(value * 100)::BIGINT AS s,
+        |    (user_id % 2 = 0) AS a, (event_type = 'purchase') AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |  levels AS (SELECT s,
+        |      sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |      sum(CASE WHEN a AND c THEN 1 ELSE 0 END)::BIGINT AS xt,
+        |      sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |      sum(CASE WHEN NOT a AND c THEN 1 ELSE 0 END)::BIGINT
+        |        AS xc
+        |    FROM sx GROUP BY 1),
+        |  tot AS (SELECT sum(nt + nc)::BIGINT AS n FROM levels),
+        |  lv AS (SELECT l.*, t.n,
+        |      coalesce(sum(l.nt + l.nc) OVER (ORDER BY l.s DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0)::BIGINT AS bf
+        |    FROM levels l CROSS JOIN tot t),
+        |  bk AS (SELECT ((bf * 10) // n + 1)::BIGINT AS bucket,
+        |      sum(nt)::BIGINT AS n_t, sum(xt)::BIGINT AS x_t,
+        |      sum(nc)::BIGINT AS n_c, sum(xc)::BIGINT AS x_c
+        |    FROM lv GROUP BY 1),
+        |  cm AS (SELECT bucket, n_t, x_t, n_c, x_c,
+        |      (sum(n_t) OVER wb)::BIGINT AS cn_t,
+        |      (sum(x_t) OVER wb)::BIGINT AS cx_t,
+        |      (sum(n_c) OVER wb)::BIGINT AS cn_c,
+        |      (sum(x_c) OVER wb)::BIGINT AS cx_c
+        |    FROM bk WINDOW wb AS (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, n_t, x_t, n_c, x_c, cn_t, cx_t, cn_c, cx_c,
+        |  (CASE WHEN cn_c > 0 THEN
+        |    round((cx_t::DOUBLE - cx_c::DOUBLE * cn_t::DOUBLE /
+        |      cn_c::DOUBLE) * 1e6) END)::BIGINT AS qini_micro,
+        |  (CASE WHEN cn_t > 0 AND cn_c > 0 THEN
+        |    round((cx_t::DOUBLE / cn_t - cx_c::DOUBLE / cn_c) * 1e6)
+        |  END)::BIGINT AS uplift_micro
+        |FROM cm ORDER BY bucket""".stripMargin,
+    "q343_eb_rate" ->
+      // same ppm integer moments, same method-of-moments prior and
+      // shrunk-rate spelling
+      """WITH sx AS (SELECT p.p_brand AS item,
+        |    (l.l_returnflag = 'R') AS c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |  items AS (SELECT item, count(*)::BIGINT AS n,
+        |      sum(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS x
+        |    FROM sx GROUP BY 1),
+        |  ir AS (SELECT *, ((x * 1000000) // n)::BIGINT AS raw_ppm
+        |    FROM items),
+        |  pri AS (SELECT count(*)::BIGINT AS k,
+        |      sum(raw_ppm)::BIGINT AS sr,
+        |      sum(raw_ppm * raw_ppm)::BIGINT AS srr FROM ir),
+        |  pd AS (SELECT k, sr, srr,
+        |      sr::DOUBLE / k::DOUBLE / 1e6 AS mu,
+        |      (srr::DOUBLE / k::DOUBLE -
+        |        (sr::DOUBLE / k::DOUBLE) * (sr::DOUBLE / k::DOUBLE))
+        |        / 1e12 AS va
+        |    FROM pri),
+        |  ps AS (SELECT *, (CASE WHEN va > 0 THEN
+        |      mu * (1.0 - mu) / va - 1.0 END) AS s0 FROM pd)
+        |SELECT i.item, i.n, i.x, i.raw_ppm,
+        |  (CASE WHEN p.s0 > 0 THEN round(p.mu * p.s0 * 1e6) END)
+        |    ::BIGINT AS alpha_micro,
+        |  (CASE WHEN p.s0 > 0 THEN
+        |    round((1.0 - p.mu) * p.s0 * 1e6) END)::BIGINT
+        |    AS beta_micro,
+        |  (CASE WHEN p.s0 > 0 THEN
+        |    round((i.x::DOUBLE + p.mu * p.s0) /
+        |      (i.n::DOUBLE + p.s0) * 1e6) END)::BIGINT AS shrunk_ppm
+        |FROM ir i CROSS JOIN ps p ORDER BY i.item""".stripMargin,
+    "q344_bradley_terry" ->
+      // same order-level quantity duels, then the 5 MM sweeps
+      // unrolled with identical nano/micro fixing
+      s"""WITH ob AS (SELECT l.l_orderkey AS ok, p.p_brand AS brand,
+        |    sum(round(l.l_quantity)::BIGINT)::BIGINT AS q
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |  praw AS (SELECT a.brand AS ba, b.brand AS bb,
+        |      sum(CASE WHEN a.q > b.q THEN 1 ELSE 0 END)::BIGINT
+        |        AS wa,
+        |      sum(CASE WHEN b.q > a.q THEN 1 ELSE 0 END)::BIGINT
+        |        AS wb
+        |    FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |    GROUP BY 1, 2),
+        |  pairs0 AS (SELECT * FROM praw WHERE wa + wb > 0),
+        |  ${btSqlChain(5)}
+        |SELECT w.i AS item, ws.total_wins, w.wm AS w_micro,
+        |  (row_number() OVER (ORDER BY w.wm DESC, w.i))::BIGINT
+        |    AS "rank"
+        |FROM w5 w JOIN wins ws ON ws.i = w.i
+        |ORDER BY "rank"""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

@@ -876,4 +876,89 @@ object AggOps {
               (col("_n0") - col("tie_y")).cast("double")) * 1e6)
             .cast("long")).as("tau_b_micro"))
   }
+
+  /** MANN–KENDALL TREND TEST (Mann 1945; Kendall 1975) per group —
+    * the nonparametric "is this series monotonically drifting?"
+    * readout next to the CUSUM/changepoint family. Input: ONE row
+    * per (group, t) with an integer value (the caller pre-aggregates
+    * to the day/hour grid, so the per-group series length D is
+    * CALENDAR-bounded, not row-bounded). S = Σ_{i<j} sgn(v_j − v_i)
+    * from the group-keyed self-join (O(G·D²) pairs — bounded), the
+    * tie-corrected variance in its exact INTEGER numerator
+    *   var18 = 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5),
+    * and the continuity-corrected z = (S∓1)/√(var18/18) as ONE
+    * identically-spelled float. Null z when var18 = 0 (n < 2 or all
+    * values tied). Output per group: (grp, n, s_stat, var18,
+    * z_micro). */
+  def mannKendall(df: DataFrame, groupCol: String, tCol: String,
+                  vCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("grp"),
+        col(tCol).as("_t"), col(vCol).cast("long").as("_v"))
+      .localCheckpoint() // feeds both join sides AND the tie table
+    val a = base.select(col("grp"), col("_t").as("_ta"),
+      col("_v").as("_va"))
+    val b = base.select(col("grp"), col("_t").as("_tb"),
+      col("_v").as("_vb"))
+    val sTab = a.join(b, Seq("grp")).where(col("_ta") < col("_tb"))
+      .groupBy(col("grp"))
+      .agg(sum(signum(col("_vb") - col("_va")).cast("long"))
+        .as("s_stat"))
+    val ties = base.groupBy(col("grp"), col("_v"))
+      .agg(count(lit(1)).as("_tk"))
+      .groupBy(col("grp"))
+      .agg(sum(col("_tk") * (col("_tk") - 1) *
+          (lit(2L) * col("_tk") + 5)).as("_tsum"),
+        sum(col("_tk")).as("n"))
+    ties.join(sTab, Seq("grp"), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+          col("_tsum"))
+      .select(col("grp"), col("n"), col("s_stat"), col("var18"),
+        when(col("var18") > 0,
+          round((when(col("s_stat") > 0, col("s_stat") - 1)
+            .when(col("s_stat") < 0, col("s_stat") + 1)
+            .otherwise(lit(0L))).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0)) * 1e6)
+            .cast("long")).as("z_micro"))
+  }
+
+  /** THEIL–SEN SLOPE (Theil 1950; Sen 1968) per group — the robust
+    * trend estimator: the LOWER MEDIAN of all pairwise slopes
+    * (v_j − v_i)/(t_j − t_i) over the group's (integer t, integer v)
+    * series, each slope fixed to micro by truncating integer
+    * division (matches DuckDB via the sign-split `//` CASE). Same
+    * calendar-bounded O(G·D²) pair table as [[mannKendall]]; the
+    * median rides a per-group rank window over PAIRS (D²/2 rows per
+    * group — bounded), rank (P+1) div 2, deterministic under slope
+    * ties because the rank selects a VALUE. Groups with < 2 points
+    * surface with n_pairs = 0 and a null slope. Output per group:
+    * (grp, n_points, n_pairs, sen_slope_micro). */
+  def theilSen(df: DataFrame, groupCol: String, tCol: String,
+               vCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("grp"),
+        col(tCol).cast("long").as("_t"), col(vCol).cast("long")
+          .as("_v"))
+      .localCheckpoint() // feeds both join sides AND the point count
+    val a = base.select(col("grp"), col("_t").as("_ta"),
+      col("_v").as("_va"))
+    val b = base.select(col("grp"), col("_t").as("_tb"),
+      col("_v").as("_vb"))
+    val pairs = a.join(b, Seq("grp")).where(col("_ta") < col("_tb"))
+      .select(col("grp"),
+        expr("((_vb - _va) * 1000000L) div (_tb - _ta)").as("_slope"))
+    val cnt = pairs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val med = pairs.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("_slope"))))
+      .join(cnt, Seq("grp"))
+      .where(col("_rn") === expr("(n_pairs + 1L) div 2L"))
+      .select(col("grp"), col("n_pairs"),
+        col("_slope").as("sen_slope_micro"))
+    base.groupBy(col("grp")).agg(count(lit(1)).as("n_points"))
+      .join(med, Seq("grp"), "left")
+      .select(col("grp"), col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("sen_slope_micro"))
+  }
 }

@@ -1029,6 +1029,226 @@ object EvalOps {
       .crossJoin(broadcast(h))
   }
 
+  /** WALD SPRT over Bernoulli trials (Wald 1945 — the sequential
+    * A/B monitor that reads a running experiment WITHOUT a fixed
+    * horizon): against H0: p = p0 vs H1: p = p1, the cumulative
+    * log-likelihood ratio after (n, x) trials is
+    *   LLR = x·ln(p1/p0) + (n−x)·ln((1−p1)/(1−p0)),
+    * decided when LLR ≥ ln((1−β)/α) (accept H1) or
+    * LLR ≤ ln(β/(1−α)) (accept H0). Both per-trial increments and
+    * both boundaries fix to NANO-NAT integer constants ON THE DRIVER
+    * (they depend only on the four parameters, not the data), so the
+    * whole trajectory is exact integer arithmetic — one day-grid
+    * aggregate + a DAY-bounded prefix window; the oracle replays the
+    * SAME literal constants. Output per period: (t, n_day, x_day,
+    * n_cum, x_cum, llr_nano, decision). */
+  def sprtBernoulli(df: DataFrame, tCol: String, convCol: String,
+                    p0: Double, p1: Double, alpha: Double,
+                    beta: Double): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"degenerate SPRT hypotheses: p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"degenerate SPRT risks: alpha=$alpha beta=$beta")
+    val (l1, l0) = sprtIncrementsNano(p0, p1)
+    val (upper, lower) = sprtBoundsNano(alpha, beta)
+    val daily = df.select(col(tCol).as("t"),
+        col(convCol).cast("boolean").as("_c"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_day"),
+        sum(when(col("_c"), 1L).otherwise(0L)).as("x_day"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0) // DAY-bounded window
+    daily.select(col("t"), col("n_day"), col("x_day"),
+        sum(col("n_day")).over(w).as("n_cum"),
+        sum(col("x_day")).over(w).as("x_cum"))
+      .withColumn("llr_nano", col("x_cum") * lit(l1) +
+        (col("n_cum") - col("x_cum")) * lit(l0))
+      .withColumn("decision",
+        when(col("llr_nano") >= lit(upper), "accept_h1")
+          .when(col("llr_nano") <= lit(lower), "accept_h0")
+          .otherwise("continue"))
+  }
+
+  /** The SPRT per-trial increments in nano-nats — public so query
+    * oracles inject the SAME literals. */
+  def sprtIncrementsNano(p0: Double, p1: Double): (Long, Long) =
+    (math.round(math.log(p1 / p0) * 1e9),
+      math.round(math.log((1 - p1) / (1 - p0)) * 1e9))
+
+  /** The SPRT decision boundaries in nano-nats (Wald's A/B bounds). */
+  def sprtBoundsNano(alpha: Double, beta: Double): (Long, Long) =
+    (math.round(math.log((1 - beta) / alpha) * 1e9),
+      math.round(math.log(beta / (1 - alpha)) * 1e9))
+
+  /** QINI / UPLIFT CURVE (Radcliffe 2007 — the decile readout every
+    * uplift-modeling evaluation starts from): units are bucketed by
+    * a targeting score WITHOUT a global sort — scores collapse to a
+    * LEVEL table (the [[rocAuc]] move), a prefix sum over levels
+    * (DESC — highest score = targeted first) assigns each whole
+    * level to one of `nBuckets` population buckets
+    * (bucket = cumBefore·B div n + 1), and per-bucket cumulative
+    * treated/control conversions give
+    *   qini(k) = X_t(k) − X_c(k)·N_t(k)/N_c(k)
+    *   uplift(k) = X_t(k)/N_t(k) − X_c(k)/N_c(k)
+    * as identically-spelled micro floats over exact integer counts.
+    * LEVEL- then BUCKET-bounded past the first aggregate; ties share
+    * a level so bucket assignment is deterministic by construction.
+    * Output per bucket: (bucket, n_t, x_t, n_c, x_c, cn_t, cx_t,
+    * cn_c, cx_c, qini_micro, uplift_micro). */
+  def qiniCurve(df: DataFrame, scoreCol: String, armCol: String,
+                convCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val levels = df.select(col(scoreCol).cast("long").as("_s"),
+        col(armCol).cast("boolean").as("_a"),
+        col(convCol).cast("boolean").as("_c"))
+      .groupBy(col("_s"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_a") && col("_c"), 1L).otherwise(0L)).as("_xt"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_nc"),
+        sum(when(!col("_a") && col("_c"), 1L).otherwise(0L))
+          .as("_xc"))
+      .localCheckpoint() // feeds the prefix window AND the total
+    val tot = levels.agg(
+      sum(col("_nt") + col("_nc")).as("_n"))
+    val w = Window.orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketed = levels
+      .withColumn("_before",
+        coalesce(sum(col("_nt") + col("_nc")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        expr(s"(_before * ${nBuckets}L) div _n + 1L"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("_nt")).as("n_t"), sum(col("_xt")).as("x_t"),
+        sum(col("_nc")).as("n_c"), sum(col("_xc")).as("x_c"))
+    val wc = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("cn_t", sum(col("n_t")).over(wc))
+      .withColumn("cx_t", sum(col("x_t")).over(wc))
+      .withColumn("cn_c", sum(col("n_c")).over(wc))
+      .withColumn("cx_c", sum(col("x_c")).over(wc))
+      .withColumn("qini_micro", when(col("cn_c") > 0,
+        round((col("cx_t").cast("double") -
+          col("cx_c").cast("double") * col("cn_t").cast("double") /
+            col("cn_c").cast("double")) * 1e6).cast("long")))
+      .withColumn("uplift_micro",
+        when(col("cn_t") > 0 && col("cn_c") > 0,
+          round((col("cx_t").cast("double") / col("cn_t") -
+            col("cx_c").cast("double") / col("cn_c")) * 1e6)
+            .cast("long")))
+  }
+
+  /** EMPIRICAL-BAYES RATE SHRINKAGE (beta-binomial method of
+    * moments — Robbins 1956 lineage; the CTR/return-rate smoother
+    * every ranking pipeline applies before sorting small-n items):
+    * per-item exact integer (n, x) and ppm raw rates
+    * (x·10⁶ div n — exact, non-negative), the prior fit from the
+    * UNWEIGHTED item-rate moments kept as exact ppm integers
+    * (Σr, Σr² over K items), prior strength
+    *   s₀ = α+β = m(1−m)/v − 1  (m, v de-scaled from ppm),
+    * and the shrunken rate (x+α)/(n+s₀) per item as ONE
+    * identically-spelled float over the broadcast prior. Null prior
+    * (and null shrunk rate) when the method-of-moments variance is
+    * degenerate (v ≤ 0) or s₀ ≤ 0 (items more dispersed than any
+    * beta prior). One item-key aggregate + a 1-row prior broadcast.
+    * Output per item: (item, n, x, raw_ppm, alpha_micro, beta_micro,
+    * shrunk_ppm). */
+  def empiricalBayesRate(df: DataFrame, itemCol: String,
+                         convCol: String): DataFrame = {
+    val items = df.select(col(itemCol).cast("string").as("item"),
+        col(convCol).cast("boolean").as("_c"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_c"), 1L).otherwise(0L)).as("x"))
+      .withColumn("raw_ppm", expr("(x * 1000000L) div n"))
+      .localCheckpoint() // feeds the prior moments AND the item rows
+    val pri = items.agg(count(lit(1)).as("_k"),
+        sum(col("raw_ppm")).as("_sr"),
+        sum(col("raw_ppm") * col("raw_ppm")).as("_srr"))
+      .withColumn("_mu", col("_sr").cast("double") /
+        col("_k").cast("double") / 1e6)
+      .withColumn("_va", (col("_srr").cast("double") /
+        col("_k").cast("double") -
+        (col("_sr").cast("double") / col("_k").cast("double")) *
+          (col("_sr").cast("double") / col("_k").cast("double"))) /
+        1e12)
+      .withColumn("_s0", when(col("_va") > 0,
+        col("_mu") * (lit(1.0) - col("_mu")) / col("_va") - lit(1.0)))
+    items.crossJoin(broadcast(pri))
+      .select(col("item"), col("n"), col("x"), col("raw_ppm"),
+        when(col("_s0") > 0, round(col("_mu") * col("_s0") * 1e6)
+          .cast("long")).as("alpha_micro"),
+        when(col("_s0") > 0, round((lit(1.0) - col("_mu")) *
+          col("_s0") * 1e6).cast("long")).as("beta_micro"),
+        when(col("_s0") > 0,
+          round((col("x").cast("double") +
+            col("_mu") * col("_s0")) /
+            (col("n").cast("double") + col("_s0")) * 1e6)
+            .cast("long")).as("shrunk_ppm"))
+  }
+
+  /** BRADLEY–TERRY PAIRWISE-PREFERENCE RANKING (Bradley & Terry
+    * 1952; the model behind Elo-style LLM arena leaderboards), fit
+    * by the MM algorithm (Hunter 2004) with a FIXED iteration count
+    * and integer-fixed intermediates so the whole trajectory is
+    * deterministic and oracle-replayable as an unrolled CTE chain
+    * (the kmeansSqlChain convention):
+    *   w_i ← W_i / Σ_j g_ij/(w_i + w_j)
+    * where W_i = total wins of i and g_ij = games between i and j.
+    * Per-pair denominator terms fix to nano before the per-item sum;
+    * strengths live in micro (start 10⁶ = 1.0). Items are
+    * DOMAIN-bounded (brands/models), so every join is a broadcast
+    * and each iteration is one bounded hash aggregate +
+    * localCheckpoint. Output per item: (item, total_wins, w_micro,
+    * rank — 1 = strongest, ties broken by item). */
+  def bradleyTerry(pairs: DataFrame, aCol: String, bCol: String,
+                   winsACol: String, winsBCol: String,
+                   iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dir = pairs.select(col(aCol).cast("string").as("_i"),
+        col(bCol).cast("string").as("_j"),
+        col(winsACol).cast("long").as("_wi"),
+        col(winsBCol).cast("long").as("_wj"))
+      .localCheckpoint() // feeds sym, wins, and every iteration
+    val sym = dir.select(col("_i"), col("_j"),
+        (col("_wi") + col("_wj")).as("_g"))
+      .unionAll(dir.select(col("_j").as("_i"), col("_i").as("_j"),
+        (col("_wi") + col("_wj")).as("_g")))
+    val wins = dir.select(col("_i"), col("_wi"))
+      .unionAll(dir.select(col("_j").as("_i"), col("_wj").as("_wi")))
+      .groupBy(col("_i")).agg(sum(col("_wi")).as("total_wins"))
+      .localCheckpoint()
+    var w = wins.select(col("_i"), lit(1000000L).as("_wm"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val d = sym
+        .join(broadcast(w.select(col("_i"), col("_wm").as("_wa"))),
+          Seq("_i"))
+        .join(broadcast(w.select(col("_i").as("_j"),
+          col("_wm").as("_wb"))), Seq("_j"))
+        .withColumn("_tn", round(col("_g").cast("double") * 1e9 /
+          ((col("_wa") + col("_wb")).cast("double") / 1e6))
+          .cast("long"))
+        .groupBy(col("_i")).agg(sum(col("_tn")).as("_d"))
+      // d = 0 only for an all-zero-games item (W = 0 too): pin its
+      // strength to 0 instead of riding a 0/0 NaN into ANSI round
+      w = wins.join(d, Seq("_i"))
+        .select(col("_i"),
+          when(col("_d") > 0,
+            round(col("total_wins").cast("double") * lit(1e15) /
+              col("_d").cast("double")).cast("long"))
+            .otherwise(lit(0L)).as("_wm"))
+        .localCheckpoint()
+    }
+    wins.join(w, Seq("_i"))
+      .select(col("_i").as("item"), col("total_wins"),
+        col("_wm").as("w_micro"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("w_micro").desc, col("item")))
+        .cast("long"))
+  }
+
   /** POPULATION STABILITY INDEX (the industry drift monitor):
     * PSI = Σ_buckets (p−q)·ln(p/q) between a baseline side and a
     * comparison side of one bucketed metric, with add-one (Laplace)
