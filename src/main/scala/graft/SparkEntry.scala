@@ -7159,6 +7159,87 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  private def q345(s: SparkSession, dir: String): DataFrame =
+    // CONTENT-DEFINED CHUNKING (TextOps.contentDefinedChunks —
+    // Muthitacharoen et al. 2001): the corpus re-chunked at
+    // content-defined boundaries (k-gram md5 ≡ 0 mod 16), chunk
+    // fingerprints + cross-doc sharing counts — the
+    // chunk-granularity dedup view next to q64's fixed windows and
+    // q320's paragraph LSH. Linear: per-doc windows, one
+    // fingerprint aggregate.
+    TextOps.contentDefinedChunks(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, mask = 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private def q346(s: SparkSession, dir: String): DataFrame =
+    // A/B SAMPLE-SIZE CALCULATOR (EvalOps.abPowerTwoProportion —
+    // Fleiss et al. 2003): how many users per arm to detect a +10%
+    // relative lift on the measured purchase share at α=5%, power
+    // 80%? The design-stage op completing the experimentation
+    // lifecycle: q346 design → q341 monitor → q332/q333/q335 read.
+    EvalOps.abPowerTwoProportion(
+      t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select((col("event_type") === "purchase").as("conv")),
+      "conv", mdeRel = 0.10, zAlpha = 1.959964, zBeta = 0.841621)
+
+  private def q347(s: SparkSession, dir: String): DataFrame =
+    // TWO-GROUP EFFECT SIZES (EvalOps.effectSizes): HOW MUCH do
+    // purchase and click values differ, not just whether — Cohen's
+    // d / Hedges' g from exact whole-dollar Gram sums, Cliff's δ
+    // from the level-table prefix sums (never a pair join). The
+    // magnitude report next to q171's t and q314's z.
+    EvalOps.effectSizes(
+      t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull)
+        .select(round(col("value"), 0).cast("long").as("v"),
+          (col("event_type") === "purchase").as("a")),
+      "v", "a")
+
+  private def q348(s: SparkSession, dir: String): DataFrame =
+    // TUKEY HSD PAIRWISE CONTRASTS (EvalOps.tukeyHsd): which event
+    // types actually differ, after q337's ANOVA says "some do" —
+    // all pairwise mean contrasts against the pooled MSW, the q
+    // statistic, and the verdict at the caller-supplied studentized
+    // -range critical value (a design constant, like q346's z's).
+    // Group-domain-bounded: the pair join is a broadcast self-join
+    // over k group rows.
+    EvalOps.tukeyHsd(
+        t(s, dir, "events").where(col("value").isNotNull)
+          .select(col("event_type").as("grp"),
+            round(col("value"), 0).cast("long").as("y")),
+        "grp", "y", qCrit = 3.858)
+      .orderBy(col("g_a"), col("g_b"))
+
+  private def q349(s: SparkSession, dir: String): DataFrame =
+    // DECISION-STUMP SPLIT GAIN (AggOps.decisionStumpGain): where
+    // would a tree's first split put the value threshold to separate
+    // purchases from clicks? Every candidate threshold's information
+    // gain from LEVEL-table prefix sums — the distributed core of
+    // the reference's DT induction, as a relational plan with
+    // nano-nat entropy terms.
+    AggOps.decisionStumpGain(
+        t(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase") &&
+            col("value").isNotNull)
+          .select(round(col("value"), 0).cast("long").as("v"),
+            (col("event_type") === "purchase").as("y")),
+        "v", "y")
+      .orderBy(col("threshold"))
+
+  private def q350(s: SparkSession, dir: String): DataFrame =
+    // WILSON SCORE INTERVALS (EvalOps.wilsonInterval): per event
+    // type, the 95% binomial CI on the share of high-value events —
+    // the small-n-safe interval next to q343's shrunken point
+    // estimates. One group aggregate, z as a design literal.
+    EvalOps.wilsonInterval(
+        t(s, dir, "events").where(col("value").isNotNull)
+          .select(col("event_type").as("grp"),
+            (col("value") >= 50.0).as("conv")),
+        "grp", "conv", z = 1.959964)
+      .orderBy(col("grp"))
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8287,6 +8368,12 @@ object SparkEntry {
     "q342_qini" -> q342 _,
     "q343_eb_rate" -> q343 _,
     "q344_bradley_terry" -> q344 _,
+    "q345_cdc_chunks" -> q345 _,
+    "q346_ab_power" -> q346 _,
+    "q347_effect_sizes" -> q347 _,
+    "q348_tukey_hsd" -> q348 _,
+    "q349_stump_gain" -> q349 _,
+    "q350_wilson_ci" -> q350 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -15158,6 +15245,227 @@ object SparkEntry {
         |    AS "rank"
         |FROM w5 w JOIN wins ws ON ws.i = w.i
         |ORDER BY "rank"""".stripMargin,
+    "q345_cdc_chunks" ->
+      // same tokenization, same 3-gram md5 boundary rule, same
+      // position-ordered fingerprints and sharing counts
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |  tp AS (SELECT doc_id,
+        |      unnest(generate_series(1, len(t))) AS pos, t
+        |    FROM tk),
+        |  tw AS (SELECT doc_id, pos, t[pos] AS w FROM tp),
+        |  gr AS (SELECT doc_id, pos, w,
+        |      concat_ws(' ', lag(w, 2) OVER win, lag(w, 1) OVER win,
+        |        w) AS g
+        |    FROM tw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |  bd AS (SELECT doc_id, pos, w,
+        |      (CASE WHEN pos >= 3 AND
+        |        ('0x' || substr(md5(g), 1, 8))::BIGINT % 16 = 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS bnd
+        |    FROM gr),
+        |  ch AS (SELECT doc_id, pos, w,
+        |      (1 + coalesce(sum(bnd) OVER (PARTITION BY doc_id
+        |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        1 PRECEDING), 0))::BIGINT AS chunk_id
+        |    FROM bd),
+        |  chunks AS (SELECT doc_id, chunk_id,
+        |      count(*)::BIGINT AS n_tokens,
+        |      md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+        |    FROM ch GROUP BY 1, 2),
+        |  share AS (SELECT fp, count(DISTINCT doc_id)::BIGINT
+        |      AS n_docs_sharing
+        |    FROM chunks GROUP BY 1)
+        |SELECT c.doc_id, c.chunk_id, c.n_tokens, c.fp,
+        |  s.n_docs_sharing
+        |FROM chunks c JOIN share s USING (fp)
+        |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+    "q346_ab_power" ->
+      // same integer counts, same closed-form spelling with the
+      // same three literals
+      """WITH sx AS (SELECT (event_type = 'purchase') AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  agg AS (SELECT count(*)::BIGINT AS n,
+        |      sum(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS x
+        |    FROM sx),
+        |  d AS (SELECT n, x,
+        |      x::DOUBLE / n::DOUBLE AS p1,
+        |      x::DOUBLE / n::DOUBLE * 1.1::DOUBLE AS p2
+        |    FROM agg),
+        |  e AS (SELECT *, (p1 + p2) / 2.0 AS pbar FROM d)
+        |SELECT n, x,
+        |  (CASE WHEN n > 0 THEN (x * 1000000) // n END)::BIGINT
+        |    AS p_hat_ppm,
+        |  (CASE WHEN n > 0 AND x > 0 AND x < n THEN
+        |    round(p2 * 1e6) END)::BIGINT AS p2_ppm,
+        |  (CASE WHEN n > 0 AND x > 0 AND x < n AND p2 > 0 AND p2 < 1
+        |    THEN ceil((1.959964 * sqrt(2.0 * pbar * (1.0 - pbar)) +
+        |      0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))) *
+        |      (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar)) +
+        |      0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))) /
+        |      ((p2 - p1) * (p2 - p1)))
+        |  END)::BIGINT AS n_per_arm
+        |FROM e""".stripMargin,
+    "q347_effect_sizes" ->
+      // same whole-dollar Gram sums, same level-table P/Q prefix
+      // sums, same d/g/δ spelling
+      """WITH sx AS (SELECT round(value)::BIGINT AS v,
+        |    (event_type = 'purchase') AS a
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL),
+        |  gram AS (SELECT
+        |      sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |      sum(CASE WHEN a THEN v ELSE 0 END)::BIGINT AS sa,
+        |      sum(CASE WHEN a THEN v * v ELSE 0 END)::BIGINT AS ssa,
+        |      sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |      sum(CASE WHEN NOT a THEN v ELSE 0 END)::BIGINT AS sb,
+        |      sum(CASE WHEN NOT a THEN v * v ELSE 0 END)::BIGINT
+        |        AS ssb
+        |    FROM sx),
+        |  levels AS (SELECT v,
+        |      sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na,
+        |      sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS nb
+        |    FROM sx GROUP BY 1),
+        |  pq0 AS (SELECT v, na,
+        |      coalesce(sum(nb) OVER (ORDER BY v ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |        AS bb,
+        |      coalesce(sum(nb) OVER (ORDER BY v ROWS BETWEEN
+        |        1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)::BIGINT
+        |        AS ab
+        |    FROM levels),
+        |  pq AS (SELECT sum(na * bb)::BIGINT AS p_pairs,
+        |      sum(na * ab)::BIGINT AS q_pairs FROM pq0),
+        |  f AS (SELECT g.*, p.p_pairs, p.q_pairs,
+        |      sa::DOUBLE / n_a AS ma, sb::DOUBLE / n_b AS mb,
+        |      ((ssa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n_a) +
+        |        (ssb::DOUBLE - sb::DOUBLE * sb::DOUBLE / n_b)) /
+        |        (n_a::DOUBLE + n_b::DOUBLE - 2.0) AS vp
+        |    FROM gram g CROSS JOIN pq p)
+        |SELECT n_a, n_b, p_pairs, q_pairs,
+        |  (CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    round((ma - mb) * 1e6) END)::BIGINT AS mean_diff_micro,
+        |  (CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2
+        |      AND vp > 0 THEN
+        |    round((ma - mb) / sqrt(vp) * 1e6) END)::BIGINT
+        |    AS cohens_d_micro,
+        |  (CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2
+        |      AND vp > 0 THEN
+        |    round((ma - mb) / sqrt(vp) * (1.0 - 3.0 /
+        |      (4.0 * (n_a::DOUBLE + n_b::DOUBLE) - 9.0)) * 1e6)
+        |  END)::BIGINT AS hedges_g_micro,
+        |  (CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    round((p_pairs - q_pairs)::DOUBLE /
+        |      (n_a::DOUBLE * n_b::DOUBLE) * 1e6) END)::BIGINT
+        |    AS cliffs_delta_micro
+        |FROM f""".stripMargin,
+    "q348_tukey_hsd" ->
+      // same per-group sums, same micro-fixed MSW, same q spelling
+      // and the same critical constant
+      """WITH sx AS (SELECT event_type AS g, round(value)::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |  cells AS (SELECT g, count(*)::BIGINT AS n,
+        |      sum(y)::BIGINT AS s, sum(y * y)::BIGINT AS ss,
+        |      round(sum(y)::DOUBLE * sum(y)::DOUBLE /
+        |        count(*)::DOUBLE * 1e6)::BIGINT AS tm
+        |    FROM sx GROUP BY 1),
+        |  m AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nt,
+        |      (sum(ss) * 1000000 - sum(tm))::BIGINT AS ssw_micro
+        |    FROM cells),
+        |  mw AS (SELECT (CASE WHEN nt > k THEN
+        |      ssw_micro::DOUBLE / 1e6 / (nt - k)::DOUBLE END) AS msw
+        |    FROM m),
+        |  pr AS (SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a,
+        |      b.n AS n_b, w.msw,
+        |      a.s::DOUBLE / a.n - b.s::DOUBLE / b.n AS diff,
+        |      sqrt(w.msw / 2.0 * (1.0 / a.n::DOUBLE +
+        |        1.0 / b.n::DOUBLE)) AS se
+        |    FROM cells a JOIN cells b ON a.g < b.g CROSS JOIN mw w)
+        |SELECT g_a, g_b, n_a, n_b,
+        |  round(diff * 1e6)::BIGINT AS diff_micro,
+        |  (CASE WHEN msw > 0 THEN round(diff / se * 1e6) END)
+        |    ::BIGINT AS q_micro,
+        |  (CASE WHEN msw > 0 THEN abs(diff / se) >= 3.858::DOUBLE
+        |  END) AS significant
+        |FROM pr ORDER BY g_a, g_b""".stripMargin,
+    "q349_stump_gain" ->
+      // same level table, same guarded p·ln p terms, same nano gain
+      // and (gain DESC, threshold) best rule
+      """WITH sx AS (SELECT round(value)::BIGINT AS v,
+        |    (event_type = 'purchase') AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL),
+        |  levels AS (SELECT v AS threshold,
+        |      sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS m1,
+        |      sum(CASE WHEN NOT y THEN 1 ELSE 0 END)::BIGINT AS m0
+        |    FROM sx GROUP BY 1),
+        |  tot AS (SELECT sum(m1)::BIGINT AS t1, sum(m0)::BIGINT
+        |      AS t0 FROM levels),
+        |  cum AS (SELECT l.threshold,
+        |      (sum(l.m1) OVER (ORDER BY l.threshold ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS c1,
+        |      (sum(l.m0) OVER (ORDER BY l.threshold ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS c0,
+        |      t.t1, t.t0
+        |    FROM levels l CROSS JOIN tot t),
+        |  sp AS (SELECT threshold, c1, c0, t1, t0,
+        |      (c1 + c0)::BIGINT AS nl,
+        |      (t1 + t0 - c1 - c0)::BIGINT AS nr
+        |    FROM cum WHERE t1 + t0 - c1 - c0 > 0),
+        |  gn AS (SELECT threshold, nl AS n_left, nr AS n_right,
+        |      round((
+        |        -((CASE WHEN t1 > 0 THEN t1::DOUBLE /
+        |            (t1 + t0)::DOUBLE *
+        |            ln(t1::DOUBLE / (t1 + t0)::DOUBLE) ELSE 0 END) +
+        |          (CASE WHEN t0 > 0 THEN t0::DOUBLE /
+        |            (t1 + t0)::DOUBLE *
+        |            ln(t0::DOUBLE / (t1 + t0)::DOUBLE) ELSE 0 END))
+        |        - nl::DOUBLE / (t1 + t0)::DOUBLE *
+        |          (-((CASE WHEN c1 > 0 THEN c1::DOUBLE / nl::DOUBLE *
+        |              ln(c1::DOUBLE / nl::DOUBLE) ELSE 0 END) +
+        |            (CASE WHEN c0 > 0 THEN c0::DOUBLE / nl::DOUBLE *
+        |              ln(c0::DOUBLE / nl::DOUBLE) ELSE 0 END)))
+        |        - nr::DOUBLE / (t1 + t0)::DOUBLE *
+        |          (-((CASE WHEN t1 - c1 > 0 THEN
+        |              (t1 - c1)::DOUBLE / nr::DOUBLE *
+        |              ln((t1 - c1)::DOUBLE / nr::DOUBLE) ELSE 0
+        |            END) +
+        |            (CASE WHEN t0 - c0 > 0 THEN
+        |              (t0 - c0)::DOUBLE / nr::DOUBLE *
+        |              ln((t0 - c0)::DOUBLE / nr::DOUBLE) ELSE 0
+        |            END)))
+        |      ) * 1e9)::BIGINT AS gain_nano
+        |    FROM sp)
+        |SELECT threshold, n_left, n_right, gain_nano,
+        |  (row_number() OVER (ORDER BY gain_nano DESC, threshold)
+        |    = 1) AS best
+        |FROM gn ORDER BY threshold""".stripMargin,
+    "q350_wilson_ci" ->
+      // same integer counts, same z literal, same center/half
+      // spelling
+      """WITH sx AS (SELECT event_type AS grp, (value >= 50.0) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |  g AS (SELECT grp, count(*)::BIGINT AS n,
+        |      sum(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS x
+        |    FROM sx GROUP BY 1),
+        |  d AS (SELECT grp, n, x,
+        |      x::DOUBLE / n::DOUBLE AS p,
+        |      3.841458881296::DOUBLE AS z2,
+        |      1.959964::DOUBLE AS z
+        |    FROM g),
+        |  e AS (SELECT *,
+        |      1.0 + z2 / n::DOUBLE AS denom,
+        |      (p + z2 / (2.0 * n::DOUBLE)) /
+        |        (1.0 + z2 / n::DOUBLE) AS center,
+        |      z * sqrt(p * (1.0 - p) / n::DOUBLE +
+        |        z2 / (4.0 * n::DOUBLE * n::DOUBLE)) /
+        |        (1.0 + z2 / n::DOUBLE) AS half
+        |    FROM d)
+        |SELECT grp, n, x, ((x * 1000000) // n)::BIGINT AS p_ppm,
+        |  round((center - half) * 1e6)::BIGINT AS lo_micro,
+        |  round((center + half) * 1e6)::BIGINT AS hi_micro
+        |FROM e ORDER BY grp""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

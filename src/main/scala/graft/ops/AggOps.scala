@@ -961,4 +961,58 @@ object AggOps {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         col("sen_slope_micro"))
   }
+
+  /** DECISION-STUMP SPLIT GAIN (the distributed core of tree
+    * induction — CART/ID3's best-split search, Breiman et al. 1984,
+    * done relationally): for every candidate threshold t (= every
+    * value LEVEL), the information gain of splitting x ≤ t vs x > t
+    * on a binary label,
+    *   gain(t) = H(parent) − n_l/n·H(left) − n_r/n·H(right),
+    * H = −Σ p·ln p. Rows collapse to the (value, label) level table
+    * (ONE hash aggregate); left/right counts are prefix sums over
+    * LEVELS; every entropy term is an identically-spelled float over
+    * exact integer counts, and the gain fixes to nano-nats per level
+    * (ln parity Spark ↔ DuckDB — the q195 contract). Zero-count
+    * p·ln p terms are 0 by guard, never NaN. The best split (max
+    * gain, smallest threshold on ties) is flagged by a LEVEL-bounded
+    * rank window. The last level (empty right side) is excluded by
+    * construction. Output per threshold: (threshold, n_left,
+    * n_right, gain_nano, best). */
+  def decisionStumpGain(df: DataFrame, valueCol: String,
+                        labelCol: String): DataFrame = {
+    val levels = df.select(col(valueCol).cast("long").as("threshold"),
+        col(labelCol).cast("boolean").as("_y"))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_m1"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("_m0"))
+      .localCheckpoint() // feeds the prefix window AND the totals
+    val w = Window.orderBy(col("threshold"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = levels.agg(sum(col("_m1")).as("_t1"),
+      sum(col("_m0")).as("_t0"))
+    def plogp(c: Column, n: Column): Column =
+      when(c > 0, c.cast("double") / n.cast("double") *
+        log(c.cast("double") / n.cast("double"))).otherwise(lit(0.0))
+    val cum = levels
+      .withColumn("_c1", sum(col("_m1")).over(w))
+      .withColumn("_c0", sum(col("_m0")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("_nl", col("_c1") + col("_c0"))
+      .withColumn("_nr", col("_t1") + col("_t0") - col("_nl"))
+      .where(col("_nr") > 0) // the last level splits nothing off
+    val nn = (col("_t1") + col("_t0")).cast("double")
+    val hParent = -(plogp(col("_t1"), col("_t1") + col("_t0")) +
+      plogp(col("_t0"), col("_t1") + col("_t0")))
+    val hL = -(plogp(col("_c1"), col("_nl")) +
+      plogp(col("_c0"), col("_nl")))
+    val hR = -(plogp(col("_t1") - col("_c1"), col("_nr")) +
+      plogp(col("_t0") - col("_c0"), col("_nr")))
+    cum.withColumn("gain_nano", round((hParent -
+        col("_nl").cast("double") / nn * hL -
+        col("_nr").cast("double") / nn * hR) * 1e9).cast("long"))
+      .withColumn("best", row_number().over(
+        Window.orderBy(col("gain_nano").desc, col("threshold"))) === 1)
+      .select(col("threshold"), col("_nl").as("n_left"),
+        col("_nr").as("n_right"), col("gain_nano"), col("best"))
+  }
 }

@@ -1249,6 +1249,188 @@ object EvalOps {
         .cast("long"))
   }
 
+  /** TWO-PROPORTION SAMPLE-SIZE / POWER CALCULATOR (Fleiss, Levin &
+    * Paik 2003 eq. 4.14 — the design-stage companion to q332's
+    * z readout and q341's SPRT monitor): with the baseline
+    * conversion MEASURED from the data (p̂ = x/n), a relative MDE,
+    * and caller-supplied standard-normal quantiles (z_{1−α/2},
+    * z_{1−β} — normal quantiles are fixed design constants, e.g.
+    * 1.959964 / 0.841621 for α=5%, power 80%),
+    *   n/arm = ⌈(z_a·√(2p̄(1−p̄)) + z_b·√(p1(1−p1)+p2(1−p2)))²
+    *           / (p2−p1)²⌉,  p2 = p1(1+mde), p̄ = (p1+p2)/2.
+    * One map-side count aggregate; the closed form is a single
+    * identically-spelled float over two integer counts and three
+    * literals. Null when the data is degenerate (x = 0 or x = n) or
+    * the lifted rate leaves (0,1). Output 1 row:
+    * (n, x, p_hat_ppm, p2_ppm, n_per_arm). */
+  def abPowerTwoProportion(df: DataFrame, convCol: String,
+                           mdeRel: Double, zAlpha: Double,
+                           zBeta: Double): DataFrame = {
+    require(mdeRel != 0.0, "mdeRel must be non-zero")
+    val agg = df.select(col(convCol).cast("boolean").as("_c"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_c"), 1L).otherwise(0L)).as("x"))
+    val p1 = col("x").cast("double") / col("n").cast("double")
+    val p2 = p1 * lit(1.0 + mdeRel)
+    val pbar = (p1 + p2) / lit(2.0)
+    val numer = lit(zAlpha) *
+      sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(zBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    agg.select(col("n"), col("x"),
+      when(col("n") > 0, expr("(x * 1000000L) div n"))
+        .as("p_hat_ppm"),
+      when(col("n") > 0 && col("x") > 0 && col("x") < col("n"),
+        round(p2 * 1e6).cast("long")).as("p2_ppm"),
+      when(col("n") > 0 && col("x") > 0 && col("x") < col("n") &&
+          p2 > 0 && p2 < 1,
+        ceil(numer * numer / ((p2 - p1) * (p2 - p1))).cast("long"))
+        .as("n_per_arm"))
+  }
+
+  /** TWO-GROUP EFFECT SIZES — the magnitude report every
+    * significance test (q171/q314/q332) should ship with: Cohen's d
+    * (pooled-SD standardized mean difference), the small-sample
+    * Hedges' g correction g = d·(1 − 3/(4n − 9)), and the
+    * distribution-free Cliff's δ = (P − Q)/(n_a·n_b) where P/Q count
+    * (a, b) pairs with a above/below b. Means and the pooled SD come
+    * from exact integer Gram sums (whole units — the q311 Σy² < 2⁵³
+    * discipline); P and Q come from the LEVEL table via one prefix
+    * sum (the [[wilcoxonRankSum]] move — never a pair join), exact
+    * integers to ~3·10⁹ rows. Null d/g when the pooled variance is 0
+    * or a side is empty/singleton. Output 1 row: (n_a, n_b, p_pairs,
+    * q_pairs, mean_diff_micro, cohens_d_micro, hedges_g_micro,
+    * cliffs_delta_micro). */
+  def effectSizes(df: DataFrame, valueCol: String,
+                  sideCol: String): DataFrame = {
+    val base = df.select(col(valueCol).cast("long").as("_v"),
+        col(sideCol).cast("boolean").as("_a"))
+      .localCheckpoint() // feeds the Gram sums AND the level table
+    val gram = base.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_a"), col("_v")).otherwise(0L)).as("_sa"),
+      sum(when(col("_a"), col("_v") * col("_v")).otherwise(0L))
+        .as("_ssa"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("_a"), col("_v")).otherwise(0L)).as("_sb"),
+      sum(when(!col("_a"), col("_v") * col("_v")).otherwise(0L))
+        .as("_ssb"))
+    val levels = base.groupBy(col("_v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_na"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_nb"))
+    val w = Window.orderBy(col("_v"))
+    val pq = levels
+      .withColumn("_bb", coalesce(sum(col("_nb")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_ab", coalesce(sum(col("_nb")).over(
+        w.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+      .agg(sum(col("_na") * col("_bb")).as("p_pairs"),
+        sum(col("_na") * col("_ab")).as("q_pairs"))
+    def d(c: String): Column = col(c).cast("double")
+    val ma = d("_sa") / d("n_a")
+    val mb = d("_sb") / d("n_b")
+    val varPooled = ((d("_ssa") - d("_sa") * d("_sa") / d("n_a")) +
+      (d("_ssb") - d("_sb") * d("_sb") / d("n_b"))) /
+      (d("n_a") + d("n_b") - lit(2.0))
+    val cohend = (ma - mb) / sqrt(varPooled)
+    val okD = col("n_a") > 0 && col("n_b") > 0 &&
+      col("n_a") + col("n_b") > 2
+    gram.crossJoin(broadcast(pq))
+      .select(col("n_a"), col("n_b"), col("p_pairs"), col("q_pairs"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round((ma - mb) * 1e6).cast("long")).as("mean_diff_micro"),
+        when(okD, when(varPooled > 0,
+          round(cohend * 1e6).cast("long"))).as("cohens_d_micro"),
+        when(okD, when(varPooled > 0,
+          round(cohend * (lit(1.0) - lit(3.0) /
+            (lit(4.0) * (d("n_a") + d("n_b")) - lit(9.0))) * 1e6)
+            .cast("long"))).as("hedges_g_micro"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round((col("p_pairs") - col("q_pairs")).cast("double") /
+            (d("n_a") * d("n_b")) * 1e6).cast("long"))
+          .as("cliffs_delta_micro"))
+  }
+
+  /** TUKEY HSD PAIRWISE CONTRASTS (Tukey 1949 — the post-hoc that
+    * belongs after a significant q337 ANOVA): every group pair's
+    * mean difference, its studentized-range standard error
+    * se = √(MSW/2·(1/n_i + 1/n_j)), the q statistic, and the
+    * significance verdict at a CALLER-SUPPLIED critical value
+    * (studentized-range quantiles are design constants, like q346's
+    * z's). MSW reuses [[oneWayAnova]]'s construction: per-group
+    * s²/n terms micro-fixed before the cross-group sum, whole-unit
+    * y. Groups are domain-bounded, so the pair join is a broadcast
+    * self-join over k rows. Null q when MSW = 0. Output per pair
+    * (g_a < g_b): (g_a, g_b, n_a, n_b, diff_micro, q_micro,
+    * significant). */
+  def tukeyHsd(df: DataFrame, groupCol: String, yCol: String,
+               qCrit: Double): DataFrame = {
+    require(qCrit > 0, s"qCrit must be positive, got $qCrit")
+    val g = df.select(col(groupCol).cast("string").as("_g"),
+        col(yCol).cast("long").as("_y"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_s"),
+        sum(col("_y") * col("_y")).as("_ss"))
+      .withColumn("_term_micro",
+        round(col("_s").cast("double") * col("_s").cast("double") /
+          col("_n").cast("double") * 1e6).cast("long"))
+      .localCheckpoint() // feeds MSW AND both pair sides
+    val msw = g.agg(count(lit(1)).as("_k"), sum(col("_n")).as("_nt"),
+        (sum(col("_ss")) * lit(1000000L) - sum(col("_term_micro")))
+          .as("_ssw_micro"))
+      .withColumn("_msw", when(col("_nt") > col("_k"),
+        col("_ssw_micro").cast("double") / 1e6 /
+          (col("_nt") - col("_k")).cast("double")))
+    val a = g.select(col("_g").as("g_a"), col("_n").as("n_a"),
+      col("_s").as("_sa"))
+    val b = g.select(col("_g").as("g_b"), col("_n").as("n_b"),
+      col("_s").as("_sb"))
+    a.join(broadcast(b), col("g_a") < col("g_b"))
+      .crossJoin(broadcast(msw.select(col("_msw"))))
+      .withColumn("_diff", col("_sa").cast("double") / col("n_a") -
+        col("_sb").cast("double") / col("n_b"))
+      .withColumn("_se", sqrt(col("_msw") / lit(2.0) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(col("_diff") * 1e6).cast("long").as("diff_micro"),
+        when(col("_msw") > 0,
+          round(col("_diff") / col("_se") * 1e6).cast("long"))
+          .as("q_micro"),
+        when(col("_msw") > 0,
+          abs(col("_diff") / col("_se")) >= lit(qCrit))
+          .as("significant"))
+  }
+
+  /** WILSON SCORE INTERVAL (Wilson 1927 — the binomial CI that
+    * behaves at small n and extreme rates, unlike the Wald
+    * interval): per group, with z supplied as a design literal,
+    *   center = (p̂ + z²/2n) / (1 + z²/n),
+    *   half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n).
+    * One group-key hash aggregate; both bounds are identically
+    * spelled floats over the exact integer (n, x), micro-fixed.
+    * The interval every rate dashboard should draw next to q343's
+    * shrunken point estimate. Output per group: (grp, n, x, p_ppm,
+    * lo_micro, hi_micro). */
+  def wilsonInterval(df: DataFrame, groupCol: String,
+                     convCol: String, z: Double): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val g = df.select(col(groupCol).cast("string").as("grp"),
+        col(convCol).cast("boolean").as("_c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_c"), 1L).otherwise(0L)).as("x"))
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    g.select(col("grp"), col("n"), col("x"),
+      expr("(x * 1000000L) div n").as("p_ppm"),
+      round((center - half) * 1e6).cast("long").as("lo_micro"),
+      round((center + half) * 1e6).cast("long").as("hi_micro"))
+  }
+
   /** POPULATION STABILITY INDEX (the industry drift monitor):
     * PSI = Σ_buckets (p−q)·ln(p/q) between a baseline side and a
     * comparison side of one bucketed metric, with add-one (Laplace)

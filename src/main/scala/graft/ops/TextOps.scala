@@ -756,6 +756,52 @@ object TextOps {
           min(col("_packed")).over(frame)))
   }
 
+  /** CONTENT-DEFINED CHUNKING (Muthitacharoen, Chen & Mazières 2001
+    * — the LBFS boundary rule, FastCDC's ancestor, at token
+    * granularity): a chunk boundary falls AFTER token p whenever the
+    * md5 hash of the k-gram ENDING at p ≡ 0 (mod `mask`), so
+    * boundaries move WITH the content — an insertion re-chunks only
+    * its own neighborhood, where q64's fixed-width chunks shift every
+    * downstream chunk. Expected chunk length ≈ `mask` tokens. All
+    * windows are per-doc (doc-length bounded — the partition key is
+    * the doc id, so a 100 TB corpus chunks embarrassingly parallel);
+    * chunk fingerprints are md5 over the position-ordered token
+    * join (engine-portable), and the cross-doc sharing count is one
+    * fingerprint-key aggregate joined back — the
+    * dedup-at-chunk-granularity primitive of a dedup-storage /
+    * incremental-crawl pipeline. Output: (idCol, chunk_id, n_tokens,
+    * fp, n_docs_sharing). */
+  def contentDefinedChunks(docs: DataFrame, idCol: String,
+                           textCol: String, k: Int = 3,
+                           mask: Int = 16): DataFrame = {
+    require(k >= 2, s"gram size must be >= 2, got $k")
+    require(mask >= 2, s"mask must be >= 2, got $mask")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("_pos", "_w")))
+    val gram = concat_ws(" ", (k - 1 to 0 by -1).map { i =>
+      if (i == 0) col("_w") else lag(col("_w"), i).over(byDoc)
+    }: _*)
+    val withChunk = toks
+      .withColumn("_bnd", when(col("_pos") >= k - 1 &&
+        pmod(conv(substring(md5(gram), 1, 8), 16, 10).cast("long"),
+          lit(mask.toLong)) === 0L, 1L).otherwise(0L))
+      .withColumn("chunk_id", lit(1L) + coalesce(
+        sum(col("_bnd")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = withChunk.groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_w")))),
+          x => x.getField("_w")), " ")).as("fp"))
+      .localCheckpoint() // feeds the share count AND the join-back
+    val share = chunks.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("n_docs_sharing"))
+    chunks.join(share, Seq("fp"))
+      .select(col(idCol), col("chunk_id"), col("n_tokens"),
+        col("fp"), col("n_docs_sharing"))
+  }
+
   /** HASHING-TRICK FEATURE STATS (Weinberger et al. 2009 feature
     * hashing — the fixed-width sparse featurization that needs no
     * vocabulary fit): every token maps to bucket md5(token) mod
