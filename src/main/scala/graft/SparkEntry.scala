@@ -7240,6 +7240,39 @@ object SparkEntry {
         "grp", "conv", z = 1.959964)
       .orderBy(col("grp"))
 
+  private def q351(s: SparkSession, dir: String): DataFrame = {
+    // LOG-RANK TEST (EvalOps.logRank — Mantel 1966): do even and odd
+    // users churn on different clocks? Same duration/death
+    // construction as q239's Kaplan–Meier (days first→last event;
+    // churned = last event > 7 days before corpus end), at-risk
+    // counts from one suffix sum over the day-bounded level table,
+    // Mantel–Haenszel-spelled E/V micro terms and χ².
+    val ev = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("_first"),
+        to_date(max(col("ts"))).as("_last"))
+    val mx = ev.agg(max(col("_last")).as("_mx"))
+    val durations = ev.crossJoin(broadcast(mx))
+      .select(datediff(col("_last"), col("_first")).cast("long")
+          .as("dur"),
+        (datediff(col("_mx"), col("_last")) > 7).as("death"),
+        (col("user_id") % 2 === 0).as("arm"))
+    EvalOps.logRank(durations, "dur", "death", "arm")
+  }
+
+  private def q352(s: SparkSession, dir: String): DataFrame =
+    // G-TEST OF INDEPENDENCE (EvalOps.gTest): the likelihood-ratio
+    // twin of q328's Pearson χ² over the SAME contingency (event
+    // type × props-k bucket) — per-cell 2·o·ln(on/rc) nano-nat
+    // terms, sign-split micro readout. Preferred at small expected
+    // counts; reading both G and χ² on one table is the standard
+    // robustness check.
+    EvalOps.gTest(
+      t(s, dir, "events").select(col("event_type").as("a"),
+        expr("cast(get_json_object(props, '$.k') as long) div 25L")
+          .as("b")),
+      "a", "b")
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8374,6 +8407,8 @@ object SparkEntry {
     "q348_tukey_hsd" -> q348 _,
     "q349_stump_gain" -> q349 _,
     "q350_wilson_ci" -> q350 _,
+    "q351_log_rank" -> q351 _,
+    "q352_g_test" -> q352 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -15466,6 +15501,86 @@ object SparkEntry {
         |  round((center - half) * 1e6)::BIGINT AS lo_micro,
         |  round((center + half) * 1e6)::BIGINT AS hi_micro
         |FROM e ORDER BY grp""".stripMargin,
+    "q351_log_rank" ->
+      // same duration/death table, same suffix-sum at-risk counts,
+      // same micro-fixed E/V terms and MH-spelled χ²
+      """WITH ev AS (SELECT user_id,
+        |    min(ts)::DATE AS f, max(ts)::DATE AS l
+        |  FROM events GROUP BY 1),
+        |  mx AS (SELECT max(l) AS m FROM ev),
+        |  durs AS (SELECT (e.l - e.f)::BIGINT AS t,
+        |      ((x.m - e.l) > 7) AS e, (e.user_id % 2 = 0) AS a
+        |    FROM ev e CROSS JOIN mx x),
+        |  levels AS (SELECT t,
+        |      sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ma,
+        |      sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS mb,
+        |      sum(CASE WHEN a AND e THEN 1 ELSE 0 END)::BIGINT
+        |        AS da,
+        |      sum(CASE WHEN NOT a AND e THEN 1 ELSE 0 END)::BIGINT
+        |        AS db
+        |    FROM durs GROUP BY 1),
+        |  ar AS (SELECT *,
+        |      (sum(ma) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING))::BIGINT AS na,
+        |      (sum(mb) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING))::BIGINT AS nb
+        |    FROM levels),
+        |  kept AS (SELECT da, db, (da + db)::BIGINT AS d,
+        |      (na + nb)::BIGINT AS n, na
+        |    FROM ar WHERE da + db > 0 AND na + nb > 1),
+        |  terms AS (SELECT da,
+        |      round(d::DOUBLE * na::DOUBLE / n::DOUBLE * 1e6)
+        |        ::BIGINT AS e6,
+        |      round(d::DOUBLE * (na::DOUBLE / n::DOUBLE) *
+        |        (1.0 - na::DOUBLE / n::DOUBLE) *
+        |        (n - d)::DOUBLE / (n - 1)::DOUBLE * 1e6)::BIGINT
+        |        AS v6
+        |    FROM kept),
+        |  tot AS (SELECT
+        |      sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |      sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |      sum(CASE WHEN a AND e THEN 1 ELSE 0 END)::BIGINT
+        |        AS events_a,
+        |      sum(CASE WHEN NOT a AND e THEN 1 ELSE 0 END)::BIGINT
+        |        AS events_b
+        |    FROM durs),
+        |  sm AS (SELECT sum(da)::BIGINT AS oa, sum(e6)::BIGINT AS se,
+        |      sum(v6)::BIGINT AS sv FROM terms)
+        |SELECT t.n_a, t.n_b, t.events_a, t.events_b,
+        |  (s.oa * 1000000 - s.se)::BIGINT AS o_minus_e_micro,
+        |  (CASE WHEN s.sv > 0 THEN
+        |    round((s.oa::DOUBLE - s.se::DOUBLE / 1e6) *
+        |      (s.oa::DOUBLE - s.se::DOUBLE / 1e6) /
+        |      (s.sv::DOUBLE / 1e6) * 1e6) END)::BIGINT AS chi2_micro
+        |FROM tot t CROSS JOIN sm s""".stripMargin,
+    "q352_g_test" ->
+      // same contingency as q328, same nano-nat 2·o·ln(on/rc) terms,
+      // sign-split micro readout
+      """WITH sx AS (SELECT event_type AS a,
+        |    json_extract_string(props, '$.k')::BIGINT // 25 AS b
+        |  FROM events),
+        |  cells AS (SELECT a, b, count(*)::BIGINT AS o FROM sx
+        |    GROUP BY 1, 2),
+        |  ra AS (SELECT a, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+        |  cb AS (SELECT b, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+        |  tot AS (SELECT sum(o)::BIGINT AS n,
+        |      count(DISTINCT a)::BIGINT AS rl,
+        |      count(DISTINCT b)::BIGINT AS cl
+        |    FROM cells),
+        |  terms AS (SELECT t.n, t.rl, t.cl,
+        |      round(2.0 * ce.o::DOUBLE *
+        |        ln(ce.o::DOUBLE * t.n::DOUBLE /
+        |          (ra.r::DOUBLE * cb.c::DOUBLE)) * 1e9)::BIGINT
+        |        AS tn
+        |    FROM cells ce JOIN ra USING (a) JOIN cb USING (b)
+        |    CROSS JOIN tot t),
+        |  agg AS (SELECT n, rl, cl, sum(tn)::BIGINT AS g_nano
+        |    FROM terms GROUP BY 1, 2, 3)
+        |SELECT n, rl AS r_levels, cl AS c_levels,
+        |  ((rl - 1) * (cl - 1))::BIGINT AS dof, g_nano,
+        |  (CASE WHEN g_nano >= 0 THEN g_nano // 1000
+        |   ELSE -((-g_nano) // 1000) END)::BIGINT AS g_micro
+        |FROM agg""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

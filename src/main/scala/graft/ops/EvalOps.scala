@@ -1431,6 +1431,111 @@ object EvalOps {
       round((center + half) * 1e6).cast("long").as("hi_micro"))
   }
 
+  /** LOG-RANK TEST (Mantel 1966; Peto & Peto 1972 — the two-group
+    * survival-curve comparison that belongs next to q239's
+    * Kaplan–Meier estimate): at every event time t, the observed
+    * group-A deaths d_A(t) against the hypergeometric expectation
+    *   E_A(t) = d·n_A/n,
+    *   V(t)  = d·(n_A/n)·(1 − n_A/n)·(n − d)/(n − 1),
+    * with at-risk counts n_A/n_B from ONE suffix sum over the
+    * duration LEVEL table (time-domain bounded — the q239 class);
+    * per-time E/V terms fix to micro before the cross-time sums
+    * (the Mantel–Haenszel spelling), and
+    *   χ² = (O_A − ΣE)² / ΣV
+    * is one identically-spelled float. Single-at-risk times
+    * (n ≤ 1) contribute nothing by definition. Null χ² when
+    * ΣV = 0. `eventCol`: true = event (death), false = censored;
+    * `groupCol`: true = group A. Output 1 row: (n_a, n_b, events_a,
+    * events_b, o_minus_e_micro, chi2_micro). */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+              groupCol: String): DataFrame = {
+    val base = df.select(col(durationCol).cast("long").as("_t"),
+      col(eventCol).cast("boolean").as("_e"),
+      col(groupCol).cast("boolean").as("_a"))
+    val levels = base.groupBy(col("_t"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ma"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_mb"),
+        sum(when(col("_a") && col("_e"), 1L).otherwise(0L)).as("_da"),
+        sum(when(!col("_a") && col("_e"), 1L).otherwise(0L))
+          .as("_db"))
+      .localCheckpoint() // feeds the suffix window AND the totals
+    val w = Window.orderBy(col("_t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val atRisk = levels
+      .withColumn("_na", sum(col("_ma")).over(w))
+      .withColumn("_nb", sum(col("_mb")).over(w))
+      .withColumn("_d", col("_da") + col("_db"))
+      .withColumn("_n", col("_na") + col("_nb"))
+      .where(col("_d") > 0 && col("_n") > 1)
+    def dd(c: Column): Column = c.cast("double")
+    val terms = atRisk.select(col("_da"), col("_db"),
+      round(dd(col("_d")) * dd(col("_na")) / dd(col("_n")) * 1e6)
+        .cast("long").as("_e6"),
+      round(dd(col("_d")) * (dd(col("_na")) / dd(col("_n"))) *
+        (lit(1.0) - dd(col("_na")) / dd(col("_n"))) *
+        dd(col("_n") - col("_d")) / dd(col("_n") - lit(1L)) * 1e6)
+        .cast("long").as("_v6"))
+    val tot = base.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_a") && col("_e"), 1L).otherwise(0L))
+        .as("events_a"),
+      sum(when(!col("_a") && col("_e"), 1L).otherwise(0L))
+        .as("events_b"))
+    val sums = terms.agg(sum(col("_da")).as("_oa"),
+      sum(col("_e6")).as("_se"), sum(col("_v6")).as("_sv"))
+    tot.crossJoin(broadcast(sums))
+      .select(col("n_a"), col("n_b"), col("events_a"),
+        col("events_b"),
+        (col("_oa") * lit(1000000L) - col("_se"))
+          .as("o_minus_e_micro"),
+        when(col("_sv") > 0,
+          round((col("_oa").cast("double") -
+            col("_se").cast("double") / 1e6) *
+            (col("_oa").cast("double") -
+              col("_se").cast("double") / 1e6) /
+            (col("_sv").cast("double") / 1e6) * 1e6).cast("long"))
+          .as("chi2_micro"))
+  }
+
+  /** G-TEST OF INDEPENDENCE (the likelihood-ratio twin of
+    * [[chiSquareIndependence]] — preferred over Pearson χ² at small
+    * expected counts; Sokal & Rohlf 1981):
+    *   G = 2·Σ o·ln(o·n/(r·c))
+    * over the same contingency cells and margins; a cell only exists
+    * when o ≥ 1, so the logarithm is always defined, and each
+    * (possibly negative) term fixes to integer nano-nats before the
+    * sum (the jsdVsRest convention; ln parity holds — the q195
+    * contract). The micro readout sign-splits the nano total (G is
+    * ≥ 0 mathematically, but per-term rounding could land an
+    * ~0 total a hair negative — the split keeps div defined either
+    * way). Domain-bounded past the one contingency aggregate.
+    * Output 1 row: (n, r_levels, c_levels, dof, g_nano, g_micro). */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+      .localCheckpoint() // feeds margins AND the cell terms
+    val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_r"))
+    val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_c"))
+    val tot = cells.agg(sum(col("_o")).as("_n"),
+      countDistinct(col("_a")).as("r_levels"),
+      countDistinct(col("_b")).as("c_levels"))
+    cells.join(broadcast(ra), Seq("_a"))
+      .join(broadcast(cb), Seq("_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_tn", round(lit(2.0) * col("_o").cast("double") *
+        log(col("_o").cast("double") * col("_n").cast("double") /
+          (col("_r").cast("double") * col("_c").cast("double"))) *
+        1e9).cast("long"))
+      .groupBy(col("_n").as("n"), col("r_levels"), col("c_levels"))
+      .agg(sum(col("_tn")).as("g_nano"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+        col("g_nano"),
+        expr("""CASE WHEN g_nano >= 0 THEN g_nano div 1000L
+                ELSE -((-g_nano) div 1000L) END""").as("g_micro"))
+  }
+
   /** POPULATION STABILITY INDEX (the industry drift monitor):
     * PSI = Σ_buckets (p−q)·ln(p/q) between a baseline side and a
     * comparison side of one bucketed metric, with add-one (Laplace)
