@@ -7273,6 +7273,39 @@ object SparkEntry {
           .as("b")),
       "a", "b")
 
+  private def q353(s: SparkSession, dir: String): DataFrame =
+    // COVARIATE BALANCE FOR MATCHING (EvalOps.cemBalance — the SMD
+    // table read before trusting q334's ATT): is day-of-month
+    // balanced between purchase and non-purchase events before vs
+    // after hour-stratum matching? Same stratum aggregate as q334;
+    // weighted-control terms micro-fix per stratum; both SMDs share
+    // the unadjusted pooled SD so they are comparable.
+    EvalOps.cemBalance(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(hour(col("ts")).cast("long").as("stratum"),
+          (col("event_type") === "purchase").as("treat"),
+          dayofmonth(col("ts")).cast("long").as("x")),
+      "stratum", "treat", "x")
+
+  private def q354(s: SparkSession, dir: String): DataFrame = {
+    // NELSON–AALEN CUMULATIVE HAZARD (EvalOps.nelsonAalen): the
+    // hazard-side read of q239's churn curve — per duration day, the
+    // discrete hazard d/n as an exact ppm integer and its running
+    // sum. Same duration/death construction; day-domain-bounded
+    // windows.
+    val ev = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("_first"),
+        to_date(max(col("ts"))).as("_last"))
+    val mx = ev.agg(max(col("_last")).as("_mx"))
+    val durations = ev.crossJoin(broadcast(mx))
+      .select(datediff(col("_last"), col("_first")).cast("long")
+          .as("dur"),
+        (datediff(col("_mx"), col("_last")) > 7).as("death"))
+    EvalOps.nelsonAalen(durations, "dur", "death")
+      .orderBy(col("t"))
+  }
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8409,6 +8442,8 @@ object SparkEntry {
     "q350_wilson_ci" -> q350 _,
     "q351_log_rank" -> q351 _,
     "q352_g_test" -> q352 _,
+    "q353_cem_balance" -> q353 _,
+    "q354_nelson_aalen" -> q354 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -15581,6 +15616,84 @@ object SparkEntry {
         |  (CASE WHEN g_nano >= 0 THEN g_nano // 1000
         |   ELSE -((-g_nano) // 1000) END)::BIGINT AS g_micro
         |FROM agg""".stripMargin,
+    "q353_cem_balance" ->
+      // same stratum cells, same micro-fixed weighted-control terms,
+      // same shared-pooled-SD SMD spelling
+      """WITH sx AS (SELECT hour(ts)::BIGINT AS s,
+        |    (event_type = 'purchase') AS t, day(ts)::BIGINT AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |  cells AS (SELECT s,
+        |      sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |      sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |      sum(CASE WHEN t THEN x ELSE 0 END)::BIGINT AS sxt,
+        |      sum(CASE WHEN NOT t THEN x ELSE 0 END)::BIGINT AS sxc,
+        |      sum(CASE WHEN t THEN x * x ELSE 0 END)::BIGINT
+        |        AS sxxt,
+        |      sum(CASE WHEN NOT t THEN x * x ELSE 0 END)::BIGINT
+        |        AS sxxc
+        |    FROM sx GROUP BY 1),
+        |  g AS (SELECT sum(nt)::BIGINT AS n_t, sum(nc)::BIGINT
+        |      AS n_c, sum(sxt)::BIGINT AS st, sum(sxc)::BIGINT
+        |      AS sc, sum(sxxt)::BIGINT AS sst, sum(sxxc)::BIGINT
+        |      AS ssc
+        |    FROM cells),
+        |  m AS (SELECT sum(nt)::BIGINT AS n_t_matched,
+        |      sum(sxt)::BIGINT AS smt,
+        |      sum(round(nt::DOUBLE * sxc::DOUBLE / nc::DOUBLE *
+        |        1e6))::BIGINT AS smc6
+        |    FROM cells WHERE nt > 0 AND nc > 0),
+        |  f AS (SELECT g.*, m.n_t_matched, m.smt, m.smc6,
+        |      st::DOUBLE / n_t::DOUBLE AS mt,
+        |      sc::DOUBLE / n_c::DOUBLE AS mc,
+        |      sqrt((
+        |        (sst::DOUBLE - st::DOUBLE * st::DOUBLE /
+        |          n_t::DOUBLE) / (n_t::DOUBLE - 1.0) +
+        |        (ssc::DOUBLE - sc::DOUBLE * sc::DOUBLE /
+        |          n_c::DOUBLE) / (n_c::DOUBLE - 1.0)) / 2.0)
+        |        AS pooled
+        |    FROM g CROSS JOIN m)
+        |SELECT n_t, n_c, n_t_matched,
+        |  (CASE WHEN n_t > 0 THEN round(mt * 1e6) END)::BIGINT
+        |    AS mean_t_micro,
+        |  (CASE WHEN n_c > 0 THEN round(mc * 1e6) END)::BIGINT
+        |    AS mean_c_micro,
+        |  (CASE WHEN n_t > 1 AND n_c > 1 AND pooled > 0 THEN
+        |    round((mt - mc) / pooled * 1e6) END)::BIGINT
+        |    AS smd_before_micro,
+        |  (CASE WHEN n_t > 1 AND n_c > 1 AND n_t_matched > 0
+        |      AND pooled > 0 THEN
+        |    round((smt::DOUBLE / n_t_matched::DOUBLE -
+        |      smc6::DOUBLE / 1e6 / n_t_matched::DOUBLE) / pooled *
+        |      1e6) END)::BIGINT AS smd_after_micro
+        |FROM f""".stripMargin,
+    "q354_nelson_aalen" ->
+      // same duration table, same suffix-sum at-risk counts, same
+      // exact ppm hazard and running sum
+      """WITH ev AS (SELECT user_id,
+        |    min(ts)::DATE AS f, max(ts)::DATE AS l
+        |  FROM events GROUP BY 1),
+        |  mx AS (SELECT max(l) AS m FROM ev),
+        |  durs AS (SELECT (e.l - e.f)::BIGINT AS t,
+        |      ((x.m - e.l) > 7) AS e
+        |    FROM ev e CROSS JOIN mx x),
+        |  levels AS (SELECT t, count(*)::BIGINT AS mm,
+        |      sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT
+        |        AS d_events
+        |    FROM durs GROUP BY 1),
+        |  ar AS (SELECT t, d_events,
+        |      (sum(mm) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING))::BIGINT AS n_at_risk
+        |    FROM levels),
+        |  hz AS (SELECT t, n_at_risk, d_events,
+        |      ((d_events * 1000000) // n_at_risk)::BIGINT
+        |        AS hazard_ppm
+        |    FROM ar),
+        |  cm AS (SELECT *, (sum(hazard_ppm) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      ::BIGINT AS cum_hazard_ppm
+        |    FROM hz)
+        |SELECT t, n_at_risk, d_events, hazard_ppm, cum_hazard_ppm
+        |FROM cm ORDER BY t""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

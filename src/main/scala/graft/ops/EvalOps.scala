@@ -1536,6 +1536,106 @@ object EvalOps {
                 ELSE -((-g_nano) div 1000L) END""").as("g_micro"))
   }
 
+  /** COVARIATE BALANCE FOR MATCHING (the standardized-mean-difference
+    * table every CEM/propensity analysis prints before trusting
+    * [[cemAtt]]; Rosenbaum & Rubin 1985): for one integer covariate,
+    *   SMD = (x̄_t − x̄_c) / √((s²_t + s²_c)/2)
+    * BEFORE matching (all units) and AFTER (control units reweighted
+    * by the CEM stratum weights w_s = n_t,s/n_c,s over matched
+    * strata; treated side restricted to matched strata), both
+    * against the SAME unadjusted pooled SD so the two numbers are
+    * comparable. One stratum-key hash aggregate feeds both sides;
+    * per-stratum weighted-control terms fix to micro before the
+    * cross-stratum sum (the [[cemAtt]] convention); the Gram sums
+    * are exact integers (whole units — Σx² < 2⁵³ discipline). Null
+    * SMDs when the pooled variance is 0; null after-SMD when no
+    * stratum matches. Output 1 row: (n_t, n_c, n_t_matched,
+    * mean_t_micro, mean_c_micro, smd_before_micro, smd_after_micro).
+    */
+  def cemBalance(df: DataFrame, stratumCol: String, treatCol: String,
+                 xCol: String): DataFrame = {
+    val cells = df.select(col(stratumCol).cast("long").as("_s"),
+        col(treatCol).cast("boolean").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .groupBy(col("_s"))
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("_nt"),
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("_t"), col("_x")).otherwise(0L)).as("_sxt"),
+        sum(when(!col("_t"), col("_x")).otherwise(0L)).as("_sxc"),
+        sum(when(col("_t"), col("_x") * col("_x")).otherwise(0L))
+          .as("_sxxt"),
+        sum(when(!col("_t"), col("_x") * col("_x")).otherwise(0L))
+          .as("_sxxc"))
+      .localCheckpoint() // feeds the global Grams AND the match sums
+    val g = cells.agg(sum(col("_nt")).as("n_t"),
+      sum(col("_nc")).as("n_c"),
+      sum(col("_sxt")).as("_st"), sum(col("_sxc")).as("_sc"),
+      sum(col("_sxxt")).as("_sst"), sum(col("_sxxc")).as("_ssc"))
+    val m = cells.where(col("_nt") > 0 && col("_nc") > 0)
+      .withColumn("_wc_micro", round(col("_nt").cast("double") *
+        col("_sxc").cast("double") / col("_nc").cast("double") * 1e6)
+        .cast("long"))
+      .agg(sum(col("_nt")).as("n_t_matched"),
+        sum(col("_sxt")).as("_smt"), sum(col("_wc_micro")).as("_smc6"))
+    def dd(c: String): Column = col(c).cast("double")
+    val mt = dd("_st") / dd("n_t")
+    val mc = dd("_sc") / dd("n_c")
+    val vt = when(col("n_t") > 1,
+      (dd("_sst") - dd("_st") * dd("_st") / dd("n_t")) /
+        (dd("n_t") - lit(1.0)))
+    val vc = when(col("n_c") > 1,
+      (dd("_ssc") - dd("_sc") * dd("_sc") / dd("n_c")) /
+        (dd("n_c") - lit(1.0)))
+    val pooled = sqrt((vt + vc) / lit(2.0))
+    g.crossJoin(broadcast(m))
+      .select(col("n_t"), col("n_c"), col("n_t_matched"),
+        when(col("n_t") > 0, round(mt * 1e6).cast("long"))
+          .as("mean_t_micro"),
+        when(col("n_c") > 0, round(mc * 1e6).cast("long"))
+          .as("mean_c_micro"),
+        when(col("n_t") > 1 && col("n_c") > 1,
+          when(pooled > 0,
+            round((mt - mc) / pooled * 1e6).cast("long")))
+          .as("smd_before_micro"),
+        when(col("n_t") > 1 && col("n_c") > 1 &&
+            col("n_t_matched") > 0,
+          when(pooled > 0,
+            round((dd("_smt") / dd("n_t_matched") -
+              dd("_smc6") / 1e6 / dd("n_t_matched")) / pooled * 1e6)
+              .cast("long"))).as("smd_after_micro"))
+  }
+
+  /** NELSON–AALEN CUMULATIVE HAZARD (Nelson 1972; Aalen 1978 — the
+    * hazard-side twin of q239's Kaplan–Meier survival): per duration
+    * level, the at-risk count from ONE suffix sum (the [[logRank]]
+    * move), the discrete hazard d/n as an exact ppm integer
+    * (d·10⁶ div n — non-negative operands), and the cumulative
+    * hazard H(t) = Σ_{s≤t} d/n as the running sum of those ppm
+    * integers — order-free, exactly replayable. Every duration level
+    * is emitted (zero-hazard censoring-only levels included — the
+    * step function stays read-off-able between events). Day-domain
+    * bounded past the one aggregate. Output per duration level:
+    * (t, n_at_risk, d_events, hazard_ppm, cum_hazard_ppm). */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val levels = df.select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("_e"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("_m"),
+        sum(when(col("_e"), 1L).otherwise(0L)).as("d_events"))
+      .localCheckpoint() // feeds the suffix AND the prefix windows
+    val atRisk = levels.withColumn("n_at_risk",
+      sum(col("_m")).over(Window.orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    atRisk.withColumn("hazard_ppm",
+        expr("(d_events * 1000000L) div n_at_risk"))
+      .withColumn("cum_hazard_ppm",
+        sum(col("hazard_ppm")).over(Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("t"), col("n_at_risk"), col("d_events"),
+        col("hazard_ppm"), col("cum_hazard_ppm"))
+  }
+
   /** POPULATION STABILITY INDEX (the industry drift monitor):
     * PSI = Σ_buckets (p−q)·ln(p/q) between a baseline side and a
     * comparison side of one bucketed metric, with add-one (Laplace)
