@@ -136,11 +136,25 @@ object Bench {
     val errJson = failed.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    // CONTENTION MARKER (round-14 verdict finding 1): a polluted run —
+    // host load taxing run 1 of a freshly-started suite — shows up as a
+    // large max/min spread within a query's raw triple, and the median
+    // then lands on a still-contended value. Emitting the per-query
+    // min-of-runs and the max/min spread lets an independent rerun
+    // self-identify as contended (spread ≫ 1 with min at-or-below the
+    // gate ⇒ noise, not a regression) without hand-reading raw triples.
+    // Read rule documented in BASELINE.md ("Reading BENCH_MEDIANS").
     val rawJson = names.map { n =>
       val med =
         if (raw(n).nonEmpty && !failed.contains(n)) median(raw(n)).toString
         else "\"err\""
+      val mn = if (raw(n).nonEmpty) raw(n).min else 0.0
+      val spread =
+        if (raw(n).nonEmpty && mn > 0) (raw(n).max / mn).toString
+        else "null"
       "\"" + n + "\":{\"median\":" + med +
+        ",\"min\":" + mn +
+        ",\"spread\":" + spread +
         ",\"ok_runs\":" + raw(n).size +
         ",\"runs\":[" + raw(n).mkString(",") + "]}"
     }.mkString("{", ",", "}")

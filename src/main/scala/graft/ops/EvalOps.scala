@@ -926,9 +926,11 @@ object EvalOps {
   /** ONE-WAY ANOVA F + η² (Fisher; the k-group mean-difference test
     * next to q171's two-group Welch t): groups collapse to per-group
     * integer sums (n_g, Σy, Σy²) in ONE hash aggregate — `yCol` must
-    * arrive in WHOLE units small enough that Σy² stays < 2⁵³ (the
-    * q311 convention; cents square out of the exact range ~10⁴×
-    * earlier than dollars). Between/within sums of squares come from
+    * arrive in WHOLE units small enough that Σy² stays < ~9.2·10¹²
+    * (SSW is read out as Σy²·10⁶ in LONG arithmetic, so the micro
+    * widening binds ~10³× before the 2⁵³ float-exactness bound of
+    * the q311 convention; cents square out of range ~10⁴× earlier
+    * than dollars). Between/within sums of squares come from
     * the per-group terms s_g²/n_g, each micro-fixed before the
     * cross-group sum (IEEE mul/div are exactly rounded — identical
     * spelling matches DuckDB bit-for-bit):
@@ -1116,8 +1118,12 @@ object EvalOps {
       .withColumn("_before",
         coalesce(sum(col("_nt") + col("_nc")).over(w), lit(0L)))
       .crossJoin(broadcast(tot))
+      // _n > 0 guard: a degenerate (empty-level) input must return an
+      // empty result, not an ANSI divide-by-zero — the null-on-
+      // degenerate convention the rest of EvalOps follows.
       .withColumn("bucket",
-        expr(s"(_before * ${nBuckets}L) div _n + 1L"))
+        expr(s"CASE WHEN _n > 0 THEN (_before * ${nBuckets}L) div _n"
+          + " + 1L END"))
       .groupBy(col("bucket"))
       .agg(sum(col("_nt")).as("n_t"), sum(col("_xt")).as("x_t"),
         sum(col("_nc")).as("n_c"), sum(col("_xc")).as("x_c"))
@@ -1358,7 +1364,9 @@ object EvalOps {
     * (studentized-range quantiles are design constants, like q346's
     * z's). MSW reuses [[oneWayAnova]]'s construction: per-group
     * s²/n terms micro-fixed before the cross-group sum, whole-unit
-    * y. Groups are domain-bounded, so the pair join is a broadcast
+    * y with Σy² < ~9.2·10¹² (the SSW micro widening is LONG
+    * arithmetic — same bound as [[oneWayAnova]]). Groups are
+    * domain-bounded, so the pair join is a broadcast
     * self-join over k rows. Null q when MSW = 0. Output per pair
     * (g_a < g_b): (g_a, g_b, n_a, n_b, diff_micro, q_micro,
     * significant). */

@@ -966,8 +966,12 @@ object TextOps {
     * side below). Every per-token term fixes to integer NANO-nats
     * BEFORE the cross-token sum (the q186 convention: float adds
     * never reorder), divisions/ln spelled once and mirrored verbatim
-    * in the oracle; final halving/rescale are sign-split integer
-    * divisions. Vocabulary-bounded everywhere past the input
+    * in the oracle; the final halving/rescale are PLAIN TRUNCATING
+    * `div`s (Scala side), which the oracle matches with its
+    * sign-split `//` CASE emulation — DuckDB `//` floors, so the
+    * CASE is what keeps the two engines equal on a per-term-rounded
+    * total that could land a hair negative. Vocabulary-bounded
+    * everywhere past the input
     * aggregate; the per-group directory broadcasts. Output:
     * (groupCol, n_tokens, vocab, jsd_micro) with
     * 0 ≤ jsd_micro ≤ ln 2 ·10⁶ ≈ 693147. */
