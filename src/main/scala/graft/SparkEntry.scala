@@ -7306,6 +7306,79 @@ object SparkEntry {
       .orderBy(col("t"))
   }
 
+  private def q355(s: SparkSession, dir: String): DataFrame =
+    // DISTRIBUTED LOGISTIC REGRESSION (EvalOps.logisticIrls — fixed
+    // 4-step IRLS/Newton over weighted Gram aggregates): classify
+    // returned lineitems from quantity and discount. Each Newton step
+    // is ONE map-side-combinable aggregate (exact-integer z,
+    // nano-fixed sigmoid, micro weights by exact integer division,
+    // exact-integer 3×3 Gram + score) + the q305 Cramer solve; the
+    // whole coefficient vector and the training-accuracy readout
+    // hash-compare against the unrolled-CTE oracle.
+    EvalOps.logisticIrls(
+      t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"),
+        (col("l_returnflag") === "R").as("y")),
+      "x1", "x2", "y", iters = 4)
+
+  private def q356(s: SparkSession, dir: String): DataFrame =
+    // INVERSE-PROPENSITY-WEIGHTED ATT (EvalOps.ipwAtt — Rosenbaum &
+    // Rubin 1983): the propensity-score sibling of q334's CEM ATT on
+    // the same question — what do purchase events do to event value?
+    // Propensity e(x) = P(purchase | hour, day) via the q355 IRLS
+    // machinery (4 fixed steps), ATT odds weights e/(1−e) micro-fixed
+    // per row with a cap-100 trim (counted), and the q353-convention
+    // SMD balance read for the hour covariate before/after weighting.
+    EvalOps.ipwAtt(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(hour(col("ts")).cast("long").as("x1"),
+          dayofmonth(col("ts")).cast("long").as("x2"),
+          (col("event_type") === "purchase").as("treat"),
+          round(col("value") * 100, 0).cast("long").as("y_cents")),
+      "x1", "x2", "treat", "y_cents", iters = 4)
+
+  private def q357(s: SparkSession, dir: String): DataFrame = {
+    // COX PROPORTIONAL HAZARDS (EvalOps.coxPh — Cox 1972, Breslow
+    // ties, 4 fixed Newton steps): the hazard-ratio REGRESSION on
+    // q351's exact churn question — same duration/death construction,
+    // covariate = the even-user arm as 0/1, so β's sign must agree
+    // with q351's O−E direction (pinned in Round15CoxSpec). Risk-set
+    // moments ride one suffix sum over the day-bounded level table;
+    // every float fixes to micro per level; the whole Newton
+    // trajectory hash-compares against the unrolled-CTE oracle.
+    val ev = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("_first"),
+        to_date(max(col("ts"))).as("_last"))
+    val mx = ev.agg(max(col("_last")).as("_mx"))
+    val durations = ev.crossJoin(broadcast(mx))
+      .select(datediff(col("_last"), col("_first")).cast("long")
+          .as("dur"),
+        (datediff(col("_mx"), col("_last")) > 7).as("death"),
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("x"))
+    EvalOps.coxPh(durations, "dur", "death", "x", iters = 4)
+  }
+
+  private def q358(s: SparkSession, dir: String): DataFrame =
+    // GROUP-SEQUENTIAL O'BRIEN–FLEMING MONITOR (EvalOps
+    // .groupSequential): replay the month as a 5-look interim design
+    // on q332's exact question — even-user arm purchase conversion vs
+    // odd — with OBF boundaries c·√(K/k), c = 2.0401, fixed on the
+    // driver and injected into the oracle as literals (the q341
+    // convention). Day grid → 5 look blocks → cumulative pooled z per
+    // look; the trajectory, boundaries, and earliest-crossing verdict
+    // all hash-compare.
+    EvalOps.groupSequential(
+      t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          (col("user_id") % 2 === 0).as("arm"),
+          (col("event_type") === "purchase").as("conv")),
+      "day", "arm", "conv",
+      EvalOps.obfBoundariesMicro(5, 2.0401))
+      .orderBy(col("look"))
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8444,12 +8517,130 @@ object SparkEntry {
     "q352_g_test" -> q352 _,
     "q353_cem_balance" -> q353 _,
     "q354_nelson_aalen" -> q354 _,
+    "q355_logistic_irls" -> q355 _,
+    "q356_ipw_att" -> q356 _,
+    "q357_cox_ph" -> q357 _,
+    "q358_group_sequential" -> q358 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
     * the same nano-fixed denominator terms and micro strengths,
     * unrolled (the kmeansSqlChain convention). Expects CTEs `pairs0`
     * (ba, bb, wa, wb) upstream; exposes `wins` and `w<iters>`. */
+  /** DuckDB twin of [[graft.ops.EvalOps.logisticNewton]] (the
+    * btSqlChain/kmeansSqlChain convention): the same fixed IRLS
+    * steps as an unrolled CTE chain over a caller-supplied
+    * `data(x1, x2, y)` CTE — the same exact-integer z, nano-fixed
+    * sigmoid, exact-integer-division micro weight, exact-integer
+    * weighted Gram/score sums, and the identically-spelled Cramer
+    * determinant solve. Ends with `bet$iters(b0, b1, b2)` (micro). */
+  private def logisticSqlChain(iters: Int): String = {
+    val head =
+      "bet0 AS (SELECT 0::BIGINT AS b0, 0::BIGINT AS b1," +
+        " 0::BIGINT AS b2)"
+    val its = (1 to iters).map { k =>
+      s""",
+        |  mu$k AS (SELECT x1, x2, y,
+        |      round(1e9 / (1.0 + exp(-((b0 + x1 * b1 + x2 * b2)::DOUBLE
+        |        / 1e6))))::BIGINT AS mu
+        |    FROM data CROSS JOIN bet${k - 1}),
+        |  w$k AS (SELECT x1, x2, y, mu,
+        |      ((mu * (1000000000 - mu)) // 1000000000000)::BIGINT AS w
+        |    FROM mu$k),
+        |  g$k AS (SELECT sum(w)::BIGINT AS a00,
+        |      sum(w * x1)::BIGINT AS a01, sum(w * x2)::BIGINT AS a02,
+        |      sum(w * x1 * x1)::BIGINT AS a11,
+        |      sum(w * x1 * x2)::BIGINT AS a12,
+        |      sum(w * x2 * x2)::BIGINT AS a22,
+        |      sum(y * 1000000000 - mu)::BIGINT AS s0,
+        |      sum((y * 1000000000 - mu) * x1)::BIGINT AS s1,
+        |      sum((y * 1000000000 - mu) * x2)::BIGINT AS s2
+        |    FROM w$k),
+        |  c$k AS (SELECT a00::DOUBLE * (a11::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * a12::DOUBLE)
+        |      - a01::DOUBLE * (a01::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * a02::DOUBLE)
+        |      + a02::DOUBLE * (a01::DOUBLE * a12::DOUBLE
+        |        - a11::DOUBLE * a02::DOUBLE) AS dA,
+        |      s0::DOUBLE * (a11::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * a12::DOUBLE)
+        |      - a01::DOUBLE * (s1::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * s2::DOUBLE)
+        |      + a02::DOUBLE * (s1::DOUBLE * a12::DOUBLE
+        |        - a11::DOUBLE * s2::DOUBLE) AS d0,
+        |      a00::DOUBLE * (s1::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * s2::DOUBLE)
+        |      - s0::DOUBLE * (a01::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * a02::DOUBLE)
+        |      + a02::DOUBLE * (a01::DOUBLE * s2::DOUBLE
+        |        - s1::DOUBLE * a02::DOUBLE) AS d1,
+        |      a00::DOUBLE * (a11::DOUBLE * s2::DOUBLE
+        |        - s1::DOUBLE * a12::DOUBLE)
+        |      - a01::DOUBLE * (a01::DOUBLE * s2::DOUBLE
+        |        - s1::DOUBLE * a02::DOUBLE)
+        |      + s0::DOUBLE * (a01::DOUBLE * a12::DOUBLE
+        |        - a11::DOUBLE * a02::DOUBLE) AS d2
+        |    FROM g$k),
+        |  bet$k AS (SELECT
+        |      (CASE WHEN dA <> 0 THEN b.b0 + round(1e3 * d0 / dA)::BIGINT
+        |        ELSE b.b0 END)::BIGINT AS b0,
+        |      (CASE WHEN dA <> 0 THEN b.b1 + round(1e3 * d1 / dA)::BIGINT
+        |        ELSE b.b1 END)::BIGINT AS b1,
+        |      (CASE WHEN dA <> 0 THEN b.b2 + round(1e3 * d2 / dA)::BIGINT
+        |        ELSE b.b2 END)::BIGINT AS b2
+        |    FROM c$k CROSS JOIN bet${k - 1} b)""".stripMargin
+    }.mkString
+    head + its
+  }
+
+  /** DuckDB twin of [[graft.ops.EvalOps.coxPh]]'s Newton chain over a
+    * caller-supplied `durs(t, e, x)` CTE: the same nano-fixed
+    * φ = e^{βx}, per-duration cells, suffix-sum risk-set moments,
+    * micro-fixed per-level score/information terms, and β update.
+    * Ends with `cb$iters(b)` plus the FINAL-β stat block
+    * `ui${iters + 1}(su, si)` for the readout. */
+  private def coxSqlChain(iters: Int): String = {
+    val head = "cb0 AS (SELECT 0::BIGINT AS b)"
+    val its = (1 to (iters + 1)).map { k =>
+      val upd =
+        if (k <= iters)
+          s""",
+            |  cb$k AS (SELECT (CASE WHEN si > 0 THEN
+            |      b + round(1e6 * su::DOUBLE / si::DOUBLE)::BIGINT
+            |      ELSE b END)::BIGINT AS b
+            |    FROM ui$k CROSS JOIN cb${k - 1})""".stripMargin
+        else ""
+      s""",
+        |  ph$k AS (SELECT t, e, x,
+        |      round(1e9 * exp((x * b)::DOUBLE / 1e6))::BIGINT AS phi
+        |    FROM durs CROSS JOIN cb${k - 1}),
+        |  lv$k AS (SELECT t, sum(phi)::BIGINT AS g0,
+        |      sum(x * phi)::BIGINT AS g1,
+        |      sum(x * x * phi)::BIGINT AS g2,
+        |      sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS d,
+        |      sum(CASE WHEN e THEN x ELSE 0 END)::BIGINT AS s
+        |    FROM ph$k GROUP BY 1),
+        |  ar$k AS (SELECT *,
+        |      (sum(g0) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING))::BIGINT AS s0,
+        |      (sum(g1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING))::BIGINT AS s1,
+        |      (sum(g2) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING))::BIGINT AS s2
+        |    FROM lv$k),
+        |  tm$k AS (SELECT
+        |      round((s::DOUBLE - d::DOUBLE * (s1::DOUBLE / s0::DOUBLE))
+        |        * 1e6)::BIGINT AS u6,
+        |      round(d::DOUBLE * (s2::DOUBLE / s0::DOUBLE
+        |        - (s1::DOUBLE / s0::DOUBLE) * (s1::DOUBLE / s0::DOUBLE))
+        |        * 1e6)::BIGINT AS i6
+        |    FROM ar$k WHERE d > 0 AND s0 > 0),
+        |  ui$k AS (SELECT sum(u6)::BIGINT AS su, sum(i6)::BIGINT AS si
+        |    FROM tm$k)""".stripMargin + upd
+    }.mkString
+    head + its
+  }
+
   private def btSqlChain(iters: Int): String = {
     val head =
       """dir AS (SELECT ba AS i, bb AS j, wa, wb FROM pairs0),
@@ -15694,6 +15885,180 @@ object SparkEntry {
         |    FROM hz)
         |SELECT t, n_at_risk, d_events, hazard_ppm, cum_hazard_ppm
         |FROM cm ORDER BY t""".stripMargin,
+    "q355_logistic_irls" ->
+      // same exact-integer z / nano sigmoid / micro weight, same
+      // unrolled 4-step Newton chain and Cramer block, same readout
+      s"""WITH data AS (SELECT l_quantity::BIGINT AS x1,
+        |    round(l_discount * 100)::BIGINT AS x2,
+        |    (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+        |      AS y
+        |  FROM lineitem),
+        |  ${logisticSqlChain(4)},
+        |  sc AS (SELECT count(*)::BIGINT AS n,
+        |      sum(CASE WHEN ((b0 + x1 * b1 + x2 * b2) > 0) = (y = 1)
+        |        THEN 1 ELSE 0 END)::BIGINT AS correct
+        |    FROM data CROSS JOIN bet4)
+        |SELECT n, b0 AS b0_micro, b1 AS b1_micro, b2 AS b2_micro,
+        |  correct,
+        |  (CASE WHEN n > 0 THEN (correct * 1000000) // n
+        |    END)::BIGINT AS acc_ppm
+        |FROM sc CROSS JOIN bet4""".stripMargin,
+    "q356_ipw_att" ->
+      // same propensity chain, same e/(1−e) micro weights + cap-100
+      // trim, same weighted readout and cemBalance-convention SMDs
+      s"""WITH data AS (SELECT hour(ts)::BIGINT AS x1,
+        |    day(ts)::BIGINT AS x2,
+        |    (event_type = 'purchase') AS t,
+        |    (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END)::BIGINT AS y,
+        |    round(value * 100)::BIGINT AS yc
+        |  FROM events WHERE value IS NOT NULL),
+        |  ${logisticSqlChain(4)},
+        |  sc AS (SELECT t, yc, x1,
+        |      round(1e9 / (1.0 + exp(-((b0 + x1 * b1 + x2 * b2)::DOUBLE
+        |        / 1e6))))::BIGINT AS mu
+        |    FROM data CROSS JOIN bet4),
+        |  wts AS (SELECT t, yc, x1, mu,
+        |      (CASE WHEN mu < 1000000000 THEN
+        |        round(mu::DOUBLE * 1e6 / (1000000000 - mu)::DOUBLE)
+        |      END)::BIGINT AS wc
+        |    FROM sc),
+        |  ag AS (SELECT
+        |      sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |      sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |      sum(CASE WHEN NOT t AND (wc IS NULL OR wc > 100000000)
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_c_trimmed,
+        |      sum(CASE WHEN t THEN yc ELSE 0 END)::BIGINT AS syt,
+        |      sum(CASE WHEN NOT t AND wc IS NOT NULL
+        |        AND wc <= 100000000 THEN wc ELSE 0 END)::BIGINT AS sw,
+        |      sum(CASE WHEN NOT t AND wc IS NOT NULL
+        |        AND wc <= 100000000 THEN wc * yc ELSE 0 END)::BIGINT
+        |        AS swy,
+        |      sum(CASE WHEN t THEN x1 ELSE 0 END)::BIGINT AS sxt,
+        |      sum(CASE WHEN t THEN x1 * x1 ELSE 0 END)::BIGINT
+        |        AS sxxt,
+        |      sum(CASE WHEN NOT t THEN x1 ELSE 0 END)::BIGINT AS sxc,
+        |      sum(CASE WHEN NOT t THEN x1 * x1 ELSE 0 END)::BIGINT
+        |        AS sxxc,
+        |      sum(CASE WHEN NOT t AND wc IS NOT NULL
+        |        AND wc <= 100000000 THEN wc * x1 ELSE 0 END)::BIGINT
+        |        AS swx
+        |    FROM wts)
+        |SELECT n_t, n_c, n_c_trimmed,
+        |  (CASE WHEN n_t > 0 THEN
+        |    round(syt::DOUBLE / n_t::DOUBLE * 1e6) END)::BIGINT
+        |    AS mean_t_micro,
+        |  (CASE WHEN sw > 0 THEN
+        |    round(swy::DOUBLE / sw::DOUBLE * 1e6) END)::BIGINT
+        |    AS mean_c_w_micro,
+        |  (CASE WHEN n_t > 0 AND sw > 0 THEN
+        |    round((syt::DOUBLE / n_t::DOUBLE
+        |      - swy::DOUBLE / sw::DOUBLE) * 1e6) END)::BIGINT
+        |    AS att_micro,
+        |  (CASE WHEN n_t > 1 AND n_c > 1 AND
+        |      sqrt(((sxxt::DOUBLE - sxt::DOUBLE * sxt::DOUBLE
+        |          / n_t::DOUBLE) / (n_t::DOUBLE - 1.0)
+        |        + (sxxc::DOUBLE - sxc::DOUBLE * sxc::DOUBLE
+        |          / n_c::DOUBLE) / (n_c::DOUBLE - 1.0)) / 2.0) > 0
+        |    THEN round((sxt::DOUBLE / n_t::DOUBLE
+        |      - sxc::DOUBLE / n_c::DOUBLE)
+        |      / sqrt(((sxxt::DOUBLE - sxt::DOUBLE * sxt::DOUBLE
+        |          / n_t::DOUBLE) / (n_t::DOUBLE - 1.0)
+        |        + (sxxc::DOUBLE - sxc::DOUBLE * sxc::DOUBLE
+        |          / n_c::DOUBLE) / (n_c::DOUBLE - 1.0)) / 2.0)
+        |      * 1e6) END)::BIGINT AS smd_before_micro,
+        |  (CASE WHEN n_t > 1 AND n_c > 1 AND sw > 0 AND
+        |      sqrt(((sxxt::DOUBLE - sxt::DOUBLE * sxt::DOUBLE
+        |          / n_t::DOUBLE) / (n_t::DOUBLE - 1.0)
+        |        + (sxxc::DOUBLE - sxc::DOUBLE * sxc::DOUBLE
+        |          / n_c::DOUBLE) / (n_c::DOUBLE - 1.0)) / 2.0) > 0
+        |    THEN round((sxt::DOUBLE / n_t::DOUBLE
+        |      - swx::DOUBLE / sw::DOUBLE)
+        |      / sqrt(((sxxt::DOUBLE - sxt::DOUBLE * sxt::DOUBLE
+        |          / n_t::DOUBLE) / (n_t::DOUBLE - 1.0)
+        |        + (sxxc::DOUBLE - sxc::DOUBLE * sxc::DOUBLE
+        |          / n_c::DOUBLE) / (n_c::DOUBLE - 1.0)) / 2.0)
+        |      * 1e6) END)::BIGINT AS smd_after_micro
+        |FROM ag""".stripMargin,
+    "q357_cox_ph" ->
+      // same duration/death table as q351, same nano φ / suffix-sum
+      // risk moments / micro level terms, same unrolled Newton chain
+      s"""WITH ev AS (SELECT user_id,
+        |    min(ts)::DATE AS f, max(ts)::DATE AS l
+        |  FROM events GROUP BY 1),
+        |  mx AS (SELECT max(l) AS m FROM ev),
+        |  durs AS (SELECT (e.l - e.f)::BIGINT AS t,
+        |      ((x.m - e.l) > 7) AS e,
+        |      (CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |        AS x
+        |    FROM ev e CROSS JOIN mx x),
+        |  ${coxSqlChain(4)},
+        |  tot AS (SELECT count(*)::BIGINT AS n,
+        |      sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS events
+        |    FROM durs)
+        |SELECT t.n, t.events, f.b AS b_micro,
+        |  round(1e6 * exp(f.b::DOUBLE / 1e6))::BIGINT AS hr_micro,
+        |  (CASE WHEN u.si > 0 THEN
+        |    round(1e6 / sqrt(u.si::DOUBLE / 1e6)) END)::BIGINT
+        |    AS se_micro,
+        |  u.su AS u_final_micro, u.si AS i_micro
+        |FROM tot t CROSS JOIN cb4 f CROSS JOIN ui5 u""".stripMargin,
+    "q358_group_sequential" -> {
+      // the SAME driver-fixed OBF boundary literals, day-grid counts,
+      // look blocks, prefix sums, and pooled-z spelling
+      val bounds = EvalOps.obfBoundariesMicro(5, 2.0401)
+      val vals = bounds.zipWithIndex
+        .map { case (b, i) => s"(${i + 1}, ${b})" }.mkString(", ")
+      s"""WITH sx AS (SELECT strftime(ts, '%Y-%m-%d') AS t,
+        |    (user_id % 2 = 0) AS a, (event_type = 'purchase') AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  daily AS (SELECT t,
+        |      sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na,
+        |      sum(CASE WHEN a AND c THEN 1 ELSE 0 END)::BIGINT AS xa,
+        |      sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |      sum(CASE WHEN NOT a AND c THEN 1 ELSE 0 END)::BIGINT
+        |        AS xb
+        |    FROM sx GROUP BY 1),
+        |  nd AS (SELECT count(*)::BIGINT AS ndays FROM daily),
+        |  ranked AS (SELECT d.*, ((rn - 1) * 5) // ndays + 1 AS look
+        |    FROM (SELECT *, row_number() OVER (ORDER BY t)::BIGINT
+        |        AS rn FROM daily) d CROSS JOIN nd),
+        |  looks AS (SELECT look, max(t) AS day_end,
+        |      count(*)::BIGINT AS days, sum(na)::BIGINT AS lna,
+        |      sum(xa)::BIGINT AS lxa, sum(nb)::BIGINT AS lnb,
+        |      sum(xb)::BIGINT AS lxb
+        |    FROM ranked GROUP BY 1),
+        |  bnd AS (SELECT * FROM (VALUES $vals)
+        |    AS v(look, bound_micro)),
+        |  cum AS (SELECT l.look, l.day_end, l.days,
+        |      (sum(lna) OVER (ORDER BY l.look ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW))::BIGINT AS n_a,
+        |      (sum(lxa) OVER (ORDER BY l.look ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW))::BIGINT AS x_a,
+        |      (sum(lnb) OVER (ORDER BY l.look ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW))::BIGINT AS n_b,
+        |      (sum(lxb) OVER (ORDER BY l.look ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW))::BIGINT AS x_b,
+        |      b.bound_micro::BIGINT AS bound_micro
+        |    FROM looks l JOIN bnd b ON b.look = l.look),
+        |  zs AS (SELECT *,
+        |      (CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+        |          AND x_a + x_b < n_a + n_b THEN
+        |        round((x_a::DOUBLE / n_a - x_b::DOUBLE / n_b) /
+        |          sqrt(((x_a + x_b)::DOUBLE / (n_a + n_b)) *
+        |            (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b)) *
+        |            (1.0 / n_a + 1.0 / n_b)) * 1e6)
+        |      END)::BIGINT AS z_micro
+        |    FROM cum),
+        |  cr AS (SELECT *, (z_micro IS NOT NULL AND
+        |      abs(z_micro) >= bound_micro) AS crossed FROM zs),
+        |  st AS (SELECT min(CASE WHEN crossed THEN look END)::BIGINT
+        |      AS stop_look FROM cr)
+        |SELECT look::BIGINT AS look, day_end, days, n_a, x_a, n_b,
+        |  x_b, z_micro, bound_micro, crossed, stop_look
+        |FROM cr CROSS JOIN st
+        |ORDER BY look""".stripMargin
+    },
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

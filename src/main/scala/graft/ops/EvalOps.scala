@@ -1676,4 +1676,387 @@ object EvalOps {
         col("n_buckets"))
       .agg(expr("sum(_tn) div 1000L").as("psi_micro"))
   }
+  /** Shared sigmoid/weight projection behind [[logisticIrlsBeta]] and
+    * [[ipwAtt]]: with integer features and a broadcast 1-row micro-β
+    * frame, z = β₀ + β₁x₁ + β₂x₂ is an EXACT integer in micro units,
+    * μ = σ(z) fixes to integer nano per row (the exp argument is the
+    * same exact double in any engine — the q195 ln-parity convention
+    * extended to exp; saturation is deterministic: e^{+∞} → μ = 10⁹,
+    * e^{−∞} → μ = 0), and the IRLS weight w = μ(1−μ) fixes to micro
+    * by EXACT integer division (μ(10⁹−μ) ≤ 2.5·10¹⁷ stays in long,
+    * operands non-negative so div = floor on both engines). */
+  private def logisticMuFrame(base: DataFrame,
+                              beta: DataFrame): DataFrame =
+    base.crossJoin(broadcast(beta))
+      .withColumn("_zm", col("b0_micro") +
+        col("_x1") * col("b1_micro") + col("_x2") * col("b2_micro"))
+      .withColumn("_mu", round(lit(1e9) / (lit(1.0) +
+        exp(-(col("_zm").cast("double") / lit(1e6))))).cast("long"))
+      .withColumn("_w",
+        expr("(_mu * (1000000000L - _mu)) div 1000000000000L"))
+
+  /** The Newton loop behind [[logisticIrls]]/[[ipwAtt]]: `base` must
+    * carry (_x1, _x2, _y ∈ {0,1}) long columns. Returns the 1-row
+    * (b0_micro, b1_micro, b2_micro) frame after `iters` fixed IRLS
+    * steps from β⁰ = 0 (iteration 1 is fully exact: μ ≡ ½,
+    * w_micro ≡ 250000). Each step: ONE hash aggregate (the 3×3
+    * weighted Gram XᵀWX in exact integer micro-weight units + the
+    * score Xᵀ(y−μ) in exact integer nano units), then the q305
+    * Cramer determinant solve as a pure projection — identically
+    * spelled in the unrolled-CTE oracle — and a micro re-fix of β.
+    * A degenerate step (dA = 0, e.g. empty input) keeps β unchanged
+    * rather than erroring. */
+  private def logisticNewton(base: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = base.sparkSession
+    import spark.implicits._
+    var beta = Seq((0L, 0L, 0L))
+      .toDF("b0_micro", "b1_micro", "b2_micro")
+    def det(m11: Column, m12: Column, m13: Column,
+            m21: Column, m22: Column, m23: Column,
+            m31: Column, m32: Column, m33: Column): Column =
+      m11 * (m22 * m33 - m23 * m32) -
+        m12 * (m21 * m33 - m23 * m31) +
+        m13 * (m21 * m32 - m22 * m31)
+    for (_ <- 1 to iters) {
+      val a = logisticMuFrame(base, beta).agg(
+        sum(col("_w")).as("a00"),
+        sum(col("_w") * col("_x1")).as("a01"),
+        sum(col("_w") * col("_x2")).as("a02"),
+        sum(col("_w") * col("_x1") * col("_x1")).as("a11"),
+        sum(col("_w") * col("_x1") * col("_x2")).as("a12"),
+        sum(col("_w") * col("_x2") * col("_x2")).as("a22"),
+        sum(col("_y") * lit(1000000000L) - col("_mu")).as("s0"),
+        sum((col("_y") * lit(1000000000L) - col("_mu")) * col("_x1"))
+          .as("s1"),
+        sum((col("_y") * lit(1000000000L) - col("_mu")) * col("_x2"))
+          .as("s2"))
+      def d(c: String): Column = col(c).cast("double")
+      val dA = det(d("a00"), d("a01"), d("a02"),
+        d("a01"), d("a11"), d("a12"), d("a02"), d("a12"), d("a22"))
+      val d0 = det(d("s0"), d("a01"), d("a02"),
+        d("s1"), d("a11"), d("a12"), d("s2"), d("a12"), d("a22"))
+      val d1 = det(d("a00"), d("s0"), d("a02"),
+        d("a01"), d("s1"), d("a12"), d("a02"), d("s2"), d("a22"))
+      val d2 = det(d("a00"), d("a01"), d("s0"),
+        d("a01"), d("a11"), d("s1"), d("a02"), d("a12"), d("s2"))
+      beta = a.crossJoin(broadcast(beta))
+        .select(
+          when(dA =!= 0.0, col("b0_micro") +
+            round(lit(1e3) * d0 / dA).cast("long"))
+            .otherwise(col("b0_micro")).as("b0_micro"),
+          when(dA =!= 0.0, col("b1_micro") +
+            round(lit(1e3) * d1 / dA).cast("long"))
+            .otherwise(col("b1_micro")).as("b1_micro"),
+          when(dA =!= 0.0, col("b2_micro") +
+            round(lit(1e3) * d2 / dA).cast("long"))
+            .otherwise(col("b2_micro")).as("b2_micro"))
+        .localCheckpoint()
+    }
+    beta
+  }
+
+  /** DISTRIBUTED LOGISTIC REGRESSION via fixed-iteration IRLS/Newton
+    * Gram aggregates (two integer features + intercept — the
+    * relational form of the classical classifier; Nelder & Wedderburn
+    * 1972, McCullagh & Nelder 1989 §4). See [[logisticNewton]] for
+    * the step construction. After `iters` steps the SAME projection
+    * scores the data once more for the training-accuracy readout
+    * (pred = z > 0 — an exact integer comparison).
+    *
+    * Exactness bounds (documented): w_micro ≤ 250000 ⇒ the Gram
+    * sums need Σ|x_j·x_k| < 3.7·10¹³; the score sums carry a 10⁹
+    * nano factor ⇒ Σ|x_j| < 9.2·10⁹. Standardize features to small
+    * integer ranges before fitting at larger n.
+    *
+    * SCALE: `iters` sequential aggregate passes + one scoring pass —
+    * no per-row state, no driver collect, β rides a broadcast 1-row
+    * frame; every aggregate is map-side combinable. Output 1 row:
+    * (n, b0_micro, b1_micro, b2_micro, correct, acc_ppm). */
+  def logisticIrls(df: DataFrame, x1Col: String, x2Col: String,
+                   yCol: String, iters: Int): DataFrame = {
+    val base = df.select(col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"),
+        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+      .localCheckpoint() // feeds every Newton step AND the readout
+    val beta = logisticNewton(base, iters)
+    logisticMuFrame(base, beta)
+      .agg(count(lit(1)).as("n"),
+        sum(when((col("_zm") > 0) === (col("_y") === 1L), 1L)
+          .otherwise(0L)).as("correct"))
+      .crossJoin(broadcast(beta))
+      .select(col("n"), col("b0_micro"), col("b1_micro"),
+        col("b2_micro"), col("correct"),
+        when(col("n") > 0, expr("(correct * 1000000L) div n"))
+          .as("acc_ppm"))
+  }
+
+  /** INVERSE-PROPENSITY-WEIGHTED ATT (Rosenbaum & Rubin 1983;
+    * Hirano & Imbens 2001 stabilization practice) — the
+    * propensity-score sibling of [[cemAtt]]/[[cemBalance]]: fit the
+    * propensity e(x) = P(treat | x₁, x₂) with [[logisticNewton]]
+    * (fixed IRLS steps — deterministic and oracle-able), score every
+    * unit (per-row propensity in exact integer nano), weight
+    * controls by the ATT odds w = e/(1−e) (micro-fixed per row —
+    * float over exact integers, identically spelled), and read out
+    *   ATT = ȳ_treated − Σ_c w·y / Σ_c w
+    * plus the covariate-balance SMD for x₁ before/after weighting —
+    * both against the SAME unadjusted pooled SD (the [[cemBalance]]
+    * convention) so CEM and IPW balance reads are comparable.
+    * Controls with saturated propensity (μ = 10⁹ ⇒ infinite weight)
+    * or weight above `wCapMicro` are TRIMMED and counted
+    * (n_c_trimmed) — the standard extreme-propensity guard, mirrored
+    * in the oracle.
+    *
+    * SCALE: the fit is [[logisticNewton]]'s iters aggregate passes;
+    * the weighting/readout is ONE more aggregate — per-row weighted
+    * terms fix to micro before the sums, so Σ w·|y| must stay under
+    * 2⁶³/10⁶ (trim cap 100 ⇒ safe to ~10¹¹ cent-scale rows). Output
+    * 1 row: (n_t, n_c, n_c_trimmed, mean_t_micro, mean_c_w_micro,
+    * att_micro, smd_before_micro, smd_after_micro). */
+  def ipwAtt(df: DataFrame, x1Col: String, x2Col: String,
+             treatCol: String, yCol: String, iters: Int,
+             wCapMicro: Long = 100000000L): DataFrame = {
+    require(wCapMicro > 0, s"wCapMicro must be > 0, got $wCapMicro")
+    val base = df.select(col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"),
+        col(treatCol).cast("boolean").as("_t"),
+        col(yCol).cast("long").as("_yc"))
+      .withColumn("_y", when(col("_t"), 1L).otherwise(0L))
+      .localCheckpoint() // feeds the fit AND the weighted readout
+    val beta = logisticNewton(base, iters)
+    val keepC = !col("_t") && col("_wc").isNotNull &&
+      col("_wc") <= lit(wCapMicro)
+    val agg = logisticMuFrame(base, beta)
+      .withColumn("_wc", when(col("_mu") < lit(1000000000L),
+        round(col("_mu").cast("double") * lit(1e6) /
+          (lit(1000000000L) - col("_mu")).cast("double"))
+          .cast("long")))
+      .agg(
+        sum(when(col("_t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("_t") && (col("_wc").isNull ||
+          col("_wc") > lit(wCapMicro)), 1L).otherwise(0L))
+          .as("n_c_trimmed"),
+        sum(when(col("_t"), col("_yc")).otherwise(0L)).as("_syt"),
+        sum(when(keepC, col("_wc")).otherwise(0L)).as("_sw"),
+        sum(when(keepC, col("_wc") * col("_yc")).otherwise(0L))
+          .as("_swy"),
+        sum(when(col("_t"), col("_x1")).otherwise(0L)).as("_sxt"),
+        sum(when(col("_t"), col("_x1") * col("_x1")).otherwise(0L))
+          .as("_sxxt"),
+        sum(when(!col("_t"), col("_x1")).otherwise(0L)).as("_sxc"),
+        sum(when(!col("_t"), col("_x1") * col("_x1")).otherwise(0L))
+          .as("_sxxc"),
+        sum(when(keepC, col("_wc") * col("_x1")).otherwise(0L))
+          .as("_swx"))
+    def dd(c: String): Column = col(c).cast("double")
+    val mt = dd("_syt") / dd("n_t")
+    val mcw = dd("_swy") / dd("_sw")
+    val mxt = dd("_sxt") / dd("n_t")
+    val mxc = dd("_sxc") / dd("n_c")
+    val mxcw = dd("_swx") / dd("_sw")
+    val vt = when(col("n_t") > 1,
+      (dd("_sxxt") - dd("_sxt") * dd("_sxt") / dd("n_t")) /
+        (dd("n_t") - lit(1.0)))
+    val vc = when(col("n_c") > 1,
+      (dd("_sxxc") - dd("_sxc") * dd("_sxc") / dd("n_c")) /
+        (dd("n_c") - lit(1.0)))
+    val pooled = sqrt((vt + vc) / lit(2.0))
+    agg.select(col("n_t"), col("n_c"), col("n_c_trimmed"),
+      when(col("n_t") > 0, round(mt * 1e6).cast("long"))
+        .as("mean_t_micro"),
+      when(col("_sw") > 0, round(mcw * 1e6).cast("long"))
+        .as("mean_c_w_micro"),
+      when(col("n_t") > 0, when(col("_sw") > 0,
+        round((mt - mcw) * 1e6).cast("long"))).as("att_micro"),
+      when(col("n_t") > 1 && col("n_c") > 1, when(pooled > 0,
+        round((mxt - mxc) / pooled * 1e6).cast("long")))
+        .as("smd_before_micro"),
+      when(col("n_t") > 1 && col("n_c") > 1 && col("_sw") > 0,
+        when(pooled > 0,
+          round((mxt - mxcw) / pooled * 1e6).cast("long")))
+        .as("smd_after_micro"))
+  }
+  /** COX PROPORTIONAL HAZARDS, one integer covariate, Breslow ties,
+    * fixed Newton steps (Cox 1972; Breslow 1974) — the regression
+    * member of the survival family next to [[EvalOps.logRank]] (test)
+    * and [[nelsonAalen]] (hazard): maximize the Breslow partial
+    * likelihood ℓ(β) = Σ_k [s_k β − d_k ln S0_k] by Newton over the
+    * DURATION LEVEL TABLE. Per step, per subject, φ = e^{βx} fixes
+    * to integer nano (the exp argument x·β_micro is an EXACT integer
+    * — the q355 sigmoid convention), one hash aggregate collapses
+    * subjects to per-duration cells (g_r = Σ x^r φ, d, s = Σ_events
+    * x), ONE suffix sum over duration levels gives the risk-set
+    * moments S0/S1/S2 (the [[logRank]] at-risk move), and the score
+    * U = Σ_k (s_k − d_k S1/S0) and information I = Σ_k d_k(S2/S0 −
+    * (S1/S0)²) fix per LEVEL to micro before the cross-level sums.
+    * β ← β + round(10⁶·U/I), frozen when I ≤ 0 (degenerate risk
+    * sets). β⁰ = 0 makes step 1 fully exact (φ ≡ 10⁹).
+    *
+    * Exactness bounds (documented): |β·x| ≤ 21 in natural units
+    * keeps φ = 10⁹·e^{βx} in long; Σ x²·φ over subjects must stay
+    * < 2⁶³ — center/scale the covariate to a small integer range
+    * first (the binary-arm covariate is the canonical instance).
+    *
+    * SCALE: per step exactly one aggregate pass over subjects + one
+    * LEVEL-bounded window (distinct durations — days, not rows);
+    * `iters` fixed ⇒ iters+1 sequential scans (the +1 scores the
+    * final β for the U/I/se readout). No driver math, no per-row
+    * state. Output 1 row: (n, events, b_micro, hr_micro, se_micro,
+    * u_final_micro, i_micro). */
+  def coxPh(df: DataFrame, durationCol: String, eventCol: String,
+            xCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = df.select(col(durationCol).cast("long").as("_t"),
+        col(eventCol).cast("boolean").as("_e"),
+        col(xCol).cast("long").as("_x"))
+      .localCheckpoint() // feeds every Newton step AND the readout
+    val spark = base.sparkSession
+    import spark.implicits._
+    var beta = Seq(Tuple1(0L)).toDF("b_micro")
+    def ui(b: DataFrame): DataFrame = {
+      val lev = base.crossJoin(broadcast(b))
+        .withColumn("_phi", round(lit(1e9) *
+          exp((col("_x") * col("b_micro")).cast("double") / lit(1e6)))
+          .cast("long"))
+        .groupBy(col("_t"))
+        .agg(sum(col("_phi")).as("_g0"),
+          sum(col("_x") * col("_phi")).as("_g1"),
+          sum(col("_x") * col("_x") * col("_phi")).as("_g2"),
+          sum(when(col("_e"), 1L).otherwise(0L)).as("_d"),
+          sum(when(col("_e"), col("_x")).otherwise(0L)).as("_s"))
+      val w = Window.orderBy(col("_t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      def dd(c: String): Column = col(c).cast("double")
+      lev
+        .withColumn("_S0", sum(col("_g0")).over(w))
+        .withColumn("_S1", sum(col("_g1")).over(w))
+        .withColumn("_S2", sum(col("_g2")).over(w))
+        .where(col("_d") > 0 && col("_S0") > 0)
+        .select(
+          round((dd("_s") - dd("_d") * (dd("_S1") / dd("_S0"))) * 1e6)
+            .cast("long").as("_u6"),
+          round(dd("_d") * (dd("_S2") / dd("_S0") -
+            (dd("_S1") / dd("_S0")) * (dd("_S1") / dd("_S0"))) * 1e6)
+            .cast("long").as("_i6"))
+        .agg(sum(col("_u6")).as("_su"), sum(col("_i6")).as("_si"))
+    }
+    for (_ <- 1 to iters) {
+      beta = ui(beta).crossJoin(broadcast(beta))
+        .select(when(col("_si") > 0, col("b_micro") +
+          round(lit(1e6) * col("_su").cast("double") /
+            col("_si").cast("double")).cast("long"))
+          .otherwise(col("b_micro")).as("b_micro"))
+        .localCheckpoint()
+    }
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("_e"), 1L).otherwise(0L)).as("events"))
+    tot.crossJoin(broadcast(ui(beta))).crossJoin(broadcast(beta))
+      .select(col("n"), col("events"), col("b_micro"),
+        round(lit(1e6) * exp(col("b_micro").cast("double") / lit(1e6)))
+          .cast("long").as("hr_micro"),
+        when(col("_si") > 0, round(lit(1e6) /
+          sqrt(col("_si").cast("double") / lit(1e6))).cast("long"))
+          .as("se_micro"),
+        col("_su").as("u_final_micro"), col("_si").as("i_micro"))
+  }
+  /** O'Brien–Fleming-shape boundaries c·√(K/k) for K looks, micro-
+    * fixed on the DRIVER (normal-quantile design constants, the q341
+    * convention — callers inject the same literals into the oracle).
+    * Lan & DeMets 1983 spending shape; c ≈ 2.0401 gives overall
+    * two-sided α ≈ 0.05 at K = 5 (O'Brien & Fleming 1979 table). */
+  def obfBoundariesMicro(kLooks: Int, c: Double): Seq[Long] = {
+    require(kLooks >= 1 && c > 0, s"bad design: K=$kLooks c=$c")
+    (1 to kLooks).map(k =>
+      math.round(c * math.sqrt(kLooks.toDouble / k) * 1e6))
+  }
+
+  /** Pocock constant boundaries (Pocock 1977): the same critical
+    * value at every look; c ≈ 2.413 gives overall two-sided α ≈ 0.05
+    * at K = 5. */
+  def pocockBoundariesMicro(kLooks: Int, c: Double): Seq[Long] = {
+    require(kLooks >= 1 && c > 0, s"bad design: K=$kLooks c=$c")
+    Seq.fill(kLooks)(math.round(c * 1e6))
+  }
+
+  /** GROUP-SEQUENTIAL MONITOR with caller-supplied per-look z
+    * boundaries (O'Brien & Fleming 1979 / Pocock 1977 — the
+    * industry-standard interim-analysis design next to [[q341]]'s
+    * fully-sequential SPRT): replay a two-arm experiment over the
+    * day grid, partition the days into K equal-information-ish looks
+    * (look = (dayRank−1)·K div nDays + 1 — the [[qiniCurve]] bucket
+    * move, no global sort), accumulate per-look arm counts by ONE
+    * prefix sum over the K-row look table, read the pooled
+    * two-proportion z at each look (the [[twoProportionZ]] spelling
+    * over exact cumulative integers, micro-fixed), and compare |z|
+    * against the BOUNDARY literals (broadcast K-row directory). The
+    * earliest crossed look (stop_look) rides back on every row.
+    * Day- then K-bounded past the first aggregate. Output per look:
+    * (look, day_end, days, n_a, x_a, n_b, x_b, z_micro, bound_micro,
+    * crossed, stop_look). */
+  def groupSequential(df: DataFrame, tCol: String, armCol: String,
+                      convCol: String,
+                      boundariesMicro: Seq[Long]): DataFrame = {
+    val kLooks = boundariesMicro.length
+    require(kLooks >= 1, "need at least one look boundary")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bnd = boundariesMicro.zipWithIndex
+      .map { case (b, i) => (i + 1L, b) }
+      .toDF("look", "bound_micro")
+    val daily = df.select(col(tCol).as("_t"),
+        col(armCol).cast("boolean").as("_a"),
+        col(convCol).cast("boolean").as("_c"))
+      .groupBy(col("_t"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_na"),
+        sum(when(col("_a") && col("_c"), 1L).otherwise(0L)).as("_xa"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_nb"),
+        sum(when(!col("_a") && col("_c"), 1L).otherwise(0L))
+          .as("_xb"))
+      .localCheckpoint() // feeds the rank window AND the day total
+    val nd = daily.agg(count(lit(1)).as("_nd"))
+    val ranked = daily
+      .withColumn("_r", row_number().over(Window.orderBy(col("_t")))
+        .cast("long"))
+      .crossJoin(broadcast(nd))
+      .withColumn("look",
+        expr(s"((_r - 1L) * ${kLooks}L) div _nd + 1L"))
+    val looks = ranked.groupBy(col("look"))
+      .agg(max(col("_t")).as("day_end"), count(lit(1)).as("days"),
+        sum(col("_na")).as("_lna"), sum(col("_xa")).as("_lxa"),
+        sum(col("_nb")).as("_lnb"), sum(col("_xb")).as("_lxb"))
+    val w = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, 0) // K-bounded window
+    val cum = looks
+      .withColumn("n_a", sum(col("_lna")).over(w))
+      .withColumn("x_a", sum(col("_lxa")).over(w))
+      .withColumn("n_b", sum(col("_lnb")).over(w))
+      .withColumn("x_b", sum(col("_lxb")).over(w))
+      .join(broadcast(bnd), Seq("look"))
+      .withColumn("z_micro",
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+            col("x_a") + col("x_b") > 0 &&
+            col("x_a") + col("x_b") < col("n_a") + col("n_b"),
+          round((col("x_a").cast("double") / col("n_a") -
+            col("x_b").cast("double") / col("n_b")) /
+            sqrt(((col("x_a") + col("x_b")).cast("double") /
+              (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("x_a") + col("x_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))) * 1e6)
+            .cast("long")))
+      .withColumn("crossed",
+        when(col("z_micro").isNotNull &&
+          abs(col("z_micro")) >= col("bound_micro"), true)
+          .otherwise(false))
+      .localCheckpoint() // feeds the stop scan AND the output
+    val stop = cum.agg(
+      min(when(col("crossed"), col("look"))).as("stop_look"))
+    cum.crossJoin(broadcast(stop))
+      .select(col("look"), col("day_end"), col("days"),
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("z_micro"), col("bound_micro"), col("crossed"),
+        col("stop_look"))
+  }
 }
