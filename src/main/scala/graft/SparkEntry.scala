@@ -7379,6 +7379,221 @@ object SparkEntry {
       EvalOps.obfBoundariesMicro(5, 2.0401))
       .orderBy(col("look"))
 
+  /** The unigram-tokenizer vocabulary: q190's bpeVocab with the word
+    * length capped at 10 — the declared domain bound of the oracle's
+    * unrolled 10-position Viterbi DP (the fixture's longest alphabetic
+    * word is 8 chars; real corpora would raise the cap and the
+    * generated chain with it). ONE definition — train, encode, and
+    * fertility must never diverge from their oracles' vocab. */
+  private def unigramVocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,10}$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  private def q359(s: SparkSession, dir: String): DataFrame =
+    // UNIGRAM-LM TOKENIZER TRAINING (TextOps.unigramTrain — Kudo 2018
+    // hard-EM, the SentencePiece sibling of q190's BPE): 2 Viterbi-EM
+    // rounds over a fixed inventory (all single chars + top-64
+    // substrings), costs re-estimated as add-one micro-nat NLLs each
+    // round. Each round = ONE zero-shuffle Viterbi projection over
+    // the vocabulary + ONE map-side usage aggregate; the oracle
+    // replays the per-position DP as unrolled CTEs with the pinned
+    // (s ASC, bl DESC) tie rule, so one wrong cost or tie-break
+    // hash-mismatches the whole trajectory.
+    TextOps.unigramTrain(unigramVocab(s, dir), "w", "f", rounds = 2,
+        maxPieceLen = 4, topMulti = 64)
+      .orderBy(col("round"), col("piece"))
+
+  private def q360(s: SparkSession, dir: String): DataFrame = {
+    // UNIGRAM-LM ENCODE (the apply half of q359, q192's convention):
+    // retrain the same 2 rounds, then Viterbi-segment every
+    // vocabulary word under the final cost artifact — the DP is a
+    // per-row `aggregate` fold over the word's own positions (pure
+    // map-side expression, ZERO shuffle: the tokenization hot path at
+    // 100 TB; corpus tokenization rides the q213 broadcast join of
+    // this vocabulary-sized table).
+    val words = unigramVocab(s, dir)
+    val costs = TextOps.unigramTrainCosts(words, "w", "f", rounds = 2,
+      maxPieceLen = 4, topMulti = 64)
+    TextOps.unigramViterbi(words.select(col("w")), "w", costs, 4)
+      .select(col("w"), array_join(col("pieces"), " ").as("encoding"),
+        col("n_pieces"), col("score_micro"))
+      .orderBy(col("w"))
+  }
+
+  private def q361(s: SparkSession, dir: String): DataFrame = {
+    // UNIGRAM-TOKENIZER FERTILITY by language (q257's BPE readout for
+    // the q359 tokenizer — the pieces-per-word comparison real
+    // pipelines run when choosing between the two): the per-word
+    // piece counts are a broadcast vocabulary artifact; the corpus
+    // pass is one exploded join + one aggregate.
+    val words = unigramVocab(s, dir)
+    val costs = TextOps.unigramTrainCosts(words, "w", "f", rounds = 2,
+      maxPieceLen = 4, topMulti = 64)
+    val enc = TextOps.unigramViterbi(words.select(col("w")), "w",
+      costs, 4).select(col("w"), col("n_pieces"))
+    t(s, dir, "documents")
+      .select(col("lang"),
+        explode(TextOps.tokens(lower(col("text")))).as("w"))
+      .where(col("w").rlike("^[a-z]{2,10}$"))
+      .join(broadcast(enc), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("fertility", round(
+        col("n_pieces").cast("double") / col("n_words"), 6))
+      .orderBy(col("lang"))
+  }
+
+  private def q362(s: SparkSession, dir: String): DataFrame = {
+    // HILBERT-CURVE locality audit (LayoutOps.hilbertValue — q125's
+    // bucket/bounding-box readout on the curve with strictly better
+    // worst-case locality: the walk never jumps, so contiguous index
+    // ranges — what files written per bucket would cover — stay
+    // contiguous rectangles; PhysicalLayoutSpec measures the tighter
+    // boxes vs the z-curve on unaligned ranges). The oracle unrolls
+    // the same 16 bit-plane rotate/flip steps as generated CTEs — one
+    // wrong Gray-code branch hash-mismatches every bucket.
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(65536L)).as("da"),
+      pmod(col("event_id"), lit(65536L)).as("db"))
+    ev.withColumn("h",
+        LayoutOps.hilbertValue(col("da"), col("db"), bits = 16))
+      .groupBy(shiftright(col("h"), 20).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("da")).as("min_da"), max(col("da")).as("max_da"),
+        min(col("db")).as("min_db"), max(col("db")).as("max_db"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+      .orderBy(col("bucket"))
+  }
+
+  private def q363(s: SparkSession, dir: String): DataFrame = {
+    // PMI+PCA EMBEDDING CAPSTONE (Levy & Goldberg 2014: the PPMI
+    // co-occurrence matrix IS the count-based word embedding word2vec
+    // implicitly factorizes): q203's collocation statistics → a
+    // Laplace-smoothed PPMI matrix over the top-24 vocabulary →
+    // q211's integer power iteration for the top principal coordinate
+    // → q35's brute-force cosine ANN over the PPMI rows — the engine
+    // TRAINS representations end to end instead of consuming the
+    // embeddings fixture. Corpus-sized work is two aggregates (vocab
+    // counts, bigram counts); everything after is k²-bounded (the
+    // 24×24 grid), with the q211 d²-driver bridge for the iteration.
+    val k = 24 // vocabulary size; smoothing literals k and k² mirror it
+    val toksL = t(s, dir, "documents")
+      .select(TextOps.tokens(lower(col("text"))).as("_t"))
+      .localCheckpoint() // feeds vocab counts AND bigram counts
+    val words = toksL.select(explode(col("_t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(k)
+      .select("w").collect().map(_.getString(0)).sorted
+    require(words.length == k, s"vocabulary cut expects $k tokens")
+    val sess = s
+    import sess.implicits._
+    val idx = words.zipWithIndex.toSeq.toDF("w", "wi")
+    val pairs = toksL
+      .select(explode(TextOps.bigrams(col("_t"))).as("_p"))
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val ab = pairs
+      .join(broadcast(idx.select(col("w").as("a"), col("wi").as("i"))),
+        "a")
+      .join(broadcast(idx.select(col("w").as("b"), col("wi").as("j"))),
+        "b")
+      .select(col("i"), col("j"), col("n"))
+    // symmetrize S = A + Aᵀ (diagonal doubles — the declared
+    // convention); then the dense k×k grid with zero cells explicit
+    val sym = ab
+      .unionByName(ab.select(col("j").as("i"), col("i").as("j"),
+        col("n")))
+      .groupBy("i", "j").agg(sum("n").as("c"))
+    val grid = idx.select(col("wi").as("i"))
+      .crossJoin(idx.select(col("wi").as("j")))
+    val rowTot = sym.groupBy("i").agg(sum("c").as("r"))
+    val tot = sym.agg(sum("c").as("t"))
+    val cells = grid
+      .join(sym, Seq("i", "j"), "left")
+      .join(rowTot, Seq("i"), "left")
+      .join(rowTot.select(col("i").as("j"), col("r").as("r2")),
+        Seq("j"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("i"), col("j"),
+        greatest(lit(0L), round(log(
+          ((coalesce(col("c"), lit(0L)) + 1) * (col("t") + k * k))
+            .cast("double") /
+          ((coalesce(col("r"), lit(0L)) + k) *
+           (coalesce(col("r2"), lit(0L)) + k)).cast("double"))
+          * 1e6, 0).cast("long")).as("v"))
+      .localCheckpoint() // k²-bounded; feeds the bridge AND the rows
+    // q211's d²-driver bridge: G = PᵀP exact in Long (|v| ≤ ~2e7 ⇒
+    // cells ≤ k·4e14 ≈ 1e16), 20 integer power-iteration steps
+    val p = Array.ofDim[Long](k, k)
+    cells.collect().foreach { r =>
+      p(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+    }
+    val g = Array.tabulate(k, k) { (a, b) =>
+      var acc = 0L
+      var i = 0
+      while (i < k) { acc += p(i)(a) * p(i)(b); i += 1 }
+      acc
+    }
+    val comp = SimilarityOps.powerIterationMicro(g, iters = 20)
+      .map(_.toLong)
+    val compLit = array(comp.map(lit(_)): _*)
+    // per-word PPMI row (array ordered by j), principal coordinate
+    // (exact integer micro·micro), and the cosine-ready row scaled
+    // back to nats; zero rows have no direction — screened (the
+    // cosine denominator guard, mirrored in the oracle)
+    val vecs = cells.groupBy("i")
+      .agg(transform(array_sort(collect_list(struct(col("j"),
+          col("v")))), x => x.getField("v")).as("pv"))
+      .join(broadcast(idx.select(col("wi").as("i"), col("w"))), "i")
+      .withColumn("pc1_micro2", aggregate(
+        zip_with(col("pv"), compLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("emb",
+        transform(col("pv"), x => x.cast("double") / 1e6))
+      .where(aggregate(col("pv"), lit(0L), (acc, x) => acc + x) > 0)
+      .select(col("w"), col("pc1_micro2"), col("emb"))
+      .localCheckpoint() // k-bounded; feeds both ANN sides
+    SimilarityOps.bruteForceTopK(vecs.select(col("w"), col("emb")),
+        vecs.select(col("w"), col("emb")), "w", "emb", 3)
+      .join(vecs.select(col("w").as("query_id"), col("pc1_micro2")),
+        "query_id")
+      .select(col("query_id").as("w"), col("pc1_micro2"),
+        col("rn").as("rank"), col("neighbor_id").as("neighbor"),
+        col("sim"))
+      .orderBy(col("w"), col("rank"))
+  }
+
+  private def q364(s: SparkSession, dir: String): DataFrame = {
+    // Hilbert layout WRITE + pruned read-back (q133's move on the
+    // q362 curve — the layout pair convention: q125/q133 audit+prune
+    // for z-order, q362/q364 for Hilbert): events laid out along the
+    // Hilbert walk of (da, db) via LayoutOps.hilbertLayout, read back
+    // under the same tight corner rectangle. Contiguous index ranges
+    // are contiguous RECTANGLES here, so the written files' min/max
+    // stats bound the corner even tighter than the z-curve's
+    // jump-inflated boxes (PhysicalLayoutSpec measures the bbox gap).
+    // The oracle aggregates the rectangle from the raw table — a row
+    // lost or duplicated by the layout write hash-mismatches.
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(65536L)).as("da"),
+      pmod(col("event_id"), lit(65536L)).as("db"),
+      col("value"))
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/zorder_cache/hilbert_events_$sfTag"
+    LayoutOps.hilbertLayout(ev, col("da"), col("db"), bits = 16,
+        numPartitions = 16)
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("da") < 256 && col("db") < 256)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        min(col("da")).as("min_da"), max(col("da")).as("max_da"),
+        min(col("db")).as("min_db"), max(col("db")).as("max_db"))
+  }
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8521,6 +8736,12 @@ object SparkEntry {
     "q356_ipw_att" -> q356 _,
     "q357_cox_ph" -> q357 _,
     "q358_group_sequential" -> q358 _,
+    "q359_unigram_train" -> q359 _,
+    "q360_unigram_encode" -> q360 _,
+    "q361_unigram_fertility" -> q361 _,
+    "q362_hilbert_layout" -> q362 _,
+    "q363_pmi_pca_embed" -> q363 _,
+    "q364_hilbert_prune" -> q364 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -9115,6 +9336,139 @@ object SparkEntry {
        |    concat('_', array_to_string(string_split(w, ''), '__'), '_')
        |      AS e FROM vocab),
        |$rounds""".stripMargin
+  }
+
+  /** The unigram-LM tokenizer's SEED CTEs (q359–q361 oracles): the
+    * q190-convention vocabulary capped at 10 chars, every (end, len)
+    * substring pair of every word (`ucandsrc` — shared by the seed
+    * counts and every round's cost lookup), the all-singles +
+    * top-64-multis inventory, and the add-one micro-nat seed costs
+    * (`ucost0`). Every CTE the DP chain re-reads is MATERIALIZED —
+    * default inlining would expand the unrolled DP exponentially
+    * (the powerIterSqlChain rule). */
+  private def unigramSeedSql: String =
+    s"""uvocab AS MATERIALIZED (SELECT w, count(*)::BIGINT AS f FROM (
+       |    SELECT unnest(list_filter(
+       |        string_split_regex(lower(text), '\\s+'),
+       |        x -> len(x) > 0)) AS w FROM documents)
+       |    WHERE regexp_matches(w, '^[a-z]{2,10}$$') GROUP BY w),
+       |  upos AS (SELECT unnest(range(1, 11)) AS j),
+       |  ulen AS (SELECT unnest(range(1, 5)) AS l),
+       |  ucandsrc AS MATERIALIZED (SELECT v.w, p.j, l.l,
+       |      substr(v.w, (p.j - l.l + 1)::INT, l.l::INT) AS sub
+       |    FROM uvocab v CROSS JOIN upos p CROSS JOIN ulen l
+       |    WHERE p.j <= len(v.w) AND l.l <= p.j),
+       |  usub AS (SELECT s.sub AS piece, sum(v.f)::BIGINT AS cnt
+       |    FROM ucandsrc s JOIN uvocab v ON v.w = s.w GROUP BY 1),
+       |  uinv AS MATERIALIZED (
+       |    SELECT piece, cnt FROM usub WHERE len(piece) = 1
+       |    UNION ALL
+       |    SELECT piece, cnt FROM (SELECT piece, cnt FROM usub
+       |      WHERE len(piece) >= 2
+       |      ORDER BY cnt DESC, piece LIMIT 64)),
+       |  ucost0 AS MATERIALIZED (SELECT piece,
+       |      round(-ln((cnt + 1)::DOUBLE /
+       |        ((SELECT sum(cnt) FROM uinv) +
+       |         (SELECT count(*) FROM uinv))::DOUBLE) * 1e6)::BIGINT
+       |        AS c
+       |    FROM uinv)""".stripMargin
+
+  /** One generated Viterbi DP + backtrace pass over `uvocab` under
+    * the cost CTE `$cost(piece, c)` (the bpeSqlChain unroll
+    * convention; every step MATERIALIZED): per position j, dp_j =
+    * min over piece length l of dp_{j−l} + cost, tie rule ORDER BY
+    * (s, bl DESC) — the [[graft.ops.TextOps.unigramViterbi]]
+    * longest-piece pin — then 10 backward steps emit the chosen
+    * pieces. Exposes `udpa$tag(j, w, s, bl)` and
+    * `uem$tag(w, piece, k)` (k DESC = reading order). */
+  private def unigramDpSql(tag: String, cost: String): String = {
+    val maxLen = 10
+    val pieceLen = 4
+    val dp = (1 to maxLen).map { j =>
+      val branches = (1 to math.min(pieceLen, j)).map { l =>
+        s"""SELECT c.w, p.s + c.cost AS s, c.l AS bl
+           |      FROM ucand$tag c JOIN udp${tag}_${j - l} p
+           |        ON p.w = c.w
+           |      WHERE c.j = $j AND c.l = $l""".stripMargin
+      }.mkString("\n      UNION ALL ")
+      s"""udp${tag}_$j AS MATERIALIZED (SELECT w, s, bl FROM (
+         |    SELECT w, s, bl, row_number() OVER (PARTITION BY w
+         |        ORDER BY s, bl DESC) AS rn FROM (
+         |      $branches))
+         |    WHERE rn = 1)""".stripMargin
+    }.mkString(",\n  ")
+    val dpa = (1 to maxLen)
+      .map(j => s"SELECT $j AS j, w, s, bl FROM udp${tag}_$j")
+      .mkString("\n    UNION ALL ")
+    val bt = (1 to maxLen).map { k =>
+      s"""ubt${tag}_$k AS MATERIALIZED (SELECT b.w,
+         |    b.pos - d.bl AS pos,
+         |    substr(b.w, (b.pos - d.bl + 1)::INT, d.bl::INT) AS piece
+         |  FROM ubt${tag}_${k - 1} b JOIN udpa$tag d
+         |    ON d.w = b.w AND d.j = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    }.mkString(",\n  ")
+    val em = (1 to maxLen)
+      .map(k => s"SELECT w, piece, $k AS k FROM ubt${tag}_$k")
+      .mkString("\n    UNION ALL ")
+    s"""ucand$tag AS MATERIALIZED (SELECT s.w, s.j, s.l, c.c AS cost
+       |    FROM ucandsrc s JOIN $cost c ON c.piece = s.sub),
+       |  udp${tag}_0 AS (SELECT w, 0::BIGINT AS s, 0 AS bl
+       |    FROM uvocab),
+       |  $dp,
+       |  udpa$tag AS MATERIALIZED ($dpa),
+       |  ubt${tag}_0 AS (SELECT w, len(w)::BIGINT AS pos FROM uvocab),
+       |  $bt,
+       |  uem$tag AS MATERIALIZED ($em)""".stripMargin
+  }
+
+  /** One unigram-EM round (E-step = [[unigramDpSql]], M-step = the
+    * frequency-weighted usage counts re-costed with the same add-one
+    * micro-nat formula over the FIXED inventory — unused pieces keep
+    * cnt 0 and a finite cost). Exposes `ucnt$r` and `ucost$r`. */
+  private def unigramRoundSql(r: Int): String =
+    s"""${unigramDpSql(r.toString, s"ucost${r - 1}")},
+       |  uusage$r AS (SELECT e.piece, sum(v.f)::BIGINT AS cnt
+       |    FROM uem$r e JOIN uvocab v ON v.w = e.w GROUP BY 1),
+       |  ucnt$r AS MATERIALIZED (SELECT i.piece,
+       |      coalesce(u.cnt, 0)::BIGINT AS cnt
+       |    FROM uinv i LEFT JOIN uusage$r u ON u.piece = i.piece),
+       |  ucost$r AS MATERIALIZED (SELECT piece,
+       |      round(-ln((cnt + 1)::DOUBLE /
+       |        ((SELECT sum(cnt) FROM ucnt$r) +
+       |         (SELECT count(*) FROM ucnt$r))::DOUBLE) * 1e6)::BIGINT
+       |        AS c
+       |    FROM ucnt$r)""".stripMargin
+
+  /** The full unigram-LM training replay: seed + `rounds` EM rounds
+    * ([[graft.ops.TextOps.unigramTrain]]'s oracle chain). */
+  private def unigramSqlChain(rounds: Int): String =
+    (unigramSeedSql +: (1 to rounds).map(unigramRoundSql))
+      .mkString(",\n  ")
+
+  /** Generated `bits`-step Hilbert xy→d CTE chain (the
+    * powerIterSqlChain unroll convention) replaying
+    * [[graft.ops.LayoutOps.hilbertValue]]: expects `hsrc(da, db)`;
+    * step i computes the bit-plane flags rx/ry in a subquery, then
+    * the quadrant digit and the Gray-code flip/swap CASEs. Exposes
+    * `h$bits(da, db, hx, hy, hd)`. */
+  private def hilbertSqlChain(bits: Int): String = {
+    val steps = (1 to bits).map { i =>
+      val s = 1L << (bits - i)
+      s"""h$i AS MATERIALIZED (SELECT da, db,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+         |      THEN ${s - 1} - hy ELSE hy END ELSE hx END AS hx,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+         |      THEN ${s - 1} - hx ELSE hx END ELSE hy END AS hy,
+         |    hd + ${s * s}::BIGINT * xor(3 * rx, ry) AS hd
+         |  FROM (SELECT da, db, hx, hy, hd,
+         |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM h${i - 1}))""".stripMargin
+    }.mkString(",\n  ")
+    s"""h0 AS (SELECT da, db, da::BIGINT AS hx, db::BIGINT AS hy,
+       |    0::BIGINT AS hd FROM hsrc),
+       |  $steps""".stripMargin
   }
 
   /** DuckDB twin of [[GraphOps.labelPropagation]] over the q234
@@ -16059,6 +16413,135 @@ object SparkEntry {
         |FROM cr CROSS JOIN st
         |ORDER BY look""".stripMargin
     },
+    "q359_unigram_train" -> {
+      // the full 2-round Viterbi-EM replay: unrolled per-position DP
+      // with the (s ASC, bl DESC) tie rule, usage counts over the
+      // fixed inventory, same add-one micro-nat re-costing
+      val out = (1 to 2).map { r =>
+        s"""SELECT $r::BIGINT AS round, n.piece, n.cnt, c.c
+           |    AS cost_micro
+           |  FROM ucnt$r n JOIN ucost$r c ON c.piece = n.piece"""
+          .stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${unigramSqlChain(2)}
+        |$out
+        |ORDER BY round, piece""".stripMargin
+    },
+    "q360_unigram_encode" ->
+      // train replay + one more DP pass under the final costs; the
+      // backward-step index k reads the pieces back in word order
+      s"""WITH ${unigramSqlChain(2)},
+        |  ${unigramDpSql("e", "ucost2")},
+        |  uenc AS (SELECT w, string_agg(piece, ' ' ORDER BY k DESC)
+        |      AS encoding, count(*)::BIGINT AS n_pieces
+        |    FROM ueme GROUP BY w),
+        |  usc AS (SELECT d.w, d.s FROM udpae d JOIN uvocab v
+        |    ON v.w = d.w AND d.j = len(v.w))
+        |SELECT e.w, e.encoding, e.n_pieces, s.s AS score_micro
+        |FROM uenc e JOIN usc s ON s.w = e.w
+        |ORDER BY e.w""".stripMargin,
+    "q361_unigram_fertility" ->
+      // same trained segmentation; per-word piece counts joined onto
+      // the exploded corpus word stream (the q257/q213 readout)
+      s"""WITH ${unigramSqlChain(2)},
+        |  ${unigramDpSql("e", "ucost2")},
+        |  unp AS (SELECT w, count(*)::BIGINT AS np FROM ueme
+        |    GROUP BY w),
+        |  tok AS (SELECT lang, unnest(list_filter(
+        |      string_split_regex(lower(text), '\\s+'),
+        |      x -> len(x) > 0)) AS w FROM documents),
+        |  tw AS (SELECT tok.lang, unp.np FROM tok
+        |    JOIN unp ON unp.w = tok.w
+        |    WHERE regexp_matches(tok.w, '^[a-z]{2,10}$$'))
+        |SELECT lang, count(*)::BIGINT AS n_words,
+        |  sum(np)::BIGINT AS n_pieces,
+        |  round(sum(np)::DOUBLE / count(*)::DOUBLE, 6) AS fertility
+        |FROM tw GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q362_hilbert_layout" ->
+      // the same 16 bit-plane rotate/flip steps, unrolled; same
+      // bucket cut and bounding-box readout as q125's z twin
+      s"""WITH hsrc AS (SELECT (user_id % 65536)::BIGINT AS da,
+        |    (event_id % 65536)::BIGINT AS db FROM events),
+        |  ${hilbertSqlChain(16)}
+        |SELECT (hd >> 20)::BIGINT AS bucket, count(*)::BIGINT AS n,
+        |  min(da)::BIGINT AS min_da, max(da)::BIGINT AS max_da,
+        |  min(db)::BIGINT AS min_db, max(db)::BIGINT AS max_db,
+        |  min(hd)::BIGINT AS min_h, max(hd)::BIGINT AS max_h
+        |FROM h16 GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q364_hilbert_prune" ->
+      // the same corner rectangle over the raw table — the Hilbert
+      // layout write must be a pure reshuffle (q133's contract)
+      """SELECT count(*)::BIGINT AS n, round(sum(value), 2) AS total_value,
+        |  min(user_id % 65536)::BIGINT AS min_da,
+        |  max(user_id % 65536)::BIGINT AS max_da,
+        |  min(event_id % 65536)::BIGINT AS min_db,
+        |  max(event_id % 65536)::BIGINT AS max_db
+        |FROM events
+        |WHERE user_id % 65536 < 256 AND event_id % 65536 < 256""".stripMargin,
+    "q363_pmi_pca_embed" ->
+      // the same top-24 vocabulary, symmetrized adjacency counts,
+      // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power
+      // iterations over G = PᵀP, exact pc1, and the q35 cosine
+      // ranking over the PPMI rows scaled back to nats
+      s"""WITH tl AS (SELECT list_filter(
+        |      string_split_regex(lower(text), '\\s+'),
+        |      x -> len(x) > 0) AS t FROM documents),
+        |  vc AS (SELECT w, count(*)::BIGINT AS f FROM (
+        |      SELECT unnest(t) AS w FROM tl) GROUP BY w
+        |    ORDER BY f DESC, w LIMIT 24),
+        |  vi AS MATERIALIZED (SELECT w,
+        |      (row_number() OVER (ORDER BY w) - 1)::INT AS wi
+        |    FROM vc),
+        |  bg AS (SELECT a, b, count(*)::BIGINT AS n FROM (
+        |      SELECT t[i] AS a, t[i + 1] AS b FROM (
+        |        SELECT t, unnest(range(1, len(t))) AS i FROM tl))
+        |    GROUP BY 1, 2),
+        |  ab AS (SELECT va.wi AS i, vb.wi AS j, bg.n FROM bg
+        |    JOIN vi va ON va.w = bg.a JOIN vi vb ON vb.w = bg.b),
+        |  sym AS MATERIALIZED (SELECT i, j, sum(n)::BIGINT AS c FROM (
+        |      SELECT i, j, n FROM ab
+        |      UNION ALL SELECT j AS i, i AS j, n FROM ab)
+        |    GROUP BY 1, 2),
+        |  rt AS (SELECT i, sum(c)::BIGINT AS r FROM sym GROUP BY 1),
+        |  tt AS (SELECT sum(c)::BIGINT AS t FROM sym),
+        |  ppmi AS MATERIALIZED (SELECT g.i, g.j,
+        |      greatest(0, round(ln(
+        |        ((coalesce(s.c, 0) + 1) * (tt.t + 576))::DOUBLE /
+        |        ((coalesce(ri.r, 0) + 24) *
+        |         (coalesce(rj.r, 0) + 24))::DOUBLE) * 1e6)::BIGINT)
+        |        AS v
+        |    FROM (SELECT a.wi AS i, b.wi AS j
+        |        FROM vi a CROSS JOIN vi b) g
+        |    LEFT JOIN sym s ON s.i = g.i AND s.j = g.j
+        |    LEFT JOIN rt ri ON ri.i = g.i
+        |    LEFT JOIN rt rj ON rj.i = g.j
+        |    CROSS JOIN tt),
+        |  gcells AS MATERIALIZED (SELECT p1.j AS i, p2.j AS j,
+        |      sum(p1.v * p2.v)::BIGINT AS p
+        |    FROM ppmi p1 JOIN ppmi p2
+        |      ON p1.i = p2.i AND p2.j >= p1.j GROUP BY 1, 2),
+        |  ${powerIterSqlChain(20)},
+        |  pcr AS (SELECT p.i AS wi,
+        |      sum(p.v::HUGEINT * c.v)::BIGINT AS pc1
+        |    FROM ppmi p JOIN v20 c ON c.i = p.j GROUP BY 1),
+        |  em AS (SELECT i AS wi, list(v::DOUBLE / 1e6 ORDER BY j)
+        |      AS e, sum(v)::BIGINT AS nz FROM ppmi GROUP BY i),
+        |  pos AS (SELECT em.wi, vi.w, em.e FROM em
+        |    JOIN vi ON vi.wi = em.wi WHERE em.nz > 0),
+        |  cs AS (SELECT q.w AS qw, c.w AS cw,
+        |      list_inner_product(q.e, c.e) /
+        |        (sqrt(list_inner_product(q.e, q.e)) *
+        |         sqrt(list_inner_product(c.e, c.e))) AS sim0
+        |    FROM pos q JOIN pos c ON c.w <> q.w),
+        |  rk AS (SELECT qw, cw, round(sim0, 6) AS sim,
+        |      row_number() OVER (PARTITION BY qw
+        |        ORDER BY round(sim0, 6) DESC, cw) AS rn
+        |    FROM cs)
+        |SELECT r.qw AS w, p.pc1 AS pc1_micro2, r.rn AS rank,
+        |  r.cw AS neighbor, r.sim AS sim
+        |FROM rk r JOIN pos v ON v.w = r.qw JOIN pcr p ON p.wi = v.wi
+        |WHERE r.rn <= 3
+        |ORDER BY w, rank""".stripMargin,
     "q288_adaptive_lsh" ->
       // q32's band chain with the cap COMPUTED in capd/capl/capc CTEs
       // (recommendCap's floor=8 / p99 integer rank rule) and the

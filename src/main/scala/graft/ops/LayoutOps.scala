@@ -49,6 +49,60 @@ object LayoutOps {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
 
+  /** HILBERT index of two `bits`-bit dimensions (the xy→d walk of the
+    * classic iterative formulation — Hilbert 1891; Butz 1971 gave the
+    * first algorithm): fold from the top bit plane down — quadrant
+    * digit d += s²·((3·rx) xor ry), then the Gray-code flip/swap of
+    * the lower bits. ONE `aggregate` fold over the bit levels: the
+    * accumulator carries (x, y, d), so the expression stays LINEAR in
+    * `bits` (a static unroll would re-inline the whole prefix at
+    * every level — exponential tree growth). Pure integer column ops,
+    * no UDF.
+    *
+    * Next to [[zValue]]: both map a 2-D domain to a 1-D layout key,
+    * but the Hilbert walk never jumps — consecutive indexes are
+    * always grid-adjacent — so the bounding boxes of contiguous index
+    * ranges (= the min/max file statistics a scan prunes on) have
+    * strictly better worst-case locality than the z-curve's corner
+    * jumps; PhysicalLayoutSpec measures exactly that on the q125
+    * bucket grid. Inputs beyond `bits` bits are masked first (the
+    * curve's domain is the caller's to bound, the [[spreadBits]]
+    * rule). */
+  def hilbertValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val mask = lit((1L << bits) - 1)
+    val levels = typedLit((0 until bits).map(i => 1L << (bits - 1 - i)))
+    val init = struct(a.cast("long").bitwiseAND(mask).as("x"),
+      b.cast("long").bitwiseAND(mask).as("y"), lit(0L).as("d"))
+    aggregate(levels, init, (st, s) => {
+      val x = st.getField("x")
+      val y = st.getField("y")
+      val rx = when(x.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val nd = st.getField("d") +
+        s * s * (lit(3L) * rx).bitwiseXOR(ry)
+      // Gray-code rotation: flip both coords in the rx=1/ry=0
+      // quadrant, then swap x and y whenever ry=0
+      val nx = when(ry === 0,
+        when(rx === 1, s - 1 - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0,
+        when(rx === 1, s - 1 - x).otherwise(x)).otherwise(y)
+      struct(nx.as("x"), ny.as("y"), nd.as("d"))
+    }, st => st.getField("d"))
+  }
+
+  /** Lay a frame out along the Hilbert curve of (a, b) — the
+    * [[zOrderLayout]] move with [[hilbertValue]] as the 1-D key:
+    * range-partition on the index, sort within partitions. Same
+    * single range exchange + local sort; tighter worst-case file
+    * bounding boxes. */
+  def hilbertLayout(df: DataFrame, a: Column, b: Column, bits: Int,
+                    numPartitions: Int): DataFrame =
+    df.withColumn("_h", hilbertValue(a, b, bits))
+      .repartitionByRange(numPartitions, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+
   /** RANGE-partitioned layout on a single sort key — the everyday
     * warehouse layout next to [[zOrderLayout]]'s Morton curve (a real
     * user range-lays-out on a date far more often than they z-order):

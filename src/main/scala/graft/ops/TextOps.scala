@@ -1015,4 +1015,173 @@ object TextOps {
       .select(col(groupCol), col("nl").as("n_tokens"), col("vocab"),
         expr("((_sp + _sq) div 2L) div 1000L").as("jsd_micro"))
   }
+
+  // ── UNIGRAM-LM (SentencePiece) TOKENIZER ──────────────────────────
+  // Kudo 2018 ("Subword Regularization") next to the BPE pair of
+  // [[bpeMerges]]/[[bpeEncode]] — the OTHER tokenizer real pipelines
+  // ship. The deterministic hard-EM (Viterbi-EM) variant: a fixed
+  // candidate inventory, fixed EM rounds, integer micro-nat costs, so
+  // the whole trajectory replays bit-for-bit in any engine (the
+  // oracle unrolls the per-position DP as generated CTEs).
+
+  /** Candidate-piece INVENTORY for the unigram-LM tokenizer (the seed
+    * step): every substring of length 1..maxPieceLen of every
+    * vocabulary word, counted per occurrence weighted by word
+    * frequency. The inventory keeps ALL single characters (coverage
+    * guarantee — every vocabulary word stays segmentable forever)
+    * plus the top `topMulti` multi-character pieces by
+    * (count DESC, piece ASC). Returns (piece, cnt).
+    *
+    * Scale shape: one explode of the VOCABULARY (≤ len·maxPieceLen
+    * substrings per word — never the corpus token stream) into one
+    * map-side-combinable count; the multi-piece cut is a bounded
+    * TakeOrderedAndProject, never a global sort. */
+  def unigramSeedPieces(words: DataFrame, wordCol: String,
+                        freqCol: String, maxPieceLen: Int,
+                        topMulti: Int): DataFrame = {
+    val w = col(wordCol)
+    val subs = words.select(
+        explode(flatten(transform(sequence(lit(1), length(w)), j =>
+          transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(w) - j + 1)),
+            l => w.substr(j, l))))).as("piece"),
+        col(freqCol).cast("long").as("_f"))
+      .groupBy(col("piece")).agg(sum(col("_f")).as("cnt"))
+      .localCheckpoint() // feeds the singles filter AND the top-k cut
+    subs.where(length(col("piece")) === 1)
+      .unionByName(subs.where(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(topMulti))
+  }
+
+  /** Add-one-smoothed negative-log-likelihood piece costs in integer
+    * micro-nats from (piece, count): cost = round(−ln((cnt+1) /
+    * (Σcnt+|inv|))·10⁶). Always positive (cnt+1 < Σcnt+|inv| whenever
+    * the inventory has ≥ 2 pieces), so JVM HALF_UP rounding equals
+    * DuckDB's away-from-zero round(); the ln runs on the same
+    * integer-derived rational in both engines (the q195 add-one
+    * convention — unused pieces keep a finite cost, coverage never
+    * collapses). Driver math over the inventory-bounded artifact. */
+  def unigramCostsMicro(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val tot = counts.map(_._2).sum
+    val n = counts.size
+    counts.map { case (p, c) =>
+      (p, math.round(-math.log((c + 1).toDouble / (tot + n).toDouble) * 1e6))
+    }
+  }
+
+  /** VITERBI SEGMENTATION under a unigram-LM piece-cost table (the EM
+    * E-step of [[unigramTrain]] and the SentencePiece encode): per
+    * word, the minimum-total-cost split into inventory pieces —
+    * forward DP over the word's own positions, dp[j] = min over piece
+    * length l of dp[j−l] + cost(w[j−l+1..j]), ties to the LONGEST
+    * piece — then a backward reconstruction walk. BOTH passes are
+    * single `aggregate` folds over `sequence(1, len)`: pure per-row
+    * expressions, zero shuffle, embarrassingly parallel across
+    * words/docs — the tokenization hot path at 100 TB. The cost table
+    * is the trained artifact (inventory-bounded map literal). Appends
+    * (pieces array<string>, n_pieces, score_micro) to `df`. */
+  def unigramViterbi(df: DataFrame, wordCol: String,
+                     costs: Seq[(String, Long)],
+                     maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val inf = lit(Long.MaxValue / 4)
+    val cm = map(costs.flatMap { case (p, c) => Seq(lit(p), lit(c)) }: _*)
+    val w = col(wordCol)
+    val len = length(w)
+    // forward: dp[idx] = struct(best score s, best last-piece length bl)
+    // for the prefix of length idx−1 (1-based array, entry 1 = empty
+    // prefix). The fold keeps the expression LINEAR in word length —
+    // a static unroll would re-inline the whole prefix per position.
+    val dpZero = array(struct(lit(0L).as("s"), lit(0).as("bl")))
+    val dp = aggregate(sequence(lit(1), len), dpZero, (acc, j) => {
+      def candAt(l: Int): Column = {
+        val c = try_element_at(cm, w.substr(j - lit(l - 1), lit(l)))
+        when(j >= lit(l) && c.isNotNull,
+          struct((element_at(acc, j - lit(l - 1)).getField("s") + c)
+            .as("s"), lit(l).as("bl")))
+          .otherwise(struct(inf.as("s"), lit(0).as("bl")))
+      }
+      // strict-less fold from the longest candidate down: equal
+      // scores keep the earlier (longer) piece — the pinned tie rule
+      // the oracle mirrors with ORDER BY s, bl DESC
+      val best = (maxPieceLen - 1 to 1 by -1).map(candAt)
+        .foldLeft(candAt(maxPieceLen)) { (b, c) =>
+          when(c.getField("s") < b.getField("s"), c).otherwise(b)
+        }
+      concat(acc, array(best))
+    })
+    // backward: walk bl pointers from the full length, prepending the
+    // piece each step (≤ len steps; finished words idle on pos = 0)
+    val btZero = struct(len.cast("int").as("pos"),
+      array().cast("array<string>").as("ps"))
+    val bt = aggregate(sequence(lit(1), len), btZero, (st, _) => {
+      val pos = st.getField("pos")
+      val bl = element_at(col("_dp"), pos + 1).getField("bl")
+      when(pos > 0,
+        struct((pos - bl).as("pos"),
+          concat(array(w.substr(pos - bl + 1, bl)), st.getField("ps"))
+            .as("ps")))
+        .otherwise(st)
+    })
+    df.withColumn("_dp", dp)
+      .withColumn("pieces", bt.getField("ps"))
+      .withColumn("n_pieces", size(bt.getField("ps")).cast("long"))
+      .withColumn("score_micro",
+        element_at(col("_dp"), len + 1).getField("s"))
+      .drop("_dp")
+  }
+
+  /** UNIGRAM-LM TOKENIZER TRAINING — `rounds` deterministic Viterbi-EM
+    * rounds over a fixed [[unigramSeedPieces]] inventory. E-step:
+    * segment every vocabulary word under the current costs (ONE
+    * distributed [[unigramViterbi]] projection — zero shuffle);
+    * M-step: frequency-weighted piece usage counts (ONE map-side-
+    * combinable aggregate) re-estimate the costs via
+    * [[unigramCostsMicro]]. Returns one row per (round, piece):
+    * (round, piece, cnt, cost_micro) — cnt is the round's usage, 0
+    * for pieces the Viterbi never chose.
+    *
+    * The cost artifact (≤ topMulti + alphabet rows) is the only
+    * driver bridge per round — the [[bpeMerges]] k-collect
+    * convention; the result table itself is inventory-bounded. */
+  def unigramTrain(words: DataFrame, wordCol: String, freqCol: String,
+                   rounds: Int, maxPieceLen: Int,
+                   topMulti: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val seed = unigramSeedPieces(words, wordCol, freqCol, maxPieceLen,
+        topMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1)
+    val vocab = words.select(col(wordCol), col(freqCol).cast("long")
+      .as("_f")).localCheckpoint() // re-segmented every round
+    var costs = unigramCostsMicro(seed)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val usage = unigramViterbi(vocab, wordCol, costs, maxPieceLen)
+        .select(explode(col("pieces")).as("piece"), col("_f"))
+        .groupBy(col("piece")).agg(sum(col("_f")).as("cnt"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val cnts = seed.map { case (p, _) => (p, usage.getOrElse(p, 0L)) }
+      costs = unigramCostsMicro(cnts)
+      val cm = costs.toMap
+      cnts.foreach { case (p, c) => out += ((r.toLong, p, c, cm(p))) }
+    }
+    out.toSeq.toDF("round", "piece", "cnt", "cost_micro")
+  }
+
+  /** The final cost artifact of [[unigramTrain]] (the piece → micro-nat
+    * cost table the encode path broadcasts) — re-derived by the same
+    * loop, the q192 retrain convention. */
+  def unigramTrainCosts(words: DataFrame, wordCol: String,
+                        freqCol: String, rounds: Int, maxPieceLen: Int,
+                        topMulti: Int): Seq[(String, Long)] = {
+    val last = unigramTrain(words, wordCol, freqCol, rounds,
+        maxPieceLen, topMulti)
+      .where(col("round") === rounds)
+      .collect().map(r => (r.getString(1), r.getLong(3))).toSeq
+    last.sortBy(_._1)
+  }
 }

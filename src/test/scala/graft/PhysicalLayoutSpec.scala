@@ -132,6 +132,78 @@ class PhysicalLayoutSpec extends AnyFunSuite {
         s"groups: z=$zRead vs hash=$hRead records read")
   }
 
+  test("hilbertValue matches the scalar xy2d reference on the full " +
+       "16x16 grid and visits every cell exactly once") {
+    import graft.ops.LayoutOps
+    // the classic iterative xy2d, straight from the published
+    // formulation — an independent scalar spelling of the same walk
+    def ref(bits: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val bits = 4
+    val grid = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val got = grid.toDF("x", "y")
+      .withColumn("h", LayoutOps.hilbertValue(col("x"), col("y"), bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) === ref(bits, x, y), s"xy=($x,$y)")
+    }
+    // bijection: 256 cells -> 256 distinct indexes in [0, 256)
+    assert(got.values.toSet === (0L until 256L).toSet)
+  }
+
+  test("hilbert walk never jumps: consecutive indexes are always " +
+       "grid-adjacent (the locality property z-order lacks)") {
+    import graft.ops.LayoutOps
+    val bits = 3
+    val cells = (for (x <- 0 until 8; y <- 0 until 8)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+      .withColumn("h", LayoutOps.hilbertValue(col("x"), col("y"), bits))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    cells.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve jumped from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbert buckets bound prune rectangles tighter than z-order " +
+       "on unaligned index ranges (the q362-vs-q125 locality case)") {
+    import graft.ops.LayoutOps
+    // full 32x32 grid, consecutive-index buckets of 43 cells — NOT a
+    // power of two, so buckets straddle quadrant boundaries: the z
+    // curve's corner jumps inflate the bounding box (= the min/max
+    // stats a file written per bucket would carry; bbox area ~ rows a
+    // rectangle scan cannot prune), the Hilbert walk stays contiguous
+    val bits = 5
+    val grid = (for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+      .withColumn("h", LayoutOps.hilbertValue(col("x"), col("y"), bits))
+      .withColumn("z", LayoutOps.zValue(col("x"), col("y")))
+    def bboxArea(keyCol: String): Long = grid
+      .groupBy((col(keyCol) / 43).cast("long").as("bucket"))
+      .agg(((max("x") - min("x") + 1) *
+            (max("y") - min("y") + 1)).as("area"))
+      .agg(sum("area")).head().getLong(0)
+    val hArea = bboxArea("h")
+    val zArea = bboxArea("z")
+    assert(hArea < zArea,
+      s"hilbert bucket bboxes must be tighter: hilbert=$hArea z=$zArea")
+  }
+
   test("range layout + pushed date predicate skips row groups a hash " +
        "layout must read (the q251 file-skipping proof)") {
     import graft.ops.LayoutOps
