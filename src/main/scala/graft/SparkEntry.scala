@@ -7594,6 +7594,41 @@ object SparkEntry {
         min(col("db")).as("min_db"), max(col("db")).as("max_db"))
   }
 
+  private def q365(s: SparkSession, dir: String): DataFrame =
+    // SYMSPELL EDIT-DISTANCE JOIN (TextOps.symspellPairs — Garbe
+    // 2012's delete-neighborhood blocking): every vocabulary word
+    // pair within Levenshtein ≤ 2 via ONE equi-join on the ≤ 1+L+L²
+    // generated delete variants per word — never an n² distance scan
+    // — with the exact `levenshtein` verify on candidates only. The
+    // whole blocking theorem + verify replays verbatim in SQL; a
+    // candidate lost to a wrong variant hash-mismatches.
+    TextOps.symspellPairs(unigramVocab(s, dir), "w", "f")
+      .orderBy(col("w_a"), col("w_b"))
+
+  private def q366(s: SparkSession, dir: String): DataFrame =
+    // HEAPS'-LAW VOCABULARY-GROWTH FIT (TextOps.heapsLaw — the corpus
+    // datasheet number next to q178's Zipf slope): the growth curve
+    // sampled at a FIXED 64-bin grid over the document order (per
+    // bin: token mass + first-occurrence new-type count), cumulative
+    // (T, V) points, ln–ln regr_slope fit. The window orders 64 rows
+    // at any corpus size; the q178 regr_* rounding convention.
+    TextOps.heapsLaw(t(s, dir, "documents"), "doc_id", "text",
+      bins = 64)
+
+  private def q367(s: SparkSession, dir: String): DataFrame =
+    // F1-OPTIMAL THRESHOLD SWEEP (EvalOps.f1Threshold — the
+    // operating-point pick after q221/q321 calibration): confusion
+    // counts for "predict purchase ⟺ value-cents ≥ t" at every
+    // score level via one suffix window over the LEVEL table,
+    // precision/recall/F1 as exact integer ppm (x·10⁶ div total —
+    // no float anywhere), best row pinned (f1 DESC, thr ASC).
+    EvalOps.f1Threshold(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(round(col("value") * 100, 0).cast("long").as("score"),
+          (col("event_type") === "purchase").as("y")),
+      "score", "y")
+      .orderBy(col("thr"))
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8742,6 +8777,9 @@ object SparkEntry {
     "q362_hilbert_layout" -> q362 _,
     "q363_pmi_pca_embed" -> q363 _,
     "q364_hilbert_prune" -> q364 _,
+    "q365_symspell_join" -> q365 _,
+    "q366_heaps_law" -> q366 _,
+    "q367_f1_threshold" -> q367 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -16478,6 +16516,100 @@ object SparkEntry {
         |  max(event_id % 65536)::BIGINT AS max_db
         |FROM events
         |WHERE user_id % 65536 < 256 AND event_id % 65536 < 256""".stripMargin,
+    "q365_symspell_join" ->
+      // the same delete-neighborhood generation (self + del1 + del2),
+      // the same variant equi-join blocking, the same levenshtein
+      // verify — the blocking theorem replayed end to end
+      """WITH v AS (SELECT w, count(*)::BIGINT AS f FROM (
+        |    SELECT unnest(list_filter(
+        |        string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS w FROM documents)
+        |    WHERE regexp_matches(w, '^[a-z]{2,10}$') GROUP BY w),
+        |  d1 AS (SELECT w, substr(w, 1, (i - 1)::INT) ||
+        |      substr(w, (i + 1)::INT, (len(w) - i)::INT) AS var
+        |    FROM v, LATERAL (SELECT unnest(range(1, len(w) + 1))
+        |      AS i) _),
+        |  d2 AS (SELECT w, substr(var, 1, (j - 1)::INT) ||
+        |      substr(var, (j + 1)::INT, (len(var) - j)::INT) AS var
+        |    FROM d1, LATERAL (SELECT unnest(range(1, len(var) + 1))
+        |      AS j) _),
+        |  vars AS (SELECT DISTINCT w, var FROM (
+        |    SELECT w, w AS var FROM v
+        |    UNION ALL SELECT w, var FROM d1
+        |    UNION ALL SELECT w, var FROM d2)),
+        |  cand AS (SELECT DISTINCT a.w AS w_a, b.w AS w_b
+        |    FROM vars a JOIN vars b ON a.var = b.var AND a.w < b.w),
+        |  ver AS (SELECT w_a, w_b, levenshtein(w_a, w_b)::BIGINT
+        |      AS dist
+        |    FROM cand WHERE levenshtein(w_a, w_b) <= 2)
+        |SELECT ver.w_a, ver.w_b, ver.dist, fa.f AS f_a, fb.f AS f_b
+        |FROM ver JOIN v fa ON fa.w = ver.w_a
+        |JOIN v fb ON fb.w = ver.w_b
+        |ORDER BY w_a, w_b""".stripMargin,
+    "q366_heaps_law" ->
+      // same 64-bin integer cut (// == div on non-negative ids), same
+      // first-occurrence new-type counts, same ln-ln regr fit
+      """WITH mxd AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
+        |  tok AS (SELECT (doc_id * 64) // (mx + 1) AS bin,
+        |      unnest(list_filter(
+        |        string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS tok
+        |    FROM documents, mxd),
+        |  mass AS (SELECT bin, count(*)::BIGINT AS nt FROM tok
+        |    GROUP BY 1),
+        |  news AS (SELECT bin, count(*)::BIGINT AS nv FROM (
+        |      SELECT tok, min(bin) AS bin FROM tok GROUP BY 1)
+        |    GROUP BY 1),
+        |  cum AS (SELECT m.bin,
+        |      (sum(m.nt) OVER (ORDER BY m.bin ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW))::BIGINT AS t,
+        |      (sum(coalesce(n.nv, 0)) OVER (ORDER BY m.bin ROWS
+        |        BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |        AS v
+        |    FROM mass m LEFT JOIN news n ON n.bin = m.bin)
+        |SELECT count(*)::BIGINT AS n_bins_fit,
+        |  max(t)::BIGINT AS total_tokens, max(v)::BIGINT AS vocab,
+        |  round(regr_slope(ln(v), ln(t)), 6) + 0.0 AS heaps_beta,
+        |  round(regr_intercept(ln(v), ln(t)), 4) + 0.0
+        |    AS heaps_intercept
+        |FROM cum WHERE t > 0 AND v > 0""".stripMargin,
+    "q367_f1_threshold" ->
+      // same level table, same suffix-window confusion counts, same
+      // exact-integer ppm divisions (// == div on non-negative
+      // operands), same (f1 DESC NULLS LAST, thr) best pin
+      """WITH d AS (SELECT round(value * 100)::BIGINT AS thr,
+        |    (event_type = 'purchase') AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |  lv AS (SELECT thr,
+        |      sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |      sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n_neg
+        |    FROM d GROUP BY 1),
+        |  tot AS (SELECT sum(n_pos)::BIGINT AS p FROM lv),
+        |  sw AS (SELECT thr, n_pos, n_neg,
+        |      (sum(n_pos) OVER (ORDER BY thr DESC ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS tp,
+        |      (sum(n_neg) OVER (ORDER BY thr DESC ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS fp
+        |    FROM lv),
+        |  m AS (SELECT sw.*, (tot.p - tp)::BIGINT AS fn
+        |    FROM sw, tot),
+        |  f AS (SELECT *,
+        |      (CASE WHEN tp + fp > 0
+        |        THEN tp * 1000000 // (tp + fp) END)::BIGINT
+        |        AS prec_ppm,
+        |      (CASE WHEN tp + fn > 0
+        |        THEN tp * 1000000 // (tp + fn) END)::BIGINT
+        |        AS rec_ppm,
+        |      (CASE WHEN 2 * tp + fp + fn > 0
+        |        THEN 2 * tp * 1000000 // (2 * tp + fp + fn)
+        |        END)::BIGINT AS f1_ppm
+        |    FROM m),
+        |  b AS (SELECT thr AS best_thr FROM f
+        |    ORDER BY f1_ppm DESC NULLS LAST, thr LIMIT 1)
+        |SELECT f.thr, f.n_pos, f.n_neg, f.tp, f.fp, f.fn,
+        |  f.prec_ppm, f.rec_ppm, f.f1_ppm,
+        |  (f.thr = b.best_thr) AS is_best
+        |FROM f, b ORDER BY f.thr""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

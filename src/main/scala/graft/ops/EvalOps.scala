@@ -2059,4 +2059,53 @@ object EvalOps {
         col("z_micro"), col("bound_micro"), col("crossed"),
         col("stop_look"))
   }
+
+  /** F1-OPTIMAL DECISION THRESHOLD sweep (the operating-point
+    * selection run after calibration — [[isotonicPav]]/q221-class
+    * scores need a cut before they gate anything): for every distinct
+    * integer score level t, the confusion counts of the rule
+    * "predict positive ⟺ score ≥ t" via ONE suffix window over the
+    * score LEVEL table (the [[rocAuc]] shape — never a per-row scan
+    * per threshold), then precision/recall/F1 as EXACT integer ppm —
+    * x·10⁶ div total, truncating on non-negative operands, so both
+    * engines land identical integers with no float anywhere. The best
+    * row pins to (f1 DESC, thr ASC).
+    *
+    * SCALE: everything past the first aggregate is score-LEVEL
+    * bounded; the sweep windows order ≤ |levels| rows. Degenerate
+    * denominators (no predicted positives / no actual positives)
+    * yield null ppm (the qini null-on-degenerate convention). Output:
+    * (thr, n_pos, n_neg, tp, fp, fn, prec_ppm, rec_ppm, f1_ppm,
+    * is_best). */
+  def f1Threshold(df: DataFrame, scoreCol: String,
+                  labelCol: String): DataFrame = {
+    val lv = df.select(col(scoreCol).cast("long").as("thr"),
+        col(labelCol).cast("boolean").as("_y"))
+      .groupBy(col("thr"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("n_neg"))
+      .localCheckpoint() // level-bounded; feeds totals AND the sweep
+    val totals = lv.agg(sum(col("n_pos")).as("_p"))
+    val wSuf = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sweep = lv
+      .withColumn("tp", sum(col("n_pos")).over(wSuf))
+      .withColumn("fp", sum(col("n_neg")).over(wSuf))
+      .crossJoin(broadcast(totals))
+      .withColumn("fn", col("_p") - col("tp"))
+      .withColumn("prec_ppm", when(col("tp") + col("fp") > 0,
+        expr("tp * 1000000L div (tp + fp)")))
+      .withColumn("rec_ppm", when(col("tp") + col("fn") > 0,
+        expr("tp * 1000000L div (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("2L * tp * 1000000L div (2L * tp + fp + fn)")))
+    sweep
+      .withColumn("is_best", row_number().over(
+        Window.orderBy(col("f1_ppm").desc_nulls_last,
+          col("thr"))) === 1)
+      .select(col("thr"), col("n_pos"), col("n_neg"), col("tp"),
+        col("fp"), col("fn"), col("prec_ppm"), col("rec_ppm"),
+        col("f1_ppm"), col("is_best"))
+  }
 }

@@ -1184,4 +1184,114 @@ object TextOps {
       .collect().map(r => (r.getString(1), r.getLong(3))).toSeq
     last.sortBy(_._1)
   }
+
+  /** All single-character-deletion variants of a string — the SymSpell
+    * neighborhood generator (Garbe 2012): |w| strings, each missing
+    * one position. Pure array expression. */
+  private def deleteVariants(w: Column): Column =
+    array_distinct(transform(sequence(lit(1), length(w)),
+      i => concat(w.substr(lit(1), i - 1),
+        w.substr(i + 1, length(w) - i))))
+
+  /** SYMSPELL EDIT-DISTANCE JOIN (Garbe 2012's delete-neighborhood
+    * blocking — the spell-variant/near-key consolidation pass a
+    * vocabulary-cleaning pipeline runs): all word pairs within
+    * Levenshtein distance ≤ 2, found WITHOUT the n² distance scan.
+    * If ed(a, b) = k ≤ 2, deleting the edited positions reaches a
+    * common string in ≤ k deletions from each side — so candidates
+    * are exactly the pairs sharing a member of {w} ∪ del¹(w) ∪
+    * del²(w) (≤ 1 + |w| + |w|² strings per word), ONE equi-join on
+    * the variant key; the exact `levenshtein` verify then runs only
+    * on candidates. Both the blocking theorem and the verify replay
+    * verbatim in any engine.
+    *
+    * SCALE: the neighborhood explode and join are VOCABULARY-sized
+    * (never the corpus token stream), the join key is a bounded
+    * generated column, and no pair of words is ever compared unless
+    * it shares a variant — the canonical sub-quadratic fuzzy join.
+    * Output: (w_a, w_b, dist, f_a, f_b) with w_a < w_b. */
+  def symspellPairs(words: DataFrame, wordCol: String,
+                    freqCol: String): DataFrame = {
+    val w = col(wordCol)
+    val vocab = words.select(w.as("_w"),
+      col(freqCol).cast("long").as("_f"))
+    val d1 = deleteVariants(col("_w"))
+    val vars = vocab.select(col("_w"),
+        explode(array_distinct(concat(
+          array(col("_w")), d1,
+          flatten(transform(d1, v => array_distinct(
+            transform(sequence(lit(1), length(v)),
+              i => concat(v.substr(lit(1), i - 1),
+                v.substr(i + 1, length(v) - i))))))))).as("_var"))
+    val cand = vars.as("a")
+      .join(vars.as("b"), col("a._var") === col("b._var") &&
+        col("a._w") < col("b._w"))
+      .select(col("a._w").as("w_a"), col("b._w").as("w_b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("w_a"), col("w_b"))
+        .cast("long"))
+      .where(col("dist") <= 2)
+      .join(vocab.select(col("_w").as("w_a"), col("_f").as("f_a")),
+        "w_a")
+      .join(vocab.select(col("_w").as("w_b"), col("_f").as("f_b")),
+        "w_b")
+      .select(col("w_a"), col("w_b"), col("dist"), col("f_a"),
+        col("f_b"))
+  }
+
+  /** HEAPS'-LAW FIT (Heaps 1978; the vocabulary-growth exponent next
+    * to q178's Zipf head fit — V(T) ≈ K·T^β, the datasheet number
+    * that says how fast a corpus keeps minting new types): sample the
+    * growth curve at `bins` positions along the document order — per
+    * bin, token mass and NEW-type count (a type's bin = the first bin
+    * it appears in, one min-aggregate over the vocabulary) — then the
+    * cumulative (T, V) points and the q178 regr_slope/intercept/r2
+    * fit on the ln–ln curve.
+    *
+    * SCALE: the curve is sampled at a FIXED bin grid, so the
+    * cumulative window orders `bins` rows no matter how many
+    * documents stream through (a per-document curve would serialize
+    * the corpus through one window); token mass and first-occurrence
+    * both reduce map-side. No r² is reported: on a saturating corpus
+    * ln V goes CONSTANT and r² is 0/0 — engine-dependent float noise
+    * — while the slope/intercept numerators collapse to an ε that
+    * rounds away at 6 dp (slope exactly 0 after rounding), so those
+    * stay cross-engine deterministic. Returns one row:
+    * (n_bins_fit, total_tokens, vocab, heaps_beta, heaps_intercept). */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               bins: Int): DataFrame = {
+    val n = docs.agg(max(col(idCol)).cast("long").as("_mx"))
+    // exact integer bin cut (non-negative operands, so Spark's
+    // truncating `div` == DuckDB's flooring `//` — the pinned rule)
+    val toks = docs.crossJoin(broadcast(n))
+      .select(col(idCol).cast("long").as("_id"), col("_mx"),
+        explode(tokens(lower(col(textCol)))).as("_tok"))
+      .select(expr(s"_id * ${bins}L div (_mx + 1L)").as("_bin"),
+        col("_tok"))
+      .localCheckpoint() // feeds mass AND first-occurrence
+    val mass = toks.groupBy(col("_bin"))
+      .agg(count(lit(1)).as("_nt"))
+    val news = toks.groupBy(col("_tok"))
+      .agg(min(col("_bin")).as("_bin"))
+      .groupBy(col("_bin")).agg(count(lit(1)).as("_nv"))
+    val wCum = Window.orderBy(col("_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mass.join(news, Seq("_bin"), "left")
+      .withColumn("_t", sum(col("_nt")).over(wCum))
+      .withColumn("_v", sum(coalesce(col("_nv"), lit(0L))).over(wCum))
+      .where(col("_t") > 0 && col("_v") > 0)
+      .agg(count(lit(1)).as("n_bins_fit"),
+        max(col("_t")).as("total_tokens"),
+        max(col("_v")).as("vocab"),
+        // + 0.0 normalizes IEEE negative zero: on a saturated corpus
+        // the covariance collapses to ±ε and the rounded slope lands
+        // on -0.0 or 0.0 per accumulation order — distinct hash
+        // strings for the same value. x + 0.0 is exact for every
+        // other double.
+        (round(regr_slope(log(col("_v")), log(col("_t"))), 6)
+          + 0.0).as("heaps_beta"),
+        (round(regr_intercept(log(col("_v")), log(col("_t"))), 4)
+          + 0.0).as("heaps_intercept"))
+  }
 }
