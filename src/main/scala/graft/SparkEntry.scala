@@ -7629,6 +7629,33 @@ object SparkEntry {
       "score", "y")
       .orderBy(col("thr"))
 
+  private def q368(s: SparkSession, dir: String): DataFrame = {
+    // AUTOCORRELATION of the daily event-volume series (AggOps.acf —
+    // Box & Jenkins; the memory/seasonality readout next to q267's
+    // day-of-week profile and q204's trend): lags 1..7 over the day
+    // grid. One corpus aggregate builds the grid; everything after —
+    // the centering, the lag self-join, the sums — is grid-bounded.
+    // Exact integer numerators/denominator (c_t = n·x_t − S), one
+    // final divide; the oracle replays the identical integers.
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_t", row_number().over(Window.orderBy(col("_day")))
+        .cast("long"))
+    AggOps.acf(daily, "_t", "_x", maxLag = 7).orderBy(col("lag"))
+  }
+
+  private def q369(s: SparkSession, dir: String): DataFrame =
+    // ε-DP HISTOGRAM RELEASE (CleanOps.dpHistogram — Dwork et al.
+    // 2006, ε = 0.5 ⇒ Laplace scale b = 2): the event-type histogram
+    // released with seeded-md5 Laplace noise in integer micro — the
+    // privacy family's (q197/q228/q281) publication step, fully
+    // hash-replayable because the draw is the q105 md5-uniform on an
+    // engine-portable rational.
+    CleanOps.dpHistogram(t(s, dir, "events"), "event_type",
+        epsilon = 0.5, salt = "dp15")
+      .orderBy(col("event_type"))
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8780,6 +8807,8 @@ object SparkEntry {
     "q365_symspell_join" -> q365 _,
     "q366_heaps_law" -> q366 _,
     "q367_f1_threshold" -> q367 _,
+    "q368_acf" -> q368 _,
+    "q369_dp_histogram" -> q369 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -16610,6 +16639,43 @@ object SparkEntry {
         |  f.prec_ppm, f.rec_ppm, f.f1_ppm,
         |  (f.thr = b.best_thr) AS is_best
         |FROM f, b ORDER BY f.thr""".stripMargin,
+    "q368_acf" ->
+      // same day grid, same exact-integer centering c = n·x − S,
+      // same lag join and single final divide; null on a constant
+      // series (zero denominator)
+      """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+        |    FROM events GROUP BY 1),
+        |  base AS (SELECT row_number() OVER (ORDER BY day)::BIGINT
+        |      AS t, x FROM daily),
+        |  st AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+        |    FROM base),
+        |  c AS (SELECT t, (st.n * x - st.s)::BIGINT AS c
+        |    FROM base, st),
+        |  den AS (SELECT sum(c * c)::BIGINT AS d FROM c),
+        |  lg AS (SELECT unnest(range(1, 8)) AS lag),
+        |  pr AS (SELECT lg.lag, a.c AS ca, b.c AS cb
+        |    FROM c a CROSS JOIN lg JOIN c b ON b.t = a.t - lg.lag)
+        |SELECT lag::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+        |  (CASE WHEN den.d > 0 THEN
+        |    round(sum(ca * cb)::DOUBLE / den.d::DOUBLE, 6) END) AS acf
+        |FROM pr, den GROUP BY lag, den.d ORDER BY lag""".stripMargin,
+    "q369_dp_histogram" ->
+      // same seeded md5-uniform (+0.5 over 2^32), same Laplace
+      // inverse CDF with b = 2, same micro fixing
+      """WITH h AS (SELECT event_type, count(*)::BIGINT AS n
+        |    FROM events GROUP BY 1),
+        |  u AS (SELECT event_type, n,
+        |      ((('0x' || substr(md5('dp15:' || event_type), 1, 8))
+        |        ::BIGINT + 0.5) / 4294967296.0) AS u
+        |    FROM h),
+        |  z AS (SELECT event_type, n,
+        |      round(-2.0 * sign(u - 0.5) *
+        |        ln(1.0 - 2.0 * abs(u - 0.5)) * 1e6)::BIGINT
+        |        AS noise_micro
+        |    FROM u)
+        |SELECT event_type, n, noise_micro,
+        |  (n * 1000000 + noise_micro)::BIGINT AS released_micro
+        |FROM z ORDER BY event_type""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

@@ -348,6 +348,47 @@ object AggOps {
           .as("intercept"))
   }
 
+  /** AUTOCORRELATION FUNCTION over an integer-valued regular series
+    * (Box & Jenkins 1970 — the seasonality/memory readout next to
+    * [[olsTrend]] and q267's day-of-week profile): r_k =
+    * Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² for k = 1..maxLag.
+    *
+    * EXACT arithmetic: with c_t = n·x_t − S (an exact integer — n
+    * series length, S the sum), r_k = Σ c_t·c_{t−k} / Σ c_t² because
+    * the common n² factor cancels, so both engines divide identical
+    * integers and the only float op is the final divide (the q186
+    * convention). Degenerate series (constant x ⇒ zero denominator)
+    * yield null acf. Requires Σ c² < 2^63 — trivially true for the
+    * grid magnitudes this takes.
+    *
+    * SCALE: the input is a GRID table (one row per time step — the
+    * upstream aggregate already collapsed the raw stream), so the lag
+    * self-join and every sum here are grid-bounded at any raw-data
+    * size. Returns (lag, n_pairs, acf). */
+  def acf(series: DataFrame, tCol: String, xCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val base = series.select(col(tCol).cast("long").as("_t"),
+      col(xCol).cast("long").as("_x")).localCheckpoint()
+    val st = base.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"))
+    val c = base.crossJoin(broadcast(st))
+      .select(col("_t"), (col("_n") * col("_x") - col("_s")).as("_c"))
+      .localCheckpoint() // feeds the denominator AND both join sides
+    val den = c.agg(sum(col("_c") * col("_c")).as("_d"))
+    c.select(col("_t"), col("_c"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .join(c.select(col("_t").as("_t2"), col("_c").as("_c2")),
+        col("_t") - col("lag") === col("_t2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_c") * col("_c2")).as("_num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(col("_d") > 0,
+          round(col("_num").cast("double") / col("_d").cast("double"),
+            6)).as("acf"))
+  }
+
   /** Pearson chi-square test of independence over two categorical
     * columns (the SRM / guardrail check run next to a CUPED readout:
     * is the outcome mix independent of the assignment?).

@@ -356,6 +356,40 @@ object CleanOps {
       .drop("_qi_n")
   }
 
+  /** ε-DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE (Dwork, McSherry,
+    * Nissim & Smith 2006 — the fourth rung of the privacy ladder
+    * after [[kAnonymize]]/[[lDiversityAudit]]/[[tClosenessAudit]]:
+    * per-category counts plus Laplace(1/ε) noise; a disjoint
+    * histogram has L1 sensitivity 1, so the scale is b = 1/ε).
+    *
+    * The noise draw is the SEEDED md5-uniform (the q105/q140 draw):
+    * u = ((first 8 md5 hex digits of salt:key) + ½) / 2³², strictly
+    * inside (0, 1) and never exactly ½, then the Laplace inverse CDF
+    * noise = −b·sign(u−½)·ln(1−2|u−½|), fixed to integer micro
+    * before release — every step runs on the same engine-portable
+    * rational, so the whole mechanism hash-replays. A REAL deployment
+    * swaps the seeded draw for a secure RNG; the seeded form is what
+    * makes the release auditable end to end (the q20-vs-q76 trade).
+    *
+    * SCALE: ONE map-side-combinable count per category; the noise is
+    * a projection over the category-domain-bounded histogram.
+    * Returns (catCol, n, noise_micro, released_micro) — n is the
+    * harness readout for the oracle; a production release drops it. */
+  def dpHistogram(df: DataFrame, catCol: String, epsilon: Double,
+                  salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val u = (conv(substring(md5(concat(lit(salt + ":"),
+      col(catCol).cast("string"))), 1, 8), 16, 10).cast("double")
+      + 0.5) / 4294967296.0
+    val noise = lit(-1.0 / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise_micro", round(noise * 1e6, 0).cast("long"))
+      .withColumn("released_micro",
+        col("n") * 1000000L + col("noise_micro"))
+  }
+
   /** l-DIVERSITY AUDIT (Machanavajjhala et al. 2006 — the
     * k-anonymity refinement guarding against the homogeneity attack:
     * a QI group that is large enough can still leak when every member
