@@ -7656,6 +7656,33 @@ object SparkEntry {
         epsilon = 0.5, salt = "dp15")
       .orderBy(col("event_type"))
 
+  private def q370(s: SparkSession, dir: String): DataFrame = {
+    // DOREMI-STYLE MIXTURE REWEIGHTING (SplitOps.mwMixtureWeights —
+    // Xie et al. 2023): per-source average token surprisal under the
+    // corpus unigram LM (q128's two-pass shape) as the domain loss,
+    // then 5 exponentiated-gradient rounds (η = 0.2) upweight the
+    // high-surprisal sources — the mixture-OPTIMIZATION step a
+    // pretraining pipeline runs next to q183's temperature mix.
+    // Everything past the corpus token aggregate is source-domain
+    // bounded; the whole weight trajectory hash-replays as unrolled
+    // CTEs.
+    val toks = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextOps.tokens(lower(col("text")))).as("w"))
+      .localCheckpoint() // feeds the LM counts AND the scored stream
+    val lm = toks.groupBy(col("w")).agg(count(lit(1)).as("_f"))
+    val tot = lm.agg(sum(col("_f")).as("_tt"))
+    val lp = lm.crossJoin(broadcast(tot))
+      .select(col("w"), round(log(col("_f").cast("double") /
+        col("_tt").cast("double")) * 1e6, 0).cast("long").as("_lp"))
+    val losses = toks.join(broadcast(lp), "w")
+      .groupBy(col("source"))
+      .agg(expr("(-sum(_lp)) div count(1)").as("avg_nll_micro"))
+    SplitOps.mwMixtureWeights(losses, "source", "avg_nll_micro",
+        eta = 0.2, rounds = 5)
+      .orderBy(col("round"), col("source"))
+  }
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8809,6 +8836,7 @@ object SparkEntry {
     "q367_f1_threshold" -> q367 _,
     "q368_acf" -> q368 _,
     "q369_dp_histogram" -> q369 _,
+    "q370_doremi_mixture" -> q370 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -16676,6 +16704,45 @@ object SparkEntry {
         |SELECT event_type, n, noise_micro,
         |  (n * 1000000 + noise_micro)::BIGINT AS released_micro
         |FROM z ORDER BY event_type""".stripMargin,
+    "q370_doremi_mixture" -> {
+      // same corpus unigram surprisal losses, same excess/fexp micro
+      // fixing, same 5 unrolled normalize rounds (// == div, all
+      // operands non-negative)
+      val rounds = (1 to 5).map { r =>
+        val prev = if (r == 1) "f0" else s"mw${r - 1}"
+        s"""mw$r AS (SELECT source, excess_micro, fexp_micro,
+           |    ((weight_ppm * fexp_micro) * 1000000 //
+           |      (SELECT sum(weight_ppm * fexp_micro) FROM $prev))
+           |      ::BIGINT AS weight_ppm
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n  ")
+      val out = (0 to 5).map { r =>
+        val src = if (r == 0) "f0" else s"mw$r"
+        s"SELECT $r::BIGINT AS round, source, excess_micro, " +
+          s"fexp_micro, weight_ppm FROM $src"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH tok AS (SELECT source, unnest(list_filter(
+        |      string_split_regex(lower(text), '\\s+'),
+        |      x -> len(x) > 0)) AS w FROM documents),
+        |  lm AS (SELECT w, count(*)::BIGINT AS f FROM tok
+        |    GROUP BY 1),
+        |  tt AS (SELECT sum(f)::BIGINT AS t FROM lm),
+        |  lp AS (SELECT w, round(ln(f::DOUBLE / tt.t::DOUBLE)
+        |      * 1e6)::BIGINT AS lp FROM lm, tt),
+        |  loss AS (SELECT source,
+        |      ((-sum(lp.lp)) // count(*))::BIGINT AS l
+        |    FROM tok JOIN lp USING (w) GROUP BY source),
+        |  stt AS (SELECT min(l)::BIGINT AS mn,
+        |      count(*)::BIGINT AS k FROM loss),
+        |  f0 AS (SELECT source, (l - stt.mn)::BIGINT AS excess_micro,
+        |      round(exp(0.2 * (l - stt.mn)::DOUBLE / 1e6)
+        |        * 1e6)::BIGINT AS fexp_micro,
+        |      (1000000 // stt.k)::BIGINT AS weight_ppm
+        |    FROM loss, stt),
+        |  $rounds
+        |$out
+        |ORDER BY round, source""".stripMargin
+    },
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

@@ -466,4 +466,56 @@ object SplitOps {
         sum(when(col("_osr") <= col("src_rank") &&
           col("_osz") >= col("round"), 1L).otherwise(0L))).as("pos"))
   }
+
+  /** MULTIPLICATIVE-WEIGHTS DOMAIN REWEIGHTING (the DoReMi move —
+    * Xie et al. 2023: upweight domains with EXCESS loss, fixed
+    * exponentiated-gradient rounds — the mixture-OPTIMIZATION step
+    * between per-domain quality scores and q183-style temperature
+    * mixing). Input: one row per domain with an integer micro loss
+    * (e.g. average token surprisal). Per domain: excess = loss −
+    * min-loss (micro, ≥ 0), a CONSTANT per-round factor
+    * fexp = round(exp(η·excess/10⁶)·10⁶), then `rounds` updates
+    * w ← normalize(w·fexp) with the normalization an exact
+    * integer-ppm division (w·fexp·10⁶ div Σ, non-negative operands —
+    * truncating `div` == `//`). Every float fixes to micro BEFORE it
+    * meets another row's value, so the whole trajectory hash-replays
+    * as unrolled CTEs.
+    *
+    * SCALE: everything here is DOMAIN-bounded (the per-domain loss
+    * table is the upstream corpus aggregate's output); each round is
+    * a projection + one |domains|-row sum. Returns
+    * (round 0..rounds, groupCol, excess_micro, fexp_micro,
+    * weight_ppm). */
+  def mwMixtureWeights(losses: DataFrame, groupCol: String,
+                       lossMicroCol: String, eta: Double,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val base = losses.select(col(groupCol),
+      col(lossMicroCol).cast("long").as("_l"))
+    val st = base.agg(min(col("_l")).as("_mn"),
+      count(lit(1)).as("_k"))
+    var cur = base.crossJoin(broadcast(st))
+      .withColumn("excess_micro", col("_l") - col("_mn"))
+      .withColumn("fexp_micro", round(
+        exp(lit(eta) * col("excess_micro").cast("double") / 1e6)
+          * 1e6, 0).cast("long"))
+      .withColumn("weight_ppm", expr("1000000L div _k"))
+      .select(col(groupCol), col("excess_micro"), col("fexp_micro"),
+        col("weight_ppm"))
+      .localCheckpoint() // domain-bounded; seeds every round
+    var out = cur.withColumn("round", lit(0L))
+    for (r <- 1 to rounds) {
+      val raw = cur.withColumn("_raw",
+        col("weight_ppm") * col("fexp_micro"))
+      val tot = raw.agg(sum(col("_raw")).as("_tr"))
+      cur = raw.crossJoin(broadcast(tot))
+        .withColumn("weight_ppm", expr("_raw * 1000000L div _tr"))
+        .select(col(groupCol), col("excess_micro"),
+          col("fexp_micro"), col("weight_ppm"))
+        .localCheckpoint() // keep the per-round plan flat
+      out = out.unionByName(cur.withColumn("round", lit(r.toLong)))
+    }
+    out.select(col("round"), col(groupCol), col("excess_micro"),
+      col("fexp_micro"), col("weight_ppm"))
+  }
 }
