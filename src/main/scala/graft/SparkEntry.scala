@@ -7683,6 +7683,19 @@ object SparkEntry {
       .orderBy(col("round"), col("source"))
   }
 
+  private def q371(s: SparkSession, dir: String): DataFrame =
+    // SEASONAL DECOMPOSITION of daily event volume (AggOps
+    // .seasonalDecompose — the trend/seasonal/residual split next to
+    // q267's DOW profile and q368's ACF): centered 7-day MA trend,
+    // zero-centered day-of-week seasonal indices, exact integer
+    // residual — micro arithmetic end to end with sign-split
+    // divisions, so the full table hash-replays.
+    AggOps.seasonalDecompose(
+      t(s, dir, "events").groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x")),
+      "d", "x")
+      .orderBy(col("day"))
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8837,6 +8850,7 @@ object SparkEntry {
     "q368_acf" -> q368 _,
     "q369_dp_histogram" -> q369 _,
     "q370_doremi_mixture" -> q370 _,
+    "q371_seasonal_decompose" -> q371 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -16743,6 +16757,38 @@ object SparkEntry {
         |$out
         |ORDER BY round, source""".stripMargin
     },
+    "q371_seasonal_decompose" ->
+      // same centered 7-row window (ROWS, full-window rule), same
+      // micro trend, same sign-split DOW means and re-centering —
+      // DOW keys differ by engine convention (Sun=1 vs Sun=0) but
+      // only group identity matters, never the key value
+      """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+        |    FROM events GROUP BY 1),
+        |  tr AS (SELECT day, x,
+        |      count(*) OVER win AS wn, sum(x) OVER win AS ws,
+        |      dayofweek(day) AS dow
+        |    FROM daily WINDOW win AS (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |  t2 AS (SELECT day, x, dow,
+        |      (ws * 1000000 // 7)::BIGINT AS trend_micro,
+        |      (x * 1000000 - ws * 1000000 // 7)::BIGINT AS d
+        |    FROM tr WHERE wn = 7),
+        |  seas AS (SELECT dow, sum(d)::BIGINT AS sd,
+        |      count(*)::BIGINT AS sn FROM t2 GROUP BY 1),
+        |  s1 AS (SELECT dow, (CASE WHEN sd < 0
+        |      THEN -((-sd) // sn) ELSE sd // sn END)::BIGINT AS s
+        |    FROM seas),
+        |  ms AS (SELECT sum(s)::BIGINT AS ss, count(*)::BIGINT AS sk
+        |    FROM s1),
+        |  s2 AS (SELECT dow, (s - (CASE WHEN ms.ss < 0
+        |      THEN -((-ms.ss) // ms.sk)
+        |      ELSE ms.ss // ms.sk END))::BIGINT AS seasonal_micro
+        |    FROM s1, ms)
+        |SELECT strftime(t2.day, '%Y-%m-%d') AS day, t2.x,
+        |  t2.trend_micro, s2.seasonal_micro,
+        |  (t2.d - s2.seasonal_micro)::BIGINT AS residual_micro
+        |FROM t2 JOIN s2 ON s2.dow = t2.dow
+        |ORDER BY day""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

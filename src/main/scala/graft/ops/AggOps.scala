@@ -389,6 +389,54 @@ object AggOps {
             6)).as("acf"))
   }
 
+  /** CLASSICAL ADDITIVE SEASONAL DECOMPOSITION over a daily series
+    * (Brockwell & Davis 1991 §1.4; the moving-average + seasonal-index
+    * method STL refines): x_t = trend + seasonal + residual with
+    * trend = the centered 7-row moving average (micro-fixed:
+    * Σ·10⁶ div 7 — non-negative, so `div` == `//`), seasonal = the
+    * per-day-of-week mean of the detrended series re-centered to zero
+    * mean (both means SIGN-SPLIT integer divisions — detrended values
+    * go negative, where truncating `div` and flooring `//` diverge:
+    * the cemAtt/gTest CASE convention), residual = the exact
+    * remainder. Only rows with a full 7-row window decompose (the
+    * classical edge rule). All arithmetic integer micro end to end —
+    * no float anywhere, the whole table hash-replays.
+    *
+    * SCALE: the input is the day-GRID aggregate, so the centered
+    * window, the DOW means, and the joins are grid-bounded at any raw
+    * volume. Returns (day 'yyyy-MM-dd', x, trend_micro,
+    * seasonal_micro, residual_micro). */
+  def seasonalDecompose(daily: DataFrame, dayCol: String,
+                        xCol: String): DataFrame = {
+    val base = daily.select(col(dayCol).cast("date").as("_day"),
+      col(xCol).cast("long").as("_x"))
+    val w = Window.orderBy(col("_day")).rowsBetween(-3, 3)
+    val tr = base
+      .withColumn("_wn", count(lit(1)).over(w))
+      .withColumn("_ws", sum(col("_x")).over(w))
+      .where(col("_wn") === 7)
+      .withColumn("trend_micro", expr("_ws * 1000000L div 7"))
+      .withColumn("_d", col("_x") * 1000000L - col("trend_micro"))
+      .withColumn("_dow", dayofweek(col("_day")).cast("long"))
+      .localCheckpoint() // grid-bounded; feeds indices AND the output
+    val seas = tr.groupBy(col("_dow"))
+      .agg(sum(col("_d")).as("_sd"), count(lit(1)).as("_sn"))
+      .withColumn("_s", expr(
+        "CASE WHEN _sd < 0 THEN -((-_sd) div _sn) " +
+          "ELSE _sd div _sn END"))
+    val meanS = seas.agg(sum(col("_s")).as("_ss"),
+      count(lit(1)).as("_sk"))
+    val idx = seas.crossJoin(broadcast(meanS))
+      .withColumn("seasonal_micro", col("_s") - expr(
+        "CASE WHEN _ss < 0 THEN -((-_ss) div _sk) " +
+          "ELSE _ss div _sk END"))
+      .select(col("_dow"), col("seasonal_micro"))
+    tr.join(broadcast(idx), Seq("_dow"))
+      .select(date_format(col("_day"), "yyyy-MM-dd").as("day"),
+        col("_x").as("x"), col("trend_micro"), col("seasonal_micro"),
+        (col("_d") - col("seasonal_micro")).as("residual_micro"))
+  }
+
   /** Pearson chi-square test of independence over two categorical
     * columns (the SRM / guardrail check run next to a CUPED readout:
     * is the outcome mix independent of the assignment?).

@@ -72,6 +72,42 @@ class Round15SeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal decomposition recovers a pure weekly pattern " +
+       "exactly: constant trend, the pattern as seasonal, zero " +
+       "residual") {
+    // x_t = 10 + (t mod 7): any centered 7-row MA sums one full
+    // period -> trend = 13e6 everywhere; seasonal = (p-3)e6 (already
+    // zero-mean); residual = 0 exactly
+    val days = (0 until 21).map { i =>
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString,
+        10L + (i % 7))
+    }.toDF("d", "x").withColumn("d", to_date(col("d")))
+    val got = AggOps.seasonalDecompose(days, "d", "x")
+      .orderBy("day").collect()
+    assert(got.length === 15) // 21 minus 3 edge rows each side
+    got.foreach { r =>
+      assert(r.getLong(2) === 13000000L, s"trend on ${r.getString(0)}")
+      val p = (java.time.LocalDate.parse(r.getString(0)).toEpochDay -
+        java.time.LocalDate.of(2024, 1, 1).toEpochDay) % 7
+      assert(r.getLong(3) === (p - 3) * 1000000L,
+        s"seasonal on ${r.getString(0)}")
+      assert(r.getLong(4) === 0L, s"residual on ${r.getString(0)}")
+    }
+  }
+
+  test("seasonal decomposition reconstructs exactly on real data: " +
+       "trend + seasonal + residual == x * 1e6 per row") {
+    val daily = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val got = AggOps.seasonalDecompose(daily, "d", "x").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) ===
+        r.getLong(1) * 1000000L, s"identity on ${r.getString(0)}")
+    }
+  }
+
   test("dp noise is scale-correct: doubling epsilon halves the draw " +
        "for the same seed (pure b scaling)") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
