@@ -7696,6 +7696,28 @@ object SparkEntry {
       "d", "x")
       .orderBy(col("day"))
 
+  private def q372(s: SparkSession, dir: String): DataFrame = {
+    // POISSON REGRESSION of hourly event volume on (hour,
+    // day-of-week) (EvalOps.poissonIrls — McCullagh & Nelder 1989 §6,
+    // 6 fixed IRLS steps from the null-model seed): the count-GLM
+    // sibling of q355's logistic fit, same Gram-aggregate Newton
+    // machinery with the exp link. The (day, hour) grid is the only
+    // corpus aggregate; every Newton pass runs over the ≤ 31·24-row
+    // grid. Day-of-week is derived ARITHMETICALLY from epoch days
+    // (Thursday anchor) so both engines share the covariate VALUES,
+    // not just the grouping. β, Σμ (nano-exact), and the absolute
+    // error mass all hash-compare against the unrolled-CTE oracle.
+    val grid = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_d"),
+        hour(col("ts")).cast("long").as("x1"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("x1"),
+        (pmod(datediff(col("_d"), lit("1970-01-01")) + 4, lit(7)) + 1)
+          .cast("long").as("x2"),
+        col("y"))
+    EvalOps.poissonIrls(grid, "x1", "x2", "y", iters = 6)
+  }
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -8851,6 +8873,7 @@ object SparkEntry {
     "q369_dp_histogram" -> q369 _,
     "q370_doremi_mixture" -> q370 _,
     "q371_seasonal_decompose" -> q371 _,
+    "q372_poisson_glm" -> q372 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -8919,6 +8942,71 @@ object SparkEntry {
         |      (CASE WHEN dA <> 0 THEN b.b2 + round(1e3 * d2 / dA)::BIGINT
         |        ELSE b.b2 END)::BIGINT AS b2
         |    FROM c$k CROSS JOIN bet${k - 1} b)""".stripMargin
+    }.mkString
+    head + its
+  }
+
+  /** DuckDB twin of [[graft.ops.EvalOps.poissonNewton]] (the
+    * logisticSqlChain with the exp link): the same null-model β₀
+    * seed, 13-nat `least` saturation, nano μ, μ-div-1000 micro
+    * weight, link-free Gram/score/Cramer block. Expects
+    * `data(x1, x2, y)`; ends with `pbet$iters(b0, b1, b2)` (micro). */
+  private def poissonSqlChain(iters: Int): String = {
+    val head =
+      """pbet0 AS (SELECT (CASE WHEN count(*) > 0
+        |      THEN round(ln((sum(y) + 1)::DOUBLE / count(*)::DOUBLE)
+        |        * 1e6) ELSE 0 END)::BIGINT AS b0,
+        |    0::BIGINT AS b1, 0::BIGINT AS b2 FROM data)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s""",
+        |  pmu$k AS (SELECT x1, x2, y,
+        |      round(exp(least(b0 + x1 * b1 + x2 * b2,
+        |        13000000)::DOUBLE / 1e6) * 1e9)::BIGINT AS mu
+        |    FROM data CROSS JOIN pbet${k - 1}),
+        |  pw$k AS (SELECT x1, x2, y, mu, (mu // 1000)::BIGINT AS w
+        |    FROM pmu$k),
+        |  pg$k AS (SELECT sum(w)::BIGINT AS a00,
+        |      sum(w * x1)::BIGINT AS a01, sum(w * x2)::BIGINT AS a02,
+        |      sum(w * x1 * x1)::BIGINT AS a11,
+        |      sum(w * x1 * x2)::BIGINT AS a12,
+        |      sum(w * x2 * x2)::BIGINT AS a22,
+        |      sum(y * 1000000000 - mu)::BIGINT AS s0,
+        |      sum((y * 1000000000 - mu) * x1)::BIGINT AS s1,
+        |      sum((y * 1000000000 - mu) * x2)::BIGINT AS s2
+        |    FROM pw$k),
+        |  pc$k AS (SELECT a00::DOUBLE * (a11::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * a12::DOUBLE)
+        |      - a01::DOUBLE * (a01::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * a02::DOUBLE)
+        |      + a02::DOUBLE * (a01::DOUBLE * a12::DOUBLE
+        |        - a11::DOUBLE * a02::DOUBLE) AS dA,
+        |      s0::DOUBLE * (a11::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * a12::DOUBLE)
+        |      - a01::DOUBLE * (s1::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * s2::DOUBLE)
+        |      + a02::DOUBLE * (s1::DOUBLE * a12::DOUBLE
+        |        - a11::DOUBLE * s2::DOUBLE) AS d0,
+        |      a00::DOUBLE * (s1::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * s2::DOUBLE)
+        |      - s0::DOUBLE * (a01::DOUBLE * a22::DOUBLE
+        |        - a12::DOUBLE * a02::DOUBLE)
+        |      + a02::DOUBLE * (a01::DOUBLE * s2::DOUBLE
+        |        - s1::DOUBLE * a02::DOUBLE) AS d1,
+        |      a00::DOUBLE * (a11::DOUBLE * s2::DOUBLE
+        |        - s1::DOUBLE * a12::DOUBLE)
+        |      - a01::DOUBLE * (a01::DOUBLE * s2::DOUBLE
+        |        - s1::DOUBLE * a02::DOUBLE)
+        |      + s0::DOUBLE * (a01::DOUBLE * a12::DOUBLE
+        |        - a11::DOUBLE * a02::DOUBLE) AS d2
+        |    FROM pg$k),
+        |  pbet$k AS (SELECT
+        |      (CASE WHEN dA <> 0 THEN b.b0 + round(1e3 * d0 / dA)::BIGINT
+        |        ELSE b.b0 END)::BIGINT AS b0,
+        |      (CASE WHEN dA <> 0 THEN b.b1 + round(1e3 * d1 / dA)::BIGINT
+        |        ELSE b.b1 END)::BIGINT AS b1,
+        |      (CASE WHEN dA <> 0 THEN b.b2 + round(1e3 * d2 / dA)::BIGINT
+        |        ELSE b.b2 END)::BIGINT AS b2
+        |    FROM pc$k CROSS JOIN pbet${k - 1} b)""".stripMargin
     }.mkString
     head + its
   }
@@ -16789,6 +16877,28 @@ object SparkEntry {
         |  (t2.d - s2.seasonal_micro)::BIGINT AS residual_micro
         |FROM t2 JOIN s2 ON s2.dow = t2.dow
         |ORDER BY day""".stripMargin,
+    "q372_poisson_glm" ->
+      // same (day, hour) grid with the arithmetic Thursday-anchored
+      // day-of-week, same unrolled 6-step exp-link chain, same
+      // calibration readout
+      s"""WITH data AS (SELECT x1,
+        |    (((d - DATE '1970-01-01') + 4) % 7 + 1)::BIGINT AS x2, y
+        |  FROM (SELECT ts::DATE AS d, hour(ts)::BIGINT AS x1,
+        |      count(*)::BIGINT AS y FROM events GROUP BY 1, 2)),
+        |  ${poissonSqlChain(6)},
+        |  rd AS (SELECT count(*)::BIGINT AS n,
+        |      sum(y)::BIGINT AS sum_y,
+        |      sum(round(exp(least(b0 + x1 * b1 + x2 * b2,
+        |        13000000)::DOUBLE / 1e6) * 1e9)::BIGINT)::BIGINT
+        |        AS sum_mu_nano,
+        |      sum(abs(y * 1000000000 -
+        |        round(exp(least(b0 + x1 * b1 + x2 * b2,
+        |          13000000)::DOUBLE / 1e6) * 1e9)::BIGINT))::BIGINT
+        |        AS sae_nano
+        |    FROM data CROSS JOIN pbet6)
+        |SELECT n, b.b0 AS b0_micro, b.b1 AS b1_micro,
+        |  b.b2 AS b2_micro, sum_y, sum_mu_nano, sae_nano
+        |FROM rd CROSS JOIN pbet6 b""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

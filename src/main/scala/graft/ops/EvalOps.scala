@@ -1706,12 +1706,20 @@ object EvalOps {
     * spelled in the unrolled-CTE oracle — and a micro re-fix of β.
     * A degenerate step (dA = 0, e.g. empty input) keeps β unchanged
     * rather than erroring. */
-  private def logisticNewton(base: DataFrame, iters: Int): DataFrame = {
+  private def logisticNewton(base: DataFrame, iters: Int): DataFrame =
+    newtonLoop(base, iters, logisticMuFrame,
+      base.sparkSession.createDataFrame(Seq(Tuple3(0L, 0L, 0L)))
+        .toDF("b0_micro", "b1_micro", "b2_micro"))
+
+  /** The GLM IRLS/Newton loop shared by [[logisticNewton]] and
+    * [[poissonNewton]]: the link only decides the per-row (_mu, _w)
+    * projection and the β seed; the weighted 3×3 Gram + nano score
+    * aggregate and the Cramer solve are link-free. */
+  private def newtonLoop(base: DataFrame, iters: Int,
+                         muFrame: (DataFrame, DataFrame) => DataFrame,
+                         beta0: DataFrame): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = base.sparkSession
-    import spark.implicits._
-    var beta = Seq((0L, 0L, 0L))
-      .toDF("b0_micro", "b1_micro", "b2_micro")
+    var beta = beta0
     def det(m11: Column, m12: Column, m13: Column,
             m21: Column, m22: Column, m23: Column,
             m31: Column, m32: Column, m33: Column): Column =
@@ -1719,7 +1727,7 @@ object EvalOps {
         m12 * (m21 * m33 - m23 * m31) +
         m13 * (m21 * m32 - m22 * m31)
     for (_ <- 1 to iters) {
-      val a = logisticMuFrame(base, beta).agg(
+      val a = muFrame(base, beta).agg(
         sum(col("_w")).as("a00"),
         sum(col("_w") * col("_x1")).as("a01"),
         sum(col("_w") * col("_x2")).as("a02"),
@@ -1789,6 +1797,74 @@ object EvalOps {
         col("b2_micro"), col("correct"),
         when(col("n") > 0, expr("(correct * 1000000L) div n"))
           .as("acc_ppm"))
+  }
+
+  /** Shared exp-link projection behind [[poissonIrls]] (the log-link
+    * sibling of [[logisticMuFrame]]): z = β₀+β₁x₁+β₂x₂ exact integer
+    * micro; the linear predictor SATURATES at 13 nats (`least` — the
+    * logistic frame's deterministic-saturation rule for the unbounded
+    * link: e¹³·10⁹ ≈ 4.4·10¹⁴ keeps μ_nano, the μ-as-weight micro
+    * division, and the Gram products inside long for grid-scale
+    * features; callers with cell rates beyond e¹³ rescale first);
+    * μ = e^z fixes to integer nano per row, and the log-link IRLS
+    * weight IS μ — micro by exact non-negative integer division. */
+  private def poissonMuFrame(base: DataFrame,
+                             beta: DataFrame): DataFrame =
+    base.crossJoin(broadcast(beta))
+      .withColumn("_zm", least(col("b0_micro") +
+        col("_x1") * col("b1_micro") + col("_x2") * col("b2_micro"),
+        lit(13000000L)))
+      .withColumn("_mu",
+        round(exp(col("_zm").cast("double") / lit(1e6)) * lit(1e9))
+          .cast("long"))
+      .withColumn("_w", expr("_mu div 1000"))
+
+  private def poissonNewton(base: DataFrame, iters: Int): DataFrame =
+    // null-model seed β₀ = ln((Σy+1)/n): Poisson Newton from 0
+    // overshoots catastrophically on large counts (Δβ₀ ≈ ȳ−1); the
+    // standard null init puts step 1 in the quadratic zone. The +1
+    // keeps the ln argument positive; empty input seeds 0.
+    newtonLoop(base, iters, poissonMuFrame,
+      base.agg(count(lit(1)).as("_n"), sum(col("_y")).as("_sy"))
+        .select(
+          when(col("_n") > 0, round(log(
+            (col("_sy") + 1).cast("double") / col("_n").cast("double"))
+            * 1e6, 0).cast("long")).otherwise(0L).as("b0_micro"),
+          lit(0L).as("b1_micro"), lit(0L).as("b2_micro"))
+        .localCheckpoint())
+
+  /** DISTRIBUTED POISSON REGRESSION via fixed-iteration IRLS Gram
+    * aggregates (log link, two integer features + intercept —
+    * McCullagh & Nelder 1989 §6; the count-GLM sibling of
+    * [[logisticIrls]], same [[newtonLoop]], exp-link [[poissonMuFrame]]
+    * and the null-model β₀ seed). After `iters` steps one more
+    * scoring pass reads out calibration: Σμ (nano-exact — at the
+    * IRLS optimum with an intercept Σμ = Σy, so the gap measures
+    * convergence) and the exact integer absolute-error mass.
+    *
+    * Exactness bounds: z saturates at 13 nats (see the frame), so
+    * w_micro ≤ 4.4·10¹¹ and the Gram sums need Σ|x_j·x_k| < 2·10⁷ —
+    * grid-scale covariates (hours, day-of-week, bucket ids), which is
+    * what a rate model takes. SCALE: `iters`+1 map-side-combinable
+    * aggregate passes, β on a broadcast 1-row frame, no driver
+    * collect. Output 1 row: (n, b0_micro, b1_micro, b2_micro,
+    * sum_y, sum_mu_nano, sae_nano). */
+  def poissonIrls(df: DataFrame, x1Col: String, x2Col: String,
+                  yCol: String, iters: Int): DataFrame = {
+    val base = df.select(col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"),
+        col(yCol).cast("long").as("_y"))
+      .localCheckpoint() // feeds the seed, every step, and the readout
+    val beta = poissonNewton(base, iters)
+    poissonMuFrame(base, beta)
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("sum_y"),
+        sum(col("_mu")).as("sum_mu_nano"),
+        sum(abs(col("_y") * lit(1000000000L) - col("_mu")))
+          .as("sae_nano"))
+      .crossJoin(broadcast(beta))
+      .select(col("n"), col("b0_micro"), col("b1_micro"),
+        col("b2_micro"), col("sum_y"), col("sum_mu_nano"),
+        col("sae_nano"))
   }
 
   /** INVERSE-PROPENSITY-WEIGHTED ATT (Rosenbaum & Rubin 1983;
