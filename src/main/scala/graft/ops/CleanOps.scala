@@ -372,8 +372,10 @@ object CleanOps {
     * makes the release auditable end to end (the q20-vs-q76 trade).
     *
     * SCALE: ONE map-side-combinable count per category; the noise is
-    * a projection over the category-domain-bounded histogram.
-    * Returns (catCol, n, noise_micro, released_micro) — n is the
+    * a projection over the category-domain-bounded histogram. Bound:
+    * the release computes n·10⁶ in long, so cell counts must stay
+    * < 9.2·10¹² (ANSI errors loudly beyond). Returns
+    * (catCol, n, noise_micro, released_micro) — n is the
     * harness readout for the oracle; a production release drops it. */
   def dpHistogram(df: DataFrame, catCol: String, epsilon: Double,
                   salt: String): DataFrame = {

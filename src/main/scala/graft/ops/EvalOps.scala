@@ -2150,7 +2150,9 @@ object EvalOps {
     * SCALE: everything past the first aggregate is score-LEVEL
     * bounded; the sweep windows order ≤ |levels| rows. Degenerate
     * denominators (no predicted positives / no actual positives)
-    * yield null ppm (the qini null-on-degenerate convention). Output:
+    * yield null ppm (the qini null-on-degenerate convention). Bound:
+    * the ppm numerators compute 2·tp·10⁶ in long, so row counts must
+    * stay < 4.6·10¹² — ANSI errors loudly beyond. Output:
     * (thr, n_pos, n_neg, tp, fp, fn, prec_ppm, rec_ppm, f1_ppm,
     * is_best). */
   def f1Threshold(df: DataFrame, scoreCol: String,

@@ -483,7 +483,11 @@ object SplitOps {
     *
     * SCALE: everything here is DOMAIN-bounded (the per-domain loss
     * table is the upstream corpus aggregate's output); each round is
-    * a projection + one |domains|-row sum. Returns
+    * a projection + one |domains|-row sum. Bound: the ppm
+    * renormalization computes w·fexp·10⁶ in long with w ≤ 10⁶, so
+    * fexp must stay < 9.2·10⁶ — i.e. η·max-excess ≲ 2.2 nats
+    * (η = 0.2 covers 11 nats of loss spread); beyond that the
+    * multiply overflows LOUDLY under ANSI, never silently. Returns
     * (round 0..rounds, groupCol, excess_micro, fexp_micro,
     * weight_ppm). */
   def mwMixtureWeights(losses: DataFrame, groupCol: String,
