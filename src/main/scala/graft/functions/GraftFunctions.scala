@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, CosineSim, GramAgg, JaroWinkler, MinHashAgg, MisraGriesAgg, QuantileSketchAgg, ReplaceInf, SimHashAgg}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, GramAgg, HilbertIndex, JaroWinkler, MinHashAgg, MisraGriesAgg, QuantileSketchAgg, ReplaceInf, SimHashAgg}
 
 /** Column-API entry points for the custom Catalyst expressions
   * (implementations in org.apache.spark.sql.graft — they need
@@ -19,6 +19,13 @@ object GraftFunctions {
     * the pinned semantics). */
   def jaro_winkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Hilbert curve index of two `bits`-bit dimensions (codegen'd
+    * static-call expression — the 2-D layout key next to the Morton
+    * z-value; see [[org.apache.spark.sql.graft.HilbertAlgo]]). */
+  def hilbert_index(a: Column, b: Column, bits: Int): Column =
+    Bridge.column(HilbertIndex(Bridge.expression(a),
+      Bridge.expression(b), bits))
 
   /** All-k MinHash minima as one array-buffer aggregate (vs k separate
     * `min(...)` buffer slots). Input: a long token hash per row. */
