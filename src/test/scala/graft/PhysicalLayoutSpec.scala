@@ -132,6 +132,48 @@ class PhysicalLayoutSpec extends AnyFunSuite {
         s"groups: z=$zRead vs hash=$hRead records read")
   }
 
+  test("hilbert layout + pushed rectangle predicate skips row groups " +
+       "a hash layout must read (the q364 file-skipping proof)") {
+    import graft.ops.LayoutOps
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(pmod(col("user_id"), lit(65536L)).as("da"),
+        pmod(col("event_id"), lit(65536L)).as("db"), col("value"))
+    val hDir = "/root/repo/target/zorder_cache/spec_hilbert"
+    val rDir = "/root/repo/target/zorder_cache/spec_hash2"
+    LayoutOps.hilbertLayout(ev, col("da"), col("db"), 16, 16)
+      .write.mode("overwrite").parquet(hDir)
+    ev.repartition(16).write.mode("overwrite").parquet(rDir)
+    def recordsRead(path: String): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        spark.read.parquet(path)
+          .filter(col("da") < 256 && col("db") < 256)
+          .agg(count(lit(1))).collect()
+        var prev = -1L
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val cur = acc.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        acc.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val hRead = recordsRead(hDir)
+    val rRead = recordsRead(rDir)
+    assert(rRead > 0, "listener captured no input metrics")
+    assert(hRead * 2 < rRead,
+      s"hilbert layout must let the pushed rectangle skip most row " +
+        s"groups: hilbert=$hRead vs hash=$rRead records read")
+  }
+
   test("hilbertValue matches the scalar xy2d reference on the full " +
        "16x16 grid and visits every cell exactly once") {
     import graft.ops.LayoutOps
