@@ -7487,7 +7487,13 @@ object SparkEntry {
       .groupBy("w").agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w")).limit(k)
       .select("w").collect().map(_.getString(0)).sorted
-    require(words.length == k, s"vocabulary cut expects $k tokens")
+    // FIXTURE BOUND, not a generic invariant (round-15 advice): the
+    // oracle's smoothing literals are spelled for exactly k = 24
+    // vocabulary tokens, so a corpus too small to fill the cut must
+    // abort loudly here rather than silently hash-mismatch — the
+    // sf0.001+ documents fixtures always clear 24 distinct tokens.
+    require(words.length == k, s"vocabulary cut expects $k tokens " +
+      s"(documents fixture bound — got ${words.length})")
     val sess = s
     import sess.implicits._
     val idx = words.zipWithIndex.toSeq.toDF("w", "wi")
@@ -7716,6 +7722,140 @@ object SparkEntry {
           .cast("long").as("x2"),
         col("y"))
     EvalOps.poissonIrls(grid, "x1", "x2", "y", iters = 6)
+  }
+
+  private def q373(s: SparkSession, dir: String): DataFrame =
+    // K-CLASS ONE-VS-REST CLASSIFICATION (EvalOps.logisticOvr —
+    // Rifkin & Klautau 2004 over the q355 IRLS machinery): the
+    // reference's actual task shape (its Label is 3-class) as a pure
+    // relational plan. l_returnflag is naturally 3-class (A/N/R);
+    // three independent 4-step Newton fits on the ONE checkpointed
+    // base, argmax over exact-integer micro margins (ties to the
+    // earliest label), confusion table + accuracy ppm — all
+    // hash-compared against three unrolled oracle chains.
+    EvalOps.logisticOvr(
+      t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"),
+        when(col("l_returnflag") === "A", 0L)
+          .when(col("l_returnflag") === "N", 1L)
+          .otherwise(2L).as("lab")),
+      "x1", "x2", "lab", labels = Seq(0L, 1L, 2L), iters = 4)
+      .orderBy(col("label"), col("pred"))
+
+  private def q378(s: SparkSession, dir: String): DataFrame =
+    // PLATT SCALING (EvalOps.plattScale — Platt 1999): the
+    // parametric calibration sibling of q321's isotonic fit, on the
+    // q367 operating-point fixture (dollar-scale score, purchase
+    // label). 6 fixed 2×2 IRLS steps; the (β₀, β₁) pair, the Σp-vs-Σy
+    // calibration gap (nano-exact), and the integer-micro Brier score
+    // all hash-compare against the unrolled one-feature chain.
+    EvalOps.plattScale(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(round(col("value"), 0).cast("long").as("score"),
+          (col("event_type") === "purchase").as("y")),
+      "score", "y", iters = 6)
+
+  private def q379(s: SparkSession, dir: String): DataFrame =
+    // ε-DP CLIPPED SUM + MEAN (CleanOps.dpClippedMean — Dwork et al.
+    // 2006): the numeric rung of the q369 release ladder. Event
+    // values clipped to [0, 10000] cents bound the sensitivity
+    // (sum: 10000/ε; mean: 10000/(ε·n)); the two seeded md5-Laplace
+    // draws (dp16:sum / dp16:mean) make the release hash-replayable
+    // end to end — the q369 auditability trade, secure-RNG swap
+    // documented on the op.
+    CleanOps.dpClippedMean(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(round(col("value") * 100, 0).cast("long").as("cents")),
+      "cents", lo = 0L, hi = 10000L, epsilon = 0.5, salt = "dp16")
+
+  private def q374(s: SparkSession, dir: String): DataFrame =
+    // UNIGRAM-LM TRAINING WITH INVENTORY PRUNING (TextOps
+    // .unigramTrainPruned — Kudo 2018 §3.2's estimate↔prune
+    // alternation, the real SentencePiece trainer shape q359's fixed
+    // inventory stops short of): 3 EM rounds over the q359 vocabulary
+    // dropping the bottom 20% of multi-char pieces by usage each
+    // round (cnt ASC, piece ASC rank, singles never pruned — the
+    // coverage guarantee). The round table SHRINKS: every round's
+    // surviving inventory, usage counts, and add-one micro-nat costs
+    // hash-compare against the pruned-chain oracle.
+    TextOps.unigramTrainPruned(unigramVocab(s, dir), "w", "f",
+        rounds = 3, maxPieceLen = 4, topMulti = 64, prunePct = 20)
+      .orderBy(col("round"), col("piece"))
+
+  private def q375(s: SparkSession, dir: String): DataFrame = {
+    // PARTIAL AUTOCORRELATION via Durbin–Levinson (AggOps.pacf —
+    // Durbin 1960): the AR-order companion of q368's ACF on the same
+    // daily event-volume grid, lags 1..5. The recursion runs as a
+    // maxLag-bounded single-row projection chain (exact pico
+    // numerators/denominators, micro φ re-fixes) and hash-compares
+    // against the unrolled dl-CTE oracle.
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_t", row_number().over(Window.orderBy(col("_day")))
+        .cast("long"))
+    AggOps.pacf(daily, "_t", "_x", maxLag = 5).orderBy(col("lag"))
+  }
+
+  private def q376(s: SparkSession, dir: String): DataFrame = {
+    // LJUNG–BOX PORTMANTEAU TEST (AggOps.ljungBox — Ljung & Box
+    // 1978): the whiteness statistic over q368's first 7
+    // autocorrelations — Q = n(n+2)Σr²/(n−k) with each term
+    // micro-fixed from exact integers. One grid aggregate + a 7-row
+    // projection; the daily-volume series has strong weekly
+    // structure, so Q must come out enormous (pinned in the spec).
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_t", row_number().over(Window.orderBy(col("_day")))
+        .cast("long"))
+    AggOps.ljungBox(daily, "_t", "_x", maxLag = 7)
+  }
+
+  private def q377(s: SparkSession, dir: String): DataFrame =
+    // HOLT–WINTERS ADDITIVE SMOOTHING (AggOps.holtWinters — Winters
+    // 1960; α=0.3 β=0.1 γ=0.2 micro literals, weekly period): the
+    // classical forecaster completing the q368/q371/q242 time-series
+    // pipeline — textbook two-week init, then the level/trend/
+    // seasonal recursion as ONE grid-bounded fold whose whole
+    // trajectory plus the one-step-ahead MAE backtest hash-compares
+    // against a recursive-CTE oracle.
+    AggOps.holtWinters(
+      t(s, dir, "events").groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x")),
+      "d", "x", alphaMicro = 300000L, betaMicro = 100000L,
+      gammaMicro = 200000L, period = 7)
+      .orderBy(col("t"))
+
+  private def q380(s: SparkSession, dir: String): DataFrame = {
+    // TWO-COVARIATE COX PH (EvalOps.coxPh2) on TIME TO FIRST
+    // PURCHASE — a survival question that is LIVE on the fixture
+    // (every user converts within days; q357's churn death rule
+    // never fires at these scales, so a q357-shaped fixture would
+    // pin a vacuous β = 0 fit): duration = days from first event to
+    // first purchase, censored at the last-seen day for users who
+    // never purchase; x1 = the even-user arm, x2 = user_id mod 3
+    // (an independent synthetic stratifier), 4 fixed Newton steps on
+    // the 2×2 Cramer block. The vector score, information matrix,
+    // and both hazard ratios hash-compare against the unrolled cox2
+    // chain.
+    val ev = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("_first"),
+        to_date(max(col("ts"))).as("_last"),
+        to_date(min(when(col("event_type") === "purchase",
+          col("ts")))).as("_purch"))
+    val durations = ev
+      .select(
+        when(col("_purch").isNotNull,
+          datediff(col("_purch"), col("_first")))
+          .otherwise(datediff(col("_last"), col("_first")))
+          .cast("long").as("dur"),
+        col("_purch").isNotNull.as("death"),
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("x1"),
+        (col("user_id") % 3).cast("long").as("x2"))
+    EvalOps.coxPh2(durations, "dur", "death", "x1", "x2", iters = 4)
   }
 
   private def q294(s: SparkSession, dir: String): DataFrame = {
@@ -8874,6 +9014,14 @@ object SparkEntry {
     "q370_doremi_mixture" -> q370 _,
     "q371_seasonal_decompose" -> q371 _,
     "q372_poisson_glm" -> q372 _,
+    "q373_ovr_multiclass" -> q373 _,
+    "q374_unigram_prune" -> q374 _,
+    "q375_pacf" -> q375 _,
+    "q376_ljung_box" -> q376 _,
+    "q377_holt_winters" -> q377 _,
+    "q378_platt_scaling" -> q378 _,
+    "q379_dp_clipped_mean" -> q379 _,
+    "q380_cox2_ph" -> q380 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -8887,20 +9035,21 @@ object SparkEntry {
     * sigmoid, exact-integer-division micro weight, exact-integer
     * weighted Gram/score sums, and the identically-spelled Cramer
     * determinant solve. Ends with `bet$iters(b0, b1, b2)` (micro). */
-  private def logisticSqlChain(iters: Int): String = {
+  private def logisticSqlChain(iters: Int, p: String = "",
+                               dataCte: String = "data"): String = {
     val head =
-      "bet0 AS (SELECT 0::BIGINT AS b0, 0::BIGINT AS b1," +
+      s"${p}bet0 AS (SELECT 0::BIGINT AS b0, 0::BIGINT AS b1," +
         " 0::BIGINT AS b2)"
     val its = (1 to iters).map { k =>
       s""",
-        |  mu$k AS (SELECT x1, x2, y,
+        |  ${p}mu$k AS (SELECT x1, x2, y,
         |      round(1e9 / (1.0 + exp(-((b0 + x1 * b1 + x2 * b2)::DOUBLE
         |        / 1e6))))::BIGINT AS mu
-        |    FROM data CROSS JOIN bet${k - 1}),
-        |  w$k AS (SELECT x1, x2, y, mu,
+        |    FROM $dataCte CROSS JOIN ${p}bet${k - 1}),
+        |  ${p}w$k AS (SELECT x1, x2, y, mu,
         |      ((mu * (1000000000 - mu)) // 1000000000000)::BIGINT AS w
-        |    FROM mu$k),
-        |  g$k AS (SELECT sum(w)::BIGINT AS a00,
+        |    FROM ${p}mu$k),
+        |  ${p}g$k AS (SELECT sum(w)::BIGINT AS a00,
         |      sum(w * x1)::BIGINT AS a01, sum(w * x2)::BIGINT AS a02,
         |      sum(w * x1 * x1)::BIGINT AS a11,
         |      sum(w * x1 * x2)::BIGINT AS a12,
@@ -8908,8 +9057,8 @@ object SparkEntry {
         |      sum(y * 1000000000 - mu)::BIGINT AS s0,
         |      sum((y * 1000000000 - mu) * x1)::BIGINT AS s1,
         |      sum((y * 1000000000 - mu) * x2)::BIGINT AS s2
-        |    FROM w$k),
-        |  c$k AS (SELECT a00::DOUBLE * (a11::DOUBLE * a22::DOUBLE
+        |    FROM ${p}w$k),
+        |  ${p}c$k AS (SELECT a00::DOUBLE * (a11::DOUBLE * a22::DOUBLE
         |        - a12::DOUBLE * a12::DOUBLE)
         |      - a01::DOUBLE * (a01::DOUBLE * a22::DOUBLE
         |        - a12::DOUBLE * a02::DOUBLE)
@@ -8933,15 +9082,56 @@ object SparkEntry {
         |        - s1::DOUBLE * a02::DOUBLE)
         |      + s0::DOUBLE * (a01::DOUBLE * a12::DOUBLE
         |        - a11::DOUBLE * a02::DOUBLE) AS d2
-        |    FROM g$k),
-        |  bet$k AS (SELECT
+        |    FROM ${p}g$k),
+        |  ${p}bet$k AS (SELECT
         |      (CASE WHEN dA <> 0 THEN b.b0 + round(1e3 * d0 / dA)::BIGINT
         |        ELSE b.b0 END)::BIGINT AS b0,
         |      (CASE WHEN dA <> 0 THEN b.b1 + round(1e3 * d1 / dA)::BIGINT
         |        ELSE b.b1 END)::BIGINT AS b1,
         |      (CASE WHEN dA <> 0 THEN b.b2 + round(1e3 * d2 / dA)::BIGINT
         |        ELSE b.b2 END)::BIGINT AS b2
-        |    FROM c$k CROSS JOIN bet${k - 1} b)""".stripMargin
+        |    FROM ${p}c$k CROSS JOIN ${p}bet${k - 1} b)""".stripMargin
+    }.mkString
+    head + its
+  }
+
+  /** DuckDB twin of [[graft.ops.EvalOps.logistic1Newton]] (the
+    * one-feature logisticSqlChain behind Platt scaling): the same
+    * exact-integer z = b0 + x1·b1, nano sigmoid, micro weight, 2×2
+    * Gram + score sums and 2×2 Cramer solve. Expects a
+    * `$dataCte(x1, y)` CTE; ends with `${p}bet$iters(b0, b1)`. */
+  private def logistic1SqlChain(iters: Int, p: String = "p1",
+                                dataCte: String = "data"): String = {
+    val head =
+      s"${p}bet0 AS (SELECT 0::BIGINT AS b0, 0::BIGINT AS b1)"
+    val its = (1 to iters).map { k =>
+      s""",
+        |  ${p}mu$k AS (SELECT x1, y,
+        |      round(1e9 / (1.0 + exp(-((b0 + x1 * b1)::DOUBLE
+        |        / 1e6))))::BIGINT AS mu
+        |    FROM $dataCte CROSS JOIN ${p}bet${k - 1}),
+        |  ${p}w$k AS (SELECT x1, y, mu,
+        |      ((mu * (1000000000 - mu)) // 1000000000000)::BIGINT AS w
+        |    FROM ${p}mu$k),
+        |  ${p}g$k AS (SELECT sum(w)::BIGINT AS a00,
+        |      sum(w * x1)::BIGINT AS a01,
+        |      sum(w * x1 * x1)::BIGINT AS a11,
+        |      sum(y * 1000000000 - mu)::BIGINT AS s0,
+        |      sum((y * 1000000000 - mu) * x1)::BIGINT AS s1
+        |    FROM ${p}w$k),
+        |  ${p}c$k AS (SELECT a00::DOUBLE * a11::DOUBLE
+        |        - a01::DOUBLE * a01::DOUBLE AS dA,
+        |      s0::DOUBLE * a11::DOUBLE - a01::DOUBLE * s1::DOUBLE
+        |        AS d0,
+        |      a00::DOUBLE * s1::DOUBLE - s0::DOUBLE * a01::DOUBLE
+        |        AS d1
+        |    FROM ${p}g$k),
+        |  ${p}bet$k AS (SELECT
+        |      (CASE WHEN dA <> 0 THEN b.b0 + round(1e3 * d0 / dA)::BIGINT
+        |        ELSE b.b0 END)::BIGINT AS b0,
+        |      (CASE WHEN dA <> 0 THEN b.b1 + round(1e3 * d1 / dA)::BIGINT
+        |        ELSE b.b1 END)::BIGINT AS b1
+        |    FROM ${p}c$k CROSS JOIN ${p}bet${k - 1} b)""".stripMargin
     }.mkString
     head + its
   }
@@ -9058,6 +9248,218 @@ object SparkEntry {
     }.mkString
     head + its
   }
+
+  /** DuckDB twin of [[graft.ops.EvalOps.coxPh2]] (coxSqlChain with
+    * the vector/matrix risk-set moments and the 2×2 Cramer step):
+    * expects `durs(t, e, x1, x2)`; exposes `c2b$iters(b1, b2)` and
+    * `u2i${iters + 1}(sua, subr, siaa, siab, sibb)`. */
+  private def cox2SqlChain(iters: Int): String = {
+    val head = "c2b0 AS (SELECT 0::BIGINT AS b1, 0::BIGINT AS b2)"
+    val its = (1 to (iters + 1)).map { k =>
+      val dI = "(siaa::DOUBLE * sibb::DOUBLE" +
+        " - siab::DOUBLE * siab::DOUBLE)"
+      val upd =
+        if (k <= iters)
+          s""",
+            |  c2b$k AS (SELECT
+            |      (CASE WHEN $dI > 0 THEN b.b1 + round(1e6 *
+            |        (sua::DOUBLE * sibb::DOUBLE
+            |          - siab::DOUBLE * subr::DOUBLE) / $dI)::BIGINT
+            |        ELSE b.b1 END)::BIGINT AS b1,
+            |      (CASE WHEN $dI > 0 THEN b.b2 + round(1e6 *
+            |        (siaa::DOUBLE * subr::DOUBLE
+            |          - sua::DOUBLE * siab::DOUBLE) / $dI)::BIGINT
+            |        ELSE b.b2 END)::BIGINT AS b2
+            |    FROM u2i$k CROSS JOIN c2b${k - 1} b)""".stripMargin
+        else ""
+      s""",
+        |  p2h$k AS (SELECT t, e, x1, x2,
+        |      round(1e9 * exp((x1 * b1 + x2 * b2)::DOUBLE
+        |        / 1e6))::BIGINT AS phi
+        |    FROM durs CROSS JOIN c2b${k - 1}),
+        |  l2v$k AS (SELECT t, sum(phi)::BIGINT AS g0,
+        |      sum(x1 * phi)::BIGINT AS ga,
+        |      sum(x2 * phi)::BIGINT AS gb,
+        |      sum(x1 * x1 * phi)::BIGINT AS gaa,
+        |      sum(x1 * x2 * phi)::BIGINT AS gab,
+        |      sum(x2 * x2 * phi)::BIGINT AS gbb,
+        |      sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS d,
+        |      sum(CASE WHEN e THEN x1 ELSE 0 END)::BIGINT AS sa,
+        |      sum(CASE WHEN e THEN x2 ELSE 0 END)::BIGINT AS sb
+        |    FROM p2h$k GROUP BY 1),
+        |  a2r$k AS (SELECT *,
+        |      (sum(g0) OVER suf)::BIGINT AS s0,
+        |      (sum(ga) OVER suf)::BIGINT AS sva,
+        |      (sum(gb) OVER suf)::BIGINT AS svb,
+        |      (sum(gaa) OVER suf)::BIGINT AS saa,
+        |      (sum(gab) OVER suf)::BIGINT AS sab,
+        |      (sum(gbb) OVER suf)::BIGINT AS sbb
+        |    FROM l2v$k WINDOW suf AS (ORDER BY t ROWS BETWEEN
+        |      CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |  t2m$k AS (SELECT
+        |      round((sa::DOUBLE - d::DOUBLE *
+        |        (sva::DOUBLE / s0::DOUBLE)) * 1e6)::BIGINT AS ua6,
+        |      round((sb::DOUBLE - d::DOUBLE *
+        |        (svb::DOUBLE / s0::DOUBLE)) * 1e6)::BIGINT AS ub6,
+        |      round(d::DOUBLE * (saa::DOUBLE / s0::DOUBLE
+        |        - (sva::DOUBLE / s0::DOUBLE)
+        |          * (sva::DOUBLE / s0::DOUBLE)) * 1e6)::BIGINT
+        |        AS iaa6,
+        |      round(d::DOUBLE * (sab::DOUBLE / s0::DOUBLE
+        |        - (sva::DOUBLE / s0::DOUBLE)
+        |          * (svb::DOUBLE / s0::DOUBLE)) * 1e6)::BIGINT
+        |        AS iab6,
+        |      round(d::DOUBLE * (sbb::DOUBLE / s0::DOUBLE
+        |        - (svb::DOUBLE / s0::DOUBLE)
+        |          * (svb::DOUBLE / s0::DOUBLE)) * 1e6)::BIGINT
+        |        AS ibb6
+        |    FROM a2r$k WHERE d > 0 AND s0 > 0),
+        |  u2i$k AS (SELECT sum(ua6)::BIGINT AS sua,
+        |      sum(ub6)::BIGINT AS subr,
+        |      sum(iaa6)::BIGINT AS siaa, sum(iab6)::BIGINT AS siab,
+        |      sum(ibb6)::BIGINT AS sibb
+        |    FROM t2m$k)""".stripMargin + upd
+    }.mkString
+    head + its
+  }
+
+  /** The q368 daily-event-volume ACF as reusable CTEs parameterized
+    * by maxLag (the q375/q376 upstream): exposes `abase(t, x)` and
+    * `acfq(lag, n_pairs, acf)` — the identical integer centering,
+    * lag join, and single final divide as the q368 oracle. */
+  private def acfDailySql(maxLag: Int): String =
+    s"""adaily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+       |    FROM events GROUP BY 1),
+       |  abase AS MATERIALIZED (SELECT
+       |      row_number() OVER (ORDER BY day)::BIGINT AS t, x
+       |    FROM adaily),
+       |  ast AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+       |    FROM abase),
+       |  ac AS MATERIALIZED (SELECT t, (ast.n * x - ast.s)::BIGINT
+       |      AS c FROM abase, ast),
+       |  aden AS (SELECT sum(c * c)::BIGINT AS d FROM ac),
+       |  alg AS (SELECT unnest(range(1, ${maxLag + 1})) AS lag),
+       |  apr AS (SELECT alg.lag, a.c AS ca, b.c AS cb
+       |    FROM ac a CROSS JOIN alg JOIN ac b ON b.t = a.t - alg.lag),
+       |  acfq AS MATERIALIZED (SELECT lag::BIGINT AS lag,
+       |      count(*)::BIGINT AS n_pairs,
+       |      (CASE WHEN aden.d > 0 THEN
+       |        round(sum(ca * cb)::DOUBLE / aden.d::DOUBLE, 6) END)
+       |        AS acf
+       |    FROM apr, aden GROUP BY lag, aden.d)""".stripMargin
+
+  /** DuckDB twin of [[graft.ops.AggOps.pacf]]'s Durbin–Levinson
+    * recursion: the micro-fixed ACF row pivot (`rw`), then one
+    * (df$k, dl$k) CTE pair per lag — the same exact pico
+    * numerator/denominator, micro φ_kk divide, and φ-row update.
+    * Expects `$acfCte(lag, acf)`; exposes `dl$maxLag(f1..f$maxLag)`. */
+  private def durbinSqlChain(maxLag: Int, acfCte: String): String = {
+    val rw = "rw AS (SELECT " + (1 to maxLag).map(k =>
+      s"sum(CASE WHEN lag = $k THEN round(acf * 1e6)::BIGINT END)" +
+        s"::BIGINT AS r$k").mkString(",\n      ") +
+      s" FROM $acfCte)"
+    val dl1 = ",\n  dl1 AS (SELECT *, r1 AS p1_1, r1 AS f1 FROM rw)"
+    val steps = (2 to maxLag).map { k =>
+      val num = s"r$k * 1000000 - (" +
+        (1 until k).map(j => s"p${k - 1}_$j * r${k - j}")
+          .mkString(" + ") + ")"
+      val den = "1000000000000 - (" +
+        (1 until k).map(j => s"p${k - 1}_$j * r$j")
+          .mkString(" + ") + ")"
+      val fk = s""",
+        |  df$k AS (SELECT *, (CASE WHEN ($den) <> 0 THEN
+        |      round(1e6 * ($num)::DOUBLE / ($den)::DOUBLE)::BIGINT
+        |      END) AS f$k FROM dl${k - 1})""".stripMargin
+      val ups = ((1 until k).map(j =>
+        s"(p${k - 1}_$j - round((f$k * p${k - 1}_${k - j})::DOUBLE" +
+          s" / 1e6)::BIGINT) AS p${k}_$j") :+
+        s"f$k AS p${k}_$k").mkString(",\n      ")
+      val dlk = s""",
+        |  dl$k AS (SELECT *,
+        |      $ups FROM df$k)""".stripMargin
+      fk + dlk
+    }.mkString
+    rw + dl1 + steps
+  }
+
+  /** DuckDB twin of [[graft.ops.AggOps.holtWinters]] as a recursive
+    * CTE over the daily grid: the same two-week init literals, the
+    * same CASE-indexed seasonal slot, and the same
+    * integer-sum-::DOUBLE-divide-round spelling for every l/b/s
+    * update (the level expression repeats inside b'/s' — recursive
+    * CTEs cannot reference select-list aliases portably). Expects
+    * the α/β/γ micro literals; exposes the full `hw` trajectory. */
+  private def holtWintersSql(aM: Long, bM: Long, gM: Long): String = {
+    val p = 7
+    val sv = "(CASE ((g.t - 1) % 7) " + (0 until p).map(i =>
+      s"WHEN $i THEN hw.s${i + 1}").mkString(" ") + " END)"
+    val ln = s"round(($aM * (g.x * 1000000 - $sv) + ${1000000 - aM}" +
+      s" * (hw.l + hw.b))::DOUBLE / 1e6)::BIGINT"
+    val bn = s"round(($bM * (($ln) - hw.l) + ${1000000 - bM}" +
+      s" * hw.b)::DOUBLE / 1e6)::BIGINT"
+    val sn = s"round(($gM * (g.x * 1000000 - ($ln)) + ${1000000 - gM}" +
+      s" * $sv)::DOUBLE / 1e6)::BIGINT"
+    val sUpd = (1 to p).map(i =>
+      s"(CASE WHEN ((g.t - 1) % 7) = ${i - 1} THEN ($sn)" +
+        s" ELSE hw.s$i END)::BIGINT").mkString(",\n      ")
+    val sInit = (1 to p).map(i =>
+      s"max(CASE WHEN t = $i THEN x * 1000000 - l END)::BIGINT AS s$i")
+      .mkString(",\n      ")
+    s"""hdaily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+       |    FROM events GROUP BY 1),
+       |  g AS MATERIALIZED (SELECT
+       |      row_number() OVER (ORDER BY day)::BIGINT AS t, day, x
+       |    FROM hdaily),
+       |  i0 AS (SELECT round(sum(CASE WHEN t <= 7 THEN x
+       |      END)::DOUBLE * 1e6 / 7)::BIGINT AS l FROM g),
+       |  i1 AS (SELECT i0.l,
+       |      round((sum(CASE WHEN t BETWEEN 8 AND 14 THEN x END)
+       |        - sum(CASE WHEN t <= 7 THEN x END))::DOUBLE * 1e6
+       |        / 49)::BIGINT AS b
+       |    FROM g, i0 GROUP BY i0.l),
+       |  sz AS (SELECT l, b,
+       |      $sInit
+       |    FROM g, i1 GROUP BY l, b),
+       |  hw(t, l, b, s1, s2, s3, s4, s5, s6, s7, f, e) AS (
+       |    SELECT 7::BIGINT, l, b, s1, s2, s3, s4, s5, s6, s7,
+       |      NULL::BIGINT, NULL::BIGINT FROM sz
+       |    UNION ALL
+       |    SELECT g.t, ($ln), ($bn),
+       |      $sUpd,
+       |      (hw.l + hw.b + $sv)::BIGINT,
+       |      abs(g.x * 1000000 - (hw.l + hw.b + $sv))::BIGINT
+       |    FROM hw JOIN g ON g.t = hw.t + 1)""".stripMargin
+  }
+
+  /** One unigram-EM round WITH PRUNING ([[unigramRoundSql]] plus the
+    * bottom-`prunePct`% multi-piece drop): usage counts over the
+    * PREVIOUS round's inventory, the (cnt ASC, piece ASC) rank with
+    * nd = ⌊nMulti·pct/100⌋, singles always kept, re-cost over the
+    * survivors. Exposes `upinv$r` and `upcost$r`. */
+  private def unigramPrunedRoundSql(r: Int, prunePct: Int): String =
+    s"""${unigramDpSql("p" + r, s"upcost${r - 1}")},
+       |  upusage$r AS (SELECT e.piece, sum(v.f)::BIGINT AS cnt
+       |    FROM uemp$r e JOIN uvocab v ON v.w = e.w GROUP BY 1),
+       |  upcnt$r AS MATERIALIZED (SELECT i.piece,
+       |      coalesce(u.cnt, 0)::BIGINT AS cnt
+       |    FROM upinv${r - 1} i LEFT JOIN upusage$r u
+       |      ON u.piece = i.piece),
+       |  upnd$r AS (SELECT (count(*) * $prunePct // 100)::BIGINT
+       |      AS nd
+       |    FROM upcnt$r WHERE len(piece) >= 2),
+       |  upinv$r AS MATERIALIZED (
+       |    SELECT piece, cnt FROM upcnt$r WHERE len(piece) = 1
+       |    UNION ALL
+       |    SELECT piece, cnt FROM (SELECT piece, cnt,
+       |        row_number() OVER (ORDER BY cnt, piece) AS rn
+       |      FROM upcnt$r WHERE len(piece) >= 2), upnd$r
+       |      WHERE rn > nd),
+       |  upcost$r AS MATERIALIZED (SELECT piece,
+       |      round(-ln((cnt + 1)::DOUBLE /
+       |        ((SELECT sum(cnt) FROM upinv$r) +
+       |         (SELECT count(*) FROM upinv$r))::DOUBLE) * 1e6)::BIGINT
+       |        AS c
+       |    FROM upinv$r)""".stripMargin
 
   private def btSqlChain(iters: Int): String = {
     val head =
@@ -16899,6 +17301,182 @@ object SparkEntry {
         |SELECT n, b.b0 AS b0_micro, b.b1 AS b1_micro,
         |  b.b2 AS b2_micro, sum_y, sum_mu_nano, sae_nano
         |FROM rd CROSS JOIN pbet6 b""".stripMargin,
+    "q373_ovr_multiclass" ->
+      // three unrolled per-class chains over the SAME base rows,
+      // exact-integer argmax with the chained first-max tie rule
+      // (z_i >= every later z), same confusion + acc-ppm readout
+      s"""WITH mdata AS (SELECT l_quantity::BIGINT AS x1,
+        |    round(l_discount * 100)::BIGINT AS x2,
+        |    (CASE WHEN l_returnflag = 'A' THEN 0
+        |      WHEN l_returnflag = 'N' THEN 1 ELSE 2 END)::BIGINT
+        |      AS lab
+        |  FROM lineitem),
+        |  data0 AS (SELECT x1, x2, (CASE WHEN lab = 0 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data1 AS (SELECT x1, x2, (CASE WHEN lab = 1 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data2 AS (SELECT x1, x2, (CASE WHEN lab = 2 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  ${logisticSqlChain(4, "k0", "data0")},
+        |  ${logisticSqlChain(4, "k1", "data1")},
+        |  ${logisticSqlChain(4, "k2", "data2")},
+        |  sc AS (SELECT m.lab,
+        |      (a.b0 + m.x1 * a.b1 + m.x2 * a.b2) AS z0,
+        |      (b.b0 + m.x1 * b.b1 + m.x2 * b.b2) AS z1,
+        |      (c.b0 + m.x1 * c.b1 + m.x2 * c.b2) AS z2
+        |    FROM mdata m CROSS JOIN k0bet4 a CROSS JOIN k1bet4 b
+        |      CROSS JOIN k2bet4 c),
+        |  pr AS (SELECT lab,
+        |      (CASE WHEN z0 >= z1 AND z0 >= z2 THEN 0
+        |        WHEN z1 >= z2 THEN 1 ELSE 2 END)::BIGINT AS pred
+        |    FROM sc),
+        |  conf AS (SELECT lab AS label, pred, count(*)::BIGINT AS cnt
+        |    FROM pr GROUP BY 1, 2),
+        |  acc AS (SELECT sum(cnt)::BIGINT AS n,
+        |      sum(CASE WHEN label = pred THEN cnt ELSE 0
+        |        END)::BIGINT AS correct
+        |    FROM conf)
+        |SELECT label, pred, cnt, n, correct,
+        |  (CASE WHEN n > 0 THEN (correct * 1000000) // n
+        |    END)::BIGINT AS acc_ppm
+        |FROM conf CROSS JOIN acc
+        |ORDER BY label, pred""".stripMargin,
+    "q378_platt_scaling" ->
+      // same dollar-scale score, same unrolled one-feature chain,
+      // same Σp-nano and div-fixed Brier readout
+      s"""WITH data AS (SELECT round(value)::BIGINT AS x1,
+        |    (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END)::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |  ${logistic1SqlChain(6, "p1")},
+        |  rd AS (SELECT count(*)::BIGINT AS n,
+        |      sum(y)::BIGINT AS sum_y,
+        |      sum(mu)::BIGINT AS sum_p_nano,
+        |      sum(((mu - y * 1000000000) * (mu - y * 1000000000))
+        |        // 1000000000000)::BIGINT AS bs
+        |    FROM (SELECT y,
+        |        round(1e9 / (1.0 + exp(-((b0 + x1 * b1)::DOUBLE
+        |          / 1e6))))::BIGINT AS mu
+        |      FROM data CROSS JOIN p1bet6))
+        |SELECT n, b.b0 AS b0_micro, b.b1 AS b1_micro, sum_y,
+        |  sum_p_nano,
+        |  (CASE WHEN n > 0 THEN bs // n END)::BIGINT AS brier_micro
+        |FROM rd CROSS JOIN p1bet6 b""".stripMargin,
+    "q379_dp_clipped_mean" ->
+      // same [0, 10000] clip, same seeded md5-Laplace draws on the
+      // dp16:sum / dp16:mean tags, same injected scale literals
+      // (20000 = max|hi|,|lo|/eps and (hi-lo)/eps)
+      """WITH c AS (SELECT greatest(0, least(10000,
+        |      round(value * 100)::BIGINT))::BIGINT AS x
+        |    FROM events WHERE value IS NOT NULL),
+        |  ag AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+        |    FROM c),
+        |  us AS (SELECT
+        |      ((('0x' || substr(md5('dp16:sum'), 1, 8))::BIGINT
+        |        + 0.5) / 4294967296.0) AS u1,
+        |      ((('0x' || substr(md5('dp16:mean'), 1, 8))::BIGINT
+        |        + 0.5) / 4294967296.0) AS u2),
+        |  nz AS (SELECT
+        |      (-1.0 * sign(u1 - 0.5) * ln(1.0 - 2.0 * abs(u1 - 0.5)))
+        |        AS l1,
+        |      (-1.0 * sign(u2 - 0.5) * ln(1.0 - 2.0 * abs(u2 - 0.5)))
+        |        AS l2
+        |    FROM us)
+        |SELECT n, s AS sum_clipped,
+        |  (CASE WHEN n > 0 THEN
+        |    round(s::DOUBLE * 1e6 / n::DOUBLE) END)::BIGINT
+        |    AS mean_micro,
+        |  round(l1 * 20000.0 * 1e6)::BIGINT AS noise_sum_micro,
+        |  (s * 1000000 + round(l1 * 20000.0 * 1e6)::BIGINT)::BIGINT
+        |    AS released_sum_micro,
+        |  (CASE WHEN n > 0 THEN
+        |    round(l2 * 20000.0 / n::DOUBLE * 1e6) END)::BIGINT
+        |    AS noise_mean_micro,
+        |  (CASE WHEN n > 0 THEN
+        |    round(s::DOUBLE * 1e6 / n::DOUBLE)::BIGINT +
+        |    round(l2 * 20000.0 / n::DOUBLE * 1e6)::BIGINT
+        |    END)::BIGINT AS released_mean_micro
+        |FROM ag CROSS JOIN nz""".stripMargin,
+    "q374_unigram_prune" -> {
+      // the q359 seed + 3 pruned EM rounds: same DP tie rule, same
+      // usage counts, same (cnt ASC, piece ASC) bottom-20% multi
+      // drop with singles kept, same add-one re-cost over survivors
+      val out = (1 to 3).map { r =>
+        s"""SELECT $r::BIGINT AS round, i.piece, i.cnt,
+           |    c.c AS cost_micro
+           |  FROM upinv$r i JOIN upcost$r c ON c.piece = i.piece"""
+          .stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $unigramSeedSql,
+        |  upinv0 AS (SELECT piece, cnt FROM uinv),
+        |  upcost0 AS (SELECT piece, c FROM ucost0),
+        |  ${(1 to 3).map(unigramPrunedRoundSql(_, 20))
+             .mkString(",\n  ")}
+        |$out
+        |ORDER BY round, piece""".stripMargin
+    },
+    "q375_pacf" -> {
+      // same micro ACF pivot, same unrolled Durbin–Levinson pico
+      // numerators/denominators and φ-row updates
+      val out = (1 to 5).map(k =>
+        s"SELECT $k::BIGINT AS lag, f$k AS pacf_micro FROM dl5")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${acfDailySql(5)},
+        |  ${durbinSqlChain(5, "acfq")}
+        |$out
+        |ORDER BY lag""".stripMargin
+    },
+    "q376_ljung_box" ->
+      // same 7-lag ACF, same exact integer numerator n(n+2)·r² and
+      // per-lag micro fixing before the order-free sum
+      s"""WITH ${acfDailySql(7)},
+        |  nn AS (SELECT count(*)::BIGINT AS n FROM abase)
+        |SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS h,
+        |  sum(round((n * (n + 2) * rk * rk)::DOUBLE /
+        |    ((n - lag) * 1000000)::DOUBLE)::BIGINT)::BIGINT
+        |    AS q_micro
+        |FROM (SELECT lag, round(acf * 1e6)::BIGINT AS rk, nn.n
+        |  FROM acfq CROSS JOIN nn)""".stripMargin,
+    "q377_holt_winters" ->
+      // same two-week init, same recursive level/trend/seasonal
+      // updates (the recursion as a recursive CTE), same exact
+      // integer MAE readout
+      s"""WITH RECURSIVE ${holtWintersSql(300000L, 100000L, 200000L)},
+        |  mae AS (SELECT sum(e)::BIGINT AS sae,
+        |      count(e)::BIGINT AS c FROM hw WHERE t > 7)
+        |SELECT h.t, strftime(g.day, '%Y-%m-%d') AS day, g.x,
+        |  h.f AS fitted_micro, h.e AS err_micro,
+        |  (mae.sae // mae.c)::BIGINT AS mae_micro
+        |FROM hw h JOIN g ON g.t = h.t CROSS JOIN mae
+        |WHERE h.t > 7
+        |ORDER BY h.t""".stripMargin,
+    "q380_cox2_ph" ->
+      // the same time-to-first-purchase duration/censor table, the
+      // same suffix-sum risk moments in vector/matrix form, the same
+      // unrolled 2×2 Cramer Newton chain
+      s"""WITH ev AS (SELECT user_id,
+        |    min(ts)::DATE AS f, max(ts)::DATE AS l,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts
+        |      END)::DATE AS p
+        |  FROM events GROUP BY 1),
+        |  durs AS (SELECT (CASE WHEN p IS NOT NULL THEN (p - f)
+        |      ELSE (l - f) END)::BIGINT AS t,
+        |      (p IS NOT NULL) AS e,
+        |      (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |        AS x1,
+        |      (user_id % 3)::BIGINT AS x2
+        |    FROM ev),
+        |  ${cox2SqlChain(4)},
+        |  tot AS (SELECT count(*)::BIGINT AS n,
+        |      sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS events
+        |    FROM durs)
+        |SELECT t.n, t.events, f.b1 AS b1_micro, f.b2 AS b2_micro,
+        |  round(1e6 * exp(f.b1::DOUBLE / 1e6))::BIGINT AS hr1_micro,
+        |  round(1e6 * exp(f.b2::DOUBLE / 1e6))::BIGINT AS hr2_micro,
+        |  u.sua AS u1_final_micro, u.subr AS u2_final_micro,
+        |  u.siaa AS i11_micro, u.siab AS i12_micro,
+        |  u.sibb AS i22_micro
+        |FROM tot t CROSS JOIN c2b4 f CROSS JOIN u2i5 u""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

@@ -437,6 +437,185 @@ object AggOps {
         (col("_d") - col("seasonal_micro")).as("residual_micro"))
   }
 
+  /** PARTIAL AUTOCORRELATION via the Durbin–Levinson recursion
+    * (Durbin 1960; Box & Jenkins 1970 §3 — the AR-order read next to
+    * [[acf]]: PACF cuts off after lag p for an AR(p) process, where
+    * ACF only decays). The ACF lags come from [[acf]] (identical
+    * integers in both engines), fix to micro (round(acf·10⁶) — the
+    * 6-dp ACF makes this exact), pivot to ONE row of r₁..r_K
+    * columns, and the K−1 recursion steps run as chained projections
+    * over that single row:
+    *   φ_kk = 10⁶·(r_k·10⁶ − Σ_j φ_{k−1,j}·r_{k−j}) /
+    *                 (10¹² − Σ_j φ_{k−1,j}·r_j)
+    * (numerator/denominator EXACT pico integers; the one float
+    * divide runs over identical operands and rounds to micro), then
+    * φ_{k,j} = φ_{k−1,j} − round(φ_kk·φ_{k−1,k−j}/10⁶) — products of
+    * micro pairs stay ≤ 10¹² in long. A degenerate denominator (or a
+    * null ACF from a constant series) yields null from that lag on.
+    *
+    * SCALE: everything past [[acf]]'s grid aggregate is a K-column
+    * single-row projection chain — maxLag-bounded at any raw volume
+    * (the logisticSqlChain unroll convention in the oracle). Returns
+    * (lag, pacf_micro), K rows. */
+  def pacf(series: DataFrame, tCol: String, xCol: String,
+           maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val a = acf(series, tCol, xCol, maxLag)
+    val rs = (1 to maxLag).map(k => sum(when(col("lag") === k,
+      round(col("acf") * 1e6, 0).cast("long"))).as(s"_r$k"))
+    var st = a.agg(rs.head, rs.tail: _*)
+      .withColumn("_p1", col("_r1"))
+      .withColumn("_f1", col("_r1"))
+    for (k <- 2 to maxLag) {
+      val num = col(s"_r$k") * lit(1000000L) -
+        (1 until k).map(j => col(s"_p$j") * col(s"_r${k - j}"))
+          .reduce(_ + _)
+      val den = lit(1000000000000L) -
+        (1 until k).map(j => col(s"_p$j") * col(s"_r$j"))
+          .reduce(_ + _)
+      st = st.withColumn(s"_f$k", when(den =!= 0L,
+        round(lit(1e6) * num.cast("double") / den.cast("double"))
+          .cast("long")))
+      val upds = (1 until k).map { j =>
+        col(s"_p$j") - round((col(s"_f$k") * col(s"_p${k - j}"))
+          .cast("double") / lit(1e6)).cast("long")
+      }
+      // materialize the new φ row before overwriting the old one —
+      // every update reads the PREVIOUS step's coefficients
+      st = st.select((st.columns.map(col) ++
+        upds.zipWithIndex.map { case (c, i) => c.as(s"_pn${i + 1}") }): _*)
+      for (j <- 1 until k)
+        st = st.withColumn(s"_p$j", col(s"_pn$j")).drop(s"_pn$j")
+      st = st.withColumn(s"_p$k", col(s"_f$k")).localCheckpoint()
+    }
+    st.select(expr(s"stack($maxLag, " +
+      (1 to maxLag).map(k => s"${k}L, _f$k").mkString(", ") +
+      ") as (lag, pacf_micro)"))
+  }
+
+  /** LJUNG–BOX PORTMANTEAU STATISTIC (Ljung & Box 1978 — the
+    * whiteness test over the first h autocorrelations, the residual
+    * check run after [[seasonalDecompose]]/a forecast):
+    *   Q = n(n+2) Σ_{k=1..h} r_k²/(n−k),
+    * each term computed as round(n(n+2)·r_k²_micro² /
+    * ((n−k)·10⁶)) — the integer numerator n(n+2)·r² stays < 2⁶³ for
+    * any grid series (needs n(n+2) < 9.2·10⁶, i.e. n ≲ 3000 grid
+    * steps at |r| ≤ 1), micro-fixed per LAG before the order-free
+    * sum. Null ACF lags (constant series) drop out of the sum in
+    * both engines identically.
+    *
+    * SCALE: [[acf]]'s grid aggregate + an h-row projection. Returns
+    * 1 row: (n, h, q_micro). */
+  def ljungBox(series: DataFrame, tCol: String, xCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val a = acf(series, tCol, xCol, maxLag)
+    val nn = series.agg(count(lit(1)).as("_n"))
+    a.crossJoin(broadcast(nn))
+      .withColumn("_rk", round(col("acf") * 1e6, 0).cast("long"))
+      .withColumn("_term", round(
+        (col("_n") * (col("_n") + 2) * col("_rk") * col("_rk"))
+          .cast("double") /
+          ((col("_n") - col("lag")) * 1000000L).cast("double"))
+        .cast("long"))
+      .agg(max(col("_n")).as("n"), count(lit(1)).as("h"),
+        sum(col("_term")).as("q_micro"))
+  }
+
+  /** HOLT–WINTERS ADDITIVE SMOOTHING (Holt 1957, Winters 1960 —
+    * level + trend + seasonal exponential smoothing with FIXED
+    * α/β/γ micro literals, the classical forecaster composing with
+    * [[seasonalDecompose]] and [[acf]] into the complete pipeline).
+    * The day grid collapses to ONE row (sort_array ∘ collect_list —
+    * grid-bounded by construction), init is the textbook two-week
+    * rule (l₀ = week-1 mean, b₀ = (week-2 − week-1 mean)/p, s_i =
+    * x_i·10⁶ − l₀), and the recursion runs as a single `aggregate`
+    * fold over days p+1..T:
+    *   fitted f_t = l + b + s_slot   (exact micro integer)
+    *   l' = round((α(x_t·10⁶ − s) + (10⁶−α)(l+b))/10⁶)
+    *   b' = round((β(l'−l) + (10⁶−β)b)/10⁶)
+    *   s' = round((γ(x_t·10⁶ − l') + (10⁶−γ)s)/10⁶)
+    * — every product of a micro constant and a micro state stays
+    * ≤ ~2·10¹⁵ (exactly representable in double AND long for
+    * day-grid magnitudes |x| < 10⁹ micro), so the whole trajectory
+    * hash-replays against a recursive-CTE oracle. The one-step-ahead
+    * MAE over the smoothed span is the backtest readout (exact
+    * integer division — errors are non-negative).
+    *
+    * Series shorter than 2p+1 days yield an EMPTY result (the
+    * documented two-week-init minimum). SCALE: one grid aggregate +
+    * one single-row fold — grid-bounded at any raw volume; the fold
+    * is linear in T. Returns (t, day, x, fitted_micro, err_micro,
+    * mae_micro), T−p rows. */
+  def holtWinters(daily: DataFrame, dayCol: String, xCol: String,
+                  alphaMicro: Long, betaMicro: Long, gammaMicro: Long,
+                  period: Int): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    Seq(alphaMicro, betaMicro, gammaMicro).foreach(c =>
+      require(c >= 0 && c <= 1000000L, s"smoothing const $c not micro"))
+    val p = period
+    val arr = daily
+      .select(col(dayCol).cast("date").as("_day"),
+        col(xCol).cast("long").as("_x"))
+      .withColumn("_t",
+        row_number().over(Window.orderBy(col("_day"))).cast("long"))
+      .agg(sort_array(collect_list(struct(col("_t").as("t"),
+        col("_day").as("day"), col("_x").as("x")))).as("_a"))
+      .where(size(col("_a")) >= 2 * p + 1)
+    val a = col("_a")
+    val sum1 = aggregate(slice(a, 1, p), lit(0L),
+      (acc, e) => acc + e.getField("x"))
+    val sum2 = aggregate(slice(a, p + 1, p), lit(0L),
+      (acc, e) => acc + e.getField("x"))
+    val l0 = round(sum1.cast("double") * lit(1e6) / lit(p.toDouble))
+      .cast("long")
+    val b0 = round((sum2 - sum1).cast("double") * lit(1e6) /
+      lit((p * p).toDouble)).cast("long")
+    val s0 = transform(slice(a, 1, p),
+      e => e.getField("x") * lit(1000000L) - l0)
+    val outType = "array<struct<t:bigint,day:date,x:bigint," +
+      "f:bigint,e:bigint>>"
+    val init = struct(l0.as("l"), b0.as("b"), s0.as("s"),
+      lit(0L).as("sae"), lit(0L).as("cnt"),
+      array().cast(outType).as("out"))
+    val am = lit(alphaMicro); val amC = lit(1000000L - alphaMicro)
+    val bm = lit(betaMicro); val bmC = lit(1000000L - betaMicro)
+    val gm = lit(gammaMicro); val gmC = lit(1000000L - gammaMicro)
+    val fin = aggregate(slice(a, lit(p + 1), size(a) - lit(p)), init,
+      (st, e) => {
+        val idx0 = ((e.getField("t") - 1) % p).cast("int")
+        val sIdx = element_at(st.getField("s"), idx0 + 1)
+        val lPrev = st.getField("l")
+        val bPrev = st.getField("b")
+        val f = lPrev + bPrev + sIdx
+        val xm = e.getField("x") * lit(1000000L)
+        val lNew = round((am * (xm - sIdx) + amC * (lPrev + bPrev))
+          .cast("double") / lit(1e6)).cast("long")
+        val bNew = round((bm * (lNew - lPrev) + bmC * bPrev)
+          .cast("double") / lit(1e6)).cast("long")
+        val sNew = round((gm * (xm - lNew) + gmC * sIdx)
+          .cast("double") / lit(1e6)).cast("long")
+        val sArr = transform(st.getField("s"),
+          (v, i) => when(i === idx0, sNew).otherwise(v))
+        struct(lNew.as("l"), bNew.as("b"), sArr.as("s"),
+          (st.getField("sae") + abs(xm - f)).as("sae"),
+          (st.getField("cnt") + 1L).as("cnt"),
+          concat(st.getField("out"), array(struct(
+            e.getField("t").as("t"), e.getField("day").as("day"),
+            e.getField("x").as("x"), f.as("f"),
+            abs(xm - f).as("e")))).as("out"))
+      })
+    arr.withColumn("_fin", fin)
+      .select(explode(col("_fin").getField("out")).as("o"),
+        col("_fin").getField("sae").as("_sae"),
+        col("_fin").getField("cnt").as("_cnt"))
+      .select(col("o.t").as("t"),
+        date_format(col("o.day"), "yyyy-MM-dd").as("day"),
+        col("o.x").as("x"), col("o.f").as("fitted_micro"),
+        col("o.e").as("err_micro"),
+        expr("_sae div _cnt").as("mae_micro"))
+  }
+
   /** Pearson chi-square test of independence over two categorical
     * columns (the SRM / guardrail check run next to a CUPED readout:
     * is the outcome mix independent of the assignment?).

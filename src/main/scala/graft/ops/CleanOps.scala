@@ -392,6 +392,54 @@ object CleanOps {
         col("n") * 1000000L + col("noise_micro"))
   }
 
+  /** ε-DP CLIPPED SUM + MEAN RELEASE (Dwork et al. 2006 — the second
+    * rung of the DP ladder next to [[dpHistogram]]: numeric
+    * statistics need their sensitivity BOUNDED by clipping before
+    * any noise scale means anything). Clip x to [lo, hi] per row,
+    * ONE map-side-combinable aggregate for (n, Σ), then a bounded
+    * noise projection releases both statistics: the sum with
+    * Laplace scale max(|lo|, |hi|)/ε (add/remove-one neighbors) and
+    * the mean with scale (hi − lo)/(ε·n) (known-n neighbors — the
+    * classical clipped-mean mechanism). The two draws are the
+    * [[dpHistogram]] seeded md5-Laplace on distinct tags
+    * (salt:sum, salt:mean) — engine-portable rationals, so the whole
+    * release hash-replays; a REAL deployment swaps in a secure RNG.
+    *
+    * Noise magnitudes are monotone DECREASING in ε (same u, smaller
+    * scale) — the auditable privacy/utility dial. Bound: the release
+    * computes Σ·10⁶ in long, so |Σ clipped| must stay < 9.2·10¹²
+    * (ANSI errors loudly beyond). Output 1 row: (n, sum_clipped,
+    * mean_micro, noise_sum_micro, released_sum_micro,
+    * noise_mean_micro, released_mean_micro). */
+  def dpClippedMean(df: DataFrame, xCol: String, lo: Long, hi: Long,
+                    epsilon: Double, salt: String): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    def lap(tag: String): Column = {
+      val u = (conv(substring(md5(lit(s"$salt:$tag")), 1, 8), 16, 10)
+        .cast("double") + 0.5) / 4294967296.0
+      lit(-1.0) * signum(u - 0.5) *
+        log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    }
+    val bSum = math.max(math.abs(lo), math.abs(hi)) / epsilon
+    val bMeanNum = (hi - lo) / epsilon // divided by n at readout
+    df.select(greatest(lit(lo), least(lit(hi), col(xCol)
+        .cast("long"))).as("_x"))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("sum_clipped"))
+      .withColumn("mean_micro", when(col("n") > 0,
+        round(col("sum_clipped").cast("double") * 1e6 /
+          col("n").cast("double")).cast("long")))
+      .withColumn("noise_sum_micro",
+        round(lap("sum") * lit(bSum) * 1e6, 0).cast("long"))
+      .withColumn("released_sum_micro",
+        col("sum_clipped") * 1000000L + col("noise_sum_micro"))
+      .withColumn("noise_mean_micro", when(col("n") > 0,
+        round(lap("mean") * lit(bMeanNum) /
+          col("n").cast("double") * 1e6, 0).cast("long")))
+      .withColumn("released_mean_micro",
+        col("mean_micro") + col("noise_mean_micro"))
+  }
+
   /** l-DIVERSITY AUDIT (Machanavajjhala et al. 2006 — the
     * k-anonymity refinement guarding against the homogeneity attack:
     * a QI group that is large enough can still leak when every member

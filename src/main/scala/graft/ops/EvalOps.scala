@@ -2186,4 +2186,263 @@ object EvalOps {
         col("fp"), col("fn"), col("prec_ppm"), col("rec_ppm"),
         col("f1_ppm"), col("is_best"))
   }
+
+  /** One-feature sibling of [[logisticMuFrame]] (z = β₀ + β₁x —
+    * the Platt-scaling link): the same exact-integer micro z,
+    * nano-fixed sigmoid, and exact-integer-division micro weight. */
+  private def logistic1MuFrame(base: DataFrame,
+                               beta: DataFrame): DataFrame =
+    base.crossJoin(broadcast(beta))
+      .withColumn("_zm", col("b0_micro") + col("_x1") * col("b1_micro"))
+      .withColumn("_mu", round(lit(1e9) / (lit(1.0) +
+        exp(-(col("_zm").cast("double") / lit(1e6))))).cast("long"))
+      .withColumn("_w",
+        expr("(_mu * (1000000000L - _mu)) div 1000000000000L"))
+
+  /** One-feature sibling of [[logisticNewton]]: `base` carries
+    * (_x1, _y ∈ {0,1}); the 2×2 weighted Gram + nano score aggregate
+    * and the 2×2 Cramer solve replace the 3×3 block, the micro β
+    * re-fix and the dA = 0 freeze are identical. */
+  private def logistic1Newton(base: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var beta = base.sparkSession
+      .createDataFrame(Seq(Tuple2(0L, 0L)))
+      .toDF("b0_micro", "b1_micro")
+    for (_ <- 1 to iters) {
+      val a = logistic1MuFrame(base, beta).agg(
+        sum(col("_w")).as("a00"),
+        sum(col("_w") * col("_x1")).as("a01"),
+        sum(col("_w") * col("_x1") * col("_x1")).as("a11"),
+        sum(col("_y") * lit(1000000000L) - col("_mu")).as("s0"),
+        sum((col("_y") * lit(1000000000L) - col("_mu")) * col("_x1"))
+          .as("s1"))
+      def d(c: String): Column = col(c).cast("double")
+      val dA = d("a00") * d("a11") - d("a01") * d("a01")
+      val d0 = d("s0") * d("a11") - d("a01") * d("s1")
+      val d1 = d("a00") * d("s1") - d("s0") * d("a01")
+      beta = a.crossJoin(broadcast(beta))
+        .select(
+          when(dA =!= 0.0, col("b0_micro") +
+            round(lit(1e3) * d0 / dA).cast("long"))
+            .otherwise(col("b0_micro")).as("b0_micro"),
+          when(dA =!= 0.0, col("b1_micro") +
+            round(lit(1e3) * d1 / dA).cast("long"))
+            .otherwise(col("b1_micro")).as("b1_micro"))
+        .localCheckpoint()
+    }
+    beta
+  }
+
+  /** PLATT SCALING (Platt 1999 — the parametric calibration sibling
+    * of [[isotonicPav]]: p = σ(β₀ + β₁·score) fit by the SAME
+    * fixed-iteration IRLS machinery as [[logisticIrls]], one feature
+    * + intercept via [[logistic1Newton]]). After `iters` steps one
+    * more scoring pass reads out calibration: Σp in exact nano
+    * (at the optimum with an intercept Σp = Σy — the gap measures
+    * convergence) and the Brier score as exact integer micro per row
+    * ((μ − y·10⁹)² div 10¹² — non-negative, so div == //), summed
+    * then divided by n.
+    *
+    * Exactness bounds: w_micro ≤ 250000 ⇒ the Gram needs
+    * Σ|x²| < 3.7·10¹³ and the score sum Σ|x| < 9.2·10⁹ — rescale
+    * scores to small integer ranges first (the [[logisticIrls]]
+    * rule). SCALE: iters+1 map-side-combinable aggregate passes, β
+    * on a broadcast 1-row frame, no driver math. Output 1 row:
+    * (n, b0_micro, b1_micro, sum_y, sum_p_nano, brier_micro). */
+  def plattScale(df: DataFrame, scoreCol: String, yCol: String,
+                 iters: Int): DataFrame = {
+    val base = df.select(col(scoreCol).cast("long").as("_x1"),
+        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+      .localCheckpoint() // feeds every Newton step AND the readout
+    val beta = logistic1Newton(base, iters)
+    logistic1MuFrame(base, beta)
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("sum_y"),
+        sum(col("_mu")).as("sum_p_nano"),
+        sum(expr("((_mu - _y * 1000000000L) * " +
+          "(_mu - _y * 1000000000L)) div 1000000000000L"))
+          .as("_bs"))
+      .crossJoin(broadcast(beta))
+      .select(col("n"), col("b0_micro"), col("b1_micro"),
+        col("sum_y"), col("sum_p_nano"),
+        when(col("n") > 0, expr("_bs div n")).as("brier_micro"))
+  }
+
+  /** K-CLASS CLASSIFICATION by ONE-VS-REST logistic composition
+    * (Rifkin & Klautau 2004's in-defense-of-OvR baseline over the
+    * [[logisticIrls]] machinery — the reference task's actual shape:
+    * its Label is 3-class): one independent fixed-iteration
+    * [[logisticNewton]] fit per label k on y = (label = k), then a
+    * single scoring pass computes every class margin
+    * z_k = β₀ᵏ + β₁ᵏx₁ + β₂ᵏx₂ as an EXACT integer micro (the
+    * monotone σ never reorders margins, so argmax z = argmax p — no
+    * float enters the decision), with ties pinned to the EARLIEST
+    * label in `labels`. Reads out the (label, pred) confusion table
+    * plus the exact-integer accuracy ppm (the q270 report shape).
+    *
+    * `labels` are driver literals (the boundary-directory
+    * convention) — rows whose label is outside the list still score
+    * and appear in the confusion table under their own label value.
+    *
+    * SCALE: K·iters sequential map-side-combinable Gram aggregates
+    * over the ONE checkpointed base (K and iters fixed), each β a
+    * broadcast 1-row frame; scoring is one more pass; the confusion
+    * table is label-domain bounded. Exactness bounds are
+    * [[logisticIrls]]'s per fit. Output K²-ish rows:
+    * (label, pred, cnt, n, correct, acc_ppm). */
+  def logisticOvr(df: DataFrame, x1Col: String, x2Col: String,
+                  labelCol: String, labels: Seq[Long],
+                  iters: Int): DataFrame = {
+    require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
+    require(labels.distinct == labels, "labels must be distinct")
+    val base = df.select(col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"),
+        col(labelCol).cast("long").as("_lab"))
+      .localCheckpoint() // feeds every per-class fit AND the scoring
+    val betas = labels.zipWithIndex.map { case (lb, i) =>
+      logisticNewton(base.withColumn("_y",
+        when(col("_lab") === lb, 1L).otherwise(0L)), iters)
+        .select(col("b0_micro").as(s"_b0_$i"),
+          col("b1_micro").as(s"_b1_$i"),
+          col("b2_micro").as(s"_b2_$i"))
+    }
+    val scored = betas.foldLeft(base) { (d, b) =>
+      d.crossJoin(broadcast(b))
+    }
+    val zs = labels.indices.map(i => col(s"_b0_$i") +
+      col("_x1") * col(s"_b1_$i") + col("_x2") * col(s"_b2_$i"))
+    // first-max argmax over exact integer margins: label i wins iff
+    // z_i >= every LATER margin (chained when ⇒ ties to the
+    // earliest label — the pinned rule the oracle mirrors)
+    val pred = labels.indices.init.foldRight(
+      lit(labels.last): Column) { (i, rest) =>
+      val isMax = (i + 1 until labels.size)
+        .map(j => zs(i) >= zs(j)).reduce(_ && _)
+      when(isMax, lit(labels(i))).otherwise(rest)
+    }
+    val conf = scored.withColumn("_pred", pred)
+      .groupBy(col("_lab").as("label"), col("_pred").as("pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // label-domain bounded; feeds table AND acc
+    val acc = conf.agg(sum(col("cnt")).as("n"),
+      sum(when(col("label") === col("pred"), col("cnt"))
+        .otherwise(0L)).as("correct"))
+    conf.crossJoin(broadcast(acc))
+      .select(col("label"), col("pred"), col("cnt"), col("n"),
+        col("correct"),
+        when(col("n") > 0, expr("(correct * 1000000L) div n"))
+          .as("acc_ppm"))
+  }
+
+  /** TWO-COVARIATE COX PROPORTIONAL HAZARDS (Cox 1972; the
+    * multivariable lift of [[coxPh]] — adjust one hazard ratio for
+    * a second covariate, the standard confounder move): the same
+    * Breslow partial-likelihood Newton over the DURATION LEVEL
+    * table, with the risk-set moments extended to the vector/matrix
+    * form — per level the suffix sums give (S0, S1 = (Sa, Sb),
+    * S2 = [[Saa, Sab], [Sab, Sbb]]), the score U = Σ_k (s_k −
+    * d_k·S1/S0) and information I = Σ_k d_k·(S2/S0 − (S1/S0)⊗²) fix
+    * per LEVEL to micro, and the Newton step solves the 2×2 system
+    * by the Cramer block ([[logistic1Newton]]'s spelling): β +=
+    * round(10⁶·(U_a·I_bb − I_ab·U_b)/dI), dI = I_aa·I_bb − I_ab²,
+    * frozen when dI ≤ 0 (degenerate/indefinite information).
+    *
+    * Exactness bounds ([[coxPh]]'s, per covariate): |β·x| ≤ 21 nats
+    * keeps φ in long; Σ x_j·x_k·φ over subjects < 2⁶³ — center/scale
+    * covariates to small integer ranges.
+    *
+    * SCALE: per step ONE subject aggregate + ONE duration-LEVEL
+    * suffix window; iters+1 sequential passes, β on a broadcast
+    * 1-row frame, no driver math. Output 1 row: (n, events,
+    * b1_micro, b2_micro, hr1_micro, hr2_micro, u1_final_micro,
+    * u2_final_micro, i11_micro, i12_micro, i22_micro). */
+  def coxPh2(df: DataFrame, durationCol: String, eventCol: String,
+             x1Col: String, x2Col: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = df.select(col(durationCol).cast("long").as("_t"),
+        col(eventCol).cast("boolean").as("_e"),
+        col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"))
+      .localCheckpoint() // feeds every Newton step AND the readout
+    val spark = base.sparkSession
+    import spark.implicits._
+    var beta = Seq(Tuple2(0L, 0L)).toDF("b1_micro", "b2_micro")
+    def ui(b: DataFrame): DataFrame = {
+      val lev = base.crossJoin(broadcast(b))
+        .withColumn("_phi", round(lit(1e9) *
+          exp((col("_x1") * col("b1_micro") +
+            col("_x2") * col("b2_micro")).cast("double") / lit(1e6)))
+          .cast("long"))
+        .groupBy(col("_t"))
+        .agg(sum(col("_phi")).as("_g0"),
+          sum(col("_x1") * col("_phi")).as("_ga"),
+          sum(col("_x2") * col("_phi")).as("_gb"),
+          sum(col("_x1") * col("_x1") * col("_phi")).as("_gaa"),
+          sum(col("_x1") * col("_x2") * col("_phi")).as("_gab"),
+          sum(col("_x2") * col("_x2") * col("_phi")).as("_gbb"),
+          sum(when(col("_e"), 1L).otherwise(0L)).as("_d"),
+          sum(when(col("_e"), col("_x1")).otherwise(0L)).as("_sa"),
+          sum(when(col("_e"), col("_x2")).otherwise(0L)).as("_sb"))
+      val w = Window.orderBy(col("_t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      def dd(c: String): Column = col(c).cast("double")
+      lev
+        // suffix-sum names must not collide case-insensitively with
+        // the level sums (_sa/_sb): Spark's default resolver treats
+        // _Sa == _sa and withColumn would silently REPLACE the event
+        // sums with nano-scale risk moments (caught by the round-16
+        // planted-effect spec) — hence _Sva/_Svb, the oracle's names
+        .withColumn("_S0", sum(col("_g0")).over(w))
+        .withColumn("_Sva", sum(col("_ga")).over(w))
+        .withColumn("_Svb", sum(col("_gb")).over(w))
+        .withColumn("_Sqaa", sum(col("_gaa")).over(w))
+        .withColumn("_Sqab", sum(col("_gab")).over(w))
+        .withColumn("_Sqbb", sum(col("_gbb")).over(w))
+        .where(col("_d") > 0 && col("_S0") > 0)
+        .select(
+          round((dd("_sa") - dd("_d") * (dd("_Sva") / dd("_S0")))
+            * 1e6).cast("long").as("_ua6"),
+          round((dd("_sb") - dd("_d") * (dd("_Svb") / dd("_S0")))
+            * 1e6).cast("long").as("_ub6"),
+          round(dd("_d") * (dd("_Sqaa") / dd("_S0") -
+            (dd("_Sva") / dd("_S0")) * (dd("_Sva") / dd("_S0"))) * 1e6)
+            .cast("long").as("_iaa6"),
+          round(dd("_d") * (dd("_Sqab") / dd("_S0") -
+            (dd("_Sva") / dd("_S0")) * (dd("_Svb") / dd("_S0"))) * 1e6)
+            .cast("long").as("_iab6"),
+          round(dd("_d") * (dd("_Sqbb") / dd("_S0") -
+            (dd("_Svb") / dd("_S0")) * (dd("_Svb") / dd("_S0"))) * 1e6)
+            .cast("long").as("_ibb6"))
+        .agg(sum(col("_ua6")).as("_sua"), sum(col("_ub6")).as("_sub"),
+          sum(col("_iaa6")).as("_siaa"),
+          sum(col("_iab6")).as("_siab"),
+          sum(col("_ibb6")).as("_sibb"))
+    }
+    for (_ <- 1 to iters) {
+      val u = ui(beta)
+      def d(c: String): Column = col(c).cast("double")
+      val dI = d("_siaa") * d("_sibb") - d("_siab") * d("_siab")
+      beta = u.crossJoin(broadcast(beta))
+        .select(
+          when(dI > 0.0, col("b1_micro") + round(lit(1e6) *
+            (d("_sua") * d("_sibb") - d("_siab") * d("_sub")) / dI)
+            .cast("long")).otherwise(col("b1_micro")).as("b1_micro"),
+          when(dI > 0.0, col("b2_micro") + round(lit(1e6) *
+            (d("_siaa") * d("_sub") - d("_sua") * d("_siab")) / dI)
+            .cast("long")).otherwise(col("b2_micro")).as("b2_micro"))
+        .localCheckpoint()
+    }
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("_e"), 1L).otherwise(0L)).as("events"))
+    tot.crossJoin(broadcast(ui(beta))).crossJoin(broadcast(beta))
+      .select(col("n"), col("events"), col("b1_micro"),
+        col("b2_micro"),
+        round(lit(1e6) * exp(col("b1_micro").cast("double") /
+          lit(1e6))).cast("long").as("hr1_micro"),
+        round(lit(1e6) * exp(col("b2_micro").cast("double") /
+          lit(1e6))).cast("long").as("hr2_micro"),
+        col("_sua").as("u1_final_micro"),
+        col("_sub").as("u2_final_micro"),
+        col("_siaa").as("i11_micro"), col("_siab").as("i12_micro"),
+        col("_sibb").as("i22_micro"))
+  }
 }

@@ -1079,7 +1079,18 @@ object TextOps {
     * expressions, zero shuffle, embarrassingly parallel across
     * words/docs — the tokenization hot path at 100 TB. The cost table
     * is the trained artifact (inventory-bounded map literal). Appends
-    * (pieces array<string>, n_pieces, score_micro) to `df`. */
+    * (pieces array<string>, n_pieces, score_micro) to `df`.
+    *
+    * PRECONDITION (documented, round-16): `costs` must cover every
+    * single character that can appear in `wordCol` (the
+    * [[unigramSeedPieces]] inventory guarantees this by keeping all
+    * singles). A word containing an uncovered character has NO valid
+    * segmentation: every DP candidate at that position is the inf
+    * sentinel (bl = 0), the backward walk never advances, and the
+    * row emits an empty `pieces` array with an inf-magnitude
+    * `score_micro` rather than failing — callers that cannot
+    * guarantee coverage must filter on
+    * `score_micro < Long.MaxValue / 4` (the sentinel) afterwards. */
   def unigramViterbi(df: DataFrame, wordCol: String,
                      costs: Seq[(String, Long)],
                      maxPieceLen: Int): DataFrame = {
@@ -1172,6 +1183,61 @@ object TextOps {
     out.toSeq.toDF("round", "piece", "cnt", "cost_micro")
   }
 
+  /** UNIGRAM-LM TRAINING WITH INVENTORY PRUNING — the real
+    * SentencePiece shape (Kudo 2018 §3.2: EM alternates estimate ↔
+    * prune until the vocabulary reaches its target): each round runs
+    * [[unigramTrain]]'s E-step (one zero-shuffle Viterbi projection
+    * over the vocabulary) and M-step usage counts, then DROPS the
+    * bottom `prunePct`% of MULTI-character pieces by usage
+    * (cnt ASC, piece ASC — the pinned deterministic rank; nDrop =
+    * ⌊nMulti·prunePct/100⌋) before re-costing over the SURVIVING
+    * inventory. Single characters are never pruned, so every
+    * vocabulary word stays segmentable forever (the coverage
+    * guarantee [[unigramViterbi]]'s precondition needs). The result
+    * table shows the SHRINKING inventory: round r emits only that
+    * round's survivors.
+    *
+    * The per-round cost artifact (≤ topMulti + alphabet rows) is the
+    * only driver bridge — the [[bpeMerges]] k-collect convention;
+    * inventories past the low thousands should return the usage
+    * aggregate as a frame instead (the round-15 verdict note on
+    * [[unigramTrain]]). Returns (round, piece, cnt, cost_micro). */
+  def unigramTrainPruned(words: DataFrame, wordCol: String,
+                         freqCol: String, rounds: Int,
+                         maxPieceLen: Int, topMulti: Int,
+                         prunePct: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(prunePct >= 0 && prunePct < 100,
+      s"prunePct must be in [0, 100), got $prunePct")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val seed = unigramSeedPieces(words, wordCol, freqCol, maxPieceLen,
+        topMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1)
+    val vocab = words.select(col(wordCol), col(freqCol).cast("long")
+      .as("_f")).localCheckpoint() // re-segmented every round
+    var inv: Seq[(String, Long)] = seed
+    var costs = unigramCostsMicro(inv)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val usage = unigramViterbi(vocab, wordCol, costs, maxPieceLen)
+        .select(explode(col("pieces")).as("piece"), col("_f"))
+        .groupBy(col("piece")).agg(sum(col("_f")).as("cnt"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val cnts = inv.map { case (p, _) => (p, usage.getOrElse(p, 0L)) }
+      val (singles, multis) = cnts.partition(_._1.length == 1)
+      val nDrop = multis.size * prunePct / 100
+      val kept = multis.sortBy { case (p, c) => (c, p) }.drop(nDrop)
+      inv = (singles ++ kept).sortBy(_._1)
+      costs = unigramCostsMicro(inv)
+      val cm = costs.toMap
+      inv.foreach { case (p, c) => out += ((r.toLong, p, c, cm(p))) }
+    }
+    out.toSeq.toDF("round", "piece", "cnt", "cost_micro")
+  }
+
   /** The final cost artifact of [[unigramTrain]] (the piece → micro-nat
     * cost table the encode path broadcasts) — re-derived by the same
     * loop, the q192 retrain convention. */
@@ -1209,10 +1275,25 @@ object TextOps {
     * (never the corpus token stream), the join key is a bounded
     * generated column, and no pair of words is ever compared unless
     * it shares a variant — the canonical sub-quadratic fuzzy join.
+    * The del² neighborhood is O(|w|²) strings per word, so a single
+    * hostile mega-token could dominate the explode: words longer
+    * than `maxWordLen` fail LOUDLY (raise_error on the word column
+    * itself, so the guard cannot be pruned away) rather than
+    * silently exploding — callers with longer keys raise the bound
+    * explicitly and accept the L² cost.
     * Output: (w_a, w_b, dist, f_a, f_b) with w_a < w_b. */
   def symspellPairs(words: DataFrame, wordCol: String,
-                    freqCol: String): DataFrame = {
-    val w = col(wordCol)
+                    freqCol: String, maxWordLen: Int = 24): DataFrame = {
+    require(maxWordLen >= 1,
+      s"maxWordLen must be >= 1, got $maxWordLen")
+    val w0 = col(wordCol)
+    // the guard rides the word column every consumer reads; under
+    // the bound it is the identity, over it the job fails with the
+    // offending word in the message
+    val w = when(length(w0) <= maxWordLen, w0)
+      .otherwise(raise_error(concat(
+        lit(s"symspellPairs: word exceeds maxWordLen=$maxWordLen: "),
+        w0)).cast("string"))
     val vocab = words.select(w.as("_w"),
       col(freqCol).cast("long").as("_f"))
     val d1 = deleteVariants(col("_w"))

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CleanOps, EvalOps, TextOps}
+
+/** Round-16 batch A/B: the symspellPairs hostile-word guard, K-class
+  * one-vs-rest classification (separable-fixture recovery, confusion
+  * bookkeeping, tie rule), Platt scaling (direction, calibration,
+  * isotonic agreement), and the DP clipped-mean release (clipping
+  * arithmetic, ε-monotonicity). */
+class Round16GlmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("symspellPairs fails loudly on a word over maxWordLen") {
+    val hostile = Seq(("a" * 30, 1L), ("cat", 2L))
+      .toDF("w", "f")
+    val e = intercept[Exception] {
+      TextOps.symspellPairs(hostile, "w", "f").collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxWordLen"), s"unexpected error: $msg")
+  }
+
+  test("symspellPairs unchanged for in-bound vocabularies") {
+    val vocab = Seq(("cat", 5L), ("cut", 3L), ("dog", 2L))
+      .toDF("w", "f")
+    val rows = TextOps.symspellPairs(vocab, "w", "f")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2)))
+    assert(rows.toSet == Set(("cat", "cut", 1L)))
+    // raising the bound explicitly admits longer words
+    val long = Seq(("a" * 30, 1L), ("b" + "a" * 29, 1L))
+      .toDF("w", "f")
+    val big = TextOps.symspellPairs(long, "w", "f", maxWordLen = 32)
+      .collect()
+    assert(big.length == 1 && big.head.getLong(2) == 1L)
+  }
+
+  private def ovrFixture = {
+    // three linearly separable x1 bands; x2 varies so the 3x3 Gram
+    // stays nonsingular (a constant column freezes Newton at 0)
+    val rows = (0 until 150).map { i =>
+      val cls = i % 3
+      val x1 = cls * 20 + (i / 3) % 10 // 0..9 / 20..29 / 40..49
+      (x1.toLong, (i % 5).toLong, cls.toLong)
+    }
+    rows.toDF("x1", "x2", "lab")
+  }
+
+  test("logisticOvr separates a separable 3-class fixture") {
+    val out = EvalOps.logisticOvr(ovrFixture, "x1", "x2", "lab",
+      labels = Seq(0L, 1L, 2L), iters = 6).collect()
+    val n = out.head.getLong(3)
+    assert(n == 150L)
+    val accPpm = out.head.getLong(5)
+    assert(accPpm >= 990000L, s"acc_ppm $accPpm on separable data")
+    // confusion mass adds up to n
+    assert(out.map(_.getLong(2)).sum == n)
+    // diagonal dominates every class
+    val diag = out.filter(r => r.getLong(0) == r.getLong(1))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Seq(0L, 1L, 2L).foreach { c =>
+      assert(diag.getOrElse(c, 0L) >= 48L, s"class $c diag $diag")
+    }
+  }
+
+  test("logisticOvr scores labels outside the list under own label") {
+    val df = ovrFixture.withColumn("lab",
+      when(col("lab") === 2L, 7L).otherwise(col("lab")))
+    val out = EvalOps.logisticOvr(df, "x1", "x2", "lab",
+      labels = Seq(0L, 1L, 7L), iters = 6).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(0L, 1L, 7L))
+  }
+
+  private def plattFixture = {
+    // monotone link from score to outcome with deterministic noise:
+    // flip every 10th row so the problem is not perfectly separable
+    (1 to 200).map { i =>
+      val base = i > 100
+      val y = if (i % 10 == 0) !base else base
+      (i.toLong, y)
+    }.toDF("score", "y")
+  }
+
+  test("plattScale recovers a positive slope and calibrates") {
+    val out = EvalOps.plattScale(plattFixture, "score", "y",
+      iters = 6).collect().head
+    val n = out.getLong(0)
+    val b1 = out.getLong(2)
+    val sumY = out.getLong(3)
+    val sumP = out.getLong(4)
+    val brier = out.getLong(5)
+    assert(n == 200L && sumY == 100L)
+    assert(b1 > 0L, s"slope must be positive on a monotone fixture, got $b1")
+    // at the IRLS optimum with an intercept sum(p) == sum(y); after 6
+    // fixed steps the gap should be well under one unit of outcome
+    assert(math.abs(sumP - sumY * 1000000000L) < 500000000L,
+      s"calibration gap ${sumP - sumY * 1000000000L}")
+    // Brier must beat the uninformed p=0.5 baseline (250000 micro)
+    assert(brier < 250000L, s"brier_micro $brier")
+  }
+
+  test("platt and isotonic agree on a monotone fixture") {
+    val out = EvalOps.plattScale(plattFixture, "score", "y",
+      iters = 6).collect().head
+    val (b0, b1) = (out.getLong(1), out.getLong(2))
+    def p(s: Long): Double =
+      1.0 / (1.0 + math.exp(-((b0 + s * b1).toDouble / 1e6)))
+    // the parametric curve is monotone and brackets the flip point
+    assert(p(10) < 0.2 && p(190) > 0.8 && p(10) < p(100) &&
+      p(100) < p(190))
+  }
+
+  test("dpClippedMean clips, releases, and scales noise with epsilon") {
+    val df = (Seq.fill(50)(100L) ++ Seq(20000L, -500L))
+      .toDF("x") // two out-of-range rows clip to hi/lo
+    def run(eps: Double) =
+      CleanOps.dpClippedMean(df, "x", lo = 0L, hi = 10000L,
+        epsilon = eps, salt = "s16").collect().head
+    val r = run(0.5)
+    assert(r.getLong(0) == 52L)
+    assert(r.getLong(1) == 50L * 100L + 10000L + 0L)
+    assert(r.getLong(4) ==
+      r.getLong(1) * 1000000L + r.getLong(3)) // released = sum + noise
+    assert(r.getLong(6) == r.getLong(2) + r.getLong(5))
+    // same seeded u => noise magnitude strictly decreasing in eps
+    val mags = Seq(0.25, 0.5, 1.0)
+      .map(e => math.abs(run(e).getLong(3)))
+    assert(mags(0) > mags(1) && mags(1) > mags(2),
+      s"noise not monotone in eps: $mags")
+  }
+}
