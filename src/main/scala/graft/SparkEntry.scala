@@ -7858,6 +7858,31 @@ object SparkEntry {
     EvalOps.coxPh2(durations, "dur", "death", "x1", "x2", iters = 4)
   }
 
+  private def q381(s: SparkSession, dir: String): DataFrame = {
+    // ONE-COVARIATE COX PH ON A LIVE QUESTION (EvalOps.coxPh): q380's
+    // time-to-first-purchase duration table with the even-user arm —
+    // the single-covariate op exercising a REAL fit (events = all
+    // converting users, nonzero β, converged score) next to q357's
+    // churn form, whose death rule never fires at test scales and
+    // therefore pins the β = 0 trajectory. Same machinery, same
+    // coxSqlChain oracle shape.
+    val ev = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("_first"),
+        to_date(max(col("ts"))).as("_last"),
+        to_date(min(when(col("event_type") === "purchase",
+          col("ts")))).as("_purch"))
+    val durations = ev
+      .select(
+        when(col("_purch").isNotNull,
+          datediff(col("_purch"), col("_first")))
+          .otherwise(datediff(col("_last"), col("_first")))
+          .cast("long").as("dur"),
+        col("_purch").isNotNull.as("death"),
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("x"))
+    EvalOps.coxPh(durations, "dur", "death", "x", iters = 4)
+  }
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -9022,6 +9047,7 @@ object SparkEntry {
     "q378_platt_scaling" -> q378 _,
     "q379_dp_clipped_mean" -> q379 _,
     "q380_cox2_ph" -> q380 _,
+    "q381_cox_conversion" -> q381 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -17477,6 +17503,31 @@ object SparkEntry {
         |  u.siaa AS i11_micro, u.siab AS i12_micro,
         |  u.sibb AS i22_micro
         |FROM tot t CROSS JOIN c2b4 f CROSS JOIN u2i5 u""".stripMargin,
+    "q381_cox_conversion" ->
+      // the q380 duration table with the single arm covariate, the
+      // q357 coxSqlChain replayed on a LIVE fit
+      s"""WITH ev AS (SELECT user_id,
+        |    min(ts)::DATE AS f, max(ts)::DATE AS l,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts
+        |      END)::DATE AS p
+        |  FROM events GROUP BY 1),
+        |  durs AS (SELECT (CASE WHEN p IS NOT NULL THEN (p - f)
+        |      ELSE (l - f) END)::BIGINT AS t,
+        |      (p IS NOT NULL) AS e,
+        |      (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |        AS x
+        |    FROM ev),
+        |  ${coxSqlChain(4)},
+        |  tot AS (SELECT count(*)::BIGINT AS n,
+        |      sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS events
+        |    FROM durs)
+        |SELECT t.n, t.events, f.b AS b_micro,
+        |  round(1e6 * exp(f.b::DOUBLE / 1e6))::BIGINT AS hr_micro,
+        |  (CASE WHEN u.si > 0 THEN
+        |    round(1e6 / sqrt(u.si::DOUBLE / 1e6)) END)::BIGINT
+        |    AS se_micro,
+        |  u.su AS u_final_micro, u.si AS i_micro
+        |FROM tot t CROSS JOIN cb4 f CROSS JOIN ui5 u""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

@@ -120,6 +120,16 @@ class Round16SeriesSpec extends AnyFunSuite {
     assert(out.getLong(2) == 0L && out.getLong(3) == 0L)
   }
 
+  test("q381 is a LIVE one-covariate Cox fit on the fixture") {
+    // the round-16 lesson behind q380/q381: q357's churn death rule
+    // never fires at test scales, so its green hash pins a vacuous
+    // beta = 0 trajectory; the conversion question must not be that
+    val r = SparkEntry.queries("q381_cox_conversion")(spark,
+      "/root/testdata/sf0.001").collect().head
+    assert(r.getLong(1) > 0L, "no events -> vacuous fit")
+    assert(r.getLong(2) != 0L, "beta pinned at zero -> vacuous fit")
+  }
+
   test("pruned unigram trainer shrinks the inventory, keeps coverage") {
     val vocab = Seq(("intern", 12L), ("internal", 9L), ("nation", 7L),
       ("national", 6L), ("internation", 3L), ("internat", 2L),
