@@ -7883,6 +7883,75 @@ object SparkEntry {
     EvalOps.coxPh(durations, "dur", "death", "x", iters = 4)
   }
 
+  private def q382(s: SparkSession, dir: String): DataFrame =
+    // PER-CLASS PRECISION/RECALL/F1 REPORT (EvalOps.confusionReport
+    // over the q373 one-vs-rest confusion — the multi-class metric
+    // readout completing the K-class task: q373 gives the table and
+    // global accuracy, this gives the per-class operating picture,
+    // the q270 report shape at class granularity): tp/fp/fn from the
+    // diagonal and margins, exact integer ppm everywhere. The OvR
+    // fit re-runs (the q192 retrain convention — artifact lifecycle
+    // is what's measured).
+    EvalOps.confusionReport(
+      EvalOps.logisticOvr(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("x1"),
+          round(col("l_discount") * 100, 0).cast("long").as("x2"),
+          when(col("l_returnflag") === "A", 0L)
+            .when(col("l_returnflag") === "N", 1L)
+            .otherwise(2L).as("lab")),
+        "x1", "x2", "lab", labels = Seq(0L, 1L, 2L), iters = 4),
+      "label", "pred", "cnt")
+      .orderBy(col("label"))
+
+  private def q383(s: SparkSession, dir: String): DataFrame =
+    // h-STEP-AHEAD HOLT-WINTERS FORECAST (AggOps.holtWintersForecast
+    // — the published projection after q377's smoothing replay):
+    // f_{T+h} = l + h·b + s_slot(T+h) for h = 1..7 from the final
+    // state — a pure exact-integer projection, horizon-bounded; the
+    // oracle reads the recursive CTE's last row.
+    AggOps.holtWintersForecast(
+      t(s, dir, "events").groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x")),
+      "d", "x", alphaMicro = 300000L, betaMicro = 100000L,
+      gammaMicro = 200000L, period = 7, horizon = 7)
+      .orderBy(col("h"))
+
+  private def q384(s: SparkSession, dir: String): DataFrame = {
+    // YULE–WALKER AR(5) COEFFICIENTS (AggOps.yuleWalkerAr — Yule
+    // 1927): the Durbin–Levinson terminal φ-row IS the Yule–Walker
+    // solution, so the AR model of the daily-volume series comes
+    // free off q375's recursion state — the classical parametric
+    // model next to the nonparametric q368/q375 reads.
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_t", row_number().over(Window.orderBy(col("_day")))
+        .cast("long"))
+    AggOps.yuleWalkerAr(daily, "_t", "_x", order = 5)
+      .orderBy(col("j"))
+  }
+
+  private def q385(s: SparkSession, dir: String): DataFrame = {
+    // MODEL-ADEQUACY CHECK: LJUNG–BOX ON THE HOLT–WINTERS RESIDUALS
+    // (the Box–Jenkins diagnostic loop closed: q377 fits, q385 tests
+    // whether its one-step errors are white). Signed residuals
+    // x·10⁶ − fitted fix to MILLI units by the sign-split truncating
+    // division (micro residuals would push Σc² past 2⁶³ in the ACF
+    // centering) before the q376 statistic.
+    val hw = AggOps.holtWinters(
+      t(s, dir, "events").groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x")),
+      "d", "x", alphaMicro = 300000L, betaMicro = 100000L,
+      gammaMicro = 200000L, period = 7)
+    val resid = hw.select(col("t"),
+        (col("x") * 1000000L - col("fitted_micro")).as("_rm"))
+      .withColumn("_r", expr(
+        "CASE WHEN _rm < 0 THEN -((-_rm) div 1000) " +
+          "ELSE _rm div 1000 END"))
+    AggOps.ljungBox(resid, "t", "_r", maxLag = 7)
+  }
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -9048,6 +9117,10 @@ object SparkEntry {
     "q379_dp_clipped_mean" -> q379 _,
     "q380_cox2_ph" -> q380 _,
     "q381_cox_conversion" -> q381 _,
+    "q382_ovr_report" -> q382 _,
+    "q383_hw_forecast" -> q383 _,
+    "q384_yule_walker" -> q384 _,
+    "q385_hw_adequacy" -> q385 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -9359,7 +9432,13 @@ object SparkEntry {
        |  abase AS MATERIALIZED (SELECT
        |      row_number() OVER (ORDER BY day)::BIGINT AS t, x
        |    FROM adaily),
-       |  ast AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+       |  ${acfCoreSql(maxLag)}""".stripMargin
+
+  /** The ACF CTE chain over a caller-supplied `abase(t, x)` grid
+    * (the [[acfDailySql]] core, reusable for residual series):
+    * exposes `acfq(lag, n_pairs, acf)`. */
+  private def acfCoreSql(maxLag: Int): String =
+    s"""ast AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s
        |    FROM abase),
        |  ac AS MATERIALIZED (SELECT t, (ast.n * x - ast.s)::BIGINT
        |      AS c FROM abase, ast),
@@ -17528,6 +17607,107 @@ object SparkEntry {
         |    AS se_micro,
         |  u.su AS u_final_micro, u.si AS i_micro
         |FROM tot t CROSS JOIN cb4 f CROSS JOIN ui5 u""".stripMargin,
+    "q382_ovr_report" ->
+      // the q373 chains + margin/diagonal report; tp+fp = the pred
+      // column margin and tp+fn = the label row margin exactly, so
+      // the simplified integer divisions land identical ppm values
+      s"""WITH mdata AS (SELECT l_quantity::BIGINT AS x1,
+        |    round(l_discount * 100)::BIGINT AS x2,
+        |    (CASE WHEN l_returnflag = 'A' THEN 0
+        |      WHEN l_returnflag = 'N' THEN 1 ELSE 2 END)::BIGINT
+        |      AS lab
+        |  FROM lineitem),
+        |  data0 AS (SELECT x1, x2, (CASE WHEN lab = 0 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data1 AS (SELECT x1, x2, (CASE WHEN lab = 1 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data2 AS (SELECT x1, x2, (CASE WHEN lab = 2 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  ${logisticSqlChain(4, "k0", "data0")},
+        |  ${logisticSqlChain(4, "k1", "data1")},
+        |  ${logisticSqlChain(4, "k2", "data2")},
+        |  sc AS (SELECT m.lab,
+        |      (a.b0 + m.x1 * a.b1 + m.x2 * a.b2) AS z0,
+        |      (b.b0 + m.x1 * b.b1 + m.x2 * b.b2) AS z1,
+        |      (c.b0 + m.x1 * c.b1 + m.x2 * c.b2) AS z2
+        |    FROM mdata m CROSS JOIN k0bet4 a CROSS JOIN k1bet4 b
+        |      CROSS JOIN k2bet4 c),
+        |  pr AS (SELECT lab,
+        |      (CASE WHEN z0 >= z1 AND z0 >= z2 THEN 0
+        |        WHEN z1 >= z2 THEN 1 ELSE 2 END)::BIGINT AS pred
+        |    FROM sc),
+        |  conf AS (SELECT lab AS label, pred, count(*)::BIGINT AS cnt
+        |    FROM pr GROUP BY 1, 2),
+        |  byl AS (SELECT label, sum(cnt)::BIGINT AS rw FROM conf
+        |    GROUP BY 1),
+        |  byp AS (SELECT pred AS label, sum(cnt)::BIGINT AS cl
+        |    FROM conf GROUP BY 1),
+        |  dg AS (SELECT label, sum(cnt)::BIGINT AS tp FROM conf
+        |    WHERE label = pred GROUP BY 1),
+        |  keys AS (SELECT label FROM byl
+        |    UNION SELECT label FROM byp)
+        |SELECT k.label, coalesce(d.tp, 0)::BIGINT AS tp,
+        |  (coalesce(p.cl, 0) - coalesce(d.tp, 0))::BIGINT AS fp,
+        |  (coalesce(l.rw, 0) - coalesce(d.tp, 0))::BIGINT AS fn,
+        |  (CASE WHEN coalesce(p.cl, 0) > 0 THEN
+        |    (coalesce(d.tp, 0) * 1000000) // coalesce(p.cl, 0)
+        |    END)::BIGINT AS prec_ppm,
+        |  (CASE WHEN coalesce(l.rw, 0) > 0 THEN
+        |    (coalesce(d.tp, 0) * 1000000) // coalesce(l.rw, 0)
+        |    END)::BIGINT AS rec_ppm,
+        |  (CASE WHEN coalesce(p.cl, 0) + coalesce(l.rw, 0) > 0 THEN
+        |    (2 * coalesce(d.tp, 0) * 1000000)
+        |      // (coalesce(p.cl, 0) + coalesce(l.rw, 0))
+        |    END)::BIGINT AS f1_ppm
+        |FROM keys k LEFT JOIN byl l USING (label)
+        |  LEFT JOIN byp p USING (label)
+        |  LEFT JOIN dg d USING (label)
+        |ORDER BY k.label""".stripMargin,
+    "q383_hw_forecast" -> {
+      // the q377 recursive replay's LAST row projected h steps out
+      // with the same CASE-indexed seasonal slot
+      val slot = "(CASE ((mx.T + hz.h - 1) % 7) " + (0 until 7)
+        .map(i => s"WHEN $i THEN last.s${i + 1}").mkString(" ") +
+        " END)"
+      s"""WITH RECURSIVE ${holtWintersSql(300000L, 100000L, 200000L)},
+        |  last AS (SELECT * FROM hw
+        |    WHERE t = (SELECT max(t) FROM hw)),
+        |  mx AS (SELECT max(t)::BIGINT AS T, max(day) AS ld FROM g),
+        |  hz AS (SELECT unnest(range(1, 8)) AS h)
+        |SELECT hz.h::BIGINT AS h,
+        |  strftime(mx.ld + hz.h::INT, '%Y-%m-%d') AS day,
+        |  (last.l + hz.h * last.b + $slot)::BIGINT AS forecast_micro
+        |FROM hz CROSS JOIN last CROSS JOIN mx
+        |ORDER BY h""".stripMargin
+    },
+    "q384_yule_walker" -> {
+      // the q375 ACF + Durbin–Levinson chain; the output reads the
+      // TERMINAL phi row instead of the reflection coefficients
+      val out = (1 to 5).map(j =>
+        s"SELECT $j::BIGINT AS j, p5_$j AS ar_micro FROM dl5")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${acfDailySql(5)},
+        |  ${durbinSqlChain(5, "acfq")}
+        |$out
+        |ORDER BY j""".stripMargin
+    },
+    "q385_hw_adequacy" ->
+      // the q377 recursive replay's residuals, sign-split milli
+      // fixing, then the q376 statistic over the residual grid
+      s"""WITH RECURSIVE ${holtWintersSql(300000L, 100000L, 200000L)},
+        |  abase AS MATERIALIZED (SELECT hw.t,
+        |      (CASE WHEN (g.x * 1000000 - hw.f) < 0
+        |        THEN -((-(g.x * 1000000 - hw.f)) // 1000)
+        |        ELSE (g.x * 1000000 - hw.f) // 1000 END)::BIGINT AS x
+        |    FROM hw JOIN g ON g.t = hw.t WHERE hw.t > 7),
+        |  ${acfCoreSql(7)},
+        |  nn AS (SELECT count(*)::BIGINT AS n FROM abase)
+        |SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS h,
+        |  sum(round((n * (n + 2) * rk * rk)::DOUBLE /
+        |    ((n - lag) * 1000000)::DOUBLE)::BIGINT)::BIGINT
+        |    AS q_micro
+        |FROM (SELECT lag, round(acf * 1e6)::BIGINT AS rk, nn.n
+        |  FROM acfq CROSS JOIN nn)""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

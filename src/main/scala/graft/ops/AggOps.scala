@@ -458,7 +458,31 @@ object AggOps {
     * (the logisticSqlChain unroll convention in the oracle). Returns
     * (lag, pacf_micro), K rows. */
   def pacf(series: DataFrame, tCol: String, xCol: String,
-           maxLag: Int): DataFrame = {
+           maxLag: Int): DataFrame =
+    durbinStateFrame(series, tCol, xCol, maxLag)
+      .select(expr(s"stack($maxLag, " +
+        (1 to maxLag).map(k => s"${k}L, _f$k").mkString(", ") +
+        ") as (lag, pacf_micro)"))
+
+  /** YULE-WALKER AR(p) COEFFICIENTS (Yule 1927; Walker 1931) — read
+    * straight off the Durbin-Levinson terminal state: the recursion's
+    * final row phi_{p,1..p} IS the Yule-Walker solution for an AR(p)
+    * fit to the sample ACF (Brockwell & Davis 1991 §8.1), so the AR
+    * model comes free once [[pacf]] has run. Same exactness story;
+    * returns (j, ar_micro), p rows. */
+  def yuleWalkerAr(series: DataFrame, tCol: String, xCol: String,
+                   order: Int): DataFrame =
+    durbinStateFrame(series, tCol, xCol, order)
+      .select(expr(s"stack($order, " +
+        (1 to order).map(j => s"${j}L, _p$j").mkString(", ") +
+        ") as (j, ar_micro)"))
+
+  /** The Durbin-Levinson recursion state shared by [[pacf]] and
+    * [[yuleWalkerAr]]: ONE row carrying the micro ACF pivot _r1.._rK,
+    * the current phi row _p1.._pK, and the reflection-coefficient
+    * history _f1.._fK. */
+  private def durbinStateFrame(series: DataFrame, tCol: String,
+                               xCol: String, maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val a = acf(series, tCol, xCol, maxLag)
     val rs = (1 to maxLag).map(k => sum(when(col("lag") === k,
@@ -488,9 +512,7 @@ object AggOps {
         st = st.withColumn(s"_p$j", col(s"_pn$j")).drop(s"_pn$j")
       st = st.withColumn(s"_p$k", col(s"_f$k")).localCheckpoint()
     }
-    st.select(expr(s"stack($maxLag, " +
-      (1 to maxLag).map(k => s"${k}L, _f$k").mkString(", ") +
-      ") as (lag, pacf_micro)"))
+    st
   }
 
   /** LJUNG–BOX PORTMANTEAU STATISTIC (Ljung & Box 1978 — the
@@ -550,6 +572,55 @@ object AggOps {
   def holtWinters(daily: DataFrame, dayCol: String, xCol: String,
                   alphaMicro: Long, betaMicro: Long, gammaMicro: Long,
                   period: Int): DataFrame = {
+    hwStateFrame(daily, dayCol, xCol, alphaMicro, betaMicro,
+      gammaMicro, period)
+      .select(explode(col("_fin").getField("out")).as("o"),
+        col("_fin").getField("sae").as("_sae"),
+        col("_fin").getField("cnt").as("_cnt"))
+      .select(col("o.t").as("t"),
+        date_format(col("o.day"), "yyyy-MM-dd").as("day"),
+        col("o.x").as("x"), col("o.f").as("fitted_micro"),
+        col("o.e").as("err_micro"),
+        expr("_sae div _cnt").as("mae_micro"))
+  }
+
+  /** h-STEP-AHEAD HOLT-WINTERS FORECAST from the final smoothed
+    * state (the projection a production forecaster publishes after
+    * the [[holtWinters]] replay): f_{T+h} = l + h·b + s_slot(T+h) —
+    * a pure EXACT-integer projection over the final (l, b, s) state
+    * row, horizon-bounded. Returns (h, day, forecast_micro). */
+  def holtWintersForecast(daily: DataFrame, dayCol: String,
+                          xCol: String, alphaMicro: Long,
+                          betaMicro: Long, gammaMicro: Long,
+                          period: Int, horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val p = period
+    hwStateFrame(daily, dayCol, xCol, alphaMicro, betaMicro,
+      gammaMicro, period)
+      .select(size(col("_a")).cast("long").as("_T"),
+        element_at(col("_a"), size(col("_a"))).getField("day")
+          .as("_lastDay"),
+        col("_fin").getField("l").as("_l"),
+        col("_fin").getField("b").as("_b"),
+        col("_fin").getField("s").as("_s"),
+        explode(sequence(lit(1L), lit(horizon.toLong))).as("h"))
+      .withColumn("_slot", ((col("_T") + col("h") - 1L) % p)
+        .cast("int"))
+      .select(col("h"),
+        date_format(date_add(col("_lastDay"), col("h").cast("int")),
+          "yyyy-MM-dd").as("day"),
+        (col("_l") + col("h") * col("_b") +
+          element_at(col("_s"), col("_slot") + 1))
+          .as("forecast_micro"))
+  }
+
+  /** The shared [[holtWinters]] state builder: the day grid as ONE
+    * sorted row plus the `aggregate`-fold final state `_fin`
+    * (l, b, s[period], sae, cnt, out). */
+  private def hwStateFrame(daily: DataFrame, dayCol: String,
+                           xCol: String, alphaMicro: Long,
+                           betaMicro: Long, gammaMicro: Long,
+                           period: Int): DataFrame = {
     require(period >= 1, s"period must be >= 1, got $period")
     Seq(alphaMicro, betaMicro, gammaMicro).foreach(c =>
       require(c >= 0 && c <= 1000000L, s"smoothing const $c not micro"))
@@ -606,14 +677,6 @@ object AggOps {
             abs(xm - f).as("e")))).as("out"))
       })
     arr.withColumn("_fin", fin)
-      .select(explode(col("_fin").getField("out")).as("o"),
-        col("_fin").getField("sae").as("_sae"),
-        col("_fin").getField("cnt").as("_cnt"))
-      .select(col("o.t").as("t"),
-        date_format(col("o.day"), "yyyy-MM-dd").as("day"),
-        col("o.x").as("x"), col("o.f").as("fitted_micro"),
-        col("o.e").as("err_micro"),
-        expr("_sae div _cnt").as("mae_micro"))
   }
 
   /** Pearson chi-square test of independence over two categorical

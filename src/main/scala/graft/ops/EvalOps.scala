@@ -2283,11 +2283,13 @@ object EvalOps {
     * convention) — rows whose label is outside the list still score
     * and appear in the confusion table under their own label value.
     *
-    * SCALE: K·iters sequential map-side-combinable Gram aggregates
-    * over the ONE checkpointed base (K and iters fixed), each β a
-    * broadcast 1-row frame; scoring is one more pass; the confusion
-    * table is label-domain bounded. Exactness bounds are
-    * [[logisticIrls]]'s per fit. Output K²-ish rows:
+    * SCALE: `iters` FUSED map-side-combinable aggregates over the
+    * ONE checkpointed base — every class's 3×3 Gram + score rides
+    * the same pass (K×9 sums per step; K separate fits would pay
+    * K·iters scans), the K β triples on one broadcast 1-row frame;
+    * scoring is one more pass; the confusion table is label-domain
+    * bounded. Exactness bounds are [[logisticIrls]]'s per fit.
+    * Output K²-ish rows:
     * (label, pred, cnt, n, correct, acc_ppm). */
   def logisticOvr(df: DataFrame, x1Col: String, x2Col: String,
                   labelCol: String, labels: Seq[Long],
@@ -2297,17 +2299,82 @@ object EvalOps {
     val base = df.select(col(x1Col).cast("long").as("_x1"),
         col(x2Col).cast("long").as("_x2"),
         col(labelCol).cast("long").as("_lab"))
-      .localCheckpoint() // feeds every per-class fit AND the scoring
-    val betas = labels.zipWithIndex.map { case (lb, i) =>
-      logisticNewton(base.withColumn("_y",
-        when(col("_lab") === lb, 1L).otherwise(0L)), iters)
-        .select(col("b0_micro").as(s"_b0_$i"),
-          col("b1_micro").as(s"_b1_$i"),
-          col("b2_micro").as(s"_b2_$i"))
+      .localCheckpoint() // feeds every fused Newton step AND scoring
+    // FUSED Newton steps (round-16 gate finding: K separate fits
+    // cost K·iters sequential scans — 7.0 s at the gate; since every
+    // class's Gram aggregate reads the SAME base, one pass computes
+    // all K of them): the K β triples ride ONE broadcast 1-row
+    // frame, each step is ONE map-side-combinable aggregate of the
+    // K×9 sums, and the K Cramer solves are one projection. The
+    // per-class arithmetic is IDENTICAL to K independent
+    // [[logisticNewton]] runs (same μ/w/Gram/score/solve spelling),
+    // so the per-class oracle chains still hash-match.
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ks = labels.indices
+    var betas = base.sparkSession.createDataFrame(
+      Seq(Tuple1(0L))).toDF("_zero")
+      .select(ks.flatMap(i => Seq(lit(0L).as(s"_b0_$i"),
+        lit(0L).as(s"_b1_$i"), lit(0L).as(s"_b2_$i"))): _*)
+    def det(m11: Column, m12: Column, m13: Column,
+            m21: Column, m22: Column, m23: Column,
+            m31: Column, m32: Column, m33: Column): Column =
+      m11 * (m22 * m33 - m23 * m32) -
+        m12 * (m21 * m33 - m23 * m31) +
+        m13 * (m21 * m32 - m22 * m31)
+    for (_ <- 1 to iters) {
+      var m = base.crossJoin(broadcast(betas))
+      ks.foreach { i =>
+        m = m.withColumn(s"_zm$i", col(s"_b0_$i") +
+            col("_x1") * col(s"_b1_$i") + col("_x2") * col(s"_b2_$i"))
+          .withColumn(s"_mu$i", round(lit(1e9) / (lit(1.0) +
+            exp(-(col(s"_zm$i").cast("double") / lit(1e6)))))
+            .cast("long"))
+          .withColumn(s"_w$i",
+            expr(s"(_mu$i * (1000000000L - _mu$i)) " +
+              "div 1000000000000L"))
+          .withColumn(s"_y$i",
+            when(col("_lab") === labels(i), 1L).otherwise(0L))
+      }
+      val aggs = ks.flatMap { i =>
+        val w = col(s"_w$i"); val mu = col(s"_mu$i")
+        val sc = col(s"_y$i") * lit(1000000000L) - mu
+        Seq(sum(w).as(s"a00_$i"),
+          sum(w * col("_x1")).as(s"a01_$i"),
+          sum(w * col("_x2")).as(s"a02_$i"),
+          sum(w * col("_x1") * col("_x1")).as(s"a11_$i"),
+          sum(w * col("_x1") * col("_x2")).as(s"a12_$i"),
+          sum(w * col("_x2") * col("_x2")).as(s"a22_$i"),
+          sum(sc).as(s"s0_$i"),
+          sum(sc * col("_x1")).as(s"s1_$i"),
+          sum(sc * col("_x2")).as(s"s2_$i"))
+      }
+      val a = m.agg(aggs.head, aggs.tail: _*)
+      betas = a.crossJoin(broadcast(betas))
+        .select(ks.flatMap { i =>
+          def d(c: String): Column = col(c + s"_$i").cast("double")
+          val dA = det(d("a00"), d("a01"), d("a02"),
+            d("a01"), d("a11"), d("a12"), d("a02"), d("a12"),
+            d("a22"))
+          val d0 = det(d("s0"), d("a01"), d("a02"),
+            d("s1"), d("a11"), d("a12"), d("s2"), d("a12"), d("a22"))
+          val d1 = det(d("a00"), d("s0"), d("a02"),
+            d("a01"), d("s1"), d("a12"), d("a02"), d("s2"), d("a22"))
+          val d2 = det(d("a00"), d("a01"), d("s0"),
+            d("a01"), d("a11"), d("s1"), d("a02"), d("a12"), d("s2"))
+          Seq(
+            when(dA =!= 0.0, col(s"_b0_$i") +
+              round(lit(1e3) * d0 / dA).cast("long"))
+              .otherwise(col(s"_b0_$i")).as(s"_b0_$i"),
+            when(dA =!= 0.0, col(s"_b1_$i") +
+              round(lit(1e3) * d1 / dA).cast("long"))
+              .otherwise(col(s"_b1_$i")).as(s"_b1_$i"),
+            when(dA =!= 0.0, col(s"_b2_$i") +
+              round(lit(1e3) * d2 / dA).cast("long"))
+              .otherwise(col(s"_b2_$i")).as(s"_b2_$i"))
+        }: _*)
+        .localCheckpoint()
     }
-    val scored = betas.foldLeft(base) { (d, b) =>
-      d.crossJoin(broadcast(b))
-    }
+    val scored = base.crossJoin(broadcast(betas))
     val zs = labels.indices.map(i => col(s"_b0_$i") +
       col("_x1") * col(s"_b1_$i") + col("_x2") * col(s"_b2_$i"))
     // first-max argmax over exact integer margins: label i wins iff
@@ -2331,6 +2398,46 @@ object EvalOps {
         col("correct"),
         when(col("n") > 0, expr("(correct * 1000000L) div n"))
           .as("acc_ppm"))
+  }
+
+  /** PER-CLASS CONFUSION-MATRIX REPORT (precision/recall/F1 per
+    * label from a (label, pred, cnt) confusion table — the
+    * multi-class readout composing with [[logisticOvr]], and with
+    * any pivoted confusion like q10's): tp from the diagonal, fp/fn
+    * from the column/row margins, P/R/F1 as EXACT integer ppm
+    * (x·10⁶ div total — the [[f1Threshold]] spelling, null on
+    * degenerate denominators). The FULL outer join of the margins
+    * keeps classes that are never predicted (fn-only) and phantom
+    * predictions (fp-only) visible.
+    *
+    * SCALE: everything is label-domain bounded (the input is already
+    * a confusion AGGREGATE); three margin aggregates + broadcast
+    * joins. Output per class: (label, tp, fp, fn, prec_ppm, rec_ppm,
+    * f1_ppm). */
+  def confusionReport(conf: DataFrame, labelCol: String,
+                      predCol: String, cntCol: String): DataFrame = {
+    val c = conf.select(col(labelCol).as("_l"), col(predCol).as("_p"),
+        col(cntCol).cast("long").as("_c"))
+      .localCheckpoint() // label-domain bounded; feeds all 3 margins
+    val byLabel = c.groupBy(col("_l").as("label"))
+      .agg(sum(col("_c")).as("_row"))
+    val byPred = c.groupBy(col("_p").as("label"))
+      .agg(sum(col("_c")).as("_col"))
+    val diag = c.where(col("_l") === col("_p"))
+      .groupBy(col("_l").as("label")).agg(sum(col("_c")).as("_tp"))
+    byLabel.join(byPred, Seq("label"), "full")
+      .join(diag, Seq("label"), "left")
+      .withColumn("tp", coalesce(col("_tp"), lit(0L)))
+      .withColumn("fp", coalesce(col("_col"), lit(0L)) - col("tp"))
+      .withColumn("fn", coalesce(col("_row"), lit(0L)) - col("tp"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000L div (tp + fp)")).as("prec_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000L div (tp + fn)")).as("rec_ppm"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("2L * tp * 1000000L div (2L * tp + fp + fn)"))
+          .as("f1_ppm"))
   }
 
   /** TWO-COVARIATE COX PROPORTIONAL HAZARDS (Cox 1972; the

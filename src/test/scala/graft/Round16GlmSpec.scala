@@ -116,6 +116,35 @@ class Round16GlmSpec extends AnyFunSuite {
       p(100) < p(190))
   }
 
+  test("confusionReport computes per-class P/R/F1 from the table") {
+    // classes: 0 (clean), 1 (confused with 2), 3 (never predicted),
+    // 9 (phantom: predicted but never a true label)
+    val conf = Seq(
+      (0L, 0L, 10L),
+      (1L, 1L, 6L), (1L, 2L, 4L),
+      (2L, 2L, 8L), (2L, 1L, 2L),
+      (3L, 0L, 5L),
+      (1L, 9L, 1L))
+      .toDF("label", "pred", "cnt")
+    val out = EvalOps.confusionReport(conf, "label", "pred", "cnt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((10L, 5L, 0L)))   // tp 10, fp from label 3
+    assert(out(1L) == ((6L, 2L, 5L)))    // fn: 4 to class 2, 1 to 9
+    assert(out(2L) == ((8L, 4L, 2L)))
+    assert(out(3L) == ((0L, 0L, 5L)))    // never predicted: fn-only
+    assert(out(9L) == ((0L, 1L, 0L)))    // phantom: fp-only
+    val ppm = EvalOps.confusionReport(conf, "label", "pred", "cnt")
+      .where(col("label") === 1L).collect().head
+    assert(ppm.getLong(4) == 750000L)    // 6/8
+    assert(ppm.getLong(5) == 545454L)    // 6/11 truncating div
+    assert(ppm.getLong(6) == 631578L)    // 12/19
+    // degenerate ppm are null, not errors
+    val deg = EvalOps.confusionReport(conf, "label", "pred", "cnt")
+      .where(col("label") === 3L).collect().head
+    assert(deg.isNullAt(4) && deg.getLong(5) == 0L)
+  }
+
   test("dpClippedMean clips, releases, and scales noise with epsilon") {
     val df = (Seq.fill(50)(100L) ++ Seq(20000L, -500L))
       .toDF("x") // two out-of-range rows clip to hi/lo

@@ -43,6 +43,48 @@ class Round16SeriesSpec extends AnyFunSuite {
     assert(p1 == math.round(a1 * 1e6))
   }
 
+  test("yule-walker order 1 equals pacf lag 1; AR(1) loads on phi1") {
+    val df = ar1Fixture(0.7, 300, 42L)
+    val yw1 = AggOps.yuleWalkerAr(df, "t", "x", order = 1)
+      .collect().head.getLong(1)
+    val p1 = AggOps.pacf(df, "t", "x", 1).collect().head.getLong(1)
+    assert(yw1 == p1)
+    val ar5 = AggOps.yuleWalkerAr(df, "t", "x", order = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ar5(1L) > 500000L, s"AR(1) weight on phi1: $ar5")
+    (2L to 5L).foreach(j => assert(math.abs(ar5(j)) < 250000L,
+      s"phi$j ${ar5(j)} should be small for AR(1)"))
+  }
+
+  test("hw residual whiteness: exact fit => null Q, noise => finite") {
+    val s = Seq(3L, -1L, 4L, -2L, 0L, -5L, 1L)
+    val exact = (0 until 28).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)), 100L + s(i % 7))
+    }.toDF("d", "x")
+    def adequacy(days: org.apache.spark.sql.DataFrame) = {
+      val hw = AggOps.holtWinters(days, "d", "x", 300000L, 100000L,
+        200000L, period = 7)
+      val resid = hw.select(col("t"),
+          (col("x") * 1000000L - col("fitted_micro")).as("_rm"))
+        .withColumn("_r", expr(
+          "CASE WHEN _rm < 0 THEN -((-_rm) div 1000) " +
+            "ELSE _rm div 1000 END"))
+      AggOps.ljungBox(resid, "t", "_r", maxLag = 3).collect().head
+    }
+    // the fixed-point fixture leaves ZERO residual everywhere: the
+    // ACF denominator degenerates and Q is null, not a crash
+    assert(adequacy(exact).isNullAt(2))
+    val rnd = new scala.util.Random(5L)
+    val noisy = (0 until 42).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)),
+        100L + s(i % 7) + rnd.nextInt(11) - 5)
+    }.toDF("d", "x")
+    val q = adequacy(noisy)
+    assert(!q.isNullAt(2) && q.getLong(2) >= 0L)
+  }
+
   test("ljung-box separates seasonal structure from noise") {
     val seasonal = (1 to 210).map(t =>
       (t.toLong, (100 + 50 * ((t - 1) % 7)).toLong)).toDF("t", "x")
@@ -75,6 +117,28 @@ class Round16SeriesSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(5) == 0L)) // MAE 0
     // fitted equals the actual in micro
     assert(out.forall(r => r.getLong(3) == r.getLong(2) * 1000000L))
+  }
+
+  test("holt-winters forecast projects the exact seasonal pattern") {
+    // same fixed-point fixture as the replay test: the final state is
+    // (l = 100e6, b = 0, s = true indices), so f_{T+h} must equal
+    // (100 + s_slot)·1e6 exactly for every horizon step
+    val s = Seq(3L, -1L, 4L, -2L, 0L, -5L, 1L)
+    val days = (0 until 28).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)), 100L + s(i % 7))
+    }.toDF("d", "x")
+    val out = AggOps.holtWintersForecast(days, "d", "x", 300000L,
+      100000L, 200000L, period = 7, horizon = 14)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2)))
+    assert(out.length == 14)
+    out.foreach { case (h, day, f) =>
+      val t = 28 + h // 1-based day index of the forecast
+      assert(f == (100L + s(((t - 1) % 7).toInt)) * 1000000L,
+        s"h=$h day=$day forecast $f")
+    }
+    assert(out.head._2 == "2024-01-29") // day T+1
   }
 
   test("holt-winters yields empty output under the two-week minimum") {
