@@ -7952,6 +7952,35 @@ object SparkEntry {
     AggOps.ljungBox(resid, "t", "_r", maxLag = 7)
   }
 
+  private def q386(s: SparkSession, dir: String): DataFrame = {
+    // AR(5) ONE-STEP BACKTEST (AggOps.arBacktest): the Yule–Walker
+    // model (q384) driven through q377's forecasting question — the
+    // model-comparison readout (its mae_micro reads directly against
+    // q377's) that completes the classical pipeline: ACF → PACF →
+    // AR fit → backtest → adequacy. Lag join grid×5, φ and the mean
+    // on broadcast 1-row frames, exact integer lag terms with ONE
+    // rounding divide per step.
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_t", row_number().over(Window.orderBy(col("_day")))
+        .cast("long"))
+    AggOps.arBacktest(daily, "_t", "_x", order = 5).orderBy(col("t"))
+  }
+
+  private def q387(s: SparkSession, dir: String): DataFrame =
+    // ε-DP MEDIAN via the EXPONENTIAL MECHANISM (CleanOps.dpQuantile
+    // — McSherry & Talwar 2007): the selection rung of the DP ladder
+    // (q369 histogram → q379 clipped mean → this). Candidates are
+    // the full [0, 10000]-cent grid (data-independent), utility
+    // −|rank gap| with sensitivity 1, seeded Gumbel-max selection —
+    // exponential-mechanism probabilities, hash-replayable draw.
+    CleanOps.dpQuantile(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(round(col("value") * 100, 0).cast("long").as("cents")),
+      "cents", lo = 0L, hi = 10000L, qPpm = 500000L, epsilon = 0.5,
+      salt = "dpq16")
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -9121,6 +9150,8 @@ object SparkEntry {
     "q383_hw_forecast" -> q383 _,
     "q384_yule_walker" -> q384 _,
     "q385_hw_adequacy" -> q385 _,
+    "q386_ar_backtest" -> q386 _,
+    "q387_dp_quantile" -> q387 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -17708,6 +17739,67 @@ object SparkEntry {
         |    AS q_micro
         |FROM (SELECT lag, round(acf * 1e6)::BIGINT AS rk, nn.n
         |  FROM acfq CROSS JOIN nn)""".stripMargin,
+    "q386_ar_backtest" -> {
+      // the q384 chain's terminal phi row driven through the same
+      // lag join, exact integer lag terms, one rounding divide per
+      // step, exact-division MAE
+      val pj = "(CASE l.j " + (1 to 5).map(j =>
+        s"WHEN $j THEN d.p5_$j").mkString(" ") + " END)"
+      s"""WITH ${acfDailySql(5)},
+        |  ${durbinSqlChain(5, "acfq")},
+        |  am AS (SELECT round(s::DOUBLE * 1e6 / n::DOUBLE)::BIGINT
+        |      AS m FROM ast),
+        |  lg5 AS (SELECT unnest(range(1, 6)) AS j),
+        |  tm AS (SELECT a.t, count(*)::BIGINT AS k,
+        |      sum($pj * (b.x * 1000000 - am.m))::BIGINT AS acc
+        |    FROM abase a CROSS JOIN lg5 l
+        |      JOIN abase b ON b.t = a.t - l.j
+        |      CROSS JOIN dl5 d CROSS JOIN am
+        |    GROUP BY a.t),
+        |  pr AS (SELECT t.t, x.x,
+        |      (am.m + round(t.acc::DOUBLE / 1e6)::BIGINT)::BIGINT
+        |        AS pred
+        |    FROM tm t JOIN abase x ON x.t = t.t CROSS JOIN am
+        |    WHERE t.k = 5),
+        |  er AS (SELECT t, x, pred,
+        |      abs(x * 1000000 - pred)::BIGINT AS err FROM pr),
+        |  ma AS (SELECT (sum(err) // count(*))::BIGINT AS mae
+        |    FROM er)
+        |SELECT t, x, pred AS pred_micro, err AS err_micro,
+        |  ma.mae AS mae_micro
+        |FROM er CROSS JOIN ma ORDER BY t""".stripMargin
+    },
+    "q387_dp_quantile" ->
+      // same clip/level counts, same full candidate grid, same
+      // integer utility, same seeded Gumbel keys ((eps/2)*1e6 =
+      // 250000 premultiplied), same (key DESC, v ASC) argmax
+      """WITH c AS (SELECT greatest(0, least(10000,
+        |      round(value * 100)::BIGINT))::BIGINT AS v
+        |    FROM events WHERE value IS NOT NULL),
+        |  lv AS (SELECT v, count(*)::BIGINT AS c FROM c GROUP BY 1),
+        |  tot AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM lv),
+        |  g AS (SELECT unnest(range(0, 10001)) AS gv),
+        |  cum AS (SELECT g.gv, tot.n,
+        |      (sum(coalesce(lv.c, 0)) OVER (ORDER BY g.gv
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        )::BIGINT AS cum
+        |    FROM g LEFT JOIN lv ON lv.v = g.gv CROSS JOIN tot),
+        |  ut AS (SELECT gv, n, cum,
+        |      ((n * 500000) // 1000000)::BIGINT AS target,
+        |      (-abs(cum - (n * 500000) // 1000000))::BIGINT AS u
+        |    FROM cum),
+        |  ky AS (SELECT gv, n, target, u, cum,
+        |      (u * 250000 + round(-ln(-ln(
+        |        (('0x' || substr(md5('dpq16:' || gv), 1, 8))::BIGINT
+        |          + 0.5) / 4294967296.0)) * 1e6)::BIGINT)::BIGINT
+        |        AS key
+        |    FROM ut),
+        |  sel AS (SELECT * FROM (SELECT *,
+        |      row_number() OVER (ORDER BY key DESC, gv) AS rk
+        |    FROM ky) WHERE rk = 1)
+        |SELECT n, target AS target_rank, gv AS released,
+        |  u AS u_released, abs(cum - target)::BIGINT AS true_err
+        |FROM sel""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

@@ -477,6 +477,64 @@ object AggOps {
         (1 to order).map(j => s"${j}L, _p$j").mkString(", ") +
         ") as (j, ar_micro)"))
 
+  /** AR(p) ONE-STEP BACKTEST (the Yule–Walker model driven through
+    * the [[seasonalDecompose]]/Holt–Winters question — which
+    * classical forecaster wins on this series?): fit φ₁..φ_p by
+    * [[yuleWalkerAr]]'s Durbin–Levinson state, then predict every
+    * in-sample step from its own lags,
+    *   x̂_t = x̄ + Σ_j φ_j·(x_{t−j} − x̄),
+    * with x̄ micro-fixed once (float-round over exact integers) and
+    * each lag term φ_j·(x_{t−j}·10⁶ − x̄) an EXACT long (micro ×
+    * micro ≤ 10¹⁵ at day-grid magnitudes) summed order-free before
+    * ONE rounding divide per step. Only steps with all p lags
+    * present forecast. MAE by exact division (errors non-negative).
+    *
+    * SCALE: the lag join is grid × p rows (grid-bounded at any raw
+    * volume — the [[acf]] argument); φ and x̄ ride broadcast 1-row
+    * frames. Returns (t, x, pred_micro, err_micro, mae_micro),
+    * T − p rows. */
+  def arBacktest(series: DataFrame, tCol: String, xCol: String,
+                 order: Int): DataFrame = {
+    require(order >= 1, s"order must be >= 1, got $order")
+    val base = series.select(col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .localCheckpoint() // feeds the fit, the lags, and the actuals
+    val phi = durbinStateFrame(base, "_t", "_x", order)
+      .select((1 to order).map(j => col(s"_p$j")): _*)
+    val mean = base.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"))
+      .select(round(col("_s").cast("double") * lit(1e6) /
+        col("_n").cast("double")).cast("long").as("_m"))
+    val pj = (2 to order).foldLeft(
+      when(col("_j") === 1, col("_p1"))) { (acc, j) =>
+      acc.when(col("_j") === j, col(s"_p$j"))
+    }
+    val terms = base
+      .select(col("_t"), explode(sequence(lit(1), lit(order)))
+        .as("_j"))
+      .join(base.select(col("_t").as("_t2"), col("_x").as("_xl")),
+        col("_t") - col("_j") === col("_t2"))
+      .crossJoin(broadcast(phi)).crossJoin(broadcast(mean))
+      .withColumn("_term", pj * (col("_xl") * lit(1000000L) -
+        col("_m")))
+      .groupBy(col("_t"))
+      .agg(count(lit(1)).as("_k"), sum(col("_term")).as("_acc"))
+      .where(col("_k") === order)
+    val pred = terms
+      .join(base.select(col("_t"), col("_x")), "_t")
+      .crossJoin(broadcast(mean))
+      .withColumn("pred_micro", col("_m") +
+        round(col("_acc").cast("double") / lit(1e6)).cast("long"))
+      .withColumn("err_micro",
+        abs(col("_x") * lit(1000000L) - col("pred_micro")))
+      .localCheckpoint() // grid-bounded; feeds rows AND the MAE
+    val mae = pred.agg(sum(col("err_micro")).as("_se"),
+      count(lit(1)).as("_c"))
+    pred.crossJoin(broadcast(mae))
+      .select(col("_t").as("t"), col("_x").as("x"),
+        col("pred_micro"), col("err_micro"),
+        expr("_se div _c").as("mae_micro"))
+  }
+
   /** The Durbin-Levinson recursion state shared by [[pacf]] and
     * [[yuleWalkerAr]]: ONE row carrying the micro ACF pivot _r1.._rK,
     * the current phi row _p1.._pK, and the reflection-coefficient

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-cleaning operators (SURVEY.md §2.2, §2.4, §2.10).
@@ -438,6 +439,58 @@ object CleanOps {
           col("n").cast("double") * 1e6, 0).cast("long")))
       .withColumn("released_mean_micro",
         col("mean_micro") + col("noise_mean_micro"))
+  }
+
+  /** ε-DP QUANTILE via the EXPONENTIAL MECHANISM (McSherry & Talwar
+    * 2007 — the third rung of the DP ladder after [[dpHistogram]]
+    * and [[dpClippedMean]]: a noisy-sum release cannot answer "what
+    * value sits at rank q", selection mechanisms can): candidates
+    * are the FULL data-independent integer grid [lo, hi]; the
+    * utility of candidate v is u(v) = −|#{x ≤ v} − target| with
+    * sensitivity 1, and the draw uses the seeded GUMBEL-MAX trick —
+    * argmax over v of (ε/2)·u(v) + Gumbel(md5(salt:v)) selects with
+    * exactly the exponential-mechanism probabilities while staying
+    * hash-replayable ((ε/2)·10⁶ premultiplied to an exact integer
+    * key; ties broken v ASC). A real deployment swaps the seeded
+    * uniforms for a secure RNG — the [[dpHistogram]] trade.
+    *
+    * SCALE: ONE level aggregate over the data, then everything runs
+    * on the (hi−lo+1)-row candidate grid (a bounded literal domain):
+    * one prefix window for the cumulative ranks, one rank window for
+    * the argmax. Output 1 row: (n, target_rank, released,
+    * u_released, true_err). */
+  def dpQuantile(df: DataFrame, xCol: String, lo: Long, hi: Long,
+                 qPpm: Long, epsilon: Double,
+                 salt: String): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(qPpm >= 0 && qPpm <= 1000000L, s"qPpm out of range: $qPpm")
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val epsHalfMicro = math.round(epsilon / 2 * 1e6)
+    val lv = df.select(greatest(lit(lo), least(lit(hi),
+        col(xCol).cast("long"))).as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val tot = lv.agg(coalesce(sum(col("_c")), lit(0L)).as("_n"))
+    val grid = lv.sparkSession.range(lo, hi + 1).toDF("_g")
+      .join(lv, col("_g") === col("_v"), "left")
+      .withColumn("_cum", sum(coalesce(col("_c"), lit(0L)))
+        .over(Window.orderBy(col("_g"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("_target", expr(s"(_n * ${qPpm}L) div 1000000L"))
+      .withColumn("_u", -abs(col("_cum") - col("_target")))
+    val u = (conv(substring(md5(concat(lit(salt + ":"),
+      col("_g").cast("string"))), 1, 8), 16, 10).cast("double")
+      + 0.5) / 4294967296.0
+    val keyed = grid
+      .withColumn("_gum", round(-log(-log(u)) * 1e6, 0).cast("long"))
+      .withColumn("_key", col("_u") * lit(epsHalfMicro) + col("_gum"))
+    keyed
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_key").desc, col("_g"))))
+      .where(col("_rk") === 1)
+      .select(col("_n").as("n"), col("_target").as("target_rank"),
+        col("_g").as("released"), col("_u").as("u_released"),
+        abs(col("_cum") - col("_target")).as("true_err"))
   }
 
   /** l-DIVERSITY AUDIT (Machanavajjhala et al. 2006 — the

@@ -145,6 +145,25 @@ class Round16GlmSpec extends AnyFunSuite {
     assert(deg.isNullAt(4) && deg.getLong(5) == 0L)
   }
 
+  test("dpQuantile: high epsilon recovers the exact empirical rank") {
+    val df = (1 to 100).map(_.toLong).toDF("x")
+    // eps = 50: the utility term dominates every Gumbel draw, and on
+    // distinct ranks 1..100 the ONLY zero-gap candidate is v = 50
+    val r = CleanOps.dpQuantile(df, "x", lo = 0L, hi = 100L,
+      qPpm = 500000L, epsilon = 50.0, salt = "s").collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 50L)
+    assert(r.getLong(4) == 0L, s"true_err ${r.getLong(4)}")
+    assert(r.getLong(2) == 50L, s"released ${r.getLong(2)}")
+    // small epsilon still releases inside the candidate domain and
+    // stays deterministic under the seeded draw
+    val lo = CleanOps.dpQuantile(df, "x", 0L, 100L, 500000L, 0.01,
+      "s").collect().head
+    assert(lo.getLong(2) >= 0L && lo.getLong(2) <= 100L)
+    val lo2 = CleanOps.dpQuantile(df, "x", 0L, 100L, 500000L, 0.01,
+      "s").collect().head
+    assert(lo.getLong(2) == lo2.getLong(2))
+  }
+
   test("dpClippedMean clips, releases, and scales noise with epsilon") {
     val df = (Seq.fill(50)(100L) ++ Seq(20000L, -500L))
       .toDF("x") // two out-of-range rows clip to hi/lo

@@ -56,6 +56,25 @@ class Round16SeriesSpec extends AnyFunSuite {
       s"phi$j ${ar5(j)} should be small for AR(1)"))
   }
 
+  test("ar backtest beats the unconditional mean on an AR series") {
+    val df = ar1Fixture(0.8, 300, 13L)
+    val out = AggOps.arBacktest(df, "t", "x", order = 3).collect()
+    assert(out.length == 297)
+    val maeAr = out.head.getLong(4)
+    // the naive forecaster predicts the series mean everywhere
+    val xs = df.collect().map(_.getLong(1))
+    val mean = math.round(xs.sum.toDouble / xs.length * 1e6)
+    val ts = out.map(_.getLong(0)).toSet
+    val maeMean = xs.zipWithIndex
+      .filter { case (_, i) => ts.contains(i + 1L) }
+      .map { case (x, _) => math.abs(x * 1000000L - mean) }
+    val naive = maeMean.sum / maeMean.length
+    assert(maeAr < naive * 3 / 4,
+      s"AR mae $maeAr should clearly beat naive $naive on phi=0.8")
+    // every forecast step used all 3 lags: t starts at 4
+    assert(out.map(_.getLong(0)).min == 4L)
+  }
+
   test("hw residual whiteness: exact fit => null Q, noise => finite") {
     val s = Seq(3L, -1L, 4L, -2L, 0L, -5L, 1L)
     val exact = (0 until 28).map { i =>
