@@ -7981,6 +7981,24 @@ object SparkEntry {
       "cents", lo = 0L, hi = 10000L, qPpm = 500000L, epsilon = 0.5,
       salt = "dpq16")
 
+  private def q388(s: SparkSession, dir: String): DataFrame =
+    // MULTINOMIAL SOFTMAX CLASSIFICATION (EvalOps.softmaxGlm — the
+    // JOINT K-class model on q373's exact fixture, so OvR and
+    // softmax read the same question side by side; class A is the
+    // reference, 4 fused block-Newton steps): max-shifted softmax
+    // over exact integer margins (no overflow path), nano p, block
+    // weights by exact division, per-class Cramer — confusion +
+    // accuracy hash-compare against the single fused oracle chain.
+    EvalOps.softmaxGlm(
+      t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"),
+        when(col("l_returnflag") === "A", 0L)
+          .when(col("l_returnflag") === "N", 1L)
+          .otherwise(2L).as("lab")),
+      "x1", "x2", "lab", labels = Seq(0L, 1L, 2L), iters = 4)
+      .orderBy(col("label"), col("pred"))
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -9152,6 +9170,7 @@ object SparkEntry {
     "q385_hw_adequacy" -> q385 _,
     "q386_ar_backtest" -> q386 _,
     "q387_dp_quantile" -> q387 _,
+    "q388_softmax_glm" -> q388 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -9262,6 +9281,104 @@ object SparkEntry {
         |      (CASE WHEN dA <> 0 THEN b.b1 + round(1e3 * d1 / dA)::BIGINT
         |        ELSE b.b1 END)::BIGINT AS b1
         |    FROM ${p}c$k CROSS JOIN ${p}bet${k - 1} b)""".stripMargin
+    }.mkString
+    head + its
+  }
+
+  /** The four 3×3 Cramer expressions of [[logisticSqlChain]]'s c$k
+    * block with every operand suffixed — shared with the softmax
+    * chain so both engines spell the identical determinant
+    * arithmetic. */
+  private def cramer3Sql(s: String): String = {
+    def c(n: String) = s"$n$s::DOUBLE"
+    s"""${c("a00")} * (${c("a11")} * ${c("a22")}
+       |        - ${c("a12")} * ${c("a12")})
+       |      - ${c("a01")} * (${c("a01")} * ${c("a22")}
+       |        - ${c("a12")} * ${c("a02")})
+       |      + ${c("a02")} * (${c("a01")} * ${c("a12")}
+       |        - ${c("a11")} * ${c("a02")}) AS dA$s,
+       |      ${c("s0")} * (${c("a11")} * ${c("a22")}
+       |        - ${c("a12")} * ${c("a12")})
+       |      - ${c("a01")} * (${c("s1")} * ${c("a22")}
+       |        - ${c("a12")} * ${c("s2")})
+       |      + ${c("a02")} * (${c("s1")} * ${c("a12")}
+       |        - ${c("a11")} * ${c("s2")}) AS d0$s,
+       |      ${c("a00")} * (${c("s1")} * ${c("a22")}
+       |        - ${c("a12")} * ${c("s2")})
+       |      - ${c("s0")} * (${c("a01")} * ${c("a22")}
+       |        - ${c("a12")} * ${c("a02")})
+       |      + ${c("a02")} * (${c("a01")} * ${c("s2")}
+       |        - ${c("s1")} * ${c("a02")}) AS d1$s,
+       |      ${c("a00")} * (${c("a11")} * ${c("s2")}
+       |        - ${c("s1")} * ${c("a12")})
+       |      - ${c("a01")} * (${c("a01")} * ${c("s2")}
+       |        - ${c("s1")} * ${c("a02")})
+       |      + ${c("s0")} * (${c("a01")} * ${c("a12")}
+       |        - ${c("a11")} * ${c("a02")}) AS d2$s""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.EvalOps.softmaxGlm]]'s fused
+    * block-Newton: K−1 non-reference classes over `mdata(x1, x2,
+    * lab)` with labels 0..K−1 (0 = reference, β ≡ 0) — the same
+    * max-shifted softmax (zmax over exact ints, fixed-order e-sum),
+    * nano p, exact-division block weight, per-class Gram/score sums
+    * and Cramer blocks in ONE chain. Ends with
+    * `sbet$iters(b0_1..b2_${K-1})`. */
+  private def softmaxSqlChain(iters: Int, k: Int): String = {
+    val ks = 1 until k
+    val head = "sbet0 AS (SELECT " + ks.flatMap(i => Seq(
+      s"0::BIGINT AS b0_$i", s"0::BIGINT AS b1_$i",
+      s"0::BIGINT AS b2_$i")).mkString(", ") + ")"
+    val its = (1 to iters).map { r =>
+      val zs = ks.map(i =>
+        s"(b0_$i + x1 * b1_$i + x2 * b2_$i) AS z$i").mkString(",\n      ")
+      val es = ks.map(i =>
+        s"exp((z$i - zm)::DOUBLE / 1e6) AS e$i").mkString(",\n      ")
+      val den = "e0" + ks.map(i => s" + e$i").mkString
+      val ps = ks.map(i =>
+        s"round(1e9 * e$i / den)::BIGINT AS p$i").mkString(",\n      ")
+      val ws = ks.map(i =>
+        s"((p$i * (1000000000 - p$i)) // 1000000000000)::BIGINT" +
+          s" AS w$i").mkString(",\n      ")
+      val ys = ks.map(i =>
+        s"(CASE WHEN lab = $i THEN 1 ELSE 0 END)::BIGINT AS y$i")
+        .mkString(",\n      ")
+      val sums = ks.flatMap { i =>
+        Seq(s"sum(w$i)::BIGINT AS a00_$i",
+          s"sum(w$i * x1)::BIGINT AS a01_$i",
+          s"sum(w$i * x2)::BIGINT AS a02_$i",
+          s"sum(w$i * x1 * x1)::BIGINT AS a11_$i",
+          s"sum(w$i * x1 * x2)::BIGINT AS a12_$i",
+          s"sum(w$i * x2 * x2)::BIGINT AS a22_$i",
+          s"sum(y$i * 1000000000 - p$i)::BIGINT AS s0_$i",
+          s"sum((y$i * 1000000000 - p$i) * x1)::BIGINT AS s1_$i",
+          s"sum((y$i * 1000000000 - p$i) * x2)::BIGINT AS s2_$i")
+      }.mkString(",\n      ")
+      val crs = ks.map(i => cramer3Sql(s"_$i")).mkString(",\n      ")
+      val upd = ks.flatMap { i =>
+        Seq(0, 1, 2).map { c =>
+          s"""(CASE WHEN dA_$i <> 0 THEN b.b${c}_$i
+             |        + round(1e3 * d${c}_$i / dA_$i)::BIGINT
+             |        ELSE b.b${c}_$i END)::BIGINT AS b${c}_$i"""
+            .stripMargin
+        }
+      }.mkString(",\n      ")
+      s""",
+        |  smu$r AS (SELECT *, $ps FROM (
+        |    SELECT *, $den AS den FROM (
+        |    SELECT *, $es FROM (
+        |    SELECT *, exp((0 - zm)::DOUBLE / 1e6) AS e0 FROM (
+        |    SELECT *, greatest(0, ${ks.map(i => s"z$i").mkString(", ")})
+        |        AS zm FROM (
+        |    SELECT x1, x2, lab,
+        |      $zs
+        |    FROM mdata CROSS JOIN sbet${r - 1})))))),
+        |  swy$r AS (SELECT *, $ws,
+        |      $ys FROM smu$r),
+        |  sg$r AS (SELECT $sums FROM swy$r),
+        |  sc$r AS (SELECT $crs FROM sg$r),
+        |  sbet$r AS (SELECT $upd
+        |    FROM sc$r CROSS JOIN sbet${r - 1} b)""".stripMargin
     }.mkString
     head + its
   }
@@ -17800,6 +17917,36 @@ object SparkEntry {
         |SELECT n, target AS target_rank, gv AS released,
         |  u AS u_released, abs(cum - target)::BIGINT AS true_err
         |FROM sel""".stripMargin,
+    "q388_softmax_glm" ->
+      // one fused chain: the same max-shifted softmax, block
+      // weights, per-class Cramer blocks; argmax includes the
+      // reference class at z = 0 exactly
+      s"""WITH mdata AS (SELECT l_quantity::BIGINT AS x1,
+        |    round(l_discount * 100)::BIGINT AS x2,
+        |    (CASE WHEN l_returnflag = 'A' THEN 0
+        |      WHEN l_returnflag = 'N' THEN 1 ELSE 2 END)::BIGINT
+        |      AS lab
+        |  FROM lineitem),
+        |  ${softmaxSqlChain(4, 3)},
+        |  fsc AS (SELECT m.lab,
+        |      (b.b0_1 + m.x1 * b.b1_1 + m.x2 * b.b2_1) AS z1,
+        |      (b.b0_2 + m.x1 * b.b1_2 + m.x2 * b.b2_2) AS z2
+        |    FROM mdata m CROSS JOIN sbet4 b),
+        |  fpr AS (SELECT lab,
+        |      (CASE WHEN 0 >= z1 AND 0 >= z2 THEN 0
+        |        WHEN z1 >= z2 THEN 1 ELSE 2 END)::BIGINT AS pred
+        |    FROM fsc),
+        |  conf AS (SELECT lab AS label, pred, count(*)::BIGINT AS cnt
+        |    FROM fpr GROUP BY 1, 2),
+        |  acc AS (SELECT sum(cnt)::BIGINT AS n,
+        |      sum(CASE WHEN label = pred THEN cnt ELSE 0
+        |        END)::BIGINT AS correct
+        |    FROM conf)
+        |SELECT label, pred, cnt, n, correct,
+        |  (CASE WHEN n > 0 THEN (correct * 1000000) // n
+        |    END)::BIGINT AS acc_ppm
+        |FROM conf CROSS JOIN acc
+        |ORDER BY label, pred""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

@@ -2400,6 +2400,139 @@ object EvalOps {
           .as("acc_ppm"))
   }
 
+  /** MULTINOMIAL (SOFTMAX) LOGISTIC CLASSIFICATION by block-diagonal
+    * quasi-Newton (the JOINT K-class model next to [[logisticOvr]]'s
+    * K independent fits — the probabilities now sum to 1 by
+    * construction; Böhning 1992's block lower-bound lineage, the
+    * standard per-class-block approximation of the full multinomial
+    * Hessian): labels(0) is the REFERENCE class (β₀ ≡ 0, the
+    * identifiability pin), and each step updates every non-reference
+    * class from ONE fused map-side-combinable aggregate —
+    * z_k exact integer micro, the softmax computed with the
+    * deterministic max-shift (zmax = greatest over exact ints, each
+    * e_k = exp((z_k−zmax)/10⁶) ≤ 1, denominator the fixed-order sum
+    * ⇒ NO overflow path exists), p_k nano-fixed per row, the IRLS
+    * block weight w_k = p_k(10⁹−p_k) div 10¹² by exact division, and
+    * the per-class 3×3 Cramer solve ([[logisticNewton]]'s spelling).
+    * Saturated rows degrade gracefully (w → 0; an all-saturated
+    * class freezes on dA = 0). Readout: argmax z (z_ref = 0 exact,
+    * ties to the earliest label) → confusion + acc ppm, the q373
+    * shape — OvR and softmax read the same question side by side.
+    *
+    * SCALE: `iters` fused aggregates + one scoring pass over the ONE
+    * checkpointed base; β rides a broadcast 1-row frame; the
+    * confusion table is label-domain bounded. Exactness bounds as
+    * [[logisticIrls]]. Output: (label, pred, cnt, n, correct,
+    * acc_ppm). */
+  def softmaxGlm(df: DataFrame, x1Col: String, x2Col: String,
+                 labelCol: String, labels: Seq[Long],
+                 iters: Int): DataFrame = {
+    require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
+    require(labels.distinct == labels, "labels must be distinct")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = df.select(col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"),
+        col(labelCol).cast("long").as("_lab"))
+      .localCheckpoint() // feeds every fused step AND the scoring
+    val ks = 1 until labels.size // non-reference classes
+    var betas = base.sparkSession.createDataFrame(
+      Seq(Tuple1(0L))).toDF("_zero")
+      .select(ks.flatMap(i => Seq(lit(0L).as(s"_b0_$i"),
+        lit(0L).as(s"_b1_$i"), lit(0L).as(s"_b2_$i"))).toSeq: _*)
+    def zOf(i: Int): Column = col(s"_b0_$i") +
+      col("_x1") * col(s"_b1_$i") + col("_x2") * col(s"_b2_$i")
+    def det(m11: Column, m12: Column, m13: Column,
+            m21: Column, m22: Column, m23: Column,
+            m31: Column, m32: Column, m33: Column): Column =
+      m11 * (m22 * m33 - m23 * m32) -
+        m12 * (m21 * m33 - m23 * m31) +
+        m13 * (m21 * m32 - m22 * m31)
+    def softmaxed(d0: DataFrame): DataFrame = {
+      var m = d0
+      ks.foreach(i => m = m.withColumn(s"_z$i", zOf(i)))
+      m = m.withColumn("_zmx",
+        greatest((lit(0L) +: ks.map(i => col(s"_z$i")).toSeq): _*))
+      m = m.withColumn("_e0",
+        exp((lit(0L) - col("_zmx")).cast("double") / lit(1e6)))
+      ks.foreach(i => m = m.withColumn(s"_e$i",
+        exp((col(s"_z$i") - col("_zmx")).cast("double") / lit(1e6))))
+      m.withColumn("_den",
+        ks.map(i => col(s"_e$i")).foldLeft(col("_e0"))(_ + _))
+    }
+    for (_ <- 1 to iters) {
+      var m = softmaxed(base.crossJoin(broadcast(betas)))
+      ks.foreach { i =>
+        m = m.withColumn(s"_p$i", round(lit(1e9) * col(s"_e$i") /
+            col("_den")).cast("long"))
+          .withColumn(s"_w$i",
+            expr(s"(_p$i * (1000000000L - _p$i)) div 1000000000000L"))
+          .withColumn(s"_y$i",
+            when(col("_lab") === labels(i), 1L).otherwise(0L))
+      }
+      val aggs = ks.flatMap { i =>
+        val w = col(s"_w$i")
+        val sc = col(s"_y$i") * lit(1000000000L) - col(s"_p$i")
+        Seq(sum(w).as(s"a00_$i"),
+          sum(w * col("_x1")).as(s"a01_$i"),
+          sum(w * col("_x2")).as(s"a02_$i"),
+          sum(w * col("_x1") * col("_x1")).as(s"a11_$i"),
+          sum(w * col("_x1") * col("_x2")).as(s"a12_$i"),
+          sum(w * col("_x2") * col("_x2")).as(s"a22_$i"),
+          sum(sc).as(s"s0_$i"),
+          sum(sc * col("_x1")).as(s"s1_$i"),
+          sum(sc * col("_x2")).as(s"s2_$i"))
+      }.toSeq
+      val a = m.agg(aggs.head, aggs.tail: _*)
+      betas = a.crossJoin(broadcast(betas))
+        .select(ks.flatMap { i =>
+          def d(c: String): Column = col(c + s"_$i").cast("double")
+          val dA = det(d("a00"), d("a01"), d("a02"),
+            d("a01"), d("a11"), d("a12"), d("a02"), d("a12"),
+            d("a22"))
+          val d0 = det(d("s0"), d("a01"), d("a02"),
+            d("s1"), d("a11"), d("a12"), d("s2"), d("a12"), d("a22"))
+          val d1 = det(d("a00"), d("s0"), d("a02"),
+            d("a01"), d("s1"), d("a12"), d("a02"), d("s2"), d("a22"))
+          val d2 = det(d("a00"), d("a01"), d("s0"),
+            d("a01"), d("a11"), d("s1"), d("a02"), d("a12"), d("s2"))
+          Seq(
+            when(dA =!= 0.0, col(s"_b0_$i") +
+              round(lit(1e3) * d0 / dA).cast("long"))
+              .otherwise(col(s"_b0_$i")).as(s"_b0_$i"),
+            when(dA =!= 0.0, col(s"_b1_$i") +
+              round(lit(1e3) * d1 / dA).cast("long"))
+              .otherwise(col(s"_b1_$i")).as(s"_b1_$i"),
+            when(dA =!= 0.0, col(s"_b2_$i") +
+              round(lit(1e3) * d2 / dA).cast("long"))
+              .otherwise(col(s"_b2_$i")).as(s"_b2_$i"))
+        }.toSeq: _*)
+        .localCheckpoint()
+    }
+    // argmax over (z_ref = 0, z_1..z_{K-1}) exact integers, ties to
+    // the earliest label — identical rule to [[logisticOvr]]
+    var scored = base.crossJoin(broadcast(betas))
+    ks.foreach(i => scored = scored.withColumn(s"_z$i", zOf(i)))
+    val zs = lit(0L) +: ks.map(i => col(s"_z$i")).toSeq
+    val pred = labels.indices.init.foldRight(
+      lit(labels.last): Column) { (i, rest) =>
+      val isMax = (i + 1 until labels.size)
+        .map(j => zs(i) >= zs(j)).reduce(_ && _)
+      when(isMax, lit(labels(i))).otherwise(rest)
+    }
+    val conf = scored.withColumn("_pred", pred)
+      .groupBy(col("_lab").as("label"), col("_pred").as("pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // label-domain bounded
+    val acc = conf.agg(sum(col("cnt")).as("n"),
+      sum(when(col("label") === col("pred"), col("cnt"))
+        .otherwise(0L)).as("correct"))
+    conf.crossJoin(broadcast(acc))
+      .select(col("label"), col("pred"), col("cnt"), col("n"),
+        col("correct"),
+        when(col("n") > 0, expr("(correct * 1000000L) div n"))
+          .as("acc_ppm"))
+  }
+
   /** PER-CLASS CONFUSION-MATRIX REPORT (precision/recall/F1 per
     * label from a (label, pred, cnt) confusion table — the
     * multi-class readout composing with [[logisticOvr]], and with

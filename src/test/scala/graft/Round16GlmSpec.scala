@@ -69,6 +69,20 @@ class Round16GlmSpec extends AnyFunSuite {
     }
   }
 
+  test("softmaxGlm separates the same separable 3-class fixture") {
+    val out = EvalOps.softmaxGlm(ovrFixture, "x1", "x2", "lab",
+      labels = Seq(0L, 1L, 2L), iters = 6).collect()
+    assert(out.head.getLong(3) == 150L)
+    val accPpm = out.head.getLong(5)
+    assert(accPpm >= 990000L, s"softmax acc_ppm $accPpm")
+    assert(out.map(_.getLong(2)).sum == 150L)
+    // and it agrees with OvR's verdict on the same data
+    val ovrAcc = EvalOps.logisticOvr(ovrFixture, "x1", "x2", "lab",
+      labels = Seq(0L, 1L, 2L), iters = 6).collect().head.getLong(5)
+    assert(math.abs(accPpm - ovrAcc) <= 20000L,
+      s"softmax $accPpm vs ovr $ovrAcc")
+  }
+
   test("logisticOvr scores labels outside the list under own label") {
     val df = ovrFixture.withColumn("lab",
       when(col("lab") === 2L, 7L).otherwise(col("lab")))
