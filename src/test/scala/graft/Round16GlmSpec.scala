@@ -130,6 +130,30 @@ class Round16GlmSpec extends AnyFunSuite {
       p(100) < p(190))
   }
 
+  test("K-class classifiers read the reference task's CIC-shaped " +
+       "fixture (the q45/BENCH_ML accuracy question)") {
+    // the BenchMl fixture shape at spec scale: a skewed 80/15/5
+    // 3-class label deciding per-feature regimes (cls+1)*(10+0.37j)
+    // + uniform noise -- the reference's Label is exactly this kind
+    // of 3-class problem, and its regime bands are separable
+    val df = spark.range(0, 20000, 1, 4)
+      .withColumn("cls", when(pmod(col("id"), lit(100)) < 80, 0L)
+        .when(pmod(col("id"), lit(100)) < 95, 1L).otherwise(2L))
+      .withColumn("x1", round((col("cls") + 1) * 10.0 +
+        rand(42L) * 5.0, 0).cast("long"))
+      .withColumn("x2", round((col("cls") + 1) * 13.7 +
+        rand(43L) * 5.0, 0).cast("long"))
+    val ovr = EvalOps.logisticOvr(df, "x1", "x2", "cls",
+      labels = Seq(0L, 1L, 2L), iters = 6).collect().head
+    assert(ovr.getLong(3) == 20000L)
+    assert(ovr.getLong(5) >= 950000L,
+      s"OvR acc_ppm ${ovr.getLong(5)} on the CIC-shaped fixture")
+    val sm = EvalOps.softmaxGlm(df, "x1", "x2", "cls",
+      labels = Seq(0L, 1L, 2L), iters = 6).collect().head
+    assert(sm.getLong(5) >= 950000L,
+      s"softmax acc_ppm ${sm.getLong(5)} on the CIC-shaped fixture")
+  }
+
   test("confusionReport computes per-class P/R/F1 from the table") {
     // classes: 0 (clean), 1 (confused with 2), 3 (never predicted),
     // 9 (phantom: predicted but never a true label)
