@@ -7999,6 +7999,22 @@ object SparkEntry {
       "x1", "x2", "lab", labels = Seq(0L, 1L, 2L), iters = 4)
       .orderBy(col("label"), col("pred"))
 
+  private def q389(s: SparkSession, dir: String): DataFrame = {
+    // SEASONAL-NAIVE BACKTEST (AggOps.seasonalNaiveBacktest — the
+    // benchmark model every forecaster must beat): x̂_t = x_{t−7} on
+    // the same daily grid as q377 and q386, so the three mae_micro
+    // columns form the model-comparison table (does Holt–Winters /
+    // AR(5) earn its complexity over last-week's value?). One
+    // grid-bounded self-join, exact integers end to end.
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_t", row_number().over(Window.orderBy(col("_day")))
+        .cast("long"))
+    AggOps.seasonalNaiveBacktest(daily, "_t", "_x", period = 7)
+      .orderBy(col("t"))
+  }
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -9171,6 +9187,7 @@ object SparkEntry {
     "q386_ar_backtest" -> q386 _,
     "q387_dp_quantile" -> q387 _,
     "q388_softmax_glm" -> q388 _,
+    "q389_seasonal_naive" -> q389 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -17947,6 +17964,21 @@ object SparkEntry {
         |    END)::BIGINT AS acc_ppm
         |FROM conf CROSS JOIN acc
         |ORDER BY label, pred""".stripMargin,
+    "q389_seasonal_naive" ->
+      // same day grid, same lag-7 self-join, exact integer errors
+      // and exact-division MAE
+      """WITH adaily AS (SELECT ts::DATE AS day,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1),
+        |  abase AS (SELECT row_number() OVER (ORDER BY day)::BIGINT
+        |      AS t, x FROM adaily),
+        |  pr AS (SELECT a.t, a.x, (b.x * 1000000)::BIGINT AS pred,
+        |      abs(a.x * 1000000 - b.x * 1000000)::BIGINT AS err
+        |    FROM abase a JOIN abase b ON b.t = a.t - 7),
+        |  ma AS (SELECT (sum(err) // count(*))::BIGINT AS mae
+        |    FROM pr)
+        |SELECT t, x, pred AS pred_micro, err AS err_micro,
+        |  ma.mae AS mae_micro
+        |FROM pr CROSS JOIN ma ORDER BY t""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

@@ -535,6 +535,34 @@ object AggOps {
         expr("_se div _c").as("mae_micro"))
   }
 
+  /** SEASONAL-NAIVE BACKTEST (the x̂_t = x_{t−period} baseline every
+    * forecast comparison must beat — Hyndman & Athanasopoulos's
+    * benchmark-model rule): ONE self-join on the grid at lag
+    * `period`, exact integer errors, exact-division MAE. The MAE
+    * reads against [[holtWinters]]'s and [[arBacktest]]'s — the
+    * three-way comparison that says whether the fitted models earn
+    * their complexity. Returns (t, x, pred_micro, err_micro,
+    * mae_micro), T − period rows. */
+  def seasonalNaiveBacktest(series: DataFrame, tCol: String,
+                            xCol: String, period: Int): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val base = series.select(col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .localCheckpoint() // both join sides AND the MAE
+    val pred = base
+      .join(base.select((col("_t") + period).as("_t"),
+        (col("_x") * 1000000L).as("pred_micro")), "_t")
+      .withColumn("err_micro",
+        abs(col("_x") * lit(1000000L) - col("pred_micro")))
+      .localCheckpoint() // grid-bounded; feeds rows AND the MAE
+    val mae = pred.agg(sum(col("err_micro")).as("_se"),
+      count(lit(1)).as("_c"))
+    pred.crossJoin(broadcast(mae))
+      .select(col("_t").as("t"), col("_x").as("x"),
+        col("pred_micro"), col("err_micro"),
+        expr("_se div _c").as("mae_micro"))
+  }
+
   /** The Durbin-Levinson recursion state shared by [[pacf]] and
     * [[yuleWalkerAr]]: ONE row carrying the micro ACF pivot _r1.._rK,
     * the current phi row _p1.._pK, and the reflection-coefficient

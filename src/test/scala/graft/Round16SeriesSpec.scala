@@ -75,6 +75,23 @@ class Round16SeriesSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).min == 4L)
   }
 
+  test("seasonal-naive backtest is exact on a pure weekly pattern") {
+    val s = Seq(3L, -1L, 4L, -2L, 0L, -5L, 1L)
+    val weekly = (1 to 28).map(t =>
+      (t.toLong, 100L + s((t - 1) % 7))).toDF("t", "x")
+    val out = AggOps.seasonalNaiveBacktest(weekly, "t", "x",
+      period = 7).collect()
+    assert(out.length == 21 && out.forall(_.getLong(3) == 0L))
+    assert(out.forall(_.getLong(4) == 0L)) // MAE 0
+    // and the prediction is literally last week's value
+    val jittered = (1 to 28).map(t =>
+      (t.toLong, 100L + t)).toDF("t", "x")
+    val j = AggOps.seasonalNaiveBacktest(jittered, "t", "x", 7)
+      .collect()
+    assert(j.forall(r => r.getLong(2) == (r.getLong(1) - 7) * 1000000L))
+    assert(j.forall(_.getLong(3) == 7000000L)) // +1/day drift => err 7
+  }
+
   test("hw residual whiteness: exact fit => null Q, noise => finite") {
     val s = Seq(3L, -1L, 4L, -2L, 0L, -5L, 1L)
     val exact = (0 until 28).map { i =>
