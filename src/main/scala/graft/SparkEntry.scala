@@ -8015,6 +8015,33 @@ object SparkEntry {
       .orderBy(col("t"))
   }
 
+  private def q390(s: SparkSession, dir: String): DataFrame = {
+    // FORECAST MODEL SELECTION (the capstone over q377/q386/q389):
+    // the three backtests' MAEs as ONE 3-row relational artifact
+    // with the winner pinned (mae ASC, model ASC) — the
+    // model-selection table a production pipeline publishes before
+    // wiring a forecaster in. Each member re-runs its fit (the q192
+    // retrain convention); everything is grid-bounded.
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_t", row_number().over(Window.orderBy(col("_day")))
+        .cast("long"))
+      .localCheckpoint() // feeds all three competitors
+    def one(name: String, df: DataFrame): DataFrame =
+      df.agg(min(col("mae_micro")).as("mae_micro"))
+        .select(lit(name).as("model"), col("mae_micro"))
+    one("ar5", AggOps.arBacktest(daily, "_t", "_x", order = 5))
+      .unionByName(one("holt_winters", AggOps.holtWinters(
+        daily.select(col("_day").as("d"), col("_x").as("x")),
+        "d", "x", 300000L, 100000L, 200000L, period = 7)))
+      .unionByName(one("seasonal_naive",
+        AggOps.seasonalNaiveBacktest(daily, "_t", "_x", period = 7)))
+      .withColumn("is_best", row_number().over(
+        Window.orderBy(col("mae_micro"), col("model"))) === 1)
+      .orderBy(col("model"))
+  }
+
   private def q294(s: SparkSession, dir: String): DataFrame = {
     // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) over the corpus
     // token stream, md5-replayable end to end: the 4×64 counter
@@ -9188,6 +9215,7 @@ object SparkEntry {
     "q387_dp_quantile" -> q387 _,
     "q388_softmax_glm" -> q388 _,
     "q389_seasonal_naive" -> q389 _,
+    "q390_forecast_selection" -> q390 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -17979,6 +18007,49 @@ object SparkEntry {
         |SELECT t, x, pred AS pred_micro, err AS err_micro,
         |  ma.mae AS mae_micro
         |FROM pr CROSS JOIN ma ORDER BY t""".stripMargin,
+    "q390_forecast_selection" -> {
+      // the three oracle pipelines composed in ONE WITH block
+      // (recursive HW + the AR chain + the naive join), each MAE by
+      // the same exact division, winner (mae ASC, model ASC)
+      val pj = "(CASE l.j " + (1 to 5).map(j =>
+        s"WHEN $j THEN d.p5_$j").mkString(" ") + " END)"
+      s"""WITH RECURSIVE ${holtWintersSql(300000L, 100000L, 200000L)},
+        |  ${acfDailySql(5)},
+        |  ${durbinSqlChain(5, "acfq")},
+        |  am AS (SELECT round(s::DOUBLE * 1e6 / n::DOUBLE)::BIGINT
+        |      AS m FROM ast),
+        |  lg5 AS (SELECT unnest(range(1, 6)) AS j),
+        |  tm AS (SELECT a.t, count(*)::BIGINT AS k,
+        |      sum($pj * (b.x * 1000000 - am.m))::BIGINT AS acc
+        |    FROM abase a CROSS JOIN lg5 l
+        |      JOIN abase b ON b.t = a.t - l.j
+        |      CROSS JOIN dl5 d CROSS JOIN am
+        |    GROUP BY a.t),
+        |  arp AS (SELECT t.t, x.x,
+        |      (am.m + round(t.acc::DOUBLE / 1e6)::BIGINT)::BIGINT
+        |        AS pred
+        |    FROM tm t JOIN abase x ON x.t = t.t CROSS JOIN am
+        |    WHERE t.k = 5),
+        |  arm AS (SELECT (sum(abs(x * 1000000 - pred))
+        |      // count(*))::BIGINT AS mae FROM arp),
+        |  hwm AS (SELECT (sum(e) // count(e))::BIGINT AS mae
+        |    FROM hw WHERE t > 7),
+        |  snp AS (SELECT a.t,
+        |      abs(a.x * 1000000 - b.x * 1000000)::BIGINT AS err
+        |    FROM abase a JOIN abase b ON b.t = a.t - 7),
+        |  snm AS (SELECT (sum(err) // count(*))::BIGINT AS mae
+        |    FROM snp),
+        |  models AS (
+        |    SELECT 'ar5' AS model, mae AS mae_micro FROM arm
+        |    UNION ALL
+        |    SELECT 'holt_winters', mae FROM hwm
+        |    UNION ALL
+        |    SELECT 'seasonal_naive', mae FROM snm)
+        |SELECT model, mae_micro,
+        |  (row_number() OVER (ORDER BY mae_micro, model) = 1)
+        |    AS is_best
+        |FROM models ORDER BY model""".stripMargin
+    },
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

@@ -92,6 +92,17 @@ class Round16SeriesSpec extends AnyFunSuite {
     assert(j.forall(_.getLong(3) == 7000000L)) // +1/day drift => err 7
   }
 
+  test("q390 publishes exactly one winning forecaster") {
+    val rows = SparkEntry.queries("q390_forecast_selection")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("ar5", "holt_winters", "seasonal_naive"))
+    assert(rows.count(_.getBoolean(2)) == 1)
+    val best = rows.filter(_.getBoolean(2)).head
+    assert(best.getLong(1) == rows.map(_.getLong(1)).min)
+  }
+
   test("hw residual whiteness: exact fit => null Q, noise => finite") {
     val s = Seq(3L, -1L, 4L, -2L, 0L, -5L, 1L)
     val exact = (0 until 28).map { i =>
