@@ -607,4 +607,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       s"argmax must not fall back to a row_number window:\n${p.take(1500)}")
   }
+
+  test("q386/q389: the lag-join stages equi-join on the shifted grid " +
+       "key — never a cartesian (quadratic at a real grid). The ops " +
+       "checkpoint internally, so the pin inspects the PRE-checkpoint " +
+       "join frame built the same way the ops build it") {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(1, 200).select(col("id").as("_t"),
+      (col("id") % 7).as("_x"))
+    val joined = base
+      .select(col("_t"), explode(sequence(lit(1), lit(5))).as("_j"))
+      .join(base.select(col("_t").as("_t2"), col("_x").as("_xl")),
+        col("_t") - col("_j") === col("_t2"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"shifted-key join degraded to a nested loop:\n${p.take(1500)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"shifted-key join must be an equi-join:\n${p.take(1500)}")
+  }
 }
