@@ -8015,6 +8015,25 @@ object SparkEntry {
       .orderBy(col("t"))
   }
 
+  private def q391(s: SparkSession, dir: String): DataFrame = {
+    // OVERDISPERSION TEST on the q372 Poisson fit (EvalOps
+    // .poissonOverdispersion — Cameron & Trivedi 1990): does the
+    // hourly-volume count model's equidispersion assumption hold?
+    // Same (hour, dow) grid and 6-step fit as q372, one more readout
+    // pass; z crit 1.6448536 micro-fixed as a driver literal (the
+    // q346 convention).
+    val grid = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_d"),
+        hour(col("ts")).cast("long").as("x1"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("x1"),
+        (pmod(datediff(col("_d"), lit("1970-01-01")) + 4, lit(7)) + 1)
+          .cast("long").as("x2"),
+        col("y"))
+    EvalOps.poissonOverdispersion(grid, "x1", "x2", "y", iters = 6,
+      zCritMicro = 1644854L)
+  }
+
   private def q390(s: SparkSession, dir: String): DataFrame = {
     // FORECAST MODEL SELECTION (the capstone over q377/q386/q389):
     // the three backtests' MAEs as ONE 3-row relational artifact
@@ -9216,6 +9235,7 @@ object SparkEntry {
     "q388_softmax_glm" -> q388 _,
     "q389_seasonal_naive" -> q389 _,
     "q390_forecast_selection" -> q390 _,
+    "q391_overdispersion" -> q391 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -18050,6 +18070,37 @@ object SparkEntry {
         |    AS is_best
         |FROM models ORDER BY model""".stripMargin
     },
+    "q391_overdispersion" ->
+      // q372's data + chain, one more readout: the same double d²,
+      // per-row micro terms, order-free sums, and the one final
+      // divide-by-sqrt with the injected z-crit literal
+      s"""WITH data AS (SELECT x1,
+        |    (((d - DATE '1970-01-01') + 4) % 7 + 1)::BIGINT AS x2, y
+        |  FROM (SELECT ts::DATE AS d, hour(ts)::BIGINT AS x1,
+        |      count(*)::BIGINT AS y FROM events GROUP BY 1, 2)),
+        |  ${poissonSqlChain(6)},
+        |  rd AS (SELECT y,
+        |      round(exp(least(b0 + x1 * b1 + x2 * b2,
+        |        13000000)::DOUBLE / 1e6) * 1e9)::BIGINT AS mu
+        |    FROM data CROSS JOIN pbet6),
+        |  tm AS (SELECT y, mu,
+        |      (round((y * 1000000000 - mu)::DOUBLE *
+        |        (y * 1000000000 - mu)::DOUBLE / 1e12)::BIGINT
+        |        - y * 1000000)::BIGINT AS t6,
+        |      round(mu::DOUBLE * mu::DOUBLE / 1e12)::BIGINT AS m6
+        |    FROM rd),
+        |  ag AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT
+        |      AS sum_y, sum(t6)::BIGINT AS s_micro,
+        |      sum(m6)::BIGINT AS m_micro
+        |    FROM tm)
+        |SELECT n, sum_y, s_micro, m_micro,
+        |  (CASE WHEN m_micro > 0 THEN round(s_micro::DOUBLE /
+        |    sqrt(2.0 * (m_micro::DOUBLE / 1e6))) END)::BIGINT
+        |    AS t_micro,
+        |  (CASE WHEN m_micro > 0 THEN round(s_micro::DOUBLE /
+        |    sqrt(2.0 * (m_micro::DOUBLE / 1e6)))::BIGINT > 1644854
+        |    ELSE FALSE END) AS overdispersed
+        |FROM ag""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

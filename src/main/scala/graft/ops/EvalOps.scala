@@ -1867,6 +1867,48 @@ object EvalOps {
         col("sae_nano"))
   }
 
+  /** OVERDISPERSION TEST for a Poisson fit (Cameron & Trivedi 1990's
+    * regression-based diagnostic in its z-statistic form — the check
+    * that says whether [[poissonIrls]]'s equidispersion assumption
+    * holds or a negative-binomial variance is called for):
+    *   T = Σ[(y−μ̂)² − y] / √(2·Σμ̂²),  T ≳ z_α ⇒ overdispersed.
+    * The fit re-runs ([[poissonNewton]], the q192 retrain
+    * convention); per ROW both terms fix to micro from the exact
+    * nano residual d = y·10⁹ − μ (d² runs in doubles — d can reach
+    * 10¹², squaring overflows long, and the double product of
+    * identical operands is IEEE-exact-rounded the same everywhere),
+    * the sums are order-free longs, and the one final
+    * divide-by-sqrt micro-fixes T. `zCritMicro` is a caller literal
+    * (the q346 normal-quantile convention).
+    *
+    * SCALE: the fit's iters aggregates + ONE more readout pass.
+    * Output 1 row: (n, sum_y, s_micro, m_micro, t_micro,
+    * overdispersed). */
+  def poissonOverdispersion(df: DataFrame, x1Col: String,
+                            x2Col: String, yCol: String, iters: Int,
+                            zCritMicro: Long): DataFrame = {
+    val base = df.select(col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"),
+        col(yCol).cast("long").as("_y"))
+      .localCheckpoint() // feeds the fit AND the readout
+    val beta = poissonNewton(base, iters)
+    poissonMuFrame(base, beta)
+      .withColumn("_d", (col("_y") * lit(1000000000L) - col("_mu"))
+        .cast("double"))
+      .withColumn("_t6", round(col("_d") * col("_d") / lit(1e12))
+        .cast("long") - col("_y") * lit(1000000L))
+      .withColumn("_m6", round(col("_mu").cast("double") *
+        col("_mu").cast("double") / lit(1e12)).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("sum_y"),
+        sum(col("_t6")).as("s_micro"), sum(col("_m6")).as("m_micro"))
+      .select(col("n"), col("sum_y"), col("s_micro"), col("m_micro"),
+        when(col("m_micro") > 0, round(col("s_micro").cast("double") /
+          sqrt(lit(2.0) * (col("m_micro").cast("double") / lit(1e6))))
+          .cast("long")).as("t_micro"))
+      .withColumn("overdispersed",
+        col("t_micro").isNotNull && col("t_micro") > zCritMicro)
+  }
+
   /** INVERSE-PROPENSITY-WEIGHTED ATT (Rosenbaum & Rubin 1983;
     * Hirano & Imbens 2001 stabilization practice) — the
     * propensity-score sibling of [[cemAtt]]/[[cemBalance]]: fit the

@@ -183,6 +183,24 @@ class Round16GlmSpec extends AnyFunSuite {
     assert(deg.isNullAt(4) && deg.getLong(5) == 0L)
   }
 
+  test("poissonOverdispersion separates variance regimes") {
+    // variance 400 >> mean 20: alternating 0/40 counts at every cell
+    val over = (0 until 400).map(i =>
+      ((i % 5).toLong, (i % 3).toLong, if (i % 2 == 0) 0L else 40L))
+      .toDF("x1", "x2", "y")
+    val o = EvalOps.poissonOverdispersion(over, "x1", "x2", "y",
+      iters = 6, zCritMicro = 1644854L).collect().head
+    assert(o.getBoolean(5), s"t_micro ${o.getLong(4)} must flag")
+    assert(o.getLong(4) > 1644854L)
+    // constant counts: variance 0 < mean => T negative, no flag
+    val under = (0 until 400).map(i =>
+      ((i % 5).toLong, (i % 3).toLong, 20L)).toDF("x1", "x2", "y")
+    val u = EvalOps.poissonOverdispersion(under, "x1", "x2", "y",
+      iters = 6, zCritMicro = 1644854L).collect().head
+    assert(!u.getBoolean(5) && u.getLong(4) < 0L,
+      s"constant counts are underdispersed, got ${u.getLong(4)}")
+  }
+
   test("dpQuantile: high epsilon recovers the exact empirical rank") {
     val df = (1 to 100).map(_.toLong).toDF("x")
     // eps = 50: the utility term dominates every Gumbel draw, and on
