@@ -8034,6 +8034,26 @@ object SparkEntry {
       zCritMicro = 1644854L)
   }
 
+  private def q392(s: SparkSession, dir: String): DataFrame = {
+    // NEGATIVE-BINOMIAL (NB2) REGRESSION (EvalOps
+    // .negativeBinomialIrls — Cameron & Trivedi 1986, fixed
+    // dispersion α = 0.01): the overdispersion-robust count model on
+    // q372's exact grid — with q391 reading the fixture as
+    // equidispersed, the NB and Poisson coefficients should come out
+    // close (the robustness statement itself); the full trajectory
+    // hash-compares against the variance-inflated chain.
+    val grid = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_d"),
+        hour(col("ts")).cast("long").as("x1"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("x1"),
+        (pmod(datediff(col("_d"), lit("1970-01-01")) + 4, lit(7)) + 1)
+          .cast("long").as("x2"),
+        col("y"))
+    EvalOps.negativeBinomialIrls(grid, "x1", "x2", "y", iters = 6,
+      alphaMicro = 10000L)
+  }
+
   private def q390(s: SparkSession, dir: String): DataFrame = {
     // FORECAST MODEL SELECTION (the capstone over q377/q386/q389):
     // the three backtests' MAEs as ONE 3-row relational artifact
@@ -9236,6 +9256,7 @@ object SparkEntry {
     "q389_seasonal_naive" -> q389 _,
     "q390_forecast_selection" -> q390 _,
     "q391_overdispersion" -> q391 _,
+    "q392_negbin_glm" -> q392 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -9509,6 +9530,54 @@ object SparkEntry {
         |      (CASE WHEN dA <> 0 THEN b.b2 + round(1e3 * d2 / dA)::BIGINT
         |        ELSE b.b2 END)::BIGINT AS b2
         |    FROM pc$k CROSS JOIN pbet${k - 1} b)""".stripMargin
+    }.mkString
+    head + its
+  }
+
+  /** DuckDB twin of [[graft.ops.EvalOps.negativeBinomialIrls]] (the
+    * poissonSqlChain with the NB2 variance inflation): the same
+    * null-model seed and saturated exp link, plus the exact micro
+    * inflation v = 10⁶ + α·μ div 10⁹, the exact weight μ·10³ // v,
+    * and the ONE float-rounded score division per row; the Cramer
+    * block reuses [[cramer3Sql]]. Ends with `nbet$iters(b0,b1,b2)`. */
+  private def negbinSqlChain(iters: Int, alphaMicro: Long): String = {
+    val head =
+      """nbet0 AS (SELECT (CASE WHEN count(*) > 0
+        |      THEN round(ln((sum(y) + 1)::DOUBLE / count(*)::DOUBLE)
+        |        * 1e6) ELSE 0 END)::BIGINT AS b0,
+        |    0::BIGINT AS b1, 0::BIGINT AS b2 FROM data)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s""",
+        |  nmu$k AS (SELECT x1, x2, y,
+        |      round(exp(least(b0 + x1 * b1 + x2 * b2,
+        |        13000000)::DOUBLE / 1e6) * 1e9)::BIGINT AS mu
+        |    FROM data CROSS JOIN nbet${k - 1}),
+        |  nw$k AS (SELECT x1, x2, y, mu,
+        |      ((mu * 1000) // (1000000 + ($alphaMicro * mu)
+        |        // 1000000000))::BIGINT AS w,
+        |      round((y * 1000000000 - mu)::DOUBLE * 1e6 /
+        |        (1000000 + ($alphaMicro * mu)
+        |          // 1000000000)::DOUBLE)::BIGINT AS sc
+        |    FROM nmu$k),
+        |  ng$k AS (SELECT sum(w)::BIGINT AS a00,
+        |      sum(w * x1)::BIGINT AS a01, sum(w * x2)::BIGINT AS a02,
+        |      sum(w * x1 * x1)::BIGINT AS a11,
+        |      sum(w * x1 * x2)::BIGINT AS a12,
+        |      sum(w * x2 * x2)::BIGINT AS a22,
+        |      sum(sc)::BIGINT AS s0,
+        |      sum(sc * x1)::BIGINT AS s1,
+        |      sum(sc * x2)::BIGINT AS s2
+        |    FROM nw$k),
+        |  nc$k AS (SELECT ${cramer3Sql("")}
+        |    FROM ng$k),
+        |  nbet$k AS (SELECT
+        |      (CASE WHEN dA <> 0 THEN b.b0 + round(1e3 * d0 / dA)::BIGINT
+        |        ELSE b.b0 END)::BIGINT AS b0,
+        |      (CASE WHEN dA <> 0 THEN b.b1 + round(1e3 * d1 / dA)::BIGINT
+        |        ELSE b.b1 END)::BIGINT AS b1,
+        |      (CASE WHEN dA <> 0 THEN b.b2 + round(1e3 * d2 / dA)::BIGINT
+        |        ELSE b.b2 END)::BIGINT AS b2
+        |    FROM nc$k CROSS JOIN nbet${k - 1} b)""".stripMargin
     }.mkString
     head + its
   }
@@ -18101,6 +18170,27 @@ object SparkEntry {
         |    sqrt(2.0 * (m_micro::DOUBLE / 1e6)))::BIGINT > 1644854
         |    ELSE FALSE END) AS overdispersed
         |FROM ag""".stripMargin,
+    "q392_negbin_glm" ->
+      // q372's data + the variance-inflated chain (alpha = 0.01 =>
+      // alpha_micro 10000), same saturated-link readout
+      s"""WITH data AS (SELECT x1,
+        |    (((d - DATE '1970-01-01') + 4) % 7 + 1)::BIGINT AS x2, y
+        |  FROM (SELECT ts::DATE AS d, hour(ts)::BIGINT AS x1,
+        |      count(*)::BIGINT AS y FROM events GROUP BY 1, 2)),
+        |  ${negbinSqlChain(6, 10000L)},
+        |  rd AS (SELECT count(*)::BIGINT AS n,
+        |      sum(y)::BIGINT AS sum_y,
+        |      sum(round(exp(least(b0 + x1 * b1 + x2 * b2,
+        |        13000000)::DOUBLE / 1e6) * 1e9)::BIGINT)::BIGINT
+        |        AS sum_mu_nano,
+        |      sum(abs(y * 1000000000 -
+        |        round(exp(least(b0 + x1 * b1 + x2 * b2,
+        |          13000000)::DOUBLE / 1e6) * 1e9)::BIGINT))::BIGINT
+        |        AS sae_nano
+        |    FROM data CROSS JOIN nbet6)
+        |SELECT n, b.b0 AS b0_micro, b.b1 AS b1_micro,
+        |  b.b2 AS b2_micro, sum_y, sum_mu_nano, sae_nano
+        |FROM rd CROSS JOIN nbet6 b""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

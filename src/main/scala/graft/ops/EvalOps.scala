@@ -1867,6 +1867,103 @@ object EvalOps {
         col("sae_nano"))
   }
 
+  /** NEGATIVE-BINOMIAL (NB2) REGRESSION with FIXED dispersion α —
+    * the overdispersion-robust count GLM [[poissonOverdispersion]]
+    * motivates (Cameron & Trivedi 1986; log link, quasi-likelihood
+    * IRLS): variance μ(1+αμ) turns the Poisson step's weight and
+    * score into w = μ/(1+αμ) and s = Σ x·(y−μ)/(1+αμ). Exact
+    * spelling: the variance inflation v = 10⁶ + α_micro·μ div 10⁹
+    * is an exact micro integer per row; w_micro = μ·10³ div v
+    * (non-negative exact division); the score divides the nano
+    * residual by v/10⁶ with ONE float round per row (d is signed —
+    * a truncating div would diverge from `//`); the 3×3 Gram +
+    * Cramer + micro β re-fix are [[newtonLoop]]'s spelling, seeded
+    * by the same null model. α_micro = 0 collapses v to 10⁶ and the
+    * ENTIRE trajectory equals [[poissonIrls]]'s exactly — the
+    * pinned reduction spec. Same readout as the Poisson
+    * (Σμ nano calibration + absolute error mass).
+    *
+    * Exactness bounds: [[poissonMuFrame]]'s 13-nat saturation ⇒
+    * α_micro·μ needs α_micro < 2·10⁴ at saturation (α ≤ 0.02) for
+    * grid-scale safety; larger α with bounded rates is fine —
+    * α_micro·μ_nano < 9.2·10¹⁸ is the hard line, ANSI-loud beyond.
+    * SCALE: iters+1 fused map-side aggregates, β broadcast. Output
+    * 1 row: (n, b0_micro, b1_micro, b2_micro, sum_y, sum_mu_nano,
+    * sae_nano). */
+  def negativeBinomialIrls(df: DataFrame, x1Col: String,
+                           x2Col: String, yCol: String, iters: Int,
+                           alphaMicro: Long): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(alphaMicro >= 0, s"alphaMicro must be >= 0, got $alphaMicro")
+    val base = df.select(col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"),
+        col(yCol).cast("long").as("_y"))
+      .localCheckpoint() // feeds the seed, every step, the readout
+    def nbFrame(b: DataFrame, beta: DataFrame): DataFrame =
+      poissonMuFrame(b, beta)
+        .withColumn("_v", lit(1000000L) +
+          expr(s"(${alphaMicro}L * _mu) div 1000000000L"))
+        .withColumn("_w", expr("(_mu * 1000L) div _v"))
+        .withColumn("_sc", round((col("_y") * lit(1000000000L) -
+          col("_mu")).cast("double") * lit(1e6) /
+          col("_v").cast("double")).cast("long"))
+    var beta = base.agg(count(lit(1)).as("_n"), sum(col("_y")).as("_sy"))
+      .select(
+        when(col("_n") > 0, round(log(
+          (col("_sy") + 1).cast("double") / col("_n").cast("double"))
+          * 1e6, 0).cast("long")).otherwise(0L).as("b0_micro"),
+        lit(0L).as("b1_micro"), lit(0L).as("b2_micro"))
+      .localCheckpoint()
+    def det(m11: Column, m12: Column, m13: Column,
+            m21: Column, m22: Column, m23: Column,
+            m31: Column, m32: Column, m33: Column): Column =
+      m11 * (m22 * m33 - m23 * m32) -
+        m12 * (m21 * m33 - m23 * m31) +
+        m13 * (m21 * m32 - m22 * m31)
+    for (_ <- 1 to iters) {
+      val a = nbFrame(base, beta).agg(
+        sum(col("_w")).as("a00"),
+        sum(col("_w") * col("_x1")).as("a01"),
+        sum(col("_w") * col("_x2")).as("a02"),
+        sum(col("_w") * col("_x1") * col("_x1")).as("a11"),
+        sum(col("_w") * col("_x1") * col("_x2")).as("a12"),
+        sum(col("_w") * col("_x2") * col("_x2")).as("a22"),
+        sum(col("_sc")).as("s0"),
+        sum(col("_sc") * col("_x1")).as("s1"),
+        sum(col("_sc") * col("_x2")).as("s2"))
+      def d(c: String): Column = col(c).cast("double")
+      val dA = det(d("a00"), d("a01"), d("a02"),
+        d("a01"), d("a11"), d("a12"), d("a02"), d("a12"), d("a22"))
+      val d0 = det(d("s0"), d("a01"), d("a02"),
+        d("s1"), d("a11"), d("a12"), d("s2"), d("a12"), d("a22"))
+      val d1 = det(d("a00"), d("s0"), d("a02"),
+        d("a01"), d("s1"), d("a12"), d("a02"), d("s2"), d("a22"))
+      val d2 = det(d("a00"), d("a01"), d("s0"),
+        d("a01"), d("a11"), d("s1"), d("a02"), d("a12"), d("s2"))
+      beta = a.crossJoin(broadcast(beta))
+        .select(
+          when(dA =!= 0.0, col("b0_micro") +
+            round(lit(1e3) * d0 / dA).cast("long"))
+            .otherwise(col("b0_micro")).as("b0_micro"),
+          when(dA =!= 0.0, col("b1_micro") +
+            round(lit(1e3) * d1 / dA).cast("long"))
+            .otherwise(col("b1_micro")).as("b1_micro"),
+          when(dA =!= 0.0, col("b2_micro") +
+            round(lit(1e3) * d2 / dA).cast("long"))
+            .otherwise(col("b2_micro")).as("b2_micro"))
+        .localCheckpoint()
+    }
+    poissonMuFrame(base, beta)
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("sum_y"),
+        sum(col("_mu")).as("sum_mu_nano"),
+        sum(abs(col("_y") * lit(1000000000L) - col("_mu")))
+          .as("sae_nano"))
+      .crossJoin(broadcast(beta))
+      .select(col("n"), col("b0_micro"), col("b1_micro"),
+        col("b2_micro"), col("sum_y"), col("sum_mu_nano"),
+        col("sae_nano"))
+  }
+
   /** OVERDISPERSION TEST for a Poisson fit (Cameron & Trivedi 1990's
     * regression-based diagnostic in its z-statistic form — the check
     * that says whether [[poissonIrls]]'s equidispersion assumption

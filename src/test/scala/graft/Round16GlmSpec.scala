@@ -201,6 +201,39 @@ class Round16GlmSpec extends AnyFunSuite {
       s"constant counts are underdispersed, got ${u.getLong(4)}")
   }
 
+  test("negativeBinomialIrls reduces EXACTLY to poisson at alpha=0") {
+    val grid = (0 until 300).map { i =>
+      ((i % 6).toLong, (i % 4).toLong, (3 + (i % 7) + (i % 6)).toLong)
+    }.toDF("x1", "x2", "y")
+    val nb = EvalOps.negativeBinomialIrls(grid, "x1", "x2", "y",
+      iters = 5, alphaMicro = 0L).collect().head
+    val po = EvalOps.poissonIrls(grid, "x1", "x2", "y", iters = 5)
+      .collect().head
+    // v = 1e6 collapses the inflated weight and score to the Poisson
+    // spellings bit for bit -- the whole trajectory must coincide
+    (0 until 7).foreach(c => assert(nb.getLong(c) == po.getLong(c),
+      s"col $c: nb ${nb.getLong(c)} vs poisson ${po.getLong(c)}"))
+  }
+
+  test("negativeBinomialIrls dampens weights under real dispersion") {
+    // alpha shrinks the IRLS weight of high-mu rows: a large alpha
+    // must still converge and track the same mean structure
+    val grid = (0 until 300).map { i =>
+      ((i % 6).toLong, (i % 4).toLong, (3 + (i % 7) + (i % 6)).toLong)
+    }.toDF("x1", "x2", "y")
+    val nb = EvalOps.negativeBinomialIrls(grid, "x1", "x2", "y",
+      iters = 6, alphaMicro = 200000L).collect().head
+    val po = EvalOps.poissonIrls(grid, "x1", "x2", "y", iters = 6)
+      .collect().head
+    // same mean model: coefficients agree to ~5e-3 nats (alpha = 0.2
+    // genuinely reweights high-mu rows, shifting the fit slightly)
+    (1 to 3).foreach(c => assert(
+      math.abs(nb.getLong(c) - po.getLong(c)) < 5000L,
+      s"col $c: nb ${nb.getLong(c)} vs poisson ${po.getLong(c)}"))
+    assert(math.abs(nb.getLong(5) - nb.getLong(4) * 1000000000L) <
+      nb.getLong(4) * 1000000L, "sum(mu) must track sum(y)")
+  }
+
   test("dpQuantile: high epsilon recovers the exact empirical rank") {
     val df = (1 to 100).map(_.toLong).toDF("x")
     // eps = 50: the utility term dominates every Gumbel draw, and on
