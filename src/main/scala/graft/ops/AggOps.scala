@@ -493,12 +493,16 @@ object AggOps {
     * volume — the [[acf]] argument); φ and x̄ ride broadcast 1-row
     * frames. Returns (t, x, pred_micro, err_micro, mae_micro),
     * T − p rows. */
-  def arBacktest(series: DataFrame, tCol: String, xCol: String,
-                 order: Int): DataFrame = {
-    require(order >= 1, s"order must be >= 1, got $order")
-    val base = series.select(col(tCol).cast("long").as("_t"),
-        col(xCol).cast("long").as("_x"))
-      .localCheckpoint() // feeds the fit, the lags, and the actuals
+  /** The PRE-CHECKPOINT prediction frame behind [[arBacktest]]:
+    * package-private so the plan-shape spec pins the REAL op code
+    * path (round-16 advice — a lookalike rebuilt in the spec would
+    * not trip on a regression in THIS join construction). `base`
+    * must carry (_t, _x) long columns. The lag join MUST stay an
+    * equi-join on the shifted grid key (_t − _j = _t2 canonicalizes
+    * to an equi-join) — a nested loop here is quadratic at a real
+    * grid. */
+  private[graft] def arPredFrame(base: DataFrame,
+                                 order: Int): DataFrame = {
     val phi = durbinStateFrame(base, "_t", "_x", order)
       .select((1 to order).map(j => col(s"_p$j")): _*)
     val mean = base.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"))
@@ -519,13 +523,22 @@ object AggOps {
       .groupBy(col("_t"))
       .agg(count(lit(1)).as("_k"), sum(col("_term")).as("_acc"))
       .where(col("_k") === order)
-    val pred = terms
+    terms
       .join(base.select(col("_t"), col("_x")), "_t")
       .crossJoin(broadcast(mean))
       .withColumn("pred_micro", col("_m") +
         round(col("_acc").cast("double") / lit(1e6)).cast("long"))
       .withColumn("err_micro",
         abs(col("_x") * lit(1000000L) - col("pred_micro")))
+  }
+
+  def arBacktest(series: DataFrame, tCol: String, xCol: String,
+                 order: Int): DataFrame = {
+    require(order >= 1, s"order must be >= 1, got $order")
+    val base = series.select(col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .localCheckpoint() // feeds the fit, the lags, and the actuals
+    val pred = arPredFrame(base, order)
       .localCheckpoint() // grid-bounded; feeds rows AND the MAE
     val mae = pred.agg(sum(col("err_micro")).as("_se"),
       count(lit(1)).as("_c"))
@@ -543,15 +556,210 @@ object AggOps {
     * three-way comparison that says whether the fitted models earn
     * their complexity. Returns (t, x, pred_micro, err_micro,
     * mae_micro), T − period rows. */
+  /** The PRE-CHECKPOINT prediction frame behind
+    * [[seasonalNaiveBacktest]] (package-private for the plan-shape
+    * pin, like [[arPredFrame]]): the lag-`period` self-join on the
+    * shifted grid key MUST plan as an equi-join. `base` must carry
+    * (_t, _x) long columns. */
+  private[graft] def seasonalNaivePredFrame(base: DataFrame,
+                                            period: Int): DataFrame =
+    base
+      .join(base.select((col("_t") + period).as("_t"),
+        (col("_x") * 1000000L).as("pred_micro")), "_t")
+      .withColumn("err_micro",
+        abs(col("_x") * lit(1000000L) - col("pred_micro")))
+
   def seasonalNaiveBacktest(series: DataFrame, tCol: String,
                             xCol: String, period: Int): DataFrame = {
     require(period >= 1, s"period must be >= 1, got $period")
     val base = series.select(col(tCol).cast("long").as("_t"),
         col(xCol).cast("long").as("_x"))
       .localCheckpoint() // both join sides AND the MAE
+    val pred = seasonalNaivePredFrame(base, period)
+      .localCheckpoint() // grid-bounded; feeds rows AND the MAE
+    val mae = pred.agg(sum(col("err_micro")).as("_se"),
+      count(lit(1)).as("_c"))
+    pred.crossJoin(broadcast(mae))
+      .select(col("_t").as("t"), col("_x").as("x"),
+        col("pred_micro"), col("err_micro"),
+        expr("_se div _c").as("mae_micro"))
+  }
+
+  /** DISCRETE ADABOOST OVER DECISION STUMPS (Freund & Schapire
+    * 1997; the ensemble sibling of [[decisionStumpGain]] — round-16
+    * verdict task 6): T boosting rounds, each ONE level-bounded
+    * weighted aggregate plus an integer weight re-fix. Per round:
+    * rows collapse to the (value, label) WEIGHTED level table (one
+    * hash aggregate of micro weights), the weighted error of every
+    * (threshold, polarity) stump comes from prefix sums over LEVELS
+    * (pol +1 predicts y at x ≤ t; err = cum_w⁻ + (tot⁺ − cum_w⁺),
+    * pol −1 the complement), the best stump is the (werr ASC,
+    * threshold ASC, pol +1 first) rank-1 row, α = ½·ln((W−ε)/ε)
+    * fixes to micro (one ln over exact integer micro weights — the
+    * q195 parity rule), and every row's weight re-fixes by the
+    * integer-micro factor e^{∓α}: w' = (w · round(10⁶e^{∓α}))
+    * div 10⁶ — exact integer ops after the one float fix, so the
+    * whole round table hash-replays. A DEGENERATE round (ε = 0, a
+    * perfect stump — or ε = W) freezes α at 0 and the weights stop
+    * moving (documented; boosting is over).
+    *
+    * SCALE: per round one data scan (the level aggregate), one
+    * LEVEL-bounded window, one broadcast-stump reweight projection +
+    * checkpoint — T sequential passes, the distributed-boosting
+    * shape. Weights stay in long (init 10⁶, each round multiplies by
+    * e^{±α} ≤ (W−ε)/ε — callers keep T small, the AdaBoost norm).
+    * Output per round: (round, threshold, polarity, werr_micro,
+    * wtot_micro, alpha_micro). */
+  def adaBoostStumps(df: DataFrame, xCol: String, yCol: String,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cur = df.select(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("boolean").as("_y"))
+      .withColumn("_w", lit(1000000L))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val lev = cur.groupBy(col("_x").as("thr"))
+        .agg(sum(when(col("_y"), col("_w")).otherwise(0L)).as("_wp"),
+          sum(when(!col("_y"), col("_w")).otherwise(0L)).as("_wn"))
+        .localCheckpoint() // level-bounded; feeds tot AND the window
+      val tot = lev.agg(sum(col("_wp")).as("_tp"),
+        sum(col("_wn")).as("_tn"))
+      val w = Window.orderBy(col("thr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cand = lev.withColumn("_cp", sum(col("_wp")).over(w))
+        .withColumn("_cn", sum(col("_wn")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("thr"),
+          (col("_cn") + col("_tp") - col("_cp")).as("_errPos"),
+          (col("_cp") + col("_tn") - col("_cn")).as("_errNeg"),
+          (col("_tp") + col("_tn")).as("_wt"))
+      val both = cand.select(col("thr"), lit(1L).as("pol"),
+          col("_errPos").as("werr"), col("_wt"))
+        .unionByName(cand.select(col("thr"), lit(-1L).as("pol"),
+          col("_errNeg").as("werr"), col("_wt")))
+      val best = both.withColumn("_rn", row_number().over(
+          Window.orderBy(col("werr"), col("thr"), col("pol").desc)))
+        .where(col("_rn") === 1)
+        .select(col("thr"), col("pol"), col("werr"), col("_wt"),
+          when(col("werr") > 0 && col("werr") < col("_wt"),
+            round(lit(5e5) *
+              log((col("_wt") - col("werr")).cast("double") /
+                col("werr").cast("double"))).cast("long"))
+            .otherwise(lit(0L)).as("alpha"))
+        .localCheckpoint() // 1 row; feeds the table AND the reweight
+      val row = best.select(lit(r.toLong).as("round"),
+        col("thr").as("threshold"), col("pol").as("polarity"),
+        col("werr").as("werr_micro"), col("_wt").as("wtot_micro"),
+        col("alpha").as("alpha_micro"))
+      out = if (out == null) row else out.unionByName(row)
+      cur = cur.crossJoin(broadcast(best.select(
+          col("thr").as("_bt"), col("pol").as("_bp"),
+          col("alpha").as("_ba"))))
+        .withColumn("_pred", when(col("_bp") === 1L,
+          col("_x") <= col("_bt")).otherwise(col("_x") > col("_bt")))
+        .withColumn("_f", round(lit(1e6) * exp(
+          when(col("_pred") === col("_y"), -col("_ba"))
+            .otherwise(col("_ba")).cast("double") / lit(1e6)))
+          .cast("long"))
+        .select(col("_x"), col("_y"),
+          expr("(_w * _f) div 1000000L").as("_w"))
+        .localCheckpoint()
+    }
+    out
+  }
+
+  /** Score with a fitted [[adaBoostStumps]] round table as driver
+    * literals (thr, pol, alpha_micro): the weighted-majority margin
+    * Σ_r α_r·h_r(x) over exact integer micro α — one codegen'd
+    * stateless projection (streaming-safe, the [[graft.ops.EvalOps
+    * .ovrPredExpr]] shape). Returns the boolean vote margin ≥ 0. */
+  def adaBoostPredExpr(x: Column,
+                       stumps: Seq[(Long, Long, Long)]): Column = {
+    require(stumps.nonEmpty, "need at least one stump")
+    stumps.map { case (thr, pol, alpha) =>
+      val h = if (pol == 1L) x <= lit(thr) else x > lit(thr)
+      when(h, lit(alpha)).otherwise(-lit(alpha))
+    }.reduce(_ + _) >= 0L
+  }
+
+  /** One differencing pass at `lag`: w_t = x_t − x_{t−lag} as ONE
+    * grid self-join on the shifted key (equi-join — the
+    * [[arPredFrame]] plan pin applies). `base` carries (_t, _x). */
+  private def diffOnce(base: DataFrame, lag: Int): DataFrame =
+    base.join(base.select((col("_t") + lag).as("_t"),
+        col("_x").as("_xl")), "_t")
+      .select(col("_t"), (col("_x") - col("_xl")).as("_x"))
+
+  /** GRID DIFFERENCING — the Box–Jenkins "I" (Box & Jenkins 1970
+    * §4: identify → DIFFERENCE to stationarity → fit → diagnose; the
+    * rung q385's adequacy loop was missing): the d-th ordinary
+    * difference (lag 1, applied d times) then the D-th seasonal
+    * difference at `seasonalLag`, each pass ONE grid self-join on
+    * the shifted key — exact integer subtraction, no float anywhere,
+    * so the differenced series is engine-portable by construction.
+    * Rows keep their ORIGINAL grid index t (the first
+    * d + D·seasonalLag rows simply drop out — lag joins downstream
+    * only need contiguity, not a 1-origin).
+    *
+    * SCALE: d + D self-joins on the GRID (grid-bounded at any raw
+    * volume — the [[acf]] argument), each an equi-join. Returns
+    * (t, x), T − d − D·seasonalLag rows. */
+  def differencedSeries(series: DataFrame, tCol: String,
+                        xCol: String, d: Int, seasonalLag: Int = 1,
+                        seasonalD: Int = 0): DataFrame = {
+    require(d >= 0, s"d must be >= 0, got $d")
+    require(seasonalD >= 0, s"seasonalD must be >= 0, got $seasonalD")
+    require(d + seasonalD >= 1, "at least one difference required")
+    require(seasonalD == 0 || seasonalLag >= 1,
+      s"seasonalLag must be >= 1 when seasonalD > 0, got $seasonalLag")
+    var cur = series.select(col(tCol).cast("long").as("_t"),
+      col(xCol).cast("long").as("_x"))
+    (1 to d).foreach(_ => cur = diffOnce(cur, 1))
+    (1 to seasonalD).foreach(_ => cur = diffOnce(cur, seasonalLag))
+    cur.select(col("_t").as("t"), col("_x").as("x"))
+  }
+
+  /** ARIMA(p,1,0)×(0,1,0)_s ONE-STEP BACKTEST (the differenced
+    * sibling of [[arBacktest]], completing the Box–Jenkins loop):
+    * the doubly-differenced series w_t = x_t − x_{t−1} − x_{t−s} +
+    * x_{t−s−1} ([[differencedSeries]] d=1, D=1) carries the AR(p)
+    * Yule–Walker fit and its in-sample one-step forecasts ŵ_t
+    * ([[arPredFrame]] — identical arithmetic to [[arBacktest]] on
+    * w), and the ORIGINAL-scale forecast undoes both differences
+    * exactly: x̂_t = (x_{t−1} + x_{t−s} − x_{t−s−1})·10⁶ + ŵ_t — an
+    * EXACT integer micro (the reconstruction terms are integer grid
+    * values; ŵ carries the one rounding divide [[arBacktest]]
+    * documents). Only steps with all p w-lags AND all three
+    * reconstruction lags present forecast. MAE by exact division.
+    *
+    * SCALE: 2 differencing self-joins + the grid×p lag join + 3
+    * reconstruction self-joins — all grid-bounded equi-joins; φ and
+    * the w-mean ride broadcast 1-row frames. Returns
+    * (t, x, pred_micro, err_micro, mae_micro). */
+  def arimaBacktest(series: DataFrame, tCol: String, xCol: String,
+                    order: Int, seasonalLag: Int): DataFrame = {
+    require(order >= 1, s"order must be >= 1, got $order")
+    require(seasonalLag >= 1,
+      s"seasonalLag must be >= 1, got $seasonalLag")
+    val base = series.select(col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .localCheckpoint() // feeds the diffs, 3 lag sides, the actuals
+    val w = diffOnce(diffOnce(base, 1), seasonalLag)
+      .localCheckpoint() // feeds the fit and the w-lag join
+    val wp = arPredFrame(w, order)
+      .select(col("_t"), col("pred_micro").as("_wp"))
     val pred = base
-      .join(base.select((col("_t") + period).as("_t"),
-        (col("_x") * 1000000L).as("pred_micro")), "_t")
+      .join(base.select((col("_t") + 1).as("_t"),
+        col("_x").as("_x1")), "_t")
+      .join(base.select((col("_t") + seasonalLag).as("_t"),
+        col("_x").as("_xs")), "_t")
+      .join(base.select((col("_t") + seasonalLag + 1).as("_t"),
+        col("_x").as("_xs1")), "_t")
+      .join(wp, "_t")
+      .withColumn("pred_micro",
+        (col("_x1") + col("_xs") - col("_xs1")) * lit(1000000L) +
+          col("_wp"))
       .withColumn("err_micro",
         abs(col("_x") * lit(1000000L) - col("pred_micro")))
       .localCheckpoint() // grid-bounded; feeds rows AND the MAE
@@ -652,9 +860,15 @@ object AggOps {
     *
     * Series shorter than 2p+1 days yield an EMPTY result (the
     * documented two-week-init minimum). SCALE: one grid aggregate +
-    * one single-row fold — grid-bounded at any raw volume; the fold
-    * is linear in T. Returns (t, day, x, fitted_micro, err_micro,
-    * mae_micro), T−p rows. */
+    * one single-row fold — grid-bounded at any raw volume. The fold
+    * performs T state updates, but accumulating the output
+    * trajectory copies the out-array each step ([[hwStateFrame]]'s
+    * `concat`), so the fold's total work is O(T²) in array copying —
+    * invisible at day-grid T (a 10-year daily grid is ~3.7k steps,
+    * ≈ 7M struct copies in one task) but a bound to respect before
+    * pointing this at an HOURLY grid spanning years (T ≳ 50k); the
+    * same n ≲ 3000-style note as [[ljungBox]]'s. Returns (t, day, x,
+    * fitted_micro, err_micro, mae_micro), T−p rows. */
   def holtWinters(daily: DataFrame, dayCol: String, xCol: String,
                   alphaMicro: Long, betaMicro: Long, gammaMicro: Long,
                   period: Int): DataFrame = {
@@ -683,14 +897,14 @@ object AggOps {
     val p = period
     hwStateFrame(daily, dayCol, xCol, alphaMicro, betaMicro,
       gammaMicro, period)
-      .select(size(col("_a")).cast("long").as("_T"),
+      .select(size(col("_a")).cast("long").as("_tlen"),
         element_at(col("_a"), size(col("_a"))).getField("day")
           .as("_lastDay"),
         col("_fin").getField("l").as("_l"),
         col("_fin").getField("b").as("_b"),
         col("_fin").getField("s").as("_s"),
         explode(sequence(lit(1L), lit(horizon.toLong))).as("h"))
-      .withColumn("_slot", ((col("_T") + col("h") - 1L) % p)
+      .withColumn("_slot", ((col("_tlen") + col("h") - 1L) % p)
         .cast("int"))
       .select(col("h"),
         date_format(date_add(col("_lastDay"), col("h").cast("int")),
@@ -702,7 +916,10 @@ object AggOps {
 
   /** The shared [[holtWinters]] state builder: the day grid as ONE
     * sorted row plus the `aggregate`-fold final state `_fin`
-    * (l, b, s[period], sae, cnt, out). */
+    * (l, b, s[period], sae, cnt, out). NOTE the trajectory
+    * accumulation (`concat(st.out, array(...))`) copies the
+    * accumulated array every step — O(T²) copying overall, fine at
+    * day-grid T, documented as a bound on [[holtWinters]]. */
   private def hwStateFrame(daily: DataFrame, dayCol: String,
                            xCol: String, alphaMicro: Long,
                            betaMicro: Long, gammaMicro: Long,

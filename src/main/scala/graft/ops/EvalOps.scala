@@ -854,7 +854,7 @@ object EvalOps {
       round(dd(col("_a")) * dd(col("_d")) / dd(col("_n")) * 1e6)
         .cast("long").as("_r"),
       round(dd(col("_b")) * dd(col("_c")) / dd(col("_n")) * 1e6)
-        .cast("long").as("_sT"),
+        .cast("long").as("_sterm"),
       round(dd((col("_a") + col("_b")) * (col("_a") + col("_c"))) /
         dd(col("_n")) * 1e6).cast("long").as("_e"),
       round(dd((col("_a") + col("_b")) * (col("_c") + col("_d"))) *
@@ -863,7 +863,7 @@ object EvalOps {
           dd(col("_n") - lit(1L))) * 1e6).cast("long").as("_v"))
     terms.agg(count(lit(1)).as("k_strata"), sum(col("_n")).as("n"),
         sum(col("_a")).as("sum_a"), sum(col("_r")).as("_sr"),
-        sum(col("_sT")).as("_ss"), sum(col("_e")).as("_se"),
+        sum(col("_sterm")).as("_ss"), sum(col("_e")).as("_se"),
         sum(col("_v")).as("_sv"))
       .select(col("k_strata"), col("n"), col("sum_a"),
         when(col("_ss") > 0, round(col("_sr").cast("double") /
@@ -950,14 +950,14 @@ object EvalOps {
         round(col("_s").cast("double") * col("_s").cast("double") /
           col("_n").cast("double") * 1e6).cast("long"))
     val tot = g.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"),
-      sum(col("_s")).as("_S"), sum(col("_ss")).as("_SS"),
+      sum(col("_s")).as("_sgrand"), sum(col("_ss")).as("_ssgrand"),
       sum(col("_term_micro")).as("_tsum"))
     tot.select(col("k"), col("n"),
         (col("_tsum") -
-          round(col("_S").cast("double") * col("_S").cast("double") /
+          round(col("_sgrand").cast("double") * col("_sgrand").cast("double") /
             col("n").cast("double") * 1e6).cast("long"))
           .as("ssb_micro"),
-        (col("_SS") * lit(1000000L) - col("_tsum")).as("ssw_micro"))
+        (col("_ssgrand") * lit(1000000L) - col("_tsum")).as("ssw_micro"))
       .select(col("k"), col("n"), col("ssb_micro"), col("ssw_micro"),
         when(col("k") >= 2 && col("n") > col("k") &&
             col("ssw_micro") > 0,
@@ -1644,6 +1644,84 @@ object EvalOps {
         col("hazard_ppm"), col("cum_hazard_ppm"))
   }
 
+  /** KAPLAN–MEIER PRODUCT-LIMIT SURVIVAL (Kaplan & Meier 1958) with
+    * GREENWOOD variance (Greenwood 1926) — the nonparametric
+    * survival classic next to [[nelsonAalen]]'s hazard (round-16
+    * verdict task 3): per duration LEVEL, the at-risk count n from
+    * ONE suffix sum over the level table (the [[logRank]] move), the
+    * survival factor (n−d)/n fixed to an EXACT integer micro
+    * ((n−d)·10⁶ div n — non-negative operands), and the curve
+    * S(t) = Π_{s≤t} factor_s as a single-row `aggregate` fold over
+    * the level-sorted array with a micro RE-FIX each step
+    * (s' = s·f div 10⁶ — products ≤ 10¹² stay exact in long AND
+    * double, the div spelled as subtract-pmod so both engines floor
+    * identically), so the whole curve hash-replays against a
+    * recursive-CTE oracle. Greenwood's sum g(t) = Σ d/(n(n−d))
+    * accumulates as exact integer nano terms (d·10⁹ div (n(n−d)));
+    * once a level saturates (n = d — everyone at risk dies) the
+    * variance is undefined from that level on (the R `survival`
+    * convention) and g carries a −1 sentinel that reads out as NULL.
+    * se(S) = S·√g is the one float readout (sqrt/mul correctly
+    * rounded over identical exact integers — the q195 parity
+    * argument), fixed to micro. `is_median` flags the FIRST level
+    * with S ≤ ½ — the median-survival readout.
+    *
+    * Censoring-only levels (d = 0, factor = 10⁶) are emitted — the
+    * step function stays read-off-able between events, and their n
+    * drops still feed later factors. SCALE: ONE hash aggregate to
+    * levels, one suffix window, one single-row fold — everything
+    * past the aggregate is duration-domain bounded at any raw
+    * volume. Output per level: (t, n_at_risk, d_events,
+    * factor_micro, s_micro, greenwood_nano, se_micro, is_median). */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val levels = df.select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("_e"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("_m"),
+        sum(when(col("_e"), 1L).otherwise(0L)).as("_d"))
+    val atRisk = levels.withColumn("_n",
+        sum(col("_m")).over(Window.orderBy(col("t"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("_f", expr("((_n - _d) * 1000000L) div _n"))
+      .withColumn("_gt", expr(
+        "CASE WHEN _n > _d THEN (_d * 1000000000L) div (_n * (_n - _d)) END"))
+    val arr = atRisk.agg(sort_array(collect_list(struct(
+      col("t"), col("_n").as("n"), col("_d").as("d"),
+      col("_f").as("f"), col("_gt").as("gt")))).as("_a"))
+    val outType = "array<struct<t:bigint,n:bigint,d:bigint," +
+      "f:bigint,s:bigint,g:bigint,med:boolean>>"
+    val init = struct(lit(1000000L).as("s"), lit(0L).as("g"),
+      lit(false).as("hit"), array().cast(outType).as("out"))
+    val fin = aggregate(col("_a"), init, (st, e) => {
+      val sf = st.getField("s") * e.getField("f")
+      // exact integer floor-div on non-negative operands: both
+      // engines agree (Spark div ≡ DuckDB // here)
+      val sNew = ((sf - pmod(sf, lit(1000000L))) / lit(1000000L))
+        .cast("long")
+      val gNew = when(st.getField("g") < 0L ||
+          e.getField("gt").isNull, lit(-1L))
+        .otherwise(st.getField("g") + e.getField("gt"))
+      val med = not(st.getField("hit")) && (sNew <= lit(500000L))
+      struct(sNew.as("s"), gNew.as("g"),
+        (st.getField("hit") || (sNew <= lit(500000L))).as("hit"),
+        concat(st.getField("out"), array(struct(
+          e.getField("t").as("t"), e.getField("n").as("n"),
+          e.getField("d").as("d"), e.getField("f").as("f"),
+          sNew.as("s"), gNew.as("g"), med.as("med")))).as("out"))
+    })
+    arr.select(explode(fin.getField("out")).as("o"))
+      .select(col("o.t").as("t"), col("o.n").as("n_at_risk"),
+        col("o.d").as("d_events"), col("o.f").as("factor_micro"),
+        col("o.s").as("s_micro"),
+        when(col("o.g") >= 0L, col("o.g")).as("greenwood_nano"),
+        when(col("o.g") >= 0L,
+          round(col("o.s").cast("double") *
+            sqrt(col("o.g").cast("double") / lit(1e9))).cast("long"))
+          .as("se_micro"),
+        col("o.med").as("is_median"))
+  }
+
   /** POPULATION STABILITY INDEX (the industry drift monitor):
     * PSI = Σ_buckets (p−q)·ln(p/q) between a baseline side and a
     * comparison side of one bucketed metric, with add-one (Laplace)
@@ -2145,15 +2223,15 @@ object EvalOps {
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       def dd(c: String): Column = col(c).cast("double")
       lev
-        .withColumn("_S0", sum(col("_g0")).over(w))
+        .withColumn("_rs0", sum(col("_g0")).over(w))
         .withColumn("_S1", sum(col("_g1")).over(w))
         .withColumn("_S2", sum(col("_g2")).over(w))
-        .where(col("_d") > 0 && col("_S0") > 0)
+        .where(col("_d") > 0 && col("_rs0") > 0)
         .select(
-          round((dd("_s") - dd("_d") * (dd("_S1") / dd("_S0"))) * 1e6)
+          round((dd("_s") - dd("_d") * (dd("_S1") / dd("_rs0"))) * 1e6)
             .cast("long").as("_u6"),
-          round(dd("_d") * (dd("_S2") / dd("_S0") -
-            (dd("_S1") / dd("_S0")) * (dd("_S1") / dd("_S0"))) * 1e6)
+          round(dd("_d") * (dd("_S2") / dd("_rs0") -
+            (dd("_S1") / dd("_rs0")) * (dd("_S1") / dd("_rs0"))) * 1e6)
             .cast("long").as("_i6"))
         .agg(sum(col("_u6")).as("_su"), sum(col("_i6")).as("_si"))
     }
@@ -2435,6 +2513,10 @@ object EvalOps {
                   iters: Int): DataFrame = {
     require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
     require(labels.distinct == labels, "labels must be distinct")
+    // argument validation BEFORE the checkpoint — the checkpoint is
+    // a real Spark job, and a bad `iters` must fail before cluster
+    // work is spent (round-16 advice)
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val base = df.select(col(x1Col).cast("long").as("_x1"),
         col(x2Col).cast("long").as("_x2"),
         col(labelCol).cast("long").as("_lab"))
@@ -2448,7 +2530,22 @@ object EvalOps {
     // per-class arithmetic is IDENTICAL to K independent
     // [[logisticNewton]] runs (same μ/w/Gram/score/solve spelling),
     // so the per-class oracle chains still hash-match.
-    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val betas = ovrBetaWide(base, labels, iters)
+    val scored = base.crossJoin(broadcast(betas))
+    val zs = labels.indices.map(i => col(s"_b0_$i") +
+      col("_x1") * col(s"_b1_$i") + col("_x2") * col(s"_b2_$i"))
+    ovrConfReadout(scored.withColumn("_pred",
+      ovrPredCol(labels, zs)))
+  }
+
+  /** The FUSED one-vs-rest Newton loop shared by [[logisticOvr]] and
+    * [[logisticOvrBetas]]: `base` must carry (_x1, _x2, _lab) long
+    * columns (checkpointed by the caller — every step scans it).
+    * Returns the WIDE 1-row β frame (_b0_i, _b1_i, _b2_i per class
+    * index i), each step ONE map-side-combinable aggregate of the
+    * K×9 sums and one K-fold Cramer projection. */
+  private def ovrBetaWide(base: DataFrame, labels: Seq[Long],
+                          iters: Int): DataFrame = {
     val ks = labels.indices
     var betas = base.sparkSession.createDataFrame(
       Seq(Tuple1(0L))).toDF("_zero")
@@ -2513,19 +2610,28 @@ object EvalOps {
         }: _*)
         .localCheckpoint()
     }
-    val scored = base.crossJoin(broadcast(betas))
-    val zs = labels.indices.map(i => col(s"_b0_$i") +
-      col("_x1") * col(s"_b1_$i") + col("_x2") * col(s"_b2_$i"))
-    // first-max argmax over exact integer margins: label i wins iff
-    // z_i >= every LATER margin (chained when ⇒ ties to the
-    // earliest label — the pinned rule the oracle mirrors)
-    val pred = labels.indices.init.foldRight(
+    betas
+  }
+
+  /** First-max argmax over exact integer margins: label i wins iff
+    * z_i >= every LATER margin (chained when ⇒ ties to the earliest
+    * label — the pinned rule the oracles mirror). Shared by the
+    * fit-side scoring and the artifact-side [[ovrPredExpr]]. */
+  private def ovrPredCol(labels: Seq[Long],
+                         zs: Seq[Column]): Column =
+    labels.indices.init.foldRight(
       lit(labels.last): Column) { (i, rest) =>
       val isMax = (i + 1 until labels.size)
         .map(j => zs(i) >= zs(j)).reduce(_ && _)
       when(isMax, lit(labels(i))).otherwise(rest)
     }
-    val conf = scored.withColumn("_pred", pred)
+
+  /** The confusion + accuracy readout shared by [[logisticOvr]],
+    * [[softmaxGlm]]'s shape and [[ovrScoreConfusion]]: expects
+    * (_lab, _pred) columns; label-domain bounded past the one
+    * aggregate. Output: (label, pred, cnt, n, correct, acc_ppm). */
+  private def ovrConfReadout(scored: DataFrame): DataFrame = {
+    val conf = scored
       .groupBy(col("_lab").as("label"), col("_pred").as("pred"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // label-domain bounded; feeds table AND acc
@@ -2537,6 +2643,69 @@ object EvalOps {
         col("correct"),
         when(col("n") > 0, expr("(correct * 1000000L) div n"))
           .as("acc_ppm"))
+  }
+
+  /** The one-vs-rest fit as a K-ROW β ARTIFACT (label, b0_micro,
+    * b1_micro, b2_micro) — the "fit once, ship the artifact" face of
+    * [[logisticOvr]] (round-16 verdict task 1: the deterministic
+    * integer β is what makes the batch-fit → persist → stream-score
+    * loop ORACLED end to end, where MLlib training is only
+    * property-checkable). Identical fused Newton arithmetic —
+    * scoring any frame with these rows via [[ovrPredExpr]] replays
+    * [[logisticOvr]]'s predictions bit for bit.
+    *
+    * SCALE: `iters` fused aggregates over the one checkpointed base;
+    * the output is K rows of driver-literal-sized integers — the
+    * [[graft.ops.FitArtifacts]] persistence shape. */
+  def logisticOvrBetas(df: DataFrame, x1Col: String, x2Col: String,
+                       labelCol: String, labels: Seq[Long],
+                       iters: Int): DataFrame = {
+    require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
+    require(labels.distinct == labels, "labels must be distinct")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = df.select(col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"),
+        col(labelCol).cast("long").as("_lab"))
+      .localCheckpoint() // feeds every fused Newton step
+    ovrBetaWide(base, labels, iters)
+      .select(expr(s"stack(${labels.size}, " +
+        labels.indices.map(i =>
+          s"${labels(i)}L, _b0_$i, _b1_$i, _b2_$i").mkString(", ") +
+        ") as (label, b0_micro, b1_micro, b2_micro)"))
+  }
+
+  /** Score with a FITTED β artifact (driver literals — K×3 longs,
+    * the boundary-directory convention): the exact integer margin
+    * z_k = β₀ᵏ + β₁ᵏx₁ + β₂ᵏx₂ and the first-max argmax compile to
+    * one codegen'd projection — STREAMING-SAFE (stateless, no join),
+    * the scoring expression a stream-static deployment broadcasts.
+    * `betas` must align with `labels` positionally. */
+  def ovrPredExpr(x1: Column, x2: Column, labels: Seq[Long],
+                  betas: Seq[(Long, Long, Long)]): Column = {
+    require(betas.size == labels.size,
+      s"betas size ${betas.size} != labels size ${labels.size}")
+    val zs = betas.map { case (b0, b1, b2) =>
+      lit(b0) + x1 * lit(b1) + x2 * lit(b2) }
+    ovrPredCol(labels, zs)
+  }
+
+  /** BATCH TWIN of the artifact-scored stream: the [[logisticOvr]]
+    * confusion readout computed from a PERSISTED/MEMOIZED β instead
+    * of an in-plan fit — ONE scan (the 100 TB serving shape: the
+    * iters fit scans are paid once, every downstream consumer pays
+    * scoring only). Bit-identical to [[logisticOvr]]'s readout when
+    * `betas` came from the same data/labels/iters. */
+  def ovrScoreConfusion(df: DataFrame, x1Col: String, x2Col: String,
+                        labelCol: String, labels: Seq[Long],
+                        betas: Seq[(Long, Long, Long)]): DataFrame = {
+    require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
+    require(labels.distinct == labels, "labels must be distinct")
+    val scored = df.select(col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"),
+        col(labelCol).cast("long").as("_lab"))
+      .withColumn("_pred",
+        ovrPredExpr(col("_x1"), col("_x2"), labels, betas))
+    ovrConfReadout(scored)
   }
 
   /** MULTINOMIAL (SOFTMAX) LOGISTIC CLASSIFICATION by block-diagonal
@@ -2712,6 +2881,77 @@ object EvalOps {
           .as("f1_ppm"))
   }
 
+  /** MULTI-CLASS METRIC CAPSTONE over a (label, pred, cnt) confusion
+    * table (round-16 verdict task 5 — the single-row summary
+    * completing [[confusionReport]]'s per-class view): macro-F1 (the
+    * unweighted class mean — each class's F1 an exact integer ppm,
+    * 2tp·10⁶ div (rowmargin + colmargin), 0 on an empty class — the
+    * sklearn zero-division convention), micro-F1 (≡ accuracy for
+    * single-label multi-class: Σfp = Σfn = n − Σtp), Cohen's κ
+    * (Cohen 1960) as ONE float divide over exact integers —
+    * κ = (n·Σtp − Σ r_k·c_k)/(n² − Σ r_k·c_k) — and the K-category
+    * MCC (Gorodkin 2004's R_K) with its two correctly-rounded sqrts
+    * over exact integer operands (the q195 parity argument). The
+    * class domain is the UNION of observed labels and predictions,
+    * so phantom predictions and never-predicted classes both count.
+    * Degenerate tables read NULL: κ when pe = 1 (single cell), MCC
+    * when either marginal is concentrated on one class.
+    *
+    * SCALE: the input is already a label-domain-bounded aggregate;
+    * three margin aggregates + one K-row summary — driver-free.
+    * Exactness: all products ≤ n² < 2⁵³ at any realistic n (n ≤ 9·10⁷
+    * rows per fitted table before n² leaves exact-double range —
+    * past that, pre-aggregate per shard). Output 1 row: (n,
+    * k_classes, micro_f1_ppm, macro_f1_ppm, kappa_ppm, mcc_ppm). */
+  def multiclassSummary(conf: DataFrame, labelCol: String,
+                        predCol: String, cntCol: String): DataFrame = {
+    val c = conf.select(col(labelCol).cast("long").as("_l"),
+        col(predCol).cast("long").as("_p"),
+        col(cntCol).cast("long").as("_c"))
+      .localCheckpoint() // label-domain bounded; feeds all margins
+    val classes = c.select(col("_l").as("_k"))
+      .union(c.select(col("_p").as("_k"))).distinct()
+    val rowm = c.groupBy(col("_l").as("_k"))
+      .agg(sum(col("_c")).as("_t"))
+    val colm = c.groupBy(col("_p").as("_k"))
+      .agg(sum(col("_c")).as("_q"))
+    val diag = c.where(col("_l") === col("_p"))
+      .groupBy(col("_l").as("_k")).agg(sum(col("_c")).as("_d"))
+    val per = classes
+      .join(rowm, Seq("_k"), "left").join(colm, Seq("_k"), "left")
+      .join(diag, Seq("_k"), "left")
+      .select(col("_k"),
+        coalesce(col("_t"), lit(0L)).as("_t"),
+        coalesce(col("_q"), lit(0L)).as("_q"),
+        coalesce(col("_d"), lit(0L)).as("_d"))
+      .withColumn("_f1", expr("CASE WHEN _t + _q > 0 THEN " +
+        "(2L * _d * 1000000L) div (_t + _q) ELSE 0L END"))
+    val agg = per.agg(count(lit(1)).as("k_classes"),
+      sum(col("_d")).as("_sd"), sum(col("_t")).as("_st"),
+      sum(col("_t") * col("_q")).as("_spt"),
+      sum(col("_q") * col("_q")).as("_sqq"),
+      sum(col("_t") * col("_t")).as("_stt"),
+      sum(col("_f1")).as("_sf1"))
+    agg.select(col("_st").as("n"), col("k_classes"),
+      when(col("_st") > 0, expr("(_sd * 1000000L) div _st"))
+        .as("micro_f1_ppm"),
+      when(col("k_classes") > 0, expr("_sf1 div k_classes"))
+        .as("macro_f1_ppm"),
+      when(col("_st") * col("_st") - col("_spt") =!= 0L,
+        round(lit(1e6) *
+          (col("_st") * col("_sd") - col("_spt")).cast("double") /
+          (col("_st") * col("_st") - col("_spt")).cast("double"))
+          .cast("long")).as("kappa_ppm"),
+      when(col("_st") * col("_st") - col("_sqq") > 0L &&
+          col("_st") * col("_st") - col("_stt") > 0L,
+        round(lit(1e6) *
+          (col("_st") * col("_sd") - col("_spt")).cast("double") /
+          (sqrt((col("_st") * col("_st") - col("_sqq"))
+            .cast("double")) *
+           sqrt((col("_st") * col("_st") - col("_stt"))
+            .cast("double")))).cast("long")).as("mcc_ppm"))
+  }
+
   /** TWO-COVARIATE COX PROPORTIONAL HAZARDS (Cox 1972; the
     * multivariable lift of [[coxPh]] — adjust one hazard ratio for
     * a second covariate, the standard confounder move): the same
@@ -2770,26 +3010,26 @@ object EvalOps {
         // _Sa == _sa and withColumn would silently REPLACE the event
         // sums with nano-scale risk moments (caught by the round-16
         // planted-effect spec) — hence _Sva/_Svb, the oracle's names
-        .withColumn("_S0", sum(col("_g0")).over(w))
+        .withColumn("_rs0", sum(col("_g0")).over(w))
         .withColumn("_Sva", sum(col("_ga")).over(w))
         .withColumn("_Svb", sum(col("_gb")).over(w))
         .withColumn("_Sqaa", sum(col("_gaa")).over(w))
         .withColumn("_Sqab", sum(col("_gab")).over(w))
         .withColumn("_Sqbb", sum(col("_gbb")).over(w))
-        .where(col("_d") > 0 && col("_S0") > 0)
+        .where(col("_d") > 0 && col("_rs0") > 0)
         .select(
-          round((dd("_sa") - dd("_d") * (dd("_Sva") / dd("_S0")))
+          round((dd("_sa") - dd("_d") * (dd("_Sva") / dd("_rs0")))
             * 1e6).cast("long").as("_ua6"),
-          round((dd("_sb") - dd("_d") * (dd("_Svb") / dd("_S0")))
+          round((dd("_sb") - dd("_d") * (dd("_Svb") / dd("_rs0")))
             * 1e6).cast("long").as("_ub6"),
-          round(dd("_d") * (dd("_Sqaa") / dd("_S0") -
-            (dd("_Sva") / dd("_S0")) * (dd("_Sva") / dd("_S0"))) * 1e6)
+          round(dd("_d") * (dd("_Sqaa") / dd("_rs0") -
+            (dd("_Sva") / dd("_rs0")) * (dd("_Sva") / dd("_rs0"))) * 1e6)
             .cast("long").as("_iaa6"),
-          round(dd("_d") * (dd("_Sqab") / dd("_S0") -
-            (dd("_Sva") / dd("_S0")) * (dd("_Svb") / dd("_S0"))) * 1e6)
+          round(dd("_d") * (dd("_Sqab") / dd("_rs0") -
+            (dd("_Sva") / dd("_rs0")) * (dd("_Svb") / dd("_rs0"))) * 1e6)
             .cast("long").as("_iab6"),
-          round(dd("_d") * (dd("_Sqbb") / dd("_S0") -
-            (dd("_Svb") / dd("_S0")) * (dd("_Svb") / dd("_S0"))) * 1e6)
+          round(dd("_d") * (dd("_Sqbb") / dd("_rs0") -
+            (dd("_Svb") / dd("_rs0")) * (dd("_Svb") / dd("_rs0"))) * 1e6)
             .cast("long").as("_ibb6"))
         .agg(sum(col("_ua6")).as("_sua"), sum(col("_ub6")).as("_sub"),
           sum(col("_iaa6")).as("_siaa"),

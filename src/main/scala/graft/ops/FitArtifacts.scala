@@ -156,4 +156,49 @@ object FitArtifacts {
       .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
       .toSeq
   }
+
+  /** Persist a fitted GLM β table — the
+    * [[graft.ops.EvalOps.logisticOvrBetas]] shape `(label BIGINT,
+    * b0_micro, b1_micro, b2_micro)` — as single-file parquet with an
+    * optional provenance sidecar. The β integers are EXACT (the
+    * deterministic fused-Newton fit), so `load(save(x)) == x` bit for
+    * bit and a loaded artifact replays IDENTICAL predictions — this
+    * is what makes the batch-fit → persist → stream-score loop
+    * oracled (round-16 verdict task 1), where an MLlib model artifact
+    * is only property-checkable. K rows, driver-bounded by the label
+    * domain. */
+  def saveGlmBetas(spark: SparkSession, path: String,
+                   betas: Seq[(Long, Long, Long, Long)],
+                   provenance: Map[String, String] = Map.empty): Unit = {
+    import spark.implicits._
+    require(betas.nonEmpty, "refusing to persist an empty beta table")
+    require(betas.map(_._1).distinct.size == betas.size,
+      "duplicate label in beta table")
+    saveTable(betas.toDF("label", "b0_micro", "b1_micro", "b2_micro"),
+      path, provenance)
+  }
+
+  /** Load a [[saveGlmBetas]] artifact back into the
+    * `(label, (b0, b1, b2))` form [[graft.ops.EvalOps.ovrPredExpr]]
+    * consumes, label-ascending. `expectLabels` pins the exact label
+    * set (a β table fitted on a different label domain must fail
+    * LOUDLY, not silently score with missing classes); `expect`
+    * verifies the provenance sidecar ([[checkProvenance]]). */
+  def loadGlmBetas(spark: SparkSession, path: String,
+                   expectLabels: Seq[Long] = Seq.empty,
+                   expect: Map[String, String] = Map.empty)
+      : Seq[(Long, (Long, Long, Long))] = {
+    checkProvenance(spark, path, expect)
+    val rows = spark.read.parquet(path).orderBy(col("label")).collect()
+      .map(r => (r.getAs[Long]("label"), (r.getAs[Long]("b0_micro"),
+        r.getAs[Long]("b1_micro"), r.getAs[Long]("b2_micro"))))
+      .toSeq
+    require(rows.nonEmpty, s"no beta rows at $path")
+    if (expectLabels.nonEmpty)
+      require(rows.map(_._1) == expectLabels.sorted,
+        s"beta table at $path has labels ${rows.map(_._1)}, " +
+          s"the loader expected ${expectLabels.sorted} — the artifact " +
+          "was fitted on a different label domain; refit and re-save")
+    rows
+  }
 }

@@ -1281,6 +1281,17 @@ object TextOps {
     * itself, so the guard cannot be pruned away) rather than
     * silently exploding — callers with longer keys raise the bound
     * explicitly and accept the L² cost.
+    *
+    * ==BEHAVIOR CHANGE (round 16)== the `maxWordLen = 24` default is
+    * NEW: before round 16 any word length was accepted silently. A
+    * caller with a legitimate >24-char vocabulary (chemical names,
+    * agglutinative languages, URLs-as-tokens) now fails at runtime
+    * until it passes an explicit larger bound — that failure is the
+    * intended loud surfacing of a cost the old default paid
+    * silently, but existing callers upgrading across the change must
+    * audit their vocabularies (24 covers every English corpus word
+    * in the fixtures; `maxWordLen = 64` restores near-old behavior
+    * at up-to-64² variants per word).
     * Output: (w_a, w_b, dist, f_a, f_b) with w_a < w_b. */
   def symspellPairs(words: DataFrame, wordCol: String,
                     freqCol: String, maxWordLen: Int = 24): DataFrame = {

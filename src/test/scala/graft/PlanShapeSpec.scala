@@ -609,21 +609,35 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q386/q389: the lag-join stages equi-join on the shifted grid " +
-       "key — never a cartesian (quadratic at a real grid). The ops " +
-       "checkpoint internally, so the pin inspects the PRE-checkpoint " +
-       "join frame built the same way the ops build it") {
+       "key — never a cartesian (quadratic at a real grid). The pin " +
+       "inspects the ops' OWN pre-checkpoint builders (arPredFrame / " +
+       "seasonalNaivePredFrame), so a regression in the real join " +
+       "construction trips it (round-16 advice)") {
     import org.apache.spark.sql.functions._
     val base = spark.range(1, 200).select(col("id").as("_t"),
       (col("id") % 7).as("_x"))
-    val joined = base
-      .select(col("_t"), explode(sequence(lit(1), lit(5))).as("_j"))
-      .join(base.select(col("_t").as("_t2"), col("_x").as("_xl")),
-        col("_t") - col("_j") === col("_t2"))
-    val p = joined.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"shifted-key join degraded to a nested loop:\n${p.take(1500)}")
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
-      s"shifted-key join must be an equi-join:\n${p.take(1500)}")
+    Seq(
+      "arPredFrame" ->
+        graft.ops.AggOps.arPredFrame(base, order = 5),
+      "seasonalNaivePredFrame" ->
+        graft.ops.AggOps.seasonalNaivePredFrame(base, period = 7)
+    ).foreach { case (name, frame) =>
+      val p = frame.queryExecution.executedPlan.toString
+      // the ops DELIBERATELY cross-join broadcast 1-row frames (phi,
+      // mean) — those plan as `BroadcastNestedLoopJoin ... Cross` and
+      // are fine; what must never appear is the LAG join degraded to
+      // a non-equi nested loop (Inner BNLJ with the shifted-key
+      // condition) or a cartesian
+      assert(!p.contains("CartesianProduct"),
+        s"$name: shifted-key join degraded to a cartesian:\n" +
+          p.take(1500))
+      assert(!"BroadcastNestedLoopJoin[^\n]*Inner".r
+        .findFirstIn(p).isDefined,
+        s"$name: shifted-key join degraded to a nested loop:\n" +
+          p.take(1500))
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$name: shifted-key join must be an equi-join:\n" +
+          p.take(1500))
+    }
   }
 }
