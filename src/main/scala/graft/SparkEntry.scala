@@ -128,6 +128,52 @@ object SparkEntry {
         "vec_id", "embedding", PqM, PqSubLen, PqK, PqIters))
   }
 
+  /** Shared ONE-VS-REST β fit over the q373 3-class lineitem fixture
+    * (round-16 verdict task 2 — the [[microCents]] memo pattern,
+    * sixth application): [[graft.ops.EvalOps.logisticOvrBetas]] is
+    * DETERMINISTIC (exact-integer fused-Newton trajectory), so every
+    * consumer — q373's confusion, q382's per-class report, q393's
+    * persisted stream-scoring artifact — replays the identical β
+    * from ONE run of the 4 fused fit scans; each query still pays
+    * its own one-scan scoring plan (the memo is a fit ARTIFACT, not
+    * a cache of query results). The memo holds K×3+1 longs —
+    * label-domain bounded, the S6 argument. Key carries a (row
+    * count, bit_xor over hash(l_quantity, l_discount, l_returnflag))
+    * fingerprint over exactly the columns the fit reads, so a
+    * fixture swap re-fits instead of replaying stale β. BENCH NOTE:
+    * after first warm the fit cost vanishes from the q373/q382/q393
+    * rows — their gate medians are the fit-AMORTIZED steady state
+    * (the q48/q249 convention, documented in BASELINE.md). */
+  private val ovrBetaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[(Long, Long, Long, Long)]]()
+  private val OvrLabels = Seq(0L, 1L, 2L)
+  private val OvrIters = 4
+  private def ovrFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("x1"),
+      round(col("l_discount") * 100, 0).cast("long").as("x2"),
+      when(col("l_returnflag") === "A", 0L)
+        .when(col("l_returnflag") === "N", 1L)
+        .otherwise(2L).as("lab"))
+  private def ovrFingerprint(s: SparkSession,
+                             dir: String): (Long, Long) = {
+    val r = t(s, dir, "lineitem").agg(
+      count(lit(1)),
+      coalesce(bit_xor(hash(col("l_quantity"), col("l_discount"),
+        col("l_returnflag")).cast("long")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+  private def ovrBetas(s: SparkSession, dir: String)
+      : Seq[(Long, Long, Long, Long)] = {
+    val fp = ovrFingerprint(s, dir)
+    ovrBetaCache.computeIfAbsent((dir, fp._1, fp._2),
+      _ => EvalOps.logisticOvrBetas(ovrFixture(s, dir), "x1", "x2",
+          "lab", OvrLabels, OvrIters)
+        .orderBy(col("label")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -7725,22 +7771,19 @@ object SparkEntry {
   }
 
   private def q373(s: SparkSession, dir: String): DataFrame =
-    // K-CLASS ONE-VS-REST CLASSIFICATION (EvalOps.logisticOvr —
-    // Rifkin & Klautau 2004 over the q355 IRLS machinery): the
-    // reference's actual task shape (its Label is 3-class) as a pure
-    // relational plan. l_returnflag is naturally 3-class (A/N/R);
-    // three independent 4-step Newton fits on the ONE checkpointed
-    // base, argmax over exact-integer micro margins (ties to the
-    // earliest label), confusion table + accuracy ppm — all
-    // hash-compared against three unrolled oracle chains.
-    EvalOps.logisticOvr(
-      t(s, dir, "lineitem").select(
-        col("l_quantity").cast("long").as("x1"),
-        round(col("l_discount") * 100, 0).cast("long").as("x2"),
-        when(col("l_returnflag") === "A", 0L)
-          .when(col("l_returnflag") === "N", 1L)
-          .otherwise(2L).as("lab")),
-      "x1", "x2", "lab", labels = Seq(0L, 1L, 2L), iters = 4)
+    // K-CLASS ONE-VS-REST CLASSIFICATION (EvalOps.logisticOvrBetas +
+    // ovrScoreConfusion — Rifkin & Klautau 2004 over the q355 IRLS
+    // machinery): the reference's actual task shape (its Label is
+    // 3-class) as a pure relational plan. l_returnflag is naturally
+    // 3-class (A/N/R); three fused 4-step Newton fits paid ONCE per
+    // fixture (the ovrBetas memo — round-16 verdict task 2), then a
+    // one-scan scoring pass: argmax over exact-integer micro margins
+    // (ties to the earliest label), confusion table + accuracy ppm —
+    // all hash-compared against three unrolled oracle chains. The
+    // scored readout is bit-identical to the in-plan
+    // EvalOps.logisticOvr fit (same β integers).
+    EvalOps.ovrScoreConfusion(ovrFixture(s, dir), "x1", "x2", "lab",
+        OvrLabels, ovrBetas(s, dir).map(b => (b._2, b._3, b._4)))
       .orderBy(col("label"), col("pred"))
 
   private def q378(s: SparkSession, dir: String): DataFrame =
@@ -7889,18 +7932,15 @@ object SparkEntry {
     // readout completing the K-class task: q373 gives the table and
     // global accuracy, this gives the per-class operating picture,
     // the q270 report shape at class granularity): tp/fp/fn from the
-    // diagonal and margins, exact integer ppm everywhere. The OvR
-    // fit re-runs (the q192 retrain convention — artifact lifecycle
-    // is what's measured).
+    // diagonal and margins, exact integer ppm everywhere. The OvR β
+    // comes from the SHARED deterministic fit (the ovrBetas memo —
+    // round-16 verdict task 2 superseding the q192 retrain
+    // convention here: the fit is a deterministic integer artifact,
+    // so q382 consumes it instead of re-running the 5-pass fit;
+    // the report still pays its own scoring scan).
     EvalOps.confusionReport(
-      EvalOps.logisticOvr(
-        t(s, dir, "lineitem").select(
-          col("l_quantity").cast("long").as("x1"),
-          round(col("l_discount") * 100, 0).cast("long").as("x2"),
-          when(col("l_returnflag") === "A", 0L)
-            .when(col("l_returnflag") === "N", 1L)
-            .otherwise(2L).as("lab")),
-        "x1", "x2", "lab", labels = Seq(0L, 1L, 2L), iters = 4),
+      EvalOps.ovrScoreConfusion(ovrFixture(s, dir), "x1", "x2", "lab",
+        OvrLabels, ovrBetas(s, dir).map(b => (b._2, b._3, b._4))),
       "label", "pred", "cnt")
       .orderBy(col("label"))
 
@@ -8054,6 +8094,190 @@ object SparkEntry {
       alphaMicro = 10000L)
   }
 
+  private def q393(s: SparkSession, dir: String): DataFrame = {
+    // THE NORTH-STAR ARCHITECTURE, ORACLED END TO END (round-16
+    // verdict task 1 — the first hash-verified fit → persist →
+    // stream-score loop; reference analogue src/modelling.py:150-160
+    // feeding spark_to_cassandra.py:22-30): q54 runs the same
+    // architecture with an MLlib DT and is property-only because
+    // MLlib training is nondeterministic — here the batch fit is the
+    // DETERMINISTIC integer OvR β (the shared ovrBetas memo), the
+    // artifact is PERSISTED via FitArtifacts with a provenance
+    // sidecar and RELOADED (staleness-checked — the serving side
+    // never touches the training plan), and the UNLABELED stream is
+    // scored by one codegen'd stateless projection (ovrPredExpr —
+    // stream-safe: no state, no join; β are driver literals, the
+    // broadcast-artifact shape). The landed per-class counts AND an
+    // orderkey checksum hash-compare against the batch-twin oracle
+    // (the three unrolled logistic chains + argmax + group-by).
+    val fp = ovrFingerprint(s, dir)
+    val betas = ovrBetas(s, dir)
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/fit_artifacts/ovr_beta_$sfTag"
+    val prov = Map("lineitem_rows" -> fp._1.toString,
+      "lineitem_xor" -> fp._2.toString,
+      "labels" -> OvrLabels.mkString(","),
+      "iters" -> OvrIters.toString)
+    FitArtifacts.saveGlmBetas(s, path, betas, prov)
+    val loaded = FitArtifacts.loadGlmBetas(s, path, OvrLabels, prov)
+    val raw = StreamOps.fileStream(s,
+      Tables.rawSchema(s, dir, "lineitem"),
+      stageStreamDir(dir, "lineitem"))
+    val scored = raw.select(
+      col("l_orderkey").cast("long").as("okey"),
+      EvalOps.ovrPredExpr(col("l_quantity").cast("long"),
+        round(col("l_discount") * 100, 0).cast("long"),
+        OvrLabels, loaded.map(_._2)).as("pred"))
+    StreamOps.runToCompletion(scored, s"q393_${System.nanoTime()}",
+        outputMode = "append")
+      .groupBy(col("pred"))
+      .agg(count(lit(1)).as("n"), sum(col("okey")).as("okey_sum"))
+      .orderBy(col("pred"))
+  }
+
+  private def q394(s: SparkSession, dir: String): DataFrame = {
+    // KAPLAN–MEIER PRODUCT-LIMIT CURVE + GREENWOOD SE (EvalOps
+    // .kaplanMeier — round-16 verdict task 3, the nonparametric
+    // survival classic closing the family next to q354's
+    // Nelson–Aalen and q380/q381's Cox fits): the survival curve of
+    // q380's LIVE time-to-first-purchase duration table — per
+    // duration level the at-risk suffix sum, the exact-micro factor
+    // (n−d)/n, the product-limit recursion as a single-row fold,
+    // Greenwood's variance sum, the micro SE, and the
+    // median-survival flag — all hash-compared against the
+    // recursive product-limit CTE.
+    val ev = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("_first"),
+        to_date(max(col("ts"))).as("_last"),
+        to_date(min(when(col("event_type") === "purchase",
+          col("ts")))).as("_purch"))
+    val durations = ev.select(
+      when(col("_purch").isNotNull,
+        datediff(col("_purch"), col("_first")))
+        .otherwise(datediff(col("_last"), col("_first")))
+        .cast("long").as("dur"),
+      col("_purch").isNotNull.as("death"))
+    EvalOps.kaplanMeier(durations, "dur", "death").orderBy(col("t"))
+  }
+
+  private def q395(s: SparkSession, dir: String): DataFrame = {
+    // ARIMA "I" — THE DIFFERENCED FIT (AggOps.differencedSeries +
+    // yuleWalkerAr — Box & Jenkins 1970 §4; round-16 verdict task
+    // 4): the first difference plus the seasonal difference at lag 7
+    // take the daily grid to stationarity (trend and weekly
+    // structure drop out as exact integer subtractions — two grid
+    // self-joins), then the AR(5) Yule–Walker coefficients of the
+    // differenced series — the autoregressive block of
+    // ARIMA(5,1,0)×(0,1,0)₇ — hash-compare against the differenced
+    // Durbin–Levinson chain.
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_t", row_number().over(Window.orderBy(col("_day")))
+        .cast("long"))
+    val w = AggOps.differencedSeries(daily, "_t", "_x", d = 1,
+      seasonalLag = 7, seasonalD = 1)
+    AggOps.yuleWalkerAr(w, "t", "x", order = 5).orderBy(col("j"))
+  }
+
+  private def q396(s: SparkSession, dir: String): DataFrame = {
+    // ARIMA(5,1,0)×(0,1,0)₇ ONE-STEP BACKTEST (AggOps.arimaBacktest
+    // — round-16 verdict task 4's backtest rows): the q395 fit
+    // driven through q386's forecasting question, with the
+    // original-scale forecast undoing both differences EXACTLY
+    // (x̂ = x_{t−1} + x_{t−7} − x_{t−8} plus the AR forecast of the
+    // doubly-differenced series); its mae_micro reads against
+    // q386/q377/q389's — the Box–Jenkins loop closed end to end.
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_t", row_number().over(Window.orderBy(col("_day")))
+        .cast("long"))
+    AggOps.arimaBacktest(daily, "_t", "_x", order = 5,
+      seasonalLag = 7).orderBy(col("t"))
+  }
+
+  private def q397(s: SparkSession, dir: String): DataFrame = {
+    // FORECAST MODEL SELECTION WITH THE ARIMA COMPETITOR (the q390
+    // table fed by round-16 verdict task 4): all four backtests'
+    // MAEs — AR(5) on the raw grid, ARIMA(5,1,0)×(0,1,0)₇,
+    // Holt–Winters, seasonal-naive — as ONE 4-row artifact, winner
+    // pinned (mae ASC NULLS LAST, model ASC — the q390 null rule).
+    // Each member re-runs its fit off the ONE checkpointed grid.
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_t", row_number().over(Window.orderBy(col("_day")))
+        .cast("long"))
+      .localCheckpoint() // feeds all four competitors
+    def one(name: String, df: DataFrame): DataFrame =
+      df.agg(min(col("mae_micro")).as("mae_micro"))
+        .select(lit(name).as("model"), col("mae_micro"))
+    one("ar5", AggOps.arBacktest(daily, "_t", "_x", order = 5))
+      .unionByName(one("arima510_s7", AggOps.arimaBacktest(daily,
+        "_t", "_x", order = 5, seasonalLag = 7)))
+      .unionByName(one("holt_winters", AggOps.holtWinters(
+        daily.select(col("_day").as("d"), col("_x").as("x")),
+        "d", "x", 300000L, 100000L, 200000L, period = 7)))
+      .unionByName(one("seasonal_naive",
+        AggOps.seasonalNaiveBacktest(daily, "_t", "_x", period = 7)))
+      .withColumn("is_best", row_number().over(
+        Window.orderBy(col("mae_micro").asc_nulls_last,
+          col("model"))) === 1)
+      .orderBy(col("model"))
+  }
+
+  private def q398(s: SparkSession, dir: String): DataFrame =
+    // MULTI-CLASS METRIC CAPSTONE (EvalOps.multiclassSummary —
+    // round-16 verdict task 5: macro/micro F1, Cohen's κ 1960,
+    // Gorodkin's 2004 K-category MCC in one row) over the SHARED
+    // OvR confusion (the ovrBetas memo — q373 gives the table, q382
+    // the per-class view, this the single-row summary a model card
+    // publishes). Exact-integer margins, two correctly-rounded
+    // sqrts, hash-compared against the composed chain.
+    EvalOps.multiclassSummary(
+      EvalOps.ovrScoreConfusion(ovrFixture(s, dir), "x1", "x2", "lab",
+        OvrLabels, ovrBetas(s, dir).map(b => (b._2, b._3, b._4))),
+      "label", "pred", "cnt")
+
+  private def q399(s: SparkSession, dir: String): DataFrame =
+    // SIGNAL-BEARING K-CLASS CLASSIFICATION (round-16 verdict task
+    // 9 — the oracled quality statement q373's no-signal fixture
+    // can't make): labels derived from the quantity THRESHOLDS
+    // (≤15 / ≤35 / >35) with x1 = the quantity itself, so the
+    // 3-class boundary is linearly recoverable and the confusion
+    // table must show diagonal dominance — acc_ppm lands far above
+    // q373's 337,366 ppm no-signal floor. Full in-plan fit (this
+    // fixture differs from the memoized q373 one); same three
+    // unrolled oracle chains.
+    EvalOps.logisticOvr(
+      t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"),
+        when(col("l_quantity") <= 15, 0L)
+          .when(col("l_quantity") <= 35, 1L)
+          .otherwise(2L).as("lab")),
+      "x1", "x2", "lab", labels = Seq(0L, 1L, 2L), iters = 4)
+      .orderBy(col("label"), col("pred"))
+
+  private def q400(s: SparkSession, dir: String): DataFrame =
+    // ADABOOST OVER DECISION STUMPS (AggOps.adaBoostStumps — Freund
+    // & Schapire 1997; round-16 verdict task 6, the ensemble
+    // sibling of q349's single-stump gain): 5 boosting rounds on
+    // the (value-cents, is-purchase) question — per round one
+    // weighted LEVEL aggregate picks the best (threshold, polarity)
+    // stump, α fixes to micro off one ln over exact integer
+    // weights, and the row weights re-fix by the integer e^{∓α}
+    // factor; the whole round table hash-compares against the
+    // unrolled per-round chain.
+    AggOps.adaBoostStumps(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(round(col("value") * 100, 0).cast("long").as("cents"),
+          (col("event_type") === "purchase").as("y")),
+      "cents", "y", rounds = 5)
+      .orderBy(col("round"))
+
   private def q390(s: SparkSession, dir: String): DataFrame = {
     // FORECAST MODEL SELECTION (the capstone over q377/q386/q389):
     // the three backtests' MAEs as ONE 3-row relational artifact
@@ -8076,8 +8300,14 @@ object SparkEntry {
         "d", "x", 300000L, 100000L, 200000L, period = 7)))
       .unionByName(one("seasonal_naive",
         AggOps.seasonalNaiveBacktest(daily, "_t", "_x", period = 7)))
+      // asc_nulls_last: a competitor whose backtest is EMPTY (grid
+      // below its documented minimum) carries a NULL MAE — Spark
+      // sorts NULLs first ascending while DuckDB defaults NULLS
+      // LAST, so without the explicit rule the degenerate model
+      // would be crowned best on one engine only (round-16 advice)
       .withColumn("is_best", row_number().over(
-        Window.orderBy(col("mae_micro"), col("model"))) === 1)
+        Window.orderBy(col("mae_micro").asc_nulls_last,
+          col("model"))) === 1)
       .orderBy(col("model"))
   }
 
@@ -9257,6 +9487,14 @@ object SparkEntry {
     "q390_forecast_selection" -> q390 _,
     "q391_overdispersion" -> q391 _,
     "q392_negbin_glm" -> q392 _,
+    "q393_ovr_stream_score" -> q393 _,
+    "q394_kaplan_meier" -> q394 _,
+    "q395_arima_fit" -> q395 _,
+    "q396_arima_backtest" -> q396 _,
+    "q397_arima_selection" -> q397 _,
+    "q398_multiclass_summary" -> q398 _,
+    "q399_ovr_signal" -> q399 _,
+    "q400_adaboost" -> q400 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -9719,33 +9957,96 @@ object SparkEntry {
   /** The ACF CTE chain over a caller-supplied `abase(t, x)` grid
     * (the [[acfDailySql]] core, reusable for residual series):
     * exposes `acfq(lag, n_pairs, acf)`. */
-  private def acfCoreSql(maxLag: Int): String =
-    s"""ast AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s
-       |    FROM abase),
-       |  ac AS MATERIALIZED (SELECT t, (ast.n * x - ast.s)::BIGINT
-       |      AS c FROM abase, ast),
-       |  aden AS (SELECT sum(c * c)::BIGINT AS d FROM ac),
-       |  alg AS (SELECT unnest(range(1, ${maxLag + 1})) AS lag),
-       |  apr AS (SELECT alg.lag, a.c AS ca, b.c AS cb
-       |    FROM ac a CROSS JOIN alg JOIN ac b ON b.t = a.t - alg.lag),
-       |  acfq AS MATERIALIZED (SELECT lag::BIGINT AS lag,
+  private def acfCoreSql(maxLag: Int, base: String = "abase",
+                         p: String = ""): String =
+    s"""${p}ast AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+       |    FROM $base),
+       |  ${p}ac AS MATERIALIZED (SELECT t,
+       |      (${p}ast.n * x - ${p}ast.s)::BIGINT
+       |      AS c FROM $base, ${p}ast),
+       |  ${p}aden AS (SELECT sum(c * c)::BIGINT AS d FROM ${p}ac),
+       |  ${p}alg AS (SELECT unnest(range(1, ${maxLag + 1})) AS lag),
+       |  ${p}apr AS (SELECT ${p}alg.lag, a.c AS ca, b.c AS cb
+       |    FROM ${p}ac a CROSS JOIN ${p}alg
+       |      JOIN ${p}ac b ON b.t = a.t - ${p}alg.lag),
+       |  ${p}acfq AS MATERIALIZED (SELECT lag::BIGINT AS lag,
        |      count(*)::BIGINT AS n_pairs,
-       |      (CASE WHEN aden.d > 0 THEN
-       |        round(sum(ca * cb)::DOUBLE / aden.d::DOUBLE, 6) END)
+       |      (CASE WHEN ${p}aden.d > 0 THEN
+       |        round(sum(ca * cb)::DOUBLE / ${p}aden.d::DOUBLE, 6) END)
        |        AS acf
-       |    FROM apr, aden GROUP BY lag, aden.d)""".stripMargin
+       |    FROM ${p}apr, ${p}aden GROUP BY lag, ${p}aden.d)"""
+      .stripMargin
 
   /** DuckDB twin of [[graft.ops.AggOps.pacf]]'s Durbin–Levinson
     * recursion: the micro-fixed ACF row pivot (`rw`), then one
     * (df$k, dl$k) CTE pair per lag — the same exact pico
     * numerator/denominator, micro φ_kk divide, and φ-row update.
     * Expects `$acfCte(lag, acf)`; exposes `dl$maxLag(f1..f$maxLag)`. */
-  private def durbinSqlChain(maxLag: Int, acfCte: String): String = {
-    val rw = "rw AS (SELECT " + (1 to maxLag).map(k =>
+  /** The doubly-differenced daily grid for the ARIMA oracles
+    * (DuckDB twin of [[graft.ops.AggOps.differencedSeries]] d=1,
+    * D=1 @ 7): `ag` = the original indexed grid, `abase` =
+    * w_t = x_t − x_{t−1} − x_{t−7} + x_{t−8} keeping the ORIGINAL t
+    * (lag joins downstream only need contiguity). Named `abase` so
+    * [[acfCoreSql]]/[[durbinSqlChain]] compose unchanged. */
+  private def arimaDiffDailySql: String =
+    s"""adaily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+       |    FROM events GROUP BY 1),
+       |  ag AS MATERIALIZED (SELECT
+       |      row_number() OVER (ORDER BY day)::BIGINT AS t, x
+       |    FROM adaily),
+       |  abase AS MATERIALIZED (SELECT a.t,
+       |      (a.x - b.x - c.x + e.x)::BIGINT AS x
+       |    FROM ag a JOIN ag b ON b.t = a.t - 1
+       |      JOIN ag c ON c.t = a.t - 7
+       |      JOIN ag e ON e.t = a.t - 8)""".stripMargin
+
+  /** DuckDB twin of [[graft.ops.AggOps.adaBoostStumps]]: per round
+    * the weighted level table, the prefix-window stump errors for
+    * both polarities, the (werr ASC, thr ASC, pol DESC) LIMIT-1
+    * best, the micro α off one ln, and the integer e^{∓α} reweight.
+    * Expects `rows1(x, y, w)`; exposes `bs$r(thr, pol, werr, wt,
+    * alpha)` per round. */
+  private def adaSqlChain(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""lv$r AS (SELECT x AS thr,
+         |    sum(CASE WHEN y THEN w ELSE 0 END)::BIGINT AS wp,
+         |    sum(CASE WHEN y THEN 0 ELSE w END)::BIGINT AS wn
+         |  FROM rows$r GROUP BY 1),
+         |  tt$r AS (SELECT sum(wp)::BIGINT AS tp,
+         |      sum(wn)::BIGINT AS tn FROM lv$r),
+         |  cd$r AS (SELECT thr,
+         |      (sum(wn) OVER pw + tp - sum(wp) OVER pw)::BIGINT
+         |        AS errpos,
+         |      (sum(wp) OVER pw + tn - sum(wn) OVER pw)::BIGINT
+         |        AS errneg,
+         |      (tp + tn)::BIGINT AS wt
+         |    FROM lv$r, tt$r
+         |    WINDOW pw AS (ORDER BY thr ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)),
+         |  bo$r AS (SELECT thr, 1::BIGINT AS pol, errpos AS werr, wt
+         |      FROM cd$r
+         |    UNION ALL SELECT thr, -1::BIGINT, errneg, wt FROM cd$r),
+         |  bs$r AS (SELECT thr, pol, werr, wt,
+         |      (CASE WHEN werr > 0 AND werr < wt THEN
+         |        round(5e5 * ln((wt - werr)::DOUBLE / werr::DOUBLE))
+         |          ::BIGINT ELSE 0 END)::BIGINT AS alpha
+         |    FROM bo$r ORDER BY werr, thr, pol DESC LIMIT 1),
+         |  rows${r + 1} AS (SELECT r.x, r.y,
+         |      ((r.w * round(1e6 * exp((CASE WHEN (CASE WHEN
+         |        b.pol = 1 THEN r.x <= b.thr ELSE r.x > b.thr END)
+         |        = r.y THEN -b.alpha ELSE b.alpha END)::DOUBLE
+         |        / 1e6))::BIGINT) // 1000000)::BIGINT AS w
+         |    FROM rows$r r CROSS JOIN bs$r b)""".stripMargin
+    }.mkString(",\n  ")
+
+  private def durbinSqlChain(maxLag: Int, acfCte: String,
+                             p: String = ""): String = {
+    val rw = s"${p}rw AS (SELECT " + (1 to maxLag).map(k =>
       s"sum(CASE WHEN lag = $k THEN round(acf * 1e6)::BIGINT END)" +
         s"::BIGINT AS r$k").mkString(",\n      ") +
       s" FROM $acfCte)"
-    val dl1 = ",\n  dl1 AS (SELECT *, r1 AS p1_1, r1 AS f1 FROM rw)"
+    val dl1 =
+      s",\n  ${p}dl1 AS (SELECT *, r1 AS p1_1, r1 AS f1 FROM ${p}rw)"
     val steps = (2 to maxLag).map { k =>
       val num = s"r$k * 1000000 - (" +
         (1 until k).map(j => s"p${k - 1}_$j * r${k - j}")
@@ -9754,16 +10055,16 @@ object SparkEntry {
         (1 until k).map(j => s"p${k - 1}_$j * r$j")
           .mkString(" + ") + ")"
       val fk = s""",
-        |  df$k AS (SELECT *, (CASE WHEN ($den) <> 0 THEN
+        |  ${p}df$k AS (SELECT *, (CASE WHEN ($den) <> 0 THEN
         |      round(1e6 * ($num)::DOUBLE / ($den)::DOUBLE)::BIGINT
-        |      END) AS f$k FROM dl${k - 1})""".stripMargin
+        |      END) AS f$k FROM ${p}dl${k - 1})""".stripMargin
       val ups = ((1 until k).map(j =>
         s"(p${k - 1}_$j - round((f$k * p${k - 1}_${k - j})::DOUBLE" +
           s" / 1e6)::BIGINT) AS p${k}_$j") :+
         s"f$k AS p${k}_$k").mkString(",\n      ")
       val dlk = s""",
-        |  dl$k AS (SELECT *,
-        |      $ups FROM df$k)""".stripMargin
+        |  ${p}dl$k AS (SELECT *,
+        |      $ups FROM ${p}df$k)""".stripMargin
       fk + dlk
     }.mkString
     rw + dl1 + steps
@@ -18135,8 +18436,8 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT 'seasonal_naive', mae FROM snm)
         |SELECT model, mae_micro,
-        |  (row_number() OVER (ORDER BY mae_micro, model) = 1)
-        |    AS is_best
+        |  (row_number() OVER (ORDER BY mae_micro ASC NULLS LAST,
+        |    model) = 1) AS is_best
         |FROM models ORDER BY model""".stripMargin
     },
     "q391_overdispersion" ->
@@ -18191,6 +18492,327 @@ object SparkEntry {
         |SELECT n, b.b0 AS b0_micro, b.b1 AS b1_micro,
         |  b.b2 AS b2_micro, sum_y, sum_mu_nano, sae_nano
         |FROM rd CROSS JOIN nbet6 b""".stripMargin,
+    "q393_ovr_stream_score" ->
+      // the BATCH TWIN of the persisted-artifact stream scoring:
+      // the q373 fit chains (identical β integers), the same
+      // first-max argmax, then the per-class landed counts + the
+      // orderkey checksum the stream sink must reproduce exactly
+      s"""WITH mdata AS (SELECT l_orderkey::BIGINT AS okey,
+        |    l_quantity::BIGINT AS x1,
+        |    round(l_discount * 100)::BIGINT AS x2,
+        |    (CASE WHEN l_returnflag = 'A' THEN 0
+        |      WHEN l_returnflag = 'N' THEN 1 ELSE 2 END)::BIGINT
+        |      AS lab
+        |  FROM lineitem),
+        |  data0 AS (SELECT x1, x2, (CASE WHEN lab = 0 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data1 AS (SELECT x1, x2, (CASE WHEN lab = 1 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data2 AS (SELECT x1, x2, (CASE WHEN lab = 2 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  ${logisticSqlChain(4, "k0", "data0")},
+        |  ${logisticSqlChain(4, "k1", "data1")},
+        |  ${logisticSqlChain(4, "k2", "data2")},
+        |  sc AS (SELECT m.okey,
+        |      (a.b0 + m.x1 * a.b1 + m.x2 * a.b2) AS z0,
+        |      (b.b0 + m.x1 * b.b1 + m.x2 * b.b2) AS z1,
+        |      (c.b0 + m.x1 * c.b1 + m.x2 * c.b2) AS z2
+        |    FROM mdata m CROSS JOIN k0bet4 a CROSS JOIN k1bet4 b
+        |      CROSS JOIN k2bet4 c),
+        |  pr AS (SELECT okey,
+        |      (CASE WHEN z0 >= z1 AND z0 >= z2 THEN 0
+        |        WHEN z1 >= z2 THEN 1 ELSE 2 END)::BIGINT AS pred
+        |    FROM sc)
+        |SELECT pred, count(*)::BIGINT AS n,
+        |  sum(okey)::BIGINT AS okey_sum
+        |FROM pr GROUP BY 1 ORDER BY pred""".stripMargin,
+    "q394_kaplan_meier" ->
+      // the q380 duration table, the same suffix-sum at-risk counts,
+      // exact-micro factors, the product-limit recursion as a
+      // recursive CTE with the identical subtract-pmod floor
+      // division, NULL-propagating Greenwood sum past saturation,
+      // and the lag-based first-median flag
+      s"""WITH RECURSIVE ev AS (SELECT user_id,
+        |    min(ts)::DATE AS f, max(ts)::DATE AS l,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts
+        |      END)::DATE AS p
+        |  FROM events GROUP BY 1),
+        |  durs AS (SELECT (CASE WHEN p IS NOT NULL THEN (p - f)
+        |      ELSE (l - f) END)::BIGINT AS t,
+        |      (p IS NOT NULL) AS e
+        |    FROM ev),
+        |  lv AS (SELECT t, count(*)::BIGINT AS m,
+        |      sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS d
+        |    FROM durs GROUP BY 1),
+        |  ar AS (SELECT t, d,
+        |      sum(m) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+        |        UNBOUNDED FOLLOWING)::BIGINT AS n
+        |    FROM lv),
+        |  sq AS (SELECT row_number() OVER (ORDER BY t)::BIGINT AS i,
+        |      t, n, d,
+        |      (((n - d) * 1000000) // n)::BIGINT AS f,
+        |      (CASE WHEN n > d THEN
+        |        (d * 1000000000) // (n * (n - d)) END)::BIGINT AS gt
+        |    FROM ar),
+        |  km AS (SELECT i, t, n, d, f, gt, f AS s, gt AS g
+        |      FROM sq WHERE i = 1
+        |    UNION ALL
+        |    SELECT q.i, q.t, q.n, q.d, q.f, q.gt,
+        |      ((k.s * q.f) // 1000000)::BIGINT AS s,
+        |      (k.g + q.gt)::BIGINT AS g
+        |    FROM km k JOIN sq q ON q.i = k.i + 1)
+        |SELECT t, n AS n_at_risk, d AS d_events, f AS factor_micro,
+        |  s AS s_micro, g AS greenwood_nano,
+        |  round(s::DOUBLE * sqrt(g::DOUBLE / 1e9))::BIGINT
+        |    AS se_micro,
+        |  (s <= 500000 AND coalesce(lag(s) OVER (ORDER BY t),
+        |    1000000) > 500000) AS is_median
+        |FROM km ORDER BY t""".stripMargin,
+    "q395_arima_fit" -> {
+      // the doubly-differenced grid through the same micro ACF
+      // pivot and Durbin–Levinson chain; terminal phi row = the
+      // Yule–Walker AR(5) of the differenced series
+      val out = (1 to 5).map(j =>
+        s"SELECT $j::BIGINT AS j, p5_$j AS ar_micro FROM dl5")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${arimaDiffDailySql},
+        |  ${acfCoreSql(5)},
+        |  ${durbinSqlChain(5, "acfq")}
+        |$out
+        |ORDER BY j""".stripMargin
+    },
+    "q396_arima_backtest" -> {
+      // the q386 lag-join/one-rounding-divide backtest ON the
+      // differenced series, then the EXACT double-difference
+      // reconstruction x̂ = (x_{t−1} + x_{t−7} − x_{t−8})·10⁶ + ŵ
+      val pj = "(CASE l.j " + (1 to 5).map(j =>
+        s"WHEN $j THEN d.p5_$j").mkString(" ") + " END)"
+      s"""WITH ${arimaDiffDailySql},
+        |  ${acfCoreSql(5)},
+        |  ${durbinSqlChain(5, "acfq")},
+        |  am AS (SELECT round(s::DOUBLE * 1e6 / n::DOUBLE)::BIGINT
+        |      AS m FROM ast),
+        |  lg5 AS (SELECT unnest(range(1, 6)) AS j),
+        |  tm AS (SELECT a.t, count(*)::BIGINT AS k,
+        |      sum($pj * (b.x * 1000000 - am.m))::BIGINT AS acc
+        |    FROM abase a CROSS JOIN lg5 l
+        |      JOIN abase b ON b.t = a.t - l.j
+        |      CROSS JOIN dl5 d CROSS JOIN am
+        |    GROUP BY a.t),
+        |  wpr AS (SELECT t.t,
+        |      (am.m + round(t.acc::DOUBLE / 1e6)::BIGINT)::BIGINT
+        |        AS wp
+        |    FROM tm t CROSS JOIN am WHERE t.k = 5),
+        |  pr AS (SELECT w.t, x.x,
+        |      ((x1.x + xs.x - xs1.x) * 1000000 + w.wp)::BIGINT
+        |        AS pred
+        |    FROM wpr w JOIN ag x ON x.t = w.t
+        |      JOIN ag x1 ON x1.t = w.t - 1
+        |      JOIN ag xs ON xs.t = w.t - 7
+        |      JOIN ag xs1 ON xs1.t = w.t - 8),
+        |  er AS (SELECT t, x, pred,
+        |      abs(x * 1000000 - pred)::BIGINT AS err FROM pr),
+        |  ma AS (SELECT (sum(err) // count(*))::BIGINT AS mae
+        |    FROM er)
+        |SELECT t, x, pred AS pred_micro, err AS err_micro,
+        |  ma.mae AS mae_micro
+        |FROM er CROSS JOIN ma ORDER BY t""".stripMargin
+    },
+    "q397_arima_selection" -> {
+      // the q390 three-pipeline block plus the differenced chain
+      // (d-prefixed CTEs) and the reconstruction backtest; winner
+      // by (mae ASC NULLS LAST, model ASC)
+      val pj = "(CASE l.j " + (1 to 5).map(j =>
+        s"WHEN $j THEN d.p5_$j").mkString(" ") + " END)"
+      s"""WITH RECURSIVE ${holtWintersSql(300000L, 100000L, 200000L)},
+        |  ${acfDailySql(5)},
+        |  ${durbinSqlChain(5, "acfq")},
+        |  am AS (SELECT round(s::DOUBLE * 1e6 / n::DOUBLE)::BIGINT
+        |      AS m FROM ast),
+        |  lg5 AS (SELECT unnest(range(1, 6)) AS j),
+        |  tm AS (SELECT a.t, count(*)::BIGINT AS k,
+        |      sum($pj * (b.x * 1000000 - am.m))::BIGINT AS acc
+        |    FROM abase a CROSS JOIN lg5 l
+        |      JOIN abase b ON b.t = a.t - l.j
+        |      CROSS JOIN dl5 d CROSS JOIN am
+        |    GROUP BY a.t),
+        |  arp AS (SELECT t.t, x.x,
+        |      (am.m + round(t.acc::DOUBLE / 1e6)::BIGINT)::BIGINT
+        |        AS pred
+        |    FROM tm t JOIN abase x ON x.t = t.t CROSS JOIN am
+        |    WHERE t.k = 5),
+        |  arm AS (SELECT (sum(abs(x * 1000000 - pred))
+        |      // count(*))::BIGINT AS mae FROM arp),
+        |  hwm AS (SELECT (sum(e) // count(e))::BIGINT AS mae
+        |    FROM hw WHERE t > 7),
+        |  snp AS (SELECT a.t,
+        |      abs(a.x * 1000000 - b.x * 1000000)::BIGINT AS err
+        |    FROM abase a JOIN abase b ON b.t = a.t - 7),
+        |  snm AS (SELECT (sum(err) // count(*))::BIGINT AS mae
+        |    FROM snp),
+        |  dbase AS MATERIALIZED (SELECT a.t,
+        |      (a.x - b.x - c.x + e.x)::BIGINT AS x
+        |    FROM abase a JOIN abase b ON b.t = a.t - 1
+        |      JOIN abase c ON c.t = a.t - 7
+        |      JOIN abase e ON e.t = a.t - 8),
+        |  ${acfCoreSql(5, "dbase", "d")},
+        |  ${durbinSqlChain(5, "dacfq", "d")},
+        |  dam AS (SELECT round(s::DOUBLE * 1e6 / n::DOUBLE)::BIGINT
+        |      AS m FROM dast),
+        |  dtm AS (SELECT a.t, count(*)::BIGINT AS k,
+        |      sum($pj * (b.x * 1000000 - dam.m))::BIGINT AS acc
+        |    FROM dbase a CROSS JOIN lg5 l
+        |      JOIN dbase b ON b.t = a.t - l.j
+        |      CROSS JOIN ddl5 d CROSS JOIN dam
+        |    GROUP BY a.t),
+        |  dwpr AS (SELECT t.t,
+        |      (dam.m + round(t.acc::DOUBLE / 1e6)::BIGINT)::BIGINT
+        |        AS wp
+        |    FROM dtm t CROSS JOIN dam WHERE t.k = 5),
+        |  dpr AS (SELECT w.t, x.x,
+        |      ((x1.x + xs.x - xs1.x) * 1000000 + w.wp)::BIGINT
+        |        AS pred
+        |    FROM dwpr w JOIN abase x ON x.t = w.t
+        |      JOIN abase x1 ON x1.t = w.t - 1
+        |      JOIN abase xs ON xs.t = w.t - 7
+        |      JOIN abase xs1 ON xs1.t = w.t - 8),
+        |  darm AS (SELECT (sum(abs(x * 1000000 - pred))
+        |      // count(*))::BIGINT AS mae FROM dpr),
+        |  models AS (
+        |    SELECT 'ar5' AS model, mae AS mae_micro FROM arm
+        |    UNION ALL
+        |    SELECT 'arima510_s7', mae FROM darm
+        |    UNION ALL
+        |    SELECT 'holt_winters', mae FROM hwm
+        |    UNION ALL
+        |    SELECT 'seasonal_naive', mae FROM snm)
+        |SELECT model, mae_micro,
+        |  (row_number() OVER (ORDER BY mae_micro ASC NULLS LAST,
+        |    model) = 1) AS is_best
+        |FROM models ORDER BY model""".stripMargin
+    },
+    "q398_multiclass_summary" ->
+      // the q373 chains + confusion, then the capstone: per-class
+      // margins over the label∪pred domain, exact-integer macro-F1
+      // terms, the one-float-divide kappa and the two-sqrt MCC
+      s"""WITH mdata AS (SELECT l_quantity::BIGINT AS x1,
+        |    round(l_discount * 100)::BIGINT AS x2,
+        |    (CASE WHEN l_returnflag = 'A' THEN 0
+        |      WHEN l_returnflag = 'N' THEN 1 ELSE 2 END)::BIGINT
+        |      AS lab
+        |  FROM lineitem),
+        |  data0 AS (SELECT x1, x2, (CASE WHEN lab = 0 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data1 AS (SELECT x1, x2, (CASE WHEN lab = 1 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data2 AS (SELECT x1, x2, (CASE WHEN lab = 2 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  ${logisticSqlChain(4, "k0", "data0")},
+        |  ${logisticSqlChain(4, "k1", "data1")},
+        |  ${logisticSqlChain(4, "k2", "data2")},
+        |  sc AS (SELECT m.lab,
+        |      (a.b0 + m.x1 * a.b1 + m.x2 * a.b2) AS z0,
+        |      (b.b0 + m.x1 * b.b1 + m.x2 * b.b2) AS z1,
+        |      (c.b0 + m.x1 * c.b1 + m.x2 * c.b2) AS z2
+        |    FROM mdata m CROSS JOIN k0bet4 a CROSS JOIN k1bet4 b
+        |      CROSS JOIN k2bet4 c),
+        |  pr AS (SELECT lab,
+        |      (CASE WHEN z0 >= z1 AND z0 >= z2 THEN 0
+        |        WHEN z1 >= z2 THEN 1 ELSE 2 END)::BIGINT AS pred
+        |    FROM sc),
+        |  conf AS (SELECT lab AS label, pred, count(*)::BIGINT AS cnt
+        |    FROM pr GROUP BY 1, 2),
+        |  cls AS (SELECT DISTINCT k FROM (SELECT label AS k FROM conf
+        |    UNION ALL SELECT pred FROM conf)),
+        |  rm AS (SELECT label AS k, sum(cnt)::BIGINT AS t
+        |    FROM conf GROUP BY 1),
+        |  cm AS (SELECT pred AS k, sum(cnt)::BIGINT AS q
+        |    FROM conf GROUP BY 1),
+        |  dg AS (SELECT label AS k, sum(cnt)::BIGINT AS d
+        |    FROM conf WHERE label = pred GROUP BY 1),
+        |  per AS (SELECT c.k, coalesce(rm.t, 0)::BIGINT AS t,
+        |      coalesce(cm.q, 0)::BIGINT AS q,
+        |      coalesce(dg.d, 0)::BIGINT AS d,
+        |      (CASE WHEN coalesce(rm.t, 0) + coalesce(cm.q, 0) > 0
+        |        THEN (2 * coalesce(dg.d, 0) * 1000000) //
+        |          (coalesce(rm.t, 0) + coalesce(cm.q, 0))
+        |        ELSE 0 END)::BIGINT AS f1
+        |    FROM cls c LEFT JOIN rm ON rm.k = c.k
+        |      LEFT JOIN cm ON cm.k = c.k LEFT JOIN dg ON dg.k = c.k),
+        |  ag AS (SELECT count(*)::BIGINT AS kc, sum(d)::BIGINT AS sd,
+        |      sum(t)::BIGINT AS st, sum(t * q)::BIGINT AS spt,
+        |      sum(q * q)::BIGINT AS sqq, sum(t * t)::BIGINT AS stt,
+        |      sum(f1)::BIGINT AS sf1 FROM per)
+        |SELECT st AS n, kc AS k_classes,
+        |  (CASE WHEN st > 0 THEN (sd * 1000000) // st END)::BIGINT
+        |    AS micro_f1_ppm,
+        |  (CASE WHEN kc > 0 THEN sf1 // kc END)::BIGINT
+        |    AS macro_f1_ppm,
+        |  (CASE WHEN st * st - spt <> 0 THEN
+        |    round(1e6 * (st * sd - spt)::DOUBLE /
+        |      (st * st - spt)::DOUBLE)::BIGINT END) AS kappa_ppm,
+        |  (CASE WHEN st * st - sqq > 0 AND st * st - stt > 0 THEN
+        |    round(1e6 * (st * sd - spt)::DOUBLE /
+        |      (sqrt((st * st - sqq)::DOUBLE) *
+        |       sqrt((st * st - stt)::DOUBLE)))::BIGINT
+        |    END) AS mcc_ppm
+        |FROM ag""".stripMargin,
+    "q399_ovr_signal" ->
+      // the q373 machinery on the THRESHOLD-labeled fixture: same
+      // three chains, same argmax, same readout — the confusion
+      // must come out diagonal-dominant
+      s"""WITH mdata AS (SELECT l_quantity::BIGINT AS x1,
+        |    round(l_discount * 100)::BIGINT AS x2,
+        |    (CASE WHEN l_quantity <= 15 THEN 0
+        |      WHEN l_quantity <= 35 THEN 1 ELSE 2 END)::BIGINT
+        |      AS lab
+        |  FROM lineitem),
+        |  data0 AS (SELECT x1, x2, (CASE WHEN lab = 0 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data1 AS (SELECT x1, x2, (CASE WHEN lab = 1 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data2 AS (SELECT x1, x2, (CASE WHEN lab = 2 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  ${logisticSqlChain(4, "k0", "data0")},
+        |  ${logisticSqlChain(4, "k1", "data1")},
+        |  ${logisticSqlChain(4, "k2", "data2")},
+        |  sc AS (SELECT m.lab,
+        |      (a.b0 + m.x1 * a.b1 + m.x2 * a.b2) AS z0,
+        |      (b.b0 + m.x1 * b.b1 + m.x2 * b.b2) AS z1,
+        |      (c.b0 + m.x1 * c.b1 + m.x2 * c.b2) AS z2
+        |    FROM mdata m CROSS JOIN k0bet4 a CROSS JOIN k1bet4 b
+        |      CROSS JOIN k2bet4 c),
+        |  pr AS (SELECT lab,
+        |      (CASE WHEN z0 >= z1 AND z0 >= z2 THEN 0
+        |        WHEN z1 >= z2 THEN 1 ELSE 2 END)::BIGINT AS pred
+        |    FROM sc),
+        |  conf AS (SELECT lab AS label, pred, count(*)::BIGINT AS cnt
+        |    FROM pr GROUP BY 1, 2),
+        |  acc AS (SELECT sum(cnt)::BIGINT AS n,
+        |      sum(CASE WHEN label = pred THEN cnt ELSE 0
+        |        END)::BIGINT AS correct
+        |    FROM conf)
+        |SELECT label, pred, cnt, n, correct,
+        |  (CASE WHEN n > 0 THEN (correct * 1000000) // n
+        |    END)::BIGINT AS acc_ppm
+        |FROM conf CROSS JOIN acc
+        |ORDER BY label, pred""".stripMargin,
+    "q400_adaboost" -> {
+      // the same cents/purchase rows, 5 unrolled boosting rounds —
+      // identical level aggregates, prefix-window errors, best-pick
+      // order, micro alpha, and integer reweight
+      val out = (1 to 5).map(r =>
+        s"SELECT $r::BIGINT AS round, thr AS threshold, " +
+          "pol AS polarity, werr AS werr_micro, wt AS wtot_micro, " +
+          s"alpha AS alpha_micro FROM bs$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH rows1 AS (SELECT round(value * 100)::BIGINT AS x,
+        |    (event_type = 'purchase') AS y, 1000000::BIGINT AS w
+        |  FROM events WHERE value IS NOT NULL),
+        |  ${adaSqlChain(5)}
+        |$out
+        |ORDER BY round""".stripMargin
+    },
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power
