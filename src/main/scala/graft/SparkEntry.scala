@@ -8278,6 +8278,116 @@ object SparkEntry {
       "cents", "y", rounds = 5)
       .orderBy(col("round"))
 
+  private def q401(s: SparkSession, dir: String): DataFrame = {
+    // THE SUPERVISED LIFECYCLE ORACLED END TO END: deterministic
+    // md5-threshold train/test split (the q79 rule, 75/25, salted
+    // key), the OvR fit on TRAIN rows only (logisticOvrBetas — the
+    // K×3 β collected, the S6 bounded-collect argument), the TEST
+    // rows scored with the fitted β — the GENERALIZATION confusion
+    // a model card reports, where q399 reports the in-sample one.
+    // Every stage (split membership, fit trajectory, argmax,
+    // margins) hash-replays in DuckDB.
+    val base = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"),
+        when(col("l_quantity") <= 15, 0L)
+          .when(col("l_quantity") <= 35, 1L).otherwise(2L).as("lab"),
+        (conv(substring(md5(concat(col("l_orderkey").cast("string"),
+          lit(":"), col("l_linenumber").cast("string"), lit("q401"))),
+          1, 8), 16, 10).cast("double") / lit(4294967296.0) <
+          lit(0.75)).as("is_train"))
+      .localCheckpoint() // feeds the fit scans AND the test scoring
+    val betas = EvalOps.logisticOvrBetas(base.where(col("is_train")),
+        "x1", "x2", "lab", OvrLabels, iters = 4)
+      .orderBy(col("label")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    EvalOps.ovrScoreConfusion(base.where(!col("is_train")),
+        "x1", "x2", "lab", OvrLabels, betas)
+      .orderBy(col("label"), col("pred"))
+  }
+
+  private def q402(s: SparkSession, dir: String): DataFrame =
+    // RELIABILITY DIAGRAM + ECE (EvalOps.calibrationEce — Naeini et
+    // al. 2015 over the q378 Platt link): the calibration AUDIT on
+    // q378's exact fixture — 10 equal-width probability bins, per
+    // bin the exact-integer confidence/accuracy/gap ppm, and the
+    // headline ECE as one exact integer division; the whole
+    // reliability table hash-compares against the chain + binning.
+    EvalOps.calibrationEce(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(round(col("value"), 0).cast("long").as("score"),
+          (col("event_type") === "purchase").as("y")),
+      "score", "y", iters = 6, bins = 10)
+      .orderBy(col("bin"))
+
+  /** Shared AdaBoost stump fit over the q400 fixture (the
+    * [[ovrBetas]] memo pattern for the ensemble): deterministic, so
+    * q403's serving loop replays the identical (thr, pol, α) triples
+    * without re-paying the 5 two-pass rounds; q400 itself keeps the
+    * in-plan fit (its round table IS the lifecycle being measured —
+    * the q192 retrain convention). O(rounds) longs retained; key =
+    * (dir, events rows, bit_xor over hash(value, event_type)). */
+  private val adaFitCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[(Long, Long, Long)]]()
+  private def adaFingerprint(s: SparkSession,
+                             dir: String): (Long, Long) = {
+    val r = t(s, dir, "events").agg(
+      count(lit(1)),
+      coalesce(bit_xor(hash(col("value"), col("event_type"))
+        .cast("long")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+  private def adaStumps(s: SparkSession, dir: String,
+                        fp: (Long, Long)): Seq[(Long, Long, Long)] =
+    adaFitCache.computeIfAbsent((dir, fp._1, fp._2),
+      _ => AggOps.adaBoostStumps(
+          t(s, dir, "events").where(col("value").isNotNull)
+            .select(round(col("value") * 100, 0).cast("long")
+              .as("cents"),
+              (col("event_type") === "purchase").as("y")),
+          "cents", "y", rounds = 5)
+        .orderBy(col("round")).collect()
+        .map(x => (x.getLong(1), x.getLong(2), x.getLong(5))).toSeq)
+
+  private def q403(s: SparkSession, dir: String): DataFrame = {
+    // ENSEMBLE ARTIFACT SERVING (the q393 loop for the q400
+    // ensemble): the memoized deterministic stump fit persists via
+    // FitArtifacts.saveTable with a provenance sidecar, reloads
+    // provenance-checked, and scores the UNLABELED events stream
+    // with the weighted-majority margin — one stateless codegen'd
+    // projection (adaBoostPredExpr, stump literals). Landed
+    // per-vote counts + the event-id checksum hash-compare against
+    // the batch-twin oracle (the unrolled 5-round chain + the same
+    // margin sign).
+    val fp = adaFingerprint(s, dir)
+    val stumps = adaStumps(s, dir, fp)
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/fit_artifacts/ada_stumps_$sfTag"
+    val prov = Map("events_rows" -> fp._1.toString,
+      "events_xor" -> fp._2.toString, "rounds" -> "5")
+    import s.implicits._
+    FitArtifacts.saveTable(
+      stumps.zipWithIndex.map { case ((t0, p0, a0), i) =>
+        ((i + 1).toLong, t0, p0, a0) }
+        .toDF("round", "threshold", "polarity", "alpha_micro"),
+      path, prov)
+    val loaded = FitArtifacts.loadTable(s, path, prov)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val raw = StreamOps.fileStream(s,
+      Tables.rawSchema(s, dir, "events"),
+      stageStreamDir(dir, "events"))
+    val scored = raw.where(col("value").isNotNull).select(
+      col("event_id").cast("long").as("eid"),
+      AggOps.adaBoostPredExpr(
+        round(col("value") * 100, 0).cast("long"), loaded).as("pred"))
+    StreamOps.runToCompletion(scored, s"q403_${System.nanoTime()}",
+        outputMode = "append")
+      .groupBy(col("pred"))
+      .agg(count(lit(1)).as("n"), sum(col("eid")).as("eid_sum"))
+      .orderBy(col("pred"))
+  }
+
   private def q390(s: SparkSession, dir: String): DataFrame = {
     // FORECAST MODEL SELECTION (the capstone over q377/q386/q389):
     // the three backtests' MAEs as ONE 3-row relational artifact
@@ -9495,6 +9605,9 @@ object SparkEntry {
     "q398_multiclass_summary" -> q398 _,
     "q399_ovr_signal" -> q399 _,
     "q400_adaboost" -> q400 _,
+    "q401_train_test_ovr" -> q401 _,
+    "q402_calibration_ece" -> q402 _,
+    "q403_ada_stream_score" -> q403 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -18812,6 +18925,101 @@ object SparkEntry {
         |  ${adaSqlChain(5)}
         |$out
         |ORDER BY round""".stripMargin
+    },
+    "q401_train_test_ovr" ->
+      // the same salted md5-threshold split, the q373 chains fitted
+      // on the TRAIN CTE only, the argmax scored on the TEST CTE —
+      // the generalization confusion end to end
+      s"""WITH fulltab AS (SELECT l_quantity::BIGINT AS x1,
+        |    round(l_discount * 100)::BIGINT AS x2,
+        |    (CASE WHEN l_quantity <= 15 THEN 0
+        |      WHEN l_quantity <= 35 THEN 1 ELSE 2 END)::BIGINT
+        |      AS lab,
+        |    ((('0x' || substr(md5(l_orderkey::VARCHAR || ':' ||
+        |      l_linenumber::VARCHAR || 'q401'), 1, 8))::BIGINT
+        |      / 4294967296.0) < 0.75) AS is_train
+        |  FROM lineitem),
+        |  mdata AS (SELECT x1, x2, lab FROM fulltab WHERE is_train),
+        |  data0 AS (SELECT x1, x2, (CASE WHEN lab = 0 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data1 AS (SELECT x1, x2, (CASE WHEN lab = 1 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data2 AS (SELECT x1, x2, (CASE WHEN lab = 2 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  ${logisticSqlChain(4, "k0", "data0")},
+        |  ${logisticSqlChain(4, "k1", "data1")},
+        |  ${logisticSqlChain(4, "k2", "data2")},
+        |  sc AS (SELECT m.lab,
+        |      (a.b0 + m.x1 * a.b1 + m.x2 * a.b2) AS z0,
+        |      (b.b0 + m.x1 * b.b1 + m.x2 * b.b2) AS z1,
+        |      (c.b0 + m.x1 * c.b1 + m.x2 * c.b2) AS z2
+        |    FROM (SELECT * FROM fulltab WHERE NOT is_train) m
+        |      CROSS JOIN k0bet4 a CROSS JOIN k1bet4 b
+        |      CROSS JOIN k2bet4 c),
+        |  pr AS (SELECT lab,
+        |      (CASE WHEN z0 >= z1 AND z0 >= z2 THEN 0
+        |        WHEN z1 >= z2 THEN 1 ELSE 2 END)::BIGINT AS pred
+        |    FROM sc),
+        |  conf AS (SELECT lab AS label, pred, count(*)::BIGINT AS cnt
+        |    FROM pr GROUP BY 1, 2),
+        |  acc AS (SELECT sum(cnt)::BIGINT AS n,
+        |      sum(CASE WHEN label = pred THEN cnt ELSE 0
+        |        END)::BIGINT AS correct
+        |    FROM conf)
+        |SELECT label, pred, cnt, n, correct,
+        |  (CASE WHEN n > 0 THEN (correct * 1000000) // n
+        |    END)::BIGINT AS acc_ppm
+        |FROM conf CROSS JOIN acc
+        |ORDER BY label, pred""".stripMargin,
+    "q402_calibration_ece" ->
+      // the q378 chain + the same nano mu, equal-width binning,
+      // exact-integer per-bin ppms and the one-division ECE
+      s"""WITH data AS (SELECT round(value)::BIGINT AS x1,
+        |    (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END)::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |  ${logistic1SqlChain(6, "p1")},
+        |  mutab AS (SELECT y,
+        |      round(1e9 / (1.0 + exp(-((b0 + x1 * b1)::DOUBLE
+        |        / 1e6))))::BIGINT AS mu
+        |    FROM data CROSS JOIN p1bet6),
+        |  lv AS (SELECT least(9, (mu * 10) // 1000000000)::BIGINT
+        |      AS bin, count(*)::BIGINT AS n_b, sum(y)::BIGINT AS o_b,
+        |      sum(mu)::BIGINT AS smu
+        |    FROM mutab GROUP BY 1),
+        |  tt AS (SELECT sum(n_b)::BIGINT AS n,
+        |      sum(abs(smu - o_b * 1000000000))::BIGINT AS gap
+        |    FROM lv)
+        |SELECT bin, n_b, o_b,
+        |  (smu // (n_b * 1000))::BIGINT AS conf_ppm,
+        |  ((o_b * 1000000) // n_b)::BIGINT AS acc_ppm,
+        |  abs((smu // (n_b * 1000)) - ((o_b * 1000000) // n_b))
+        |    ::BIGINT AS gap_ppm,
+        |  tt.n, (tt.gap // (tt.n * 1000))::BIGINT AS ece_micro
+        |FROM lv CROSS JOIN tt ORDER BY bin""".stripMargin,
+    "q403_ada_stream_score" -> {
+      // the q400 chain's five stumps driving the weighted-majority
+      // margin over every event row — per-vote counts + checksum
+      val margin = (1 to 5).map(r =>
+        s"""(CASE WHEN (CASE WHEN b$r.pol = 1 THEN e.x <= b$r.thr
+           |        ELSE e.x > b$r.thr END) THEN b$r.alpha
+           |        ELSE -b$r.alpha END)""".stripMargin)
+        .mkString(" +\n      ")
+      val joins = (1 to 5).map(r => s"CROSS JOIN bs$r b$r")
+        .mkString(" ")
+      s"""WITH rows1 AS (SELECT round(value * 100)::BIGINT AS x,
+        |    (event_type = 'purchase') AS y, 1000000::BIGINT AS w
+        |  FROM events WHERE value IS NOT NULL),
+        |  ${adaSqlChain(5)},
+        |  ev AS (SELECT event_id::BIGINT AS eid,
+        |      round(value * 100)::BIGINT AS x
+        |    FROM events WHERE value IS NOT NULL),
+        |  sc AS (SELECT eid,
+        |      (($margin) >= 0) AS pred
+        |    FROM ev e $joins)
+        |SELECT pred, count(*)::BIGINT AS n,
+        |  sum(eid)::BIGINT AS eid_sum
+        |FROM sc GROUP BY 1 ORDER BY pred""".stripMargin
     },
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,

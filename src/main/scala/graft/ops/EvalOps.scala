@@ -2484,6 +2484,53 @@ object EvalOps {
         when(col("n") > 0, expr("_bs div n")).as("brier_micro"))
   }
 
+  /** RELIABILITY DIAGRAM + EXPECTED CALIBRATION ERROR over the
+    * Platt-calibrated probabilities (Naeini et al. 2015's ECE over
+    * Platt 1999's link — the calibration AUDIT completing the
+    * q321/q378 fit pair: fitting a calibrator and then measuring
+    * how calibrated the result actually is are different
+    * statements): the [[plattScale]] Newton chain fits β, every row
+    * scores to a nano μ, rows bucket into `bins` equal-width
+    * probability bins (bin = min(bins−1, μ·bins div 10⁹)), and the
+    * whole readout is EXACT integers — per bin the confidence
+    * conf_ppm = Σμ_nano div (n_b·10³), the accuracy acc_ppm =
+    * o_b·10⁶ div n_b, the gap |conf − acc|, and the headline
+    * ECE = Σ_b n_b/N·|p̄_b − ō_b| collapsing to
+    * (Σ_b |Σμ_nano − o_b·10⁹|) div (N·10³) micro — no float beyond
+    * the σ fixes the chain already pins. Empty bins simply don't
+    * appear (the diagram convention).
+    *
+    * SCALE: iters+1 fused aggregates for the fit + ONE bin
+    * aggregate (bin-domain bounded past it); β broadcast. Output
+    * per occupied bin: (bin, n_b, o_b, conf_ppm, acc_ppm, gap_ppm,
+    * n, ece_micro). */
+  def calibrationEce(df: DataFrame, scoreCol: String, yCol: String,
+                     iters: Int, bins: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val base = df.select(col(scoreCol).cast("long").as("_x1"),
+        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+      .localCheckpoint() // feeds every Newton step AND the binning
+    val beta = logistic1Newton(base, iters)
+    val lv = logistic1MuFrame(base, beta)
+      .groupBy(expr(s"least(${bins - 1}L, " +
+        s"(_mu * $bins) div 1000000000L)").as("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("_y")).as("o_b"),
+        sum(col("_mu")).as("_smu"))
+      .localCheckpoint() // bin-domain bounded; feeds rows AND ECE
+    val tot = lv.agg(sum(col("n_b")).as("n"),
+      sum(abs(col("_smu") - col("o_b") * lit(1000000000L)))
+        .as("_gap"))
+    lv.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_b"), col("o_b"),
+        expr("_smu div (n_b * 1000L)").as("conf_ppm"),
+        expr("(o_b * 1000000L) div n_b").as("acc_ppm"),
+        abs(expr("_smu div (n_b * 1000L)") -
+          expr("(o_b * 1000000L) div n_b")).as("gap_ppm"),
+        col("n"),
+        expr("_gap div (n * 1000L)").as("ece_micro"))
+  }
+
   /** K-CLASS CLASSIFICATION by ONE-VS-REST logistic composition
     * (Rifkin & Klautau 2004's in-defense-of-OvR baseline over the
     * [[logisticIrls]] machinery — the reference task's actual shape:

@@ -125,6 +125,34 @@ class Round17OpsSpec extends AnyFunSuite {
       ph.getLong(3) === 0L)
   }
 
+  test("calibrationEce: a cleanly separable fixture occupies the " +
+       "edge bins with a small ECE; bin accounting is exact") {
+    val rows = (1 to 400).map { i =>
+      val hi = i % 2 == 0
+      (if (hi) 100L else 0L, hi)
+    }
+    val df = rows.toDF("score", "y")
+    val out = EvalOps.calibrationEce(df, "score", "y", iters = 6,
+      bins = 10).orderBy("bin").collect()
+    val bins = out.map(_.getLong(0)).toSeq
+    assert(bins === Seq(0L, 9L),
+      s"saturated fit must occupy only the edge bins, got $bins")
+    assert(out.map(_.getLong(1)).sum === 400L, "bin counts sum to n")
+    // low bin: no positives; high bin: all positives
+    assert(out(0).getLong(2) === 0L && out(1).getLong(2) === 200L)
+    assert(out(0).getLong(4) === 0L && out(1).getLong(4) === 1000000L)
+    val ece = out.head.getLong(7)
+    assert(ece < 50000L, s"separable fit should calibrate, ece=$ece")
+    // ECE is the n_b-weighted mean gap — never above the max gap
+    assert(ece <= out.map(_.getLong(5)).max + 1)
+    intercept[IllegalArgumentException] {
+      EvalOps.calibrationEce(df, "score", "y", iters = 0, bins = 10)
+    }
+    intercept[IllegalArgumentException] {
+      EvalOps.calibrationEce(df, "score", "y", iters = 6, bins = 0)
+    }
+  }
+
   test("restart-safe stream scoring: two checkpointed phases land " +
        "every prediction EXACTLY ONCE and match the batch twin") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
