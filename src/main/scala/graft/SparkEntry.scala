@@ -8388,6 +8388,114 @@ object SparkEntry {
       .orderBy(col("pred"))
   }
 
+  private def q404(s: SparkSession, dir: String): DataFrame =
+    // GAMMA GLM, LOG LINK (EvalOps.gammaIrls — McCullagh & Nelder
+    // 1989 §8.3): transaction value (cents, positive-skewed) on
+    // (hour-of-day, weekday) — the positive-continuous member
+    // closing the exponential-family set next to q355/q372/q392.
+    // The log link makes the information β-FREE (one aggregate,
+    // reused every step — the Gamma's structural I/O advantage);
+    // the full trajectory hash-compares against the unit-weight
+    // chain.
+    EvalOps.gammaIrls(
+      t(s, dir, "events")
+        .where(col("value").isNotNull && col("value") > 0)
+        .select(hour(col("ts")).cast("long").as("x1"),
+          (pmod(datediff(to_date(col("ts")), lit("1970-01-01")) + 4,
+            lit(7)) + 1).cast("long").as("x2"),
+          round(col("value") * 100, 0).cast("long").as("y")),
+      "x1", "x2", "y", iters = 6)
+
+  private def q405(s: SparkSession, dir: String): DataFrame =
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV (EvalOps.ksTest — Smirnov 1939):
+    // do purchase values follow the same distribution as
+    // non-purchase values? The binning-free drift statistic next to
+    // q172's PSI — D as an exact integer cross-multiplication over
+    // value LEVELS, the Smirnov asymptotic critical value, and the
+    // ppm-resolution reject flag, all hash-compared.
+    EvalOps.ksTest(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(round(col("value") * 100, 0).cast("long").as("cents"),
+          (col("event_type") === "purchase").as("side")),
+      "cents", "side")
+
+  private def q406(s: SparkSession, dir: String): DataFrame =
+    // L2-BOOSTING WITH REGRESSION STUMPS (AggOps.l2BoostStumps —
+    // Friedman 2001; Bühlmann & Yu 2003): 4 boosting rounds
+    // predicting transaction cents from hour-of-day — the
+    // REGRESSION ensemble next to q400's classification one. Per
+    // round the best variance-reduction split over hour LEVELS,
+    // micro side means, exact-integer residual re-fix, and the
+    // Σ|r| trajectory — the whole round table hash-compares
+    // against the unrolled chain.
+    AggOps.l2BoostStumps(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(hour(col("ts")).cast("long").as("x"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+      "x", "cents", rounds = 4)
+      .orderBy(col("round"))
+
+  /** Shared softmax β fit over the q373/q388 fixture (the
+    * [[ovrBetas]] memo for the JOINT model): (K−1)×3 longs, same
+    * lineitem fingerprint key. */
+  private val smBetaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[(Long, Long, Long)]]()
+  private def smBetas(s: SparkSession, dir: String)
+      : Seq[(Long, Long, Long)] = {
+    val fp = ovrFingerprint(s, dir)
+    smBetaCache.computeIfAbsent((dir, fp._1, fp._2),
+      _ => EvalOps.softmaxGlmBetas(ovrFixture(s, dir), "x1", "x2",
+          "lab", OvrLabels, OvrIters)
+        .orderBy(col("label")).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+  }
+
+  private def q407(s: SparkSession, dir: String): DataFrame = {
+    // McNEMAR'S PAIRED MODEL COMPARISON (EvalOps.mcnemarPaired —
+    // McNemar 1947): do q373's one-vs-rest and q388's softmax
+    // disagree in per-row CORRECTNESS more than chance on the same
+    // fixture? Both deterministic fits ride their shared memos
+    // (ovrBetas/smBetas), the paired booleans are one stateless
+    // projection, and the discordant-count χ² (no continuity
+    // correction, χ²₁ crit 3.841459 micro literal) hash-compares
+    // against the two composed oracle chains.
+    val fix = ovrFixture(s, dir)
+    val ovrB = ovrBetas(s, dir).map(b => (b._2, b._3, b._4))
+    val smB = smBetas(s, dir)
+    val paired = fix.select(
+      (EvalOps.ovrPredExpr(col("x1"), col("x2"), OvrLabels, ovrB)
+        === col("lab")).as("ovr_ok"),
+      (EvalOps.softmaxPredExpr(col("x1"), col("x2"), OvrLabels, smB)
+        === col("lab")).as("sm_ok"))
+    EvalOps.mcnemarPaired(paired, "ovr_ok", "sm_ok",
+      critMicro = 3841459L)
+  }
+
+  private def q408(s: SparkSession, dir: String): DataFrame = {
+    // STRATIFIED KAPLAN–MEIER BY ARM (EvalOps.kaplanMeierBy): the
+    // q394 product-limit machinery split by the q380 even-user arm
+    // — the per-arm curves read next to q351's log-rank verdict
+    // (log-rank says WHETHER the arms differ, these curves say
+    // HOW). Per-stratum at-risk windows and folds; the whole
+    // two-curve table hash-compares against the arm-partitioned
+    // recursive CTE.
+    val ev = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("_first"),
+        to_date(max(col("ts"))).as("_last"),
+        to_date(min(when(col("event_type") === "purchase",
+          col("ts")))).as("_purch"))
+    val durations = ev.select(
+      (col("user_id") % 2).cast("long").as("arm"),
+      when(col("_purch").isNotNull,
+        datediff(col("_purch"), col("_first")))
+        .otherwise(datediff(col("_last"), col("_first")))
+        .cast("long").as("dur"),
+      col("_purch").isNotNull.as("death"))
+    EvalOps.kaplanMeierBy(durations, "arm", "dur", "death")
+      .orderBy(col("grp"), col("t"))
+  }
+
   private def q390(s: SparkSession, dir: String): DataFrame = {
     // FORECAST MODEL SELECTION (the capstone over q377/q386/q389):
     // the three backtests' MAEs as ONE 3-row relational artifact
@@ -9608,6 +9716,11 @@ object SparkEntry {
     "q401_train_test_ovr" -> q401 _,
     "q402_calibration_ece" -> q402 _,
     "q403_ada_stream_score" -> q403 _,
+    "q404_gamma_glm" -> q404 _,
+    "q405_ks_test" -> q405 _,
+    "q406_l2boost" -> q406 _,
+    "q407_mcnemar" -> q407 _,
+    "q408_km_by_arm" -> q408 _,
   )
 
   /** DuckDB twin of [[graft.ops.EvalOps.bradleyTerry]]'s MM sweeps —
@@ -10112,6 +10225,87 @@ object SparkEntry {
        |    FROM ag a JOIN ag b ON b.t = a.t - 1
        |      JOIN ag c ON c.t = a.t - 7
        |      JOIN ag e ON e.t = a.t - 8)""".stripMargin
+
+  /** DuckDB twin of [[graft.ops.EvalOps.gammaIrls]]: the β-free
+    * `ginfo` Gram computed once, then per step the exp-link nano μ,
+    * the one-divide micro score (y/μ − 1), the score sums joined to
+    * the constant info, and the UNSCALED Cramer update (unit
+    * weights ⇒ Δβ = d/dA directly, no 1e3 factor). Expects
+    * `data(x1, x2, y)`; ends with `gbet$iters(b0, b1, b2)`. */
+  private def gammaSqlChain(iters: Int): String = {
+    val head =
+      """ginfo AS (SELECT count(*)::BIGINT AS a00,
+        |    sum(x1)::BIGINT AS a01, sum(x2)::BIGINT AS a02,
+        |    sum(x1 * x1)::BIGINT AS a11,
+        |    sum(x1 * x2)::BIGINT AS a12,
+        |    sum(x2 * x2)::BIGINT AS a22 FROM data),
+        |  gbet0 AS (SELECT (CASE WHEN count(*) > 0
+        |      THEN round(ln((sum(y) + 1)::DOUBLE / count(*)::DOUBLE)
+        |        * 1e6) ELSE 0 END)::BIGINT AS b0,
+        |    0::BIGINT AS b1, 0::BIGINT AS b2 FROM data)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s""",
+        |  gmu$k AS (SELECT x1, x2, y,
+        |      round(exp(least(b0 + x1 * b1 + x2 * b2,
+        |        13000000)::DOUBLE / 1e6) * 1e9)::BIGINT AS mu
+        |    FROM data CROSS JOIN gbet${k - 1}),
+        |  gsc$k AS (SELECT x1, x2,
+        |      (round(1e6 * (y * 1000000000)::DOUBLE / mu::DOUBLE)
+        |        ::BIGINT - 1000000)::BIGINT AS sc
+        |    FROM gmu$k),
+        |  gg$k AS (SELECT i.a00, i.a01, i.a02, i.a11, i.a12, i.a22,
+        |      s.s0, s.s1, s.s2
+        |    FROM (SELECT sum(sc)::BIGINT AS s0,
+        |        sum(sc * x1)::BIGINT AS s1,
+        |        sum(sc * x2)::BIGINT AS s2 FROM gsc$k) s
+        |      CROSS JOIN ginfo i),
+        |  gc$k AS (SELECT ${cramer3Sql("")}
+        |    FROM gg$k),
+        |  gbet$k AS (SELECT
+        |      (CASE WHEN dA <> 0 THEN b.b0 + round(d0 / dA)::BIGINT
+        |        ELSE b.b0 END)::BIGINT AS b0,
+        |      (CASE WHEN dA <> 0 THEN b.b1 + round(d1 / dA)::BIGINT
+        |        ELSE b.b1 END)::BIGINT AS b1,
+        |      (CASE WHEN dA <> 0 THEN b.b2 + round(d2 / dA)::BIGINT
+        |        ELSE b.b2 END)::BIGINT AS b2
+        |    FROM gc$k CROSS JOIN gbet${k - 1} b)""".stripMargin
+    }.mkString
+    head + its
+  }
+
+  /** DuckDB twin of [[graft.ops.AggOps.l2BoostStumps]]: per round
+    * the residual level table, prefix side sums, the double-gain
+    * (gain DESC, thr ASC) LIMIT-1 best, micro side means by one
+    * float divide each, exact residual re-fix, and the Σ|r|
+    * trajectory. Expects `brows1(x, rr)` (rr = y·10⁶); exposes
+    * `bbs$r(thr, nl, nr, lm, rm)` and `bsar$r(sar)`. */
+  private def l2SqlChain(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""blv$r AS (SELECT x AS thr, count(*)::BIGINT AS m,
+         |    sum(rr)::BIGINT AS s FROM brows$r GROUP BY 1),
+         |  btt$r AS (SELECT sum(m)::BIGINT AS n,
+         |      sum(s)::BIGINT AS sall FROM blv$r),
+         |  bcd$r AS (SELECT thr, (sum(m) OVER pw)::BIGINT AS nl,
+         |      (sum(s) OVER pw)::BIGINT AS sl, n, sall
+         |    FROM blv$r, btt$r
+         |    WINDOW pw AS (ORDER BY thr ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)),
+         |  bbs$r AS (SELECT thr, nl, (n - nl)::BIGINT AS nr,
+         |      round(sl::DOUBLE / nl::DOUBLE)::BIGINT AS lm,
+         |      round((sall - sl)::DOUBLE / (n - nl)::DOUBLE)::BIGINT
+         |        AS rm
+         |    FROM bcd$r WHERE n - nl > 0
+         |    ORDER BY ((n::DOUBLE * sl::DOUBLE
+         |        - nl::DOUBLE * sall::DOUBLE) *
+         |      (n::DOUBLE * sl::DOUBLE - nl::DOUBLE * sall::DOUBLE) /
+         |      (n * nl * (n - nl))::DOUBLE) DESC, thr LIMIT 1),
+         |  brows${r + 1} AS (SELECT r.x,
+         |      (r.rr - CASE WHEN r.x <= b.thr THEN b.lm ELSE b.rm
+         |        END)::BIGINT AS rr
+         |    FROM brows$r r CROSS JOIN bbs$r b),
+         |  bsar$r AS (SELECT sum(abs(rr))::BIGINT AS sar
+         |    FROM brows${r + 1})""".stripMargin
+    }.mkString(",\n  ")
 
   /** DuckDB twin of [[graft.ops.AggOps.adaBoostStumps]]: per round
     * the weighted level table, the prefix-window stump errors for
@@ -19021,6 +19215,174 @@ object SparkEntry {
         |  sum(eid)::BIGINT AS eid_sum
         |FROM sc GROUP BY 1 ORDER BY pred""".stripMargin
     },
+    "q404_gamma_glm" ->
+      // the same row-level (hour, weekday, cents) data, the β-free
+      // info Gram, the unit-weight score chain, the unscaled Cramer
+      // update, and the q392-shape readout at the final β
+      s"""WITH data AS (SELECT hour(ts)::BIGINT AS x1,
+        |    (((ts::DATE - DATE '1970-01-01') + 4) % 7 + 1)::BIGINT
+        |      AS x2,
+        |    round(value * 100)::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL AND value > 0),
+        |  ${gammaSqlChain(6)},
+        |  rd AS (SELECT count(*)::BIGINT AS n,
+        |      sum(y)::BIGINT AS sum_y,
+        |      sum(round(exp(least(b0 + x1 * b1 + x2 * b2,
+        |        13000000)::DOUBLE / 1e6) * 1e9)::BIGINT)::BIGINT
+        |        AS sum_mu_nano,
+        |      sum(abs(y * 1000000000 -
+        |        round(exp(least(b0 + x1 * b1 + x2 * b2,
+        |          13000000)::DOUBLE / 1e6) * 1e9)::BIGINT))::BIGINT
+        |        AS sae_nano
+        |    FROM data CROSS JOIN gbet6)
+        |SELECT n, b.b0 AS b0_micro, b.b1 AS b1_micro,
+        |  b.b2 AS b2_micro, sum_y, sum_mu_nano, sae_nano
+        |FROM rd CROSS JOIN gbet6 b""".stripMargin,
+    "q405_ks_test" ->
+      // the same value-level counts, prefix cumulative sides, exact
+      // cross-multiplied D, the Smirnov critical value spelled
+      // identically, and the ppm-resolution reject
+      """WITH data AS (SELECT round(value * 100)::BIGINT AS v,
+        |    (event_type = 'purchase') AS g
+        |  FROM events WHERE value IS NOT NULL),
+        |  lv AS (SELECT v,
+        |      sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS ma,
+        |      sum(CASE WHEN g THEN 0 ELSE 1 END)::BIGINT AS mb
+        |    FROM data GROUP BY 1),
+        |  tt AS (SELECT sum(ma)::BIGINT AS na, sum(mb)::BIGINT AS nb,
+        |      count(*)::BIGINT AS nl FROM lv),
+        |  cm AS (SELECT abs((sum(ma) OVER pw) * tt.nb -
+        |      (sum(mb) OVER pw) * tt.na)::BIGINT AS d
+        |    FROM lv, tt
+        |    WINDOW pw AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)),
+        |  mx AS (SELECT max(d)::BIGINT AS ds FROM cm)
+        |SELECT tt.na AS n_a, tt.nb AS n_b, tt.nl AS n_levels,
+        |  mx.ds AS d_scaled,
+        |  (CASE WHEN tt.na > 0 AND tt.nb > 0 THEN
+        |    (mx.ds * 1000000) // (tt.na * tt.nb) END)::BIGINT
+        |    AS d_ppm,
+        |  (CASE WHEN tt.na > 0 AND tt.nb > 0 THEN
+        |    round(1.358 * sqrt((tt.na + tt.nb)::DOUBLE /
+        |      (tt.na::DOUBLE * tt.nb::DOUBLE)) * 1e6) END)::BIGINT
+        |    AS crit_ppm,
+        |  (CASE WHEN tt.na > 0 AND tt.nb > 0 THEN
+        |    ((mx.ds * 1000000) // (tt.na * tt.nb)) >
+        |    round(1.358 * sqrt((tt.na + tt.nb)::DOUBLE /
+        |      (tt.na::DOUBLE * tt.nb::DOUBLE)) * 1e6)::BIGINT
+        |    END) AS reject
+        |FROM tt CROSS JOIN mx""".stripMargin,
+    "q406_l2boost" -> {
+      // the same hour levels, 4 unrolled boosting rounds — identical
+      // prefix sums, double-gain best pick, micro means, exact
+      // residual re-fix, and per-round |r| mass
+      val out = (1 to 4).map(r =>
+        s"SELECT $r::BIGINT AS round, b.thr AS threshold, " +
+          "b.nl AS n_left, b.nr AS n_right, b.lm AS left_micro, " +
+          s"b.rm AS right_micro, s.sar AS sar_micro " +
+          s"FROM bbs$r b CROSS JOIN bsar$r s")
+        .mkString("\n  UNION ALL ")
+      s"""WITH brows1 AS (SELECT hour(ts)::BIGINT AS x,
+        |    (round(value * 100)::BIGINT * 1000000)::BIGINT AS rr
+        |  FROM events WHERE value IS NOT NULL),
+        |  ${l2SqlChain(4)}
+        |$out
+        |ORDER BY round""".stripMargin
+    },
+    "q407_mcnemar" ->
+      // both fit chains composed in one WITH block, per-row paired
+      // correctness, the discordant-count chi-square without
+      // continuity correction, the same crit literal
+      s"""WITH mdata AS (SELECT l_quantity::BIGINT AS x1,
+        |    round(l_discount * 100)::BIGINT AS x2,
+        |    (CASE WHEN l_returnflag = 'A' THEN 0
+        |      WHEN l_returnflag = 'N' THEN 1 ELSE 2 END)::BIGINT
+        |      AS lab
+        |  FROM lineitem),
+        |  data0 AS (SELECT x1, x2, (CASE WHEN lab = 0 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data1 AS (SELECT x1, x2, (CASE WHEN lab = 1 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  data2 AS (SELECT x1, x2, (CASE WHEN lab = 2 THEN 1 ELSE 0
+        |    END)::BIGINT AS y FROM mdata),
+        |  ${logisticSqlChain(4, "k0", "data0")},
+        |  ${logisticSqlChain(4, "k1", "data1")},
+        |  ${logisticSqlChain(4, "k2", "data2")},
+        |  ${softmaxSqlChain(4, 3)},
+        |  prsc AS (SELECT m.lab,
+        |      (a.b0 + m.x1 * a.b1 + m.x2 * a.b2) AS za0,
+        |      (b.b0 + m.x1 * b.b1 + m.x2 * b.b2) AS za1,
+        |      (c.b0 + m.x1 * c.b1 + m.x2 * c.b2) AS za2,
+        |      (sb.b0_1 + m.x1 * sb.b1_1 + m.x2 * sb.b2_1) AS zs1,
+        |      (sb.b0_2 + m.x1 * sb.b1_2 + m.x2 * sb.b2_2) AS zs2
+        |    FROM mdata m CROSS JOIN k0bet4 a CROSS JOIN k1bet4 b
+        |      CROSS JOIN k2bet4 c CROSS JOIN sbet4 sb),
+        |  pp AS (SELECT
+        |      ((CASE WHEN za0 >= za1 AND za0 >= za2 THEN 0
+        |        WHEN za1 >= za2 THEN 1 ELSE 2 END) = lab) AS ao,
+        |      ((CASE WHEN 0 >= zs1 AND 0 >= zs2 THEN 0
+        |        WHEN zs1 >= zs2 THEN 1 ELSE 2 END) = lab) AS bo
+        |    FROM prsc),
+        |  ag AS (SELECT count(*)::BIGINT AS n,
+        |      sum(CASE WHEN ao AND bo THEN 1 ELSE 0 END)::BIGINT
+        |        AS bc,
+        |      sum(CASE WHEN ao AND NOT bo THEN 1 ELSE 0 END)::BIGINT
+        |        AS aon,
+        |      sum(CASE WHEN NOT ao AND bo THEN 1 ELSE 0 END)::BIGINT
+        |        AS bon,
+        |      sum(CASE WHEN NOT ao AND NOT bo THEN 1 ELSE 0
+        |        END)::BIGINT AS bw
+        |    FROM pp)
+        |SELECT n, bc AS both_correct, aon AS a_only, bon AS b_only,
+        |  bw AS both_wrong, (aon + bon)::BIGINT AS disagree,
+        |  (CASE WHEN aon + bon > 0 THEN
+        |    ((aon - bon) * (aon - bon) * 1000000) // (aon + bon)
+        |    ELSE 0 END)::BIGINT AS mcnemar_micro,
+        |  (CASE WHEN aon + bon > 0 THEN
+        |    (((aon - bon) * (aon - bon) * 1000000) // (aon + bon))
+        |    > 3841459 ELSE FALSE END) AS signif
+        |FROM ag""".stripMargin,
+    "q408_km_by_arm" ->
+      // the q394 recursion PARTITIONED by arm: per-arm suffix
+      // at-risk, per-arm indexed recursion, per-arm lag median flag
+      s"""WITH RECURSIVE ev AS (SELECT user_id,
+        |    min(ts)::DATE AS f, max(ts)::DATE AS l,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts
+        |      END)::DATE AS p
+        |  FROM events GROUP BY 1),
+        |  durs AS (SELECT (user_id % 2)::BIGINT AS grp,
+        |      (CASE WHEN p IS NOT NULL THEN (p - f)
+        |      ELSE (l - f) END)::BIGINT AS t,
+        |      (p IS NOT NULL) AS e
+        |    FROM ev),
+        |  lv AS (SELECT grp, t, count(*)::BIGINT AS m,
+        |      sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS d
+        |    FROM durs GROUP BY 1, 2),
+        |  ar AS (SELECT grp, t, d,
+        |      sum(m) OVER (PARTITION BY grp ORDER BY t
+        |        ROWS BETWEEN CURRENT ROW AND
+        |        UNBOUNDED FOLLOWING)::BIGINT AS n
+        |    FROM lv),
+        |  sq AS (SELECT grp, row_number() OVER (PARTITION BY grp
+        |        ORDER BY t)::BIGINT AS i, t, n, d,
+        |      (((n - d) * 1000000) // n)::BIGINT AS f,
+        |      (CASE WHEN n > d THEN
+        |        (d * 1000000000) // (n * (n - d)) END)::BIGINT AS gt
+        |    FROM ar),
+        |  km AS (SELECT grp, i, t, n, d, f, gt, f AS s, gt AS g
+        |      FROM sq WHERE i = 1
+        |    UNION ALL
+        |    SELECT q.grp, q.i, q.t, q.n, q.d, q.f, q.gt,
+        |      ((k.s * q.f) // 1000000)::BIGINT AS s,
+        |      (k.g + q.gt)::BIGINT AS g
+        |    FROM km k JOIN sq q ON q.grp = k.grp AND q.i = k.i + 1)
+        |SELECT grp, t, n AS n_at_risk, d AS d_events,
+        |  f AS factor_micro, s AS s_micro, g AS greenwood_nano,
+        |  round(s::DOUBLE * sqrt(g::DOUBLE / 1e9))::BIGINT
+        |    AS se_micro,
+        |  (s <= 500000 AND coalesce(lag(s) OVER (PARTITION BY grp
+        |    ORDER BY t), 1000000) > 500000) AS is_median
+        |FROM km ORDER BY grp, t""".stripMargin,
     "q363_pmi_pca_embed" ->
       // the same top-24 vocabulary, symmetrized adjacency counts,
       // Laplace-smoothed PPMI micro-nats, 20 unrolled HUGEINT power

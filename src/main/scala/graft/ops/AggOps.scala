@@ -683,6 +683,87 @@ object AggOps {
     }.reduce(_ + _) >= 0L
   }
 
+  /** L2-BOOSTING WITH REGRESSION STUMPS (Friedman 2001's gradient
+    * boosting under squared loss; Bühlmann & Yu 2003's L2Boost —
+    * the REGRESSION sibling of [[adaBoostStumps]]): T rounds, each
+    * fitting the best stump to the CURRENT residuals. Per round:
+    * residual micro sums collapse to the value LEVEL table (one
+    * hash aggregate), prefix sums give every split's side counts
+    * and sums, the variance-reduction gain
+    *   gain(t) = (n·S_l − n_l·S)² / (n·n_l·n_r)
+    * is evaluated in doubles over those EXACT integers (identical
+    * operands and spelling ⇒ identical doubles in any engine — the
+    * q195 parity argument; the all-integer numerator can exceed
+    * 2⁶³, so the square lives in double), the best split is the
+    * (gain DESC, threshold ASC) rank-1 level, the side means fix
+    * to micro by ONE float divide each, and every row's residual
+    * re-fixes by exact integer subtraction r' = r − mean_side. The
+    * per-round Σ|r'| readout (sar_micro) is a progress TRAJECTORY,
+    * not a guarantee: L2Boost monotonically decreases the SQUARED
+    * error (the quantity each step minimizes); the absolute mass
+    * usually falls with it but can tick up on near-noise fixtures
+    * (emitting the exact SSE would need r² sums past 2⁶³ or
+    * order-dependent double sums — |r| keeps the readout exact and
+    * engine-portable).
+    *
+    * SCALE: per round one data scan (the level aggregate), one
+    * LEVEL-bounded window, one broadcast-stump residual projection
+    * + checkpoint, one |r| readout aggregate — T sequential passes,
+    * the distributed-boosting shape. Exactness: residual micro
+    * sums need Σ|r| < 2⁶³ (y ≤ 10⁹ micro at n ≤ 10⁹ rows);
+    * n·n_l·n_r stays in long to n ≈ 2M levels-weighted rows per
+    * the cube bound — past that, pre-divide the gain spelling.
+    * Output per round: (round, threshold, n_left, n_right,
+    * left_micro, right_micro, sar_micro). */
+  def l2BoostStumps(df: DataFrame, xCol: String, yCol: String,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cur = df.select(col(xCol).cast("long").as("_x"),
+        (col(yCol).cast("long") * lit(1000000L)).as("_r"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val lev = cur.groupBy(col("_x").as("thr"))
+        .agg(count(lit(1)).as("_m"), sum(col("_r")).as("_s"))
+        .localCheckpoint() // level-bounded; feeds tot AND the window
+      val tot = lev.agg(sum(col("_m")).as("_n"),
+        sum(col("_s")).as("_sall"))
+      val w = Window.orderBy(col("thr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cand = lev.withColumn("_nl", sum(col("_m")).over(w))
+        .withColumn("_sl", sum(col("_s")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("_nr", col("_n") - col("_nl"))
+        .where(col("_nr") > 0) // the last level splits nothing off
+      def dd(c: String): Column = col(c).cast("double")
+      val num = dd("_n") * dd("_sl") - dd("_nl") * dd("_sall")
+      val gain = num * num /
+        (col("_n") * col("_nl") * col("_nr")).cast("double")
+      val best = cand.withColumn("_gain", gain)
+        .withColumn("_rn", row_number().over(
+          Window.orderBy(col("_gain").desc, col("thr"))))
+        .where(col("_rn") === 1)
+        .select(col("thr"), col("_nl"), col("_nr"),
+          round(dd("_sl") / dd("_nl")).cast("long").as("_lm"),
+          round((dd("_sall") - dd("_sl")) / dd("_nr")).cast("long")
+            .as("_rm"))
+        .localCheckpoint() // 1 row; feeds the table AND the update
+      cur = cur.crossJoin(broadcast(best))
+        .select(col("_x"),
+          (col("_r") - when(col("_x") <= col("thr"), col("_lm"))
+            .otherwise(col("_rm"))).as("_r"))
+        .localCheckpoint()
+      val sar = cur.agg(sum(abs(col("_r"))).as("sar_micro"))
+      val row = best.crossJoin(broadcast(sar))
+        .select(lit(r.toLong).as("round"), col("thr").as("threshold"),
+          col("_nl").as("n_left"), col("_nr").as("n_right"),
+          col("_lm").as("left_micro"), col("_rm").as("right_micro"),
+          col("sar_micro"))
+      out = if (out == null) row else out.unionByName(row)
+    }
+    out
+  }
+
   /** One differencing pass at `lag`: w_t = x_t − x_{t−lag} as ONE
     * grid self-join on the shifted key (equi-join — the
     * [[arPredFrame]] plan pin applies). `base` carries (_t, _x). */

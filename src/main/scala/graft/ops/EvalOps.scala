@@ -1673,27 +1673,28 @@ object EvalOps {
     * past the aggregate is duration-domain bounded at any raw
     * volume. Output per level: (t, n_at_risk, d_events,
     * factor_micro, s_micro, greenwood_nano, se_micro, is_median). */
-  def kaplanMeier(df: DataFrame, durationCol: String,
-                  eventCol: String): DataFrame = {
-    val levels = df.select(col(durationCol).cast("long").as("t"),
-        col(eventCol).cast("boolean").as("_e"))
-      .groupBy(col("t"))
+  /** The KM level table (t, _m, _d, _n, _f, _gt) with an optional
+    * stratum partition, and the product-limit fold shared by
+    * [[kaplanMeier]] and [[kaplanMeierBy]]. */
+  private def kmLevelFrame(df: DataFrame,
+                           part: Seq[Column]): DataFrame =
+    df.groupBy((part :+ col("t")): _*)
       .agg(count(lit(1)).as("_m"),
         sum(when(col("_e"), 1L).otherwise(0L)).as("_d"))
-    val atRisk = levels.withColumn("_n",
-        sum(col("_m")).over(Window.orderBy(col("t"))
+      .withColumn("_n",
+        sum(col("_m")).over(Window.partitionBy(part: _*)
+          .orderBy(col("t"))
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       .withColumn("_f", expr("((_n - _d) * 1000000L) div _n"))
-      .withColumn("_gt", expr(
-        "CASE WHEN _n > _d THEN (_d * 1000000000L) div (_n * (_n - _d)) END"))
-    val arr = atRisk.agg(sort_array(collect_list(struct(
-      col("t"), col("_n").as("n"), col("_d").as("d"),
-      col("_f").as("f"), col("_gt").as("gt")))).as("_a"))
+      .withColumn("_gt", expr("CASE WHEN _n > _d THEN " +
+        "(_d * 1000000000L) div (_n * (_n - _d)) END"))
+
+  private def kmFoldCol(a: Column): Column = {
     val outType = "array<struct<t:bigint,n:bigint,d:bigint," +
       "f:bigint,s:bigint,g:bigint,med:boolean>>"
     val init = struct(lit(1000000L).as("s"), lit(0L).as("g"),
       lit(false).as("hit"), array().cast(outType).as("out"))
-    val fin = aggregate(col("_a"), init, (st, e) => {
+    aggregate(a, init, (st, e) => {
       val sf = st.getField("s") * e.getField("f")
       // exact integer floor-div on non-negative operands: both
       // engines agree (Spark div ≡ DuckDB // here)
@@ -1709,17 +1710,56 @@ object EvalOps {
           e.getField("t").as("t"), e.getField("n").as("n"),
           e.getField("d").as("d"), e.getField("f").as("f"),
           sNew.as("s"), gNew.as("g"), med.as("med")))).as("out"))
-    })
-    arr.select(explode(fin.getField("out")).as("o"))
-      .select(col("o.t").as("t"), col("o.n").as("n_at_risk"),
-        col("o.d").as("d_events"), col("o.f").as("factor_micro"),
-        col("o.s").as("s_micro"),
-        when(col("o.g") >= 0L, col("o.g")).as("greenwood_nano"),
-        when(col("o.g") >= 0L,
-          round(col("o.s").cast("double") *
-            sqrt(col("o.g").cast("double") / lit(1e9))).cast("long"))
-          .as("se_micro"),
-        col("o.med").as("is_median"))
+    }).getField("out")
+  }
+
+  private def kmReadout(exploded: DataFrame,
+                        lead: Seq[Column]): DataFrame =
+    exploded.select((lead ++ Seq(
+      col("o.t").as("t"), col("o.n").as("n_at_risk"),
+      col("o.d").as("d_events"), col("o.f").as("factor_micro"),
+      col("o.s").as("s_micro"),
+      when(col("o.g") >= 0L, col("o.g")).as("greenwood_nano"),
+      when(col("o.g") >= 0L,
+        round(col("o.s").cast("double") *
+          sqrt(col("o.g").cast("double") / lit(1e9))).cast("long"))
+        .as("se_micro"),
+      col("o.med").as("is_median"))): _*)
+
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val atRisk = kmLevelFrame(
+      df.select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("_e")), Seq.empty)
+    val arr = atRisk.agg(sort_array(collect_list(struct(
+      col("t"), col("_n").as("n"), col("_d").as("d"),
+      col("_f").as("f"), col("_gt").as("gt")))).as("_a"))
+    kmReadout(arr.select(explode(kmFoldCol(col("_a"))).as("o")),
+      Seq.empty)
+  }
+
+  /** STRATIFIED KAPLAN–MEIER (the per-arm curves read NEXT TO the
+    * [[logRank]] comparison — log-rank says WHETHER the arms
+    * differ, the stratified curves say HOW): [[kaplanMeier]]'s
+    * exact product-limit machinery per stratum — the level
+    * aggregate keyed by (stratum, t), the at-risk suffix window
+    * PARTITIONED by stratum, and one single-row fold PER stratum
+    * (groupBy-collect — stratum-count × level-count bounded).
+    * Same columns, same NULL/median conventions, led by `grp`. */
+  def kaplanMeierBy(df: DataFrame, groupCol: String,
+                    durationCol: String,
+                    eventCol: String): DataFrame = {
+    val atRisk = kmLevelFrame(
+      df.select(col(groupCol).cast("long").as("grp"),
+        col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("_e")), Seq(col("grp")))
+    val arr = atRisk.groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(
+        col("t"), col("_n").as("n"), col("_d").as("d"),
+        col("_f").as("f"), col("_gt").as("gt")))).as("_a"))
+    kmReadout(
+      arr.select(col("grp"), explode(kmFoldCol(col("_a"))).as("o")),
+      Seq(col("grp")))
   }
 
   /** POPULATION STABILITY INDEX (the industry drift monitor):
@@ -2041,6 +2081,198 @@ object EvalOps {
         col("b2_micro"), col("sum_y"), col("sum_mu_nano"),
         col("sae_nano"))
   }
+
+  /** GAMMA GLM with LOG LINK (McCullagh & Nelder 1989 §8.3 — the
+    * positive-continuous member completing the exponential-family
+    * set: logistic for binary (q355), Poisson for counts (q372),
+    * NB2 for overdispersed counts (q392), Gamma for positive skewed
+    * AMOUNTS — transaction values, durations, sizes): under the log
+    * link the dispersion φ CANCELS from the Newton step — Fisher
+    * information is (1/φ)·XᵀX and the score (1/φ)·Σ(y/μ − 1)x, so
+    * the step is (XᵀX)⁻¹·Σ(y/μ − 1)x with UNIT row weights. That
+    * makes the information aggregate β-FREE: it is computed ONCE
+    * and broadcast to every step — only the score re-aggregates
+    * (iters+1 total passes where the Poisson pays iters fused
+    * Gram+score passes). μ = e^z saturates at 13 nats (the
+    * [[poissonIrls]] rule); the per-row score term (y/μ − 1) fixes
+    * to micro by ONE correctly-rounded float divide over exact
+    * integers (10⁶·(y·10⁹) / μ_nano, left-to-right — the q195
+    * parity spelling). y must be > 0 (Gamma support — callers
+    * filter; a y = 0 row degrades gracefully to a −10⁶ score term).
+    * Seed β₀ = ln((Σy+1)/n) (the Poisson null-init rule).
+    *
+    * Exactness bounds: score sums need Σ|sc·x| < 2⁶³ — with the
+    * null seed, |sc| ≈ 10⁶·y/ȳ, so max(y)/ȳ ratios ≤ 10⁴ are safe
+    * to n ~ 10⁹ rows; the β-free info needs Σ|x_j·x_k| < 2⁶³.
+    * SCALE: one info aggregate + iters score aggregates + one
+    * readout pass, all map-side combinable; β and the info ride
+    * broadcast 1-row frames. Output 1 row: (n, b0_micro, b1_micro,
+    * b2_micro, sum_y, sum_mu_nano, sae_nano). */
+  def gammaIrls(df: DataFrame, x1Col: String, x2Col: String,
+                yCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = df.select(col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"),
+        col(yCol).cast("long").as("_y"))
+      .localCheckpoint() // feeds the info, every step, the readout
+    // the log-link Gamma information is beta-free: pay it ONCE
+    val info = base.agg(count(lit(1)).as("a00"),
+        sum(col("_x1")).as("a01"), sum(col("_x2")).as("a02"),
+        sum(col("_x1") * col("_x1")).as("a11"),
+        sum(col("_x1") * col("_x2")).as("a12"),
+        sum(col("_x2") * col("_x2")).as("a22"))
+      .localCheckpoint()
+    var beta = base.agg(count(lit(1)).as("_n"),
+        sum(col("_y")).as("_sy"))
+      .select(
+        when(col("_n") > 0, round(log(
+          (col("_sy") + 1).cast("double") / col("_n").cast("double"))
+          * 1e6, 0).cast("long")).otherwise(0L).as("b0_micro"),
+        lit(0L).as("b1_micro"), lit(0L).as("b2_micro"))
+      .localCheckpoint()
+    def det(m11: Column, m12: Column, m13: Column,
+            m21: Column, m22: Column, m23: Column,
+            m31: Column, m32: Column, m33: Column): Column =
+      m11 * (m22 * m33 - m23 * m32) -
+        m12 * (m21 * m33 - m23 * m31) +
+        m13 * (m21 * m32 - m22 * m31)
+    for (_ <- 1 to iters) {
+      val s = poissonMuFrame(base, beta)
+        .withColumn("_sc", round(lit(1e6) *
+          (col("_y") * lit(1000000000L)).cast("double") /
+          col("_mu").cast("double")).cast("long") - lit(1000000L))
+        .agg(sum(col("_sc")).as("s0"),
+          sum(col("_sc") * col("_x1")).as("s1"),
+          sum(col("_sc") * col("_x2")).as("s2"))
+      val a = s.crossJoin(broadcast(info))
+      def d(c: String): Column = col(c).cast("double")
+      val dA = det(d("a00"), d("a01"), d("a02"),
+        d("a01"), d("a11"), d("a12"), d("a02"), d("a12"), d("a22"))
+      val d0 = det(d("s0"), d("a01"), d("a02"),
+        d("s1"), d("a11"), d("a12"), d("s2"), d("a12"), d("a22"))
+      val d1 = det(d("a00"), d("s0"), d("a02"),
+        d("a01"), d("s1"), d("a12"), d("a02"), d("s2"), d("a22"))
+      val d2 = det(d("a00"), d("a01"), d("s0"),
+        d("a01"), d("a11"), d("s1"), d("a02"), d("a12"), d("s2"))
+      beta = a.crossJoin(broadcast(beta))
+        .select(
+          when(dA =!= 0.0, col("b0_micro") +
+            round(d0 / dA).cast("long"))
+            .otherwise(col("b0_micro")).as("b0_micro"),
+          when(dA =!= 0.0, col("b1_micro") +
+            round(d1 / dA).cast("long"))
+            .otherwise(col("b1_micro")).as("b1_micro"),
+          when(dA =!= 0.0, col("b2_micro") +
+            round(d2 / dA).cast("long"))
+            .otherwise(col("b2_micro")).as("b2_micro"))
+        .localCheckpoint()
+    }
+    poissonMuFrame(base, beta)
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("sum_y"),
+        sum(col("_mu")).as("sum_mu_nano"),
+        sum(abs(col("_y") * lit(1000000000L) - col("_mu")))
+          .as("sae_nano"))
+      .crossJoin(broadcast(beta))
+      .select(col("n"), col("b0_micro"), col("b1_micro"),
+        col("b2_micro"), col("sum_y"), col("sum_mu_nano"),
+        col("sae_nano"))
+  }
+
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST (Kolmogorov 1933; Smirnov
+    * 1939 — the binning-free distribution drift monitor next to
+    * [[psi]]'s bucketed one: D = sup|F̂_a − F̂_b| needs no bucket
+    * choice, so it catches shape drift PSI's bins can wash out):
+    * rows collapse to the VALUE LEVEL table (ONE hash aggregate of
+    * per-side counts), cumulative counts per side come from one
+    * level-ordered prefix window, and the statistic is the EXACT
+    * integer cross-multiplication
+    *   D·n_a·n_b = max_levels |c_a·n_b − c_b·n_a|
+    * — no float until the two readout fixes: d_ppm by exact
+    * integer division and the α = 0.05 large-sample critical value
+    * c·√((n_a+n_b)/(n_a·n_b)) with c = 1.358 (Smirnov's
+    * asymptotic), both spelled identically in the oracle. reject =
+    * d_ppm > crit_ppm (ppm-resolution comparison, documented).
+    *
+    * SCALE: one level aggregate; everything past it is
+    * value-domain bounded (the prefix window runs over LEVELS).
+    * Output 1 row: (n_a, n_b, n_levels, d_scaled, d_ppm, crit_ppm,
+    * reject). Sides with zero rows read NULL metrics. */
+  def ksTest(df: DataFrame, valueCol: String,
+             sideCol: String): DataFrame = {
+    val lv = df.select(col(valueCol).cast("long").as("_v"),
+        col(sideCol).cast("boolean").as("_g"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_g"), 1L).otherwise(0L)).as("_ma"),
+        sum(when(!col("_g"), 1L).otherwise(0L)).as("_mb"))
+      .localCheckpoint() // level-bounded; feeds totals AND the window
+    val tot = lv.agg(sum(col("_ma")).as("n_a"),
+      sum(col("_mb")).as("n_b"), count(lit(1)).as("n_levels"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val crit = round(lit(1.358) *
+      sqrt((col("n_a") + col("n_b")).cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double"))) *
+      lit(1e6)).cast("long")
+    lv.withColumn("_ca", sum(col("_ma")).over(w))
+      .withColumn("_cb", sum(col("_mb")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"), col("n_levels"))
+      .agg(max(abs(col("_ca") * col("n_b") -
+        col("_cb") * col("n_a"))).as("d_scaled"))
+      .select(col("n_a"), col("n_b"), col("n_levels"),
+        col("d_scaled"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("(d_scaled * 1000000L) div (n_a * n_b)")).as("d_ppm"),
+        when(col("n_a") > 0 && col("n_b") > 0, crit).as("crit_ppm"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("(d_scaled * 1000000L) div (n_a * n_b)") > crit)
+          .as("reject"))
+  }
+
+  /** McNEMAR'S PAIRED TEST (McNemar 1947 — model comparison on the
+    * SAME rows, the test an accuracy-delta readout cannot replace:
+    * two models with equal accuracy can still disagree
+    * systematically, and two very different accuracies can be
+    * statistically indistinguishable at small disagreement counts):
+    * over per-row paired correctness booleans (model A correct,
+    * model B correct), the discordant counts b (A-only) and c
+    * (B-only) carry the whole test — χ² = (b−c)²/(b+c), here
+    * WITHOUT continuity correction (the pinned convention,
+    * documented), as an EXACT integer micro ((b−c)²·10⁶ div (b+c)
+    * — non-negative operands). `critMicro` is the caller's χ²₁
+    * quantile literal (3.841459·10⁶ at α = 0.05 — the q346
+    * convention). b + c = 0 (perfect agreement) reads (0, false) —
+    * the b = c limit of the statistic and the only cross-engine-
+    * stable spelling (a NULL boolean hashes differently across
+    * engines' pandas dtypes).
+    *
+    * SCALE: ONE map-side-combinable aggregate over the paired
+    * frame. Output 1 row: (n, both_correct, a_only, b_only,
+    * both_wrong, disagree, mcnemar_micro, signif). */
+  def mcnemarPaired(df: DataFrame, aCol: String, bCol: String,
+                    critMicro: Long): DataFrame =
+    df.select(col(aCol).cast("boolean").as("_a"),
+        col(bCol).cast("boolean").as("_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_a") && col("_b"), 1L).otherwise(0L))
+          .as("both_correct"),
+        sum(when(col("_a") && !col("_b"), 1L).otherwise(0L))
+          .as("a_only"),
+        sum(when(!col("_a") && col("_b"), 1L).otherwise(0L))
+          .as("b_only"),
+        sum(when(!col("_a") && !col("_b"), 1L).otherwise(0L))
+          .as("both_wrong"))
+      .select(col("n"), col("both_correct"), col("a_only"),
+        col("b_only"), col("both_wrong"),
+        (col("a_only") + col("b_only")).as("disagree"),
+        when(col("a_only") + col("b_only") > 0,
+          expr("((a_only - b_only) * (a_only - b_only) * 1000000L)" +
+            " div (a_only + b_only)")).otherwise(0L)
+          .as("mcnemar_micro"),
+        when(col("a_only") + col("b_only") > 0,
+          expr("((a_only - b_only) * (a_only - b_only) * 1000000L)" +
+            " div (a_only + b_only)") > critMicro).otherwise(false)
+          .as("signif"))
 
   /** OVERDISPERSION TEST for a Poisson fit (Cameron & Trivedi 1990's
     * regression-based diagnostic in its z-statistic form — the check
@@ -2790,6 +3022,25 @@ object EvalOps {
         col(labelCol).cast("long").as("_lab"))
       .localCheckpoint() // feeds every fused step AND the scoring
     val ks = 1 until labels.size // non-reference classes
+    val betas = softmaxBetaWide(base, labels, iters)
+    def zOf(i: Int): Column = col(s"_b0_$i") +
+      col("_x1") * col(s"_b1_$i") + col("_x2") * col(s"_b2_$i")
+    // argmax over (z_ref = 0, z_1..z_{K-1}) exact integers, ties to
+    // the earliest label — identical rule to [[logisticOvr]]
+    var scored = base.crossJoin(broadcast(betas))
+    ks.foreach(i => scored = scored.withColumn(s"_z$i", zOf(i)))
+    val zs = lit(0L) +: ks.map(i => col(s"_z$i")).toSeq
+    ovrConfReadout(scored.withColumn("_pred",
+      ovrPredCol(labels, zs)))
+  }
+
+  /** The fused block-Newton loop shared by [[softmaxGlm]] and
+    * [[softmaxGlmBetas]]: `base` carries (_x1, _x2, _lab)
+    * (checkpointed by the caller). Returns the WIDE 1-row β frame
+    * (_b0_i/_b1_i/_b2_i for non-reference class indices 1..K−1). */
+  private def softmaxBetaWide(base: DataFrame, labels: Seq[Long],
+                              iters: Int): DataFrame = {
+    val ks = 1 until labels.size // non-reference classes
     var betas = base.sparkSession.createDataFrame(
       Seq(Tuple1(0L))).toDF("_zero")
       .select(ks.flatMap(i => Seq(lit(0L).as(s"_b0_$i"),
@@ -2863,29 +3114,44 @@ object EvalOps {
         }.toSeq: _*)
         .localCheckpoint()
     }
-    // argmax over (z_ref = 0, z_1..z_{K-1}) exact integers, ties to
-    // the earliest label — identical rule to [[logisticOvr]]
-    var scored = base.crossJoin(broadcast(betas))
-    ks.foreach(i => scored = scored.withColumn(s"_z$i", zOf(i)))
-    val zs = lit(0L) +: ks.map(i => col(s"_z$i")).toSeq
-    val pred = labels.indices.init.foldRight(
-      lit(labels.last): Column) { (i, rest) =>
-      val isMax = (i + 1 until labels.size)
-        .map(j => zs(i) >= zs(j)).reduce(_ && _)
-      when(isMax, lit(labels(i))).otherwise(rest)
-    }
-    val conf = scored.withColumn("_pred", pred)
-      .groupBy(col("_lab").as("label"), col("_pred").as("pred"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // label-domain bounded
-    val acc = conf.agg(sum(col("cnt")).as("n"),
-      sum(when(col("label") === col("pred"), col("cnt"))
-        .otherwise(0L)).as("correct"))
-    conf.crossJoin(broadcast(acc))
-      .select(col("label"), col("pred"), col("cnt"), col("n"),
-        col("correct"),
-        when(col("n") > 0, expr("(correct * 1000000L) div n"))
-          .as("acc_ppm"))
+    betas
+  }
+
+  /** The softmax fit as a (K−1)-ROW β ARTIFACT (label, b0_micro,
+    * b1_micro, b2_micro — non-reference classes only; the reference
+    * labels(0) is implicitly β ≡ 0, the identifiability pin) — the
+    * [[logisticOvrBetas]] shape for the JOINT model. Identical
+    * fused arithmetic to [[softmaxGlm]]; scoring any frame with
+    * these rows via [[softmaxPredExpr]] replays its predictions bit
+    * for bit. */
+  def softmaxGlmBetas(df: DataFrame, x1Col: String, x2Col: String,
+                      labelCol: String, labels: Seq[Long],
+                      iters: Int): DataFrame = {
+    require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
+    require(labels.distinct == labels, "labels must be distinct")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = df.select(col(x1Col).cast("long").as("_x1"),
+        col(x2Col).cast("long").as("_x2"),
+        col(labelCol).cast("long").as("_lab"))
+      .localCheckpoint() // feeds every fused step
+    softmaxBetaWide(base, labels, iters)
+      .select(expr(s"stack(${labels.size - 1}, " +
+        (1 until labels.size).map(i =>
+          s"${labels(i)}L, _b0_$i, _b1_$i, _b2_$i").mkString(", ") +
+        ") as (label, b0_micro, b1_micro, b2_micro)"))
+  }
+
+  /** Score with a FITTED softmax β artifact (driver literals for
+    * the K−1 non-reference classes, aligned with labels(1..); the
+    * reference margin is the exact 0): the [[ovrPredExpr]] shape
+    * for the joint model — stateless, streaming-safe. */
+  def softmaxPredExpr(x1: Column, x2: Column, labels: Seq[Long],
+                      betas: Seq[(Long, Long, Long)]): Column = {
+    require(betas.size == labels.size - 1,
+      s"need ${labels.size - 1} non-reference betas, got ${betas.size}")
+    val zs = lit(0L) +: betas.map { case (b0, b1, b2) =>
+      lit(b0) + x1 * lit(b1) + x2 * lit(b2) }
+    ovrPredCol(labels, zs)
   }
 
   /** PER-CLASS CONFUSION-MATRIX REPORT (precision/recall/F1 per
