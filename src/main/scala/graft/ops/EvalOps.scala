@@ -2486,6 +2486,83 @@ object EvalOps {
           .as("se_micro"),
         col("_su").as("u_final_micro"), col("_si").as("i_micro"))
   }
+  /** STRATIFIED COX PH (Cox 1972 §5's stratified partial likelihood
+    * — adjust for a categorical confounder WITHOUT modeling it:
+    * each stratum keeps its OWN baseline hazard and risk sets, the
+    * strata share ONE β; the standard move when the confounder's
+    * effect is non-proportional and a linear term like q380's x2
+    * would mis-specify it): [[coxPh]]'s machinery with the
+    * duration-level aggregate keyed by (stratum, t) and the suffix
+    * risk-set window PARTITIONED by stratum; the per-level micro
+    * U/I terms sum ACROSS strata (the stratified score is the plain
+    * sum — order-free). Same exactness bounds as [[coxPh]].
+    *
+    * SCALE: per step ONE (stratum × duration)-keyed aggregate + one
+    * stratum-partitioned suffix window — level-bounded past the
+    * aggregate at any subject count. Output 1 row: (n, events,
+    * k_strata, b_micro, hr_micro, se_micro, u_final_micro,
+    * i_micro). */
+  def coxPhStratified(df: DataFrame, stratumCol: String,
+                      durationCol: String, eventCol: String,
+                      xCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = df.select(col(stratumCol).cast("long").as("_g"),
+        col(durationCol).cast("long").as("_t"),
+        col(eventCol).cast("boolean").as("_e"),
+        col(xCol).cast("long").as("_x"))
+      .localCheckpoint() // feeds every Newton step AND the readout
+    val spark = base.sparkSession
+    import spark.implicits._
+    var beta = Seq(Tuple1(0L)).toDF("b_micro")
+    def ui(b: DataFrame): DataFrame = {
+      val lev = base.crossJoin(broadcast(b))
+        .withColumn("_phi", round(lit(1e9) *
+          exp((col("_x") * col("b_micro")).cast("double") / lit(1e6)))
+          .cast("long"))
+        .groupBy(col("_g"), col("_t"))
+        .agg(sum(col("_phi")).as("_g0"),
+          sum(col("_x") * col("_phi")).as("_g1"),
+          sum(col("_x") * col("_x") * col("_phi")).as("_g2"),
+          sum(when(col("_e"), 1L).otherwise(0L)).as("_d"),
+          sum(when(col("_e"), col("_x")).otherwise(0L)).as("_s"))
+      val w = Window.partitionBy(col("_g")).orderBy(col("_t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      def dd(c: String): Column = col(c).cast("double")
+      lev
+        .withColumn("_rs0", sum(col("_g0")).over(w))
+        .withColumn("_S1", sum(col("_g1")).over(w))
+        .withColumn("_S2", sum(col("_g2")).over(w))
+        .where(col("_d") > 0 && col("_rs0") > 0)
+        .select(
+          round((dd("_s") - dd("_d") * (dd("_S1") / dd("_rs0"))) * 1e6)
+            .cast("long").as("_u6"),
+          round(dd("_d") * (dd("_S2") / dd("_rs0") -
+            (dd("_S1") / dd("_rs0")) * (dd("_S1") / dd("_rs0"))) * 1e6)
+            .cast("long").as("_i6"))
+        .agg(sum(col("_u6")).as("_su"), sum(col("_i6")).as("_si"))
+    }
+    for (_ <- 1 to iters) {
+      beta = ui(beta).crossJoin(broadcast(beta))
+        .select(when(col("_si") > 0, col("b_micro") +
+          round(lit(1e6) * col("_su").cast("double") /
+            col("_si").cast("double")).cast("long"))
+          .otherwise(col("b_micro")).as("b_micro"))
+        .localCheckpoint()
+    }
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("_e"), 1L).otherwise(0L)).as("events"),
+      countDistinct(col("_g")).as("k_strata"))
+    tot.crossJoin(broadcast(ui(beta))).crossJoin(broadcast(beta))
+      .select(col("n"), col("events"), col("k_strata"),
+        col("b_micro"),
+        round(lit(1e6) * exp(col("b_micro").cast("double") / lit(1e6)))
+          .cast("long").as("hr_micro"),
+        when(col("_si") > 0, round(lit(1e6) /
+          sqrt(col("_si").cast("double") / lit(1e6))).cast("long"))
+          .as("se_micro"),
+        col("_su").as("u_final_micro"), col("_si").as("i_micro"))
+  }
+
   /** O'Brien–Fleming-shape boundaries c·√(K/k) for K looks, micro-
     * fixed on the DRIVER (normal-quantile design constants, the q341
     * convention — callers inject the same literals into the oracle).
@@ -2761,6 +2838,66 @@ object EvalOps {
           expr("(o_b * 1000000L) div n_b")).as("gap_ppm"),
         col("n"),
         expr("_gap div (n * 1000L)").as("ece_micro"))
+  }
+
+  /** BRIER SCORE DECOMPOSITION (Murphy 1973 — reliability /
+    * resolution / uncertainty, the classic companion of
+    * [[calibrationEce]]'s diagram: ECE reads the calibration GAP,
+    * the decomposition says how much skill remains after paying
+    * it): over the [[plattScale]]-calibrated probabilities grouped
+    * by DISTINCT μ LEVEL (level-bounded — μ is a function of the
+    * bounded score domain; level grouping makes Murphy's identity
+    * brier = reliability − resolution + uncertainty EXACT up to
+    * the per-level micro fixes, where binning would leave a
+    * within-bin variance remainder):
+    *   reliability = Σ_l n_l(μ_l − ō_l)²/N   (calibration penalty)
+    *   resolution  = Σ_l n_l(ō_l − ō)²/N     (earned discrimination)
+    *   uncertainty = ō(1 − ō)                (the fixture's floor)
+    * Each level term runs in doubles over exact integers (identical
+    * operands and spelling — the q195 parity rule) and fixes to
+    * micro BEFORE the order-free sum; the raw Brier re-reads
+    * row-level by [[plattScale]]'s exact-integer spelling.
+    *
+    * SCALE: the fit's iters aggregates + one level aggregate + one
+    * row-level readout pass; everything past the aggregates is
+    * μ-level bounded. Output 1 row: (n, n_levels, brier_micro,
+    * reliability_micro, resolution_micro, uncertainty_micro). */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+                         yCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = df.select(col(scoreCol).cast("long").as("_x1"),
+        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+      .localCheckpoint() // feeds the fit, the levels, the readout
+    val beta = logistic1Newton(base, iters)
+    val mf = logistic1MuFrame(base, beta)
+    val lv = mf.groupBy(col("_mu"))
+      .agg(count(lit(1)).as("_nl"), sum(col("_y")).as("_ol"))
+      .localCheckpoint() // mu-level bounded; feeds terms AND totals
+    val tot = lv.agg(sum(col("_nl")).as("n"), sum(col("_ol")).as("_o"),
+      count(lit(1)).as("n_levels"))
+    def dd(c: String): Column = col(c).cast("double")
+    val pl = dd("_mu") / lit(1e9)
+    val obl = dd("_ol") / dd("_nl")
+    val obg = dd("_o") / dd("n")
+    val terms = lv.crossJoin(broadcast(tot))
+      .select(col("n"), col("_o"), col("n_levels"),
+        round(dd("_nl") * (pl - obl) * (pl - obl) / dd("n") * 1e6)
+          .cast("long").as("_trel"),
+        round(dd("_nl") * (obl - obg) * (obl - obg) / dd("n") * 1e6)
+          .cast("long").as("_tres"))
+      .groupBy(col("n"), col("_o"), col("n_levels"))
+      .agg(sum(col("_trel")).as("reliability_micro"),
+        sum(col("_tres")).as("resolution_micro"))
+    val brier = mf.agg(
+      sum(expr("((_mu - _y * 1000000000L) * " +
+        "(_mu - _y * 1000000000L)) div 1000000000000L")).as("_bs"))
+    terms.crossJoin(broadcast(brier))
+      .select(col("n"), col("n_levels"),
+        when(col("n") > 0, expr("_bs div n")).as("brier_micro"),
+        col("reliability_micro"), col("resolution_micro"),
+        when(col("n") > 0, round(dd("_o") / dd("n") *
+          (lit(1.0) - dd("_o") / dd("n")) * 1e6).cast("long"))
+          .as("uncertainty_micro"))
   }
 
   /** K-CLASS CLASSIFICATION by ONE-VS-REST logistic composition

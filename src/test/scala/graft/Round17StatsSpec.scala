@@ -123,6 +123,56 @@ class Round17StatsSpec extends AnyFunSuite {
       "artifact-scored confusion must equal the in-plan softmax fit")
   }
 
+  test("brierDecomposition: Murphy's identity holds at level " +
+       "granularity and a separable fixture reads all-resolution") {
+    val rows = (1 to 400).map { i =>
+      val hi = i % 2 == 0
+      (if (hi) 100L else 0L, hi)
+    }
+    val r = EvalOps.brierDecomposition(rows.toDF("score", "y"),
+      "score", "y", iters = 6).collect().head
+    val (n, nl) = (r.getLong(0), r.getLong(1))
+    assert(n === 400L && nl === 2L)
+    val brier = r.getLong(2); val rel = r.getLong(3)
+    val res = r.getLong(4); val unc = r.getLong(5)
+    // saturated fit: nearly no calibration penalty, resolution
+    // buys back (almost) the whole uncertainty floor
+    assert(brier < 20000L && rel < 20000L)
+    assert(unc === 250000L, "balanced outcome: unc = 0.25 exactly")
+    assert(math.abs(res - unc) < 20000L)
+    // Murphy: brier = rel - res + unc, up to per-level micro fixes
+    assert(math.abs(brier - (rel - res + unc)) <= 2L * nl + 2L,
+      s"identity drifted: $brier vs ${rel - res + unc}")
+  }
+
+  test("coxPhStratified: one stratum replays coxPh bit for bit; a " +
+       "planted arm effect survives stratum-shifted baselines") {
+    val rng = (1 to 240).map { i =>
+      val arm = i % 2
+      // arm halves the duration; stratum shifts the baseline
+      val strat = i % 3
+      val dur = (5 + strat * 4 + (i % 7)) / (arm + 1)
+      (strat.toLong, dur.toLong, i % 11 != 0, arm.toLong)
+    }
+    val df = rng.toDF("strat", "dur", "death", "arm")
+    val single = EvalOps.coxPhStratified(
+      df.withColumn("strat", lit(0L)), "strat", "dur", "death",
+      "arm", iters = 4).collect().head
+    val plain = EvalOps.coxPh(df, "dur", "death", "arm", iters = 4)
+      .collect().head
+    assert(single.getLong(3) === plain.getLong(2),
+      "one stratum must equal the unstratified beta exactly")
+    assert(single.getLong(6) === plain.getLong(5) &&
+      single.getLong(7) === plain.getLong(6),
+      "one stratum must equal the unstratified U/I exactly")
+    val strat = EvalOps.coxPhStratified(df, "strat", "dur", "death",
+      "arm", iters = 4).collect().head
+    assert(strat.getLong(2) === 3L)
+    // the shorter-duration arm carries a strongly positive hazard
+    assert(strat.getLong(3) > 300000L,
+      s"planted effect must survive stratification: ${strat.getLong(3)}")
+  }
+
   test("l2BoostStumps fits a piecewise-constant target EXACTLY in " +
        "one round and the residual mass is monotone non-increasing") {
     val step = (0 until 10).flatMap(x => Seq.fill(4)(
