@@ -235,4 +235,55 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.ops.AggOps.capReport(
       Seq.empty[String].toDF("b"), "b").count() === 0)
   }
+
+  test("round-17 ops survive empty and singleton frames") {
+    val emptySurv = Seq.empty[(Long, Boolean)].toDF("dur", "death")
+    val oneSurv = Seq((3L, true)).toDF("dur", "death")
+    assert(EvalOps.kaplanMeier(emptySurv, "dur", "death").count() === 0)
+    val k1 = EvalOps.kaplanMeier(oneSurv, "dur", "death").collect()
+    assert(k1.length === 1 && k1.head.getLong(4) === 0L,
+      "a lone death takes S to 0 at its level")
+    assert(EvalOps.kaplanMeierBy(
+      Seq.empty[(Long, Long, Boolean)].toDF("g", "dur", "death"),
+      "g", "dur", "death").count() === 0)
+    val emptyGlm = Seq.empty[(Long, Long, Long)].toDF("x1", "x2", "y")
+    val g = EvalOps.gammaIrls(emptyGlm, "x1", "x2", "y", 2)
+      .collect().head
+    assert(g.getLong(0) === 0L, "empty Gamma fit reads n = 0")
+    val emptyKs = Seq.empty[(Long, Boolean)].toDF("v", "g")
+    assert(EvalOps.ksTest(emptyKs, "v", "g").count() === 0)
+    val emptySeries = Seq.empty[(Long, Long)].toDF("t", "x")
+    assert(AggOps.differencedSeries(emptySeries, "t", "x", d = 1)
+      .count() === 0)
+    assert(AggOps.arimaBacktest(emptySeries, "t", "x", 2, 7)
+      .count() === 0)
+    val emptyBoost = Seq.empty[(Long, Boolean)].toDF("x", "y")
+    assert(AggOps.adaBoostStumps(emptyBoost, "x", "y", 2)
+      .count() === 0)
+    assert(AggOps.l2BoostStumps(
+      Seq.empty[(Long, Long)].toDF("x", "y"), "x", "y", 2)
+      .count() === 0)
+    val emptyConf = Seq.empty[(Long, Long, Long)]
+      .toDF("label", "pred", "cnt")
+    val ms = EvalOps.multiclassSummary(emptyConf, "label", "pred",
+      "cnt").collect().head
+    assert(ms.getLong(1) === 0L && ms.isNullAt(2))
+    val emptyPair = Seq.empty[(Boolean, Boolean)].toDF("a", "b")
+    val mc = EvalOps.mcnemarPaired(emptyPair, "a", "b", 3841459L)
+      .collect().head
+    assert(mc.getLong(0) === 0L && mc.getLong(6) === 0L &&
+      !mc.getBoolean(7))
+    assert(EvalOps.calibrationEce(
+      Seq.empty[(Long, Boolean)].toDF("s", "y"), "s", "y", 2, 10)
+      .count() === 0)
+    assert(EvalOps.brierDecomposition(
+      Seq.empty[(Long, Boolean)].toDF("s", "y"), "s", "y", 2)
+      .count() === 0)
+    val strat = EvalOps.coxPhStratified(
+      Seq.empty[(Long, Long, Boolean, Long)]
+        .toDF("g", "dur", "death", "x"),
+      "g", "dur", "death", "x", 2).collect().head
+    assert(strat.getLong(0) === 0L && strat.getLong(3) === 0L,
+      "empty stratified Cox keeps beta frozen at 0")
+  }
 }
