@@ -608,6 +608,15 @@ object AggOps {
     * checkpoint — T sequential passes, the distributed-boosting
     * shape. Weights stay in long (init 10⁶, each round multiplies by
     * e^{±α} ≤ (W−ε)/ε — callers keep T small, the AdaBoost norm).
+    * ZERO-ABSORBING WEIGHT: the integer downweight
+    * w' = (w·f) div 10⁶ with f < 10⁶ can drive a repeatedly-correct
+    * row's weight to exactly 0, and 0 never recovers (0·f = 0) —
+    * that row silently leaves the weighted error for all later
+    * rounds, a state the float algorithm doesn't have. At the init
+    * weight 10⁶ this needs ~log_f(10⁶) consecutive correct rounds
+    * (≥ 20 even at a strong α ≈ 1), far past the small-T norm, and
+    * the oracle's identical integer reweight reproduces it exactly
+    * when it does happen (pinned by a spec driving a weight to 0).
     * Output per round: (round, threshold, polarity, werr_micro,
     * wtot_micro, alpha_micro). */
   def adaBoostStumps(df: DataFrame, xCol: String, yCol: String,
@@ -713,6 +722,12 @@ object AggOps {
     * sums need Σ|r| < 2⁶³ (y ≤ 10⁹ micro at n ≤ 10⁹ rows);
     * n·n_l·n_r stays in long to n ≈ 2M levels-weighted rows per
     * the cube bound — past that, pre-divide the gain spelling.
+    * DEGENERATE INPUT: a frame with a SINGLE distinct x value has
+    * no admissible split (every level is the last level, which the
+    * n_r > 0 filter drops), so every round's best-pick is empty and
+    * the op returns an EMPTY round table — the regression twin of
+    * [[adaBoostStumps]]' frozen-α convention, mirrored by the
+    * oracle chain (its LIMIT-1 CTE is likewise empty).
     * Output per round: (round, threshold, n_left, n_right,
     * left_micro, right_micro, sar_micro). */
   def l2BoostStumps(df: DataFrame, xCol: String, yCol: String,

@@ -1671,8 +1671,16 @@ object EvalOps {
     * drops still feed later factors. SCALE: ONE hash aggregate to
     * levels, one suffix window, one single-row fold — everything
     * past the aggregate is duration-domain bounded at any raw
-    * volume. Output per level: (t, n_at_risk, d_events,
-    * factor_micro, s_micro, greenwood_nano, se_micro, is_median). */
+    * volume. The fold performs L state updates, but accumulating
+    * the output curve copies the out-array each step
+    * ([[kmFoldCol]]'s `concat`), so the fold's total work is O(L²)
+    * in array copying — invisible at day-granularity durations
+    * (hundreds of levels) but a bound to respect before feeding
+    * SECOND-granularity durations (L ≳ 50k): coarsen the duration
+    * unit first (the [[graft.ops.AggOps.holtWinters]] hourly-grid
+    * note, applied to survival levels). Output per level: (t,
+    * n_at_risk, d_events, factor_micro, s_micro, greenwood_nano,
+    * se_micro, is_median). */
   /** The KM level table (t, _m, _d, _n, _f, _gt) with an optional
     * stratum partition, and the product-limit fold shared by
     * [[kaplanMeier]] and [[kaplanMeierBy]]. */
@@ -1744,7 +1752,8 @@ object EvalOps {
     * exact product-limit machinery per stratum — the level
     * aggregate keyed by (stratum, t), the at-risk suffix window
     * PARTITIONED by stratum, and one single-row fold PER stratum
-    * (groupBy-collect — stratum-count × level-count bounded).
+    * (groupBy-collect — stratum-count × level-count bounded; the
+    * O(L²) fold-copy bound applies PER STRATUM).
     * Same columns, same NULL/median conventions, led by `grp`. */
   def kaplanMeierBy(df: DataFrame, groupCol: String,
                     durationCol: String,
@@ -2188,17 +2197,29 @@ object EvalOps {
     * integer cross-multiplication
     *   D·n_a·n_b = max_levels |c_a·n_b − c_b·n_a|
     * — no float until the two readout fixes: d_ppm by exact
-    * integer division and the α = 0.05 large-sample critical value
-    * c·√((n_a+n_b)/(n_a·n_b)) with c = 1.358 (Smirnov's
-    * asymptotic), both spelled identically in the oracle. reject =
-    * d_ppm > crit_ppm (ppm-resolution comparison, documented).
+    * integer division and the large-sample critical value
+    * c(α)·√((n_a+n_b)/(n_a·n_b)) with c(α) = √(−ln(α/2)/2)
+    * (Smirnov's asymptotic) carried as the CALLER'S micro literal
+    * `cMicro` — the [[mcnemarPaired]]/`zCritMicro` rational-literal
+    * convention (default 1358000 = α 0.05; 1.628·10⁶ is α 0.01) —
+    * both spelled identically in the oracle ((cMicro/10⁶)·√(…)).
+    * reject = d_ppm > crit_ppm (ppm-resolution comparison,
+    * documented).
+    *
+    * EXACTNESS BOUND: d_scaled·10⁶ and the per-level cross-products
+    * c_a·n_b run in long, so the test is exact while
+    * n_a·n_b < 2⁶³/10⁶ ≈ 9.2·10¹² — about 3M rows per side. Past
+    * that, pre-aggregate (KS is distribution-level: feeding the
+    * VALUE LEVEL counts of a larger corpus through a bounded-domain
+    * recode keeps n_a/n_b at the level scale) before calling.
     *
     * SCALE: one level aggregate; everything past it is
     * value-domain bounded (the prefix window runs over LEVELS).
     * Output 1 row: (n_a, n_b, n_levels, d_scaled, d_ppm, crit_ppm,
     * reject). Sides with zero rows read NULL metrics. */
-  def ksTest(df: DataFrame, valueCol: String,
-             sideCol: String): DataFrame = {
+  def ksTest(df: DataFrame, valueCol: String, sideCol: String,
+             cMicro: Long = 1358000L): DataFrame = {
+    require(cMicro > 0, s"cMicro must be > 0, got $cMicro")
     val lv = df.select(col(valueCol).cast("long").as("_v"),
         col(sideCol).cast("boolean").as("_g"))
       .groupBy(col("_v"))
@@ -2209,7 +2230,7 @@ object EvalOps {
       sum(col("_mb")).as("n_b"), count(lit(1)).as("n_levels"))
     val w = Window.orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val crit = round(lit(1.358) *
+    val crit = round((lit(cMicro).cast("double") / lit(1e6)) *
       sqrt((col("n_a") + col("n_b")).cast("double") /
         (col("n_a").cast("double") * col("n_b").cast("double"))) *
       lit(1e6)).cast("long")
@@ -2245,6 +2266,14 @@ object EvalOps {
     * the b = c limit of the statistic and the only cross-engine-
     * stable spelling (a NULL boolean hashes differently across
     * engines' pandas dtypes).
+    *
+    * EXACTNESS BOUND: (b−c)²·10⁶ runs in long, so the statistic is
+    * exact while |a_only − b_only| < √(2⁶³/10⁶) ≈ 3.0·10⁶ discordant
+    * rows — the [[multiclassSummary]]/[[gammaIrls]] bound
+    * convention. A paired comparison whose models disagree on more
+    * than ~3M rows one-sidedly should pre-aggregate (the test only
+    * needs the four cell counts, which any upstream rollup
+    * preserves).
     *
     * SCALE: ONE map-side-combinable aggregate over the paired
     * frame. Output 1 row: (n, both_correct, a_only, b_only,
