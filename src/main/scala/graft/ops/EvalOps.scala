@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3150,6 +3150,152 @@ object EvalOps {
         col(labelCol).cast("long").as("_lab"))
       .withColumn("_pred",
         ovrPredExpr(col("_x1"), col("_x2"), labels, betas))
+    ovrConfReadout(scored)
+  }
+
+  /** d-COVARIATE ONE-VS-REST NEWTON FIT (round-17 verdict task 1 —
+    * the oracled ladder on the reference's ACTUAL shape: its
+    * notebook assembles a 78-feature vector (modelling.py:95-98),
+    * while [[logisticOvrBetas]] fits exactly (x1, x2); this op
+    * fits ANY fixed feature list): the per-row arithmetic is
+    * [[logisticNewton]]'s verbatim — exact integer micro margin
+    * z = β₀ + Σβ_jx_j, nano sigmoid, exact-division micro weight —
+    * but the per-step solve is a (d+1)-unknown Gaussian elimination
+    * instead of a 3×3 Cramer expansion (whose cofactor count grows
+    * factorially): the K×(d+1)(d+2)/2 Gram and K×(d+1) score sums
+    * ride ONE fused map-side-combinable aggregate per step (the
+    * [[logisticOvr]] fuse at general d), ONE bounded row is
+    * collected, and [[LinAlg.gaussSolve]] runs the straight-line
+    * no-pivot elimination on the driver — the
+    * treeAggregate-then-driver-solve shape distributed ML training
+    * uses, with every double op spelled identically in the DuckDB
+    * twin so the β trajectory hash-replays. A degenerate step
+    * (singular/poisoned solve, or an EMPTY frame nulling the sums)
+    * freezes that class's β — the [[logisticNewton]] dA = 0
+    * convention generalized (both engines read "every unknown
+    * finite").
+    *
+    * EXACTNESS: Gram terms w·x_r·x_c ≤ 2.5·10⁵·x², so rows·x² must
+    * stay < 2⁶³/2.5·10⁵ ≈ 3.7·10¹³ — bounded-magnitude recoded
+    * features (the fixture convention) carry billions of rows.
+    * SCALE: `iters` fused scans over the ONE checkpointed base +
+    * O(K·d²) longs collected per step (S6-bounded); output is the
+    * K×(d+1) β ARTIFACT as driver literals — the
+    * [[graft.ops.FitArtifacts]] persistence shape. Returns
+    * betas(i)(j) = β_j of labels(i), micro. */
+  def logisticOvrBetasD(df: DataFrame, xCols: Seq[String],
+                        labelCol: String, labels: Seq[Long],
+                        iters: Int): Array[Array[Long]] = {
+    require(xCols.nonEmpty, "need at least one covariate column")
+    require(xCols.distinct == xCols, "covariate columns must be distinct")
+    require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
+    require(labels.distinct == labels, "labels must be distinct")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d = xCols.size
+    val n = d + 1
+    val base = df.select(xCols.zipWithIndex.map { case (c, j) =>
+        col(c).cast("long").as(s"_x${j + 1}") } :+
+        col(labelCol).cast("long").as("_lab"): _*)
+      .localCheckpoint() // feeds every fused Newton step
+    val betas = Array.fill(labels.size, n)(0L)
+    // x_0 is the intercept's implicit 1 — omitted from products so
+    // the Spark and SQL spellings stay the sum(w), sum(w*x) forms
+    def xv(j: Int): Column = col(s"_x$j")
+    def gram(i: Int, r: Int, c: Int): Column = {
+      val w = col(s"_w$i")
+      val p = if (r == 0 && c == 0) w
+        else if (r == 0) w * xv(c) else w * xv(r) * xv(c)
+      sum(p).as(s"a_${i}_${r}_$c")
+    }
+    def score(i: Int, r: Int): Column = {
+      val sc = col(s"_sc$i")
+      sum(if (r == 0) sc else sc * xv(r)).as(s"s_${i}_$r")
+    }
+    for (_ <- 1 to iters) {
+      var m = base
+      labels.indices.foreach { i =>
+        val z = (1 to d).foldLeft(lit(betas(i)(0)): Column) {
+          (acc, j) => acc + xv(j) * lit(betas(i)(j)) }
+        m = m.withColumn(s"_mu$i", round(lit(1e9) / (lit(1.0) +
+            exp(-(z.cast("double") / lit(1e6))))).cast("long"))
+          .withColumn(s"_w$i",
+            expr(s"(_mu$i * (1000000000L - _mu$i)) " +
+              "div 1000000000000L"))
+          .withColumn(s"_sc$i",
+            when(col("_lab") === labels(i), lit(1000000000L))
+              .otherwise(lit(0L)) - col(s"_mu$i"))
+      }
+      val aggs = labels.indices.flatMap { i =>
+        (for (r <- 0 until n; c <- r until n) yield gram(i, r, c)) ++
+          (0 until n).map(r => score(i, r))
+      }
+      val row = m.agg(aggs.head, aggs.tail: _*).head()
+      if (!(0 until row.length).exists(row.isNullAt)) {
+        var idx = 0
+        labels.indices.foreach { i =>
+          val a = Array.ofDim[Double](n, n)
+          for (r <- 0 until n; c <- r until n) {
+            a(r)(c) = row.getLong(idx).toDouble
+            a(c)(r) = a(r)(c)
+            idx += 1
+          }
+          val s = Array.tabulate(n) { r =>
+            val v = row.getLong(idx).toDouble; idx += 1; v }
+          val x = LinAlg.gaussSolve(a, s)
+          if (LinAlg.allFinite(x))
+            (0 until n).foreach(j =>
+              betas(i)(j) += LinAlg.rnd(1e3 * x(j)))
+        }
+      } // NULL sums (empty frame) freeze every class, like the oracle
+    }
+    betas
+  }
+
+  /** The [[logisticOvrBetasD]] artifact as a TIDY frame — one row
+    * per (label, coefficient index): (label, j, b_micro), j = 0 the
+    * intercept. The d-generic persistence/oracle shape (a WIDE
+    * schema would vary with d). */
+  def ovrBetasDFrame(spark: SparkSession, labels: Seq[Long],
+                     betas: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    require(betas.length == labels.size,
+      s"betas rows ${betas.length} != labels size ${labels.size}")
+    labels.indices.flatMap(i => betas(i).indices.map(j =>
+      (labels(i), j.toLong, betas(i)(j)))).toSeq
+      .toDF("label", "j", "b_micro")
+  }
+
+  /** Score with a fitted d-covariate β artifact as driver literals
+    * (the [[ovrPredExpr]] shape at general d): exact integer
+    * margins z_k = β₀ᵏ + Σ_j β_jᵏ·x_j and the first-max argmax
+    * compile to ONE codegen'd stateless projection —
+    * STREAMING-SAFE, no join, no state. `betas(i)` must be the
+    * (d+1) micro coefficients of labels(i), intercept first. */
+  def ovrPredExprD(xs: Seq[Column], labels: Seq[Long],
+                   betas: Seq[Seq[Long]]): Column = {
+    require(betas.size == labels.size,
+      s"betas size ${betas.size} != labels size ${labels.size}")
+    require(betas.forall(_.size == xs.size + 1),
+      s"every beta row must have ${xs.size + 1} coefficients")
+    val zs = betas.map { b =>
+      xs.zipWithIndex.foldLeft(lit(b.head): Column) {
+        case (acc, (x, j)) => acc + x * lit(b(j + 1)) } }
+    ovrPredCol(labels, zs)
+  }
+
+  /** BATCH TWIN of the d-covariate artifact-scored stream:
+    * [[ovrScoreConfusion]] at general d — the confusion + acc_ppm
+    * readout from a PERSISTED/MEMOIZED β, ONE scan. */
+  def ovrScoreConfusionD(df: DataFrame, xCols: Seq[String],
+                         labelCol: String, labels: Seq[Long],
+                         betas: Seq[Seq[Long]]): DataFrame = {
+    require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
+    require(labels.distinct == labels, "labels must be distinct")
+    val scored = df.select(xCols.zipWithIndex.map { case (c, j) =>
+        col(c).cast("long").as(s"_x${j + 1}") } :+
+        col(labelCol).cast("long").as("_lab"): _*)
+      .withColumn("_pred", ovrPredExprD(
+        xCols.indices.map(j => col(s"_x${j + 1}")), labels, betas))
     ovrConfReadout(scored)
   }
 

@@ -178,6 +178,67 @@ object FitArtifacts {
       path, provenance)
   }
 
+  /** Persist a d-COVARIATE fitted GLM β table — the
+    * [[graft.ops.EvalOps.logisticOvrBetasD]] shape, stored TIDY as
+    * `(label BIGINT, j BIGINT, b_micro BIGINT)` with j = 0..d
+    * (intercept first) so the artifact schema never varies with d —
+    * as single-file parquet with an optional provenance sidecar.
+    * Same bit-exact round-trip guarantee as [[saveGlmBetas]]:
+    * integer micro β replay IDENTICAL predictions through
+    * [[graft.ops.EvalOps.ovrPredExprD]]. K·(d+1) rows,
+    * driver-bounded. */
+  def saveGlmBetasD(spark: SparkSession, path: String,
+                    labels: Seq[Long], betas: Array[Array[Long]],
+                    provenance: Map[String, String] = Map.empty)
+      : Unit = {
+    require(betas.nonEmpty, "refusing to persist an empty beta table")
+    require(betas.length == labels.size,
+      s"betas rows ${betas.length} != labels size ${labels.size}")
+    require(labels.distinct == labels, "duplicate label in beta table")
+    require(betas.map(_.length).distinct.size == 1,
+      "ragged beta rows: every class must have the same (d+1) width")
+    saveTable(graft.ops.EvalOps.ovrBetasDFrame(spark, labels, betas),
+      path, provenance)
+  }
+
+  /** Load a [[saveGlmBetasD]] artifact back into the
+    * `Array[Array[Long]]` form [[graft.ops.EvalOps.ovrPredExprD]]
+    * consumes, ordered by `expectLabels`. The label set AND the
+    * coefficient width are PINNED: a β table fitted on a different
+    * label domain or feature count must fail LOUDLY, not silently
+    * score with missing classes or truncated margins. Coefficient
+    * indices must be contiguous 0..expectDim per label (the
+    * loadCentroids contiguity rule). `expect` verifies the
+    * provenance sidecar. */
+  def loadGlmBetasD(spark: SparkSession, path: String,
+                    expectLabels: Seq[Long], expectDim: Int,
+                    expect: Map[String, String] = Map.empty)
+      : Array[Array[Long]] = {
+    require(expectLabels.nonEmpty, "expectLabels must be given")
+    require(expectDim >= 1, s"expectDim must be >= 1, got $expectDim")
+    checkProvenance(spark, path, expect)
+    val rows = spark.read.parquet(path)
+      .orderBy(col("label"), col("j")).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("j"),
+        r.getAs[Long]("b_micro")))
+    require(rows.nonEmpty, s"no beta rows at $path")
+    val byLabel = rows.groupBy(_._1)
+    require(byLabel.keySet == expectLabels.toSet,
+      s"beta table at $path has labels ${byLabel.keys.toSeq.sorted}" +
+        s", the loader expected ${expectLabels.sorted} — the " +
+        "artifact was fitted on a different label domain; refit " +
+        "and re-save")
+    expectLabels.map { lab =>
+      val co = byLabel(lab).sortBy(_._2)
+      require(co.map(_._2).toSeq == (0 to expectDim).map(_.toLong),
+        s"beta table at $path label $lab has coefficient indices " +
+          s"${co.map(_._2).toSeq}, the loader expected 0..$expectDim" +
+          " — the artifact was fitted on a different feature list; " +
+          "refit and re-save")
+      co.map(_._3)
+    }.toArray
+  }
+
   /** Load a [[saveGlmBetas]] artifact back into the
     * `(label, (b0, b1, b2))` form [[graft.ops.EvalOps.ovrPredExpr]]
     * consumes, label-ascending. `expectLabels` pins the exact label
