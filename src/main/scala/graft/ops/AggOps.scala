@@ -548,6 +548,148 @@ object AggOps {
         expr("_se div _c").as("mae_micro"))
   }
 
+  /** The HANNAN–RISSANEN REGRESSION FRAME shared by [[armaHr]] and
+    * [[armaHrBacktest]] (package-private for the plan-shape pin,
+    * like [[arPredFrame]]): stage 1 computes the long-AR(`longAr`)
+    * one-step residuals off [[arPredFrame]] (SIGNED, fixed to MILLI
+    * by one round-divide — micro residuals would square past 2⁶³
+    * in the stage-2 Gram), stage 2 assembles one row per step t
+    * with y = x_t and the p x-lags + q residual-lags as columns —
+    * p + q equi-joins on the SHIFTED grid key (the [[arPredFrame]]
+    * plan pin: a nested loop here is quadratic at a real grid).
+    * Columns: (_t, _y, _u1.._u$p = x lags raw, _u${p+1}.._u${p+q} =
+    * e lags milli). Rows: steps with ALL lags present. */
+  private[graft] def armaRegFrame(base: DataFrame, p: Int, q: Int,
+                                  longAr: Int): DataFrame = {
+    val ef = arPredFrame(base, longAr)
+      .select(col("_t"),
+        round((col("_x") * lit(1000000L) - col("pred_micro"))
+          .cast("double") / lit(1e3)).cast("long").as("_e"))
+    var reg = base.select(col("_t"), col("_x").as("_y"))
+    for (j <- 1 to p)
+      reg = reg.join(base.select((col("_t") + j).as("_t"),
+        col("_x").as(s"_u$j")), "_t")
+    for (j <- 1 to q)
+      reg = reg.join(ef.select((col("_t") + j).as("_t"),
+        col("_e").as(s"_u${p + j}")), "_t")
+    reg
+  }
+
+  /** The HR stage-2 OLS solve: ONE fused Gram/score aggregate over
+    * the regression frame (exact longs), one bounded collect, the
+    * [[LinAlg.gaussSolve]] straight-line elimination — coefficients
+    * fixed to micro, or ALL-ZERO when the system is degenerate
+    * (NULL sums from an empty frame, or a non-finite solve) — the
+    * oracle's isfinite CASE convention. Returns
+    * [c, φ_1..φ_p, θ'_1..θ'_q] micro, where θ' is per MILLI
+    * residual unit (the prediction spelling divides the MA sum by
+    * 10³ once). */
+  private def armaHrCoefs(reg: DataFrame, p: Int,
+                          q: Int): Array[Long] = {
+    val n = 1 + p + q
+    def uv(r: Int): Column = col(s"_u$r")
+    val aggs = (for (r <- 0 until n; c <- r until n) yield {
+      val prod = if (r == 0 && c == 0) count(lit(1))
+        else if (r == 0) sum(uv(c)) else sum(uv(r) * uv(c))
+      prod.as(s"a_${r}_$c")
+    }) ++ (0 until n).map(r =>
+      sum(if (r == 0) col("_y") else col("_y") * uv(r)).as(s"s_$r"))
+    val row = reg.agg(aggs.head, aggs.tail: _*).head()
+    val out = Array.fill(n)(0L)
+    if (!(0 until row.length).exists(row.isNullAt)) {
+      var idx = 0
+      val a = Array.ofDim[Double](n, n)
+      for (r <- 0 until n; c <- r until n) {
+        a(r)(c) = row.getLong(idx).toDouble
+        a(c)(r) = a(r)(c)
+        idx += 1
+      }
+      val s = Array.tabulate(n) { r =>
+        val v = row.getLong(idx).toDouble; idx += 1; v }
+      val x = LinAlg.gaussSolve(a, s)
+      if (LinAlg.allFinite(x))
+        (0 until n).foreach(j => out(j) = LinAlg.rnd(1e6 * x(j)))
+    }
+    out
+  }
+
+  /** ARMA(p, q) BY HANNAN–RISSANEN TWO-STAGE REGRESSION (Hannan &
+    * Rissanen 1982; Durbin 1960's long-AR idea — the MA term that
+    * completes Box–Jenkins past [[yuleWalkerAr]]/[[arimaBacktest]],
+    * round-17 verdict task 2: when [[ljungBox]] rejects a pure AR
+    * there is now somewhere to go): stage 1 fits a LONG AR(`longAr`)
+    * by the Durbin–Levinson state and takes its one-step residuals
+    * ê_t as innovation proxies; stage 2 regresses x_t on
+    * [1, x_{t−1..p}, ê_{t−1..q}] by OLS — one fused Gram aggregate,
+    * one bounded collect, the [[LinAlg.gaussSolve]] elimination
+    * spelled op-for-op in the oracle. No iteration, no float until
+    * the micro fixes — the coefficient table hash-replays.
+    *
+    * SCALE: stage 1 is [[arBacktest]]'s grid-bounded lag join;
+    * stage 2 adds p + q more shifted-key equi-joins and ONE
+    * aggregate — everything grid-bounded at any raw volume.
+    * Output 1 + p + q rows: (kind ∈ 'c'/'ar'/'ma', j, coef_micro);
+    * 'ma' coefficients are per MILLI residual unit (documented —
+    * the prediction arithmetic in [[armaHrBacktest]] re-divides). */
+  def armaHr(series: DataFrame, tCol: String, xCol: String,
+             p: Int, q: Int, longAr: Int): DataFrame = {
+    require(p >= 1, s"p must be >= 1, got $p")
+    require(q >= 1, s"q must be >= 1, got $q")
+    require(longAr >= p && longAr >= q,
+      s"longAr ($longAr) must cover both p ($p) and q ($q)")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val base = series.select(col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .localCheckpoint() // feeds stage 1, the lags, and stage 2
+    val reg = armaRegFrame(base, p, q, longAr)
+    val cf = armaHrCoefs(reg, p, q)
+    (Seq(("c", 0L, cf(0))) ++
+      (1 to p).map(j => ("ar", j.toLong, cf(j))) ++
+      (1 to q).map(j => ("ma", j.toLong, cf(p + j))))
+      .toDF("kind", "j", "coef_micro")
+  }
+
+  /** ARMA(p, q) ONE-STEP IN-SAMPLE BACKTEST off the [[armaHr]] fit
+    * (the [[arBacktest]] readout shape, so the MAE drops straight
+    * into the q390/q397 model-selection table):
+    *   x̂_t = c + Σφ_j·x_{t−j} + round(Σθ'_j·ê_{t−j} / 10³)
+    * — the AR terms are exact micro products, the MA sum collects
+    * exact micro×milli products and fixes by ONE signed
+    * round-divide (spelled identically in the oracle). The fit
+    * re-runs (the q192 retrain convention). Returns (t, x,
+    * pred_micro, err_micro, mae_micro), one row per stage-2 step. */
+  def armaHrBacktest(series: DataFrame, tCol: String, xCol: String,
+                     p: Int, q: Int, longAr: Int): DataFrame = {
+    require(p >= 1, s"p must be >= 1, got $p")
+    require(q >= 1, s"q must be >= 1, got $q")
+    require(longAr >= p && longAr >= q,
+      s"longAr ($longAr) must cover both p ($p) and q ($q)")
+    val base = series.select(col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .localCheckpoint() // feeds stage 1, the lags, and stage 2
+    val reg = armaRegFrame(base, p, q, longAr)
+      .localCheckpoint() // feeds the solve AND the prediction pass
+    val cf = armaHrCoefs(reg, p, q)
+    val arSum = (1 to p).map(j => lit(cf(j)) * col(s"_u$j"))
+      .reduce(_ + _)
+    val maSum = (1 to q).map(j => lit(cf(p + j)) * col(s"_u${p + j}"))
+      .reduce(_ + _)
+    val pred = reg.select(col("_t"), col("_y"),
+        (lit(cf(0)) + arSum +
+          round(maSum.cast("double") / lit(1e3)).cast("long"))
+          .as("pred_micro"))
+      .withColumn("err_micro",
+        abs(col("_y") * lit(1000000L) - col("pred_micro")))
+      .localCheckpoint() // grid-bounded; feeds rows AND the MAE
+    val mae = pred.agg(sum(col("err_micro")).as("_se"),
+      count(lit(1)).as("_c"))
+    pred.crossJoin(broadcast(mae))
+      .select(col("_t").as("t"), col("_y").as("x"),
+        col("pred_micro"), col("err_micro"),
+        expr("_se div _c").as("mae_micro"))
+  }
+
   /** SEASONAL-NAIVE BACKTEST (the x̂_t = x_{t−period} baseline every
     * forecast comparison must beat — Hyndman & Athanasopoulos's
     * benchmark-model rule): ONE self-join on the grid at lag

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.AggOps
+
+/** Round-18 Hannan–Rissanen ARMA units (round-17 verdict task 2):
+  * shape/kind contract of the coefficient table, MA-term recovery on
+  * a constructed MA(1) series a pure AR truncates, and the
+  * degenerate all-zero freeze. The oracled q415/q416/q397 carry the
+  * DuckDB hash checks. */
+class Round18SeriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic mean-zero "innovation" pattern. */
+  private def innov(t: Long): Long = ((t * 37) % 21) - 10
+
+  test("armaHr: the coefficient table has the (c, ar x p, ma x q) " +
+       "contract rows, and on an MA(1)-built series the MA " +
+       "coefficient is materially nonzero") {
+    // x_t = 100 + e_t + 0.8 e_{t-1}, e deterministic mean-zero
+    val rows = (2L to 400L).map(t =>
+      (t, 100L + innov(t) + math.round(0.8 * innov(t - 1))))
+    val df = rows.toDF("t", "x")
+    val fit = AggOps.armaHr(df, "t", "x", p = 1, q = 1, longAr = 5)
+      .orderBy("kind", "j").collect()
+    assert(fit.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("ar", 1L), ("c", 0L), ("ma", 1L)))
+    // ma coefficients are per MILLI residual unit (documented):
+    // theta_nat = 0.8 reads ~800 micro, not 800000
+    val ma1 = fit.find(_.getString(0) == "ma").get.getLong(2)
+    assert(math.abs(ma1) > 300L && math.abs(ma1) < 2000L,
+      s"MA(1) signal not picked up at the milli scale: theta' = $ma1")
+  }
+
+  test("armaHrBacktest beats the pure-AR backtest on the MA(1) " +
+       "series (the truncation a finite AR cannot close)") {
+    val rows = (2L to 400L).map(t =>
+      (t, 100L + innov(t) + math.round(0.8 * innov(t - 1))))
+    val df = rows.toDF("t", "x")
+    val armaMae = AggOps.armaHrBacktest(df, "t", "x",
+        p = 1, q = 1, longAr = 5)
+      .select(col("mae_micro")).head().getLong(0)
+    val arMae = AggOps.arBacktest(df, "t", "x", order = 1)
+      .select(col("mae_micro")).head().getLong(0)
+    assert(armaMae < arMae,
+      s"ARMA(1,1) MAE $armaMae should beat AR(1) MAE $arMae")
+  }
+
+  test("armaHr degenerate freeze: a CONSTANT series has a singular " +
+       "stage-2 Gram and reads the documented all-zero table") {
+    val df = (1L to 50L).map(t => (t, 7L)).toDF("t", "x")
+    val fit = AggOps.armaHr(df, "t", "x", p = 2, q = 1, longAr = 5)
+      .collect()
+    assert(fit.length === 4)
+    assert(fit.forall(_.getLong(2) === 0L))
+  }
+
+  test("armaHrBacktest rows carry exact one-step errors and the " +
+       "shared exact-division MAE") {
+    val rows = (2L to 60L).map(t =>
+      (t, 50L + innov(t) + math.round(0.5 * innov(t - 1))))
+    val df = rows.toDF("t", "x")
+    val bt = AggOps.armaHrBacktest(df, "t", "x",
+      p = 1, q = 1, longAr = 5).collect()
+    assert(bt.nonEmpty)
+    val maes = bt.map(_.getLong(4)).distinct
+    assert(maes.length === 1) // one shared MAE
+    bt.foreach { r =>
+      assert(r.getLong(3) ===
+        math.abs(r.getLong(1) * 1000000L - r.getLong(2)))
+    }
+  }
+}
