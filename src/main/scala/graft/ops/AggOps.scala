@@ -548,6 +548,93 @@ object AggOps {
         expr("_se div _c").as("mae_micro"))
   }
 
+  /** AR(p) h-STEP FORECAST WITH PREDICTION INTERVALS (Box & Jenkins
+    * 1970 §5's ψ-weight variance recursion — round-17 verdict task
+    * 3: q386/q396's backtests emit point forecasts and MAE only,
+    * but a dashboard reads the BAND first): the [[yuleWalkerAr]] φ
+    * drives two horizon-bounded ladders off ONE-row frames —
+    *   x̂_{T+h} = x̄ + round(Σ_j φ_j·(x̃_{T+h−j} − x̄)/10⁶)
+    * ([[arPredFrame]]'s spelling, recursing on its own forecasts
+    * past the last p actuals), and ψ₀ = 10⁶,
+    * ψ_h = round(Σ_{j≤min(h,p)} φ_j·ψ_{h−j}/10⁶), with
+    *   se_h = √(σ̂²·Σ_{i<h}ψ_i²) and the band x̂ ± round(z·se/10⁶)
+    * (the Greenwood move applied to forecasting: a variance sum
+    * over exact integers, one sqrt readout). σ̂² comes from the
+    * one-step backtest residuals (per-row err² micro-fixed in
+    * doubles over exact ints — the q195 parity rule — then ONE
+    * exact division; an empty backtest reads NULL σ̂/band, the
+    * cross-engine convention). `zMicro` is the caller's normal
+    * quantile literal (1959964 = 95%, the q346 convention).
+    *
+    * SCALE: the [[acf]] grid aggregate + [[arPredFrame]]'s lag join
+    * for σ̂², one grid collapse for the last p actuals
+    * (grid-bounded — the [[holtWinters]] collect_list argument),
+    * then pure horizon-bounded projections over a single row.
+    * Output `horizon` rows: (h, forecast_micro, se_micro, lo_micro,
+    * hi_micro). */
+  def arForecastBand(series: DataFrame, tCol: String, xCol: String,
+                     order: Int, horizon: Int,
+                     zMicro: Long): DataFrame = {
+    require(order >= 1, s"order must be >= 1, got $order")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(zMicro > 0, s"zMicro must be > 0, got $zMicro")
+    val base = series.select(col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .localCheckpoint() // feeds the fit, sigma^2, and the tail
+    val phi = durbinStateFrame(base, "_t", "_x", order)
+      .select((1 to order).map(j => col(s"_p$j")): _*)
+    val mean = base.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"))
+      .select(round(col("_s").cast("double") * lit(1e6) /
+        col("_n").cast("double")).cast("long").as("_m"))
+    val s2 = arPredFrame(base, order)
+      .select(round(col("err_micro").cast("double") *
+        col("err_micro").cast("double") / lit(1e6)).cast("long")
+        .as("_e2"))
+      .agg(sum(col("_e2")).as("_se2"), count(lit(1)).as("_c"))
+      .select(when(col("_c") > 0, expr("_se2 div _c")).as("_s2"))
+    // the last p actuals as micro literals off ONE sorted grid row;
+    // fName(k) spells x̃_{T+k}: _f$k ahead, _fm${-k} at/behind T
+    def fName(k: Int): String = if (k >= 1) s"_f$k" else s"_fm${-k}"
+    val tail = base.agg(sort_array(collect_list(struct(
+        col("_t").as("t"), col("_x").as("x")))).as("_a"))
+      .select((1 to order).map(j =>
+        // a grid shorter than p cannot seed the recursion — NULL
+        // forecasts (the documented short-series degrade), not an
+        // ANSI index error
+        (when(size(col("_a")) >= order,
+          element_at(col("_a"), size(col("_a")) - j + 1)
+            .getField("x")) * lit(1000000L)).as(fName(1 - j))): _*)
+    var st = tail.crossJoin(broadcast(phi))
+      .crossJoin(broadcast(mean)).crossJoin(broadcast(s2))
+      .withColumn("_psi0", lit(1000000L))
+    for (h <- 1 to horizon) {
+      val acc = (1 to order).map(j =>
+        col(s"_p$j") * (col(fName(h - j)) - col("_m")))
+        .reduce(_ + _)
+      st = st.withColumn(s"_f$h",
+        col("_m") + round(acc.cast("double") / lit(1e6)).cast("long"))
+      val psiAcc = (1 to math.min(h, order)).map(j =>
+        col(s"_p$j") * col(s"_psi${h - j}")).reduce(_ + _)
+      st = st.withColumn(s"_psi$h",
+        round(psiAcc.cast("double") / lit(1e6)).cast("long"))
+      val sp2 = (0 until h).map(i =>
+        col(s"_psi$i") * col(s"_psi$i")).reduce(_ + _)
+      st = st.withColumn(s"_se$h",
+        round(sqrt(col("_s2").cast("double") * sp2.cast("double")) /
+          lit(1e3)).cast("long"))
+    }
+    st.select(expr(s"stack($horizon, " + (1 to horizon).map(h =>
+        s"${h}L, _f$h, _se$h").mkString(", ") +
+        ") as (h, forecast_micro, se_micro)"))
+      .select(col("h"), col("forecast_micro"), col("se_micro"),
+        (col("forecast_micro") -
+          round((col("se_micro") * lit(zMicro)).cast("double") /
+            lit(1e6)).cast("long")).as("lo_micro"),
+        (col("forecast_micro") +
+          round((col("se_micro") * lit(zMicro)).cast("double") /
+            lit(1e6)).cast("long")).as("hi_micro"))
+  }
+
   /** The HANNAN–RISSANEN REGRESSION FRAME shared by [[armaHr]] and
     * [[armaHrBacktest]] (package-private for the plan-shape pin,
     * like [[arPredFrame]]): stage 1 computes the long-AR(`longAr`)

@@ -58,6 +58,38 @@ class Round18SeriesSpec extends AnyFunSuite {
     assert(fit.forall(_.getLong(2) === 0L))
   }
 
+  test("arForecastBand: the SE fan is monotone nondecreasing in h, " +
+       "the band is symmetric around the forecast, and the 95% " +
+       "one-step band covers most in-sample one-step errors") {
+    val rows = (1L to 300L).map(t =>
+      (t, 200L + ((t * 13) % 17) - 8 + (t % 7)))
+    val df = rows.toDF("t", "x")
+    val band = AggOps.arForecastBand(df, "t", "x",
+      order = 2, horizon = 7, zMicro = 1959964L).orderBy("h").collect()
+    assert(band.length === 7)
+    val ses = band.map(_.getLong(2))
+    assert(ses.zip(ses.tail).forall { case (a, b) => a <= b },
+      s"SE fan must widen: ${ses.mkString(",")}")
+    band.foreach { r =>
+      assert(r.getLong(1) - r.getLong(3) === r.getLong(4) - r.getLong(1))
+    }
+    // one-step coverage: err <= z*se1 for >= 75% of backtest steps
+    val margin1 = band.head.getLong(1) - band.head.getLong(3)
+    val errs = AggOps.arBacktest(df, "t", "x", order = 2)
+      .select(col("err_micro")).collect().map(_.getLong(0))
+    val cov = errs.count(_ <= margin1).toDouble / errs.length
+    assert(cov >= 0.75, s"one-step band coverage $cov below 0.75")
+  }
+
+  test("arForecastBand degenerate: a series shorter than the fit " +
+       "minimum reads NULL forecasts, not an index error") {
+    val df = Seq((1L, 5L), (2L, 6L)).toDF("t", "x")
+    val band = AggOps.arForecastBand(df, "t", "x",
+      order = 2, horizon = 3, zMicro = 1959964L).collect()
+    assert(band.length === 3)
+    assert(band.forall(_.isNullAt(1))) // forecasts NULL, no throw
+  }
+
   test("armaHrBacktest rows carry exact one-step errors and the " +
        "shared exact-division MAE") {
     val rows = (2L to 60L).map(t =>
