@@ -1008,6 +1008,142 @@ object AggOps {
     out
   }
 
+  /** L2-BOOSTING WITH DEPTH-2 REGRESSION TREES (Friedman 2001 at
+    * interaction depth 2 — round-17 verdict task 4: stumps cannot
+    * represent an interval/XOR concept, one more split per side
+    * can): per round the best variance-reduction ROOT split picks
+    * over value levels exactly as [[l2BoostStumps]], then ONE more
+    * (side, value)-keyed level aggregate finds the best SUB-split
+    * per side — the same prefix-sum/double-gain/(gain DESC, thr
+    * ASC) machinery, windows PARTITIONED by side — and the four
+    * leaf means fix to micro by one float divide each. A side with
+    * a single level has no admissible sub-split and degrades to its
+    * side mean on BOTH leaves (sub-threshold reads NULL — the
+    * documented degenerate, mirrored by the oracle's pivoted
+    * aggregate over an empty per-side best). Residuals re-fix by
+    * exact integer subtraction of the leaf mean; a single-level
+    * FRAME returns the EMPTY round table ([[l2BoostStumps]]'
+    * degenerate convention).
+    *
+    * SCALE: per round TWO data scans (the root level aggregate and
+    * the (side, value) aggregate), two LEVEL-bounded windows, one
+    * broadcast-tree residual projection + checkpoint, one |r|
+    * readout — T sequential passes, the distributed-boosting shape
+    * one level deeper. Exactness bounds as [[l2BoostStumps]].
+    * Output per round: (round, root_thr, left_thr, right_thr,
+    * ll_micro, lr_micro, rl_micro, rr_micro, sar_micro). */
+  def l2BoostTrees2(df: DataFrame, xCol: String, yCol: String,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cur = df.select(col(xCol).cast("long").as("_x"),
+        (col(yCol).cast("long") * lit(1000000L)).as("_r"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    def dd(c: Column): Column = c.cast("double")
+    for (r <- 1 to rounds) {
+      val lev = cur.groupBy(col("_x").as("thr"))
+        .agg(count(lit(1)).as("_m"), sum(col("_r")).as("_s"))
+        .localCheckpoint() // level-bounded; feeds tot AND the window
+      val tot = lev.agg(sum(col("_m")).as("_n"),
+        sum(col("_s")).as("_sall"))
+      val w = Window.orderBy(col("thr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val rootCand = lev.withColumn("_nl", sum(col("_m")).over(w))
+        .withColumn("_sl", sum(col("_s")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("_nr", col("_n") - col("_nl"))
+        .where(col("_nr") > 0)
+      val rootNum = dd(col("_n")) * dd(col("_sl")) -
+        dd(col("_nl")) * dd(col("_sall"))
+      val root = rootCand
+        .withColumn("_gain", rootNum * rootNum /
+          dd(col("_n") * col("_nl") * col("_nr")))
+        .withColumn("_rn", row_number().over(
+          Window.orderBy(col("_gain").desc, col("thr"))))
+        .where(col("_rn") === 1)
+        .select(col("thr").as("_t0"))
+        .localCheckpoint() // 1 row; feeds the side aggregate
+      // ONE (side, value) aggregate covers BOTH sub-splits
+      val slev = cur.crossJoin(broadcast(root))
+        .withColumn("_sd", col("_x") <= col("_t0"))
+        .groupBy(col("_sd"), col("_x").as("sthr"))
+        .agg(count(lit(1)).as("_sm"), sum(col("_r")).as("_ss"))
+        .localCheckpoint() // side-level bounded; totals AND window
+      val stot = slev.groupBy(col("_sd"))
+        .agg(sum(col("_sm")).as("_sn"), sum(col("_ss")).as("_ssall"))
+      val sw = Window.partitionBy(col("_sd")).orderBy(col("sthr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val scand = slev.withColumn("_snl", sum(col("_sm")).over(sw))
+        .withColumn("_ssl", sum(col("_ss")).over(sw))
+        .join(stot, "_sd")
+        .withColumn("_snr", col("_sn") - col("_snl"))
+        .where(col("_snr") > 0)
+      val subNum = dd(col("_sn")) * dd(col("_ssl")) -
+        dd(col("_snl")) * dd(col("_ssall"))
+      val sbest = scand
+        .withColumn("_gain", subNum * subNum /
+          dd(col("_sn") * col("_snl") * col("_snr")))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("_sd"))
+            .orderBy(col("_gain").desc, col("sthr"))))
+        .where(col("_rn") === 1)
+        .select(col("_sd"), col("sthr"),
+          round(dd(col("_ssl")) / dd(col("_snl"))).cast("long")
+            .as("_im"),
+          round((dd(col("_ssall")) - dd(col("_ssl"))) /
+            dd(col("_snr"))).cast("long").as("_om"))
+      // pivot the (<= 2)-row per-side best and the side totals to
+      // ONE row each; an absent side reads NULL and falls back to
+      // its side mean on both leaves
+      val sideAgg = sbest.agg(
+        max(when(col("_sd"), col("sthr"))).as("_lthr"),
+        max(when(col("_sd"), col("_im"))).as("_llm"),
+        max(when(col("_sd"), col("_om"))).as("_lrm"),
+        max(when(!col("_sd"), col("sthr"))).as("_rthr"),
+        max(when(!col("_sd"), col("_im"))).as("_rlm"),
+        max(when(!col("_sd"), col("_om"))).as("_rrm"))
+      val stotAgg = stot.agg(
+        max(when(col("_sd"), col("_sn"))).as("_ln"),
+        max(when(col("_sd"), col("_ssall"))).as("_lsum"),
+        max(when(!col("_sd"), col("_sn"))).as("_rn2"),
+        max(when(!col("_sd"), col("_ssall"))).as("_rsum"))
+      val best = root.crossJoin(broadcast(sideAgg))
+        .crossJoin(broadcast(stotAgg))
+        .select(col("_t0"), col("_lthr"), col("_rthr"),
+          coalesce(col("_llm"),
+            round(dd(col("_lsum")) / dd(col("_ln"))).cast("long"))
+            .as("_ll"),
+          coalesce(col("_lrm"),
+            round(dd(col("_lsum")) / dd(col("_ln"))).cast("long"))
+            .as("_lr"),
+          coalesce(col("_rlm"),
+            round(dd(col("_rsum")) / dd(col("_rn2"))).cast("long"))
+            .as("_rl"),
+          coalesce(col("_rrm"),
+            round(dd(col("_rsum")) / dd(col("_rn2"))).cast("long"))
+            .as("_rr"))
+        .localCheckpoint() // 1 row; feeds the table AND the update
+      cur = cur.crossJoin(broadcast(best))
+        .select(col("_x"), (col("_r") -
+          when(col("_x") <= col("_t0"),
+            when(col("_x") <= col("_lthr"), col("_ll"))
+              .otherwise(col("_lr")))
+          .otherwise(
+            when(col("_x") <= col("_rthr"), col("_rl"))
+              .otherwise(col("_rr")))).as("_r"))
+        .localCheckpoint()
+      val sar = cur.agg(sum(abs(col("_r"))).as("sar_micro"))
+      val row = best.crossJoin(broadcast(sar))
+        .select(lit(r.toLong).as("round"), col("_t0").as("root_thr"),
+          col("_lthr").as("left_thr"), col("_rthr").as("right_thr"),
+          col("_ll").as("ll_micro"), col("_lr").as("lr_micro"),
+          col("_rl").as("rl_micro"), col("_rr").as("rr_micro"),
+          col("sar_micro"))
+      out = if (out == null) row else out.unionByName(row)
+    }
+    out
+  }
+
   /** One differencing pass at `lag`: w_t = x_t − x_{t−lag} as ONE
     * grid self-join on the shifted key (equi-join — the
     * [[arPredFrame]] plan pin applies). `base` carries (_t, _x). */
