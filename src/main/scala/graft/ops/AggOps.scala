@@ -1375,6 +1375,77 @@ object AggOps {
           .as("forecast_micro"))
   }
 
+  /** The additive-HW forecast-variance weights (Hyndman &
+    * Athanasopoulos, Forecasting: Principles and Practice §7.5 —
+    * the exponential-smoothing analogue of the AR ψ recursion):
+    * c_j = α(1 + jβ) + γ·1{j ≡ 0 mod p}, fixed to micro on the
+    * DRIVER from the caller's micro literals (pure rational
+    * arithmetic — the NDCG embed-identical-literals convention),
+    * and Σc² cumulated exactly in long:
+    * sumc2(h) = 10¹² + Σ_{j<h} c_j². Shared by [[hwForecastBand]]
+    * and its SQL twin so the two sides CANNOT drift. */
+  private[graft] def hwBandSumc2(alphaMicro: Long, betaMicro: Long,
+                                 gammaMicro: Long, period: Int,
+                                 horizon: Int): Seq[Long] = {
+    val cs = (1 until horizon).map(j => alphaMicro +
+      LinAlg.rnd(alphaMicro.toDouble * betaMicro.toDouble * j / 1e6) +
+      (if (j % period == 0) gammaMicro else 0L))
+    (1 to horizon).map(h =>
+      1000000000000L + (1 until h).map(j => cs(j - 1) * cs(j - 1)).sum)
+  }
+
+  /** HOLT–WINTERS h-STEP FORECAST WITH PREDICTION INTERVALS (the
+    * [[arForecastBand]] move applied to [[holtWintersForecast]] —
+    * round-17 verdict task 3 completed for the smoothing family):
+    * the point forecast is [[holtWintersForecast]]'s exact-integer
+    * projection; σ̂² comes from the one-step smoothing errors
+    * (err² micro-fixed in doubles over exact ints, ONE exact
+    * division — the [[arForecastBand]] spelling); the variance fan
+    * uses the published additive-HW weights ([[hwBandSumc2]] —
+    * driver-fixed micro literals embedded identically in BOTH
+    * engines), se_h = √(σ̂²·sumc2_h)/10³ and the band
+    * f ± round(z·se/10⁶). A series below the two-week init minimum
+    * yields an EMPTY result (the [[holtWinters]] convention).
+    *
+    * SCALE: the [[hwStateFrame]] grid collapse (+ its documented
+    * O(T²) fold-copy bound) + one error aggregate + a
+    * horizon-bounded projection. Output `horizon` rows: (h, day,
+    * forecast_micro, se_micro, lo_micro, hi_micro). */
+  def hwForecastBand(daily: DataFrame, dayCol: String, xCol: String,
+                     alphaMicro: Long, betaMicro: Long,
+                     gammaMicro: Long, period: Int, horizon: Int,
+                     zMicro: Long): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(zMicro > 0, s"zMicro must be > 0, got $zMicro")
+    val fc = holtWintersForecast(daily, dayCol, xCol, alphaMicro,
+      betaMicro, gammaMicro, period, horizon)
+    val s2 = holtWinters(daily, dayCol, xCol, alphaMicro, betaMicro,
+        gammaMicro, period)
+      .select(round(col("err_micro").cast("double") *
+        col("err_micro").cast("double") / lit(1e6)).cast("long")
+        .as("_e2"))
+      .agg(sum(col("_e2")).as("_se2"), count(lit(1)).as("_c"))
+      .select(when(col("_c") > 0, expr("_se2 div _c")).as("_s2"))
+    val sumc2 = hwBandSumc2(alphaMicro, betaMicro, gammaMicro,
+      period, horizon)
+    val sc2 = (2 to horizon).foldLeft(
+      when(col("h") === 1L, lit(sumc2.head))) { (acc, h) =>
+      acc.when(col("h") === h.toLong, lit(sumc2(h - 1))) }
+    fc.crossJoin(broadcast(s2))
+      .withColumn("_sc2", sc2)
+      .withColumn("se_micro",
+        round(sqrt(col("_s2").cast("double") *
+          col("_sc2").cast("double")) / lit(1e3)).cast("long"))
+      .select(col("h"), col("day"), col("forecast_micro"),
+        col("se_micro"),
+        (col("forecast_micro") -
+          round((col("se_micro") * lit(zMicro)).cast("double") /
+            lit(1e6)).cast("long")).as("lo_micro"),
+        (col("forecast_micro") +
+          round((col("se_micro") * lit(zMicro)).cast("double") /
+            lit(1e6)).cast("long")).as("hi_micro"))
+  }
+
   /** The shared [[holtWinters]] state builder: the day grid as ONE
     * sorted row plus the `aggregate`-fold final state `_fin`
     * (l, b, s[period], sae, cnt, out). NOTE the trajectory

@@ -90,6 +90,39 @@ class Round18SeriesSpec extends AnyFunSuite {
     assert(band.forall(_.isNullAt(1))) // forecasts NULL, no throw
   }
 
+  test("hwForecastBand: a stationary exactly-seasonal series has " +
+       "zero one-step error, so the band collapses onto the exact " +
+       "forecast; a noisy series widens monotonically") {
+    import java.sql.Date
+    def day(i: Int): Date = Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+    val pat = Seq(10L, 12L, 9L, 11L, 14L, 20L, 17L)
+    val exact = (0 until 35).map(i => (day(i), pat(i % 7)))
+      .toDF("d", "x")
+    val b0 = AggOps.hwForecastBand(exact, "d", "x", 300000L, 100000L,
+      200000L, period = 7, horizon = 7, zMicro = 1959964L)
+      .orderBy("h").collect()
+    assert(b0.length === 7)
+    b0.foreach { r =>
+      assert(r.getAs[Long]("se_micro") === 0L)
+      assert(r.getAs[Long]("lo_micro") === r.getAs[Long]("forecast_micro"))
+      assert(r.getAs[Long]("hi_micro") === r.getAs[Long]("forecast_micro"))
+    }
+    val noisy = (0 until 35).map(i =>
+      (day(i), pat(i % 7) + ((i * 13) % 5))).toDF("d", "x")
+    val b1 = AggOps.hwForecastBand(noisy, "d", "x", 300000L, 100000L,
+      200000L, period = 7, horizon = 7, zMicro = 1959964L)
+      .orderBy("h").collect()
+    val ses = b1.map(_.getAs[Long]("se_micro"))
+    assert(ses.head > 0L)
+    assert(ses.zip(ses.tail).forall { case (a, b) => a <= b },
+      s"HW SE fan must widen: ${ses.mkString(",")}")
+    b1.foreach { r =>
+      assert(r.getAs[Long]("forecast_micro") - r.getAs[Long]("lo_micro")
+        === r.getAs[Long]("hi_micro") - r.getAs[Long]("forecast_micro"))
+    }
+  }
+
   test("armaHrBacktest rows carry exact one-step errors and the " +
        "shared exact-division MAE") {
     val rows = (2L to 60L).map(t =>
