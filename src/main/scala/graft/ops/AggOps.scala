@@ -1487,7 +1487,13 @@ object AggOps {
     val am = lit(alphaMicro); val amC = lit(1000000L - alphaMicro)
     val bm = lit(betaMicro); val bmC = lit(1000000L - betaMicro)
     val gm = lit(gammaMicro); val gmC = lit(1000000L - gammaMicro)
-    val fin = aggregate(slice(a, lit(p + 1), size(a) - lit(p)), init,
+    // greatest(…, 0): on a row the size-guard filter REJECTS, fused
+    // codegen can still evaluate this shared subexpression first —
+    // a negative slice length throws before the predicate gates
+    // (round-18 EmptyInputSpec); the clamp is a no-op on every
+    // surviving row (size ≥ 2p+1 ⇒ size − p > 0)
+    val fin = aggregate(
+      slice(a, lit(p + 1), greatest(size(a) - lit(p), lit(0))), init,
       (st, e) => {
         val idx0 = ((e.getField("t") - 1) % p).cast("int")
         val sIdx = element_at(st.getField("s"), idx0 + 1)

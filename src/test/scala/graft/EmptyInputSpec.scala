@@ -286,4 +286,27 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(strat.getLong(0) === 0L && strat.getLong(3) === 0L,
       "empty stratified Cox keeps beta frozen at 0")
   }
+
+  test("round-18 ops survive empty frames") {
+    val emptySeries = Seq.empty[(Long, Long)].toDF("t", "x")
+    // HR ARMA: no stage-2 rows -> NULL Gram sums -> the all-zero
+    // coefficient freeze; backtest has no rows at all
+    val fit = AggOps.armaHr(emptySeries, "t", "x", 1, 1, 5).collect()
+    assert(fit.length === 3 && fit.forall(_.getLong(2) === 0L))
+    assert(AggOps.armaHrBacktest(emptySeries, "t", "x", 1, 1, 5)
+      .count() === 0)
+    // forecast bands: the horizon rows exist with NULL metrics (AR)
+    // or vanish with the empty grid (HW's two-week-minimum rule)
+    val band = AggOps.arForecastBand(emptySeries, "t", "x", 2, 3,
+      1959964L).collect()
+    assert(band.length === 3 && band.forall(_.isNullAt(1)))
+    import java.sql.Date
+    assert(AggOps.hwForecastBand(
+      Seq.empty[(Date, Long)].toDF("d", "x"), "d", "x",
+      300000L, 100000L, 200000L, 7, 3, 1959964L).count() === 0)
+    // depth-2 boosting: no levels -> no root -> empty round table
+    assert(AggOps.l2BoostTrees2(
+      Seq.empty[(Long, Long)].toDF("x", "y"), "x", "y", 2)
+      .count() === 0)
+  }
 }

@@ -620,7 +620,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "arPredFrame" ->
         graft.ops.AggOps.arPredFrame(base, order = 5),
       "seasonalNaivePredFrame" ->
-        graft.ops.AggOps.seasonalNaivePredFrame(base, period = 7)
+        graft.ops.AggOps.seasonalNaivePredFrame(base, period = 7),
+      // round-18: the HR stage-2 frame's p+q lag joins must keep
+      // the same shifted-key equi-join shape
+      "armaRegFrame" ->
+        graft.ops.AggOps.armaRegFrame(base, p = 2, q = 1, longAr = 5)
     ).foreach { case (name, frame) =>
       val p = frame.queryExecution.executedPlan.toString
       // the ops DELIBERATELY cross-join broadcast 1-row frames (phi,
