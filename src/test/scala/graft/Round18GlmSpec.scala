@@ -116,6 +116,54 @@ class Round18GlmSpec extends AnyFunSuite {
     }
   }
 
+  test("argument validation fails loudly BEFORE any cluster work: " +
+       "mismatched beta/label/width shapes, ragged artifact rows, " +
+       "and an ARMA longAr that cannot cover its own lags") {
+    intercept[IllegalArgumentException] {
+      EvalOps.ovrPredExprD(Seq(col("x1")), Seq(0L, 1L),
+        Seq(Seq(1L, 2L))) // 1 beta row for 2 labels
+    }
+    intercept[IllegalArgumentException] {
+      EvalOps.ovrPredExprD(Seq(col("x1")), Seq(0L, 1L),
+        Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))) // width 3 for d = 1
+    }
+    intercept[IllegalArgumentException] {
+      FitArtifacts.saveGlmBetasD(spark, "/tmp/never", Seq(0L, 1L),
+        Array(Array(1L, 2L), Array(3L))) // ragged rows
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.AggOps.armaHr(
+        Seq((1L, 2L)).toDF("t", "x"), "t", "x",
+        p = 3, q = 1, longAr = 2) // longAr < p
+    }
+    intercept[IllegalArgumentException] {
+      EvalOps.logisticOvrBetasD(Seq((1L, 0L)).toDF("x1", "lab"),
+        Seq("x1", "x1"), "lab", Seq(0L, 1L), 2) // duplicate covariate
+    }
+  }
+
+  test("the d6 memo-style fingerprint re-fits on a content swap: " +
+       "the same fit inputs give the same betas, perturbed inputs " +
+       "give different ones (determinism + sensitivity)") {
+    val rows = (0 until 400).map(i =>
+      ((i % 37).toLong, (i % 11).toLong, (i % 5).toLong,
+        if (i % 37 < 12) 0L else if (i % 37 < 25) 1L else 2L))
+    val df = rows.toDF("x1", "x2", "x3", "lab")
+    val cols = Seq("x1", "x2", "x3")
+    val b1 = EvalOps.logisticOvrBetasD(df, cols, "lab",
+      Seq(0L, 1L, 2L), 4)
+    val b2 = EvalOps.logisticOvrBetasD(df, cols, "lab",
+      Seq(0L, 1L, 2L), 4)
+    assert(b1.map(_.toSeq).toSeq === b2.map(_.toSeq).toSeq,
+      "the deterministic fit must replay bit for bit")
+    val shifted = rows.map { case (a, b, c, l) => (a + 1L, b, c, l) }
+      .toDF("x1", "x2", "x3", "lab")
+    val b3 = EvalOps.logisticOvrBetasD(shifted, cols, "lab",
+      Seq(0L, 1L, 2L), 4)
+    assert(b1.map(_.toSeq).toSeq !== b3.map(_.toSeq).toSeq,
+      "a covariate shift must move the fitted betas")
+  }
+
   test("logisticOvrBetasD degenerate freeze: an EMPTY frame leaves " +
        "every class at the zero vector (NULL sums freeze, the " +
        "oracle's isfinite convention)") {
