@@ -1822,8 +1822,26 @@ object EvalOps {
       .withColumn("_w",
         expr("(_mu * (1000000000L - _mu)) div 1000000000000L"))
 
+  /** EXACT LEVEL COLLAPSE for the iterative GLM fits (the
+    * aggregate-before-you-iterate move — optimization guide §2.3/2.4
+    * applied to the Newton loops): every per-row term in the
+    * Gram/score/readout aggregates is an integer function of the
+    * carried columns only, so Σ_rows f = Σ_levels _c·f EXACTLY (the
+    * per-level product c·f is the integer sub-sum of that level's
+    * rows — same total, same overflow bound). ONE map-side-combinable
+    * groupBy over the data replaces `iters` full-data scans with
+    * scans of the (feature-domain bounded) level table — at 100 TB
+    * the fit's repeated passes touch a table the size of the feature
+    * grid, not the data. */
+  private def levelled(base: DataFrame): DataFrame =
+    base.groupBy(base.columns.map(col).toSeq: _*)
+      .agg(count(lit(1)).as("_c"))
+
   /** The Newton loop behind [[logisticIrls]]/[[ipwAtt]]: `base` must
-    * carry (_x1, _x2, _y ∈ {0,1}) long columns. Returns the 1-row
+    * be the [[levelled]] collapse carrying (_x1, _x2, _y ∈ {0,1}, _c)
+    * long columns — each step scans the LEVEL table, not the data
+    * (round-18 optimization; the sums are identical by the exact
+    * Σ_rows f = Σ_levels _c·f identity). Returns the 1-row
     * (b0_micro, b1_micro, b2_micro) frame after `iters` fixed IRLS
     * steps from β⁰ = 0 (iteration 1 is fully exact: μ ≡ ½,
     * w_micro ≡ 250000). Each step: ONE hash aggregate (the 3×3
@@ -1855,17 +1873,18 @@ object EvalOps {
         m13 * (m21 * m32 - m22 * m31)
     for (_ <- 1 to iters) {
       val a = muFrame(base, beta).agg(
-        sum(col("_w")).as("a00"),
-        sum(col("_w") * col("_x1")).as("a01"),
-        sum(col("_w") * col("_x2")).as("a02"),
-        sum(col("_w") * col("_x1") * col("_x1")).as("a11"),
-        sum(col("_w") * col("_x1") * col("_x2")).as("a12"),
-        sum(col("_w") * col("_x2") * col("_x2")).as("a22"),
-        sum(col("_y") * lit(1000000000L) - col("_mu")).as("s0"),
-        sum((col("_y") * lit(1000000000L) - col("_mu")) * col("_x1"))
-          .as("s1"),
-        sum((col("_y") * lit(1000000000L) - col("_mu")) * col("_x2"))
-          .as("s2"))
+        sum(col("_c") * col("_w")).as("a00"),
+        sum(col("_c") * col("_w") * col("_x1")).as("a01"),
+        sum(col("_c") * col("_w") * col("_x2")).as("a02"),
+        sum(col("_c") * col("_w") * col("_x1") * col("_x1")).as("a11"),
+        sum(col("_c") * col("_w") * col("_x1") * col("_x2")).as("a12"),
+        sum(col("_c") * col("_w") * col("_x2") * col("_x2")).as("a22"),
+        sum(col("_c") * (col("_y") * lit(1000000000L) - col("_mu")))
+          .as("s0"),
+        sum(col("_c") * (col("_y") * lit(1000000000L) - col("_mu")) *
+          col("_x1")).as("s1"),
+        sum(col("_c") * (col("_y") * lit(1000000000L) - col("_mu")) *
+          col("_x2")).as("s2"))
       def d(c: String): Column = col(c).cast("double")
       val dA = det(d("a00"), d("a01"), d("a02"),
         d("a01"), d("a11"), d("a12"), d("a02"), d("a12"), d("a22"))
@@ -1910,14 +1929,18 @@ object EvalOps {
     * (n, b0_micro, b1_micro, b2_micro, correct, acc_ppm). */
   def logisticIrls(df: DataFrame, x1Col: String, x2Col: String,
                    yCol: String, iters: Int): DataFrame = {
-    val base = df.select(col(x1Col).cast("long").as("_x1"),
+    // ONE data scan total: the level collapse replaces the raw-row
+    // checkpoint, and the fit AND readout run over the level table
+    // (exact — see [[levelled]])
+    val base = levelled(df.select(col(x1Col).cast("long").as("_x1"),
         col(x2Col).cast("long").as("_x2"),
-        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y")))
       .localCheckpoint() // feeds every Newton step AND the readout
     val beta = logisticNewton(base, iters)
     logisticMuFrame(base, beta)
-      .agg(count(lit(1)).as("n"),
-        sum(when((col("_zm") > 0) === (col("_y") === 1L), 1L)
+      // coalesce replays count(1)'s 0-on-empty (sum is NULL there)
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n"),
+        sum(when((col("_zm") > 0) === (col("_y") === 1L), col("_c"))
           .otherwise(0L)).as("correct"))
       .crossJoin(broadcast(beta))
       .select(col("n"), col("b0_micro"), col("b1_micro"),
@@ -1952,7 +1975,8 @@ object EvalOps {
     // standard null init puts step 1 in the quadratic zone. The +1
     // keeps the ln argument positive; empty input seeds 0.
     newtonLoop(base, iters, poissonMuFrame,
-      base.agg(count(lit(1)).as("_n"), sum(col("_y")).as("_sy"))
+      base.agg(sum(col("_c")).as("_n"),
+          sum(col("_c") * col("_y")).as("_sy"))
         .select(
           when(col("_n") > 0, round(log(
             (col("_sy") + 1).cast("double") / col("_n").cast("double"))
@@ -1978,15 +2002,22 @@ object EvalOps {
     * sum_y, sum_mu_nano, sae_nano). */
   def poissonIrls(df: DataFrame, x1Col: String, x2Col: String,
                   yCol: String, iters: Int): DataFrame = {
+    // _c ≡ 1, NOT [[levelled]]: a count GLM's input is already a
+    // (x, y)-grid — y is in the would-be level key, so the collapse
+    // is an identity that only adds an exchange (measured +0.4 s on
+    // q372's day×hour grid); the constant weight keeps the one
+    // weighted [[newtonLoop]] spelling
     val base = df.select(col(x1Col).cast("long").as("_x1"),
         col(x2Col).cast("long").as("_x2"),
         col(yCol).cast("long").as("_y"))
+      .withColumn("_c", lit(1L))
       .localCheckpoint() // feeds the seed, every step, and the readout
     val beta = poissonNewton(base, iters)
     poissonMuFrame(base, beta)
-      .agg(count(lit(1)).as("n"), sum(col("_y")).as("sum_y"),
-        sum(col("_mu")).as("sum_mu_nano"),
-        sum(abs(col("_y") * lit(1000000000L) - col("_mu")))
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n"),
+        sum(col("_c") * col("_y")).as("sum_y"),
+        sum(col("_c") * col("_mu")).as("sum_mu_nano"),
+        sum(col("_c") * abs(col("_y") * lit(1000000000L) - col("_mu")))
           .as("sae_nano"))
       .crossJoin(broadcast(beta))
       .select(col("n"), col("b0_micro"), col("b1_micro"),
@@ -2323,9 +2354,11 @@ object EvalOps {
   def poissonOverdispersion(df: DataFrame, x1Col: String,
                             x2Col: String, yCol: String, iters: Int,
                             zCritMicro: Long): DataFrame = {
+    // _c ≡ 1, NOT [[levelled]] — the [[poissonIrls]] grid argument
     val base = df.select(col(x1Col).cast("long").as("_x1"),
         col(x2Col).cast("long").as("_x2"),
         col(yCol).cast("long").as("_y"))
+      .withColumn("_c", lit(1L))
       .localCheckpoint() // feeds the fit AND the readout
     val beta = poissonNewton(base, iters)
     poissonMuFrame(base, beta)
@@ -2335,8 +2368,10 @@ object EvalOps {
         .cast("long") - col("_y") * lit(1000000L))
       .withColumn("_m6", round(col("_mu").cast("double") *
         col("_mu").cast("double") / lit(1e12)).cast("long"))
-      .agg(count(lit(1)).as("n"), sum(col("_y")).as("sum_y"),
-        sum(col("_t6")).as("s_micro"), sum(col("_m6")).as("m_micro"))
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n"),
+        sum(col("_c") * col("_y")).as("sum_y"),
+        sum(col("_c") * col("_t6")).as("s_micro"),
+        sum(col("_c") * col("_m6")).as("m_micro"))
       .select(col("n"), col("sum_y"), col("s_micro"), col("m_micro"),
         when(col("m_micro") > 0, round(col("s_micro").cast("double") /
           sqrt(lit(2.0) * (col("m_micro").cast("double") / lit(1e6))))
@@ -2378,7 +2413,11 @@ object EvalOps {
         col(yCol).cast("long").as("_yc"))
       .withColumn("_y", when(col("_t"), 1L).otherwise(0L))
       .localCheckpoint() // feeds the fit AND the weighted readout
-    val beta = logisticNewton(base, iters)
+    // the fit scans the exact level collapse (feature-domain bounded
+    // — [[levelled]]); the readout below still reads per-row _yc
+    val beta = logisticNewton(
+      levelled(base.select(col("_x1"), col("_x2"), col("_y")))
+        .localCheckpoint(), iters)
     val keepC = !col("_t") && col("_wc").isNotNull &&
       col("_wc") <= lit(wCapMicro)
     val agg = logisticMuFrame(base, beta)
@@ -2754,10 +2793,11 @@ object EvalOps {
       .withColumn("_w",
         expr("(_mu * (1000000000L - _mu)) div 1000000000000L"))
 
-  /** One-feature sibling of [[logisticNewton]]: `base` carries
-    * (_x1, _y ∈ {0,1}); the 2×2 weighted Gram + nano score aggregate
-    * and the 2×2 Cramer solve replace the 3×3 block, the micro β
-    * re-fix and the dA = 0 freeze are identical. */
+  /** One-feature sibling of [[logisticNewton]]: `base` is the
+    * [[levelled]] collapse carrying (_x1, _y ∈ {0,1}, _c); the 2×2
+    * weighted Gram + nano score aggregate and the 2×2 Cramer solve
+    * replace the 3×3 block, the micro β re-fix and the dA = 0
+    * freeze are identical. */
   private def logistic1Newton(base: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     var beta = base.sparkSession
@@ -2765,12 +2805,13 @@ object EvalOps {
       .toDF("b0_micro", "b1_micro")
     for (_ <- 1 to iters) {
       val a = logistic1MuFrame(base, beta).agg(
-        sum(col("_w")).as("a00"),
-        sum(col("_w") * col("_x1")).as("a01"),
-        sum(col("_w") * col("_x1") * col("_x1")).as("a11"),
-        sum(col("_y") * lit(1000000000L) - col("_mu")).as("s0"),
-        sum((col("_y") * lit(1000000000L) - col("_mu")) * col("_x1"))
-          .as("s1"))
+        sum(col("_c") * col("_w")).as("a00"),
+        sum(col("_c") * col("_w") * col("_x1")).as("a01"),
+        sum(col("_c") * col("_w") * col("_x1") * col("_x1")).as("a11"),
+        sum(col("_c") * (col("_y") * lit(1000000000L) - col("_mu")))
+          .as("s0"),
+        sum(col("_c") * (col("_y") * lit(1000000000L) - col("_mu")) *
+          col("_x1")).as("s1"))
       def d(c: String): Column = col(c).cast("double")
       val dA = d("a00") * d("a11") - d("a01") * d("a01")
       val d0 = d("s0") * d("a11") - d("a01") * d("s1")
@@ -2806,14 +2847,16 @@ object EvalOps {
     * (n, b0_micro, b1_micro, sum_y, sum_p_nano, brier_micro). */
   def plattScale(df: DataFrame, scoreCol: String, yCol: String,
                  iters: Int): DataFrame = {
-    val base = df.select(col(scoreCol).cast("long").as("_x1"),
-        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+    // ONE data scan total (the level collapse — exact, [[levelled]])
+    val base = levelled(df.select(col(scoreCol).cast("long").as("_x1"),
+        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y")))
       .localCheckpoint() // feeds every Newton step AND the readout
     val beta = logistic1Newton(base, iters)
     logistic1MuFrame(base, beta)
-      .agg(count(lit(1)).as("n"), sum(col("_y")).as("sum_y"),
-        sum(col("_mu")).as("sum_p_nano"),
-        sum(expr("((_mu - _y * 1000000000L) * " +
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n"),
+        sum(col("_c") * col("_y")).as("sum_y"),
+        sum(col("_c") * col("_mu")).as("sum_p_nano"),
+        sum(col("_c") * expr("((_mu - _y * 1000000000L) * " +
           "(_mu - _y * 1000000000L)) div 1000000000000L"))
           .as("_bs"))
       .crossJoin(broadcast(beta))
@@ -2846,15 +2889,17 @@ object EvalOps {
                      iters: Int, bins: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val base = df.select(col(scoreCol).cast("long").as("_x1"),
-        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+    // ONE data scan total (the level collapse — exact, [[levelled]])
+    val base = levelled(df.select(col(scoreCol).cast("long").as("_x1"),
+        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y")))
       .localCheckpoint() // feeds every Newton step AND the binning
     val beta = logistic1Newton(base, iters)
     val lv = logistic1MuFrame(base, beta)
       .groupBy(expr(s"least(${bins - 1}L, " +
         s"(_mu * $bins) div 1000000000L)").as("bin"))
-      .agg(count(lit(1)).as("n_b"), sum(col("_y")).as("o_b"),
-        sum(col("_mu")).as("_smu"))
+      .agg(sum(col("_c")).as("n_b"),
+        sum(col("_c") * col("_y")).as("o_b"),
+        sum(col("_c") * col("_mu")).as("_smu"))
       .localCheckpoint() // bin-domain bounded; feeds rows AND ECE
     val tot = lv.agg(sum(col("n_b")).as("n"),
       sum(abs(col("_smu") - col("o_b") * lit(1000000000L)))
@@ -2894,13 +2939,15 @@ object EvalOps {
   def brierDecomposition(df: DataFrame, scoreCol: String,
                          yCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val base = df.select(col(scoreCol).cast("long").as("_x1"),
-        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+    // ONE data scan total (the level collapse — exact, [[levelled]])
+    val base = levelled(df.select(col(scoreCol).cast("long").as("_x1"),
+        when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("_y")))
       .localCheckpoint() // feeds the fit, the levels, the readout
     val beta = logistic1Newton(base, iters)
     val mf = logistic1MuFrame(base, beta)
     val lv = mf.groupBy(col("_mu"))
-      .agg(count(lit(1)).as("_nl"), sum(col("_y")).as("_ol"))
+      .agg(sum(col("_c")).as("_nl"),
+        sum(col("_c") * col("_y")).as("_ol"))
       .localCheckpoint() // mu-level bounded; feeds terms AND totals
     val tot = lv.agg(sum(col("_nl")).as("n"), sum(col("_ol")).as("_o"),
       count(lit(1)).as("n_levels"))
@@ -2918,7 +2965,7 @@ object EvalOps {
       .agg(sum(col("_trel")).as("reliability_micro"),
         sum(col("_tres")).as("resolution_micro"))
     val brier = mf.agg(
-      sum(expr("((_mu - _y * 1000000000L) * " +
+      sum(col("_c") * expr("((_mu - _y * 1000000000L) * " +
         "(_mu - _y * 1000000000L)) div 1000000000000L")).as("_bs"))
     terms.crossJoin(broadcast(brier))
       .select(col("n"), col("n_levels"),
@@ -2962,9 +3009,13 @@ object EvalOps {
     // a real Spark job, and a bad `iters` must fail before cluster
     // work is spent (round-16 advice)
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val base = df.select(col(x1Col).cast("long").as("_x1"),
+    // ONE data scan total (round-18): the exact level collapse
+    // ([[levelled]]) replaces the raw-row checkpoint — the fused
+    // Newton steps AND the scoring readout run over the
+    // feature-domain-bounded level table, weighted by _c
+    val base = levelled(df.select(col(x1Col).cast("long").as("_x1"),
         col(x2Col).cast("long").as("_x2"),
-        col(labelCol).cast("long").as("_lab"))
+        col(labelCol).cast("long").as("_lab")))
       .localCheckpoint() // feeds every fused Newton step AND scoring
     // FUSED Newton steps (round-16 gate finding: K separate fits
     // cost K·iters sequential scans — 7.0 s at the gate; since every
@@ -2980,12 +3031,13 @@ object EvalOps {
     val zs = labels.indices.map(i => col(s"_b0_$i") +
       col("_x1") * col(s"_b1_$i") + col("_x2") * col(s"_b2_$i"))
     ovrConfReadout(scored.withColumn("_pred",
-      ovrPredCol(labels, zs)))
+      ovrPredCol(labels, zs)), sum(col("_c")))
   }
 
   /** The FUSED one-vs-rest Newton loop shared by [[logisticOvr]] and
-    * [[logisticOvrBetas]]: `base` must carry (_x1, _x2, _lab) long
-    * columns (checkpointed by the caller — every step scans it).
+    * [[logisticOvrBetas]]: `base` must be the [[levelled]] collapse
+    * carrying (_x1, _x2, _lab, _c) long columns (checkpointed by the
+    * caller — every step scans it, and it is feature-domain bounded).
     * Returns the WIDE 1-row β frame (_b0_i, _b1_i, _b2_i per class
     * index i), each step ONE map-side-combinable aggregate of the
     * K×9 sums and one K-fold Cramer projection. */
@@ -3017,17 +3069,18 @@ object EvalOps {
             when(col("_lab") === labels(i), 1L).otherwise(0L))
       }
       val aggs = ks.flatMap { i =>
+        val cc = col("_c")
         val w = col(s"_w$i"); val mu = col(s"_mu$i")
         val sc = col(s"_y$i") * lit(1000000000L) - mu
-        Seq(sum(w).as(s"a00_$i"),
-          sum(w * col("_x1")).as(s"a01_$i"),
-          sum(w * col("_x2")).as(s"a02_$i"),
-          sum(w * col("_x1") * col("_x1")).as(s"a11_$i"),
-          sum(w * col("_x1") * col("_x2")).as(s"a12_$i"),
-          sum(w * col("_x2") * col("_x2")).as(s"a22_$i"),
-          sum(sc).as(s"s0_$i"),
-          sum(sc * col("_x1")).as(s"s1_$i"),
-          sum(sc * col("_x2")).as(s"s2_$i"))
+        Seq(sum(cc * w).as(s"a00_$i"),
+          sum(cc * w * col("_x1")).as(s"a01_$i"),
+          sum(cc * w * col("_x2")).as(s"a02_$i"),
+          sum(cc * w * col("_x1") * col("_x1")).as(s"a11_$i"),
+          sum(cc * w * col("_x1") * col("_x2")).as(s"a12_$i"),
+          sum(cc * w * col("_x2") * col("_x2")).as(s"a22_$i"),
+          sum(cc * sc).as(s"s0_$i"),
+          sum(cc * sc * col("_x1")).as(s"s1_$i"),
+          sum(cc * sc * col("_x2")).as(s"s2_$i"))
       }
       val a = m.agg(aggs.head, aggs.tail: _*)
       betas = a.crossJoin(broadcast(betas))
@@ -3074,11 +3127,14 @@ object EvalOps {
   /** The confusion + accuracy readout shared by [[logisticOvr]],
     * [[softmaxGlm]]'s shape and [[ovrScoreConfusion]]: expects
     * (_lab, _pred) columns; label-domain bounded past the one
-    * aggregate. Output: (label, pred, cnt, n, correct, acc_ppm). */
-  private def ovrConfReadout(scored: DataFrame): DataFrame = {
+    * aggregate. `cnt` is count(1) on raw-row frames and sum(_c) on
+    * [[levelled]] frames — identical totals by the collapse
+    * identity. Output: (label, pred, cnt, n, correct, acc_ppm). */
+  private def ovrConfReadout(scored: DataFrame,
+                             cnt: Column = count(lit(1))): DataFrame = {
     val conf = scored
       .groupBy(col("_lab").as("label"), col("_pred").as("pred"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(cnt.as("cnt"))
       .localCheckpoint() // label-domain bounded; feeds table AND acc
     val acc = conf.agg(sum(col("cnt")).as("n"),
       sum(when(col("label") === col("pred"), col("cnt"))
@@ -3108,9 +3164,10 @@ object EvalOps {
     require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
     require(labels.distinct == labels, "labels must be distinct")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val base = df.select(col(x1Col).cast("long").as("_x1"),
+    // ONE data scan total (the level collapse — exact, [[levelled]])
+    val base = levelled(df.select(col(x1Col).cast("long").as("_x1"),
         col(x2Col).cast("long").as("_x2"),
-        col(labelCol).cast("long").as("_lab"))
+        col(labelCol).cast("long").as("_lab")))
       .localCheckpoint() // feeds every fused Newton step
     ovrBetaWide(base, labels, iters)
       .select(expr(s"stack(${labels.size}, " +
@@ -3329,9 +3386,10 @@ object EvalOps {
     require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
     require(labels.distinct == labels, "labels must be distinct")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val base = df.select(col(x1Col).cast("long").as("_x1"),
+    // ONE data scan total (the level collapse — exact, [[levelled]])
+    val base = levelled(df.select(col(x1Col).cast("long").as("_x1"),
         col(x2Col).cast("long").as("_x2"),
-        col(labelCol).cast("long").as("_lab"))
+        col(labelCol).cast("long").as("_lab")))
       .localCheckpoint() // feeds every fused step AND the scoring
     val ks = 1 until labels.size // non-reference classes
     val betas = softmaxBetaWide(base, labels, iters)
@@ -3343,12 +3401,13 @@ object EvalOps {
     ks.foreach(i => scored = scored.withColumn(s"_z$i", zOf(i)))
     val zs = lit(0L) +: ks.map(i => col(s"_z$i")).toSeq
     ovrConfReadout(scored.withColumn("_pred",
-      ovrPredCol(labels, zs)))
+      ovrPredCol(labels, zs)), sum(col("_c")))
   }
 
   /** The fused block-Newton loop shared by [[softmaxGlm]] and
-    * [[softmaxGlmBetas]]: `base` carries (_x1, _x2, _lab)
-    * (checkpointed by the caller). Returns the WIDE 1-row β frame
+    * [[softmaxGlmBetas]]: `base` is the [[levelled]] collapse
+    * carrying (_x1, _x2, _lab, _c) (checkpointed by the caller —
+    * feature-domain bounded). Returns the WIDE 1-row β frame
     * (_b0_i/_b1_i/_b2_i for non-reference class indices 1..K−1). */
   private def softmaxBetaWide(base: DataFrame, labels: Seq[Long],
                               iters: Int): DataFrame = {
@@ -3388,17 +3447,18 @@ object EvalOps {
             when(col("_lab") === labels(i), 1L).otherwise(0L))
       }
       val aggs = ks.flatMap { i =>
+        val cc = col("_c")
         val w = col(s"_w$i")
         val sc = col(s"_y$i") * lit(1000000000L) - col(s"_p$i")
-        Seq(sum(w).as(s"a00_$i"),
-          sum(w * col("_x1")).as(s"a01_$i"),
-          sum(w * col("_x2")).as(s"a02_$i"),
-          sum(w * col("_x1") * col("_x1")).as(s"a11_$i"),
-          sum(w * col("_x1") * col("_x2")).as(s"a12_$i"),
-          sum(w * col("_x2") * col("_x2")).as(s"a22_$i"),
-          sum(sc).as(s"s0_$i"),
-          sum(sc * col("_x1")).as(s"s1_$i"),
-          sum(sc * col("_x2")).as(s"s2_$i"))
+        Seq(sum(cc * w).as(s"a00_$i"),
+          sum(cc * w * col("_x1")).as(s"a01_$i"),
+          sum(cc * w * col("_x2")).as(s"a02_$i"),
+          sum(cc * w * col("_x1") * col("_x1")).as(s"a11_$i"),
+          sum(cc * w * col("_x1") * col("_x2")).as(s"a12_$i"),
+          sum(cc * w * col("_x2") * col("_x2")).as(s"a22_$i"),
+          sum(cc * sc).as(s"s0_$i"),
+          sum(cc * sc * col("_x1")).as(s"s1_$i"),
+          sum(cc * sc * col("_x2")).as(s"s2_$i"))
       }.toSeq
       val a = m.agg(aggs.head, aggs.tail: _*)
       betas = a.crossJoin(broadcast(betas))
@@ -3442,9 +3502,10 @@ object EvalOps {
     require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
     require(labels.distinct == labels, "labels must be distinct")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val base = df.select(col(x1Col).cast("long").as("_x1"),
+    // ONE data scan total (the level collapse — exact, [[levelled]])
+    val base = levelled(df.select(col(x1Col).cast("long").as("_x1"),
         col(x2Col).cast("long").as("_x2"),
-        col(labelCol).cast("long").as("_lab"))
+        col(labelCol).cast("long").as("_lab")))
       .localCheckpoint() // feeds every fused step
     softmaxBetaWide(base, labels, iters)
       .select(expr(s"stack(${labels.size - 1}, " +
